@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table helpers shared by Verify / Bench / tests.
+  *
+  * Config notes (scale-oriented, per SURVEY.md §7):
+  *  - shuffle.partitions sized to cores for local mode; on a real
+  *    cluster this is driven by AQE coalescing anyway.
+  *  - AQE on: runtime re-plan (skew-join splitting, partition
+  *    coalescing) is the 100TB safety net for every groupBy/join here.
+  *  - UTC session timezone for deterministic timestamp semantics
+  *    (oracle parity with DuckDB, which is timezone-naive).
+  */
+object Graft {
+
+  val TableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def session(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+              appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // testdata events.parquet carries TIMESTAMP(NANOS) which Spark has
+      // no native type for; read as Long and normalize in table().
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Load one testdata table (parquet) from an sf directory.
+    * Nanosecond timestamp columns (events.ts) are normalized to Spark
+    * TimestampType (microsecond floor — matches DuckDB's µs truncation).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      // integer `div` (not `/`): Long/Long → Double would lose precision
+      // on epoch-nanos (~1.7e18 > 2^53).
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register every testdata table as a temp view (for spark.sql paths). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    TableNames.foreach { n =>
+      if (new java.io.File(s"$sfDir/$n.parquet").exists())
+        table(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+}
