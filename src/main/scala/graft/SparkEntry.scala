@@ -107,6 +107,184 @@ object SparkEntry {
           $"event_type", $"n", $"total_value")
         .orderBy($"window_start_ms", $"event_type")
     }),
+
+    "q8_window_sliding" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+        .select(unix_millis($"w.start").as("window_start_ms"),
+          unix_millis($"w.end").as("window_end_ms"),
+          $"event_type", $"n", $"total_value")
+        .orderBy($"window_start_ms", $"event_type")
+    }),
+
+    "q9_session_window" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+        .select($"user_id", unix_millis($"w.start").as("session_start_ms"),
+          unix_millis($"w.end").as("session_end_ms"), $"n", $"total_value")
+        .orderBy($"user_id", $"session_start_ms")
+    }),
+
+    "q10_analytic" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byDate = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      t(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          row_number().over(byDate).as("rn"),
+          rank().over(Window.partitionBy($"o_custkey")
+            .orderBy($"o_totalprice".desc)).as("price_rank"),
+          round(lag($"o_totalprice", 1).over(byDate), 2).as("prev_price"),
+          round(lead($"o_totalprice", 1).over(byDate), 2).as("next_price"),
+          round(sum($"o_totalprice").over(
+            byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_total"),
+          round(first($"o_totalprice").over(byDate), 2).as("first_price"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    "q11_distinct_agg" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_linestatus")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          countDistinct($"l_returnflag").as("n_flags"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_linestatus")
+    }),
+
+    "q12_scalar_battery" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .select($"p_partkey",
+          upper($"p_name").as("up"),
+          lower($"p_brand").as("lo"),
+          substring($"p_name", 1, 5).as("sub5"),
+          length($"p_name").as("len"),
+          concat_ws("-", $"p_brand", $"p_type").as("bt"),
+          regexp_replace($"p_type", " ", "_").as("ty_us"),
+          lpad($"p_brand", 12, "*").as("pad"),
+          reverse($"p_name").as("rev"),
+          instr($"p_name", "a").as("pos_a"),
+          levenshtein($"p_brand", $"p_type").as("lev"),
+          translate($"p_name", "aeiou", "AEIOU").as("tr"),
+          md5($"p_name").as("h"),
+          abs($"p_size" - 25).as("sz_off"),
+          round(sqrt($"p_retailprice"), 8).as("sq"),
+          round(pow($"p_size", lit(2)), 2).as("sz2"),
+          round(log($"p_retailprice"), 8).as("ln_price"),
+          round(exp($"p_size" / 10.0), 8).as("ex"))
+        .orderBy($"p_partkey")
+    }),
+
+    "q13_conditional" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select($"o_orderkey",
+          when($"o_orderstatus" === "F", "done")
+            .when($"o_orderstatus" === "O", "open")
+            .otherwise("other").as("status_label"),
+          coalesce(nullif($"o_orderpriority", lit("3-MEDIUM")), lit("DEFAULT"))
+            .as("prio"),
+          $"o_orderstatus".isin("F", "P").cast("int").as("is_closed_ish"),
+          greatest($"o_totalprice", lit(250000.0)).as("floor_price"),
+          least($"o_totalprice", lit(250000.0)).as("cap_price"))
+        .orderBy($"o_orderkey")
+    }),
+
+    "q14_json_extract" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    }),
+
+    "q15_setops" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val purchasers = ev.filter($"event_type" === "purchase").select($"user_id")
+      val erroring = ev.filter($"event_type" === "error").select($"user_id")
+      val clicking = ev.filter($"event_type" === "click").select($"user_id")
+      purchasers.intersect(erroring).except(
+          clicking.filter($"user_id" % 7 === 0))
+        .union(ev.filter($"user_id" < 0).select($"user_id")).distinct()
+        .orderBy($"user_id")
+    }),
+
+    "q16_theta_join" -> ((s, d) => {
+      import s.implicits._
+      val n1 = t(s, d, "nation").select($"n_nationkey".as("k1"),
+        $"n_name".as("name1"), $"n_regionkey".as("r1"))
+      val n2 = t(s, d, "nation").select($"n_nationkey".as("k2"),
+        $"n_name".as("name2"), $"n_regionkey".as("r2"))
+      n1.join(n2, $"r1" === $"r2" && $"k1" < $"k2")
+        .select($"name1", $"name2", $"r1".as("region"))
+        .orderBy($"name1", $"name2")
+    }),
+
+    "q17_nested_struct" -> ((s, d) => {
+      import s.implicits._
+      // Build a rideshare-style nested struct, then access leaf fields —
+      // mirrors col("imu_measurement").field("gps").field("speed")
+      // (/root/reference/examples/examples/kafka_rideshare.rs:73-75).
+      t(s, d, "events")
+        .select($"event_id", struct(
+          struct($"value".as("speed")).as("gps"),
+          $"event_type".as("ty")).as("imu"))
+        .select($"event_id", $"imu.gps.speed".as("speed"), $"imu.ty".as("ty"))
+        .filter($"speed" > 400)
+        .orderBy($"event_id")
+    }),
+
+    "q18_date_functions" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select($"o_orderkey",
+          year($"o_orderdate").as("yr"),
+          month($"o_orderdate").as("mo"),
+          dayofmonth($"o_orderdate").as("dom"),
+          unix_millis(date_trunc("month", $"o_orderdate")).as("month_start_ms"),
+          datediff(lit("2002-01-01").cast("date"), $"o_orderdate".cast("date"))
+            .as("days_to_2002"),
+          unix_millis(($"o_orderdate" + expr("INTERVAL 30 DAYS"))
+            .cast("timestamp")).as("plus30_ms"))
+        .orderBy($"o_orderkey")
+    }),
+
+    "q20_collect" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(array_join(sort_array(collect_set($"l_linestatus")), ",")
+            .as("statuses"),
+          countDistinct($"l_linestatus").as("n_statuses"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q21_stats" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qp"),
+          round(covar_pop($"l_quantity", $"l_extendedprice"), 4).as("covp"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 4).as("covs"),
+          round(stddev_pop($"l_quantity"), 6).as("sdp"),
+          round(stddev_samp($"l_quantity"), 6).as("sds"),
+          round(var_pop($"l_quantity"), 6).as("vp"),
+          round(var_samp($"l_quantity"), 6).as("vs"),
+          round(median($"l_quantity"), 4).as("med_qty"))
+        .orderBy($"l_returnflag")
+    }),
   )
 
   /** DuckDB-runnable oracle SQL, column-name-aligned with `queries`. */
@@ -164,5 +342,141 @@ object SparkEntry {
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY window_start_ms, event_type""".stripMargin,
+
+    "q8_window_sliding" ->
+      """SELECT ws_ms AS window_start_ms, ws_ms + 3600000 AS window_end_ms,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM (
+        |  SELECT e.*, (epoch_ms(e.ts) // 1800000 - k.k) * 1800000 AS ws_ms
+        |  FROM events e CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k
+        |) sub
+        |WHERE epoch_ms(ts) >= ws_ms AND epoch_ms(ts) < ws_ms + 3600000
+        |GROUP BY ws_ms, event_type
+        |ORDER BY window_start_ms, event_type""".stripMargin,
+
+    "q9_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), g AS (
+        |  SELECT *, sum(new_s) OVER
+        |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+        |  epoch_ms(max(ts)) + 1800000 AS session_end_ms,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin,
+
+    "q10_analytic" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER w AS rn,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+        |    AS price_rank,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |  round(sum(o_totalprice) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+        |  round(first_value(o_totalprice) OVER w, 2) AS first_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q11_distinct_agg" ->
+      """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_returnflag) AS n_flags, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q12_scalar_battery" ->
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+        |  substring(p_name, 1, 5) AS sub5, length(p_name) AS len,
+        |  concat_ws('-', p_brand, p_type) AS bt,
+        |  regexp_replace(p_type, ' ', '_', 'g') AS ty_us,
+        |  lpad(p_brand, 12, '*') AS pad, reverse(p_name) AS rev,
+        |  strpos(p_name, 'a') AS pos_a,
+        |  levenshtein(p_brand, p_type) AS lev,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS tr, md5(p_name) AS h,
+        |  abs(p_size - 25) AS sz_off, round(sqrt(p_retailprice), 8) AS sq,
+        |  round(pow(p_size, 2), 2) AS sz2,
+        |  round(ln(p_retailprice), 8) AS ln_price,
+        |  round(exp(p_size / 10.0), 8) AS ex
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q13_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'done'
+        |       WHEN o_orderstatus = 'O' THEN 'open'
+        |       ELSE 'other' END AS status_label,
+        |  coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'DEFAULT') AS prio,
+        |  CAST(o_orderstatus IN ('F', 'P') AS INTEGER) AS is_closed_ish,
+        |  greatest(o_totalprice, 250000.0) AS floor_price,
+        |  least(o_totalprice, 250000.0) AS cap_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q14_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q15_setops" ->
+      """((SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'error')
+        | EXCEPT
+        | SELECT user_id FROM events WHERE event_type = 'click'
+        |   AND user_id % 7 = 0)
+        |UNION
+        |SELECT user_id FROM events WHERE user_id < 0
+        |ORDER BY user_id""".stripMargin,
+
+    "q16_theta_join" ->
+      """SELECT n1.n_name AS name1, n2.n_name AS name2,
+        |  n1.n_regionkey AS region
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey
+        | AND n1.n_nationkey < n2.n_nationkey
+        |ORDER BY name1, name2""".stripMargin,
+
+    "q17_nested_struct" ->
+      """SELECT event_id, value AS speed, event_type AS ty
+        |FROM events WHERE value > 400 ORDER BY event_id""".stripMargin,
+
+    "q18_date_functions" ->
+      """SELECT o_orderkey,
+        |  CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+        |  CAST(date_part('month', o_orderdate) AS INTEGER) AS mo,
+        |  CAST(date_part('day', o_orderdate) AS INTEGER) AS dom,
+        |  epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+        |    AS INTEGER) AS days_to_2002,
+        |  epoch_ms(o_orderdate + INTERVAL 30 DAY) AS plus30_ms
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q20_collect" ->
+      """SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+        |    AS statuses,
+        |  count(DISTINCT l_linestatus) AS n_statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q21_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covs,
+        |  round(stddev_pop(l_quantity), 6) AS sdp,
+        |  round(stddev_samp(l_quantity), 6) AS sds,
+        |  round(var_pop(l_quantity), 6) AS vp,
+        |  round(var_samp(l_quantity), 6) AS vs,
+        |  round(median(l_quantity), 4) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
