@@ -261,6 +261,26 @@ object SparkEntry {
         .orderBy($"o_orderkey")
     }),
 
+    // Reference flagship pipeline (simple_aggregation.rs:47-52) driven
+    // through the graft DataStream API: filter → tumbling window with
+    // count/min/max/avg → flattened window_start_time/window_end_time.
+    "q19_datastream_pipeline" -> ((s, d) => {
+      import s.implicits._
+      graft.api.Context(s).fromDF(t(s, d, "events"), "ts")
+        .filter($"value" > 10)
+        .window(Seq($"event_type"),
+          Seq(count(lit(1)).as("n"),
+            round(min($"value"), 2).as("min_v"),
+            round(max($"value"), 2).as("max_v"),
+            round(avg($"value"), 4).as("avg_v")),
+          "1 hour")
+        .toDF
+        .select($"event_type", $"n", $"min_v", $"max_v", $"avg_v",
+          unix_millis($"window_start_time").as("window_start_ms"),
+          unix_millis($"window_end_time").as("window_end_ms"))
+        .orderBy($"window_start_ms", $"event_type")
+    }),
+
     "q20_collect" -> ((s, d) => {
       import s.implicits._
       t(s, d, "lineitem")
@@ -459,6 +479,16 @@ object SparkEntry {
         |    AS INTEGER) AS days_to_2002,
         |  epoch_ms(o_orderdate + INTERVAL 30 DAY) AS plus30_ms
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q19_datastream_pipeline" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(min(value), 2) AS min_v, round(max(value), 2) AS max_v,
+        |  round(avg(value), 4) AS avg_v,
+        |  epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        |  epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_ms
+        |FROM events WHERE value > 10
+        |GROUP BY event_type, date_trunc('hour', ts)
+        |ORDER BY window_start_ms, event_type""".stripMargin,
 
     "q20_collect" ->
       """SELECT l_returnflag,

@@ -1,0 +1,87 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import SchemaInference.TimestampUnit
+
+/** Session wrapper mirroring the reference's `Context`
+  * (/root/reference/crates/core/src/context.rs:19-83): owns the
+  * SparkSession and constructs `DataStream`s from sources.
+  */
+final class Context(val spark: SparkSession) {
+
+  /** Kafka topic source (reference `from_topic`, context.rs:65-72 +
+    * KafkaTopicBuilder, kafka_config.rs:216-268). The payload is
+    * JSON-decoded against `schema` (explicit, or inferred from one
+    * sample event via [[SchemaInference.fromSampleJson]]); event time
+    * comes from `timestampColumn` in `timestampUnit`, falling back to
+    * the Kafka message timestamp — exactly the reference's canonical-
+    * timestamp rules (kafka_stream_read.rs:226-238), minus the hidden
+    * metadata column (Spark tracks event time natively).
+    *
+    * Requires the spark-sql-kafka connector on the classpath at run
+    * time; plan construction itself is connector-agnostic.
+    */
+  def fromTopic(topic: String, bootstrapServers: String,
+                schema: StructType,
+                timestampColumn: Option[String] = None,
+                timestampUnit: TimestampUnit = SchemaInference.Int64Millis,
+                startingOffsets: String = "earliest"): DataStream = {
+    val raw = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+    val decoded = raw.select(
+      from_json(col("value").cast("string"), schema).as("__payload"),
+      col("timestamp").as("__kafka_ts"))
+    val ts = timestampColumn match {
+      case Some(c) =>
+        SchemaInference.canonicalTimestamp(col(s"__payload.$c"), timestampUnit)
+      case None => col("__kafka_ts")
+    }
+    val projected = decoded
+      .select(col("__payload.*"), ts.as("__event_time"))
+      .drop("__kafka_ts")
+    DataStream(projected, eventTimeCol = "__event_time")
+  }
+
+  /** Same, inferring the schema from one sample JSON event
+    * (reference kafka_config.rs:148-160).
+    */
+  def fromTopicSample(topic: String, bootstrapServers: String,
+                      sampleJson: String,
+                      timestampColumn: Option[String] = None,
+                      timestampUnit: TimestampUnit = SchemaInference.Int64Millis)
+      : DataStream =
+    fromTopic(topic, bootstrapServers,
+      SchemaInference.fromSampleJson(spark, sampleJson),
+      timestampColumn, timestampUnit)
+
+  /** File-based streaming source (parquet dir) — the deterministic
+    * stand-in for Kafka in tests (TESTDATA events table).
+    */
+  def fromParquetStream(path: String, schema: StructType,
+                        eventTimeCol: String = "ts"): DataStream =
+    DataStream(spark.readStream.schema(schema).parquet(path), eventTimeCol)
+
+  /** Wrap an existing (batch or streaming) DataFrame. */
+  def fromDF(df: DataFrame, eventTimeCol: String = "ts"): DataStream =
+    DataStream(df, eventTimeCol)
+
+  /** Batch parquet read (reference registers batch CSV/parquet tables
+    * alongside streams, csv_streaming.rs:12-63).
+    */
+  def fromParquet(path: String, eventTimeCol: String = "ts"): DataStream =
+    DataStream(spark.read.parquet(path), eventTimeCol)
+
+  def registerTable(name: String, ds: DataStream): Unit =
+    ds.df.createOrReplaceTempView(name)
+
+  def sql(query: String): DataStream = DataStream(spark.sql(query))
+}
+
+object Context {
+  def apply(spark: SparkSession): Context = new Context(spark)
+}

@@ -1,0 +1,194 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Fluent pipeline handle mirroring the reference's `DataStream`
+  * (/root/reference/crates/core/src/datastream.rs:34-51): immutable,
+  * every operation returns a new handle. Wraps an untyped Spark
+  * DataFrame (batch or streaming — the same API works in both modes;
+  * watermarks are no-ops on batch plans, as in Spark itself).
+  *
+  * @param df           the wrapped (possibly streaming) DataFrame
+  * @param eventTimeCol name of the event-time column used by window()
+  *                     and watermarks (reference: canonical_timestamp)
+  * @param watermarkDelay watermark delay applied before any window agg;
+  *                     "0 seconds" approximates the reference's
+  *                     min-based watermark with no lateness allowance
+  */
+final case class DataStream(
+    df: DataFrame,
+    eventTimeCol: String = "ts",
+    watermarkDelay: String = "0 seconds") {
+
+  private def next(d: DataFrame): DataStream = copy(df = d)
+
+  // --- column ops (reference datastream.rs:74-123) -------------------
+
+  def select(cols: Column*): DataStream = next(df.select(cols: _*))
+  def selectExpr(exprs: String*): DataStream = next(df.selectExpr(exprs: _*))
+  def filter(cond: Column): DataStream = next(df.filter(cond))
+  def withColumn(name: String, col: Column): DataStream =
+    next(df.withColumn(name, col))
+  def dropColumns(cols: String*): DataStream = next(df.drop(cols: _*))
+
+  def withEventTime(col: String): DataStream = copy(eventTimeCol = col)
+  def withWatermarkDelay(delay: String): DataStream =
+    copy(watermarkDelay = delay)
+
+  // --- joins (reference datastream.rs:126-175, Joinable :379-395) ----
+
+  /** Equi-join on named column pairs + optional residual filter.
+    * `right` may wrap a static or streaming frame (stream-static and
+    * stream-stream joins are both Spark-native).
+    */
+  def join(right: DataStream, joinType: String,
+           leftCols: Seq[String], rightCols: Seq[String],
+           filter: Option[Column] = None): DataStream = {
+    require(leftCols.length == rightCols.length,
+      "leftCols and rightCols must align")
+    val eq = leftCols.zip(rightCols)
+      .map { case (l, r) => df(l) === right.df(r) }
+      .reduce(_ && _)
+    next(df.join(right.df, filter.map(eq && _).getOrElse(eq), joinType))
+  }
+
+  /** General predicate (theta) join. */
+  def joinOn(right: DataStream, joinType: String, on: Column): DataStream =
+    next(df.join(right.df, on, joinType))
+
+  def join(right: DataFrame, joinType: String, on: Column): DataStream =
+    next(df.join(right, on, joinType))
+
+  // --- streaming window aggregation (reference §2.4) -----------------
+
+  /** Tumbling (slide=None) or sliding window aggregation, grouped by
+    * `groupExprs`. Emits the reference's visible output columns
+    * `window_start_time`/`window_end_time`
+    * (/root/reference/crates/core/src/logical_plan/streaming_window.rs:88-107)
+    * flattened from Spark's `window` struct. On a streaming frame this
+    * plans Spark's stateful aggregate; with append output mode the
+    * emission semantics match the reference (emit once the watermark
+    * passes window end; later rows dropped).
+    */
+  def window(groupExprs: Seq[Column], aggExprs: Seq[Column],
+             length: String, slide: Option[String] = None): DataStream = {
+    val ts = col(eventTimeCol)
+    val w = slide match {
+      case Some(s) => org.apache.spark.sql.functions.window(ts, length, s)
+      case None    => org.apache.spark.sql.functions.window(ts, length)
+    }
+    val base = if (df.isStreaming) df.withWatermark(eventTimeCol, watermarkDelay)
+               else df
+    val agged = base
+      .groupBy(w.as("__window") +: groupExprs: _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    next(flattenWindow(agged))
+  }
+
+  /** Session window (gap-merged) aggregation — present-but-todo!() in
+    * the reference (streaming_window.rs:1062); Spark-native here.
+    */
+  def sessionWindow(groupExprs: Seq[Column], aggExprs: Seq[Column],
+                    gap: String): DataStream = {
+    val base = if (df.isStreaming) df.withWatermark(eventTimeCol, watermarkDelay)
+               else df
+    val agged = base
+      .groupBy(session_window(col(eventTimeCol), gap).as("__window") +: groupExprs: _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    next(flattenWindow(agged))
+  }
+
+  private def flattenWindow(agged: DataFrame): DataFrame = {
+    val others = agged.columns.filterNot(_ == "__window").map(col)
+    agged.select(
+      (others :+ col("__window.start").as("window_start_time")
+        :+ col("__window.end").as("window_end_time")): _*)
+  }
+
+  // --- schema / plan introspection (reference datastream.rs:198-241) -
+
+  def schema: org.apache.spark.sql.types.StructType = df.schema
+  def printSchema(): DataStream = { df.printSchema(); this }
+  def printPlan(): DataStream = { df.explain(false); this }
+  def printPhysicalPlan(): DataStream = { df.explain("formatted"); this }
+  def explain(mode: String): DataStream = { df.explain(mode); this }
+
+  // --- sinks (reference datastream.rs:311-374, py sink :229-270) -----
+
+  /** Console sink (reference `print_stream`). Returns the running
+    * query for streaming frames; prints and returns None for batch.
+    */
+  def printStream(): Option[StreamingQuery] =
+    if (df.isStreaming)
+      Some(df.writeStream.outputMode("append").format("console").start())
+    else { df.show(false); None }
+
+  /** Per-micro-batch callback sink (reference Python `sink`). */
+  def sink(fn: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream.outputMode("append").foreachBatch(fn)
+
+  /** Kafka sink: every row JSON-encoded to `value`
+    * (reference topic_writer.rs:102-127 → to_json(struct(*))).
+    */
+  def sinkKafka(bootstrapServers: String, topic: String,
+                checkpointLocation: String): DataStreamWriter[Row] =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .writeStream.outputMode("append").format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointLocation)
+
+  /** In-memory named-table sink (test/debug). */
+  def sinkMemory(name: String, outputMode: String = "append"): StreamingQuery =
+    df.writeStream.outputMode(outputMode).format("memory")
+      .queryName(name).start()
+
+  def toDF: DataFrame = df
+}
+
+object DataStream {
+
+  /** Windowed join of two streams — the reference's flagship
+    * stream_join pattern (/root/reference/examples/examples/
+    * stream_join.rs:37-80) joins two *windowed aggregate* streams,
+    * which Spark forbids inside one continuous query. This rewrites it
+    * as tag→union→single windowed aggregation with side-conditional
+    * aggregates, which IS expressible as one streaming query
+    * (SURVEY §7.2 option (a)).
+    *
+    * Both streams must share the group-key and event-time columns.
+    * Each `(alias, agg)` in leftAggs/rightAggs is applied only to rows
+    * of its side. Windows missing either side are dropped (inner-join
+    * semantics).
+    */
+  def windowedJoin(left: DataStream, right: DataStream,
+                   groupCols: Seq[String], length: String,
+                   slide: Option[String],
+                   leftAggs: Seq[(String, Column => Column)],
+                   rightAggs: Seq[(String, Column => Column)],
+                   leftValueCol: String, rightValueCol: String): DataStream = {
+    val l = left.df.withColumn("__side", lit("l"))
+      .withColumn("__lv", col(leftValueCol))
+      .withColumn("__rv", lit(null).cast(right.df.schema(rightValueCol).dataType))
+    val r = right.df.withColumn("__side", lit("r"))
+      .withColumn("__lv", lit(null).cast(left.df.schema(leftValueCol).dataType))
+      .withColumn("__rv", col(rightValueCol))
+    val keep = (groupCols :+ left.eventTimeCol :+ "__side" :+ "__lv" :+ "__rv")
+      .map(col)
+    val unioned = l.select(keep: _*).unionByName(r.select(keep: _*))
+    val aggs =
+      leftAggs.map { case (n, f) =>
+        f(when(col("__side") === "l", col("__lv"))).as(n) } ++
+      rightAggs.map { case (n, f) =>
+        f(when(col("__side") === "r", col("__rv"))).as(n) } ++
+      Seq(sum(when(col("__side") === "l", 1).otherwise(0)).as("__nl"),
+          sum(when(col("__side") === "r", 1).otherwise(0)).as("__nr"))
+    val joined = left.copy(df = unioned)
+      .window(groupCols.map(col), aggs, length, slide)
+    joined.filter(col("__nl") > 0 && col("__nr") > 0)
+      .dropColumns("__nl", "__nr")
+  }
+}

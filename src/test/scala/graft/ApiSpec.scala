@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.{Context, DataStream}
+
+class ApiSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val ctx = Context(spark)
+  private lazy val events = Graft.table(spark, sf, "events")
+
+  test("select/filter/withColumn/dropColumns compose like DataFrame ops") {
+    val ds = ctx.fromDF(events)
+      .filter(col("event_type") === "purchase")
+      .withColumn("v2", col("value") * 2)
+      .select(col("event_id"), col("user_id"), col("v2"))
+      .dropColumns("user_id")
+    assert(ds.schema.fieldNames.toSeq == Seq("event_id", "v2"))
+    val expected = events.filter(col("event_type") === "purchase").count()
+    assert(ds.toDF.count() == expected)
+  }
+
+  test("window() tumbling on batch matches direct groupBy(window)") {
+    val ds = ctx.fromDF(events, "ts")
+      .window(Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"), max(col("value")).as("mx")), "1 hour")
+    val direct = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+    assert(ds.toDF.count() == direct.count())
+    assert(ds.schema.fieldNames.contains("window_start_time"))
+    assert(ds.schema.fieldNames.contains("window_end_time"))
+    // flattened window bounds differ by exactly the window length
+    val bad = ds.toDF.filter(
+      col("window_end_time").cast("long") -
+        col("window_start_time").cast("long") =!= 3600).count()
+    assert(bad == 0)
+  }
+
+  test("sessionWindow() on batch merges gap<30min runs") {
+    val ds = ctx.fromDF(events, "ts")
+      .sessionWindow(Seq(col("user_id")), Seq(count(lit(1)).as("n")),
+        "30 minutes")
+    assert(ds.toDF.agg(sum("n")).head.getLong(0) == events.count())
+  }
+
+  test("join on named columns + residual filter") {
+    val orders = ctx.fromDF(Graft.table(spark, sf, "orders"))
+    val cust = ctx.fromDF(Graft.table(spark, sf, "customer"))
+    val j = orders.join(cust, "inner", Seq("o_custkey"), Seq("c_custkey"),
+      filter = Some(col("o_totalprice") > 100000))
+    val expected = Graft.table(spark, sf, "orders")
+      .filter(col("o_totalprice") > 100000).count()
+    assert(j.toDF.count() == expected)
+  }
+
+  test("joinOn theta join") {
+    val n1 = ctx.fromDF(Graft.table(spark, sf, "nation"))
+    val n2 = DataStream(Graft.table(spark, sf, "nation")
+      .select(col("n_nationkey").as("k2"), col("n_regionkey").as("r2")))
+    val j = n1.joinOn(n2, "inner",
+      col("n_regionkey") === col("r2") && col("n_nationkey") < col("k2"))
+    assert(j.toDF.count() == 50)
+  }
+
+  test("semi/anti join types pass through") {
+    val cust = ctx.fromDF(Graft.table(spark, sf, "customer"))
+    val orders = ctx.fromDF(Graft.table(spark, sf, "orders"))
+    val semi = cust.join(orders, "left_semi", Seq("c_custkey"), Seq("o_custkey"))
+    val anti = cust.join(orders, "left_anti", Seq("c_custkey"), Seq("o_custkey"))
+    assert(semi.toDF.count() + anti.toDF.count() ==
+      Graft.table(spark, sf, "customer").count())
+  }
+}

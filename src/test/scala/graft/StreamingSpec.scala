@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.DataStream
+
+/** The reference's canonical measurement event
+  * (/root/reference/examples/src/lib.rs:3-17, FIXTURES.md §1).
+  */
+case class Measurement(occurred_at_ms: Long, sensor_name: String,
+                       reading: Double)
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def measurementStream()
+      : (MemoryStream[Measurement], DataStream) = {
+    val input = MemoryStream[Measurement](spark)
+    val ds = DataStream(
+      input.toDF.withColumn("ts", timestamp_millis($"occurred_at_ms")), "ts")
+    (input, ds)
+  }
+
+  test("tumbling window emits on watermark pass; late data dropped") {
+    val (input, ds) = measurementStream()
+    val windowed = ds.window(Seq($"sensor_name"),
+      Seq(count(lit(1)).as("n"), round(avg($"reading"), 4).as("avg_r")),
+      "10 seconds")
+    val q = windowed.sinkMemory("tumble_out")
+    try {
+      // window [0,10s): 3 readings for sensor a, 1 for b
+      input.addData(
+        Measurement(1000, "a", 1.0), Measurement(2000, "a", 2.0),
+        Measurement(9000, "a", 3.0), Measurement(3000, "b", 10.0))
+      q.processAllAvailable()
+      // advance event time past window end → watermark passes 10s
+      input.addData(Measurement(15000, "a", 99.0))
+      q.processAllAvailable()
+      val emitted = spark.table("tumble_out")
+        .orderBy("sensor_name").collect()
+      assert(emitted.length == 2)
+      val a = emitted(0)
+      assert(a.getAs[String]("sensor_name") == "a")
+      assert(a.getAs[Long]("n") == 3)
+      assert(a.getAs[Double]("avg_r") == 2.0)
+      assert(emitted(1).getAs[Long]("n") == 1)
+
+      // a late row for the already-emitted window [0,10s) must be
+      // dropped (reference: FullWindowAggStream late-batch drop,
+      // streaming_window.rs:882-1035)
+      input.addData(Measurement(5000, "a", 1000.0))
+      input.addData(Measurement(25000, "a", 1.0))
+      q.processAllAvailable()
+      val after = spark.table("tumble_out")
+        .filter($"sensor_name" === "a" &&
+          $"window_start_time".cast("long") === 0).collect()
+      assert(after.length == 1 && after(0).getAs[Long]("n") == 3,
+        "late row must not re-open or re-emit the closed window")
+    } finally q.stop()
+  }
+
+  test("sliding window assigns rows to every overlapping frame") {
+    val (input, ds) = measurementStream()
+    val windowed = ds.window(Seq($"sensor_name"),
+      Seq(count(lit(1)).as("n")), "10 seconds", Some("5 seconds"))
+    val q = windowed.sinkMemory("slide_out")
+    try {
+      input.addData(Measurement(7000, "a", 1.0))   // windows [0,10) [5,15)
+      input.addData(Measurement(30000, "a", 0.0))  // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("slide_out")
+        .filter($"n" === 1 && $"window_start_time".cast("long") < 15)
+        .orderBy($"window_start_time").collect()
+      assert(rows.map(_.getAs[java.sql.Timestamp]("window_start_time").getTime)
+        .toSeq == Seq(0L, 5000L))
+    } finally q.stop()
+  }
+
+  test("session window merges gap<5s and emits start/end") {
+    val (input, ds) = measurementStream()
+    val sessioned = ds.sessionWindow(Seq($"sensor_name"),
+      Seq(count(lit(1)).as("n")), "5 seconds")
+    val q = sessioned.sinkMemory("sess_out")
+    try {
+      input.addData(Measurement(0, "a", 1.0), Measurement(3000, "a", 1.0),
+        Measurement(6000, "a", 1.0))
+      q.processAllAvailable()
+      input.addData(Measurement(60000, "a", 1.0)) // watermark far ahead
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("n") == 3)
+      assert(rows(0).getAs[java.sql.Timestamp]("window_start_time").getTime == 0)
+      // session end = last event + gap
+      assert(rows(0).getAs[java.sql.Timestamp]("window_end_time").getTime == 11000)
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches rows (Joinable parity)") {
+    val (input, ds) = measurementStream()
+    val dims = Seq(("a", "building-1"), ("b", "building-2"))
+      .toDF("sensor_name", "building")
+    val joined = ds.join(dims, "inner",
+      ds.df("sensor_name") === dims("sensor_name"))
+    val q = joined.toDF.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      input.addData(Measurement(1000, "a", 1.0), Measurement(2000, "c", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[String]("building") == "building-1")
+    } finally q.stop()
+  }
+
+  test("windowedJoin joins two windowed aggregate streams in one query") {
+    val (tempIn, temp) = measurementStream()
+    val (humIn, hum) = measurementStream()
+    val joined = DataStream.windowedJoin(temp, hum,
+      groupCols = Seq("sensor_name"), length = "10 seconds", slide = None,
+      leftAggs = Seq("avg_temp" -> ((c: org.apache.spark.sql.Column) =>
+        round(avg(c), 4))),
+      rightAggs = Seq("max_hum" -> ((c: org.apache.spark.sql.Column) =>
+        max(c))),
+      leftValueCol = "reading", rightValueCol = "reading")
+    val q = joined.sinkMemory("join_out")
+    try {
+      tempIn.addData(Measurement(1000, "a", 20.0),
+        Measurement(2000, "a", 30.0),
+        Measurement(3000, "only_temp", 1.0))
+      humIn.addData(Measurement(1500, "a", 0.5))
+      q.processAllAvailable()
+      tempIn.addData(Measurement(20000, "a", 0.0))
+      humIn.addData(Measurement(20000, "a", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("join_out")
+        .filter($"window_start_time".cast("long") === 0).collect()
+      // inner semantics: only sensor present on BOTH sides survives
+      assert(rows.length == 1)
+      assert(rows(0).getAs[String]("sensor_name") == "a")
+      assert(rows(0).getAs[Double]("avg_temp") == 25.0)
+      assert(rows(0).getAs[Double]("max_hum") == 0.5)
+    } finally q.stop()
+  }
+}
