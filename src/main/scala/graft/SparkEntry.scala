@@ -136,9 +136,9 @@ object SparkEntry {
         .orderBy($"o_orderdate", $"o_orderkey")
       t(s, d, "orders")
         .select($"o_custkey", $"o_orderkey", $"o_totalprice",
-          row_number().over(byDate).as("rn"),
+          row_number().over(byDate).cast("long").as("rn"),
           rank().over(Window.partitionBy($"o_custkey")
-            .orderBy($"o_totalprice".desc)).as("price_rank"),
+            .orderBy($"o_totalprice".desc)).cast("long").as("price_rank"),
           round(lag($"o_totalprice", 1).over(byDate), 2).as("prev_price"),
           round(lead($"o_totalprice", 1).over(byDate), 2).as("next_price"),
           round(sum($"o_totalprice").over(
@@ -166,13 +166,13 @@ object SparkEntry {
           upper($"p_name").as("up"),
           lower($"p_brand").as("lo"),
           substring($"p_name", 1, 5).as("sub5"),
-          length($"p_name").as("len"),
+          length($"p_name").cast("long").as("len"),
           concat_ws("-", $"p_brand", $"p_type").as("bt"),
           regexp_replace($"p_type", " ", "_").as("ty_us"),
           lpad($"p_brand", 12, "*").as("pad"),
           reverse($"p_name").as("rev"),
-          instr($"p_name", "a").as("pos_a"),
-          levenshtein($"p_brand", $"p_type").as("lev"),
+          instr($"p_name", "a").cast("long").as("pos_a"),
+          levenshtein($"p_brand", $"p_type").cast("long").as("lev"),
           translate($"p_name", "aeiou", "AEIOU").as("tr"),
           md5($"p_name").as("h"),
           abs($"p_size" - 25).as("sz_off"),
@@ -305,6 +305,116 @@ object SparkEntry {
           round(median($"l_quantity"), 4).as("med_qty"))
         .orderBy($"l_returnflag")
     }),
+
+    // ------------------------------------------------------------------
+    // Training-data pipeline operators (beyond reference; SURVEY §7.2.4)
+    // ------------------------------------------------------------------
+    "d1_dedup_groups" -> ((s, d) =>
+      operators.Dedup.exactGroups(t(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("keeper_id"))),
+
+    "d2_dedup_dropdups" -> ((s, d) =>
+      operators.Dedup.dropExactDuplicates(t(s, d, "documents"),
+          "text", "doc_id")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    "d3_jaccard_pairs" -> ((s, d) =>
+      operators.Dedup.jaccardPairsWithinBlock(t(s, d, "documents"),
+          "text", "doc_id", "lang", shingleN = 3, threshold = 0.1)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("doc_id_1"), col("doc_id_2"))),
+
+    // MinHash/SimHash candidate generation is hash-family-dependent →
+    // no SQL oracle (rows-only check); pair semantics are covered by
+    // PipelineSpec. Input = documents ∪ one-word-mutated copies so the
+    // pair pipeline provably fires end-to-end.
+    "d4_minhash_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mutated = docs
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", regexp_replace(col("text"), "the", "thee"))
+      operators.Dedup.minhashNearDupPairs(docs.unionByName(mutated),
+          "text", "doc_id", threshold = 0.5)
+        .orderBy(col("doc_id_1"), col("doc_id_2"))
+    }),
+
+    "d5_simhash_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mutated = docs
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", regexp_replace(col("text"), "the", "thee"))
+      operators.Dedup.simhashNearDupPairs(docs.unionByName(mutated),
+          "text", "doc_id", maxHamming = 3)
+        .orderBy(col("doc_id_1"), col("doc_id_2"))
+    }),
+
+    "d6_embedding_neardup" -> ((s, d) =>
+      operators.Dedup.embeddingNearDupPairs(t(s, d, "embeddings"),
+          "embedding", "vec_id", "label", threshold = 0.35)
+        .orderBy(col("vec_id_1"), col("vec_id_2"))),
+
+    "s1_sim_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      operators.Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 3), "embedding", "vec_id", 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "s2_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      operators.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3),
+          "embedding", "vec_id", 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "t3_text_stats" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        operators.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"),
+        operators.TextAnalysis.charCount(col("text")).cast("long")
+          .as("n_chars2"),
+        round(operators.TextAnalysis.punctRatio(col("text")), 6)
+          .as("punct_ratio"),
+        round(operators.TextAnalysis.stopwordRatio(col("text")), 6)
+          .as("stopword_ratio"),
+        round(operators.TextAnalysis.qualityScore(col("text")), 6)
+          .as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "t4_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          operators.TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "t5_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(operators.TextAnalysis.fingerprint(col("text"))
+          .as("fingerprint"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n"))
+        .orderBy(col("keeper_id"))),
+
+    "m1_multimodal_bytes" -> ((s, d) => {
+      val blob = operators.Multimodal.asBlob(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+        operators.Multimodal.byteLength(blob).cast("long").as("n_bytes"),
+        operators.Multimodal.sha256Hex(blob).as("sha256"),
+        operators.Multimodal.headHex(blob).as("head_hex"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // decodeStub/features are JVM-side stubs (no SQL equivalent) →
+    // rows-only check; determinism covered by PipelineSpec.
+    "m2_multimodal_pipeline" -> ((s, d) =>
+      operators.Multimodal.mediaPipeline(t(s, d, "documents"),
+          "text", "doc_id")
+        .select(col("doc_id"), col("n_bytes"), col("sha256"),
+          col("meta.format").as("format"), col("meta.width").as("width"),
+          col("features"))
+        .orderBy(col("doc_id"))),
   )
 
   /** DuckDB-runnable oracle SQL, column-name-aligned with `queries`. */
@@ -508,5 +618,114 @@ object SparkEntry {
         |  round(var_samp(l_quantity), 6) AS vs,
         |  round(median(l_quantity), 4) AS med_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "d1_dedup_groups" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+        |  count(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    "d2_dedup_dropdups" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        |ORDER BY doc_id""".stripMargin,
+
+    "d3_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))) END AS s
+        |  FROM (SELECT doc_id, lang,
+        |          regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)
+        |)
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |      len(list_distinct(list_concat(a.s, b.s))) >= 0.1
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+
+    "d6_embedding_neardup" ->
+      """SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 6) >= 0.35
+        |ORDER BY vec_id_1, vec_id_2""".stripMargin,
+
+    "s1_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6)
+        |      AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "t3_text_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars2,
+        |  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE /
+        |    length(text) AS pr,
+        |  len(list_filter(toks, x -> list_contains(
+        |    ['the','a','and','of','to','in','is'], x)))::DOUBLE / len(toks)
+        |    AS sr
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_chars2, round(pr, 6) AS punct_ratio,
+        |  round(sr, 6) AS stopword_ratio,
+        |  round(0.5 * least(n_tokens / 100.0, 1.0) +
+        |        0.3 * least(sr * 5.0, 1.0) +
+        |        0.2 * (1.0 - least(pr * 10.0, 1.0)), 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t4_langid" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> list_contains(
+        |    ['the','a','and','of','to','in','is'], x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(
+        |    ['el','la','de','que','y','en','un'], x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(
+        |    ['le','la','de','et','un','les','des'], x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(
+        |    ['der','die','das','und','ist','von','ein'], x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(
+        |    ['的','是','不','了','在','有','我'], x))) AS s_zh
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+        |       WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "t5_fingerprint" ->
+      """SELECT md5(regexp_replace(lower(text), '[^\p{L}\p{N}]', '', 'g'))
+        |    AS fingerprint,
+        |  min(doc_id) AS keeper_id, count(*) AS n
+        |FROM documents
+        |GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+
+    "m1_multimodal_bytes" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+        |  sha256(text) AS sha256,
+        |  lower(hex(substring(text, 1, 8))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,190 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions backing graft.functions.
+  *
+  * These evaluate directly over ArrayData/UTF8String (no boxing, no
+  * UDF serialization). They use CodegenFallback — each call is a
+  * virtual eval() inside an otherwise codegen'd stage; the per-row
+  * work (hashing/dot product) dominates, so fallback cost is noise.
+  */
+
+private object Fnv {
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime = 0x100000001b3L
+
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xff); h *= Prime; i += 1 }
+    h
+  }
+}
+
+/** 64-bit SimHash over an array<string> of tokens: FNV-1a hash per
+  * token, per-bit ±1 vote, sign → bit. Duplicate tokens vote once per
+  * occurrence (standard SimHash with unit weights).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<string>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = Fnv.hashBytes(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** Cosine similarity of two numeric arrays, accumulated in double with
+  * a single sequential loop (parity with scalar reference
+  * implementations, e.g. DuckDB's list_cosine_similarity on DOUBLE[]).
+  * Returns null on length mismatch or zero-norm input.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemGetter(e: Expression): (ArrayData, Int) => Double =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => (a, i) => a.getFloat(i).toDouble
+      case DoubleType => (a, i) => a.getDouble(i)
+      case LongType   => (a, i) => a.getLong(i).toDouble
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case t => throw new IllegalArgumentException(
+        s"cosine_similarity: unsupported element type $t")
+    }
+
+  @transient private lazy val getL = elemGetter(left)
+  @transient private lazy val getR = elemGetter(right)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = getL(a, i); val y = getR(b, i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CosineSimilarity = copy(l, r)
+}
+
+/** Polynomial rolling hash (Rabin-Karp) over UTF-8 bytes:
+  * h = h·1000003 + byte, wrapping 64-bit. Fingerprinting primitive —
+  * stable across partitions/engines, cheap to combine incrementally.
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 1000003L + (bytes(i) & 0xff); i += 1 }
+    h
+  }
+
+  override protected def withNewChildInternal(c: Expression): RollingHash =
+    copy(child = c)
+}
+
+/** Sign-random-projection LSH bucket: bit p = (dot(x, plane_p) > 0).
+  * Planes are unit-free gaussian-ish vectors derived deterministically
+  * from (seed, p, dim-index) via splitmix64 — identical on every
+  * executor with zero broadcast.
+  */
+case class HyperplaneLshBucket(child: Expression, nPlanes: Int, dim: Int,
+                               seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  require(nPlanes > 0 && nPlanes <= 30, "nPlanes must be in [1,30]")
+  override def dataType: DataType = IntegerType
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { i =>
+        // uniform in [-1, 1) — direction-random, which is all SRP needs
+        val h = splitmix64(seed ^ (p.toLong << 32) ^ i.toLong)
+        (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+      }
+    }
+
+  @transient private lazy val getElem: (ArrayData, Int) => Double =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => (a, i) => a.getFloat(i).toDouble
+      case DoubleType => (a, i) => a.getDouble(i)
+      case t => throw new IllegalArgumentException(
+        s"hyperplane_lsh_bucket: unsupported element type $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    var bucket = 0
+    var p = 0
+    while (p < nPlanes) {
+      val plane = planes(p)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += getElem(a, i) * plane(i); i += 1 }
+      if (dot > 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : HyperplaneLshBucket = copy(child = c)
+}

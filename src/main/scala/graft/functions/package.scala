@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column-function facade over graft's custom Catalyst expressions.
+  * These are native `Expression`s (not Scala UDFs): no serialization
+  * boundary, null-safety handled by the expression contract, and the
+  * hot loops run over Catalyst ArrayData without boxing.
+  */
+package object functions {
+
+  private def c(e: Expression): Column = GraftShim.column(e)
+
+  /** 64-bit SimHash of a token array (FNV-1a per token, sign-vote per
+    * bit). Near-dup distance = bit_count(a ^ b).
+    */
+  def simhash64(tokens: Column): Column =
+    c(expressions.SimHash64(GraftShim.expression(tokens)))
+
+  /** Cosine similarity of two float/double array columns, accumulated
+    * in double (sequential loop — bit-compatible with a scalar
+    * reference implementation).
+    */
+  def cosine_similarity(a: Column, b: Column): Column =
+    c(expressions.CosineSimilarity(
+      GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Polynomial rolling hash (Rabin-Karp, base 1000003) of a string —
+    * content fingerprinting primitive.
+    */
+  def rolling_hash(text: Column): Column =
+    c(expressions.RollingHash(GraftShim.expression(text)))
+
+  /** Sign-random-projection LSH bucket id for an embedding: bit p of
+    * the result = sign(dot(embedding, plane_p)), planes drawn
+    * deterministically from `seed`. nPlanes ≤ 30.
+    */
+  def hyperplane_lsh_bucket(emb: Column, nPlanes: Int, dim: Int,
+                            seed: Long = 42L): Column =
+    c(expressions.HyperplaneLshBucket(
+      GraftShim.expression(emb), nPlanes, dim, seed))
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design:
+  *  - brute force = broadcast the (small) query set, score every
+  *    corpus row, per-query top-k via window rank — one shuffle on
+  *    query_id, corpus scan stays embarrassingly parallel;
+  *  - LSH path = sign-random-projection bucket both sides, equi-join
+  *    on bucket (multi-probe: the query also probes all 1-bit-flip
+  *    neighbors of its bucket), exact re-rank within candidates. At
+  *    100TB the bucket join replaces the full cross product; recall
+  *    is tunable via nPlanes/probes.
+  */
+object Similarity {
+
+  /** Cosine in double; ties broken by id for determinism. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     embCol: String, idCol: String, k: Int,
+                     roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("__qe"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("__ce"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(graft.functions.cosine_similarity(col("__qe"), col("__ce")),
+          roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** LSH-bucketed ANN: multi-table sign-random-projection. The corpus
+    * is indexed into `nTables` independent bucket spaces (nPlanes bits
+    * each, distinct seeds); queries probe their bucket plus all 1-bit
+    * flips in every table; candidates are exact-cosine re-ranked.
+    * Recall ≈ 1-(1-p)^nTables where p = P(hamming(sig_q,sig_c) ≤ 1).
+    * Cost vs brute force: index is nTables× the corpus keys (ids, not
+    * vectors, dominate the shuffle), scoring touches only candidates.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              embCol: String, idCol: String, k: Int,
+              nPlanes: Int = 6, dim: Int = 64, nTables: Int = 8,
+              seed: Long = 42L): DataFrame = {
+    def bucket(t: Int) = graft.functions.hyperplane_lsh_bucket(
+      col(embCol), nPlanes, dim, seed + t * 7919L)
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
+        posexplode(array((0 until nTables).map(bucket): _*))
+          .as(Seq("__table", "__bucket")))
+    // multi-probe: per table, the query's bucket + nPlanes 1-bit flips
+    val q = queries
+      .select(col(idCol).as("query_id"), col(embCol).as("__qe"),
+        posexplode(array((0 until nTables).map(bucket): _*))
+          .as(Seq("__table", "__qb")))
+      .withColumn("__bucket", explode(array(
+        col("__qb") +: (0 until nPlanes).map(p =>
+          col("__qb").bitwiseXOR(lit(1 << p))): _*)))
+      .drop("__qb")
+    val scored = c.join(broadcast(q), Seq("__table", "__bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos",
+        round(graft.functions.cosine_similarity(col("__qe"), col("__ce")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Pairwise cosine scoring helper (double accumulation). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.cosine_similarity(a, b)
+}

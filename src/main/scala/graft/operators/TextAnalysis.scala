@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * All column functions compose Spark built-ins only (split/filter/
+  * size/regexp_replace/...), so every operator stays inside
+  * whole-stage codegen and scales embarrassingly-parallel — no UDFs,
+  * no shuffles beyond whatever aggregation the caller adds.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the BPE-ish regex variant is
+    * [[tokenizeBpeish]]). `""` tokenizes to `[""]` — callers on
+    * possibly-empty text should filter first.
+    */
+  def tokenize(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Sub-word-ish tokenization: splits on whitespace AND between
+    * letter/digit/punct class changes, approximating BPE pre-token
+    * boundaries (GPT-2-style pre-tokenizer regex, simplified).
+    */
+  def tokenizeBpeish(text: Column): Column =
+    filter(
+      split(trim(text), "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
+      t => t =!= "" && t =!= " ")
+
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
+      length(text)
+
+  private val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val esStop = Seq("el", "la", "de", "que", "y", "en", "un")
+  private val frStop = Seq("le", "la", "de", "et", "un", "les", "des")
+  private val deStop = Seq("der", "die", "das", "und", "ist", "von", "ein")
+  private val zhStop = Seq("的", "是", "不", "了", "在", "有", "我")
+
+  def stopwords(lang: String): Seq[String] = lang match {
+    case "en" => enStop; case "es" => esStop; case "fr" => frStop
+    case "de" => deStop; case "zh" => zhStop
+    case _    => Seq.empty
+  }
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t =>
+      array_contains(array(words.map(lit): _*), t)))
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokenize(text)
+    stopCount(toks, enStop).cast("double") / size(toks)
+  }
+
+  /** Composite document quality in [0,1]:
+    * 0.5·min(tokens/100,1) — enough content
+    * + 0.3·min(stopword_ratio·5,1) — natural-language-ness
+    * + 0.2·(1 − min(punct_ratio·10,1)) — not punctuation soup.
+    * Deliberately simple/deterministic; thresholds tuned per corpus.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenize(text)
+    val lenScore = least(size(toks).cast("double") / 100.0, lit(1.0))
+    val stopScore = least(
+      stopCount(toks, enStop).cast("double") / size(toks) * 5.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))
+    lenScore * 0.5 + stopScore * 0.3 + punctScore * 0.2
+  }
+
+  /** N-gram/stopword-profile language ID over {en,es,fr,de,zh}:
+    * counts stopword hits per language profile, picks the max with a
+    * fixed priority order (en>es>fr>de>zh) on ties; "und" when no
+    * profile matches at all.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokenize(text)
+    val s = Seq(enStop, esStop, frStop, deStop, zhStop)
+      .map(w => stopCount(toks, w))
+    val top = greatest(s.head, s(1), s(2), s(3), s(4))
+    when(top === 0, "und")
+      .when(s.head === top, "en")
+      .when(s(1) === top, "es")
+      .when(s(2) === top, "fr")
+      .when(s(3) === top, "de")
+      .otherwise("zh")
+  }
+
+  /** Content fingerprint: md5 of lowercase text with all non-word
+    * characters removed — robust to spacing/punctuation edits. The
+    * rolling-hash variant is graft.functions.rolling_hash.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^\\p{L}\\p{N}]", ""))
+}

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("shingles: word 3-grams, distinct; short doc = whole text") {
+    val df = Seq("a b c d e", "x y").toDF("t")
+      .select(Dedup.shingles($"t", 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0).toSet)
+    assert(rows(0) == Set("a b c", "b c d", "c d e"))
+    assert(rows(1) == Set("x y"))
+  }
+
+  test("jaccard: identical=1, disjoint=0, half=1/3") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b")),
+      (Seq("a"), Seq("b")), (Seq("a", "b"), Seq("b", "c")))
+      .toDF("x", "y").select(Dedup.jaccard($"x", $"y").as("j"))
+    assert(df.collect().map(_.getDouble(0)).toSeq ==
+      Seq(1.0, 0.0, 1.0 / 3.0))
+  }
+
+  test("exact dedup keeps min-id row per content group") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("id", "t")
+    val groups = Dedup.exactGroups(df, "t", "id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((1L, 2L), (3L, 1L)))
+    val kept = Dedup.dropExactDuplicates(df, "t", "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val near = base.replace("runs", "walks")
+    val other = "completely different content about spark catalyst optimizer internals here now"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, "text", "doc_id",
+        threshold = 0.4)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must be found")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      "near dup should collide on >=1 band")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical texts hamming 0; near texts close; pairs found") {
+    val df = Seq("alpha beta gamma delta epsilon zeta", "unrelated words entirely")
+      .toDF("t").select(functions.simhash64(TextAnalysis.tokenize($"t")).as("s"))
+    val sigs = df.collect().map(_.getLong(0))
+    assert(sigs(0) != sigs(1))
+    val dupDf = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "something else entirely different here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(dupDf, "text", "doc_id")
+      .select("doc_id_1", "doc_id_2", "hamming")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("cosine_similarity: exact value, null on mismatch/zero") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(functions.cosine_similarity($"a", $"b").as("c"))
+    assert(math.abs(df.head.getDouble(0) - 10.0 / 14.0) < 1e-12)
+    val bad = Seq((Seq(1.0f), Seq(1.0f, 2.0f)), (Seq(0.0f), Seq(1.0f)))
+      .toDF("a", "b").select(functions.cosine_similarity($"a", $"b"))
+    assert(bad.collect().forall(_.isNullAt(0)))
+  }
+
+  test("rolling_hash: deterministic polynomial over bytes") {
+    val got = Seq("abc").toDF("t")
+      .select(functions.rolling_hash($"t")).head.getLong(0)
+    val expected = ((97L * 1000003L) + 98L) * 1000003L + 99L
+    assert(got == expected)
+  }
+
+  test("hyperplane LSH bucket: deterministic, respects nPlanes range") {
+    val df = Seq(Seq.fill(8)(0.5f), Seq.fill(8)(-0.5f)).toDF("e")
+      .select(functions.hyperplane_lsh_bucket($"e", 8, 8).as("b"))
+    val b = df.collect().map(_.getInt(0))
+    assert(b(0) == (~b(1) & 0xff),
+      "negated vector flips every hyperplane side")
+    val again = Seq(Seq.fill(8)(0.5f)).toDF("e")
+      .select(functions.hyperplane_lsh_bucket($"e", 8, 8)).head.getInt(0)
+    assert(again == b(0))
+  }
+
+  test("bruteForceTopK: correct neighbors on crafted vectors") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f))).toDF("id", "emb")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"id" === 0),
+      "emb", "id", 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(top == Seq((1, 1L), (2, 2L)))
+  }
+
+  test("lshTopK recall >= 0.5 vs brute force on real embeddings") {
+    val emb = Graft.table(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding",
+      "vec_id", 10).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, "embedding", "vec_id",
+      10, nPlanes = 6, dim = 64).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low")
+  }
+
+  test("text analysis: tokens, ratios, quality bounds") {
+    val df = Seq("The quick brown fox, it jumps; really!?").toDF("t")
+      .select(TextAnalysis.tokenCount($"t").as("n"),
+        round(TextAnalysis.punctRatio($"t"), 6).as("pr"),
+        TextAnalysis.qualityScore($"t").as("q"))
+    val r = df.head
+    assert(r.getAs[Int]("n") == 7)
+    assert(r.getAs[Double]("pr") > 0 && r.getAs[Double]("pr") < 0.2)
+    assert(r.getAs[Double]("q") >= 0 && r.getAs[Double]("q") <= 1)
+  }
+
+  test("langId picks the profile language; und on no match") {
+    val df = Seq(
+      "the cat and the dog of a house is here",
+      "el gato y la casa de un perro que corre en madrid",
+      "le chat et le chien de la maison les des",
+      "der hund und die katze ist von ein haus",
+      "我 的 是 不 了 在 有",
+      "zzz qqq www").toDF("t")
+      .select(TextAnalysis.langId($"t").as("l"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("en", "es", "fr", "de", "zh", "und"))
+  }
+
+  test("fingerprint invariant to spacing/punct/case") {
+    val df = Seq("Hello, World!", "hello   world", "HELLO-WORLD")
+      .toDF("t").select(TextAnalysis.fingerprint($"t").as("f"))
+    assert(df.as[String].collect().toSet.size == 1)
+  }
+
+  test("multimodal pipeline: schema + deterministic stub decode") {
+    val docs = Graft.table(spark, sf, "documents").limit(10)
+    val media = Multimodal.mediaPipeline(docs, "text", "doc_id")
+    val schema = media.schema
+    assert(schema("bytes").dataType.typeName == "binary")
+    assert(schema("features").dataType.typeName == "array")
+    assert(schema("meta").dataType.typeName == "struct")
+    val r = media.head
+    assert(r.getAs[Int]("n_bytes") > 0)
+    assert(r.getAs[String]("sha256").length == 64)
+    val feats = r.getSeq[Float](media.columns.indexOf("features"))
+    assert(feats.length == 16)
+    assert(math.abs(feats.sum - 1.0f) < 1e-3, "histogram L1-normalized")
+    // deterministic across runs
+    val again = Multimodal.mediaPipeline(docs, "text", "doc_id").head
+    assert(again.getAs[String]("sha256") == r.getAs[String]("sha256"))
+  }
+
+  test("frame sampling slices blobs into 16-byte frames") {
+    val df = Seq("0123456789abcdef" * 8).toDF("t")
+      .select(Multimodal.frameSampleStub(
+        Multimodal.asBlob($"t"), stride = 2).as("frames"))
+    val frames = df.head.getSeq[Array[Byte]](0)
+    assert(frames.nonEmpty)
+    assert(frames.head.length == 16)
+  }
+}
