@@ -47,6 +47,35 @@ final class Context(val spark: SparkSession) {
     DataStream(projected, eventTimeCol = "__event_time")
   }
 
+  /** Avro-encoded Kafka topic (reference kafka_config.rs:162-169):
+    * payload decoded by graft's native AvroDecode expression against
+    * the writer schema string.
+    */
+  def fromTopicAvro(topic: String, bootstrapServers: String,
+                    avroSchemaJson: String,
+                    timestampColumn: Option[String] = None,
+                    timestampUnit: TimestampUnit = SchemaInference.Int64Millis,
+                    startingOffsets: String = "earliest"): DataStream = {
+    val raw = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+    val decoded = raw.select(
+      graft.formats.AvroFormat.decode(col("value"), avroSchemaJson)
+        .as("__payload"),
+      col("timestamp").as("__kafka_ts"))
+    val ts = timestampColumn match {
+      case Some(c) =>
+        SchemaInference.canonicalTimestamp(col(s"__payload.$c"), timestampUnit)
+      case None => col("__kafka_ts")
+    }
+    val projected = decoded
+      .select(col("__payload.*"), ts.as("__event_time"))
+      .drop("__kafka_ts")
+    DataStream(projected, eventTimeCol = "__event_time")
+  }
+
   /** Same, inferring the schema from one sample JSON event
     * (reference kafka_config.rs:148-160).
     */
