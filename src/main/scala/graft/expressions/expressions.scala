@@ -69,6 +69,49 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
+/** MinHash signature in one pass: per shingle ONE byte-level hash
+  * (FNV-1a) expanded into k permutation values via h1 + i·h2
+  * (h2 = splitmix64(h1)) — the standard trick, k× cheaper than k
+  * seeded re-hashings and allocation-free until the final signature.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k > 0 && k <= 512, "k must be in [1,512]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h1 = Fnv.hashBytes(arr.getUTF8String(i).getBytes)
+        val h2 = splitmix64(h1) | 1L // odd → full-period increments
+        var hv = h1
+        var j = 0
+        while (j < k) {
+          if (hv < sig(j)) sig(j) = hv
+          hv += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
 /** Cosine similarity of two numeric arrays, accumulated in double with
   * a single sequential loop (parity with scalar reference
   * implementations, e.g. DuckDB's list_cosine_similarity on DOUBLE[]).

@@ -19,6 +19,12 @@ package object functions {
   def simhash64(tokens: Column): Column =
     c(expressions.SimHash64(GraftShim.expression(tokens)))
 
+  /** MinHash signature (k 64-bit minimums) of a string-array column —
+    * one byte-level hash per element, k permutations via h1 + i·h2.
+    */
+  def minhash_signature(shingles: Column, k: Int): Column =
+    c(expressions.MinHashSignature(GraftShim.expression(shingles), k))
+
   /** Cosine similarity of two float/double array columns, accumulated
     * in double (sequential loop — bit-compatible with a scalar
     * reference implementation).

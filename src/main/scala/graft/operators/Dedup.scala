@@ -55,12 +55,12 @@ object Dedup {
     df.join(keepers, idCol)
   }
 
-  /** MinHash signature: k minimums of seeded xxhash64 over shingles.
-    * Pure codegen (transform + array_min), no UDF.
+  /** MinHash signature: k minimums over shingles — native one-pass
+    * expression (graft.expressions.MinHashSignature): one byte hash
+    * per shingle, k permutation values via h1 + i·h2.
     */
   def minhashSignature(shingleCol: Column, k: Int = 16): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+    graft.functions.minhash_signature(shingleCol, k)
 
   /** LSH band keys from a MinHash signature: `bands` hashes, each over
     * a contiguous `k/bands`-row slice of the signature. Two docs with
@@ -80,42 +80,70 @@ object Dedup {
                           bands: Int = 8, threshold: Double = 0.5)
       : DataFrame = {
     val rows = numHashes / bands
-    val withSig = df
-      .select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
-      .withColumn("__bands",
+    // band join ships only (band_idx, band_hash, id) — the shingle
+    // arrays rejoin below for the (few) candidate pairs, not for every
+    // banded row
+    val base = df.select(col(idCol),
+      shingles(col(textCol), shingleN).as("__sh"))
+    val exploded = base
+      .select(col(idCol), posexplode(
         lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rows))
-    val exploded = withSig.select(col(idCol), col("__sh"),
-      posexplode(col("__bands")).as(Seq("__band_idx", "__band_hash")))
-    val l = exploded.select(col(idCol).as("id1"), col("__sh").as("sh1"),
-      col("__band_idx"), col("__band_hash"))
-    val r = exploded.select(col(idCol).as("id2"), col("__sh").as("sh2"),
-      col("__band_idx"), col("__band_hash"))
-    l.join(r, Seq("__band_idx", "__band_hash"))
+        .as(Seq("__band_idx", "__band_hash")))
+    val l = exploded.select(col(idCol).as("id1"), col("__band_idx"),
+      col("__band_hash"))
+    val r = exploded.select(col(idCol).as("id2"), col("__band_idx"),
+      col("__band_hash"))
+    val candidates = l.join(r, Seq("__band_idx", "__band_hash"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sh1"), col("sh2"))
+      .select("id1", "id2")
       .dropDuplicates("id1", "id2")
+    candidates
+      .join(base.select(col(idCol).as("id1"), col("__sh").as("sh1")), "id1")
+      .join(base.select(col(idCol).as("id2"), col("__sh").as("sh2")), "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1").as(s"${idCol}_1"), col("id2").as(s"${idCol}_2"),
         col("jaccard"))
   }
 
-  /** Exact all-pairs n-gram Jaccard within a blocking column — the
-    * oracle-checkable (and skew-prone: block sizes must stay modest)
-    * variant of near-dup detection.
+  /** Exact all-pairs n-gram Jaccard within a blocking column, as an
+    * inverted-index join: explode shingles, equi-join on
+    * (block, shingle), count shared shingles per pair, then
+    * |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * Numerically identical to intersect/union over the arrays, but:
+    *  - the join key is (block, shingle) — millions of distinct
+    *    values, so parallelism never collapses to #blocks (a naive
+    *    block-key join runs #distinct-blocks tasks and ships both
+    *    shingle arrays with every pair row);
+    *  - pairs sharing zero shingles are never materialized;
+    *  - shuffle rows are (block, shingle, id), not documents.
     */
   def jaccardPairsWithinBlock(df: DataFrame, textCol: String, idCol: String,
                               blockCol: String, shingleN: Int = 3,
                               threshold: Double = 0.4): DataFrame = {
     val base = df.select(col(blockCol), col(idCol),
       shingles(col(textCol), shingleN).as("__sh"))
-    val l = base.select(col(blockCol), col(idCol).as("id1"),
-      col("__sh").as("sh1"))
-    val r = base.select(col(blockCol), col(idCol).as("id2"),
-      col("__sh").as("sh2"))
-    l.join(r, Seq(blockCol))
+    val sizes = base.select(col(idCol), size(col("__sh")).as("__n"))
+    // join key = 64-bit hash of the shingle, not the string: smaller
+    // shuffle rows + long comparisons (collision odds ~2^-64·|pairs|)
+    val inv = base.select(col(blockCol), col(idCol),
+      explode(col("__sh")).as("__shingle_str"))
+      .select(col(blockCol), col(idCol),
+        xxhash64(col("__shingle_str")).as("__shingle"))
+    val l = inv.select(col(blockCol), col("__shingle"),
+      col(idCol).as("id1"))
+    val r = inv.select(col(blockCol), col("__shingle"),
+      col(idCol).as("id2"))
+    val shared = l.join(r, Seq(blockCol, "__shingle"))
       .filter(col("id1") < col("id2"))
-      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("__n_int"))
+    shared
+      .join(sizes.select(col(idCol).as("id1"), col("__n").as("__n1")), "id1")
+      .join(sizes.select(col(idCol).as("id2"), col("__n").as("__n2")), "id2")
+      .withColumn("jaccard", col("__n_int").cast("double") /
+        (col("__n1") + col("__n2") - col("__n_int")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1").as(s"${idCol}_1"), col("id2").as(s"${idCol}_2"),
         col("jaccard"))
@@ -160,6 +188,9 @@ object Dedup {
       col(embCol).as("e2"))
     l.join(r, Seq(blockCol))
       .filter(col("id1") < col("id2"))
+      // block cardinality may be tiny (10 labels) → the join runs on
+      // few tasks; respread pair rows before the O(dim) scoring loop
+      .repartition(col("id1"), col("id2"))
       .withColumn("cos",
         round(graft.functions.cosine_similarity(col("e1"), col("e2")), 6))
       .filter(col("cos") >= threshold)

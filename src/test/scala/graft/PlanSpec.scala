@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the optimizations we rely on at scale
+  * must actually appear in the plan, not just be hoped for.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private def plan(name: String, mode: String = "formatted"): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+  test("q2 filter+projection push down to the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThan(l_discount"), s"no pushed filters:\n$p")
+    // column pruning: scan must not read unused columns like l_tax
+    assert(p.contains("ReadSchema"))
+    assert(!p.split("ReadSchema")(1).split("\n")(0).contains("l_tax"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q3 dimension joins are broadcast, not shuffled") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q1 aggregate is two-phase (partial before shuffle)") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q1 stays inside whole-stage codegen") {
+    val p = plan("q1_agg", "codegen")
+    assert(p.contains("WholeStageCodegen"), p)
+  }
+
+  test("jaccard inverted-index join keys on (block, shingle), not block") {
+    val p = plan("d3_jaccard_pairs")
+    assert(p.contains("__shingle"),
+      "join must include the shingle in its key for parallelism")
+  }
+}
