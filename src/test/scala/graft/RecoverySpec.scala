@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.DataStream
+
+/** Checkpoint/recovery semantics — replaces the reference's
+  * orchestrator + SlateDB offset/state snapshots (SURVEY §2.7) with
+  * Spark's checkpointLocation: source offsets AND window-agg state
+  * must survive a query restart.
+  */
+class RecoverySpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("occurred_at_ms", LongType),
+    StructField("sensor_name", StringType),
+    StructField("reading", DoubleType)))
+
+  test("window state and source offsets survive a query restart") {
+    val dir = Files.createTempDirectory("graft-recovery").toFile
+    val inputDir = new java.io.File(dir, "input"); inputDir.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+
+    def writeBatch(name: String, rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("occurred_at_ms", "sensor_name", "reading")
+        .coalesce(1).write.mode("append").parquet(inputDir.getAbsolutePath)
+
+    val outDir = new java.io.File(dir, "out").getAbsolutePath
+
+    // file sink: the recovery-capable, exactly-once sink (memory sink
+    // rejects checkpoint restart by design)
+    def startQuery() = {
+      val src = spark.readStream.schema(
+        spark.read.parquet(inputDir.getAbsolutePath).schema)
+        .parquet(inputDir.getAbsolutePath)
+      val ds = DataStream(
+        src.withColumn("ts", timestamp_millis($"occurred_at_ms")), "ts")
+        .window(Seq($"sensor_name"), Seq(count(lit(1)).as("n")), "10 seconds")
+      ds.toDF.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .format("parquet").start()
+    }
+
+    // batch 1: 3 events for window [0,10s) — no window closes yet
+    writeBatch("b1", Seq((1000L, "a", 1.0), (2000L, "a", 2.0),
+      (5000L, "a", 3.0)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(outDir).isEmpty, "window must not close early")
+
+    // batch 2 arrives while the query is DOWN: one more row in the
+    // open window + one far-future row to push the watermark
+    writeBatch("b2", Seq((7000L, "a", 4.0), (60000L, "a", 0.0)))
+
+    // restart from the same checkpoint: recovered state must combine
+    // batch-1 (pre-restart) and batch-2 rows into one window result;
+    // recovered offsets must not re-read batch 1 (no double counting)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(outDir)
+      .filter($"window_start_time".cast("long") === 0).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("n") == 4,
+      "restart must resume from checkpointed state (3 old + 1 new rows)" +
+        s" — got ${rows.mkString}")
+  }
+}
