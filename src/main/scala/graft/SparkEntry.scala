@@ -306,6 +306,17 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    // date_bin (DataFusion scalar the reference inherits; Spark lacks
+    // it natively — graft.functions.date_bin composes built-ins)
+    "q22_date_bin" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy(graft.functions.date_bin(900, $"ts").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis($"bin").as("bin_ms"), $"n")
+        .orderBy($"bin_ms")
+    }),
+
     // ------------------------------------------------------------------
     // Training-data pipeline operators (beyond reference; SURVEY §7.2.4)
     // ------------------------------------------------------------------
@@ -618,6 +629,10 @@ object SparkEntry {
         |  round(var_samp(l_quantity), 6) AS vs,
         |  round(median(l_quantity), 4) AS med_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q22_date_bin" ->
+      """SELECT (epoch_ms(ts) // 900000) * 900000 AS bin_ms, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bin_ms""".stripMargin,
 
     "d1_dedup_groups" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,

@@ -105,6 +105,13 @@ final class Context(val spark: SparkSession) {
   def fromParquet(path: String, eventTimeCol: String = "ts"): DataStream =
     DataStream(spark.read.parquet(path), eventTimeCol)
 
+  /** Batch CSV read with header+schema inference (reference
+    * register_csv, csv_streaming.rs:18-24).
+    */
+  def fromCsv(path: String, eventTimeCol: String = "ts"): DataStream =
+    DataStream(spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(path), eventTimeCol)
+
   def registerTable(name: String, ds: DataStream): Unit =
     ds.df.createOrReplaceTempView(name)
 

@@ -62,6 +62,31 @@ final case class DataStream(
   def join(right: DataFrame, joinType: String, on: Column): DataStream =
     next(df.join(right, on, joinType))
 
+  /** Stream-stream equi-join with an event-time range bound — the
+    * watermark-safe form Spark requires so both sides' state can be
+    * GC'd (SURVEY §2.3: non-equi stream joins need range conditions).
+    * Both sides get watermarks; right rows must fall within
+    * [left.ts - tolerance, left.ts + tolerance].
+    */
+  def joinWithinTime(right: DataStream, on: Column,
+                     tolerance: String): DataStream = {
+    val l = if (df.isStreaming) df.withWatermark(eventTimeCol, watermarkDelay)
+            else df
+    val rdf = if (right.df.isStreaming)
+      right.df.withWatermark(right.eventTimeCol, right.watermarkDelay)
+    else right.df
+    val range =
+      rdf(right.eventTimeCol) >= l(eventTimeCol) - expr(s"INTERVAL $tolerance") &&
+      rdf(right.eventTimeCol) <= l(eventTimeCol) + expr(s"INTERVAL $tolerance")
+    next(l.join(rdf, on && range, "inner"))
+  }
+
+  /** Union by name (reference reachable only via raw DataFusion —
+    * first-class here).
+    */
+  def union(other: DataStream): DataStream =
+    next(df.unionByName(other.df))
+
   // --- streaming window aggregation (reference §2.4) -----------------
 
   /** Tumbling (slide=None) or sliding window aggregation, grouped by

@@ -39,6 +39,23 @@ package object functions {
   def rolling_hash(text: Column): Column =
     c(expressions.RollingHash(GraftShim.expression(text)))
 
+  /** DataFusion-parity date_bin: floor `ts` to `strideSeconds` buckets
+    * anchored at `originEpochSeconds` (composes built-ins — stays in
+    * codegen). Micros arithmetic, so sub-second timestamps bin
+    * correctly; stride is whole seconds.
+    */
+  def date_bin(strideSeconds: Long, ts: Column,
+               originEpochSeconds: Long = 0L): Column = {
+    import org.apache.spark.sql.functions._
+    val strideUs = strideSeconds * 1000000L
+    val originUs = originEpochSeconds * 1000000L
+    val off = unix_micros(ts) - lit(originUs)
+    // off - pmod(off, stride) = floor-to-stride entirely in long
+    // arithmetic (a double `/` would round near bucket edges); pmod's
+    // non-negative remainder gives floor semantics pre-origin too
+    timestamp_micros(off - pmod(off, lit(strideUs)) + lit(originUs))
+  }
+
   /** Sign-random-projection LSH bucket id for an embedding: bit p of
     * the result = sign(dot(embedding, plane_p)), planes drawn
     * deterministically from `seed`. nPlanes ≤ 30.

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.DataStream
+
+class FunctionsSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("date_bin floors to stride buckets, matches window().start") {
+    val ev = Graft.table(spark, sf, "events")
+    val mismatches = ev.select(
+      graft.functions.date_bin(900, $"ts").as("binned"),
+      window($"ts", "15 minutes").getField("start").as("wstart"))
+      .filter($"binned" =!= $"wstart").count()
+    assert(mismatches == 0)
+  }
+
+  test("date_bin honors a non-epoch origin") {
+    val r = Seq(java.sql.Timestamp.valueOf("2024-01-01 00:07:30"))
+      .toDF("ts")
+      .select(graft.functions.date_bin(600, $"ts",
+        originEpochSeconds = 300).cast("long"))
+      .head.getLong(0)
+    // origin 00:05, stride 10min → bucket start 00:05 = 1704067500
+    assert(r == 1704067500L)
+  }
+
+  test("approx aggregates land within tolerance of exact") {
+    val li = Graft.table(spark, sf, "lineitem")
+    val row = li.agg(
+      approx_count_distinct($"l_partkey").as("approx"),
+      countDistinct($"l_partkey").as("exact"),
+      percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("p50_approx"),
+      median($"l_quantity").as("p50_exact")).head
+    val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx_count_distinct off: $a vs $e")
+    assert(math.abs(row.getDouble(2) - row.getDouble(3)) <= 1.0)
+  }
+
+  test("stream-stream join with time-range bound emits matched pairs") {
+    val leftIn = MemoryStream[Measurement](spark)
+    val rightIn = MemoryStream[Measurement](spark)
+    def ds(in: MemoryStream[Measurement], tsName: String) = DataStream(
+      in.toDF.withColumn(tsName, timestamp_millis($"occurred_at_ms"))
+        .drop("occurred_at_ms"), tsName)
+    val l = ds(leftIn, "lts").withColumn("lkey", $"sensor_name")
+      .dropColumns("sensor_name").withColumn("lread", $"reading")
+      .dropColumns("reading")
+    val r = ds(rightIn, "rts").withColumn("rkey", $"sensor_name")
+      .dropColumns("sensor_name").withColumn("rread", $"reading")
+      .dropColumns("reading")
+    val joined = l.joinWithinTime(r, l.df("lkey") === r.df("rkey"),
+      "5 seconds")
+    val q = joined.toDF.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      leftIn.addData(Measurement(10000, "a", 1.0))
+      rightIn.addData(Measurement(12000, "a", 2.0),   // within 5s → match
+        Measurement(30000, "a", 3.0))                  // outside → no match
+      q.processAllAvailable()
+      leftIn.addData(Measurement(60000, "z", 0.0))     // advance watermarks
+      rightIn.addData(Measurement(60000, "z2", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select($"lkey", $"lread", $"rread").collect()
+      assert(rows.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .toSet == Set(("a", 1.0, 2.0)))
+    } finally q.stop()
+  }
+
+  test("DataStream.union and fromCsv round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toFile
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .coalesce(1).write.option("header", "true").mode("overwrite")
+      .csv(dir.getAbsolutePath)
+    val ctx = graft.api.Context(spark)
+    val a = ctx.fromCsv(dir.getAbsolutePath)
+    val b = ctx.fromCsv(dir.getAbsolutePath)
+    assert(a.union(b).toDF.count() == 4)
+    assert(a.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+}
