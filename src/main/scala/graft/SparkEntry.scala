@@ -317,6 +317,23 @@ object SparkEntry {
         .orderBy($"bin_ms")
     }),
 
+    // As-of join (absent from the reference — exceeded; oracle uses
+    // DuckDB's native ASOF JOIN)
+    "q23_asof_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("pid"), $"user_id", $"ts".as("pts"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("cid"), $"user_id".as("cuser"),
+          $"ts".as("cts"))
+      operators.Joins.asOfJoinBackward(purchases, clicks,
+          Seq("user_id"), Seq("cuser"), "pts", "cts")
+        .select($"pid", unix_millis($"pts").as("pts_ms"), $"cid",
+          unix_millis($"cts").as("cts_ms"))
+        .orderBy($"pid")
+    }),
+
     // ------------------------------------------------------------------
     // Training-data pipeline operators (beyond reference; SURVEY §7.2.4)
     // ------------------------------------------------------------------
@@ -633,6 +650,14 @@ object SparkEntry {
     "q22_date_bin" ->
       """SELECT (epoch_ms(ts) // 900000) * 900000 AS bin_ms, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY bin_ms""".stripMargin,
+
+    "q23_asof_join" ->
+      """SELECT p.event_id AS pid, epoch_ms(p.ts) AS pts_ms,
+        |  c.event_id AS cid, epoch_ms(c.ts) AS cts_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY pid""".stripMargin,
 
     "d1_dedup_groups" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
