@@ -69,6 +69,69 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
+/** Distinct word n-gram shingles hashed straight to 64-bit values in
+  * one pass over the UTF-8 bytes: whitespace tokenization, FNV-1a per
+  * token, n consecutive token hashes mixed into one shingle hash —
+  * no token strings, no shingle strings, no intermediate arrays.
+  * A document shorter than n tokens yields one whole-text shingle.
+  * The semantic twin of Dedup.shingles + xxhash64, collisions aside
+  * (~2^-64 per pair).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1 && n <= 16, "n must be in [1,16]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def mix(a: Long, b: Long): Long = {
+    // boost-style hash_combine on 64 bits
+    a ^ (b + 0x9e3779b97f4a7c15L + (a << 12) + (a >>> 4))
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    // tokenize: runs of non-whitespace bytes
+    val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(bytes(i) & 0xff)) i += 1
+      if (i < len) {
+        var h = Fnv.Offset
+        while (i < len && !Character.isWhitespace(bytes(i) & 0xff)) {
+          h ^= (bytes(i) & 0xff); h *= Fnv.Prime; i += 1
+        }
+        tokenHashes += h
+      }
+    }
+    val m = tokenHashes.length
+    val out =
+      if (m < n) {
+        // whole-text shingle: mix every token hash
+        var h = 0L
+        var j = 0
+        while (j < m) { h = mix(h, tokenHashes(j)); j += 1 }
+        Array(h)
+      } else {
+        val set = new java.util.HashSet[java.lang.Long](m * 2)
+        val arr = new scala.collection.mutable.ArrayBuffer[Long](m)
+        var j = 0
+        while (j <= m - n) {
+          var h = 0L
+          var k = 0
+          while (k < n) { h = mix(h, tokenHashes(j + k)); k += 1 }
+          if (set.add(h)) arr += h
+          j += 1
+        }
+        arr.toArray
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
 /** MinHash signature in one pass: per shingle ONE byte-level hash
   * (FNV-1a) expanded into k permutation values via h1 + i·h2
   * (h2 = splitmix64(h1)) — the standard trick, k× cheaper than k
@@ -87,13 +150,21 @@ case class MinHashSignature(child: Expression, k: Int)
     x ^ (x >>> 31)
   }
 
+  @transient private lazy val elemHash: (ArrayData, Int) => Long =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case StringType => (a, i) => Fnv.hashBytes(a.getUTF8String(i).getBytes)
+      case LongType   => (a, i) => splitmix64(a.getLong(i))
+      case t => throw new IllegalArgumentException(
+        s"minhash_signature requires array<string|bigint>, got $t")
+    }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h1 = Fnv.hashBytes(arr.getUTF8String(i).getBytes)
+        val h1 = elemHash(arr, i)
         val h2 = splitmix64(h1) | 1L // odd → full-period increments
         var hv = h1
         var j = 0

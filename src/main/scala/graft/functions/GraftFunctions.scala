@@ -41,6 +41,9 @@ object GraftFunctions {
       es => RollingHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_similarity",
       es => CosineSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => ShingleHashes(es(0), intLit(es(1), "shingle_hashes")),
+      "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
       es => MinHashSignature(es(0), intLit(es(1), "minhash_signature")),
       "scala_udf")

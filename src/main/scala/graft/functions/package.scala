@@ -19,6 +19,12 @@ package object functions {
   def simhash64(tokens: Column): Column =
     c(expressions.SimHash64(GraftShim.expression(tokens)))
 
+  /** Distinct word n-gram shingles hashed to longs in one pass over
+    * the UTF-8 bytes (no token/shingle strings).
+    */
+  def shingle_hashes(text: Column, n: Int): Column =
+    c(expressions.ShingleHashes(GraftShim.expression(text), n))
+
   /** MinHash signature (k 64-bit minimums) of a string-array column —
     * one byte-level hash per element, k permutations via h1 + i·h2.
     */

@@ -32,6 +32,14 @@ object Dedup {
           i => array_join(slice(toks, i + 1, lit(n)), " "))))
   }
 
+  /** Distinct word n-gram shingles hashed straight to longs in one
+    * native pass (no token/shingle string materialization) — the hot
+    * path spelling of [[shingles]]; use for pair generation, keep the
+    * string form where humans read the shingles.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    graft.functions.shingle_hashes(text, n)
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
@@ -81,10 +89,10 @@ object Dedup {
       : DataFrame = {
     val rows = numHashes / bands
     // band join ships only (band_idx, band_hash, id) — the shingle
-    // arrays rejoin below for the (few) candidate pairs, not for every
-    // banded row
+    // arrays (hashed longs, not strings) rejoin below for the (few)
+    // candidate pairs, not for every banded row
     val base = df.select(col(idCol),
-      shingles(col(textCol), shingleN).as("__sh"))
+      shingleHashes(col(textCol), shingleN).as("__sh"))
     val exploded = base
       .select(col(idCol), posexplode(
         lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rows))
@@ -122,15 +130,14 @@ object Dedup {
   def jaccardPairsWithinBlock(df: DataFrame, textCol: String, idCol: String,
                               blockCol: String, shingleN: Int = 3,
                               threshold: Double = 0.4): DataFrame = {
+    // shingles live as hashed longs end-to-end: smaller shuffle rows,
+    // long join keys, zero string materialization (collision odds
+    // ~2^-64·|pairs| fold into the count)
     val base = df.select(col(blockCol), col(idCol),
-      shingles(col(textCol), shingleN).as("__sh"))
+      shingleHashes(col(textCol), shingleN).as("__sh"))
     val sizes = base.select(col(idCol), size(col("__sh")).as("__n"))
-    // join key = 64-bit hash of the shingle, not the string: smaller
-    // shuffle rows + long comparisons (collision odds ~2^-64·|pairs|)
     val inv = base.select(col(blockCol), col(idCol),
-      explode(col("__sh")).as("__shingle_str"))
-      .select(col(blockCol), col(idCol),
-        xxhash64(col("__shingle_str")).as("__shingle"))
+      explode(col("__sh")).as("__shingle"))
     val l = inv.select(col(blockCol), col("__shingle"),
       col(idCol).as("id1"))
     val r = inv.select(col(blockCol), col("__shingle"),
