@@ -412,6 +412,15 @@ object SparkEntry {
           .as("quality"))
         .orderBy(col("doc_id"))),
 
+    "t6_word_freq" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select(explode(operators.TextAnalysis.tokenize($"text"))
+          .as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"word").limit(50)
+    }),
+
     "t4_langid" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
@@ -754,6 +763,12 @@ object SparkEntry {
         |       WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
         |       ELSE 'zh' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "t6_word_freq" ->
+      """SELECT tok AS word, count(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |      FROM documents)
+        |GROUP BY tok ORDER BY n DESC, word LIMIT 50""".stripMargin,
 
     "t5_fingerprint" ->
       """SELECT md5(regexp_replace(lower(text), '[^\p{L}\p{N}]', '', 'g'))

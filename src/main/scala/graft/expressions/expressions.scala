@@ -226,6 +226,78 @@ case class CosineSimilarity(left: Expression, right: Expression)
       l: Expression, r: Expression): CosineSimilarity = copy(l, r)
 }
 
+/** Dot product of two numeric arrays in double. Null on length
+  * mismatch.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemGetter(e: Expression): (ArrayData, Int) => Double =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType   => (a, i) => a.getFloat(i).toDouble
+      case DoubleType  => (a, i) => a.getDouble(i)
+      case LongType    => (a, i) => a.getLong(i).toDouble
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case t => throw new IllegalArgumentException(
+        s"dot_product: unsupported element type $t")
+    }
+
+  @transient private lazy val getL = elemGetter(left)
+  @transient private lazy val getR = elemGetter(right)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += getL(a, i) * getR(b, i); i += 1 }
+    dot
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotProduct = copy(l, r)
+}
+
+/** L2-normalize a numeric array → array<double> (unit vector). Null
+  * for zero-norm input.
+  */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val getElem: (ArrayData, Int) => Double =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType   => (a, i) => a.getFloat(i).toDouble
+      case DoubleType  => (a, i) => a.getDouble(i)
+      case LongType    => (a, i) => a.getLong(i).toDouble
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case t => throw new IllegalArgumentException(
+        s"l2_normalize: unsupported element type $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = getElem(a, i); ss += x * x; i += 1 }
+    if (ss == 0.0) return null
+    val inv = 1.0 / math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = getElem(a, i) * inv; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): L2Normalize =
+    copy(child = c)
+}
+
 /** Polynomial rolling hash (Rabin-Karp) over UTF-8 bytes:
   * h = h·1000003 + byte, wrapping 64-bit. Fingerprinting primitive —
   * stable across partitions/engines, cheap to combine incrementally.

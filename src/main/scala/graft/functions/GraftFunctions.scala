@@ -39,6 +39,10 @@ object GraftFunctions {
       es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash",
       es => RollingHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("l2_normalize",
+      es => L2Normalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_similarity",
       es => CosineSimilarity(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",

@@ -39,6 +39,15 @@ package object functions {
     c(expressions.CosineSimilarity(
       GraftShim.expression(a), GraftShim.expression(b)))
 
+  /** Dot product of two numeric array columns in double. */
+  def dot_product(a: Column, b: Column): Column =
+    c(expressions.DotProduct(
+      GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** L2-normalize a numeric array column to a unit double vector. */
+  def l2_normalize(a: Column): Column =
+    c(expressions.L2Normalize(GraftShim.expression(a)))
+
   /** Polynomial rolling hash (Rabin-Karp, base 1000003) of a string —
     * content fingerprinting primitive.
     */

@@ -80,4 +80,61 @@ object Similarity {
   /** Pairwise cosine scoring helper (double accumulation). */
   def cosine(a: Column, b: Column): Column =
     graft.functions.cosine_similarity(a, b)
+
+  /** IVF ANN: k-means-partitioned index. Fit assigns every corpus
+    * vector to one of `nCentroids` cells; a query probes its `nProbe`
+    * nearest cells and exact-cosine re-ranks only those vectors.
+    *
+    * Scale notes: the KMeans fit is the only non-streaming-parallel
+    * step — at 100TB fit on a sample (MLlib KMeans already distributes
+    * the assignment passes); the probe join is an equi-join on
+    * centroid id, candidates ≈ corpus·nProbe/nCentroids per query.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              embCol: String, idCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val featurized = corpus.select(col(idCol).as("neighbor_id"),
+        col(embCol).as("__ce"))
+      .withColumn("features", array_to_vector(col("__ce").cast("array<double>")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("features").fit(featurized)
+    val indexed = model.transform(featurized)
+      .select(col("neighbor_id"), col("__ce"),
+        col("prediction").as("__cell"))
+
+    // centroid table is tiny → broadcast; assignment metric is L2,
+    // matching KMeans' own cell assignment
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq
+      .toDF("__cell", "__centroid")
+    val l2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dist"), col("__cell"))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(embCol).as("__qe"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__dist", l2(col("__qe").cast("array<double>"),
+        col("__centroid")))
+      .withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qe"), col("__cell"))
+
+    val scored = indexed.join(broadcast(probed), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(graft.functions.cosine_similarity(col("__qe"), col("__ce")), 6))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
 }

@@ -115,6 +115,32 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("dot_product and l2_normalize: exact values, zero-norm null") {
+    val r = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(3.0f, 0.0f, 4.0f)))
+      .toDF("a", "b")
+      .select(functions.dot_product($"a", $"b").as("d"),
+        functions.l2_normalize($"a").as("u"))
+      .head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getSeq[Double](1) == Seq(1.0 / 3, 2.0 / 3, 2.0 / 3))
+    val z = Seq(Seq(0.0f)).toDF("a")
+      .select(functions.l2_normalize($"a")).head
+    assert(z.isNullAt(0))
+  }
+
+  test("ivfTopK recall >= 0.5 vs brute force on real embeddings") {
+    val emb = Graft.table(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding",
+      "vec_id", 10).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, "embedding", "vec_id",
+      10, nCentroids = 16, nProbe = 4).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
   test("text analysis: tokens, ratios, quality bounds") {
     val df = Seq("The quick brown fox, it jumps; really!?").toDF("t")
       .select(TextAnalysis.tokenCount($"t").as("n"),
