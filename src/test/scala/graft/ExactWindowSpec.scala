@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.ExactWindow
+
+class ExactWindowSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("custom stateful window: emit on watermark, late rows dropped") {
+    val input = MemoryStream[Measurement](spark)
+    val src = input.toDF
+      .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+    val out = ExactWindow.tumbling(src, "sensor_name", "ts", "reading",
+      lengthMs = 10000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("exact_out").start()
+    try {
+      input.addData(Measurement(1000, "a", 10.0),
+        Measurement(4000, "a", 20.0), Measurement(8000, "b", 5.0))
+      q.processAllAvailable()
+      assert(spark.table("exact_out").isEmpty,
+        "nothing may emit before the watermark passes window end")
+
+      input.addData(Measurement(15000, "a", 1.0)) // watermark → 15s
+      q.processAllAvailable()
+      val first = spark.table("exact_out").orderBy("group").collect()
+      assert(first.length == 2)
+      val a = first(0)
+      assert(a.getAs[String]("group") == "a")
+      assert(a.getAs[Long]("n") == 2)
+      assert(a.getAs[Double]("sum") == 30.0)
+      assert(a.getAs[Double]("min") == 10.0)
+      assert(a.getAs[Double]("max") == 20.0)
+      assert(a.getAs[Double]("avg") == 15.0)
+      assert(a.getAs[java.sql.Timestamp]("window_end_time").getTime == 10000)
+
+      // late row for the emitted window must be dropped silently
+      input.addData(Measurement(2000, "a", 999.0))
+      input.addData(Measurement(30000, "a", 2.0))
+      q.processAllAvailable()
+      val aRows = spark.table("exact_out")
+        .filter($"group" === "a" &&
+          $"window_start_time".cast("long") === 0).collect()
+      assert(aRows.length == 1 && aRows(0).getAs[Long]("n") == 2,
+        "closed window must not re-emit or absorb late rows")
+    } finally q.stop()
+  }
+
+  test("custom stateful window agrees with built-in append-mode window") {
+    val input = MemoryStream[Measurement](spark)
+    val src = input.toDF
+      .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+    val custom = ExactWindow.tumbling(src, "sensor_name", "ts", "reading",
+      10000L)
+    val q = custom.writeStream.outputMode("append")
+      .format("memory").queryName("exact_cmp").start()
+    val data = Seq(Measurement(1000, "x", 1.0), Measurement(2500, "x", 3.0),
+      Measurement(9999, "y", 7.0), Measurement(12000, "x", 5.0),
+      Measurement(50000, "z", 0.0))
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val got = spark.table("exact_cmp")
+        .select($"group", $"window_start_time".cast("long").as("ws"),
+          $"n", $"sum")
+        .as[(String, Long, Long, Double)].collect().toSet
+      // reference computation via the built-in path on the same batch
+      val expected = data.toDF("ms", "g", "v")
+        .withColumn("ts", timestamp_millis($"ms"))
+        .groupBy(window($"ts", "10 seconds"), $"g")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sum"))
+        .select($"g", $"window.start".cast("long").as("ws"), $"n", $"sum")
+        .as[(String, Long, Long, Double)].collect().toSet
+        .filter(_._2 < 40) // windows the watermark (50s) has closed
+      assert(got == expected)
+    } finally q.stop()
+  }
+}
