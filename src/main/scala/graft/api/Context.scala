@@ -27,11 +27,13 @@ final class Context(val spark: SparkSession) {
                 schema: StructType,
                 timestampColumn: Option[String] = None,
                 timestampUnit: TimestampUnit = SchemaInference.Int64Millis,
-                startingOffsets: String = "earliest"): DataStream = {
+                startingOffsets: String = "earliest",
+                kafkaOptions: Map[String, String] = Map.empty): DataStream = {
     val raw = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
+      .options(kafkaOptions)
       .load()
     val decoded = raw.select(
       from_json(col("value").cast("string"), schema).as("__payload"),

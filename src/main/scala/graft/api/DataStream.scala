@@ -135,8 +135,22 @@ final case class DataStream(
 
   // --- schema / plan introspection (reference datastream.rs:198-241) -
 
-  def schema: org.apache.spark.sql.types.StructType = df.schema
+  /** User-visible schema: internal `__`-prefixed columns stripped —
+    * the reference hides `_streaming_internal_metadata` the same way
+    * (datastream.rs:198-210). Full schema: `df.schema`.
+    */
+  def schema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      df.schema.filterNot(_.name.startsWith("__")))
   def printSchema(): DataStream = { df.printSchema(); this }
+
+  // batch-mode conveniences (reference exposes sort/limit only at the
+  // source/batch level; first-class here)
+  def sort(cols: Column*): DataStream = next(df.sort(cols: _*))
+  def limit(n: Int): DataStream = next(df.limit(n))
+  def distinct(): DataStream = next(df.distinct())
+  def withColumnRenamed(from: String, to: String): DataStream =
+    next(df.withColumnRenamed(from, to))
   def printPlan(): DataStream = { df.explain(false); this }
   def printPhysicalPlan(): DataStream = { df.explain("formatted"); this }
   def explain(mode: String): DataStream = { df.explain(mode); this }

@@ -74,6 +74,22 @@ object Multimodal {
 
   def featureExtractStub(blob: Column): Column = byteHistogram(blob)
 
+  /** Resize stub: recompute fake dims to fit a bounding box, keep the
+    * byte payload truncated proportionally — the metadata/payload
+    * rewrite shape of a real thumbnailer.
+    */
+  def resizeStub(blob: Column, maxDim: Int): Column = {
+    val meta = decodeStub(blob)
+    val w = meta.getField("width"); val h = meta.getField("height")
+    val scale = least(lit(maxDim) / greatest(w, h).cast("double"), lit(1.0))
+    struct(
+      (w * scale).cast("int").as("width"),
+      (h * scale).cast("int").as("height"),
+      blob.substr(lit(1),
+        greatest((octet_length(blob) * scale).cast("int"), lit(1)))
+        .as("bytes"))
+  }
+
   /** Frame sampling stub: every `stride`-th 16-byte slice as a
     * "frame" (array<binary>) — the partition-friendly shape of video
     * frame extraction (a real impl decodes keyframes; the slicing,

@@ -189,6 +189,21 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(again.getAs[String]("sha256") == r.getAs[String]("sha256"))
   }
 
+  test("BPE-ish tokenizer splits on class boundaries") {
+    val toks = Seq("don't stop-me now2day").toDF("t")
+      .select(TextAnalysis.tokenizeBpeish($"t")).head.getSeq[String](0)
+    assert(toks == Seq("don", "'", "t", "stop", "-", "me", "now2day"))
+  }
+
+  test("resize stub scales dims into the bounding box") {
+    val r = Graft.table(spark, sf, "documents").limit(5)
+      .select(Multimodal.resizeStub(
+        Multimodal.asBlob($"text"), maxDim = 32).as("r"))
+      .select($"r.width", $"r.height", $"r.bytes").collect()
+    assert(r.forall(x => x.getInt(0) <= 32 && x.getInt(1) <= 32))
+    assert(r.forall(_.getAs[Array[Byte]](2).nonEmpty))
+  }
+
   test("frame sampling slices blobs into 16-byte frames") {
     val df = Seq("0123456789abcdef" * 8).toDF("t")
       .select(Multimodal.frameSampleStub(
