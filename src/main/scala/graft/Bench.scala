@@ -27,8 +27,13 @@ object Bench {
     val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // a failed query must never make the headline number look better:
+    // count it at 10× the slowest successful query
+    val ok = results.map(_._2).filter(_ >= 0)
+    val penalty = if (ok.nonEmpty) ok.max * 10 else 600.0
+    val total = ok.sum + failed.size * penalty
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -780,7 +780,7 @@ object SparkEntry {
     "m1_multimodal_bytes" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
         |  sha256(text) AS sha256,
-        |  lower(hex(substring(text, 1, 8))) AS head_hex
+        |  lower(substring(hex(text), 1, 16)) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

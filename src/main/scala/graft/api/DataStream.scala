@@ -199,9 +199,12 @@ object DataStream {
     * (SURVEY §7.2 option (a)).
     *
     * Both streams must share the group-key and event-time columns.
-    * Each `(alias, agg)` in leftAggs/rightAggs is applied only to rows
-    * of its side. Windows missing either side are dropped (inner-join
-    * semantics).
+    * Each `(alias, agg)` in leftAggs/rightAggs receives a column that
+    * is the side's value on its own rows and NULL on the other side's
+    * rows — so the side restriction holds only for null-ignoring
+    * aggregates (sum/min/max/avg/count(col)); an agg that ignores its
+    * input (count(lit(1))) would count both sides. Windows missing
+    * either side are dropped (inner-join semantics).
     */
   def windowedJoin(left: DataStream, right: DataStream,
                    groupCols: Seq[String], length: String,

@@ -26,6 +26,46 @@ private object Fnv {
   }
 }
 
+/** Shared helpers for the expression family below. */
+private object Util {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Unboxed accessor for a numeric array child. */
+  def numericGetter(e: Expression,
+                    fname: String): (ArrayData, Int) => Double =
+    e.dataType match {
+      case ArrayType(FloatType, _)   => (a, i) => a.getFloat(i).toDouble
+      case ArrayType(DoubleType, _)  => (a, i) => a.getDouble(i)
+      case ArrayType(LongType, _)    => (a, i) => a.getLong(i).toDouble
+      case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+      case t => throw new IllegalArgumentException(
+        s"$fname: unsupported input type $t")
+    }
+
+  def isNumericArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType | LongType | IntegerType, _) => true
+    case _ => false
+  }
+
+  /** Analysis-time check: every child must be a numeric array (fail at
+    * plan time, not as an executor ClassCastException mid-job).
+    */
+  def checkNumericArrays(fname: String,
+                         children: Seq[Expression]): TypeCheckResult =
+    children.find(c => !isNumericArray(c.dataType)) match {
+      case Some(c) => TypeCheckResult.TypeCheckFailure(
+        s"$fname requires array<numeric> arguments, got ${c.dataType}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+}
+
 /** 64-bit SimHash over an array<string> of tokens: FNV-1a hash per
   * token, per-bit ±1 vote, sign → bit. Duplicate tokens vote once per
   * occurrence (standard SimHash with unit weights).
@@ -82,6 +122,12 @@ case class ShingleHashes(child: Expression, n: Int)
 
   require(n >= 1 && n <= 16, "n must be in [1,16]")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires string, got ${child.dataType}")
 
   private def mix(a: Long, b: Long): Long = {
     // boost-style hash_combine on 64 bits
@@ -142,13 +188,16 @@ case class MinHashSignature(child: Expression, k: Int)
 
   require(k > 0 && k <= 512, "k must be in [1,512]")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType | LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature requires array<string|bigint>, got $t")
+    }
+  import Util.splitmix64
 
   @transient private lazy val elemHash: (ArrayData, Int) => Long =
     child.dataType.asInstanceOf[ArrayType].elementType match {
@@ -192,19 +241,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    Util.checkNumericArrays("cosine_similarity", children)
 
-  private def elemGetter(e: Expression): (ArrayData, Int) => Double =
-    e.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType  => (a, i) => a.getFloat(i).toDouble
-      case DoubleType => (a, i) => a.getDouble(i)
-      case LongType   => (a, i) => a.getLong(i).toDouble
-      case IntegerType => (a, i) => a.getInt(i).toDouble
-      case t => throw new IllegalArgumentException(
-        s"cosine_similarity: unsupported element type $t")
-    }
-
-  @transient private lazy val getL = elemGetter(left)
-  @transient private lazy val getR = elemGetter(right)
+  @transient private lazy val getL = Util.numericGetter(left, "cosine_similarity")
+  @transient private lazy val getR = Util.numericGetter(right, "cosine_similarity")
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -233,19 +275,12 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    Util.checkNumericArrays("dot_product", children)
 
-  private def elemGetter(e: Expression): (ArrayData, Int) => Double =
-    e.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType   => (a, i) => a.getFloat(i).toDouble
-      case DoubleType  => (a, i) => a.getDouble(i)
-      case LongType    => (a, i) => a.getLong(i).toDouble
-      case IntegerType => (a, i) => a.getInt(i).toDouble
-      case t => throw new IllegalArgumentException(
-        s"dot_product: unsupported element type $t")
-    }
-
-  @transient private lazy val getL = elemGetter(left)
-  @transient private lazy val getR = elemGetter(right)
+  @transient private lazy val getL = Util.numericGetter(left, "dot_product")
+  @transient private lazy val getR = Util.numericGetter(right, "dot_product")
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -269,16 +304,11 @@ case class L2Normalize(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    Util.checkNumericArrays("l2_normalize", Seq(child))
 
-  @transient private lazy val getElem: (ArrayData, Int) => Double =
-    child.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType   => (a, i) => a.getFloat(i).toDouble
-      case DoubleType  => (a, i) => a.getDouble(i)
-      case LongType    => (a, i) => a.getLong(i).toDouble
-      case IntegerType => (a, i) => a.getInt(i).toDouble
-      case t => throw new IllegalArgumentException(
-        s"l2_normalize: unsupported element type $t")
-    }
+  @transient private lazy val getElem = Util.numericGetter(child, "l2_normalize")
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -330,13 +360,10 @@ case class HyperplaneLshBucket(child: Expression, nPlanes: Int, dim: Int,
 
   require(nPlanes > 0 && nPlanes <= 30, "nPlanes must be in [1,30]")
   override def dataType: DataType = IntegerType
-
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    Util.checkNumericArrays("hyperplane_lsh_bucket", Seq(child))
+  import Util.splitmix64
 
   @transient private lazy val planes: Array[Array[Double]] =
     Array.tabulate(nPlanes) { p =>
@@ -347,13 +374,8 @@ case class HyperplaneLshBucket(child: Expression, nPlanes: Int, dim: Int,
       }
     }
 
-  @transient private lazy val getElem: (ArrayData, Int) => Double =
-    child.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType  => (a, i) => a.getFloat(i).toDouble
-      case DoubleType => (a, i) => a.getDouble(i)
-      case t => throw new IllegalArgumentException(
-        s"hyperplane_lsh_bucket: unsupported element type $t")
-    }
+  @transient private lazy val getElem =
+    Util.numericGetter(child, "hyperplane_lsh_bucket")
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]

@@ -133,11 +133,11 @@ object Dedup {
     // shingles live as hashed longs end-to-end: smaller shuffle rows,
     // long join keys, zero string materialization (collision odds
     // ~2^-64·|pairs| fold into the count)
-    val base = df.select(col(blockCol), col(idCol),
-      shingleHashes(col(textCol), shingleN).as("__sh"))
-    val sizes = base.select(col(idCol), size(col("__sh")).as("__n"))
-    val inv = base.select(col(blockCol), col(idCol),
-      explode(col("__sh")).as("__shingle"))
+    val inv = df.select(col(blockCol), col(idCol),
+      explode(shingleHashes(col(textCol), shingleN)).as("__shingle"))
+    // shingle sets are distinct per doc, so per-doc set size falls out
+    // of the inverted index — no second pass over the text
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val l = inv.select(col(blockCol), col("__shingle"),
       col(idCol).as("id1"))
     val r = inv.select(col(blockCol), col("__shingle"),

@@ -33,8 +33,11 @@ object Joins {
       case None => right(rightTs) <= l(leftTs)
     }
     val joined = l.join(right, keyCond && timeCond, "left")
+    // deterministic rank-1: equal-timestamp candidates tie-break on a
+    // hash of the full right row, not partition arrival order
     val w = Window.partitionBy(col(lid))
-      .orderBy(right(rightTs).desc_nulls_last)
+      .orderBy(right(rightTs).desc_nulls_last,
+        xxhash64(right.columns.map(right(_)): _*).asc_nulls_last)
     joined.withColumn("__asof_rn", row_number().over(w))
       .filter(col("__asof_rn") === 1)
       .drop(lid, "__asof_rn")

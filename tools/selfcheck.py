@@ -33,6 +33,10 @@ def main():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    try:
+        all_queries = set(json.load(open(f"{out}/queries.json")))
+    except FileNotFoundError:
+        all_queries = set(oracle)
     n_pass = n_fail = 0
     results_dirs = sorted(d for d in os.listdir(out)
                           if os.path.isdir(os.path.join(out, d)))
@@ -63,7 +67,9 @@ def main():
                 eq = np.isclose(g.astype(float), e.astype(float),
                                 rtol=0, atol=0, equal_nan=True)
             else:
-                eq = pd.Series(g).astype(object).eq(pd.Series(e).astype(object)).values
+                gs = pd.Series(g).astype(object)
+                es = pd.Series(e).astype(object)
+                eq = (gs.eq(es) | (gs.isna() & es.isna())).values
             if not eq.all():
                 i = int(np.argmin(eq))
                 bad.append(f"{c}[row {i}]: got={g[i]!r} exp={e[i]!r}")
@@ -71,9 +77,9 @@ def main():
             print(f"FAIL {name}: {'; '.join(bad[:3])}"); n_fail += 1
         else:
             print(f"PASS {name}: {len(got)} rows"); n_pass += 1
-    missing = set(oracle) - set(results_dirs)
+    missing = all_queries - set(results_dirs)
     for m in sorted(missing):
-        print(f"FAIL {m}: oracle present but no output dir"); n_fail += 1
+        print(f"FAIL {m}: query produced no output dir"); n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
