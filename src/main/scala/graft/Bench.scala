@@ -22,9 +22,42 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Streaming path: the reference's representative workload shape
+    // (rideshare: sliding window, group by key, count/min/max/avg —
+    // BASELINE.md) driven through Structured Streaming end-to-end
+    // (file source → watermark → stateful agg → memory sink).
+    def runStreaming(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      try {
+        // raw schema (ts = Long nanos under the session's nanosAsLong)
+        val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+        val src = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet") // source needs a dir
+          .parquet(sfDir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val q = graft.api.DataStream(src, "ts")
+          .window(Seq(col("event_type")),
+            Seq(count(lit(1)).as("n"), min(col("value")).as("mn"),
+              max(col("value")).as("mx"),
+              avg(col("value")).as("av")),
+            "1 hour", Some("30 minutes"))
+          .sinkMemory("bench_stream")
+        q.processAllAvailable()
+        q.stop()
+        spark.sql("DROP TABLE IF EXISTS bench_stream")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     run("q1_agg") // warmup (uncounted): session + codegen spin-up
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> run(n))
+    val results = names.map(n => n -> run(n)) :+
+      ("streaming_window" -> runStreaming())
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Property tests (SURVEY §5 plan): ScalaCheck-generated inputs,
+  * invariants asserted over whole generated DataFrames in one Spark
+  * job per property (per-case Spark jobs would be pathological).
+  */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default
+    val seed0 = rng.Seed(42L)
+    Iterator.iterate((Option.empty[A], seed0)) { case (_, s) =>
+      val r = g.doPureApply(params, s)
+      (Some(r.retrieve.get), r.seed)
+    }.drop(1).take(n).flatMap(_._1).toSeq
+  }
+
+  test("window assignment: start <= ts < start+len, start aligned") {
+    // mirrors the reference's snap_to_window_start floor semantics
+    // (continuous/streaming_window.rs:1053-1094)
+    val tsGen = Gen.chooseNum(0L, 4102444800000L) // 1970..2100 in ms
+    val rows = sample(tsGen, 5000).toDF("ms")
+      .withColumn("ts", timestamp_millis($"ms"))
+    for (strideSec <- Seq(1L, 60L, 900L, 3600L, 86400L)) {
+      val bad = rows.select($"ms",
+        unix_millis(graft.functions.date_bin(strideSec, $"ts")).as("ws"))
+        .filter($"ws" % (strideSec * 1000) =!= 0 ||
+          $"ws" > $"ms" || $"ms" >= $"ws" + strideSec * 1000)
+        .count()
+      assert(bad == 0, s"stride ${strideSec}s violated window bounds")
+      // agreement with Spark's own TimeWindow floor
+      val disagree = rows.select(
+        graft.functions.date_bin(strideSec, $"ts").as("a"),
+        window($"ts", s"$strideSec seconds").getField("start").as("b"))
+        .filter($"a" =!= $"b").count()
+      assert(disagree == 0, s"stride ${strideSec}s disagrees with window()")
+    }
+  }
+
+  test("jaccard: bounded [0,1], reflexive=1, symmetric") {
+    val wordGen = Gen.oneOf("a b c d", "a b", "x y z a b c", "q w e r t",
+      "a a a a", "z z y y x x w w v v")
+    val pairs = sample(Gen.zip(wordGen, wordGen), 500)
+      .toDF("t1", "t2")
+      .select(Dedup.shingles($"t1", 2).as("s1"),
+        Dedup.shingles($"t2", 2).as("s2"))
+    val bad = pairs.select(
+      Dedup.jaccard($"s1", $"s2").as("j12"),
+      Dedup.jaccard($"s2", $"s1").as("j21"),
+      Dedup.jaccard($"s1", $"s1").as("jself"))
+      .filter($"j12" < 0 || $"j12" > 1 || $"j12" =!= $"j21" ||
+        $"jself" =!= 1.0)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("minhash: equal inputs give equal sigs; sig length always k") {
+    val textGen = Gen.nonEmptyListOf(
+      Gen.oneOf("spark", "window", "stream", "batch", "merge", "sort"))
+      .map(_.mkString(" "))
+    val df = sample(textGen, 1000).toDF("t")
+      .select($"t", Dedup.minhashSignature(
+        Dedup.shingleHashes($"t", 3), 16).as("sig"))
+    assert(df.filter(size($"sig") =!= 16).count() == 0)
+    // determinism: same text → same signature (group by text, one sig)
+    val nonDet = df.groupBy($"t")
+      .agg(countDistinct($"sig").as("n")).filter($"n" > 1).count()
+    assert(nonDet == 0)
+  }
+
+  test("simhash: hamming(a,a)=0 and hamming <= 64 for random tokens") {
+    val tokGen = Gen.nonEmptyListOf(Gen.identifier).map(_.take(8))
+    val df = sample(tokGen, 500).toDF("toks")
+      .select(functions.simhash64($"toks").as("s1"),
+        functions.simhash64($"toks").as("s2"))
+    val bad = df.filter(
+      bit_count($"s1".bitwiseXOR($"s2")) =!= 0).count()
+    assert(bad == 0)
+  }
+
+  test("l2_normalize output has unit norm") {
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-100.0f, 100.0f))
+      .map(_.take(16)).suchThat(_.exists(_ != 0.0f))
+    val df = sample(vecGen, 500).toDF("v")
+      .select(functions.dot_product(
+        functions.l2_normalize($"v"), functions.l2_normalize($"v"))
+        .as("n2"))
+    val bad = df.filter(abs($"n2" - 1.0) > 1e-9).count()
+    assert(bad == 0)
+  }
+}
