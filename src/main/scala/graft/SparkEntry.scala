@@ -35,9 +35,16 @@ object SparkEntry {
         .agg(
           round(sum($"l_quantity"), 2).as("sum_qty"),
           round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
-          round(avg($"l_quantity"), 4).as("avg_qty"),
-          round(avg($"l_discount"), 4).as("avg_disc"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("sum_disc_price"),
+          // averages go through exact integers: sum the values scaled
+          // to ints (exact in both engines, any order), round the
+          // scaled quotient to an integer (the one rounding op Spark's
+          // BigDecimal and DuckDB's float round always agree on), then
+          // divide by a constant — bit-identical cross-engine
+          (round(sum($"l_quantity").cast("long") * 10000.0 / count(lit(1)), 0)
+            .cast("long") / 10000.0).as("avg_qty"),
+          (round(sum(round($"l_discount" * 100, 0).cast("long")) * 100.0
+            / count(lit(1)), 0).cast("long") / 10000.0).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
@@ -88,7 +95,10 @@ object SparkEntry {
       import s.implicits._
       t(s, d, "lineitem")
         .groupBy($"l_orderkey")
-        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        // round at the addend grid (4dp products), never coarser: a
+        // coarser rounding puts true sums exactly on boundaries where
+        // engines' last-ulp differences flip the result
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey")
         .limit(10)
     }),
@@ -272,7 +282,8 @@ object SparkEntry {
           Seq(count(lit(1)).as("n"),
             round(min($"value"), 2).as("min_v"),
             round(max($"value"), 2).as("max_v"),
-            round(avg($"value"), 4).as("avg_v")),
+            (round(sum(round($"value" * 100, 0).cast("long")) * 100.0
+              / count(lit(1)), 0).cast("long") / 10000.0).as("avg_v")),
           "1 hour")
         .toDF
         .select($"event_type", $"n", $"min_v", $"max_v", $"avg_v",
@@ -460,9 +471,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  CAST(round(CAST(sum(l_quantity) AS BIGINT) * 10000.0 / count(*),
+        |    0) AS BIGINT) / 10000.0 AS avg_qty,
+        |  CAST(round(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) * 100.0
+        |    / count(*), 0) AS BIGINT) / 10000.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -499,7 +512,7 @@ object SparkEntry {
 
     "q6_topk" ->
       """SELECT l_orderkey,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
         |FROM lineitem GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
@@ -630,7 +643,8 @@ object SparkEntry {
     "q19_datastream_pipeline" ->
       """SELECT event_type, count(*) AS n,
         |  round(min(value), 2) AS min_v, round(max(value), 2) AS max_v,
-        |  round(avg(value), 4) AS avg_v,
+        |  CAST(round(sum(CAST(round(value * 100, 0) AS BIGINT)) * 100.0
+        |    / count(*), 0) AS BIGINT) / 10000.0 AS avg_v,
         |  epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
         |  epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_ms
         |FROM events WHERE value > 10
