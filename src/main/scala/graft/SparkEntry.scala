@@ -188,8 +188,8 @@ object SparkEntry {
           abs($"p_size" - 25).as("sz_off"),
           round(sqrt($"p_retailprice"), 8).as("sq"),
           round(pow($"p_size", lit(2)), 2).as("sz2"),
-          round(log($"p_retailprice"), 8).as("ln_price"),
-          round(exp($"p_size" / 10.0), 8).as("ex"))
+          round(log($"p_retailprice"), 6).as("ln_price"),
+          round(exp($"p_size" / 10.0), 6).as("ex"))
         .orderBy($"p_partkey")
     }),
 
@@ -584,8 +584,8 @@ object SparkEntry {
         |  translate(p_name, 'aeiou', 'AEIOU') AS tr, md5(p_name) AS h,
         |  abs(p_size - 25) AS sz_off, round(sqrt(p_retailprice), 8) AS sq,
         |  round(pow(p_size, 2), 2) AS sz2,
-        |  round(ln(p_retailprice), 8) AS ln_price,
-        |  round(exp(p_size / 10.0), 8) AS ex
+        |  round(ln(p_retailprice), 6) AS ln_price,
+        |  round(exp(p_size / 10.0), 6) AS ex
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q13_conditional" ->

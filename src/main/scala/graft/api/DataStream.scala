@@ -87,6 +87,18 @@ final case class DataStream(
   def union(other: DataStream): DataStream =
     next(df.unionByName(other.df))
 
+  /** Streaming exact dedup on key columns with bounded state: rows
+    * whose keys repeat within the watermark window are dropped, state
+    * for keys older than the watermark is GC'd — the streaming
+    * counterpart of Dedup.dropExactDuplicates for 100TB ingest.
+    */
+  def dedupWithinWatermark(cols: Seq[String]): DataStream = {
+    val base = if (df.isStreaming) df.withWatermark(eventTimeCol, watermarkDelay)
+               else df
+    if (df.isStreaming) next(base.dropDuplicatesWithinWatermark(cols))
+    else next(base.dropDuplicates(cols))
+  }
+
   // --- streaming window aggregation (reference §2.4) -----------------
 
   /** Tumbling (slide=None) or sliding window aggregation, grouped by

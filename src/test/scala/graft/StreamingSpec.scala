@@ -115,6 +115,24 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops repeated keys across micro-batches") {
+    val (input, ds) = measurementStream()
+    val deduped = ds.withWatermarkDelay("10 seconds")
+      .dedupWithinWatermark(Seq("sensor_name"))
+    val q = deduped.toDF.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(Measurement(1000, "a", 1.0), Measurement(2000, "a", 2.0))
+      q.processAllAvailable()
+      input.addData(Measurement(3000, "a", 3.0), Measurement(4000, "b", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      // 'a' survives once (first arrival), duplicate in-watermark 'a's drop
+      assert(rows.count(_.getAs[String]("sensor_name") == "a") == 1)
+      assert(rows.count(_.getAs[String]("sensor_name") == "b") == 1)
+    } finally q.stop()
+  }
+
   test("windowedJoin joins two windowed aggregate streams in one query") {
     val (tempIn, temp) = measurementStream()
     val (humIn, hum) = measurementStream()
