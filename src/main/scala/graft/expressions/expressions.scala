@@ -54,6 +54,16 @@ private object Util {
     case _ => false
   }
 
+  /** Java source snippet reading element i of `arr` as double. */
+  def javaGetter(e: Expression, arr: String, i: String): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType   => s"(double) $arr.getFloat($i)"
+      case DoubleType  => s"$arr.getDouble($i)"
+      case LongType    => s"(double) $arr.getLong($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case t => throw new IllegalArgumentException(s"unsupported $t")
+    }
+
   /** Analysis-time check: every child must be a numeric array (fail at
     * plan time, not as an executor ClassCastException mid-job).
     */
@@ -236,14 +246,48 @@ case class MinHashSignature(child: Expression, k: Int)
   * a single sequential loop (parity with scalar reference
   * implementations, e.g. DuckDB's list_cosine_similarity on DOUBLE[]).
   * Returns null on length mismatch or zero-norm input.
+  * Fully code-generated (participates in whole-stage codegen — this is
+  * the ANN scoring hot loop).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     Util.checkNumericArrays("cosine_similarity", children)
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+        |else {
+        |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    double $x = ${Util.javaGetter(left, a, i)};
+        |    double $y = ${Util.javaGetter(right, b, i)};
+        |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        |  }
+        |  if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+        |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) *
+        |    java.lang.Math.sqrt($nb)); }
+        |}
+      """.stripMargin
+    })
+  }
 
   @transient private lazy val getL = Util.numericGetter(left, "cosine_similarity")
   @transient private lazy val getR = Util.numericGetter(right, "cosine_similarity")
@@ -269,15 +313,40 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 /** Dot product of two numeric arrays in double. Null on length
-  * mismatch.
+  * mismatch. Fully code-generated.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     Util.checkNumericArrays("dot_product", children)
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+        |else {
+        |  double $dot = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    $dot += (${Util.javaGetter(left, a, i)}) *
+        |      (${Util.javaGetter(right, b, i)});
+        |  }
+        |  ${ev.value} = $dot;
+        |}
+      """.stripMargin
+    })
+  }
 
   @transient private lazy val getL = Util.numericGetter(left, "dot_product")
   @transient private lazy val getR = Util.numericGetter(right, "dot_product")
