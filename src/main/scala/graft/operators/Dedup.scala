@@ -158,6 +158,12 @@ object Dedup {
 
   /** SimHash near-dup pairs: 64-bit signatures banded into 4×16-bit
     * keys (hamming≤3 ⇒ ≥1 band equal), verified with bit_count(xor).
+    *
+    * Scale limit: 16-bit bands have 65,536 buckets, so expected
+    * candidate volume grows as N²/65k per band — fine to ~10M docs per
+    * blocking scope; beyond that, widen the signature (128-bit SimHash
+    * → 4×32-bit bands) or add a coarse blocking key (length bucket,
+    * language) to the join, exactly as with MinHash banding.
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3): DataFrame = {

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Storage
+
+class StorageSpec extends AnyFunSuite with SparkSpec {
+
+  private def dropManaged(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(s"spark-warehouse/$name")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+  }
+
+  test("bucketed tables join with zero shuffle exchange") {
+    dropManaged("orders_b"); dropManaged("lineitem_b")
+    val orders = Graft.table(spark, sf, "orders")
+    val lineitem = Graft.table(spark, sf, "lineitem")
+    Storage.writeBucketed(orders, "orders_b", "o_orderkey", 8)
+    Storage.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 8)
+    // disable broadcast so the co-located sort-merge path is the one
+    // demonstrated (at 100TB neither side broadcasts anyway)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Storage.readTable(spark, "orders_b")
+        .join(Storage.readTable(spark, "lineitem_b"), Seq("o_orderkey"))
+        .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join+agg on the bucket key must not shuffle:\n$plan")
+      // results identical to the plain join
+      val expected = orders.join(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        Seq("o_orderkey")).count()
+      assert(Storage.readTable(spark, "orders_b")
+        .join(Storage.readTable(spark, "lineitem_b"), Seq("o_orderkey"))
+        .count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned write prunes partitions under a filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part")
+      .toFile.getAbsolutePath
+    val ev = Graft.table(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+    Storage.writePartitioned(ev, dir, Seq("day"))
+    val filtered = spark.read.parquet(dir)
+      .filter(col("day") === "2024-01-02")
+    val scan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(scan.contains("PartitionFilters"),
+      s"filter on partition column must prune:\n$scan")
+    val expected = ev.filter(to_date(col("ts")) === "2024-01-02").count()
+    assert(filtered.count() == expected && expected > 0)
+  }
+}
