@@ -119,6 +119,51 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
+/** SimHash64 straight from raw text: whitespace tokenization over the
+  * UTF-8 bytes fused with the per-token FNV hash and bit votes — no
+  * token-array materialization (the hot-path spelling of
+  * SimHash64(tokenize(text))).
+  */
+case class SimHashText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash64_text requires string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val votes = new Array[Int](64)
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(bytes(i) & 0xff)) i += 1
+      if (i < len) {
+        var h = Fnv.Offset
+        while (i < len && !Character.isWhitespace(bytes(i) & 0xff)) {
+          h ^= (bytes(i) & 0xff); h *= Fnv.Prime; i += 1
+        }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashText =
+    copy(child = c)
+}
+
 /** Distinct word n-gram shingles hashed straight to 64-bit values in
   * one pass over the UTF-8 bytes: whitespace tokenization, FNV-1a per
   * token, n consecutive token hashes mixed into one shingle hash —

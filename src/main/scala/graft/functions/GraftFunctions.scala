@@ -37,6 +37,8 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64_text",
+      es => SimHashText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash",
       es => RollingHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",

@@ -19,6 +19,10 @@ package object functions {
   def simhash64(tokens: Column): Column =
     c(expressions.SimHash64(GraftShim.expression(tokens)))
 
+  /** SimHash64 straight from raw text (fused tokenize+hash). */
+  def simhash64_text(text: Column): Column =
+    c(expressions.SimHashText(GraftShim.expression(text)))
+
   /** Distinct word n-gram shingles hashed to longs in one pass over
     * the UTF-8 bytes (no token/shingle strings).
     */

@@ -167,7 +167,7 @@ object Dedup {
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3): DataFrame = {
-    val sig = graft.functions.simhash64(tokenize(col(textCol)))
+    val sig = graft.functions.simhash64_text(col(textCol))
     val withBands = df.select(col(idCol), sig.as("__sig"))
       .withColumn("__bands", array((0 until 4).map(b =>
         shiftrightunsigned(col("__sig"), b * 16)

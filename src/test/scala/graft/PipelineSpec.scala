@@ -64,6 +64,15 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("simhash64_text equals simhash64(tokenize(text)) on real docs") {
+    val docs = Graft.table(spark, sf, "documents")
+    val diff = docs.select(
+      functions.simhash64_text($"text").as("a"),
+      functions.simhash64(TextAnalysis.tokenize($"text")).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(diff == 0)
+  }
+
   test("cosine_similarity: exact value, null on mismatch/zero") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f)))
       .toDF("a", "b")
