@@ -699,7 +699,8 @@ object SparkEntry {
         |    ELSE list_distinct(list_transform(range(0, len(toks) - 2),
         |      i -> array_to_string(toks[i+1:i+3], ' '))) END AS s
         |  FROM (SELECT doc_id, lang,
-        |          regexp_split_to_array(trim(text), '\s+') AS toks
+        |          regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS toks
         |        FROM documents)
         |)
         |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
@@ -737,7 +738,8 @@ object SparkEntry {
 
     "t3_text_stats" ->
       """WITH t AS (SELECT doc_id, text,
-        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |    regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS toks
         |  FROM documents),
         |m AS (SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars2,
         |  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE /
@@ -755,7 +757,8 @@ object SparkEntry {
 
     "t4_langid" ->
       """WITH t AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |    regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS toks
         |  FROM documents),
         |s AS (SELECT doc_id,
         |  len(list_filter(toks, x -> list_contains(
@@ -780,7 +783,8 @@ object SparkEntry {
 
     "t6_word_freq" ->
       """SELECT tok AS word, count(*) AS n
-        |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |FROM (SELECT unnest(regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS tok
         |      FROM documents)
         |GROUP BY tok ORDER BY n DESC, word LIMIT 50""".stripMargin,
 

@@ -92,12 +92,11 @@ final case class DataStream(
     * for keys older than the watermark is GC'd — the streaming
     * counterpart of Dedup.dropExactDuplicates for 100TB ingest.
     */
-  def dedupWithinWatermark(cols: Seq[String]): DataStream = {
-    val base = if (df.isStreaming) df.withWatermark(eventTimeCol, watermarkDelay)
-               else df
-    if (df.isStreaming) next(base.dropDuplicatesWithinWatermark(cols))
-    else next(base.dropDuplicates(cols))
-  }
+  def dedupWithinWatermark(cols: Seq[String]): DataStream =
+    if (df.isStreaming)
+      next(df.withWatermark(eventTimeCol, watermarkDelay)
+        .dropDuplicatesWithinWatermark(cols))
+    else next(df.dropDuplicates(cols))
 
   // --- streaming window aggregation (reference §2.4) -----------------
 

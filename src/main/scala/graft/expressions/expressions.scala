@@ -28,6 +28,14 @@ private object Fnv {
 
 /** Shared helpers for the expression family below. */
 private object Util {
+
+  /** ASCII regex-\s whitespace (space, \t, \n, \u000B, \f, \r) — the
+    * exact class Spark's split("\\s+") uses, so fused byte tokenizers
+    * agree with tokenize() on every input.
+    */
+  def isWs(b: Int): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 
   def splitmix64(x0: Long): Long = {
@@ -141,10 +149,10 @@ case class SimHashText(child: Expression)
     var i = 0
     val len = bytes.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(bytes(i) & 0xff)) i += 1
+      while (i < len && Util.isWs(bytes(i) & 0xff)) i += 1
       if (i < len) {
         var h = Fnv.Offset
-        while (i < len && !Character.isWhitespace(bytes(i) & 0xff)) {
+        while (i < len && !Util.isWs(bytes(i) & 0xff)) {
           h ^= (bytes(i) & 0xff); h *= Fnv.Prime; i += 1
         }
         var b = 0
@@ -196,10 +204,10 @@ case class ShingleHashes(child: Expression, n: Int)
     var i = 0
     val len = bytes.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(bytes(i) & 0xff)) i += 1
+      while (i < len && Util.isWs(bytes(i) & 0xff)) i += 1
       if (i < len) {
         var h = Fnv.Offset
-        while (i < len && !Character.isWhitespace(bytes(i) & 0xff)) {
+        while (i < len && !Util.isWs(bytes(i) & 0xff)) {
           h ^= (bytes(i) & 0xff); h *= Fnv.Prime; i += 1
         }
         tokenHashes += h

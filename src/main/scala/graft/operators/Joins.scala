@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  private def hasMap(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+
   /** Backward as-of join: for every left row, the single latest right
     * row with rightTs <= leftTs (optionally within `tolerance`), per
     * equi-key; unmatched left rows survive with nulls.
@@ -34,10 +43,14 @@ object Joins {
     }
     val joined = l.join(right, keyCond && timeCond, "left")
     // deterministic rank-1: equal-timestamp candidates tie-break on a
-    // hash of the full right row, not partition arrival order
+    // hash of the right row's hashable columns (maps are excluded —
+    // hash() rejects MapType), not partition arrival order
+    val tieCols = right.schema.fields
+      .filterNot(f => hasMap(f.dataType)).map(f => right(f.name))
+    val tieBreak = if (tieCols.nonEmpty) xxhash64(tieCols: _*)
+                   else lit(0L)
     val w = Window.partitionBy(col(lid))
-      .orderBy(right(rightTs).desc_nulls_last,
-        xxhash64(right.columns.map(right(_)): _*).asc_nulls_last)
+      .orderBy(right(rightTs).desc_nulls_last, tieBreak.asc_nulls_last)
     joined.withColumn("__asof_rn", row_number().over(w))
       .filter(col("__asof_rn") === 1)
       .drop(lid, "__asof_rn")

@@ -83,8 +83,8 @@ object Multimodal {
     val w = meta.getField("width"); val h = meta.getField("height")
     val scale = least(lit(maxDim) / greatest(w, h).cast("double"), lit(1.0))
     struct(
-      (w * scale).cast("int").as("width"),
-      (h * scale).cast("int").as("height"),
+      greatest((w * scale).cast("int"), lit(1)).as("width"),
+      greatest((h * scale).cast("int"), lit(1)).as("height"),
       blob.substr(lit(1),
         greatest((octet_length(blob) * scale).cast("int"), lit(1)))
         .as("bytes"))

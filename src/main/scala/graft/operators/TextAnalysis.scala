@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** All regex-\s whitespace chars — `trim` alone strips only spaces,
+    * leaving phantom empty tokens when text ends in \n or \t.
+    */
+  private[graft] val WsChars = " \t\n\u000B\f\r"
+
   /** Whitespace tokenization (the BPE-ish regex variant is
     * [[tokenizeBpeish]]). `""` tokenizes to `[""]` — callers on
     * possibly-empty text should filter first.
     */
-  def tokenize(text: Column): Column = split(trim(text), "\\s+")
+  def tokenize(text: Column): Column = split(trim(text, WsChars), "\\s+")
 
   /** Sub-word-ish tokenization: splits on whitespace AND between
     * letter/digit/punct class changes, approximating BPE pre-token

@@ -65,7 +65,9 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("simhash64_text equals simhash64(tokenize(text)) on real docs") {
-    val docs = Graft.table(spark, sf, "documents")
+    val docs = Graft.table(spark, sf, "documents").select($"text")
+      .union(Seq("hello world\n", "\ttabbed start", "mid  gap\r\n",
+        "trail \t ").toDF("text"))
     val diff = docs.select(
       functions.simhash64_text($"text").as("a"),
       functions.simhash64(TextAnalysis.tokenize($"text")).as("b"))

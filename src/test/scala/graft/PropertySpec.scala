@@ -75,14 +75,15 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(nonDet == 0)
   }
 
-  test("simhash: hamming(a,a)=0 and hamming <= 64 for random tokens") {
+  test("simhash: order-invariant (vote commutativity), non-constant") {
     val tokGen = Gen.nonEmptyListOf(Gen.identifier).map(_.take(8))
     val df = sample(tokGen, 500).toDF("toks")
-      .select(functions.simhash64($"toks").as("s1"),
-        functions.simhash64($"toks").as("s2"))
-    val bad = df.filter(
-      bit_count($"s1".bitwiseXOR($"s2")) =!= 0).count()
-    assert(bad == 0)
+      .select(functions.simhash64($"toks").as("fwd"),
+        functions.simhash64(reverse($"toks")).as("rev"))
+    assert(df.filter($"fwd" =!= $"rev").count() == 0,
+      "token order must not change the signature")
+    assert(df.select(countDistinct($"fwd")).head.getLong(0) > 100,
+      "distinct token lists must spread over distinct signatures")
   }
 
   test("l2_normalize output has unit norm") {
