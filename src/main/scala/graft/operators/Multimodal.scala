@@ -102,6 +102,31 @@ object Multimodal {
           lit(0))),
       i => blob.substr(i * lit(16 * stride) + 1, lit(16)))
 
+  /** Batch-shaped decode: one iterator-to-iterator pass per partition
+    * (the JVM analogue of mapInPandas' batch contract) — a real codec
+    * amortizes per-batch setup (model load, JNI session) across the
+    * whole partition here, which per-row UDFs cannot.
+    */
+  def decodePartitions(df: DataFrame, blobCol: String,
+                       idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition setup happens once, here (codec/session init)
+        it.map { case (id, bytes) =>
+          val fmt = if (bytes.isEmpty) "empty" else (bytes(0) & 0x03) match {
+            case 0 => "png"; case 1 => "jpeg"; case 2 => "wav"; case _ => "mp4"
+          }
+          val w = if (bytes.isEmpty) 0 else 64 + (bytes(0) & 0x3f)
+          val h = if (bytes.length > 1) 64 + (bytes(1) & 0x3f) else 64
+          (id, fmt, w, h, bytes.length)
+        }
+      }
+      .toDF(idCol, "format", "width", "height", "n_bytes")
+  }
+
   /** A media-table projection: blob + decoded meta + features — the
     * canonical multimodal pipeline stage.
     */

@@ -215,6 +215,19 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(r.forall(_.getAs[Array[Byte]](2).nonEmpty))
   }
 
+  test("decodePartitions matches the expression-based stub decode") {
+    val docs = Graft.table(spark, sf, "documents").limit(50)
+    val viaPartitions = Multimodal.decodePartitions(
+      docs.withColumn("blob", Multimodal.asBlob($"text")), "blob", "doc_id")
+      .select($"doc_id", $"format", $"width")
+      .as[(Long, String, Int)].collect().toSet
+    val viaExpr = docs.select($"doc_id",
+        Multimodal.decodeStub(Multimodal.asBlob($"text")).as("m"))
+      .select($"doc_id", $"m.format", $"m.width")
+      .as[(Long, String, Int)].collect().toSet
+    assert(viaPartitions == viaExpr)
+  }
+
   test("frame sampling slices blobs into 16-byte frames") {
     val df = Seq("0123456789abcdef" * 8).toDF("t")
       .select(Multimodal.frameSampleStub(
