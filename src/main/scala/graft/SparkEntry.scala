@@ -328,6 +328,22 @@ object SparkEntry {
         .orderBy($"bin_ms")
     }),
 
+    // Ungrouped (global) windowed aggregate — the reference's
+    // WindowAggStream/FullWindowAggStream two-stage path (SURVEY §2.4)
+    "q24_global_window" -> ((s, d) => {
+      import s.implicits._
+      graft.api.Context(s).fromDF(t(s, d, "events"), "ts")
+        .window(Seq.empty,
+          Seq(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"),
+            round(min($"value"), 2).as("mn"),
+            round(max($"value"), 2).as("mx")),
+          "6 hours")
+        .toDF
+        .select(unix_millis($"window_start_time").as("window_start_ms"),
+          $"n", $"total", $"mn", $"mx")
+        .orderBy($"window_start_ms")
+    }),
+
     // As-of join (absent from the reference — exceeded; oracle uses
     // DuckDB's native ASOF JOIN)
     "q23_asof_join" -> ((s, d) => {
@@ -673,6 +689,12 @@ object SparkEntry {
     "q22_date_bin" ->
       """SELECT (epoch_ms(ts) // 900000) * 900000 AS bin_ms, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY bin_ms""".stripMargin,
+
+    "q24_global_window" ->
+      """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,
+        |  count(*) AS n, round(sum(value), 2) AS total,
+        |  round(min(value), 2) AS mn, round(max(value), 2) AS mx
+        |FROM events GROUP BY 1 ORDER BY window_start_ms""".stripMargin,
 
     "q23_asof_join" ->
       """SELECT p.event_id AS pid, epoch_ms(p.ts) AS pts_ms,

@@ -115,6 +115,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("ungrouped (global) windowed aggregate emits one row per window") {
+    // reference: WindowAggStream/FullWindowAggStream partial->final
+    // two-stage path for no-group aggregates (SURVEY §2.4)
+    val (input, ds) = measurementStream()
+    val windowed = ds.window(Seq.empty,
+      Seq(count(lit(1)).as("n"), round(sum($"reading"), 2).as("total")),
+      "10 seconds")
+    val q = windowed.sinkMemory("global_out")
+    try {
+      input.addData(Measurement(1000, "a", 1.0), Measurement(2000, "b", 2.0),
+        Measurement(8000, "c", 3.0))
+      q.processAllAvailable()
+      input.addData(Measurement(15000, "z", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("global_out")
+        .filter($"window_start_time".cast("long") === 0).collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("n") == 3)
+      assert(rows(0).getAs[Double]("total") == 6.0)
+    } finally q.stop()
+  }
+
+  test("update output mode emits partial window results per batch") {
+    val (input, ds) = measurementStream()
+    val windowed = ds.window(Seq($"sensor_name"),
+      Seq(count(lit(1)).as("n")), "10 seconds")
+    val q = windowed.sinkMemory("update_out", outputMode = "update")
+    try {
+      input.addData(Measurement(1000, "a", 1.0))
+      q.processAllAvailable()
+      val afterFirst = spark.table("update_out").count()
+      assert(afterFirst == 1, "update mode emits before window close")
+      input.addData(Measurement(2000, "a", 2.0))
+      q.processAllAvailable()
+      // the same window re-emits with the updated count
+      val ns = spark.table("update_out")
+        .filter($"sensor_name" === "a").select("n")
+        .as[Long].collect().sorted
+      assert(ns.last == 2, s"updated count must appear, got ${ns.toSeq}")
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops repeated keys across micro-batches") {
     val (input, ds) = measurementStream()
     val deduped = ds.withWatermarkDelay("10 seconds")
