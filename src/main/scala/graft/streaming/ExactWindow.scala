@@ -42,21 +42,42 @@ object ExactWindow {
     */
   def tumbling(df: DataFrame, groupCol: String, tsCol: String,
                valueCol: String, lengthMs: Long,
-               delay: String = "0 seconds"): DataFrame = {
+               delay: String = "0 seconds"): DataFrame =
+    sliding(df, groupCol, tsCol, valueCol, lengthMs, lengthMs, delay)
+
+  /** Sliding variant: each row feeds every overlapping frame — the
+    * reference's `get_windows_for_watermark` row routing
+    * (grouped_window_agg_stream.rs:443-650); slide == length degrades
+    * to tumbling.
+    */
+  def sliding(df: DataFrame, groupCol: String, tsCol: String,
+              valueCol: String, lengthMs: Long, slideMs: Long,
+              delay: String = "0 seconds"): DataFrame = {
+    require(lengthMs % slideMs == 0, "length must be a slide multiple")
     val spark = df.sparkSession
     import spark.implicits._
+    val framesPerRow = (lengthMs / slideMs).toInt
 
+    // frame explosion stays at Column level: an object-level flatMap
+    // would strip the watermark tag from the event-time column and
+    // EventTimeTimeout requires it downstream
+    val tsMs = unix_millis(col("ts"))
+    val newest = tsMs - pmod(tsMs, lit(slideMs))
     val keyed = df.withWatermark(tsCol, delay)
       .select(col(groupCol).cast("string").as("g"),
         col(tsCol).as("ts"), col(valueCol).cast("double").as("v"))
-      .as[(String, Timestamp, Double)]
-      .groupByKey { case (g, ts, _) =>
-        WindowKey(g, Math.floorDiv(ts.getTime, lengthMs) * lengthMs)
-      }(Encoders.product[WindowKey])
+      .withColumn("ws", explode(array(
+        (0 until framesPerRow).map(k => newest - lit(k * slideMs)): _*)))
+      .filter(col("ws") > tsMs - lit(lengthMs))
+      .as[(String, Timestamp, Double, Long)]
+      // NOTE: no mapValues — it re-serializes the value columns and
+      // strips the watermark tag EventTimeTimeout depends on
+      .groupByKey { case (g, _, _, ws) => WindowKey(g, ws) }(
+        Encoders.product[WindowKey])
 
     keyed.flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-      (key: WindowKey, rows: Iterator[(String, Timestamp, Double)],
+      (key: WindowKey, rows: Iterator[(String, Timestamp, Double, Long)],
        state: GroupState[AggState]) => {
         if (state.hasTimedOut) {
           // watermark passed window end → emit once, drop the frame
@@ -71,7 +92,7 @@ object ExactWindow {
           // upstream = the reference's closed-window batch drop)
           var s = state.getOption.getOrElse(
             AggState(0L, 0.0, Double.MaxValue, Double.MinValue))
-          rows.foreach { case (_, _, v) =>
+          rows.foreach { case (_, _, v, _) =>
             s = AggState(s.n + 1, s.sum + v, math.min(s.min, v),
               math.max(s.max, v))
           }

@@ -49,6 +49,26 @@ class ExactWindowSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding custom window routes rows to every overlapping frame") {
+    val input = MemoryStream[Measurement](spark)
+    val src = input.toDF
+      .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+    val out = ExactWindow.sliding(src, "sensor_name", "ts", "reading",
+      lengthMs = 10000L, slideMs = 5000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("exact_slide").start()
+    try {
+      input.addData(Measurement(7000, "a", 2.0))  // frames [0,10) [5,15)
+      input.addData(Measurement(40000, "z", 0.0)) // watermark → 40s
+      q.processAllAvailable()
+      val rows = spark.table("exact_slide")
+        .filter($"group" === "a")
+        .select($"window_start_time".cast("long"), $"n")
+        .as[(Long, Long)].collect().toSet
+      assert(rows == Set((0L, 1L), (5L, 1L)))
+    } finally q.stop()
+  }
+
   test("custom stateful window agrees with built-in append-mode window") {
     val input = MemoryStream[Measurement](spark)
     val src = input.toDF
