@@ -470,14 +470,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // decodeStub/features are JVM-side stubs (no SQL equivalent) →
-    // rows-only check; determinism covered by PipelineSpec.
+    // decodeStub derives meta deterministically from the leading bytes
+    // and the feature vector is an L1-normalized byte histogram, so the
+    // whole pipeline is oracle-checkable: DuckDB recomputes format/
+    // width/height from the hex dump and the exact per-bin counts
+    // (features × n_bytes rounds back to the integer histogram).
     "m2_multimodal_pipeline" -> ((s, d) =>
       operators.Multimodal.mediaPipeline(t(s, d, "documents"),
           "text", "doc_id")
-        .select(col("doc_id"), col("n_bytes"), col("sha256"),
-          col("meta.format").as("format"), col("meta.width").as("width"),
-          col("features"))
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("sha256"),
+          col("meta.format").as("format"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          array_join(transform(col("features"),
+            f => round(f.cast("double") * col("n_bytes"), 0).cast("long")
+              .cast("string")), ",").as("bin_counts"))
         .orderBy(col("doc_id"))),
   )
 
@@ -617,7 +625,8 @@ object SparkEntry {
 
     "q14_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -822,5 +831,35 @@ object SparkEntry {
         |  sha256(text) AS sha256,
         |  lower(substring(hex(text), 1, 16)) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m2_multimodal_pipeline" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+        |    sha256(text) AS sha256, hex(text::BLOB) AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_bytes, sha256,
+        |    strpos('0123456789ABCDEF', substring(h, 1, 1)) - 1 AS hi0,
+        |    strpos('0123456789ABCDEF', substring(h, 2, 1)) - 1 AS lo0,
+        |    strpos('0123456789ABCDEF', substring(h, 3, 1)) - 1 AS hi1,
+        |    strpos('0123456789ABCDEF', substring(h, 4, 1)) - 1 AS lo1,
+        |    list_transform(range(0, n_bytes), i ->
+        |      strpos('0123456789ABCDEF',
+        |        substring(h, CAST(2 * i + 1 AS INT), 1)) - 1) AS highs
+        |  FROM b)
+        |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, sha256,
+        |  CASE WHEN n_bytes = 0 THEN NULL
+        |       WHEN (hi0 * 16 + lo0) % 4 = 0 THEN 'png'
+        |       WHEN (hi0 * 16 + lo0) % 4 = 1 THEN 'jpeg'
+        |       WHEN (hi0 * 16 + lo0) % 4 = 2 THEN 'wav'
+        |       ELSE 'mp4' END AS format,
+        |  CASE WHEN n_bytes = 0 THEN NULL
+        |       ELSE CAST(64 + (hi0 * 16 + lo0) % 64 AS BIGINT) END AS width,
+        |  CASE WHEN n_bytes = 0 THEN NULL
+        |       WHEN n_bytes > 1 THEN CAST(64 + (hi1 * 16 + lo1) % 64 AS BIGINT)
+        |       ELSE CAST(64 AS BIGINT) END AS height,
+        |  array_to_string(list_transform(range(0, 16), j ->
+        |    len(list_filter(highs, x -> x = j))), ',') AS bin_counts
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }

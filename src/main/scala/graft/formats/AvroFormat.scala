@@ -109,10 +109,13 @@ case class AvroDecode(child: Expression, schemaJson: String)
         new GenericArrayData(
           elems.map(toCatalyst(_, schema.getElementType)).toArray)
       case AvroSchema.Type.MAP =>
-        val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala
+        // one entrySet pass: keys()/values() view iteration order pairing
+        // is not guaranteed by the java.util.Map contract
+        val entries = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+          .entrySet().asScala.toArray
         ArrayBasedMapData(
-          m.keys.map(k => UTF8String.fromString(k.toString)).toArray,
-          m.values.map(toCatalyst(_, schema.getValueType)).toArray)
+          entries.map(e => UTF8String.fromString(e.getKey.toString)),
+          entries.map(e => toCatalyst(e.getValue, schema.getValueType)))
       case t => throw new IllegalArgumentException(s"unsupported: $t")
     }
   }

@@ -27,8 +27,13 @@ object Udafs {
       y.foldLeft(x) { case (acc, (k, v)) =>
         acc.updated(k, acc.getOrElse(k, 0L) + v) }
     override def finish(r: Map[String, Long]): Map[String, Long] = r
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      Encoders.kryo[Map[String, Long]]
+    // columnar map encoder (NOT kryo): the state-store buffer stays an
+    // introspectable map<string,bigint>, evolvable and faster than an
+    // opaque blob
+    override def bufferEncoder: Encoder[Map[String, Long]] = {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      ExpressionEncoder[Map[String, Long]]()
+    }
     override def outputEncoder: Encoder[Map[String, Long]] = {
       import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
       ExpressionEncoder[Map[String, Long]]()

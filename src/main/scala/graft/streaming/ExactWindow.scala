@@ -53,10 +53,15 @@ object ExactWindow {
   def sliding(df: DataFrame, groupCol: String, tsCol: String,
               valueCol: String, lengthMs: Long, slideMs: Long,
               delay: String = "0 seconds"): DataFrame = {
-    require(lengthMs % slideMs == 0, "length must be a slide multiple")
+    require(slideMs > 0 && lengthMs >= slideMs,
+      "need 0 < slide <= length")
     val spark = df.sparkSession
     import spark.implicits._
-    val framesPerRow = (lengthMs / slideMs).toInt
+    // non-multiple slides: ceil(length/slide) candidate frames per row,
+    // the range filter below trims the one candidate that may fall out
+    // (matches Spark's window() and the reference's per-row routing —
+    // window starts are the slide grid, not length-aligned)
+    val framesPerRow = ((lengthMs + slideMs - 1) / slideMs).toInt
 
     // frame explosion stays at Column level: an object-level flatMap
     // would strip the watermark tag from the event-time column and
@@ -64,6 +69,9 @@ object ExactWindow {
     val tsMs = unix_millis(col("ts"))
     val newest = tsMs - pmod(tsMs, lit(slideMs))
     val keyed = df.withWatermark(tsCol, delay)
+      // primitive Double encoding below: a null value would kill the
+      // query, built-in aggs skip nulls — match that contract here
+      .filter(col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         col(tsCol).as("ts"), col(valueCol).cast("double").as("v"))
       .withColumn("ws", explode(array(
