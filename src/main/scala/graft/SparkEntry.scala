@@ -345,7 +345,8 @@ object SparkEntry {
     }),
 
     // As-of join (absent from the reference — exceeded; oracle uses
-    // DuckDB's native ASOF JOIN)
+    // DuckDB's native ASOF JOIN). Tolerance bounds the lookback — at
+    // scale an untolerated as-of forces unbounded per-key history.
     "q23_asof_join" -> ((s, d) => {
       import s.implicits._
       val ev = t(s, d, "events")
@@ -355,7 +356,8 @@ object SparkEntry {
         .select($"event_id".as("cid"), $"user_id".as("cuser"),
           $"ts".as("cts"))
       operators.Joins.asOfJoinBackward(purchases, clicks,
-          Seq("user_id"), Seq("cuser"), "pts", "cts")
+          Seq("user_id"), Seq("cuser"), "pts", "cts",
+          tolerance = Some("1 DAY"))
         .select($"pid", unix_millis($"pts").as("pts_ms"), $"cid",
           unix_millis($"cts").as("cts_ms"))
         .orderBy($"pid")
@@ -707,7 +709,10 @@ object SparkEntry {
 
     "q23_asof_join" ->
       """SELECT p.event_id AS pid, epoch_ms(p.ts) AS pts_ms,
-        |  c.event_id AS cid, epoch_ms(c.ts) AS cts_ms
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 1 DAY
+        |       THEN c.event_id END AS cid,
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 1 DAY
+        |       THEN epoch_ms(c.ts) END AS cts_ms
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts

@@ -23,15 +23,83 @@ object Joins {
     * row with rightTs <= leftTs (optionally within `tolerance`), per
     * equi-key; unmatched left rows survive with nulls.
     *
-    * Implementation = range join + per-left-row rank-1, which Catalyst
-    * plans as a shuffled equi-join on the keys; tolerance keeps the
-    * candidate fan-out bounded at scale (without it a hot key pairs
-    * every left row with its full right history).
+    * Implementation = sort-merge over the UNION of both sides: tag
+    * rows, sort (key, ts) once, carry the running "last right row id"
+    * with `last(..., ignoreNulls)` over an unbounded-preceding frame,
+    * then rejoin the single matched right row by id. Candidate pairs
+    * are never materialized — the widest intermediate is |L|+|R| rows —
+    * so a hot key costs one sorted partition instead of an N×M fan-out
+    * (the failure mode of the rank-based form at 100TB; kept as
+    * [[asOfJoinBackwardViaRank]] for cross-checking).
     */
   def asOfJoinBackward(left: DataFrame, right: DataFrame,
                        leftKeys: Seq[String], rightKeys: Seq[String],
                        leftTs: String, rightTs: String,
                        tolerance: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rid = "__asof_rid"
+    val r = right.withColumn(rid, monotonically_increasing_id())
+
+    // equal-ts right rows tie-break on a hash of the right row's
+    // hashable columns (min hash wins, matching the rank form), never
+    // on partition arrival order
+    val tieCols = right.schema.fields
+      .filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+    val tieBreak = if (tieCols.nonEmpty) xxhash64(tieCols: _*) else lit(0L)
+
+    val keyAliases = leftKeys.indices.map(i => s"__asof_k$i")
+    val lrowType = StructType(left.schema.fields)
+    val markType = StructType(Seq(
+      StructField("rid", LongType),
+      StructField("ts", right.schema(rightTs).dataType)))
+
+    val rBranch = r.select(
+      rightKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++ Seq(
+        col(rightTs).as("__t"), lit(0).as("__side"),
+        struct(col(rid).as("rid"), col(rightTs).as("ts")).as("__mark"),
+        tieBreak.as("__ord"),
+        lit(null).cast(lrowType).as("__lrow")): _*)
+    val lBranch = left.select(
+      leftKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++ Seq(
+        col(leftTs).as("__t"), lit(1).as("__side"),
+        lit(null).cast(markType).as("__mark"), lit(0L).as("__ord"),
+        struct(left.columns.map(col): _*).as("__lrow")): _*)
+
+    // rights sort before lefts at equal ts (side 0 < 1): rightTs ==
+    // leftTs counts as a match; among tied rights the LAST in __ord
+    // desc order (= min hash) wins
+    val w = Window.partitionBy(keyAliases.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__ord").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = rBranch.unionByName(lBranch)
+      .withColumn("__m", last(col("__mark"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val inRange = tolerance match {
+      case Some(tol) =>
+        col("__m.ts") >= col("__t") - expr(s"INTERVAL $tol")
+      case None => lit(true)
+    }
+    // null join keys never match (equi-join semantics; the window
+    // groups nulls together, an equi-join would not)
+    val keysNotNull = keyAliases.map(col(_).isNotNull)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val lefts = matched
+      .withColumn("__mrid", when(inRange && keysNotNull, col("__m.rid")))
+      .select(left.columns.map(c =>
+        col("__lrow").getField(c).as(c)) :+ col("__mrid"): _*)
+    lefts.join(r, lefts("__mrid") === r(rid), "left")
+      .drop(rid, "__mrid")
+  }
+
+  /** Rank-based spelling of [[asOfJoinBackward]]: range join + per-left
+    * rank-1. Identical results; materializes every candidate pair, so
+    * only safe with a tight `tolerance` or when right-per-key history
+    * is known small. Kept for cross-checking the merge form.
+    */
+  def asOfJoinBackwardViaRank(left: DataFrame, right: DataFrame,
+                              leftKeys: Seq[String], rightKeys: Seq[String],
+                              leftTs: String, rightTs: String,
+                              tolerance: Option[String] = None): DataFrame = {
     val lid = "__asof_lid"
     val l = left.withColumn(lid, monotonically_increasing_id())
     val keyCond = leftKeys.zip(rightKeys)

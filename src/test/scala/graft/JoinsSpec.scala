@@ -40,6 +40,69 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
     assert(bounded.isNullAt(0), "match older than tolerance must drop")
   }
 
+  test("asOfJoinBackward merge form matches the rank form") {
+    // randomized-but-deterministic workload incl. a hot key, duplicate
+    // timestamps, and keys present on only one side
+    val rnd = new scala.util.Random(7)
+    val lrows = (1 to 400).map { i =>
+      val k = if (i % 3 == 0) "hot" else s"k${rnd.nextInt(20)}"
+      (i.toLong, k, ts(rnd.nextInt(100) * 1000L))
+    }
+    val rrows = (1 to 600).map { i =>
+      val k = if (i % 2 == 0) "hot" else s"k${rnd.nextInt(25)}"
+      (i.toLong, k, ts(rnd.nextInt(100) * 1000L), rnd.nextDouble())
+    }
+    val l = lrows.toDF("lid", "k", "lts")
+    val r = rrows.toDF("rid", "rk", "rts", "v")
+    for (tol <- Seq(None, Some("30 seconds"))) {
+      val merge = Joins.asOfJoinBackward(l, r, Seq("k"), Seq("rk"),
+        "lts", "rts", tol)
+        .select($"lid", unix_millis($"rts").as("rt"))
+      val rank = Joins.asOfJoinBackwardViaRank(l, r, Seq("k"), Seq("rk"),
+        "lts", "rts", tol)
+        .select($"lid", unix_millis($"rts").as("rt"))
+      // compare on matched TIMESTAMP (the as-of contract); tied-ts row
+      // identity is checked separately below
+      assert(merge.exceptAll(rank).isEmpty && rank.exceptAll(merge).isEmpty,
+        s"merge vs rank mismatch at tolerance=$tol")
+      assert(merge.count() == l.count(), "one output row per left row")
+    }
+  }
+
+  test("asOfJoinBackward tie-break matches rank form (equal timestamps)") {
+    val l = Seq((1L, "A", ts(10000))).toDF("lid", "k", "lts")
+    val r = Seq(("A", ts(10000), "r1"), ("A", ts(10000), "r2"),
+      ("A", ts(10000), "r3")).toDF("rk", "rts", "v")
+    val merge = Joins.asOfJoinBackward(l, r, Seq("k"), Seq("rk"),
+      "lts", "rts").select($"v").head.getString(0)
+    val rank = Joins.asOfJoinBackwardViaRank(l, r, Seq("k"), Seq("rk"),
+      "lts", "rts").select($"v").head.getString(0)
+    assert(merge == rank, "equal-ts winner must be hash-deterministic")
+  }
+
+  test("asOfJoinBackward never materializes candidate pairs") {
+    // hot-key torture: 1 key, 2000 lefts × 2000 rights. The rank form
+    // would build 4M candidate rows; the merge form peaks at |L|+|R|.
+    val l = (1 to 2000).map(i => (i.toLong, "hot", ts(i * 1000L)))
+      .toDF("lid", "k", "lts")
+    val r = (1 to 2000).map(i => (i.toLong, "hot", ts(i * 500L), i * 1.0))
+      .toDF("rid2", "rk", "rts", "v")
+    val joined = Joins.asOfJoinBackward(l, r, Seq("k"), Seq("rk"),
+      "lts", "rts")
+    assert(joined.count() == 2000)
+    // plan shape: no range-predicate join before the window — the only
+    // joins are the final id equi-join (and the physical plan carries
+    // a Window over the union, not a join fan-out)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "merge form must plan a window")
+    assert(!plan.toLowerCase.contains("cartesian"),
+      "no cartesian fan-out in the as-of merge plan")
+    // spot-check: left at 3000ms matches the latest right on the 500ms
+    // grid, i.e. rts = 3000ms exactly
+    val row = joined.filter($"lid" === 3).select(unix_millis($"rts")).head
+    assert(row.getLong(0) == 3000L)
+  }
+
   test("saltedJoin is row-identical to the plain equi-join") {
     val orders = Graft.table(spark, sf, "orders")
     val customer = Graft.table(spark, sf, "customer")
