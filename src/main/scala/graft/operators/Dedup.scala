@@ -190,20 +190,33 @@ object Dedup {
   /** Embedding-cosine near-dup pairs within a blocking column (e.g. a
     * cluster/label/LSH bucket — at 100TB you never do global all-pairs).
     * Cosine computed in double (graft.functions.cosine_similarity).
+    *
+    * The within-block pair space is tiled over `numBuckets`² sub-join
+    * keys: each row gets a deterministic bucket b = hash(id) mod B,
+    * the left side replicates over the B possible right buckets and
+    * vice versa, and the join key is (block, b_left, b_right) — so a
+    * pair meets exactly once and a block's O(n²) pair work spreads
+    * over B² tasks instead of one (a bare block-key join collapses to
+    * #distinct-blocks tasks — 10 labels = 10 tasks at any data size).
+    * Cost: each side's rows ship B× instead of 1×; B=8 is a good
+    * default for label-cardinality ≪ cluster-cores.
     */
   def embeddingNearDupPairs(df: DataFrame, embCol: String, idCol: String,
-                            blockCol: String, threshold: Double = 0.9)
-      : DataFrame = {
+                            blockCol: String, threshold: Double = 0.9,
+                            numBuckets: Int = 8): DataFrame = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
     val base = df.select(col(blockCol), col(idCol), col(embCol))
+      .withColumn("__b",
+        pmod(xxhash64(col(idCol)), lit(numBuckets)).cast("int"))
+    val allBuckets = array((0 until numBuckets).map(lit): _*)
     val l = base.select(col(blockCol), col(idCol).as("id1"),
-      col(embCol).as("e1"))
+        col(embCol).as("e1"), col("__b").as("__bl"))
+      .withColumn("__br", explode(allBuckets))
     val r = base.select(col(blockCol), col(idCol).as("id2"),
-      col(embCol).as("e2"))
-    l.join(r, Seq(blockCol))
+        col(embCol).as("e2"), col("__b").as("__br"))
+      .withColumn("__bl", explode(allBuckets))
+    l.join(r, Seq(blockCol, "__bl", "__br"))
       .filter(col("id1") < col("id2"))
-      // block cardinality may be tiny (10 labels) → the join runs on
-      // few tasks; respread pair rows before the O(dim) scoring loop
-      .repartition(col("id1"), col("id2"))
       .withColumn("cos",
         round(graft.functions.cosine_similarity(col("e1"), col("e2")), 6))
       .filter(col("cos") >= threshold)

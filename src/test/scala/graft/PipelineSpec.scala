@@ -103,6 +103,23 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(again == b(0))
   }
 
+  test("embedding near-dup: bucketed pair join matches unbucketed, " +
+      "spreads the block") {
+    val emb = Graft.table(spark, sf, "embeddings")
+    val bucketed = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+      "label", threshold = 0.35, numBuckets = 4)
+    val flat = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+      "label", threshold = 0.35, numBuckets = 1)
+    assert(bucketed.exceptAll(flat).isEmpty && flat.exceptAll(bucketed).isEmpty,
+      "bucketing must not change the pair set")
+    // scale shape: the pair join shuffles on (block, bucket, bucket),
+    // not the bare block key — cardinality #blocks × B², so a 10-label
+    // corpus no longer collapses to 10 tasks
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("__bl") && plan.contains("__br"),
+      "join keys must include the pair buckets")
+  }
+
   test("bruteForceTopK: correct neighbors on crafted vectors") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
