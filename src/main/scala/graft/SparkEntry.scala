@@ -363,6 +363,50 @@ object SparkEntry {
         .orderBy($"pid")
     }),
 
+    // §2.5 long-tail analytic window functions (DataFusion re-exports
+    // the same names, py-denormalized functions.py)
+    "q25_window_battery" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byDate = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      val byPrice = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc)
+      t(s, d, "orders").select($"o_custkey", $"o_orderkey",
+          dense_rank().over(byPrice).cast("long").as("drank"),
+          round(percent_rank().over(byPrice), 6).as("prank"),
+          round(cume_dist().over(byPrice), 6).as("cdist"),
+          ntile(4).over(byDate).cast("long").as("quartile"),
+          nth_value($"o_totalprice", 2).over(
+            byDate.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).as("second_price"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // §2.5 long-tail aggregates: bit/bool aggs, listagg, regr_*,
+    // approx_count_distinct (exact at low cardinality)
+    "q26_agg_battery" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("bit_and(l_linenumber)").cast("long").as("ba"),
+          expr("bit_or(l_linenumber)").cast("long").as("bo"),
+          expr("bit_xor(l_linenumber)").cast("long").as("bx"),
+          expr("bool_and(l_quantity > 1)").as("all_q"),
+          expr("bool_or(l_discount > 0.09)").as("any_d"),
+          expr("approx_count_distinct(l_linestatus)").cast("long")
+            .as("acd_status"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4)
+            .as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
+            .as("icept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+          expr("listagg(DISTINCT l_linestatus, ',') " +
+            "WITHIN GROUP (ORDER BY l_linestatus)").as("statuses"))
+        .orderBy($"l_returnflag")
+    }),
+
     // ------------------------------------------------------------------
     // Training-data pipeline operators (beyond reference; SURVEY §7.2.4)
     // ------------------------------------------------------------------
@@ -717,6 +761,36 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY pid""".stripMargin,
+
+    "q25_window_battery" ->
+      """SELECT o_custkey, o_orderkey,
+        |  dense_rank() OVER wp AS drank,
+        |  round(percent_rank() OVER wp, 6) AS prank,
+        |  round(cume_dist() OVER wp, 6) AS cdist,
+        |  ntile(4) OVER wd AS quartile,
+        |  nth_value(o_totalprice, 2) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS second_price
+        |FROM orders
+        |WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+        |       wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q26_agg_battery" ->
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_linenumber) AS BIGINT) AS ba,
+        |  CAST(bit_or(l_linenumber) AS BIGINT) AS bo,
+        |  CAST(bit_xor(l_linenumber) AS BIGINT) AS bx,
+        |  bool_and(l_quantity > 1) AS all_q,
+        |  bool_or(l_discount > 0.09) AS any_d,
+        |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS acd_status,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+        |    AS statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "d1_dedup_groups" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
