@@ -426,27 +426,37 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("doc_id_1"), col("doc_id_2"))),
 
-    // MinHash/SimHash candidate generation is hash-family-dependent →
-    // no SQL oracle (rows-only check); pair semantics are covered by
-    // PipelineSpec. Input = documents ∪ one-word-mutated copies so the
-    // pair pipeline provably fires end-to-end.
+    // Input = documents ∪ one-word-mutated copies so the pair pipeline
+    // provably fires end-to-end. The oracle is the EXACT all-pairs
+    // jaccard ≥ t set: the LSH candidate stage is probabilistic in
+    // general, but 16 bands × 2 rows gives per-pair recall ≥ 0.993 at
+    // j = 0.5 (≥ 1-5e-5 at j ≥ 0.7), and on this deterministic fixture
+    // recall is verified exactly 1 at sf0.001/0.01/0.1 — so the
+    // verified-pair output equals the exact set and hash-matches.
     "d4_minhash_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val mutated = docs
         .withColumn("doc_id", col("doc_id") + 1000000L)
         .withColumn("text", regexp_replace(col("text"), "the", "thee"))
       operators.Dedup.minhashNearDupPairs(docs.unionByName(mutated),
-          "text", "doc_id", threshold = 0.5)
+          "text", "doc_id", numHashes = 32, bands = 16, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("doc_id_1"), col("doc_id_2"))
     }),
 
+    // MD5-token-hash signatures so DuckDB recomputes them bit-for-bit;
+    // hamming ≤ 3 over 4×16-bit bands ⇒ ≥1 band equal (pigeonhole), so
+    // the banded pair set IS the exact ≤3-hamming set — a hard oracle,
+    // not a probabilistic one.
     "d5_simhash_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val mutated = docs
         .withColumn("doc_id", col("doc_id") + 1000000L)
         .withColumn("text", regexp_replace(col("text"), "the", "thee"))
-      operators.Dedup.simhashNearDupPairs(docs.unionByName(mutated),
-          "text", "doc_id", maxHamming = 3)
+      operators.Dedup.simhashPairsFromSig(docs.unionByName(mutated),
+          graft.functions.simhash64_md5(
+            operators.TextAnalysis.tokenize(col("text"))),
+          "doc_id", maxHamming = 3)
         .orderBy(col("doc_id_1"), col("doc_id_2"))
     }),
 
@@ -463,6 +473,10 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Oracle = the EXACT top-k (s1's query): with 8 tables × hamming≤2
+    // multi-probe the LSH candidate set provably contains the true
+    // top-k on these fixtures (verified sf0.001/0.01/0.1), and the
+    // re-rank is exact cosine — so ANN output hash-matches exact.
     "s2_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       operators.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3),
@@ -821,6 +835,69 @@ object SparkEntry {
         |      len(list_distinct(list_concat(a.s, b.s))) >= 0.1
         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
 
+    "d4_minhash_pairs" ->
+      """WITH du AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    regexp_replace(text, 'the', 'thee', 'g') FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))) END AS s
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS toks
+        |        FROM du)
+        |),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT d1, d2, ni::DOUBLE / (sa.n + sb.n - ni) AS jac
+        |  FROM cand JOIN sizes sa ON sa.doc_id = d1
+        |            JOIN sizes sb ON sb.doc_id = d2)
+        |SELECT d1 AS doc_id_1, d2 AS doc_id_2, round(jac, 6) AS jaccard
+        |FROM j WHERE jac >= 0.5 ORDER BY doc_id_1, doc_id_2""".stripMargin,
+
+    "d5_simhash_pairs" ->
+      """WITH du AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    regexp_replace(text, 'the', 'thee', 'g') FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '\s+')) AS tok
+        |  FROM du),
+        |th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef',
+        |        substring(h, CAST(k // 4 + 1 AS INT), 1)) - 1)
+        |        >> CAST(3 - k % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS k) ks
+        |  GROUP BY doc_id, k),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+        |      ORDER BY k) AS sig
+        |  FROM bits GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |    len(list_filter(range(1, 65), i ->
+        |      substring(a.sig, CAST(i AS INT), 1) !=
+        |      substring(b.sig, CAST(i AS INT), 1))) AS hamming
+        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+        |SELECT doc_id_1, doc_id_2, CAST(hamming AS INT) AS hamming
+        |FROM pairs WHERE hamming <= 3
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+
     "d6_embedding_neardup" ->
       """SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -832,6 +909,21 @@ object SparkEntry {
         |ORDER BY vec_id_1, vec_id_2""".stripMargin,
 
     "s1_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6)
+        |      AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s2_ann_lsh" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id < 3),
         |scored AS (

@@ -172,6 +172,68 @@ case class SimHashText(child: Expression)
     copy(child = c)
 }
 
+/** MD5-based 64-bit SimHash over an array<string> of tokens: per-token
+  * hash = first 8 bytes of MD5(UTF-8), MSB-first; per-bit ±1 vote per
+  * occurrence; bit k of the result = 1 iff vote > 0 (bit 0 = MSB).
+  *
+  * Exists alongside the FNV family because MD5 is a public standard
+  * every engine implements — an external system (e.g. a SQL oracle)
+  * can recompute signatures bit-for-bit from `md5(token)` hex, which
+  * makes banded near-dup output exactly verifiable end-to-end
+  * (hamming ≤ 3 over 4×16-bit bands ⇒ ≥1 band collides, so the banded
+  * pair set IS the full ≤3-hamming set — no probabilistic recall).
+  */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64_md5 requires array<string>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = SimHashMd5.digests.get()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
+        var k = 0
+        while (k < 64) {
+          if (((digest(k >> 3) >> (7 - (k & 7))) & 1) == 1) votes(k) += 1
+          else votes(k) -= 1
+          k += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) { if (votes(k) > 0) sig |= (1L << (63 - k)); k += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashMd5 =
+    copy(child = c)
+}
+
+object SimHashMd5 {
+  // MessageDigest is stateful and not thread-safe; expression instances
+  // can be shared across tasks in one executor JVM
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 /** Distinct word n-gram shingles hashed straight to 64-bit values in
   * one pass over the UTF-8 bytes: whitespace tokenization, FNV-1a per
   * token, n consecutive token hashes mixed into one shingle hash —

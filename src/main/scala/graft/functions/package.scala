@@ -23,6 +23,13 @@ package object functions {
   def simhash64_text(text: Column): Column =
     c(expressions.SimHashText(GraftShim.expression(text)))
 
+  /** MD5-token-hash SimHash64 of a token array — bit-reproducible by
+    * any engine with md5() (used where signatures must be externally
+    * verifiable; the FNV forms are the faster default).
+    */
+  def simhash64_md5(tokens: Column): Column =
+    c(expressions.SimHashMd5(GraftShim.expression(tokens)))
+
   /** Distinct word n-gram shingles hashed to longs in one pass over
     * the UTF-8 bytes (no token/shingle strings).
     */

@@ -166,8 +166,17 @@ object Dedup {
     * language) to the join, exactly as with MinHash banding.
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSig(df, graft.functions.simhash64_text(col(textCol)),
+      idCol, maxHamming)
+
+  /** Banded near-dup pairs from an arbitrary 64-bit signature column —
+    * same banding/verify as [[simhashNearDupPairs]]; callers pick the
+    * signature family (e.g. simhash64_md5 for externally verifiable
+    * signatures).
+    */
+  def simhashPairsFromSig(df: DataFrame, sig: Column, idCol: String,
                           maxHamming: Int = 3): DataFrame = {
-    val sig = graft.functions.simhash64_text(col(textCol))
     val withBands = df.select(col(idCol), sig.as("__sig"))
       .withColumn("__bands", array((0 until 4).map(b =>
         shiftrightunsigned(col("__sig"), b * 16)

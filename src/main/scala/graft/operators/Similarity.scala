@@ -40,30 +40,34 @@ object Similarity {
 
   /** LSH-bucketed ANN: multi-table sign-random-projection. The corpus
     * is indexed into `nTables` independent bucket spaces (nPlanes bits
-    * each, distinct seeds); queries probe their bucket plus all 1-bit
-    * flips in every table; candidates are exact-cosine re-ranked.
-    * Recall ≈ 1-(1-p)^nTables where p = P(hamming(sig_q,sig_c) ≤ 1).
-    * Cost vs brute force: index is nTables× the corpus keys (ids, not
-    * vectors, dominate the shuffle), scoring touches only candidates.
+    * each, distinct seeds); queries probe every bucket within
+    * `probeHamming` bit-flips of theirs in every table; candidates are
+    * exact-cosine re-ranked.
+    * Recall ≈ 1-(1-p)^nTables where p = P(hamming(sig_q,sig_c) ≤
+    * probeHamming). Probing widens only the QUERY explosion (e.g.
+    * 22 probes/table at nPlanes=6, probeHamming=2) — the corpus index
+    * stays nTables× the corpus keys, so recall is bought on the small
+    * side of the join, never by rescanning the corpus.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               embCol: String, idCol: String, k: Int,
               nPlanes: Int = 6, dim: Int = 64, nTables: Int = 8,
-              seed: Long = 42L): DataFrame = {
+              probeHamming: Int = 2, seed: Long = 42L): DataFrame = {
     def bucket(t: Int) = graft.functions.hyperplane_lsh_bucket(
       col(embCol), nPlanes, dim, seed + t * 7919L)
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
         posexplode(array((0 until nTables).map(bucket): _*))
           .as(Seq("__table", "__bucket")))
-    // multi-probe: per table, the query's bucket + nPlanes 1-bit flips
+    // all flip masks with ≤ probeHamming bits over nPlanes bit positions
+    val masks = (0 until (1 << nPlanes))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
     val q = queries
       .select(col(idCol).as("query_id"), col(embCol).as("__qe"),
         posexplode(array((0 until nTables).map(bucket): _*))
           .as(Seq("__table", "__qb")))
       .withColumn("__bucket", explode(array(
-        col("__qb") +: (0 until nPlanes).map(p =>
-          col("__qb").bitwiseXOR(lit(1 << p))): _*)))
+        masks.map(m => col("__qb").bitwiseXOR(lit(m))): _*)))
       .drop("__qb")
     val scored = c.join(broadcast(q), Seq("__table", "__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))

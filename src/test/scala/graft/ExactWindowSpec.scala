@@ -69,6 +69,31 @@ class ExactWindowSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding with non-multiple slide uses the slide grid") {
+    val input = MemoryStream[Measurement](spark)
+    val src = input.toDF
+      .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+    // length 10s, slide 4s: a row at 7s belongs to starts {0, 4000}
+    // ([-4000,6000) has already closed before 7s) — floor semantics on
+    // the slide grid, same as Spark's built-in window()
+    val out = ExactWindow.sliding(src, "sensor_name", "ts", "reading",
+      lengthMs = 10000L, slideMs = 4000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("exact_nondiv").start()
+    try {
+      input.addData(Measurement(7000, "a", 2.0))
+      input.addData(Measurement(60000, "z", 0.0)) // push watermark
+      q.processAllAvailable()
+      val rows = spark.table("exact_nondiv")
+        .filter($"group" === "a")
+        .select($"window_start_time".cast("long"),
+          $"window_end_time".cast("long"), $"n")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((0L, 10L, 1L), (4L, 14L, 1L)),
+        s"expected slide-grid frames, got $rows")
+    } finally q.stop()
+  }
+
   test("custom stateful window agrees with built-in append-mode window") {
     val input = MemoryStream[Measurement](spark)
     val src = input.toDF

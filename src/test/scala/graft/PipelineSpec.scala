@@ -103,6 +103,50 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(again == b(0))
   }
 
+  test("simhash64_md5 matches an independent MD5 reimplementation") {
+    // reference signature computed with plain java.security MD5 —
+    // catching any byte-order/vote-rule drift in the expression
+    def refSig(tokens: Seq[String]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](64)
+      tokens.foreach { t =>
+        md.reset()
+        val d = md.digest(t.getBytes("UTF-8"))
+        for (k <- 0 until 64)
+          if (((d(k >> 3) >> (7 - (k & 7))) & 1) == 1) votes(k) += 1
+          else votes(k) -= 1
+      }
+      (0 until 64).foldLeft(0L)((s, k) =>
+        if (votes(k) > 0) s | (1L << (63 - k)) else s)
+    }
+    val docs = Seq("the quick brown fox", "the quick brown fox",
+      "pack my box with five dozen jugs", "héllo wörld 中文 分词")
+    val got = docs.toDF("text")
+      .select(graft.functions.simhash64_md5(
+        TextAnalysis.tokenize(col("text"))).as("sig"))
+      .as[Long].collect()
+    val want = docs.map(d => refSig(d.trim.split("\\s+").toSeq))
+    assert(got.toSeq == want, "expression must equal the reference MD5 simhash")
+    assert(got(0) == got(1), "identical docs → identical signatures")
+  }
+
+  test("simhashPairsFromSig finds all ≤3-hamming pairs (pigeonhole)") {
+    // craft signatures at known hamming distances via direct longs
+    val rows = Seq((1L, 0x0123456789abcdefL),
+      (2L, 0x0123456789abcdefL ^ 0x7L), // hamming 3, one band differs
+      // hamming 5 spread over all 4 bands — no band collides, and the
+      // pair is over-distance anyway
+      (3L, 0x0123456789abcdefL ^ 0x0001000100010003L),
+      (4L, 0xfedcba9876543210L))
+    val df = rows.toDF("doc_id", "sig")
+    val pairs = Dedup.simhashPairsFromSig(df, col("sig"), "doc_id",
+        maxHamming = 3)
+      .select($"doc_id_1", $"doc_id_2", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 3)),
+      "exactly the ≤3-hamming pair must surface, with exact distance")
+  }
+
   test("embedding near-dup: bucketed pair join matches unbucketed, " +
       "spreads the block") {
     val emb = Graft.table(spark, sf, "embeddings")
