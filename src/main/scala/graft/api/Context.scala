@@ -35,18 +35,8 @@ final class Context(val spark: SparkSession) {
       .option("startingOffsets", startingOffsets)
       .options(kafkaOptions)
       .load()
-    val decoded = raw.select(
-      from_json(col("value").cast("string"), schema).as("__payload"),
-      col("timestamp").as("__kafka_ts"))
-    val ts = timestampColumn match {
-      case Some(c) =>
-        SchemaInference.canonicalTimestamp(col(s"__payload.$c"), timestampUnit)
-      case None => col("__kafka_ts")
-    }
-    val projected = decoded
-      .select(col("__payload.*"), ts.as("__event_time"))
-      .drop("__kafka_ts")
-    DataStream(projected, eventTimeCol = "__event_time")
+    DataStream(Context.decodeKafkaJson(raw, schema, timestampColumn,
+      timestampUnit), eventTimeCol = "__event_time")
   }
 
   /** Avro-encoded Kafka topic (reference kafka_config.rs:162-169):
@@ -63,19 +53,8 @@ final class Context(val spark: SparkSession) {
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
       .load()
-    val decoded = raw.select(
-      graft.formats.AvroFormat.decode(col("value"), avroSchemaJson)
-        .as("__payload"),
-      col("timestamp").as("__kafka_ts"))
-    val ts = timestampColumn match {
-      case Some(c) =>
-        SchemaInference.canonicalTimestamp(col(s"__payload.$c"), timestampUnit)
-      case None => col("__kafka_ts")
-    }
-    val projected = decoded
-      .select(col("__payload.*"), ts.as("__event_time"))
-      .drop("__kafka_ts")
-    DataStream(projected, eventTimeCol = "__event_time")
+    DataStream(Context.decodeKafkaAvro(raw, avroSchemaJson,
+      timestampColumn, timestampUnit), eventTimeCol = "__event_time")
   }
 
   /** Same, inferring the schema from one sample JSON event
@@ -122,4 +101,55 @@ final class Context(val spark: SparkSession) {
 
 object Context {
   def apply(spark: SparkSession): Context = new Context(spark)
+
+  /** Decode a Kafka-SHAPED raw frame — any (batch or streaming)
+    * DataFrame with `value` (binary or string) and `timestamp`
+    * (TimestampType) columns, which is exactly what `format("kafka")`
+    * produces — into the payload schema with a canonical
+    * `__event_time` column. This is the reference's per-message decode
+    * + canonical-timestamp contract
+    * (/root/reference/crates/core/src/datasource/kafka/
+    * kafka_stream_read.rs:226-238) factored away from the connector,
+    * so the full payload→schema→event-time→window path is provable
+    * from a MemoryStream with no broker (KafkaPathSpec), and
+    * `fromTopic` is a thin binding over it.
+    */
+  def decodeKafkaJson(raw: DataFrame, schema: StructType,
+                      timestampColumn: Option[String] = None,
+                      timestampUnit: TimestampUnit =
+                        SchemaInference.Int64Millis): DataFrame =
+    project(raw.select(
+      from_json(col("value").cast("string"), schema).as("__payload"),
+      col("timestamp").as("__kafka_ts")), timestampColumn, timestampUnit)
+
+  /** Avro twin of [[decodeKafkaJson]] (native AvroDecode expression
+    * against the writer schema).
+    */
+  def decodeKafkaAvro(raw: DataFrame, avroSchemaJson: String,
+                      timestampColumn: Option[String] = None,
+                      timestampUnit: TimestampUnit =
+                        SchemaInference.Int64Millis): DataFrame =
+    project(raw.select(
+      graft.formats.AvroFormat.decode(col("value"), avroSchemaJson)
+        .as("__payload"),
+      col("timestamp").as("__kafka_ts")), timestampColumn, timestampUnit)
+
+  /** Kafka-sink row encoding — every row as one JSON `value`
+    * (reference topic_writer.rs:102-127); the broker-facing half of
+    * `sinkKafka`, exposed so the encode contract is testable.
+    */
+  def encodeKafkaJson(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  private def project(decoded: DataFrame, timestampColumn: Option[String],
+                      timestampUnit: TimestampUnit): DataFrame = {
+    val ts = timestampColumn match {
+      case Some(c) =>
+        SchemaInference.canonicalTimestamp(col(s"__payload.$c"),
+          timestampUnit)
+      case None => col("__kafka_ts")
+    }
+    decoded.select(col("__payload.*"), ts.as("__event_time"))
+      .drop("__kafka_ts")
+  }
 }

@@ -185,7 +185,7 @@ final case class DataStream(
     */
   def sinkKafka(bootstrapServers: String, topic: String,
                 checkpointLocation: String): DataStreamWriter[Row] =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    Context.encodeKafkaJson(df)
       .writeStream.outputMode("append").format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
