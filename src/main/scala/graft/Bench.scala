@@ -11,6 +11,12 @@ object Bench {
     val spark = Graft.session(appName = "graft-bench")
 
     def run(name: String): Double = {
+      // per-query isolation: clear GC debt left by the previous query
+      // and let the JVM settle, so one query's garbage never bills the
+      // next one's wall-clock (round-1 artifact: a 0.5s query read 42s
+      // right after the pair-join queries)
+      System.gc()
+      Thread.sleep(300)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
@@ -54,7 +60,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    run("q1_agg") // warmup (uncounted): session + codegen spin-up
+    // warmups (uncounted): session + codegen spin-up, twice so the
+    // second run exercises the already-JITed path
+    run("q1_agg"); run("q1_agg")
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> run(n)) :+
       ("streaming_window" -> runStreaming())
