@@ -214,15 +214,18 @@ object DataStream {
     * is the side's value on its own rows and NULL on the other side's
     * rows — so the side restriction holds only for null-ignoring
     * aggregates (sum/min/max/avg/count(col)); an agg that ignores its
-    * input (count(lit(1))) would count both sides. Windows missing
-    * either side are dropped (inner-join semantics).
+    * input (count(lit(1))) would count both sides — for per-side ROW
+    * counts (null values included) set `emitSideCounts` and read
+    * `n_left`/`n_right`, which are computed from the side tag itself.
+    * Windows missing either side are dropped (inner-join semantics).
     */
   def windowedJoin(left: DataStream, right: DataStream,
                    groupCols: Seq[String], length: String,
                    slide: Option[String],
                    leftAggs: Seq[(String, Column => Column)],
                    rightAggs: Seq[(String, Column => Column)],
-                   leftValueCol: String, rightValueCol: String): DataStream = {
+                   leftValueCol: String, rightValueCol: String,
+                   emitSideCounts: Boolean = false): DataStream = {
     val l = left.df.withColumn("__side", lit("l"))
       .withColumn("__lv", col(leftValueCol))
       .withColumn("__rv", lit(null).cast(right.df.schema(rightValueCol).dataType))
@@ -241,7 +244,10 @@ object DataStream {
           sum(when(col("__side") === "r", 1).otherwise(0)).as("__nr"))
     val joined = left.copy(df = unioned)
       .window(groupCols.map(col), aggs, length, slide)
-    joined.filter(col("__nl") > 0 && col("__nr") > 0)
-      .dropColumns("__nl", "__nr")
+    val filtered = joined.filter(col("__nl") > 0 && col("__nr") > 0)
+    if (emitSideCounts)
+      filtered.withColumnRenamed("__nl", "n_left")
+        .withColumnRenamed("__nr", "n_right")
+    else filtered.dropColumns("__nl", "__nr")
   }
 }

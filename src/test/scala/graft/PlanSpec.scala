@@ -44,4 +44,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("__shingle"),
       "join must include the shingle in its key for parallelism")
   }
+
+  test("q23 as-of plans a window merge, not a candidate fan-out") {
+    val p = plan("q23_asof_join")
+    assert(p.contains("Window"), s"merge form must plan a window:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian in as-of")
+    // the only join is the final right-row-id equi-join
+    val joins = "(?i)join".r.findAllIn(p).length
+    assert(joins > 0, "expected the rid equi-join")
+  }
+
+  test("no accidental cartesian products anywhere in the suite") {
+    // s1 brute-force top-k is a DELIBERATE broadcast cross product
+    // (small query side); everything else must plan equi-joins
+    val allowed = Set("s1_sim_topk")
+    for (name <- SparkEntry.queries.keys if !allowed(name)) {
+      val p = plan(name, "simple")
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    }
+  }
+
+  test("session sizes shuffle partitions to cores, AQE on") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 64,
+      "local shuffle partitions must be core-sized, not the 200 default")
+  }
 }

@@ -204,4 +204,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(rows(0).getAs[Double]("max_hum") == 0.5)
     } finally q.stop()
   }
+
+  test("windowedJoin emitSideCounts gives exact per-side row counts") {
+    val (tempIn, temp) = measurementStream()
+    val (humIn, hum) = measurementStream()
+    val joined = DataStream.windowedJoin(temp, hum,
+      groupCols = Seq("sensor_name"), length = "10 seconds", slide = None,
+      leftAggs = Seq("sum_temp" -> ((c: org.apache.spark.sql.Column) =>
+        round(sum(c), 4))),
+      rightAggs = Seq.empty,
+      leftValueCol = "reading", rightValueCol = "reading",
+      emitSideCounts = true)
+    val q = joined.sinkMemory("join_counts_out")
+    try {
+      tempIn.addData(Measurement(1000, "a", 1.0),
+        Measurement(2000, "a", 2.0), Measurement(3000, "a", 4.0))
+      humIn.addData(Measurement(1500, "a", 0.5))
+      q.processAllAvailable()
+      tempIn.addData(Measurement(20000, "a", 0.0))
+      humIn.addData(Measurement(20000, "a", 0.0))
+      q.processAllAvailable()
+      val r = spark.table("join_counts_out")
+        .filter($"window_start_time".cast("long") === 0).collect()(0)
+      // side-tag-based counts: 3 left rows, 1 right row — the safe
+      // spelling of count() in a side-conditioned union (count(lit(1))
+      // would have read 4 on both sides)
+      assert(r.getAs[Long]("n_left") == 3L)
+      assert(r.getAs[Long]("n_right") == 1L)
+      assert(r.getAs[Double]("sum_temp") == 7.0)
+    } finally q.stop()
+  }
 }
