@@ -485,6 +485,36 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF ANN with full-probe: KMeans centroids are not stable across
+    // partition layouts, but probing every cell makes recall
+    // structurally 1 for ANY centroid assignment — the gate proves the
+    // index build + cell-probe join loses/duplicates nothing, while
+    // partial-probe recall is covered in PipelineSpec.
+    "s3_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      operators.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+          "embedding", "vec_id", 5, nCentroids = 8, nProbe = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Scalar battery #2: array/list + regex + string-position functions
+    "q27_array_battery" -> ((s, d) => {
+      import s.implicits._
+      val words = split($"p_name", " ")
+      t(s, d, "part").select($"p_partkey",
+          size(words).cast("long").as("n_words"),
+          element_at(words, 1).as("w1"),
+          array_contains(words, "red").cast("int").as("has_red"),
+          array_join(sort_array(words), ",").as("sorted_words"),
+          regexp_extract($"p_name", "^(\\w+)", 1).as("first_word"),
+          expr("left(p_name, 3)").as("l3"),
+          expr("right(p_name, 3)").as("r3"),
+          repeat($"p_brand", 2).as("bb"),
+          ascii($"p_name").cast("long").as("a1"))
+        .orderBy($"p_partkey")
+    }),
+
     "t3_text_stats" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         operators.TextAnalysis.tokenCount(col("text")).cast("long")
@@ -508,6 +538,18 @@ object SparkEntry {
         .orderBy($"n".desc, $"word").limit(50)
     }),
 
+    // BPE-ish pre-tokenizer count: tokens = alphanumeric runs + each
+    // non-alphanumeric non-space char (lookaround splits aren't
+    // RE2-expressible, but the COUNT has this closed form both
+    // engines agree on)
+    "t7_token_bpeish" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        size(operators.TextAnalysis.tokenizeBpeish(col("text")))
+          .cast("long").as("n_bpe_tokens"),
+        operators.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_ws_tokens"))
+        .orderBy(col("doc_id"))),
+
     "t4_langid" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
@@ -527,6 +569,22 @@ object SparkEntry {
         operators.Multimodal.byteLength(blob).cast("long").as("n_bytes"),
         operators.Multimodal.sha256Hex(blob).as("sha256"),
         operators.Multimodal.headHex(blob).as("head_hex"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Frame-sampling + resize plumbing: frame grid and resized dims
+    // are pure arithmetic over (n_bytes, first-two-byte meta), so the
+    // oracle recomputes them from the hex dump like m2.
+    "m3_multimodal_frames" -> ((s, d) => {
+      val blob = operators.Multimodal.asBlob(col("text"))
+      val frames = operators.Multimodal.frameSampleStub(blob)
+      val resized = operators.Multimodal.resizeStub(blob, 96)
+      t(s, d, "documents").select(col("doc_id"),
+          size(frames).cast("long").as("n_frames"),
+          lower(hex(element_at(frames, 1))).as("frame0_hex"),
+          resized.getField("width").cast("long").as("rw"),
+          resized.getField("height").cast("long").as("rh"),
+          octet_length(resized.getField("bytes")).cast("long").as("rb"))
         .orderBy(col("doc_id"))
     }),
 
@@ -937,6 +995,70 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s3_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6)
+        |      AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q27_array_battery" ->
+      """SELECT p_partkey,
+        |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+        |  string_split(p_name, ' ')[1] AS w1,
+        |  CAST(list_contains(string_split(p_name, ' '), 'red') AS INT)
+        |    AS has_red,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), ',')
+        |    AS sorted_words,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  left(p_name, 3) AS l3, right(p_name, 3) AS r3,
+        |  repeat(p_brand, 2) AS bb,
+        |  CAST(ascii(p_name) AS BIGINT) AS a1
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "t7_token_bpeish" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+')) +
+        |       length(regexp_replace(text, '[\p{L}\p{N} ]', '', 'g'))
+        |    AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '\s+')) AS BIGINT) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m3_multimodal_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(text::BLOB) AS n,
+        |    hex(text::BLOB) AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n, h,
+        |    64 + ((strpos('0123456789ABCDEF', substring(h, 1, 1)) - 1) * 16
+        |        + (strpos('0123456789ABCDEF', substring(h, 2, 1)) - 1)) % 64
+        |      AS w,
+        |    CASE WHEN n > 1 THEN
+        |      64 + ((strpos('0123456789ABCDEF', substring(h, 3, 1)) - 1) * 16
+        |          + (strpos('0123456789ABCDEF', substring(h, 4, 1)) - 1)) % 64
+        |    ELSE 64 END AS hh
+        |  FROM b),
+        |g AS (SELECT doc_id, n, h, w, hh,
+        |        least(96.0 / greatest(w, hh), 1.0) AS scale FROM f)
+        |SELECT doc_id,
+        |  CAST(greatest((n - 1) // 64, 0) + 1 AS BIGINT) AS n_frames,
+        |  lower(substring(h, 1, 32)) AS frame0_hex,
+        |  CAST(greatest(CAST(floor(w * scale) AS INT), 1) AS BIGINT) AS rw,
+        |  CAST(greatest(CAST(floor(hh * scale) AS INT), 1) AS BIGINT) AS rh,
+        |  CAST(greatest(CAST(floor(n * scale) AS INT), 1) AS BIGINT) AS rb
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "t3_text_stats" ->
       """WITH t AS (SELECT doc_id, text,
