@@ -407,6 +407,41 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    // Stream-stream time-range join (DataStream.joinWithinTime) run in
+    // batch mode — same plan shape (equi-key + symmetric range), with
+    // the aggregation keeping the gate output small
+    "q28_range_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val ctx = graft.api.Context(s)
+      val purchases = ctx.fromDF(ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("pid"), $"user_id", $"ts"), "ts")
+      val clicks = ctx.fromDF(ev.filter($"event_type" === "click")
+        .select($"event_id".as("cid"), $"user_id".as("cuser"),
+          $"ts".as("cts")), "cts")
+      purchases.joinWithinTime(clicks, col("user_id") === col("cuser"),
+          "30 minutes")
+        .toDF
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"pid").as("n_purchases"),
+          countDistinct($"cid").as("n_clicks"))
+        .orderBy($"user_id")
+    }),
+
+    // The SQL entry point (Context.sql over registered tables) — the
+    // reference exposes ctx.sql the same way
+    "q29_sql_surface" -> ((s, d) => {
+      Graft.registerAll(s, d)
+      graft.api.Context(s).sql(
+        """SELECT o_orderpriority, count(*) AS n_orders,
+          |  round(sum(o_totalprice), 2) AS total
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin).toDF
+    }),
+
     // ------------------------------------------------------------------
     // Training-data pipeline operators (beyond reference; SURVEY §7.2.4)
     // ------------------------------------------------------------------
@@ -995,6 +1030,25 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q28_range_join" ->
+      """SELECT p.user_id, count(*) AS n_pairs,
+        |  count(DISTINCT p.event_id) AS n_purchases,
+        |  count(DISTINCT c.event_id) AS n_clicks
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        | AND c.ts <= p.ts + INTERVAL 30 MINUTE
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+
+    "q29_sql_surface" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "s3_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
