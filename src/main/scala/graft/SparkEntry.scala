@@ -527,8 +527,11 @@ object SparkEntry {
     // partial-probe recall is covered in PipelineSpec.
     "s3_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
+      // few fit iterations: with full-probe, centroid quality affects
+      // only cell balance, never the result set
       operators.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3),
-          "embedding", "vec_id", 5, nCentroids = 8, nProbe = 8)
+          "embedding", "vec_id", 5, nCentroids = 8, nProbe = 8,
+          maxIter = 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),

@@ -97,7 +97,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               embCol: String, idCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -107,6 +107,7 @@ object Similarity {
         col(embCol).as("__ce"))
       .withColumn("features", array_to_vector(col("__ce").cast("array<double>")))
     val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setMaxIter(maxIter)
       .setFeaturesCol("features").fit(featurized)
     val indexed = model.transform(featurized)
       .select(col("neighbor_id"), col("__ce"),
