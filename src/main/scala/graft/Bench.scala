@@ -34,6 +34,10 @@ object Bench {
     // (file source → watermark → stateful agg → memory sink).
     def runStreaming(): Double = {
       import org.apache.spark.sql.functions._
+      // same per-query GC isolation as run(): streaming runs last and
+      // must not be billed the batch suite's GC debt
+      System.gc()
+      Thread.sleep(300)
       val t0 = System.nanoTime()
       try {
         // raw schema (ts = Long nanos under the session's nanosAsLong)

@@ -464,7 +464,7 @@ object SparkEntry {
     // Input = documents ∪ one-word-mutated copies so the pair pipeline
     // provably fires end-to-end. The oracle is the EXACT all-pairs
     // jaccard ≥ t set: the LSH candidate stage is probabilistic in
-    // general, but 16 bands × 2 rows gives per-pair recall ≥ 0.993 at
+    // general, but 16 bands × 2 rows gives per-pair recall ≈ 0.990 at
     // j = 0.5 (≥ 1-5e-5 at j ≥ 0.7), and on this deterministic fixture
     // recall is verified exactly 1 at sf0.001/0.01/0.1 — so the
     // verified-pair output equals the exact set and hash-matches.
@@ -1112,9 +1112,17 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(greatest((n - 1) // 64, 0) + 1 AS BIGINT) AS n_frames,
         |  lower(substring(h, 1, 32)) AS frame0_hex,
-        |  CAST(greatest(CAST(floor(w * scale) AS INT), 1) AS BIGINT) AS rw,
-        |  CAST(greatest(CAST(floor(hh * scale) AS INT), 1) AS BIGINT) AS rh,
-        |  CAST(greatest(CAST(floor(n * scale) AS INT), 1) AS BIGINT) AS rb
+        |  -- n = 0: Spark's decodeStub yields null meta, and least/
+        |  -- greatest null-skip to scale 1 with the empty payload
+        |  CASE WHEN n = 0 THEN 1 ELSE
+        |    CAST(greatest(CAST(floor(w * scale) AS INT), 1) AS BIGINT)
+        |  END AS rw,
+        |  CASE WHEN n = 0 THEN 1 ELSE
+        |    CAST(greatest(CAST(floor(hh * scale) AS INT), 1) AS BIGINT)
+        |  END AS rh,
+        |  CASE WHEN n = 0 THEN 0 ELSE
+        |    CAST(greatest(CAST(floor(n * scale) AS INT), 1) AS BIGINT)
+        |  END AS rb
         |FROM g ORDER BY doc_id""".stripMargin,
 
     "t3_text_stats" ->

@@ -21,24 +21,26 @@ object Joins {
 
   /** Backward as-of join: for every left row, the single latest right
     * row with rightTs <= leftTs (optionally within `tolerance`), per
-    * equi-key; unmatched left rows survive with nulls.
+    * equi-key; unmatched left rows survive with nulls. Right rows with
+    * a NULL timestamp never match (same as the rank form's range
+    * predicate evaluating NULL → false).
     *
     * Implementation = sort-merge over the UNION of both sides: tag
-    * rows, sort (key, ts) once, carry the running "last right row id"
-    * with `last(..., ignoreNulls)` over an unbounded-preceding frame,
-    * then rejoin the single matched right row by id. Candidate pairs
-    * are never materialized — the widest intermediate is |L|+|R| rows —
-    * so a hot key costs one sorted partition instead of an N×M fan-out
-    * (the failure mode of the rank-based form at 100TB; kept as
-    * [[asOfJoinBackwardViaRank]] for cross-checking).
+    * rows, sort (key, ts) once, and carry the running "last right ROW"
+    * with `last(..., ignoreNulls)` over an unbounded-preceding frame.
+    * Candidate pairs are never materialized — the widest intermediate
+    * is |L|+|R| rows — so a hot key costs one sorted partition instead
+    * of an N×M fan-out (the failure mode of the rank-based form at
+    * 100TB; kept as [[asOfJoinBackwardViaRank]] for cross-checking).
+    * Carrying the whole right row (not an id to rejoin) keeps the
+    * operator a single pass over `right` — no second evaluation whose
+    * row ids could disagree under nondeterministic upstreams.
     */
   def asOfJoinBackward(left: DataFrame, right: DataFrame,
                        leftKeys: Seq[String], rightKeys: Seq[String],
                        leftTs: String, rightTs: String,
                        tolerance: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val rid = "__asof_rid"
-    val r = right.withColumn(rid, monotonically_increasing_id())
+    import org.apache.spark.sql.types.{StructField, StructType}
 
     // equal-ts right rows tie-break on a hash of the right row's
     // hashable columns (min hash wins, matching the rank form), never
@@ -50,15 +52,21 @@ object Joins {
     val keyAliases = leftKeys.indices.map(i => s"__asof_k$i")
     val lrowType = StructType(left.schema.fields)
     val markType = StructType(Seq(
-      StructField("rid", LongType),
-      StructField("ts", right.schema(rightTs).dataType)))
+      StructField("ts", right.schema(rightTs).dataType),
+      StructField("row", StructType(right.schema.fields))))
 
-    val rBranch = r.select(
-      rightKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++ Seq(
-        col(rightTs).as("__t"), lit(0).as("__side"),
-        struct(col(rid).as("rid"), col(rightTs).as("ts")).as("__mark"),
-        tieBreak.as("__ord"),
-        lit(null).cast(lrowType).as("__lrow")): _*)
+    val rBranch = right
+      // a NULL rightTs would sort first and leak into every left row
+      // via last(ignoreNulls); the rank form's range predicate drops
+      // such rows (NULL comparison → false), so drop them here too
+      .filter(col(rightTs).isNotNull)
+      .select(
+        rightKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++ Seq(
+          col(rightTs).as("__t"), lit(0).as("__side"),
+          struct(col(rightTs).as("ts"),
+            struct(right.columns.map(col): _*).as("row")).as("__mark"),
+          tieBreak.as("__ord"),
+          lit(null).cast(lrowType).as("__lrow")): _*)
     val lBranch = left.select(
       leftKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++ Seq(
         col(leftTs).as("__t"), lit(1).as("__side"),
@@ -77,18 +85,16 @@ object Joins {
     val inRange = tolerance match {
       case Some(tol) =>
         col("__m.ts") >= col("__t") - expr(s"INTERVAL $tol")
-      case None => lit(true)
+      case None => col("__m.ts").isNotNull
     }
     // null join keys never match (equi-join semantics; the window
     // groups nulls together, an equi-join would not)
     val keysNotNull = keyAliases.map(col(_).isNotNull)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val lefts = matched
-      .withColumn("__mrid", when(inRange && keysNotNull, col("__m.rid")))
-      .select(left.columns.map(c =>
-        col("__lrow").getField(c).as(c)) :+ col("__mrid"): _*)
-    lefts.join(r, lefts("__mrid") === r(rid), "left")
-      .drop(rid, "__mrid")
+    val matchRow = when(inRange && keysNotNull, col("__m.row"))
+    matched.select(
+      left.columns.map(c => col("__lrow").getField(c).as(c)) ++
+      right.columns.map(c => matchRow.getField(c).as(c)): _*)
   }
 
   /** Rank-based spelling of [[asOfJoinBackward]]: range join + per-left

@@ -29,7 +29,10 @@ object Udafs {
     override def finish(r: Map[String, Long]): Map[String, Long] = r
     // columnar map encoder (NOT kryo): the state-store buffer stays an
     // introspectable map<string,bigint>, evolvable and faster than an
-    // opaque blob
+    // opaque blob. NOTE: this changed the serialized state format —
+    // checkpoints written by the earlier kryo-buffer build cannot be
+    // resumed across the change (start streaming queries from a fresh
+    // checkpoint when upgrading)
     override def bufferEncoder: Encoder[Map[String, Long]] = {
       import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
       ExpressionEncoder[Map[String, Long]]()

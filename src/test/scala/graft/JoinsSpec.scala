@@ -69,6 +69,24 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("asOfJoinBackward ignores right rows with null timestamps") {
+    val l = Seq((1L, "A", ts(10000))).toDF("lid", "k", "lts")
+    val r = Seq(("A", Option.empty[java.sql.Timestamp], "ghost"),
+      ("A", Some(ts(5000)), "real")).toDF("rk", "rts", "v")
+    for (tol <- Seq(None, Some("1 minute"))) {
+      val got = Joins.asOfJoinBackward(l, r, Seq("k"), Seq("rk"),
+        "lts", "rts", tol).select($"v").head.getString(0)
+      assert(got == "real",
+        s"null-ts right row must never match (tolerance=$tol)")
+    }
+    // only the null-ts row present → left survives unmatched
+    val ghostOnly = Seq(("A", Option.empty[java.sql.Timestamp], "ghost"))
+      .toDF("rk", "rts", "v")
+    val row = Joins.asOfJoinBackward(l, ghostOnly, Seq("k"), Seq("rk"),
+      "lts", "rts").select($"v").head
+    assert(row.isNullAt(0), "left must survive with nulls")
+  }
+
   test("asOfJoinBackward tie-break matches rank form (equal timestamps)") {
     val l = Seq((1L, "A", ts(10000))).toDF("lid", "k", "lts")
     val r = Seq(("A", ts(10000), "r1"), ("A", ts(10000), "r2"),
