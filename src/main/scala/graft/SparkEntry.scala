@@ -407,6 +407,25 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    // Date/time long tail: quarter/dow/ISO-week/format/last_day/
+    // week-trunc/add_months (clamping semantics match DuckDB's
+    // interval-month addition)
+    "q30_datetime_battery" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders").select($"o_orderkey",
+          quarter($"o_orderdate").cast("long").as("qtr"),
+          dayofweek($"o_orderdate").cast("long").as("dow"),
+          weekofyear($"o_orderdate").cast("long").as("wk"),
+          date_format($"o_orderdate", "yyyy-MM").as("ym"),
+          unix_millis(last_day($"o_orderdate").cast("timestamp"))
+            .as("eom_ms"),
+          unix_millis(date_trunc("week", $"o_orderdate"))
+            .as("week_start_ms"),
+          unix_millis(add_months($"o_orderdate", 2).cast("timestamp"))
+            .as("plus2m_ms"))
+        .orderBy($"o_orderkey")
+    }),
+
     // Stream-stream time-range join (DataStream.joinWithinTime) run in
     // batch mode — same plan shape (equi-key + symmetric range), with
     // the aggregation keeping the gate output small
@@ -1033,6 +1052,19 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q30_datetime_battery" ->
+      """SELECT o_orderkey,
+        |  CAST(date_part('quarter', o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(date_part('dow', o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(date_part('week', o_orderdate) AS BIGINT) AS wk,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  epoch_ms(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP))
+        |    AS eom_ms,
+        |  epoch_ms(date_trunc('week', o_orderdate)) AS week_start_ms,
+        |  epoch_ms(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH
+        |    AS TIMESTAMP)) AS plus2m_ms
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q28_range_join" ->
       """SELECT p.user_id, count(*) AS n_pairs,
