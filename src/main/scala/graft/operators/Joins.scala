@@ -35,12 +35,23 @@ object Joins {
     * Carrying the whole right row (not an id to rejoin) keeps the
     * operator a single pass over `right` — no second evaluation whose
     * row ids could disagree under nondeterministic upstreams.
+    *
+    * With a fixed-length (day-time) `tolerance` the sort partition is
+    * additionally TIME-BUCKETED: every right row replicates into its
+    * own floor(ts/tol) bucket and the next one, so any match within
+    * [t-tol, t] is guaranteed present in the left row's own
+    * (key, bucket) partition — a hot key's history spreads over
+    * #buckets tasks instead of one sorted partition (the remaining
+    * skew ceiling of the plain merge). Costs 2× the right rows in the
+    * shuffle; out-of-range carry-ins are nulled by the tolerance
+    * check as before.
     */
   def asOfJoinBackward(left: DataFrame, right: DataFrame,
                        leftKeys: Seq[String], rightKeys: Seq[String],
                        leftTs: String, rightTs: String,
                        tolerance: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.types.{StructField, StructType}
+    import org.apache.spark.sql.types.{StructField, StructType,
+      DayTimeIntervalType, TimestampType}
 
     // equal-ts right rows tie-break on a hash of the right row's
     // hashable columns (min hash wins, matching the rank form), never
@@ -55,7 +66,27 @@ object Joins {
       StructField("ts", right.schema(rightTs).dataType),
       StructField("row", StructType(right.schema.fields))))
 
-    val rBranch = right
+    // fixed-length tolerance (day-time interval) + timestamp columns →
+    // the partition can be time-bucketed; year-month intervals have no
+    // fixed micro length, so they stay on the plain per-key sort
+    val tolMicros: Option[Long] = tolerance.flatMap { tol =>
+      try org.apache.spark.sql.GraftShim.expression(
+          expr(s"INTERVAL $tol")) match {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType.isInstanceOf[DayTimeIntervalType] &&
+              right.schema(rightTs).dataType == TimestampType &&
+              left.schema(leftTs).dataType == TimestampType &&
+              l.value.asInstanceOf[Long] > 0L =>
+          Some(l.value.asInstanceOf[Long])
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    def bucketOf(ts: Column): Column = tolMicros match {
+      case Some(us) => floor(unix_micros(ts) / lit(us)).cast("long")
+      case None => lit(0L)
+    }
+
+    val rBase = right
       // a NULL rightTs would sort first and leak into every left row
       // via last(ignoreNulls); the rank form's range predicate drops
       // such rows (NULL comparison → false), so drop them here too
@@ -67,16 +98,24 @@ object Joins {
             struct(right.columns.map(col): _*).as("row")).as("__mark"),
           tieBreak.as("__ord"),
           lit(null).cast(lrowType).as("__lrow")): _*)
+    // replicate each right row into its own bucket and the next: every
+    // left at time t finds all rights in [t-tol, t] inside bucket(t)
+    val rBranch = tolMicros match {
+      case Some(_) => rBase.withColumn("__bkt",
+        explode(array(bucketOf(col("__t")), bucketOf(col("__t")) + 1)))
+      case None => rBase.withColumn("__bkt", lit(0L))
+    }
     val lBranch = left.select(
       leftKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++ Seq(
         col(leftTs).as("__t"), lit(1).as("__side"),
         lit(null).cast(markType).as("__mark"), lit(0L).as("__ord"),
         struct(left.columns.map(col): _*).as("__lrow")): _*)
+      .withColumn("__bkt", bucketOf(col("__t")))
 
     // rights sort before lefts at equal ts (side 0 < 1): rightTs ==
     // leftTs counts as a match; among tied rights the LAST in __ord
     // desc order (= min hash) wins
-    val w = Window.partitionBy(keyAliases.map(col): _*)
+    val w = Window.partitionBy((keyAliases :+ "__bkt").map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__ord").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = rBranch.unionByName(lBranch)

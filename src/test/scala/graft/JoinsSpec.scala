@@ -121,6 +121,22 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getLong(0) == 3000L)
   }
 
+  test("asOfJoinBackward with day-time tolerance partitions by time bucket") {
+    val l = Seq((1L, "A", ts(100000))).toDF("lid", "k", "lts")
+    val r = Seq(("A", ts(90000), 1.0)).toDF("rk", "rts", "v")
+    val bucketed = Joins.asOfJoinBackward(l, r, Seq("k"), Seq("rk"),
+      "lts", "rts", tolerance = Some("30 seconds"))
+    // hot-key skew protection: the window partition key must include
+    // the time bucket so one key's history spreads over many tasks
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("__bkt"),
+      s"tolerance path must time-bucket the sort partition:\n$plan")
+    // year-month tolerance has no fixed length → plain per-key path
+    val monthly = Joins.asOfJoinBackward(l, r, Seq("k"), Seq("rk"),
+      "lts", "rts", tolerance = Some("1 MONTH"))
+    assert(monthly.count() == 1, "year-month tolerance still works")
+  }
+
   test("saltedJoin is row-identical to the plain equi-join") {
     val orders = Graft.table(spark, sf, "orders")
     val customer = Graft.table(spark, sf, "customer")
