@@ -213,10 +213,12 @@ object DataStream {
     * Each `(alias, agg)` in leftAggs/rightAggs receives a column that
     * is the side's value on its own rows and NULL on the other side's
     * rows — so the side restriction holds only for null-ignoring
-    * aggregates (sum/min/max/avg/count(col)); an agg that ignores its
-    * input (count(lit(1))) would count both sides — for per-side ROW
-    * counts (null values included) set `emitSideCounts` and read
-    * `n_left`/`n_right`, which are computed from the side tag itself.
+    * aggregates (sum/min/max/avg/count(col)). An aggregate that
+    * ignores its input column (count(lit(1)), count(*)) would silently
+    * count BOTH sides — such aggregates are REJECTED here at analysis
+    * time; for per-side ROW counts (null values included) set
+    * `emitSideCounts` and read `n_left`/`n_right`, which are computed
+    * from the side tag itself.
     * Windows missing either side are dropped (inner-join semantics).
     */
   def windowedJoin(left: DataStream, right: DataStream,
@@ -226,6 +228,22 @@ object DataStream {
                    rightAggs: Seq[(String, Column => Column)],
                    leftValueCol: String, rightValueCol: String,
                    emitSideCounts: Boolean = false): DataStream = {
+    // analysis-time guard: probe each agg callback with a marker column
+    // and reject any whose expression never references it — the masked
+    // input is the ONLY thing restricting the agg to its side. (The
+    // marker is matched on the column tree's rendering: Spark 4 Columns
+    // carry a ColumnNode tree that Expression traversal can't enter.)
+    (leftAggs ++ rightAggs).foreach { case (name, f) =>
+      val marker = "__graft_probe_1c9e4b"
+      val usesInput = f(col(marker)).toString.contains(marker)
+      require(usesInput,
+        s"windowedJoin aggregate '$name' ignores its input column, so it " +
+          "would aggregate over BOTH sides of the union (e.g. " +
+          "count(lit(1)) counts left+right rows). Aggregate the given " +
+          "column (its nulls restrict rows to one side), or set " +
+          "emitSideCounts=true and read n_left/n_right for per-side " +
+          "row counts.")
+    }
     val l = left.df.withColumn("__side", lit("l"))
       .withColumn("__lv", col(leftValueCol))
       .withColumn("__rv", lit(null).cast(right.df.schema(rightValueCol).dataType))

@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   * audio libraries): [[decodeStub]] derives deterministic fake
   * dimensions from the byte stream. Everything around it — schema,
   * binary handling, batch shape, partitioning — is real: swap
-  * `fakeDecode` for a JNI/库 call and the pipeline is production.
+  * `fakeDecode` for a JNI/native-codec call and the pipeline is
+  * production.
   */
 object Multimodal {
 

@@ -90,25 +90,41 @@ object Similarity {
     * nearest cells and exact-cosine re-ranks only those vectors.
     *
     * Scale notes: the KMeans fit is the only non-streaming-parallel
-    * step — at 100TB fit on a sample (MLlib KMeans already distributes
-    * the assignment passes); the probe join is an equi-join on
-    * centroid id, candidates ≈ corpus·nProbe/nCentroids per query.
+    * step — at 100TB set `fitSampleFraction` so the iterative fit runs
+    * over a sample (MLlib KMeans distributes each pass, but every
+    * iteration re-scans its input; centroid QUALITY needs only a
+    * representative sample). Assignment always runs over the FULL
+    * corpus, so no vector can drop out of the index. The probe join is
+    * an equi-join on centroid id, candidates ≈ corpus·nProbe/nCentroids
+    * per query.
+    *
+    * @param fitSampleFraction fraction of the corpus the KMeans fit
+    *        sees (1.0 = full corpus). Affects centroid placement (cell
+    *        balance) only — with full probing the result set is
+    *        invariant to it, and partial-probe recall degrades
+    *        gracefully (PipelineSpec covers a 0.5 sampled fit).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               embCol: String, idCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+              seed: Long = 42L, maxIter: Int = 20,
+              fitSampleFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(fitSampleFraction > 0.0 && fitSampleFraction <= 1.0,
+      "fitSampleFraction must be in (0, 1]")
     val spark = corpus.sparkSession
     import spark.implicits._
 
     val featurized = corpus.select(col(idCol).as("neighbor_id"),
         col(embCol).as("__ce"))
       .withColumn("features", array_to_vector(col("__ce").cast("array<double>")))
+    val fitInput =
+      if (fitSampleFraction >= 1.0) featurized
+      else featurized.sample(withReplacement = false, fitSampleFraction, seed)
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setMaxIter(maxIter)
-      .setFeaturesCol("features").fit(featurized)
+      .setFeaturesCol("features").fit(fitInput)
     val indexed = model.transform(featurized)
       .select(col("neighbor_id"), col("__ce"),
         col("prediction").as("__cell"))

@@ -289,6 +289,95 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(viaPartitions == viaExpr)
   }
 
+  test("d4 oracle precondition: banded-LSH recall is exactly 1 on the fixture") {
+    // The d4 gate equates the (probabilistic) banded pair set with the
+    // exact all-pairs jaccard>=0.5 set. That equality only holds while
+    // recall is 1 on the fixture — assert the precondition here so a
+    // future fixture/SF change fails THIS test diagnosably instead of
+    // flaking the driver gate. Same parameters as d4 (32 hashes, 16
+    // bands, threshold 0.5, docs ∪ one-word-mutated copies).
+    val docs = Graft.table(spark, sf, "documents")
+    val mutated = docs
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", regexp_replace(col("text"), "the", "thee"))
+    val input = docs.unionByName(mutated)
+    val banded = Dedup.minhashNearDupPairs(input, "text", "doc_id",
+        numHashes = 32, bands = 16, threshold = 0.5)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    // exact all-pairs set via the inverted-index join (no LSH stage)
+    val exact = Dedup.jaccardPairsWithinBlock(
+        input.withColumn("__blk", lit(1)), "text", "doc_id", "__blk",
+        shingleN = 3, threshold = 0.5)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    val missed = exact -- banded
+    assert(missed.isEmpty,
+      s"banded LSH lost ${missed.size} exact pairs (recall < 1): " +
+        s"${missed.take(5)} — re-verify the d4 oracle before trusting the gate")
+    assert(banded.subsetOf(exact),
+      "verified banded output must never exceed the exact set")
+  }
+
+  test("s2 oracle precondition: multi-probe LSH top-k equals exact top-k") {
+    // Same reasoning as the d4 precondition: the s2 gate uses the exact
+    // top-k oracle, valid only while the candidate set contains the
+    // true neighbors on the fixture (8 tables × hamming<=2 probes).
+    val emb = Graft.table(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding",
+        "vec_id", 5).select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val ann = Similarity.lshTopK(emb, queries, "embedding", "vec_id", 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(ann == exact,
+      "LSH top-k diverged from exact top-k — the s2 oracle precondition " +
+        "(candidate set ⊇ true top-k) no longer holds on this fixture")
+  }
+
+  test("q26 oracle precondition: approx_count_distinct exact at this cardinality") {
+    // q26 pairs Spark's HLL++ against DuckDB's exact COUNT(DISTINCT) —
+    // equality holds only while per-group cardinality stays far below
+    // the sketch's error regime. Assert both the cardinality bound and
+    // the exactness itself so growth fails here first.
+    val li = Graft.table(spark, sf, "lineitem")
+    val rows = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_linestatus").as("exact"),
+        expr("approx_count_distinct(l_linestatus)").as("approx"))
+      .select($"exact", $"approx").as[(Long, Long)].collect()
+    assert(rows.forall(_._1 <= 16),
+      "l_linestatus cardinality grew beyond the provably-exact HLL range — " +
+        "restructure the q26 oracle before trusting the gate")
+    assert(rows.forall(r => r._1 == r._2),
+      s"approx_count_distinct != exact on fixture: ${rows.toSeq}")
+  }
+
+  test("ivfTopK sampled fit: full-probe invariant, partial-probe recall holds") {
+    val emb = Graft.table(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    // full probe: result set is invariant to centroid placement, so a
+    // 0.5-sample fit must return exactly the unsampled result
+    val full = Similarity.ivfTopK(emb, queries, "embedding", "vec_id", 10,
+        nCentroids = 8, nProbe = 8, maxIter = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val sampledFit = Similarity.ivfTopK(emb, queries, "embedding", "vec_id",
+        10, nCentroids = 8, nProbe = 8, maxIter = 3,
+        fitSampleFraction = 0.5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(sampledFit == full,
+      "full-probe IVF must be invariant to the fit sample")
+    // partial probe: sampled centroids still give useful recall
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding",
+        "vec_id", 10).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val partial = Similarity.ivfTopK(emb, queries, "embedding", "vec_id",
+        10, nCentroids = 16, nProbe = 4, fitSampleFraction = 0.5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & partial).size.toDouble / exact.size
+    assert(recall >= 0.5, s"sampled-fit IVF recall $recall too low")
+  }
+
   test("frame sampling slices blobs into 16-byte frames") {
     val df = Seq("0123456789abcdef" * 8).toDF("t")
       .select(Multimodal.frameSampleStub(

@@ -67,7 +67,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   test("session sizes shuffle partitions to cores, AQE on") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
-    assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 64,
-      "local shuffle partitions must be core-sized, not the 200 default")
+    // Graft.session sets shuffle partitions = its cores argument; assert
+    // that exact wiring (a fixed ceiling would flake on big hosts, and
+    // "not 200" alone wouldn't catch the conf being dropped)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "4",
+      "shuffle partitions must equal the session's core count, " +
+        "not Spark's 200 default")
   }
 }

@@ -234,4 +234,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Double]("sum_temp") == 7.0)
     } finally q.stop()
   }
+
+  test("windowedJoin rejects input-ignoring aggregates at analysis time") {
+    val (_, temp) = measurementStream()
+    val (_, hum) = measurementStream()
+    // count(lit(1)) ignores the masked input column and would count
+    // BOTH sides of the union — must throw before any query starts
+    val e = intercept[IllegalArgumentException] {
+      DataStream.windowedJoin(temp, hum,
+        groupCols = Seq("sensor_name"), length = "10 seconds", slide = None,
+        leftAggs = Seq("n" -> ((_: org.apache.spark.sql.Column) =>
+          count(lit(1)))),
+        rightAggs = Seq.empty,
+        leftValueCol = "reading", rightValueCol = "reading")
+    }
+    assert(e.getMessage.contains("ignores its input column") &&
+      e.getMessage.contains("emitSideCounts"),
+      s"rejection must name the footgun and the fix: ${e.getMessage}")
+    // a valid null-ignoring aggregate still passes the guard
+    DataStream.windowedJoin(temp, hum,
+      groupCols = Seq("sensor_name"), length = "10 seconds", slide = None,
+      leftAggs = Seq("n" -> ((c: org.apache.spark.sql.Column) => count(c))),
+      rightAggs = Seq.empty,
+      leftValueCol = "reading", rightValueCol = "reading")
+  }
 }
