@@ -514,6 +514,21 @@ object SparkEntry {
         .orderBy(col("doc_id_1"), col("doc_id_2"))
     }),
 
+    // 128-bit SimHash (the scale path past d5's 16-bit-band ceiling):
+    // same MD5-token votes extended to the full digest, banded 4×32-bit
+    // — still pigeonhole-exact at hamming ≤ 3, and DuckDB still
+    // recomputes every signature bit from md5(token) hex, so this is a
+    // hard oracle over the WIDE signature family.
+    "d7_simhash128_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mutated = docs
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", regexp_replace(col("text"), "the", "thee"))
+      operators.Dedup.simhash128NearDupPairs(docs.unionByName(mutated),
+          "text", "doc_id", maxHamming = 3)
+        .orderBy(col("doc_id_1"), col("doc_id_2"))
+    }),
+
     "d6_embedding_neardup" -> ((s, d) =>
       operators.Dedup.embeddingNearDupPairs(t(s, d, "embeddings"),
           "embedding", "vec_id", "label", threshold = 0.35)
@@ -1006,6 +1021,40 @@ object SparkEntry {
         |pairs AS (
         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
         |    len(list_filter(range(1, 65), i ->
+        |      substring(a.sig, CAST(i AS INT), 1) !=
+        |      substring(b.sig, CAST(i AS INT), 1))) AS hamming
+        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+        |SELECT doc_id_1, doc_id_2, CAST(hamming AS INT) AS hamming
+        |FROM pairs WHERE hamming <= 3
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+
+    "d7_simhash128_pairs" ->
+      """WITH du AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    regexp_replace(text, 'the', 'thee', 'g') FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '\s+')) AS tok
+        |  FROM du),
+        |th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef',
+        |        substring(h, CAST(k // 4 + 1 AS INT), 1)) - 1)
+        |        >> CAST(3 - k % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 128)) AS k) ks
+        |  GROUP BY doc_id, k),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+        |      ORDER BY k) AS sig
+        |  FROM bits GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |    len(list_filter(range(1, 129), i ->
         |      substring(a.sig, CAST(i AS INT), 1) !=
         |      substring(b.sig, CAST(i AS INT), 1))) AS hamming
         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)

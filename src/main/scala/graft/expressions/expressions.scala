@@ -228,10 +228,70 @@ case class SimHashMd5(child: Expression)
 object SimHashMd5 {
   // MessageDigest is stateful and not thread-safe; expression instances
   // can be shared across tasks in one executor JVM
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
+  private[expressions] val digests =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+}
+
+/** 128-bit MD5 SimHash over an array<string> of tokens → array<bigint>
+  * of [hi, lo]: the full 16-byte digest votes per bit (bit 0 = MSB of
+  * the digest, hi word first), so `hi` equals [[SimHashMd5]]'s 64-bit
+  * signature exactly and `lo` extends it with the remaining 64 digest
+  * bits.
+  *
+  * This is the scale path past the 64-bit family's ceiling: banding
+  * 128 bits as 4×32-bit keys keeps the hamming≤3 pigeonhole guarantee
+  * while growing the bucket space from 2^16 to 2^32 per band — the
+  * expected within-bucket candidate volume drops from N²/65k to
+  * N²/4.3B per band, so the banded join stays linear far beyond the
+  * ~10M-docs-per-scope point where 16-bit buckets saturate. Same
+  * external verifiability as [[SimHashMd5]]: any engine with md5()
+  * recomputes signatures bit-for-bit.
+  */
+case class SimHashMd5Wide(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash128_md5 requires array<string>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = SimHashMd5.digests.get()
+    val votes = new Array[Int](128)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
+        var k = 0
+        while (k < 128) {
+          if (((digest(k >> 3) >> (7 - (k & 7))) & 1) == 1) votes(k) += 1
+          else votes(k) -= 1
+          k += 1
+        }
+      }
+      i += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var k = 0
+    while (k < 64) { if (votes(k) > 0) hi |= (1L << (63 - k)); k += 1 }
+    while (k < 128) { if (votes(k) > 0) lo |= (1L << (127 - k)); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(hi, lo))
   }
+
+  override protected def withNewChildInternal(c: Expression): SimHashMd5Wide =
+    copy(child = c)
 }
 
 /** Distinct word n-gram shingles hashed straight to 64-bit values in

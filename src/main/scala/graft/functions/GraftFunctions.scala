@@ -39,6 +39,8 @@ object GraftFunctions {
       es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64_text",
       es => SimHashText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash128_md5",
+      es => SimHashMd5Wide(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash",
       es => RollingHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",

@@ -30,6 +30,14 @@ package object functions {
   def simhash64_md5(tokens: Column): Column =
     c(expressions.SimHashMd5(GraftShim.expression(tokens)))
 
+  /** 128-bit MD5 SimHash of a token array → array<bigint> [hi, lo];
+    * hi == simhash64_md5. The scale path past 64-bit banding: 4×32-bit
+    * bands give 2^32 buckets per band (vs 2^16), removing the
+    * ~10M-docs-per-scope candidate-volume ceiling.
+    */
+  def simhash128_md5(tokens: Column): Column =
+    c(expressions.SimHashMd5Wide(GraftShim.expression(tokens)))
+
   /** Distinct word n-gram shingles hashed to longs in one pass over
     * the UTF-8 bytes (no token/shingle strings).
     */

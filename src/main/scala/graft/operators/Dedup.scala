@@ -161,8 +161,9 @@ object Dedup {
     *
     * Scale limit: 16-bit bands have 65,536 buckets, so expected
     * candidate volume grows as N²/65k per band — fine to ~10M docs per
-    * blocking scope; beyond that, widen the signature (128-bit SimHash
-    * → 4×32-bit bands) or add a coarse blocking key (length bucket,
+    * blocking scope; beyond that use the 128-bit signature path
+    * ([[simhash128NearDupPairs]] / [[simhashPairsFromSig128]]: 4×32-bit
+    * bands, 2^32 buckets) or add a coarse blocking key (length bucket,
     * language) to the join, exactly as with MinHash banding.
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
@@ -170,19 +171,32 @@ object Dedup {
     simhashPairsFromSig(df, graft.functions.simhash64_text(col(textCol)),
       idCol, maxHamming)
 
-  /** Banded near-dup pairs from an arbitrary 64-bit signature column —
-    * same banding/verify as [[simhashNearDupPairs]]; callers pick the
-    * signature family (e.g. simhash64_md5 for externally verifiable
-    * signatures).
+  /** Banded candidate pairs from an array<bigint> signature column:
+    * every 64-bit word splits into 64/bandBits keys, pairs equal on
+    * ≥1 (band, key) surface exactly once. Output: (id1, id2, sig1,
+    * sig2) with sig columns as the word arrays. Public so specs can
+    * measure candidate volume per band width; the pair functions
+    * below add the hamming verify.
     */
-  def simhashPairsFromSig(df: DataFrame, sig: Column, idCol: String,
-                          maxHamming: Int = 3): DataFrame = {
-    val withBands = df.select(col(idCol), sig.as("__sig"))
-      .withColumn("__bands", array((0 until 4).map(b =>
-        shiftrightunsigned(col("__sig"), b * 16)
-          .bitwiseAND(lit(0xFFFFL))): _*))
-    val exploded = withBands.select(col(idCol), col("__sig"),
-      posexplode(col("__bands")).as(Seq("__band_idx", "__band_key")))
+  def simhashBandCandidates(df: DataFrame, sig: Column, idCol: String,
+                            bandBits: Int): DataFrame = {
+    require(bandBits == 16 || bandBits == 32, "bandBits must be 16 or 32")
+    val perWord = 64 / bandBits
+    val mask = (1L << bandBits) - 1L
+    val base = df.select(col(idCol), sig.as("__sig"))
+    require(base.schema("__sig").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType == org.apache.spark.sql.types.LongType,
+      "signature must be array<bigint>")
+    val bands = array((0 until 4).map { b =>
+      val word = element_at(col("__sig"), b / perWord + 1)
+      shiftrightunsigned(word, (b % perWord) * bandBits)
+        .bitwiseAND(lit(mask))
+    }: _*)
+    val exploded = base
+      .withColumn("__bands", bands)
+      .select(col(idCol), col("__sig"),
+        posexplode(col("__bands")).as(Seq("__band_idx", "__band_key")))
     val l = exploded.select(col(idCol).as("id1"), col("__sig").as("sig1"),
       col("__band_idx"), col("__band_key"))
     val r = exploded.select(col(idCol).as("id2"), col("__sig").as("sig2"),
@@ -190,11 +204,45 @@ object Dedup {
     l.join(r, Seq("__band_idx", "__band_key"))
       .filter(col("id1") < col("id2"))
       .dropDuplicates("id1", "id2")
-      .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(col("sig2"))))
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+  }
+
+  private def bandedPairs(df: DataFrame, sigWords: Column, idCol: String,
+                          bandBits: Int, maxHamming: Int): DataFrame =
+    simhashBandCandidates(df, sigWords, idCol, bandBits)
+      .withColumn("hamming",
+        aggregate(zip_with(col("sig1"), col("sig2"),
+            (a, b) => bit_count(a.bitwiseXOR(b))),
+          lit(0), (acc, x) => acc + x))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1").as(s"${idCol}_1"), col("id2").as(s"${idCol}_2"),
         col("hamming"))
-  }
+
+  /** Banded near-dup pairs from an arbitrary 64-bit signature column —
+    * same banding/verify as [[simhashNearDupPairs]]; callers pick the
+    * signature family (e.g. simhash64_md5 for externally verifiable
+    * signatures).
+    */
+  def simhashPairsFromSig(df: DataFrame, sig: Column, idCol: String,
+                          maxHamming: Int = 3): DataFrame =
+    bandedPairs(df, array(sig), idCol, bandBits = 16, maxHamming)
+
+  /** Banded near-dup pairs from a 128-bit array<bigint> [hi, lo]
+    * signature (graft.functions.simhash128_md5): 4×32-bit bands keep
+    * the hamming≤3 pigeonhole guarantee with 2^32 buckets per band —
+    * candidate volume N²/4.3B per band, removing the 64-bit family's
+    * ~10M-docs-per-scope ceiling.
+    */
+  def simhashPairsFromSig128(df: DataFrame, sig: Column, idCol: String,
+                             maxHamming: Int = 3): DataFrame =
+    bandedPairs(df, sig, idCol, bandBits = 32, maxHamming)
+
+  /** 128-bit SimHash near-dup pairs straight from text. */
+  def simhash128NearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                             maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSig128(df,
+      graft.functions.simhash128_md5(TextAnalysis.tokenize(col(textCol))),
+      idCol, maxHamming)
 
   /** Embedding-cosine near-dup pairs within a blocking column (e.g. a
     * cluster/label/LSH bucket — at 100TB you never do global all-pairs).

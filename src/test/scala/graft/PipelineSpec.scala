@@ -147,6 +147,76 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "exactly the ≤3-hamming pair must surface, with exact distance")
   }
 
+  test("simhash128_md5: hi word equals simhash64_md5, lo extends the digest") {
+    // the wide signature must be a strict extension of the 64-bit one —
+    // independent MD5 reimplementation over all 128 digest bits
+    def refSig128(tokens: Seq[String]): (Long, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](128)
+      tokens.foreach { t =>
+        md.reset()
+        val d = md.digest(t.getBytes("UTF-8"))
+        for (k <- 0 until 128)
+          if (((d(k >> 3) >> (7 - (k & 7))) & 1) == 1) votes(k) += 1
+          else votes(k) -= 1
+      }
+      val hi = (0 until 64).foldLeft(0L)((s, k) =>
+        if (votes(k) > 0) s | (1L << (63 - k)) else s)
+      val lo = (64 until 128).foldLeft(0L)((s, k) =>
+        if (votes(k) > 0) s | (1L << (127 - k)) else s)
+      (hi, lo)
+    }
+    val docs = Seq("the quick brown fox", "pack my box with five dozen jugs",
+      "héllo wörld 中文 分词")
+    val got = docs.toDF("text")
+      .select(graft.functions.simhash128_md5(
+          TextAnalysis.tokenize(col("text"))).as("w"),
+        graft.functions.simhash64_md5(
+          TextAnalysis.tokenize(col("text"))).as("s64"))
+      .as[(Seq[Long], Long)].collect()
+    docs.zip(got).foreach { case (doc, (wide, s64)) =>
+      val (hi, lo) = refSig128(doc.trim.split("\\s+").toSeq)
+      assert(wide == Seq(hi, lo), s"wide signature mismatch for '$doc'")
+      assert(wide.head == s64, "hi word must equal the 64-bit signature")
+    }
+  }
+
+  test("simhashPairsFromSig128 finds all ≤3-hamming pairs (pigeonhole over 4×32)") {
+    val rows = Seq(
+      (1L, Seq(0x0123456789abcdefL, 0x0f1e2d3c4b5a6978L)),
+      // hamming 3, all in one 32-bit band of the lo word
+      (2L, Seq(0x0123456789abcdefL, 0x0f1e2d3c4b5a6978L ^ 0x7L)),
+      // hamming 4 spread over all four bands — no band collides
+      (3L, Seq(0x0123456789abcdefL ^ 0x0000000100000001L,
+               0x0f1e2d3c4b5a6978L ^ 0x0000000100000001L)),
+      (4L, Seq(0xfedcba9876543210L, 0x1020304050607080L)))
+    val df = rows.toDF("doc_id", "sig")
+    val pairs = Dedup.simhashPairsFromSig128(df, col("sig"), "doc_id",
+        maxHamming = 3)
+      .select($"doc_id_1", $"doc_id_2", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 3)),
+      s"exactly the ≤3-hamming pair must surface, got $pairs")
+  }
+
+  test("32-bit bands collapse candidate volume vs 16-bit bands") {
+    // N unrelated random signatures: expected spurious candidates are
+    // ~4·C(N,2)/2^16 for 16-bit bands but ~4·C(N,2)/2^32 for 32-bit —
+    // the reason the wide path scales past ~10M docs per scope
+    val rnd = new java.util.Random(42)
+    val sigs = (0 until 2000).map(i =>
+      (i.toLong, Seq(rnd.nextLong(), rnd.nextLong())))
+    val df = sigs.toDF("doc_id", "sig")
+    val narrow = Dedup.simhashBandCandidates(df,
+      array(element_at(col("sig"), 1)), "doc_id", bandBits = 16).count()
+    val wide = Dedup.simhashBandCandidates(df, col("sig"), "doc_id",
+      bandBits = 32).count()
+    assert(narrow >= 50L,
+      s"fixture too small to show 16-bit collisions (got $narrow)")
+    assert(wide * 10 < narrow,
+      s"32-bit bands must collapse candidate volume: narrow=$narrow wide=$wide")
+  }
+
   test("embedding near-dup: bucketed pair join matches unbucketed, " +
       "spreads the block") {
     val emb = Graft.table(spark, sf, "embeddings")
