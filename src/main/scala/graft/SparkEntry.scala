@@ -407,6 +407,29 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    // approx percentile battery with a hard oracle: at accuracy
+    // 1,000,000 the GK sketch's rank error is n/accuracy < 1 rank at
+    // every gated SF, so percentile_approx returns the element at
+    // exactly rank ceil(p·n) — the same discrete-quantile convention
+    // DuckDB's quantile_disc implements (verified empirically for
+    // n=4,5,6,10 and all three quartiles). Outputs are actual data
+    // elements, so no rounding is needed.
+    "q31_approx_percentile" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile_approx(l_quantity, array(0.25D, 0.5D, 0.75D), " +
+            "1000000)").as("q"),
+          expr("percentile_approx(l_extendedprice, 0.5D, 1000000)")
+            .as("med_price"),
+          count(lit(1)).as("n"))
+        .select($"l_returnflag", element_at($"q", 1).as("q25"),
+          element_at($"q", 2).as("q50"), element_at($"q", 3).as("q75"),
+          $"med_price", $"n")
+        .orderBy($"l_returnflag")
+    }),
+
     // Date/time long tail: quarter/dow/ISO-week/format/last_day/
     // week-trunc/add_months (clamping semantics match DuckDB's
     // interval-month addition)
@@ -1101,6 +1124,16 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q31_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS q25,
+        |  quantile_disc(l_quantity, 0.5) AS q50,
+        |  quantile_disc(l_quantity, 0.75) AS q75,
+        |  quantile_disc(l_extendedprice, 0.5) AS med_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q30_datetime_battery" ->
       """SELECT o_orderkey,

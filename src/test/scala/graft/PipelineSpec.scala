@@ -421,6 +421,27 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       s"approx_count_distinct != exact on fixture: ${rows.toSeq}")
   }
 
+  test("q31 oracle precondition: percentile sketch is rank-exact at gate scale") {
+    // q31's oracle equality needs rank error n/accuracy < 1 per group
+    // AND agreement with the ceil(p·n) discrete-quantile convention —
+    // assert both directly so data growth fails here, not at the gate
+    val li = Graft.table(spark, sf, "lineitem")
+    val counts = li.groupBy($"l_returnflag").count()
+      .select($"count").as[Long].collect()
+    assert(counts.forall(_ < 1000000L / 2),
+      "group size approaching sketch accuracy — q31 oracle no longer exact")
+    val groups = li.groupBy($"l_returnflag")
+      .agg(expr("percentile_approx(l_quantity, 0.5D, 1000000)").as("p50"))
+      .select($"l_returnflag", $"p50").as[(String, Double)].collect()
+    groups.foreach { case (flag, p50) =>
+      val vals = li.filter($"l_returnflag" === flag)
+        .select($"l_quantity").as[Double].collect().sorted
+      val exact = vals(math.ceil(0.5 * vals.length).toInt - 1)
+      assert(p50 == exact,
+        s"sketch p50 $p50 != exact ceil-rank quantile $exact for $flag")
+    }
+  }
+
   test("ivfTopK sampled fit: full-probe invariant, partial-probe recall holds") {
     val emb = Graft.table(spark, sf, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
