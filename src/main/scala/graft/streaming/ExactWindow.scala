@@ -2,36 +2,164 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, ExpiredTimerInfo,
+  TTLConfig, ValueState}
+import org.apache.spark.sql.types._
 
 /** Reference-exact streaming window emission as a custom stateful
   * operator (SURVEY §7.2 item 2): the reference's GroupedWindowAggStream
   * (/root/reference/crates/core/src/physical_plan/continuous/
   * grouped_window_agg_stream.rs:110-420) keeps one frame per open
-  * (group, window-start), emits a window exactly when the watermark
-  * passes its end, and drops batches for already-emitted windows.
+  * (group, window-start), runs ARBITRARY accumulators per frame
+  * (grouped_window_agg_stream.rs builds GroupsAccumulators from any
+  * aggregate exprs; py udaf_example.py:30-89 runs a map-state UDAF
+  * inside a window), emits a window exactly when the watermark passes
+  * its end, and drops batches for already-emitted windows.
   *
   * Spark's built-in append-mode aggregate matches those semantics
   * closely (StreamingSpec proves it); this operator exists for the
   * cases where frame-exact control matters — custom state layout,
-  * per-window side effects, non-standard late policies — implemented
-  * with flatMapGroupsWithState + EventTimeTimeout, the Spark-native
-  * custom-stateful tier (one step below a full SparkStrategy, which
-  * these semantics do not require).
+  * per-window side effects, non-standard late policies.
   *
-  * Aggregates computed per (group, window): count, sum, min, max, avg
-  * over one value column — the reference example set
-  * (simple_aggregation.rs:47-52).
+  * Two interchangeable execution tiers behind the same surface:
+  *  - [[slidingRows]] default: flatMapGroupsWithState +
+  *    EventTimeTimeout (Spark's long-stable custom-stateful API);
+  *  - `useTransformWithState = true`: the Spark 4 successor operator
+  *    (StatefulProcessor + event-time timers, per-state-variable TTL,
+  *    evolvable state schema). Both pass the same ExactWindowSpec
+  *    matrix; both checkpoint/restore through the state store.
+  *
+  * Aggregates are caller-supplied [[ExactAgg]]s — any typed
+  * `Aggregator` (including map-state UDAFs like Udafs.CountByValue)
+  * lifts into the operator via `ExactAgg(name, extract, agg, type)`,
+  * matching the reference's arbitrary-accumulator frames. Group keys
+  * are any number of columns. The classic count/sum/min/max/avg
+  * surface ([[tumbling]]/[[sliding]]) is a thin preset over the same
+  * path.
   */
 object ExactWindow {
 
-  case class WindowKey(group: String, windowStartMs: Long)
-  case class AggState(n: Long, sum: Double, min: Double, max: Double)
-  case class WindowResult(group: String, window_start_time: Timestamp,
-      window_end_time: Timestamp, n: Long, sum: Double, min: Double,
-      max: Double, avg: Double)
+  /** One named aggregate slot inside the exact-emission operator:
+    * reduce rows into a buffer, serialize the buffer into the state
+    * store between micro-batches (via the aggregator's own
+    * bufferEncoder — columnar, restart-safe), finish at emission.
+    */
+  trait ExactAgg extends Serializable {
+    def name: String
+    def outputType: DataType
+    def init(): Any
+    def reduce(buf: Any, row: Row): Any
+    def finish(buf: Any): Any
+    def toBytes(buf: Any): Array[Byte]
+    def fromBytes(bytes: Array[Byte]): Any
+  }
+
+  object ExactAgg {
+
+    /** Lift a typed Aggregator into the operator. `extract` pulls the
+      * aggregator's input out of the full row (column access by name),
+      * so one operator invocation can aggregate different columns.
+      */
+    def apply[I, B, O](aggName: String, extract: Row => I,
+                       agg: Aggregator[I, B, O],
+                       output: DataType): ExactAgg = new ExactAgg {
+      // encoder machinery materializes lazily on each executor; the
+      // buffer crosses micro-batches as the UnsafeRow bytes of the
+      // aggregator's OWN bufferEncoder (same layout Spark would use
+      // for this Aggregator in a built-in aggregate)
+      @transient private lazy val enc: ExpressionEncoder[B] =
+        org.apache.spark.sql.catalyst.encoders.encoderFor(agg.bufferEncoder)
+          .resolveAndBind()
+      @transient private lazy val ser = enc.createSerializer()
+      @transient private lazy val deser = enc.createDeserializer()
+      @transient private lazy val proj =
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(enc.schema)
+
+      override def name: String = aggName
+      override def outputType: DataType = output
+      override def init(): Any = agg.zero
+      override def reduce(buf: Any, row: Row): Any =
+        agg.reduce(buf.asInstanceOf[B], extract(row))
+      override def finish(buf: Any): Any = agg.finish(buf.asInstanceOf[B])
+      override def toBytes(buf: Any): Array[Byte] =
+        proj(ser(buf.asInstanceOf[B])).copy().getBytes
+      override def fromBytes(bytes: Array[Byte]): Any = {
+        val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(
+          enc.schema.fields.length)
+        r.pointTo(bytes, bytes.length)
+        deser(r)
+      }
+    }
+
+    /** Numeric presets over a double column (null rows are dropped by
+      * the operator before reduction, matching built-in agg nulls).
+      */
+    def count(name: String, valueCol: String): ExactAgg =
+      apply[Double, Long, Long](name, _.getAs[Double](valueCol),
+        new CountA, LongType)
+    def sum(name: String, valueCol: String): ExactAgg =
+      apply[Double, Double, Double](name, _.getAs[Double](valueCol),
+        new SumA, DoubleType)
+    def min(name: String, valueCol: String): ExactAgg =
+      apply[Double, Double, Double](name, _.getAs[Double](valueCol),
+        new MinA, DoubleType)
+    def max(name: String, valueCol: String): ExactAgg =
+      apply[Double, Double, Double](name, _.getAs[Double](valueCol),
+        new MaxA, DoubleType)
+    def avg(name: String, valueCol: String): ExactAgg =
+      apply[Double, (Long, Double), Double](name, _.getAs[Double](valueCol),
+        new AvgA, DoubleType)
+  }
+
+  private class CountA extends Aggregator[Double, Long, Long] {
+    override def zero: Long = 0L
+    override def reduce(b: Long, a: Double): Long = b + 1
+    override def merge(x: Long, y: Long): Long = x + y
+    override def finish(r: Long): Long = r
+    override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+  private class SumA extends Aggregator[Double, Double, Double] {
+    override def zero: Double = 0.0
+    override def reduce(b: Double, a: Double): Double = b + a
+    override def merge(x: Double, y: Double): Double = x + y
+    override def finish(r: Double): Double = r
+    override def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+  private class MinA extends Aggregator[Double, Double, Double] {
+    override def zero: Double = Double.MaxValue
+    override def reduce(b: Double, a: Double): Double = math.min(b, a)
+    override def merge(x: Double, y: Double): Double = math.min(x, y)
+    override def finish(r: Double): Double = r
+    override def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+  private class MaxA extends Aggregator[Double, Double, Double] {
+    override def zero: Double = Double.MinValue
+    override def reduce(b: Double, a: Double): Double = math.max(b, a)
+    override def merge(x: Double, y: Double): Double = math.max(x, y)
+    override def finish(r: Double): Double = r
+    override def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+  private class AvgA extends Aggregator[Double, (Long, Double), Double] {
+    override def zero: (Long, Double) = (0L, 0.0)
+    override def reduce(b: (Long, Double), a: Double): (Long, Double) =
+      (b._1 + 1, b._2 + a)
+    override def merge(x: (Long, Double), y: (Long, Double)): (Long, Double) =
+      (x._1 + y._1, x._2 + y._2)
+    override def finish(r: (Long, Double)): Double = r._2 / r._1
+    override def bufferEncoder: Encoder[(Long, Double)] =
+      ExpressionEncoder[(Long, Double)]()
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
 
   /** @param df streaming frame
     * @param groupCol   group key column (string)
@@ -45,18 +173,54 @@ object ExactWindow {
                delay: String = "0 seconds"): DataFrame =
     sliding(df, groupCol, tsCol, valueCol, lengthMs, lengthMs, delay)
 
-  /** Sliding variant: each row feeds every overlapping frame — the
-    * reference's `get_windows_for_watermark` row routing
-    * (grouped_window_agg_stream.rs:443-650); slide == length degrades
-    * to tumbling.
+  /** Classic single-key count/sum/min/max/avg surface — the reference
+    * example set (simple_aggregation.rs:47-52) — as a preset over
+    * [[slidingRows]]. Output columns: group, window_start_time,
+    * window_end_time, n, sum, min, max, avg.
     */
   def sliding(df: DataFrame, groupCol: String, tsCol: String,
               valueCol: String, lengthMs: Long, slideMs: Long,
-              delay: String = "0 seconds"): DataFrame = {
+              delay: String = "0 seconds",
+              useTransformWithState: Boolean = false): DataFrame = {
+    val projected = df
+      // primitive Double buffers: a null value would kill the query,
+      // built-in aggs skip nulls — match that contract here
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group"),
+        col(tsCol).as("__ts"), col(valueCol).cast("double").as("v"))
+    slidingRows(projected, Seq("group"), "__ts", lengthMs, slideMs,
+      Seq(ExactAgg.count("n", "v"), ExactAgg.sum("sum", "v"),
+        ExactAgg.min("min", "v"), ExactAgg.max("max", "v"),
+        ExactAgg.avg("avg", "v")),
+      delay, useTransformWithState)
+  }
+
+  /** Sliding window with ARBITRARY aggregates and multi-column group
+    * keys — the general form matching the reference's
+    * arbitrary-accumulator frames. Each row feeds every overlapping
+    * frame (the reference's `get_windows_for_watermark` row routing,
+    * grouped_window_agg_stream.rs:443-650); slide == length degrades
+    * to tumbling.
+    *
+    * Output schema: groupCols (original types) ++ window_start_time,
+    * window_end_time ++ one column per [[ExactAgg]].
+    *
+    * @param useTransformWithState run on Spark 4's transformWithState
+    *        (StatefulProcessor + event-time timers) instead of
+    *        flatMapGroupsWithState + EventTimeTimeout; semantics are
+    *        identical, state layouts differ (not checkpoint-compatible
+    *        with each other).
+    */
+  def slidingRows(df: DataFrame, groupCols: Seq[String], tsCol: String,
+                  lengthMs: Long, slideMs: Long, aggs: Seq[ExactAgg],
+                  delay: String = "0 seconds",
+                  useTransformWithState: Boolean = false): DataFrame = {
     require(slideMs > 0 && lengthMs >= slideMs,
       "need 0 < slide <= length")
-    val spark = df.sparkSession
-    import spark.implicits._
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(aggs.nonEmpty, "need at least one aggregate")
+    require(aggs.map(_.name).distinct.length == aggs.length,
+      "aggregate names must be unique")
     // non-multiple slides: ceil(length/slide) candidate frames per row,
     // the range filter below trims the one candidate that may fall out
     // (matches Spark's window() and the reference's per-row routing —
@@ -65,51 +229,108 @@ object ExactWindow {
 
     // frame explosion stays at Column level: an object-level flatMap
     // would strip the watermark tag from the event-time column and
-    // EventTimeTimeout requires it downstream
-    val tsMs = unix_millis(col("ts"))
+    // event-time timeouts/timers require it downstream
+    val tsMs = unix_millis(col(tsCol))
     val newest = tsMs - pmod(tsMs, lit(slideMs))
-    val keyed = df.withWatermark(tsCol, delay)
-      // primitive Double encoding below: a null value would kill the
-      // query, built-in aggs skip nulls — match that contract here
-      .filter(col(valueCol).isNotNull)
-      .select(col(groupCol).cast("string").as("g"),
-        col(tsCol).as("ts"), col(valueCol).cast("double").as("v"))
-      .withColumn("ws", explode(array(
+    val prepared = df.withWatermark(tsCol, delay)
+      .withColumn("__ws", explode(array(
         (0 until framesPerRow).map(k => newest - lit(k * slideMs)): _*)))
-      .filter(col("ws") > tsMs - lit(lengthMs))
-      .as[(String, Timestamp, Double, Long)]
-      // NOTE: no mapValues — it re-serializes the value columns and
-      // strips the watermark tag EventTimeTimeout depends on
-      .groupByKey { case (g, _, _, ws) => WindowKey(g, ws) }(
-        Encoders.product[WindowKey])
+      .filter(col("__ws") > tsMs - lit(lengthMs))
 
-    keyed.flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-      (key: WindowKey, rows: Iterator[(String, Timestamp, Double, Long)],
-       state: GroupState[AggState]) => {
-        if (state.hasTimedOut) {
-          // watermark passed window end → emit once, drop the frame
-          val s = state.get
-          state.remove()
-          Iterator(WindowResult(key.group,
-            new Timestamp(key.windowStartMs),
-            new Timestamp(key.windowStartMs + lengthMs),
-            s.n, s.sum, s.min, s.max, s.sum / s.n))
-        } else {
-          // Spark routes only non-late rows here (watermark filter
-          // upstream = the reference's closed-window batch drop)
-          var s = state.getOption.getOrElse(
-            AggState(0L, 0.0, Double.MaxValue, Double.MinValue))
-          rows.foreach { case (_, _, v, _) =>
-            s = AggState(s.n + 1, s.sum + v, math.min(s.min, v),
-              math.max(s.max, v))
+    val nKeys = groupCols.length
+    val keySchema = StructType(
+      groupCols.map(c => prepared.schema(c)) :+
+        StructField("__ws", LongType, nullable = false))
+    val outSchema = StructType(
+      groupCols.map(c => prepared.schema(c)) ++
+        Seq(StructField("window_start_time", TimestampType),
+          StructField("window_end_time", TimestampType)) ++
+        aggs.map(a => StructField(a.name, a.outputType)))
+    val keyEnc: Encoder[Row] = ExpressionEncoder(keySchema)
+    val outEnc: Encoder[Row] = ExpressionEncoder(outSchema)
+    val stateEnc: Encoder[Array[Array[Byte]]] =
+      ExpressionEncoder[Array[Array[Byte]]]()
+
+    // NOTE: no mapValues — it re-serializes the value columns and
+    // strips the watermark tag event-time timeouts depend on
+    val keyed = prepared.groupByKey { r: Row =>
+      Row.fromSeq(groupCols.map(c => r.getAs[Any](c)) :+
+        r.getAs[Long]("__ws"))
+    }(keyEnc)
+
+    def emitRow(key: Row, bufs: Array[Any]): Row = {
+      val ws = key.getLong(nKeys)
+      Row.fromSeq(
+        (0 until nKeys).map(key.get) ++
+          Seq(new Timestamp(ws), new Timestamp(ws + lengthMs)) ++
+          aggs.indices.map(i => aggs(i).finish(bufs(i))))
+    }
+    def reduceAll(bufs: Array[Any], rows: Iterator[Row]): Unit =
+      rows.foreach { r =>
+        var i = 0
+        while (i < bufs.length) { bufs(i) = aggs(i).reduce(bufs(i), r); i += 1 }
+      }
+    def serialize(bufs: Array[Any]): Array[Array[Byte]] =
+      Array.tabulate(bufs.length)(i => aggs(i).toBytes(bufs(i)))
+    def deserialize(bytes: Array[Array[Byte]]): Array[Any] =
+      Array.tabulate(bytes.length)(i => aggs(i).fromBytes(bytes(i)))
+
+    val out =
+      if (!useTransformWithState) {
+        keyed.flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          (key: Row, rows: Iterator[Row],
+           state: GroupState[Array[Array[Byte]]]) => {
+            if (state.hasTimedOut) {
+              // watermark passed window end → emit once, drop the frame
+              val bufs = deserialize(state.get)
+              state.remove()
+              Iterator(emitRow(key, bufs))
+            } else {
+              // Spark routes only non-late rows here (watermark filter
+              // upstream = the reference's closed-window batch drop)
+              val bufs = state.getOption.map(deserialize)
+                .getOrElse(Array.tabulate[Any](aggs.length)(i => aggs(i).init()))
+              reduceAll(bufs, rows)
+              state.update(serialize(bufs))
+              // fire exactly when watermark reaches window end
+              state.setTimeoutTimestamp(key.getLong(nKeys) + lengthMs)
+              Iterator.empty
+            }
+          })(stateEnc, outEnc)
+      } else {
+        val processor = new StatefulProcessor[Row, Row, Row] {
+          @transient private var buf: ValueState[Array[Array[Byte]]] = _
+          override def init(outputMode: OutputMode,
+                            timeMode: TimeMode): Unit =
+            buf = getHandle.getValueState[Array[Array[Byte]]]("frame",
+              ExpressionEncoder[Array[Array[Byte]]](), TTLConfig.NONE)
+          override def handleInputRows(key: Row, rows: Iterator[Row],
+                                       timers: TimerValues): Iterator[Row] = {
+            val first = !buf.exists()
+            val bufs =
+              if (first) Array.tabulate[Any](aggs.length)(i => aggs(i).init())
+              else deserialize(buf.get())
+            reduceAll(bufs, rows)
+            buf.update(serialize(bufs))
+            // one timer per (group, window) frame, set at first sight:
+            // fires when the event-time watermark passes window end —
+            // the same emission instant as the timeout form
+            if (first) getHandle.registerTimer(key.getLong(nKeys) + lengthMs)
+            Iterator.empty
           }
-          state.update(s)
-          // fire exactly when watermark reaches window end
-          state.setTimeoutTimestamp(key.windowStartMs + lengthMs)
-          Iterator.empty
+          override def handleExpiredTimer(key: Row, timers: TimerValues,
+              expired: ExpiredTimerInfo): Iterator[Row] =
+            if (!buf.exists()) Iterator.empty
+            else {
+              val bufs = deserialize(buf.get())
+              buf.clear()
+              Iterator(emitRow(key, bufs))
+            }
         }
-      })(Encoders.product[AggState], Encoders.product[WindowResult])
-      .toDF()
+        keyed.transformWithState(processor, TimeMode.EventTime(),
+          OutputMode.Append())(outEnc)
+      }
+    out.toDF()
   }
 }

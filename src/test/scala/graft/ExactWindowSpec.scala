@@ -94,6 +94,97 @@ class ExactWindowSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("caller-supplied UDAF (map state) runs inside the custom operator") {
+    // the reference's heart: arbitrary accumulators — incl. map-state
+    // UDAFs (udaf_example.py:30-89) — per (group, window) frame
+    val input = MemoryStream[Measurement](spark)
+    val src = input.toDF
+      .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+    val out = ExactWindow.slidingRows(src, Seq("sensor_name"), "ts",
+      lengthMs = 10000L, slideMs = 10000L,
+      aggs = Seq(
+        ExactWindow.ExactAgg[String, Map[String, Long], Map[String, Long]](
+          "by_value", _.getAs[Double]("reading").toString,
+          new graft.operators.Udafs.CountByValue,
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)),
+        ExactWindow.ExactAgg.count("n", "reading")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("exact_udaf").start()
+    try {
+      input.addData(Measurement(1000, "a", 1.0), Measurement(2000, "a", 1.0),
+        Measurement(3000, "a", 2.0), Measurement(4000, "b", 5.0))
+      input.addData(Measurement(20000, "z", 0.0)) // watermark → 20s
+      q.processAllAvailable()
+      // z's own window [20s,30s) stays open at watermark 20s
+      val rows = spark.table("exact_udaf").orderBy("sensor_name").collect()
+      assert(rows.length == 2)
+      val a = rows(0)
+      assert(a.getAs[String]("sensor_name") == "a")
+      assert(a.getAs[Map[String, Long]]("by_value") ==
+        Map("1.0" -> 2L, "2.0" -> 1L),
+        "map-state UDAF must accumulate per (group, window) frame")
+      assert(a.getAs[Long]("n") == 3)
+      val b = rows(1)
+      assert(b.getAs[Map[String, Long]]("by_value") == Map("5.0" -> 1L))
+    } finally q.stop()
+  }
+
+  test("multi-column group keys keep original types through the operator") {
+    val input = MemoryStream[Measurement](spark)
+    val src = input.toDF
+      .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+      // second key column with a non-string type
+      .withColumn("bucket", (col("reading") >= 10).cast("int"))
+    val out = ExactWindow.slidingRows(src, Seq("sensor_name", "bucket"),
+      "ts", lengthMs = 10000L, slideMs = 10000L,
+      aggs = Seq(ExactWindow.ExactAgg.sum("total", "reading")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("exact_multikey").start()
+    try {
+      input.addData(Measurement(1000, "a", 5.0), Measurement(2000, "a", 15.0),
+        Measurement(3000, "a", 20.0), Measurement(4000, "b", 1.0))
+      input.addData(Measurement(20000, "z", 0.0))
+      q.processAllAvailable()
+      // z's own window [20s,30s) stays open at watermark 20s
+      val rows = spark.table("exact_multikey")
+        .select($"sensor_name", $"bucket", $"total")
+        .as[(String, Int, Double)].collect().toSet
+      assert(rows == Set(("a", 0, 5.0), ("a", 1, 35.0), ("b", 0, 1.0)),
+        s"got $rows")
+    } finally q.stop()
+  }
+
+  test("transformWithState tier emits identically to the timeout tier") {
+    val data = Seq(Measurement(1000, "x", 1.0), Measurement(2500, "x", 3.0),
+      Measurement(7000, "y", 7.0), Measurement(12000, "x", 5.0),
+      Measurement(50000, "z", 0.0))
+    def run(useTws: Boolean, name: String): Set[(String, Long, Long, Double)] = {
+      val input = MemoryStream[Measurement](spark)
+      val src = input.toDF
+        .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+      val out = ExactWindow.sliding(src, "sensor_name", "ts", "reading",
+        lengthMs = 10000L, slideMs = 5000L,
+        useTransformWithState = useTws)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(data: _*)
+        q.processAllAvailable()
+        spark.table(name)
+          .select($"group", $"window_start_time".cast("long").as("ws"),
+            $"n", $"sum")
+          .as[(String, Long, Long, Double)].collect().toSet
+      } finally q.stop()
+    }
+    val viaTimeout = run(useTws = false, "exact_tier_a")
+    val viaTws = run(useTws = true, "exact_tier_b")
+    assert(viaTws == viaTimeout,
+      s"tiers diverged:\n timeout=$viaTimeout\n tws=$viaTws")
+    assert(viaTimeout.nonEmpty, "fixture must close at least one window")
+  }
+
   test("custom stateful window agrees with built-in append-mode window") {
     val input = MemoryStream[Measurement](spark)
     val src = input.toDF
