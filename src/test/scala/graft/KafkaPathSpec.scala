@@ -121,6 +121,30 @@ class KafkaPathSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("fromTopic binding reaches the connector lookup (env-bound canary)") {
+    // The literal format("kafka") binding is permanently untestable in
+    // this environment: /opt/spark/jars ships no spark-sql-kafka jar,
+    // no broker exists, and a round-3 resolution attempt of
+    // org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 against the
+    // offline coursier cache failed with "Not found" (README
+    // "Environment limits"). This canary pins the exact failure mode:
+    // fromTopic must wire all the way through to Spark's DataSource
+    // lookup for "kafka" and fail THERE — not earlier in graft code.
+    // If the connector ever appears on the classpath, this test fails
+    // and should be replaced by a real embedded-broker spec.
+    val thrown = intercept[Exception] {
+      graft.api.Context(spark).fromTopic("t", "localhost:19092",
+        SchemaInference.fromSampleJson(spark, sampleJson))
+    }
+    val msg = thrown.getMessage
+    assert(msg != null && msg.toLowerCase.contains("kafka"),
+      s"failure must come from the kafka DataSource lookup: $msg")
+    assert(msg.contains("Failed to find") ||
+      msg.contains("DATA_SOURCE_NOT_FOUND") ||
+      msg.toLowerCase.contains("provider"),
+      s"expected the data-source-not-found error, got: $msg")
+  }
+
   test("sink encode → source decode round-trips rows") {
     val schema = SchemaInference.fromSampleJson(spark, sampleJson)
     val rows = Seq(("s9", 3.25, 123456L))
