@@ -4,13 +4,19 @@ package graft
   * (full materialization — count() would let Catalyst elide projected
   * expressions), one warmup query for session/codegen spin-up, one
   * JSON line on stdout.
+  *
+  * Each query runs GRAFT_BENCH_REPS times (default 3); the headline
+  * per-query number is the MEDIAN, with min/max reported alongside so
+  * ambient-load drift (one slow rep) is distinguishable from real code
+  * cost (all reps slow) when comparing rounds.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
     val spark = Graft.session(appName = "graft-bench")
 
-    def run(name: String): Double = {
+    def timeOnce(name: String): Double = {
       // per-query isolation: clear GC debt left by the previous query
       // and let the JVM settle, so one query's garbage never bills the
       // next one's wall-clock (round-1 artifact: a 0.5s query read 42s
@@ -32,10 +38,10 @@ object Bench {
     // (rideshare: sliding window, group by key, count/min/max/avg —
     // BASELINE.md) driven through Structured Streaming end-to-end
     // (file source → watermark → stateful agg → memory sink).
-    def runStreaming(): Double = {
+    def streamingOnce(): Double = {
       import org.apache.spark.sql.functions._
-      // same per-query GC isolation as run(): streaming runs last and
-      // must not be billed the batch suite's GC debt
+      // same per-query GC isolation as timeOnce(): streaming runs last
+      // and must not be billed the batch suite's GC debt
       System.gc()
       Thread.sleep(300)
       val t0 = System.nanoTime()
@@ -64,21 +70,33 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // (median, min, max) over reps; any failed rep marks the query
+    // failed outright — a flaky query must not hide behind its median
+    def stats(samples: Seq[Double]): (Double, Double, Double) = {
+      if (samples.exists(_ < 0)) return (-1.0, -1.0, -1.0)
+      val s = samples.sorted
+      (s(s.size / 2), s.head, s.last)
+    }
+
     // warmups (uncounted): session + codegen spin-up, twice so the
     // second run exercises the already-JITed path
-    run("q1_agg"); run("q1_agg")
+    timeOnce("q1_agg"); timeOnce("q1_agg")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> run(n)) :+
-      ("streaming_window" -> runStreaming())
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val results = names.map(n => n -> stats((1 to reps).map(_ => timeOnce(n)))) :+
+      ("streaming_window" -> stats((1 to reps).map(_ => streamingOnce())))
+    def jmap(f: ((Double, Double, Double)) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+    val qs = jmap(_._1)
+    val qsMin = jmap(_._2)
+    val qsMax = jmap(_._3)
+    val failed = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
     // a failed query must never make the headline number look better:
     // count it at 10× the slowest successful query
-    val ok = results.map(_._2).filter(_ >= 0)
+    val ok = results.map(_._2._1).filter(_ >= 0)
     val penalty = if (ok.nonEmpty) ok.max * 10 else 600.0
     val total = ok.sum + failed.size * penalty
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"reps":$reps,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -183,17 +183,27 @@ object Dedup {
     require(bandBits == 16 || bandBits == 32, "bandBits must be 16 or 32")
     val perWord = 64 / bandBits
     val mask = (1L << bandBits) - 1L
+    // a mis-sized signature (e.g. 1 word with 32-bit bands) would make
+    // element_at yield null band keys, silently dropping bands and
+    // breaking the pigeonhole recall guarantee — fail loudly instead
+    val expectedWords = (4 * bandBits + 63) / 64
     val base = df.select(col(idCol), sig.as("__sig"))
     require(base.schema("__sig").dataType
         .asInstanceOf[org.apache.spark.sql.types.ArrayType]
         .elementType == org.apache.spark.sql.types.LongType,
       "signature must be array<bigint>")
+    val checked = when(size(col("__sig")) === expectedWords, col("__sig"))
+      .otherwise(raise_error(concat(
+        lit(s"simhash signature must have $expectedWords word(s) for " +
+          s"$bandBits-bit bands, got "),
+        size(col("__sig")).cast("string"))))
     val bands = array((0 until 4).map { b =>
       val word = element_at(col("__sig"), b / perWord + 1)
       shiftrightunsigned(word, (b % perWord) * bandBits)
         .bitwiseAND(lit(mask))
     }: _*)
     val exploded = base
+      .withColumn("__sig", checked)
       .withColumn("__bands", bands)
       .select(col(idCol), col("__sig"),
         posexplode(col("__bands")).as(Seq("__band_idx", "__band_key")))
@@ -218,14 +228,52 @@ object Dedup {
       .select(col("id1").as(s"${idCol}_1"), col("id2").as(s"${idCol}_2"),
         col("hamming"))
 
+  /** Single-word (64-bit) banding specialization: 4×16-bit keys
+    * extracted straight from a scalar bigint signature. Same
+    * explode/equi-join shape as [[simhashBandCandidates]], but the
+    * signature rides the candidate join as one long — no `array()`
+    * wrap — so verification downstream is a scalar
+    * `bit_count(sig1 xor sig2)` (one codegen'd instruction pair per
+    * candidate) instead of per-pair `zip_with`/`aggregate` array
+    * machinery. Output: (id1, id2, sig1, sig2) with scalar sigs.
+    */
+  def simhashBandCandidates64(df: DataFrame, sig: Column,
+                              idCol: String): DataFrame = {
+    val base = df.select(col(idCol), sig.as("__sig"))
+    require(base.schema("__sig").dataType ==
+        org.apache.spark.sql.types.LongType,
+      "signature must be bigint; use simhashBandCandidates for arrays")
+    val bands = array((0 until 4).map { b =>
+      shiftrightunsigned(col("__sig"), b * 16).bitwiseAND(lit(0xFFFFL))
+    }: _*)
+    val exploded = base
+      .withColumn("__bands", bands)
+      .select(col(idCol), col("__sig"),
+        posexplode(col("__bands")).as(Seq("__band_idx", "__band_key")))
+    val l = exploded.select(col(idCol).as("id1"), col("__sig").as("sig1"),
+      col("__band_idx"), col("__band_key"))
+    val r = exploded.select(col(idCol).as("id2"), col("__sig").as("sig2"),
+      col("__band_idx"), col("__band_key"))
+    l.join(r, Seq("__band_idx", "__band_key"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+  }
+
   /** Banded near-dup pairs from an arbitrary 64-bit signature column —
     * same banding/verify as [[simhashNearDupPairs]]; callers pick the
     * signature family (e.g. simhash64_md5 for externally verifiable
-    * signatures).
+    * signatures). Routes through the scalar specialization
+    * ([[simhashBandCandidates64]]), not the generic array path.
     */
   def simhashPairsFromSig(df: DataFrame, sig: Column, idCol: String,
                           maxHamming: Int = 3): DataFrame =
-    bandedPairs(df, array(sig), idCol, bandBits = 16, maxHamming)
+    simhashBandCandidates64(df, sig, idCol)
+      .withColumn("hamming",
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1").as(s"${idCol}_1"), col("id2").as(s"${idCol}_2"),
+        col("hamming"))
 
   /** Banded near-dup pairs from a 128-bit array<bigint> [hi, lo]
     * signature (graft.functions.simhash128_md5): 4×32-bit bands keep

@@ -54,6 +54,10 @@ object ExactWindow {
     def outputType: DataType
     def init(): Any
     def reduce(buf: Any, row: Row): Any
+    /** Combine two partial buffers (session-merge and pane-merge use
+      * this; plain frame aggregation never calls it).
+      */
+    def merge(b1: Any, b2: Any): Any
     def finish(buf: Any): Any
     def toBytes(buf: Any): Array[Byte]
     def fromBytes(bytes: Array[Byte]): Any
@@ -86,6 +90,8 @@ object ExactWindow {
       override def init(): Any = agg.zero
       override def reduce(buf: Any, row: Row): Any =
         agg.reduce(buf.asInstanceOf[B], extract(row))
+      override def merge(b1: Any, b2: Any): Any =
+        agg.merge(b1.asInstanceOf[B], b2.asInstanceOf[B])
       override def finish(buf: Any): Any = agg.finish(buf.asInstanceOf[B])
       override def toBytes(buf: Any): Array[Byte] =
         proj(ser(buf.asInstanceOf[B])).copy().getBytes
@@ -97,24 +103,52 @@ object ExactWindow {
       }
     }
 
-    /** Numeric presets over a double column (null rows are dropped by
-      * the operator before reduction, matching built-in agg nulls).
+    /** Numeric presets over a double column. Null values are skipped at
+      * reduce time (built-in agg null semantics), so calling
+      * [[ExactWindow.slidingRows]] directly with a nullable column is
+      * safe: count counts non-null rows, and a frame whose rows are all
+      * null emits count 0 with null sum/min/max/avg — exactly what
+      * `count(col)/sum/min/max/avg` return over an all-null group.
+      * ([[ExactWindow.sliding]] additionally pre-filters null rows, so
+      * all-null frames never even open on that surface.)
       */
     def count(name: String, valueCol: String): ExactAgg =
-      apply[Double, Long, Long](name, _.getAs[Double](valueCol),
-        new CountA, LongType)
+      numericPreset[Long, Long](name, valueCol, new CountA, LongType)
     def sum(name: String, valueCol: String): ExactAgg =
-      apply[Double, Double, Double](name, _.getAs[Double](valueCol),
+      numericPreset[(Long, Double), java.lang.Double](name, valueCol,
         new SumA, DoubleType)
     def min(name: String, valueCol: String): ExactAgg =
-      apply[Double, Double, Double](name, _.getAs[Double](valueCol),
+      numericPreset[(Long, Double), java.lang.Double](name, valueCol,
         new MinA, DoubleType)
     def max(name: String, valueCol: String): ExactAgg =
-      apply[Double, Double, Double](name, _.getAs[Double](valueCol),
+      numericPreset[(Long, Double), java.lang.Double](name, valueCol,
         new MaxA, DoubleType)
     def avg(name: String, valueCol: String): ExactAgg =
-      apply[Double, (Long, Double), Double](name, _.getAs[Double](valueCol),
+      numericPreset[(Long, Double), java.lang.Double](name, valueCol,
         new AvgA, DoubleType)
+
+    /** Wrap a double-input Aggregator with a reduce-time null skip (a
+      * bare `getAs[Double]` would silently unbox SQL NULL to 0.0).
+      */
+    private def numericPreset[B, O](aggName: String, valueCol: String,
+                                    agg: Aggregator[Double, B, O],
+                                    output: DataType): ExactAgg = {
+      val lifted = apply[Double, B, O](aggName, _.getAs[Double](valueCol),
+        agg, output)
+      new ExactAgg {
+        override def name: String = lifted.name
+        override def outputType: DataType = lifted.outputType
+        override def init(): Any = lifted.init()
+        override def reduce(buf: Any, row: Row): Any =
+          if (row.isNullAt(row.fieldIndex(valueCol))) buf
+          else lifted.reduce(buf, row)
+        override def merge(b1: Any, b2: Any): Any = lifted.merge(b1, b2)
+        override def finish(buf: Any): Any = lifted.finish(buf)
+        override def toBytes(buf: Any): Array[Byte] = lifted.toBytes(buf)
+        override def fromBytes(bytes: Array[Byte]): Any =
+          lifted.fromBytes(bytes)
+      }
+    }
   }
 
   private class CountA extends Aggregator[Double, Long, Long] {
@@ -125,40 +159,61 @@ object ExactWindow {
     override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
-  private class SumA extends Aggregator[Double, Double, Double] {
-    override def zero: Double = 0.0
-    override def reduce(b: Double, a: Double): Double = b + a
-    override def merge(x: Double, y: Double): Double = x + y
-    override def finish(r: Double): Double = r
-    override def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
-    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
-  }
-  private class MinA extends Aggregator[Double, Double, Double] {
-    override def zero: Double = Double.MaxValue
-    override def reduce(b: Double, a: Double): Double = math.min(b, a)
-    override def merge(x: Double, y: Double): Double = math.min(x, y)
-    override def finish(r: Double): Double = r
-    override def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
-    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
-  }
-  private class MaxA extends Aggregator[Double, Double, Double] {
-    override def zero: Double = Double.MinValue
-    override def reduce(b: Double, a: Double): Double = math.max(b, a)
-    override def merge(x: Double, y: Double): Double = math.max(x, y)
-    override def finish(r: Double): Double = r
-    override def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
-    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
-  }
-  private class AvgA extends Aggregator[Double, (Long, Double), Double] {
+  // sum/min/max/avg buffers carry (non-null count, value) so an empty
+  // (all-null-input) frame finishes to SQL NULL instead of a sentinel
+  // (0.0 / ±Double.MaxValue) — the structural fix for the old "frames
+  // only exist after ≥1 non-null row" comment-level contract
+  private class SumA
+      extends Aggregator[Double, (Long, Double), java.lang.Double] {
     override def zero: (Long, Double) = (0L, 0.0)
     override def reduce(b: (Long, Double), a: Double): (Long, Double) =
       (b._1 + 1, b._2 + a)
     override def merge(x: (Long, Double), y: (Long, Double)): (Long, Double) =
       (x._1 + y._1, x._2 + y._2)
-    override def finish(r: (Long, Double)): Double = r._2 / r._1
+    override def finish(r: (Long, Double)): java.lang.Double =
+      if (r._1 == 0L) null else Double.box(r._2)
     override def bufferEncoder: Encoder[(Long, Double)] =
       ExpressionEncoder[(Long, Double)]()
-    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+  private class MinA
+      extends Aggregator[Double, (Long, Double), java.lang.Double] {
+    override def zero: (Long, Double) = (0L, Double.MaxValue)
+    override def reduce(b: (Long, Double), a: Double): (Long, Double) =
+      (b._1 + 1, math.min(b._2, a))
+    override def merge(x: (Long, Double), y: (Long, Double)): (Long, Double) =
+      (x._1 + y._1, math.min(x._2, y._2))
+    override def finish(r: (Long, Double)): java.lang.Double =
+      if (r._1 == 0L) null else Double.box(r._2)
+    override def bufferEncoder: Encoder[(Long, Double)] =
+      ExpressionEncoder[(Long, Double)]()
+    override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+  private class MaxA
+      extends Aggregator[Double, (Long, Double), java.lang.Double] {
+    override def zero: (Long, Double) = (0L, Double.MinValue)
+    override def reduce(b: (Long, Double), a: Double): (Long, Double) =
+      (b._1 + 1, math.max(b._2, a))
+    override def merge(x: (Long, Double), y: (Long, Double)): (Long, Double) =
+      (x._1 + y._1, math.max(x._2, y._2))
+    override def finish(r: (Long, Double)): java.lang.Double =
+      if (r._1 == 0L) null else Double.box(r._2)
+    override def bufferEncoder: Encoder[(Long, Double)] =
+      ExpressionEncoder[(Long, Double)]()
+    override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+  private class AvgA
+      extends Aggregator[Double, (Long, Double), java.lang.Double] {
+    override def zero: (Long, Double) = (0L, 0.0)
+    override def reduce(b: (Long, Double), a: Double): (Long, Double) =
+      (b._1 + 1, b._2 + a)
+    override def merge(x: (Long, Double), y: (Long, Double)): (Long, Double) =
+      (x._1 + y._1, x._2 + y._2)
+    override def finish(r: (Long, Double)): java.lang.Double =
+      if (r._1 == 0L) null else Double.box(r._2 / r._1)
+    override def bufferEncoder: Encoder[(Long, Double)] =
+      ExpressionEncoder[(Long, Double)]()
+    override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
   /** @param df streaming frame
@@ -202,6 +257,17 @@ object ExactWindow {
     * grouped_window_agg_stream.rs:443-650); slide == length degrades
     * to tumbling.
     *
+    * `groupCols` may be EMPTY: the ungrouped/global form keys frames on
+    * the window start alone, mirroring the reference's dedicated
+    * ungrouped operator pair (`WindowAggStream` partial + `FullWindow
+    * AggStream` final, /root/reference/crates/core/src/physical_plan/
+    * continuous/streaming_window.rs:640-828, :882-1035) with the same
+    * emission instant (watermark passes window end). Scale note: a
+    * global window concentrates each frame on one task by definition —
+    * at high input rates prefer the built-in two-stage global path
+    * (partial aggregation before the single-key shuffle, SparkEntry
+    * q24) unless frame-exact control is required.
+    *
     * Output schema: groupCols (original types) ++ window_start_time,
     * window_end_time ++ one column per [[ExactAgg]].
     *
@@ -217,7 +283,6 @@ object ExactWindow {
                   useTransformWithState: Boolean = false): DataFrame = {
     require(slideMs > 0 && lengthMs >= slideMs,
       "need 0 < slide <= length")
-    require(groupCols.nonEmpty, "need at least one group column")
     require(aggs.nonEmpty, "need at least one aggregate")
     require(aggs.map(_.name).distinct.length == aggs.length,
       "aggregate names must be unique")

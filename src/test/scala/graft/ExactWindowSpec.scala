@@ -185,6 +185,87 @@ class ExactWindowSpec extends AnyFunSuite with SparkSpec {
     assert(viaTimeout.nonEmpty, "fixture must close at least one window")
   }
 
+  test("ungrouped/global windows: empty groupCols keys frames on the " +
+      "window start alone, both tiers") {
+    // mirrors the reference's ungrouped operator pair (WindowAggStream
+    // partial → FullWindowAggStream final, continuous/streaming_window
+    // .rs:640-828, :882-1035): no group key, one frame per window start
+    val data = Seq(Measurement(1000, "x", 1.0), Measurement(2500, "y", 3.0),
+      Measurement(9999, "z", 7.0), Measurement(12000, "x", 5.0),
+      Measurement(50000, "w", 0.0))
+    def run(useTws: Boolean, name: String): Set[(Long, Long, Long, Double)] = {
+      val input = MemoryStream[Measurement](spark)
+      val src = input.toDF
+        .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+      val out = ExactWindow.slidingRows(src, Seq.empty, "ts",
+        lengthMs = 10000L, slideMs = 10000L,
+        aggs = Seq(ExactWindow.ExactAgg.count("n", "reading"),
+          ExactWindow.ExactAgg.sum("sum", "reading")),
+        useTransformWithState = useTws)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(data: _*)
+        q.processAllAvailable()
+        spark.table(name)
+          .select($"window_start_time".cast("long").as("ws"),
+            $"window_end_time".cast("long").as("we"), $"n", $"sum")
+          .as[(Long, Long, Long, Double)].collect().toSet
+      } finally q.stop()
+    }
+    // built-in global-window semantics on the same batch (q24 shape),
+    // restricted to windows the 50s watermark has closed
+    val expected = data.toDF("ms", "g", "v")
+      .withColumn("ts", timestamp_millis($"ms"))
+      .groupBy(window($"ts", "10 seconds"))
+      .agg(count(lit(1)).as("n"), sum($"v").as("sum"))
+      .select($"window.start".cast("long").as("ws"),
+        $"window.end".cast("long").as("we"), $"n", $"sum")
+      .as[(Long, Long, Long, Double)].collect().toSet
+      .filter(_._1 < 40)
+    val viaTimeout = run(useTws = false, "exact_global_a")
+    val viaTws = run(useTws = true, "exact_global_b")
+    assert(viaTimeout == expected,
+      s"global frames must match built-in semantics: $viaTimeout vs $expected")
+    assert(viaTws == viaTimeout, "tiers must agree on the ungrouped form")
+    assert(expected == Set((0L, 10L, 3L, 11.0), (10L, 20L, 1L, 5.0)))
+  }
+
+  test("preset aggs skip null values at reduce; all-null frames emit " +
+      "SQL-null results, not sentinels") {
+    val input = MemoryStream[NullableMeasurement](spark)
+    val src = input.toDF
+      .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+    // slidingRows directly — no sliding()-preset null pre-filter
+    val out = ExactWindow.slidingRows(src, Seq("sensor_name"), "ts",
+      lengthMs = 10000L, slideMs = 10000L,
+      aggs = Seq(ExactWindow.ExactAgg.count("n", "reading"),
+        ExactWindow.ExactAgg.sum("s", "reading"),
+        ExactWindow.ExactAgg.min("mn", "reading"),
+        ExactWindow.ExactAgg.max("mx", "reading"),
+        ExactWindow.ExactAgg.avg("av", "reading")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("exact_nulls").start()
+    try {
+      input.addData(
+        NullableMeasurement(1000, "a", Some(4.0)),
+        NullableMeasurement(2000, "a", None),      // skipped, not 0.0
+        NullableMeasurement(3000, "b", None))      // all-null frame
+      input.addData(NullableMeasurement(20000, "z", Some(0.0)))
+      q.processAllAvailable()
+      val rows = spark.table("exact_nulls")
+        .select($"sensor_name", $"n", $"s", $"mn", $"mx", $"av")
+        .as[(String, Long, Option[Double], Option[Double], Option[Double],
+          Option[Double])]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      assert(rows("a") == (1L, Some(4.0), Some(4.0), Some(4.0), Some(4.0)),
+        s"null values must be skipped, got ${rows("a")}")
+      assert(rows("b") == (0L, None, None, None, None),
+        "an all-null frame must emit count 0 and NULL sum/min/max/avg " +
+          s"(built-in agg semantics), got ${rows("b")}")
+    } finally q.stop()
+  }
+
   test("custom stateful window agrees with built-in append-mode window") {
     val input = MemoryStream[Measurement](spark)
     val src = input.toDF

@@ -217,6 +217,31 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       s"32-bit bands must collapse candidate volume: narrow=$narrow wide=$wide")
   }
 
+  test("scalar 64-bit banding equals the generic array path; " +
+      "mis-sized signatures fail loudly") {
+    val rnd = new java.util.Random(7)
+    val sigs = (0 until 500).map(i => (i.toLong, rnd.nextLong()))
+    val df = sigs.toDF("doc_id", "sig")
+    val scalar = Dedup.simhashBandCandidates64(df, col("sig"), "doc_id")
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val generic = Dedup.simhashBandCandidates(df, array(col("sig")),
+        "doc_id", bandBits = 16)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(scalar == generic,
+      "the scalar specialization must produce identical candidate pairs")
+    // a 1-word signature with 32-bit bands would silently null half the
+    // band keys (dropping pairs) — must raise instead
+    val ex = intercept[Throwable] {
+      Dedup.simhashBandCandidates(df, array(col("sig")), "doc_id",
+        bandBits = 32).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => Option(t.getMessage)
+        .exists(_.contains("2 word(s)"))),
+      s"expected a signature-width error, got: ${ex.getMessage}")
+  }
+
   test("embedding near-dup: bucketed pair join matches unbucketed, " +
       "spreads the block") {
     val emb = Graft.table(spark, sf, "embeddings")

@@ -120,6 +120,54 @@ class RecoverySpec extends AnyFunSuite with SparkSpec {
         s"post-restart rows — got ${rows.mkString}")
   }
 
+  test("ExactWindow ungrouped/global form survives a restart") {
+    val dir = Files.createTempDirectory("graft-recovery-global").toFile
+    val inputDir = new java.io.File(dir, "input"); inputDir.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val outDir = new java.io.File(dir, "out").getAbsolutePath
+
+    def writeBatch(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("occurred_at_ms", "sensor_name", "reading")
+        .coalesce(1).write.mode("append").parquet(inputDir.getAbsolutePath)
+
+    def startQuery() = {
+      val src = spark.readStream.schema(
+        spark.read.parquet(inputDir.getAbsolutePath).schema)
+        .parquet(inputDir.getAbsolutePath)
+        .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+      graft.streaming.ExactWindow
+        .slidingRows(src, Seq.empty, "ts", 10000L, 10000L,
+          Seq(graft.streaming.ExactWindow.ExactAgg.count("n", "reading"),
+            graft.streaming.ExactWindow.ExactAgg.sum("sum", "reading")))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .format("parquet").start()
+    }
+
+    // pre-restart: two rows across two groups land in ONE global frame
+    writeBatch(Seq((1000L, "a", 10.0), (4000L, "b", 20.0)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(outDir).isEmpty,
+      "no emission before watermark passes window end")
+
+    // while DOWN: one more row for the open global window + push
+    writeBatch(Seq((8000L, "c", 30.0), (30000L, "z", 0.0)))
+
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(outDir)
+      .filter($"window_start_time".cast("long") === 0).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("n") == 3 &&
+      rows(0).getAs[Double]("sum") == 60.0,
+      "recovered global-frame state must combine pre- and post-restart " +
+        s"rows — got ${rows.mkString}")
+  }
+
   test("ExactWindow flatMapGroupsWithState state survives a restart") {
     val dir = Files.createTempDirectory("graft-recovery-exact").toFile
     val inputDir = new java.io.File(dir, "input"); inputDir.mkdirs()

@@ -11,6 +11,10 @@ import graft.api.DataStream
 case class Measurement(occurred_at_ms: Long, sensor_name: String,
                        reading: Double)
 
+/** Measurement with a nullable reading, for null-semantics specs. */
+case class NullableMeasurement(occurred_at_ms: Long, sensor_name: String,
+                               reading: Option[Double])
+
 class StreamingSpec extends AnyFunSuite with SparkSpec {
 
   import spark.implicits._
