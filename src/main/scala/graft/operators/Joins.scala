@@ -68,10 +68,13 @@ object Joins {
 
     // fixed-length tolerance (day-time interval) + timestamp columns →
     // the partition can be time-bucketed; year-month intervals have no
-    // fixed micro length, so they stay on the plain per-key sort
+    // fixed micro length, so they stay on the plain per-key sort.
+    // Parse with the Catalyst parser directly: Spark 4's expr() returns
+    // a LAZY ColumnNodeExpression (SQL text, parsed at analysis), so
+    // matching on Literal through it never fires
     val tolMicros: Option[Long] = tolerance.flatMap { tol =>
-      try org.apache.spark.sql.GraftShim.expression(
-          expr(s"INTERVAL $tol")) match {
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(s"INTERVAL $tol") match {
         case l: org.apache.spark.sql.catalyst.expressions.Literal
             if l.dataType.isInstanceOf[DayTimeIntervalType] &&
               right.schema(rightTs).dataType == TimestampType &&

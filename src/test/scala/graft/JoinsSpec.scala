@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Joins
@@ -127,14 +128,119 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
     val bucketed = Joins.asOfJoinBackward(l, r, Seq("k"), Seq("rk"),
       "lts", "rts", tolerance = Some("30 seconds"))
     // hot-key skew protection: the window partition key must include
-    // the time bucket so one key's history spreads over many tasks
+    // the time bucket so one key's history spreads over many tasks.
+    // Checking for the explode (right-row bucket replication) and a
+    // non-constant bucket, not just the column name: a dead path
+    // emitting `0 AS __bkt` contains the name too (the Spark 4 lazy
+    // expr() regression hid exactly that way until the task-level
+    // measurement below caught it)
     val plan = bucketed.queryExecution.executedPlan.toString
     assert(plan.contains("__bkt"),
       s"tolerance path must time-bucket the sort partition:\n$plan")
+    assert(plan.toLowerCase.contains("generate explode") ||
+        plan.toLowerCase.contains("explode("),
+      s"right rows must replicate into adjacent buckets:\n$plan")
+    assert(!plan.contains("0 AS __bkt"),
+      s"the bucket must derive from the timestamp, not a constant:\n$plan")
     // year-month tolerance has no fixed length → plain per-key path
     val monthly = Joins.asOfJoinBackward(l, r, Seq("k"), Seq("rk"),
       "lts", "rts", tolerance = Some("1 MONTH"))
     assert(monthly.count() == 1, "year-month tolerance still works")
+  }
+
+  test("task-level skew balance: bucketed merge spreads a hot key over " +
+      "many tasks; plain merge and rank-form candidates concentrate it") {
+    // MEASUREMENT, not plan-shape: spark_partition_id() captured right
+    // after the operator (only narrow ops follow the window/join
+    // exchange) is the actual task that processed each row. AQE off so
+    // runtime coalescing can't merge the tiny fixture's partitions and
+    // mask (or fake) the spread.
+    val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rnd = new scala.util.Random(11)
+      // one key carries ~30% of both sides; timestamps span ~100
+      // 30-second tolerance buckets. repartition() forces a genuinely
+      // distributed input — a LocalRelation would let Catalyst evaluate
+      // the whole query on the driver, where every pid reads 0
+      def key(i: Int) = if (i % 10 < 3) "hot" else s"k${rnd.nextInt(40)}"
+      val l = (1 to 2000).map(i =>
+        (i.toLong, key(i), ts(rnd.nextInt(3000) * 1000L)))
+        .toDF("lid", "k", "lts").repartition(5)
+      val r = (1 to 2000).map(i =>
+        (i.toLong, key(i), ts(rnd.nextInt(3000) * 1000L), rnd.nextDouble()))
+        .toDF("rid2", "rk", "rts", "v").repartition(5)
+
+      // rows of the hot key per task, at the operator's own partitioning.
+      // The agg also hashes EVERY output column AND KEEPS IT in the
+      // collected result: without a surviving anchor, column pruning
+      // drops the operator's Window (it neither filters rows nor feeds
+      // the count) along with its exchange, and the pids silently
+      // degrade to the scan stage's round-robin spread
+      def hotRowsPerTask(df: DataFrame, hot: Column): Seq[Long] =
+        df.withColumn("__pid", spark_partition_id())
+          .filter(hot).groupBy($"__pid")
+          .agg(count(lit(1)).as("n"),
+            sum(pmod(xxhash64(df.columns.map(col): _*), lit(1000003L)))
+              .as("__anchor"))
+          .as[(Int, Long, Long)].collect().toSeq.map(_._2)
+
+      // (a) time-bucketed merge: window partitions on (key, bucket) —
+      // the hot key's rows must land on >1 task, with no single task
+      // holding a majority (the balance HALF of round-2 item #5)
+      val bucketed = Joins.asOfJoinBackward(l, r, Seq("k"), Seq("rk"),
+        "lts", "rts", tolerance = Some("30 seconds"))
+      val bPerTask = hotRowsPerTask(bucketed, $"k" === "hot")
+      assert(bPerTask.size > 1,
+        s"bucketed merge must spread the hot key, got ${bPerTask.size} task")
+      assert(bPerTask.max * 2 < bPerTask.sum,
+        "no single task may process a majority of the hot key's rows: " +
+          s"max=${bPerTask.max} of total=${bPerTask.sum}")
+
+      // (b) the un-bucketed merge FAILS the same assert: one sorted
+      // partition per key is exactly the documented skew ceiling
+      val plain = Joins.asOfJoinBackward(l, r, Seq("k"), Seq("rk"),
+        "lts", "rts", tolerance = None)
+      val pPerTask = hotRowsPerTask(plain, $"k" === "hot")
+      assert(pPerTask.size == 1,
+        s"plain merge concentrates the hot key on one task, got $pPerTask")
+
+      // (c) the rank form's candidate join both CONCENTRATES (one task)
+      // and FANS OUT (candidate pairs >> |L|+|R|) — the two failure
+      // modes the merge form exists to avoid; the candidate frame below
+      // is verbatim the rank form's join input
+      val candidates = l.join(r,
+        l("k") === r("rk") && r("rts") <= l("lts"), "left")
+      val cPerTask = hotRowsPerTask(candidates, l("k") === "hot")
+      assert(cPerTask.size == 1,
+        s"rank-form candidates must collapse to one task, got $cPerTask")
+      assert(cPerTask.sum > 2L * (2000 + 2000),
+        "rank-form hot-key fan-out must exceed the merge form's whole " +
+          s"|L|+|R| ceiling, got ${cPerTask.sum} candidate rows")
+
+      // (d) saltedJoin spreads the same hot key the plain equi-join
+      // concentrates (broadcast disabled so the join actually shuffles)
+      val dim = (Seq("hot") ++ (0 until 40).map(i => s"k$i"))
+        .map(k => (k, k.length)).toDF("k", "attr")
+      val plainJoin = l.join(dim, Seq("k"))
+      val plainJ = hotRowsPerTask(plainJoin, $"k" === "hot")
+      assert(plainJ.size == 1,
+        s"plain equi-join concentrates the hot key, got $plainJ")
+      // saltFactor well above the partition count so the hash
+      // allocation of (key, salt) pairs over partitions evens out
+      val saltedJoin = Joins.saltedJoin(l, dim, Seq("k"), saltFactor = 32)
+      val saltedJ = hotRowsPerTask(saltedJoin, $"k" === "hot")
+      assert(saltedJ.size > 1,
+        s"saltedJoin must spread the hot key, got ${saltedJ.size} task")
+      assert(saltedJ.max * 2 < saltedJ.sum,
+        s"salted hot-key rows must balance: max=${saltedJ.max} " +
+          s"of ${saltedJ.sum}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+    }
   }
 
   test("saltedJoin is row-identical to the plain equi-join") {
