@@ -250,6 +250,135 @@ object ExactWindow {
       delay, useTransformWithState)
   }
 
+  /** Session windows with gap merging in the custom stateful tier —
+    * EXCEEDS the reference: its logical plan declares `Session(gap)`
+    * but the physical operator `todo!()`s it
+    * (/root/reference/crates/core/src/logical_plan/streaming_window.rs:69-74,
+    * crates/core/src/physical_plan/continuous/streaming_window.rs:1062).
+    * The built-in `session_window` covers the declarative path
+    * (SparkEntry q9); this form gives sessions the same frame-exact
+    * custom-state control [[slidingRows]] gives fixed windows, with the
+    * same caller-supplied [[ExactAgg]] aggregates (their `merge` powers
+    * session coalescing).
+    *
+    * State per group: the open sessions `[start, last, bufs]`. A row at
+    * t merges every session whose `[start, last+gap)` interval touches
+    * `(t-gap, t+gap)` — interval connectivity is order-independent, so
+    * batch iteration order doesn't matter. One event-time timer tracks
+    * the earliest open end; a session emits exactly when the watermark
+    * passes its end (last + gap), the built-in append-mode instant.
+    * Runs on the transformWithState tier (multiple live sessions per
+    * key need re-armable timers; the single-timeout
+    * flatMapGroupsWithState surface cannot express that cleanly).
+    */
+  def sessionRows(df: DataFrame, groupCols: Seq[String], tsCol: String,
+                  gapMs: Long, aggs: Seq[ExactAgg],
+                  delay: String = "0 seconds"): DataFrame = {
+    require(gapMs > 0, "need gap > 0")
+    require(aggs.nonEmpty, "need at least one aggregate")
+    require(aggs.map(_.name).distinct.length == aggs.length,
+      "aggregate names must be unique")
+    val prepared = df.withWatermark(tsCol, delay)
+    val nKeys = groupCols.length
+    val keySchema = StructType(groupCols.map(c => prepared.schema(c)))
+    val outSchema = StructType(
+      groupCols.map(c => prepared.schema(c)) ++
+        Seq(StructField("window_start_time", TimestampType),
+          StructField("window_end_time", TimestampType)) ++
+        aggs.map(a => StructField(a.name, a.outputType)))
+    val keyEnc: Encoder[Row] = ExpressionEncoder(keySchema)
+    val outEnc: Encoder[Row] = ExpressionEncoder(outSchema)
+
+    val keyed = prepared.groupByKey { r: Row =>
+      Row.fromSeq(groupCols.map(c => r.getAs[Any](c)))
+    }(keyEnc)
+
+    // state row: (session start ms, last event ms, one serialized
+    // buffer per aggregate) — spelled concretely where an encoder is
+    // derived (a local type alias has no TypeTag)
+    type Sess = (Long, Long, Array[Array[Byte]])
+
+    def emitRow(key: Row, start: Long, last: Long,
+                bufs: Array[Any]): Row =
+      Row.fromSeq(
+        (0 until nKeys).map(key.get) ++
+          Seq(new Timestamp(start), new Timestamp(last + gapMs)) ++
+          aggs.indices.map(i => aggs(i).finish(bufs(i))))
+
+    val processor = new StatefulProcessor[Row, Row, Row] {
+      @transient private var st: ValueState[Array[Sess]] = _
+      override def init(outputMode: OutputMode,
+                        timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[Array[Sess]]("sessions",
+          ExpressionEncoder[Array[(Long, Long, Array[Array[Byte]])]](),
+          TTLConfig.NONE)
+
+      private def load(): List[(Long, Long, Array[Any])] =
+        if (!st.exists()) Nil
+        else st.get().toList.map { case (s, e, bytes) =>
+          (s, e, Array.tabulate[Any](aggs.length)(i =>
+            aggs(i).fromBytes(bytes(i))))
+        }
+      private def store(open: List[(Long, Long, Array[Any])]): Unit =
+        if (open.isEmpty) st.clear()
+        else st.update(open.map { case (s, e, bufs) =>
+          (s, e, Array.tabulate(aggs.length)(i => aggs(i).toBytes(bufs(i))))
+        }.toArray)
+
+      override def handleInputRows(key: Row, rows: Iterator[Row],
+                                   timers: TimerValues): Iterator[Row] = {
+        var open = load()
+        rows.foreach { r =>
+          val t = r.getAs[java.sql.Timestamp](tsCol).getTime
+          // half-open session intervals: an event at exactly last+gap
+          // starts a NEW session (built-in session_window semantics)
+          val (touch, rest) = open.partition(s =>
+            s._1 < t + gapMs && t < s._2 + gapMs)
+          var start = t
+          var last = t
+          val bufs = Array.tabulate[Any](aggs.length)(i => aggs(i).init())
+          var i = 0
+          while (i < bufs.length) {
+            bufs(i) = aggs(i).reduce(bufs(i), r); i += 1
+          }
+          touch.foreach { s =>
+            start = math.min(start, s._1)
+            last = math.max(last, s._2)
+            var j = 0
+            while (j < bufs.length) {
+              bufs(j) = aggs(j).merge(bufs(j), s._3(j)); j += 1
+            }
+          }
+          open = (start, last, bufs) :: rest
+        }
+        store(open)
+        if (open.nonEmpty)
+          getHandle.registerTimer(open.map(_._2).min + gapMs)
+        Iterator.empty
+      }
+
+      override def handleExpiredTimer(key: Row, timers: TimerValues,
+          expired: ExpiredTimerInfo): Iterator[Row] = {
+        val open = load()
+        if (open.isEmpty) Iterator.empty
+        else {
+          val wm = timers.getCurrentWatermarkInMs()
+          val (closed, still) = open.partition(s => s._2 + gapMs <= wm)
+          store(still)
+          // stale timers (superseded by a session extension) land here
+          // with nothing closed; re-arm for the earliest pending end so
+          // emission is never lost
+          if (still.nonEmpty)
+            getHandle.registerTimer(still.map(_._2).min + gapMs)
+          closed.sortBy(_._1).iterator
+            .map { case (s, e, bufs) => emitRow(key, s, e, bufs) }
+        }
+      }
+    }
+    keyed.transformWithState(processor, TimeMode.EventTime(),
+      OutputMode.Append())(outEnc).toDF()
+  }
+
   /** Sliding window with ARBITRARY aggregates and multi-column group
     * keys — the general form matching the reference's
     * arbitrary-accumulator frames. Each row feeds every overlapping

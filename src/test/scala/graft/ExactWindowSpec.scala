@@ -266,6 +266,79 @@ class ExactWindowSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionRows matches built-in session_window on closed sessions") {
+    // reference declares Session(gap) but todo!()s the operator — this
+    // custom tier strictly exceeds it; parity target is Spark's own
+    // session_window (the q9-validated semantics)
+    val data = Seq(
+      Measurement(1000, "a", 1.0), Measurement(4000, "a", 2.0),  // one session
+      Measurement(20000, "a", 3.0),                              // second (gap 5s)
+      Measurement(2000, "b", 5.0),
+      Measurement(90000, "z", 0.0))                              // watermark push
+    val input = MemoryStream[Measurement](spark)
+    val src = input.toDF
+      .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+    val out = ExactWindow.sessionRows(src, Seq("sensor_name"), "ts",
+      gapMs = 5000L,
+      aggs = Seq(ExactWindow.ExactAgg.count("n", "reading"),
+        ExactWindow.ExactAgg.sum("sum", "reading")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("exact_sess").start()
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val got = spark.table("exact_sess")
+        .select($"sensor_name", $"window_start_time".cast("long").as("ws"),
+          $"window_end_time".cast("long").as("we"), $"n", $"sum")
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+      val expected = data.toDF("ms", "g", "v")
+        .withColumn("ts", timestamp_millis($"ms"))
+        .groupBy(session_window($"ts", "5 seconds"), $"g")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sum"))
+        .select($"g", $"session_window.start".cast("long").as("ws"),
+          $"session_window.end".cast("long").as("we"), $"n", $"sum")
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+        .filter(_._3 <= 90) // sessions the 90s watermark has closed
+      assert(got == expected, s"got $got\nexpected $expected")
+      assert(expected.size == 3, "fixture must close 3 sessions")
+    } finally q.stop()
+  }
+
+  test("sessionRows merges sessions bridged by an out-of-order row") {
+    val input = MemoryStream[Measurement](spark)
+    val src = input.toDF
+      .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+    val out = ExactWindow.sessionRows(src, Seq("sensor_name"), "ts",
+      gapMs = 7000L,
+      aggs = Seq(ExactWindow.ExactAgg.count("n", "reading")),
+      delay = "60 seconds") // tolerate the out-of-order bridge row
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("exact_sess_merge").start()
+    try {
+      // two disjoint open sessions [100s,107s) and [112s,119s)
+      // (offset from epoch 0: a row AT the initial watermark 0 would be
+      // dropped by Spark's strict late-record filter) ...
+      input.addData(Measurement(100000, "a", 1.0),
+        Measurement(112000, "a", 1.0))
+      q.processAllAvailable()
+      // ... bridged into ONE session by an out-of-order row at 106s:
+      // 106s is within gap of row 100s AND of row 112s, so both open
+      // sessions (and their buffers, via ExactAgg.merge) coalesce
+      input.addData(Measurement(106000, "a", 1.0))
+      input.addData(Measurement(400000, "z", 0.0)) // close everything
+      q.processAllAvailable()
+      val got = spark.table("exact_sess_merge")
+        .filter($"sensor_name" === "a")
+        .select($"window_start_time".cast("long"),
+          $"window_end_time".cast("long"), $"n")
+        .as[(Long, Long, Long)].collect().toSet
+      // built-in semantics on the same rows: 100s,106s,112s with gap 7s
+      // chain into one session [100s, 119s) of 3 rows
+      assert(got == Set((100L, 119L, 3L)),
+        s"bridged sessions must merge transitively, got $got")
+    } finally q.stop()
+  }
+
   test("custom stateful window agrees with built-in append-mode window") {
     val input = MemoryStream[Measurement](spark)
     val src = input.toDF

@@ -168,6 +168,55 @@ class RecoverySpec extends AnyFunSuite with SparkSpec {
         s"rows — got ${rows.mkString}")
   }
 
+  test("ExactWindow session state (open sessions + timers) survives a restart") {
+    val dir = Files.createTempDirectory("graft-recovery-sess").toFile
+    val inputDir = new java.io.File(dir, "input"); inputDir.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val outDir = new java.io.File(dir, "out").getAbsolutePath
+
+    def writeBatch(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("occurred_at_ms", "sensor_name", "reading")
+        .coalesce(1).write.mode("append").parquet(inputDir.getAbsolutePath)
+
+    def startQuery() = {
+      val src = spark.readStream.schema(
+        spark.read.parquet(inputDir.getAbsolutePath).schema)
+        .parquet(inputDir.getAbsolutePath)
+        .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+      graft.streaming.ExactWindow
+        .sessionRows(src, Seq("sensor_name"), "ts", gapMs = 5000L,
+          Seq(graft.streaming.ExactWindow.ExactAgg.count("n", "reading"),
+            graft.streaming.ExactWindow.ExactAgg.sum("sum", "reading")))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .format("parquet").start()
+    }
+
+    // pre-restart: one open session [10s, ...]
+    writeBatch(Seq((10000L, "a", 1.0), (13000L, "a", 2.0)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(outDir).isEmpty,
+      "no emission while the session is open")
+
+    // while DOWN: extend the recovered session + push the watermark
+    writeBatch(Seq((16000L, "a", 4.0), (90000L, "z", 0.0)))
+
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(outDir)
+      .filter($"sensor_name" === "a").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("n") == 3 &&
+      rows(0).getAs[Double]("sum") == 7.0 &&
+      rows(0).getAs[java.sql.Timestamp]("window_end_time").getTime == 21000L,
+      "recovered open session must absorb post-restart rows and close " +
+        s"at last+gap — got ${rows.mkString}")
+  }
+
   test("ExactWindow flatMapGroupsWithState state survives a restart") {
     val dir = Files.createTempDirectory("graft-recovery-exact").toFile
     val inputDir = new java.io.File(dir, "input"); inputDir.mkdirs()
