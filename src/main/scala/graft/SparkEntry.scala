@@ -421,12 +421,18 @@ object SparkEntry {
         .agg(
           expr("percentile_approx(l_quantity, array(0.25D, 0.5D, 0.75D), " +
             "1000000)").as("q"),
-          expr("percentile_approx(l_extendedprice, 0.5D, 1000000)")
-            .as("med_price"),
+          // all three quartiles on the near-unique price column too:
+          // l_quantity's heavy ties could mask a one-rank convention
+          // divergence (a wrong rank lands on the same tied value);
+          // l_extendedprice cannot
+          expr("percentile_approx(l_extendedprice, " +
+            "array(0.25D, 0.5D, 0.75D), 1000000)").as("qp"),
           count(lit(1)).as("n"))
         .select($"l_returnflag", element_at($"q", 1).as("q25"),
           element_at($"q", 2).as("q50"), element_at($"q", 3).as("q75"),
-          $"med_price", $"n")
+          element_at($"qp", 1).as("price_q25"),
+          element_at($"qp", 2).as("med_price"),
+          element_at($"qp", 3).as("price_q75"), $"n")
         .orderBy($"l_returnflag")
     }),
 
@@ -1130,7 +1136,9 @@ object SparkEntry {
         |  quantile_disc(l_quantity, 0.25) AS q25,
         |  quantile_disc(l_quantity, 0.5) AS q50,
         |  quantile_disc(l_quantity, 0.75) AS q75,
+        |  quantile_disc(l_extendedprice, 0.25) AS price_q25,
         |  quantile_disc(l_extendedprice, 0.5) AS med_price,
+        |  quantile_disc(l_extendedprice, 0.75) AS price_q75,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

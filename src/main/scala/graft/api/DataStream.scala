@@ -233,6 +233,13 @@ object DataStream {
     // input is the ONLY thing restricting the agg to its side. (The
     // marker is matched on the column tree's rendering: Spark 4 Columns
     // carry a ColumnNode tree that Expression traversal can't enter.)
+    // HEURISTIC, like the null-masking itself (see class doc): it
+    // catches input-IGNORING aggregates, not every both-sides
+    // aggregate — e.g. `c => count(lit(1)) + lit(0) * sum(c)`
+    // references its input textually yet still counts both sides. It
+    // also evaluates f() eagerly here, so a callback that throws on a
+    // free-standing Column surfaces its error at this require, not at
+    // query analysis.
     (leftAggs ++ rightAggs).foreach { case (name, f) =>
       val marker = "__graft_probe_1c9e4b"
       val usesInput = f(col(marker)).toString.contains(marker)

@@ -121,7 +121,16 @@ object Similarity {
       .withColumn("features", array_to_vector(col("__ce").cast("array<double>")))
     val fitInput =
       if (fitSampleFraction >= 1.0) featurized
-      else featurized.sample(withReplacement = false, fitSampleFraction, seed)
+      else {
+        val sampled =
+          featurized.sample(withReplacement = false, fitSampleFraction, seed)
+        // a sample with fewer rows than nCentroids would crash the fit
+        // with an opaque MLlib error unrelated to the user's parameter
+        // choice; such a corpus is tiny by implication, so fall back to
+        // fitting on all of it (limit() bounds the precheck cost)
+        if (sampled.limit(nCentroids).count() < nCentroids) featurized
+        else sampled
+      }
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setMaxIter(maxIter)
       .setFeaturesCol("features").fit(fitInput)

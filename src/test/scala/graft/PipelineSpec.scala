@@ -455,16 +455,44 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .select($"count").as[Long].collect()
     assert(counts.forall(_ < 1000000L / 2),
       "group size approaching sketch accuracy — q31 oracle no longer exact")
-    val groups = li.groupBy($"l_returnflag")
-      .agg(expr("percentile_approx(l_quantity, 0.5D, 1000000)").as("p50"))
-      .select($"l_returnflag", $"p50").as[(String, Double)].collect()
-    groups.foreach { case (flag, p50) =>
-      val vals = li.filter($"l_returnflag" === flag)
-        .select($"l_quantity").as[Double].collect().sorted
-      val exact = vals(math.ceil(0.5 * vals.length).toInt - 1)
-      assert(p50 == exact,
-        s"sketch p50 $p50 != exact ceil-rank quantile $exact for $flag")
+    // check all three quartiles on BOTH columns — l_quantity's heavy
+    // ties (~50 distinct values) would mask a one-rank convention
+    // divergence at p=0.25/0.75, the near-unique l_extendedprice
+    // cannot (ADVICE r3)
+    for (valueCol <- Seq("l_quantity", "l_extendedprice");
+         p <- Seq(0.25, 0.5, 0.75)) {
+      val groups = li.groupBy($"l_returnflag")
+        .agg(expr(s"percentile_approx($valueCol, ${p}D, 1000000)").as("pv"))
+        .select($"l_returnflag", $"pv").as[(String, Double)].collect()
+      groups.foreach { case (flag, pv) =>
+        val vals = li.filter($"l_returnflag" === flag)
+          .select(col(valueCol)).as[Double].collect().sorted
+        val exact = vals(math.ceil(p * vals.length).toInt - 1)
+        assert(pv == exact,
+          s"sketch p$p($valueCol) $pv != exact ceil-rank quantile " +
+            s"$exact for $flag")
+      }
     }
+  }
+
+  test("s3 oracle precondition: full-probe IVF equals exact top-k") {
+    // the s3 gate oracles the IVF path against exact cosine top-k in
+    // DuckDB — sound only because nProbe == nCentroids makes the
+    // candidate set the whole corpus regardless of centroid placement.
+    // Assert that equivalence directly (same parameters as the gate)
+    // so a partial-probe edit to s3 fails here diagnosably first.
+    val emb = Graft.table(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding",
+        "vec_id", 5).select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "embedding", "vec_id", 5,
+        nCentroids = 8, nProbe = 8, maxIter = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(ivf == exact,
+      "full-probe IVF must equal exact top-k — the s3 oracle " +
+        "precondition (candidates = whole corpus) no longer holds")
   }
 
   test("ivfTopK sampled fit: full-probe invariant, partial-probe recall holds") {
