@@ -70,6 +70,50 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Pane-vs-explode cost on the custom exact-emission operator at a
+    // 12:1 length/slide ratio (1h windows sliding by 5min): the pane
+    // form ships each row once and merges 12 pane partials at emission;
+    // the explode form ships every row 12× into per-frame state
+    def exactWindowOnce(pane: Boolean): Double = {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.ExactWindow
+      System.gc()
+      Thread.sleep(300)
+      val t0 = System.nanoTime()
+      try {
+        val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+        val src = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("ts"),
+            col("value").cast("double").as("value"))
+        val aggs = Seq(ExactWindow.ExactAgg.count("n", "value"),
+          ExactWindow.ExactAgg.sum("sum", "value"),
+          ExactWindow.ExactAgg.min("mn", "value"),
+          ExactWindow.ExactAgg.max("mx", "value"),
+          ExactWindow.ExactAgg.avg("av", "value"))
+        val out =
+          if (pane) ExactWindow.slidingPanes(src, Seq("event_type"), "ts",
+            lengthMs = 3600000L, slideMs = 300000L, aggs)
+          else ExactWindow.slidingRows(src, Seq("event_type"), "ts",
+            lengthMs = 3600000L, slideMs = 300000L, aggs)
+        val name = if (pane) "bench_ew_pane" else "bench_ew_explode"
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] exact_window pane=$pane failed: " +
+            e.getMessage)
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // (median, min, max) over reps; any failed rep marks the query
     // failed outright — a flaky query must not hide behind its median
     def stats(samples: Seq[Double]): (Double, Double, Double) = {
@@ -82,8 +126,13 @@ object Bench {
     // second run exercises the already-JITed path
     timeOnce("q1_agg"); timeOnce("q1_agg")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> stats((1 to reps).map(_ => timeOnce(n)))) :+
-      ("streaming_window" -> stats((1 to reps).map(_ => streamingOnce())))
+    val results = names.map(n => n -> stats((1 to reps).map(_ => timeOnce(n)))) ++
+      Seq(
+        "streaming_window" -> stats((1 to reps).map(_ => streamingOnce())),
+        "exact_window_explode" ->
+          stats((1 to reps).map(_ => exactWindowOnce(pane = false))),
+        "exact_window_pane" ->
+          stats((1 to reps).map(_ => exactWindowOnce(pane = true))))
     def jmap(f: ((Double, Double, Double)) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")

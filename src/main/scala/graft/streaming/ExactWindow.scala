@@ -250,6 +250,143 @@ object ExactWindow {
       delay, useTransformWithState)
   }
 
+  /** Pane-based sliding windows: semantically identical to
+    * [[slidingRows]] (a tier-equivalence spec pins it), but each row is
+    * accumulated into exactly ONE slide-aligned pane instead of being
+    * exploded into ceil(length/slide) overlapping frames — for a
+    * 60s/1s window that is 60× less shuffle volume and 60× fewer state
+    * rows, bought at emission time by merging length/slide pane
+    * partials per closing window (cheap: panes, not rows).
+    *
+    * Requires length % slide == 0 (panes must tile windows exactly) and
+    * [[ExactAgg.merge]] (any `Aggregator` lift provides it). State per
+    * group: MapState pane-start → partial buffers, a frontier marking
+    * watermark progress, and one re-armable event-time timer at the
+    * earliest unemitted window end. A pane is evicted as soon as the
+    * watermark passes the end of the last window containing it, so
+    * state holds at most (active time range / slide) panes per group.
+    * Emission instant matches [[slidingRows]] and the built-in
+    * append-mode aggregate: a window emits exactly when the watermark
+    * passes its end, and only if at least one row fell in it.
+    */
+  def slidingPanes(df: DataFrame, groupCols: Seq[String], tsCol: String,
+                   lengthMs: Long, slideMs: Long, aggs: Seq[ExactAgg],
+                   delay: String = "0 seconds"): DataFrame = {
+    require(slideMs > 0 && lengthMs >= slideMs && lengthMs % slideMs == 0,
+      "need 0 < slide <= length with length a multiple of slide")
+    require(aggs.nonEmpty, "need at least one aggregate")
+    require(aggs.map(_.name).distinct.length == aggs.length,
+      "aggregate names must be unique")
+    val panesPerWindow = (lengthMs / slideMs).toInt
+    val prepared = df.withWatermark(tsCol, delay)
+    val nKeys = groupCols.length
+    val keySchema = StructType(groupCols.map(c => prepared.schema(c)))
+    val outSchema = StructType(
+      groupCols.map(c => prepared.schema(c)) ++
+        Seq(StructField("window_start_time", TimestampType),
+          StructField("window_end_time", TimestampType)) ++
+        aggs.map(a => StructField(a.name, a.outputType)))
+    val keyEnc: Encoder[Row] = ExpressionEncoder(keySchema)
+    val outEnc: Encoder[Row] = ExpressionEncoder(outSchema)
+
+    val keyed = prepared.groupByKey { r: Row =>
+      Row.fromSeq(groupCols.map(c => r.getAs[Any](c)))
+    }(keyEnc)
+
+    val processor = new StatefulProcessor[Row, Row, Row] {
+      @transient private var panes:
+        org.apache.spark.sql.streaming.MapState[Long, Array[Array[Byte]]] = _
+      @transient private var frontier: ValueState[Long] = _
+
+      override def init(outputMode: OutputMode,
+                        timeMode: TimeMode): Unit = {
+        panes = getHandle.getMapState[Long, Array[Array[Byte]]]("panes",
+          Encoders.scalaLong, ExpressionEncoder[Array[Array[Byte]]](),
+          TTLConfig.NONE)
+        frontier = getHandle.getValueState[Long]("frontier",
+          Encoders.scalaLong, TTLConfig.NONE)
+      }
+
+      // earliest window end > wm over the live panes (a pane p feeds
+      // windows ending at p+slide .. p+length); Long.MaxValue if none
+      private def nextEnd(wm: Long): Long = {
+        var best = Long.MaxValue
+        panes.keys().foreach { p =>
+          val j = math.max(1L, (wm - p) / slideMs + 1L)
+          val e = p + j * slideMs
+          if (e <= p + lengthMs && e < best) best = e
+        }
+        best
+      }
+
+      override def handleInputRows(key: Row, rows: Iterator[Row],
+                                   timers: TimerValues): Iterator[Row] = {
+        // buffer per touched pane for this batch, deserialized once
+        val touched = scala.collection.mutable.Map[Long, Array[Any]]()
+        rows.foreach { r =>
+          val t = r.getAs[java.sql.Timestamp](tsCol).getTime
+          val p = t - math.floorMod(t, slideMs)
+          val bufs = touched.getOrElseUpdate(p,
+            if (panes.containsKey(p)) {
+              val bytes = panes.getValue(p)
+              Array.tabulate[Any](aggs.length)(i =>
+                aggs(i).fromBytes(bytes(i)))
+            } else Array.tabulate[Any](aggs.length)(i => aggs(i).init()))
+          var i = 0
+          while (i < bufs.length) { bufs(i) = aggs(i).reduce(bufs(i), r); i += 1 }
+        }
+        touched.foreach { case (p, bufs) =>
+          panes.updateValue(p,
+            Array.tabulate(aggs.length)(i => aggs(i).toBytes(bufs(i))))
+        }
+        val e = nextEnd(timers.getCurrentWatermarkInMs())
+        if (e != Long.MaxValue) getHandle.registerTimer(e)
+        Iterator.empty
+      }
+
+      override def handleExpiredTimer(key: Row, timers: TimerValues,
+          expired: ExpiredTimerInfo): Iterator[Row] = {
+        val wm = timers.getCurrentWatermarkInMs()
+        val fr = if (frontier.exists()) frontier.get() else Long.MinValue
+        // candidate windows: derived from live panes, ending in
+        // (frontier, wm] — ascending so panes are merged before any of
+        // them becomes evictable
+        val live: Map[Long, Array[Array[Byte]]] = panes.iterator().toMap
+        val toEmit = live.keysIterator.flatMap { p =>
+          (1 to panesPerWindow).iterator.map(j => p + j * slideMs)
+            .filter(e => e > fr && e <= wm).map(e => e - lengthMs)
+        }.toSet.toSeq.sorted
+        val out = toEmit.map { w =>
+          var bufs = Array.tabulate[Any](aggs.length)(i => aggs(i).init())
+          var j = 0
+          while (j < panesPerWindow) {
+            live.get(w + j * slideMs).foreach { bytes =>
+              var i = 0
+              while (i < bufs.length) {
+                bufs(i) = aggs(i).merge(bufs(i), aggs(i).fromBytes(bytes(i)))
+                i += 1
+              }
+            }
+            j += 1
+          }
+          Row.fromSeq(
+            (0 until nKeys).map(key.get) ++
+              Seq(new Timestamp(w), new Timestamp(w + lengthMs)) ++
+              aggs.indices.map(i => aggs(i).finish(bufs(i))))
+        }
+        // a pane dies once the watermark passes its LAST window's end
+        live.keysIterator.filter(p => p + lengthMs <= wm)
+          .foreach(panes.removeKey)
+        frontier.update(wm)
+        val e = nextEnd(wm)
+        if (e != Long.MaxValue) getHandle.registerTimer(e)
+        out.iterator
+      }
+    }
+    keyed.transformWithState(processor, TimeMode.EventTime(),
+      OutputMode.Append())(outEnc).toDF()
+  }
+
   /** Session windows with gap merging in the custom stateful tier —
     * EXCEEDS the reference: its logical plan declares `Session(gap)`
     * but the physical operator `todo!()`s it

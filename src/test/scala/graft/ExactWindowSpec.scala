@@ -266,6 +266,67 @@ class ExactWindowSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingPanes emits identically to the explode-form slidingRows") {
+    // the pane layer is a pure cost optimization — 1× shuffle rows and
+    // length/slide-fold fewer state rows — so its output must be
+    // row-identical to the explode form on a fixture with out-of-order
+    // rows, multiple groups, a merge-exercising map-state UDAF, and a
+    // 12:1 length/slide ratio (60s windows sliding by 5s)
+    val data = Seq(
+      Measurement(11000, "x", 1.0), Measurement(4000, "x", 3.0),
+      Measurement(58000, "y", 7.0), Measurement(62000, "x", 5.0),
+      Measurement(31000, "y", 1.0), Measurement(31000, "x", 1.0),
+      Measurement(300000, "z", 0.0))
+    def aggs() = Seq(
+      ExactWindow.ExactAgg.count("n", "reading"),
+      ExactWindow.ExactAgg.sum("sum", "reading"),
+      ExactWindow.ExactAgg.min("mn", "reading"),
+      ExactWindow.ExactAgg.avg("av", "reading"),
+      ExactWindow.ExactAgg[String, Map[String, Long], Map[String, Long]](
+        "by_value", _.getAs[Double]("reading").toString,
+        new graft.operators.Udafs.CountByValue,
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType)))
+    def run(pane: Boolean, name: String)
+        : Set[(String, Long, Long, Long, Double, Double, Double,
+          Map[String, Long])] = {
+      val input = MemoryStream[Measurement](spark)
+      val src = input.toDF
+        .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+      val out =
+        if (pane) ExactWindow.slidingPanes(src, Seq("sensor_name"), "ts",
+          lengthMs = 60000L, slideMs = 5000L, aggs = aggs())
+        else ExactWindow.slidingRows(src, Seq("sensor_name"), "ts",
+          lengthMs = 60000L, slideMs = 5000L, aggs = aggs())
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        // two batches so pane partials cross a micro-batch boundary
+        input.addData(data.take(3): _*)
+        q.processAllAvailable()
+        input.addData(data.drop(3): _*)
+        q.processAllAvailable()
+        spark.table(name)
+          .select($"sensor_name", $"window_start_time".cast("long").as("ws"),
+            $"window_end_time".cast("long").as("we"), $"n", $"sum",
+            $"mn", $"av", $"by_value")
+          .as[(String, Long, Long, Long, Double, Double, Double,
+            Map[String, Long])]
+          .collect().toSet
+      } finally q.stop()
+    }
+    val viaExplode = run(pane = false, "exact_pane_a")
+    val viaPanes = run(pane = true, "exact_pane_b")
+    assert(viaPanes == viaExplode,
+      s"pane form diverged:\n explode=${viaExplode.size} rows" +
+        s"\n panes=${viaPanes.size} rows" +
+        s"\n missing=${(viaExplode -- viaPanes).take(3)}" +
+        s"\n extra=${(viaPanes -- viaExplode).take(3)}")
+    assert(viaExplode.size > 30,
+      "fixture must close a meaningful number of 12-pane windows")
+  }
+
   test("sessionRows matches built-in session_window on closed sessions") {
     // reference declares Session(gap) but todo!()s the operator — this
     // custom tier strictly exceeds it; parity target is Spark's own

@@ -217,6 +217,61 @@ class RecoverySpec extends AnyFunSuite with SparkSpec {
         s"at last+gap — got ${rows.mkString}")
   }
 
+  test("ExactWindow pane state (pane map + frontier + timers) survives a restart") {
+    val dir = Files.createTempDirectory("graft-recovery-pane").toFile
+    val inputDir = new java.io.File(dir, "input"); inputDir.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val outDir = new java.io.File(dir, "out").getAbsolutePath
+
+    def writeBatch(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("occurred_at_ms", "sensor_name", "reading")
+        .coalesce(1).write.mode("append").parquet(inputDir.getAbsolutePath)
+
+    def startQuery() = {
+      val src = spark.readStream.schema(
+        spark.read.parquet(inputDir.getAbsolutePath).schema)
+        .parquet(inputDir.getAbsolutePath)
+        .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+      graft.streaming.ExactWindow
+        .slidingPanes(src, Seq("sensor_name"), "ts",
+          lengthMs = 10000L, slideMs = 5000L,
+          Seq(graft.streaming.ExactWindow.ExactAgg.count("n", "reading"),
+            graft.streaming.ExactWindow.ExactAgg.sum("sum", "reading")))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .format("parquet").start()
+    }
+
+    // pre-restart: rows in panes [10s,15s) and [15s,20s); the batch-1
+    // watermark (16s) closes exactly the windows ending at 15s
+    writeBatch(Seq((11000L, "a", 10.0), (16000L, "a", 20.0)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    val early = spark.read.parquet(outDir)
+      .select($"window_start_time".cast("long")).as[Long].collect().toSet
+    assert(early == Set(5L),
+      s"only the [5s,15s) window may close before restart, got $early")
+
+    // while DOWN: one more row into the open pane + watermark push
+    writeBatch(Seq((17000L, "a", 30.0), (90000L, "z", 0.0)))
+
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    // window [10s,20s) must combine the recovered pane partials (10,20)
+    // with the post-restart row (30)
+    val rows = spark.read.parquet(outDir)
+      .filter($"sensor_name" === "a" &&
+        $"window_start_time".cast("long") === 10).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("n") == 3 &&
+      rows(0).getAs[Double]("sum") == 60.0,
+      "recovered pane partials must combine with post-restart rows — " +
+        s"got ${rows.mkString}")
+  }
+
   test("ExactWindow flatMapGroupsWithState state survives a restart") {
     val dir = Files.createTempDirectory("graft-recovery-exact").toFile
     val inputDir = new java.io.File(dir, "input"); inputDir.mkdirs()
