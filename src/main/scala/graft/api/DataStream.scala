@@ -137,6 +137,45 @@ final case class DataStream(
     next(flattenWindow(agged))
   }
 
+  /** The frame-exact custom-state window tier behind the fluent
+    * surface (graft.streaming.ExactWindow): caller-supplied
+    * [[graft.streaming.ExactWindow.ExactAgg]] aggregates — any typed
+    * Aggregator, including map-state UDAFs — with tier selection:
+    *  - "timeout"  flatMapGroupsWithState + EventTimeTimeout (default)
+    *  - "tws"      Spark 4 transformWithState
+    *  - "pane"     pane partials ([[graft.streaming.ExactWindow
+    *               .slidingPanes]]; needs length % slide == 0)
+    *  - "session"  gap-merged sessions (`length` is the GAP; slide
+    *               must be None)
+    * Emission semantics match [[window]]/[[sessionWindow]] in append
+    * mode; group keys may be empty (global frames).
+    */
+  def exactWindow(groupCols: Seq[String],
+                  aggs: Seq[graft.streaming.ExactWindow.ExactAgg],
+                  length: String, slide: Option[String] = None,
+                  tier: String = "timeout"): DataStream = {
+    import graft.streaming.ExactWindow
+    val lengthMs = DataStream.intervalMs(length)
+    val slideMs = slide.map(DataStream.intervalMs).getOrElse(lengthMs)
+    val out = tier match {
+      case "timeout" => ExactWindow.slidingRows(df, groupCols,
+        eventTimeCol, lengthMs, slideMs, aggs, watermarkDelay)
+      case "tws" => ExactWindow.slidingRows(df, groupCols, eventTimeCol,
+        lengthMs, slideMs, aggs, watermarkDelay,
+        useTransformWithState = true)
+      case "pane" => ExactWindow.slidingPanes(df, groupCols, eventTimeCol,
+        lengthMs, slideMs, aggs, watermarkDelay)
+      case "session" =>
+        require(slide.isEmpty, "session tier takes a gap, not a slide")
+        ExactWindow.sessionRows(df, groupCols, eventTimeCol, lengthMs,
+          aggs, watermarkDelay)
+      case other => throw new IllegalArgumentException(
+        s"unknown exactWindow tier '$other' " +
+          "(expected timeout | tws | pane | session)")
+    }
+    next(out)
+  }
+
   private def flattenWindow(agged: DataFrame): DataFrame = {
     val others = agged.columns.filterNot(_ == "__window").map(col)
     agged.select(
@@ -200,6 +239,23 @@ final case class DataStream(
 }
 
 object DataStream {
+
+  /** Fixed-length interval string → milliseconds (the ExactWindow tier
+    * works in epoch millis). Parsed with the Catalyst parser — NOT
+    * `expr()`, whose Spark 4 lazy Column defers parsing past this
+    * check. Year-month intervals have no fixed length and are
+    * rejected.
+    */
+  private[graft] def intervalMs(s: String): Long =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(s"INTERVAL $s") match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType.isInstanceOf[
+            org.apache.spark.sql.types.DayTimeIntervalType] =>
+        l.value.asInstanceOf[Long] / 1000L
+      case _ => throw new IllegalArgumentException(
+        s"'$s' is not a fixed-length (day-time) interval")
+    }
 
   /** Windowed join of two streams — the reference's flagship
     * stream_join pattern (/root/reference/examples/examples/
