@@ -657,6 +657,34 @@ object SparkEntry {
           operators.TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Deterministic curation sampling (Sampling.scala): every draw is
+    // md5-hex, so DuckDB selects the IDENTICAL rows — the oracle is
+    // exact row equality, not a statistical bound
+    "p1_hash_sample" -> ((s, d) =>
+      operators.Sampling.hashSample(t(s, d, "documents"), "doc_id", 0.2)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    "p2_stratified_sample" -> ((s, d) =>
+      operators.Sampling.stratifiedHashSample(t(s, d, "documents"),
+          "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"))
+        .orderBy(col("lang"))),
+
+    "p3_split_by_hash" -> ((s, d) =>
+      operators.Sampling.splitByHash(t(s, d, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    "p4_topn_per_key" -> ((s, d) =>
+      operators.Sampling.topNPerKey(t(s, d, "documents"), "lang",
+          "doc_id", 10)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))),
+
     "t5_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .groupBy(operators.TextAnalysis.fingerprint(col("text"))
@@ -1203,6 +1231,40 @@ object SparkEntry {
         |  repeat(p_brand, 2) AS bb,
         |  CAST(ascii(p_name) AS BIGINT) AS a1
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // thresholds: 0.2→33333333, 0.5→80000000, 0.25→40000000,
+    // 0.1→19999999, 0.8→cccccccc, 0.9→e6666666 (floor(f·2^32) hex,
+    // Sampling.hexThreshold — lowercase hex compares bytewise the same
+    // in both engines)
+    "p1_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+        |ORDER BY doc_id""".stripMargin,
+
+    "p2_stratified_sample" ->
+      """SELECT lang, count(*) AS n_kept, min(doc_id) AS first_id
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
+        |            ELSE '19999999' END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p3_split_by_hash" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p4_topn_per_key" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+        |    AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
 
     "t7_token_bpeish" ->
       """SELECT doc_id,

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and splitting for dataset curation at 100TB.
+  *
+  * Every primitive here is a pure FILTER (or one windowed shuffle) over
+  * a content hash — no RNG state, no driver coordination, no
+  * `sample()` nondeterminism across retries/speculation. The draw for
+  * a row is the first 8 hex chars of `md5(id)` interpreted as a
+  * uniform value in [0, 16^8): reproducible across runs, clusters, and
+  * ENGINES (lowercase hex compares bytewise identically everywhere, so
+  * an external system — or the DuckDB oracle gate — selects the exact
+  * same rows). Filters are scan-adjacent: no shuffle, no join, codegen
+  * end-to-end; a resample with a larger fraction is a SUPERSET of the
+  * smaller one (thresholds nest), which is what incremental curation
+  * runs want.
+  *
+  * The reference has no sampling surface (SURVEY §2.5 scalar/agg
+  * library only); these exceed it alongside the dedup/ANN suite.
+  */
+object Sampling {
+
+  /** First 8 hex chars of md5(id): the row's uniform draw. */
+  def hashBucket(idCol: Column): Column =
+    substring(md5(idCol.cast("string")), 1, 8)
+
+  /** Threshold hex string for a fraction: rows with
+    * `hashBucket < threshold` are an (expected) `fraction` of ids.
+    */
+  private[graft] def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0, 1], got $fraction")
+    f"${math.min(math.floor(fraction * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+  }
+
+  private def draw(idCol: Column, fraction: Double): Column =
+    if (fraction >= 1.0) lit(true)
+    else hashBucket(idCol) < lit(hexThreshold(fraction))
+
+  /** Deterministic uniform sample: keeps an expected `fraction` of
+    * distinct ids. Pure filter — duplicate ids travel together (all
+    * copies kept or dropped), and fractions NEST: hashSample(0.1) ⊆
+    * hashSample(0.2) over the same data.
+    */
+  def hashSample(df: DataFrame, idCol: String,
+                 fraction: Double): DataFrame =
+    df.filter(draw(col(idCol), fraction))
+
+  /** Stratified deterministic sample: per-stratum fractions with a
+    * default for unlisted strata. Same nesting/reproducibility as
+    * [[hashSample]]; still a pure filter (one CASE over the strata
+    * map), so strata cardinality costs nothing at scan time.
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double = 0.0): DataFrame = {
+    val cond = fractions.foldLeft(lit(null).cast("boolean")) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, draw(col(idCol), f)).otherwise(acc)
+    }
+    df.filter(coalesce(cond, draw(col(idCol), defaultFraction)))
+  }
+
+  /** Deterministic train/val/test (or any) split: adds a `split`
+    * column assigning every row to exactly one named band by hash
+    * range. Weights must sum to 1 (±1e-9); the last band absorbs the
+    * hex tail so rows can never fall between bands. Rows with equal
+    * ids always land in the same band — the leakage-safe property a
+    * random split per-row does NOT have.
+    */
+  def splitByHash(df: DataFrame, idCol: String,
+                  weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty, "need at least one split")
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1, got ${weights.map(_._2).sum}")
+    val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
+    val b = hashBucket(col(idCol))
+    // WHEN chain over the upper bounds; the final band is the ELSE so
+    // floating-point boundary error can't orphan the last hex values
+    val split = weights.init.zip(bounds.tail.init)
+      .foldLeft(lit(null).cast("string")) { case (acc, ((name, _), hi)) =>
+        when(acc.isNull && b < lit(hexThreshold(hi)), lit(name))
+          .otherwise(acc)
+      }
+    df.withColumn("split", coalesce(split, lit(weights.last._1)))
+  }
+
+  /** Deterministic per-key "reservoir": the `n` rows of each key with
+    * the smallest hash draw (ties broken by id). One shuffle on the
+    * key — at 100TB, hot keys are bounded by the same windowed top-k
+    * cost as q6; for extreme skew pre-filter with [[hashSample]] at
+    * n / min-group-size before ranking.
+    */
+  def topNPerKey(df: DataFrame, keyCol: String, idCol: String,
+                 n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

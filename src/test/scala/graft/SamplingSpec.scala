@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def docs = Graft.table(spark, sf, "documents")
+
+  test("hashSample is deterministic, nested across fractions, and a " +
+      "pure scan filter") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.2)
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, "doc_id", 0.2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a == b, "same fraction must select identical rows every run")
+    val wider = Sampling.hashSample(docs, "doc_id", 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(wider),
+      "thresholds nest: a smaller fraction is a subset of a larger one")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.2) < 0.15,
+      s"fraction far off: kept ${a.size} of $n")
+    // scale shape: a sample is a filter — no shuffle may appear
+    val plan = Sampling.hashSample(docs, "doc_id", 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"hashSample must not shuffle:\n$plan")
+    // degenerate fractions
+    assert(Sampling.hashSample(docs, "doc_id", 1.0).count() == n.toLong)
+    assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0L)
+  }
+
+  test("splitByHash partitions rows completely, disjointly, and " +
+      "leakage-safe") {
+    val split = Sampling.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byBand = split.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byBand.keySet == Set("train", "val", "test"),
+      s"every band must be non-empty on the fixture, got $byBand")
+    assert(byBand.values.sum == docs.count(),
+      "bands must partition the input exactly")
+    // leakage safety: duplicated ids land in the same band
+    val dup = docs.unionByName(docs)
+    val assignments = Sampling.splitByHash(dup, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"split").as("nb"))
+      .filter($"nb" > 1).count()
+    assert(assignments == 0L,
+      "equal ids must never straddle bands (train/test leakage)")
+    // the split column agrees with standalone sampling: the train band
+    // is exactly hashSample(0.8)
+    val train = split.filter($"split" === "train")
+      .select($"doc_id").as[Long].collect().toSet
+    val sampled = Sampling.hashSample(docs, "doc_id", 0.8)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(train == sampled, "split bands and hashSample share the draw")
+  }
+
+  test("stratifiedHashSample applies per-stratum fractions with default") {
+    val kept = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+        Map("en" -> 1.0, "de" -> 0.0), defaultFraction = 0.2)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept("en") == full("en"), "fraction 1.0 keeps the stratum whole")
+    assert(!kept.contains("de"), "fraction 0.0 drops the stratum")
+    val others = full.keySet -- Set("en", "de")
+    others.foreach { l =>
+      assert(kept.getOrElse(l, 0L) < full(l),
+        s"default fraction must subsample stratum $l")
+    }
+    // per-stratum selection uses the SAME draw as hashSample, so a
+    // stratum at fraction f is exactly hashSample(f) restricted to it
+    val en = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+        Map("zh" -> 0.3), defaultFraction = 0.0)
+      .select($"doc_id").as[Long].collect().toSet
+    val direct = Sampling.hashSample(docs.filter($"lang" === "zh"),
+        "doc_id", 0.3).select($"doc_id").as[Long].collect().toSet
+    assert(en == direct)
+  }
+
+  test("topNPerKey keeps exactly min(n, group size) smallest draws per key") {
+    val top = Sampling.topNPerKey(docs, "lang", "doc_id", 10)
+    val sizes = top.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val full = docs.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    full.foreach { case (l, n) =>
+      assert(sizes(l) == math.min(10L, n), s"wrong count for $l")
+    }
+    // deterministic: repeated runs pick the identical rows
+    val again = Sampling.topNPerKey(docs, "lang", "doc_id", 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(top.select($"doc_id").as[Long].collect().toSet == again)
+    // the kept rows are the n smallest hash draws of their key
+    val zhKept = top.filter($"lang" === "zh")
+      .select(Sampling.hashBucket($"doc_id")).as[String].collect().max
+    val zhDropped = docs.filter($"lang" === "zh")
+      .exceptAll(top.filter($"lang" === "zh"))
+      .select(Sampling.hashBucket($"doc_id")).as[String].collect().min
+    assert(zhKept < zhDropped,
+      "every kept draw must be smaller than every dropped draw")
+  }
+}
