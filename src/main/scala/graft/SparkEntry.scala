@@ -685,6 +685,16 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy(col("lang"), col("doc_id"))),
 
+    // GPT-style concat-then-chunk packing layout (Packing.scala):
+    // integer window arithmetic inside md5-prefix shards — DuckDB
+    // reproduces the identical layout row-for-row
+    "p5_pack_chunks" -> ((s, d) =>
+      operators.Packing.packChunks(t(s, d, "documents"), "doc_id",
+          "n_chars", capacity = 2048L)
+        .select(col("doc_id"), col("shard"), col("start"), col("chunk"),
+          col("offset"), col("chunks_spanned"))
+        .orderBy(col("doc_id"))),
+
     "t5_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .groupBy(operators.TextAnalysis.fingerprint(col("text"))
@@ -1265,6 +1275,24 @@ object SparkEntry {
         |    AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
+
+    "p5_pack_chunks" ->
+      """SELECT doc_id, shard,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(start // 2048 AS BIGINT) AS chunk,
+        |  CAST(start % 2048 AS BIGINT) AS "offset",
+        |  CAST((start + n_chars - 1) // 2048 - start // 2048 + 1
+        |    AS BIGINT) AS chunks_spanned
+        |FROM (
+        |  SELECT doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |    sum(n_chars) OVER (
+        |      PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_chars AS start,
+        |    n_chars FROM documents) t0
+        |ORDER BY doc_id""".stripMargin,
 
     "t7_token_bpeish" ->
       """SELECT doc_id,

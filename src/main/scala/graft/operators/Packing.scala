@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sequence packing for training-data pipelines:
+  * GPT-style concatenate-then-chunk. Documents are laid end-to-end in
+  * a deterministic order and the resulting token stream is cut into
+  * fixed-capacity chunks; a document knows which chunk its first token
+  * lands in and at what offset (documents may straddle chunk
+  * boundaries — that is the concat-and-chunk contract, which wastes
+  * zero tokens on padding).
+  *
+  * Scale design: a single global concatenation order would serialize a
+  * 100TB corpus through one sorted partition, so the stream is SHARDED
+  * by a deterministic md5 prefix of the id — each shard's layout is an
+  * independent window over its own rows (one shuffle, #shards-way
+  * parallel), and adding shards never changes a document's placement
+  * within its shard. All arithmetic is integer (exact in any engine),
+  * and the shard key is a hex prefix string, so an external system or
+  * the DuckDB oracle reproduces the identical layout.
+  */
+object Packing {
+
+  /** Deterministic shard key: first `chars` hex chars of md5(id) —
+    * 16^chars shards as plain strings (no hex→int conversion, which
+    * not every engine spells the same way).
+    */
+  def shardKey(idCol: Column, chars: Int = 1): Column =
+    substring(md5(idCol.cast("string")), 1, chars)
+
+  /** Chunk layout for each document: within its shard (documents
+    * ordered by id), `start` = first-token position in the shard's
+    * concatenated stream, `chunk` = index of the capacity-sized chunk
+    * holding that token, `offset` = position inside that chunk, and
+    * `chunks_spanned` = how many chunks the document touches.
+    *
+    * Output: input columns ++ (shard, start, chunk, offset,
+    * chunks_spanned).
+    */
+  def packChunks(df: DataFrame, idCol: String, tokenCol: String,
+                 capacity: Long, shardChars: Int = 1): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(shardChars >= 1 && shardChars <= 8,
+      "shardChars must be in [1, 8]")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // integer `div`, not floor(x / c): double division silently loses
+    // exactness past 2^53 total tokens — a range a 100TB stream reaches
+    df.withColumn("shard", shardKey(col(idCol), shardChars))
+      .withColumn("start",
+        sum(col(tokenCol)).over(w) - col(tokenCol))
+      .withColumn("chunk", expr(s"start div $capacity"))
+      .withColumn("offset", col("start") % capacity)
+      .withColumn("chunks_spanned",
+        expr(s"(start + $tokenCol - 1) div $capacity") - col("chunk") + 1)
+  }
+}
