@@ -685,6 +685,31 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy(col("lang"), col("doc_id"))),
 
+    // PII redaction with RE2-safe patterns; the fixture text gets a
+    // deterministic synthetic email + phone appended IN THE QUERY (both
+    // engines build the same string), so the oracle discriminates even
+    // if the corpus itself carries no PII
+    "t8_redact_pii" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        operators.TextAnalysis.redactPii(concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or call +1 555-01"), col("doc_id"),
+          lit("."))).as("clean"))
+        .orderBy(col("doc_id"))),
+
+    // int8 embedding quantization: floor(x+0.5) rounding is
+    // bit-identical across engines (round() tie behavior is not), so
+    // the quantized vectors AND the fp scale hash-match exactly (the
+    // vector rides the gate comma-joined — the comparer diffs scalar
+    // cells, not nested arrays)
+    "s4_quantize_int8" -> ((s, d) =>
+      t(s, d, "embeddings").select(col("vec_id"),
+        array_join(transform(
+          operators.Similarity.quantizeInt8(col("embedding")),
+          q => q.cast("string")), ",").as("q"),
+        operators.Similarity.quantScale(col("embedding")).as("scale"))
+        .orderBy(col("vec_id"))),
+
     // GPT-style concat-then-chunk packing layout (Packing.scala):
     // integer window arithmetic inside md5-prefix shards — DuckDB
     // reproduces the identical layout row-for-row
@@ -1275,6 +1300,34 @@ object SparkEntry {
         |    AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
+
+    "t8_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |        '@mail.example.com or call +1 555-01' ||
+        |        CAST(doc_id AS VARCHAR) || '.',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '[EMAIL]', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "s4_quantize_int8" ->
+      """SELECT vec_id,
+        |  array_to_string(
+        |    CASE WHEN m = 0 THEN list_transform(e, x -> '0')
+        |         ELSE list_transform(e, x ->
+        |           CAST(CAST(floor(x * 127.0 / m + 0.5) AS INTEGER)
+        |             AS VARCHAR))
+        |    END, ',') AS q,
+        |  m / 127.0 AS scale
+        |FROM (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_max(list_transform(embedding::DOUBLE[],
+        |      x -> abs(x))) AS m
+        |  FROM embeddings) t0
+        |ORDER BY vec_id""".stripMargin,
 
     "p5_pack_chunks" ->
       """SELECT doc_id, shard,

@@ -101,6 +101,20 @@ object TextAnalysis {
     * characters removed — robust to spacing/punctuation edits. The
     * rolling-hash variant is graft.functions.rolling_hash.
     */
+  /** PII redaction: emails then phone-shaped digit runs replaced with
+    * bracketed tags. Patterns are RE2-safe (no lookarounds/backrefs),
+    * so Java regex (Spark) and RE2 (DuckDB/ripgrep-family engines)
+    * replace the identical spans — the oracle can diff the exact
+    * redacted text. Order matters: emails first, or a phone-shaped
+    * digit run inside an address would split it.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^\\p{L}\\p{N}]", ""))
 }

@@ -85,6 +85,40 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(en == direct)
   }
 
+  test("redactPii strips emails and phone runs, leaves clean text alone") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      ("write to a.user+tag@sub.example.org today",
+        "write to [EMAIL] today"),
+      ("call +1 (415) 555-0142 or 020 7946 0958 now",
+        "call [PHONE] or [PHONE] now"),
+      // email first: the digits inside an address must not become a
+      // phone fragment
+      ("mail 123456789@numbers.example.com please",
+        "mail [EMAIL] please"),
+      ("no pii here, just 42 and 3.14", "no pii here, just 42 and 3.14"))
+    val got = rows.map(_._1).toDF("t")
+      .select(TextAnalysis.redactPii($"t")).as[String].collect().toSeq
+    assert(got == rows.map(_._2), s"got $got")
+  }
+
+  test("quantizeInt8 round-trips within half a scale step") {
+    import graft.operators.Similarity
+    val emb = Graft.table(spark, sf, "embeddings")
+    val checked = emb.select($"vec_id", $"embedding",
+        Similarity.quantizeInt8($"embedding").as("q"),
+        Similarity.quantScale($"embedding").as("scale"))
+      .withColumn("max_err",
+        array_max(zip_with($"embedding", $"q",
+          (v, q) => abs(v.cast("double") - q * $"scale"))))
+      .agg(max($"max_err"), max(array_max(transform($"q", abs(_)))))
+      .as[(Double, Int)].head()
+    assert(checked._1 <= emb.select(
+        max(Similarity.quantScale($"embedding") / 2.0)).as[Double].head(),
+      s"dequantization error ${checked._1} exceeds scale/2")
+    assert(checked._2 <= 127, "quantized values must stay in int8 range")
+  }
+
   test("topNPerKey keeps exactly min(n, group size) smallest draws per key") {
     val top = Sampling.topNPerKey(docs, "lang", "doc_id", 10)
     val sizes = top.groupBy($"lang").count()
