@@ -685,6 +685,14 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy(col("lang"), col("doc_id"))),
 
+    // Gopher-style repetition signals: explode + two-level groupBy
+    // (never per-row quadratic), all-integer outputs for an exact
+    // oracle
+    "t9_repetition" -> ((s, d) =>
+      operators.TextAnalysis.repetitionStats(
+          t(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // PII redaction with RE2-safe patterns; the fixture text gets a
     // deterministic synthetic email + phone appended IN THE QUERY (both
     // engines build the same string), so the oracle discriminates even
@@ -703,11 +711,18 @@ object SparkEntry {
     // vector rides the gate comma-joined — the comparer diffs scalar
     // cells, not nested arrays)
     "s4_quantize_int8" -> ((s, d) =>
-      t(s, d, "embeddings").select(col("vec_id"),
-        array_join(transform(
-          operators.Similarity.quantizeInt8(col("embedding")),
-          q => q.cast("string")), ",").as("q"),
-        operators.Similarity.quantScale(col("embedding")).as("scale"))
+      t(s, d, "embeddings")
+        // max|v| lands in a real column so the per-element lambda
+        // reads a scalar instead of rescanning the array (O(dim) not
+        // O(dim²))
+        .withColumn("__m",
+          operators.Similarity.vectorMaxAbs(col("embedding")))
+        .select(col("vec_id"),
+          array_join(transform(
+            operators.Similarity.quantizeInt8With(col("embedding"),
+              col("__m")),
+            q => q.cast("string")), ",").as("q"),
+          (col("__m") / 127.0).as("scale"))
         .orderBy(col("vec_id"))),
 
     // GPT-style concat-then-chunk packing layout (Packing.scala):
@@ -1300,6 +1315,37 @@ object SparkEntry {
         |    AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
+
+    "t9_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '\s+') AS l
+        |  FROM documents),
+        |pw AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(l) AS w FROM base) t0
+        |  GROUP BY doc_id, w),
+        |wagg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    count(*) AS n_distinct_words,
+        |    CAST(max(c) AS BIGINT) AS top_word_n
+        |  FROM pw GROUP BY doc_id),
+        |pb AS (
+        |  SELECT doc_id, b, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(l) - 1),
+        |      i -> l[i] || ' ' || l[i + 1])) AS b FROM base) t1
+        |  GROUP BY doc_id, b),
+        |bagg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    count(*) AS n_distinct_bigrams
+        |  FROM pb GROUP BY doc_id)
+        |SELECT w.doc_id, w.n_words, w.n_distinct_words, w.top_word_n,
+        |  COALESCE(b.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(b.n_distinct_bigrams, 0) AS n_distinct_bigrams
+        |FROM wagg w LEFT JOIN bagg b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "t8_redact_pii" ->
       """SELECT doc_id,

@@ -93,20 +93,29 @@ object Similarity {
     * bit-identical everywhere, so the quantized vectors — and the
     * DuckDB oracle — match exactly. All-zero vectors quantize to zeros.
     */
-  def quantizeInt8(embCol: Column): Column = {
-    val maxAbs = array_max(transform(embCol,
-      v => abs(v.cast("double"))))
+  def quantizeInt8(embCol: Column): Column =
+    quantizeInt8With(embCol, vectorMaxAbs(embCol))
+
+  /** max|v| of a vector — materialize it ONCE (e.g. `withColumn`)
+    * and pass to [[quantizeInt8With]]: referencing it inside the
+    * per-element lambda instead re-evaluates the array scan per
+    * element (higher-order-function lambdas get no subexpression
+    * elimination), turning an O(dim) projection into O(dim²).
+    */
+  def vectorMaxAbs(embCol: Column): Column =
+    array_max(transform(embCol, v => abs(v.cast("double"))))
+
+  /** [[quantizeInt8]] with the row's precomputed max|v| column. */
+  def quantizeInt8With(embCol: Column, maxAbsCol: Column): Column =
     transform(embCol, v =>
-      when(maxAbs === 0.0, lit(0))
-        .otherwise(floor(v.cast("double") * 127.0 / maxAbs + 0.5))
+      when(maxAbsCol === 0.0, lit(0))
+        .otherwise(floor(v.cast("double") * 127.0 / maxAbsCol + 0.5))
         .cast("int"))
-  }
 
   /** The per-vector scale that [[quantizeInt8]] divides out:
     * max|v|/127; dequantize ≈ q·scale.
     */
-  def quantScale(embCol: Column): Column =
-    array_max(transform(embCol, v => abs(v.cast("double")))) / 127.0
+  def quantScale(embCol: Column): Column = vectorMaxAbs(embCol) / 127.0
 
   /** IVF ANN: k-means-partitioned index. Fit assigns every corpus
     * vector to one of `nCentroids` cells; a query probes its `nProbe`

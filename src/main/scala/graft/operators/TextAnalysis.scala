@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -114,6 +114,45 @@ object TextAnalysis {
     regexp_replace(
       regexp_replace(text, EmailRe, "[EMAIL]"),
       PhoneRe, "[PHONE]")
+
+  /** Gopher-style repetition signals, all exact integers: word count,
+    * distinct words, the most-frequent word's count, and the same pair
+    * for bigrams (duplicated-bigram mass is the classic boilerplate /
+    * degenerate-text detector). Distributed shape: explode + two-level
+    * groupBy — per-doc work never goes quadratic the way an
+    * array-of-counts projection would, and the (doc, word) shuffle key
+    * keeps parallelism at corpus scale.
+    *
+    * Output: idCol, n_words, n_distinct_words, top_word_n, n_bigrams,
+    * n_distinct_bigrams (0/0 for single-word docs).
+    */
+  def repetitionStats(df: DataFrame, textCol: String,
+                      idCol: String): DataFrame = {
+    val toks = tokenize(col(textCol))
+    val base = df.select(col(idCol), toks.as("__toks"))
+    val words = base.select(col(idCol), explode(col("__toks")).as("__w"))
+    val wordAgg = words.groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("__c")).as("top_word_n"))
+    // sequence(1, 0) DESCENDS in Spark — guard the <2-token case
+    val bigramArr = when(size(col("__toks")) < 2,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => concat_ws(" ", element_at(col("__toks"), i),
+          element_at(col("__toks"), i + 1))))
+    val bigramAgg = base
+      .select(col(idCol), explode(bigramArr).as("__b"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    wordAgg.join(bigramAgg, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams", "n_distinct_bigrams"))
+  }
 
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^\\p{L}\\p{N}]", ""))
