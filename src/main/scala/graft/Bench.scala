@@ -119,7 +119,10 @@ object Bench {
     def stats(samples: Seq[Double]): (Double, Double, Double) = {
       if (samples.exists(_ < 0)) return (-1.0, -1.0, -1.0)
       val s = samples.sorted
-      (s(s.size / 2), s.head, s.last)
+      // lower-middle for even sizes: s(size/2) would make reps=2
+      // report the SLOWER rep as the headline, biasing comparisons
+      // between runs with different rep counts
+      (s((s.size - 1) / 2), s.head, s.last)
     }
 
     // warmups (uncounted): session + codegen spin-up, twice so the

@@ -1318,9 +1318,9 @@ object SparkEntry {
 
     "t9_repetition" ->
       """WITH base AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text,
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text,
         |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
-        |    '\s+') AS l
+        |    '\s+'), x -> x != '') AS l
         |  FROM documents),
         |pw AS (
         |  SELECT doc_id, w, count(*) AS c
@@ -1341,10 +1341,15 @@ object SparkEntry {
         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
         |    count(*) AS n_distinct_bigrams
         |  FROM pb GROUP BY doc_id)
-        |SELECT w.doc_id, w.n_words, w.n_distinct_words, w.top_word_n,
+        |SELECT d.doc_id,
+        |  COALESCE(w.n_words, 0) AS n_words,
+        |  COALESCE(w.n_distinct_words, 0) AS n_distinct_words,
+        |  COALESCE(w.top_word_n, 0) AS top_word_n,
         |  COALESCE(b.n_bigrams, 0) AS n_bigrams,
         |  COALESCE(b.n_distinct_bigrams, 0) AS n_distinct_bigrams
-        |FROM wagg w LEFT JOIN bagg b USING (doc_id)
+        |FROM documents d
+        |LEFT JOIN wagg w USING (doc_id)
+        |LEFT JOIN bagg b USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "t8_redact_pii" ->
@@ -1380,8 +1385,9 @@ object SparkEntry {
         |  CAST(start AS BIGINT) AS start,
         |  CAST(start // 2048 AS BIGINT) AS chunk,
         |  CAST(start % 2048 AS BIGINT) AS "offset",
-        |  CAST((start + n_chars - 1) // 2048 - start // 2048 + 1
-        |    AS BIGINT) AS chunks_spanned
+        |  CAST(CASE WHEN n_chars <= 0 THEN 0
+        |    ELSE (start + n_chars - 1) // 2048 - start // 2048 + 1
+        |  END AS BIGINT) AS chunks_spanned
         |FROM (
         |  SELECT doc_id,
         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,

@@ -185,9 +185,13 @@ object Dedup {
     val mask = (1L << bandBits) - 1L
     // a mis-sized signature (e.g. 1 word with 32-bit bands) would make
     // element_at yield null band keys, silently dropping bands and
-    // breaking the pigeonhole recall guarantee — fail loudly instead
+    // breaking the pigeonhole recall guarantee — fail loudly instead.
+    // NULL signatures (null text) are a different case: they carry no
+    // content to match, so they DROP (same as the scalar path and the
+    // pre-guard behavior), never abort the job
     val expectedWords = (4 * bandBits + 63) / 64
     val base = df.select(col(idCol), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
     require(base.schema("__sig").dataType
         .asInstanceOf[org.apache.spark.sql.types.ArrayType]
         .elementType == org.apache.spark.sql.types.LongType,
@@ -240,6 +244,7 @@ object Dedup {
   def simhashBandCandidates64(df: DataFrame, sig: Column,
                               idCol: String): DataFrame = {
     val base = df.select(col(idCol), sig.as("__sig"))
+      .filter(col("__sig").isNotNull) // null text → no signature → drop
     require(base.schema("__sig").dataType ==
         org.apache.spark.sql.types.LongType,
       "signature must be bigint; use simhashBandCandidates for arrays")

@@ -53,7 +53,13 @@ object Packing {
         sum(col(tokenCol)).over(w) - col(tokenCol))
       .withColumn("chunk", expr(s"start div $capacity"))
       .withColumn("offset", col("start") % capacity)
+      // a zero-token document occupies no chunk — defined explicitly,
+      // because the general formula's dividend goes NEGATIVE for
+      // tok=0 at start=0 and `div` (truncating) vs `//` (flooring)
+      // then disagree across engines
       .withColumn("chunks_spanned",
-        expr(s"(start + $tokenCol - 1) div $capacity") - col("chunk") + 1)
+        when(col(tokenCol) <= 0, lit(0L))
+          .otherwise(expr(s"(start + $tokenCol - 1) div $capacity")
+            - col("chunk") + 1))
   }
 }

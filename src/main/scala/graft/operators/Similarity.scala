@@ -94,7 +94,12 @@ object Similarity {
     * DuckDB oracle — match exactly. All-zero vectors quantize to zeros.
     */
   def quantizeInt8(embCol: Column): Column =
-    quantizeInt8With(embCol, vectorMaxAbs(embCol))
+    // let-binding via a 1-element array: the outer transform evaluates
+    // vectorMaxAbs ONCE and exposes it as a lambda variable, so the
+    // inner per-element lambda reads a bound scalar — O(dim), where
+    // referencing the scan expression directly would be O(dim²)
+    element_at(transform(array(vectorMaxAbs(embCol)),
+      m => quantizeInt8With(embCol, m)), 1)
 
   /** max|v| of a vector — materialize it ONCE (e.g. `withColumn`)
     * and pass to [[quantizeInt8With]]: referencing it inside the

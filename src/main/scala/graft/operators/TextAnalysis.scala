@@ -124,11 +124,15 @@ object TextAnalysis {
     * keeps parallelism at corpus scale.
     *
     * Output: idCol, n_words, n_distinct_words, top_word_n, n_bigrams,
-    * n_distinct_bigrams (0/0 for single-word docs).
+    * n_distinct_bigrams (bigram counts 0 for single-word docs; ALL
+    * counts 0 for empty/whitespace-only docs — tokenize's empty-string
+    * token is filtered here, or an empty doc would score top_word_n ==
+    * n_words == 1 and read as maximal boilerplate to a Gopher-style
+    * repetition filter).
     */
   def repetitionStats(df: DataFrame, textCol: String,
                       idCol: String): DataFrame = {
-    val toks = tokenize(col(textCol))
+    val toks = filter(tokenize(col(textCol)), t => t =!= "")
     val base = df.select(col(idCol), toks.as("__toks"))
     val words = base.select(col(idCol), explode(col("__toks")).as("__w"))
     val wordAgg = words.groupBy(col(idCol), col("__w"))
@@ -150,8 +154,13 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("n_bigrams"),
         count(lit(1)).as("n_distinct_bigrams"))
-    wordAgg.join(bigramAgg, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_bigrams", "n_distinct_bigrams"))
+    // left-join from the full id set: explode drops empty docs, but
+    // they must still appear (with zeros), not vanish from the output
+    df.select(col(idCol))
+      .join(wordAgg, Seq(idCol), "left")
+      .join(bigramAgg, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_words", "n_distinct_words", "top_word_n",
+        "n_bigrams", "n_distinct_bigrams"))
   }
 
   def fingerprint(text: Column): Column =

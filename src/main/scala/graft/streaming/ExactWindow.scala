@@ -377,9 +377,17 @@ object ExactWindow {
         // a pane dies once the watermark passes its LAST window's end
         live.keysIterator.filter(p => p + lengthMs <= wm)
           .foreach(panes.removeKey)
-        frontier.update(wm)
-        val e = nextEnd(wm)
-        if (e != Long.MaxValue) getHandle.registerTimer(e)
+        if (!panes.exists()) {
+          // key fully drained → drop ALL its state, frontier included
+          // (a later row can only open windows ending > wm ≥ this
+          // frontier, so re-emission is impossible without it); keeping
+          // it would leak one ValueState row per key ever seen
+          frontier.clear()
+        } else {
+          frontier.update(wm)
+          val e = nextEnd(wm)
+          if (e != Long.MaxValue) getHandle.registerTimer(e)
+        }
         out.iterator
       }
     }

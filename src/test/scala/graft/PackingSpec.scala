@@ -41,6 +41,22 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("packChunks: zero-token documents span zero chunks and shift " +
+      "nothing") {
+    val rows = Seq((1L, 100L), (2L, 0L), (3L, 50L))
+    val packed = Packing.packChunks(rows.toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", capacity = 64L)
+      .select($"doc_id", $"n_tok", $"start", $"chunks_spanned")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    packed.foreach { case (id, (_, spanned)) =>
+      if (id == 2L) assert(spanned == 0L,
+        "a zero-token doc must span zero chunks (and never hit the " +
+          "negative-dividend div/floor divergence)")
+      else assert(spanned >= 1L, s"doc $id must span >= 1 chunk")
+    }
+  }
+
   test("packChunks placement is shard-local: unrelated documents never " +
       "move a doc's layout") {
     val docs = Graft.table(spark, sf, "documents")

@@ -217,6 +217,28 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       s"32-bit bands must collapse candidate volume: narrow=$narrow wide=$wide")
   }
 
+  test("null signatures drop from banding (both paths) instead of " +
+      "aborting the job") {
+    val rows = Seq((1L, Some(0x0123456789abcdefL)),
+      (2L, Some(0x0123456789abcdefL ^ 0x7L)),
+      (3L, Option.empty[Long])) // null text → null signature
+    val df = rows.toDF("doc_id", "sig")
+    val scalar = Dedup.simhashPairsFromSig(df, col("sig"), "doc_id",
+        maxHamming = 3)
+      .select($"doc_id_1", $"doc_id_2").as[(Long, Long)].collect().toSet
+    assert(scalar == Set((1L, 2L)),
+      "null signature must drop silently from the scalar path")
+    val wide = Dedup.simhashPairsFromSig128(
+        df.withColumn("sig2",
+          when($"sig".isNotNull, array($"sig", lit(0L)))
+            .otherwise(lit(null))),
+        col("sig2"), "doc_id", maxHamming = 3)
+      .select($"doc_id_1", $"doc_id_2").as[(Long, Long)].collect().toSet
+    assert(wide == Set((1L, 2L)),
+      "null signature must drop silently from the array path too " +
+        "(the width guard is for MIS-SIZED arrays, not missing ones)")
+  }
+
   test("scalar 64-bit banding equals the generic array path; " +
       "mis-sized signatures fail loudly") {
     val rnd = new java.util.Random(7)

@@ -102,6 +102,36 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(got == rows.map(_._2), s"got $got")
   }
 
+  test("repetitionStats: empty and whitespace-only docs report zeros, " +
+      "not maximal repetition") {
+    import graft.operators.TextAnalysis
+    val rows = Seq((1L, "a a b"), (2L, ""), (3L, "   "), (4L, "solo"))
+    val got = TextAnalysis.repetitionStats(rows.toDF("doc_id", "text"),
+        "text", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == ((3L, 2L, 2L, 2L, 2L)), s"got ${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0L, 0L, 0L)),
+      "empty doc must report zero counts (tokenize's '' token filtered)")
+    assert(got(3L) == ((0L, 0L, 0L, 0L, 0L)),
+      "whitespace-only doc must report zero counts")
+    assert(got(4L) == ((1L, 1L, 1L, 0L, 0L)))
+  }
+
+  test("quantizeInt8 single-arg convenience equals the two-step form") {
+    import graft.operators.Similarity
+    val emb = Graft.table(spark, sf, "embeddings").limit(50)
+    val viaConvenience = emb.select($"vec_id",
+        Similarity.quantizeInt8($"embedding").as("q"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val viaTwoStep = emb
+      .withColumn("__m", Similarity.vectorMaxAbs($"embedding"))
+      .select($"vec_id",
+        Similarity.quantizeInt8With($"embedding", $"__m").as("q"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(viaConvenience == viaTwoStep)
+  }
+
   test("quantizeInt8 round-trips within half a scale step") {
     import graft.operators.Similarity
     val emb = Graft.table(spark, sf, "embeddings")
