@@ -23,12 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Deterministic shard key: first `chars` hex chars of md5(id) —
-    * 16^chars shards as plain strings (no hex→int conversion, which
-    * not every engine spells the same way).
+  /** Default salt domain for shard keys — distinct from every
+    * Sampling salt, so packing after sampling/splitting fills ALL
+    * shards (an un-salted shard key would be a PREFIX of the sampling
+    * draw: `hashSample(0.2)` would populate only shards 0–3 of 16).
     */
-  def shardKey(idCol: Column, chars: Int = 1): Column =
-    substring(md5(idCol.cast("string")), 1, chars)
+  val ShardSalt = "shard"
+
+  /** Deterministic shard key: first `chars` hex chars of
+    * md5(id || salt) — 16^chars shards as plain strings (no hex→int
+    * conversion, which not every engine spells the same way).
+    */
+  def shardKey(idCol: Column, chars: Int = 1,
+               salt: String = ShardSalt): Column =
+    substring(md5(concat(idCol.cast("string"), lit(salt))), 1, chars)
 
   /** Chunk layout for each document: within its shard (documents
     * ordered by id), `start` = first-token position in the shard's
@@ -40,7 +48,8 @@ object Packing {
     * chunks_spanned).
     */
   def packChunks(df: DataFrame, idCol: String, tokenCol: String,
-                 capacity: Long, shardChars: Int = 1): DataFrame = {
+                 capacity: Long, shardChars: Int = 1,
+                 salt: String = ShardSalt): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     require(shardChars >= 1 && shardChars <= 8,
       "shardChars must be in [1, 8]")
@@ -48,7 +57,7 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // integer `div`, not floor(x / c): double division silently loses
     // exactness past 2^53 total tokens — a range a 100TB stream reaches
-    df.withColumn("shard", shardKey(col(idCol), shardChars))
+    df.withColumn("shard", shardKey(col(idCol), shardChars, salt))
       .withColumn("start",
         sum(col(tokenCol)).over(w) - col(tokenCol))
       .withColumn("chunk", expr(s"start div $capacity"))

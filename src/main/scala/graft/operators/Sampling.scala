@@ -9,23 +9,43 @@ import org.apache.spark.sql.functions._
   * Every primitive here is a pure FILTER (or one windowed shuffle) over
   * a content hash — no RNG state, no driver coordination, no
   * `sample()` nondeterminism across retries/speculation. The draw for
-  * a row is the first 8 hex chars of `md5(id)` interpreted as a
-  * uniform value in [0, 16^8): reproducible across runs, clusters, and
-  * ENGINES (lowercase hex compares bytewise identically everywhere, so
-  * an external system — or the DuckDB oracle gate — selects the exact
-  * same rows). Filters are scan-adjacent: no shuffle, no join, codegen
-  * end-to-end; a resample with a larger fraction is a SUPERSET of the
-  * smaller one (thresholds nest), which is what incremental curation
-  * runs want.
+  * a row is the first 8 hex chars of `md5(id || salt)` interpreted as
+  * a uniform value in [0, 16^8): reproducible across runs, clusters,
+  * and ENGINES (lowercase hex compares bytewise identically everywhere,
+  * so an external system — or the DuckDB oracle gate — selects the
+  * exact same rows). Filters are scan-adjacent: no shuffle, no join,
+  * codegen end-to-end; a resample with a larger fraction is a SUPERSET
+  * of the smaller one (thresholds nest), which is what incremental
+  * curation runs want.
+  *
+  * DOMAIN SEPARATION: each operator draws from its own salt domain
+  * (defaults below), so composed pipelines stay independent —
+  * `hashSample(0.2)` then `splitByHash(.8/.1/.1)` splits the sample
+  * ≈.8/.1/.1 instead of putting 100% in `train` (which is what a
+  * shared un-salted draw degenerates to: both operators would compare
+  * the SAME value against nested thresholds). Pass the same explicit
+  * salt to two operators only when you WANT them to share the draw
+  * (e.g. a split whose train band must equal an earlier sample).
   *
   * The reference has no sampling surface (SURVEY §2.5 scalar/agg
   * library only); these exceed it alongside the dedup/ANN suite.
   */
 object Sampling {
 
-  /** First 8 hex chars of md5(id): the row's uniform draw. */
-  def hashBucket(idCol: Column): Column =
-    substring(md5(idCol.cast("string")), 1, 8)
+  /** Default salt domains — one per operator, so cross-operator
+    * compositions use independent draws unless the caller opts into
+    * sharing by passing identical salts.
+    */
+  val SampleSalt = "sample"
+  val StrataSalt = "strata"
+  val SplitSalt = "split"
+  val ReservoirSalt = "reservoir"
+
+  /** First 8 hex chars of md5(id || salt): the row's uniform draw in
+    * the given salt domain.
+    */
+  def hashBucket(idCol: Column, salt: String): Column =
+    substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 8)
 
   /** Threshold hex string for a fraction: rows with
     * `hashBucket < threshold` are an (expected) `fraction` of ids.
@@ -36,18 +56,18 @@ object Sampling {
     f"${math.min(math.floor(fraction * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
   }
 
-  private def draw(idCol: Column, fraction: Double): Column =
+  private def draw(idCol: Column, fraction: Double, salt: String): Column =
     if (fraction >= 1.0) lit(true)
-    else hashBucket(idCol) < lit(hexThreshold(fraction))
+    else hashBucket(idCol, salt) < lit(hexThreshold(fraction))
 
   /** Deterministic uniform sample: keeps an expected `fraction` of
     * distinct ids. Pure filter — duplicate ids travel together (all
-    * copies kept or dropped), and fractions NEST: hashSample(0.1) ⊆
-    * hashSample(0.2) over the same data.
+    * copies kept or dropped), and fractions NEST within a salt domain:
+    * hashSample(0.1) ⊆ hashSample(0.2) over the same data and salt.
     */
-  def hashSample(df: DataFrame, idCol: String,
-                 fraction: Double): DataFrame =
-    df.filter(draw(col(idCol), fraction))
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 salt: String = SampleSalt): DataFrame =
+    df.filter(draw(col(idCol), fraction, salt))
 
   /** Stratified deterministic sample: per-stratum fractions with a
     * default for unlisted strata. Same nesting/reproducibility as
@@ -56,12 +76,14 @@ object Sampling {
     */
   def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
                            fractions: Map[String, Double],
-                           defaultFraction: Double = 0.0): DataFrame = {
+                           defaultFraction: Double = 0.0,
+                           salt: String = StrataSalt): DataFrame = {
     val cond = fractions.foldLeft(lit(null).cast("boolean")) {
       case (acc, (stratum, f)) =>
-        when(col(strataCol) === stratum, draw(col(idCol), f)).otherwise(acc)
+        when(col(strataCol) === stratum, draw(col(idCol), f, salt))
+          .otherwise(acc)
     }
-    df.filter(coalesce(cond, draw(col(idCol), defaultFraction)))
+    df.filter(coalesce(cond, draw(col(idCol), defaultFraction, salt)))
   }
 
   /** Deterministic train/val/test (or any) split: adds a `split`
@@ -72,13 +94,14 @@ object Sampling {
     * random split per-row does NOT have.
     */
   def splitByHash(df: DataFrame, idCol: String,
-                  weights: Seq[(String, Double)]): DataFrame = {
+                  weights: Seq[(String, Double)],
+                  salt: String = SplitSalt): DataFrame = {
     require(weights.nonEmpty, "need at least one split")
     require(weights.forall(_._2 > 0), "weights must be positive")
     require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       s"weights must sum to 1, got ${weights.map(_._2).sum}")
     val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
-    val b = hashBucket(col(idCol))
+    val b = hashBucket(col(idCol), salt)
     // WHEN chain over the upper bounds; the final band is the ELSE so
     // floating-point boundary error can't orphan the last hex values
     val split = weights.init.zip(bounds.tail.init)
@@ -96,10 +119,10 @@ object Sampling {
     * n / min-group-size before ranking.
     */
   def topNPerKey(df: DataFrame, keyCol: String, idCol: String,
-                 n: Int): DataFrame = {
+                 n: Int, salt: String = ReservoirSalt): DataFrame = {
     require(n > 0, "n must be positive")
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(hashBucket(col(idCol)), col(idCol))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__rn")

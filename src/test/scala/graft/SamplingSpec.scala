@@ -53,13 +53,23 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .filter($"nb" > 1).count()
     assert(assignments == 0L,
       "equal ids must never straddle bands (train/test leakage)")
-    // the split column agrees with standalone sampling: the train band
-    // is exactly hashSample(0.8)
+    // opting INTO a shared draw: with the same explicit salt, the
+    // train band is exactly hashSample(0.8) — callers who want a split
+    // aligned with an earlier sample pass identical salts
+    val shared = Sampling.splitByHash(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s0")
+      .filter($"split" === "train")
+      .select($"doc_id").as[Long].collect().toSet
+    val sampled = Sampling.hashSample(docs, "doc_id", 0.8, salt = "s0")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(shared == sampled,
+      "identical salts must share the draw across operators")
+    // and with the DEFAULT (distinct) salts they must NOT be the same
+    // draw — that shared-hash degeneracy is what domain separation fixes
     val train = split.filter($"split" === "train")
       .select($"doc_id").as[Long].collect().toSet
-    val sampled = Sampling.hashSample(docs, "doc_id", 0.8)
-      .select($"doc_id").as[Long].collect().toSet
-    assert(train == sampled, "split bands and hashSample share the draw")
+    assert(train != sampled,
+      "default salts must give split a draw independent of hashSample")
   }
 
   test("stratifiedHashSample applies per-stratum fractions with default") {
@@ -75,13 +85,14 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       assert(kept.getOrElse(l, 0L) < full(l),
         s"default fraction must subsample stratum $l")
     }
-    // per-stratum selection uses the SAME draw as hashSample, so a
-    // stratum at fraction f is exactly hashSample(f) restricted to it
+    // per-stratum selection with a shared explicit salt is exactly
+    // hashSample(f) restricted to the stratum
     val en = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
-        Map("zh" -> 0.3), defaultFraction = 0.0)
+        Map("zh" -> 0.3), defaultFraction = 0.0, salt = "s1")
       .select($"doc_id").as[Long].collect().toSet
     val direct = Sampling.hashSample(docs.filter($"lang" === "zh"),
-        "doc_id", 0.3).select($"doc_id").as[Long].collect().toSet
+        "doc_id", 0.3, salt = "s1")
+      .select($"doc_id").as[Long].collect().toSet
     assert(en == direct)
   }
 
@@ -162,13 +173,62 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     val again = Sampling.topNPerKey(docs, "lang", "doc_id", 10)
       .select($"doc_id").as[Long].collect().toSet
     assert(top.select($"doc_id").as[Long].collect().toSet == again)
-    // the kept rows are the n smallest hash draws of their key
+    // the kept rows are the n smallest hash draws of their key (in the
+    // reservoir salt domain)
     val zhKept = top.filter($"lang" === "zh")
-      .select(Sampling.hashBucket($"doc_id")).as[String].collect().max
+      .select(Sampling.hashBucket($"doc_id", Sampling.ReservoirSalt))
+      .as[String].collect().max
     val zhDropped = docs.filter($"lang" === "zh")
       .exceptAll(top.filter($"lang" === "zh"))
-      .select(Sampling.hashBucket($"doc_id")).as[String].collect().min
+      .select(Sampling.hashBucket($"doc_id", Sampling.ReservoirSalt))
+      .as[String].collect().min
     assert(zhKept < zhDropped,
       "every kept draw must be smaller than every dropped draw")
+  }
+
+  test("composed curation draws are independent across operators " +
+      "(domain-separated salts)") {
+    import graft.operators.Packing
+    // a synthetic id universe large enough for tight fraction bounds
+    val ids = spark.range(20000).select($"id".as("doc_id"))
+
+    // sample → split: band fractions WITHIN the sample track the split
+    // weights (the un-salted draw put 100% of a 0.2-sample in `train`
+    // because 0.2 < 0.8 — both operators compared the same hash)
+    val sampled = Sampling.hashSample(ids, "doc_id", 0.2)
+    val nSampled = sampled.count().toDouble
+    assert(nSampled > 3000, s"fixture too small: $nSampled")
+    val bands = Sampling.splitByHash(sampled, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1).foreach {
+      case (band, w) =>
+        val got = bands.getOrElse(band, 0L) / nSampled
+        assert(math.abs(got - w) < 0.05,
+          s"band $band got fraction $got of the sample, want ≈$w " +
+            s"(counts $bands)")
+    }
+
+    // sample → pack: every one of the 16 shards is populated (the
+    // un-salted shard key was the draw's high nibble: a 0.2 sample
+    // populated only shards 0–3)
+    val shards = Packing.packChunks(
+        sampled.withColumn("n_tok", lit(10L)), "doc_id", "n_tok",
+        capacity = 64L)
+      .select($"shard").distinct().as[String].collect().toSet
+    assert(shards.size == 16,
+      s"a 0.2 sample must still fill all 16 shards, got $shards")
+
+    // sample → per-key reservoir: the reservoir is NOT simply the
+    // sample's lowest sampling draws — the domains are separate
+    val keyed = sampled.withColumn("k", lit("all"))
+    val reservoir = Sampling.topNPerKey(keyed, "k", "doc_id", 100)
+      .select($"doc_id").as[Long].collect().toSet
+    val lowestSampleDraws = sampled
+      .orderBy(Sampling.hashBucket($"doc_id", Sampling.SampleSalt),
+        $"doc_id")
+      .limit(100).select($"doc_id").as[Long].collect().toSet
+    assert(reservoir != lowestSampleDraws,
+      "reservoir draws must be independent of the sampling draws")
   }
 }
