@@ -1061,7 +1061,7 @@ object SparkEntry {
         |      i -> array_to_string(toks[i+1:i+3], ' '))) END AS s
         |  FROM (SELECT doc_id, lang,
         |          regexp_split_to_array(trim(text,
-        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS toks
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+') AS toks
         |        FROM documents)
         |)
         |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
@@ -1085,7 +1085,7 @@ object SparkEntry {
         |      i -> array_to_string(toks[i+1:i+3], ' '))) END AS s
         |  FROM (SELECT doc_id,
         |          regexp_split_to_array(trim(text,
-        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS toks
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+') AS toks
         |        FROM du)
         |),
         |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
@@ -1110,7 +1110,7 @@ object SparkEntry {
         |toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text,
         |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
-        |    '\s+')) AS tok
+        |    '[ \t\n\v\f\r]+')) AS tok
         |  FROM du),
         |th AS (SELECT doc_id, md5(tok) AS h FROM toks),
         |bits AS (
@@ -1144,7 +1144,7 @@ object SparkEntry {
         |toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text,
         |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
-        |    '\s+')) AS tok
+        |    '[ \t\n\v\f\r]+')) AS tok
         |  FROM du),
         |th AS (SELECT doc_id, md5(tok) AS h FROM toks),
         |bits AS (
@@ -1324,7 +1324,7 @@ object SparkEntry {
       """WITH base AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text,
         |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
-        |    '\s+'), x -> x != '') AS l
+        |    '[ \t\n\v\f\r]+'), x -> x != '') AS l
         |  FROM documents),
         |pw AS (
         |  SELECT doc_id, w, count(*) AS c
@@ -1412,7 +1412,7 @@ object SparkEntry {
         |    AS BIGINT) AS n_bpe_tokens,
         |  CAST(len(regexp_split_to_array(trim(text,
         |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
-        |    '\s+')) AS BIGINT) AS n_ws_tokens
+        |    '[ \t\n\v\f\r]+')) AS BIGINT) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m3_multimodal_frames" ->
@@ -1451,7 +1451,7 @@ object SparkEntry {
     "t3_text_stats" ->
       """WITH t AS (SELECT doc_id, text,
         |    regexp_split_to_array(trim(text,
-        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS toks
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+') AS toks
         |  FROM documents),
         |m AS (SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars2,
         |  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE /
@@ -1470,7 +1470,7 @@ object SparkEntry {
     "t4_langid" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_split_to_array(trim(text,
-        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS toks
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+') AS toks
         |  FROM documents),
         |s AS (SELECT doc_id,
         |  len(list_filter(toks, x -> list_contains(
@@ -1496,7 +1496,7 @@ object SparkEntry {
     "t6_word_freq" ->
       """SELECT tok AS word, count(*) AS n
         |FROM (SELECT unnest(regexp_split_to_array(trim(text,
-        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS tok
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '[ \t\n\v\f\r]+')) AS tok
         |      FROM documents)
         |GROUP BY tok ORDER BY n DESC, word LIMIT 50""".stripMargin,
 

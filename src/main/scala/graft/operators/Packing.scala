@@ -44,6 +44,15 @@ object Packing {
     * holding that token, `offset` = position inside that chunk, and
     * `chunks_spanned` = how many chunks the document touches.
     *
+    * CONTRACT: `idCol` must be unique (it is the layout's sort key).
+    * With duplicate ids the prefix-sum positions of the tied rows are
+    * tie-broken arbitrarily, so two runs — or Spark vs an external
+    * reader of the layout — may assign the duplicates' `start` values
+    * to each other: the tiling stays valid and gap-free, but the
+    * reproducible-layout guarantee no longer holds row-for-row.
+    * Dedup first (graft.operators.Dedup) or pack a synthetic unique
+    * key.
+    *
     * Output: input columns ++ (shard, start, chunk, offset,
     * chunks_spanned).
     */

@@ -21,8 +21,16 @@ object TextAnalysis {
   /** Whitespace tokenization (the BPE-ish regex variant is
     * [[tokenizeBpeish]]). `""` tokenizes to `[""]` — callers on
     * possibly-empty text should filter first.
+    *
+    * The split pattern is the EXPLICIT class matching Java's \s, not
+    * `\s+` itself: RE2 (DuckDB and most non-JVM engines) excludes
+    * vertical tab (U+000B) from \s while Java includes it, so a bare
+    * \s+ would tokenize a vertical-tab-bearing document differently
+    * across engines. The oracles split with the same explicit class
+    * (`[ \t\n\v\f\r]+` in RE2 spelling).
     */
-  def tokenize(text: Column): Column = split(trim(text, WsChars), "\\s+")
+  def tokenize(text: Column): Column =
+    split(trim(text, WsChars), "[ \t\n\u000B\f\r]+")
 
   /** Sub-word-ish tokenization: splits on whitespace AND between
     * letter/digit/punct class changes, approximating BPE pre-token
