@@ -136,19 +136,35 @@ object Bench {
           stats((1 to reps).map(_ => exactWindowOnce(pane = false))),
         "exact_window_pane" ->
           stats((1 to reps).map(_ => exactWindowOnce(pane = true))))
-    def jmap(f: ((Double, Double, Double)) => Double): String =
-      results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    // ms precision on the stdout line: the driver records the LAST
+    // ~3KB of the log, and round 4/5 both lost the medians because the
+    // full-precision line (median+min+max × ~60 queries ≈ 7KB) had its
+    // HEAD truncated away → parsed: null. The headline line now carries
+    // medians only, rounded to 1ms (≈2KB — fits the capture window with
+    // room to spare); the full-precision median/min/max record goes to
+    // target/bench_full.json, which cannot be truncated by log capture.
+    def ms(x: Double): Double = math.rint(x * 1000) / 1000
+    def jmap(f: ((Double, Double, Double)) => Double,
+             r: Double => Double = identity): String =
+      results.map { case (k, v) => "\"" + k + "\":" + r(f(v)) }
         .mkString("{", ",", "}")
-    val qs = jmap(_._1)
-    val qsMin = jmap(_._2)
-    val qsMax = jmap(_._3)
     val failed = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
     // a failed query must never make the headline number look better:
     // count it at 10× the slowest successful query
     val ok = results.map(_._2._1).filter(_ >= 0)
     val penalty = if (ok.nonEmpty) ok.max * 10 else 600.0
     val total = ok.sum + failed.size * penalty
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"reps":$reps,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"reps":$reps,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    try {
+      val out = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_full.json: $e")
+    }
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jmap(_._1, ms)},"reps":$reps,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
