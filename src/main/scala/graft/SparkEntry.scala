@@ -1285,28 +1285,29 @@ object SparkEntry {
     // thresholds: 0.2→33333333, 0.5→80000000, 0.25→40000000,
     // 0.1→19999999, 0.8→cccccccc, 0.9→e6666666 (floor(f·2^32) hex,
     // Sampling.hexThreshold — lowercase hex compares bytewise the same
-    // in both engines). Draws are md5(id || salt) with each operator's
-    // default salt domain ('sample'/'strata'/'split'/'reservoir'/
-    // 'shard'), matching Sampling/Packing defaults.
+    // in both engines). Draws are md5(id || chr(0) || salt) — NUL
+    // delimiter so (id, salt) encodings can't alias — with each
+    // operator's default salt domain ('sample'/'strata'/'split'/
+    // 'reservoir'/'shard'), matching Sampling/Packing defaults.
     "p1_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 8)
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || chr(0) || 'sample'), 1, 8)
         |  < '33333333'
         |ORDER BY doc_id""".stripMargin,
 
     "p2_stratified_sample" ->
       """SELECT lang, count(*) AS n_kept, min(doc_id) AS first_id
         |FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'strata'), 1, 8) <
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || chr(0) || 'strata'), 1, 8) <
         |  CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
         |            ELSE '19999999' END
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p3_split_by_hash" ->
       """SELECT doc_id,
-        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || chr(0) || 'split'), 1, 8)
         |         < 'cccccccc' THEN 'train'
-        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || chr(0) || 'split'), 1, 8)
         |         < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1315,7 +1316,7 @@ object SparkEntry {
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
         |    ORDER BY
-        |      substr(md5(CAST(doc_id AS VARCHAR) || 'reservoir'), 1, 8),
+        |      substr(md5(CAST(doc_id AS VARCHAR) || chr(0) || 'reservoir'), 1, 8),
         |      doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
@@ -1394,11 +1395,11 @@ object SparkEntry {
         |  END AS BIGINT) AS chunks_spanned
         |FROM (
         |  SELECT doc_id,
-        |    substr(md5(CAST(doc_id AS VARCHAR) || 'shard'), 1, 1)
+        |    substr(md5(CAST(doc_id AS VARCHAR) || chr(0) || 'shard'), 1, 1)
         |      AS shard,
         |    sum(n_chars) OVER (
         |      PARTITION BY
-        |        substr(md5(CAST(doc_id AS VARCHAR) || 'shard'), 1, 1)
+        |        substr(md5(CAST(doc_id AS VARCHAR) || chr(0) || 'shard'), 1, 1)
         |      ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      - n_chars AS start,

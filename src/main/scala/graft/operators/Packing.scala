@@ -31,12 +31,17 @@ object Packing {
   val ShardSalt = "shard"
 
   /** Deterministic shard key: first `chars` hex chars of
-    * md5(id || salt) — 16^chars shards as plain strings (no hex→int
-    * conversion, which not every engine spells the same way).
+    * md5(id || 'NUL' || salt) — 16^chars shards as plain strings
+    * (no hex→int conversion, which not every engine spells the same
+    * way). The NUL delimiter keeps the (id, salt) encoding injective,
+    * same as [[Sampling.hashBucket]]; the same migration rule applies:
+    * layouts persisted under an older (un-salted or un-delimited) draw
+    * must be regenerated wholesale, never mixed.
     */
   def shardKey(idCol: Column, chars: Int = 1,
                salt: String = ShardSalt): Column =
-    substring(md5(concat(idCol.cast("string"), lit(salt))), 1, chars)
+    substring(md5(concat(idCol.cast("string"), lit("\u0000"), lit(salt))),
+      1, chars)
 
   /** Chunk layout for each document: within its shard (documents
     * ordered by id), `start` = first-token position in the shard's

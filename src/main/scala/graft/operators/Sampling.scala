@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * Every primitive here is a pure FILTER (or one windowed shuffle) over
   * a content hash — no RNG state, no driver coordination, no
   * `sample()` nondeterminism across retries/speculation. The draw for
-  * a row is the first 8 hex chars of `md5(id || salt)` interpreted as
+  * a row is the first 8 hex chars of `md5(id || chr(0) || salt)`
+  * interpreted as
   * a uniform value in [0, 16^8): reproducible across runs, clusters,
   * and ENGINES (lowercase hex compares bytewise identically everywhere,
   * so an external system — or the DuckDB oracle gate — selects the
@@ -41,11 +42,25 @@ object Sampling {
   val SplitSalt = "split"
   val ReservoirSalt = "reservoir"
 
-  /** First 8 hex chars of md5(id || salt): the row's uniform draw in
-    * the given salt domain.
+  /** First 8 hex chars of md5(id || 'NUL' || salt): the row's
+    * uniform draw in the given salt domain. The NUL delimiter makes
+    * the (id, salt) encoding injective — with bare concatenation a
+    * caller-chosen salt could alias another domain for string ids
+    * (id "7s" + salt "ample" = id "7" + salt "sample"); NUL cannot
+    * appear in either side's meaningful values. External systems and
+    * the DuckDB oracles reproduce it as `md5(id || chr(0) || salt)`.
+    *
+    * MIGRATION: draws changed twice relative to earlier releases —
+    * first from un-salted md5(id) to salted domains, then to the
+    * NUL-delimited encoding. Any persisted sample/split/reservoir/
+    * shard layout generated under an older draw must be REGENERATED
+    * WHOLESALE when moving to this version: re-drawing only part of a
+    * corpus silently mixes old 'test' rows into new 'train'
+    * (cross-version leakage). Never mix draws across versions.
     */
   def hashBucket(idCol: Column, salt: String): Column =
-    substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 8)
+    substring(md5(concat(idCol.cast("string"), lit("\u0000"), lit(salt))),
+      1, 8)
 
   /** Threshold hex string for a fraction: rows with
     * `hashBucket < threshold` are an (expected) `fraction` of ids.

@@ -216,6 +216,12 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
         sampled.withColumn("n_tok", lit(10L)), "doc_id", "n_tok",
         capacity = 64L)
       .select($"shard").distinct().as[String].collect().toSet
+    // == 16 is safe ONLY because of the nSampled > 3000 floor asserted
+    // above: P(any shard empty) ≈ 16·(15/16)^3000 ≈ 10^-83. If the
+    // fixture or fraction ever shrinks below that floor, loosen this to
+    // `> 4` — 4 shards (the draw's high nibble under 0.2) is the exact
+    // degeneracy the un-salted shard key produced and the fix guards
+    // against.
     assert(shards.size == 16,
       s"a 0.2 sample must still fill all 16 shards, got $shards")
 
