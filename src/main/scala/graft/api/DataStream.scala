@@ -98,6 +98,19 @@ final case class DataStream(
         .dropDuplicatesWithinWatermark(cols))
     else next(df.dropDuplicates(cols))
 
+  /** Streaming SimHash NEAR-dup pair lookup against bounded banded
+    * state (graft.streaming.StreamingDedup): emits
+    * (idCol_1, idCol_2, hamming, ts) for documents within `horizon`
+    * event time of each other whose 64-bit SimHash signatures differ
+    * by ≤ maxHamming bits — the continuous counterpart of the batch
+    * Dedup.simhashNearDupPairs over the Kafka ingest path.
+    */
+  def nearDupPairs(textCol: String, idCol: String, horizon: String,
+                   maxHamming: Int = 3): DataStream =
+    next(graft.streaming.StreamingDedup.simhashPairs(df,
+      graft.functions.simhash64_text(col(textCol)), idCol, eventTimeCol,
+      DataStream.intervalMs(horizon), maxHamming, watermarkDelay))
+
   // --- streaming window aggregation (reference §2.4) -----------------
 
   /** Tumbling (slide=None) or sliding window aggregation, grouped by

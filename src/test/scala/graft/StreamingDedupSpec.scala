@@ -1,0 +1,221 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.streaming.StreamingDedup
+
+case class Doc(occurred_at_ms: Long, doc_id: Long, text: String)
+
+/** Streaming near-dup dedup (StreamingDedup): pair-set equivalence with
+  * the batch LSH operators on a fully replayed input, canonical-band
+  * single emission, horizon eviction, and checkpoint recovery.
+  */
+class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def docSig = graft.functions.simhash64_md5(
+    TextAnalysis.tokenize(col("text")))
+
+  /** Normalized unordered pair set with string ids (the streaming
+    * operator casts ids to string; ordering within a pair is
+    * lexicographic there vs numeric in batch).
+    */
+  private def pairSet(rows: Seq[(String, String, Int)]): Set[(Set[String], Int)] =
+    rows.map { case (a, b, h) => (Set(a, b), h) }.toSet
+
+  test("replaying the d5 fixture as a stream matches the batch pair set") {
+    // the d5 gate fixture: documents plus one-word-mutated copies
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val mutated = docs
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+      .withColumn("text", regexp_replace($"text", "the", "thee"))
+    val all = docs.unionByName(mutated)
+      // deterministic event times, all inside the horizon; orig and
+      // mutant land at different instants so pairing crosses state
+      .withColumn("ts", timestamp_millis(lit(1000L) +
+        pmod($"doc_id", lit(1000000L)) * 20 +
+        when($"doc_id" >= 1000000L, 1L).otherwise(0L)))
+
+    val dir = Files.createTempDirectory("graft-sdedup").toFile
+    val inPath = new java.io.File(dir, "in").getAbsolutePath
+    all.write.parquet(inPath)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inPath).schema)
+      .parquet(inPath)
+    val out = StreamingDedup.simhashPairs(stream, docSig, "doc_id", "ts",
+      horizonMs = 86400000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_d5").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sdedup_d5")
+        .select($"doc_id_1", $"doc_id_2", $"hamming")
+        .as[(String, String, Int)].collect().toSeq
+      val want = Dedup.simhashPairsFromSig(all, docSig, "doc_id")
+        .select($"doc_id_1".cast("string"), $"doc_id_2".cast("string"),
+          $"hamming")
+        .as[(String, String, Int)].collect().toSeq
+      assert(want.nonEmpty, "fixture must produce pairs")
+      assert(got.length == pairSet(got).size,
+        "each pair must emit exactly once (canonical band)")
+      assert(pairSet(got) == pairSet(want),
+        s"stream pair set must equal batch: got ${got.length}, " +
+          s"want ${want.length}")
+    } finally q.stop()
+  }
+
+  test("identical docs colliding on all bands emit exactly one pair") {
+    val input = MemoryStream[Doc](spark)
+    val src = input.toDF
+      .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+    val out = StreamingDedup.simhashPairs(src, docSig, "doc_id", "ts",
+      horizonMs = 3600000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_canon").start()
+    try {
+      input.addData(Doc(1000, 1, "the quick brown fox jumps over the dog"))
+      q.processAllAvailable()
+      // identical text → identical signature → all 4 bands collide
+      input.addData(Doc(2000, 2, "the quick brown fox jumps over the dog"))
+      q.processAllAvailable()
+      val rows = spark.table("sdedup_canon").collect()
+      assert(rows.length == 1, s"want exactly 1 pair, got ${rows.length}")
+      assert(rows(0).getAs[String]("doc_id_1") == "1")
+      assert(rows(0).getAs[String]("doc_id_2") == "2")
+      assert(rows(0).getAs[Int]("hamming") == 0)
+      assert(rows(0).getAs[java.sql.Timestamp]("ts").getTime == 2000,
+        "pair timestamp is the later row's event time")
+    } finally q.stop()
+  }
+
+  test("entries beyond the horizon are evicted and cannot pair") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val input = MemoryStream[Doc](spark)
+    val src = input.toDF
+      .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+    val out = StreamingDedup.simhashPairs(src, docSig, "doc_id", "ts",
+      horizonMs = 50000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_horizon").start()
+    try {
+      input.addData(Doc(0, 1, text))
+      q.processAllAvailable()
+      // dissimilar filler pushes the watermark past 1's expiry (50s)
+      input.addData(Doc(100000, 99,
+        "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo"))
+      q.processAllAvailable()
+      // same text again, inside doc 99's horizon but past doc 1's
+      input.addData(Doc(120000, 2, text))
+      q.processAllAvailable()
+      assert(spark.table("sdedup_horizon").isEmpty,
+        "doc 1 expired at watermark 100s; no pair may emit")
+      // positive control: a third copy within doc 2's horizon pairs
+      input.addData(Doc(130000, 3, text))
+      q.processAllAvailable()
+      val rows = spark.table("sdedup_horizon").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[String]("doc_id_1") == "2")
+      assert(rows(0).getAs[String]("doc_id_2") == "3")
+    } finally q.stop()
+  }
+
+  test("bucket state survives a checkpoint restart") {
+    val dir = Files.createTempDirectory("graft-sdedup-rec").toFile
+    val inputDir = new java.io.File(dir, "input"); inputDir.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val outDir = new java.io.File(dir, "out").getAbsolutePath
+
+    def writeBatch(rows: Seq[Doc]): Unit =
+      rows.toDF().coalesce(1).write.mode("append")
+        .parquet(inputDir.getAbsolutePath)
+
+    def startQuery() = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(inputDir.getAbsolutePath).schema)
+        .parquet(inputDir.getAbsolutePath)
+        .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+      StreamingDedup.simhashPairs(src, docSig, "doc_id", "ts",
+          horizonMs = 3600000L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .format("parquet").start()
+    }
+
+    val text = "one two three four five six seven eight nine ten"
+    writeBatch(Seq(Doc(1000, 1, text)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(outDir).isEmpty)
+
+    // the near-duplicate arrives while the query is DOWN: the pair can
+    // only be found from doc 1's RECOVERED bucket state
+    writeBatch(Seq(Doc(2000, 2, text)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(outDir).collect()
+    assert(rows.length == 1,
+      s"restart must recover bucket state; got ${rows.length} pairs")
+    assert(rows(0).getAs[String]("doc_id_1") == "1")
+    assert(rows(0).getAs[String]("doc_id_2") == "2")
+  }
+
+  test("DataStream.nearDupPairs bridge wires the operator fluently") {
+    val input = MemoryStream[Doc](spark)
+    val src = input.toDF
+      .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+    val out = api.DataStream(src, "ts")
+      .nearDupPairs("text", "doc_id", "1 hour")
+    val q = out.toDF.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_bridge").start()
+    try {
+      input.addData(Doc(1000, 7, "lorem ipsum dolor sit amet consectetur"))
+      q.processAllAvailable()
+      input.addData(Doc(2000, 8, "lorem ipsum dolor sit amet consectetur"))
+      q.processAllAvailable()
+      val rows = spark.table("sdedup_bridge").collect()
+      assert(rows.length == 1 && rows(0).getAs[Int]("hamming") == 0)
+    } finally q.stop()
+  }
+
+  test("streaming MinHash pairs verify on the signature estimate") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy cat again and again"
+    val input = MemoryStream[Doc](spark)
+    val src = input.toDF
+      .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+    val out = StreamingDedup.minhashPairs(src, "text", "doc_id", "ts",
+      horizonMs = 3600000L, shingleN = 3, numHashes = 16, bands = 8,
+      threshold = 0.3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_minhash").start()
+    try {
+      input.addData(Doc(1000, 1, a), Doc(2000, 2, b),
+        Doc(3000, 3, "completely unrelated words about maritime law"))
+      q.processAllAvailable()
+      val rows = spark.table("sdedup_minhash").collect()
+      assert(rows.length == 1, s"want the (1,2) pair only, got " +
+        rows.map(_.toString).mkString(", "))
+      assert(rows(0).getAs[String]("doc_id_1") == "1")
+      assert(rows(0).getAs[String]("doc_id_2") == "2")
+      // the emitted score is exactly the batch-side signature estimate
+      val sigs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+        .orderBy($"doc_id")
+        .select(graft.functions.minhash_signature(
+          graft.functions.shingle_hashes($"text", 3), 16).as("sig"))
+        .as[Seq[Long]].collect()
+      val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 16.0
+      assert(rows(0).getAs[Double]("est_jaccard") == est)
+    } finally q.stop()
+  }
+}
