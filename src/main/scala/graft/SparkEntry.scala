@@ -490,6 +490,25 @@ object SparkEntry {
           |ORDER BY o_orderpriority""".stripMargin).toDF
     }),
 
+    // The curation suite through the SQL surface: hash_sample /
+    // split_by_hash / redact_pii registered by GraftFunctions reuse the
+    // operator Column compositions verbatim (ExpressionUtils bridge),
+    // so this gate pins SQL↔DataFrame parity AND the DuckDB draw
+    // recipe at once. A synthetic email is appended in-query so
+    // redact_pii provably fires on every row.
+    "q32_sql_curation" -> ((s, d) => {
+      Graft.registerAll(s, d)
+      graft.api.Context(s).sql(
+        """SELECT doc_id,
+          |  split_by_hash(doc_id, 'train', 0.8, 'val', 0.1, 'test', 0.1)
+          |    AS split,
+          |  redact_pii(text || ' reach admin' || CAST(doc_id AS STRING)
+          |    || '@corp.example.org') AS clean
+          |FROM documents
+          |WHERE hash_sample(doc_id, 0.3)
+          |ORDER BY doc_id""".stripMargin).toDF
+    }),
+
     // ------------------------------------------------------------------
     // Training-data pipeline operators (beyond reference; SURVEY §7.2.4)
     // ------------------------------------------------------------------
@@ -1252,6 +1271,25 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q32_sql_curation" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || chr(0) ||
+        |         'split'), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || chr(0) ||
+        |         'split'), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' reach admin' || CAST(doc_id AS VARCHAR) ||
+        |        '@corp.example.org',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '[EMAIL]', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS clean
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || chr(0) || 'sample'),
+        |  1, 8) < '4ccccccc'
+        |ORDER BY doc_id""".stripMargin,
 
     "s3_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

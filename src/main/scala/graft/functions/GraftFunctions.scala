@@ -1,7 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graftshim.GraftColumnBridge
+import org.apache.spark.sql.types.Decimal
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.expressions._
@@ -31,6 +33,44 @@ object GraftFunctions {
     case Literal(s: UTF8String, _) => s.toString
     case _ => throw new IllegalArgumentException(
       s"$name expects a literal string, got $e")
+  }
+
+  private def doubleLit(e: Expression, name: String): Double = e match {
+    case Literal(v: Double, _)  => v
+    case Literal(v: Float, _)   => v.toDouble
+    case Literal(v: Int, _)     => v.toDouble
+    case Literal(v: Long, _)    => v.toDouble
+    // SQL decimal literals (0.2) parse as Decimal, not Double
+    case Literal(v: Decimal, _) => v.toDouble
+    case _ => throw new IllegalArgumentException(
+      s"$name expects a literal number, got $e")
+  }
+
+  // Column↔Expression bridge: the curation SQL functions reuse the
+  // operator library's Column compositions verbatim (single source of
+  // truth — SQL and DataFrame surfaces cannot drift), so a registered
+  // function is just unwrap → compose → rewrap.
+  private def c(e: Expression): Column = GraftColumnBridge.toColumn(e)
+  private def x(col: Column): Expression =
+    GraftColumnBridge.toExpression(col)
+
+  /** split_by_hash(id, name1, w1, name2, w2, ... [, salt]): variadic
+    * literal (name, weight) pairs after the id; a trailing unpaired
+    * string is the salt override.
+    */
+  private def splitByHashExpr(es: Seq[Expression]): Expression = {
+    require(es.length >= 3,
+      "split_by_hash(id, name, weight, ... [, salt])")
+    val tail = es.drop(1)
+    val (pairElems, salt) =
+      if (tail.length % 2 == 1)
+        (tail.init, stringLit(tail.last, "split_by_hash salt"))
+      else (tail, graft.operators.Sampling.SplitSalt)
+    val weights = pairElems.grouped(2).map { p =>
+      stringLit(p(0), "split_by_hash name") ->
+        doubleLit(p(1), "split_by_hash weight")
+    }.toSeq
+    x(graft.operators.Sampling.splitLabel(c(es.head), weights, salt))
   }
 
   def registerAll(spark: SparkSession): Unit = {
@@ -64,6 +104,23 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("avro_decode", es =>
       graft.formats.AvroDecode(es(0), stringLit(es(1), "avro_decode")),
       "scala_udf")
+    // --- curation suite (operators/{Sampling,TextAnalysis,Similarity})
+    reg.createOrReplaceTempFunction("hash_draw", es =>
+      x(graft.operators.Sampling.hashBucket(c(es(0)),
+        stringLit(es(1), "hash_draw salt"))), "scala_udf")
+    reg.createOrReplaceTempFunction("hash_sample", es =>
+      x(graft.operators.Sampling.sampleKeep(c(es(0)),
+        doubleLit(es(1), "hash_sample fraction"),
+        if (es.length > 2) stringLit(es(2), "hash_sample salt")
+        else graft.operators.Sampling.SampleSalt)), "scala_udf")
+    reg.createOrReplaceTempFunction("split_by_hash",
+      splitByHashExpr, "scala_udf")
+    reg.createOrReplaceTempFunction("redact_pii", es =>
+      x(graft.operators.TextAnalysis.redactPii(c(es.head))), "scala_udf")
+    reg.createOrReplaceTempFunction("quantize_int8", es =>
+      x(graft.operators.Similarity.quantizeInt8(c(es.head))), "scala_udf")
+    reg.createOrReplaceTempFunction("quant_scale", es =>
+      x(graft.operators.Similarity.quantScale(c(es.head))), "scala_udf")
     graft.operators.Udafs.register(spark)
   }
 }

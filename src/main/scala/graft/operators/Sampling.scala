@@ -71,6 +71,13 @@ object Sampling {
     f"${math.min(math.floor(fraction * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
   }
 
+  /** The keep predicate behind [[hashSample]] as a bare Column —
+    * also the SQL surface's `hash_sample(id, fraction[, salt])`.
+    */
+  def sampleKeep(idCol: Column, fraction: Double,
+                 salt: String = SampleSalt): Column =
+    draw(idCol, fraction, salt)
+
   private def draw(idCol: Column, fraction: Double, salt: String): Column =
     if (fraction >= 1.0) lit(true)
     else hashBucket(idCol, salt) < lit(hexThreshold(fraction))
@@ -110,13 +117,20 @@ object Sampling {
     */
   def splitByHash(df: DataFrame, idCol: String,
                   weights: Seq[(String, Double)],
-                  salt: String = SplitSalt): DataFrame = {
+                  salt: String = SplitSalt): DataFrame =
+    df.withColumn("split", splitLabel(col(idCol), weights, salt))
+
+  /** The band label behind [[splitByHash]] as a bare Column — also the
+    * SQL surface's `split_by_hash(id, name, weight, ... [, salt])`.
+    */
+  def splitLabel(idCol: Column, weights: Seq[(String, Double)],
+                 salt: String = SplitSalt): Column = {
     require(weights.nonEmpty, "need at least one split")
     require(weights.forall(_._2 > 0), "weights must be positive")
     require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       s"weights must sum to 1, got ${weights.map(_._2).sum}")
     val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
-    val b = hashBucket(col(idCol), salt)
+    val b = hashBucket(idCol, salt)
     // WHEN chain over the upper bounds; the final band is the ELSE so
     // floating-point boundary error can't orphan the last hex values
     val split = weights.init.zip(bounds.tail.init)
@@ -124,7 +138,7 @@ object Sampling {
         when(acc.isNull && b < lit(hexThreshold(hi)), lit(name))
           .otherwise(acc)
       }
-    df.withColumn("split", coalesce(split, lit(weights.last._1)))
+    coalesce(split, lit(weights.last._1))
   }
 
   /** Deterministic per-key "reservoir": the `n` rows of each key with

@@ -82,4 +82,43 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(a.union(b).toDF.count() == 4)
     assert(a.schema.fieldNames.toSeq == Seq("id", "v"))
   }
+
+  test("curation SQL functions match their Column-API operators") {
+    import graft.operators.{Sampling, Similarity, TextAnalysis}
+    val docs = Graft.table(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    docs.createOrReplaceTempView("fs_docs")
+
+    val viaSql = spark.sql(
+      """SELECT doc_id, hash_draw(doc_id, 'sample') AS draw,
+        |  hash_sample(doc_id, 0.2) AS keep,
+        |  split_by_hash(doc_id, 'train', 0.8, 'val', 0.1, 'test', 0.1)
+        |    AS split,
+        |  split_by_hash(doc_id, 'a', 0.5, 'b', 0.5, 'mysalt') AS salted,
+        |  redact_pii(text) AS clean
+        |FROM fs_docs""".stripMargin)
+    val viaApi = docs.select($"doc_id",
+      Sampling.hashBucket($"doc_id", "sample").as("draw"),
+      Sampling.sampleKeep($"doc_id", 0.2).as("keep"),
+      Sampling.splitLabel($"doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"),
+      Sampling.splitLabel($"doc_id", Seq("a" -> 0.5, "b" -> 0.5),
+        "mysalt").as("salted"),
+      TextAnalysis.redactPii($"text").as("clean"))
+    assert(viaSql.exceptAll(viaApi).isEmpty &&
+      viaApi.exceptAll(viaSql).isEmpty,
+      "SQL curation functions must equal the operator compositions")
+
+    val emb = Graft.table(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+    emb.createOrReplaceTempView("fs_emb")
+    val qSql = spark.sql(
+      """SELECT vec_id, quantize_int8(embedding) AS q,
+        |  quant_scale(embedding) AS scale FROM fs_emb""".stripMargin)
+    val qApi = emb.select($"vec_id",
+      Similarity.quantizeInt8($"embedding").as("q"),
+      Similarity.quantScale($"embedding").as("scale"))
+    assert(qSql.exceptAll(qApi).isEmpty && qApi.exceptAll(qSql).isEmpty,
+      "quantize_int8/quant_scale must equal the operator compositions")
+  }
 }
