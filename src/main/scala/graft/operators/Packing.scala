@@ -49,6 +49,20 @@ object Packing {
     * holding that token, `offset` = position inside that chunk, and
     * `chunks_spanned` = how many chunks the document touches.
     *
+    * SIZING `shardChars`: layout parallelism is exactly 16^shardChars
+    * (the window prefix-sum runs one task per shard) and each shard's
+    * stream holds ~totalTokens/16^shardChars tokens. Pick the smallest
+    * value giving (a) shard count ≥ 2–4× total cluster cores and
+    * (b) per-shard rows that sort inside one task's memory budget.
+    * The default 1 (16 shards) suits LOCAL/TEST scales ONLY — a 100 TB
+    * corpus on a 1000-executor cluster wants 4–5 (65k–1M shards).
+    * Changing shardChars is a RE-LAYOUT: shard keys refine by prefix
+    * (a doc's 2-char shard string extends its 1-char one) and
+    * within-shard id order is preserved, but start/chunk positions are
+    * relative to the shard universe — regenerate persisted layouts
+    * wholesale when changing it, never mix (the same migration rule as
+    * the salted-draw changes, [[Sampling.hashBucket]]).
+    *
     * CONTRACT: `idCol` must be unique (it is the layout's sort key).
     * With duplicate ids the prefix-sum positions of the tied rows are
     * tie-broken arbitrarily, so two runs — or Spark vs an external

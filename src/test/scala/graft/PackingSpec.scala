@@ -57,6 +57,49 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("shardChars=2 widens to 256 balanced shards refining the " +
+      "1-char keys by prefix") {
+    val docs = Graft.table(spark, sf, "documents")
+    val p1 = Packing.packChunks(docs, "doc_id", "n_chars", cap,
+        shardChars = 1)
+      .select($"doc_id", $"shard").as[(Long, String)].collect().toMap
+    val p2 = Packing.packChunks(docs, "doc_id", "n_chars", cap,
+        shardChars = 2)
+      .select($"doc_id", $"shard", $"n_chars", $"start")
+      .as[(Long, String, Long, Long)].collect()
+
+    // shard count: 500 ids over 16^2 buckets occupy ~220 distinct
+    // shards (256·(1-e^{-500/256})); >150 rules out any prefix/salt
+    // degeneracy (16 or fewer), ≤256 pins the keyspace
+    val byShard = p2.groupBy(_._2)
+    assert(byShard.size > 150 && byShard.size <= 256,
+      s"expected ~220 of 256 shards occupied, got ${byShard.size}")
+    // balance: uniform md5 ⇒ Poisson(λ≈2) per shard; max 12 is ~5σ out
+    val maxLoad = byShard.values.map(_.length).max
+    assert(maxLoad <= 12, s"shard imbalance: max load $maxLoad")
+
+    // hierarchical refinement: the 2-char key EXTENDS the 1-char key,
+    // so widening shards re-partitions each shard internally instead
+    // of reshuffling documents across unrelated shards
+    p2.foreach { case (id, shard2, _, _) =>
+      assert(shard2.startsWith(p1(id)),
+        s"doc $id: 2-char shard $shard2 must refine 1-char ${p1(id)}")
+    }
+
+    // the tiling invariants hold at every shardChars: per shard,
+    // id-ordered docs tile the stream gap-free (start positions are
+    // RELATIVE to the shard universe — changing shardChars re-lays-out,
+    // which is why the scaladoc mandates wholesale regeneration)
+    byShard.foreach { case (shard, rows) =>
+      var expected = 0L
+      rows.sortBy(_._1).foreach { case (id, _, tok, start) =>
+        assert(start == expected,
+          s"doc $id in shard $shard: start $start != $expected")
+        expected += tok
+      }
+    }
+  }
+
   test("packChunks placement is shard-local: unrelated documents never " +
       "move a doc's layout") {
     val docs = Graft.table(spark, sf, "documents")
