@@ -157,7 +157,8 @@ final case class DataStream(
     *  - "timeout"  flatMapGroupsWithState + EventTimeTimeout (default)
     *  - "tws"      Spark 4 transformWithState
     *  - "pane"     pane partials ([[graft.streaming.ExactWindow
-    *               .slidingPanes]]; needs length % slide == 0)
+    *               .slidingPanes]]; panes on the gcd(length, slide)
+    *               grid, any ratio)
     *  - "session"  gap-merged sessions (`length` is the GAP; slide
     *               must be None)
     * Emission semantics match [[window]]/[[sessionWindow]] in append

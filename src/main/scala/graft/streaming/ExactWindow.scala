@@ -250,6 +250,9 @@ object ExactWindow {
       delay, useTransformWithState)
   }
 
+  @annotation.tailrec
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
   /** Pane-based sliding windows: semantically identical to
     * [[slidingRows]] (a tier-equivalence spec pins it), but each row is
     * accumulated into exactly ONE slide-aligned pane instead of being
@@ -258,26 +261,34 @@ object ExactWindow {
     * rows, bought at emission time by merging length/slide pane
     * partials per closing window (cheap: panes, not rows).
     *
-    * Requires length % slide == 0 (panes must tile windows exactly) and
-    * [[ExactAgg.merge]] (any `Aggregator` lift provides it). State per
-    * group: MapState pane-start → partial buffers, a frontier marking
-    * watermark progress, and one re-armable event-time timer at the
-    * earliest unemitted window end. A pane is evicted as soon as the
-    * watermark passes the end of the last window containing it, so
-    * state holds at most (active time range / slide) panes per group.
-    * Emission instant matches [[slidingRows]] and the built-in
-    * append-mode aggregate: a window emits exactly when the watermark
-    * passes its end, and only if at least one row fell in it.
+    * Panes live on the gcd(length, slide) grid: both the window length
+    * and the slide are multiples of it, so panes tile every window
+    * exactly for ARBITRARY length/slide ratios (a 7s/3s window uses
+    * 1s panes, 7 per window). When length % slide == 0 the grid equals
+    * the slide — the classic case, with its full length/slide shuffle
+    * and state reduction; as the gcd shrinks the tier degrades
+    * gracefully toward per-row granularity rather than rejecting the
+    * shape. Requires [[ExactAgg.merge]] (any `Aggregator` lift
+    * provides it). State per group: MapState pane-start → partial
+    * buffers, a frontier marking watermark progress, and one
+    * re-armable event-time timer at the earliest unemitted window end.
+    * A pane is evicted as soon as the watermark passes the end of the
+    * last window containing it, so state holds at most
+    * (active time range / paneMs) panes per group. Emission instant
+    * matches [[slidingRows]] and the built-in append-mode aggregate: a
+    * window emits exactly when the watermark passes its end, and only
+    * if at least one row fell in it.
     */
   def slidingPanes(df: DataFrame, groupCols: Seq[String], tsCol: String,
                    lengthMs: Long, slideMs: Long, aggs: Seq[ExactAgg],
                    delay: String = "0 seconds"): DataFrame = {
-    require(slideMs > 0 && lengthMs >= slideMs && lengthMs % slideMs == 0,
-      "need 0 < slide <= length with length a multiple of slide")
+    require(slideMs > 0 && lengthMs >= slideMs,
+      "need 0 < slide <= length")
     require(aggs.nonEmpty, "need at least one aggregate")
     require(aggs.map(_.name).distinct.length == aggs.length,
       "aggregate names must be unique")
-    val panesPerWindow = (lengthMs / slideMs).toInt
+    val paneMs = gcd(lengthMs, slideMs)
+    val panesPerWindow = (lengthMs / paneMs).toInt
     val prepared = df.withWatermark(tsCol, delay)
     val nKeys = groupCols.length
     val keySchema = StructType(groupCols.map(c => prepared.schema(c)))
@@ -307,14 +318,23 @@ object ExactWindow {
           Encoders.scalaLong, TTLConfig.NONE)
       }
 
-      // earliest window end > wm over the live panes (a pane p feeds
-      // windows ending at p+slide .. p+length); Long.MaxValue if none
+      // window-start index range containing pane p: starts are the
+      // slide grid k·slide with k·slide ≤ p < k·slide + length
+      private def kRange(p: Long): (Long, Long) =
+        (Math.floorDiv(p - lengthMs, slideMs) + 1,
+          Math.floorDiv(p, slideMs))
+
+      // earliest window end > wm over the live panes; MaxValue if none
       private def nextEnd(wm: Long): Long = {
         var best = Long.MaxValue
         panes.keys().foreach { p =>
-          val j = math.max(1L, (wm - p) / slideMs + 1L)
-          val e = p + j * slideMs
-          if (e <= p + lengthMs && e < best) best = e
+          val (kMin, kMax) = kRange(p)
+          val k = math.max(kMin,
+            Math.floorDiv(wm - lengthMs, slideMs) + 1)
+          if (k <= kMax) {
+            val e = k * slideMs + lengthMs
+            if (e < best) best = e
+          }
         }
         best
       }
@@ -325,7 +345,7 @@ object ExactWindow {
         val touched = scala.collection.mutable.Map[Long, Array[Any]]()
         rows.foreach { r =>
           val t = r.getAs[java.sql.Timestamp](tsCol).getTime
-          val p = t - math.floorMod(t, slideMs)
+          val p = t - math.floorMod(t, paneMs)
           val bufs = touched.getOrElseUpdate(p,
             if (panes.containsKey(p)) {
               val bytes = panes.getValue(p)
@@ -353,14 +373,15 @@ object ExactWindow {
         // them becomes evictable
         val live: Map[Long, Array[Array[Byte]]] = panes.iterator().toMap
         val toEmit = live.keysIterator.flatMap { p =>
-          (1 to panesPerWindow).iterator.map(j => p + j * slideMs)
+          val (kMin, kMax) = kRange(p)
+          (kMin to kMax).iterator.map(k => k * slideMs + lengthMs)
             .filter(e => e > fr && e <= wm).map(e => e - lengthMs)
         }.toSet.toSeq.sorted
         val out = toEmit.map { w =>
           var bufs = Array.tabulate[Any](aggs.length)(i => aggs(i).init())
           var j = 0
           while (j < panesPerWindow) {
-            live.get(w + j * slideMs).foreach { bytes =>
+            live.get(w + j * paneMs).foreach { bytes =>
               var i = 0
               while (i < bufs.length) {
                 bufs(i) = aggs(i).merge(bufs(i), aggs(i).fromBytes(bytes(i)))
@@ -375,7 +396,8 @@ object ExactWindow {
               aggs.indices.map(i => aggs(i).finish(bufs(i))))
         }
         // a pane dies once the watermark passes its LAST window's end
-        live.keysIterator.filter(p => p + lengthMs <= wm)
+        live.keysIterator
+          .filter(p => kRange(p)._2 * slideMs + lengthMs <= wm)
           .foreach(panes.removeKey)
         if (!panes.exists()) {
           // key fully drained → drop ALL its state, frontier included

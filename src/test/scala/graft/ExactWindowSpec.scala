@@ -327,6 +327,59 @@ class ExactWindowSpec extends AnyFunSuite with SparkSpec {
       "fixture must close a meaningful number of 12-pane windows")
   }
 
+  test("slidingPanes handles non-multiple slides on the gcd pane grid") {
+    // 7s windows sliding by 3s: panes live on the gcd grid (1s, 7 per
+    // window), window starts on the 3s slide grid — the general shape
+    // the slide-aligned pane tier used to reject outright
+    val data = Seq(
+      Measurement(500, "x", 1.0), Measurement(2500, "x", 3.0),
+      Measurement(4100, "y", 7.0), Measurement(6900, "x", 5.0),
+      Measurement(9300, "y", 1.0), Measurement(12800, "x", 2.0),
+      Measurement(15100, "y", 4.0), Measurement(90000, "z", 0.0))
+    def aggs() = Seq(
+      ExactWindow.ExactAgg.count("n", "reading"),
+      ExactWindow.ExactAgg.sum("sum", "reading"),
+      ExactWindow.ExactAgg.max("mx", "reading"))
+    def run(pane: Boolean, name: String)
+        : Set[(String, Long, Long, Long, Double, Double)] = {
+      val input = MemoryStream[Measurement](spark)
+      val src = input.toDF
+        .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+      val out =
+        if (pane) ExactWindow.slidingPanes(src, Seq("sensor_name"), "ts",
+          lengthMs = 7000L, slideMs = 3000L, aggs = aggs())
+        else ExactWindow.slidingRows(src, Seq("sensor_name"), "ts",
+          lengthMs = 7000L, slideMs = 3000L, aggs = aggs())
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        // split across batches so gcd-pane partials cross a micro-batch
+        // boundary and mid-stream timers fire before the closer row
+        input.addData(data.take(4): _*)
+        q.processAllAvailable()
+        input.addData(data.drop(4): _*)
+        q.processAllAvailable()
+        spark.table(name)
+          .select($"sensor_name", $"window_start_time".cast("long").as("ws"),
+            $"window_end_time".cast("long").as("we"), $"n", $"sum", $"mx")
+          .as[(String, Long, Long, Long, Double, Double)]
+          .collect().toSet
+      } finally q.stop()
+    }
+    val viaExplode = run(pane = false, "exact_gcd_a")
+    val viaPanes = run(pane = true, "exact_gcd_b")
+    assert(viaPanes == viaExplode,
+      s"gcd pane form diverged:\n missing=${(viaExplode -- viaPanes).take(5)}" +
+        s"\n extra=${(viaPanes -- viaExplode).take(5)}")
+    assert(viaExplode.size > 10,
+      "fixture must close a meaningful number of 7:3 windows")
+    // window grid sanity: every start is slide-aligned, length exact
+    viaExplode.foreach { case (_, ws, we, _, _, _) =>
+      assert(we - ws == 7 && math.floorMod(ws, 3) == 0,
+        s"window [$ws,$we) must be 7s long on the 3s slide grid")
+    }
+  }
+
   test("slidingPanes: a fully-drained key re-activates cleanly after " +
       "its state (panes + frontier) was dropped") {
     val input = MemoryStream[Measurement](spark)
