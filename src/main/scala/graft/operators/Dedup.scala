@@ -301,6 +301,16 @@ object Dedup {
     * cluster/label/LSH bucket — at 100TB you never do global all-pairs).
     * Cosine computed in double (graft.functions.cosine_similarity).
     *
+    * COST GROWS AS N²/L (N rows, L blocks): the block column's
+    * cardinality must scale WITH the corpus, or pair work grows
+    * quadratically — a fixed label set that was fine at 1M docs is 100×
+    * the work at 10M (measured: the sf1 bench row's super-linear d6
+    * growth is exactly this, BASELINE.md). At scale derive the block
+    * from content, e.g. `graft.functions.hyperplane_lsh_bucket(emb,
+    * nBits, table)` (recall follows the LSH collision curve; widen
+    * with multiple tables as in [[Similarity]]'s ANN) or a KMeans
+    * cell id, optionally composed with a coarse label.
+    *
     * The within-block pair space is tiled over `numBuckets`² sub-join
     * keys: each row gets a deterministic bucket b = hash(id) mod B,
     * the left side replicates over the B possible right buckets and
