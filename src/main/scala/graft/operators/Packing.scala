@@ -43,6 +43,15 @@ object Packing {
     substring(md5(concat(idCol.cast("string"), lit("\u0000"), lit(salt))),
       1, chars)
 
+  /** JVM-side mirror of [[shardKey]] (same NUL-delimited UTF-8 md5
+    * draw) for driver-side planning and tests.
+    */
+  def shardKeyValue(id: String, chars: Int = 1,
+                    salt: String = ShardSalt): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((id + "\u0000" + salt).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, chars)
+
   /** Chunk layout for each document: within its shard (documents
     * ordered by id), `start` = first-token position in the shard's
     * concatenated stream, `chunk` = index of the capacity-sized chunk

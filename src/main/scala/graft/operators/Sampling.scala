@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
   *
   * The reference has no sampling surface (SURVEY §2.5 scalar/agg
   * library only); these exceed it alongside the dedup/ANN suite.
+  *
+  * STREAMING: [[hashSample]], [[stratifiedHashSample]] and
+  * [[splitByHash]] are stateless filters/projections and run on
+  * streaming frames unchanged with identical draws (SamplingSpec pins
+  * it). [[topNPerKey]] is inherently retrospective (a rank over the
+  * whole key) — for streams use the bounded-state counterpart
+  * `hashSample` at n/expected-group-size, or window first.
   */
 object Sampling {
 

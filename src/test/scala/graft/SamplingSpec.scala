@@ -237,4 +237,31 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(reservoir != lowestSampleDraws,
       "reservoir draws must be independent of the sampling draws")
   }
+
+  test("hashSample/splitByHash are streaming-safe and keep the batch " +
+      "draws (pure stateless filters/projections)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[Long](spark)
+    val streamed = Sampling.splitByHash(
+      Sampling.hashSample(input.toDF.withColumnRenamed("value", "doc_id"),
+        "doc_id", 0.5),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("sampling_stream").start()
+    try {
+      input.addData(1L to 500L: _*)
+      input.addData(501L to 1000L: _*)
+      q.processAllAvailable()
+      val got = spark.table("sampling_stream")
+        .select($"doc_id", $"split").as[(Long, String)].collect().toSet
+      val want = Sampling.splitByHash(
+        Sampling.hashSample((1L to 1000L).toDF("doc_id"), "doc_id", 0.5),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select($"doc_id", $"split").as[(Long, String)].collect().toSet
+      assert(got == want,
+        "streaming curation filters must select/assign exactly the " +
+          "batch draws")
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Packing
+import graft.streaming.StreamingPacking
+
+case class PackDoc(doc_id: Long, n_tok: Long)
+
+/** Streaming sequence packing: single-batch replay reproduces the
+  * batch layout, cross-batch arrival-order continuation, zero-token
+  * semantics, and checkpoint recovery of the per-shard cursors.
+  */
+class StreamingPackingSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val cap = 2048L
+
+  test("single-batch replay reproduces the batch operator's layout") {
+    val docs = Graft.table(spark, sf, "documents")
+      .select($"doc_id", $"n_chars")
+    val dir = Files.createTempDirectory("graft-spack").toFile
+    val inPath = new java.io.File(dir, "in").getAbsolutePath
+    docs.coalesce(1).write.parquet(inPath) // one file → one micro-batch
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inPath).schema).parquet(inPath)
+    val out = StreamingPacking.packChunks(stream, "doc_id", "n_chars", cap)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("spack_replay").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("spack_replay")
+        .select($"doc_id", $"shard", $"start", $"chunk", $"offset",
+          $"chunks_spanned")
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+      val want = Packing.packChunks(docs, "doc_id", "n_chars", cap)
+        .select($"doc_id", $"shard", $"start", $"chunk", $"offset",
+          $"chunks_spanned")
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+      assert(got == want,
+        s"streaming single-batch layout must equal batch: " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
+  test("cross-batch packing continues each shard's cursor in arrival " +
+      "order; zero-token docs span nothing") {
+    val input = MemoryStream[PackDoc](spark)
+    val out = StreamingPacking.packChunks(input.toDF, "doc_id", "n_tok",
+      capacity = 64L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("spack_batches").start()
+    try {
+      input.addData(PackDoc(10, 100), PackDoc(3, 50), PackDoc(7, 0))
+      q.processAllAvailable()
+      input.addData(PackDoc(1, 30), PackDoc(20, 10))
+      q.processAllAvailable()
+      val rows = spark.table("spack_batches")
+        .select($"doc_id", $"shard", $"n_tok", $"start", $"chunks_spanned")
+        .as[(Long, String, Long, Long, Long)].collect()
+      assert(rows.length == 5)
+      assert(rows.find(_._1 == 7).get._5 == 0, "zero-token doc spans 0")
+      // within each shard: batch-1 docs tile id-ordered from 0; batch-2
+      // docs continue AFTER them (arrival order), id-ordered within
+      // their own batch — recompute the expected cursor walk
+      val batchOf = Map(10L -> 1, 3L -> 1, 7L -> 1, 1L -> 2, 20L -> 2)
+      rows.groupBy(_._2).foreach { case (shard, rs) =>
+        var cursor = 0L
+        rs.sortBy(r => (batchOf(r._1), r._1)).foreach {
+          case (id, _, tok, start, _) =>
+            assert(start == cursor,
+              s"doc $id in shard $shard starts at $start, want $cursor")
+            cursor += tok
+        }
+      }
+    } finally q.stop()
+  }
+
+  test("per-shard cursors survive a checkpoint restart") {
+    val dir = Files.createTempDirectory("graft-spack-rec").toFile
+    val inputDir = new java.io.File(dir, "input"); inputDir.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val outDir = new java.io.File(dir, "out").getAbsolutePath
+
+    def writeBatch(rows: Seq[PackDoc]): Unit =
+      rows.toDF().coalesce(1).write.mode("append")
+        .parquet(inputDir.getAbsolutePath)
+
+    def startQuery() = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(inputDir.getAbsolutePath).schema)
+        .parquet(inputDir.getAbsolutePath)
+      StreamingPacking.packChunks(src, "doc_id", "n_tok", capacity = 64L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir).format("parquet").start()
+    }
+
+    // force both docs into ONE shard so the continuation is observable
+    // regardless of md5 draws: same id twice is disallowed, so find two
+    // ids sharing a shard key
+    val ids = (1L to 64L)
+      .map(i => i -> Packing.shardKeyValue(i.toString))
+    val (idA, shard) = ids.head
+    val idB = ids.find { case (i, s) => i != idA && s == shard }.get._1
+
+    writeBatch(Seq(PackDoc(idA, 100)))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+
+    writeBatch(Seq(PackDoc(idB, 10))) // arrives while the query is DOWN
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.read.parquet(outDir)
+      .select($"doc_id", $"start").as[(Long, Long)].collect().toMap
+    assert(rows(idA) == 0L)
+    assert(rows(idB) == 100L,
+      s"restart must resume the shard cursor at 100, got ${rows(idB)}")
+  }
+}
