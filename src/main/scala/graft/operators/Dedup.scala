@@ -321,6 +321,61 @@ object Dedup {
     * Cost: each side's rows ship B× instead of 1×; B=8 is a good
     * default for label-cardinality ≪ cluster-cores.
     */
+  /** Embedding near-dup pairs with CONTENT-DERIVED blocking — the
+    * at-scale form of [[embeddingNearDupPairs]] for the high-threshold
+    * regime (0.9+). Rows bucket by multi-table sign-random-projection
+    * (the s2 ANN machinery): candidates are within-bucket pairs in any
+    * of `nTables` independent bucket spaces, verified with exact
+    * cosine. Bucket cardinality (nTables · 2^nPlanes) scales with the
+    * corpus by raising nPlanes, so pair work stays ~N·bucketSize
+    * instead of the fixed-block N²/L (the measured sf1 d6 cliff).
+    *
+    * Cross-table duplicate emission is structural, not a dedup pass:
+    * each row carries its full bucket vector and only the FIRST table
+    * where both vectors agree emits (same canonical trick as
+    * [[graft.streaming.StreamingDedup]]). Recall follows the SRP
+    * collision curve: a pair at angle θ shares one table's bucket with
+    * p = (1-θ/π)^nPlanes, found with 1-(1-p)^nTables — near 1 for
+    * near-dup angles (cos ≥ 0.95 ⇒ p ≥ 0.9^nPlanes at 8 planes ≈ 0.43,
+    * 4 tables ≈ 0.90; cos 0.99 ⇒ ≈ 0.998), tunable with
+    * nTables/nPlanes. Use the exact blocked form when recall must be
+    * exactly 1 WITHIN known blocks; use this when no suitable
+    * fixed-cardinality block exists.
+    */
+  def embeddingNearDupPairsLsh(df: DataFrame, embCol: String,
+                               idCol: String, threshold: Double = 0.9,
+                               nPlanes: Int = 8, dim: Int = 64,
+                               nTables: Int = 4,
+                               seed: Long = 42L): DataFrame = {
+    require(nTables >= 1, "nTables must be >= 1")
+    val buckets = array((0 until nTables).map { t =>
+      graft.functions.hyperplane_lsh_bucket(col(embCol), nPlanes, dim,
+        seed + t * 7919L)
+    }: _*)
+    val exploded = df
+      .select(col(idCol), col(embCol), buckets.as("__bks"))
+      .select(col(idCol), col(embCol), col("__bks"),
+        posexplode(col("__bks")).as(Seq("__table", "__bucket")))
+    val l = exploded.select(col(idCol).as("id1"), col(embCol).as("e1"),
+      col("__bks").as("__bks1"), col("__table"), col("__bucket"))
+    val r = exploded.select(col(idCol).as("id2"), col(embCol).as("e2"),
+      col("__bks").as("__bks2"), col("__table"), col("__bucket"))
+    // canonical table: no earlier table may also have agreed — each
+    // pair then surfaces from exactly one (table, bucket) key, so no
+    // pair-key dropDuplicates shuffle is needed
+    val noEarlierAgree = forall(
+      slice(zip_with(col("__bks1"), col("__bks2"),
+        (a, b) => a === b), lit(1), col("__table")),
+      eq => !eq)
+    l.join(r, Seq("__table", "__bucket"))
+      .filter(col("id1") < col("id2") && noEarlierAgree)
+      .withColumn("cos",
+        round(graft.functions.cosine_similarity(col("e1"), col("e2")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id1").as(s"${idCol}_1"), col("id2").as(s"${idCol}_2"),
+        col("cos"))
+  }
+
   def embeddingNearDupPairs(df: DataFrame, embCol: String, idCol: String,
                             blockCol: String, threshold: Double = 0.9,
                             numBuckets: Int = 8): DataFrame = {

@@ -281,6 +281,47 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "join keys must include the pair buckets")
   }
 
+  test("embeddingNearDupPairsLsh: exact precision, near-1 recall on " +
+      "planted near-identicals, single emission per pair") {
+    val emb = Graft.table(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+    // plant a near-identical copy of every vector (first element
+    // nudged 1% → cos ≈ 0.9999): the high-threshold regime the LSH
+    // form exists for
+    val planted = emb
+      .withColumn("vec_id", $"vec_id" + 100000L)
+      .withColumn("embedding", transform($"embedding",
+        (v, i) => when(i === 0, v * 1.01f).otherwise(v)))
+    val all = emb.unionByName(planted)
+    val got = Dedup.embeddingNearDupPairsLsh(all, "embedding", "vec_id",
+      threshold = 0.99)
+      .select($"vec_id_1", $"vec_id_2", $"cos")
+      .as[(Long, Long, Double)].collect()
+
+    // no duplicate emissions: the canonical-table filter must make
+    // every pair surface exactly once without a dropDuplicates pass
+    assert(got.length == got.map(r => (r._1, r._2)).toSet.size,
+      "each pair must emit exactly once (canonical table)")
+    // precision 1 by construction (exact cosine verify)
+    got.foreach { case (a, b, c) =>
+      assert(c >= 0.99, s"pair ($a,$b) below threshold: $c") }
+    // recall on the planted pairs: each (i, i+100000) pair has
+    // cos ≈ 0.9999 and collides in ≥1 of 4 tables with prob ≈ 1 —
+    // the seeded draw is deterministic, so this is a fixed set; allow
+    // a tiny slack for angle outliers rather than pinning 100%
+    val n = emb.count()
+    val found = got.map(r => (r._1, r._2)).toSet
+    val plantedFound = (0L until n).count(i => found((i, i + 100000L)))
+    assert(plantedFound >= (n * 0.95).toInt,
+      s"LSH recall too low: $plantedFound of $n planted pairs found")
+    // plan shape: the join key is (table, bucket) — content-derived
+    // blocking, no bare cross product
+    val plan = Dedup.embeddingNearDupPairsLsh(all, "embedding", "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__table") && plan.contains("__bucket"),
+      "join keys must be the LSH (table, bucket)")
+  }
+
   test("bruteForceTopK: correct neighbors on crafted vectors") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
