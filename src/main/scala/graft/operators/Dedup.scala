@@ -321,6 +321,75 @@ object Dedup {
     * Cost: each side's rows ship B× instead of 1×; B=8 is a good
     * default for label-cardinality ≪ cluster-cores.
     */
+  /** Connected components over a near-dup PAIR frame: the step that
+    * turns pairwise matches (d3–d7 outputs) into duplicate CLUSTERS —
+    * what a curation pipeline actually consumes (pick one
+    * representative per cluster, drop the rest). Output: one row per
+    * id appearing in any pair, `(id, component)` where `component` is
+    * the MINIMUM id reachable through the pair graph (deterministic,
+    * engine-independent labeling).
+    *
+    * Algorithm: iterative min-label propagation as a DataFrame loop —
+    * each round joins labels to the (undirected) edge list, takes the
+    * per-neighbor minimum, and lowers labels that shrank. Rounds
+    * converge in O(graph diameter): near-dup graphs are
+    * shallow-diameter by nature (dup clusters are near-cliques — a
+    * mutation chain A~B~C still has every member within a hop or two
+    * of the minimum), so a handful of shuffles settles 100 TB of
+    * pairs. Each round materializes through `localCheckpoint` so plan
+    * lineage stays O(1) instead of doubling per iteration; the
+    * convergence probe is the same action that materializes the
+    * round. Throws if `maxIter` rounds don't converge (pathological
+    * long-path graphs — raise maxIter, or contract stars first).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // per-node minimum over neighbors' labels
+      val prop = edges
+        .join(labels.select(col("id").as("src"), col("comp")), "src")
+        .groupBy(col("dst"))
+        .agg(min(col("comp")).as("__ncomp"))
+      val next = labels
+        .join(prop, labels("id") === prop("dst"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__ncomp"), col("comp")))
+            .as("comp"),
+          (col("__ncomp") < col("comp")).as("__lowered"))
+        .localCheckpoint()
+      converged = next.filter(col("__lowered")).isEmpty
+      labels = next.drop("__lowered")
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "graph diameter exceeds maxIter; raise it")
+    labels
+  }
+
+  /** Keep one representative per near-dup cluster: drops every row
+    * whose id appears in `pairs` and is NOT its component's minimum.
+    * Rows in no pair are untouched (singletons keep themselves).
+    */
+  def keepNearDupRepresentatives(df: DataFrame, pairs: DataFrame,
+                                 aCol: String, bCol: String,
+                                 idCol: String): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup pairs with CONTENT-DERIVED blocking — the
     * at-scale form of [[embeddingNearDupPairs]] for the high-threshold
     * regime (0.9+). Rows bucket by multi-table sign-random-projection

@@ -281,6 +281,59 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "join keys must include the pair buckets")
   }
 
+  test("connectedComponents: crafted graph labels by min, long chain " +
+      "converges, keeper drops non-representatives") {
+    // chain of diameter 11 (stresses the iteration loop), a cyclic
+    // triangle, a pair, and a disconnected pair
+    val pairs = ((1L to 11L).map(i => (i, i + 1)) ++
+      Seq((30L, 31L), (31L, 32L), (30L, 32L), (20L, 21L), (40L, 50L)))
+      .toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    (1L to 12L).foreach(i => assert(comps(i) == 1L, s"chain node $i"))
+    Seq(30L, 31L, 32L).foreach(i => assert(comps(i) == 30L))
+    assert(comps(20L) == 20L && comps(21L) == 20L)
+    assert(comps(40L) == 40L && comps(50L) == 40L)
+    assert(comps.size == 19, "one row per id appearing in a pair")
+
+    val rows = (1L to 60L).toDF("id")
+    val kept = Dedup.keepNearDupRepresentatives(rows, pairs, "a", "b", "id")
+      .as[Long].collect().toSet
+    val pairIds = comps.keySet
+    assert(kept == (1L to 60L).toSet -- pairIds ++ Set(1L, 20L, 30L, 40L),
+      "keeper must retain component minimums and untouched rows only")
+  }
+
+  test("connectedComponents matches a union-find oracle on the d5 " +
+      "fixture pair graph") {
+    val docs = Graft.table(spark, sf, "documents").select($"doc_id", $"text")
+    val mutated = docs
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+      .withColumn("text", regexp_replace($"text", "the", "thee"))
+    val all = docs.unionByName(mutated)
+    val pairs = Dedup.simhashPairsFromSig(all,
+      graft.functions.simhash64_md5(
+        graft.operators.TextAnalysis.tokenize($"text")), "doc_id")
+    val got = Dedup.connectedComponents(pairs, "doc_id_1", "doc_id_2")
+      .as[(Long, Long)].collect().toMap
+
+    // independent JVM union-find over the same pairs
+    val es = pairs.select($"doc_id_1", $"doc_id_2")
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(es.nonEmpty && got == want,
+      s"components diverge from union-find: ${got.size} vs ${want.size}")
+  }
+
   test("embeddingNearDupPairsLsh: exact precision, near-1 recall on " +
       "planted near-identicals, single emission per pair") {
     val emb = Graft.table(spark, sf, "embeddings")
