@@ -45,7 +45,14 @@ import org.apache.spark.sql.types._
   *    documents;
   *  - state per entry is id + (#bands + #payload words + 1) longs;
   *    eviction is timer-driven at the earliest expiry, so a drained
-  *    bucket drops to zero state rows.
+  *    bucket drops to zero state rows;
+  *  - HOT BUCKETS: a flood of mutually-near-duplicate documents (all
+  *    colliding in one bucket) makes that bucket's compare cost
+  *    quadratic within the horizon — the pair OUTPUT is inherently
+  *    quadratic for such input. If flood pairs aren't individually
+  *    needed, exact-dedup upstream first
+  *    (`DataStream.dedupWithinWatermark` collapses exact repeats), or
+  *    shorten the horizon.
   */
 object StreamingDedup {
 

@@ -18,7 +18,10 @@ import org.apache.spark.sql.types._
   * stream. State per shard is a single long — the stream's running
   * token length — so state size is exactly 16^shardChars longs
   * regardless of corpus size, and a restart resumes the layout
-  * mid-stream from the checkpoint.
+  * mid-stream from the checkpoint. Parallelism is 16^shardChars tasks
+  * and each shard buffers its slice of a micro-batch for the in-batch
+  * id sort — the batch operator's `shardChars` sizing rule
+  * ([[graft.operators.Packing.packChunks]]) applies unchanged.
   *
   * ORDER CONTRACT (the one semantic difference from batch): a stream
   * has no global id order, so layout position is ARRIVAL order —
