@@ -363,6 +363,25 @@ object SparkEntry {
         .orderBy($"pid")
     }),
 
+    // forward (time-mirrored) as-of: earliest click at-or-after each
+    // purchase within tolerance — same union sort-merge machinery
+    // traversing descending
+    "q33_asof_forward" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("pid"), $"user_id", $"ts".as("pts"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("cid"), $"user_id".as("cuser"),
+          $"ts".as("cts"))
+      operators.Joins.asOfJoinForward(purchases, clicks,
+          Seq("user_id"), Seq("cuser"), "pts", "cts",
+          tolerance = Some("1 DAY"))
+        .select($"pid", unix_millis($"pts").as("pts_ms"), $"cid",
+          unix_millis($"cts").as("cts_ms"))
+        .orderBy($"pid")
+    }),
+
     // §2.5 long-tail analytic window functions (DataFusion re-exports
     // the same names, py-denormalized functions.py)
     "q25_window_battery" -> ((s, d) => {
@@ -1050,6 +1069,17 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY pid""".stripMargin,
+
+    "q33_asof_forward" ->
+      """SELECT p.event_id AS pid, epoch_ms(p.ts) AS pts_ms,
+        |  CASE WHEN c.ts <= p.ts + INTERVAL 1 DAY
+        |       THEN c.event_id END AS cid,
+        |  CASE WHEN c.ts <= p.ts + INTERVAL 1 DAY
+        |       THEN epoch_ms(c.ts) END AS cts_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts >= p.ts
         |ORDER BY pid""".stripMargin,
 
     "q25_window_battery" ->

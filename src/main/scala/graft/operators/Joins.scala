@@ -49,7 +49,30 @@ object Joins {
   def asOfJoinBackward(left: DataFrame, right: DataFrame,
                        leftKeys: Seq[String], rightKeys: Seq[String],
                        leftTs: String, rightTs: String,
-                       tolerance: Option[String] = None): DataFrame = {
+                       tolerance: Option[String] = None): DataFrame =
+    asOfMerge(left, right, leftKeys, rightKeys, leftTs, rightTs,
+      tolerance, forward = false)
+
+  /** Forward as-of join: for every left row, the single EARLIEST right
+    * row with rightTs >= leftTs (optionally within `tolerance`), per
+    * equi-key — the time-mirror of [[asOfJoinBackward]] with the same
+    * union sort-merge implementation (traversal runs descending, right
+    * rows replicate into their own and the PREVIOUS tolerance bucket).
+    * Same null/tie semantics: NULL right timestamps never match,
+    * equal-timestamp rights tie-break on the min row hash.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame,
+                      leftKeys: Seq[String], rightKeys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      tolerance: Option[String] = None): DataFrame =
+    asOfMerge(left, right, leftKeys, rightKeys, leftTs, rightTs,
+      tolerance, forward = true)
+
+  private def asOfMerge(left: DataFrame, right: DataFrame,
+                        leftKeys: Seq[String], rightKeys: Seq[String],
+                        leftTs: String, rightTs: String,
+                        tolerance: Option[String],
+                        forward: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType,
       DayTimeIntervalType, TimestampType}
 
@@ -101,11 +124,14 @@ object Joins {
             struct(right.columns.map(col): _*).as("row")).as("__mark"),
           tieBreak.as("__ord"),
           lit(null).cast(lrowType).as("__lrow")): _*)
-    // replicate each right row into its own bucket and the next: every
-    // left at time t finds all rights in [t-tol, t] inside bucket(t)
+    // replicate each right row into its own bucket and the adjacent
+    // one in match direction: every left at time t finds all rights in
+    // [t-tol, t] (backward) / [t, t+tol] (forward) inside bucket(t)
+    val neighbor = if (forward) lit(-1L) else lit(1L)
     val rBranch = tolMicros match {
       case Some(_) => rBase.withColumn("__bkt",
-        explode(array(bucketOf(col("__t")), bucketOf(col("__t")) + 1)))
+        explode(array(bucketOf(col("__t")),
+          bucketOf(col("__t")) + neighbor)))
       case None => rBase.withColumn("__bkt", lit(0L))
     }
     val lBranch = left.select(
@@ -116,17 +142,21 @@ object Joins {
       .withColumn("__bkt", bucketOf(col("__t")))
 
     // rights sort before lefts at equal ts (side 0 < 1): rightTs ==
-    // leftTs counts as a match; among tied rights the LAST in __ord
-    // desc order (= min hash) wins
+    // leftTs counts as a match in BOTH directions; among tied rights
+    // the LAST in __ord desc order (= min hash) wins. Forward runs
+    // the same carry over a DESCENDING traversal, so the carried right
+    // is the earliest at-or-after the left row
+    val tsOrder = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy((keyAliases :+ "__bkt").map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc, col("__ord").desc)
+      .orderBy(tsOrder, col("__side").asc, col("__ord").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = rBranch.unionByName(lBranch)
       .withColumn("__m", last(col("__mark"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     val inRange = tolerance match {
       case Some(tol) =>
-        col("__m.ts") >= col("__t") - expr(s"INTERVAL $tol")
+        if (forward) col("__m.ts") <= col("__t") + expr(s"INTERVAL $tol")
+        else col("__m.ts") >= col("__t") - expr(s"INTERVAL $tol")
       case None => col("__m.ts").isNotNull
     }
     // null join keys never match (equi-join semantics; the window
@@ -167,6 +197,111 @@ object Joins {
                    else lit(0L)
     val w = Window.partitionBy(col(lid))
       .orderBy(right(rightTs).desc_nulls_last, tieBreak.asc_nulls_last)
+    joined.withColumn("__asof_rn", row_number().over(w))
+      .filter(col("__asof_rn") === 1)
+      .drop(lid, "__asof_rn")
+  }
+
+  /** Nearest as-of join: per left row, the right row minimizing
+    * |rightTs − leftTs| per equi-key, optionally bounded by
+    * `tolerance` on BOTH sides; equal distances prefer the backward
+    * (at-or-before) match. Implementation: the same union sort-merge
+    * as the directional forms, with TWO window passes over one
+    * shuffle — an ascending carry (backward candidate) and a
+    * descending carry (forward candidate) — then a per-row distance
+    * pick; candidate pairs are never materialized. This form has no
+    * time-bucket skew spread (the directional forms do): a hot key
+    * costs one sorted partition.
+    */
+  def asOfJoinNearest(left: DataFrame, right: DataFrame,
+                      leftKeys: Seq[String], rightKeys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      tolerance: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val tieCols = right.schema.fields
+      .filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+    val tieBreak = if (tieCols.nonEmpty) xxhash64(tieCols: _*) else lit(0L)
+    val keyAliases = leftKeys.indices.map(i => s"__asof_k$i")
+    val lrowType = StructType(left.schema.fields)
+    val markType = StructType(Seq(
+      StructField("ts", right.schema(rightTs).dataType),
+      StructField("row", StructType(right.schema.fields))))
+
+    val rBranch = right
+      .filter(col(rightTs).isNotNull)
+      .select(
+        rightKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++ Seq(
+          col(rightTs).as("__t"), lit(0).as("__side"),
+          struct(col(rightTs).as("ts"),
+            struct(right.columns.map(col): _*).as("row")).as("__mark"),
+          tieBreak.as("__ord"),
+          lit(null).cast(lrowType).as("__lrow")): _*)
+    val lBranch = left.select(
+      leftKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++ Seq(
+        col(leftTs).as("__t"), lit(1).as("__side"),
+        lit(null).cast(markType).as("__mark"), lit(0L).as("__ord"),
+        struct(left.columns.map(col): _*).as("__lrow")): _*)
+
+    val wB = Window.partitionBy(keyAliases.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__ord").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keyAliases.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").asc, col("__ord").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = rBranch.unionByName(lBranch)
+      .withColumn("__mb", last(col("__mark"), ignoreNulls = true).over(wB))
+      .withColumn("__mf", last(col("__mark"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+
+    def ok(m: Column, fwd: Boolean): Column = tolerance match {
+      case Some(tol) =>
+        if (fwd) m.getField("ts") <= col("__t") + expr(s"INTERVAL $tol")
+        else m.getField("ts") >= col("__t") - expr(s"INTERVAL $tol")
+      case None => m.getField("ts").isNotNull
+    }
+    // double distance: exact to < 1µs for epoch-range timestamps and
+    // exact for integral ts columns well past 2^40
+    val t0 = col("__t").cast("double")
+    val db = t0 - col("__mb.ts").cast("double")
+    val df = col("__mf.ts").cast("double") - t0
+    val bOk = col("__mb.ts").isNotNull && ok(col("__mb"), fwd = false)
+    val fOk = col("__mf.ts").isNotNull && ok(col("__mf"), fwd = true)
+    val keysNotNull = keyAliases.map(col(_).isNotNull)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val chosen =
+      when(bOk && fOk, when(db <= df, col("__mb.row"))
+        .otherwise(col("__mf.row")))
+      .when(bOk, col("__mb.row"))
+      .when(fOk, col("__mf.row"))
+    val matchRow = when(keysNotNull, chosen)
+    matched.select(
+      left.columns.map(c => col("__lrow").getField(c).as(c)) ++
+      right.columns.map(c => matchRow.getField(c).as(c)): _*)
+  }
+
+  /** Rank-based spelling of [[asOfJoinForward]] — cross-check twin of
+    * [[asOfJoinBackwardViaRank]].
+    */
+  def asOfJoinForwardViaRank(left: DataFrame, right: DataFrame,
+                             leftKeys: Seq[String], rightKeys: Seq[String],
+                             leftTs: String, rightTs: String,
+                             tolerance: Option[String] = None): DataFrame = {
+    val lid = "__asof_lid"
+    val l = left.withColumn(lid, monotonically_increasing_id())
+    val keyCond = leftKeys.zip(rightKeys)
+      .map { case (a, b) => l(a) === right(b) }.reduce(_ && _)
+    val timeCond = tolerance match {
+      case Some(tol) => right(rightTs) >= l(leftTs) &&
+        right(rightTs) <= l(leftTs) + expr(s"INTERVAL $tol")
+      case None => right(rightTs) >= l(leftTs)
+    }
+    val joined = l.join(right, keyCond && timeCond, "left")
+    val tieCols = right.schema.fields
+      .filterNot(f => hasMap(f.dataType)).map(f => right(f.name))
+    val tieBreak = if (tieCols.nonEmpty) xxhash64(tieCols: _*)
+                   else lit(0L)
+    val w = Window.partitionBy(col(lid))
+      .orderBy(right(rightTs).asc_nulls_last, tieBreak.asc_nulls_last)
     joined.withColumn("__asof_rn", row_number().over(w))
       .filter(col("__asof_rn") === 1)
       .drop(lid, "__asof_rn")

@@ -255,4 +255,82 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
         round(sum($"o_totalprice"), 2).as("t"))
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
+
+  test("asOfJoinForward picks earliest at-or-after right row per key, " +
+      "tolerance bounds the lookahead") {
+    val trades = Seq((1L, "A", ts(10000)), (2L, "A", ts(20000)),
+      (3L, "B", ts(15000)), (4L, "C", ts(15000)))
+      .toDF("trade_id", "sym", "tts")
+    val quotes = Seq(("A", ts(9000), 99.5), ("A", ts(19000), 100.5),
+      ("A", ts(25000), 777.0), ("B", ts(15000), 49.9))
+      .toDF("qsym", "qts", "bid")
+    val got = Joins.asOfJoinForward(trades, quotes,
+      Seq("sym"), Seq("qsym"), "tts", "qts")
+      .select($"trade_id", $"bid").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got == Map(
+      1L -> Some(100.5),  // earliest quote >= 10s
+      2L -> Some(777.0),  // 25s quote
+      3L -> Some(49.9),   // equality counts as a forward match
+      4L -> None))
+    val bounded = Joins.asOfJoinForward(trades, quotes,
+      Seq("sym"), Seq("qsym"), "tts", "qts",
+      tolerance = Some("4 seconds"))
+      .select($"trade_id", $"bid").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(bounded(2L).isEmpty, "25s quote is past 20s + 4s tolerance")
+    assert(bounded(1L).isEmpty, "19s quote is past 10s + 4s tolerance")
+    assert(bounded(3L).contains(49.9))
+  }
+
+  test("asOfJoinForward merge form matches the rank form (incl. hot " +
+      "key, dup timestamps, tolerance bucketing)") {
+    val rnd = new scala.util.Random(11)
+    val lrows = (1 to 400).map { i =>
+      val k = if (i % 3 == 0) "hot" else s"k${rnd.nextInt(20)}"
+      (i.toLong, k, ts(rnd.nextInt(100) * 1000L))
+    }
+    val rrows = (1 to 600).map { i =>
+      val k = if (i % 2 == 0) "hot" else s"k${rnd.nextInt(25)}"
+      (i.toLong, k, ts(rnd.nextInt(100) * 1000L), rnd.nextDouble())
+    }
+    val l = lrows.toDF("lid", "k", "lts")
+    val r = rrows.toDF("rid", "rk", "rts", "v")
+    for (tol <- Seq(None, Some("30 seconds"))) {
+      val merge = Joins.asOfJoinForward(l, r, Seq("k"), Seq("rk"),
+        "lts", "rts", tol)
+        .select($"lid", unix_millis($"rts").as("rt"))
+      val rank = Joins.asOfJoinForwardViaRank(l, r, Seq("k"), Seq("rk"),
+        "lts", "rts", tol)
+        .select($"lid", unix_millis($"rts").as("rt"))
+      assert(merge.exceptAll(rank).isEmpty && rank.exceptAll(merge).isEmpty,
+        s"forward merge vs rank mismatch at tolerance=$tol")
+      assert(merge.count() == l.count(), "one output row per left row")
+    }
+  }
+
+  test("asOfJoinNearest picks the closer side; ties prefer backward; " +
+      "tolerance bounds both directions") {
+    val l = Seq((1L, "A", ts(10000)), (2L, "A", ts(30000)),
+      (3L, "A", ts(50000)), (4L, "B", ts(10000)))
+      .toDF("id", "k", "lts")
+    val r = Seq(("A", ts(7000), "b3"), ("A", ts(12000), "f2"),
+      ("A", ts(26000), "b4"), ("A", ts(34000), "f4"),
+      ("A", ts(49000), "b1"), ("A", ts(51000), "f1"))
+      .toDF("rk", "rts", "v")
+    val got = Joins.asOfJoinNearest(l, r, Seq("k"), Seq("rk"),
+      "lts", "rts")
+      .select($"id", $"v").as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("f2"), "12s is closer to 10s than 7s")
+    assert(got(2L).contains("b4"), "equal 4s distance prefers backward")
+    assert(got(3L).contains("b1"),
+      "49s and 51s are both 1s from 50s — the tie prefers backward")
+    assert(got(4L).isEmpty, "no B rows")
+    val bounded = Joins.asOfJoinNearest(l, r, Seq("k"), Seq("rk"),
+      "lts", "rts", tolerance = Some("1 second"))
+      .select($"id", $"v").as[(Long, Option[String])].collect().toMap
+    assert(bounded(1L).isEmpty && bounded(2L).isEmpty,
+      "nothing within 1s of 10s/30s")
+    assert(bounded(3L).contains("b1"), "49s is exactly 1s before 50s")
+  }
 }
