@@ -122,6 +122,36 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getLong(0) == 3000L)
   }
 
+  test("asOfJoinForward and asOfJoinNearest never materialize " +
+      "candidate pairs either") {
+    val l = (1 to 2000).map(i => (i.toLong, "hot", ts(i * 1000L)))
+      .toDF("lid", "k", "lts")
+    val r = (1 to 2000).map(i => (i.toLong, "hot", ts(i * 500L), i * 1.0))
+      .toDF("rid2", "rk", "rts", "v")
+    val fwd = Joins.asOfJoinForward(l, r, Seq("k"), Seq("rk"),
+      "lts", "rts")
+    assert(fwd.count() == 2000)
+    val fplan = fwd.queryExecution.executedPlan.toString
+    assert(fplan.contains("Window") &&
+      !fplan.toLowerCase.contains("cartesian"))
+    // left at 3000ms: earliest right >= 3000 on the 500ms grid is 3000
+    assert(fwd.filter($"lid" === 3).select(unix_millis($"rts"))
+      .head.getLong(0) == 3000L)
+
+    val near = Joins.asOfJoinNearest(l, r, Seq("k"), Seq("rk"),
+      "lts", "rts")
+    assert(near.count() == 2000)
+    val nplan = near.queryExecution.executedPlan.toString
+    assert(nplan.contains("Window") &&
+      !nplan.toLowerCase.contains("cartesian"))
+    // one Exchange for both window passes: the two carries share the
+    // partitioning, so nearest costs one shuffle + two sorts
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(nplan).length
+    assert(exchanges <= 1,
+      s"nearest must reuse one partitioning for both carries:\n$nplan")
+  }
+
   test("asOfJoinBackward with day-time tolerance partitions by time bucket") {
     val l = Seq((1L, "A", ts(100000))).toDF("lid", "k", "lts")
     val r = Seq(("A", ts(90000), 1.0)).toDF("rk", "rts", "v")
