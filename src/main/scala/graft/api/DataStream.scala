@@ -98,6 +98,48 @@ final case class DataStream(
         .dropDuplicatesWithinWatermark(cols))
     else next(df.dropDuplicates(cols))
 
+  // --- curation suite bridges (graft.operators Sampling/Packing/
+  // TextAnalysis) — the pure-filter forms run on batch AND streaming
+  // frames unchanged; packing dispatches to the stateful streaming
+  // packer on streaming frames -------------------------------------
+
+  /** Deterministic uniform sample (hash-threshold filter; fractions
+    * nest within a salt domain).
+    */
+  def hashSample(idCol: String, fraction: Double,
+                 salt: String = graft.operators.Sampling.SampleSalt)
+      : DataStream =
+    next(graft.operators.Sampling.hashSample(df, idCol, fraction, salt))
+
+  /** Leakage-safe deterministic split: adds a `split` band column. */
+  def splitByHash(idCol: String, weights: Seq[(String, Double)],
+                  salt: String = graft.operators.Sampling.SplitSalt)
+      : DataStream =
+    next(graft.operators.Sampling.splitByHash(df, idCol, weights, salt))
+
+  /** GPT-style concat-then-chunk packing: the batch window form on
+    * batch frames, the per-shard-cursor stateful form
+    * (graft.streaming.StreamingPacking) on streaming frames — same
+    * draw, same chunk arithmetic, arrival-ordered across micro-batches
+    * (see StreamingPacking's order contract).
+    */
+  def packChunks(idCol: String, tokenCol: String, capacity: Long,
+                 shardChars: Int = 1,
+                 salt: String = graft.operators.Packing.ShardSalt)
+      : DataStream =
+    next(
+      if (df.isStreaming)
+        graft.streaming.StreamingPacking.packChunks(df, idCol, tokenCol,
+          capacity, shardChars, salt)
+      else
+        graft.operators.Packing.packChunks(df, idCol, tokenCol,
+          capacity, shardChars, salt))
+
+  /** PII redaction in place on `textCol` (RE2-safe patterns). */
+  def redactPii(textCol: String): DataStream =
+    next(df.withColumn(textCol,
+      graft.operators.TextAnalysis.redactPii(col(textCol))))
+
   /** Streaming SimHash NEAR-dup pair lookup against bounded banded
     * state (graft.streaming.StreamingDedup): emits
     * (idCol_1, idCol_2, hamming, ts) for documents within `horizon`

@@ -71,4 +71,38 @@ class ApiSpec extends AnyFunSuite with SparkSpec {
     assert(semi.toDF.count() + anti.toDF.count() ==
       Graft.table(spark, sf, "customer").count())
   }
+
+  test("curation bridges mirror the operator library; packChunks " +
+      "dispatches to the streaming packer on streaming frames") {
+    import spark.implicits._
+    val docs = Graft.table(spark, sf, "documents")
+    val viaBridge = DataStream(docs)
+      .hashSample("doc_id", 0.4)
+      .splitByHash("doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+      .redactPii("text")
+      .packChunks("doc_id", "n_chars", capacity = 2048L)
+      .toDF.select($"doc_id", $"split", $"text", $"shard", $"start")
+    val viaOps = graft.operators.Packing.packChunks(
+      graft.operators.Sampling.splitByHash(
+        graft.operators.Sampling.hashSample(docs, "doc_id", 0.4),
+        "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+        .withColumn("text",
+          graft.operators.TextAnalysis.redactPii($"text")),
+      "doc_id", "n_chars", capacity = 2048L)
+      .select($"doc_id", $"split", $"text", $"shard", $"start")
+    assert(viaBridge.exceptAll(viaOps).isEmpty &&
+      viaOps.exceptAll(viaBridge).isEmpty)
+
+    // streaming dispatch: the plan must be the stateful packer
+    // (TransformWithState), not the batch window
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long](spark)
+    val packed = DataStream(stream.toDF.withColumnRenamed("value", "id")
+        .withColumn("n", lit(10L)))
+      .packChunks("id", "n", capacity = 64L)
+    assert(packed.toDF.isStreaming)
+    val plan = packed.toDF.queryExecution.analyzed.toString
+    assert(plan.contains("TransformWithState"),
+      s"streaming packChunks must plan the stateful packer:\n$plan")
+  }
 }
