@@ -621,6 +621,19 @@ object SparkEntry {
           "embedding", "vec_id", "label", threshold = 0.35)
         .orderBy(col("vec_id_1"), col("vec_id_2"))),
 
+    // the one-call composition: SimHash pairs → components → keep
+    // cluster minimums; oracle = the d8 closure anti-joined back
+    "d9_drop_neardups" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mutated = docs
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", regexp_replace(col("text"), "the", "thee"))
+      operators.Dedup.dropNearDuplicateDocs(
+          docs.unionByName(mutated), "text", "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "s1_sim_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       operators.Similarity.bruteForceTopK(emb,
@@ -1246,6 +1259,54 @@ object SparkEntry {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS component
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // d8's closure anti-joined back onto the corpus: keep singletons
+    // and each cluster's minimum id
+    "d9_drop_neardups" ->
+      """WITH RECURSIVE du AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    regexp_replace(text, 'the', 'thee', 'g'), lang
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+')) AS tok
+        |  FROM du),
+        |th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef',
+        |        substring(h, CAST(k // 4 + 1 AS INT), 1)) - 1)
+        |        >> CAST(3 - k % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS k) ks
+        |  GROUP BY doc_id, k),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+        |      ORDER BY k) AS sig
+        |  FROM bits GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(range(1, 65), i ->
+        |      substring(a.sig, CAST(i AS INT), 1) !=
+        |      substring(b.sig, CAST(i AS INT), 1))) <= 3),
+        |edges AS (
+        |  SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+        |  UNION SELECT doc_id_2, doc_id_1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT du.doc_id, du.lang
+        |FROM du LEFT JOIN comp ON du.doc_id = comp.doc_id
+        |WHERE comp.doc_id IS NULL OR comp.component = du.doc_id
+        |ORDER BY du.doc_id""".stripMargin,
 
     "d7_simhash128_pairs" ->
       """WITH du AS (

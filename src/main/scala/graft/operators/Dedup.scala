@@ -390,6 +390,21 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** End-to-end near-duplicate document dedup in one call: 64-bit
+    * SimHash banded pairs ([[simhashPairsFromSig]] at `maxHamming`) →
+    * connected components → keep each cluster's minimum id. The
+    * composition a curation pipeline actually runs; the staged
+    * operators remain for custom pair sources and thresholds.
+    */
+  def dropNearDuplicateDocs(df: DataFrame, textCol: String, idCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val pairs = simhashPairsFromSig(df,
+      graft.functions.simhash64_md5(TextAnalysis.tokenize(col(textCol))),
+      idCol, maxHamming)
+    keepNearDupRepresentatives(df, pairs, s"${idCol}_1", s"${idCol}_2",
+      idCol)
+  }
+
   /** Embedding near-dup pairs with CONTENT-DERIVED blocking — the
     * at-scale form of [[embeddingNearDupPairs]] for the high-threshold
     * regime (0.9+). Rows bucket by multi-table sign-random-projection
