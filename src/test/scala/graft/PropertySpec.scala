@@ -96,4 +96,56 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     val bad = df.filter(abs($"n2" - 1.0) > 1e-9).count()
     assert(bad == 0)
   }
+
+  test("asOfJoinNearest distance never exceeds either directional " +
+      "match (generated workload)") {
+    import graft.operators.Joins
+    val rnd = new scala.util.Random(13)
+    val l = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(8)}",
+        new java.sql.Timestamp(rnd.nextInt(100000).toLong)))
+      .toDF("lid", "k", "lts")
+    val r = (1 to 500).map(i =>
+      (i.toLong, s"k${rnd.nextInt(10)}",
+        new java.sql.Timestamp(rnd.nextInt(100000).toLong)))
+      .toDF("rid", "rk", "rts")
+    def dist(j: org.apache.spark.sql.DataFrame) = j
+      .select($"lid", when($"rts".isNotNull,
+        abs(unix_millis($"rts") - unix_millis($"lts"))).as("d"))
+      .as[(Long, Option[Long])].collect().toMap
+    val dn = dist(Joins.asOfJoinNearest(l, r, Seq("k"), Seq("rk"),
+      "lts", "rts"))
+    val db = dist(Joins.asOfJoinBackward(l, r, Seq("k"), Seq("rk"),
+      "lts", "rts"))
+    val df_ = dist(Joins.asOfJoinForward(l, r, Seq("k"), Seq("rk"),
+      "lts", "rts"))
+    dn.foreach { case (lid, nd) =>
+      val best = Seq(db(lid), df_(lid)).flatten.minOption
+      assert(nd == best,
+        s"lid $lid: nearest $nd must equal min(backward, forward) $best")
+    }
+  }
+
+  test("connectedComponents is idempotent and labels are closed under " +
+      "the pair relation (generated graphs)") {
+    val rnd = new scala.util.Random(17)
+    val pairs = (1 to 300).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs, "a", "b")
+    val byId = comps.as[(Long, Long)].collect().toMap
+    // closure: both endpoints of every pair share a component
+    val violations = pairs.as[(Long, Long)].collect()
+      .count { case (a, b) => byId(a) != byId(b) }
+    assert(violations == 0, "pair endpoints must share a component")
+    // labels are component minimums: every label maps to itself
+    byId.values.toSet.foreach { c: Long =>
+      assert(byId(c) == c, s"label $c must be its own component") }
+    // idempotence: re-running on (id, comp) edges reproduces the labels
+    val again = Dedup.connectedComponents(
+      comps.select($"id".as("a"), $"comp".as("b")), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(again == byId, "CC must be a fixed point of itself")
+  }
 }
