@@ -621,6 +621,17 @@ object SparkEntry {
           "embedding", "vec_id", "label", threshold = 0.35)
         .orderBy(col("vec_id_1"), col("vec_id_2"))),
 
+    // decontamination: strip corpus rows whose exact content appears
+    // in a reference set (here: a salted-draw sample of the corpus
+    // itself, so the oracle can recompute membership deterministically)
+    "d10_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ref = operators.Sampling.hashSample(docs, "doc_id", 0.3)
+      operators.Dedup.decontaminate(docs, ref, "text")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the one-call composition: SimHash pairs → components → keep
     // cluster minimums; oracle = the d8 closure anti-joined back
     "d9_drop_neardups" -> ((s, d) => {
@@ -1259,6 +1270,14 @@ object SparkEntry {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS component
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "d10_decontaminate" ->
+      """SELECT d.doc_id, d.lang FROM documents d
+        |WHERE md5(d.text) NOT IN (
+        |  SELECT md5(text) FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || chr(0) ||
+        |    'sample'), 1, 8) < '4ccccccc')
+        |ORDER BY d.doc_id""".stripMargin,
 
     // d8's closure anti-joined back onto the corpus: keep singletons
     // and each cluster's minimum id

@@ -321,6 +321,77 @@ object Dedup {
     * Cost: each side's rows ship B× instead of 1×; B=8 is a good
     * default for label-cardinality ≪ cluster-cores.
     */
+  /** Cross-corpus EXACT contamination: (corpus id, reference id) for
+    * every corpus row whose content hash equals a reference row's —
+    * the detection half of decontamination (stripping benchmark/eval
+    * data out of a training corpus). One equi-join on 16-byte digests;
+    * the reference side is typically small → Catalyst broadcasts it.
+    */
+  def exactOverlap(corpus: DataFrame, reference: DataFrame,
+                   textCol: String, corpusIdCol: String,
+                   refIdCol: String): DataFrame =
+    corpus.select(col(corpusIdCol), md5(col(textCol)).as("__h"))
+      .join(reference.select(col(refIdCol).as("__rid"),
+        md5(col(textCol)).as("__h")), "__h")
+      .select(col(corpusIdCol), col("__rid").as(s"ref_$refIdCol"))
+
+  /** Drop every corpus row whose content exactly matches a reference
+    * row (anti-join on the digest) — the removal half of
+    * decontamination. Near-miss contamination: feed
+    * [[simhashOverlap]]'s corpus ids into an anti-join instead.
+    */
+  def decontaminate(corpus: DataFrame, reference: DataFrame,
+                    textCol: String): DataFrame =
+    corpus.join(
+      reference.select(md5(col(textCol)).as("__h")).distinct(),
+      md5(corpus(textCol)) === col("__h"), "left_anti")
+
+  /** Cross-corpus NEAR contamination: SimHash-banded pairs between two
+    * frames — same 4×16-bit banding and scalar hamming verify as
+    * [[simhashPairsFromSig]], but across corpora (no id ordering;
+    * every (corpus, reference) match surfaces once via the
+    * canonical-band filter — both signatures ride the join, so no
+    * pair-key dropDuplicates shuffle).
+    */
+  def simhashOverlap(corpus: DataFrame, reference: DataFrame,
+                     textCol: String, corpusIdCol: String,
+                     refIdCol: String, maxHamming: Int = 3): DataFrame = {
+    def banded(df: DataFrame, idCol: String, idAs: String,
+               sigAs: String): DataFrame = {
+      val sig = graft.functions.simhash64_md5(
+        TextAnalysis.tokenize(col(textCol)))
+      val base = df.select(col(idCol).as(idAs), sig.as(sigAs))
+        .filter(col(sigAs).isNotNull)
+      val bands = array((0 until 4).map { b =>
+        shiftrightunsigned(col(sigAs), b * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)
+      base.select(col(idAs), col(sigAs),
+        posexplode(bands).as(Seq("__band_idx", "__band_key")))
+    }
+    val c = banded(corpus, corpusIdCol, "__cid", "__csig")
+    val r = banded(reference, refIdCol, "__rid", "__rsig")
+    // dynamic shift amount (the lambda's band index is a Column, the
+    // Scala shiftrightunsigned only takes Int) → SQL function call
+    def bandOf(sig: Column, b: Column): Column =
+      call_function("shiftrightunsigned", sig, b * 16)
+        .bitwiseAND(lit(0xFFFFL))
+    // canonical band: no earlier band index also collides. Band 0 is
+    // explicit — Spark's sequence(0, -1) yields a DESCENDING [0, -1],
+    // not an empty list, which would wrongly test band 0 against
+    // itself and shift by -16
+    val noEarlier = when(col("__band_idx") === 0, lit(true))
+      .otherwise(!exists(
+        sequence(lit(0), col("__band_idx") - 1),
+        b => bandOf(col("__csig"), b) === bandOf(col("__rsig"), b)))
+    c.join(r, Seq("__band_idx", "__band_key"))
+      .filter(noEarlier)
+      .withColumn("hamming",
+        bit_count(col("__csig").bitwiseXOR(col("__rsig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("__cid").as(corpusIdCol),
+        col("__rid").as(s"ref_$refIdCol"), col("hamming"))
+  }
+
   /** Connected components over a near-dup PAIR frame: the step that
     * turns pairwise matches (d3–d7 outputs) into duplicate CLUSTERS —
     * what a curation pipeline actually consumes (pick one

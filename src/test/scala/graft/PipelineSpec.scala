@@ -281,6 +281,51 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "join keys must include the pair buckets")
   }
 
+  test("cross-corpus contamination: exact overlap ids, near overlap " +
+      "matches brute force with single emission") {
+    val docs = Graft.table(spark, sf, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 150)
+    // reference: 100 near-mutated corpus docs + 50 exact copies,
+    // re-idenitified into its own keyspace
+    val refNear = docs.filter($"doc_id" < 100)
+      .select(($"doc_id" + 5000L).as("rid"),
+        regexp_replace($"text", "the", "thee").as("text"))
+    val refExact = docs.filter($"doc_id" >= 100)
+      .select(($"doc_id" + 9000L).as("rid"), $"text")
+    val ref = refNear.unionByName(refExact)
+
+    val exact = Dedup.exactOverlap(docs, ref, "text", "doc_id", "rid")
+      .as[(Long, Long)].collect().toSet
+    // "near" refs whose text contains no "the" mutate into EXACT
+    // copies — they legitimately surface in the exact overlap too
+    val unmutated = docs
+      .filter($"doc_id" < 100 && !$"text".contains("the"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(exact == ((100L until 150L).map(i => (i, i + 9000L)).toSet ++
+        unmutated.map(i => (i, i + 5000L))),
+      "exact overlap must be the copies plus the no-op mutations")
+
+    val near = Dedup.simhashOverlap(docs, ref, "text", "doc_id", "rid")
+      .select($"doc_id", $"ref_rid", $"hamming")
+      .as[(Long, Long, Int)].collect()
+    assert(near.length == near.map(r => (r._1, r._2)).toSet.size,
+      "each cross-corpus pair must emit exactly once (canonical band)")
+    // brute-force cross check: all (corpus, ref) pairs with hamming<=3
+    val sig = graft.functions.simhash64_md5(
+      graft.operators.TextAnalysis.tokenize($"text"))
+    val cs = docs.select($"doc_id", sig.as("cs")).as[(Long, Long)]
+      .collect()
+    val rs = ref.select($"rid", sig.as("rs")).as[(Long, Long)]
+      .collect()
+    val want = (for {
+      (cid, csig) <- cs; (rid, rsig) <- rs
+      h = java.lang.Long.bitCount(csig ^ rsig) if h <= 3
+    } yield (cid, rid, h)).toSet
+    assert(want.nonEmpty && near.toSet == want,
+      s"near overlap must equal brute force: got ${near.length}, " +
+        s"want ${want.size}")
+  }
+
   test("connectedComponents: crafted graph labels by min, long chain " +
       "converges, keeper drops non-representatives") {
     // chain of diameter 11 (stresses the iteration loop), a cyclic
