@@ -419,9 +419,12 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("comp", col("id"))
+    // init = the first propagation round folded in: label(v) =
+    // min(v, min neighbor) — identical trajectory, one fewer round
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("id"),
+        least(col("src"), col("__mn")).as("comp"))
       .localCheckpoint()
     var iter = 0
     var converged = false
