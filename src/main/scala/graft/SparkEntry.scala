@@ -1458,7 +1458,7 @@ object SparkEntry {
         |        '@corp.example.org',
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
         |      '[EMAIL]', 'g'),
-        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS clean
+        |    '\+?[0-9]([()\- ]{0,2}[0-9]){6,}', '[PHONE]', 'g') AS clean
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || chr(0) || 'sample'),
         |  1, 8) < '4ccccccc'
@@ -1577,7 +1577,7 @@ object SparkEntry {
         |        CAST(doc_id AS VARCHAR) || '.',
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
         |      '[EMAIL]', 'g'),
-        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS clean
+        |    '\+?[0-9]([()\- ]{0,2}[0-9]){6,}', '[PHONE]', 'g') AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "s4_quantize_int8" ->

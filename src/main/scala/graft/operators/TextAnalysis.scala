@@ -115,9 +115,16 @@ object TextAnalysis {
     * replace the identical spans — the oracle can diff the exact
     * redacted text. Order matters: emails first, or a phone-shaped
     * digit run inside an address would split it.
+    *
+    * The phone shape requires ≥7 DIGITS with at most 2 separator
+    * chars between consecutive digits — "+1 (415) 555-0142" and
+    * "020 7946 0958" redact, while date ranges like "2020 - 2024"
+    * (3-char separator, ≤4-digit runs) survive. The span's digit/
+    * separator factorization is unique, so Java's greedy and RE2's
+    * leftmost-longest semantics pick identical spans.
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  val PhoneRe = "\\+?[0-9]([()\\- ]{0,2}[0-9]){6,}"
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(text, EmailRe, "[EMAIL]"),

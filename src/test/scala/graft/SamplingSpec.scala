@@ -107,7 +107,10 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       // phone fragment
       ("mail 123456789@numbers.example.com please",
         "mail [EMAIL] please"),
-      ("no pii here, just 42 and 3.14", "no pii here, just 42 and 3.14"))
+      ("no pii here, just 42 and 3.14", "no pii here, just 42 and 3.14"),
+      // date ranges and id-length digit runs are NOT phone-shaped:
+      // separators over 2 chars / under 7 total digits survive
+      ("active 2020 - 2024, order 123456", "active 2020 - 2024, order 123456"))
     val got = rows.map(_._1).toDF("t")
       .select(TextAnalysis.redactPii($"t")).as[String].collect().toSeq
     assert(got == rows.map(_._2), s"got $got")
