@@ -140,6 +140,15 @@ final case class DataStream(
     next(df.withColumn(textCol,
       graft.operators.TextAnalysis.redactPii(col(textCol))))
 
+  /** Drop rows whose `textCol` content exactly matches a row of the
+    * STATIC `reference` frame (digest anti-join;
+    * graft.operators.Dedup.decontaminate). On a streaming frame this
+    * plans a stream-static anti-join — continuous decontamination of
+    * an ingest pipeline against a fixed benchmark/eval set.
+    */
+  def decontaminate(reference: DataFrame, textCol: String): DataStream =
+    next(graft.operators.Dedup.decontaminate(df, reference, textCol))
+
   /** Streaming SimHash NEAR-dup pair lookup against bounded banded
     * state (graft.streaming.StreamingDedup): emits
     * (idCol_1, idCol_2, hamming, ts) for documents within `horizon`

@@ -188,6 +188,30 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination anti-joins a static reference " +
+      "digest set") {
+    val ref = Seq("known benchmark question one",
+      "known benchmark question two").toDF("text")
+    val input = MemoryStream[Doc](spark)
+    val out = api.DataStream(
+      input.toDF.withColumn("ts", timestamp_millis($"occurred_at_ms")),
+      "ts").decontaminate(ref, "text")
+    val q = out.toDF.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_decon").start()
+    try {
+      input.addData(
+        Doc(1000, 1, "known benchmark question one"),
+        Doc(2000, 2, "novel training document"),
+        Doc(3000, 3, "known benchmark question two"),
+        Doc(4000, 4, "another novel document"))
+      q.processAllAvailable()
+      val kept = spark.table("sdedup_decon")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(2L, 4L),
+        s"contaminated rows must drop mid-stream, got $kept")
+    } finally q.stop()
+  }
+
   test("streaming MinHash pairs verify on the signature estimate") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy cat again and again"
