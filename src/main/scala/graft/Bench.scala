@@ -114,6 +114,44 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Streaming near-dup dedup end-to-end: the d5 fixture shape
+    // (documents ∪ one-word-mutated copies) replayed as a stream
+    // through the banded bucket-state operator → memory sink
+    def streamingNearDupOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      System.gc()
+      Thread.sleep(300)
+      val t0 = System.nanoTime()
+      try {
+        val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+        val base = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(sfDir)
+          .select(col("doc_id"), col("text"))
+        val mutated = base
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", regexp_replace(col("text"), "the", "thee"))
+        val src = base.unionByName(mutated)
+          .withColumn("ts",
+            timestamp_millis(pmod(col("doc_id"), lit(1000000L)) * 20))
+        val out = graft.streaming.StreamingDedup.simhashPairs(src,
+          graft.functions.simhash64_md5(
+            graft.operators.TextAnalysis.tokenize(col("text"))),
+          "doc_id", "ts", horizonMs = 86400000L)
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName("bench_sneardup").start()
+        q.processAllAvailable()
+        q.stop()
+        spark.sql("DROP TABLE IF EXISTS bench_sneardup")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] streaming_neardup failed: " +
+            e.getMessage)
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // (median, min, max) over reps; any failed rep marks the query
     // failed outright — a flaky query must not hide behind its median
     def stats(samples: Seq[Double]): (Double, Double, Double) = {
@@ -132,6 +170,8 @@ object Bench {
     val results = names.map(n => n -> stats((1 to reps).map(_ => timeOnce(n)))) ++
       Seq(
         "streaming_window" -> stats((1 to reps).map(_ => streamingOnce())),
+        "streaming_neardup" ->
+          stats((1 to reps).map(_ => streamingNearDupOnce())),
         "exact_window_explode" ->
           stats((1 to reps).map(_ => exactWindowOnce(pane = false))),
         "exact_window_pane" ->
