@@ -87,6 +87,26 @@ final case class DataStream(
   def union(other: DataStream): DataStream =
     next(df.unionByName(other.df))
 
+  /** As-of join against another frame (graft.operators.Joins):
+    * `direction` ∈ backward | forward | nearest, optional tolerance.
+    * Union sort-merge — candidate pairs are never materialized.
+    */
+  def asOfJoin(right: DataStream, leftKeys: Seq[String],
+               rightKeys: Seq[String], leftTs: String, rightTs: String,
+               direction: String = "backward",
+               tolerance: Option[String] = None): DataStream =
+    next(direction match {
+      case "backward" => graft.operators.Joins.asOfJoinBackward(
+        df, right.df, leftKeys, rightKeys, leftTs, rightTs, tolerance)
+      case "forward" => graft.operators.Joins.asOfJoinForward(
+        df, right.df, leftKeys, rightKeys, leftTs, rightTs, tolerance)
+      case "nearest" => graft.operators.Joins.asOfJoinNearest(
+        df, right.df, leftKeys, rightKeys, leftTs, rightTs, tolerance)
+      case other => throw new IllegalArgumentException(
+        s"unknown as-of direction '$other' " +
+          "(expected backward | forward | nearest)")
+    })
+
   /** Streaming exact dedup on key columns with bounded state: rows
     * whose keys repeat within the watermark window are dropped, state
     * for keys older than the watermark is GC'd — the streaming

@@ -72,6 +72,21 @@ class ApiSpec extends AnyFunSuite with SparkSpec {
       Graft.table(spark, sf, "customer").count())
   }
 
+  test("asOfJoin bridge dispatches all three directions") {
+    import spark.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val l = Seq((1L, "A", ts(10000))).toDF("id", "k", "lts")
+    val r = Seq(("A", ts(9000), "back"), ("A", ts(10500), "fwd"))
+      .toDF("rk", "rts", "v")
+    def run(dir: String) = DataStream(l)
+      .asOfJoin(DataStream(r), Seq("k"), Seq("rk"), "lts", "rts", dir)
+      .toDF.select($"v").head.getString(0)
+    assert(run("backward") == "back")
+    assert(run("forward") == "fwd")
+    assert(run("nearest") == "fwd", "10.5s is closer to 10s than 9s")
+    intercept[IllegalArgumentException](run("sideways"))
+  }
+
   test("curation bridges mirror the operator library; packChunks " +
       "dispatches to the streaming packer on streaming frames") {
     import spark.implicits._
