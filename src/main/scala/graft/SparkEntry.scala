@@ -621,6 +621,32 @@ object SparkEntry {
           "embedding", "vec_id", "label", threshold = 0.35)
         .orderBy(col("vec_id_1"), col("vec_id_2"))),
 
+    // The AT-SCALE embedding near-dup: content-derived SRP-LSH blocking
+    // (d6's fixed-label blocking is N²/L — measured 49.8× for 10× data
+    // at sf1; this form's bucket cardinality scales with the corpus).
+    // Fixture = embeddings ∪ a deterministically perturbed copy
+    // (+0.0625 on coordinate 1, computed in double on both engines):
+    // self-pairs sit at cos ≈ 0.998 while every other pair stays
+    // ≤ 0.61 at every SF — a real angle gap, so threshold 0.9 selects
+    // exactly the self-pairs. At that angle (θ ≈ 0.063 rad) one
+    // 8-plane table catches a pair with p ≈ 0.98^8 ≈ 0.85, so the
+    // 8-table miss probability is ~0.15^8 ≈ 2.6e-7 per pair — recall 1
+    // on these fixtures, verified sf0.001/0.01/0.1 (the s2 recipe).
+    // Oracle = DuckDB exact all-pairs cosine at the threshold.
+    "d11_embedding_neardup_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val mutated = emb
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+        .withColumn("embedding", concat(
+          array(element_at(col("embedding"), 1) + lit(0.0625)),
+          slice(col("embedding"), 2, 63)))
+      operators.Dedup.embeddingNearDupPairsLsh(emb.unionByName(mutated),
+          "embedding", "vec_id", threshold = 0.9, nPlanes = 8, dim = 64,
+          nTables = 8)
+        .orderBy(col("vec_id_1"), col("vec_id_2"))
+    }),
+
     // decontamination: strip corpus rows whose exact content appears
     // in a reference set (here: a salted-draw sample of the corpus
     // itself, so the oracle can recompute membership deterministically)
@@ -630,6 +656,23 @@ object SparkEntry {
       operators.Dedup.decontaminate(docs, ref, "text")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // NEAR decontamination — the half a real curation pipeline runs
+    // against eval sets (d10 gates only exact-hash matches). Reference
+    // set = the same salted-draw sample near-mutated with the d5
+    // one-word edit (what a leaked benchmark rephrase looks like);
+    // signatures are the externally-recomputable MD5-vote family, so
+    // DuckDB rebuilds every bit and the ≤3-hamming cross-corpus pair
+    // set is pigeonhole-exact over the 4×16-bit bands — a hard oracle.
+    "d12_near_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ref = operators.Sampling.hashSample(docs, "doc_id", 0.3)
+        .select(col("doc_id").as("rid"),
+          regexp_replace(col("text"), "the", "thee").as("text"))
+      operators.Dedup.simhashOverlap(docs, ref, "text", "doc_id", "rid",
+          maxHamming = 3)
+        .orderBy(col("doc_id"), col("ref_rid"))
     }),
 
     // the one-call composition: SimHash pairs → components → keep
@@ -1370,6 +1413,59 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
         |    b.embedding::DOUBLE[]), 6) >= 0.35
         |ORDER BY vec_id_1, vec_id_2""".stripMargin,
+
+    // exact all-pairs at the threshold — the LSH query must reproduce
+    // it exactly (recall 1 at the fixture's angle gap, see the query)
+    "d11_embedding_neardup_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |           FROM embeddings),
+        |mut AS (SELECT vec_id + 1000000 AS vec_id,
+        |  list_prepend(emb[1] + 0.0625, emb[2:]) AS emb FROM e),
+        |du AS (SELECT * FROM e UNION ALL SELECT * FROM mut)
+        |SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+        |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+        |FROM du a JOIN du b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.9
+        |ORDER BY vec_id_1, vec_id_2""".stripMargin,
+
+    // the d5 signature recipe, cross-corpus: corpus signatures vs a
+    // salted-sample near-mutated reference, every ≤3-hamming pair
+    "d12_near_decontaminate" ->
+      """WITH du AS (
+        |  SELECT 'c' AS side, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 'r', doc_id, regexp_replace(text, 'the', 'thee', 'g')
+        |  FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || chr(0) ||
+        |    'sample'), 1, 8) < '4ccccccc'),
+        |toks AS (
+        |  SELECT side, doc_id, unnest(regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+')) AS tok
+        |  FROM du),
+        |th AS (SELECT side, doc_id, md5(tok) AS h FROM toks),
+        |bits AS (
+        |  SELECT side, doc_id, k,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef',
+        |        substring(h, CAST(k // 4 + 1 AS INT), 1)) - 1)
+        |        >> CAST(3 - k % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS k) ks
+        |  GROUP BY side, doc_id, k),
+        |sigs AS (
+        |  SELECT side, doc_id,
+        |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+        |      ORDER BY k) AS sig
+        |  FROM bits GROUP BY side, doc_id),
+        |pairs AS (
+        |  SELECT c.doc_id, r.doc_id AS ref_rid,
+        |    len(list_filter(range(1, 65), i ->
+        |      substring(c.sig, CAST(i AS INT), 1) !=
+        |      substring(r.sig, CAST(i AS INT), 1))) AS hamming
+        |  FROM (SELECT doc_id, sig FROM sigs WHERE side = 'c') c
+        |  CROSS JOIN (SELECT doc_id, sig FROM sigs WHERE side = 'r') r)
+        |SELECT doc_id, ref_rid, CAST(hamming AS INT) AS hamming
+        |FROM pairs WHERE hamming <= 3
+        |ORDER BY doc_id, ref_rid""".stripMargin,
 
     "s1_sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
