@@ -5,8 +5,9 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 import org.apache.spark.sql.types._
 
 /** Streaming near-duplicate detection — the continuous counterpart of
@@ -112,21 +113,36 @@ object StreamingDedup {
     type Entry = (String, Long, Array[Long], Array[Long])
 
     val processor = new StatefulProcessor[(Int, Long), Row, Row] {
-      @transient private var st: ValueState[Array[Entry]] = _
+      // bucket state is a LIST so a micro-batch touching the bucket
+      // APPENDS its new entries (O(batch) state-store writes) instead
+      // of rewriting the whole bucket (O(bucket) per batch — hot
+      // buckets paid quadratic write amplification under the previous
+      // ValueState[Array[Entry]] shape). A re-delivered id appends a
+      // fresh entry; reads collapse to the LATEST entry per id
+      // (append order = arrival order), and the eviction timer's purge
+      // is the compaction pass that physically drops both expired
+      // entries and superseded duplicates, so list growth is bounded
+      // by arrivals within one horizon.
+      @transient private var st: ListState[Entry] = _
       @transient private var armed: ValueState[Long] = _
 
       override def init(outputMode: OutputMode,
                         timeMode: TimeMode): Unit = {
-        st = getHandle.getValueState[Array[Entry]]("bucket",
-          ExpressionEncoder[Array[(String, Long, Array[Long], Array[Long])]](),
+        st = getHandle.getListState[Entry]("bucket",
+          ExpressionEncoder[(String, Long, Array[Long], Array[Long])](),
           TTLConfig.NONE)
         armed = getHandle.getValueState[Long]("armed",
           Encoders.scalaLong, TTLConfig.NONE)
       }
 
-      private def live(wm: Long): List[Entry] =
-        (if (st.exists()) st.get().toList else Nil)
-          .filter(_._2 + horizonMs > wm)
+      /** Stored entries collapsed to the latest per id, expired ones
+        * dropped (logical view; physical compaction happens on timer).
+        */
+      private def live(wm: Long): List[Entry] = {
+        val latest = scala.collection.mutable.HashMap.empty[String, Entry]
+        st.get().foreach(e => latest(e._1) = e)
+        latest.values.toList.filter(_._2 + horizonMs > wm)
+      }
 
       // one eviction timer at the earliest expiry; `armed` remembers
       // what's registered so a batch that doesn't move the minimum
@@ -161,6 +177,7 @@ object StreamingDedup {
                                    timers: TimerValues): Iterator[Row] = {
         val wm = timers.getCurrentWatermarkInMs()
         var entries = live(wm)
+        val appended = List.newBuilder[Entry]
         val out = List.newBuilder[Row]
         rows.foreach { r =>
           val id = r.getAs[String]("__id")
@@ -168,7 +185,14 @@ object StreamingDedup {
           val bk = r.getAs[scala.collection.Seq[Long]]("__bands").toArray
           val pl = r.getAs[scala.collection.Seq[Long]]("__payload").toArray
           entries.foreach { case (oid, ots, obk, opl) =>
-            if (oid != id && canonicalHere(key._1, bk, obk)) {
+            // the horizon is part of the PAIR PREDICATE, not just the
+            // eviction rule: two rows farther apart than the horizon
+            // in event time never pair, even when both sit in state
+            // because the watermark has not yet passed the older one
+            // (e.g. same micro-batch) — so the pair set is a pure
+            // function of event time, not of micro-batch boundaries
+            if (oid != id && math.abs(ts - ots) <= horizonMs &&
+                canonicalHere(key._1, bk, obk)) {
               verify(opl, pl).foreach { score =>
                 val (i1, i2) = if (oid < id) (oid, id) else (id, oid)
                 out += Row(i1, i2, score, new Timestamp(math.max(ts, ots)))
@@ -177,9 +201,11 @@ object StreamingDedup {
           }
           // a re-delivered id refreshes its timestamp (extends its
           // pairing horizon) instead of stacking a self-matching copy
-          entries = (id, ts, bk, pl) :: entries.filterNot(_._1 == id)
+          val e = (id, ts, bk, pl)
+          entries = e :: entries.filterNot(_._1 == id)
+          appended += e
         }
-        st.update(entries.toArray)
+        st.appendList(appended.result().toArray)
         armTimer(entries)
         out.result().iterator
       }
@@ -187,9 +213,11 @@ object StreamingDedup {
       override def handleExpiredTimer(key: (Int, Long), timers: TimerValues,
           expired: ExpiredTimerInfo): Iterator[Row] = {
         armed.clear() // the fired timer is consumed; re-arm from scratch
+        // the purge doubles as list compaction: survivors are written
+        // back collapsed (latest per id, expired dropped)
         val still = live(timers.getCurrentWatermarkInMs())
         if (still.isEmpty) st.clear()
-        else { st.update(still.toArray); armTimer(still) }
+        else { st.put(still.toArray); armTimer(still) }
         Iterator.empty
       }
     }

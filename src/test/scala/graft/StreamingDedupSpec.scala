@@ -127,6 +127,35 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("rows farther apart than the horizon never pair, even within " +
+      "one micro-batch") {
+    // both rows land in state together (the watermark has not advanced
+    // past either), so only the pair-predicate horizon guard — not
+    // eviction — can block the match; the pair set must be a function
+    // of event time alone, not of micro-batch boundaries
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val input = MemoryStream[Doc](spark)
+    val src = input.toDF
+      .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+    val out = StreamingDedup.simhashPairs(src, docSig, "doc_id", "ts",
+      horizonMs = 50000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_batch_horizon").start()
+    try {
+      input.addData(Doc(0, 1, text), Doc(120000, 2, text))
+      q.processAllAvailable()
+      assert(spark.table("sdedup_batch_horizon").isEmpty,
+        "120s apart with a 50s horizon must not pair in one batch")
+      // positive control in the same run: within-horizon still pairs
+      input.addData(Doc(130000, 3, text))
+      q.processAllAvailable()
+      val rows = spark.table("sdedup_batch_horizon").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[String]("doc_id_1") == "2")
+      assert(rows(0).getAs[String]("doc_id_2") == "3")
+    } finally q.stop()
+  }
+
   test("bucket state survives a checkpoint restart") {
     val dir = Files.createTempDirectory("graft-sdedup-rec").toFile
     val inputDir = new java.io.File(dir, "input"); inputDir.mkdirs()
