@@ -407,25 +407,44 @@ object Dedup {
     * shallow-diameter by nature (dup clusters are near-cliques — a
     * mutation chain A~B~C still has every member within a hop or two
     * of the minimum), so a handful of shuffles settles 100 TB of
-    * pairs. Each round materializes through `localCheckpoint` so plan
+    * pairs. Each round materializes through a checkpoint so plan
     * lineage stays O(1) instead of doubling per iteration; the
     * convergence probe is the same action that materializes the
     * round. Throws if `maxIter` rounds don't converge (pathological
     * long-path graphs — raise maxIter, or contract stars first).
+    *
+    * FAULT TOLERANCE: the default `localCheckpoint` stores round
+    * results as executor-resident blocks with TRUNCATED lineage —
+    * losing one executor mid-run makes those blocks unrecoverable and
+    * kills the job. Fine on local mode and for short interactive runs;
+    * for a long run on a real cluster pass `reliableCheckpointDir`
+    * (an HDFS/object-store path): rounds then go through Spark's
+    * reliable `checkpoint()` (the directory is installed via
+    * `sparkContext.setCheckpointDir`), surviving any executor loss at
+    * the cost of one distributed-FS write per round. The labeling is
+    * bit-identical under both paths (a spec pins it) — the option
+    * trades round latency for restartability only.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 30): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint()
+                          maxIter: Int = 30,
+                          reliableCheckpointDir: Option[String] = None)
+      : DataFrame = {
+    reliableCheckpointDir.foreach(
+      pairs.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (reliableCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val edges = materialize(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"),
+          col(aCol).as("dst")))
+        .distinct())
     // init = the first propagation round folded in: label(v) =
     // min(v, min neighbor) — identical trajectory, one fewer round
-    var labels = edges.groupBy(col("src"))
+    var labels = materialize(edges.groupBy(col("src"))
       .agg(min(col("dst")).as("__mn"))
       .select(col("src").as("id"),
-        least(col("src"), col("__mn")).as("comp"))
-      .localCheckpoint()
+        least(col("src"), col("__mn")).as("comp")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -434,13 +453,12 @@ object Dedup {
         .join(labels.select(col("id").as("src"), col("comp")), "src")
         .groupBy(col("dst"))
         .agg(min(col("comp")).as("__ncomp"))
-      val next = labels
+      val next = materialize(labels
         .join(prop, labels("id") === prop("dst"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("__ncomp"), col("comp")))
             .as("comp"),
-          (col("__ncomp") < col("comp")).as("__lowered"))
-        .localCheckpoint()
+          (col("__ncomp") < col("comp")).as("__lowered")))
       converged = next.filter(col("__lowered")).isEmpty
       labels = next.drop("__lowered")
       iter += 1
@@ -457,8 +475,11 @@ object Dedup {
     */
   def keepNearDupRepresentatives(df: DataFrame, pairs: DataFrame,
                                  aCol: String, bCol: String,
-                                 idCol: String): DataFrame = {
-    val losers = connectedComponents(pairs, aCol, bCol)
+                                 idCol: String,
+                                 reliableCheckpointDir: Option[String] =
+                                   None): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol,
+        reliableCheckpointDir = reliableCheckpointDir)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -471,12 +492,14 @@ object Dedup {
     * operators remain for custom pair sources and thresholds.
     */
   def dropNearDuplicateDocs(df: DataFrame, textCol: String, idCol: String,
-                            maxHamming: Int = 3): DataFrame = {
+                            maxHamming: Int = 3,
+                            reliableCheckpointDir: Option[String] = None)
+      : DataFrame = {
     val pairs = simhashPairsFromSig(df,
       graft.functions.simhash64_md5(TextAnalysis.tokenize(col(textCol))),
       idCol, maxHamming)
     keepNearDupRepresentatives(df, pairs, s"${idCol}_1", s"${idCol}_2",
-      idCol)
+      idCol, reliableCheckpointDir)
   }
 
   /** Embedding near-dup pairs with CONTENT-DERIVED blocking — the

@@ -349,6 +349,28 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "keeper must retain component minimums and untouched rows only")
   }
 
+  test("connectedComponents labels identically under reliable " +
+      "checkpointing") {
+    // the reliable path exists for executor-loss survival on long
+    // cluster runs; it must change nothing about the answer
+    val pairs = ((1L to 11L).map(i => (i, i + 1)) ++
+      Seq((30L, 31L), (31L, 32L), (30L, 32L), (20L, 21L), (40L, 50L)))
+      .toDF("a", "b")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toFile
+    try {
+      val local = Dedup.connectedComponents(pairs, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val reliable = Dedup.connectedComponents(pairs, "a", "b",
+          reliableCheckpointDir = Some(dir.getAbsolutePath))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local,
+        "reliable checkpoint must not change the labeling")
+      assert(dir.listFiles != null && dir.listFiles.nonEmpty,
+        "reliable path must actually write checkpoint data")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("connectedComponents matches a union-find oracle on the d5 " +
       "fixture pair graph") {
     val docs = Graft.table(spark, sf, "documents").select($"doc_id", $"text")
