@@ -59,9 +59,11 @@ object Bench {
               avg(col("value")).as("av")),
             "1 hour", Some("30 minutes"))
           .sinkMemory("bench_stream")
-        q.processAllAvailable()
-        q.stop()
-        spark.sql("DROP TABLE IF EXISTS bench_stream")
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          spark.sql("DROP TABLE IF EXISTS bench_stream")
+        }
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] streaming failed: ${e.getMessage}")
@@ -102,9 +104,11 @@ object Bench {
         val name = if (pane) "bench_ew_pane" else "bench_ew_explode"
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
-        q.processAllAvailable()
-        q.stop()
-        spark.sql(s"DROP TABLE IF EXISTS $name")
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          spark.sql(s"DROP TABLE IF EXISTS $name")
+        }
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] exact_window pane=$pane failed: " +
@@ -140,9 +144,14 @@ object Bench {
           "doc_id", "ts", horizonMs = 86400000L)
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName("bench_sneardup").start()
-        q.processAllAvailable()
-        q.stop()
-        spark.sql("DROP TABLE IF EXISTS bench_sneardup")
+        // always stop + drop: a rep that dies mid-stream must not leave
+        // a running query / registered table that makes the NEXT rep
+        // fail on a queryName collision instead of its own merits
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          spark.sql("DROP TABLE IF EXISTS bench_sneardup")
+        }
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] streaming_neardup failed: " +

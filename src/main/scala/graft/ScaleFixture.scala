@@ -51,9 +51,16 @@ object ScaleFixture {
     def load(t: String): DataFrame =
       spark.read.parquet(s"$src/$t.parquet")
 
-    // offset base per keyspace = max key + 1, so copies never collide
-    def span(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1L
+    // offset base per keyspace = max key + 1, so copies never collide;
+    // cast to long so int-typed keys work, and fail with a real
+    // message on an empty/all-null key column instead of an NPE
+    def span(df: DataFrame, key: String): Long = {
+      val row = df.agg(max(col(key)).cast("long")).head
+      require(!row.isNullAt(0),
+        s"cannot derive a key span for '$key': no non-null values " +
+          s"in $src — is the table empty?")
+      row.getLong(0) + 1L
+    }
 
     val cu = span(load("customer"), "c_custkey")
     val ok = span(load("orders"), "o_orderkey")

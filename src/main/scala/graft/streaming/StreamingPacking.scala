@@ -51,6 +51,51 @@ object StreamingPacking {
     val idIdx = inSchema.fieldIndex(idCol)
     val tokIdx = inSchema.fieldIndex(tokenCol)
 
+    // in-batch id ordering must MATCH the batch operator's column sort
+    // (so single-batch replay reproduces its layout exactly): strings
+    // compare as unsigned UTF-8 bytes (Spark's UTF8String.binaryCompare
+    // — Java compareTo is UTF-16 code-unit order, which inverts
+    // supplementary-plane chars vs BMP chars above U+E000), integrals
+    // as longs, fractional as doubles (no longValue truncation —
+    // 1.2 vs 1.5 must not tie), decimals exactly; nulls first, as in
+    // Spark's default null ordering
+    val idOrdering: Ordering[Any] = {
+      def utf8(a: String, b: String): Int = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+      val cmp: (Any, Any) => Int = inSchema(idIdx).dataType match {
+        case StringType => (a, b) =>
+          utf8(a.asInstanceOf[String], b.asInstanceOf[String])
+        case ByteType | ShortType | IntegerType | LongType => (a, b) =>
+          java.lang.Long.compare(a.asInstanceOf[java.lang.Number].longValue,
+            b.asInstanceOf[java.lang.Number].longValue)
+        case FloatType | DoubleType => (a, b) =>
+          // -0.0 == 0.0 and NaN greatest, matching Spark's sort order
+          java.lang.Double.compare(
+            a.asInstanceOf[java.lang.Number].doubleValue + 0.0,
+            b.asInstanceOf[java.lang.Number].doubleValue + 0.0)
+        case _: DecimalType => (a, b) =>
+          a.asInstanceOf[java.math.BigDecimal]
+            .compareTo(b.asInstanceOf[java.math.BigDecimal])
+        case other => throw new IllegalArgumentException(
+          s"unsupported id column type for packing: $other")
+      }
+      (a: Any, b: Any) =>
+        if (a == null && b == null) 0
+        else if (a == null) -1
+        else if (b == null) 1
+        else cmp(a, b)
+    }
+
     val keyed = prepared.groupByKey(
       _.getAs[String]("shard"))(Encoders.STRING)
 
@@ -67,11 +112,8 @@ object StreamingPacking {
         // id order within the batch: deterministic layout for
         // deterministic batch boundaries, and single-batch replay ==
         // the batch operator's id-ordered layout
-        val ordered = rows.toArray.sortBy { r =>
-          r.get(idIdx) match {
-            case n: java.lang.Number => (n.longValue(), "")
-            case other => (Long.MinValue, String.valueOf(other))
-          }
+        val ordered = rows.toArray.sortWith { (a, b) =>
+          idOrdering.compare(a.get(idIdx), b.get(idIdx)) < 0
         }
         val out = ordered.map { r =>
           val tok = r.get(tokIdx) match {

@@ -49,6 +49,40 @@ class StreamingPackingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("string ids sort as UTF-8 bytes (Spark's order), not UTF-16 " +
+      "code units — single-batch replay still equals batch layout") {
+    // "a😀" (U+1F600: UTF-8 f0 9f 98 80; UTF-16 surrogates d83d de00)
+    // vs "a￿" (UTF-8 ef bf bf): UTF-16 code-unit order puts the
+    // surrogate FIRST, UTF-8/code-point order puts it LAST — a Java
+    // compareTo sort would invert Spark's column sort for these ids
+    val docs = Seq(("a😀", 10L), ("a￿", 20L), ("zz", 5L),
+      ("a", 7L)).toDF("doc_id", "n_tok")
+    val dir = Files.createTempDirectory("graft-spack-utf8").toFile
+    val inPath = new java.io.File(dir, "in").getAbsolutePath
+    docs.coalesce(1).write.parquet(inPath)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inPath).schema).parquet(inPath)
+    val out = StreamingPacking.packChunks(stream, "doc_id", "n_tok",
+      capacity = 64L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("spack_utf8").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("spack_utf8")
+        .select($"doc_id", $"shard", $"start", $"chunk", $"offset",
+          $"chunks_spanned")
+        .as[(String, String, Long, Long, Long, Long)].collect().toSet
+      val want = Packing.packChunks(
+          spark.read.parquet(inPath), "doc_id", "n_tok", capacity = 64L)
+        .select($"doc_id", $"shard", $"start", $"chunk", $"offset",
+          $"chunks_spanned")
+        .as[(String, String, Long, Long, Long, Long)].collect().toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("cross-batch packing continues each shard's cursor in arrival " +
       "order; zero-token docs span nothing") {
     val input = MemoryStream[PackDoc](spark)
