@@ -172,19 +172,23 @@ object Bench {
       (s((s.size - 1) / 2), s.head, s.last)
     }
 
+    // GRAFT_BENCH_ONLY=q1_agg,d11_... runs a subset (iteration tool;
+    // the per-round headline always runs the full suite)
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(n: String): Boolean = only.forall(_.contains(n))
     // warmups (uncounted): session + codegen spin-up, twice so the
     // second run exercises the already-JITed path
     timeOnce("q1_agg"); timeOnce("q1_agg")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(want)
     val results = names.map(n => n -> stats((1 to reps).map(_ => timeOnce(n)))) ++
       Seq(
-        "streaming_window" -> stats((1 to reps).map(_ => streamingOnce())),
-        "streaming_neardup" ->
-          stats((1 to reps).map(_ => streamingNearDupOnce())),
-        "exact_window_explode" ->
-          stats((1 to reps).map(_ => exactWindowOnce(pane = false))),
-        "exact_window_pane" ->
-          stats((1 to reps).map(_ => exactWindowOnce(pane = true))))
+        "streaming_window" -> (() => streamingOnce()),
+        "streaming_neardup" -> (() => streamingNearDupOnce()),
+        "exact_window_explode" -> (() => exactWindowOnce(pane = false)),
+        "exact_window_pane" -> (() => exactWindowOnce(pane = true)))
+        .filter(p => want(p._1))
+        .map { case (n, f) => n -> stats((1 to reps).map(_ => f())) }
     // ms precision on the stdout line: the driver records the LAST
     // ~3KB of the log, and round 4/5 both lost the medians because the
     // full-precision line (median+min+max × ~60 queries ≈ 7KB) had its
