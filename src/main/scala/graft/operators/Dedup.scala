@@ -522,6 +522,19 @@ object Dedup {
     * nTables/nPlanes. Use the exact blocked form when recall must be
     * exactly 1 WITHIN known blocks; use this when no suitable
     * fixed-cardinality block exists.
+    *
+    * Shuffle discipline (the d4 MinHash shape): the banded self-join
+    * ships (table, bucket, id, bucket-vector) ONLY — never the
+    * embeddings, which at production dims dominate row weight 50:1 —
+    * and the (few) canonical candidates re-join the embedding column
+    * by id for the exact-cosine verify. SIZE nPlanes so buckets stay
+    * small ON YOUR DATA: real embedding corpora are clustered, and a
+    * bucket grid that's too coarse concentrates a cluster into one
+    * bucket, ballooning within-bucket candidate pairs (measured here:
+    * 8 planes on a clustered 4k-vector fixture put 10% of rows in one
+    * bucket — 1.3M candidates for 2k true pairs; 16 planes cut this
+    * 250×). Raising nPlanes costs recall per the curve above; buy it
+    * back with nTables.
     */
   def embeddingNearDupPairsLsh(df: DataFrame, embCol: String,
                                idCol: String, threshold: Double = 0.9,
@@ -533,13 +546,14 @@ object Dedup {
       graft.functions.hyperplane_lsh_bucket(col(embCol), nPlanes, dim,
         seed + t * 7919L)
     }: _*)
-    val exploded = df
-      .select(col(idCol), col(embCol), buckets.as("__bks"))
-      .select(col(idCol), col(embCol), col("__bks"),
+    val base = df.select(col(idCol), col(embCol))
+    val exploded = base
+      .select(col(idCol), buckets.as("__bks"))
+      .select(col(idCol), col("__bks"),
         posexplode(col("__bks")).as(Seq("__table", "__bucket")))
-    val l = exploded.select(col(idCol).as("id1"), col(embCol).as("e1"),
+    val l = exploded.select(col(idCol).as("id1"),
       col("__bks").as("__bks1"), col("__table"), col("__bucket"))
-    val r = exploded.select(col(idCol).as("id2"), col(embCol).as("e2"),
+    val r = exploded.select(col(idCol).as("id2"),
       col("__bks").as("__bks2"), col("__table"), col("__bucket"))
     // canonical table: no earlier table may also have agreed — each
     // pair then surfaces from exactly one (table, bucket) key, so no
@@ -548,8 +562,12 @@ object Dedup {
       slice(zip_with(col("__bks1"), col("__bks2"),
         (a, b) => a === b), lit(1), col("__table")),
       eq => !eq)
-    l.join(r, Seq("__table", "__bucket"))
+    val candidates = l.join(r, Seq("__table", "__bucket"))
       .filter(col("id1") < col("id2") && noEarlierAgree)
+      .select("id1", "id2")
+    candidates
+      .join(base.select(col(idCol).as("id1"), col(embCol).as("e1")), "id1")
+      .join(base.select(col(idCol).as("id2"), col(embCol).as("e2")), "id2")
       .withColumn("cos",
         round(graft.functions.cosine_similarity(col("e1"), col("e2")), 6))
       .filter(col("cos") >= threshold)
