@@ -44,9 +44,12 @@ import org.apache.spark.sql.types._
   *    of colliding signatures (the LSH premise: buckets are small);
   *  - shuffle rows are (id, ts, bands, payload) — signatures, never
   *    documents;
-  *  - state per entry is id + (#bands + #payload words + 1) longs;
-  *    eviction is timer-driven at the earliest expiry, so a drained
-  *    bucket drops to zero state rows;
+  *  - state per entry is id + (#bands + #payload words + 1) longs,
+  *    held as a LIST per bucket: a micro-batch appends its arrivals
+  *    (O(batch) state-store writes — hot buckets never pay a
+  *    whole-bucket rewrite per batch); eviction is timer-driven at
+  *    the earliest expiry and its purge doubles as compaction, so a
+  *    drained bucket drops to zero state rows;
   *  - HOT BUCKETS: a flood of mutually-near-duplicate documents (all
   *    colliding in one bucket) makes that bucket's compare cost
   *    quadratic within the horizon — the pair OUTPUT is inherently
