@@ -182,6 +182,21 @@ final case class DataStream(
       graft.functions.simhash64_text(col(textCol)), idCol, eventTimeCol,
       DataStream.intervalMs(horizon), maxHamming, watermarkDelay))
 
+  /** Streaming embedding-cosine NEAR-dup pair lookup: SRP-bucketed
+    * state with exact double cosine verification
+    * (graft.streaming.StreamingDedup.embeddingPairs) — emits
+    * (idCol_1, idCol_2, cos, ts) for rows within `horizon` whose
+    * cosine (rounded to 6) reaches `threshold`. Size nPlanes/nTables
+    * per the batch Dedup.embeddingNearDupPairsLsh scaladoc.
+    */
+  def embeddingNearDupPairs(embCol: String, idCol: String,
+                            horizon: String, threshold: Double = 0.9,
+                            nPlanes: Int = 16, dim: Int = 64,
+                            nTables: Int = 8): DataStream =
+    next(graft.streaming.StreamingDedup.embeddingPairs(df, embCol,
+      idCol, eventTimeCol, DataStream.intervalMs(horizon), threshold,
+      nPlanes, dim, nTables, delay = watermarkDelay))
+
   // --- streaming window aggregation (reference §2.4) -----------------
 
   /** Tumbling (slide=None) or sliding window aggregation, grouped by

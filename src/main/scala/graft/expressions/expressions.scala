@@ -572,6 +572,40 @@ case class L2Normalize(child: Expression)
     copy(child = c)
 }
 
+/** Numeric array → array of IEEE 754 bit patterns
+  * (doubleToRawLongBits per element, floats widened first). Lossless
+  * long-array transport for embeddings through surfaces that carry
+  * only bigint arrays — e.g. the streaming dedup bucket-state payload
+  * — so a downstream cosine recomputed from the bits is bit-identical
+  * to one computed on the source column.
+  */
+case class DoubleBits(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    Util.checkNumericArrays("double_bits", Seq(child))
+
+  @transient private lazy val getElem =
+    Util.numericGetter(child, "double_bits")
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = java.lang.Double.doubleToRawLongBits(getElem(a, i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): DoubleBits =
+    copy(child = c)
+}
+
 /** Polynomial rolling hash (Rabin-Karp) over UTF-8 bytes:
   * h = h·1000003 + byte, wrapping 64-bit. Fingerprinting primitive —
   * stable across partitions/engines, cheap to combine incrementally.

@@ -58,6 +58,12 @@ package object functions {
     c(expressions.CosineSimilarity(
       GraftShim.expression(a), GraftShim.expression(b)))
 
+  /** IEEE 754 bit patterns of a numeric array (floats widened to
+    * double first) — lossless array<bigint> transport for embeddings.
+    */
+  def double_bits(a: Column): Column =
+    c(expressions.DoubleBits(GraftShim.expression(a)))
+
   /** Dot product of two numeric array columns in double. */
   def dot_product(a: Column, b: Column): Column =
     c(expressions.DotProduct(

@@ -253,6 +253,65 @@ object StreamingDedup {
         col("ts"))
   }
 
+  /** Streaming embedding-cosine near-dup pairs: multi-table SRP
+    * buckets as the band keys (the batch
+    * [[graft.operators.Dedup.embeddingNearDupPairsLsh]] recipe — same
+    * Gaussian planes, same per-table seeds) with EXACT double cosine
+    * verification in state. The payload carries the embedding as raw
+    * IEEE 754 bit patterns ([[graft.functions.double_bits]]), so the
+    * in-state verify is bit-identical to the batch operator's
+    * double-accumulated cosine: a fully replayed bounded input yields
+    * the batch operator's pair set (spec-pinned), with the streaming
+    * horizon as the one additional predicate. The canonical-band
+    * machinery of [[bandedPairs]] is exactly the batch form's
+    * canonical-TABLE emission, so each pair surfaces once.
+    *
+    * Size nPlanes for YOUR corpus exactly as in the batch scaladoc —
+    * bucket state holds a horizon's worth of colliding embeddings
+    * (dim + nTables + 1 longs per entry), and a too-coarse grid
+    * concentrates clusters into hot buckets.
+    *
+    * Output: (idCol_1, idCol_2, cos double rounded to 6, ts).
+    */
+  def embeddingPairs(df: DataFrame, embCol: String, idCol: String,
+                     tsCol: String, horizonMs: Long,
+                     threshold: Double = 0.9, nPlanes: Int = 16,
+                     dim: Int = 64, nTables: Int = 8, seed: Long = 42L,
+                     delay: String = "0 seconds"): DataFrame = {
+    require(nTables >= 1, "nTables must be >= 1")
+    val bandCols = array((0 until nTables).map { t =>
+      graft.functions.hyperplane_lsh_bucket(col(embCol), nPlanes, dim,
+        seed + t * 7919L).cast("long")
+    }: _*)
+    val payload = graft.functions.double_bits(col(embCol))
+    val thr = threshold
+    val verify: Verify = (a, b) => {
+      val n = math.min(a.length, b.length)
+      if (a.length != b.length) None
+      else {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = java.lang.Double.longBitsToDouble(a(i))
+          val y = java.lang.Double.longBitsToDouble(b(i))
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        if (na == 0.0 || nb == 0.0) None
+        else {
+          // same round(x, 6)-then-threshold as the batch operator —
+          // HALF_UP over BigDecimal, matching Spark's Round exactly
+          val c = BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (c >= thr) Some(c) else None
+        }
+      }
+    }
+    bandedPairs(df, idCol, tsCol, bandCols, payload, verify,
+        horizonMs, delay)
+      .withColumnRenamed("score", "cos")
+  }
+
   /** Streaming MinHash near-dup pairs. State carries the k-hash
     * signature, so verification here is the SIGNATURE ESTIMATE of
     * Jaccard (matching components / k) — the standard streaming

@@ -349,6 +349,42 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "keeper must retain component minimums and untouched rows only")
   }
 
+  test("SRP planes hold the per-pair collision curve: banded candidate " +
+      "volume stays near the true-pair count on clustered embeddings") {
+    // regression pin for the Gaussian-plane draw: a plane distribution
+    // that is not spherically symmetric (e.g. uniform-cube coordinates)
+    // keeps the AVERAGE collision curve but grows a fat per-pair tail
+    // on structured embeddings — measured ~100x-over-binomial 16-bit
+    // agreements on this very fixture, which turns banded candidate
+    // volume superlinear at scale. Candidates within a 20x envelope of
+    // the true pair count is the healthy regime; the cube draw blew
+    // through it by two orders of magnitude.
+    val emb = Graft.table(spark, sf, "embeddings")
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("embedding"))
+    val mutated = emb
+      .withColumn("vec_id", $"vec_id" + 1000000L)
+      .withColumn("embedding", concat(
+        array(element_at($"embedding", 1) + lit(0.015625)),
+        slice($"embedding", 2, 63)))
+    val all = emb.unionByName(mutated)
+    val truePairs = emb.count()
+    val buckets = array((0 until 8).map { t =>
+      graft.functions.hyperplane_lsh_bucket($"embedding", 16, 64,
+        42L + t * 7919L)
+    }: _*)
+    val candidates = all
+      .select(posexplode(buckets).as(Seq("__table", "__bucket")))
+      .groupBy($"__table", $"__bucket").count()
+      .agg(sum($"count" * ($"count" - 1) / 2)).head.getDouble(0)
+    assert(candidates <= truePairs * 20,
+      s"banded candidate volume $candidates exceeds 20x the " +
+        s"$truePairs true pairs — per-pair SRP tail is fat again " +
+        "(non-spherical plane distribution?)")
+    assert(candidates >= truePairs * 0.5,
+      "sanity: near-identical twins should collide in some table")
+  }
+
   test("connectedComponents labels identically under reliable " +
       "checkpointing") {
     // the reliable path exists for executor-loss survival on long

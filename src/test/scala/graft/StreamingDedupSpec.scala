@@ -11,6 +11,9 @@ import graft.streaming.StreamingDedup
 
 case class Doc(occurred_at_ms: Long, doc_id: Long, text: String)
 
+case class EmbRow(occurred_at_ms: Long, vec_id: Long,
+                  embedding: Seq[Double])
+
 /** Streaming near-dup dedup (StreamingDedup): pair-set equivalence with
   * the batch LSH operators on a fully replayed input, canonical-band
   * single emission, horizon eviction, and checkpoint recovery.
@@ -217,6 +220,29 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("DataStream.embeddingNearDupPairs bridge wires the embedding " +
+      "operator fluently") {
+    val input = MemoryStream[EmbRow](spark)
+    val src = input.toDF
+      .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+    val out = api.DataStream(src, "ts")
+      .embeddingNearDupPairs("embedding", "vec_id", "1 hour",
+        threshold = 0.99, nPlanes = 4, dim = 4, nTables = 4)
+    val q = out.toDF.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_emb_bridge").start()
+    try {
+      input.addData(EmbRow(1000, 7, Seq(1.0, 0.5, 0.25, 0.125)))
+      q.processAllAvailable()
+      input.addData(
+        EmbRow(2000, 8, Seq(1.0, 0.5, 0.25, 0.125)), // identical → cos 1
+        EmbRow(3000, 9, Seq(-1.0, 0.5, 0.25, 0.125))) // far → no pair
+      q.processAllAvailable()
+      val rows = spark.table("sdedup_emb_bridge").collect()
+      assert(rows.length == 1 && rows(0).getAs[Double]("cos") == 1.0,
+        s"want one exact pair, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming decontamination anti-joins a static reference " +
       "digest set") {
     val ref = Seq("known benchmark question one",
@@ -238,6 +264,52 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
         .select($"doc_id").as[Long].collect().toSet
       assert(kept == Set(2L, 4L),
         s"contaminated rows must drop mid-stream, got $kept")
+    } finally q.stop()
+  }
+
+  test("streaming embedding pairs replay the batch LSH operator's " +
+      "pair set with identical cosines") {
+    // the d11 gate fixture shape: embeddings plus a tiny-perturbation
+    // copy (cos ≈ 0.9999), every row timestamped inside one horizon
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("embedding"))
+    val mutated = emb
+      .withColumn("vec_id", $"vec_id" + 1000000L)
+      .withColumn("embedding", concat(
+        array(element_at($"embedding", 1) + lit(0.015625)),
+        slice($"embedding", 2, 63)))
+    val all = emb.unionByName(mutated)
+
+    val want = Dedup.embeddingNearDupPairsLsh(all, "embedding", "vec_id",
+        threshold = 0.9, nPlanes = 16, dim = 64, nTables = 8)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (Set(a.toString, b.toString), c) }.toSet
+    assert(want.nonEmpty, "fixture must produce pairs")
+
+    val dir = Files.createTempDirectory("graft-sdedup-emb").toFile
+    val inPath = new java.io.File(dir, "in").getAbsolutePath
+    // +1: a row AT the initial watermark (ts = 0) is dropped by the
+    // pre-operator late filter — keep every event strictly after it
+    all.withColumn("ts",
+        timestamp_millis((pmod($"vec_id", lit(1000000L)) + 1) * 10))
+      .coalesce(1).write.parquet(inPath)
+    val src = spark.readStream
+      .schema(spark.read.parquet(inPath).schema).parquet(inPath)
+    val out = graft.streaming.StreamingDedup.embeddingPairs(src,
+      "embedding", "vec_id", "ts", horizonMs = 86400000L,
+      threshold = 0.9, nPlanes = 16, dim = 64, nTables = 8)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_emb").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sdedup_emb")
+        .select($"vec_id_1", $"vec_id_2", $"cos")
+        .as[(String, String, Double)].collect()
+        .map { case (a, b, c) => (Set(a, b), c) }.toSet
+      assert(got == want,
+        s"streaming pair set must equal batch: missing=" +
+          s"${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     } finally q.stop()
   }
 
