@@ -87,6 +87,8 @@ object GraftFunctions {
       es => DotProduct(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("l2_normalize",
       es => L2Normalize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("double_bits",
+      es => DoubleBits(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_similarity",
       es => CosineSimilarity(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",

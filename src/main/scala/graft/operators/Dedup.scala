@@ -469,6 +469,92 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction — the O(log n)-round counterpart of
+    * [[connectedComponents]] for graphs whose DIAMETER is large
+    * (long mutation chains, path-shaped link graphs) where min-label
+    * propagation needs O(diameter) rounds. Near-dup graphs are
+    * usually shallow near-cliques, so the simple loop remains the
+    * default; reach for this when [[connectedComponents]] throws its
+    * convergence error and raising `maxIter` is unpalatable.
+    *
+    * Each round rewires edges toward local minima (the two-step
+    * MapReduce formulation: large-star connects every neighbor
+    * strictly larger than a node to that node's current minimum
+    * neighbor; small-star connects the not-larger ones), strictly
+    * shrinking the edge set's potential until every surviving edge
+    * points directly at its component minimum. Output contract is
+    * identical to [[connectedComponents]]: one `(id, comp)` row per
+    * id appearing in any pair, `comp` = minimum reachable id (a
+    * property spec pins equality between the two algorithms on random
+    * graphs). Same per-round materialization and fault-tolerance
+    * options as the simple loop.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String,
+                              bCol: String, maxIter: Int = 50,
+                              reliableCheckpointDir: Option[String] =
+                                None): DataFrame = {
+    reliableCheckpointDir.foreach(
+      pairs.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (reliableCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    // node set is fixed up front: contraction rewires edges, so an
+    // id's own row can vanish from the edge list once it points at
+    // its minimum — membership must not depend on surviving edges
+    val nodes = materialize(
+      pairs.select(col(aCol).cast("long").as("id"))
+        .unionByName(pairs.select(col(bCol).cast("long").as("id")))
+        .distinct())
+    // canonical orientation (big, small); self-loops drop
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+    // large-star: every node a connects its STRICTLY LARGER neighbors
+    // to m(a) = min(neighborhood(a) ∪ {a}) — halves long paths
+    def largeStar(edges: DataFrame): DataFrame = {
+      val adj = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+      val mins = adj.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("mb"), col("a")).as("m"))
+      canon(adj.filter(col("b") > col("a"))
+        .join(mins, "a")
+        .select(col("b").as("u"), col("m").as("v")))
+    }
+    // small-star: every node u connects its smaller neighbors (and
+    // itself) to their minimum — flattens shallow trees into stars
+    def smallStar(edges: DataFrame): DataFrame = {
+      val mins = edges.groupBy(col("u")).agg(min(col("v")).as("m"))
+      canon(edges.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v"))))
+    }
+    var edges = materialize(canon(
+      pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))))
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done && iter < maxIter) {
+      val next = materialize(smallStar(largeStar(edges)))
+      // fixed point = both phases leave the edge set unchanged; at
+      // that point every edge points directly at its component min
+      // (stars are fixed points of both phases — Kiveris et al.,
+      // "Connected Components in MapReduce and Beyond")
+      done = next.exceptAll(edges).isEmpty &&
+        edges.exceptAll(next).isEmpty
+      edges = next
+      iter += 1
+    }
+    require(done,
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    nodes
+      .join(edges.select(col("u").as("id"), col("v").as("comp")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** Keep one representative per near-dup cluster: drops every row
     * whose id appears in `pairs` and is NOT its component's minimum.
     * Rows in no pair are untouched (singletons keep themselves).

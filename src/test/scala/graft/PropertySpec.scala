@@ -148,4 +148,33 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(again == byId, "CC must be a fixed point of itself")
   }
+
+  test("star-contraction CC labels equal min-label CC on random " +
+      "graphs, and converges on a long path in O(log n) rounds") {
+    // random graphs of three densities: sparse (mostly trees/paths),
+    // medium, dense (one giant component)
+    for ((nEdges, nNodes, seed) <- Seq((40, 200, 3), (300, 120, 17),
+        (800, 90, 99))) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = (1 to nEdges).map(_ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("a", "b")
+      val want = Dedup.connectedComponents(pairs, "a", "b", maxIter = 60)
+        .as[(Long, Long)].collect().toMap
+      val got = Dedup.connectedComponentsStar(pairs, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"star CC diverges at seed $seed: " +
+        s"${(got.toSet -- want.toSet).take(3)}")
+    }
+    // the shape min-label propagation is worst at: a path of 200
+    // nodes (diameter 199 — the simple loop would need 200 rounds,
+    // far past its default maxIter); star contraction needs O(log n)
+    val path = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponentsStar(path, "a", "b",
+        maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 200 && labels.values.forall(_ == 1L),
+      "a 200-node path is one component labeled by its minimum")
+  }
 }
