@@ -126,6 +126,11 @@ object StreamingDedup {
       // is the compaction pass that physically drops both expired
       // entries and superseded duplicates, so list growth is bounded
       // by arrivals within one horizon.
+      // MIGRATION: the state schema changed (ValueState[Array[Entry]]
+      // → ListState[Entry]); a query restarted from a checkpoint
+      // written by the old shape fails state validation — restart
+      // such queries from a fresh checkpoint (pair output is
+      // append-only, so a replayed source reproduces it).
       @transient private var st: ListState[Entry] = _
       @transient private var armed: ValueState[Long] = _
 
