@@ -161,6 +161,49 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Streaming embedding near-dup end-to-end: the d11 fixture shape
+    // (embeddings ∪ a tiny-perturbation copy) replayed as a stream
+    // through the SRP-bucket-state operator → memory sink
+    def streamingEmbDedupOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      System.gc()
+      Thread.sleep(300)
+      val t0 = System.nanoTime()
+      try {
+        val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+        val base = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet")
+          .parquet(sfDir)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double"))
+              .as("embedding"))
+        val mutated = base
+          .withColumn("vec_id", col("vec_id") + 1000000L)
+          .withColumn("embedding", concat(
+            array(element_at(col("embedding"), 1) + lit(0.015625)),
+            slice(col("embedding"), 2, 63)))
+        val src = base.unionByName(mutated)
+          .withColumn("ts", timestamp_millis(
+            (pmod(col("vec_id"), lit(1000000L)) + 1) * 10))
+        val out = graft.streaming.StreamingDedup.embeddingPairs(src,
+          "embedding", "vec_id", "ts", horizonMs = 86400000L,
+          threshold = 0.9, nPlanes = 16, dim = 64, nTables = 8)
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName("bench_sembdedup").start()
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          spark.sql("DROP TABLE IF EXISTS bench_sembdedup")
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] streaming_embdedup failed: " +
+            e.getMessage)
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // (median, min, max) over reps; any failed rep marks the query
     // failed outright — a flaky query must not hide behind its median
     def stats(samples: Seq[Double]): (Double, Double, Double) = {
@@ -185,6 +228,7 @@ object Bench {
       Seq(
         "streaming_window" -> (() => streamingOnce()),
         "streaming_neardup" -> (() => streamingNearDupOnce()),
+        "streaming_embdedup" -> (() => streamingEmbDedupOnce()),
         "exact_window_explode" -> (() => exactWindowOnce(pane = false)),
         "exact_window_pane" -> (() => exactWindowOnce(pane = true)))
         .filter(p => want(p._1))

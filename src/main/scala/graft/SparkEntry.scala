@@ -616,6 +616,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the same closure through the O(log n)-round star-contraction
+    // algorithm (long-diameter escape hatch): labels must be
+    // identical, so it shares d8's recursive-CTE oracle verbatim —
+    // a hash-exact cross-algorithm, cross-engine check
+    "d13_dup_components_star" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mutated = docs
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", regexp_replace(col("text"), "the", "thee"))
+      val all = docs.unionByName(mutated)
+      val pairs = operators.Dedup.simhashPairsFromSig(all,
+        graft.functions.simhash64_md5(
+          operators.TextAnalysis.tokenize(col("text"))),
+        "doc_id", maxHamming = 3)
+      operators.Dedup.connectedComponentsStar(pairs, "doc_id_1",
+          "doc_id_2")
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d6_embedding_neardup" -> ((s, d) =>
       operators.Dedup.embeddingNearDupPairs(t(s, d, "embeddings"),
           "embedding", "vec_id", "label", threshold = 0.35)
@@ -914,6 +934,50 @@ object SparkEntry {
               .cast("string")), ",").as("bin_counts"))
         .orderBy(col("doc_id"))),
   )
+
+  /** The d8/d13 shared oracle: the d5 pair recipe closed transitively
+    * (component = min reachable id) via a recursive CTE — both CC
+    * algorithms must reproduce it exactly.
+    */
+  private val dupComponentsClosureSql: String =
+    """WITH RECURSIVE du AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    regexp_replace(text, 'the', 'thee', 'g') FROM documents),
+      |toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text,
+      |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+      |    '[ \t\n\v\f\r]+')) AS tok
+      |  FROM du),
+      |th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+      |bits AS (
+      |  SELECT doc_id, k,
+      |    sum(CASE WHEN ((strpos('0123456789abcdef',
+      |        substring(h, CAST(k // 4 + 1 AS INT), 1)) - 1)
+      |        >> CAST(3 - k % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS k) ks
+      |  GROUP BY doc_id, k),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+      |      ORDER BY k) AS sig
+      |  FROM bits GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      |  WHERE len(list_filter(range(1, 65), i ->
+      |      substring(a.sig, CAST(i AS INT), 1) !=
+      |      substring(b.sig, CAST(i AS INT), 1))) <= 3),
+      |edges AS (
+      |  SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+      |  UNION SELECT doc_id_2, doc_id_1 FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, least(src, min(dst)) AS component
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   /** DuckDB-runnable oracle SQL, column-name-aligned with `queries`. */
   def oracleSql: Map[String, String] = Map(
@@ -1278,45 +1342,10 @@ object SparkEntry {
     // the d5 pair recipe closed transitively: component = min
     // reachable id via a recursive CTE (UNION, not UNION ALL — the
     // undirected edge set has cycles)
-    "d8_dup_components" ->
-      """WITH RECURSIVE du AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |    regexp_replace(text, 'the', 'thee', 'g') FROM documents),
-        |toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text,
-        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
-        |    '[ \t\n\v\f\r]+')) AS tok
-        |  FROM du),
-        |th AS (SELECT doc_id, md5(tok) AS h FROM toks),
-        |bits AS (
-        |  SELECT doc_id, k,
-        |    sum(CASE WHEN ((strpos('0123456789abcdef',
-        |        substring(h, CAST(k // 4 + 1 AS INT), 1)) - 1)
-        |        >> CAST(3 - k % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS k) ks
-        |  GROUP BY doc_id, k),
-        |sigs AS (
-        |  SELECT doc_id,
-        |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
-        |      ORDER BY k) AS sig
-        |  FROM bits GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
-        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-        |  WHERE len(list_filter(range(1, 65), i ->
-        |      substring(a.sig, CAST(i AS INT), 1) !=
-        |      substring(b.sig, CAST(i AS INT), 1))) <= 3),
-        |edges AS (
-        |  SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
-        |  UNION SELECT doc_id_2, doc_id_1 FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-        |SELECT src AS doc_id, least(src, min(dst)) AS component
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "d8_dup_components" -> dupComponentsClosureSql,
+
+    // star-contraction algorithm, identical contract → identical oracle
+    "d13_dup_components_star" -> dupComponentsClosureSql,
 
     "d10_decontaminate" ->
       """SELECT d.doc_id, d.lang FROM documents d
