@@ -636,6 +636,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // keep-BEST near-dup dedup: the mutated copy appends a token, so
+    // it is one token LONGER than its original — score = token count
+    // must keep the mutated (high) id wherever a pair fires, the
+    // opposite of d9's min-id rule; ties (unpaired rows) stay. The
+    // oracle reruns the closure and ranks by (ntok desc, id) per
+    // component.
+    "d15_keep_best_neardups" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mutated = docs
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(col("text"), lit(" zz")))
+      operators.Dedup.dropNearDuplicateDocsKeepBest(
+          docs.unionByName(mutated), "text", "doc_id",
+          operators.TextAnalysis.tokenCount(col("text")),
+          maxHamming = 3)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d6_embedding_neardup" -> ((s, d) =>
       operators.Dedup.embeddingNearDupPairs(t(s, d, "embeddings"),
           "embedding", "vec_id", "label", threshold = 0.35)
@@ -697,6 +716,24 @@ object SparkEntry {
       operators.Dedup.simhashOverlap(docs, ref, "text", "doc_id", "rid",
           maxHamming = 3)
         .orderBy(col("doc_id"), col("ref_rid"))
+    }),
+
+    // SUBSTRING-level decontamination (the 13-gram recipe): reference
+    // set = token slices CUT OUT OF some documents (tokens 5..25 of
+    // every 7th doc), so contamination is a strict substring — what
+    // d10's whole-doc hash and d12's whole-doc SimHash both miss.
+    // Oracle rebuilds the exact gram sets in DuckDB; no probabilistic
+    // stage anywhere, so the match set is exact by construction.
+    "d14_ngram_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = operators.TextAnalysis.tokenize(col("text"))
+      val ref = docs
+        .filter(pmod(col("doc_id"), lit(7)) === 0 && size(toks) >= 25)
+        .select(concat_ws(" ", slice(toks, 5, 21)).as("text"))
+      operators.Dedup.ngramDecontaminate(docs, ref, "text", "doc_id",
+          n = 13)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     }),
 
     // the one-call composition: SimHash pairs → components → keep
@@ -833,6 +870,17 @@ object SparkEntry {
           "doc_id", 10)
         .select(col("lang"), col("doc_id"))
         .orderBy(col("lang"), col("doc_id"))),
+
+    // token-budget selection: 2000 tokens per lang (cuts strictly
+    // inside every stratum at all SFs — smallest stratum holds ~3.5k
+    // tokens). The operator's bucket-histogram path must equal the
+    // oracle's single global window exactly.
+    "p6_token_budget" -> ((s, d) =>
+      operators.Sampling.selectToTokenBudget(t(s, d, "documents"),
+          "doc_id", operators.TextAnalysis.tokenCount(col("text")),
+          budget = 2000L, strataCol = Some("lang"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
 
     // Gopher-style repetition signals: explode + two-level groupBy
     // (never per-row quadratic), all-integer outputs for an exact
@@ -1403,6 +1451,94 @@ object SparkEntry {
         |WHERE comp.doc_id IS NULL OR comp.component = du.doc_id
         |ORDER BY du.doc_id""".stripMargin,
 
+    // d9's closure with the longer-mutant fixture (text || ' zz'),
+    // keeping per component the max-token-count row (ties → min id)
+    "d15_keep_best_neardups" ->
+      """WITH RECURSIVE du AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' zz', lang
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+')) AS tok
+        |  FROM du),
+        |th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef',
+        |        substring(h, CAST(k // 4 + 1 AS INT), 1)) - 1)
+        |        >> CAST(3 - k % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS k) ks
+        |  GROUP BY doc_id, k),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+        |      ORDER BY k) AS sig
+        |  FROM bits GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(range(1, 65), i ->
+        |      substring(a.sig, CAST(i AS INT), 1) !=
+        |      substring(b.sig, CAST(i AS INT), 1))) <= 3),
+        |edges AS (
+        |  SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+        |  UNION SELECT doc_id_2, doc_id_1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |nt AS (
+        |  SELECT doc_id, len(regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+')) AS ntok
+        |  FROM du),
+        |ranked AS (
+        |  SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
+        |    ORDER BY n.ntok DESC, c.doc_id) AS rn
+        |  FROM comp c JOIN nt n ON c.doc_id = n.doc_id)
+        |SELECT du.doc_id, du.lang
+        |FROM du LEFT JOIN ranked ON du.doc_id = ranked.doc_id
+        |WHERE ranked.doc_id IS NULL OR ranked.rn = 1
+        |ORDER BY du.doc_id""".stripMargin,
+
+    // exact gram-set reconstruction: reference = tokens 5..25 of every
+    // 7th (>=25-token) doc; a corpus doc is contaminated iff it shares
+    // a 13-gram (whole text when shorter) with any reference slice
+    "d14_ngram_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS toks
+        |  FROM documents),
+        |ref AS (
+        |  SELECT regexp_split_to_array(array_to_string(toks[5:25], ' '),
+        |    '[ \t\n\v\f\r]+') AS toks
+        |  FROM tok WHERE doc_id % 7 = 0 AND len(toks) >= 25),
+        |refg AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(CASE WHEN len(toks) < 13
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 12),
+        |        i -> array_to_string(toks[i+1:i+13], ' ')) END) AS g
+        |    FROM ref)),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(toks) < 13
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 12),
+        |        i -> array_to_string(toks[i+1:i+13], ' ')) END) AS g
+        |    FROM tok) c
+        |  WHERE g IN (SELECT g FROM refg))
+        |SELECT t.doc_id, t.lang FROM tok t
+        |WHERE t.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY t.doc_id""".stripMargin,
+
     "d7_simhash128_pairs" ->
       """WITH du AS (
         |  SELECT doc_id, text FROM documents
@@ -1660,6 +1796,24 @@ object SparkEntry {
         |      doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
+
+    // the single-global-window definition the bucket-histogram
+    // operator must reproduce exactly
+    "p6_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |      '[ \t\n\v\f\r]+')) AS ntok,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || chr(0) || 'budget'),
+        |      1, 8) AS draw
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, sum(ntok) OVER (PARTITION BY lang
+        |    ORDER BY draw, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang FROM c WHERE cum <= 2000
+        |ORDER BY doc_id""".stripMargin,
 
     "t9_repetition" ->
       """WITH base AS (

@@ -155,6 +155,25 @@ final case class DataStream(
         graft.operators.Packing.packChunks(df, idCol, tokenCol,
           capacity, shardChars, salt))
 
+  /** Token-budget selection: the bucket-histogram batch form on batch
+    * frames, the per-stratum (spent, closed) admission state
+    * (graft.streaming.StreamingBudget) on streaming frames — same
+    * draw order, same PREFIX semantics (a single-batch stream replay
+    * equals the batch kept set; see StreamingBudget's contract).
+    */
+  def selectToTokenBudget(idCol: String, tokenCol: String, budget: Long,
+                          strataCol: Option[String] = None,
+                          salt: String =
+                            graft.operators.Sampling.BudgetSalt)
+      : DataStream =
+    next(
+      if (df.isStreaming)
+        graft.streaming.StreamingBudget.selectToTokenBudget(df, idCol,
+          tokenCol, budget, strataCol, salt)
+      else
+        graft.operators.Sampling.selectToTokenBudget(df, idCol,
+          col(tokenCol), budget, strataCol, salt))
+
   /** PII redaction in place on `textCol` (RE2-safe patterns). */
   def redactPii(textCol: String): DataStream =
     next(df.withColumn(textCol,
@@ -168,6 +187,19 @@ final case class DataStream(
     */
   def decontaminate(reference: DataFrame, textCol: String): DataStream =
     next(graft.operators.Dedup.decontaminate(df, reference, textCol))
+
+  /** Drop rows sharing any word n-gram with the STATIC `reference`
+    * frame (graft.operators.Dedup.ngramDecontaminate) — substring-
+    * level decontamination, which catches an eval example leaked
+    * INSIDE a larger document. Batch frames only: the gram-match id
+    * set needs a distinct + second join, both unsupported on streams;
+    * on an ingest path run [[decontaminate]] continuously and this
+    * form in the batch compaction pass.
+    */
+  def ngramDecontaminate(reference: DataFrame, textCol: String,
+                         idCol: String, n: Int = 13): DataStream =
+    next(graft.operators.Dedup.ngramDecontaminate(df, reference,
+      textCol, idCol, n))
 
   /** Streaming SimHash NEAR-dup pair lookup against bounded banded
     * state (graft.streaming.StreamingDedup): emits

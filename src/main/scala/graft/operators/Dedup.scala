@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for 100TB-scale corpora.
@@ -346,6 +347,50 @@ object Dedup {
       reference.select(md5(col(textCol)).as("__h")).distinct(),
       md5(corpus(textCol)) === col("__h"), "left_anti")
 
+  /** Corpus ids sharing at least one word n-gram with a reference
+    * corpus — SUBSTRING-level contamination detection: the published
+    * LLM-curation recipe (flag a training document if any n-gram of it
+    * appears in an eval example), which catches an eval prompt leaked
+    * INSIDE a larger document — invisible to whole-document hashing
+    * ([[exactOverlap]]) and whole-document SimHash ([[simhashOverlap]])
+    * alike. n = 13 is the published convention for web-scale corpora.
+    *
+    * Scale shape: the reference side (eval sets — thousands of docs)
+    * collapses to a DISTINCT gram-digest set and broadcasts, so the
+    * corpus side is a map-side semi-join adjacent to the scan — corpus
+    * grams NEVER shuffle; only the (rare) matching ids pay the final
+    * distinct. Grams travel as 16-byte digests, never strings. A doc
+    * shorter than n tokens contributes its whole text as one gram
+    * (the [[shingles]] convention), so short eval prompts still match
+    * their exact occurrences.
+    */
+  def ngramOverlapIds(corpus: DataFrame, reference: DataFrame,
+                      textCol: String, corpusIdCol: String,
+                      n: Int = 13): DataFrame = {
+    val refGrams = reference
+      .select(explode(shingles(col(textCol), n)).as("__gram"))
+      .select(unhex(md5(col("__gram"))).as("__g"))
+      .distinct()
+    corpus
+      .select(col(corpusIdCol), explode(shingles(col(textCol), n)).as("__gram"))
+      .select(col(corpusIdCol), unhex(md5(col("__gram"))).as("__g"))
+      .join(broadcast(refGrams), Seq("__g"), "left_semi")
+      .select(corpusIdCol).distinct()
+  }
+
+  /** Drop every corpus row sharing a word n-gram with the reference —
+    * the removal half of substring-level decontamination. The
+    * contaminated-id set is usually tiny relative to the corpus (AQE
+    * broadcasts the anti-join side at runtime); the corpus itself
+    * never shuffles on either stage.
+    */
+  def ngramDecontaminate(corpus: DataFrame, reference: DataFrame,
+                         textCol: String, corpusIdCol: String,
+                         n: Int = 13): DataFrame =
+    corpus.join(
+      ngramOverlapIds(corpus, reference, textCol, corpusIdCol, n),
+      Seq(corpusIdCol), "left_anti")
+
   /** Cross-corpus NEAR contamination: SimHash-banded pairs between two
     * frames — same 4×16-bit banding and scalar hamming verify as
     * [[simhashPairsFromSig]], but across corpora (no id ordering;
@@ -571,6 +616,35 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Keep the BEST row per near-dup cluster by a caller-supplied score
+    * (highest wins; ties break to the minimum id, so the survivor is
+    * deterministic). [[keepNearDupRepresentatives]] keeps the minimum
+    * id — right when copies are interchangeable; a curation pipeline
+    * usually wants the longest / highest-quality variant of a
+    * duplicated document instead (score = token count, quality score,
+    * source-priority rank — any Column over `df`).
+    *
+    * Cost over the min-id form: the score rides the components join
+    * and one extra `row_number` window ranks within each cluster —
+    * partitioned by component (clusters are small), no global sort.
+    */
+  def keepNearDupRepresentativesBy(df: DataFrame, pairs: DataFrame,
+                                   aCol: String, bCol: String,
+                                   idCol: String, score: Column,
+                                   reliableCheckpointDir: Option[String] =
+                                     None): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol,
+      reliableCheckpointDir = reliableCheckpointDir)
+    val losers = df.select(col(idCol).as("__kid"), score.as("__score"))
+      .join(comps, col("__kid") === col("id"))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(col("comp"))
+          .orderBy(col("__score").desc, col("__kid").asc)))
+      .filter(col("__rank") > 1)
+      .select(col("__kid").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** End-to-end near-duplicate document dedup in one call: 64-bit
     * SimHash banded pairs ([[simhashPairsFromSig]] at `maxHamming`) →
     * connected components → keep each cluster's minimum id. The
@@ -586,6 +660,21 @@ object Dedup {
       idCol, maxHamming)
     keepNearDupRepresentatives(df, pairs, s"${idCol}_1", s"${idCol}_2",
       idCol, reliableCheckpointDir)
+  }
+
+  /** [[dropNearDuplicateDocs]] keeping the highest-`score` variant per
+    * cluster instead of the minimum id (ties still break to min id).
+    */
+  def dropNearDuplicateDocsKeepBest(df: DataFrame, textCol: String,
+                                    idCol: String, score: Column,
+                                    maxHamming: Int = 3,
+                                    reliableCheckpointDir: Option[String] =
+                                      None): DataFrame = {
+    val pairs = simhashPairsFromSig(df,
+      graft.functions.simhash64_md5(TextAnalysis.tokenize(col(textCol))),
+      idCol, maxHamming)
+    keepNearDupRepresentativesBy(df, pairs, s"${idCol}_1", s"${idCol}_2",
+      idCol, score, reliableCheckpointDir)
   }
 
   /** Embedding near-dup pairs with CONTENT-DERIVED blocking — the

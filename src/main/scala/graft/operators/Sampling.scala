@@ -48,6 +48,7 @@ object Sampling {
   val StrataSalt = "strata"
   val SplitSalt = "split"
   val ReservoirSalt = "reservoir"
+  val BudgetSalt = "budget"
 
   /** First 8 hex chars of md5(id || 'NUL' || salt): the row's
     * uniform draw in the given salt domain. The NUL delimiter makes
@@ -162,5 +163,62 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__rn")
+  }
+
+  /** Deterministic token-budget selection: keep rows, in [[hashBucket]]
+    * draw order (then id), while the running `tokens` total stays
+    * within `budget` — per stratum when `strataCol` is set. This is the
+    * mixture-weights step of corpus assembly ("2B tokens of code, 500M
+    * of math"): token budgets, unlike row fractions, are what training
+    * recipes are written in. The hash order makes the kept set a
+    * uniform pseudo-random prefix — reproducible across runs/engines,
+    * and a bigger budget keeps a SUPERSET of a smaller one (same
+    * nesting property as [[hashSample]]). `tokens` must be
+    * non-negative (the running total must be monotone for the prefix
+    * to be well-defined); ids should be unique, or the boundary row
+    * among equal-id copies is arbitrary.
+    *
+    * Scale shape: NO global sort. A 16-bit hash-prefix histogram
+    * (≤65k rows per stratum) carries cross-bucket prefix sums via a
+    * tiny window; data rows then need only a WITHIN-bucket running sum
+    * (window partitioned by (stratum, bucket) — ~N/65k rows each), and
+    * the joined bucket prefix lifts it to the global running total.
+    * Buckets starting at or past the budget drop at the (broadcast)
+    * join without ever being ranked. Bit-identical to the
+    * single-sort definition — the oracle gate (p6) checks it against
+    * DuckDB's global-window spelling, and SamplingSpec against a
+    * single-window Spark spelling.
+    */
+  def selectToTokenBudget(df: DataFrame, idCol: String, tokens: Column,
+                          budget: Long,
+                          strataCol: Option[String] = None,
+                          salt: String = BudgetSalt): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val strat = strataCol.map(col).getOrElse(lit(""))
+    val draw = hashBucket(col(idCol), salt)
+    val bucket = substring(draw, 1, 4)
+    val hist = df.groupBy(strat.as("__s"), bucket.as("__b"))
+      .agg(sum(tokens.cast("long")).as("__bt"))
+    val pre = hist
+      .withColumn("__pre", coalesce(
+        sum(col("__bt")).over(Window.partitionBy(col("__s"))
+          .orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      // <= not <: a zero-token row whose bucket starts exactly at the
+      // budget still satisfies cum <= budget under the single-sort
+      // definition and must survive here too
+      .filter(col("__pre") <= budget)
+      .select(col("__s"), col("__b"), col("__pre"))
+    val w = Window.partitionBy(col("__s"), col("__b"))
+      .orderBy(col("__draw"), col(idCol))
+    df.withColumn("__s", strat)
+      .withColumn("__b", bucket)
+      .withColumn("__draw", draw)
+      .withColumn("__tok", tokens.cast("long"))
+      .join(broadcast(pre), Seq("__s", "__b"))
+      .withColumn("__cum", col("__pre") + sum(col("__tok")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__s", "__b", "__draw", "__tok", "__pre", "__cum")
   }
 }

@@ -31,6 +31,54 @@ import org.apache.spark.sql.types._
   * across batches. All chunk arithmetic (integer div, zero-token docs
   * span zero chunks) matches the batch operator bit-for-bit.
   */
+/** JVM-side orderings that reproduce Spark's column sort exactly —
+  * for stateful operators that must order a micro-batch's rows the
+  * way a batch `orderBy` would: strings compare as unsigned UTF-8
+  * bytes (Spark's UTF8String.binaryCompare — Java compareTo is UTF-16
+  * code-unit order, which inverts supplementary-plane chars vs BMP
+  * chars above U+E000), integrals as longs, fractional as doubles (no
+  * longValue truncation — 1.2 vs 1.5 must not tie), decimals exactly;
+  * nulls first, as in Spark's default null ordering.
+  */
+private[streaming] object RowOrder {
+  def forType(dt: DataType): Ordering[Any] = {
+    def utf8(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    val cmp: (Any, Any) => Int = dt match {
+      case StringType => (a, b) =>
+        utf8(a.asInstanceOf[String], b.asInstanceOf[String])
+      case ByteType | ShortType | IntegerType | LongType => (a, b) =>
+        java.lang.Long.compare(a.asInstanceOf[java.lang.Number].longValue,
+          b.asInstanceOf[java.lang.Number].longValue)
+      case FloatType | DoubleType => (a, b) =>
+        // -0.0 == 0.0 and NaN greatest, matching Spark's sort order
+        java.lang.Double.compare(
+          a.asInstanceOf[java.lang.Number].doubleValue + 0.0,
+          b.asInstanceOf[java.lang.Number].doubleValue + 0.0)
+      case _: DecimalType => (a, b) =>
+        a.asInstanceOf[java.math.BigDecimal]
+          .compareTo(b.asInstanceOf[java.math.BigDecimal])
+      case other => throw new IllegalArgumentException(
+        s"unsupported ordering column type: $other")
+    }
+    (a: Any, b: Any) =>
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else cmp(a, b)
+  }
+}
+
 object StreamingPacking {
 
   def packChunks(df: DataFrame, idCol: String, tokenCol: String,
@@ -52,49 +100,10 @@ object StreamingPacking {
     val tokIdx = inSchema.fieldIndex(tokenCol)
 
     // in-batch id ordering must MATCH the batch operator's column sort
-    // (so single-batch replay reproduces its layout exactly): strings
-    // compare as unsigned UTF-8 bytes (Spark's UTF8String.binaryCompare
-    // — Java compareTo is UTF-16 code-unit order, which inverts
-    // supplementary-plane chars vs BMP chars above U+E000), integrals
-    // as longs, fractional as doubles (no longValue truncation —
-    // 1.2 vs 1.5 must not tie), decimals exactly; nulls first, as in
-    // Spark's default null ordering
-    val idOrdering: Ordering[Any] = {
-      def utf8(a: String, b: String): Int = {
-        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        var i = 0
-        val n = math.min(x.length, y.length)
-        while (i < n) {
-          val c = (x(i) & 0xFF) - (y(i) & 0xFF)
-          if (c != 0) return c
-          i += 1
-        }
-        x.length - y.length
-      }
-      val cmp: (Any, Any) => Int = inSchema(idIdx).dataType match {
-        case StringType => (a, b) =>
-          utf8(a.asInstanceOf[String], b.asInstanceOf[String])
-        case ByteType | ShortType | IntegerType | LongType => (a, b) =>
-          java.lang.Long.compare(a.asInstanceOf[java.lang.Number].longValue,
-            b.asInstanceOf[java.lang.Number].longValue)
-        case FloatType | DoubleType => (a, b) =>
-          // -0.0 == 0.0 and NaN greatest, matching Spark's sort order
-          java.lang.Double.compare(
-            a.asInstanceOf[java.lang.Number].doubleValue + 0.0,
-            b.asInstanceOf[java.lang.Number].doubleValue + 0.0)
-        case _: DecimalType => (a, b) =>
-          a.asInstanceOf[java.math.BigDecimal]
-            .compareTo(b.asInstanceOf[java.math.BigDecimal])
-        case other => throw new IllegalArgumentException(
-          s"unsupported id column type for packing: $other")
-      }
-      (a: Any, b: Any) =>
-        if (a == null && b == null) 0
-        else if (a == null) -1
-        else if (b == null) 1
-        else cmp(a, b)
-    }
+    // (so single-batch replay reproduces its layout exactly) — see
+    // [[RowOrder.forType]]
+    val idOrdering: Ordering[Any] =
+      RowOrder.forType(inSchema(idIdx).dataType)
 
     val keyed = prepared.groupByKey(
       _.getAs[String]("shard"))(Encoders.STRING)

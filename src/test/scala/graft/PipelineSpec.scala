@@ -326,6 +326,58 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         s"want ${want.size}")
   }
 
+  test("ngram decontamination: substring leak flagged, 12-gram overlap " +
+      "is not, short reference matches whole text only") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "x1 b c d e f g h i j k l m x2 x3 x4"),
+      (3L, "totally unrelated words only here now"),
+      (4L, "short exact"),
+      (5L, "short exact plus tail")
+    ).toDF("doc_id", "text")
+    val ref = Seq(
+      "b c d e f g h i j k l m n o", // 14 tokens → two 13-grams
+      "short exact"                  // < n tokens → one whole-text gram
+    ).toDF("text")
+    val bad = Dedup.ngramOverlapIds(corpus, ref, "text", "doc_id")
+      .as[Long].collect().toSet
+    // doc 1 contains ref 1's first 13-gram verbatim; doc 2 shares only
+    // a 12-token run (every 13-gram differs at an end); doc 4 IS ref 2;
+    // doc 5 CONTAINS ref 2 but both sides gram at whole-text below n —
+    // the documented short-short blind spot of the gram convention
+    assert(bad == Set(1L, 4L),
+      s"contaminated set wrong: $bad")
+    val kept = Dedup.ngramDecontaminate(corpus, ref, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 5L))
+    // scale shape: the reference gram set must broadcast — the corpus
+    // side may not shuffle for the semi-join
+    val plan = Dedup.ngramOverlapIds(corpus, ref, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+      s"reference grams must broadcast:\n$plan")
+  }
+
+  test("keepNearDupRepresentativesBy keeps the max-score row per " +
+      "cluster, ties to min id, singletons untouched") {
+    val df = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 9.0), // cluster {1,2,3}: tie 2/3 → 2
+      (10L, 1.0),                      // singleton survives any score
+      (20L, 3.0), (21L, 7.0)           // cluster {20,21} → 21
+    ).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("a", "b")
+    val kept = Dedup.keepNearDupRepresentativesBy(df, pairs, "a", "b",
+        "id", col("score"))
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 21L), s"keep-best wrong: $kept")
+    // the min-id form keeps the opposite ends of the same clusters
+    val minKept = Dedup.keepNearDupRepresentatives(df, pairs, "a", "b",
+        "id")
+      .select($"id").as[Long].collect().toSet
+    assert(minKept == Set(1L, 10L, 20L))
+  }
+
   test("connectedComponents: crafted graph labels by min, long chain " +
       "converges, keeper drops non-representatives") {
     // chain of diameter 11 (stresses the iteration loop), a cyclic

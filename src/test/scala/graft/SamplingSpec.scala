@@ -189,6 +189,43 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       "every kept draw must be smaller than every dropped draw")
   }
 
+  test("selectToTokenBudget equals the single-window definition, " +
+      "nests across budgets, and respects per-stratum totals") {
+    val base = docs.select($"doc_id", $"lang",
+      graft.operators.TextAnalysis.tokenCount($"text").cast("long")
+        .as("ntok"))
+    val kept = Sampling.selectToTokenBudget(base, "doc_id", $"ntok",
+        2000L, Some("lang"))
+      .select($"doc_id").as[Long].collect().toSet
+    // the definition the bucket-histogram path must reproduce exactly:
+    // one global window per stratum in (draw, id) order
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(Sampling.hashBucket($"doc_id", Sampling.BudgetSalt),
+        $"doc_id")
+    val naive = base.withColumn("cum", sum($"ntok").over(w))
+      .filter($"cum" <= 2000L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == naive,
+      s"histogram path diverges from single-window definition: " +
+        s"extra=${kept -- naive} missing=${naive -- kept}")
+    // budgets nest like fractions do
+    val small = Sampling.selectToTokenBudget(base, "doc_id", $"ntok",
+        500L, Some("lang"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(kept), "a smaller budget must keep a subset")
+    // every stratum lands within budget (and selection is non-trivial)
+    val totals = Sampling.selectToTokenBudget(base, "doc_id", $"ntok",
+        2000L, Some("lang"))
+      .groupBy($"lang").agg(sum($"ntok").as("t"))
+      .as[(String, Long)].collect()
+    assert(totals.nonEmpty && totals.forall(_._2 <= 2000L))
+    // unstratified form budgets globally; zero budget keeps nothing
+    val g = Sampling.selectToTokenBudget(base, "doc_id", $"ntok", 3000L)
+    assert(g.agg(sum($"ntok")).as[Long].head() <= 3000L)
+    assert(Sampling.selectToTokenBudget(base, "doc_id", $"ntok", 0L)
+      .count() == 0L)
+  }
+
   test("composed curation draws are independent across operators " +
       "(domain-separated salts)") {
     import graft.operators.Packing
