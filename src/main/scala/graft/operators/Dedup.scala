@@ -445,18 +445,25 @@ object Dedup {
     * the MINIMUM id reachable through the pair graph (deterministic,
     * engine-independent labeling).
     *
-    * Algorithm: iterative min-label propagation as a DataFrame loop —
-    * each round joins labels to the (undirected) edge list, takes the
-    * per-neighbor minimum, and lowers labels that shrank. Rounds
-    * converge in O(graph diameter): near-dup graphs are
-    * shallow-diameter by nature (dup clusters are near-cliques — a
-    * mutation chain A~B~C still has every member within a hop or two
-    * of the minimum), so a handful of shuffles settles 100 TB of
-    * pairs. Each round materializes through a checkpoint so plan
-    * lineage stays O(1) instead of doubling per iteration; the
-    * convergence probe is the same action that materializes the
-    * round. Throws if `maxIter` rounds don't converge (pathological
-    * long-path graphs — raise maxIter, or contract stars first).
+    * Algorithm: iterative min-label propagation WITH POINTER JUMPING
+    * as a DataFrame loop — each round first shortcuts every label to
+    * its label's label (comp ← comp(comp), one self-join of the
+    * materialized label frame: classic pointer doubling), then joins
+    * labels to the (undirected) edge list and takes the per-neighbor
+    * minimum, lowering labels that shrank. Neighbor propagation alone
+    * needs O(diameter) rounds; the jump step halves remaining pointer
+    * depth each round, so long mutation chains (measured: a " zz"
+    * append fixture at sf1 builds diameter >30 chains that plain
+    * propagation never finished) settle in O(log diameter) rounds
+    * while shallow near-clique dup graphs still converge in the same
+    * 2–3 rounds as before. The fixed point is unchanged — labels only
+    * ever hold ids from the same component and only decrease, so the
+    * d8/d9 closure oracles hash-match with or without jumps. Each
+    * round materializes through a checkpoint so plan lineage stays
+    * O(1) instead of doubling per iteration; the convergence probe is
+    * the same action that materializes the round. Throws if `maxIter`
+    * rounds don't converge (with jumping that means diameter
+    * ~2^maxIter — effectively a cycle-guard only).
     *
     * FAULT TOLERANCE: the default `localCheckpoint` stores round
     * results as executor-resident blocks with TRUNCATED lineage —
@@ -476,9 +483,19 @@ object Dedup {
       : DataFrame = {
     reliableCheckpointDir.foreach(
       pairs.sparkSession.sparkContext.setCheckpointDir)
+    // withoutPlanStats: checkpoints inherit the origin plan's
+    // estimated sizeInBytes; in a join loop that estimate compounds
+    // multiplicatively round over round until the DRIVER spins in
+    // BigInteger multiplication computing the next round's stats
+    // (measured: the d15 sf1 chain fixture hung for 25+ min with the
+    // main thread inside BigInteger.multiplyToomCook3). Resetting
+    // stats at each materialization bounds every round's estimate to
+    // a fixed-depth plan; AQE still broadcasts small sides from
+    // measured shuffle sizes.
     def materialize(df: DataFrame): DataFrame =
-      if (reliableCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+      org.apache.spark.sql.graftshim.GraftColumnBridge.withoutPlanStats(
+        if (reliableCheckpointDir.isDefined) df.checkpoint()
+        else df.localCheckpoint())
     val edges = materialize(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(pairs.select(col(bCol).as("src"),
@@ -493,24 +510,39 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // per-node minimum over neighbors' labels
+      // pointer jump on the previous (materialized) round: shortcut
+      // comp ← comp(comp). comp is always the id of a component
+      // member, so its own label exists whenever that member touches
+      // an edge (always, here) — the left join is belt-and-braces
+      val jumped = labels
+        .join(labels.select(col("id").as("__cid"),
+          col("comp").as("__ccomp")),
+          col("comp") === col("__cid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__ccomp"), col("comp")))
+            .as("comp"),
+          coalesce(col("__ccomp") < col("comp"), lit(false))
+            .as("__jumped"))
+      // per-node minimum over neighbors' (jumped) labels
       val prop = edges
-        .join(labels.select(col("id").as("src"), col("comp")), "src")
+        .join(jumped.select(col("id").as("src"), col("comp")), "src")
         .groupBy(col("dst"))
         .agg(min(col("comp")).as("__ncomp"))
-      val next = materialize(labels
-        .join(prop, labels("id") === prop("dst"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("__ncomp"), col("comp")))
+      val next = materialize(jumped
+        .join(prop, jumped("id") === prop("dst"), "left")
+        .select(jumped("id"),
+          least(jumped("comp"), coalesce(col("__ncomp"), jumped("comp")))
             .as("comp"),
-          (col("__ncomp") < col("comp")).as("__lowered")))
+          (col("__jumped") || coalesce(col("__ncomp") < jumped("comp"),
+            lit(false))).as("__lowered")))
       converged = next.filter(col("__lowered")).isEmpty
       labels = next.drop("__lowered")
       iter += 1
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
-        "graph diameter exceeds maxIter; raise it")
+        "the pair graph is deeper than 2^maxIter hops (or cyclic " +
+        "labels, a bug); raise maxIter")
     labels
   }
 
@@ -541,9 +573,12 @@ object Dedup {
                                 None): DataFrame = {
     reliableCheckpointDir.foreach(
       pairs.sparkSession.sparkContext.setCheckpointDir)
+    // stats reset per round for the same reason as in
+    // [[connectedComponents]] — see the comment there
     def materialize(df: DataFrame): DataFrame =
-      if (reliableCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+      org.apache.spark.sql.graftshim.GraftColumnBridge.withoutPlanStats(
+        if (reliableCheckpointDir.isDefined) df.checkpoint()
+        else df.localCheckpoint())
     // node set is fixed up front: contraction rewires edges, so an
     // id's own row can vanish from the edge list once it points at
     // its minimum — membership must not depend on surviving edges

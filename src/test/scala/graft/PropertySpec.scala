@@ -149,6 +149,20 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(again == byId, "CC must be a fixed point of itself")
   }
 
+  test("pointer jumping converges min-label CC on a long path in " +
+      "O(log diameter) rounds (regression: deep mutation chains)") {
+    // diameter 199 with the minimum at one end — the worst shape for
+    // plain neighbor propagation (needs 200 rounds; the sf1 d15
+    // fixture built >30-deep chains that threw non-convergence).
+    // maxIter 12 only passes if the comp←comp(comp) jump step is
+    // halving pointer depth every round.
+    val path = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(path, "a", "b", maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 200 && labels.values.forall(_ == 1L),
+      "a 200-node path is one component labeled by its minimum")
+  }
+
   test("star-contraction CC labels equal min-label CC on random " +
       "graphs, and converges on a long path in O(log n) rounds") {
     // random graphs of three densities: sparse (mostly trees/paths),
