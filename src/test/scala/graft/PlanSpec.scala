@@ -74,4 +74,37 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "shuffle partitions must equal the session's core count, " +
         "not Spark's 200 default")
   }
+
+  test("withoutPlanStats keeps an iterative checkpoint loop's size " +
+      "estimate bounded (no round-over-round compounding)") {
+    import org.apache.spark.sql.graftshim.GraftColumnBridge
+    import spark.implicits._
+    // checkpoints inherit the origin plan's estimated sizeInBytes, and
+    // a join estimate is the PRODUCT of its children's — so a loop of
+    // self-join → checkpoint squares the estimate every round (the
+    // BigInt's digit count doubles; by round ~12 the driver spins in
+    // BigInteger multiplication just computing stats). The CC loops
+    // reset stats each round; this pins the mechanism.
+    def round(df: org.apache.spark.sql.DataFrame) =
+      df.join(df.select($"id".as("id2")), $"id" === $"id2")
+        .select($"id").localCheckpoint()
+    var noReset = (1L to 64L).toDF("id").localCheckpoint()
+    var withReset = noReset
+    for (_ <- 1 to 6) {
+      noReset = round(noReset)
+      withReset = GraftColumnBridge.withoutPlanStats(round(withReset))
+    }
+    val grown = noReset.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bounded =
+      withReset.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(grown.bitLength > 200,
+      s"expected the unreset estimate to compound past 2^200, got " +
+        s"bitLength ${grown.bitLength} — has Spark stopped " +
+        "inheriting originStats?")
+    assert(bounded.bitLength <= 64,
+      s"reset estimate must stay at the leaf default, got bitLength " +
+        s"${bounded.bitLength}")
+    // and the data must ride through untouched
+    assert(withReset.count() == 64)
+  }
 }
