@@ -882,6 +882,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // quality-weighted soft filter: keep probability = n_chars/400
+    // (docs at 400+ chars always survive — both branches exercised);
+    // the oracle recomputes the per-row hex threshold bit-exactly
+    "p7_weighted_sample" -> ((s, d) =>
+      operators.Sampling.weightedHashSample(t(s, d, "documents"),
+          "doc_id", col("n_chars") / lit(400.0))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // Gopher-style repetition signals: explode + two-level groupBy
     // (never per-row quadratic), all-integer outputs for an exact
     // oracle
@@ -1813,6 +1822,16 @@ object SparkEntry {
         |    ORDER BY draw, doc_id ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t)
         |SELECT doc_id, lang FROM c WHERE cum <= 2000
+        |ORDER BY doc_id""".stripMargin,
+
+    "p7_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars / 400.0 >= 1.0
+        |   OR (n_chars / 400.0 > 0.0 AND
+        |       substr(md5(CAST(doc_id AS VARCHAR) || chr(0) || 'weight'),
+        |         1, 8)
+        |       < lpad(lower(to_hex(CAST(floor(n_chars / 400.0
+        |           * 4294967296.0) AS BIGINT))), 8, '0'))
         |ORDER BY doc_id""".stripMargin,
 
     "t9_repetition" ->

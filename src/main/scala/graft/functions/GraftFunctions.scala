@@ -117,6 +117,10 @@ object GraftFunctions {
         else graft.operators.Sampling.SampleSalt)), "scala_udf")
     reg.createOrReplaceTempFunction("split_by_hash",
       splitByHashExpr, "scala_udf")
+    reg.createOrReplaceTempFunction("weighted_sample", es =>
+      x(graft.operators.Sampling.weightedKeep(c(es(0)), c(es(1)),
+        if (es.length > 2) stringLit(es(2), "weighted_sample salt")
+        else graft.operators.Sampling.WeightSalt)), "scala_udf")
     reg.createOrReplaceTempFunction("redact_pii", es =>
       x(graft.operators.TextAnalysis.redactPii(c(es.head))), "scala_udf")
     reg.createOrReplaceTempFunction("quantize_int8", es =>

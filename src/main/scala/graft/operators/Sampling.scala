@@ -49,6 +49,7 @@ object Sampling {
   val SplitSalt = "split"
   val ReservoirSalt = "reservoir"
   val BudgetSalt = "budget"
+  val WeightSalt = "weight"
 
   /** First 8 hex chars of md5(id || 'NUL' || salt): the row's
     * uniform draw in the given salt domain. The NUL delimiter makes
@@ -98,6 +99,43 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, fraction: Double,
                  salt: String = SampleSalt): DataFrame =
     df.filter(draw(col(idCol), fraction, salt))
+
+  /** Per-row keep predicate behind [[weightedHashSample]]: true with
+    * probability `weight` (values ≥1 always keep, ≤0 always drop) by
+    * comparing the id's salted draw against the per-row hex threshold
+    * `floor(weight · 16^8)`. The threshold comparison stays in hex
+    * strings like every other draw here, so external systems and the
+    * DuckDB oracle reproduce the exact kept set (`weight · 16^8` is a
+    * power-of-two scaling — exact in IEEE doubles, no cross-engine
+    * rounding seam; the only requirement is that both engines see the
+    * same `weight` doubles).
+    */
+  def weightedKeep(idCol: Column, weight: Column,
+                   salt: String = WeightSalt): Column = {
+    val thr = lpad(lower(hex(floor(weight * lit(4294967296.0)))), 8, "0")
+    (weight >= 1.0) ||
+      (weight > 0.0 && hashBucket(idCol, salt) < thr)
+  }
+
+  /** Weighted deterministic sample: keeps each row with probability
+    * equal to its `weight` column (clamped to [0, 1] by the ≥1 / ≤0
+    * branches) — the "soft filter" of quality-weighted curation: keep
+    * high-quality documents with high probability instead of a hard
+    * quality cutoff, preserving tail diversity while shrinking the
+    * corpus toward a token target. Same contract as [[hashSample]]:
+    * pure scan-adjacent filter (no shuffle, codegen end-to-end,
+    * streaming-safe), reproducible across runs/retries/engines, and
+    * MONOTONE in the weight — scaling every weight up only ADDS rows
+    * (thresholds nest per row), so tightening a quality curve between
+    * runs never flips a kept row for an unrelated one. Duplicate ids
+    * with equal weights travel together; if weights differ between
+    * copies, each copy draws once against its own weight (same draw,
+    * different thresholds — the higher-weight copy survives whenever
+    * the lower does).
+    */
+  def weightedHashSample(df: DataFrame, idCol: String, weight: Column,
+                         salt: String = WeightSalt): DataFrame =
+    df.filter(weightedKeep(col(idCol), weight, salt))
 
   /** Stratified deterministic sample: per-stratum fractions with a
     * default for unlisted strata. Same nesting/reproducibility as

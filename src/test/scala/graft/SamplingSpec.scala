@@ -34,6 +34,46 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0L)
   }
 
+  test("weightedHashSample keeps per-row probability, is monotone in " +
+      "the weight, and stays a pure scan filter") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val w = col("n_chars") / lit(400.0)
+    val a = Sampling.weightedHashSample(docs, "doc_id", w)
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Sampling.weightedHashSample(docs, "doc_id", w)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a == b, "same weights must select identical rows every run")
+    // monotone: halving every weight only removes rows
+    val narrower = Sampling.weightedHashSample(docs, "doc_id",
+        w / lit(2.0))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(narrower.subsetOf(a),
+      "per-row thresholds nest: lower weights select a subset")
+    // expected kept count = sum of clamped weights
+    val expected = docs
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.least(lit(1.0), w)))
+      .as[Double].head()
+    assert(math.abs(a.size - expected) / expected < 0.2,
+      s"kept ${a.size}, expected ≈$expected")
+    // weight >= 1 always keeps; <= 0 always drops
+    assert(Sampling.weightedHashSample(docs, "doc_id", lit(1.0))
+      .count() == docs.count())
+    assert(Sampling.weightedHashSample(docs, "doc_id", lit(0.0))
+      .count() == 0L)
+    assert(Sampling.weightedHashSample(docs, "doc_id", lit(-3.0))
+      .count() == 0L)
+    // rows at weight >= 1 survive regardless of their draw
+    val heavy = docs.filter(col("n_chars") >= 400)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(heavy.subsetOf(a), "weight >= 1 rows must all be kept")
+    // scale shape: still a pure filter — no shuffle
+    val plan = Sampling.weightedHashSample(docs, "doc_id", w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"weightedHashSample must not shuffle:\n$plan")
+  }
+
   test("splitByHash partitions rows completely, disjointly, and " +
       "leakage-safe") {
     val split = Sampling.splitByHash(docs, "doc_id",
