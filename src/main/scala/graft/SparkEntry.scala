@@ -891,6 +891,35 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // leakage-safe split: near-dup CLUSTERS (connected components of
+    // the d8 pair graph) draw once on their min-id label, so no
+    // train/eval boundary can cut through a near-dup pair; unpaired
+    // docs draw on their own id (= plain splitByHash). Oracle reuses
+    // the d8 closure CTE and recomputes every band assignment
+    "p8_split_leakage_safe" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mutated = docs
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", regexp_replace(col("text"), "the", "thee"))
+      val all = docs.unionByName(mutated)
+      val pairs = operators.Dedup.simhashPairsFromSig(all,
+        graft.functions.simhash64_md5(
+          operators.TextAnalysis.tokenize(col("text"))),
+        "doc_id", maxHamming = 3)
+      operators.Sampling.splitByHashComponents(all, "doc_id", pairs,
+          "doc_id_1", "doc_id_2",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic corpus shuffle: global ORDER BY the salted draw
+    // (range exchange — no single-reducer sort); the oracle
+    // reproduces the exact permutation, so row ORDER is the check
+    "p9_shuffle" -> ((s, d) =>
+      operators.Sampling.shuffleByHash(t(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), col("lang"))),
+
     // Gopher-style repetition signals: explode + two-level groupBy
     // (never per-row quadratic), all-integer outputs for an exact
     // oracle
@@ -996,7 +1025,12 @@ object SparkEntry {
     * (component = min reachable id) via a recursive CTE — both CC
     * algorithms must reproduce it exactly.
     */
-  private val dupComponentsClosureSql: String =
+  /** The d8 fixture's pair graph + transitive closure as a reusable
+    * CTE prefix: `du` = documents ∪ mutated copies, `reach` = the
+    * closure of the SimHash(≤3) pair graph over them. Shared by the
+    * d8/d13 component oracles and the p8 leakage-safe-split oracle.
+    */
+  private val dupComponentsClosureCte: String =
     """WITH RECURSIVE du AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -1032,9 +1066,12 @@ object SparkEntry {
       |reach(src, dst) AS (
       |  SELECT src, dst FROM edges
       |  UNION
-      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-      |SELECT src AS doc_id, least(src, min(dst)) AS component
-      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
+
+  private val dupComponentsClosureSql: String =
+    dupComponentsClosureCte + "\n" +
+      """SELECT src AS doc_id, least(src, min(dst)) AS component
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   /** DuckDB-runnable oracle SQL, column-name-aligned with `queries`. */
   def oracleSql: Map[String, String] = Map(
@@ -1833,6 +1870,27 @@ object SparkEntry {
         |       < lpad(lower(to_hex(CAST(floor(n_chars / 400.0
         |           * 4294967296.0) AS BIGINT))), 8, '0'))
         |ORDER BY doc_id""".stripMargin,
+
+    "p8_split_leakage_safe" ->
+      (dupComponentsClosureCte + ",\n" +
+        """comp AS (
+          |  SELECT src AS doc_id, least(src, min(dst)) AS component
+          |  FROM reach GROUP BY src)
+          |SELECT d.doc_id,
+          |  CASE WHEN substr(md5(CAST(coalesce(c.component, d.doc_id)
+          |           AS VARCHAR) || chr(0) || 'split'), 1, 8)
+          |         < 'cccccccc' THEN 'train'
+          |       WHEN substr(md5(CAST(coalesce(c.component, d.doc_id)
+          |           AS VARCHAR) || chr(0) || 'split'), 1, 8)
+          |         < 'e6666666' THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM du d LEFT JOIN comp c ON d.doc_id = c.doc_id
+          |ORDER BY d.doc_id""".stripMargin),
+
+    "p9_shuffle" ->
+      """SELECT doc_id, lang FROM documents
+        |ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || chr(0)
+        |  || 'shuffle'), 1, 8), doc_id""".stripMargin,
 
     "t9_repetition" ->
       """WITH base AS (

@@ -50,6 +50,7 @@ object Sampling {
   val ReservoirSalt = "reservoir"
   val BudgetSalt = "budget"
   val WeightSalt = "weight"
+  val ShuffleSalt = "shuffle"
 
   /** First 8 hex chars of md5(id || 'NUL' || salt): the row's
     * uniform draw in the given salt domain. The NUL delimiter makes
@@ -186,6 +187,61 @@ object Sampling {
       }
     coalesce(split, lit(weights.last._1))
   }
+
+  /** Leakage-safe split in the presence of NEAR-duplicates: assigns
+    * every member of a near-dup CLUSTER to the same band by hashing
+    * the cluster's [[Dedup.connectedComponents]] label (the minimum
+    * reachable id) instead of the row's own id. [[splitByHash]] keeps
+    * EXACT copies together (equal ids, equal draws) but sends two
+    * near-identical documents with different ids to independent draws
+    * — at 0.8/0.1/0.1 about 1 in 3 near-dup pairs straddles
+    * train/eval, which is precisely the train→test contamination a
+    * held-out set exists to prevent. Here `pairs` is any near-dup
+    * pair frame (d3–d7: MinHash, SimHash, Jaccard, embedding LSH);
+    * rows that appear in no pair are singleton clusters and draw on
+    * their own id, so over the un-paired remainder this degenerates
+    * to exactly [[splitByHash]] (same salt domain, same draws —
+    * spec-pinned).
+    *
+    * Scale: one CC run over the pair frame (pairs are orders of
+    * magnitude smaller than the corpus) + one broadcast-or-shuffle
+    * left join of the label frame onto the corpus; the split itself
+    * stays a pure projection. Cluster fault tolerance for the CC
+    * rounds via `reliableCheckpointDir`, as in
+    * [[Dedup.connectedComponents]].
+    */
+  def splitByHashComponents(df: DataFrame, idCol: String,
+                            pairs: DataFrame, aCol: String, bCol: String,
+                            weights: Seq[(String, Double)],
+                            salt: String = SplitSalt,
+                            maxIter: Int = 30,
+                            reliableCheckpointDir: Option[String] = None)
+      : DataFrame = {
+    val labels = Dedup
+      .connectedComponents(pairs, aCol, bCol, maxIter,
+        reliableCheckpointDir)
+      .select(col("id").as("__cc_id"), col("comp").as("__cc_comp"))
+    df.join(labels, df(idCol) === col("__cc_id"), "left")
+      .withColumn("split",
+        splitLabel(coalesce(col("__cc_comp"), df(idCol)), weights, salt))
+      .drop("__cc_id", "__cc_comp")
+  }
+
+  /** Deterministic global shuffle for training-order randomization:
+    * orders the corpus by each row's salted draw (ties broken by id).
+    * Same reproducibility story as every draw here — identical order
+    * across runs, retries, engines; a different `salt` gives an
+    * independent permutation (fresh data order per epoch without
+    * materializing anything). Spark executes the ORDER BY as a range
+    * exchange on the draw + per-partition sort; the draw is uniform
+    * by construction, so range boundaries stay balanced at any scale
+    * — no skew, no single-reducer sort. Write the result with
+    * maxRecordsPerFile (or feed [[Packing.packChunks]]) to get
+    * reproducibly-shuffled training shards.
+    */
+  def shuffleByHash(df: DataFrame, idCol: String,
+                    salt: String = ShuffleSalt): DataFrame =
+    df.orderBy(hashBucket(col(idCol), salt), col(idCol))
 
   /** Deterministic per-key "reservoir": the `n` rows of each key with
     * the smallest hash draw (ties broken by id). One shuffle on the

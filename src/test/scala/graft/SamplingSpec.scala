@@ -112,6 +112,61 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       "default salts must give split a draw independent of hashSample")
   }
 
+  test("splitByHashComponents keeps every near-dup cluster in one band " +
+      "and equals splitByHash off-cluster") {
+    // corpus = docs ∪ shifted copies; pairs link each doc to its copy
+    // for the first half of ids only — the second half stays unpaired
+    val copies = docs.withColumn("doc_id", $"doc_id" + 1000000L)
+    val all = docs.unionByName(copies)
+    val maxId = docs.agg(max($"doc_id")).as[Long].head()
+    val pairs = docs.filter($"doc_id" <= maxId / 2)
+      .select($"doc_id".as("a"), ($"doc_id" + 1000000L).as("b"))
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.splitByHashComponents(all, "doc_id", pairs,
+        "a", "b", w)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(got.size == all.count(),
+      "every row must get a band exactly once")
+    // leakage safety: both ends of every pair share a band
+    pairs.select($"a", $"b").as[(Long, Long)].collect().foreach {
+      case (a, b) => assert(got(a) == got(b),
+        s"pair ($a,$b) straddles bands: ${got(a)} vs ${got(b)}")
+    }
+    // off-cluster rows draw exactly as plain splitByHash
+    val plain = Sampling.splitByHash(all, "doc_id", w)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    got.keys.filter(id => (id % 1000000L) > maxId / 2).foreach { id =>
+      assert(got(id) == plain(id),
+        s"unpaired row $id must keep its own-id draw")
+    }
+    // and WITHOUT the cluster labels, some pair would straddle bands
+    // (the hazard this operator exists to close)
+    assert(pairs.select($"a", $"b").as[(Long, Long)].collect()
+        .exists { case (a, b) => plain(a) != plain(b) },
+      "fixture too small to exhibit the leakage hazard")
+  }
+
+  test("shuffleByHash is a deterministic permutation, salt-independent, " +
+      "and sorts by range exchange (no single-reducer)") {
+    val a = Sampling.shuffleByHash(docs, "doc_id")
+      .select($"doc_id").as[Long].collect()
+    val b = Sampling.shuffleByHash(docs, "doc_id")
+      .select($"doc_id").as[Long].collect()
+    assert(a.sameElements(b), "same salt must give the identical order")
+    assert(a.sorted.sameElements(
+      docs.select($"doc_id").as[Long].collect().sorted),
+      "a shuffle is a permutation — same rows, new order")
+    assert(!a.sameElements(a.sorted), "order must actually change")
+    val epoch2 = Sampling.shuffleByHash(docs, "doc_id", "shuffle-epoch2")
+      .select($"doc_id").as[Long].collect()
+    assert(!a.sameElements(epoch2),
+      "a different salt must give an independent permutation")
+    val plan = Sampling.shuffleByHash(docs, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"global shuffle must sort via range exchange:\n$plan")
+  }
+
   test("stratifiedHashSample applies per-stratum fractions with default") {
     val kept = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
         Map("en" -> 1.0, "de" -> 0.0), defaultFraction = 0.2)
