@@ -928,6 +928,13 @@ object SparkEntry {
           t(s, d, "documents"), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // CROSS-doc boilerplate signal: distinct 3-grams per doc vs how
+    // many occur in ≥2 docs corpus-wide; all-integer → exact oracle
+    "t10_ngram_novelty" -> ((s, d) =>
+      operators.TextAnalysis.ngramNoveltyStats(t(s, d, "documents"),
+          "doc_id", "text", n = 3, minDf = 2)
+        .orderBy(col("doc_id"))),
+
     // PII redaction with RE2-safe patterns; the fixture text gets a
     // deterministic synthetic email + phone appended IN THE QUERY (both
     // engines build the same string), so the oracle discriminates even
@@ -1891,6 +1898,23 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || chr(0)
         |  || 'shuffle'), 1, 8), doc_id""".stripMargin,
+
+    "t10_ngram_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))) END AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |      '[ \t\n\v\f\r]+') AS toks
+        |    FROM documents)),
+        |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+        |f AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+        |SELECT g.doc_id, count(*) AS n_ngrams,
+        |  count(*) FILTER (WHERE f.df >= 2) AS n_common
+        |FROM g JOIN f USING (gram)
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
 
     "t9_repetition" ->
       """WITH base AS (

@@ -180,4 +180,43 @@ object TextAnalysis {
 
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^\\p{L}\\p{N}]", ""))
+
+  /** CROSS-document n-gram commonality stats — the corpus-level
+    * boilerplate signal ([[repetitionStats]] is the within-doc one):
+    * per document, `n_ngrams` = its distinct word n-grams and
+    * `n_common` = how many of those occur in at least `minDf`
+    * DISTINCT documents corpus-wide. A high `n_common / n_ngrams`
+    * ratio marks template/boilerplate text (nav bars, license
+    * headers, generated pages) that per-doc quality scores can't see;
+    * filter or down-weight on it (e.g. via [[Sampling
+    * .weightedHashSample]]). All-integer outputs → exact oracle.
+    *
+    * Scale shape: an inverted-index design, never all-pairs. One
+    * shuffle of the (doc, gram-hash) frame computes per-gram document
+    * frequency ([[Dedup.shingles]] emits each gram once per doc, so a
+    * plain count IS the distinct-doc count — no count-distinct
+    * machinery); grams with df ≥ minDf — the boilerplate set, orders
+    * of magnitude smaller than the gram universe — come back via a
+    * LEFT SEMI join (AQE broadcasts it when it is small; a
+    * super-common gram is just one broadcast row, so hot n-grams
+    * cannot skew a partition the way a window-over-gram would), and
+    * two per-doc counts aggregate on the id. Grams travel as 16-byte
+    * md5 digests, never strings.
+    */
+  def ngramNoveltyStats(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minDf: Int = 2): DataFrame = {
+    val grams = df.select(col(idCol),
+        explode(Dedup.shingles(col(textCol), n)).as("__gram"))
+      .select(col(idCol), unhex(md5(col("__gram"))).as("__g"))
+    val common = grams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__g"))
+    val totals = grams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"))
+    val commons = grams.join(common, Seq("__g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_common"))
+    totals.join(commons, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_common"))
+  }
 }

@@ -227,6 +227,25 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L) == ((1L, 1L, 1L, 0L, 0L)))
   }
 
+  test("ngramNoveltyStats counts corpus-common n-grams per doc, " +
+      "short docs fall back to whole-text grams") {
+    import graft.operators.TextAnalysis
+    val rows = Seq((1L, "a b c d"), (2L, "a b c x"),
+      (3L, "zz"), (4L, "zz"), (5L, "only unique words here"))
+    val got = TextAnalysis.ngramNoveltyStats(
+        rows.toDF("doc_id", "text"), "doc_id", "text", n = 3, minDf = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    // doc1 {"a b c","b c d"}, doc2 {"a b c","b c x"}: share "a b c";
+    // docs 3/4 are whole-text grams "zz" (df=2); doc5 all-novel
+    assert(got == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 1L, 1L),
+      (4L, 1L, 1L), (5L, 2L, 0L)), s"got $got")
+    // no cartesian anywhere in the inverted-index plan
+    val plan = TextAnalysis.ngramNoveltyStats(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"all-pairs plan:\n$plan")
+  }
+
   test("quantizeInt8 single-arg convenience equals the two-step form") {
     import graft.operators.Similarity
     val emb = Graft.table(spark, sf, "embeddings").limit(50)
