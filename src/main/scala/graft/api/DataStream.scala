@@ -137,6 +137,31 @@ final case class DataStream(
       : DataStream =
     next(graft.operators.Sampling.splitByHash(df, idCol, weights, salt))
 
+  /** Quality-weighted soft filter: keep probability = the per-row
+    * `weight` column (clamped to [0,1]); a pure stateless filter, so
+    * it runs on batch AND streaming frames with identical draws
+    * (graft.operators.Sampling.weightedHashSample).
+    */
+  def weightedSample(idCol: String, weight: Column,
+                     salt: String = graft.operators.Sampling.WeightSalt)
+      : DataStream =
+    next(graft.operators.Sampling.weightedHashSample(df, idCol, weight,
+      salt))
+
+  /** Deterministic training-order shuffle: global order by the salted
+    * draw (graft.operators.Sampling.shuffleByHash). Batch frames only
+    * — a global sort has no incremental streaming form; shuffle in
+    * the batch compaction pass after ingest.
+    */
+  def shuffleByHash(idCol: String,
+                    salt: String = graft.operators.Sampling.ShuffleSalt)
+      : DataStream = {
+    require(!df.isStreaming,
+      "shuffleByHash is batch-only: a global sort cannot stream — " +
+        "shuffle in the compaction pass")
+    next(graft.operators.Sampling.shuffleByHash(df, idCol, salt))
+  }
+
   /** GPT-style concat-then-chunk packing: the batch window form on
     * batch frames, the per-shard-cursor stateful form
     * (graft.streaming.StreamingPacking) on streaming frames — same

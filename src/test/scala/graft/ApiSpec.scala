@@ -93,13 +93,16 @@ class ApiSpec extends AnyFunSuite with SparkSpec {
     val docs = Graft.table(spark, sf, "documents")
     val viaBridge = DataStream(docs)
       .hashSample("doc_id", 0.4)
+      .weightedSample("doc_id", $"n_chars" / lit(300.0))
       .splitByHash("doc_id", Seq("train" -> 0.9, "val" -> 0.1))
       .redactPii("text")
       .packChunks("doc_id", "n_chars", capacity = 2048L)
       .toDF.select($"doc_id", $"split", $"text", $"shard", $"start")
     val viaOps = graft.operators.Packing.packChunks(
       graft.operators.Sampling.splitByHash(
-        graft.operators.Sampling.hashSample(docs, "doc_id", 0.4),
+        graft.operators.Sampling.weightedHashSample(
+          graft.operators.Sampling.hashSample(docs, "doc_id", 0.4),
+          "doc_id", $"n_chars" / lit(300.0)),
         "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
         .withColumn("text",
           graft.operators.TextAnalysis.redactPii($"text")),
@@ -107,6 +110,13 @@ class ApiSpec extends AnyFunSuite with SparkSpec {
       .select($"doc_id", $"split", $"text", $"shard", $"start")
     assert(viaBridge.exceptAll(viaOps).isEmpty &&
       viaOps.exceptAll(viaBridge).isEmpty)
+
+    // shuffleByHash mirrors the operator order and is batch-only
+    val shuffled = DataStream(docs).shuffleByHash("doc_id")
+      .toDF.select($"doc_id").as[Long].collect()
+    assert(shuffled.sameElements(
+      graft.operators.Sampling.shuffleByHash(docs, "doc_id")
+        .select($"doc_id").as[Long].collect()))
 
     // streaming dispatch: the plan must be the stateful packer
     // (TransformWithState), not the batch window
@@ -119,5 +129,9 @@ class ApiSpec extends AnyFunSuite with SparkSpec {
     val plan = packed.toDF.queryExecution.analyzed.toString
     assert(plan.contains("TransformWithState"),
       s"streaming packChunks must plan the stateful packer:\n$plan")
+    // a global sort cannot stream — the bridge must refuse, not plan
+    intercept[IllegalArgumentException](
+      DataStream(stream.toDF.withColumnRenamed("value", "id"))
+        .shuffleByHash("id"))
   }
 }

@@ -392,13 +392,16 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       "reservoir draws must be independent of the sampling draws")
   }
 
-  test("hashSample/splitByHash are streaming-safe and keep the batch " +
-      "draws (pure stateless filters/projections)") {
+  test("hashSample/splitByHash/weightedHashSample are streaming-safe " +
+      "and keep the batch draws (pure stateless filters/projections)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[Long](spark)
+    // weight = id/700: both always-keep (id ≥ 700) and drawn branches
+    def weighted(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedHashSample(df, "doc_id", col("doc_id") / lit(700.0))
     val streamed = Sampling.splitByHash(
-      Sampling.hashSample(input.toDF.withColumnRenamed("value", "doc_id"),
-        "doc_id", 0.5),
+      weighted(Sampling.hashSample(
+        input.toDF.withColumnRenamed("value", "doc_id"), "doc_id", 0.5)),
       "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     val q = streamed.writeStream.outputMode("append")
       .format("memory").queryName("sampling_stream").start()
@@ -409,7 +412,8 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       val got = spark.table("sampling_stream")
         .select($"doc_id", $"split").as[(Long, String)].collect().toSet
       val want = Sampling.splitByHash(
-        Sampling.hashSample((1L to 1000L).toDF("doc_id"), "doc_id", 0.5),
+        weighted(Sampling.hashSample((1L to 1000L).toDF("doc_id"),
+          "doc_id", 0.5)),
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select($"doc_id", $"split").as[(Long, String)].collect().toSet
       assert(got == want,
