@@ -191,32 +191,29 @@ object TextAnalysis {
     * filter or down-weight on it (e.g. via [[Sampling
     * .weightedHashSample]]). All-integer outputs → exact oracle.
     *
-    * Scale shape: an inverted-index design, never all-pairs. One
-    * shuffle of the (doc, gram-hash) frame computes per-gram document
-    * frequency ([[Dedup.shingles]] emits each gram once per doc, so a
-    * plain count IS the distinct-doc count — no count-distinct
-    * machinery); grams with df ≥ minDf — the boilerplate set, orders
-    * of magnitude smaller than the gram universe — come back via a
-    * LEFT SEMI join (AQE broadcasts it when it is small; a
-    * super-common gram is just one broadcast row, so hot n-grams
-    * cannot skew a partition the way a window-over-gram would), and
-    * two per-doc counts aggregate on the id. Grams travel as 16-byte
-    * md5 digests, never strings.
+    * Scale shape: an inverted-index design, never all-pairs. Grams
+    * travel as 64-bit [[Dedup.shingleHashes]] values — one native
+    * pass per document, no token/gram string materialization, 16
+    * bytes per exploded row ([[Dedup.shingles]]' per-doc-distinct
+    * contract holds, so a plain count IS the distinct-doc frequency —
+    * no count-distinct machinery). One shuffle on the gram hash
+    * computes document frequency, the frequency joins back on the
+    * same key (map-side partial aggregation feeds the frequency side,
+    * AQE's skew-join split absorbs super-common grams — the
+    * frequency side is one row per gram and replicates freely), then
+    * one per-doc aggregation on the id computes both counts. The
+    * DuckDB oracle counts gram STRINGS; counts agree modulo 64-bit
+    * hash collisions (~k²/2^65 — odds ~1e-7 even at 10^6 distinct
+    * grams), pinned hash-exact at sf0.001/0.01/0.1.
     */
   def ngramNoveltyStats(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minDf: Int = 2): DataFrame = {
     val grams = df.select(col(idCol),
-        explode(Dedup.shingles(col(textCol), n)).as("__gram"))
-      .select(col(idCol), unhex(md5(col("__gram"))).as("__g"))
-    val common = grams.groupBy(col("__g"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDf)
-      .select(col("__g"))
-    val totals = grams.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_ngrams"))
-    val commons = grams.join(common, Seq("__g"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_common"))
-    totals.join(commons, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_common"))
+      explode(Dedup.shingleHashes(col(textCol), n)).as("__g"))
+    val freq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    grams.join(freq, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        count(when(col("__df") >= minDf, true)).as("n_common"))
   }
 }
