@@ -935,6 +935,28 @@ object SparkEntry {
           "doc_id", "text", n = 3, minDf = 2)
         .orderBy(col("doc_id"))),
 
+    // CROSS-doc boilerplate REMOVAL: the single-line fixture corpus is
+    // reshaped into 3-word lines (31-word vocab → ~30k combos, so the
+    // document frequencies spread organically: ~35% of line
+    // occurrences flagged at sf0.001/0.01, ~96% at sf0.1 with
+    // thousands surviving), then every line seen in ≥2 distinct docs
+    // is stripped and the text rebuilt; rebuilt text + both counts
+    // oracled. The reshape assumes non-empty single-space text (the
+    // fixture's shape) — the operator itself handles the edge cases
+    // (spec'd: empty lines exempt, all-removed docs keep "")
+    "t11_strip_boilerplate" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nLines = floor((size(toks) + lit(2)) / lit(3)).cast("int")
+      val lined = t(s, d, "documents").select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), nLines - 1),
+            i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3)))),
+          "\n").as("text"))
+      operators.TextAnalysis.stripBoilerplateLines(
+          lined, "doc_id", "text", minDf = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction with RE2-safe patterns; the fixture text gets a
     // deterministic synthetic email + phone appended IN THE QUERY (both
     // engines build the same string), so the oracle discriminates even
@@ -1898,6 +1920,34 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || chr(0)
         |  || 'shuffle'), 1, 8), doc_id""".stripMargin,
+
+    "t11_strip_boilerplate" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(text, ' ') AS toks
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, list_transform(range(0, (len(toks) + 2) // 3),
+        |    i -> array_to_string(toks[i*3+1:i*3+3], ' ')) AS ls
+        |  FROM base),
+        |lp AS (
+        |  SELECT doc_id, unnest(range(0, len(ls))) AS pos,
+        |    unnest(ls) AS line
+        |  FROM lined),
+        |fl AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS df
+        |    FROM lp WHERE line <> '' GROUP BY line)
+        |  WHERE df >= 2),
+        |mk AS (
+        |  SELECT lp.doc_id, lp.pos, lp.line,
+        |    (fl.line IS NOT NULL) AS rm
+        |  FROM lp LEFT JOIN fl ON lp.line = fl.line)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT rm THEN line END,
+        |    chr(10) ORDER BY pos), '') AS text,
+        |  count(*) AS n_lines,
+        |  count(*) FILTER (WHERE rm) AS n_removed
+        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t10_ngram_novelty" ->
       """WITH sh AS (

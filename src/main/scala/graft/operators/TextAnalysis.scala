@@ -216,4 +216,58 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_ngrams"),
         count(when(col("__df") >= minDf, true)).as("n_common"))
   }
+
+  /** Cross-document boilerplate REMOVAL ([[ngramNoveltyStats]] is the
+    * signal-only twin): drop every newline-delimited line whose exact
+    * content occurs in at least `minDf` DISTINCT documents, and
+    * rebuild each document's text from its surviving lines in
+    * original order. This is the line-level corpus dedup every web
+    * curation pipeline runs between extraction and quality filtering
+    * (nav bars, cookie banners, license headers repeat verbatim
+    * across a domain's pages; within one page they're unremarkable).
+    * Returns `(idCol, textCol, n_lines, n_removed)` — one row per
+    * input document, all-lines-removed documents kept with `""`.
+    *
+    * Empty lines are document STRUCTURE, not content: they are exempt
+    * from both frequency counting and removal (otherwise every blank
+    * separator line in the corpus is "boilerplate" and paragraph
+    * boundaries collapse). Duplicate lines WITHIN one document count
+    * once toward document frequency, but every occurrence is removed
+    * once the line is flagged.
+    *
+    * Scale shape: an inverted-index design over 64-bit line hashes —
+    * lines travel as 8-byte `xxhash64` values for counting, strings
+    * ship exactly once (to the rebuild). One shuffle dedups
+    * `(doc, hash)` pairs, one computes document frequency per hash,
+    * and the flagged set — only lines with df ≥ minDf, the
+    * boilerplate itself — is small relative to the corpus, so AQE
+    * broadcasts the left join back onto the line stream; the final
+    * per-document rebuild aggregates on the id. Never all-pairs.
+    * Hash collisions (~k²/2⁶⁵ across distinct lines) can at worst
+    * misclassify one line; the t11 oracle recomputes over line
+    * STRINGS and is pinned hash-exact at sf0.001/0.01/0.1.
+    */
+  def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                            minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (got $minDf): at 1 every " +
+      "line is its own boilerplate and the whole corpus empties")
+    val lines = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+      // null hash for empty lines: never equi-joins → never flagged
+      .withColumn("__h",
+        when(length(col("__line")) > 0, xxhash64(col("__line"))))
+    val flagged = lines.filter(col("__h").isNotNull)
+      .select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+    lines.join(flagged, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("__df").isNull, struct(col("__pos"), col("__line"))))),
+          s => s.getField("__line")), "\n").as(textCol),
+        count(lit(1)).as("n_lines"),
+        count(col("__df")).as("n_removed"))
+  }
 }

@@ -246,6 +246,39 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Cartesian"), s"all-pairs plan:\n$plan")
   }
 
+  test("stripBoilerplateLines removes cross-doc lines, keeps empty " +
+      "lines, empties fully-boilerplate docs") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      (1L, "nav bar\n\ncontent one\nnav bar"), // dup WITHIN doc too
+      (2L, "nav bar\nunique two"),
+      (3L, "only here\n\n"), // trailing empty lines survive the rebuild
+      (4L, "gone\ngone"),
+      (5L, "gone"))
+    val got = TextAnalysis.stripBoilerplateLines(
+        rows.toDF("doc_id", "text"), "doc_id", "text", minDf = 2)
+      .orderBy($"doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    // "nav bar" df=2 (within-doc dup counts ONCE toward df, but both
+    // occurrences in doc1 are removed); "gone" df=2 empties docs 4/5;
+    // empty lines are exempt structure
+    assert(got == Seq(
+      (1L, "\ncontent one", 4L, 2L),
+      (2L, "unique two", 2L, 1L),
+      (3L, "only here\n\n", 3L, 0L),
+      (4L, "", 2L, 2L),
+      (5L, "", 1L, 1L)), s"got $got")
+    // inverted-index plan: no cartesian anywhere
+    val plan = TextAnalysis.stripBoilerplateLines(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"all-pairs plan:\n$plan")
+    // minDf=1 would flag every line in the corpus — rejected up front
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.stripBoilerplateLines(
+        rows.toDF("doc_id", "text"), "doc_id", "text", minDf = 1)
+    }
+  }
+
   test("quantizeInt8 single-arg convenience equals the two-step form") {
     import graft.operators.Similarity
     val emb = Graft.table(spark, sf, "embeddings").limit(50)
