@@ -204,6 +204,23 @@ final case class DataStream(
     next(df.withColumn(textCol,
       graft.operators.TextAnalysis.redactPii(col(textCol))))
 
+  /** Line-level cross-document boilerplate removal: strip every line
+    * occurring in ≥ `minDf` distinct documents and rebuild `textCol`
+    * (graft.operators.TextAnalysis.stripBoilerplateLines; adds
+    * `n_lines`/`n_removed`). Batch frames only — the document
+    * frequency is a corpus-wide aggregate a stream cannot know before
+    * its lines have already been emitted; strip in the batch
+    * compaction pass after ingest.
+    */
+  def stripBoilerplate(idCol: String, textCol: String,
+                       minDf: Int = 2): DataStream = {
+    require(!df.isStreaming,
+      "stripBoilerplate is batch-only: corpus-wide line frequency " +
+        "cannot stream — strip in the compaction pass")
+    next(graft.operators.TextAnalysis.stripBoilerplateLines(df, idCol,
+      textCol, minDf))
+  }
+
   /** Drop rows whose `textCol` content exactly matches a row of the
     * STATIC `reference` frame (digest anti-join;
     * graft.operators.Dedup.decontaminate). On a streaming frame this

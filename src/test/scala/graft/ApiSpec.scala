@@ -133,5 +133,17 @@ class ApiSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](
       DataStream(stream.toDF.withColumnRenamed("value", "id"))
         .shuffleByHash("id"))
+
+    // stripBoilerplate mirrors the operator; corpus-wide line
+    // frequency cannot stream — refuse there too
+    val viaStrip = DataStream(docs).stripBoilerplate("doc_id", "text").toDF
+    val viaStripOps = graft.operators.TextAnalysis.stripBoilerplateLines(
+      docs, "doc_id", "text")
+    assert(viaStrip.exceptAll(viaStripOps).isEmpty &&
+      viaStripOps.exceptAll(viaStrip).isEmpty)
+    intercept[IllegalArgumentException](
+      DataStream(stream.toDF.withColumnRenamed("value", "id")
+          .withColumn("text", lit("x")))
+        .stripBoilerplate("id", "text"))
   }
 }
