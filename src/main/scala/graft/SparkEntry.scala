@@ -920,6 +920,17 @@ object SparkEntry {
       operators.Sampling.shuffleByHash(t(s, d, "documents"), "doc_id")
         .select(col("doc_id"), col("lang"))),
 
+    // temperature-based domain mixing at tau = 0.5: the selected
+    // corpus's lang mixture ∝ √n_lang — the smallest lang keeps every
+    // row, the ~3× en majority keeps √(n_min/n_en) of its rows; sqrt
+    // is correctly rounded in IEEE 754, so the oracle recomputes every
+    // rate and hex threshold bit-exactly
+    "p10_temperature_mix" -> ((s, d) =>
+      operators.Sampling.temperatureMixSample(t(s, d, "documents"),
+          "doc_id", "lang", tau = 0.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // Gopher-style repetition signals: explode + two-level groupBy
     // (never per-row quadratic), all-integer outputs for an exact
     // oracle
@@ -1920,6 +1931,22 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || chr(0)
         |  || 'shuffle'), 1, 8), doc_id""".stripMargin,
+
+    "p10_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents
+        |  GROUP BY lang),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |r AS (SELECT lang, sqrt(CAST(nmin AS DOUBLE) / n) AS w
+        |  FROM c, m)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN r USING (lang)
+        |WHERE w >= 1.0
+        |   OR (w > 0.0 AND
+        |       substr(md5(CAST(doc_id AS VARCHAR) || chr(0) || 'mix'),
+        |         1, 8)
+        |       < lpad(lower(to_hex(CAST(floor(w * 4294967296.0)
+        |         AS BIGINT))), 8, '0'))
+        |ORDER BY doc_id""".stripMargin,
 
     "t11_strip_boilerplate" ->
       """WITH base AS (

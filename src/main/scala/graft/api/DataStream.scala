@@ -148,6 +148,23 @@ final case class DataStream(
     next(graft.operators.Sampling.weightedHashSample(df, idCol, weight,
       salt))
 
+  /** Temperature-based domain mixing: downsample so the selected
+    * mixture ∝ n_domain^tau, smallest domain kept whole
+    * (graft.operators.Sampling.temperatureMixSample). Batch frames
+    * only — the rates are corpus-wide domain counts a stream cannot
+    * know; mix in the batch compaction pass.
+    */
+  def temperatureMix(idCol: String, domainCol: String,
+                     tau: Double = 0.5,
+                     salt: String = graft.operators.Sampling.MixSalt)
+      : DataStream = {
+    require(!df.isStreaming,
+      "temperatureMix is batch-only: corpus-wide domain counts " +
+        "cannot stream — mix in the compaction pass")
+    next(graft.operators.Sampling.temperatureMixSample(df, idCol,
+      domainCol, tau, salt))
+  }
+
   /** Deterministic training-order shuffle: global order by the salted
     * draw (graft.operators.Sampling.shuffleByHash). Batch frames only
     * — a global sort has no incremental streaming form; shuffle in

@@ -51,6 +51,7 @@ object Sampling {
   val BudgetSalt = "budget"
   val WeightSalt = "weight"
   val ShuffleSalt = "shuffle"
+  val MixSalt = "mix"
 
   /** First 8 hex chars of md5(id || 'NUL' || salt): the row's
     * uniform draw in the given salt domain. The NUL delimiter makes
@@ -137,6 +138,52 @@ object Sampling {
   def weightedHashSample(df: DataFrame, idCol: String, weight: Column,
                          salt: String = WeightSalt): DataFrame =
     df.filter(weightedKeep(col(idCol), weight, salt))
+
+  /** Temperature-based domain mixing: downsample each domain so the
+    * SELECTED corpus's domain mixture is proportional to `n_d^tau`
+    * (domain d's row count raised to temperature `tau`) — the
+    * standard training-mixture flattening: `tau = 1` keeps the
+    * natural mixture (no-op rates of 1), `tau → 0` approaches a
+    * uniform mixture, and intermediate values up-weight small
+    * domains relative to their natural share. Retention is maximal
+    * for the target mixture: the smallest domain keeps everything
+    * (rate 1) and domain d keeps `(n_min / n_d)^(1-tau)` of its rows
+    * via [[weightedHashSample]] in the `mix` salt domain, so draws
+    * compose independently with the rest of the suite and re-runs
+    * are reproducible row-for-row.
+    *
+    * Scale shape: one tiny aggregate (a row per domain) cross-joined
+    * with its own 1-row minimum and broadcast back onto the scan —
+    * the corpus itself never shuffles; the filter is scan-adjacent
+    * like every other draw here. Rates are planned, not collected:
+    * no driver round-trip, so the operator composes into a single
+    * lazily-planned job at any corpus size.
+    *
+    * Cross-engine determinism: for the canonical `tau = 0.5` the
+    * rate is computed with `sqrt` — correctly rounded in IEEE 754,
+    * so every engine (and the p10 DuckDB oracle) sees bit-identical
+    * rates and thresholds. Other `tau` use `pow`, which engines only
+    * guarantee to ~1 ulp; a last-ulp rate difference can flip a row
+    * whose draw lands exactly on the threshold (odds ~2⁻³², flagged
+    * here rather than hidden).
+    */
+  def temperatureMixSample(df: DataFrame, idCol: String,
+                           domainCol: String, tau: Double = 0.5,
+                           salt: String = MixSalt): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0,
+      s"tau must be in (0, 1], got $tau (tau = 1 is the natural " +
+        "mixture; tau = 0 would zero every rate)")
+    val ratio = col("__nmin").cast("double") / col("__n")
+    val rate =
+      if (1.0 - tau == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - tau))
+    val rates = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .crossJoin(df.groupBy(col(domainCol)).agg(count(lit(1)).as("__m"))
+        .agg(min(col("__m")).as("__nmin")))
+      .select(col(domainCol), rate.as("__mixw"))
+    weightedHashSample(df.join(rates, Seq(domainCol)), idCol,
+        col("__mixw"), salt)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 
   /** Stratified deterministic sample: per-stratum fractions with a
     * default for unlisted strata. Same nesting/reproducibility as

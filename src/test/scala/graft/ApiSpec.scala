@@ -145,5 +145,17 @@ class ApiSpec extends AnyFunSuite with SparkSpec {
       DataStream(stream.toDF.withColumnRenamed("value", "id")
           .withColumn("text", lit("x")))
         .stripBoilerplate("id", "text"))
+
+    // temperatureMix mirrors the operator; corpus-wide domain counts
+    // cannot stream — refuse
+    val viaMix = DataStream(docs).temperatureMix("doc_id", "lang").toDF
+    val viaMixOps = graft.operators.Sampling.temperatureMixSample(
+      docs, "doc_id", "lang")
+    assert(viaMix.exceptAll(viaMixOps).isEmpty &&
+      viaMixOps.exceptAll(viaMix).isEmpty)
+    intercept[IllegalArgumentException](
+      DataStream(stream.toDF.withColumnRenamed("value", "id")
+          .withColumn("lang", lit("en")))
+        .temperatureMix("id", "lang"))
   }
 }

@@ -246,6 +246,41 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Cartesian"), s"all-pairs plan:\n$plan")
   }
 
+  test("temperatureMixSample flattens the domain mixture: smallest " +
+      "domain keeps all, retention tracks (nmin/n)^(1-tau), tau=1 no-op") {
+    import graft.operators.Sampling
+    val docs = Graft.table(spark, sf, "documents")
+    val natural = docs.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val nmin = natural.values.min
+    val mixed = Sampling.temperatureMixSample(docs, "doc_id", "lang",
+      tau = 0.5)
+    val got = mixed.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(got(natural.minBy(_._2)._1) == nmin,
+      "smallest domain must keep every row (maximal retention)")
+    // retention follows the planned rate (draws are uniform and the
+    // fixture domains are tens-to-hundreds of rows: allow hash noise)
+    for ((lang, n) <- natural) {
+      val rate = math.sqrt(nmin.toDouble / n)
+      val kept = got.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(kept - rate) < 0.15,
+        s"$lang kept $kept of rows vs planned rate $rate")
+    }
+    // the selection is a subset of the corpus, columns unchanged
+    assert(mixed.columns.sameElements(docs.columns))
+    assert(mixed.exceptAll(docs).isEmpty)
+    // tau = 1 targets the natural mixture — exact no-op
+    assert(Sampling.temperatureMixSample(docs, "doc_id", "lang",
+      tau = 1.0).count() == docs.count())
+    assertThrows[IllegalArgumentException](
+      Sampling.temperatureMixSample(docs, "doc_id", "lang", tau = 0.0))
+    // rates broadcast onto the scan: no cartesian over corpus rows
+    // (the 1-row nmin cross-join plans a broadcast nested loop)
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs plan:\n$plan")
+  }
+
   test("stripBoilerplateLines removes cross-doc lines, keeps empty " +
       "lines, empties fully-boilerplate docs") {
     import graft.operators.TextAnalysis
