@@ -160,10 +160,26 @@ final case class DataStream(
       : DataStream = {
     require(!df.isStreaming,
       "temperatureMix is batch-only: corpus-wide domain counts " +
-        "cannot stream — mix in the compaction pass")
+        "cannot stream — mix in the compaction pass, or compute " +
+        "Sampling.domainMixRates there and stream through " +
+        "temperatureMixWith")
     next(graft.operators.Sampling.temperatureMixSample(df, idCol,
       domainCol, tau, salt))
   }
+
+  /** Apply precomputed STATIC mix rates
+    * (graft.operators.Sampling.domainMixRates, or hand-tuned
+    * `(domain, mix_rate)` rows) to this frame — batch or streaming:
+    * the join is stream-static and the filter stateless, so an
+    * ingest pipeline mixes continuously against the last compaction
+    * pass's counts. Domains absent from `rates` are dropped.
+    */
+  def temperatureMixWith(rates: DataFrame, idCol: String,
+                         domainCol: String,
+                         salt: String = graft.operators.Sampling.MixSalt)
+      : DataStream =
+    next(graft.operators.Sampling.temperatureMixWithRates(df, rates,
+      idCol, domainCol, salt))
 
   /** Deterministic training-order shuffle: global order by the salted
     * draw (graft.operators.Sampling.shuffleByHash). Batch frames only

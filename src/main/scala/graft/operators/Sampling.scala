@@ -169,21 +169,50 @@ object Sampling {
     */
   def temperatureMixSample(df: DataFrame, idCol: String,
                            domainCol: String, tau: Double = 0.5,
-                           salt: String = MixSalt): DataFrame = {
+                           salt: String = MixSalt): DataFrame =
+    temperatureMixWithRates(df, domainMixRates(df, domainCol, tau),
+      idCol, domainCol, salt)
+
+  /** The per-domain keep rates behind [[temperatureMixSample]] as a
+    * tiny frame `(domainCol, mix_rate)` — one row per domain,
+    * `mix_rate = (n_min / n_d)^(1-tau)`. Materialize it in a batch
+    * pass (it is the only corpus-wide aggregate in the operator) and
+    * feed an ingest stream through
+    * [[temperatureMixWithRates]] / `DataStream.temperatureMixWith`:
+    * the application side is a stream-static broadcast join plus the
+    * stateless weighted filter, so mixing runs continuously against
+    * the last compaction's counts.
+    */
+  def domainMixRates(df: DataFrame, domainCol: String,
+                     tau: Double = 0.5): DataFrame = {
     require(tau > 0.0 && tau <= 1.0,
       s"tau must be in (0, 1], got $tau (tau = 1 is the natural " +
         "mixture; tau = 0 would zero every rate)")
     val ratio = col("__nmin").cast("double") / col("__n")
     val rate =
       if (1.0 - tau == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - tau))
-    val rates = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
       .crossJoin(df.groupBy(col(domainCol)).agg(count(lit(1)).as("__m"))
         .agg(min(col("__m")).as("__nmin")))
-      .select(col(domainCol), rate.as("__mixw"))
-    weightedHashSample(df.join(rates, Seq(domainCol)), idCol,
-        col("__mixw"), salt)
-      .select(df.columns.map(col).toIndexedSeq: _*)
+      .select(col(domainCol), rate.as("mix_rate"))
   }
+
+  /** Apply precomputed [[domainMixRates]] (any `(domainCol,
+    * mix_rate)` frame — also the injection point for hand-tuned
+    * mixture rates) to `df`: join the rates on the domain and keep
+    * each row with probability `mix_rate` in the `mix` salt domain.
+    * Domains absent from `rates` are DROPPED (inner join) — rates
+    * computed on a corpus snapshot drop rows of domains born after
+    * the snapshot rather than silently keeping them whole. Works on
+    * batch and STREAMING `df` (stream-static join + stateless
+    * filter).
+    */
+  def temperatureMixWithRates(df: DataFrame, rates: DataFrame,
+                              idCol: String, domainCol: String,
+                              salt: String = MixSalt): DataFrame =
+    weightedHashSample(df.join(rates, Seq(domainCol)), idCol,
+        col("mix_rate"), salt)
+      .select(df.columns.map(col).toIndexedSeq: _*)
 
   /** Stratified deterministic sample: per-stratum fractions with a
     * default for unlisted strata. Same nesting/reproducibility as

@@ -490,4 +490,36 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       assert(want.nonEmpty)
     } finally q.stop()
   }
+
+  test("temperatureMixWithRates streams against static rates with " +
+      "the batch draws; snapshot-absent domains are dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val batch = Graft.table(spark, sf, "documents")
+      .select($"doc_id", $"lang")
+    val rates = Sampling.domainMixRates(batch, "lang", tau = 0.5)
+    val input = MemoryStream[(Long, String)](spark)
+    val mixed = Sampling.temperatureMixWithRates(
+      input.toDF.toDF("doc_id", "lang"), rates, "doc_id", "lang")
+    assert(mixed.isStreaming,
+      "rate application must plan on a streaming frame")
+    val q = mixed.writeStream.outputMode("append")
+      .format("memory").queryName("mix_stream").start()
+    try {
+      // replay the snapshot corpus, plus a domain born after it
+      input.addData(batch.as[(Long, String)].collect().toIndexedSeq: _*)
+      input.addData((999999L, "xx"))
+      q.processAllAvailable()
+      val got = spark.table("mix_stream")
+        .as[(Long, String)].collect().toSet
+      val want = Sampling.temperatureMixSample(batch, "doc_id", "lang")
+        .as[(Long, String)].collect().toSet
+      assert(got == want,
+        "streaming mix must keep exactly the batch selection")
+      assert(!got.exists(_._2 == "xx"),
+        "a domain absent from the rate snapshot must drop, not pass")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS mix_stream")
+    }
+  }
 }
