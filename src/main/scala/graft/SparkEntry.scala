@@ -968,6 +968,55 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // END-TO-END curation pipeline — the composition a 100 TB
+    // training-data run actually executes, hash-oracled as ONE query:
+    // corpus (unioned with an exact-duplicate copy so dedup does real
+    // work) -> quality filter (>=20 ws tokens) -> exact dedup
+    // (keep-min-id) -> exact decontamination against a salted 25%
+    // eval draw -> temperature mixing by lang (tau=0.5) -> 32/8
+    // context-window chunking -> 512-token shard packing. Every stage
+    // reuses a recipe already proven by its own gate (d2/d10/p10/
+    // t12/p5), so the oracle is the same CTE chain DuckDB-side; the
+    // value of the gate is that STAGE COMPOSITION (schemas, salts,
+    // id-uniqueness across chunking) is exactly reproducible too.
+    "e1_curation_e2e" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val du = docs.union(docs.withColumn("doc_id",
+        col("doc_id") + 1000000L).select(docs.columns.map(col): _*))
+      val quality = du.filter(
+        operators.TextAnalysis.tokenCount(col("text")) >= 20)
+      val deduped = operators.Dedup.dropExactDuplicates(
+        quality, "text", "doc_id")
+      val eval = operators.Sampling.hashSample(du, "doc_id", 0.25)
+      val clean = operators.Dedup.decontaminate(deduped, eval, "text")
+      val mixed = operators.Sampling.temperatureMixSample(
+        clean, "doc_id", "lang", tau = 0.5)
+      val chunks = operators.Packing.chunkByTokens(mixed, "text",
+        maxTokens = 32, overlap = 8)
+      // chunk_index < 64 on this fixture (<=99 tokens / stride 24),
+      // so doc_id*64+chunk_index is a unique, order-preserving pack key
+      val withId = chunks.withColumn("chunk_id",
+        col("doc_id") * 64L + col("chunk_index"))
+      operators.Packing.packChunks(withId, "chunk_id", "chunk_tokens",
+          capacity = 512L)
+        .select(col("doc_id"), col("chunk_index"), col("chunk_tokens"),
+          col("shard"), col("start"), col("chunk"), col("offset"),
+          col("chunks_spanned"))
+        .orderBy(col("doc_id"), col("chunk_index"))
+    }),
+
+    // Context-window chunking with overlap (Packing.chunkByTokens):
+    // 32-token windows advancing by 24, the trailing 8 tokens shared
+    // between neighbours; the 10-99-token fixture yields 1-4 chunks
+    // per doc and exercises the suffix-tail drop (a last chunk of
+    // <=overlap tokens is a pure repeat and must not emit)
+    "t12_chunk_overlap" -> ((s, d) =>
+      operators.Packing.chunkByTokens(t(s, d, "documents"), "text",
+          maxTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_index"), col("chunk_tokens"),
+          col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_index"))),
+
     // PII redaction with RE2-safe patterns; the fixture text gets a
     // deterministic synthetic email + phone appended IN THE QUERY (both
     // engines build the same string), so the oracle discriminates even
@@ -1975,6 +2024,96 @@ object SparkEntry {
         |  count(*) AS n_lines,
         |  count(*) FILTER (WHERE rm) AS n_removed
         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "e1_curation_e2e" ->
+      """WITH du AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang FROM documents),
+        |qual AS (
+        |  SELECT * FROM du
+        |  WHERE len(regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+')) >= 20),
+        |ded AS (
+        |  SELECT * FROM qual
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM qual
+        |                   GROUP BY text)),
+        |ev AS (
+        |  SELECT md5(text) AS h FROM du
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || chr(0) ||
+        |    'sample'), 1, 8) < '40000000'),
+        |cln AS (
+        |  SELECT * FROM ded WHERE md5(text) NOT IN (SELECT h FROM ev)),
+        |c AS (SELECT lang, count(*) AS n FROM cln GROUP BY lang),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |r AS (SELECT lang, sqrt(CAST(nmin AS DOUBLE) / n) AS w
+        |  FROM c, m),
+        |mixed AS (
+        |  SELECT cln.* FROM cln JOIN r USING (lang)
+        |  WHERE w >= 1.0
+        |     OR (w > 0.0 AND
+        |         substr(md5(CAST(doc_id AS VARCHAR) || chr(0) ||
+        |           'mix'), 1, 8)
+        |         < lpad(lower(to_hex(CAST(floor(w * 4294967296.0)
+        |           AS BIGINT))), 8, '0'))),
+        |tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS tk
+        |  FROM mixed
+        |  WHERE trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))
+        |    <> ''),
+        |st AS (
+        |  SELECT doc_id, tk, len(tk) AS n,
+        |    unnest(range(0, len(tk), 24)) AS s
+        |  FROM tk),
+        |ch AS (
+        |  SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_index,
+        |    CAST(least(s + 32, n) - s AS BIGINT) AS chunk_tokens,
+        |    doc_id * 64 + s // 24 AS chunk_id
+        |  FROM st WHERE s = 0 OR least(s + 32, n) - s > 8),
+        |pk AS (
+        |  SELECT doc_id, chunk_index, chunk_tokens,
+        |    substr(md5(CAST(chunk_id AS VARCHAR) || chr(0) || 'shard'),
+        |      1, 1) AS shard,
+        |    sum(chunk_tokens) OVER (
+        |      PARTITION BY substr(md5(CAST(chunk_id AS VARCHAR) ||
+        |        chr(0) || 'shard'), 1, 1)
+        |      ORDER BY chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - chunk_tokens AS start
+        |  FROM ch)
+        |SELECT doc_id, chunk_index, chunk_tokens, shard,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(start // 512 AS BIGINT) AS chunk,
+        |  CAST(start % 512 AS BIGINT) AS "offset",
+        |  CAST((start + chunk_tokens - 1) // 512 - start // 512 + 1
+        |    AS BIGINT) AS chunks_spanned
+        |FROM pk
+        |ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "t12_chunk_overlap" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS tk
+        |  FROM documents
+        |  WHERE trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))
+        |    <> ''),
+        |st AS (
+        |  SELECT doc_id, tk, len(tk) AS n,
+        |    unnest(range(0, len(tk), 24)) AS s
+        |  FROM base)
+        |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_index,
+        |  CAST(least(s + 32, n) - s AS BIGINT) AS chunk_tokens,
+        |  array_to_string(list_slice(tk, CAST(s + 1 AS BIGINT),
+        |    least(s + 32, n)), ' ') AS chunk_text
+        |FROM st
+        |WHERE s = 0 OR least(s + 32, n) - s > 8
+        |ORDER BY doc_id, chunk_index""".stripMargin,
 
     "t10_ngram_novelty" ->
       """WITH sh AS (

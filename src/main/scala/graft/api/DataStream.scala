@@ -213,6 +213,15 @@ final case class DataStream(
         graft.operators.Packing.packChunks(df, idCol, tokenCol,
           capacity, shardChars, salt))
 
+  /** Context-window chunking with overlap
+    * (graft.operators.Packing.chunkByTokens) — stateless per-row
+    * explode, so it runs identically on batch and streaming frames.
+    */
+  def chunkByTokens(textCol: String, maxTokens: Int, overlap: Int = 0)
+      : DataStream =
+    next(graft.operators.Packing.chunkByTokens(df, textCol, maxTokens,
+      overlap))
+
   /** Token-budget selection: the bucket-histogram batch form on batch
     * frames, the per-stratum (spent, closed) admission state
     * (graft.streaming.StreamingBudget) on streaming frames — same

@@ -84,6 +84,59 @@ object Packing {
     * Output: input columns ++ (shard, start, chunk, offset,
     * chunks_spanned).
     */
+  /** Context-window chunking: split each document's whitespace-token
+    * stream into windows of `maxTokens` tokens advancing by
+    * `maxTokens - overlap` (the last `overlap` tokens of a chunk
+    * reappear as the head of the next — the standard sliding-context
+    * shape for long-document training/eval sets). Complements
+    * [[packChunks]]: that lays WHOLE documents end-to-end into shards;
+    * this SPLITS a long document into model-window pieces first.
+    *
+    * Chunk rule, exactly: token starts are 0, stride, 2·stride, … while
+    * < nTokens, and a non-first chunk is kept only when it has MORE
+    * than `overlap` tokens — a shorter tail is a pure suffix of the
+    * previous chunk (its tokens are all repeats) and is dropped, so
+    * chunk indexes stay contiguous and no chunk duplicates another.
+    * Documents whose text is empty/whitespace-only yield no chunks.
+    * Tokenization is [[TextAnalysis.tokenize]] (explicit Java-\s class;
+    * the oracle splits with the RE2 spelling of the same class), and
+    * `chunk_text` rejoins tokens with single spaces — runs of
+    * whitespace do not round-trip, by design.
+    *
+    * Scale: stateless per-row explode — no shuffle, no state; streams
+    * as-is (the fluent bridge accepts streaming frames). Fan-out is
+    * ~nTokens/stride rows per document; at 100 TB keep `overlap` well
+    * under `maxTokens` so the token-duplication factor
+    * maxTokens/stride stays near 1.
+    *
+    * Output: input columns ++ (chunk_index, chunk_tokens, chunk_text),
+    * both counters BIGINT for cross-engine layout parity.
+    */
+  def chunkByTokens(df: DataFrame, textCol: String, maxTokens: Int,
+                    overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    df.filter(trim(col(textCol), TextAnalysis.WsChars) =!= "")
+      .withColumn("__tk", TextAnalysis.tokenize(col(textCol)))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+      .select(col("*"),
+        posexplode(sequence(lit(0L), col("__n") - 1, lit(stride.toLong)))
+          .as(Seq("chunk_index", "__start")))
+      .withColumn("chunk_index", col("chunk_index").cast("long"))
+      .withColumn("chunk_tokens",
+        least(col("__start") + maxTokens, col("__n")) - col("__start"))
+      // only the final start can fall at or under `overlap` tokens —
+      // every earlier chunk is full — so this filter never creates
+      // gaps in chunk_index
+      .filter(col("__start") === 0 || col("chunk_tokens") > overlap)
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("__tk"),
+          (col("__start") + 1).cast("int"), lit(maxTokens))))
+      .drop("__tk", "__n", "__start")
+  }
+
   def packChunks(df: DataFrame, idCol: String, tokenCol: String,
                  capacity: Long, shardChars: Int = 1,
                  salt: String = ShardSalt): DataFrame = {

@@ -121,4 +121,63 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
         s"doc $id layout changed when other shards were removed")
     }
   }
+
+  test("chunkByTokens windows with overlap, drops suffix tails, skips " +
+      "blank docs") {
+    val docs = Seq(
+      // 10 tokens, max 4 / overlap 2 (stride 2): starts 0,2,4,6 full;
+      // start 8 has 2 tokens == overlap -> dropped as a pure suffix
+      (1L, "a b c d e f g h i j"),
+      // 3 tokens < max: exactly one chunk
+      (2L, "x y z"),
+      // whitespace-only: no chunks at all
+      (3L, " \t "),
+      // 7 tokens: starts 0,2,4 full-ish; start 6 has 1 token <= 2 ->
+      // dropped; start 4 keeps 3 tokens (> overlap, partial tail OK)
+      (4L, "p q r s t u v")
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkByTokens(docs, "text", maxTokens = 4,
+        overlap = 2)
+      .select($"doc_id", $"chunk_index", $"chunk_tokens", $"chunk_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(out.filter(_._1 == 3L).isEmpty, "blank doc must yield none")
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "x y z")))
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 4L, "a b c d"), (1L, 1L, 4L, "c d e f"),
+      (1L, 2L, 4L, "e f g h"), (1L, 3L, 4L, "g h i j")))
+    assert(out.filter(_._1 == 4L).toSeq == Seq(
+      (4L, 0L, 4L, "p q r s"), (4L, 1L, 4L, "r s t u"),
+      (4L, 2L, 3L, "t u v")))
+  }
+
+  test("chunkByTokens with zero overlap tiles the token stream " +
+      "exactly and conserves tokens") {
+    val docs = Graft.table(spark, sf, "documents")
+    val chunks = Packing.chunkByTokens(docs, "text", maxTokens = 16)
+      .groupBy($"doc_id")
+      .agg(sum($"chunk_tokens").as("tok"),
+        count(lit(1)).as("n"),
+        max($"chunk_index").as("maxIdx"))
+      .as[(Long, Long, Long, Long)].collect()
+    val expected = docs.select($"doc_id",
+        size(graft.operators.TextAnalysis.tokenize($"text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (id, tok, n, maxIdx) =>
+      assert(tok == expected(id),
+        s"doc $id: zero-overlap chunks must conserve tokens")
+      assert(maxIdx == n - 1, s"doc $id: chunk_index must be contiguous")
+      assert(n == (expected(id) + 15) / 16, s"doc $id: chunk count")
+    }
+  }
+
+  test("chunkByTokens rejects degenerate windows") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Packing.chunkByTokens(docs, "text", maxTokens = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.chunkByTokens(docs, "text", maxTokens = 4, overlap = 4)
+    }
+  }
 }
