@@ -1017,6 +1017,20 @@ object SparkEntry {
           col("chunk_text"))
         .orderBy(col("doc_id"), col("chunk_index"))),
 
+    // CCNet-style LM quality scoring: a stupid-backoff bigram model
+    // trained on the ENGLISH slice only, scoring the WHOLE corpus —
+    // so non-en docs exercise the OOV floor and backoff path (exact
+    // integer counters) while the per-token cross-entropy is a
+    // single-division double both engines compute bit-identically
+    // before the 6-decimal round
+    "t13_lm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lm = operators.TextAnalysis.bigramLm(
+        docs.filter(col("lang") === "en"), "text")
+      operators.TextAnalysis.lmScore(docs, "doc_id", "text", lm)
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction with RE2-safe patterns; the fixture text gets a
     // deterministic synthetic email + phone appended IN THE QUERY (both
     // engines build the same string), so the oracle discriminates even
@@ -2093,6 +2107,56 @@ object SparkEntry {
         |    AS BIGINT) AS chunks_spanned
         |FROM pk
         |ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "t13_lm_score" ->
+      """WITH rtk AS (
+        |  SELECT regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS tk
+        |  FROM documents WHERE lang = 'en'),
+        |uni AS (
+        |  SELECT tok, count(*) AS c1
+        |  FROM (SELECT unnest(tk) AS tok FROM rtk) GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS T FROM uni),
+        |big AS (
+        |  SELECT g.prev AS prev, g.tok AS tok, count(*) AS c2
+        |  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+        |          i -> {'prev': tk[i], 'tok': tk[i+1]})) AS g
+        |        FROM rtk WHERE len(tk) > 1)
+        |  GROUP BY 1, 2),
+        |toks AS (
+        |  SELECT doc_id, unnest(range(0, len(tk))) AS pos,
+        |    unnest(tk) AS tok
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |      '[ \t\n\v\f\r]+') AS tk
+        |    FROM documents)),
+        |pr AS (
+        |  SELECT doc_id, pos, tok,
+        |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM toks),
+        |sc AS (
+        |  SELECT pr.doc_id, pr.prev, u.c1, up.c1 AS c1p, b.c2, T,
+        |    coalesce(CAST(u.c1 AS DOUBLE), 1.0) AS c1e
+        |  FROM pr
+        |  LEFT JOIN uni u ON pr.tok = u.tok
+        |  LEFT JOIN uni up ON pr.prev = up.tok
+        |  LEFT JOIN big b ON pr.prev = b.prev AND pr.tok = b.tok
+        |  CROSS JOIN tot),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN prev IS NULL THEN c1e / T
+        |         WHEN c2 IS NOT NULL AND c1p IS NOT NULL
+        |           THEN CAST(c2 AS DOUBLE) / CAST(c1p AS DOUBLE)
+        |         ELSE 0.4 * (c1e / T) END AS pp,
+        |    (c1 IS NULL) AS oov,
+        |    (prev IS NOT NULL AND c2 IS NULL) AS backoff
+        |  FROM sc)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE oov) AS n_oov,
+        |  count(*) FILTER (WHERE backoff) AS n_backoff,
+        |  round(-avg(log10(pp)), 6) AS lm_log10_ppt
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t12_chunk_overlap" ->
       """WITH base AS (

@@ -213,6 +213,21 @@ final case class DataStream(
         graft.operators.Packing.packChunks(df, idCol, tokenCol,
           capacity, shardChars, salt))
 
+  /** CCNet-style LM quality scoring against a
+    * graft.operators.TextAnalysis.bigramLm frame. Batch frames only:
+    * the per-document aggregate keys on an unbounded id domain
+    * (unbounded state on a stream) — score in the batch compaction
+    * pass, persisting the LM frame as parquet next to the snapshot.
+    */
+  def lmScore(lm: DataFrame, idCol: String, textCol: String,
+              alpha: Double = 0.4): DataStream = {
+    require(!df.isStreaming,
+      "lmScore is batch-only: the per-document aggregate would hold " +
+        "unbounded state on a stream — score in the compaction pass")
+    next(graft.operators.TextAnalysis.lmScore(df, idCol, textCol, lm,
+      alpha))
+  }
+
   /** Context-window chunking with overlap
     * (graft.operators.Packing.chunkByTokens) — stateless per-row
     * explode, so it runs identically on batch and streaming frames.

@@ -270,4 +270,91 @@ object TextAnalysis {
         count(lit(1)).as("n_lines"),
         count(col("__df")).as("n_removed"))
   }
+
+  /** Train a whitespace-token bigram language model from a reference
+    * corpus: one frame of `(prev, tok, c)` counts where `prev IS NULL`
+    * rows are the unigram table and the rest are bigram counts — a
+    * single persistable artifact (write it as parquet next to the
+    * corpus snapshot it was trained on). Feed to [[lmScore]].
+    *
+    * This is the model behind CCNet-style perplexity filtering: train
+    * on a high-quality target domain, score the crawl, keep the
+    * low-perplexity tail. Scale: two token-keyed aggregations
+    * (explode → groupBy), output is vocab/bigram-vocab sized —
+    * orders of magnitude smaller than the corpus.
+    */
+  def bigramLm(ref: DataFrame, textCol: String): DataFrame = {
+    val withTk = ref.select(tokenize(col(textCol)).as("__tk"))
+    val uni = withTk.select(explode(col("__tk")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .select(lit(null).cast("string").as("prev"), col("tok"), col("c"))
+    // bigram adjacency comes from the row's own token array — no
+    // window, no shuffle on the id: pair token i+1 with token i
+    val big = withTk.select(explode(expr(
+        // lambda index i is 0-based over the slice, and [] indexing is
+        // 0-based too: slice element i is __tk[i+1], its prev __tk[i]
+        "transform(slice(__tk, 2, size(__tk) - 1), (t, i) -> " +
+          "struct(__tk[i] AS prev, t AS tok))")).as("__g"))
+      .groupBy(col("__g.prev").as("prev"), col("__g.tok").as("tok"))
+      .agg(count(lit(1)).as("c"))
+    uni.unionByName(big)
+  }
+
+  /** Score documents against a [[bigramLm]] frame with stupid-backoff
+    * bigram probabilities: the first token scores on its unigram
+    * probability c1(t)/T; a later token on c2(prev,t)/c1(prev) when
+    * the bigram was seen, else backing off to alpha * (c1(t)/T); an
+    * out-of-vocabulary token counts as 1 (so probabilities never hit
+    * zero). Output per document: `n_tokens`, `n_oov`, `n_backoff`
+    * (exact integers) and `lm_log10_ppt` = round(-mean log10 p, 6) —
+    * per-token cross-entropy in bits-of-10; lower = more like the
+    * reference domain. The per-token probability is a single division
+    * of exact integer-valued doubles (and one explicitly-
+    * parenthesized alpha multiply), so both engines compute
+    * bit-identical inputs to log10 and the 6-decimal round absorbs
+    * the last-ulp sum-order drift of the mean.
+    *
+    * Scale: the previous token comes from the row's OWN array (no
+    * per-document lag window — the token stream never shuffles on the
+    * id for adjacency), the LM joins are vocab-sized (AQE broadcasts
+    * them), and the final aggregate is one partial-agg groupBy on the
+    * id. Never all-pairs; the LM frame is tiny next to the corpus.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              lm: DataFrame, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val uni = lm.filter(col("prev").isNull)
+      .select(col("tok"), col("c"))
+    val totalDf = uni.agg(sum(col("c")).cast("double").as("__T"))
+    val big = lm.filter(col("prev").isNotNull)
+      .select(col("prev").as("__prev"), col("tok").as("__tok"),
+        col("c").as("__c2"))
+    val toks = df.withColumn("__tk", tokenize(col(textCol)))
+      .select(col(idCol), explode(expr(
+        "transform(__tk, (t, i) -> struct(" +
+          "CASE WHEN i = 0 THEN CAST(NULL AS STRING) " +
+          "ELSE __tk[i - 1] END AS prev, t AS tok))")).as("__g"))
+      .select(col(idCol), col("__g.prev").as("__prev"),
+        col("__g.tok").as("__tok"))
+    val scored = toks
+      .join(uni.select(col("tok").as("__tok"), col("c").as("__c1")),
+        Seq("__tok"), "left")
+      .join(uni.select(col("tok").as("__prev"), col("c").as("__c1p")),
+        Seq("__prev"), "left")
+      .join(big, Seq("__prev", "__tok"), "left")
+      .crossJoin(broadcast(totalDf))
+      // OOV floor: an unseen token scores as count 1
+      .withColumn("__c1e", coalesce(col("__c1"), lit(1L)).cast("double"))
+      .withColumn("__p",
+        when(col("__prev").isNull, col("__c1e") / col("__T"))
+          .when(col("__c2").isNotNull && col("__c1p").isNotNull,
+            col("__c2").cast("double") / col("__c1p").cast("double"))
+          .otherwise(lit(alpha) * (col("__c1e") / col("__T"))))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__c1").isNull, true)).as("n_oov"),
+        count(when(col("__prev").isNotNull && col("__c2").isNull, true))
+          .as("n_backoff"),
+        round(-avg(log10(col("__p"))), 6).as("lm_log10_ppt"))
+  }
 }

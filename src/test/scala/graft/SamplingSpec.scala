@@ -314,6 +314,35 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bigramLm + lmScore: stupid-backoff probabilities, OOV floor, " +
+      "backoff counters") {
+    import graft.operators.TextAnalysis
+    val ref = Seq("a b a c", "a b b").toDF("text")
+    val lm = TextAnalysis.bigramLm(ref, "text")
+    val uni = lm.filter($"prev".isNull).select($"tok", $"c")
+      .as[(String, Long)].collect().toMap
+    assert(uni == Map("a" -> 3L, "b" -> 3L, "c" -> 1L))
+    val big = lm.filter($"prev".isNotNull).select($"prev", $"tok", $"c")
+      .as[(String, String, Long)].collect()
+      .map { case (p, tk, c) => (p, tk) -> c }.toMap
+    assert(big == Map(("a", "b") -> 2L, ("b", "a") -> 1L,
+      ("a", "c") -> 1L, ("b", "b") -> 1L))
+    // doc 1 all in-vocab/in-bigram; doc 2 hits the OOV floor (z, q)
+    // and the backoff path (prev OOV; unseen bigram a->q)
+    val docs = Seq((1L, "a b a c"), (2L, "z a q")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs, "doc_id", "text", lm)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) ==
+      Seq((1L, 4L, 0L, 0L), (2L, 3L, 2L, 2L)), s"got $got")
+    val x1 = -(math.log10(3.0 / 7) + math.log10(2.0 / 3) +
+      math.log10(1.0 / 3) + math.log10(1.0 / 3)) / 4
+    val x2 = -(math.log10(1.0 / 7) + math.log10(0.4 * (3.0 / 7)) +
+      math.log10(0.4 * (1.0 / 7))) / 3
+    assert(math.abs(got(0)._5 - x1) < 1e-6, s"doc1 xent ${got(0)._5}")
+    assert(math.abs(got(1)._5 - x2) < 1e-6, s"doc2 xent ${got(1)._5}")
+  }
+
   test("quantizeInt8 single-arg convenience equals the two-step form") {
     import graft.operators.Similarity
     val emb = Graft.table(spark, sf, "embeddings").limit(50)
