@@ -1017,6 +1017,25 @@ object SparkEntry {
           col("chunk_text"))
         .orderBy(col("doc_id"), col("chunk_index"))),
 
+    // DSIR-style importance resampling: target LM = the English
+    // slice, source LM = the whole corpus; each doc weighted by the
+    // capped per-token likelihood ratio 10^(hs-ht) and resampled
+    // through the deterministic weighted draw. Both cross-entropies
+    // ride the t13 recipe (round-6 grid), so the weight — and
+    // therefore the kept set — is bit-exact cross-engine
+    "p11_importance_resample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lmT = operators.TextAnalysis.bigramLm(
+        docs.filter(col("lang") === "en"), "text")
+      val lmS = operators.TextAnalysis.bigramLm(docs, "text")
+      val weighted = operators.TextAnalysis.importanceWeights(
+        docs, "doc_id", "text", lmT, lmS)
+      operators.Sampling.weightedHashSample(weighted, "doc_id",
+          col("imp_weight"))
+        .select(col("doc_id"), col("lang"), col("imp_weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style LM quality scoring: a stupid-backoff bigram model
     // trained on the ENGLISH slice only, scoring the WHOLE corpus —
     // so non-en docs exercise the OOV floor and backoff path (exact
@@ -2107,6 +2126,71 @@ object SparkEntry {
         |    AS BIGINT) AS chunks_spanned
         |FROM pk
         |ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "p11_importance_resample" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS tk
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, lang, unnest(range(0, len(tk))) AS pos,
+        |    unnest(tk) AS tok
+        |  FROM tk),
+        |pr AS (
+        |  SELECT doc_id, lang, pos, tok,
+        |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM toks),
+        |tuni AS (
+        |  SELECT tok, count(*) AS c1 FROM pr WHERE lang = 'en'
+        |  GROUP BY tok),
+        |ttot AS (SELECT CAST(sum(c1) AS DOUBLE) AS T FROM tuni),
+        |tbig AS (
+        |  SELECT prev, tok, count(*) AS c2 FROM pr
+        |  WHERE lang = 'en' AND prev IS NOT NULL GROUP BY 1, 2),
+        |suni AS (SELECT tok, count(*) AS c1 FROM pr GROUP BY tok),
+        |stot AS (SELECT CAST(sum(c1) AS DOUBLE) AS T FROM suni),
+        |sbig AS (
+        |  SELECT prev, tok, count(*) AS c2 FROM pr
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tx AS (
+        |  SELECT doc_id, round(-avg(log10(
+        |    CASE WHEN pr.prev IS NULL
+        |           THEN coalesce(CAST(u.c1 AS DOUBLE), 1.0) / T
+        |         WHEN b.c2 IS NOT NULL AND up.c1 IS NOT NULL
+        |           THEN CAST(b.c2 AS DOUBLE) / CAST(up.c1 AS DOUBLE)
+        |         ELSE 0.4 * (coalesce(CAST(u.c1 AS DOUBLE), 1.0) / T)
+        |    END)), 6) AS ht
+        |  FROM pr
+        |  LEFT JOIN tuni u ON pr.tok = u.tok
+        |  LEFT JOIN tuni up ON pr.prev = up.tok
+        |  LEFT JOIN tbig b ON pr.prev = b.prev AND pr.tok = b.tok
+        |  CROSS JOIN ttot GROUP BY doc_id),
+        |sx AS (
+        |  SELECT doc_id, round(-avg(log10(
+        |    CASE WHEN pr.prev IS NULL
+        |           THEN coalesce(CAST(u.c1 AS DOUBLE), 1.0) / T
+        |         WHEN b.c2 IS NOT NULL AND up.c1 IS NOT NULL
+        |           THEN CAST(b.c2 AS DOUBLE) / CAST(up.c1 AS DOUBLE)
+        |         ELSE 0.4 * (coalesce(CAST(u.c1 AS DOUBLE), 1.0) / T)
+        |    END)), 6) AS hs
+        |  FROM pr
+        |  LEFT JOIN suni u ON pr.tok = u.tok
+        |  LEFT JOIN suni up ON pr.prev = up.tok
+        |  LEFT JOIN sbig b ON pr.prev = b.prev AND pr.tok = b.tok
+        |  CROSS JOIN stot GROUP BY doc_id),
+        |w AS (
+        |  SELECT d.doc_id, d.lang,
+        |    round(least(1.0, pow(10.0, hs - ht)), 6) AS imp_weight
+        |  FROM documents d JOIN tx USING (doc_id) JOIN sx USING (doc_id))
+        |SELECT doc_id, lang, imp_weight FROM w
+        |WHERE imp_weight >= 1.0
+        |   OR (imp_weight > 0.0 AND
+        |       substr(md5(CAST(doc_id AS VARCHAR) || chr(0) ||
+        |         'weight'), 1, 8)
+        |       < lpad(lower(to_hex(CAST(floor(imp_weight
+        |           * 4294967296.0) AS BIGINT))), 8, '0'))
+        |ORDER BY doc_id""".stripMargin,
 
     "t13_lm_score" ->
       """WITH rtk AS (

@@ -228,6 +228,25 @@ final case class DataStream(
       alpha))
   }
 
+  /** DSIR-style importance resampling in one call: weight by the
+    * capped target/source per-token likelihood ratio
+    * (graft.operators.TextAnalysis.importanceWeights over two
+    * bigramLm frames), then keep each row with probability
+    * `imp_weight` via the deterministic weighted draw. Batch only,
+    * like lmScore (per-document aggregates).
+    */
+  def importanceResample(targetLm: DataFrame, sourceLm: DataFrame,
+                         idCol: String, textCol: String,
+                         alpha: Double = 0.4): DataStream = {
+    require(!df.isStreaming,
+      "importanceResample is batch-only: LM scoring aggregates per " +
+        "document — resample in the compaction pass")
+    next(graft.operators.Sampling.weightedHashSample(
+      graft.operators.TextAnalysis.importanceWeights(df, idCol, textCol,
+        targetLm, sourceLm, alpha),
+      idCol, col("imp_weight")))
+  }
+
   /** Context-window chunking with overlap
     * (graft.operators.Packing.chunkByTokens) — stateless per-row
     * explode, so it runs identically on batch and streaming frames.

@@ -357,4 +357,40 @@ object TextAnalysis {
           .as("n_backoff"),
         round(-avg(log10(col("__p"))), 6).as("lm_log10_ppt"))
   }
+
+  /** DSIR-style importance weights: score the corpus under a TARGET
+    * domain LM and a SOURCE (general/crawl) LM — both [[bigramLm]]
+    * frames — and weight each document by the per-token geometric-mean
+    * likelihood ratio `10^(hs − ht)` capped at 1, where ht/hs are the
+    * [[lmScore]] cross-entropies. Documents that look more like the
+    * target than the source keep weight 1; off-target documents decay
+    * exponentially in their per-token score gap. Feed `imp_weight` to
+    * [[Sampling.weightedHashSample]] for the resampling step — that
+    * pair is the importance-resampling data selection of Xie et al.
+    * (DSIR), with a bigram model standing in for the hashed-n-gram
+    * features.
+    *
+    * Cross-engine exactness: both cross-entropies are already rounded
+    * to the 1e-6 grid by [[lmScore]], so `hs − ht` is bit-identical,
+    * and the final round-6 re-grids the one `pow` evaluation; the
+    * downstream draw threshold `floor(w · 16^8)` then floors a
+    * grid-exact double identically everywhere.
+    *
+    * Scale: two [[lmScore]] passes (vocab-sized joins, one id-keyed
+    * partial agg each) plus two id-keyed joins back onto the corpus.
+    * Output: input columns ++ `imp_weight`.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        targetLm: DataFrame, sourceLm: DataFrame,
+                        alpha: Double = 0.4): DataFrame = {
+    val ht = lmScore(df, idCol, textCol, targetLm, alpha)
+      .select(col(idCol), col("lm_log10_ppt").as("__ht"))
+    val hs = lmScore(df, idCol, textCol, sourceLm, alpha)
+      .select(col(idCol), col("lm_log10_ppt").as("__hs"))
+    df.join(ht, Seq(idCol)).join(hs, Seq(idCol))
+      .withColumn("imp_weight",
+        round(least(lit(1.0), pow(lit(10.0), col("__hs") - col("__ht"))),
+          6))
+      .drop("__ht", "__hs")
+  }
 }

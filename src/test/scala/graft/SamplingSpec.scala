@@ -343,6 +343,38 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got(1)._5 - x2) < 1e-6, s"doc2 xent ${got(1)._5}")
   }
 
+  test("importanceWeights: capped per-token likelihood ratio from the " +
+      "two LM scores, target-domain docs keep weight 1") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a b a c", "t"), (2L, "a b b", "t"),
+      (3L, "z q z q z", "o"), (4L, "a b z", "o")
+    ).toDF("doc_id", "text", "dom")
+    val lmT = TextAnalysis.bigramLm(docs.filter($"dom" === "t"), "text")
+    val lmS = TextAnalysis.bigramLm(docs, "text")
+    val got = TextAnalysis.importanceWeights(
+        docs, "doc_id", "text", lmT, lmS)
+      .select($"doc_id", $"imp_weight").as[(Long, Double)]
+      .collect().toMap
+    // recompute from the two score frames: w = round6(min(1, 10^(hs-ht)))
+    def xent(lm: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      TextAnalysis.lmScore(docs, "doc_id", "text", lm)
+        .select($"doc_id", $"lm_log10_ppt").as[(Long, Double)]
+        .collect().toMap
+    val (ht, hs) = (xent(lmT), xent(lmS))
+    docs.select($"doc_id").as[Long].collect().foreach { id =>
+      val exp = BigDecimal(math.min(1.0, math.pow(10, hs(id) - ht(id))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) == exp, s"doc $id: ${got(id)} != $exp")
+    }
+    // target-domain docs score no worse under their own LM than the
+    // mixed source LM -> ratio >= 1 -> capped at exactly 1
+    assert(got(1L) == 1.0 && got(2L) == 1.0, s"got $got")
+    // the all-off-domain doc is clearly down-weighted (0.118 on this
+    // fixture: every token OOV under the target LM)
+    assert(got(3L) < 0.5, s"doc 3 weight ${got(3L)}")
+  }
+
   test("quantizeInt8 single-arg convenience equals the two-step form") {
     import graft.operators.Similarity
     val emb = Graft.table(spark, sf, "embeddings").limit(50)
