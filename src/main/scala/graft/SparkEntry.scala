@@ -1017,6 +1017,16 @@ object SparkEntry {
           col("chunk_text"))
         .orderBy(col("doc_id"), col("chunk_index"))),
 
+    // per-key quality-quantile hard cutoff: best 30% of each lang by
+    // n_chars (ties broken by doc_id); ceil keeps tiny domains
+    // non-empty, and q*n evaluates in IEEE doubles identically on
+    // both engines
+    "p12_top_quantile" -> ((s, d) =>
+      operators.Sampling.topQuantilePerKey(t(s, d, "documents"),
+          "lang", "doc_id", col("n_chars"), q = 0.3)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // DSIR-style importance resampling: target LM = the English
     // slice, source LM = the whole corpus; each doc weighted by the
     // capped per-token likelihood ratio 10^(hs-ht) and resampled
@@ -2126,6 +2136,16 @@ object SparkEntry {
         |    AS BIGINT) AS chunks_spanned
         |FROM pk
         |ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "p12_top_quantile" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |WHERE rn <= ceil(n * 0.3)
+        |ORDER BY doc_id""".stripMargin,
 
     "p11_importance_resample" ->
       """WITH tk AS (

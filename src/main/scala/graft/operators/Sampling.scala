@@ -335,6 +335,33 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Per-key quality-quantile filter: keep each key's best
+    * `ceil(q · n_key)` rows by `scoreCol` (descending; ties broken by
+    * id ascending, so the kept set is deterministic under duplicate
+    * scores) — the "keep the top 30% of each source by quality score"
+    * curation step, the hard-cutoff complement of
+    * [[weightedHashSample]]'s soft filter. The count is `ceil`, so
+    * every non-empty key keeps at least one row and tiny domains are
+    * never emptied. `q · n` is evaluated in IEEE doubles on both
+    * sides of the oracle — identical ceil everywhere.
+    *
+    * Scale: one shuffle on the key; within a key the rank is the same
+    * windowed top-k cost as [[topNPerKey]]/q6. For extreme skew,
+    * pre-aggregate an approximate per-key score threshold
+    * (approx_percentile, broadcast) and pre-filter before ranking.
+    */
+  def topQuantilePerKey(df: DataFrame, keyCol: String, idCol: String,
+                        scoreCol: Column, q: Double): DataFrame = {
+    require(q > 0 && q <= 1, s"q must be in (0, 1] (got $q)")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(scoreCol.desc, col(idCol))
+    val wc = Window.partitionBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .filter(col("__rn") <= ceil(col("__n") * lit(q)))
+      .drop("__rn", "__n")
+  }
+
   /** Deterministic token-budget selection: keep rows, in [[hashBucket]]
     * draw order (then id), while the running `tokens` total stays
     * within `budget` — per stratum when `strataCol` is set. This is the

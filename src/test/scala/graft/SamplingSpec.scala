@@ -314,6 +314,25 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("topQuantilePerKey keeps ceil(q*n) best rows per key, ties by " +
+      "id, tiny keys never empty") {
+    import graft.operators.Sampling
+    val rows = Seq(
+      (1L, "a", 9L), (2L, "a", 8L), (3L, "a", 7L), (4L, "a", 8L),
+      (5L, "a", 1L),
+      (6L, "b", 0L)).toDF("doc_id", "lang", "score")
+    // key a: n=5, q=0.5 -> ceil(2.5)=3 -> scores 9,8,8 (tie 2 before
+    // 4 by id); key b: n=1 -> ceil(0.5)=1 -> its single row survives
+    val got = Sampling.topQuantilePerKey(rows, "lang", "doc_id",
+        col("score"), q = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 4L, 6L), s"got $got")
+    intercept[IllegalArgumentException] {
+      Sampling.topQuantilePerKey(rows, "lang", "doc_id",
+        col("score"), q = 0.0)
+    }
+  }
+
   test("bigramLm + lmScore: stupid-backoff probabilities, OOV floor, " +
       "backoff counters") {
     import graft.operators.TextAnalysis

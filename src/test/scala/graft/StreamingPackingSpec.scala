@@ -49,6 +49,38 @@ class StreamingPackingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkByTokens composes with streaming packChunks: stream " +
+      "chunk->pack replay equals the batch composition") {
+    val docs = Graft.table(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    def chunkThenId(df: org.apache.spark.sql.DataFrame) =
+      Packing.chunkByTokens(df, "text", maxTokens = 32, overlap = 8)
+        .withColumn("chunk_id", $"doc_id" * 64 + $"chunk_index")
+        .select($"chunk_id", $"chunk_tokens")
+    val dir = Files.createTempDirectory("graft-schunk").toFile
+    val inPath = new java.io.File(dir, "in").getAbsolutePath
+    docs.coalesce(1).write.parquet(inPath)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inPath).schema).parquet(inPath)
+    val out = StreamingPacking.packChunks(chunkThenId(stream),
+      "chunk_id", "chunk_tokens", cap)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("schunk_replay").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("schunk_replay")
+        .select($"chunk_id", $"shard", $"start", $"chunk", $"offset")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      val want = Packing.packChunks(chunkThenId(docs), "chunk_id",
+          "chunk_tokens", cap)
+        .select($"chunk_id", $"shard", $"start", $"chunk", $"offset")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(got.nonEmpty && got == want,
+        s"stream chunk->pack must equal batch composition: " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("string ids sort as UTF-8 bytes (Spark's order), not UTF-16 " +
       "code units — single-batch replay still equals batch layout") {
     // "a😀" (U+1F600: UTF-8 f0 9f 98 80; UTF-16 surrogates d83d de00)
