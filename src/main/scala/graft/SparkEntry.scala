@@ -1060,6 +1060,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-rule composite quality filter. The corpus has no
+    // newlines/bullets/symbols, so (t8-style) deterministic synthetic
+    // tails are appended IN THE QUERY per doc_id residue — each rule
+    // fails on its own slice and the keep product mixes: %7==0 fails
+    // the bullet-fraction rule, ==1 ellipsis-lines, ==2 symbol ratio,
+    // ==3 a 600-char token breaks mean word length; word-count /
+    // alpha / required-words discriminate naturally (min 50 words,
+    // multilingual corpus). All rule math is integer-exact.
+    "t14_gopher_rules" -> ((s, d) =>
+      operators.TextAnalysis.gopherRules(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0, lit("\n- bullet line" * 10))
+              .when(col("doc_id") % 7 === 1, lit("\nfoo…\nbar..."))
+              .when(col("doc_id") % 7 === 2, lit(" " + "#" * 15))
+              .when(col("doc_id") % 7 === 3, lit(" " + "x" * 600))
+              .otherwise(lit(""))).as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // PII redaction with RE2-safe patterns; the fixture text gets a
     // deterministic synthetic email + phone appended IN THE QUERY (both
     // engines build the same string), so the oracle discriminates even
@@ -2261,6 +2281,83 @@ object SparkEntry {
         |  count(*) FILTER (WHERE backoff) AS n_backoff,
         |  round(-avg(log10(pp)), 6) AS lm_log10_ppt
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t14_gopher_rules" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || CASE doc_id % 7
+        |    WHEN 0 THEN repeat(chr(10) || '- bullet line', 10)
+        |    WHEN 1 THEN chr(10) || 'foo…' || chr(10) || 'bar...'
+        |    WHEN 2 THEN ' ' || repeat('#', 15)
+        |    WHEN 3 THEN ' ' || repeat('x', 600)
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |      '[ \t\n\v\f\r]+') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM aug),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_words,
+        |    list_sum(list_transform(toks, x -> length(x)))::BIGINT
+        |      AS sum_word_chars,
+        |    ((length(text) - length(replace(text, '#', ''))) +
+        |     (length(text) - length(replace(text, '...', ''))) / 3)
+        |      ::BIGINT AS n_symbols,
+        |    len(lines)::BIGINT AS n_lines,
+        |    len(list_filter(lines, x ->
+        |      regexp_matches(x, '^[ \t]*[-*•]')))::BIGINT
+        |      AS n_bullet_lines,
+        |    len(list_filter(lines, x ->
+        |      regexp_matches(x, '(\.\.\.|…)[ \t]*$')))::BIGINT
+        |      AS n_ellipsis_lines,
+        |    len(list_filter(toks, x ->
+        |      regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+        |    (CASE WHEN list_contains(list_transform(toks,
+        |       y -> lower(y)), 'the') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(list_transform(toks,
+        |       y -> lower(y)), 'be') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(list_transform(toks,
+        |       y -> lower(y)), 'to') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(list_transform(toks,
+        |       y -> lower(y)), 'of') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(list_transform(toks,
+        |       y -> lower(y)), 'and') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(list_transform(toks,
+        |       y -> lower(y)), 'that') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(list_transform(toks,
+        |       y -> lower(y)), 'have') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(list_transform(toks,
+        |       y -> lower(y)), 'with') THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_required_hits
+        |  FROM t),
+        |f AS (
+        |  SELECT *,
+        |    CASE WHEN n_words >= 50 AND n_words <= 100000
+        |      THEN 1 ELSE 0 END::BIGINT AS r_words,
+        |    CASE WHEN sum_word_chars >= n_words * 3
+        |      AND sum_word_chars <= n_words * 10
+        |      THEN 1 ELSE 0 END::BIGINT AS r_mean_len,
+        |    CASE WHEN n_symbols * 10 <= n_words
+        |      THEN 1 ELSE 0 END::BIGINT AS r_symbol,
+        |    CASE WHEN n_bullet_lines * 10 <= n_lines * 9
+        |      THEN 1 ELSE 0 END::BIGINT AS r_bullet,
+        |    CASE WHEN n_ellipsis_lines * 10 <= n_lines * 3
+        |      THEN 1 ELSE 0 END::BIGINT AS r_ellipsis,
+        |    CASE WHEN n_alpha_words * 5 >= n_words * 4
+        |      THEN 1 ELSE 0 END::BIGINT AS r_alpha,
+        |    CASE WHEN n_required_hits >= 2
+        |      THEN 1 ELSE 0 END::BIGINT AS r_required
+        |  FROM c)
+        |SELECT doc_id, n_words, sum_word_chars, n_symbols, n_lines,
+        |  n_bullet_lines, n_ellipsis_lines, n_alpha_words,
+        |  n_required_hits, r_words, r_mean_len, r_symbol, r_bullet,
+        |  r_ellipsis, r_alpha, r_required,
+        |  (r_words * r_mean_len * r_symbol * r_bullet * r_ellipsis *
+        |   r_alpha * r_required)::BIGINT AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "t12_chunk_overlap" ->
       """WITH base AS (

@@ -178,6 +178,77 @@ object TextAnalysis {
         "n_bigrams", "n_distinct_bigrams"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1) as
+    * one codegen projection: per document the raw counters, a 0/1
+    * flag per rule, and the composite `keep`. Rules:
+    *
+    *  1. word count in [minWords, maxWords]
+    *  2. mean word length in [3, 10] characters
+    *  3. symbol-to-word ratio ≤ 0.1 (symbols = `#` chars + `...` runs)
+    *  4. ≤ 90% of lines start with a bullet (`-`, `*`, `•`)
+    *  5. ≤ 30% of lines end with an ellipsis (`...` or `…`)
+    *  6. ≥ 80% of words contain at least one ASCII letter
+    *  7. at least 2 distinct "required" English words present
+    *     (the/be/to/of/and/that/have/with — lowercased match)
+    *
+    * Every threshold compare is INTEGER-exact (mean length in [3,10] ⇔
+    * `3·n ≤ Σlen ≤ 10·n`; ratio ≤ 0.1 ⇔ `10·sym ≤ n` …), so the
+    * operator is bit-identical cross-engine with no float rounding
+    * grid at all. `...` occurrences use the non-overlapping replace
+    * count `(len − len(replace(text,'...','')))/3`, which Java and
+    * RE2-family engines compute identically; the letter class is the
+    * explicit `[A-Za-z]` (NOT `\p{L}` — Unicode table versions differ
+    * across engines). Empty text tokenizes to `[""]` → fails rule 2.
+    *
+    * Scale: pure per-row projection — no shuffle, embarrassingly
+    * parallel, stays inside whole-stage codegen.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50,
+                  maxWords: Int = 100000): DataFrame = {
+    val text = col(textCol)
+    val toks = tokenize(text)
+    val lines = split(text, "\n")
+    val required = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    val lowToks = transform(toks, t => lower(t))
+    val nReq = required.map(w =>
+      when(array_contains(lowToks, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val stats = df.select(col(idCol),
+      size(toks).cast("long").as("n_words"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .as("sum_word_chars"),
+      ((length(text) - length(replace(text, lit("#"), lit("")))) +
+        (length(text) - length(replace(text, lit("..."), lit("")))) / 3)
+        .cast("long").as("n_symbols"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => l.rlike("^[ \t]*[-*•]"))).cast("long")
+        .as("n_bullet_lines"),
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \t]*$")))
+        .cast("long").as("n_ellipsis_lines"),
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+        .as("n_alpha_words"),
+      nReq.as("n_required_hits"))
+    val r = Map(
+      "r_words" -> (col("n_words") >= minWords &&
+        col("n_words") <= maxWords),
+      "r_mean_len" -> (col("sum_word_chars") >= col("n_words") * 3 &&
+        col("sum_word_chars") <= col("n_words") * 10),
+      "r_symbol" -> (col("n_symbols") * 10 <= col("n_words")),
+      "r_bullet" -> (col("n_bullet_lines") * 10 <= col("n_lines") * 9),
+      "r_ellipsis" ->
+        (col("n_ellipsis_lines") * 10 <= col("n_lines") * 3),
+      "r_alpha" -> (col("n_alpha_words") * 5 >= col("n_words") * 4),
+      "r_required" -> (col("n_required_hits") >= 2))
+    val flagged = r.toSeq.sortBy(_._1).foldLeft(stats) {
+      case (d, (name, cond)) =>
+        d.withColumn(name, when(cond, 1L).otherwise(0L))
+    }
+    flagged.withColumn("keep",
+      r.keys.toSeq.sorted.map(col).reduce(_ * _))
+  }
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^\\p{L}\\p{N}]", ""))
 

@@ -590,6 +590,42 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Double]("q") >= 0 && r.getAs[Double]("q") <= 1)
   }
 
+  test("gopherRules: each rule fails on its own crafted doc; clean " +
+      "doc keeps") {
+    val good = ("the words and sentences flow along nicely that " +
+      "people have written with care ") * 5  // 65 words, all rules ok
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short to have the required count of and that"),
+      (3L, good + " " + ("x" * 800)),            // mean word len > 10
+      (4L, good + " " + ("#" * 20)),             // symbol ratio > 0.1
+      (5L, good + ("\n- b" * 40)),               // bullet lines > 90%
+      (6L, good + "\nfoo...\nbar...\nbaz..."),   // ellipsis > 30%
+      (7L, good + " " + (1 to 30).map(_.toString).mkString(" ")),
+      (8L, ("zzz qqq www vvv kkk " * 13))        // no required words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    def flags(i: Int) = Map(
+      "r_words" -> out(i).getAs[Long]("r_words"),
+      "r_mean_len" -> out(i).getAs[Long]("r_mean_len"),
+      "r_symbol" -> out(i).getAs[Long]("r_symbol"),
+      "r_bullet" -> out(i).getAs[Long]("r_bullet"),
+      "r_ellipsis" -> out(i).getAs[Long]("r_ellipsis"),
+      "r_alpha" -> out(i).getAs[Long]("r_alpha"),
+      "r_required" -> out(i).getAs[Long]("r_required"),
+      "keep" -> out(i).getAs[Long]("keep"))
+    assert(flags(0).values.forall(_ == 1L), s"doc1 all-pass: ${flags(0)}")
+    assert(flags(1)("r_words") == 0L && flags(1)("keep") == 0L)
+    assert(flags(2)("r_mean_len") == 0L && flags(2)("keep") == 0L)
+    assert(flags(3)("r_symbol") == 0L)
+    assert(flags(4)("r_bullet") == 0L)
+    assert(flags(5)("r_ellipsis") == 0L)
+    assert(flags(6)("r_alpha") == 0L,
+      s"30 of 95 numeric tokens -> alpha < 0.8: ${flags(6)}")
+    assert(flags(7)("r_required") == 0L && flags(7)("r_words") == 1L)
+  }
+
   test("langId picks the profile language; und on no match") {
     val df = Seq(
       "the cat and the dog of a house is here",
