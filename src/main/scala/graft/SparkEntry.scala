@@ -769,6 +769,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Thresholded kNN SELF-join (the SemDeDup primitive): corpus ∪ two
+    // mutated copies per vector (δ = 2⁻⁶ and 2⁻⁵ on coordinate 1) →
+    // each 3-cluster's internal cosines ≥ 0.9995 while the hardest
+    // natural pair sits at 0.513 (measured, sf0.01) — so the ≥0.9
+    // qualifying set is exactly the in-cluster pairs, the d11
+    // plane/table config finds every one, and each query's 2-neighbor
+    // ranked list hash-matches the exact all-pairs oracle. Round-6
+    // cosine ties ((e,m1) vs (m1,m2) tie in ~40% of clusters) break by
+    // neighbor_id — the same rule both engines apply.
+    "s5_knn_join" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      def mut(idOff: Long, delta: Double) = emb
+        .withColumn("vec_id", col("vec_id") + idOff)
+        .withColumn("embedding", concat(
+          array(element_at(col("embedding"), 1) + lit(delta)),
+          slice(col("embedding"), 2, 63)))
+      operators.Similarity.knnJoinLsh(
+          emb.unionByName(mut(1000000L, 0.015625))
+            .unionByName(mut(2000000L, 0.03125)),
+          "embedding", "vec_id", k = 2, minCos = 0.9, nPlanes = 16,
+          dim = 64, nTables = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF ANN with full-probe: KMeans centroids are not stable across
     // partition layouts, but probing every cell makes recall
     // structurally 1 for ANY centroid assignment — the gate proves the
@@ -1863,6 +1889,28 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s5_knn_join" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |           FROM embeddings),
+        |m1 AS (SELECT vec_id + 1000000 AS vec_id,
+        |  list_prepend(emb[1] + 0.015625, emb[2:]) AS emb FROM e),
+        |m2 AS (SELECT vec_id + 2000000 AS vec_id,
+        |  list_prepend(emb[1] + 0.03125, emb[2:]) AS emb FROM e),
+        |du AS (SELECT * FROM e UNION ALL SELECT * FROM m1
+        |       UNION ALL SELECT * FROM m2),
+        |sym AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+        |  FROM du a JOIN du b ON a.vec_id != b.vec_id
+        |  WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.9),
+        |ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |    AS rank
+        |  FROM sym)
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
 
     "q31_approx_percentile" ->
       """SELECT l_returnflag,

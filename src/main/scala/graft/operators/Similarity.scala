@@ -81,6 +81,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Thresholded kNN SELF-join — every row gets its up-to-`k` nearest
+    * neighbors with cosine ≥ `minCos` — the primitive behind SemDeDup-
+    * style semantic dedup, kNN-graph clustering, and
+    * retrieval-neighbor augmentation, where the query set IS the
+    * corpus and [[bruteForceTopK]]'s broadcast-the-queries shape
+    * cannot apply.
+    *
+    * Built on [[Dedup.embeddingNearDupPairsLsh]]'s banded candidate
+    * machinery (multi-table SRP buckets, canonical-table single
+    * emission, id-only shuffle — embeddings re-join by id for the
+    * exact-cosine verify), then symmetrized (each qualifying pair
+    * feeds BOTH endpoints' neighbor lists) and window-ranked per
+    * query. Rows with no ≥ `minCos` neighbor are absent from the
+    * output, mirroring SQL-join semantics.
+    *
+    * Scale: one banded self-join + one window on query_id — never a
+    * cross product. Recall follows the SRP collision curve (scaladoc
+    * on [[Dedup.embeddingNearDupPairsLsh]]); `minCos` is what makes
+    * the operator bucketable — an UNthresholded exact kNN join has no
+    * sublinear exact algorithm, so the honest exact fallback for
+    * small corpora is [[bruteForceTopK]] with queries = corpus.
+    */
+  def knnJoinLsh(corpus: DataFrame, embCol: String, idCol: String,
+                 k: Int, minCos: Double = 0.9, nPlanes: Int = 8,
+                 dim: Int = 64, nTables: Int = 4,
+                 seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val pairs = Dedup.embeddingNearDupPairsLsh(corpus, embCol, idCol,
+      minCos, nPlanes, dim, nTables, seed)
+    val id1 = col(s"${idCol}_1")
+    val id2 = col(s"${idCol}_2")
+    val sym = pairs
+      .select(id1.as("query_id"), id2.as("neighbor_id"), col("cos"))
+      .unionByName(pairs
+        .select(id2.as("query_id"), id1.as("neighbor_id"), col("cos")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos"))
+  }
+
   /** Pairwise cosine scoring helper (double accumulation). */
   def cosine(a: Column, b: Column): Column =
     graft.functions.cosine_similarity(a, b)

@@ -437,6 +437,38 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "sanity: near-identical twins should collide in some table")
   }
 
+  test("knnJoinLsh: symmetric ranked neighbors, threshold excludes, " +
+      "k truncates, isolated vectors absent") {
+    import graft.operators.Similarity
+    // two tight clusters on distinct axes + one isolated vector; all
+    // in-cluster cosines ≈ 1, cross-cluster ≈ 0
+    def v(axis: Int, eps: Double) =
+      (0 until 64).map(i => if (i == axis) 1.0 else if (i == axis + 1)
+        eps else 0.0).toArray
+    val rows = Seq(
+      (1L, v(0, 0.0)), (2L, v(0, 0.01)), (3L, v(0, 0.03)),
+      (10L, v(8, 0.0)), (11L, v(8, 0.015)),
+      (99L, v(30, 0.0))).toDF("id", "emb")
+    val got = Similarity.knnJoinLsh(rows, "emb", "id", k = 2,
+        minCos = 0.9, nPlanes = 4, dim = 64, nTables = 8)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    // cluster {1,2,3}: each member's 2 neighbors are the other two,
+    // rank 1 = higher round-6 cosine (1-2 = .99995, 2-3 = .99980,
+    // 1-3 = .99955 — distinct by construction). cluster {10,11}: one
+    // neighbor each. 99: absent (no ≥ 0.9 neighbor).
+    assert(got == Set(
+      (1L, 1, 2L), (1L, 2, 3L),
+      (2L, 1, 1L), (2L, 2, 3L),
+      (3L, 1, 2L), (3L, 2, 1L),
+      (10L, 1, 11L), (11L, 1, 10L)), s"got $got")
+    val k1 = Similarity.knnJoinLsh(rows, "emb", "id", k = 1,
+        minCos = 0.9, nPlanes = 4, dim = 64, nTables = 8)
+      .select($"query_id").as[Long].collect()
+    assert(k1.length == 5 && k1.toSet == Set(1L, 2L, 3L, 10L, 11L),
+      "k=1 keeps exactly one row per clustered vector")
+  }
+
   test("connectedComponents labels identically under reliable " +
       "checkpointing") {
     // the reliable path exists for executor-loss survival on long
