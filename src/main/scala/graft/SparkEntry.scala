@@ -690,6 +690,32 @@ object SparkEntry {
         .orderBy(col("vec_id_1"), col("vec_id_2"))
     }),
 
+    // SemDeDup one-call semantic dedup: the s5 cluster fixture, but
+    // every 7th cluster's 2⁻⁵-mutant gets a NEGATIVE id — the kept
+    // representative is then a MUTANT for those clusters, so the gate
+    // exercises the component-minimum keeper, not just "originals
+    // survive". Qualifying pairs are exactly the in-cluster ones
+    // (natural max cos 0.513 « 0.9 — the s5/d11 margin argument).
+    "d16_semantic_dedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"),
+        col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      def mut(delta: Double) = emb
+        .withColumn("embedding", concat(
+          array(element_at(col("embedding"), 1) + lit(delta)),
+          slice(col("embedding"), 2, 63)))
+      val du = emb
+        .unionByName(mut(0.015625)
+          .withColumn("vec_id", col("vec_id") + 1000000L))
+        .unionByName(mut(0.03125)
+          .filter(pmod(col("vec_id"), lit(7)) === 0)
+          .withColumn("vec_id", col("vec_id") - 1000000L))
+      operators.Dedup.dropSemanticDuplicates(du, "embedding", "vec_id",
+          threshold = 0.9, nPlanes = 16, dim = 64, nTables = 8)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // decontamination: strip corpus rows whose exact content appears
     // in a reference set (here: a salted-draw sample of the corpus
     // itself, so the oracle can recompute membership deterministically)
@@ -1820,6 +1846,39 @@ object SparkEntry {
         |FROM du a JOIN du b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.9
         |ORDER BY vec_id_1, vec_id_2""".stripMargin,
+
+    "d16_semantic_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |du AS (
+        |  SELECT vec_id, label, emb FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, label,
+        |    list_prepend(emb[1] + 0.015625, emb[2:]) FROM e
+        |  UNION ALL
+        |  SELECT vec_id - 1000000, label,
+        |    list_prepend(emb[1] + 0.03125, emb[2:]) FROM e
+        |  WHERE vec_id % 7 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM du a JOIN du b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.9),
+        |edges AS (
+        |  SELECT v1 AS src, v2 AS dst FROM pairs
+        |  UNION SELECT v2, v1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2
+        |  ON r.dst = e2.src),
+        |comp AS (
+        |  SELECT src AS vec_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT du.vec_id, du.label
+        |FROM du LEFT JOIN comp ON du.vec_id = comp.vec_id
+        |WHERE comp.vec_id IS NULL OR comp.component = du.vec_id
+        |ORDER BY du.vec_id""".stripMargin,
 
     // the d5 signature recipe, cross-corpus: corpus signatures vs a
     // salted-sample near-mutated reference, every ≤3-hamming pair

@@ -712,6 +712,52 @@ object Dedup {
       idCol, score, reliableCheckpointDir)
   }
 
+  /** SemDeDup-style one-call SEMANTIC dedup (Abbas et al. 2023's
+    * pipeline shape): embedding near-dup pairs at `threshold` via the
+    * banded SRP machinery ([[embeddingNearDupPairsLsh]]) → connected
+    * components → keep each semantic cluster's minimum id. The
+    * embedding-space twin of [[dropNearDuplicateDocs]] — catches
+    * paraphrases and template rewrites whose token-level signatures
+    * (SimHash/MinHash) no longer collide.
+    *
+    * Scale: the pair stage ships (table, bucket, id, bucket-vector)
+    * only; components are the same min-label machinery as d8/d13
+    * (reliable checkpointing optional for cluster fault tolerance).
+    * SemDeDup's original formulation blocks by k-means cell; SRP
+    * buckets serve the same candidate-limiting role with a tunable
+    * recall curve and no iterative fit — see
+    * [[embeddingNearDupPairsLsh]]'s scaladoc for sizing.
+    */
+  def dropSemanticDuplicates(df: DataFrame, embCol: String,
+                             idCol: String, threshold: Double = 0.9,
+                             nPlanes: Int = 8, dim: Int = 64,
+                             nTables: Int = 4, seed: Long = 42L,
+                             reliableCheckpointDir: Option[String] =
+                               None): DataFrame = {
+    val pairs = embeddingNearDupPairsLsh(df, embCol, idCol, threshold,
+      nPlanes, dim, nTables, seed)
+    keepNearDupRepresentatives(df, pairs, s"${idCol}_1", s"${idCol}_2",
+      idCol, reliableCheckpointDir)
+  }
+
+  /** [[dropSemanticDuplicates]] keeping the highest-`score` row per
+    * semantic cluster (ties → min id) — the curation form: keep the
+    * best-quality variant, not the smallest id.
+    */
+  def dropSemanticDuplicatesKeepBest(df: DataFrame, embCol: String,
+                                     idCol: String, score: Column,
+                                     threshold: Double = 0.9,
+                                     nPlanes: Int = 8, dim: Int = 64,
+                                     nTables: Int = 4, seed: Long = 42L,
+                                     reliableCheckpointDir:
+                                       Option[String] = None)
+      : DataFrame = {
+    val pairs = embeddingNearDupPairsLsh(df, embCol, idCol, threshold,
+      nPlanes, dim, nTables, seed)
+    keepNearDupRepresentativesBy(df, pairs, s"${idCol}_1",
+      s"${idCol}_2", idCol, score, reliableCheckpointDir)
+  }
+
   /** Embedding near-dup pairs with CONTENT-DERIVED blocking — the
     * at-scale form of [[embeddingNearDupPairs]] for the high-threshold
     * regime (0.9+). Rows bucket by multi-table sign-random-projection

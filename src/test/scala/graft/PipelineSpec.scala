@@ -469,6 +469,26 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "k=1 keeps exactly one row per clustered vector")
   }
 
+  test("dropSemanticDuplicates: cluster collapses to min id; KeepBest " +
+      "keeps the highest-score variant; distant vectors untouched") {
+    def v(axis: Int, eps: Double) =
+      (0 until 64).map(i => if (i == axis) 1.0 else if (i == axis + 1)
+        eps else 0.0).toArray
+    val rows = Seq(
+      (5L, v(0, 0.0), 10L), (2L, v(0, 0.01), 30L), (9L, v(0, 0.03), 20L),
+      (7L, v(8, 0.0), 1L), (8L, v(8, 0.015), 2L),
+      (99L, v(30, 0.0), 0L)).toDF("id", "emb", "score")
+    val minKept = Dedup.dropSemanticDuplicates(rows, "emb", "id",
+        threshold = 0.9, nPlanes = 4, dim = 64, nTables = 8)
+      .select($"id").as[Long].collect().toSet
+    assert(minKept == Set(2L, 7L, 99L), s"min-id reps: $minKept")
+    val bestKept = Dedup.dropSemanticDuplicatesKeepBest(rows, "emb",
+        "id", $"score", threshold = 0.9, nPlanes = 4, dim = 64,
+        nTables = 8)
+      .select($"id").as[Long].collect().toSet
+    assert(bestKept == Set(2L, 8L, 99L), s"best-score reps: $bestKept")
+  }
+
   test("connectedComponents labels identically under reliable " +
       "checkpointing") {
     // the reliable path exists for executor-loss survival on long
