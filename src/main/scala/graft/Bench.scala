@@ -46,13 +46,13 @@ object Bench {
       Thread.sleep(300)
       val t0 = System.nanoTime()
       try {
-        // raw schema (ts = Long nanos under the session's nanosAsLong)
+        // raw schema, ts in whatever encoding the fixture carries
+        // (normalizeTs adapts: Long nanos / TIMESTAMP_NTZ micros)
         val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
         val src = spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet") // source needs a dir
           .parquet(sfDir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        val q = graft.api.DataStream(src, "ts")
+        val q = graft.api.DataStream(Graft.normalizeTs(src), "ts")
           .window(Seq(col("event_type")),
             Seq(count(lit(1)).as("n"), min(col("value")).as("mn"),
               max(col("value")).as("mx"),
@@ -87,7 +87,7 @@ object Bench {
         val src = spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(sfDir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val srcTs = Graft.normalizeTs(src)
           .filter(col("value").isNotNull)
           .select(col("event_type"), col("ts"),
             col("value").cast("double").as("value"))
@@ -97,9 +97,9 @@ object Bench {
           ExactWindow.ExactAgg.max("mx", "value"),
           ExactWindow.ExactAgg.avg("av", "value"))
         val out =
-          if (pane) ExactWindow.slidingPanes(src, Seq("event_type"), "ts",
+          if (pane) ExactWindow.slidingPanes(srcTs, Seq("event_type"), "ts",
             lengthMs = 3600000L, slideMs = 300000L, aggs)
-          else ExactWindow.slidingRows(src, Seq("event_type"), "ts",
+          else ExactWindow.slidingRows(srcTs, Seq("event_type"), "ts",
             lengthMs = 3600000L, slideMs = 300000L, aggs)
         val name = if (pane) "bench_ew_pane" else "bench_ew_explode"
         val q = out.writeStream.outputMode("append")

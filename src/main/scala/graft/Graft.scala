@@ -39,18 +39,36 @@ object Graft {
     spark
   }
 
-  /** Load one testdata table (parquet) from an sf directory.
-    * Nanosecond timestamp columns (events.ts) are normalized to Spark
-    * TimestampType (microsecond floor — matches DuckDB's µs truncation).
+  /** Normalize an events-style `ts` column to Spark TimestampType,
+    * whatever physical encoding the fixture was generated with: Long
+    * epoch-nanos (TIMESTAMP(NANOS) parquet read under nanosAsLong —
+    * microsecond floor matches DuckDB's µs truncation), TIMESTAMP_NTZ
+    * (µs parquet, naive — reinterpreted as a UTC instant; the session
+    * timezone is pinned UTC so the micros value is unchanged), or
+    * already TimestampType (no-op). Generated testdata has switched
+    * encodings across rounds; correctness must not depend on which
+    * one this round's generator picked.
+    */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema(tsCol).dataType match {
+      // integer `div` (not `/`): Long/Long → Double would lose precision
+      // on epoch-nanos (~1.7e18 > 2^53).
+      case LongType =>
+        df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** Load one testdata table (parquet) from an sf directory, with
+    * events.ts normalized via [[normalizeTs]].
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // integer `div` (not `/`): Long/Long → Double would lose precision
-      // on epoch-nanos (~1.7e18 > 2^53).
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 
   /** Register every testdata table as a temp view (for spark.sql paths). */

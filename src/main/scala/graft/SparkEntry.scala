@@ -382,6 +382,33 @@ object SparkEntry {
         .orderBy($"pid")
     }),
 
+    // multi-dimensional rollup in one pass: CUBE over
+    // (returnflag, linestatus) — all four grouping sets from a single
+    // shuffle (Catalyst expands the grouping-set id map-side; no
+    // four-scan union). NULL grouping slots are coalesced to a
+    // sentinel so the oracle needs no GROUPING() support.
+    "q34_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // pivot (long → wide): per-status quantity totals split into one
+    // column per return flag. Values are enumerated explicitly — the
+    // scale-correct form (implicit pivot runs a distinct-value job
+    // first and caps at spark.sql.pivotMaxValues); the oracle is the
+    // portable conditional-aggregation spelling.
+    "q35_pivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("l_linestatus"))),
+
     // §2.5 long-tail analytic window functions (DataFusion re-exports
     // the same names, py-denormalized functions.py)
     "q25_window_battery" -> ((s, d) => {
@@ -725,6 +752,55 @@ object SparkEntry {
       operators.Dedup.decontaminate(docs, ref, "text")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // the Bloom-prefiltered spelling of d10 — same fixture, same
+    // oracle: the filter (sized to guarantee fpp is only a perf knob)
+    // clears definitely-clean rows without any join and the exact
+    // anti-join re-checks just the flagged slice, so the result is
+    // bit-identical to the plain anti-join by construction. The gate
+    // proves the no-false-negative composition, not the fpp.
+    "d17_bloom_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ref = operators.Sampling.hashSample(docs, "doc_id", 0.3)
+      operators.Dedup.decontaminateBloom(docs, ref, "text",
+          expectedRefItems = 10000L, fpp = 0.01)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // graded contamination: per-document 13-gram overlap COUNTS and
+    // fraction against the d14 reference slices (threshold policies
+    // need the score, not just d14's binary drop). Oracle rebuilds
+    // the exact distinct-gram sets per document in DuckDB.
+    "d18_overlap_frac" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = operators.TextAnalysis.tokenize(col("text"))
+      val ref = docs
+        .filter(pmod(col("doc_id"), lit(7)) === 0 && size(toks) >= 25)
+        .select(concat_ws(" ", slice(toks, 5, 21)).as("text"))
+      operators.Dedup.ngramOverlapStats(docs, ref, "text", "doc_id",
+          n = 13)
+        .orderBy(col("doc_id"))
+    }),
+
+    // the duplication report every dedup run prints before anyone
+    // picks thresholds: cluster-size histogram over the d8 pair graph
+    // including singletons (sum(n_docs) = corpus size). Oracle = the
+    // d8 recursive closure, labeled back onto the corpus, grouped.
+    "d19_cluster_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mutated = docs
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", regexp_replace(col("text"), "the", "thee"))
+      val all = docs.unionByName(mutated)
+      val pairs = operators.Dedup.simhashPairsFromSig(all,
+        graft.functions.simhash64_md5(
+          operators.TextAnalysis.tokenize(col("text"))),
+        "doc_id", maxHamming = 3)
+      operators.Dedup.nearDupClusterStats(all, pairs,
+          "doc_id_1", "doc_id_2", "doc_id")
+        .orderBy(col("cluster_size"))
     }),
 
     // NEAR decontamination — the half a real curation pipeline runs
@@ -1132,6 +1208,17 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // keyword extraction: top-3 terms per document by tf·idf, ties by
+    // term — the labeling primitive behind topic tagging and cluster
+    // naming. Both engines compute ln(N/df) on doubles and round to
+    // the 1e-6 grid; ranks are integer row_numbers, so the selection
+    // itself is exact.
+    "t15_tfidf" -> ((s, d) =>
+      operators.TextAnalysis.tfidfTopTerms(t(s, d, "documents"),
+          "doc_id", "text", k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("doc_id"), col("rank"))),
+
     // PII redaction with RE2-safe patterns; the fixture text gets a
     // deterministic synthetic email + phone appended IN THE QUERY (both
     // engines build the same string), so the oracle discriminates even
@@ -1276,6 +1363,18 @@ object SparkEntry {
     dupComponentsClosureCte + "\n" +
       """SELECT src AS doc_id, least(src, min(dst)) AS component
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** Shared by d10 (plain anti-join) and d17 (Bloom-prefiltered) —
+    * the Bloom form is exact by construction, so both gates must
+    * hash-match the same reference answer.
+    */
+  private val decontaminateSql: String =
+    """SELECT d.doc_id, d.lang FROM documents d
+      |WHERE md5(d.text) NOT IN (
+      |  SELECT md5(text) FROM documents
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || chr(0) ||
+      |    'sample'), 1, 8) < '4ccccccc')
+      |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB-runnable oracle SQL, column-name-aligned with `queries`. */
   def oracleSql: Map[String, String] = Map(
@@ -1645,13 +1744,64 @@ object SparkEntry {
     // star-contraction algorithm, identical contract → identical oracle
     "d13_dup_components_star" -> dupComponentsClosureSql,
 
-    "d10_decontaminate" ->
-      """SELECT d.doc_id, d.lang FROM documents d
-        |WHERE md5(d.text) NOT IN (
-        |  SELECT md5(text) FROM documents
-        |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || chr(0) ||
-        |    'sample'), 1, 8) < '4ccccccc')
-        |ORDER BY d.doc_id""".stripMargin,
+    "d10_decontaminate" -> decontaminateSql,
+
+    // bit-identical to d10 by the no-false-negative argument; a
+    // distinct gate so the Bloom composition itself is hash-checked
+    "d17_bloom_decontaminate" -> decontaminateSql,
+
+    // per-document distinct 13-gram counts vs the d14 reference
+    // slices, rebuilt exactly in DuckDB
+    "d18_overlap_frac" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS toks
+        |  FROM documents),
+        |ref AS (
+        |  SELECT regexp_split_to_array(array_to_string(toks[5:25], ' '),
+        |    '[ \t\n\v\f\r]+') AS toks
+        |  FROM tok WHERE doc_id % 7 = 0 AND len(toks) >= 25),
+        |refg AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(CASE WHEN len(toks) < 13
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 12),
+        |        i -> array_to_string(toks[i+1:i+13], ' ')) END) AS g
+        |    FROM ref)),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(toks) < 13
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 12),
+        |        i -> array_to_string(toks[i+1:i+13], ' ')) END) AS g
+        |    FROM tok))
+        |SELECT c.doc_id, count(*) AS total_grams,
+        |  CAST(sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hit_grams,
+        |  round(CAST(sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS overlap_frac
+        |FROM cg c LEFT JOIN refg r ON c.g = r.g
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // d8's closure labeled back onto the corpus (singletons = own
+    // label), then the two-level size histogram
+    "d19_cluster_stats" ->
+      (dupComponentsClosureCte + ",\n" +
+        """comp AS (
+          |  SELECT src AS doc_id, least(src, min(dst)) AS component
+          |  FROM reach GROUP BY src),
+          |lab AS (
+          |  SELECT du.doc_id,
+          |    coalesce(c.component, du.doc_id) AS comp
+          |  FROM du LEFT JOIN comp c ON du.doc_id = c.doc_id),
+          |cs AS (
+          |  SELECT comp, count(*) AS cluster_size FROM lab
+          |  GROUP BY comp)
+          |SELECT cluster_size, count(*) AS n_clusters,
+          |  cluster_size * count(*) AS n_docs
+          |FROM cs GROUP BY cluster_size
+          |ORDER BY cluster_size""".stripMargin),
 
     // d8's closure anti-joined back onto the corpus: keep singletons
     // and each cluster's minimum id
@@ -2465,6 +2615,49 @@ object SparkEntry {
         |  (r_words * r_mean_len * r_symbol * r_bullet * r_ellipsis *
         |   r_alpha * r_required)::BIGINT AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "t15_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  GROUP BY doc_id, term),
+        |dfq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS dfc FROM tok
+        |  GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf,
+        |    round(t.tf * ln(CAST(n.n AS DOUBLE) / d.dfc), 6) AS tfidf
+        |  FROM tf t JOIN dfq d ON t.term = d.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tf, tfidf FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q34_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q35_pivot" ->
+      """SELECT l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag = 'A'
+        |    THEN l_quantity END), 2) AS A,
+        |  round(sum(CASE WHEN l_returnflag = 'N'
+        |    THEN l_quantity END), 2) AS N,
+        |  round(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN l_quantity END), 2) AS R
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
 
     "t12_chunk_overlap" ->
       """WITH base AS (

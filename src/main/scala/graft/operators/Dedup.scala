@@ -853,4 +853,107 @@ object Dedup {
       .select(col("id1").as(s"${idCol}_1"), col("id2").as(s"${idCol}_2"),
         col("cos"))
   }
+
+  /** [[decontaminate]] with a broadcast Bloom-filter prefilter — the
+    * spelling for when the reference digest SET is too large to
+    * broadcast as join-hash rows (tens of millions of eval/benchmark
+    * digests) but its Bloom summary (~1.2 GB at 1e9 items / 1% fpp;
+    * ~12 MB at 1e7) still fits on every executor. Result is EXACTLY
+    * [[decontaminate]]'s — the Bloom filter has no false negatives, so
+    * rows it clears are definitely clean, and the rows it flags (true
+    * matches + fpp false positives) are re-checked by the exact
+    * anti-join, which at that point touches only the tiny candidate
+    * slice instead of shuffling the whole corpus into a sort-merge
+    * join.
+    *
+    * Scale shape: two passes over the corpus scan (the clean branch
+    * and the candidate branch — each a pure scan+filter, no shuffle),
+    * zero corpus shuffle on the clean branch, and an anti-join whose
+    * stream side is |corpus| × (contamination rate + fpp). The
+    * digest hashed into the filter is xxhash64 of the md5 digest, so
+    * filter membership tests are single putLong probes, not string
+    * hashing.
+    *
+    * @param expectedRefItems sizing hint for the filter (distinct
+    *   reference digests); overshoot is cheap (bits are ~1.2 B/item
+    *   at 1% fpp), undershoot inflates fpp and with it the exact
+    *   re-check volume — never correctness.
+    */
+  def decontaminateBloom(corpus: DataFrame, reference: DataFrame,
+                         textCol: String,
+                         expectedRefItems: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val refDigests = reference
+      .select(md5(col(textCol)).as("__h")).distinct()
+    val bloom = refDigests.select(xxhash64(col("__h")).as("__x"))
+      .stat.bloomFilter("__x", expectedRefItems, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((x: Long) => bc.value.mightContainLong(x))
+    val withH = corpus.withColumn("__h", md5(col(textCol)))
+      .withColumn("__might", might(xxhash64(col("__h"))))
+    val clean = withH.filter(!col("__might"))
+    val survivors = withH.filter(col("__might"))
+      .join(refDigests, Seq("__h"), "left_anti")
+    clean.unionByName(survivors).drop("__h", "__might")
+  }
+
+  /** Per-document contamination SCORE: of each corpus document's
+    * distinct word n-grams, how many (and what fraction) appear in the
+    * reference corpus. [[ngramOverlapIds]] answers "touched at all?"
+    * — a binary drop signal; real curation pipelines also want the
+    * graded form (drop when overlap_frac > 0.8, keep-but-flag above
+    * 0.1, etc.), which is this operator. `n` = 13 per the published
+    * web-corpus convention.
+    *
+    * Same scale shape as [[ngramOverlapIds]]: reference grams collapse
+    * to a broadcast distinct digest set; corpus grams are counted
+    * map-side per document (one partial-agg shuffle keyed by id,
+    * 16-byte digests only — gram strings never leave the scan
+    * projection). Every corpus document gets a row (zero hits → 0.0).
+    */
+  def ngramOverlapStats(corpus: DataFrame, reference: DataFrame,
+                        textCol: String, corpusIdCol: String,
+                        n: Int = 13): DataFrame = {
+    val refGrams = reference
+      .select(explode(shingles(col(textCol), n)).as("__gram"))
+      .select(unhex(md5(col("__gram"))).as("__g"))
+      .distinct()
+    val corpusGrams = corpus
+      .select(col(corpusIdCol), explode(shingles(col(textCol), n)).as("__gram"))
+      .select(col(corpusIdCol), unhex(md5(col("__gram"))).as("__g"))
+      .distinct()
+    corpusGrams
+      .join(broadcast(refGrams).withColumn("__hit", lit(1)),
+        Seq("__g"), "left")
+      .groupBy(col(corpusIdCol))
+      .agg(count(lit(1)).as("total_grams"),
+        sum(coalesce(col("__hit"), lit(0))).as("hit_grams"))
+      .withColumn("overlap_frac",
+        round(col("hit_grams").cast("double") / col("total_grams"), 6))
+  }
+
+  /** Duplication report over a pair frame: cluster-size histogram
+    * (`cluster_size`, `n_clusters`, `n_docs`) including size-1
+    * singletons, so `sum(n_docs)` = corpus rows and the corpus
+    * duplication rate is `1 - sum(n_clusters) / sum(n_docs)` — the
+    * number every dedup run reports before anyone decides thresholds.
+    * Built on [[connectedComponents]] (same `reliableCheckpointDir`
+    * escape); the histogram itself is two tiny aggregations over the
+    * id→component frame, grouped on longs.
+    */
+  def nearDupClusterStats(df: DataFrame, pairs: DataFrame,
+                          aCol: String, bCol: String, idCol: String,
+                          reliableCheckpointDir: Option[String] = None)
+      : DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol,
+      reliableCheckpointDir = reliableCheckpointDir)
+    val labeled = df.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(coalesce(col("comp"), col("id")).as("comp"))
+    labeled.groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -463,5 +464,45 @@ object TextAnalysis {
         round(least(lit(1.0), pow(lit(10.0), col("__hs") - col("__ht"))),
           6))
       .drop("__ht", "__hs")
+  }
+
+  /** Top-`k` characteristic terms per document by tf·idf — the
+    * keyword-extraction primitive behind topic tagging, domain
+    * labeling, and cluster naming in a curation pipeline. tf = raw
+    * term count within the document, idf = ln(N / df) with N = corpus
+    * document count and df = documents containing the term; ties
+    * break by term ascending so the selection is deterministic.
+    *
+    * Scale shape: one explode over the scan, then a (doc, term)
+    * partial-count shuffle for tf; df is a term-keyed count over the
+    * DISTINCT (doc, term) frame — both map-side-combined; N rides in
+    * as a broadcast one-row aggregate (no driver-side count() action).
+    * The per-doc ranking window partitions by doc id — no global
+    * sort. Term strings do shuffle here (unlike the digest-only dedup
+    * joins) because they ARE the output; cardinality is vocab-bounded
+    * per doc.
+    *
+    * Output: (id, rank, term, tf, tfidf) with tfidf rounded to the
+    * 1e-6 grid for cross-engine comparison.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokenize(col(textCol)))
+      .as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = toks.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    tf.join(docFreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__n").cast("double") / col("__df")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"),
+        col("tfidf"))
   }
 }
