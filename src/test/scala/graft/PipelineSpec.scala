@@ -889,4 +889,60 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(frames.nonEmpty)
     assert(frames.head.length == 16)
   }
+
+  test("decontaminateBloom == decontaminate even with an undersized, " +
+      "high-fpp filter") {
+    val corpus = (1L to 200L)
+      .map(i => (i, if (i % 3 == 0) s"dup $i" else s"text $i"))
+      .toDF("id", "t")
+    val ref = corpus.filter($"id" % 3 === 0).select($"t")
+    val exact = Dedup.decontaminate(corpus, ref, "t")
+      .select("id").as[Long].collect().toSet
+    // deliberately terrible sizing: ~every row gets flagged, so the
+    // exact re-check is doing all the work — result must not change
+    val bloomed = Dedup.decontaminateBloom(corpus, ref, "t",
+        expectedRefItems = 4L, fpp = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(bloomed == exact)
+    assert(exact == (1L to 200L).filterNot(_ % 3 == 0).toSet)
+  }
+
+  test("ngramOverlapStats counts distinct-gram hits per document") {
+    val corpus = Seq((1L, "a b c d"), (2L, "x y z w"), (3L, "a b"))
+      .toDF("id", "t")
+    val ref = Seq("a b c").toDF("t")
+    // n=3: doc1 grams {a b c, b c d} → 1 of 2 hit; doc2 none of 2;
+    // doc3 is short → whole text "a b" is its one gram, no hit
+    val out = Dedup.ngramOverlapStats(corpus, ref, "t", "id", n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set((1L, 2L, 1L, 0.5), (2L, 2L, 0L, 0.0),
+      (3L, 1L, 0L, 0.0)))
+  }
+
+  test("nearDupClusterStats histogram includes singletons and sums " +
+      "to the corpus size") {
+    val df = (1L to 10L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    // clusters {1,2,3}, {4,5}, five singletons
+    val out = Dedup.nearDupClusterStats(df, pairs, "a", "b", "id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 5L, 5L), (2L, 1L, 2L), (3L, 1L, 3L)))
+  }
+
+  test("tfidfTopTerms ranks distinctive terms above ubiquitous ones") {
+    val df = Seq((1L, "apple apple banana shared"),
+      (2L, "cherry shared"), (3L, "durian shared shared")).toDF("id", "t")
+    val out = TextAnalysis.tfidfTopTerms(df, "id", "t", k = 2)
+    // 'shared' appears in every doc → idf = ln(1) = 0, never ranks
+    // over a distinctive term
+    val doc1 = out.filter($"id" === 1).orderBy($"rank")
+      .select("term").as[String].collect().toSeq
+    assert(doc1 == Seq("apple", "banana"))
+    val v = out.filter($"id" === 1 && $"term" === "apple")
+      .select("tfidf").as[Double].head()
+    assert(math.abs(v - math.round(2 * math.log(3) * 1e6) / 1e6) < 1e-9)
+  }
 }
