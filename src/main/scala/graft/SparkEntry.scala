@@ -838,6 +838,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SEMANTIC decontamination — the embedding member of the family
+    // (d10 exact / d12 token-near / d14 substring): catches
+    // PARAPHRASED eval material. Reference = every 3rd embedding with
+    // the d11 2^-6 first-coordinate perturbation (cos ≈ 0.9999 to its
+    // original, ≤ 0.61 to everything else — the d11 angle-gap
+    // argument), 16 planes × 8 tables ⇒ per-pair miss ~1.2e-9 at the
+    // fixture's angle: recall provably 1, verified sf0.001/0.01/0.1.
+    // Oracle = DuckDB exact NOT EXISTS over all (corpus, ref) cosines.
+    "d20_semantic_decontaminate" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"),
+        col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val ref = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+        .select(concat(
+          array(element_at(col("embedding"), 1) + lit(0.015625)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+      operators.Dedup.semanticDecontaminate(emb, ref, "embedding",
+          "vec_id", threshold = 0.9, nPlanes = 16, dim = 64, nTables = 8)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // the one-call composition: SimHash pairs → components → keep
     // cluster minimums; oracle = the d8 closure anti-joined back
     "d9_drop_neardups" -> ((s, d) => {
@@ -2068,6 +2090,19 @@ object SparkEntry {
         |SELECT doc_id, ref_rid, CAST(hamming AS INT) AS hamming
         |FROM pairs WHERE hamming <= 3
         |ORDER BY doc_id, ref_rid""".stripMargin,
+
+    // exact NOT EXISTS over every (corpus, reference) cosine — the
+    // LSH query must reproduce it exactly (recall 1 at the d11 angle
+    // gap; see the query comment)
+    "d20_semantic_decontaminate" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |           FROM embeddings),
+        |ref AS (SELECT list_prepend(emb[1] + 0.015625, emb[2:]) AS emb
+        |        FROM e WHERE vec_id % 3 = 0)
+        |SELECT c.vec_id, c.label FROM e c
+        |WHERE NOT EXISTS (SELECT 1 FROM ref r
+        |  WHERE round(list_cosine_similarity(c.emb, r.emb), 6) >= 0.9)
+        |ORDER BY vec_id""".stripMargin,
 
     "s1_sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

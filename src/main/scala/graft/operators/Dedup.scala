@@ -956,4 +956,83 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
   }
+
+  /** SEMANTIC contamination detection: `(corpus id, max_cos)` for
+    * every corpus row whose EMBEDDING is within `threshold` cosine of
+    * any reference row — the embedding member of the decontamination
+    * family ([[exactOverlap]] = verbatim, [[simhashOverlap]] =
+    * token-level near, [[ngramOverlapIds]] = substring; this form
+    * catches PARAPHRASED eval material that no token-level detector
+    * can see, the published embedding-decontamination recipe).
+    *
+    * Scale shape — the inverse of [[embeddingNearDupPairsLsh]]'s
+    * self-join: the reference side (eval sets — thousands of rows) is
+    * exploded into the same multi-table sign-random-projection bucket
+    * spaces and BROADCAST, so the corpus side is a map-side bucket
+    * join adjacent to the scan — corpus embeddings NEVER shuffle. The
+    * exact-cosine verify also runs map-side on the (rare) candidate
+    * rows, and only the matching `(id, cos)` pairs pay the final
+    * per-id max aggregation. Cross-table duplicate candidates are
+    * structurally suppressed (first agreeing table emits — the
+    * canonical-table trick), so a corpus row colliding with the same
+    * reference row in all tables verifies once, not `nTables` times.
+    *
+    * Recall follows the SRP collision curve (see
+    * [[embeddingNearDupPairsLsh]]); size `nPlanes` to your corpus'
+    * cluster structure and buy recall back with `nTables`. Cosine is
+    * rounded to the 1e-6 grid before the threshold compare, keeping
+    * the decision reproducible across engines.
+    */
+  def semanticOverlapIds(corpus: DataFrame, reference: DataFrame,
+                         embCol: String, corpusIdCol: String,
+                         threshold: Double = 0.9, nPlanes: Int = 8,
+                         dim: Int = 64, nTables: Int = 4,
+                         seed: Long = 42L): DataFrame = {
+    require(nTables >= 1, "nTables must be >= 1")
+    def bucketsOf(e: Column): Column = array((0 until nTables).map { t =>
+      graft.functions.hyperplane_lsh_bucket(e, nPlanes, dim,
+        seed + t * 7919L)
+    }: _*)
+    val cExp = corpus
+      .select(col(corpusIdCol), col(embCol).as("__cemb"))
+      .withColumn("__cbks", bucketsOf(col("__cemb")))
+      .select(col(corpusIdCol), col("__cemb"), col("__cbks"),
+        posexplode(col("__cbks")).as(Seq("__table", "__bucket")))
+    val rExp = reference
+      .select(col(embCol).as("__remb"))
+      .withColumn("__rbks", bucketsOf(col("__remb")))
+      .select(col("__remb"), col("__rbks"),
+        posexplode(col("__rbks")).as(Seq("__table", "__bucket")))
+    // canonical table: no earlier table may also have agreed, so each
+    // (corpus row, reference row) candidate verifies exactly once
+    val noEarlierAgree = forall(
+      slice(zip_with(col("__cbks"), col("__rbks"),
+        (a, b) => a === b), lit(1), col("__table")),
+      eq => !eq)
+    cExp.join(broadcast(rExp), Seq("__table", "__bucket"))
+      .filter(noEarlierAgree)
+      .withColumn("cos",
+        round(graft.functions.cosine_similarity(col("__cemb"),
+          col("__remb")), 6))
+      .filter(col("cos") >= threshold)
+      .groupBy(col(corpusIdCol))
+      .agg(max(col("cos")).as("max_cos"))
+  }
+
+  /** Drop every corpus row semantically contaminated against a
+    * reference set (embedding cosine ≥ `threshold` to any reference
+    * row) — the removal half of [[semanticOverlapIds]]. The flagged
+    * id set is anti-joined back; at real contamination rates it is
+    * tiny, so AQE broadcasts it and the corpus still never shuffles.
+    */
+  def semanticDecontaminate(corpus: DataFrame, reference: DataFrame,
+                            embCol: String, corpusIdCol: String,
+                            threshold: Double = 0.9, nPlanes: Int = 8,
+                            dim: Int = 64, nTables: Int = 4,
+                            seed: Long = 42L): DataFrame = {
+    val flagged = semanticOverlapIds(corpus, reference, embCol,
+      corpusIdCol, threshold, nPlanes, dim, nTables, seed)
+      .select(col(corpusIdCol))
+    corpus.join(flagged, Seq(corpusIdCol), "left_anti")
+  }
 }

@@ -945,4 +945,38 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .select("tfidf").as[Double].head()
     assert(math.abs(v - math.round(2 * math.log(3) * 1e6) / 1e6) < 1e-9)
   }
+
+  test("semanticOverlapIds flags exactly the planted paraphrases and " +
+      "semanticDecontaminate drops them; reference side broadcasts") {
+    val emb = Graft.table(spark, sf, "embeddings")
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("embedding"))
+    // reference = every 5th vector, first coordinate nudged 2^-6:
+    // cos ≈ 0.9999 to its original, ≤ ~0.61 to everything else (the
+    // d11 angle-gap argument) — so threshold 0.9 must flag exactly
+    // the multiples of 5, at 16 planes x 8 tables (recall ≈ 1)
+    val ref = emb.filter(pmod($"vec_id", lit(5)) === 0)
+      .select(concat(
+        array(element_at($"embedding", 1) + lit(0.015625)),
+        slice($"embedding", 2, 63)).as("embedding"))
+    val flagged = Dedup.semanticOverlapIds(emb, ref, "embedding",
+        "vec_id", threshold = 0.9, nPlanes = 16, dim = 64, nTables = 8)
+      .as[(Long, Double)].collect()
+    val want = emb.filter(pmod($"vec_id", lit(5)) === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(flagged.map(_._1).toSet == want,
+      "flag exactly the contaminated ids: recall 1, zero false flags")
+    flagged.foreach { case (id, c) =>
+      assert(c >= 0.999, s"max_cos for $id unexpectedly low: $c") }
+    val kept = Dedup.semanticDecontaminate(emb, ref, "embedding",
+        "vec_id", threshold = 0.9, nPlanes = 16, dim = 64, nTables = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == emb.select("vec_id").as[Long].collect().toSet -- want)
+    // scale shape: the eval-set side rides a broadcast — the corpus
+    // never shuffles before the map-side cosine verify
+    val plan = Dedup.semanticOverlapIds(emb, ref, "embedding", "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      "reference buckets must broadcast")
+  }
 }
