@@ -319,6 +319,29 @@ final case class DataStream(
     next(graft.operators.Dedup.ngramDecontaminate(df, reference,
       textCol, idCol, n))
 
+  /** Drop rows whose EMBEDDING is within `threshold` cosine of any
+    * STATIC `reference` row
+    * (graft.operators.Dedup.semanticDecontaminate) — paraphrase-level
+    * decontamination. Batch frames here; on an ingest path apply the
+    * same operator per micro-batch via [[foreachBatch]] — each row's
+    * verdict depends only on (row, reference), never on other corpus
+    * rows, so micro-batch-local application is EXACTLY the batch
+    * semantics (a spec pins the parity), no cross-batch state needed.
+    */
+  def semanticDecontaminate(reference: DataFrame, embCol: String,
+                            idCol: String, threshold: Double = 0.9,
+                            nPlanes: Int = 8, dim: Int = 64,
+                            nTables: Int = 4): DataStream = {
+    require(!df.isStreaming,
+      "semanticDecontaminate is batch-only as a plan node (the " +
+        "candidate max-cos aggregation + anti-join cannot run inside " +
+        "a streaming query): stream via foreachBatch — per-row " +
+        "verdicts depend only on the static reference, so " +
+        "micro-batch application is exact")
+    next(graft.operators.Dedup.semanticDecontaminate(df, reference,
+      embCol, idCol, threshold, nPlanes, dim, nTables))
+  }
+
   /** Streaming SimHash NEAR-dup pair lookup against bounded banded
     * state (graft.streaming.StreamingDedup): emits
     * (idCol_1, idCol_2, hamming, ts) for documents within `horizon`

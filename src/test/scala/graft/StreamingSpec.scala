@@ -297,4 +297,55 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       rightAggs = Seq.empty,
       leftValueCol = "reading", rightValueCol = "reading")
   }
+
+  test("streaming semantic decontamination: foreachBatch application " +
+      "equals the batch operator (per-row verdicts are reference-only)") {
+    // 4-dim basis-vector corpus; the reference is a nudged copy of
+    // ids 2 and 4's vectors (cos ~ 1), orthogonal to everything else
+    def basis(i: Int, eps: Double): Seq[Double] =
+      (0 until 4).map(j => (if (j == i) 1.0 else 0.0) +
+        (if (j == 0) eps else 0.0))
+    val corpus = (1L to 4L).map(i => DecoRow(i, basis((i - 1).toInt, 0.0)))
+    val ref = Seq(Tuple1(basis(1, 0.01)), Tuple1(basis(3, 0.01)))
+      .toDF("emb")
+    val batchKept = graft.operators.Dedup.semanticDecontaminate(
+        corpus.toDF(), ref, "emb", "id", threshold = 0.9,
+        nPlanes = 8, dim = 4, nTables = 4)
+      .select("id").as[Long].collect().toSet
+    assert(batchKept == Set(1L, 3L), "sanity: nudged copies flagged")
+
+    val input = MemoryStream[DecoRow](spark)
+    val streamed = scala.collection.mutable.Set[Long]()
+    val q = DataStream(input.toDF)
+      .sink { (batch, _) =>
+        streamed ++= graft.operators.Dedup.semanticDecontaminate(
+            batch, ref, "emb", "id", threshold = 0.9,
+            nPlanes = 8, dim = 4, nTables = 4)
+          .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect()
+      }.start()
+    try {
+      input.addData(corpus.take(2): _*)
+      q.processAllAvailable()
+      input.addData(corpus.drop(2): _*)
+      q.processAllAvailable()
+      assert(streamed.toSet == batchKept,
+        "micro-batch-local application must equal the batch verdicts")
+    } finally q.stop()
+
+    // the fluent bridge: batch passes through, streams are directed
+    // to foreachBatch with the reason
+    val e = intercept[IllegalArgumentException] {
+      DataStream(input.toDF).semanticDecontaminate(ref, "emb", "id")
+    }
+    assert(e.getMessage.contains("foreachBatch"))
+    val bridged = DataStream(corpus.toDF())
+      .semanticDecontaminate(ref, "emb", "id", threshold = 0.9,
+        nPlanes = 8, dim = 4, nTables = 4)
+      .df.select("id").as[Long].collect().toSet
+    assert(bridged == batchKept)
+  }
 }
+
+/** Embedding row for streaming decontamination specs. */
+case class DecoRow(id: Long, emb: Seq[Double])
