@@ -1241,6 +1241,26 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("doc_id"), col("rank"))),
 
+    // canonical text form (lower → collapse whitespace → trim → NFC)
+    // + accent strip — the preprocessing in front of every exact
+    // dedup/decontamination pass. The ASCII fixture is mutated IN THE
+    // QUERY (both engines identically): every 2nd doc uppercased, a
+    // tail with doubled spaces and a COMBINING-accent 'Cafe<U+0301>'
+    // appended, so case folding, collapse, NFC composition, and the
+    // strip all do real work; DuckDB recomputes with its native
+    // lower/regexp_replace/nfc_normalize/strip_accents.
+    "t16_normalize_text" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mutated = concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, upper(col("text")))
+          .otherwise(col("text")),
+        lit("  Cafe\u0301  tail"))
+      val norm = operators.TextAnalysis.normalizeText(mutated)
+      docs.select(col("doc_id"), norm.as("norm"),
+          graft.functions.strip_accents(norm).as("norm_ascii"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction with RE2-safe patterns; the fixture text gets a
     // deterministic synthetic email + phone appended IN THE QUERY (both
     // engines build the same string), so the oracle discriminates even
@@ -2674,6 +2694,20 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, rank, term, tf, tfidf FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "t16_normalize_text" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END)
+        |      || '  Cafe' || chr(769) || '  tail' AS text
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    nfc_normalize(trim(regexp_replace(lower(text),
+        |      '[ \t\n\v\f\r]+', ' ', 'g'))) AS norm
+        |  FROM m)
+        |SELECT doc_id, norm, strip_accents(norm) AS norm_ascii
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q34_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,

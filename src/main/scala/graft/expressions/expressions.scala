@@ -694,3 +694,81 @@ case class HyperplaneLshBucket(child: Expression, nPlanes: Int, dim: Int,
   override protected def withNewChildInternal(c: Expression)
       : HyperplaneLshBucket = copy(child = c)
 }
+
+/** Unicode normalization (java.text.Normalizer) → string. `form` is
+  * NFC/NFD/NFKC/NFKD, validated at construction. The canonical-form
+  * step every exact-dedup / decontamination pipeline runs before
+  * hashing: visually-identical strings with different codepoint
+  * sequences (composed vs combining accents, compatibility forms)
+  * otherwise hash apart. Fast path: already-normalized text (the
+  * common case for clean corpora) is detected with
+  * `Normalizer.isNormalized` and returned as-is, no re-encode.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val nf =
+    java.text.Normalizer.Form.valueOf(form)
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unicode_normalize requires string, got ${child.dataType}")
+    else if (!Set("NFC", "NFD", "NFKC", "NFKD").contains(form))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unicode_normalize form must be NFC/NFD/NFKC/NFKD, got $form")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, nf)) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, nf))
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : UnicodeNormalize = copy(child = c)
+}
+
+/** Strip combining marks: NFD-decompose, drop \p{M}, NFC-recompose —
+  * 'café' → 'cafe'. Matches DuckDB/utf8proc `strip_accents` on Latin
+  * accents (the d-family oracles rely on that agreement). ASCII input
+  * short-circuits without decomposition.
+  */
+case class StripAccents(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val marks = java.util.regex.Pattern.compile("\\p{M}+")
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"strip_accents requires string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    // pure-ASCII fast path: no accents possible, skip the decompose
+    val bytes = u.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) u
+    else {
+      val d = java.text.Normalizer.normalize(u.toString,
+        java.text.Normalizer.Form.NFD)
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        marks.matcher(d).replaceAll(""),
+        java.text.Normalizer.Form.NFC))
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : StripAccents = copy(child = c)
+}

@@ -127,6 +127,15 @@ object GraftFunctions {
       x(graft.operators.Similarity.quantizeInt8(c(es.head))), "scala_udf")
     reg.createOrReplaceTempFunction("quant_scale", es =>
       x(graft.operators.Similarity.quantScale(c(es.head))), "scala_udf")
+    reg.createOrReplaceTempFunction("unicode_normalize", es =>
+      UnicodeNormalize(es(0),
+        if (es.length > 1) stringLit(es(1), "unicode_normalize form")
+        else "NFC"), "scala_udf")
+    reg.createOrReplaceTempFunction("strip_accents", es =>
+      StripAccents(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("normalize_text", es =>
+      x(graft.operators.TextAnalysis.normalizeText(c(es.head))),
+      "scala_udf")
     graft.operators.Udafs.register(spark)
   }
 }

@@ -104,4 +104,17 @@ package object functions {
                             seed: Long = 42L): Column =
     c(expressions.HyperplaneLshBucket(
       GraftShim.expression(emb), nPlanes, dim, seed))
+
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonical-form
+    * step before any content hashing; already-normalized text passes
+    * through untouched.
+    */
+  def unicode_normalize(text: Column, form: String = "NFC"): Column =
+    c(expressions.UnicodeNormalize(GraftShim.expression(text), form))
+
+  /** Strip combining marks ('café' → 'cafe'); agrees with
+    * DuckDB/utf8proc strip_accents on Latin accents.
+    */
+  def strip_accents(text: Column): Column =
+    c(expressions.StripAccents(GraftShim.expression(text)))
 }

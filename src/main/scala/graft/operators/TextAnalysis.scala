@@ -46,6 +46,24 @@ object TextAnalysis {
 
   def charCount(text: Column): Column = length(text)
 
+  /** Canonical text form for content hashing: lowercase → collapse
+    * ASCII-whitespace runs to one space → trim → NFC-normalize. Run
+    * this before [[graft.operators.Dedup.exactGroups]] /
+    * `decontaminate` and visually-identical variants (case, spacing,
+    * composed-vs-combining accents) hash together — the published
+    * web-corpus exact-dedup preprocessing step. The operation order is
+    * pinned by the t16 oracle's DuckDB spelling
+    * `nfc_normalize(trim(regexp_replace(lower(t), '[ \t\n\v\f\r]+',
+    * ' ', 'g')))`; the whitespace class is explicit for the same
+    * RE2-vs-Java `\s` reason as [[tokenize]]. Pure codegen built-ins
+    * except the NFC step (a native expression with an
+    * already-normalized fast path).
+    */
+  def normalizeText(text: Column): Column =
+    graft.functions.unicode_normalize(
+      trim(regexp_replace(lower(text), "[ \t\n\f\r]+", " ")),
+      "NFC")
+
   /** Fraction of characters that are sentence punctuation. */
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /

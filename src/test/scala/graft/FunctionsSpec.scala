@@ -121,4 +121,37 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(qSql.exceptAll(qApi).isEmpty && qApi.exceptAll(qSql).isEmpty,
       "quantize_int8/quant_scale must equal the operator compositions")
   }
+
+  test("unicode_normalize / strip_accents / normalize_text") {
+    // combining e + U+0301 composes under NFC; ligature ﬁ (U+FB01)
+    // survives NFC but decomposes under NFKC
+    val rows = Seq("Café", "ﬁne", "  Tabs\tand\nLines  ",
+      "plain ascii").toDF("t")
+    val got = rows.select(
+      graft.functions.unicode_normalize($"t").as("nfc"),
+      graft.functions.unicode_normalize($"t", "NFKC").as("nfkc"),
+      graft.functions.strip_accents(
+        graft.functions.unicode_normalize($"t")).as("stripped"),
+      graft.operators.TextAnalysis.normalizeText($"t").as("norm"))
+      .collect()
+    assert(got(0).getString(0) == "Caf\u00e9")       // composed
+    assert(got(0).getString(2) == "Cafe")            // accent gone
+    assert(got(0).getString(3) == "caf\u00e9")       // lowered+NFC
+    assert(got(1).getString(0) == "\ufb01ne")        // NFC keeps the ligature
+    assert(got(1).getString(1) == "fine")            // NFKC expands
+    assert(got(2).getString(3) == "tabs and lines")  // collapse+trim
+    assert(got(3).getString(3) == "plain ascii")     // ascii fast path
+    // bad form rejected at analysis
+    val e = intercept[Exception] {
+      rows.select(graft.functions.unicode_normalize($"t", "NFX")).collect()
+    }
+    assert(e.getMessage.contains("NFC"))
+    // SQL registrations mirror the Column API
+    rows.createOrReplaceTempView("fs_norm")
+    val sql = spark.sql(
+      """SELECT unicode_normalize(t) AS nfc, strip_accents(t) AS s,
+        |  normalize_text(t) AS n FROM fs_norm""".stripMargin).collect()
+    assert(sql(0).getString(0) == "Caf\u00e9" &&
+      sql(0).getString(2) == "caf\u00e9")
+  }
 }
