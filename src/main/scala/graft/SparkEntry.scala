@@ -1261,6 +1261,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the corpus composition report every curation stage prints:
+    // per-(lang, source) docs / token / char volume + share of corpus.
+    // Counts and sums are exact integers; shares are single binary64
+    // divisions rounded to the 1e-6 grid \u2014 both engines agree bit-wise.
+    "t17_corpus_report" -> ((s, d) =>
+      operators.TextAnalysis.corpusReport(t(s, d, "documents"), "text",
+          Seq("lang", "source"))
+        .orderBy(col("lang"), col("source"))),
+
+    // NORMALIZED exact dedup \u2014 the t16 \u2218 d2 composition a real
+    // pipeline runs: case/spacing variants (uppercased copies with a
+    // trailing-space tail, added in-query) must collapse onto their
+    // originals once keyed by normalizeText. Oracle rebuilds the
+    // normalized digest groups and keeps each minimum id.
+    "d21_normalized_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val variants = docs
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(upper(col("text")), lit("  ")))
+      val all = docs.unionByName(variants).withColumn("__norm",
+        operators.TextAnalysis.normalizeText(col("text")))
+      operators.Dedup.dropExactDuplicates(all, "__norm", "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction with RE2-safe patterns; the fixture text gets a
     // deterministic synthetic email + phone appended IN THE QUERY (both
     // engines build the same string), so the oracle discriminates even
@@ -2708,6 +2734,38 @@ object SparkEntry {
         |  FROM m)
         |SELECT doc_id, norm, strip_accents(norm) AS norm_ascii
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "t17_corpus_report" ->
+      """WITH t AS (SELECT lang, source,
+        |    len(regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |      '[ \t\n\v\f\r]+')) AS ntok,
+        |    length(text) AS nch
+        |  FROM documents),
+        |g AS (SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |    CAST(sum(nch) AS BIGINT) AS total_chars
+        |  FROM t GROUP BY lang, source),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS d,
+        |    CAST(sum(total_tokens) AS BIGINT) AS tk FROM g)
+        |SELECT lang, source, n_docs, total_tokens, total_chars,
+        |  round(CAST(n_docs AS DOUBLE) / d, 6) AS share_docs,
+        |  round(CAST(total_tokens AS DOUBLE) / tk, 6) AS share_tokens
+        |FROM g CROSS JOIN tot ORDER BY lang, source""".stripMargin,
+
+    "d21_normalized_dedup" ->
+      """WITH du AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, upper(text) || '  '
+        |  FROM documents),
+        |n AS (SELECT doc_id, lang,
+        |  nfc_normalize(trim(regexp_replace(lower(text),
+        |    '[ \t\n\v\f\r]+', ' ', 'g'))) AS norm
+        |  FROM du),
+        |k AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY norm)
+        |SELECT n.doc_id, n.lang FROM n JOIN k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q34_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,

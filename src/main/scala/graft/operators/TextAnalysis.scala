@@ -523,4 +523,31 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"),
         col("tfidf"))
   }
+
+  /** One-call corpus composition report over arbitrary dimension
+    * columns (language, source, split label, ...): docs, token and
+    * char volume, and each slice's share of the corpus — the summary
+    * every curation run prints before and after a stage to see what a
+    * filter actually removed. One scan, one partial-agg shuffle keyed
+    * by the (low-cardinality) dims; the grand total rides back as a
+    * broadcast 1-row aggregate (the tf·idf `N` trick), so nothing
+    * rescans or reshuffles the corpus. Shares are exact-integer
+    * divisions rounded to the 1e-6 grid — reproducible cross-engine.
+    */
+  def corpusReport(df: DataFrame, textCol: String,
+                   dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension column")
+    val perSlice = df.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol))).as("total_tokens"),
+        sum(charCount(col(textCol))).as("total_chars"))
+    val totals = perSlice.agg(sum(col("n_docs")).as("__docs"),
+      sum(col("total_tokens")).as("__toks"))
+    perSlice.crossJoin(broadcast(totals))
+      .withColumn("share_docs",
+        round(col("n_docs").cast("double") / col("__docs"), 6))
+      .withColumn("share_tokens",
+        round(col("total_tokens").cast("double") / col("__toks"), 6))
+      .drop("__docs", "__toks")
+  }
 }

@@ -946,6 +946,21 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(v - math.round(2 * math.log(3) * 1e6) / 1e6) < 1e-9)
   }
 
+  test("corpusReport slices cover the corpus exactly") {
+    val df = Seq((1L, "en", "a", "x y"), (2L, "en", "b", "z"),
+      (3L, "de", "a", "w w w")).toDF("id", "lang", "source", "text")
+    val r = TextAnalysis.corpusReport(df, "text", Seq("lang", "source"))
+      .collect()
+    assert(r.length == 3)
+    assert(r.map(_.getAs[Long]("n_docs")).sum == 3)
+    assert(r.map(_.getAs[Long]("total_tokens")).sum == 6)
+    assert(math.abs(r.map(_.getAs[Double]("share_docs")).sum - 1.0) < 2e-6)
+    assert(math.abs(r.map(_.getAs[Double]("share_tokens")).sum - 1.0) < 2e-6)
+    val de = r.find(_.getAs[String]("lang") == "de").get
+    assert(de.getAs[Long]("total_tokens") == 3 &&
+      de.getAs[Long]("total_chars") == 5)
+  }
+
   test("semanticOverlapIds flags exactly the planted paraphrases and " +
       "semanticDecontaminate drops them; reference side broadcasts") {
     val emb = Graft.table(spark, sf, "embeddings")
