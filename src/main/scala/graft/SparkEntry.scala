@@ -1287,6 +1287,137 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // C4-family line-level web cleaning: the fixture is rebuilt
+    // IN THE QUERY into a deterministic multi-line page (good lines,
+    // a short line, a javascript notice, a cookie banner, a line with
+    // no terminal punctuation, and for doc_id%17==0 a lorem-ipsum
+    // tail that kills the whole document) — both engines construct
+    // and clean the identical string
+    "t18_c4_clean" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val page = concat_ws("\n",
+        concat(substring(col("text"), 1, 40), lit(".")),
+        lit("short line"),
+        concat(lit("Enable JavaScript to continue viewing "),
+          substring(col("text"), 41, 20), lit(".")),
+        concat(substring(col("text"), 61, 40), lit("!")),
+        lit("This site uses cookies for tracking purposes."),
+        concat(lit("no terminal punctuation here "),
+          substring(col("text"), 101, 20)),
+        concat(substring(col("text"), 121, 30), lit(" end?\"")))
+      val withBad = when(pmod(col("doc_id"), lit(17)) === 0,
+        concat(page, lit("\nlorem ipsum dolor sit amet.")))
+        .otherwise(page)
+      operators.TextAnalysis.c4Clean(
+          docs.withColumn("text", withBad), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // hashed-feature linear scorer: md5-bucket hashing and the
+    // md5-derived pseudo-model weights are recomputed hex digit by
+    // hex digit in the oracle; score_milli is an exact integer sum
+    // and logit one IEEE division, so the gate is bit-hard
+    "t19_hashed_score" -> ((s, d) =>
+      operators.TextAnalysis.hashedLinearScore(
+          t(s, d, "documents"), "doc_id", "text", dim = 64)
+        .orderBy(col("doc_id"))),
+
+    // corpus-frequent trigram mining (the boilerplate DISCOVERY
+    // step): every occurrence counted, top-50 with deterministic
+    // (count desc, gram asc) ties — the oracle recomputes the full
+    // gram stream
+    "t21_top_ngrams" -> ((s, d) =>
+      operators.TextAnalysis.topNgrams(t(s, d, "documents"), "text",
+        n = 3, k = 50)),
+
+    // before/after stage diff: what a length-200 quality filter
+    // removed, per (lang, source) slice — exact integer counts, one
+    // rounded exact-division fraction
+    "t22_corpus_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      operators.TextAnalysis.corpusDiff(docs,
+          docs.filter(length(col("text")) >= 200), "text",
+          Seq("lang", "source"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // MinHash (Jaccard) cross-corpus decontamination: reference =
+    // every 5th doc with "the"→"thee" mutations (high-Jaccard
+    // contamination, built in-query); oracle = exact inverted-index
+    // cross Jaccard at the threshold — banding recall is structural
+    // on this fixture (mutant overlap ≈0.8 ≫ 0.5; precondition
+    // spec-asserted like d4)
+    "d23_minhash_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ref = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("text", regexp_replace(col("text"), "the", "thee"))
+      operators.Dedup.minhashOverlap(docs, ref, "text", "doc_id",
+          numHashes = 32, bands = 16, threshold = 0.5)
+        .withColumn("max_jaccard", round(col("max_jaccard"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Z-order (Morton) codes — the storage-clustering key behind
+    // multi-dimensional file skipping; the oracle re-interleaves all
+    // 16 bits with explicit shift/mask arithmetic
+    "q36_zorder" -> ((s, d) =>
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          operators.Storage.mortonCode(Seq(
+            pmod(col("l_partkey"), lit(256)).cast("long"),
+            pmod(col("l_suppkey"), lit(256)).cast("long")), 8)
+            .as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // URL canonicalization: five URL shapes built IN THE QUERY
+    // (mixed-case scheme/host + default port + tracking params +
+    // fragment; bare host; ref param; non-http scheme with real port;
+    // a non-URL passthrough) — the oracle replays every RE2-safe
+    // regexp step
+    "t20_url_normalize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val url = when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("HTTPS://WWW."), col("source"),
+            lit(".Example.COM:443/Articles/"), col("doc_id"),
+            lit("?utm_source=feed&id="), col("doc_id"),
+            lit("&fbclid=xyz#sec2")))
+        .when(pmod(col("doc_id"), lit(5)) === 1,
+          concat(lit("http://"), col("source"), lit(".example.org:80")))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          concat(lit("https://News.Example.net/"), col("lang"),
+            lit("/story?ref=home&q=spark+scala")))
+        .when(pmod(col("doc_id"), lit(5)) === 3,
+          lit("ftp://Files.example.com:21/pub/data.bin"))
+        .otherwise(concat(lit("not a url at all "), col("doc_id")))
+      docs.select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          operators.Urls.normalizeUrl(col("url")).as("norm_url"),
+          operators.Urls.urlHost(col("url")).as("host"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // edit-distance near-dup pairs via PassJoin segment blocking:
+    // seeded 1-edit (substitute / delete) and 2-edit (append "!?")
+    // mutants are built IN THE QUERY, so both engines see the same
+    // corpus; the oracle is brute-force levenshtein over the
+    // length-band — recall of the segment join must be exactly 1
+    "d22_editdist_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val variants = docs
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(substring(col("text"), 1, 10), lit("Z"),
+              substring(col("text"), 12, 1000000)))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(substring(col("text"), 1, 10),
+              substring(col("text"), 12, 1000000)))
+          .otherwise(concat(col("text"), lit("!?"))))
+      val all = docs.unionByName(variants)
+      operators.Dedup.editDistancePairs(all, "text", "doc_id",
+          maxDist = 2)
+        .orderBy(col("doc_id_1"), col("doc_id_2"))
+    }),
+
     // PII redaction with RE2-safe patterns; the fixture text gets a
     // deterministic synthetic email + phone appended IN THE QUERY (both
     // engines build the same string), so the oracle discriminates even
@@ -2752,6 +2883,215 @@ object SparkEntry {
         |  round(CAST(n_docs AS DOUBLE) / d, 6) AS share_docs,
         |  round(CAST(total_tokens AS DOUBLE) / tk, 6) AS share_tokens
         |FROM g CROSS JOIN tot ORDER BY lang, source""".stripMargin,
+
+    "t18_c4_clean" ->
+      """WITH p AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    substr(text, 1, 40) || '.',
+        |    'short line',
+        |    'Enable JavaScript to continue viewing ' ||
+        |      substr(text, 41, 20) || '.',
+        |    substr(text, 61, 40) || '!',
+        |    'This site uses cookies for tracking purposes.',
+        |    'no terminal punctuation here ' || substr(text, 101, 20),
+        |    substr(text, 121, 30) || ' end?"') AS page
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 17 = 0
+        |    THEN page || chr(10) || 'lorem ipsum dolor sit amet.'
+        |    ELSE page END AS text FROM p),
+        |l AS (SELECT doc_id, text,
+        |    string_split(text, chr(10)) AS lines FROM b),
+        |k AS (SELECT doc_id, text, lines,
+        |    list_filter(lines, x ->
+        |      len(regexp_split_to_array(trim(x), '[ \t\v\f\r]+')) >= 3
+        |      AND right(rtrim(x), 1) IN ('.', '!', '?', '"')
+        |      AND NOT contains(lower(x), 'javascript')
+        |      AND NOT contains(lower(x), 'cookie')
+        |      AND NOT contains(lower(x), 'privacy policy')
+        |      AND NOT contains(lower(x), 'terms of use')) AS kept
+        |  FROM l)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean,
+        |  len(kept) AS n_lines_kept, len(lines) AS n_lines_total
+        |FROM k
+        |WHERE NOT contains(lower(text), 'lorem ipsum')
+        |  AND NOT contains(text, '{') AND len(kept) >= 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "t19_hashed_score" -> {
+      // first-8-hex-chars-of-md5 → int, digit by digit (the d5 recipe)
+      def h32(e: String): String = (1 to 8).map { p =>
+        s"(strpos('0123456789abcdef', substr(md5($e), $p, 1))-1)*" +
+          (1L << (4 * (8 - p)))
+      }.mkString("(", " + ", ")")
+      val w = s"((${h32(s"'w' || (${h32("t")} % 64)")} % 2001) - 1000)"
+      s"""WITH base AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text,
+         |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+         |    '[ \t\n\f\r]+') AS tk
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, len(tk) AS n_tokens,
+         |    CAST(list_sum(list_transform(tk, t -> $w)) AS BIGINT)
+         |      AS score_milli
+         |  FROM base)
+         |SELECT doc_id, n_tokens, score_milli,
+         |  CAST(score_milli AS DOUBLE) / (1000.0 * n_tokens) AS logit,
+         |  (CAST(score_milli AS DOUBLE) / (1000.0 * n_tokens)) > 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "t21_top_ngrams" ->
+      """WITH tk AS (
+        |  SELECT regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(list_transform(
+        |    range(0, greatest(len(toks) - 2, 0)),
+        |    i -> array_to_string(toks[i+1:i+3], ' '))) AS gram
+        |  FROM tk)
+        |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+        |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+
+    "t22_corpus_diff" ->
+      """WITH t AS (SELECT lang, source, text,
+        |    len(regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |      '[ \t\n\v\f\r]+')) AS ntok
+        |  FROM documents),
+        |b AS (SELECT lang, source, count(*) AS docs_before,
+        |    CAST(sum(ntok) AS BIGINT) AS tokens_before
+        |  FROM t GROUP BY lang, source),
+        |a AS (SELECT lang, source, count(*) AS docs_after,
+        |    CAST(sum(ntok) AS BIGINT) AS tokens_after
+        |  FROM t WHERE length(text) >= 200 GROUP BY lang, source)
+        |SELECT b.lang, b.source, docs_before, tokens_before,
+        |  coalesce(docs_after, 0) AS docs_after,
+        |  coalesce(tokens_after, 0) AS tokens_after,
+        |  docs_before - coalesce(docs_after, 0) AS docs_removed,
+        |  tokens_before - coalesce(tokens_after, 0) AS tokens_removed,
+        |  round(CAST(docs_before - coalesce(docs_after, 0) AS DOUBLE)
+        |    / greatest(docs_before, 1), 6) AS removed_frac
+        |FROM b LEFT JOIN a USING (lang, source)
+        |ORDER BY lang, source""".stripMargin,
+
+    "d23_minhash_overlap" ->
+      """WITH ref AS (
+        |  SELECT regexp_replace(text, 'the', 'thee', 'g') AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |ctk AS (SELECT doc_id, regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS toks FROM documents),
+        |rtk AS (SELECT row_number() OVER () AS rid,
+        |    regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS toks FROM ref),
+        |csh AS (SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))) END AS s
+        |  FROM ctk),
+        |rsh AS (SELECT rid,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))) END AS s
+        |  FROM rtk),
+        |cinv AS (SELECT doc_id, unnest(s) AS g FROM csh),
+        |rinv AS (SELECT rid, unnest(s) AS g FROM rsh),
+        |csz AS (SELECT doc_id, len(s) AS n FROM csh),
+        |rsz AS (SELECT rid, len(s) AS n FROM rsh),
+        |cand AS (SELECT c.doc_id, r.rid, count(*) AS ni
+        |  FROM cinv c JOIN rinv r ON c.g = r.g GROUP BY 1, 2),
+        |j AS (SELECT doc_id, rid,
+        |    ni::DOUBLE / (ca.n + ra.n - ni) AS jac
+        |  FROM cand JOIN csz ca USING (doc_id)
+        |            JOIN rsz ra USING (rid))
+        |SELECT doc_id, round(max(jac), 6) AS max_jaccard
+        |FROM j WHERE jac >= 0.5 GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q36_zorder" -> {
+      val terms = (for {
+        j <- 0 until 8
+        (c, ci) <- Seq("l_partkey", "l_suppkey").zipWithIndex
+      } yield s"(((($c % 256) >> $j) & 1) << ${j * 2 + ci})")
+        .mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST($terms AS BIGINT) AS zval
+         |FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
+    "t20_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://WWW.' || source ||
+        |        '.Example.COM:443/Articles/' || doc_id ||
+        |        '?utm_source=feed&id=' || doc_id || '&fbclid=xyz#sec2'
+        |      WHEN doc_id % 5 = 1 THEN 'http://' || source ||
+        |        '.example.org:80'
+        |      WHEN doc_id % 5 = 2 THEN 'https://News.Example.net/' ||
+        |        lang || '/story?ref=home&q=spark+scala'
+        |      WHEN doc_id % 5 = 3
+        |        THEN 'ftp://Files.example.com:21/pub/data.bin'
+        |      ELSE 'not a url at all ' || doc_id END AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://.*$', 1)) AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*).*$', 1)) AS rawhost,
+        |    regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*).*$', 1) AS rest
+        |  FROM u),
+        |hp AS (
+        |  SELECT *,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(
+        |        regexp_replace(rawhost, '^www\.', ''), ':80$', '')
+        |      WHEN scheme = 'https' THEN regexp_replace(
+        |        regexp_replace(rawhost, '^www\.', ''), ':443$', '')
+        |      ELSE regexp_replace(rawhost, '^www\.', '') END AS host,
+        |    regexp_extract(rest, '^([^?]*).*$', 1) AS path,
+        |    regexp_extract(rest, '^[^?]*\?(.*)$', 1) AS query
+        |  FROM parts),
+        |q AS (
+    |  SELECT *, coalesce(array_to_string(
+        |      list_filter(string_split(query, '&'),
+        |      p -> NOT (regexp_matches(p,
+        |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=')
+        |        OR p = '')), '&'), '') AS cq
+        |  FROM hp)
+        |SELECT doc_id, url,
+        |  CASE WHEN scheme = '' THEN url
+        |    ELSE scheme || '://' || host ||
+        |      (CASE WHEN path = '' THEN '/' ELSE path END) ||
+        |      (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) END
+        |    AS norm_url,
+        |  host
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "d22_editdist_pairs" ->
+      """WITH du AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    CASE WHEN (doc_id + 1000000) % 3 = 0
+        |           THEN substr(text, 1, 10) || 'Z' ||
+        |                substr(text, 12, 1000000)
+        |         WHEN (doc_id + 1000000) % 3 = 1
+        |           THEN substr(text, 1, 10) || substr(text, 12, 1000000)
+        |         ELSE text || '!?' END AS text
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |  levenshtein(a.text, b.text) AS dist
+        |FROM du a JOIN du b
+        |  ON a.doc_id < b.doc_id
+        | AND abs(length(a.text) - length(b.text)) <= 2
+        |WHERE levenshtein(a.text, b.text) <= 2
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
 
     "d21_normalized_dedup" ->
       """WITH du AS (

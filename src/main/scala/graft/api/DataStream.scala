@@ -342,6 +342,27 @@ final case class DataStream(
       embCol, idCol, threshold, nPlanes, dim, nTables))
   }
 
+  /** Jaccard (MinHash-banded) decontamination against a static
+    * reference (graft.operators.Dedup.minhashDecontaminate) — the
+    * n-gram-overlap analogue of [[semanticDecontaminate]], with the
+    * same batch-only plan-node contract: per-row verdicts depend only
+    * on the static reference, so streams apply it exactly per
+    * micro-batch via foreachBatch (parity spec'd).
+    */
+  def minhashDecontaminate(reference: DataFrame, textCol: String,
+                           idCol: String, threshold: Double = 0.5,
+                           shingleN: Int = 3, numHashes: Int = 32,
+                           bands: Int = 16): DataStream = {
+    require(!df.isStreaming,
+      "minhashDecontaminate is batch-only as a plan node (the " +
+        "candidate max-jaccard aggregation + anti-join cannot run " +
+        "inside a streaming query): stream via foreachBatch — " +
+        "per-row verdicts depend only on the static reference, so " +
+        "micro-batch application is exact")
+    next(graft.operators.Dedup.minhashDecontaminate(df, reference,
+      textCol, idCol, shingleN, numHashes, bands, threshold))
+  }
+
   /** Streaming SimHash NEAR-dup pair lookup against bounded banded
     * state (graft.streaming.StreamingDedup): emits
     * (idCol_1, idCol_2, hamming, ts) for documents within `horizon`

@@ -1035,4 +1035,176 @@ object Dedup {
       .select(col(corpusIdCol))
     corpus.join(flagged, Seq(corpusIdCol), "left_anti")
   }
+
+  /** MinHash cross-corpus near-contamination: corpus docs whose exact
+    * n-gram Jaccard against ANY reference (eval-set) doc reaches
+    * `threshold` — the Jaccard companion to [[simhashOverlap]]
+    * (hamming) and [[ngramOverlapIds]] (single-gram), for the overlap
+    * definition most published decontamination recipes state in
+    * Jaccard terms.
+    *
+    * Scale shape mirrors [[semanticOverlapIds]]: the reference side
+    * (eval sets — thousands of rows, not billions) explodes into
+    * banded MinHash keys and BROADCASTS with its shingle sets; the
+    * corpus side is a map-side band join + map-side exact-Jaccard
+    * verify — corpus shingles never shuffle, only the (rare) flagged
+    * `(id, jaccard)` rows pay the final max-aggregation shuffle. The
+    * canonical-band filter (first agreeing band emits, computed from
+    * both band arrays carried on the row) makes each (corpus, ref)
+    * candidate verify exactly once without a dropDuplicates shuffle.
+    *
+    * Recall is the LSH collision curve `1-(1-j^r)^b` — near 1 for
+    * genuine contamination (j well above threshold), falling smoothly
+    * for borderline pairs; raise `bands` (more, shorter bands) to
+    * push the curve left, exactly as with [[minhashNearDupPairs]].
+    *
+    * @return (corpusIdCol, max_jaccard) — one row per flagged corpus
+    *         doc with its strongest reference overlap.
+    */
+  def minhashOverlap(corpus: DataFrame, reference: DataFrame,
+                     textCol: String, corpusIdCol: String,
+                     shingleN: Int = 3, numHashes: Int = 32,
+                     bands: Int = 16, threshold: Double = 0.5)
+      : DataFrame = {
+    val rows = numHashes / bands
+    def prep(df: DataFrame, idCol: String, idAs: String, shAs: String,
+             bAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+          shingleHashes(col(textCol), shingleN).as(shAs))
+        .withColumn(bAs,
+          lshBandKeys(minhashSignature(col(shAs), numHashes), bands,
+            rows))
+    val c = prep(corpus, corpusIdCol, "__cid", "__csh", "__cbs")
+      .select(col("__cid"), col("__csh"), col("__cbs"),
+        posexplode(col("__cbs")).as(Seq("__band_idx", "__band_key")))
+    // the reference id never surfaces (only the max jaccard does), so
+    // the broadcast rows carry shingles + bands alone
+    val r = reference
+      .select(shingleHashes(col(textCol), shingleN).as("__rsh"))
+      .withColumn("__rbs",
+        lshBandKeys(minhashSignature(col("__rsh"), numHashes), bands,
+          rows))
+      .select(col("__rsh"), col("__rbs"),
+        posexplode(col("__rbs")).as(Seq("__band_idx", "__band_key")))
+    val noEarlierAgree = forall(
+      slice(zip_with(col("__cbs"), col("__rbs"), (a, b) => a === b),
+        lit(1), col("__band_idx")),
+      eq => !eq)
+    c.join(broadcast(r), Seq("__band_idx", "__band_key"))
+      .filter(noEarlierAgree)
+      .withColumn("__j", jaccard(col("__csh"), col("__rsh")))
+      .filter(col("__j") >= threshold)
+      .groupBy(col("__cid"))
+      .agg(max(col("__j")).as("max_jaccard"))
+      .select(col("__cid").as(corpusIdCol), col("max_jaccard"))
+  }
+
+  /** Drop every corpus row Jaccard-contaminated against a reference
+    * set — the removal half of [[minhashOverlap]], same anti-join
+    * shape as [[semanticDecontaminate]].
+    */
+  def minhashDecontaminate(corpus: DataFrame, reference: DataFrame,
+                           textCol: String, corpusIdCol: String,
+                           shingleN: Int = 3, numHashes: Int = 32,
+                           bands: Int = 16, threshold: Double = 0.5)
+      : DataFrame = {
+    val flagged = minhashOverlap(corpus, reference, textCol,
+      corpusIdCol, shingleN, numHashes, bands, threshold)
+      .select(col(corpusIdCol))
+    corpus.join(flagged, Seq(corpusIdCol), "left_anti")
+  }
+
+  /** Edit-distance near-dup pairs: every pair with
+    * levenshtein ≤ `maxDist`, exactly (recall 1 — not approximate).
+    *
+    * Candidate generation is segment blocking in the PassJoin family
+    * (Li/Deng/Feng, ICDE 2011 — public algorithm): each string of
+    * length n is split into k+1 contiguous segments (k = maxDist).
+    * Pigeonhole: k edits cannot touch all k+1 segments, and the edits
+    * before an untouched segment shift it by at most k positions — so
+    * any string within k edits contains at least one segment EXACTLY,
+    * at a start within ±k of its indexed position. Each doc therefore
+    * emits k+1 index keys and ≤ (2k+1)²(k+1) probe keys (75 at k=2;
+    * constant in corpus size), keyed by
+    * (indexed_length, segment_idx, xxhash64(substring)) — candidate
+    * generation is a plain equi-join on those keys carrying ids only,
+    * never an all-pairs or within-block N² scan. Hash collisions only
+    * add false candidates; the thresholded-levenshtein verify (early
+    * exit past `maxDist`) runs on the deduped candidate pairs alone.
+    *
+    * Scale notes: the shuffle rows are (n, i, hash64, id) — 28 bytes —
+    * and the text rejoins only for candidate pairs. Boilerplate-heavy
+    * corpora can make one (n, i, hash) key hot (many docs sharing an
+    * exact 1/(k+1) slice at the same length); AQE skew-join splitting
+    * absorbs it, and the verify stays proportional to true-ish pairs.
+    * The loose ±k shift window (vs PassJoin's multi-match-aware
+    * windows) costs a small constant factor in probe keys, not recall.
+    *
+    * @return (idCol_1, idCol_2, dist), idCol_1 < idCol_2, one row per
+    *         pair with levenshtein(text_1, text_2) ≤ maxDist.
+    */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+                        maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1, "need maxDist >= 1")
+    val k = maxDist
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+      length(col(textCol)).as("__m"))
+
+    // even split of a length-n string into k+1 segments: the first
+    // (k+1-r) of length q, the last r of length q+1 (q=n/(k+1), r=n%)
+    def segStart(n: Column, i: Int): Column = {
+      val q = floor(n / (k + 1)).cast("int")
+      val r = (n - q * (k + 1)).cast("int")
+      lit(i) * q + greatest(lit(0), lit(i) - (lit(k + 1) - r))
+    }
+    def segLen(n: Column, i: Int): Column = {
+      val q = floor(n / (k + 1)).cast("int")
+      val r = (n - q * (k + 1)).cast("int")
+      q + when(lit(i) >= lit(k + 1) - r, lit(1)).otherwise(lit(0))
+    }
+
+    // index side: the k+1 segments of this doc, keyed by its own length
+    val idxKeys: Seq[Column] = (0 to k).map { i =>
+      struct(col("__m").as("n"), lit(i).as("i"),
+        xxhash64(col("__t").substr(segStart(col("__m"), i) + 1,
+          segLen(col("__m"), i))).as("h"))
+    }
+    val index = base
+      .select(col("__id"), explode(array(idxKeys: _*)).as("__k"))
+      .select(col("__id").as("id_a"), col("__k.n"), col("__k.i"),
+        col("__k.h"))
+
+    // probe side: for every plausible indexed length n = m+e (|e|≤k),
+    // every segment slot i, every shift d (|d|≤k), the substring this
+    // doc would need to contain if it matched such an indexed string —
+    // all loops static, one array_distinct collapses repeated keys
+    val probeKeys: Seq[Column] = for {
+      e <- -k to k; i <- 0 to k; d <- -k to k
+    } yield {
+      val n = col("__m") + e
+      val p = segStart(n, i) + d
+      val ln = segLen(n, i)
+      when(n >= 0 && p >= 0 && p + ln <= col("__m"),
+        struct(n.as("n"), lit(i).as("i"),
+          xxhash64(col("__t").substr(p + 1, ln)).as("h")))
+    }
+    val probes = base
+      .select(col("__id"), explode(array_distinct(
+        filter(array(probeKeys: _*), _.isNotNull))).as("__k"))
+      .select(col("__id").as("id_b"), col("__k.n"), col("__k.i"),
+        col("__k.h"))
+
+    val candidates = probes.join(index, Seq("n", "i", "h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id1"),
+        greatest(col("id_a"), col("id_b")).as("id2"))
+      .dropDuplicates("id1", "id2")
+    candidates
+      .join(base.select(col("__id").as("id1"), col("__t").as("t1")), "id1")
+      .join(base.select(col("__id").as("id2"), col("__t").as("t2")), "id2")
+      .withColumn("dist", levenshtein(col("t1"), col("t2"), k))
+      .filter(col("dist") >= 0 && col("dist") <= k)
+      .select(col("id1").as(s"${idCol}_1"), col("id2").as(s"${idCol}_2"),
+        col("dist"))
+  }
 }

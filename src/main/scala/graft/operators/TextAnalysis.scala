@@ -550,4 +550,132 @@ object TextAnalysis {
         round(col("total_tokens").cast("double") / col("__toks"), 6))
       .drop("__docs", "__toks")
   }
+
+  /** Corpus-frequent word n-grams: every n-gram OCCURRENCE counted
+    * (not per-doc distinct — frequency mining wants volume), global
+    * top-k by (count desc, gram asc) so ties are deterministic. The
+    * discovery half of boilerplate handling: run this to SEE the
+    * templates, then [[stripBoilerplateLines]] /
+    * [[graft.operators.Dedup.ngramDecontaminate]] to act on them.
+    *
+    * Scale: explode + hash partial-agg (map-side combine absorbs the
+    * within-partition repetition that makes a gram frequent in the
+    * first place), then a k-row ordered take — the same plan shape as
+    * a word count, linear in corpus grams.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int = 3,
+                k: Int = 20): DataFrame = {
+    require(n >= 1 && k >= 1, "need n >= 1 and k >= 1")
+    val toks = tokenize(col(textCol))
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+
+  /** Before/after composition diff between two corpus stages: what a
+    * filter/dedup/decontamination stage actually removed, per slice.
+    * Counts are exact integers; `removed_frac` is one exact-integer
+    * division rounded to the 1e-6 grid. Two dims-keyed partial aggs +
+    * one (tiny, dims-cardinality) full outer join — the corpora
+    * themselves are scanned once each and never joined row-to-row.
+    */
+  def corpusDiff(before: DataFrame, after: DataFrame, textCol: String,
+                 dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension column")
+    def slice(df: DataFrame, suffix: String): DataFrame =
+      df.groupBy(dims.map(col): _*)
+        .agg(count(lit(1)).as(s"docs_$suffix"),
+          sum(tokenCount(col(textCol))).as(s"tokens_$suffix"))
+    slice(before, "before")
+      .join(slice(after, "after"), dims, "full_outer")
+      .na.fill(0, Seq("docs_before", "tokens_before", "docs_after",
+        "tokens_after"))
+      .withColumn("docs_removed", col("docs_before") - col("docs_after"))
+      .withColumn("tokens_removed",
+        col("tokens_before") - col("tokens_after"))
+      .withColumn("removed_frac",
+        round(col("docs_removed").cast("double") /
+          greatest(col("docs_before"), lit(1L)), 6))
+  }
+
+  /** Line-level heuristic web cleaning in the C4 family (Raffel et al.
+    * 2020, §2.2 — public rules): keep a line only if it (a) has at
+    * least `minLineWords` whitespace words, (b) ends (after right
+    * whitespace trim) in terminal punctuation `. ! ? "`, and (c) does
+    * not mention a policy/boilerplate phrase (javascript, cookie,
+    * privacy policy, terms of use); drop the whole document if it
+    * contains `lorem ipsum` or a `{` (code/template leakage) or fewer
+    * than `minKeptLines` lines survive.
+    *
+    * Everything is a codegen'd projection over built-ins (split /
+    * filter / array_join) — a pure scan filter with zero shuffle, so
+    * at 100 TB this runs at parquet-read speed and composes with
+    * pushdown on any preceding predicate. The phrase list is the
+    * C4-published core; extend via a wrapping filter rather than
+    * editing here, so the gated semantics stay pinned.
+    *
+    * @return (idCol, clean, n_lines_kept, n_lines_total) for surviving
+    *         documents; `clean` is the kept lines re-joined with \n.
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 3, minKeptLines: Int = 1): DataFrame = {
+    val badLine = Seq("javascript", "cookie", "privacy policy",
+      "terms of use")
+    def keepLine(ln: Column): Column = {
+      val words = size(split(trim(ln), "[ \t\f\r]+"))
+      val lastCh = substring(rtrim(ln), -1, 1)
+      val lc = lower(ln)
+      words >= minLineWords &&
+        lastCh.isin(".", "!", "?", "\"") &&
+        !badLine.map(p => lc.contains(p)).reduce(_ || _)
+    }
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, keepLine(_))
+    val docBad = lower(col(textCol)).contains("lorem ipsum") ||
+      col(textCol).contains("{")
+    df.select(col(idCol), array_join(kept, "\n").as("clean"),
+        size(kept).as("n_lines_kept"), size(lines).as("n_lines_total"))
+      .where(!docBad && col("n_lines_kept") >= minKeptLines)
+  }
+
+  /** Hashed-feature linear text scorer (the fastText / VW
+    * hashing-trick shape, public): each token hashes to one of `dim`
+    * buckets through the first 8 hex chars of md5 (an oracle can
+    * recompute every step), each bucket carries a fixed per-model
+    * weight in exact milli-units, and the document logit is the mean
+    * bucket weight. With a trained weight table this is a quality /
+    * domain classifier; the default weight function derives a
+    * deterministic pseudo-model from md5("w<bucket>") so the operator
+    * is self-contained and exactly reproducible.
+    *
+    * Determinism contract: `score_milli` is an integer sum (exact in
+    * any order), and `logit` is one IEEE division of exact integers —
+    * bit-identical across engines, no rounding needed. A pure codegen
+    * projection: zero shuffle, zero UDFs, linear scan at any scale.
+    *
+    * @return (idCol, n_tokens, score_milli, logit, keep) with
+    *         keep = logit > 0.
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+                        dim: Int = 1024): DataFrame = {
+    require(dim > 0, "need dim > 0")
+    def h32(s: Column): Column =
+      conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+    val toks = tokenize(col(textCol))
+    // weight of a token: md5-derived integer in [-1000, 1000]
+    val wOf = (tok: Column) =>
+      pmod(h32(concat(lit("w"), pmod(h32(tok), lit(dim)))), lit(2001L)) -
+        lit(1000L)
+    val scoreMilli = aggregate(toks, lit(0L), (acc, t) => acc + wOf(t))
+    df.select(col(idCol), size(toks).as("n_tokens"),
+        scoreMilli.as("score_milli"))
+      .withColumn("logit", col("score_milli").cast("double") /
+        (lit(1000.0) * col("n_tokens")))
+      .withColumn("keep", col("logit") > 0)
+  }
 }

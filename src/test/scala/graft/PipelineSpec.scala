@@ -994,4 +994,188 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastExchange"),
       "reference buckets must broadcast")
   }
+
+  test("topNgrams counts occurrences with deterministic ties") {
+    val df = Seq("a b c a b c x", "a b c d", "zz").toDF("t")
+    val got = TextAnalysis.topNgrams(df, "t", n = 3, k = 3)
+      .as[(String, Long)].collect().toSeq
+    // "a b c" occurs 3x (twice in doc1, once in doc2); the four
+    // 1x grams tie and break alphabetically; "zz" is too short
+    assert(got == Seq(("a b c", 3L), ("b c a", 1L), ("b c d", 1L)))
+  }
+
+  test("corpusDiff reports per-slice removal exactly") {
+    val before = Seq(("en", "one two three"), ("en", "four five"),
+      ("de", "sechs sieben acht")).toDF("lang", "t")
+    val after = before.filter(length($"t") > 10)
+    val got = TextAnalysis.corpusDiff(before, after, "t", Seq("lang"))
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("de", 1L, 3L, 1L, 3L, 0L, 0L, 0.0),
+      ("en", 2L, 5L, 1L, 3L, 1L, 2L, 0.5)))
+  }
+
+  test("minhashOverlap flags exactly the contaminated docs, broadcast") {
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (1L, "pack my box with five dozen liquor jugs for the long trip north now"),
+      (2L, "how vexingly quick daft zebras jump while the band plays on stage"),
+      (3L, "sphinx of black quartz judge my vow said the old man by the sea"))
+    val corpus = base.toDF("doc_id", "text")
+    // reference = near-copies of docs 0 and 2 (one word swapped)
+    val ref = Seq(
+      base(0)._2.replace("runs", "walks"),
+      base(2)._2.replace("plays", "played")).toDF("text")
+    val flagged = Dedup.minhashOverlap(corpus, ref, "text", "doc_id",
+        threshold = 0.5)
+      .as[(Long, Double)].collect().toMap
+    assert(flagged.keySet == Set(0L, 2L),
+      s"flag the contaminated docs only: $flagged")
+    flagged.values.foreach(j => assert(j > 0.5 && j < 1.0))
+    val kept = Dedup.minhashDecontaminate(corpus, ref, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    // scale shape: the eval-set side broadcasts; corpus shingles
+    // never shuffle before the map-side verify
+    val plan = Dedup.minhashOverlap(corpus, ref, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"))
+  }
+
+  test("d23 precondition: banding recall 1 on the the→thee fixture") {
+    // same recipe as the gate at sf0.001: every ≥-threshold
+    // (corpus, ref) pair must survive the 16-band×2-row collision
+    // filter, i.e. the flagged id set equals the exact-Jaccard one
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docs.filter(pmod($"doc_id", lit(5)) === 0)
+      .withColumn("text", regexp_replace($"text", "the", "thee"))
+    val got = Dedup.minhashOverlap(docs, ref, "text", "doc_id",
+      threshold = 0.5).select("doc_id").as[Long].collect().toSet
+    // exact: inverted-index cross jaccard without any banding
+    val csh = docs.select($"doc_id",
+      Dedup.shingleHashes($"text").as("sh"))
+    val rsh = ref.select($"doc_id".as("rid"),
+      Dedup.shingleHashes($"text").as("rsh"))
+    val exact = csh.crossJoin(rsh)
+      .withColumn("j", Dedup.jaccard($"sh", $"rsh"))
+      .filter($"j" >= 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == exact, "banding must lose no ≥-threshold pair here")
+    assert(exact.nonEmpty)
+  }
+
+  test("normalizeUrl: case, ports, www, tracking params, fragment") {
+    val cases = Seq(
+      ("HTTPS://WWW.Site.Example.COM:443/A/b?utm_source=x&id=7&fbclid=z#top",
+        "https://site.example.com/A/b?id=7"),
+      ("http://host.example.org:80", "http://host.example.org/"),
+      ("https://News.Example.net/en/story?ref=home&q=a+b",
+        "https://news.example.net/en/story?q=a+b"),
+      ("ftp://Files.example.com:21/pub/x.bin",
+        "ftp://files.example.com:21/pub/x.bin"),
+      ("http://h.example.com/p?utm_campaign=c&utm_medium=m",
+        "http://h.example.com/p"),
+      ("http://h.example.com:8080/p", "http://h.example.com:8080/p"),
+      ("not a url", "not a url"))
+    val out = cases.map(_._1).toDF("u")
+      .select(operators.Urls.normalizeUrl($"u")).as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
+    val host = Seq("https://WWW.Example.com:443/x").toDF("u")
+      .select(operators.Urls.urlHost($"u")).as[String].collect().head
+    assert(host == "example.com")
+  }
+
+  test("c4Clean: line rules + document rules") {
+    val page = Seq(
+      "This is a good sentence with enough words.", // keep
+      "too short.",                                 // < 3 words
+      "Please enable JavaScript to view this site.", // policy word
+      "We use cookies to improve your experience!",  // policy word
+      "no terminal punctuation on this line",        // bad ending
+      "Another perfectly fine sentence right here?"  // keep
+    ).mkString("\n")
+    val df = Seq(
+      (1L, page),
+      (2L, page + "\nlorem ipsum dolor."),  // doc-level drop
+      (3L, "code template {\nGood line here."), // doc-level drop
+      (4L, "only\nbad lines\nhere")          // nothing survives
+    ).toDF("id", "t")
+    val out = TextAnalysis.c4Clean(df, "id", "t")
+      .as[(Long, String, Int, Int)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L))
+    val (_, clean, kept, total) = out.head
+    assert(kept == 2 && total == 6)
+    assert(clean == "This is a good sentence with enough words.\n" +
+      "Another perfectly fine sentence right here?")
+  }
+
+  test("hashedLinearScore: exact md5-derived integer sum") {
+    val df = Seq((1L, "alpha beta alpha")).toDF("id", "t")
+    val out = TextAnalysis.hashedLinearScore(df, "id", "t", dim = 64)
+      .as[(Long, Int, Long, Double, Boolean)].collect().head
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    def w(tok: String): Long =
+      java.math.BigInteger.valueOf(h32("w" + (h32(tok) % 64)))
+        .mod(java.math.BigInteger.valueOf(2001)).longValue - 1000
+    val want = 2 * w("alpha") + w("beta")
+    assert(out._2 == 3 && out._3 == want)
+    assert(out._4 == want.toDouble / 3000.0)
+    assert(out._5 == (out._4 > 0))
+  }
+
+  test("editDistancePairs == brute-force levenshtein (recall 1)") {
+    // deterministic fixture: base strings over a small alphabet plus
+    // seeded 1- and 2-edit mutants (substitution / deletion /
+    // insertion), lengths straddling the k+1 segment boundaries
+    val rng = new scala.util.Random(7)
+    val alpha = "abcd"
+    def rand(n: Int) =
+      (1 to n).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    val bases = (0 until 25).map(i => rand(6 + rng.nextInt(30)))
+    def mutate(s: String): String = rng.nextInt(3) match {
+      case 0 => // substitution
+        val p = rng.nextInt(s.length)
+        s.updated(p, alpha(rng.nextInt(alpha.length)))
+      case 1 => s.patch(rng.nextInt(s.length), Nil, 1) // deletion
+      case _ => // insertion
+        s.patch(rng.nextInt(s.length + 1),
+          Seq(alpha(rng.nextInt(alpha.length))), 0)
+    }
+    val docs = bases.zipWithIndex.flatMap { case (s, i) =>
+      Seq((i.toLong, s), (i + 1000L, mutate(s)),
+        (i + 2000L, mutate(mutate(s))))
+    }
+    val df = docs.toDF("id", "t")
+    val got = Dedup.editDistancePairs(df, "t", "id", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (i1, t1) <- docs; (i2, t2) <- docs if i1 < i2
+      d = lev(t1, t2) if d <= 2
+    } yield (i1, i2, d)).toSet
+    assert(want.nonEmpty && want.exists(_._3 == 1) &&
+      want.exists(_._3 == 2), "fixture must exercise dist 1 and 2")
+    assert(got == want, "PassJoin blocking must lose no pair")
+    // shape: candidate generation is an equi-join on segment keys,
+    // never a cartesian product
+    val plan = Dedup.editDistancePairs(df, "t", "id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), "no all-pairs scan")
+  }
 }

@@ -59,4 +59,36 @@ class StorageSpec extends AnyFunSuite with SparkSpec {
     val expected = ev.filter(to_date(col("ts")) === "2024-01-02").count()
     assert(filtered.count() == expected && expected > 0)
   }
+
+  test("mortonCode interleaves bits; zorderBy range-partitions on it") {
+    import spark.implicits._
+    // 2-bit hand check: x=0b10, y=0b01 → z = y1 x1 y0 x0 = 0b0110 = 6
+    val z = Seq((2L, 1L)).toDF("x", "y")
+      .select(Storage.mortonCode(Seq(col("x"), col("y")), 2).as("z"))
+      .as[Long].collect().head
+    assert(z == 6L)
+    // locality: close points in both dims → close codes (prefix share)
+    val df = (0 until 64).flatMap(x => (0 until 64).map(y =>
+      (x.toLong, y.toLong))).toDF("x", "y")
+    val ordered = Storage.zorderBy(df, Seq("x", "y"), bits = 6,
+      numPartitions = 4,
+      quantize = c => c) // already in [0, 2^6)
+    val plan = ordered.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") ||
+      plan.contains("RangePartitioning") || plan.contains("Exchange"),
+      s"zorderBy must range-exchange on the code:\n$plan")
+    assert(ordered.count() == 64 * 64)
+    // every partition holds a contiguous, sorted z-range
+    val codes = ordered
+      .withColumn("z", Storage.mortonCode(Seq(col("x"), col("y")), 6))
+      .withColumn("p", spark_partition_id())
+      .select("p", "z").as[(Int, Long)].collect()
+    val byPart = codes.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ranges = byPart.values.map(v => (v.min, v.max)).toSeq.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo,
+        "partition z-ranges must not overlap")
+      case _ =>
+    }
+  }
 }

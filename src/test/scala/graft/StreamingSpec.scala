@@ -345,6 +345,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .df.select("id").as[Long].collect().toSet
     assert(bridged == batchKept)
   }
+
+  test("streaming minhash decontamination: foreachBatch application " +
+      "equals the batch operator (per-row verdicts are reference-only)") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs home"),
+      (2L, "pack my box with five dozen liquor jugs for the long trip"),
+      (3L, "how vexingly quick daft zebras jump while the band plays"),
+      (4L, "sphinx of black quartz judge my vow said the old man"))
+    val ref = Seq(Tuple1(texts(1)._2.replace("trip", "ride"))).toDF("t")
+    val corpusDf = texts.toDF("id", "t")
+    val batchKept = graft.operators.Dedup.minhashDecontaminate(
+        corpusDf, ref, "t", "id")
+      .select("id").as[Long].collect().toSet
+    assert(batchKept == Set(1L, 3L, 4L), "sanity: near-copy dropped")
+
+    val input = MemoryStream[(Long, String)](spark)
+    val streamed = scala.collection.mutable.Set[Long]()
+    val q = DataStream(input.toDF.toDF("id", "t"))
+      .sink { (batch, _) =>
+        streamed ++= graft.operators.Dedup.minhashDecontaminate(
+            batch, ref, "t", "id")
+          .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect()
+      }.start()
+    try {
+      input.addData(texts.take(2): _*)
+      q.processAllAvailable()
+      input.addData(texts.drop(2): _*)
+      q.processAllAvailable()
+      assert(streamed.toSet == batchKept,
+        "micro-batch-local application must equal the batch verdicts")
+    } finally q.stop()
+
+    val e = intercept[IllegalArgumentException] {
+      DataStream(input.toDF.toDF("id", "t"))
+        .minhashDecontaminate(ref, "t", "id")
+    }
+    assert(e.getMessage.contains("foreachBatch"))
+    val bridged = DataStream(corpusDf).minhashDecontaminate(ref, "t", "id")
+      .df.select("id").as[Long].collect().toSet
+    assert(bridged == batchKept)
+  }
 }
 
 /** Embedding row for streaming decontamination specs. */
