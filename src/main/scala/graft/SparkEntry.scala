@@ -1322,6 +1322,20 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "text", dim = 64)
         .orderBy(col("doc_id"))),
 
+    // within-doc repeated-line removal: the page fixture repeats a
+    // content line and a nav line and carries two empty lines (which
+    // must survive — structure, not content)
+    "t23_dedup_lines" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val page = concat_ws("\n",
+        substring(col("text"), 1, 40), lit("short line"),
+        substring(col("text"), 1, 40), lit(""), lit(""),
+        substring(col("text"), 41, 40), lit("short line"))
+      operators.TextAnalysis.dropRepeatedLines(
+          docs.withColumn("text", page), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus-frequent trigram mining (the boilerplate DISCOVERY
     // step): every occurrence counted, top-50 with deterministic
     // (count desc, gram asc) ties — the oracle recomputes the full
@@ -2940,6 +2954,19 @@ object SparkEntry {
          |  (CAST(score_milli AS DOUBLE) / (1000.0 * n_tokens)) > 0 AS keep
          |FROM s ORDER BY doc_id""".stripMargin
     },
+
+    "t23_dedup_lines" ->
+      """WITH p AS (SELECT doc_id, concat_ws(chr(10),
+        |    substr(text, 1, 40), 'short line', substr(text, 1, 40),
+        |    '', '', substr(text, 41, 40), 'short line') AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines
+        |  FROM p),
+        |k AS (SELECT doc_id, lines, list_filter(lines, (x, i) ->
+        |    x = '' OR list_position(lines, x) = i) AS kept FROM l)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean,
+        |  len(kept) AS n_lines_kept, len(lines) AS n_lines_total
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "t21_top_ngrams" ->
       """WITH tk AS (

@@ -280,6 +280,32 @@ final case class DataStream(
     next(df.withColumn(textCol,
       graft.operators.TextAnalysis.redactPii(col(textCol))))
 
+  /** Canonicalize a URL column in place
+    * (graft.operators.Urls.normalizeUrl) — pure projection, streams
+    * as-is.
+    */
+  def normalizeUrl(urlCol: String): DataStream =
+    next(df.withColumn(urlCol,
+      graft.operators.Urls.normalizeUrl(col(urlCol))))
+
+  /** C4-family line-level cleaning
+    * (graft.operators.TextAnalysis.c4Clean): per-row projection +
+    * filter, streams as-is. Replaces the row set with
+    * (idCol, clean, n_lines_kept, n_lines_total).
+    */
+  def c4Clean(idCol: String, textCol: String, minLineWords: Int = 3,
+              minKeptLines: Int = 1): DataStream =
+    next(graft.operators.TextAnalysis.c4Clean(df, idCol, textCol,
+      minLineWords, minKeptLines))
+
+  /** Within-document repeated-line removal
+    * (graft.operators.TextAnalysis.dropRepeatedLines): per-row
+    * projection, streams as-is.
+    */
+  def dropRepeatedLines(idCol: String, textCol: String): DataStream =
+    next(graft.operators.TextAnalysis.dropRepeatedLines(df, idCol,
+      textCol))
+
   /** Line-level cross-document boilerplate removal: strip every line
     * occurring in ≥ `minDf` distinct documents and rebuild `textCol`
     * (graft.operators.TextAnalysis.stripBoilerplateLines; adds

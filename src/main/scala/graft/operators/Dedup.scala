@@ -1147,52 +1147,73 @@ object Dedup {
                         maxDist: Int = 2): DataFrame = {
     require(maxDist >= 1, "need maxDist >= 1")
     val k = maxDist
-    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+    val base0 = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
       length(col(textCol)).as("__m"))
+    // this operator does ~75× per-row work before its first exchange;
+    // a compact parquet source can arrive in 1-2 splits and serialize
+    // the whole probe stage onto 2 cores. Spread ONLY when the source
+    // is under-parallel — a 100TB scan already has thousands of
+    // splits and must not pay a gratuitous full-text shuffle
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = if (base0.rdd.getNumPartitions < target)
+      base0.repartition(target) else base0
 
     // even split of a length-n string into k+1 segments: the first
-    // (k+1-r) of length q, the last r of length q+1 (q=n/(k+1), r=n%)
-    def segStart(n: Column, i: Int): Column = {
+    // (k+1-r) of length q, the last r of length q+1 (q=n/(k+1), r=n%).
+    // Column-typed segment index, so the expression is written ONCE
+    // and evaluated per exploded (e, i, d) combo row — building one
+    // inline array of 75 key structs instead blows the JVM's 64KB
+    // generated-method limit and silently drops the whole stage out
+    // of codegen (measured 17 s vs 2 s at sf0.1)
+    def segStart(n: Column, i: Column): Column = {
       val q = floor(n / (k + 1)).cast("int")
       val r = (n - q * (k + 1)).cast("int")
-      lit(i) * q + greatest(lit(0), lit(i) - (lit(k + 1) - r))
+      i * q + greatest(lit(0), i - (lit(k + 1) - r))
     }
-    def segLen(n: Column, i: Int): Column = {
+    def segLen(n: Column, i: Column): Column = {
       val q = floor(n / (k + 1)).cast("int")
       val r = (n - q * (k + 1)).cast("int")
-      q + when(lit(i) >= lit(k + 1) - r, lit(1)).otherwise(lit(0))
+      q + when(i >= lit(k + 1) - r, lit(1)).otherwise(lit(0))
     }
 
     // index side: the k+1 segments of this doc, keyed by its own length
-    val idxKeys: Seq[Column] = (0 to k).map { i =>
-      struct(col("__m").as("n"), lit(i).as("i"),
-        xxhash64(col("__t").substr(segStart(col("__m"), i) + 1,
-          segLen(col("__m"), i))).as("h"))
-    }
     val index = base
-      .select(col("__id"), explode(array(idxKeys: _*)).as("__k"))
-      .select(col("__id").as("id_a"), col("__k.n"), col("__k.i"),
-        col("__k.h"))
+      .select(col("__id"), col("__t"), col("__m"),
+        explode(array((0 to k).map(lit): _*)).as("__i"))
+      .select(col("__id").as("id_a"), col("__m").as("n"),
+        col("__i").as("i"),
+        xxhash64(col("__t").substr(
+          segStart(col("__m"), col("__i")) + 1,
+          segLen(col("__m"), col("__i")))).as("h"))
 
-    // probe side: for every plausible indexed length n = m+e (|e|≤k),
-    // every segment slot i, every shift d (|d|≤k), the substring this
-    // doc would need to contain if it matched such an indexed string —
-    // all loops static, one array_distinct collapses repeated keys
-    val probeKeys: Seq[Column] = for {
-      e <- -k to k; i <- 0 to k; d <- -k to k
-    } yield {
-      val n = col("__m") + e
-      val p = segStart(n, i) + d
-      val ln = segLen(n, i)
-      when(n >= 0 && p >= 0 && p + ln <= col("__m"),
-        struct(n.as("n"), lit(i).as("i"),
-          xxhash64(col("__t").substr(p + 1, ln)).as("h")))
-    }
+    // probe side: for every plausible indexed length n = m+e, every
+    // segment slot i, every shift d (|d|≤k), the substring this doc
+    // would need to contain if it matched such an indexed string.
+    // e ranges [-k, 0] only — in any pair the LONGER string probes
+    // the shorter one's indexed length (equal lengths probe each
+    // other), so upward lengths are redundant: 45 keys per doc at
+    // k=2, not 75. The static (e, i, d) combo array explodes FIRST
+    // (tiny int structs), then each combo row computes its one key —
+    // small codegen (one inline 75-struct array blows the JVM's 64KB
+    // generated-method limit and drops the stage out of codegen);
+    // repeated keys just repeat candidates, which the pair-level
+    // dropDuplicates collapses anyway
+    val combos = for {
+      e <- -k to 0; i <- 0 to k; d <- -k to k
+    } yield struct(lit(e).as("e"), lit(i).as("i"), lit(d).as("d"))
     val probes = base
-      .select(col("__id"), explode(array_distinct(
-        filter(array(probeKeys: _*), _.isNotNull))).as("__k"))
-      .select(col("__id").as("id_b"), col("__k.n"), col("__k.i"),
-        col("__k.h"))
+      .select(col("__id"), col("__t"), col("__m"),
+        explode(array(combos: _*)).as("__c"))
+      .withColumn("__n", col("__m") + col("__c.e"))
+      .withColumn("__p",
+        segStart(col("__n"), col("__c.i")) + col("__c.d"))
+      .withColumn("__l", segLen(col("__n"), col("__c.i")))
+      .filter(col("__n") >= 0 && col("__p") >= 0 &&
+        col("__p") + col("__l") <= col("__m"))
+      .select(col("__id").as("id_b"), col("__n").as("n"),
+        col("__c.i").as("i"),
+        xxhash64(col("__t").substr(col("__p") + 1, col("__l")))
+          .as("h"))
 
     val candidates = probes.join(index, Seq("n", "i", "h"))
       .filter(col("id_a") =!= col("id_b"))
@@ -1202,6 +1223,11 @@ object Dedup {
     candidates
       .join(base.select(col("__id").as("id1"), col("__t").as("t1")), "id1")
       .join(base.select(col("__id").as("id2"), col("__t").as("t2")), "id2")
+      // explicit spread before the O(len·k)-per-pair verify: AQE
+      // size-coalesces the (byte-small) candidate frame to one
+      // partition and would run every levenshtein on one core —
+      // compute-heavy, size-light stages must pin their parallelism
+      .repartition(target)
       .withColumn("dist", levenshtein(col("t1"), col("t2"), k))
       .filter(col("dist") >= 0 && col("dist") <= k)
       .select(col("id1").as(s"${idCol}_1"), col("id2").as(s"${idCol}_2"),

@@ -603,6 +603,28 @@ object TextAnalysis {
           greatest(col("docs_before"), lit(1L)), 6))
   }
 
+  /** WITHIN-document repeated-line removal: keep each line's first
+    * occurrence, preserve order, leave empty lines alone (they are
+    * structure, not content — same exemption as
+    * [[stripBoilerplateLines]], which handles the CROSS-document
+    * case). Scraped pages repeat nav/footer lines inside one page;
+    * this is the cheap local pass that runs before any corpus-wide
+    * machinery — a pure per-row projection (split / indexed filter /
+    * join), zero shuffle, zero state, streams as-is.
+    *
+    * @return (idCol, clean, n_lines_kept, n_lines_total)
+    */
+  def dropRepeatedLines(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    // 0-based lambda index vs 1-based array_position: first
+    // occurrence keeps iff position == i+1
+    val kept = filter(lines, (x, i) =>
+      x === "" || array_position(lines, x) === i.cast("long") + 1L)
+    df.select(col(idCol), array_join(kept, "\n").as("clean"),
+      size(kept).as("n_lines_kept"), size(lines).as("n_lines_total"))
+  }
+
   /** Line-level heuristic web cleaning in the C4 family (Raffel et al.
     * 2020, §2.2 — public rules): keep a line only if it (a) has at
     * least `minLineWords` whitespace words, (b) ends (after right

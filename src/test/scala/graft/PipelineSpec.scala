@@ -995,6 +995,18 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "reference buckets must broadcast")
   }
 
+  test("dropRepeatedLines keeps first occurrences and empty lines") {
+    val df = Seq((1L, "nav\nbody one\nnav\n\n\nbody two\nnav"))
+      .toDF("id", "t")
+    val (clean, kept, total) = TextAnalysis
+      .dropRepeatedLines(df, "id", "t")
+      .as[(Long, String, Int, Int)].collect().head match {
+        case (_, c, k, n) => (c, k, n)
+      }
+    assert(clean == "nav\nbody one\n\n\nbody two")
+    assert(kept == 5 && total == 7)
+  }
+
   test("topNgrams counts occurrences with deterministic ties") {
     val df = Seq("a b c a b c x", "a b c d", "zz").toDF("t")
     val got = TextAnalysis.topNgrams(df, "t", n = 3, k = 3)

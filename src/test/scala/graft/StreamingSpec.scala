@@ -346,6 +346,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(bridged == batchKept)
   }
 
+  test("stateless curation bridges stream as-is (c4Clean, " +
+      "dropRepeatedLines, normalizeUrl)") {
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = DataStream(input.toDF.toDF("id", "t", "u"))
+      .dropRepeatedLines("id", "t")
+      .withColumnRenamed("clean", "t2")
+      .withColumn("u", lit("HTTP://WWW.Example.com:80/a?utm_source=x"))
+      .normalizeUrl("u")
+      .sinkMemory("curation_bridge")
+    try {
+      input.addData((1L, "line one.\nline one.\nGood line here now.",
+        "ignored"))
+      q.processAllAvailable()
+      val rows = spark.table("curation_bridge")
+        .select("t2", "u").as[(String, String)].collect()
+      assert(rows.toSeq == Seq(
+        ("line one.\nGood line here now.",
+          "http://example.com/a")))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS curation_bridge")
+    }
+    // c4Clean builds a streaming plan too (projection + filter only)
+    val st = DataStream(input.toDF.toDF("id", "t", "u"))
+      .c4Clean("id", "t")
+    assert(st.toDF.isStreaming)
+  }
+
   test("streaming minhash decontamination: foreachBatch application " +
       "equals the batch operator (per-row verdicts are reference-only)") {
     val texts = Seq(
