@@ -1371,6 +1371,46 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Repeated-SPAN removal (ExactSubstr-family substring dedup):
+    // every 5th doc gets a shared 14-token boilerplate tail, so with
+    // L=10 each such doc carries 5 repeated 10-gram occurrences whose
+    // marked spans union to exactly the tail — the first doc (lowest
+    // id) keeps it, every later one loses precisely those 14 tokens.
+    // Boundary grams straddle unique per-doc context and never
+    // repeat. Oracle rebuilds gram streams, the global (id, pos)
+    // keep-first rule, span coverage, and the token-level rebuild.
+    "d24_repeated_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val boiler = "subscribe to our newsletter for updates terms " +
+        "of service privacy policy all rights reserved"
+      val mutated = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" " + boiler)))
+        .otherwise(col("text")))
+      operators.Dedup.dropRepeatedSpans(mutated, "text", "doc_id",
+          spanTokens = 10)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Global paragraph keep-first dedup (the Dolma / RefinedWeb
+    // stage): every 4th doc appends a shared footer paragraph, every
+    // 8th appends it TWICE (exercising the later-in-same-doc drop);
+    // the footer survives only at its globally-first (id, index)
+    // occurrence. Untouched docs keep their text byte-identical.
+    "d25_dedup_paragraphs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val footer = lit("all content copyright the publisher contact " +
+        "us for licensing")
+      val mutated = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(8)) === 0,
+          concat_ws("\n", col("text"), footer, footer))
+        .when(pmod(col("doc_id"), lit(4)) === 0,
+          concat_ws("\n", col("text"), footer))
+        .otherwise(col("text")))
+      operators.Dedup.dedupParagraphs(mutated, "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Z-order (Morton) codes — the storage-clustering key behind
     // multi-dimensional file skipping; the oracle re-interleaves all
     // 16 bits with explicit shift/mask arithmetic
@@ -3038,6 +3078,98 @@ object SparkEntry {
         |SELECT doc_id, round(max(jac), 6) AS max_jaccard
         |FROM j WHERE jac >= 0.5 GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // full replay of the span-dedup pipeline: gram stream with
+    // positions, the global (doc_id, pos) keep-first rule over
+    // duplicated gram TEXTS, span coverage [p, p+10), and the
+    // token-level rebuild; untouched docs must come back with their
+    // (mutated) text byte-identical
+    "d24_repeated_spans" ->
+      """WITH du AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' subscribe to our newsletter for updates ' ||
+        |      'terms of service privacy policy all rights reserved'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS toks
+        |  FROM du),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(len(toks) - 9, 0))) AS pos,
+        |    unnest(list_transform(range(0, greatest(len(toks) - 9, 0)),
+        |      i -> array_to_string(toks[i+1:i+10], ' '))) AS gram
+        |  FROM tok),
+        |mk AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      count(*) OVER (PARTITION BY gram) AS c,
+        |      row_number() OVER (PARTITION BY gram
+        |        ORDER BY doc_id, pos) AS rn
+        |    FROM g) w
+        |  WHERE c > 1 AND rn > 1),
+        |mp AS (SELECT doc_id, list(pos) AS mpos FROM mk GROUP BY doc_id),
+        |kept AS (
+        |  SELECT t.doc_id,
+        |    array_to_string(list_transform(
+        |      list_filter(range(0, len(t.toks)), i ->
+        |        len(list_filter(mp.mpos,
+        |          p -> p <= i AND i < p + 10)) = 0),
+        |      i -> t.toks[i+1]), ' ') AS rebuilt,
+        |    len(t.toks) - len(list_filter(range(0, len(t.toks)), i ->
+        |      len(list_filter(mp.mpos,
+        |        p -> p <= i AND i < p + 10)) = 0)) AS removed
+        |  FROM tok t JOIN mp ON t.doc_id = mp.doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN k.doc_id IS NULL THEN t.text
+        |    ELSE coalesce(k.rebuilt, '') END AS text,
+        |  CAST(coalesce(k.removed, 0) AS BIGINT) AS n_tokens_removed
+        |FROM tok t LEFT JOIN kept k ON t.doc_id = k.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // paragraph keep-first replay: the footer survives only at its
+    // globally-first (doc_id, index) occurrence; empty paragraphs are
+    // exempt from the window entirely
+    "d25_dedup_paragraphs" ->
+      """WITH du AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 8 = 0 THEN concat_ws(chr(10), text,
+        |      'all content copyright the publisher contact us for ' ||
+        |        'licensing',
+        |      'all content copyright the publisher contact us for ' ||
+        |        'licensing')
+        |    WHEN doc_id % 4 = 0 THEN concat_ws(chr(10), text,
+        |      'all content copyright the publisher contact us for ' ||
+        |        'licensing')
+        |    ELSE text END AS text
+        |  FROM documents),
+        |pr AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS ps
+        |  FROM du),
+        |par AS (
+        |  SELECT doc_id, unnest(range(0, len(ps))) AS idx,
+        |    unnest(ps) AS p
+        |  FROM pr),
+        |mk AS (
+        |  SELECT doc_id, idx FROM (
+        |    SELECT doc_id, idx,
+        |      count(*) OVER (PARTITION BY p) AS c,
+        |      row_number() OVER (PARTITION BY p
+        |        ORDER BY doc_id, idx) AS rn
+        |    FROM par WHERE p <> '') w
+        |  WHERE c > 1 AND rn > 1),
+        |mp AS (SELECT doc_id, list(idx) AS mi FROM mk GROUP BY doc_id)
+        |SELECT pr.doc_id,
+        |  CASE WHEN mp.doc_id IS NULL THEN pr.text
+        |    ELSE coalesce(array_to_string(list_transform(
+        |      list_filter(range(0, len(pr.ps)),
+        |        i -> NOT list_contains(mp.mi, i)),
+        |      i -> pr.ps[i+1]), chr(10)), '') END AS text,
+        |  CAST(coalesce(len(mp.mi), 0) AS BIGINT) AS n_paras_removed
+        |FROM pr LEFT JOIN mp ON pr.doc_id = mp.doc_id
+        |ORDER BY pr.doc_id""".stripMargin,
 
     "q36_zorder" -> {
       val terms = (for {

@@ -1233,4 +1233,136 @@ object Dedup {
       .select(col("id1").as(s"${idCol}_1"), col("id2").as(s"${idCol}_2"),
         col("dist"))
   }
+
+  /** Exact repeated-SPAN removal — substring-level dedup in the
+    * ExactSubstr family (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): any duplicated run of >=
+    * `spanTokens` whitespace tokens survives only at its first
+    * occurrence in the corpus; every later occurrence is cut out of
+    * its document's text. Sits below whole-document dedup (d1/d9) and
+    * above line-level forms (t11/t23) in granularity: it catches a
+    * quoted article inside an otherwise-original page, which document
+    * hashes miss and line dedup only catches line-by-line.
+    *
+    * Semantics (exact; the d24 oracle replays every step in DuckDB):
+    *  - tokens = [[TextAnalysis.tokenize]] (whitespace runs);
+    *  - every L-token gram occurrence is keyed by its gram text; a
+    *    gram text occurring at more than one (id, pos) location keeps
+    *    only its globally-first occurrence — first = lexicographic
+    *    minimum of (id, pos) — and every OTHER occurrence marks its
+    *    [pos, pos+L) token span;
+    *  - a token is dropped iff some marked span covers it. A repeated
+    *    run of M >= L tokens is covered by its M-L+1 marked grams, so
+    *    a later occurrence loses exactly the repeated run (plus
+    *    nothing: boundary grams straddle unique context and never
+    *    repeat);
+    *  - docs shorter than L tokens carry no grams and pass through
+    *    byte-identical, as does any doc with no marked span; a doc
+    *    that lost spans is rebuilt by joining surviving tokens with
+    *    single spaces (tokenize-granularity rebuild, the
+    *    [[TextAnalysis.stripBoilerplateLines]] contract).
+    *
+    * Scale (100 TB lens): document text never shuffles. The gram stage
+    * ships (hash, id, pos) triples — the 13-gram decontamination
+    * shuffle shape — and the per-gram first/count aggregation is
+    * partial-agg friendly, so corpus-hot boilerplate grams combine
+    * map-side before the exchange. Only occurrences of DUPLICATED
+    * grams (rare once document-level dedup has run, which should come
+    * first) pay the join back; marked positions collapse to one small
+    * int array per affected doc, and the rebuild is a per-row codegen
+    * projection whose coverage test is O(tokens × marked grams) —
+    * bounded by the duplicated-text volume itself.
+    *
+    * @return (idCol, textCol rebuilt, n_tokens_removed)
+    */
+  def dropRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                        spanTokens: Int = 50): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2 (got $spanTokens)")
+    val l = spanTokens
+    val toks = tokenize(col(textCol))
+    // one (id, pos, gram-hash) row per L-gram occurrence; the hash
+    // only needs to be collision-free (grouping key), not replayable —
+    // the oracle groups on the raw gram text instead
+    val grams = df
+      .select(col(idCol), posexplode(
+        when(size(toks) >= l,
+          transform(sequence(lit(0), size(toks) - l),
+            i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(l))))))
+          .otherwise(array().cast("array<bigint>")))
+        .as(Seq("__pos", "__h")))
+    val firsts = grams
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("__h"), col("__first"))
+    val marked = grams.join(firsts, Seq("__h"))
+      .filter(struct(col(idCol), col("__pos")) =!= col("__first"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("__pos"))).as("__mpos"))
+    val kept = filter(toks, (_, i) =>
+      !exists(col("__mpos"), p => p <= i && i < p + l))
+    df.join(marked, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__mpos").isNull, col(textCol))
+          .otherwise(concat_ws(" ", kept)).as(textCol),
+        when(col("__mpos").isNull, lit(0L))
+          .otherwise((size(toks) - size(kept)).cast("bigint"))
+          .as("n_tokens_removed"))
+  }
+
+  /** Global paragraph-level keep-first dedup — the Dolma / RefinedWeb
+    * paragraph-dedup stage: a non-empty paragraph occurring at more
+    * than one (id, index) location in the corpus survives only at its
+    * globally-first occurrence; later occurrences — in other documents
+    * OR later in the same document — are dropped and each text is
+    * rebuilt from its surviving paragraphs in order. Empty paragraphs
+    * are exempt (formatting, not content — the
+    * [[TextAnalysis.dropRepeatedLines]] exemption).
+    *
+    * Contrast with the existing line forms:
+    * [[TextAnalysis.dropRepeatedLines]] dedups only WITHIN one doc;
+    * [[TextAnalysis.stripBoilerplateLines]] strips ALL occurrences
+    * (including the first) of lines in >= minDf docs. This is the
+    * corpus-wide keep-first form: repeated content survives exactly
+    * once, where, ties broken by (id, index).
+    *
+    * Scale: same shape as [[dropRepeatedSpans]] — paragraphs travel as
+    * (xxhash64, id, index) triples, the first/count aggregation
+    * combines map-side, only duplicated paragraphs pay the join back,
+    * and untouched docs keep their text byte-identical without ever
+    * shuffling it.
+    *
+    * @param sep paragraph separator — a split regex AND the literal
+    *            re-join string, so keep it to a fixed token like
+    *            "\n" (default) or "\n\n"
+    * @return (idCol, textCol rebuilt, n_paras_removed)
+    */
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String,
+                      sep: String = "\n"): DataFrame = {
+    val ps = split(col(textCol), sep, -1)
+    val paras = df
+      .select(col(idCol),
+        posexplode(ps).as(Seq("__idx", "__p")))
+      .withColumn("__h",
+        when(length(col("__p")) > 0, xxhash64(col("__p"))))
+    val firsts = paras.filter(col("__h").isNotNull)
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__idx"))).as("__first"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("__h"), col("__first"))
+    val marked = paras.join(firsts, Seq("__h"))
+      .filter(struct(col(idCol), col("__idx")) =!= col("__first"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__idx")).as("__mi"))
+    df.join(marked, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__mi").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(ps, (_, i) => !array_contains(col("__mi"), i)), sep))
+          .as(textCol),
+        coalesce(size(col("__mi")), lit(0)).cast("bigint")
+          .as("n_paras_removed"))
+  }
 }

@@ -1190,4 +1190,86 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian"), "no all-pairs scan")
   }
+
+  test("dropRepeatedSpans: later occurrence loses exactly the run; " +
+      "first kept byte-identical; short docs untouched") {
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ") // 6 shared tokens
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),     // first occurrence — keeps
+      (2L, s"delta epsilon $shared zeta"),   // later — loses the run
+      (3L, "tiny doc"),                      // < L tokens, untouched
+      (4L, "nothing shared here at all six") // no dup grams, untouched
+    ).toDF("id", "t")
+    val m = Dedup.dropRepeatedSpans(docs, "t", "id", spanTokens = 6)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+      .toMap
+    assert(m(1L) == (s"alpha beta $shared gamma", 0L),
+      "globally-first occurrence byte-identical")
+    assert(m(2L) == (s"delta epsilon zeta", 6L),
+      "later occurrence loses exactly the 6-token repeated run")
+    assert(m(3L) == ("tiny doc", 0L))
+    assert(m(4L) == ("nothing shared here at all six", 0L))
+  }
+
+  test("dropRepeatedSpans: within-doc self-repeat drops the later copy") {
+    val run = (1 to 5).map(i => s"r$i").mkString(" ")
+    val docs = Seq((7L, s"$run x $run y")).toDF("id", "t")
+    val m = Dedup.dropRepeatedSpans(docs, "t", "id", spanTokens = 5)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+      .toMap
+    assert(m(7L) == (s"$run x y", 5L),
+      "second in-doc occurrence of the 5-token run removed")
+  }
+
+  test("dropRepeatedSpans: overlapping marked spans union (full-dup " +
+      "doc empties, M>L run loses M tokens)") {
+    val run = (1 to 8).map(i => s"w$i").mkString(" ") // M=8 > L=5
+    val docs = Seq(
+      (1L, s"head $run tail"),
+      (2L, s"other prefix $run other suffix"),
+      (3L, "a b c d e f"), (4L, "a b c d e f") // exact dup, 6 toks
+    ).toDF("id", "t")
+    val m = Dedup.dropRepeatedSpans(docs, "t", "id", spanTokens = 5)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+      .toMap
+    assert(m(2L) == ("other prefix other suffix", 8L),
+      "M-token repeated run (M > L) fully removed via 4 marked grams")
+    assert(m(4L) == ("", 6L), "full-duplicate doc empties")
+    assert(m(3L) == ("a b c d e f", 0L), "first full copy kept")
+  }
+
+  test("dedupParagraphs: keep-first across docs and within doc; " +
+      "empty paragraphs exempt; untouched docs byte-identical") {
+    val docs = Seq(
+      (1L, "own one\nfooter text\n\nbody a"),   // first footer — keeps
+      (2L, "own two\nfooter text\nbody b"),     // later doc — drops
+      (3L, "own three\nfooter text\nfooter text"), // both later — drop
+      (4L, "solo paragraph")                    // untouched
+    ).toDF("id", "t")
+    val m = Dedup.dedupParagraphs(docs, "t", "id")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+      .toMap
+    assert(m(1L) == ("own one\nfooter text\n\nbody a", 0L),
+      "first occurrence doc untouched, empty para survives")
+    assert(m(2L) == ("own two\nbody b", 1L))
+    assert(m(3L) == ("own three", 2L),
+      "both later occurrences drop, incl. the within-doc second")
+    assert(m(4L) == ("solo paragraph", 0L))
+  }
+
+  test("dedupParagraphs: empty paragraphs never dedup against each " +
+      "other; plans stay join+agg (no cartesian)") {
+    val docs = Seq(
+      (1L, "a\n\n\nb"), (2L, "c\n\n\nd")).toDF("id", "t")
+    val out = Dedup.dedupParagraphs(docs, "t", "id")
+    val m = out.collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(m(1L) == ("a\n\n\nb", 0L) && m(2L) == ("c\n\n\nd", 0L),
+      "repeated empty paragraphs are structure, not content")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), "no all-pairs scan")
+    val planSpans = Dedup.dropRepeatedSpans(docs, "t", "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(!planSpans.contains("Cartesian"), "no all-pairs scan")
+  }
 }
