@@ -1041,6 +1041,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // fractional upsampling (the weight>1 half of mixture
+    // application): weight = n_chars/300 spans 0.x to 1.x+, so the
+    // fixture exercises 0-copy drops, single copies, and 2-copy rows
+    // with a drawn fractional epoch; the oracle replays floor +
+    // fractional-draw + range explode exactly (2^32 scaling is IEEE
+    // exact, so thresholds agree bit-for-bit)
+    "p13_upsample_epochs" -> ((s, d) =>
+      operators.Sampling.upsampleByWeight(t(s, d, "documents"),
+          "doc_id", col("n_chars") / lit(300.0))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
+
     // leakage-safe split: near-dup CLUSTERS (connected components of
     // the d8 pair graph) draw once on their min-id label, so no
     // train/eval boundary can cut through a near-dup pair; unpaired
@@ -2545,6 +2557,23 @@ object SparkEntry {
         |       < lpad(lower(to_hex(CAST(floor(n_chars / 400.0
         |           * 4294967296.0) AS BIGINT))), 8, '0'))
         |ORDER BY doc_id""".stripMargin,
+
+    "p13_upsample_epochs" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(floor(n_chars / 300.0) AS BIGINT) +
+        |    CASE WHEN n_chars / 300.0 - floor(n_chars / 300.0) > 0.0
+        |      AND substr(md5(CAST(doc_id AS VARCHAR) || chr(0)
+        |          || 'epoch'), 1, 8)
+        |        < lpad(lower(to_hex(CAST(floor(
+        |            (n_chars / 300.0 - floor(n_chars / 300.0))
+        |            * 4294967296.0) AS BIGINT))), 8, '0')
+        |      THEN 1 ELSE 0 END AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  unnest(range(0, n)) AS epoch
+        |FROM c WHERE n > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     "p8_split_leakage_safe" ->
       (dupComponentsClosureCte + ",\n" +

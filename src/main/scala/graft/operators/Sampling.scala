@@ -52,6 +52,7 @@ object Sampling {
   val WeightSalt = "weight"
   val ShuffleSalt = "shuffle"
   val MixSalt = "mix"
+  val EpochSalt = "epoch"
 
   /** First 8 hex chars of md5(id || 'NUL' || salt): the row's
     * uniform draw in the given salt domain. The NUL delimiter makes
@@ -138,6 +139,42 @@ object Sampling {
   def weightedHashSample(df: DataFrame, idCol: String, weight: Column,
                          salt: String = WeightSalt): DataFrame =
     df.filter(weightedKeep(col(idCol), weight, salt))
+
+  /** Deterministic fractional UPSAMPLING — the weight-above-1 half of
+    * mixture application ([[weightedHashSample]] is the ≤1 half):
+    * each row emits `floor(weight)` copies plus one more iff its
+    * salted draw falls below `frac(weight)`, so a domain weighted 3.4
+    * contributes ≈3.4 epochs of itself — the "N.M epochs of
+    * Wikipedia" step of published data-mixing recipes — with no RNG
+    * state and bit-reproducible copy counts (the fractional draw is
+    * the same hex machinery as every sampler here; `frac·2³²` is an
+    * exact IEEE scaling, so engines agree on the threshold). Output
+    * rows gain a 0-based `epoch` column keeping downstream identity
+    * unique — chunk/pack on (id, epoch) — and epoch indexes are
+    * stable across runs, so epoch 0 is always the same first-pass
+    * subset and raising a weight only APPENDS epochs (counts nest per
+    * row, the [[weightedHashSample]] monotonicity carried above 1).
+    * Weights in [0, 1) degenerate to 0-or-1 copies; weights < 0
+    * produce no rows.
+    *
+    * Scale: pure projection + explode — no shuffle; output volume is
+    * exactly the requested blow-up (mind weights: the expansion IS
+    * the data you asked for). All epochs of a row land in one task —
+    * follow with [[shuffleByHash]] on (id, epoch) when training order
+    * must interleave epochs.
+    */
+  def upsampleByWeight(df: DataFrame, idCol: String, weight: Column,
+                       salt: String = EpochSalt): DataFrame = {
+    val w = weight.cast("double")
+    val frac = w - floor(w)
+    val thr = lpad(lower(hex(floor(frac * lit(4294967296.0)))), 8, "0")
+    val n = floor(w).cast("long") +
+      when(frac > 0.0 && hashBucket(col(idCol), salt) < thr, 1L)
+        .otherwise(0L)
+    df.withColumn("epoch",
+      explode(when(n > 0, sequence(lit(0L), n - 1))
+        .otherwise(array().cast("array<bigint>"))))
+  }
 
   /** Temperature-based domain mixing: downsample each domain so the
     * SELECTED corpus's domain mixture is proportional to `n_d^tau`

@@ -74,6 +74,52 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       s"weightedHashSample must not shuffle:\n$plan")
   }
 
+  test("upsampleByWeight: integer weights give exact copy counts, " +
+      "fractional draws nest, epochs are dense and stable") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // exact integers: no draw involved
+    assert(Sampling.upsampleByWeight(docs, "doc_id", lit(2.0))
+      .count() == 2 * docs.count())
+    assert(Sampling.upsampleByWeight(docs, "doc_id", lit(0.0))
+      .count() == 0L)
+    assert(Sampling.upsampleByWeight(docs, "doc_id", lit(-1.5))
+      .count() == 0L, "negative weights emit nothing")
+    // epoch column is 0-based and dense per row
+    val two = Sampling.upsampleByWeight(docs, "doc_id", lit(2.0))
+      .groupBy($"doc_id")
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list($"epoch")).as("e"))
+      .select($"e").as[Seq[Long]].collect()
+    assert(two.forall(_ == Seq(0L, 1L)), "epochs must be 0..n-1")
+    // fractional part: w and w+1 emit nested epoch sets (monotone),
+    // and the extra-epoch subset matches the weight<=1 sampler's
+    // draw in the SAME salt domain (shared machinery, shared draw)
+    val w = col("n_chars") / lit(400.0)
+    val one = Sampling.upsampleByWeight(docs, "doc_id", w)
+      .select($"doc_id", $"epoch").as[(Long, Long)].collect().toSet
+    val boosted = Sampling.upsampleByWeight(docs, "doc_id", w + lit(1.0))
+      .select($"doc_id", $"epoch").as[(Long, Long)].collect().toSet
+    assert(one.map { case (id, e) => (id, e + 1) }.subsetOf(boosted),
+      "raising every weight by 1 appends one epoch to every row " +
+        "and keeps the rest of the draw identical")
+    assert(boosted.size == one.size + docs.count(),
+      "w+1 emits exactly one extra copy per row")
+    val drawKept = Sampling.weightedHashSample(docs, "doc_id", w,
+        salt = Sampling.EpochSalt)
+      .filter(w < 1.0).select($"doc_id").as[Long].collect().toSet
+    val fracExtra = one.groupBy(_._1).collect {
+      case (id, es) if es.size == 1 => id
+    }.toSet // w in (0,1): the single kept copy IS the fractional draw
+    assert(drawKept.subsetOf(fracExtra ++
+        one.groupBy(_._1).filter(_._2.size > 1).keySet),
+      "fractional copies follow the weighted sampler's draw")
+    // pure projection + explode: no shuffle
+    val plan = Sampling.upsampleByWeight(docs, "doc_id", w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"upsampleByWeight must not shuffle:\n$plan")
+  }
+
   test("splitByHash partitions rows completely, disjointly, and " +
       "leakage-safe") {
     val split = Sampling.splitByHash(docs, "doc_id",
