@@ -1348,6 +1348,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // HTML → text extraction: the fixture wraps each document in a
+    // full page (doctype, title, style + script blocks whose BODIES
+    // contain <, >, && and a fake </div>, a multi-line comment,
+    // attribute-carrying tags, and the entity battery incl. the
+    // double-escape case &amp;lt;); the oracle replays every
+    // regexp/replace step in the pinned order (&amp; decoded last)
+    "t24_strip_html" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val page = concat(
+        lit("<!DOCTYPE html><html><head><title>Page "), col("doc_id"),
+        lit("</title><style type=\"text/css\">body { color: #333; }" +
+          "</style><script>if (1 < 2 && x > 0) { alert(\"</div>\"); }" +
+          "</script></head><body><!-- header\nnav -->" +
+          "<h1>Tom &amp; Jerry &lt;3 &amp;lt;still-escaped&amp;gt;</h1>" +
+          "<p class=\"lead\">"),
+        col("text"),
+        lit("</p><br><a href=\"/r?a=1&amp;b=2\">next&nbsp;page</a>" +
+          "&#39;fin&#39;</body></html>"))
+      docs.select(col("doc_id"),
+          operators.TextAnalysis.stripHtml(page).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus-frequent trigram mining (the boilerplate DISCOVERY
     // step): every occurrence counted, top-50 with deterministic
     // (count desc, gram asc) ties — the oracle recomputes the full
@@ -3036,6 +3059,36 @@ object SparkEntry {
         |SELECT doc_id, array_to_string(kept, chr(10)) AS clean,
         |  len(kept) AS n_lines_kept, len(lines) AS n_lines_total
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "t24_strip_html" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<!DOCTYPE html><html><head><title>Page ' || doc_id ||
+        |    '</title><style type="text/css">body { color: #333; }' ||
+        |    '</style><script>if (1 < 2 && x > 0) { alert("</div>"); }' ||
+        |    '</script></head><body><!-- header' || chr(10) ||
+        |    'nav --><h1>Tom &amp; Jerry &lt;3 ' ||
+        |    '&amp;lt;still-escaped&amp;gt;</h1><p class="lead">' ||
+        |    text ||
+        |    '</p><br><a href="/r?a=1&amp;b=2">next&nbsp;page</a>' ||
+        |    '&#39;fin&#39;</body></html>' AS h
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(h,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM page),
+        |s2 AS (SELECT doc_id, regexp_replace(h,
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(h,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(h,
+        |  '<[^>]*>', ' ', 'g') AS h FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(h,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+        |    '&amp;', '&') AS h FROM s4)
+        |SELECT doc_id,
+        |  trim(regexp_replace(h, '[ \t\n\f\r]+', ' ', 'g')) AS clean
+        |FROM s5 ORDER BY doc_id""".stripMargin,
 
     "t21_top_ngrams" ->
       """WITH tk AS (

@@ -64,6 +64,42 @@ object TextAnalysis {
       trim(regexp_replace(lower(text), "[ \t\n\f\r]+", " ")),
       "NFC")
 
+  /** HTML → text extraction — the stage BEFORE every other curation
+    * operator when the corpus arrives as raw web pages: drop
+    * script/style/comment blocks wholesale, strip remaining tags to a
+    * space, decode the common entities, collapse whitespace. A
+    * deterministic regexp/replace chain (every pattern RE2-safe: no
+    * backreferences or lookaround, so Java regex and RE2 engines
+    * produce identical spans and the t24 oracle replays each step),
+    * pure codegen projection — zero shuffle, runs at parquet-scan
+    * speed and streams as-is.
+    *
+    * Decode order is load-bearing and pinned by the oracle: named/
+    * numeric entities first, `&amp;` LAST, so double-escaped text
+    * (`&amp;lt;`) decodes one level (to the literal `&lt;`) instead
+    * of two — the standard single-pass entity rule. `&nbsp;` decodes
+    * to a plain space (so it joins the final collapse) rather than
+    * U+00A0. This is the C4-grade extraction tier: a full HTML5
+    * tokenizer (malformed-markup recovery, CDATA, conditional
+    * comments) is out of scope and belongs upstream of the engine.
+    */
+  def stripHtml(text: Column): Column = {
+    val noScript =
+      regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
+    trim(regexp_replace(decoded, "[ \t\n\f\r]+", " "))
+  }
+
   /** Fraction of characters that are sentence punctuation. */
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /

@@ -1191,6 +1191,17 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Cartesian"), "no all-pairs scan")
   }
 
+  test("stripHtml: block strip, tag strip, single-pass entity decode " +
+      "with &amp; last") {
+    val html = "<p>a&nbsp;b</p><script>if(x<y){z(\"</div>\")}</script>" +
+      "<!-- c\nd -->&amp;lt;e&amp;gt; &quot;q&quot; &apos;s&#39;"
+    val got = Seq(html).toDF("t")
+      .select(TextAnalysis.stripHtml($"t")).as[String].head()
+    assert(got == "a b &lt;e&gt; \"q\" 's'",
+      s"script body (with fake close tag), comment across lines, " +
+        s"tags, nbsp, and one-level entity decode; got: $got")
+  }
+
   test("dropRepeatedSpans: later occurrence loses exactly the run; " +
       "first kept byte-identical; short docs untouched") {
     val shared = (1 to 6).map(i => s"s$i").mkString(" ") // 6 shared tokens
