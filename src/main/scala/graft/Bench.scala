@@ -261,7 +261,30 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_full.json: $e")
     }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jmap(_._1, ms)},"reps":$reps,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // The headline line must BOTH be the last bytes the driver's
+    // tail capture sees AND fit inside its window. r06 evidence: the
+    // window is 2000 chars, sbt appends a ~75-char [success] line,
+    // and spark.stop() emits WARN lines (DAGScheduler job-group
+    // cancellation) after any earlier println — r06's intact-looking
+    // headline still lost its HEAD to the window edge (parsed:
+    // null). So: silence logging for shutdown, stop, THEN print a
+    // line guaranteed under the window: the full per-query map when
+    // it fits, else the slowest 25 queries + an explicit omission
+    // count, with target/bench_full.json always carrying the
+    // complete median/min/max record.
+    def line(qjson: String, extra: String): String =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qjson$extra,"reps":$reps,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","full":"target/bench_full.json"}"""
+    val fullMap = jmap(_._1, ms)
+    val headline =
+      if (line(fullMap, "").length <= 1500) line(fullMap, "")
+      else {
+        val top = results.sortBy(-_._2._1).take(25)
+        val topMap = top.map { case (k, v) => "\"" + k + "\":" + ms(v._1) }
+          .mkString("{", ",", "}")
+        line(topMap, s""","queries_omitted":${results.size - top.size}""")
+      }
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(headline)
   }
 }

@@ -20,6 +20,18 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(spark, dir, name)
 
+  /** t25's WordPiece vocab — one definition feeds BOTH the Spark query
+    * and the DuckDB oracle's literal list, so the two sides cannot
+    * drift. 25 single letters (no 'x', so x-words and digit words
+    * collapse to [UNK]) at both tiers, plus multi-char start and
+    * continuation pieces that the greedy rule must prefer.
+    */
+  private val wpVocab: Seq[String] =
+    Seq("the", "fast", "str", "sc", "qu", "batch") ++
+      "abcdefghijklmnopqrstuvwyz".map(_.toString) ++
+      Seq("##ast", "##eam", "##er", "##ow", "##atch") ++
+      "abcdefghijklmnopqrstuvwyz".map("##" + _)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -1368,6 +1380,29 @@ object SparkEntry {
           "&#39;fin&#39;</body></html>"))
       docs.select(col("doc_id"),
           operators.TextAnalysis.stripHtml(page).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // real subword tokenization (WordPiece greedy longest-match):
+    // the 61-piece vocab exercises multi-char starts ("sc" beating
+    // "s", whole-word "fast"/"batch"), multi-char continuations
+    // ("##eam", "##er", "##atch"), and the whole-word-UNK failure
+    // rule (no 'x' pieces, no digit pieces; every 7th doc gains
+    // " xylophone 42"). Oracle = DuckDB recursive CTE walking the
+    // same max-munch rule over precomputed per-(word, pos) longest
+    // matches — each piece, count, and UNK collapse is replayed
+    "t25_wordpiece" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mutated = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" xylophone 42")))
+        .otherwise(col("text")))
+      val enc = graft.functions.wordpiece_encode(col("text"), wpVocab)
+      mutated.select(col("doc_id"),
+          array_join(enc, " ").as("pieces"),
+          size(enc).cast("bigint").as("n_pieces"),
+          size(filter(enc, p => p === "[UNK]")).cast("bigint")
+            .as("n_unk"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3089,6 +3124,81 @@ object SparkEntry {
         |SELECT doc_id,
         |  trim(regexp_replace(h, '[ \t\n\f\r]+', ' ', 'g')) AS clean
         |FROM s5 ORDER BY doc_id""".stripMargin,
+
+    // the recursive CTE walks each DISTINCT word through the same
+    // max-munch rule the expression applies: `lm` precomputes the
+    // longest matching piece per (word, position) — start pieces at
+    // position 0, ##-stripped continuations after — and `walk`
+    // advances one piece per recursion step, collapsing to ['[UNK]']
+    // the moment a position has no match
+    "t25_wordpiece" -> {
+      val vocabList = wpVocab.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE
+         |du AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+         |    THEN text || ' xylophone 42' ELSE text END AS text
+         |  FROM documents),
+         |vocab AS (SELECT unnest($vocabList) AS p),
+         |pieces2 AS (
+         |  SELECT p, 0 AS tier FROM vocab WHERE p NOT LIKE '##%'
+         |  UNION ALL
+         |  SELECT substr(p, 3) AS p, 1 AS tier FROM vocab
+         |  WHERE p LIKE '##%'),
+         |tok AS (
+         |  SELECT doc_id, text, regexp_split_to_array(trim(text,
+         |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+         |    '[ \\t\\n\\v\\f\\r]+') AS ws
+         |  FROM du),
+         |words AS (
+         |  SELECT doc_id, unnest(range(0, len(ws))) AS wi,
+         |    unnest(ws) AS w
+         |  FROM tok),
+         |dw AS (SELECT DISTINCT w FROM words WHERE w <> ''),
+         |pos AS (
+         |  SELECT w, unnest(range(0, len(w))) AS p FROM dw),
+         |lm AS (
+         |  SELECT pos.w, pos.p, max(len(v.p)) AS ml
+         |  FROM pos JOIN pieces2 v
+         |    ON ((pos.p = 0 AND v.tier = 0) OR (pos.p > 0 AND v.tier = 1))
+         |   AND substr(pos.w, CAST(pos.p + 1 AS INT), len(v.p)) = v.p
+         |  GROUP BY pos.w, pos.p),
+         |walk AS (
+         |  SELECT w, CAST(0 AS BIGINT) AS pos2,
+         |    CAST([] AS VARCHAR[]) AS pieces, false AS failed
+         |  FROM dw
+         |  UNION ALL
+         |  SELECT walk.w,
+         |    CASE WHEN lm.ml IS NULL THEN CAST(len(walk.w) AS BIGINT)
+         |      ELSE walk.pos2 + lm.ml END,
+         |    CASE WHEN lm.ml IS NULL THEN ['[UNK]']
+         |      WHEN walk.pos2 = 0 THEN list_append(walk.pieces,
+         |        substr(walk.w, CAST(walk.pos2 + 1 AS INT),
+         |          CAST(lm.ml AS INT)))
+         |      ELSE list_append(walk.pieces, '##' ||
+         |        substr(walk.w, CAST(walk.pos2 + 1 AS INT),
+         |          CAST(lm.ml AS INT))) END,
+         |    lm.ml IS NULL
+         |  FROM walk LEFT JOIN lm
+         |    ON walk.w = lm.w AND walk.pos2 = lm.p
+         |  WHERE walk.pos2 < len(walk.w) AND NOT walk.failed),
+         |done AS (
+         |  SELECT w, pieces FROM walk WHERE pos2 >= len(w)),
+         |perdoc AS (
+         |  SELECT words.doc_id,
+         |    flatten(list(done.pieces ORDER BY words.wi)) AS ps
+         |  FROM words JOIN done ON words.w = done.w
+         |  GROUP BY words.doc_id)
+         |SELECT t.doc_id,
+         |  CASE WHEN t.text IS NULL THEN NULL
+         |    ELSE coalesce(array_to_string(pd.ps, ' '), '') END AS pieces,
+         |  CASE WHEN t.text IS NULL THEN NULL
+         |    ELSE coalesce(len(pd.ps), 0) END AS n_pieces,
+         |  CASE WHEN t.text IS NULL THEN NULL
+         |    ELSE coalesce(len(list_filter(pd.ps,
+         |      x -> x = '[UNK]')), 0) END AS n_unk
+         |FROM tok t LEFT JOIN perdoc pd ON t.doc_id = pd.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    },
 
     "t21_top_ngrams" ->
       """WITH tk AS (

@@ -363,6 +363,71 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** POSITIONAL word n-gram hashes in one pass over the UTF-8 bytes:
+  * out(i) = 64-bit hash of tokens [i, i+n), every occurrence kept in
+  * token order (no dedup — `posexplode` over the result yields the
+  * (token-position, gram-hash) stream that positional operators like
+  * repeated-span removal consume). A document shorter than n tokens
+  * yields an EMPTY array — positional grams do not exist for it
+  * (contrast [[ShingleHashes]], which is distinct/positionless and
+  * falls back to one whole-text shingle). Tokenization and hashing
+  * match [[ShingleHashes]] exactly: ASCII-\s runs, FNV-1a per token,
+  * boost-style hash_combine across the window; collisions ~2^-64 per
+  * pair, so downstream group-by-hash semantics equal group-by-text
+  * (oracles replay on the raw text).
+  */
+case class GramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes requires string, got ${child.dataType}")
+
+  private def mix(a: Long, b: Long): Long =
+    a ^ (b + 0x9e3779b97f4a7c15L + (a << 12) + (a >>> 4))
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && Util.isWs(bytes(i) & 0xff)) i += 1
+      if (i < len) {
+        var h = Fnv.Offset
+        while (i < len && !Util.isWs(bytes(i) & 0xff)) {
+          h ^= (bytes(i) & 0xff); h *= Fnv.Prime; i += 1
+        }
+        tokenHashes += h
+      }
+    }
+    val m = tokenHashes.length
+    val out =
+      if (m < n) Array.emptyLongArray
+      else {
+        val arr = new Array[Long](m - n + 1)
+        var j = 0
+        while (j <= m - n) {
+          var h = 0L
+          var k = 0
+          while (k < n) { h = mix(h, tokenHashes(j + k)); k += 1 }
+          arr(j) = h
+          j += 1
+        }
+        arr
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): GramHashes =
+    copy(child = c)
+}
+
 /** MinHash signature in one pass: per shingle ONE byte-level hash
   * (FNV-1a) expanded into k permutation values via h1 + i·h2
   * (h2 = splitmix64(h1)) — the standard trick, k× cheaper than k
@@ -771,4 +836,108 @@ case class StripAccents(child: Expression)
 
   override protected def withNewChildInternal(c: Expression)
       : StripAccents = copy(child = c)
+}
+
+/** Greedy longest-match subword tokenization — the WordPiece inference
+  * algorithm (Wu et al. 2016; the BERT tokenizer's public max-munch
+  * rule): each whitespace word is consumed left-to-right, at every
+  * position taking the LONGEST vocab piece that matches (pieces at
+  * word-start match verbatim; pieces inside a word match their `##`-
+  * prefixed continuation form); a position with no match fails the
+  * WHOLE word to `unk`. Output is the concatenated piece sequence of
+  * all words in order, continuations carrying their `##` prefix.
+  *
+  * This is the REAL subword-token count — what packing budgets and
+  * per-token pricing actually meter — where `tokenize_bpeish` only
+  * approximates pre-token boundaries. The reference has no tokenizer
+  * surface at all (its scalar library stops at string functions,
+  * /root/reference/py-denormalized/python/denormalized/datafusion/functions.py).
+  *
+  * Whitespace splitting mirrors `TextAnalysis.tokenize` exactly (trim
+  * the ASCII regex-\s class, split on runs of it), so
+  * `size(wordpiece_encode(text, v))` composes with every
+  * token-count-based operator here.
+  *
+  * Scale: the vocab ships once per task in the plan closure (a
+  * 30k-piece production vocab is ~0.5 MB — broadcast-sized, not
+  * data-sized) and builds a per-JVM hash lookup lazily; per-row cost
+  * is O(chars × maxPieceLen) with no allocation beyond the output.
+  * Pure projection: no shuffle, streams as-is.
+  */
+case class WordPieceEncode(child: Expression, vocab: Seq[String],
+                           unk: String)
+    extends UnaryExpression with CodegenFallback {
+
+  require(vocab.nonEmpty, "vocab must not be empty")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_encode requires string, got ${child.dataType}")
+
+  // start pieces verbatim; continuation pieces stored stripped of
+  // their "##" marker, keyed separately
+  @transient private lazy val startSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    vocab.foreach(p => if (!p.startsWith("##")) s.add(p))
+    s
+  }
+  @transient private lazy val contSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    vocab.foreach(p => if (p.startsWith("##")) s.add(p.substring(2)))
+    s
+  }
+  @transient private lazy val maxStartLen: Int =
+    vocab.iterator.filterNot(_.startsWith("##")).map(_.length)
+      .foldLeft(0)(math.max)
+  @transient private lazy val maxContLen: Int =
+    vocab.iterator.filter(_.startsWith("##")).map(_.length - 2)
+      .foldLeft(0)(math.max)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    var a = 0
+    var b = text.length
+    while (a < b && Util.isWs(text.charAt(a))) a += 1
+    while (b > a && Util.isWs(text.charAt(b - 1))) b -= 1
+    val words = text.substring(a, b).split("[ \t\n\u000B\f\r]+", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](
+      words.length * 2)
+    words.foreach { w =>
+      if (w.nonEmpty) {
+        val pieces = new scala.collection.mutable.ArrayBuffer[String](4)
+        var pos = 0
+        var failed = false
+        while (!failed && pos < w.length) {
+          val atStart = pos == 0
+          val set = if (atStart) startSet else contSet
+          val cap = math.min(
+            if (atStart) maxStartLen else maxContLen, w.length - pos)
+          var l = cap
+          var hit = -1
+          while (hit < 0 && l >= 1) {
+            if (set.contains(w.substring(pos, pos + l))) hit = l
+            else l -= 1
+          }
+          if (hit < 0) failed = true
+          else {
+            pieces += (if (atStart) w.substring(pos, pos + hit)
+                       else "##" + w.substring(pos, pos + hit))
+            pos += hit
+          }
+        }
+        if (failed) out += UTF8String.fromString(unk)
+        else pieces.foreach(p => out += UTF8String.fromString(p))
+      }
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : WordPieceEncode = copy(child = c)
 }

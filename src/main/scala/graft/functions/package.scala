@@ -47,8 +47,28 @@ package object functions {
   /** MinHash signature (k 64-bit minimums) of a string-array column —
     * one byte-level hash per element, k permutations via h1 + i·h2.
     */
+  /** Positional word n-gram hashes (every occurrence, token order;
+    * empty array for docs shorter than n tokens) — `posexplode` it
+    * for the (position, gram-hash) stream behind positional dedup.
+    * Same tokenization/hashing as `shingle_hashes`.
+    */
+  def gram_hashes(text: Column, n: Int): Column =
+    c(expressions.GramHashes(GraftShim.expression(text), n))
+
   def minhash_signature(shingles: Column, k: Int): Column =
     c(expressions.MinHashSignature(GraftShim.expression(shingles), k))
+
+  /** Greedy longest-match WordPiece tokenization (the BERT inference
+    * rule): array<string> of subword pieces, continuations carrying
+    * their `##` prefix, unmatched words collapsing to `unk`. The real
+    * subword-token counter behind packing budgets —
+    * `size(wordpiece_encode(text, vocab))` — where `tokenize_bpeish`
+    * only approximates boundaries. Whitespace splitting matches
+    * `TextAnalysis.tokenize`.
+    */
+  def wordpiece_encode(text: Column, vocab: Seq[String],
+                       unk: String = "[UNK]"): Column =
+    c(expressions.WordPieceEncode(GraftShim.expression(text), vocab, unk))
 
   /** Cosine similarity of two float/double array columns, accumulated
     * in double (sequential loop — bit-compatible with a scalar

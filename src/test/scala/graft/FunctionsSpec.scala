@@ -154,4 +154,64 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(sql(0).getString(0) == "Caf\u00e9" &&
       sql(0).getString(2) == "caf\u00e9")
   }
+
+  test("wordpiece_encode: greedy longest match, ## continuations, UNK") {
+    val vocab = Seq("un", "break", "fast", "ab", "a", "b",
+      "##break", "##able", "##er", "##b")
+    def enc(s: String): Seq[String] =
+      Seq(s).toDF("t")
+        .select(graft.functions.wordpiece_encode($"t", vocab))
+        .head.getSeq[String](0)
+    // start piece, then longest continuations
+    assert(enc("unbreakable") == Seq("un", "##break", "##able"))
+    assert(enc("faster") == Seq("fast", "##er"))
+    // greedy: whole-word "ab" beats "a"+"##b"
+    assert(enc("ab") == Seq("ab"))
+    // no start piece for 'c' \u2192 the WHOLE word collapses, even though
+    // a suffix would tokenize
+    assert(enc("cab") == Seq("[UNK]"))
+    // mid-word dead end (no ##a and "##able" doesn't match "ax")
+    assert(enc("unax") == Seq("[UNK]"))
+    // multi-word: per-word independence + order, runs of whitespace
+    assert(enc("  faster \t un  cab ") ==
+      Seq("fast", "##er", "un", "[UNK]"))
+    assert(enc("") == Seq.empty)
+    assert(enc("   ") == Seq.empty)
+    // custom unk token
+    val got = Seq("cab").toDF("t")
+      .select(graft.functions.wordpiece_encode($"t", vocab, unk = "<x>"))
+      .head.getSeq[String](0)
+    assert(got == Seq("<x>"))
+  }
+
+  test("gram_hashes: positional contract + equality classes match " +
+      "string grams") {
+    val docs = Graft.table(spark, sf, "documents").limit(80)
+    val n = 5
+    val toks = graft.operators.TextAnalysis.tokenize($"text")
+    // string grams, positional (the spelling gram_hashes replaces)
+    val strGrams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val both = docs.select(
+      strGrams.as("gs"),
+      graft.functions.gram_hashes($"text", n).as("gh"))
+      .collect()
+    val pairs = both.flatMap { r =>
+      val gs = r.getSeq[String](0); val gh = r.getSeq[Long](1)
+      assert(gs.length == gh.length) // same positional length, incl 0
+      gs.zip(gh)
+    }
+    // hash-equality must coincide with string-equality (bijection on
+    // this corpus: same gram \u21d2 same hash, distinct grams \u21d2 distinct
+    // hashes at ~2^-64 collision odds)
+    assert(pairs.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1))
+    assert(pairs.groupBy(_._2).values.forall(_.map(_._1).distinct.size == 1))
+    // short doc \u2192 EMPTY (no whole-text fallback, unlike shingle_hashes)
+    val short = Seq("a b c").toDF("text")
+      .select(graft.functions.gram_hashes($"text", 5))
+      .head.getSeq[Long](0)
+    assert(short.isEmpty)
+  }
 }
