@@ -1406,6 +1406,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // winnowing fingerprints (MOSS): every window-min selection —
+    // value AND rightmost-tie position — replayed by the oracle, so
+    // one wrong min or a leftmost tie anywhere in the corpus breaks
+    // the hash
+    "t26_winnowing" -> ((s, d) =>
+      operators.Dedup.winnowingFingerprints(t(s, d, "documents"),
+          "text", "doc_id", n = 5, window = 4)
+        .orderBy(col("doc_id"), col("pos"), col("fp"))),
+
+    // asymmetric containment (quote detection): half-prefix copies of
+    // every 5th doc are CONTAINED in their originals (containment ≈ 1,
+    // Jaccard ≈ 0.5 — invisible to the d3 threshold family); oracle
+    // recomputes every distinct-shingle intersection exactly
+    "d26_containment_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = operators.TextAnalysis.tokenize(col("text"))
+      val halves = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest((size(toks) / 2).cast("int"), lit(1)))).as("text"),
+          col("lang"))
+      val base = docs.select(col("doc_id"), col("text"), col("lang"))
+      operators.Dedup.containmentPairs(base.unionByName(halves),
+          "text", "doc_id", "lang", shingleN = 3, threshold = 0.9)
+        .withColumn("containment_1", round(col("containment_1"), 6))
+        .withColumn("containment_2", round(col("containment_2"), 6))
+        .orderBy(col("doc_id_1"), col("doc_id_2"))
+    }),
+
     // corpus-frequent trigram mining (the boilerplate DISCOVERY
     // step): every occurrence counted, top-50 with deterministic
     // (count desc, gram asc) ties — the oracle recomputes the full
@@ -3199,6 +3228,80 @@ object SparkEntry {
          |FROM tok t LEFT JOIN perdoc pd ON t.doc_id = pd.doc_id
          |ORDER BY t.doc_id""".stripMargin
     },
+
+    // every window of 4 consecutive 5-gram md5 hashes: min hash (hex
+    // strings — lexicographic == numeric), rightmost tie via
+    // max(pos) at the min value, distinct (pos, hash) selections
+    "t26_winnowing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS ws
+        |  FROM documents),
+        |gpos AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(0, greatest(len(ws) - 4, 0))) AS pos
+        |  FROM tok),
+        |grams AS (
+        |  SELECT doc_id, pos,
+        |    md5(array_to_string(
+        |      ws[CAST(pos + 1 AS INT):CAST(pos + 5 AS INT)], ' ')) AS h
+        |  FROM gpos),
+        |counts AS (SELECT doc_id, count(*) AS g FROM grams GROUP BY 1),
+        |wins AS (
+        |  SELECT doc_id, unnest(range(0, greatest(g - 3, 1))) AS i
+        |  FROM counts),
+        |sel AS (
+        |  SELECT w.doc_id, w.i, min(g.h) AS mh
+        |  FROM wins w JOIN grams g ON g.doc_id = w.doc_id
+        |    AND g.pos >= w.i AND g.pos < w.i + 4
+        |  GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT s.doc_id, max(g.pos) AS pos, s.mh
+        |  FROM sel s JOIN grams g ON g.doc_id = s.doc_id
+        |    AND g.h = s.mh AND g.pos >= s.i AND g.pos < s.i + 4
+        |  GROUP BY s.doc_id, s.i, s.mh)
+        |SELECT DISTINCT doc_id, pos, substr(mh, 1, 8) AS fp
+        |FROM fp ORDER BY doc_id, pos, fp""".stripMargin,
+
+    "d26_containment_pairs" ->
+      """WITH halves AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(ws[1:greatest(CAST(len(ws) // 2 AS INT), 1)],
+        |      ' ') AS text,
+        |    lang
+        |  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |      '[ \t\n\v\f\r]+') AS ws
+        |    FROM documents WHERE doc_id % 5 = 0)),
+        |du AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL SELECT doc_id, text, lang FROM halves),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))) END AS s
+        |  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |      '[ \t\n\v\f\r]+') AS toks
+        |    FROM du)),
+        |inv AS (SELECT doc_id, lang, unnest(s) AS g FROM sh),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+        |  FROM inv a JOIN inv b
+        |    ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT d1, d2, ni,
+        |    ni::DOUBLE / s1.n AS c1, ni::DOUBLE / s2.n AS c2
+        |  FROM cand JOIN sizes s1 ON s1.doc_id = d1
+        |    JOIN sizes s2 ON s2.doc_id = d2)
+        |SELECT d1 AS doc_id_1, d2 AS doc_id_2, ni AS n_shared,
+        |  round(c1, 6) AS containment_1, round(c2, 6) AS containment_2
+        |FROM j WHERE greatest(c1, c2) >= 0.9
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
 
     "t21_top_ngrams" ->
       """WITH tk AS (

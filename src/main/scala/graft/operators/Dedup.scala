@@ -157,6 +157,47 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs within a blocking column:
+    * containment(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|.
+    * The quote/subset detector Jaccard structurally misses: a short
+    * doc fully embedded in a 20× longer one has containment ≈ 1 but
+    * Jaccard ≈ 0.05, below any useful near-dup threshold. A pair
+    * survives when EITHER direction reaches `threshold`; both
+    * directions are reported so callers can tell "A quotes B" from
+    * "B quotes A" (Broder 1997's resemblance-vs-containment split).
+    *
+    * Same inverted-index shape as [[jaccardPairsWithinBlock]] — the
+    * join key is (block, shingle-hash) so parallelism never collapses
+    * to #blocks, zero-overlap pairs never materialize, and shuffle
+    * rows are (block, hash, id) longs, never documents.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       blockCol: String, shingleN: Int = 3,
+                       threshold: Double = 0.9): DataFrame = {
+    val inv = df.select(col(blockCol), col(idCol),
+      explode(shingleHashes(col(textCol), shingleN)).as("__shingle"))
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val l = inv.select(col(blockCol), col("__shingle"),
+      col(idCol).as("id1"))
+    val r = inv.select(col(blockCol), col("__shingle"),
+      col(idCol).as("id2"))
+    val shared = l.join(r, Seq(blockCol, "__shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col(idCol).as("id1"), col("__n").as("__n1")), "id1")
+      .join(sizes.select(col(idCol).as("id2"), col("__n").as("__n2")), "id2")
+      .withColumn("containment_1",
+        col("n_shared").cast("double") / col("__n1"))
+      .withColumn("containment_2",
+        col("n_shared").cast("double") / col("__n2"))
+      .filter(greatest(col("containment_1"), col("containment_2"))
+        >= threshold)
+      .select(col("id1").as(s"${idCol}_1"), col("id2").as(s"${idCol}_2"),
+        col("n_shared"), col("containment_1"), col("containment_2"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signatures banded into 4×16-bit
     * keys (hamming≤3 ⇒ ≥1 band equal), verified with bit_count(xor).
     *
@@ -1336,6 +1377,58 @@ object Dedup {
         when(col("__mspans").isNull, lit(0L))
           .otherwise((size(toks) - size(kept)).cast("bigint"))
           .as("n_tokens_removed"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS local fingerprinting scheme): hash every n-token
+    * gram, slide a window of `window` consecutive gram hashes, and in
+    * each window select the MINIMUM hash, ties resolved to the
+    * RIGHTMOST position; the distinct selected (position, hash) set
+    * is the document's fingerprint. Guarantee: any shared token run
+    * of >= window + n - 1 tokens between two documents yields at
+    * least one shared fingerprint, at expected density 2/(window+1) —
+    * a sub-linear, position-aware sketch where [[dropRepeatedSpans]]
+    * is exhaustive and [[minhashNearDupPairs]] is whole-document.
+    * Joining outputs on `fp` (then e.g. [[connectedComponents]])
+    * finds partial-overlap clusters without shipping text.
+    *
+    * A document with fewer than n tokens has no grams and no
+    * fingerprints; one with 1 to window-1 grams yields the single
+    * min-of-all selection (the standard short-document case).
+    *
+    * Hashes are md5 hex of the gram text (lexicographic min on hex
+    * strings == numeric min, identical across engines — the oracle
+    * replays every selection); `fp` is the leading 8 hex chars
+    * (32 bits displayed; selection always uses the full digest).
+    *
+    * Scale: pure per-row projection — no shuffle, no state, streams
+    * as-is; O(grams × window) string compares per row, all row-local.
+    * The fingerprint stream ships (id, pos, 8-char fp) — ~2/(w+1) of
+    * the gram count — never documents.
+    */
+  def winnowingFingerprints(df: DataFrame, textCol: String, idCol: String,
+                            n: Int = 5, window: Int = 4): DataFrame = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    require(window >= 1, s"window must be >= 1 (got $window)")
+    val toks = tokenize(col(textCol))
+    val hs = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val g = size(col("__hs"))
+    val fps = when(g >= 1, array_distinct(transform(
+      sequence(lit(0), greatest(g - lit(window), lit(0))),
+      i => {
+        val wnd = slice(col("__hs"), i + 1, lit(window))
+        val mn = array_min(wnd)
+        // rightmost occurrence of the min: first position in the
+        // reversed window, flipped back
+        val p = i + size(wnd) - array_position(reverse(wnd), mn)
+        struct(p.cast("long").as("pos"), substring(mn, 1, 8).as("fp"))
+      }))).otherwise(array().cast("array<struct<pos:bigint,fp:string>>"))
+    df.select(col(idCol), hs.as("__hs"))
+      .select(col(idCol), explode(fps).as("__f"))
+      .select(col(idCol), col("__f.pos").as("pos"), col("__f.fp").as("fp"))
   }
 
   /** Global paragraph-level keep-first dedup — the Dolma / RefinedWeb

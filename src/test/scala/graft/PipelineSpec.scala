@@ -1283,4 +1283,54 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!planSpans.contains("Cartesian"), "no all-pairs scan")
   }
+
+  test("winnowingFingerprints: shared-run guarantee, rightmost ties, " +
+      "short docs") {
+    // n=5, w=4: any shared run of >= w+n-1 = 8 tokens must share a
+    // fingerprint VALUE between the two docs (the Schleimer guarantee)
+    val shared = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared a4 a5"),
+      (2L, s"b1 $shared b2 b3 b4 b5"),
+      (3L, "x x x x x x x x x"), // 9 tokens, 5 identical gram hashes
+      (4L, "s1 s2 s3 s4 s5 s6"), // 2 grams < w → single min-of-all
+      (5L, "t1 t2 t3")           // < n tokens → no fingerprints
+    ).toDF("id", "t")
+    val fp = Dedup.winnowingFingerprints(docs, "t", "id", 5, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def of(id: Long) = fp.filter(_._1 == id)
+    assert(of(1L).map(_._3).toSet.intersect(of(2L).map(_._3).toSet)
+      .nonEmpty, "8-token shared run must collide on a fingerprint")
+    // all-equal hashes: every window picks its RIGHTMOST position —
+    // starts 0 and 1 select positions 3 and 4, nothing else
+    assert(of(3L).map(_._2).toSet == Set(3L, 4L))
+    assert(of(3L).map(_._3).distinct.length == 1)
+    assert(of(4L).length == 1, "short doc = one min-of-all selection")
+    assert(of(5L).isEmpty, "sub-n doc has no grams")
+    // fingerprint density ~2/(w+1): never more selections than windows
+    val n1 = of(1L).length
+    assert(n1 >= 1 && n1 <= 9, s"density out of range: $n1")
+  }
+
+  test("containmentPairs: catches the contained half Jaccard misses") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val half = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, long, "en"), (2L, half, "en"),
+      (3L, long, "de") // other block: never pairs with 1/2
+    ).toDF("id", "t", "blk")
+    val got = Dedup.containmentPairs(docs, "t", "id", "blk",
+      shingleN = 3, threshold = 0.9).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // half has 18 trigram shingles, all inside long's 38
+    assert(r.getLong(2) == 18L)
+    assert(math.abs(r.getDouble(3) - 18.0 / 38) < 1e-12)
+    assert(r.getDouble(4) == 1.0)
+    // the same pair is invisible to Jaccard at the same threshold
+    val jac = Dedup.jaccardPairsWithinBlock(docs, "t", "id", "blk",
+      shingleN = 3, threshold = 0.9).collect()
+    assert(jac.isEmpty, "Jaccard 18/38 < 0.9 — containment-only pair")
+  }
 }
