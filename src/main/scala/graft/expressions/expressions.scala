@@ -428,6 +428,133 @@ case class GramHashes(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Winnowing fingerprint selection in one native pass (Schleimer et
+  * al. 2003): md5 every n-token gram, slide a `window`-wide window
+  * over the gram digests, select each window's minimum with ties to
+  * the RIGHTMOST position, emit the distinct (pos, fp) selections in
+  * position order (fp = leading 8 hex chars; selection compares the
+  * FULL digest — raw unsigned digest bytes order exactly like the
+  * hex string, so a SQL oracle replaying on md5 hex agrees bit for
+  * bit). A doc with fewer than n tokens yields an empty array; one
+  * with 1..window-1 grams yields the single min-of-all selection.
+  *
+  * Why native: the Column-API spelling pays a token-array slice, a
+  * string concat, an md5 call AND per-window array slice/reverse/
+  * position ops per gram — this pass reuses one digest instance over
+  * token byte ranges and a monotonic deque (amortized O(1) per gram;
+  * popping equal values as new ones enter makes the deque front the
+  * rightmost minimum by construction). Same whitespace tokenization
+  * as [[GramHashes]].
+  */
+case class WinnowFingerprints(child: Expression, n: Int, window: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "n must be >= 1")
+  require(window >= 1, "window must be >= 1")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("fp", StringType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires string, got ${child.dataType}")
+
+  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 16) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    // token byte spans
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && Util.isWs(bytes(i) & 0xff)) i += 1
+      if (i < len) {
+        starts += i
+        while (i < len && !Util.isWs(bytes(i) & 0xff)) i += 1
+        ends += i
+      }
+    }
+    val m = starts.length
+    if (m < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val g = m - n + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val space = Array[Byte](' ')
+    val digests = new Array[Array[Byte]](g)
+    var j = 0
+    while (j < g) {
+      md.reset()
+      var t = j
+      while (t < j + n) {
+        if (t > j) md.update(space)
+        md.update(bytes, starts(t), ends(t) - starts(t))
+        t += 1
+      }
+      digests(j) = md.digest()
+      j += 1
+    }
+    // monotonic deque of gram indices; popping `>=` on entry keeps
+    // the rightmost minimum at the front
+    val dq = new Array[Int](g)
+    var head = 0
+    var tail = 0 // exclusive
+    val out = new scala.collection.mutable.ArrayBuffer[Any](
+      2 * g / (window + 1) + 2)
+    var lastSel = -1
+    def emit(sel: Int): Unit = if (sel != lastSel) {
+      lastSel = sel
+      val d = digests(sel)
+      val hex = new Array[Char](8)
+      var b = 0
+      while (b < 4) {
+        hex(2 * b) = hexDigits((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = hexDigits(d(b) & 0xf)
+        b += 1
+      }
+      out += new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](sel.toLong,
+          UTF8String.fromString(new String(hex))))
+    }
+    j = 0
+    while (j < g) {
+      while (tail > head && cmp(digests(dq(tail - 1)), digests(j)) >= 0)
+        tail -= 1
+      dq(tail) = j
+      tail += 1
+      val ws = j - window + 1 // window start for windows ending at j
+      if (ws >= 0) {
+        while (dq(head) < ws) head += 1
+        emit(dq(head))
+      }
+      j += 1
+    }
+    // short doc: fewer grams than the window — one min-of-all pick
+    if (g < window) emit(dq(head))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : WinnowFingerprints = copy(child = c)
+}
+
 /** MinHash signature in one pass: per shingle ONE byte-level hash
   * (FNV-1a) expanded into k permutation values via h1 + i·h2
   * (h2 = splitmix64(h1)) — the standard trick, k× cheaper than k

@@ -55,6 +55,13 @@ package object functions {
   def gram_hashes(text: Column, n: Int): Column =
     c(expressions.GramHashes(GraftShim.expression(text), n))
 
+  /** Winnowing fingerprint selections in one native pass:
+    * array<struct<pos, fp>> of each window's min gram-md5 (rightmost
+    * ties), distinct, position order. See `Dedup.winnowingFingerprints`.
+    */
+  def winnow_fingerprints(text: Column, n: Int, window: Int): Column =
+    c(expressions.WinnowFingerprints(GraftShim.expression(text), n, window))
+
   def minhash_signature(shingles: Column, k: Int): Column =
     c(expressions.MinHashSignature(GraftShim.expression(shingles), k))
 

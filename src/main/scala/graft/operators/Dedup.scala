@@ -397,24 +397,29 @@ object Dedup {
     * alike. n = 13 is the published convention for web-scale corpora.
     *
     * Scale shape: the reference side (eval sets — thousands of docs)
-    * collapses to a DISTINCT gram-digest set and broadcasts, so the
+    * collapses to a DISTINCT gram-hash set and broadcasts, so the
     * corpus side is a map-side semi-join adjacent to the scan — corpus
     * grams NEVER shuffle; only the (rare) matching ids pay the final
-    * distinct. Grams travel as 16-byte digests, never strings. A doc
-    * shorter than n tokens contributes its whole text as one gram
-    * (the [[shingles]] convention), so short eval prompts still match
+    * distinct. Grams are 64-bit [[shingleHashes]] values computed in
+    * one native pass — no token or gram strings materialize anywhere
+    * (collision odds ~k²/2^65 fold into the kept set). A doc shorter
+    * than n tokens contributes its whole text as one gram (the
+    * [[shingles]] convention), so short eval prompts still match
     * their exact occurrences.
     */
   def ngramOverlapIds(corpus: DataFrame, reference: DataFrame,
                       textCol: String, corpusIdCol: String,
                       n: Int = 13): DataFrame = {
+    // single-pass 64-bit gram hashes on BOTH sides (the d24 lesson:
+    // materializing an n-token string per gram position is the
+    // dominant cost of every gram-stream operator) — the hash is
+    // internal join currency, oracles replay set semantics on text
     val refGrams = reference
-      .select(explode(shingles(col(textCol), n)).as("__gram"))
-      .select(unhex(md5(col("__gram"))).as("__g"))
+      .select(explode(shingleHashes(col(textCol), n)).as("__g"))
       .distinct()
     corpus
-      .select(col(corpusIdCol), explode(shingles(col(textCol), n)).as("__gram"))
-      .select(col(corpusIdCol), unhex(md5(col("__gram"))).as("__g"))
+      .select(col(corpusIdCol),
+        explode(shingleHashes(col(textCol), n)).as("__g"))
       .join(broadcast(refGrams), Seq("__g"), "left_semi")
       .select(corpusIdCol).distinct()
   }
@@ -947,22 +952,25 @@ object Dedup {
     * web-corpus convention.
     *
     * Same scale shape as [[ngramOverlapIds]]: reference grams collapse
-    * to a broadcast distinct digest set; corpus grams are counted
-    * map-side per document (one partial-agg shuffle keyed by id,
-    * 16-byte digests only — gram strings never leave the scan
-    * projection). Every corpus document gets a row (zero hits → 0.0).
+    * to a broadcast distinct hash set; corpus grams — single-pass
+    * per-doc-distinct 64-bit [[shingleHashes]], no strings — are
+    * counted map-side per document, so the ONLY corpus-side exchange
+    * is the id-keyed partial-agg count. Every corpus document gets a
+    * row (zero hits → 0.0).
     */
   def ngramOverlapStats(corpus: DataFrame, reference: DataFrame,
                         textCol: String, corpusIdCol: String,
                         n: Int = 13): DataFrame = {
     val refGrams = reference
-      .select(explode(shingles(col(textCol), n)).as("__gram"))
-      .select(unhex(md5(col("__gram"))).as("__g"))
+      .select(explode(shingleHashes(col(textCol), n)).as("__g"))
       .distinct()
+    // shingleHashes is per-doc distinct BY CONTRACT, so the old
+    // (id, digest) distinct — a full shuffle of every corpus gram —
+    // drops entirely: the only corpus-side exchange left is the
+    // id-keyed partial-agg count
     val corpusGrams = corpus
-      .select(col(corpusIdCol), explode(shingles(col(textCol), n)).as("__gram"))
-      .select(col(corpusIdCol), unhex(md5(col("__gram"))).as("__g"))
-      .distinct()
+      .select(col(corpusIdCol),
+        explode(shingleHashes(col(textCol), n)).as("__g"))
     corpusGrams
       .join(broadcast(refGrams).withColumn("__hit", lit(1)),
         Seq("__g"), "left")
@@ -1402,34 +1410,19 @@ object Dedup {
     * (32 bits displayed; selection always uses the full digest).
     *
     * Scale: pure per-row projection — no shuffle, no state, streams
-    * as-is; O(grams × window) string compares per row, all row-local.
-    * The fingerprint stream ships (id, pos, 8-char fp) — ~2/(w+1) of
-    * the gram count — never documents.
+    * as-is; ONE native pass per row ([[graft.functions
+    * .winnow_fingerprints]]: token byte spans → per-gram md5 with a
+    * reused digest instance → monotonic-deque window minima,
+    * amortized O(1) per gram — no gram strings, no per-window array
+    * ops). The fingerprint stream ships (id, pos, 8-char fp) —
+    * ~2/(w+1) of the gram count — never documents.
     */
   def winnowingFingerprints(df: DataFrame, textCol: String, idCol: String,
-                            n: Int = 5, window: Int = 4): DataFrame = {
-    require(n >= 1, s"n must be >= 1 (got $n)")
-    require(window >= 1, s"window must be >= 1 (got $window)")
-    val toks = tokenize(col(textCol))
-    val hs = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-    val g = size(col("__hs"))
-    val fps = when(g >= 1, array_distinct(transform(
-      sequence(lit(0), greatest(g - lit(window), lit(0))),
-      i => {
-        val wnd = slice(col("__hs"), i + 1, lit(window))
-        val mn = array_min(wnd)
-        // rightmost occurrence of the min: first position in the
-        // reversed window, flipped back
-        val p = i + size(wnd) - array_position(reverse(wnd), mn)
-        struct(p.cast("long").as("pos"), substring(mn, 1, 8).as("fp"))
-      }))).otherwise(array().cast("array<struct<pos:bigint,fp:string>>"))
-    df.select(col(idCol), hs.as("__hs"))
-      .select(col(idCol), explode(fps).as("__f"))
+                            n: Int = 5, window: Int = 4): DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.winnow_fingerprints(col(textCol), n, window))
+          .as("__f"))
       .select(col(idCol), col("__f.pos").as("pos"), col("__f.fp").as("fp"))
-  }
 
   /** Global paragraph-level keep-first dedup — the Dolma / RefinedWeb
     * paragraph-dedup stage: a non-empty paragraph occurring at more

@@ -594,21 +594,38 @@ object TextAnalysis {
     * templates, then [[stripBoilerplateLines]] /
     * [[graft.operators.Dedup.ngramDecontaminate]] to act on them.
     *
-    * Scale: explode + hash partial-agg (map-side combine absorbs the
-    * within-partition repetition that makes a gram frequent in the
-    * first place), then a k-row ordered take — the same plan shape as
-    * a word count, linear in corpus grams.
+    * Scale: counting runs entirely on single-pass 64-bit gram hashes
+    * (no gram strings materialize, 8-byte partial-agg keys; map-side
+    * combine absorbs the within-partition repetition that makes a
+    * gram frequent in the first place). Strings exist only for the
+    * WINNERS: the k-th count rides back as a broadcast 1-row
+    * aggregate, candidate hashes (top-k plus boundary ties, so the
+    * lexicographic tie-break stays exact) broadcast into a second
+    * scan that rebuilds just the matching grams' text. Two linear
+    * scans, string work proportional to winning-gram occurrences —
+    * never the corpus.
     */
   def topNgrams(df: DataFrame, textCol: String, n: Int = 3,
                 k: Int = 20): DataFrame = {
     require(n >= 1 && k >= 1, "need n >= 1 and k >= 1")
+    val counts = df
+      .select(explode(graft.functions.gram_hashes(col(textCol), n))
+        .as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("cnt"))
+    val kth = counts.orderBy(col("cnt").desc).limit(k)
+      .agg(min(col("cnt")).as("__kth"))
+    val cands = counts.join(broadcast(kth), col("cnt") >= col("__kth"))
+      .select(col("__h"), col("cnt"))
     val toks = tokenize(col(textCol))
-    val grams = when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-    df.select(explode(grams).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+    df.select(col(textCol),
+        posexplode(graft.functions.gram_hashes(col(textCol), n))
+          .as(Seq("__p", "__h")))
+      .join(broadcast(cands), Seq("__h"))
+      .select(col("cnt"),
+        concat_ws(" ", slice(toks, col("__p") + lit(1), lit(n)))
+          .as("gram"))
+      .groupBy(col("gram")).agg(max(col("cnt")).as("cnt"))
+      .select(col("gram"), col("cnt"))
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)
   }
