@@ -32,6 +32,17 @@ object SparkEntry {
       Seq("##ast", "##eam", "##er", "##ow", "##atch") ++
       "abcdefghijklmnopqrstuvwyz".map("##" + _)
 
+  /** t27's blocklist — one definition feeds the Spark query and the
+    * oracle's literal list. Corpus-frequent single tokens and
+    * bigrams, a mid-word substring ("qu" inside "query"), and the
+    * crafted overlap family (every 11th doc gains " abcabcabcd":
+    * "abcabc" matches at two OVERLAPPING start positions, "cab" at
+    * two, "bcd" at one).
+    */
+  private val blockPhrases: Seq[String] =
+    Seq("table table", "scan scan", "a a", "value", "qu",
+      "abcabc", "cab", "bcd")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -1403,6 +1414,21 @@ object SparkEntry {
           size(enc).cast("bigint").as("n_pieces"),
           size(filter(enc, p => p === "[UNK]")).cast("bigint")
             .as("n_unk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Aho–Corasick blocklist scan: every phrase occurrence counted at
+    // every start position (overlapping included) — the oracle brute-
+    // forces substr equality at EVERY character position of every doc
+    "t27_blocklist" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mutated = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("text"), lit(" abcabcabcd")))
+        .otherwise(col("text")))
+      operators.TextAnalysis.blocklistStats(mutated, "text", blockPhrases)
+        .select(col("doc_id"), col("n_hits"), col("n_phrases"),
+          col("hit_phrases"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3227,6 +3253,36 @@ object SparkEntry {
          |      x -> x = '[UNK]')), 0) END AS n_unk
          |FROM tok t LEFT JOIN perdoc pd ON t.doc_id = pd.doc_id
          |ORDER BY t.doc_id""".stripMargin
+    },
+
+    // brute-force replay: a hit row for every (doc, phrase, start
+    // position) where the substring equals the phrase — overlap
+    // semantics fall out of counting positions, not replacements
+    "t27_blocklist" -> {
+      val plist = blockPhrases.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""WITH du AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+         |    THEN text || ' abcabcabcd' ELSE text END AS text
+         |  FROM documents),
+         |ph AS (SELECT unnest($plist) AS p),
+         |pos AS (
+         |  SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+         |  FROM du),
+         |hits AS (
+         |  SELECT pos.doc_id, ph.p, count(*) AS c
+         |  FROM pos JOIN ph
+         |    ON substr(pos.text, CAST(pos.i AS INT), len(ph.p)) = ph.p
+         |  GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_hits,
+         |    count(*) AS n_phrases,
+         |    array_to_string(list_sort(list(p)), ',') AS hit_phrases
+         |  FROM hits GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_hits, 0) AS n_hits,
+         |  coalesce(a.n_phrases, 0) AS n_phrases,
+         |  coalesce(a.hit_phrases, '') AS hit_phrases
+         |FROM du d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     // every window of 4 consecutive 5-gram md5 hashes: min hash (hex

@@ -428,6 +428,115 @@ case class GramHashes(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Aho–Corasick automaton over UTF-8 bytes (Aho & Corasick 1975),
+  * built once per JVM from a broadcast-sized phrase list: dense
+  * 256-wide `next` transition table (fail links folded in at build,
+  * so matching is one table read per input byte) plus per-node
+  * flattened emit lists (own terminals ++ fail-chain terminals), so
+  * every occurrence — overlapping included — of every phrase is
+  * counted in a single pass. Dense table cost is 1 KB per trie node
+  * (≈ total phrase bytes): a 10k-phrase blocklist is ~100 MB of
+  * per-executor automaton at worst, typically far less with shared
+  * prefixes; beyond that, switch the node fan-out to sparse maps —
+  * the public structure is unchanged.
+  */
+private object AhoCorasick {
+  final class Automaton(val next: Array[Array[Int]],
+                        val emits: Array[Array[Int]]) {
+    def countInto(text: Array[Byte], counts: Array[Long]): Unit = {
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        s = next(s)(text(i) & 0xff)
+        val em = emits(s)
+        var k = 0
+        while (k < em.length) { counts(em(k)) += 1; k += 1 }
+        i += 1
+      }
+    }
+  }
+
+  def build(patterns: Seq[Array[Byte]]): Automaton = {
+    val goto = new scala.collection.mutable.ArrayBuffer[Array[Int]]()
+    val term = new scala.collection.mutable.ArrayBuffer[List[Int]]()
+    def newNode(): Int = {
+      goto += Array.fill(256)(-1); term += Nil; goto.length - 1
+    }
+    newNode()
+    patterns.zipWithIndex.foreach { case (p, id) =>
+      var s = 0
+      p.foreach { b =>
+        val c = b & 0xff
+        if (goto(s)(c) < 0) goto(s)(c) = newNode()
+        s = goto(s)(c)
+      }
+      term(s) = id :: term(s)
+    }
+    val nNodes = goto.length
+    val fail = new Array[Int](nNodes)
+    val emits = new Array[Array[Int]](nNodes)
+    emits(0) = term(0).reverse.toArray
+    val queue = new java.util.ArrayDeque[Int]()
+    var c = 0
+    while (c < 256) {
+      val u = goto(0)(c)
+      if (u < 0) goto(0)(c) = 0
+      else { fail(u) = 0; queue.add(u) }
+      c += 1
+    }
+    while (!queue.isEmpty) {
+      val u = queue.poll()
+      emits(u) = (term(u).reverse ++ emits(fail(u))).toArray
+      var c = 0
+      while (c < 256) {
+        val v = goto(u)(c)
+        if (v < 0) goto(u)(c) = goto(fail(u))(c) // fold fail into next
+        else { fail(v) = goto(fail(u))(c); queue.add(v) }
+        c += 1
+      }
+    }
+    new Automaton(goto.toArray, emits)
+  }
+}
+
+/** Per-phrase occurrence counts in one Aho–Corasick pass:
+  * array<long> aligned with the phrase list, counting EVERY start
+  * position (overlapping occurrences included) of every phrase as a
+  * plain byte substring — no word boundaries, no case folding (pair
+  * with `normalize_text` upstream for case-insensitive policy
+  * lists). The blocklist/safety-phrase filtering stage of a curation
+  * pipeline: one automaton pass over each document where k regex
+  * scans would pay k passes. Phrases ship once in the plan closure;
+  * the automaton builds lazily per JVM.
+  */
+case class MultiPatternCounts(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  require(patterns.nonEmpty, "patterns must not be empty")
+  require(patterns.forall(_.nonEmpty), "patterns must be non-empty")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"multi_pattern_counts requires string, got ${child.dataType}")
+
+  @transient private lazy val ac = AhoCorasick.build(
+    patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val counts = new Array[Long](patterns.length)
+    ac.countInto(input.asInstanceOf[UTF8String].getBytes, counts)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : MultiPatternCounts = copy(child = c)
+}
+
 /** Winnowing fingerprint selection in one native pass (Schleimer et
   * al. 2003): md5 every n-token gram, slide a `window`-wide window
   * over the gram digests, select each window's minimum with ties to

@@ -55,6 +55,14 @@ package object functions {
   def gram_hashes(text: Column, n: Int): Column =
     c(expressions.GramHashes(GraftShim.expression(text), n))
 
+  /** Per-phrase occurrence counts (array<long>, aligned with
+    * `patterns`) in one Aho–Corasick pass: every start position of
+    * every phrase counted, overlapping included, byte-exact. See
+    * `TextAnalysis.blocklistStats`.
+    */
+  def multi_pattern_counts(text: Column, patterns: Seq[String]): Column =
+    c(expressions.MultiPatternCounts(GraftShim.expression(text), patterns))
+
   /** Winnowing fingerprint selections in one native pass:
     * array<struct<pos, fp>> of each window's min gram-md5 (rightmost
     * ties), distinct, position order. See `Dedup.winnowingFingerprints`.

@@ -753,4 +753,42 @@ object TextAnalysis {
         (lit(1000.0) * col("n_tokens")))
       .withColumn("keep", col("logit") > 0)
   }
+
+  /** Blocklist / policy-phrase scan — the safety-filter stage of a
+    * curation pipeline: per document, how many times any listed
+    * phrase occurs (every start position, overlapping included,
+    * byte-exact substring semantics — pair with [[normalizeText]]
+    * upstream for case-insensitive lists) plus which phrases hit.
+    * One Aho–Corasick automaton pass per document where k regexes
+    * pay k passes; the phrase list ships once in the plan closure
+    * and the automaton builds lazily per JVM.
+    *
+    * Pure per-row projection: no shuffle, no state, streams as-is.
+    *
+    * @return df + (n_hits, n_phrases, hit_phrases) — total
+    *         occurrences, distinct phrases matched, and the matched
+    *         phrases sorted and comma-joined (empty when clean)
+    */
+  def blocklistStats(df: DataFrame, textCol: String,
+                     phrases: Seq[String]): DataFrame = {
+    val cc = graft.functions.multi_pattern_counts(col(textCol), phrases)
+    val parr = array(phrases.map(lit): _*)
+    df.withColumn("__c", cc)
+      .withColumn("n_hits",
+        aggregate(col("__c"), lit(0L), (acc, x) => acc + x))
+      .withColumn("__hit",
+        filter(parr, (_, i) => element_at(col("__c"), i + 1) > 0))
+      .withColumn("n_phrases", size(col("__hit")).cast("bigint"))
+      .withColumn("hit_phrases", array_join(array_sort(col("__hit")), ","))
+      .drop("__c", "__hit")
+  }
+
+  /** Keep only documents containing NONE of the listed phrases — the
+    * drop half of [[blocklistStats]], as one pure scan filter.
+    */
+  def dropBlocklisted(df: DataFrame, textCol: String,
+                      phrases: Seq[String]): DataFrame = {
+    val cc = graft.functions.multi_pattern_counts(col(textCol), phrases)
+    df.filter(!exists(cc, x => x > 0))
+  }
 }

@@ -184,6 +184,34 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq("<x>"))
   }
 
+  test("multi_pattern_counts: overlapping occurrences, UTF-8, drop") {
+    val pats = Seq("abcabc", "cab", "bcd", "a a", "zz", "é")
+    def cnt(s: String): Seq[Long] =
+      Seq(s).toDF("t")
+        .select(graft.functions.multi_pattern_counts($"t", pats))
+        .head.getSeq[Long](0)
+    // "abcabcabcd": abcabc at 0 AND 3 (overlap), cab at 2 and 5, bcd at 7
+    assert(cnt("abcabcabcd") == Seq(2L, 2L, 1L, 0L, 0L, 0L))
+    // "a a a": the 2-char phrase overlaps itself at positions 0 and 2
+    assert(cnt("a a a") == Seq(0L, 0L, 0L, 2L, 0L, 0L))
+    assert(cnt("") == Seq(0L, 0L, 0L, 0L, 0L, 0L))
+    // multi-byte pattern matches byte-exactly
+    assert(cnt("café").last == 1L)
+    // operator wrappers
+    val df = Seq((1L, "clean text"), (2L, "has cab here"))
+      .toDF("id", "t")
+    val stats = graft.operators.TextAnalysis
+      .blocklistStats(df, "t", pats).collect()
+      .map(r => (r.getLong(0),
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("n_phrases"),
+          r.getAs[String]("hit_phrases")))).toMap
+    assert(stats(1L) == ((0L, 0L, "")))
+    assert(stats(2L) == ((1L, 1L, "cab")))
+    val kept = graft.operators.TextAnalysis
+      .dropBlocklisted(df, "t", pats).collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L))
+  }
+
   test("gram_hashes: positional contract + equality classes match " +
       "string grams") {
     val docs = Graft.table(spark, sf, "documents").limit(80)
