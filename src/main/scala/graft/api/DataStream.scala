@@ -288,6 +288,20 @@ final case class DataStream(
     next(df.withColumn(urlCol,
       graft.operators.Urls.normalizeUrl(col(urlCol))))
 
+  /** Blocklist scan (graft.operators.TextAnalysis.blocklistStats):
+    * adds (n_hits, n_phrases, hit_phrases) — one Aho–Corasick pass
+    * per row, pure projection, streams as-is.
+    */
+  def blocklistStats(textCol: String, phrases: Seq[String]): DataStream =
+    next(graft.operators.TextAnalysis.blocklistStats(df, textCol, phrases))
+
+  /** Drop rows containing ANY listed phrase
+    * (graft.operators.TextAnalysis.dropBlocklisted) — pure scan
+    * filter, streams as-is.
+    */
+  def dropBlocklisted(textCol: String, phrases: Seq[String]): DataStream =
+    next(graft.operators.TextAnalysis.dropBlocklisted(df, textCol, phrases))
+
   /** C4-family line-level cleaning
     * (graft.operators.TextAnalysis.c4Clean): per-row projection +
     * filter, streams as-is. Replaces the row set with

@@ -372,6 +372,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val st = DataStream(input.toDF.toDF("id", "t", "u"))
       .c4Clean("id", "t")
     assert(st.toDF.isStreaming)
+    // blocklist bridges: automaton scan is per-row, streams as-is
+    val bl = DataStream(input.toDF.toDF("id", "t", "u"))
+      .blocklistStats("t", Seq("line one"))
+    assert(bl.toDF.isStreaming)
+    val q2 = DataStream(input.toDF.toDF("id", "t", "u"))
+      .dropBlocklisted("t", Seq("line one"))
+      .sinkMemory("curation_bridge2")
+    try {
+      input.addData((2L, "all clear here", "x"),
+        (3L, "has line one inside", "x"))
+      q2.processAllAvailable()
+      val kept = spark.table("curation_bridge2")
+        .select("id").as[Long].collect().toSet
+      // row 1 (earlier batch) and row 3 contain the phrase; 2 survives
+      assert(kept.contains(2L) && !kept.contains(3L))
+    } finally {
+      q2.stop()
+      spark.sql("DROP TABLE IF EXISTS curation_bridge2")
+    }
   }
 
   test("streaming minhash decontamination: foreachBatch application " +
