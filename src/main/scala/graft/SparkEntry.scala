@@ -1461,6 +1461,40 @@ object SparkEntry {
         .orderBy(col("doc_id_1"), col("doc_id_2"))
     }),
 
+    // Winnowing cross-corpus contamination (the MOSS detector):
+    // reference = first-half tokens of every 7th doc, so those docs
+    // share long token runs with the reference; the winnowing
+    // guarantee (any shared run >= w+n-1 = 8 tokens collides) makes
+    // every hit structural, and the oracle replays both sides'
+    // window-minimum selections exactly
+    "d27_winnow_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = operators.TextAnalysis.tokenize(col("text"))
+      val ref = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest((size(toks) / 2).cast("int"), lit(1)))).as("text"))
+      operators.Dedup.winnowOverlapStats(docs, ref, "text", "doc_id",
+          n = 5, window = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Decontamination by EXCISION: reference = first-half tokens of
+    // every 6th doc; contaminated docs lose exactly their
+    // reference-covered 8-gram spans, clean docs pass through
+    // byte-identical — the oracle replays gram matching, span
+    // coverage, and the space-joined rebuild token by token
+    "d28_excise_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = operators.TextAnalysis.tokenize(col("text"))
+      val ref = docs.filter(pmod(col("doc_id"), lit(6)) === 0)
+        .select(concat_ws(" ", slice(toks, lit(1),
+          greatest((size(toks) / 2).cast("int"), lit(1)))).as("text"))
+      operators.Dedup.exciseContamination(docs, ref, "text", "doc_id",
+          n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus-frequent trigram mining (the boilerplate DISCOVERY
     // step): every occurrence counted, top-50 with deterministic
     // (count desc, gram asc) ties — the oracle recomputes the full
@@ -3358,6 +3392,111 @@ object SparkEntry {
         |  round(c1, 6) AS containment_1, round(c2, 6) AS containment_2
         |FROM j WHERE greatest(c1, c2) >= 0.9
         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+
+    // both sides' winnowing selections replayed (min of each 4-window
+    // of 5-gram md5 hashes; distinct per-doc fingerprints), then the
+    // corpus-vs-reference distinct-fingerprint intersection counted
+    "d27_winnow_overlap" ->
+      """WITH base AS (
+        |  SELECT 0 AS side, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 1 AS side, doc_id,
+        |    array_to_string(ws[1:greatest(CAST(len(ws) // 2 AS INT), 1)],
+        |      ' ') AS text
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |      '[ \t\n\v\f\r]+') AS ws
+        |    FROM documents WHERE doc_id % 7 = 0)),
+        |tok AS (
+        |  SELECT side, doc_id, regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS ws
+        |  FROM base),
+        |gpos AS (
+        |  SELECT side, doc_id, ws,
+        |    unnest(range(0, greatest(len(ws) - 4, 0))) AS pos
+        |  FROM tok),
+        |grams AS (
+        |  SELECT side, doc_id, pos,
+        |    md5(array_to_string(
+        |      ws[CAST(pos + 1 AS INT):CAST(pos + 5 AS INT)], ' ')) AS h
+        |  FROM gpos),
+        |counts AS (SELECT side, doc_id, count(*) AS g
+        |  FROM grams GROUP BY 1, 2),
+        |wins AS (
+        |  SELECT side, doc_id, unnest(range(0, greatest(g - 3, 1))) AS i
+        |  FROM counts),
+        |sel AS (
+        |  SELECT w.side, w.doc_id, w.i, min(g.h) AS mh
+        |  FROM wins w JOIN grams g ON g.side = w.side
+        |    AND g.doc_id = w.doc_id
+        |    AND g.pos >= w.i AND g.pos < w.i + 4
+        |  GROUP BY 1, 2, 3),
+        |fps AS (
+        |  SELECT DISTINCT side, doc_id, substr(mh, 1, 8) AS fp FROM sel),
+        |cf AS (SELECT doc_id, fp FROM fps WHERE side = 0),
+        |rf AS (SELECT DISTINCT fp FROM fps WHERE side = 1),
+        |tot AS (SELECT doc_id, count(*) AS n_fp FROM cf GROUP BY 1),
+        |sh AS (SELECT c.doc_id, count(*) AS n_shared
+        |  FROM cf c JOIN rf USING (fp) GROUP BY 1)
+        |SELECT t.doc_id, t.n_fp, s.n_shared,
+        |  round(CAST(s.n_shared AS DOUBLE) / t.n_fp, 6) AS overlap_frac
+        |FROM tot t JOIN sh s USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // excision replayed exactly: reference 8-gram set (by gram TEXT —
+    // the Spark side's FNV hashes are collision-free grouping keys),
+    // hit positions, per-token coverage, space-joined rebuild; clean
+    // docs keep their raw text
+    "d28_excise_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS ws
+        |  FROM documents),
+        |refg AS (
+        |  SELECT DISTINCT array_to_string(
+        |    ws[CAST(p + 1 AS INT):CAST(p + 8 AS INT)], ' ') AS g
+        |  FROM (
+        |    SELECT ws, unnest(range(0, greatest(len(ws) - 7, 0))) AS p
+        |    FROM (SELECT ws[1:greatest(CAST(len(ws) // 2 AS INT), 1)]
+        |        AS ws
+        |      FROM tok WHERE doc_id % 6 = 0))),
+        |cg AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(0, greatest(len(ws) - 7, 0))) AS p
+        |  FROM tok),
+        |hits AS (
+        |  SELECT cg.doc_id, cg.p
+        |  FROM cg JOIN refg ON array_to_string(
+        |    cg.ws[CAST(cg.p + 1 AS INT):CAST(cg.p + 8 AS INT)], ' ')
+        |    = refg.g),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p + u AS i
+        |  FROM hits CROSS JOIN range(0, 8) t(u)),
+        |toki AS (
+        |  SELECT doc_id, unnest(range(0, len(ws))) AS i FROM tok),
+        |keptok AS (
+        |  SELECT tk.doc_id, tk.i
+        |  FROM toki tk LEFT JOIN cov c
+        |    ON c.doc_id = tk.doc_id AND c.i = tk.i
+        |  WHERE c.i IS NULL),
+        |reb AS (
+        |  SELECT k.doc_id,
+        |    string_agg(t.ws[CAST(k.i + 1 AS INT)], ' ' ORDER BY k.i)
+        |      AS text2,
+        |    count(*) AS n_kept
+        |  FROM keptok k JOIN tok t USING (doc_id) GROUP BY k.doc_id),
+        |hd AS (SELECT DISTINCT doc_id FROM hits)
+        |SELECT t.doc_id,
+        |  CASE WHEN h.doc_id IS NULL THEN t.text
+        |    ELSE coalesce(r.text2, '') END AS text,
+        |  CASE WHEN h.doc_id IS NULL THEN 0
+        |    ELSE len(t.ws) - coalesce(r.n_kept, 0)
+        |    END AS n_tokens_removed
+        |FROM tok t LEFT JOIN hd h USING (doc_id)
+        |  LEFT JOIN reb r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "t21_top_ngrams" ->
       """WITH tk AS (

@@ -1335,7 +1335,6 @@ object Dedup {
                         spanTokens: Int = 50): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2 (got $spanTokens)")
     val l = spanTokens
-    val toks = tokenize(col(textCol))
     // one (id, pos, gram-hash) row per L-gram occurrence; the hash
     // only needs to be collision-free (grouping key), not replayable —
     // the oracle groups on the raw gram text instead. gram_hashes is
@@ -1352,19 +1351,35 @@ object Dedup {
         count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
       .select(col("__h"), col("__first"))
-    // marked positions → disjoint coverage INTERVALS before the
-    // rebuild: a heavily-duplicated doc has marked sets approaching
-    // its token count, and a per-token exists() over raw positions is
-    // then O(tokens²) per doc. Contiguous marked runs merge — a
-    // wholly-duplicated doc is ONE interval — so the per-token test
-    // is O(tokens × intervals) with intervals bounded by the doc's
-    // distinct duplicated regions. The window + island aggregation
-    // runs only over marked occurrences and reuses one id-keyed
-    // exchange across all three steps.
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val marked = grams.join(firsts, Seq("__h"))
+    val starts = grams.join(firsts, Seq("__h"))
       .filter(struct(col(idCol), col("__pos")) =!= col("__first"))
       .select(col(idCol), col("__pos")).distinct()
+    cutCoveredTokens(df, textCol, idCol, starts, l)
+  }
+
+  /** Shared tail of the span-cutting family ([[dropRepeatedSpans]],
+    * [[exciseContamination]]): given one row per covered gram start
+    * (idCol, `__pos`, each covering tokens [pos, pos+l)), merge
+    * contiguous coverage into disjoint intervals, drop every covered
+    * token, and rebuild each touched text from its survivors.
+    *
+    * Intervals before the rebuild because a heavily-covered doc has
+    * marked sets approaching its token count, and a per-token
+    * exists() over raw positions is then O(tokens²) per doc.
+    * Contiguous marked runs merge — a wholly-covered doc is ONE
+    * interval — so the per-token test is O(tokens × intervals) with
+    * intervals bounded by the doc's distinct covered regions. The
+    * window + island aggregation runs only over marked occurrences
+    * and reuses one id-keyed exchange across all three steps.
+    * Untouched docs keep their text byte-identical and never shuffle
+    * it (left join + null branch).
+    */
+  private def cutCoveredTokens(df: DataFrame, textCol: String,
+                               idCol: String, starts: DataFrame,
+                               l: Int): DataFrame = {
+    val toks = tokenize(col(textCol))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val marked = starts
       .withColumn("__new",
         when(col("__pos") > lag(col("__pos"), 1).over(w) + l, 1)
           .otherwise(0))
@@ -1385,6 +1400,55 @@ object Dedup {
         when(col("__mspans").isNull, lit(0L))
           .otherwise((size(toks) - size(kept)).cast("bigint"))
           .as("n_tokens_removed"))
+  }
+
+  /** Decontamination by EXCISION — cut every token covered by an
+    * n-gram that also occurs in `reference`, keeping the rest of the
+    * document (the modern alternative to whole-document drops: a
+    * 10k-token page quoting one eval question loses ~n+q tokens, not
+    * the page). Complements [[ngramDecontaminate]] (binary drop at
+    * the same gram granularity) and [[ngramOverlapStats]] (the graded
+    * score): run the stats first to pick a policy, excise where the
+    * doc is worth keeping.
+    *
+    * Semantics (exact; the d28 oracle replays every step): tokens =
+    * [[TextAnalysis.tokenize]]; corpus gram occurrences are keyed by
+    * gram text (FNV-hashed, collision-free by contract like d24); an
+    * occurrence whose gram text appears anywhere in the reference
+    * marks its [pos, pos+n) span; a token drops iff some marked span
+    * covers it; touched docs are rebuilt space-joined, untouched
+    * docs pass through byte-identical. A contaminated run of M >= n
+    * shared tokens is covered by its M-n+1 marked grams, so excision
+    * removes exactly the shared run — boundary grams straddle novel
+    * context and never match.
+    *
+    * Scale (100 TB lens): the reference reduces to a distinct gram-
+    * hash set, BROADCAST (8 bytes per distinct reference gram — all
+    * eval benchmarks together fit executor memory); the corpus side
+    * is one native gram pass shipping (id, pos) only for HITS, then
+    * the same interval merge + codegen rebuild as
+    * [[dropRepeatedSpans]] — document text never shuffles, clean
+    * docs never pay the join back.
+    *
+    * @return (idCol, textCol rebuilt, n_tokens_removed)
+    */
+  def exciseContamination(corpus: DataFrame, reference: DataFrame,
+                          textCol: String, corpusIdCol: String,
+                          n: Int = 13): DataFrame = {
+    require(n >= 2, s"n must be >= 2 (got $n)")
+    val refGrams = reference
+      .select(explode(graft.functions.gram_hashes(col(textCol), n))
+        .as("__h"))
+      .distinct()
+    // (id, pos) is unique per gram occurrence and refGrams is
+    // distinct, so the hit set needs no dedup exchange of its own
+    val starts = corpus
+      .select(col(corpusIdCol),
+        posexplode(graft.functions.gram_hashes(col(textCol), n))
+          .as(Seq("__pos", "__h")))
+      .join(broadcast(refGrams), Seq("__h"))
+      .select(col(corpusIdCol), col("__pos"))
+    cutCoveredTokens(corpus, textCol, corpusIdCol, starts, n)
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
@@ -1423,6 +1487,72 @@ object Dedup {
         explode(graft.functions.winnow_fingerprints(col(textCol), n, window))
           .as("__f"))
       .select(col(idCol), col("__f.pos").as("pos"), col("__f.fp").as("fp"))
+
+  /** Cross-corpus winnowing-fingerprint overlap — the MOSS
+    * contamination detector: for each corpus document, how many of
+    * its distinct [[winnowingFingerprints]] also occur anywhere in
+    * `reference`. Catches PARTIAL textual overlap (a quoted eval
+    * passage inside an otherwise-novel document) that whole-document
+    * schemes miss: the winnowing guarantee means any shared run of
+    * >= window + n - 1 tokens contributes at least one shared
+    * fingerprint, so `n_shared >= 1` already certifies a shared run
+    * of that length. Complements the exact-13-gram form
+    * ([[ngramOverlapStats]]): fingerprints sample the gram stream at
+    * density 2/(window+1), so the index this op ships is ~w/2 times
+    * smaller per token — the scheme to reach for when the reference
+    * set is large (all eval benchmarks at once).
+    *
+    * Returns one row per corpus doc with at least one shared
+    * fingerprint: (idCol, `n_fp` total distinct fingerprints,
+    * `n_shared` distinct shared ones, `overlap_frac` = n_shared/n_fp
+    * rounded to 6 places).
+    *
+    * Scale: both sides reduce to (id, 8-hex-char fp) pairs — text
+    * never shuffles. The reference fingerprint set is distinct-ed and
+    * BROADCAST (a 1 GB eval corpus winnows to ~10M 8-char
+    * fingerprints ≈ tens of MB); the corpus side then pays one
+    * id-keyed partial-agg count, no corpus shuffle on content. For
+    * reference sets too large to broadcast, pre-aggregate them
+    * per-fp and let AQE pick the join — the corpus side still ships
+    * ids and fingerprints only.
+    */
+  def winnowOverlapStats(corpus: DataFrame, reference: DataFrame,
+                         textCol: String, corpusIdCol: String,
+                         n: Int = 5, window: Int = 4): DataFrame = {
+    val cf = winnowingFingerprints(corpus, textCol, corpusIdCol, n, window)
+      .select(col(corpusIdCol), col("fp")).distinct()
+    // the reference only contributes its fingerprint SET — a constant
+    // synthetic id keeps textCol the sole schema requirement
+    val rf = winnowingFingerprints(
+        reference.select(lit(0L).as("__rid"), col(textCol)),
+        textCol, "__rid", n, window)
+      .select(col("fp")).distinct()
+    cf.join(broadcast(rf).withColumn("__hit", lit(1)), Seq("fp"), "left")
+      .groupBy(col(corpusIdCol))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_shared"))
+      .filter(col("n_shared") >= 1)
+      .withColumn("overlap_frac",
+        round(col("n_shared").cast("double") / col("n_fp"), 6))
+  }
+
+  /** One-call winnowing decontamination: drop corpus docs sharing at
+    * least `minShared` distinct winnowing fingerprints with the
+    * reference (minShared = 1 ⇒ any shared >= window+n-1-token run
+    * removes the doc). Same broadcast shape as
+    * [[winnowOverlapStats]]; the corpus pays one id anti-join back.
+    */
+  def winnowDecontaminate(corpus: DataFrame, reference: DataFrame,
+                          textCol: String, corpusIdCol: String,
+                          n: Int = 5, window: Int = 4,
+                          minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val hit = winnowOverlapStats(corpus, reference, textCol, corpusIdCol,
+        n, window)
+      .filter(col("n_shared") >= minShared)
+      .select(col(corpusIdCol))
+    corpus.join(hit, Seq(corpusIdCol), "left_anti")
+  }
 
   /** Global paragraph-level keep-first dedup — the Dolma / RefinedWeb
     * paragraph-dedup stage: a non-empty paragraph occurring at more

@@ -1312,6 +1312,57 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(n1 >= 1 && n1 <= 9, s"density out of range: $n1")
   }
 
+  test("winnowOverlapStats/winnowDecontaminate: partial-overlap " +
+      "contamination, broadcast reference") {
+    // 10-token eval passage: >= w+n-1 = 8 tokens, so any doc quoting
+    // it must share a fingerprint with the reference (MOSS guarantee)
+    val passage = "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"
+    val corpus = Seq(
+      (1L, s"c1 c2 c3 $passage c4 c5"), // quotes the passage → hit
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"), // novel → clean
+      (3L, passage) // verbatim copy → every fingerprint shared
+    ).toDF("id", "t")
+    val ref = Seq((100L, passage)).toDF("id", "t")
+    val stats = Dedup.winnowOverlapStats(corpus, ref, "t", "id", 5, 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(stats.keySet == Set(1L, 3L), "quoting docs hit, novel doc clean")
+    assert(stats(1L)._2 >= 1, "shared-run guarantee: at least one shared fp")
+    assert(stats(3L)._1 == stats(3L)._2 && stats(3L)._3 == 1.0,
+      "verbatim copy shares its entire fingerprint set")
+    val kept = Dedup.winnowDecontaminate(corpus, ref, "t", "id", 5, 4, 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+    val plan = Dedup.winnowOverlapStats(corpus, ref, "t", "id", 5, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "reference side broadcasts")
+    assert(!plan.contains("Cartesian"), "no all-pairs scan")
+  }
+
+  test("exciseContamination: cuts exactly the shared run, clean docs " +
+      "byte-identical, full coverage empties") {
+    val evalq = "e1 e2 e3 e4 e5 e6 e7 e8" // the 8-token eval passage
+    val corpus = Seq(
+      (1L, s"a1 a2 $evalq a3 a4"), // quotes it mid-doc
+      (2L, "b1 b2  b3\tb4"), // clean, odd whitespace preserved
+      (3L, evalq) // is only the passage
+    ).toDF("id", "t")
+    val ref = Seq(s"x1 $evalq x2").toDF("t")
+    val out = Dedup.exciseContamination(corpus, ref, "t", "id", n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // hits at pos 2..5 cover [2,10) — exactly e1..e8, boundary grams
+    // straddle novel context and never match
+    assert(out(1L) == (("a1 a2 a3 a4", 8L)))
+    assert(out(2L) == (("b1 b2  b3\tb4", 0L)), "clean doc byte-identical")
+    assert(out(3L) == (("", 8L)), "wholly-covered doc empties")
+    val plan = Dedup.exciseContamination(corpus, ref, "t", "id", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "reference gram set broadcasts")
+    assert(!plan.contains("Cartesian"), "no all-pairs scan")
+  }
+
   test("containmentPairs: catches the contained half Jaccard misses") {
     val long = (1 to 40).map(i => s"w$i").mkString(" ")
     val half = (1 to 20).map(i => s"w$i").mkString(" ")
