@@ -403,6 +403,45 @@ final case class DataStream(
       textCol, idCol, shingleN, numHashes, bands, threshold))
   }
 
+  /** Winnowing-fingerprint decontamination against a static reference
+    * (graft.operators.Dedup.winnowDecontaminate) — MOSS-style
+    * partial-overlap dropping (minShared = 1 certifies a shared
+    * ≥ window+n−1-token run), same batch-only plan-node contract:
+    * per-row verdicts depend only on (row, reference), so streams
+    * apply it exactly per micro-batch via foreachBatch.
+    */
+  def winnowDecontaminate(reference: DataFrame, textCol: String,
+                          idCol: String, n: Int = 5, window: Int = 4,
+                          minShared: Int = 1): DataStream = {
+    require(!df.isStreaming,
+      "winnowDecontaminate is batch-only as a plan node (the " +
+        "shared-fingerprint aggregation + anti-join cannot run " +
+        "inside a streaming query): stream via foreachBatch — " +
+        "per-row verdicts depend only on the static reference, so " +
+        "micro-batch application is exact")
+    next(graft.operators.Dedup.winnowDecontaminate(df, reference,
+      textCol, idCol, n, window, minShared))
+  }
+
+  /** Decontamination by EXCISION against a static reference
+    * (graft.operators.Dedup.exciseContamination): cut only the
+    * reference-covered n-gram spans, keeping the document. Batch-only
+    * as a plan node (the span interval merge is a window +
+    * aggregation); each row's rewrite depends only on (row,
+    * reference), so streams apply it exactly per micro-batch via
+    * foreachBatch.
+    */
+  def exciseContamination(reference: DataFrame, textCol: String,
+                          idCol: String, n: Int = 13): DataStream = {
+    require(!df.isStreaming,
+      "exciseContamination is batch-only as a plan node (the span " +
+        "interval merge is a window + aggregation): stream via " +
+        "foreachBatch — each row's rewrite depends only on the " +
+        "static reference, so micro-batch application is exact")
+    next(graft.operators.Dedup.exciseContamination(df, reference,
+      textCol, idCol, n))
+  }
+
   /** Streaming SimHash NEAR-dup pair lookup against bounded banded
     * state (graft.streaming.StreamingDedup): emits
     * (idCol_1, idCol_2, hamming, ts) for documents within `horizon`

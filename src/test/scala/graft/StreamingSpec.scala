@@ -346,6 +346,62 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(bridged == batchKept)
   }
 
+  test("winnow/excise decontamination bridges: foreachBatch equals the " +
+      "batch operator; streaming plan nodes rejected with the reason") {
+    val evalq = "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"
+    val corpus = Seq(
+      TextRow(1L, s"a1 a2 $evalq a3 a4"), // quotes the passage
+      TextRow(2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"), // novel
+      TextRow(3L, evalq)) // verbatim
+    val ref = Seq(Tuple1(evalq)).toDF("t")
+    val batchWinnow = graft.operators.Dedup.winnowDecontaminate(
+        corpus.toDF(), ref, "t", "id", 5, 4, 1)
+      .select("id").as[Long].collect().toSet
+    assert(batchWinnow == Set(2L), "sanity: quoting docs dropped")
+    val batchExcise = graft.operators.Dedup.exciseContamination(
+        corpus.toDF(), ref, "t", "id", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // micro-batch-local application == batch (verdicts reference-only)
+    val input = MemoryStream[TextRow](spark)
+    val streamedW = scala.collection.mutable.Set[Long]()
+    val streamedE = scala.collection.mutable.Map[Long, String]()
+    val q = DataStream(input.toDF)
+      .sink { (batch, _) =>
+        streamedW ++= graft.operators.Dedup.winnowDecontaminate(
+            batch, ref, "t", "id", 5, 4, 1)
+          .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect()
+        streamedE ++= graft.operators.Dedup.exciseContamination(
+            batch, ref, "t", "id", n = 5)
+          .collect().map(r => r.getLong(0) -> r.getString(1))
+      }.start()
+    try {
+      input.addData(corpus.take(2): _*)
+      q.processAllAvailable()
+      input.addData(corpus.drop(2): _*)
+      q.processAllAvailable()
+      assert(streamedW.toSet == batchWinnow)
+      assert(streamedE.toMap == batchExcise)
+    } finally q.stop()
+
+    // the fluent bridges: batch passes through, streams are directed
+    // to foreachBatch with the reason
+    val ew = intercept[IllegalArgumentException] {
+      DataStream(input.toDF).winnowDecontaminate(ref, "t", "id")
+    }
+    assert(ew.getMessage.contains("foreachBatch"))
+    val ee = intercept[IllegalArgumentException] {
+      DataStream(input.toDF).exciseContamination(ref, "t", "id")
+    }
+    assert(ee.getMessage.contains("foreachBatch"))
+    assert(DataStream(corpus.toDF()).winnowDecontaminate(ref, "t", "id",
+        5, 4, 1).df.select("id").as[Long].collect().toSet == batchWinnow)
+    assert(DataStream(corpus.toDF()).exciseContamination(ref, "t", "id",
+        n = 5).df.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == batchExcise)
+  }
+
   test("stateless curation bridges stream as-is (c4Clean, " +
       "dropRepeatedLines, normalizeUrl)") {
     val input = MemoryStream[(Long, String, String)](spark)
@@ -438,3 +494,4 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
 
 /** Embedding row for streaming decontamination specs. */
 case class DecoRow(id: Long, emb: Seq[Double])
+case class TextRow(id: Long, t: String)
