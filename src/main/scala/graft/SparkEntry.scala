@@ -1245,6 +1245,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // trigram stupid-backoff chain, en-trained like t13: non-en docs
+    // exercise OOV + the double backoff, en docs the trigram level;
+    // the oracle replays all three count tables and the full CASE
+    // chain with identical float parenthesization
+    "t28_trigram_lm" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lm = operators.TextAnalysis.trigramLm(
+        docs.filter(col("lang") === "en"), "text")
+      operators.TextAnalysis.lmScore3(docs, "doc_id", "text", lm)
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-rule composite quality filter. The corpus has no
     // newlines/bullets/symbols, so (t8-style) deterministic synthetic
     // tails are appended IN THE QUERY per doc_id residue — each rule
@@ -2979,6 +2991,81 @@ object SparkEntry {
         |  count(*) FILTER (WHERE oov) AS n_oov,
         |  count(*) FILTER (WHERE backoff) AS n_backoff,
         |  round(-avg(log10(pp)), 6) AS lm_log10_ppt
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t28_trigram_lm" ->
+      """WITH rtk AS (
+        |  SELECT regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS tk
+        |  FROM documents WHERE lang = 'en'),
+        |uni AS (
+        |  SELECT tok, count(*) AS c1
+        |  FROM (SELECT unnest(tk) AS tok FROM rtk) GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS T FROM uni),
+        |big AS (
+        |  SELECT g.prev AS prev, g.tok AS tok, count(*) AS c2
+        |  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+        |          i -> {'prev': tk[i], 'tok': tk[i+1]})) AS g
+        |        FROM rtk WHERE len(tk) > 1)
+        |  GROUP BY 1, 2),
+        |tri AS (
+        |  SELECT g.p2 AS p2, g.p1 AS p1, g.tok AS tok, count(*) AS c3
+        |  FROM (SELECT unnest(list_transform(range(1, len(tk) - 1),
+        |          i -> {'p2': tk[i], 'p1': tk[i+1], 'tok': tk[i+2]}))
+        |          AS g
+        |        FROM rtk WHERE len(tk) > 2)
+        |  GROUP BY 1, 2, 3),
+        |toks AS (
+        |  SELECT doc_id, unnest(range(0, len(tk))) AS pos,
+        |    unnest(tk) AS tok
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |      '[ \t\n\v\f\r]+') AS tk
+        |    FROM documents)),
+        |pr AS (
+        |  SELECT doc_id, pos, tok,
+        |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+        |    lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+        |  FROM toks),
+        |sc AS (
+        |  SELECT pr.doc_id, pr.p1, pr.p2, u.c1, up.c1 AS c1p, b.c2,
+        |    bc.c2 AS c2ctx, t3.c3, T,
+        |    coalesce(CAST(u.c1 AS DOUBLE), 1.0) AS c1e
+        |  FROM pr
+        |  LEFT JOIN uni u ON pr.tok = u.tok
+        |  LEFT JOIN uni up ON pr.p1 = up.tok
+        |  LEFT JOIN big b ON pr.p1 = b.prev AND pr.tok = b.tok
+        |  LEFT JOIN big bc ON pr.p2 = bc.prev AND pr.p1 = bc.tok
+        |  LEFT JOIN tri t3 ON pr.p2 = t3.p2 AND pr.p1 = t3.p1
+        |    AND pr.tok = t3.tok
+        |  CROSS JOIN tot),
+        |lv AS (
+        |  SELECT doc_id, c1, p1, p2,
+        |    CASE WHEN p1 IS NULL THEN 1
+        |         WHEN p2 IS NULL THEN CASE WHEN c2 IS NOT NULL
+        |           AND c1p IS NOT NULL THEN 2 ELSE 1 END
+        |         WHEN c3 IS NOT NULL AND c2ctx IS NOT NULL THEN 3
+        |         WHEN c2 IS NOT NULL AND c1p IS NOT NULL THEN 2
+        |         ELSE 1 END AS lvl,
+        |    c1e / T AS p0,
+        |    CAST(c2 AS DOUBLE) / CAST(c1p AS DOUBLE) AS pb,
+        |    CAST(c3 AS DOUBLE) / CAST(c2ctx AS DOUBLE) AS pt
+        |  FROM sc),
+        |p AS (
+        |  SELECT doc_id, c1, lvl,
+        |    CASE WHEN p1 IS NULL THEN p0
+        |         WHEN p2 IS NULL THEN
+        |           CASE WHEN lvl = 2 THEN pb ELSE 0.4 * p0 END
+        |         WHEN lvl = 3 THEN pt
+        |         WHEN lvl = 2 THEN 0.4 * pb
+        |         ELSE 0.4 * (0.4 * p0) END AS pp
+        |  FROM lv)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE c1 IS NULL) AS n_oov,
+        |  count(*) FILTER (WHERE lvl = 3) AS n_tri,
+        |  count(*) FILTER (WHERE lvl = 2) AS n_big,
+        |  round(-avg(log10(pp)), 6) AS lm3_log10_ppt
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t14_gopher_rules" ->

@@ -484,6 +484,131 @@ object TextAnalysis {
         round(-avg(log10(col("__p"))), 6).as("lm_log10_ppt"))
   }
 
+  /** Train a whitespace-token TRIGRAM language model: one frame of
+    * `(p2, p1, tok, c)` counts holding all three orders — unigram
+    * rows have `p2 IS NULL AND p1 IS NULL`, bigram rows `p2 IS NULL`
+    * only, trigram rows all three set. The order-3 counterpart of
+    * [[bigramLm]] (production CCNet uses order 5; order 3 is where
+    * the backoff CHAIN — the real structural difference from order
+    * 2 — first appears, and higher orders are the same frame with
+    * more prev columns). One persistable artifact; feed to
+    * [[lmScore3]].
+    *
+    * Scale: three token-keyed partial aggregations over the same
+    * exploded pass shape as [[bigramLm]]; adjacency comes from each
+    * row's own token array (no id shuffle). Output is trigram-vocab
+    * sized — still orders of magnitude smaller than any corpus the
+    * model is worth training on.
+    */
+  def trigramLm(ref: DataFrame, textCol: String): DataFrame = {
+    val withTk = ref.select(tokenize(col(textCol)).as("__tk"))
+    val nul = lit(null).cast("string")
+    val uni = withTk.select(explode(col("__tk")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .select(nul.as("p2"), nul.as("p1"), col("tok"), col("c"))
+    val big = withTk.select(explode(expr(
+        "transform(slice(__tk, 2, size(__tk) - 1), (t, i) -> " +
+          "struct(__tk[i] AS p1, t AS tok))")).as("__g"))
+      .groupBy(col("__g.p1").as("p1"), col("__g.tok").as("tok"))
+      .agg(count(lit(1)).as("c"))
+      .select(nul.as("p2"), col("p1"), col("tok"), col("c"))
+    val tri = withTk.select(explode(expr(
+        "transform(slice(__tk, 3, greatest(size(__tk) - 2, 0)), " +
+          "(t, i) -> struct(__tk[i] AS p2, __tk[i+1] AS p1, " +
+          "t AS tok))")).as("__g"))
+      .groupBy(col("__g.p2").as("p2"), col("__g.p1").as("p1"),
+        col("__g.tok").as("tok"))
+      .agg(count(lit(1)).as("c"))
+    uni.unionByName(big).unionByName(tri)
+  }
+
+  /** Score documents against a [[trigramLm]] frame with the full
+    * stupid-backoff CHAIN (Brants et al. 2007): a token with two
+    * predecessors scores c3(p2,p1,t)/c2(p2,p1) when its trigram was
+    * seen, else alpha * (c2(p1,t)/c1(p1)) when its bigram was, else
+    * alpha * (alpha * (c1(t)/T)); the second token skips the trigram
+    * level and the first scores on its unigram probability. OOV
+    * tokens count as 1 so probabilities never hit zero.
+    *
+    * Output per document: `n_tokens`, `n_oov`, `n_tri` / `n_big`
+    * (tokens scored at the trigram / bigram level — unigram-level =
+    * the remainder) and `lm3_log10_ppt` = round(-mean log10 p, 6).
+    * Every probability is a division of exact integer-valued doubles
+    * with explicitly-parenthesized alpha multiplies, so both engines
+    * feed bit-identical values to log10 and the 6-decimal round
+    * absorbs the mean's last-ulp sum-order drift (the [[lmScore]]
+    * exactness recipe, one order up).
+    *
+    * Scale: five LM-sized joins (AQE broadcasts them) + one id-keyed
+    * partial agg; the previous tokens come from the row's OWN array,
+    * so the corpus token stream never shuffles for adjacency.
+    */
+  def lmScore3(df: DataFrame, idCol: String, textCol: String,
+               lm: DataFrame, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val uni = lm.filter(col("p2").isNull && col("p1").isNull)
+      .select(col("tok"), col("c"))
+    val totalDf = uni.agg(sum(col("c")).cast("double").as("__T"))
+    val big = lm.filter(col("p2").isNull && col("p1").isNotNull)
+      .select(col("p1").as("__p1"), col("tok").as("__tok"),
+        col("c").as("__c2"))
+    val tri = lm.filter(col("p2").isNotNull)
+      .select(col("p2").as("__p2"), col("p1").as("__p1"),
+        col("tok").as("__tok"), col("c").as("__c3"))
+    val toks = df.withColumn("__tk", tokenize(col(textCol)))
+      .select(col(idCol), explode(expr(
+        "transform(__tk, (t, i) -> struct(" +
+          "CASE WHEN i < 2 THEN CAST(NULL AS STRING) " +
+          "ELSE __tk[i - 2] END AS p2, " +
+          "CASE WHEN i < 1 THEN CAST(NULL AS STRING) " +
+          "ELSE __tk[i - 1] END AS p1, t AS tok))")).as("__g"))
+      .select(col(idCol), col("__g.p2").as("__p2"),
+        col("__g.p1").as("__p1"), col("__g.tok").as("__tok"))
+    val scored = toks
+      .join(uni.select(col("tok").as("__tok"), col("c").as("__c1")),
+        Seq("__tok"), "left")
+      .join(uni.select(col("tok").as("__p1"), col("c").as("__c1p")),
+        Seq("__p1"), "left")
+      .join(big, Seq("__p1", "__tok"), "left")
+      // the trigram denominator is the CONTEXT pair's bigram count
+      .join(big.select(col("__p1").as("__p2"), col("__tok").as("__p1"),
+          col("__c2").as("__c2ctx")),
+        Seq("__p2", "__p1"), "left")
+      .join(tri, Seq("__p2", "__p1", "__tok"), "left")
+      .crossJoin(broadcast(totalDf))
+      .withColumn("__c1e", coalesce(col("__c1"), lit(1L)).cast("double"))
+      .withColumn("__lvl",
+        when(col("__p1").isNull, lit(1))
+          .when(col("__p2").isNull,
+            when(col("__c2").isNotNull && col("__c1p").isNotNull, lit(2))
+              .otherwise(lit(1)))
+          .otherwise(
+            when(col("__c3").isNotNull && col("__c2ctx").isNotNull,
+              lit(3))
+              .when(col("__c2").isNotNull && col("__c1p").isNotNull,
+                lit(2))
+              .otherwise(lit(1))))
+      .withColumn("__p0", col("__c1e") / col("__T"))
+      .withColumn("__pb",
+        col("__c2").cast("double") / col("__c1p").cast("double"))
+      .withColumn("__p",
+        when(col("__p1").isNull, col("__p0"))
+          .when(col("__p2").isNull,
+            when(col("__lvl") === 2, col("__pb"))
+              .otherwise(lit(alpha) * col("__p0")))
+          .otherwise(
+            when(col("__lvl") === 3,
+              col("__c3").cast("double") / col("__c2ctx").cast("double"))
+              .when(col("__lvl") === 2, lit(alpha) * col("__pb"))
+              .otherwise(lit(alpha) * (lit(alpha) * col("__p0")))))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__c1").isNull, true)).as("n_oov"),
+        count(when(col("__lvl") === 3, true)).as("n_tri"),
+        count(when(col("__lvl") === 2, true)).as("n_big"),
+        round(-avg(log10(col("__p"))), 6).as("lm3_log10_ppt"))
+  }
+
   /** DSIR-style importance weights: score the corpus under a TARGET
     * domain LM and a SOURCE (general/crawl) LM — both [[bigramLm]]
     * frames — and weight each document by the per-token geometric-mean

@@ -408,6 +408,40 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got(1)._5 - x2) < 1e-6, s"doc2 xent ${got(1)._5}")
   }
 
+  test("trigramLm + lmScore3: full stupid-backoff chain, level " +
+      "counters, OOV double-backoff") {
+    import graft.operators.TextAnalysis
+    val ref = Seq("a b c a b d", "a b c").toDF("text")
+    val lm = TextAnalysis.trigramLm(ref, "text")
+    val uni = lm.filter($"p2".isNull && $"p1".isNull)
+      .select($"tok", $"c").as[(String, Long)].collect().toMap
+    assert(uni == Map("a" -> 3L, "b" -> 3L, "c" -> 2L, "d" -> 1L))
+    val tri = lm.filter($"p2".isNotNull)
+      .select($"p2", $"p1", $"tok", $"c")
+      .as[(String, String, String, Long)].collect()
+      .map { case (x, y, z, c) => (x, y, z) -> c }.toMap
+    assert(tri == Map(("a", "b", "c") -> 2L, ("b", "c", "a") -> 1L,
+      ("c", "a", "b") -> 1L, ("a", "b", "d") -> 1L))
+    // doc 1 walks every level: unigram start, seen bigram, seen
+    // trigram, OOV double-backoff, unseen-context double-backoff,
+    // single backoff to a seen bigram
+    val docs = Seq((1L, "a b c z b c"), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore3(docs, "doc_id", "text", lm)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) ==
+      Seq((1L, 6L, 1L, 1L, 2L), (2L, 3L, 0L, 1L, 1L)), s"got $got")
+    val x1 = -(math.log10(3.0 / 9) + math.log10(3.0 / 3) +
+      math.log10(2.0 / 3) + math.log10(0.4 * (0.4 * (1.0 / 9))) +
+      math.log10(0.4 * (0.4 * (3.0 / 9))) +
+      math.log10(0.4 * (2.0 / 3))) / 6
+    val x2 = -(math.log10(3.0 / 9) + math.log10(3.0 / 3) +
+      math.log10(2.0 / 3)) / 3
+    assert(math.abs(got(0)._6 - x1) < 1e-6, s"doc1 xent ${got(0)._6}")
+    assert(math.abs(got(1)._6 - x2) < 1e-6, s"doc2 xent ${got(1)._6}")
+  }
+
   test("importanceWeights: capped per-token likelihood ratio from the " +
       "two LM scores, target-domain docs keep weight 1") {
     import graft.operators.TextAnalysis
