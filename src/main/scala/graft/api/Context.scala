@@ -93,6 +93,29 @@ final class Context(val spark: SparkSession) {
     DataStream(spark.read.option("header", "true")
       .option("inferSchema", "true").csv(path), eventTimeCol)
 
+  /** Batch JSON-lines read — the standard web-corpus interchange
+    * format (one JSON object per line; .jsonl / .ndjson, optionally
+    * compressed — Spark's text-based source handles .gz/.zst
+    * transparently by extension). Schema inferred from the data by
+    * default (one extra pass); pass `schema` on production runs so a
+    * 100 TB read is single-pass with column pruning pushed to the
+    * line parser.
+    */
+  def fromJsonl(path: String, schema: StructType = null,
+                eventTimeCol: String = "ts"): DataStream = {
+    val r = spark.read
+    DataStream((if (schema == null) r else r.schema(schema)).json(path),
+      eventTimeCol)
+  }
+
+  /** Streaming JSON-lines source (directory watch) — the file-based
+    * ingest path for corpora landing as .jsonl drops; schema is
+    * mandatory (streams cannot infer).
+    */
+  def fromJsonlStream(path: String, schema: StructType,
+                      eventTimeCol: String = "ts"): DataStream =
+    DataStream(spark.readStream.schema(schema).json(path), eventTimeCol)
+
   def registerTable(name: String, ds: DataStream): Unit =
     ds.df.createOrReplaceTempView(name)
 

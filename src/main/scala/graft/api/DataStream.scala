@@ -228,6 +228,22 @@ final case class DataStream(
       alpha))
   }
 
+  /** Trigram stupid-backoff LM scoring against a
+    * graft.operators.TextAnalysis.trigramLm frame — the order-3
+    * [[lmScore]], same batch-only contract (per-document aggregate
+    * over an unbounded id domain): score in the batch compaction
+    * pass.
+    */
+  def lmScore3(lm: DataFrame, idCol: String, textCol: String,
+               alpha: Double = 0.4): DataStream = {
+    require(!df.isStreaming,
+      "lmScore3 is batch-only: the per-document aggregate would " +
+        "hold unbounded state on a stream — score in the compaction " +
+        "pass")
+    next(graft.operators.TextAnalysis.lmScore3(df, idCol, textCol, lm,
+      alpha))
+  }
+
   /** DSIR-style importance resampling in one call: weight by the
     * capped target/source per-token likelihood ratio
     * (graft.operators.TextAnalysis.importanceWeights over two
@@ -607,6 +623,30 @@ final case class DataStream(
   def sinkMemory(name: String, outputMode: String = "append"): StreamingQuery =
     df.writeStream.outputMode(outputMode).format("memory")
       .queryName(name).start()
+
+  /** JSON-lines sink: batch frames write a .json part-file directory
+    * (set `compression` to e.g. "gzip"/"zstd" for compressed drops);
+    * streaming frames append micro-batches as new part files with
+    * exactly-once tracking via `checkpointLocation` (required for
+    * streams). The interchange counterpart of
+    * [[graft.api.Context.fromJsonl]].
+    */
+  def sinkJsonl(path: String, checkpointLocation: String = null,
+                compression: String = null): Option[StreamingQuery] =
+    if (df.isStreaming) {
+      require(checkpointLocation != null,
+        "streaming jsonl sink needs a checkpointLocation")
+      val w = df.writeStream.outputMode("append").format("json")
+        .option("path", path)
+        .option("checkpointLocation", checkpointLocation)
+      Some((if (compression == null) w
+            else w.option("compression", compression)).start())
+    } else {
+      val w = df.write.mode("overwrite")
+      (if (compression == null) w
+       else w.option("compression", compression)).json(path)
+      None
+    }
 
   def toDF: DataFrame = df
 }
