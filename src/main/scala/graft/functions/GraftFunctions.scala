@@ -46,6 +46,20 @@ object GraftFunctions {
       s"$name expects a literal number, got $e")
   }
 
+  private def stringSeqLit(e: Expression, name: String): Seq[String] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions
+          .CreateArray(items, _) =>
+        items.map(stringLit(_, name))
+      case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _)) =>
+        v.toArray[UTF8String](org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+      case _ => throw new IllegalArgumentException(
+        s"$name expects an array of literal strings, got $e")
+    }
+
   // Column↔Expression bridge: the curation SQL functions reuse the
   // operator library's Column compositions verbatim (single source of
   // truth — SQL and DataFrame surfaces cannot drift), so a registered
@@ -136,6 +150,19 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("normalize_text", es =>
       x(graft.operators.TextAnalysis.normalizeText(c(es.head))),
       "scala_udf")
+    reg.createOrReplaceTempFunction("gram_hashes", es =>
+      GramHashes(es(0), intLit(es(1), "gram_hashes n")), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fingerprints", es =>
+      WinnowFingerprints(es(0), intLit(es(1), "winnow_fingerprints n"),
+        intLit(es(2), "winnow_fingerprints window")), "scala_udf")
+    reg.createOrReplaceTempFunction("multi_pattern_counts", es =>
+      MultiPatternCounts(es(0),
+        stringSeqLit(es(1), "multi_pattern_counts patterns")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("wordpiece_encode", es =>
+      WordPieceEncode(es(0), stringSeqLit(es(1), "wordpiece_encode vocab"),
+        if (es.length > 2) stringLit(es(2), "wordpiece_encode unk")
+        else "[UNK]"), "scala_udf")
     graft.operators.Udafs.register(spark)
   }
 }

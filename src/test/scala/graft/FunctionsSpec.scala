@@ -150,6 +150,36 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
       "quantize_int8/quant_scale must equal the operator compositions")
   }
 
+  test("gram_hashes / winnow_fingerprints / multi_pattern_counts / " +
+      "wordpiece_encode on the SQL surface match the Column API") {
+    val docs = Graft.table(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    docs.createOrReplaceTempView("fs_sql_native")
+    val viaSql = spark.sql(
+      """SELECT doc_id, gram_hashes(text, 3) AS gh,
+        |  winnow_fingerprints(text, 5, 4) AS wf,
+        |  multi_pattern_counts(text, array('the', 'and')) AS mpc,
+        |  wordpiece_encode(text, array('the', 'an', '##d'), '[UNK]')
+        |    AS wp
+        |FROM fs_sql_native""".stripMargin)
+    val viaApi = docs.select($"doc_id",
+      graft.functions.gram_hashes($"text", 3).as("gh"),
+      graft.functions.winnow_fingerprints($"text", 5, 4).as("wf"),
+      graft.functions.multi_pattern_counts($"text",
+        Seq("the", "and")).as("mpc"),
+      graft.functions.wordpiece_encode($"text",
+        Seq("the", "an", "##d"), "[UNK]").as("wp"))
+    assert(viaSql.exceptAll(viaApi).isEmpty &&
+      viaApi.exceptAll(viaSql).isEmpty,
+      "SQL-registered native expressions must equal the Column API")
+    // non-literal pattern array rejected with the function name
+    val e = intercept[Exception] {
+      spark.sql("SELECT multi_pattern_counts(text, array(text)) " +
+        "FROM fs_sql_native").collect()
+    }
+    assert(e.getMessage.contains("multi_pattern_counts"))
+  }
+
   test("unicode_normalize / strip_accents / normalize_text") {
     // combining e + U+0301 composes under NFC; ligature ﬁ (U+FB01)
     // survives NFC but decomposes under NFKC
