@@ -420,6 +420,21 @@ object SparkEntry {
           col("sum_qty"), col("n"))
         .orderBy(col("rf"), col("ls"))),
 
+    // rollup (hierarchical grouping sets, one shuffle like cube) with
+    // the grouping-set provenance pinned: grouping_id distinguishes
+    // detail rows from flag subtotals and the grand total — both
+    // engines agree on the first-column-most-significant bitmask
+    "q37_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"), col("gid"))
+        .orderBy(col("rf"), col("ls"))),
+
     // pivot (long → wide): per-status quantity totals split into one
     // column per return flag. Values are enumerated explicitly — the
     // scale-correct form (implicit pivot runs a distinct-value job
@@ -3849,6 +3864,15 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q37_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
 
     "q35_pivot" ->
