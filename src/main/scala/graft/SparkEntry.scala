@@ -1488,6 +1488,24 @@ object SparkEntry {
         .orderBy(col("doc_id_1"), col("doc_id_2"))
     }),
 
+    // Cross-corpus containment overlap (the "X% of the eval doc's
+    // shingles present" metric): reference = half-prefix of every 9th
+    // doc under offset ref ids — contained in its original at
+    // containment ≈ 1.0 where Jaccard sees ~0.5 and misses at 0.9;
+    // the oracle replays every distinct-shingle intersection, the
+    // threshold, and the deterministic argmax
+    "d29_containment_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = operators.TextAnalysis.tokenize(col("text"))
+      val ref = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 1000000L).as("ref_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest((size(toks) / 2).cast("int"), lit(1)))).as("text"))
+      operators.Dedup.containmentOverlap(docs, ref, "text", "doc_id",
+          "ref_id", shingleN = 3, threshold = 0.9)
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing cross-corpus contamination (the MOSS detector):
     // reference = first-half tokens of every 7th doc, so those docs
     // share long token runs with the reference; the winnowing
@@ -3494,6 +3512,50 @@ object SparkEntry {
         |  round(c1, 6) AS containment_1, round(c2, 6) AS containment_2
         |FROM j WHERE greatest(c1, c2) >= 0.9
         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+
+    // every distinct-shingle intersection, the reference-denominator
+    // fraction, the threshold, and the (frac desc, ref_id) argmax
+    // replayed exactly
+    "d29_containment_overlap" ->
+      """WITH cs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))) END AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |      '[ \t\n\v\f\r]+') AS toks
+        |    FROM documents)),
+        |rs AS (
+        |  SELECT ref_id,
+        |    CASE WHEN len(h) < 3 THEN [array_to_string(h, ' ')]
+        |    ELSE list_distinct(list_transform(range(0, len(h) - 2),
+        |      i -> array_to_string(h[i+1:i+3], ' '))) END AS s
+        |  FROM (SELECT doc_id + 1000000 AS ref_id,
+        |      toks[1:greatest(CAST(len(toks) // 2 AS INT), 1)] AS h
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(text,
+        |        ' ' || chr(9) || chr(10) || chr(11) || chr(12) ||
+        |        chr(13)), '[ \t\n\v\f\r]+') AS toks
+        |      FROM documents WHERE doc_id % 9 = 0))),
+        |ci AS (SELECT doc_id, unnest(s) AS g FROM cs),
+        |ri AS (SELECT ref_id, unnest(s) AS g FROM rs),
+        |sizes AS (SELECT ref_id, len(s) AS nr FROM rs),
+        |cand AS (
+        |  SELECT c.doc_id, r.ref_id, count(*) AS n_shared
+        |  FROM ci c JOIN ri r ON c.g = r.g
+        |  GROUP BY 1, 2),
+        |fr AS (
+        |  SELECT cand.doc_id, cand.ref_id, n_shared,
+        |    CAST(n_shared AS DOUBLE) / CAST(nr AS DOUBLE) AS frac
+        |  FROM cand JOIN sizes USING (ref_id)
+        |  WHERE CAST(n_shared AS DOUBLE) / CAST(nr AS DOUBLE) >= 0.9),
+        |rk AS (
+        |  SELECT doc_id, ref_id, n_shared, frac,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY frac DESC, ref_id) AS rn
+        |  FROM fr)
+        |SELECT doc_id, ref_id, n_shared, round(frac, 6) AS containment
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // both sides' winnowing selections replayed (min of each 4-window
     // of 5-gram md5 hashes; distinct per-doc fingerprints), then the

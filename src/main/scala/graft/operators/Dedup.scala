@@ -198,6 +198,62 @@ object Dedup {
         col("n_shared"), col("containment_1"), col("containment_2"))
   }
 
+  /** Cross-corpus containment overlap — the "X% of an eval example's
+    * n-grams appear in this document" decontamination METRIC most
+    * published recipes state: for each corpus doc, the maximum over
+    * reference docs of |C∩R| / |R| (distinct shingles; the REFERENCE
+    * doc's size is the denominator, so a 10k-token page fully quoting
+    * a 40-token eval question scores 1.0 where Jaccard ([[
+    * minhashOverlap]]) sees ~0.004 and misses it at any sane
+    * threshold). Asymmetric cross-corpus counterpart of
+    * [[containmentPairs]]; [[exciseContamination]] is the matching
+    * removal, this is the graded detector/report.
+    *
+    * Returns one row per corpus doc whose best reference containment
+    * reaches `threshold`: (corpusIdCol, refIdCol of the argmax —
+    * ties to the smallest ref id — `n_shared`, `containment` rounded
+    * to 6 places). Both engines compute the fraction as one IEEE
+    * division of exact integer-valued doubles, so the threshold
+    * filter and the argmax ordering are deterministic cross-engine.
+    *
+    * Scale: both sides reduce to (id, shingle-hash) pairs; the
+    * reference index (shingles + per-doc sizes) BROADCASTS, the
+    * corpus pays a map-side join plus one (corpus, ref)-keyed
+    * partial-agg count — corpus text never shuffles and clean docs
+    * never reach the aggregation.
+    */
+  def containmentOverlap(corpus: DataFrame, reference: DataFrame,
+                         textCol: String, corpusIdCol: String,
+                         refIdCol: String, shingleN: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    require(corpusIdCol != refIdCol,
+      "corpusIdCol and refIdCol must differ (rename one side)")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    // shingleHashes is per-doc distinct by contract → counts need no
+    // extra dedup exchange on either side
+    val refSh = reference.select(col(refIdCol),
+      explode(shingleHashes(col(textCol), shingleN)).as("__g"))
+    val refSize = refSh.groupBy(col(refIdCol))
+      .agg(count(lit(1)).as("__nr"))
+    val corpusSh = corpus.select(col(corpusIdCol),
+      explode(shingleHashes(col(textCol), shingleN)).as("__g"))
+    val hits = corpusSh
+      .join(broadcast(refSh), Seq("__g"))
+      .groupBy(col(corpusIdCol), col(refIdCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(refSize), Seq(refIdCol))
+      .withColumn("__frac",
+        col("n_shared").cast("double") / col("__nr").cast("double"))
+      .filter(col("__frac") >= threshold)
+    val w = Window.partitionBy(col(corpusIdCol))
+      .orderBy(col("__frac").desc, col(refIdCol))
+    hits.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(corpusIdCol), col(refIdCol), col("n_shared"),
+        round(col("__frac"), 6).as("containment"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signatures banded into 4×16-bit
     * keys (hamming≤3 ⇒ ≥1 band equal), verified with bit_count(xor).
     *

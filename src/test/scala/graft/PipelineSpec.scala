@@ -1363,6 +1363,37 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Cartesian"), "no all-pairs scan")
   }
 
+  test("containmentOverlap: reference-denominator fraction, argmax " +
+      "ties, Jaccard-invisible quote caught") {
+    // a 40-token page fully quoting a 6-token eval doc: containment
+    // 1.0, Jaccard ~0.1 — the asymmetric metric is the point
+    val evalq = "e1 e2 e3 e4 e5 e6"
+    val filler = (1 to 34).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$filler $evalq"), // quotes ref 100 fully
+      (2L, "u1 u2 u3 u4 u5"), // clean
+      (3L, evalq) // verbatim: ties refs 100 and 101 → min ref id wins
+    ).toDF("id", "t")
+    val ref = Seq((100L, evalq), (101L, evalq)).toDF("rid", "t")
+    val got = Dedup.containmentOverlap(corpus, ref, "t", "id", "rid",
+        shingleN = 3, threshold = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // evalq has 4 distinct trigram shingles, all inside doc 1 and 3
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == ((100L, 4L, 1.0)))
+    assert(got(3L) == ((100L, 4L, 1.0)), "tie resolves to min ref id")
+    val plan = Dedup.containmentOverlap(corpus, ref, "t", "id", "rid",
+        shingleN = 3, threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "reference index broadcasts")
+    assert(!plan.contains("Cartesian"), "no all-pairs scan")
+    intercept[IllegalArgumentException] {
+      Dedup.containmentOverlap(corpus, ref, "t", "id", "id")
+    }
+  }
+
   test("containmentPairs: catches the contained half Jaccard misses") {
     val long = (1 to 40).map(i => s"w$i").mkString(" ")
     val half = (1 to 20).map(i => s"w$i").mkString(" ")
