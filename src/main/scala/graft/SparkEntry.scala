@@ -1524,6 +1524,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Partial-overlap clusters (MOSS composition): the corpus plus
+    // half-prefix copies of every 5th doc — each copy shares a long
+    // run (dozens of fingerprints) with its original, so they
+    // cluster, with minShared = 2 damping single-fp coincidences;
+    // oracle = winnowing replay + pair counts + recursive closure
+    "d30_winnow_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = operators.TextAnalysis.tokenize(col("text"))
+      val halves = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest((size(toks) / 2).cast("int"), lit(1)))).as("text"))
+      val all = docs.select(col("doc_id"), col("text"))
+        .unionByName(halves)
+      operators.Dedup.winnowClusters(all, "text", "doc_id",
+          n = 5, window = 4, minShared = 2)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Decontamination by EXCISION: reference = first-half tokens of
     // every 6th doc; contaminated docs lose exactly their
     // reference-covered 8-gram spans, clean docs pass through
@@ -3512,6 +3532,62 @@ object SparkEntry {
         |  round(c1, 6) AS containment_1, round(c2, 6) AS containment_2
         |FROM j WHERE greatest(c1, c2) >= 0.9
         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+
+    // winnowing replayed on the augmented corpus, pair counts at
+    // minShared, then the same recursive closure as d8/d13
+    "d30_winnow_clusters" ->
+      """WITH RECURSIVE du AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(ws[1:greatest(CAST(len(ws) // 2 AS INT),
+        |      1)], ' ')
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) ||
+        |      chr(13)), '[ \t\n\v\f\r]+') AS ws
+        |    FROM documents WHERE doc_id % 5 = 0)),
+        |tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS ws
+        |  FROM du),
+        |gpos AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(0, greatest(len(ws) - 4, 0))) AS pos
+        |  FROM tok),
+        |grams AS (
+        |  SELECT doc_id, pos,
+        |    md5(array_to_string(
+        |      ws[CAST(pos + 1 AS INT):CAST(pos + 5 AS INT)], ' ')) AS h
+        |  FROM gpos),
+        |counts AS (SELECT doc_id, count(*) AS g FROM grams
+        |  GROUP BY 1),
+        |wins AS (
+        |  SELECT doc_id, unnest(range(0, greatest(g - 3, 1))) AS i
+        |  FROM counts),
+        |sel AS (
+        |  SELECT w.doc_id, w.i, min(g.h) AS mh
+        |  FROM wins w JOIN grams g ON g.doc_id = w.doc_id
+        |    AND g.pos >= w.i AND g.pos < w.i + 4
+        |  GROUP BY 1, 2),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, substr(mh, 1, 8) AS fp FROM sel),
+        |cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ns
+        |  FROM fps a JOIN fps b ON a.fp = b.fp
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM cand WHERE ns >= 2),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e
+        |    ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS component
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     // every distinct-shingle intersection, the reference-denominator
     // fraction, the threshold, and the (frac desc, ref_id) argmax

@@ -1592,6 +1592,53 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_fp"), 6))
   }
 
+  /** Partial-overlap document clusters from winnowing fingerprints —
+    * the clustering composition [[winnowingFingerprints]] promises:
+    * docs sharing >= `minShared` distinct fingerprints pair, pairs
+    * close into components via [[connectedComponents]]. Catches
+    * CHAINS of partial overlap (A quotes B, B quotes C — A and C
+    * share nothing directly) that whole-document signatures never
+    * connect; `minShared` damps single-fingerprint coincidences.
+    * Returns (`id`, `comp`) like connectedComponents — docs in no
+    * pair are absent.
+    *
+    * Scale: both stages ship (id, 8-hex fp) pairs — text never
+    * shuffles. `maxDf > 0` drops fingerprints occurring in more than
+    * maxDf docs BEFORE pairing (stop-fingerprint filtering: a
+    * corpus-hot boilerplate fingerprint has df² pair fanout and
+    * would glue the corpus into one cluster; the cap bounds every
+    * fingerprint's fanout at maxDf², the same discipline as
+    * [[TextAnalysis.stripBoilerplateLines]]'s minDf in reverse).
+    * The shared-count aggregation combines map-side; the component
+    * loop passes `reliableCheckpointDir` through for cluster fault
+    * tolerance.
+    */
+  def winnowClusters(df: DataFrame, textCol: String, idCol: String,
+                     n: Int = 5, window: Int = 4, minShared: Int = 2,
+                     maxDf: Int = 0,
+                     reliableCheckpointDir: Option[String] = None)
+      : DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val fps0 = winnowingFingerprints(df, textCol, idCol, n, window)
+      .select(col(idCol), col("fp")).distinct()
+    val fps = if (maxDf <= 0) fps0 else {
+      val hot = fps0.groupBy(col("fp"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select(col("fp"))
+      fps0.join(broadcast(hot), Seq("fp"), "left_anti")
+    }
+    val l = fps.select(col("fp"), col(idCol).as("__id1"))
+    val r = fps.select(col("fp"), col(idCol).as("__id2"))
+    val pairs = l.join(r, Seq("fp"))
+      .filter(col("__id1") < col("__id2"))
+      .groupBy(col("__id1"), col("__id2"))
+      .agg(count(lit(1)).as("__ns"))
+      .filter(col("__ns") >= minShared)
+      .select(col("__id1"), col("__id2"))
+    connectedComponents(pairs, "__id1", "__id2",
+      reliableCheckpointDir = reliableCheckpointDir)
+  }
+
   /** One-call winnowing decontamination: drop corpus docs sharing at
     * least `minShared` distinct winnowing fingerprints with the
     * reference (minShared = 1 ⇒ any shared >= window+n-1-token run

@@ -1363,6 +1363,35 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Cartesian"), "no all-pairs scan")
   }
 
+  test("winnowClusters: quote chains connect, minShared damps, " +
+      "stop-fingerprint cap") {
+    val p1 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    val p2 = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    val docs = Seq(
+      (1L, s"x1 x2 $p1 x3"), // quotes p1
+      (2L, s"$p1 y1 y2 $p2"), // bridges: quotes p1 AND p2
+      (3L, s"z1 $p2 z2 z3"), // quotes p2 — linked to 1 only via 2
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8 q9") // unrelated
+    ).toDF("id", "t")
+    val comps = Dedup.winnowClusters(docs, "t", "id", 5, 4,
+        minShared = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.keySet == Set(1L, 2L, 3L), "unrelated doc absent")
+    assert(comps.values.toSet.size == 1,
+      "the quote chain closes into ONE component")
+    assert(comps(1L) == 1L && comps(3L) == 1L, "min-id component label")
+    // a high minShared breaks the weakest link first
+    val strict = Dedup.winnowClusters(docs, "t", "id", 5, 4,
+        minShared = 100)
+      .collect()
+    assert(strict.isEmpty, "no pair shares 100 fingerprints")
+    // stop-fingerprint cap: every fp here occurs in <= 3 docs, so
+    // maxDf = 3 changes nothing; maxDf = 1 kills all shared fps
+    val capped = Dedup.winnowClusters(docs, "t", "id", 5, 4,
+        minShared = 1, maxDf = 1).collect()
+    assert(capped.isEmpty, "df cap drops every shared fingerprint")
+  }
+
   test("containmentOverlap: reference-denominator fraction, argmax " +
       "ties, Jaccard-invisible quote caught") {
     // a 40-token page fully quoting a 6-token eval doc: containment
