@@ -720,8 +720,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BOUNDED-SCOPE exact form: the fixture is capped to a fixed id
+    // range (vec_id < 1000 — binds from sf0.1 up), because the
+    // fixed-block all-pairs plan is N²/L by design and is only ever
+    // correct to run on bounded blocks (per-user histories, per-shard
+    // dictionaries). The corpus-scale spelling of the same answer is
+    // d11's SRP-LSH form; this gate documents the exact-recall
+    // bounded-block tool at its intended (bounded) scope.
     "d6_embedding_neardup" -> ((s, d) =>
-      operators.Dedup.embeddingNearDupPairs(t(s, d, "embeddings"),
+      operators.Dedup.embeddingNearDupPairs(
+          t(s, d, "embeddings").filter(col("vec_id") < 1000),
           "embedding", "vec_id", "label", threshold = 0.35)
         .orderBy(col("vec_id_1"), col("vec_id_2"))),
 
@@ -1787,6 +1795,33 @@ object SparkEntry {
             f => round(f.cast("double") * col("n_bytes"), 0).cast("long")
               .cast("string")), ",").as("bin_counts"))
         .orderBy(col("doc_id"))),
+
+    // REAL image codec round-trip (javax.imageio, in the JDK): each
+    // doc_id deterministically picks a format (png/jpeg/bmp/gif),
+    // dims, and a solid gray level; the query ENCODES that image with
+    // the real ImageIO writer, then full-raster DECODES it in the
+    // mapPartitions batch shape. Solid content makes every decoded
+    // statistic exact arithmetic over doc_id — format name, pixel
+    // dims, and mean gray (verified exhaustively: all 256 gray
+    // levels round-trip exactly in all four formats, JPEG included —
+    // uniform blocks are DC-only) — so the oracle checks a real
+    // codec path with no binary fixtures shipped.
+    "m4_image_decode" -> ((s, d) => {
+      val fmt = element_at(
+        array(lit("png"), lit("jpeg"), lit("bmp"), lit("gif")),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      val blobs = t(s, d, "documents").select(col("doc_id"),
+        operators.Multimodal.encodeTestImage(fmt,
+          (pmod(col("doc_id"), lit(29)) + 8).cast("int"),
+          (pmod(col("doc_id"), lit(17)) + 8).cast("int"),
+          pmod(col("doc_id"), lit(256)).cast("int")).as("blob"))
+      operators.Multimodal.decodeImagePartitions(blobs, "blob", "doc_id")
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_gray"), 6).as("mean_gray"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** The d8/d13 shared oracle: the d5 pair recipe closed transitively
@@ -2456,7 +2491,8 @@ object SparkEntry {
         |    b.embedding::DOUBLE[]), 6) AS cos
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |WHERE a.vec_id < 1000 AND b.vec_id < 1000
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[],
         |    b.embedding::DOUBLE[]), 6) >= 0.35
         |ORDER BY vec_id_1, vec_id_2""".stripMargin,
 
@@ -4248,6 +4284,19 @@ object SparkEntry {
         |  min(doc_id) AS keeper_id, count(*) AS n
         |FROM documents
         |GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+
+    // the encode side is deterministic arithmetic over doc_id and the
+    // decode side is a real codec, so the oracle needs only the
+    // arithmetic: a wrong format name, dimension, or any wrongly
+    // decoded pixel breaks the hash
+    "m4_image_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'bmp' ELSE 'gif' END AS format,
+        |  doc_id % 29 + 8 AS width,
+        |  doc_id % 17 + 8 AS height,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_gray
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m1_multimodal_bytes" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,

@@ -630,9 +630,16 @@ final case class DataStream(
     * exactly-once tracking via `checkpointLocation` (required for
     * streams). The interchange counterpart of
     * [[graft.api.Context.fromJsonl]].
+    *
+    * @param mode batch-path save mode. Defaults to "error"
+    *   (errorifexists) so a sink pointed at an existing corpus drop
+    *   fails loudly instead of deleting it; pass "overwrite"
+    *   explicitly for refresh-in-place jobs. Ignored on the
+    *   streaming path (always append).
     */
   def sinkJsonl(path: String, checkpointLocation: String = null,
-                compression: String = null): Option[StreamingQuery] =
+                compression: String = null,
+                mode: String = "error"): Option[StreamingQuery] =
     if (df.isStreaming) {
       require(checkpointLocation != null,
         "streaming jsonl sink needs a checkpointLocation")
@@ -642,7 +649,7 @@ final case class DataStream(
       Some((if (compression == null) w
             else w.option("compression", compression)).start())
     } else {
-      val w = df.write.mode("overwrite")
+      val w = df.write.mode(mode)
       (if (compression == null) w
        else w.option("compression", compression)).json(path)
       None

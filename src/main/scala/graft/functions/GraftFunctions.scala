@@ -55,7 +55,12 @@ object GraftFunctions {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.StringType, _)) =>
         v.toArray[UTF8String](org.apache.spark.sql.types.StringType)
-          .map(_.toString).toSeq
+          .map { s =>
+            if (s == null) throw new IllegalArgumentException(
+              s"$name expects an array of literal strings, got a null " +
+                s"element in $e")
+            s.toString
+          }.toSeq
       case _ => throw new IllegalArgumentException(
         s"$name expects an array of literal strings, got $e")
     }

@@ -933,6 +933,16 @@ object Dedup {
         col("cos"))
   }
 
+  /** Exact within-block embedding near-dup pairs — recall exactly 1
+    * inside each `blockCol` value, at all-pairs N²/L cost per block.
+    * BOUNDED-SCOPE form: use only when every block is small and block
+    * cardinality is fixed (per-user histories, per-shard dictionaries
+    * — the measured cliff is 67× wall for 10× data on an uncapped
+    * corpus at sf1). For corpus-scale near-dup the at-scale spelling
+    * is [[embeddingNearDupPairsLsh]] (content-derived SRP blocking,
+    * linear, measured 9.5× for 10× data); the d6 gate caps its
+    * fixture to a fixed id range for exactly this reason.
+    */
   def embeddingNearDupPairs(df: DataFrame, embCol: String, idCol: String,
                             blockCol: String, threshold: Double = 0.9,
                             numBuckets: Int = 8): DataFrame = {

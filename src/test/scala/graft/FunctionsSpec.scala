@@ -86,11 +86,16 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
   test("jsonl source/sink: batch round-trip, schema-pinned read, " +
       "streaming directory source") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
-      .toFile.getAbsolutePath
+      .toFile.getAbsolutePath + "/drop"
     val ctx = graft.api.Context(spark)
     val src = Seq((1L, "x y z", 1000L), (2L, "w", 2000L))
       .toDF("doc_id", "text", "ts")
     graft.api.DataStream(src).sinkJsonl(dir)
+    // default mode = errorifexists: a second sink at the same path
+    // must fail loudly, not silently delete the existing drop
+    intercept[Exception] { graft.api.DataStream(src).sinkJsonl(dir) }
+    // explicit overwrite refreshes in place
+    graft.api.DataStream(src).sinkJsonl(dir, mode = "overwrite")
     // inferred-schema read: values round-trip (jsonl infers longs)
     val back = ctx.fromJsonl(dir).toDF
       .select($"doc_id", $"text", $"ts")
