@@ -204,6 +204,33 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Sparse-tier Aho–Corasick blocklist scan end-to-end: a generated
+    // 100k-phrase list (≈1.7M trie nodes — forces the sparse
+    // automaton; dense would be ~1.7 GB/executor) over the documents
+    // table as one pure scan filter. The measured cost is dominated
+    // by the per-JVM automaton build plus the one-pass match — the
+    // shape of a production policy-list filter.
+    def blocklistSparseOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      System.gc()
+      Thread.sleep(300)
+      val t0 = System.nanoTime()
+      try {
+        val phrases = (0 until 100000).map(i => s"blocked${i}phrase")
+        graft.operators.TextAnalysis.dropBlocklisted(
+            spark.read.parquet(s"$sfDir/documents.parquet")
+              .select(col("doc_id"), col("text")),
+            "text", phrases)
+          .write.mode("overwrite").format("noop").save()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] blocklist_sparse failed: " +
+            e.getMessage)
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // (median, min, max) over reps; any failed rep marks the query
     // failed outright — a flaky query must not hide behind its median
     def stats(samples: Seq[Double]): (Double, Double, Double) = {
@@ -230,9 +257,21 @@ object Bench {
         "streaming_neardup" -> (() => streamingNearDupOnce()),
         "streaming_embdedup" -> (() => streamingEmbDedupOnce()),
         "exact_window_explode" -> (() => exactWindowOnce(pane = false)),
-        "exact_window_pane" -> (() => exactWindowOnce(pane = true)))
+        "exact_window_pane" -> (() => exactWindowOnce(pane = true)),
+        "blocklist_sparse" -> (() => blocklistSparseOnce()))
         .filter(p => want(p._1))
         .map { case (n, f) => n -> stats((1 to reps).map(_ => f())) }
+    // Roster tiers: cross-check rows are deliberate redundancy — the
+    // bounded exact twin (d6), the O(log n) CC escape hatch gated
+    // hash-exact against d8 (d13), and the per-frame explode form the
+    // pane tier is cross-checked against. Users run the recommended
+    // tier; round-over-round comparisons should too, so both
+    // subtotals are emitted.
+    val crossCheckTier = Set("d6_embedding_neardup",
+      "d13_dup_components_star", "exact_window_explode")
+    def tierTotal(cross: Boolean): Double =
+      results.collect { case (k, (v, _, _))
+        if v >= 0 && crossCheckTier.contains(k) == cross => v }.sum
     // ms precision on the stdout line: the driver records the LAST
     // ~3KB of the log, and round 4/5 both lost the medians because the
     // full-precision line (median+min+max × ~60 queries ≈ 7KB) had its
@@ -251,8 +290,13 @@ object Bench {
     val ok = results.map(_._2._1).filter(_ >= 0)
     val penalty = if (ok.nonEmpty) ok.max * 10 else 600.0
     val total = ok.sum + failed.size * penalty
+    val tiersJson = results.map { case (k, _) =>
+      "\"" + k + "\":\"" +
+        (if (crossCheckTier.contains(k)) "cross-check"
+         else "recommended") + "\""
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"reps":$reps,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","recommended_total":${tierTotal(cross = false)},"crosscheck_total":${tierTotal(cross = true)},"queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"tiers":$tiersJson,"reps":$reps,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -273,7 +317,7 @@ object Bench {
     // count, with target/bench_full.json always carrying the
     // complete median/min/max record.
     def line(qjson: String, extra: String): String =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qjson$extra,"reps":$reps,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","full":"target/bench_full.json"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","recommended_total":${ms(tierTotal(cross = false))},"crosscheck_total":${ms(tierTotal(cross = true))},"queries":$qjson$extra,"reps":$reps,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","full":"target/bench_full.json"}"""
     val fullMap = jmap(_._1, ms)
     val headline =
       if (line(fullMap, "").length <= 1500) line(fullMap, "")

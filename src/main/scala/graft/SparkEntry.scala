@@ -1552,6 +1552,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The maxDf stop-fingerprint cap under boilerplate pressure: every
+    // 3rd doc gets an identical 12-token header injected (a web
+    // corpus's footer/TOS line), which mints shared pure-header
+    // fingerprints in N/3 docs — UNCAPPED, their df² pair fanout glues
+    // a third of the corpus into one cluster. maxDf = 4 drops any
+    // fingerprint in > 4 docs BEFORE pairing, so only content overlap
+    // (the half-prefix copies of every 5th doc, df = 2 per shared
+    // fingerprint) clusters; the oracle replays fingerprinting, the
+    // df filter, the >= minShared pair count, and the closure exactly
+    "d31_winnow_clusters_capped" -> ((s, d) => {
+      val header = lit("terms of service privacy policy all rights " +
+        "reserved copyright notice contact us")
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(header, lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val toks = operators.TextAnalysis.tokenize(col("text"))
+      val halves = base.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest((size(toks) / 2).cast("int"), lit(1)))).as("text"))
+      val all = base.unionByName(halves)
+      operators.Dedup.winnowClusters(all, "text", "doc_id",
+          n = 5, window = 4, minShared = 2, maxDf = 4)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Decontamination by EXCISION: reference = first-half tokens of
     // every 6th doc; contaminated docs lose exactly their
     // reference-covered 8-gram spans, clean docs pass through
@@ -1653,6 +1682,23 @@ object SparkEntry {
             pmod(col("l_suppkey"), lit(256)).cast("long")), 8)
             .as("zval"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // JSONL interchange round trip (the web-corpus drop format):
+    // documents → sinkJsonl (gzip part files) → fromJsonl pinned to
+    // the source schema → identity. The oracle is the source table
+    // itself, so any escaping, type, or row loss in either direction
+    // breaks the hash; schema-pinned read keeps the scan single-pass
+    // at scale (no inference pre-pass).
+    "q38_jsonl_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q38").toString
+      api.DataStream(docs).sinkJsonl(s"$tmp/drop", compression = "gzip")
+      api.Context(s).fromJsonl(s"$tmp/drop", docs.schema).toDF
+        .orderBy(col("doc_id"))
+    }),
 
     // URL canonicalization: five URL shapes built IN THE QUERY
     // (mixed-case scheme/host + default port + tracking params +
@@ -3625,6 +3671,72 @@ object SparkEntry {
         |SELECT src AS doc_id, least(src, min(dst)) AS component
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
+    // d30's replay plus the header injection and the df <= 4
+    // stop-fingerprint filter between selection and pairing
+    "d31_winnow_clusters_capped" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      'terms of service privacy policy all rights reserved ' ||
+        |      'copyright notice contact us ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |du AS (
+        |  SELECT doc_id, text FROM raw
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(ws[1:greatest(CAST(len(ws) // 2 AS INT),
+        |      1)], ' ')
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) ||
+        |      chr(13)), '[ \t\n\v\f\r]+') AS ws
+        |    FROM raw WHERE doc_id % 5 = 0)),
+        |tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS ws
+        |  FROM du),
+        |gpos AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(0, greatest(len(ws) - 4, 0))) AS pos
+        |  FROM tok),
+        |grams AS (
+        |  SELECT doc_id, pos,
+        |    md5(array_to_string(
+        |      ws[CAST(pos + 1 AS INT):CAST(pos + 5 AS INT)], ' ')) AS h
+        |  FROM gpos),
+        |counts AS (SELECT doc_id, count(*) AS g FROM grams
+        |  GROUP BY 1),
+        |wins AS (
+        |  SELECT doc_id, unnest(range(0, greatest(g - 3, 1))) AS i
+        |  FROM counts),
+        |sel AS (
+        |  SELECT w.doc_id, w.i, min(g.h) AS mh
+        |  FROM wins w JOIN grams g ON g.doc_id = w.doc_id
+        |    AND g.pos >= w.i AND g.pos < w.i + 4
+        |  GROUP BY 1, 2),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, substr(mh, 1, 8) AS fp FROM sel),
+        |keep AS (
+        |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 4),
+        |fps2 AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+        |cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ns
+        |  FROM fps2 a JOIN fps2 b ON a.fp = b.fp
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM cand WHERE ns >= 2),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e
+        |    ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS component
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
     // every distinct-shingle intersection, the reference-denominator
     // fraction, the threshold, and the (frac desc, ref_id) argmax
     // replayed exactly
@@ -3997,6 +4109,11 @@ object SparkEntry {
         |    AS norm_url,
         |  host
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // identity: the round trip must hand back the source table
+    "q38_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d22_editdist_pairs" ->
       """WITH du AS (

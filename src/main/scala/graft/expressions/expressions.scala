@@ -429,20 +429,43 @@ case class GramHashes(child: Expression, n: Int)
 }
 
 /** Aho–Corasick automaton over UTF-8 bytes (Aho & Corasick 1975),
-  * built once per JVM from a broadcast-sized phrase list: dense
-  * 256-wide `next` transition table (fail links folded in at build,
-  * so matching is one table read per input byte) plus per-node
-  * flattened emit lists (own terminals ++ fail-chain terminals), so
-  * every occurrence — overlapping included — of every phrase is
-  * counted in a single pass. Dense table cost is 1 KB per trie node
-  * (≈ total phrase bytes): a 10k-phrase blocklist is ~100 MB of
-  * per-executor automaton at worst, typically far less with shared
-  * prefixes; beyond that, switch the node fan-out to sparse maps —
-  * the public structure is unchanged.
+  * built once per JVM from a broadcast-sized phrase list, in two
+  * memory tiers chosen automatically by trie size:
+  *
+  *  - DENSE (trie ≤ [[AhoCorasick.DenseMaxNodes]] nodes): 256-wide
+  *    `next` transition table with fail links folded in at build, so
+  *    matching is one table read per input byte. Cost ~1 KB per node
+  *    (≈ total phrase bytes) — ≤ ~64 MB per executor at the
+  *    threshold, typically far less with shared prefixes.
+  *  - SPARSE (above the threshold — 100k+-phrase blocklists whose
+  *    dense table would cost executor GBs): per-node sorted child
+  *    arrays + explicit fail links; matching binary-searches the
+  *    node's real children and walks the fail chain on miss
+  *    (amortized O(1) fail steps per input byte). Cost ~8 bytes per
+  *    trie EDGE, so a 1M-phrase list is tens of MB, not GBs. Built
+  *    from the sorted pattern list so construction touches only the
+  *    rightmost trie spine — no transient dense tables.
+  *
+  * Both tiers carry per-node flattened emit lists (own terminals ++
+  * fail-chain terminals), so every occurrence — overlapping included
+  * — of every phrase is counted in a single pass, and both count
+  * bit-identically (spec-asserted against each other at 100k
+  * generated phrases).
   */
-private object AhoCorasick {
-  final class Automaton(val next: Array[Array[Int]],
-                        val emits: Array[Array[Int]]) {
+private[graft] object AhoCorasick {
+
+  /** Dense tier ceiling: 1 KB/node ⇒ ≤ ~64 MB resident. */
+  val DenseMaxNodes: Int = 1 << 16
+
+  sealed trait Automaton {
+    def countInto(text: Array[Byte], counts: Array[Long]): Unit
+    def nNodes: Int
+  }
+
+  final class DenseAutomaton(val next: Array[Array[Int]],
+                             val emits: Array[Array[Int]])
+      extends Automaton {
+    def nNodes: Int = next.length
     def countInto(text: Array[Byte], counts: Array[Long]): Unit = {
       var s = 0
       var i = 0
@@ -456,7 +479,85 @@ private object AhoCorasick {
     }
   }
 
-  def build(patterns: Seq[Array[Byte]]): Automaton = {
+  /** keys(s) = sorted child byte values of node s; targets(s) aligned
+    * child states; fail = suffix links (root = 0).
+    */
+  final class SparseAutomaton(val keys: Array[Array[Byte]],
+                              val targets: Array[Array[Int]],
+                              val fail: Array[Int],
+                              val emits: Array[Array[Int]])
+      extends Automaton {
+    def nNodes: Int = keys.length
+
+    // sorted UNSIGNED byte search (keys stored as raw bytes; compare
+    // on & 0xff, matching the sorted-pattern build order)
+    private def child(s: Int, c: Int): Int = {
+      val ks = keys(s)
+      var lo = 0
+      var hi = ks.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val k = ks(mid) & 0xff
+        if (k == c) return targets(s)(mid)
+        else if (k < c) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
+
+    def countInto(text: Array[Byte], counts: Array[Long]): Unit = {
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text(i) & 0xff
+        var t = child(s, c)
+        while (t < 0 && s != 0) { s = fail(s); t = child(s, c) }
+        s = if (t < 0) 0 else t
+        val em = emits(s)
+        var k = 0
+        while (k < em.length) { counts(em(k)) += 1; k += 1 }
+        i += 1
+      }
+    }
+  }
+
+  /** Unsigned-lexicographic byte-array ordering — the trie child
+    * order the sparse build appends in.
+    */
+  private def compareUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Exact trie node count without building: 1 (root) + per sorted
+    * pattern its bytes beyond the common prefix with the previous
+    * pattern. Drives the dense/sparse tier choice.
+    */
+  def trieNodeCount(patterns: Seq[Array[Byte]]): Int = {
+    val sorted = patterns.sortWith(compareUnsigned(_, _) < 0)
+    var nodes = 1L
+    var prev: Array[Byte] = Array.emptyByteArray
+    sorted.foreach { p =>
+      var l = 0
+      val max = math.min(prev.length, p.length)
+      while (l < max && prev(l) == p(l)) l += 1
+      nodes += p.length - l
+      prev = p
+    }
+    math.min(nodes, Int.MaxValue).toInt
+  }
+
+  def build(patterns: Seq[Array[Byte]]): Automaton =
+    if (trieNodeCount(patterns) <= DenseMaxNodes) buildDense(patterns)
+    else buildSparse(patterns)
+
+  def buildDense(patterns: Seq[Array[Byte]]): DenseAutomaton = {
     val goto = new scala.collection.mutable.ArrayBuffer[Array[Int]]()
     val term = new scala.collection.mutable.ArrayBuffer[List[Int]]()
     def newNode(): Int = {
@@ -495,7 +596,102 @@ private object AhoCorasick {
         c += 1
       }
     }
-    new Automaton(goto.toArray, emits)
+    new DenseAutomaton(goto.toArray, emits)
+  }
+
+  def buildSparse(patterns: Seq[Array[Byte]]): SparseAutomaton = {
+    // sort (keeping original pattern ids) so trie insertion only ever
+    // appends to the rightmost path: each node's children arrive in
+    // sorted order and per-node growable buffers never re-sort
+    val sorted = patterns.zipWithIndex
+      .sortWith((a, b) => compareUnsigned(a._1, b._1) < 0)
+    val keysB = new scala.collection.mutable.ArrayBuffer[
+      scala.collection.mutable.ArrayBuffer[Byte]]()
+    val targetsB = new scala.collection.mutable.ArrayBuffer[
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    val term = new scala.collection.mutable.ArrayBuffer[List[Int]]()
+    def newNode(): Int = {
+      keysB += new scala.collection.mutable.ArrayBuffer[Byte](4)
+      targetsB += new scala.collection.mutable.ArrayBuffer[Int](4)
+      term += Nil
+      keysB.length - 1
+    }
+    newNode()
+    // path(d) = node at depth d of the current rightmost path
+    var path = new Array[Int](16)
+    path(0) = 0
+    var prev: Array[Byte] = Array.emptyByteArray
+    sorted.foreach { case (p, id) =>
+      var l = 0
+      val max = math.min(prev.length, p.length)
+      while (l < max && prev(l) == p(l)) l += 1
+      if (p.length + 1 > path.length) {
+        path = java.util.Arrays.copyOf(path, math.max(path.length * 2,
+          p.length + 1))
+      }
+      var d = l
+      var s = path(d)
+      while (d < p.length) {
+        val t = newNode()
+        keysB(s) += p(d)
+        targetsB(s) += t
+        s = t
+        d += 1
+        path(d) = s
+      }
+      term(s) = id :: term(s)
+      prev = p
+    }
+    val n = keysB.length
+    val keys = new Array[Array[Byte]](n)
+    val targets = new Array[Array[Int]](n)
+    var i = 0
+    while (i < n) {
+      keys(i) = keysB(i).toArray; targets(i) = targetsB(i).toArray
+      i += 1
+    }
+    // BFS fail links over the sparse structure (classic form — no
+    // fold-in; the matcher walks the chain)
+    val fail = new Array[Int](n)
+    val emits = new Array[Array[Int]](n)
+    emits(0) = term(0).reverse.toArray
+    def childOf(s: Int, c: Int): Int = {
+      val ks = keys(s)
+      var lo = 0
+      var hi = ks.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val k = ks(mid) & 0xff
+        if (k == c) return targets(s)(mid)
+        else if (k < c) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
+    val queue = new java.util.ArrayDeque[Int]()
+    var k = 0
+    while (k < keys(0).length) {
+      val u = targets(0)(k)
+      fail(u) = 0
+      queue.add(u)
+      k += 1
+    }
+    while (!queue.isEmpty) {
+      val u = queue.poll()
+      emits(u) = (term(u).reverse ++ emits(fail(u))).toArray
+      var k = 0
+      while (k < keys(u).length) {
+        val c = keys(u)(k) & 0xff
+        val v = targets(u)(k)
+        var f = fail(u)
+        var t = childOf(f, c)
+        while (t < 0 && f != 0) { f = fail(f); t = childOf(f, c) }
+        fail(v) = if (t < 0 || t == v) 0 else t
+        queue.add(v)
+        k += 1
+      }
+    }
+    new SparseAutomaton(keys, targets, fail, emits)
   }
 }
 

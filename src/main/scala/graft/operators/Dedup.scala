@@ -1619,9 +1619,19 @@ object Dedup {
     * would glue the corpus into one cluster; the cap bounds every
     * fingerprint's fanout at maxDf², the same discipline as
     * [[TextAnalysis.stripBoilerplateLines]]'s minDf in reverse).
-    * The shared-count aggregation combines map-side; the component
-    * loop passes `reliableCheckpointDir` through for cluster fault
-    * tolerance.
+    * RECOMMENDED DEFAULT on any corpus not already boilerplate-
+    * stripped: set maxDf well above the largest true duplicate
+    * family you expect (copies of one document share fingerprints at
+    * df = family size) and well below boilerplate df (≈ the share of
+    * docs carrying the template) — maxDf ≈ 50–500 for web corpora;
+    * leave 0 only when upstream cleaning (e.g.
+    * [[TextAnalysis.stripBoilerplateLines]]) already removed shared
+    * templates. The d31 gate replays maxDf = 4 against a fixture
+    * where every 3rd doc carries an injected header: uncapped, the
+    * header's fingerprints alone glue a third of the corpus into one
+    * component. The shared-count aggregation combines map-side; the
+    * component loop passes `reliableCheckpointDir` through for
+    * cluster fault tolerance.
     */
   def winnowClusters(df: DataFrame, textCol: String, idCol: String,
                      n: Int = 5, window: Int = 4, minShared: Int = 2,

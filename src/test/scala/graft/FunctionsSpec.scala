@@ -275,6 +275,54 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(kept.toSeq == Seq(1L))
   }
 
+  test("AhoCorasick sparse tier: bit-identical to dense, auto-selected " +
+      "above the node threshold, edge-proportional memory") {
+    import graft.expressions.AhoCorasick
+    def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // tier-equivalence list: shared prefixes, prefix-of-another,
+    // overlapping and multi-byte patterns
+    val medium = (0 until 5000).map(i => s"ph${i % 37}x${i}") ++
+      Seq("ab", "abc", "abcabc", "b", "bc", "a a", "é", "ст")
+    val mediumB = medium.map(bytes)
+    val dense = AhoCorasick.buildDense(mediumB)
+    val sparse = AhoCorasick.buildSparse(mediumB)
+    assert(dense.nNodes == sparse.nNodes)
+    assert(dense.nNodes == AhoCorasick.trieNodeCount(mediumB))
+    val texts = Graft.table(spark, sf, "documents").limit(40)
+      .select($"text").as[String].collect() ++
+      Seq("abcabcabcd ph3x3 ph3x40 a a a é caétст", "", "zzz",
+        medium(123) * 3)
+    texts.foreach { t =>
+      val cd = new Array[Long](medium.size)
+      val cs = new Array[Long](medium.size)
+      dense.countInto(bytes(t), cd)
+      sparse.countInto(bytes(t), cs)
+      assert(cd.toSeq == cs.toSeq, s"tier mismatch on: $t")
+    }
+    // auto tier choice: a 100k-phrase blocklist (≈1M trie nodes —
+    // a dense table would be ~1 GB/executor) must come back sparse...
+    val big = (0 until 100000).map(i => s"blocked${i}phrase")
+    val bigB = big.map(bytes)
+    assert(AhoCorasick.trieNodeCount(bigB) > AhoCorasick.DenseMaxNodes)
+    val auto = AhoCorasick.build(bigB)
+    assert(auto.isInstanceOf[AhoCorasick.SparseAutomaton])
+    // ...and the small list dense
+    assert(AhoCorasick.build(mediumB)
+      .isInstanceOf[AhoCorasick.DenseAutomaton])
+    // sparse counts vs a naive indexOf scan on crafted text hitting a
+    // sample of the big list (including repeated + adjacent hits)
+    val sample = Seq(big(0), big(999), big(54321), big(99999))
+    val crafted = sample.mkString(" ") + " " + big(999) * 2 + " blocked"
+    val counts = new Array[Long](big.size)
+    auto.countInto(bytes(crafted), counts)
+    big.zipWithIndex.foreach { case (p, i) =>
+      var n = 0
+      var at = crafted.indexOf(p)
+      while (at >= 0) { n += 1; at = crafted.indexOf(p, at + 1) }
+      assert(counts(i) == n, s"sparse count wrong for $p")
+    }
+  }
+
   test("gram_hashes: positional contract + equality classes match " +
       "string grams") {
     val docs = Graft.table(spark, sf, "documents").limit(80)
