@@ -1868,6 +1868,35 @@ object SparkEntry {
           round(col("mean_gray"), 6).as("mean_gray"))
         .orderBy(col("doc_id"))
     }),
+
+    // REAL audio codec round-trip (javax.sound.sampled, in the JDK):
+    // each doc_id picks a container (wave/aiff/au — both PCM
+    // endiannesses exercised), sample rate, channel count, frame
+    // count, and a constant 16-bit sample value; ENCODE with the real
+    // writer, full-payload DECODE in the batch shape. Constant frames
+    // make mean amplitude and duration exact arithmetic over doc_id —
+    // the m4 discipline for the audio column class.
+    "m5_audio_decode" -> ((s, d) => {
+      val container = element_at(
+        array(lit("wave"), lit("aiff"), lit("au")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val rate = element_at(
+        array(lit(8000), lit(16000), lit(22050), lit(44100)),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      val blobs = t(s, d, "documents").select(col("doc_id"),
+        operators.Multimodal.encodeTestAudio(container, rate,
+          (pmod(col("doc_id"), lit(2)) + 1).cast("int"),
+          (pmod(col("doc_id"), lit(100)) + 50).cast("int"),
+          (pmod(col("doc_id"), lit(1000)) - 500).cast("int")).as("blob"))
+      operators.Multimodal.decodeAudioPartitions(blobs, "blob", "doc_id")
+        .select(col("doc_id"), col("audio_format"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames"),
+          round(col("mean_sample"), 6).as("mean_sample"),
+          round(col("duration_ms"), 6).as("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** The d8/d13 shared oracle: the d5 pair recipe closed transitively
@@ -4414,6 +4443,27 @@ object SparkEntry {
         |  doc_id % 17 + 8 AS height,
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_gray
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same discipline as m4: encode side is arithmetic over doc_id,
+    // decode side is the real JDK codec, oracle needs only the
+    // arithmetic (duration = frames/rate in ms, computed as the same
+    // IEEE double division on both engines)
+    "m5_audio_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'wave' WHEN 1 THEN 'aiff'
+        |      ELSE 'au' END AS audio_format,
+        |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+        |    doc_id % 2 + 1 AS channels,
+        |    doc_id % 100 + 50 AS n_frames,
+        |    CAST(doc_id % 1000 - 500 AS DOUBLE) AS mean_sample
+        |  FROM documents)
+        |SELECT doc_id, audio_format, rate AS sample_rate, channels,
+        |  n_frames, mean_sample,
+        |  round(CAST(n_frames AS DOUBLE) * 1000.0 / rate, 6)
+        |    AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "m1_multimodal_bytes" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,

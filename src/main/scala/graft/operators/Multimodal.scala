@@ -12,12 +12,15 @@ import org.apache.spark.sql.types._
   * [[decodePartitions]] run `javax.imageio` (in the JDK — PNG, JPEG,
   * BMP, GIF, WBMP) inside the per-partition batch shape, returning
   * the container's actual format name, pixel dimensions, and decoded
-  * pixel statistics. Only the AUDIO/VIDEO decode remains a declared
-  * stub ([[decodeStub]] — the JDK ships no audio/video codecs):
-  * it derives deterministic fake dimensions from the byte stream so
-  * the schema/batch/partitioning plumbing around it stays testable;
-  * swap it for a JNI/native-codec call and that path is production
-  * too.
+  * pixel statistics. The AUDIO codec is REAL too:
+  * [[decodeAudioPartitions]] runs `javax.sound.sampled` (in the JDK
+  * — WAV/AIFF/AU, PCM) for container type, sample rate, channels,
+  * frame count, and decoded amplitude statistics. Only VIDEO decode
+  * remains a declared stub ([[decodeStub]] — the JDK ships no video
+  * codecs): it derives deterministic fake dimensions from the byte
+  * stream so the schema/batch/partitioning plumbing around it stays
+  * testable; swap it for a JNI/native-codec call and that path is
+  * production too.
   */
 object Multimodal {
 
@@ -47,13 +50,14 @@ object Multimodal {
   def headHex(blob: Column, n: Int = 8): Column =
     lower(hex(substring(blob, 1, n)))
 
-  /** STUB decode — AUDIO/VIDEO only: deterministic fake metadata from
-    * the bytes (first byte → format class, length-derived dims). The
-    * JDK ships no audio/video codecs, so this path stays a declared
-    * fake whose signature and schema are the contract; IMAGE decode
-    * is real — use [[decodeImagePartitions]] (full pixel decode) or
-    * [[decodePartitions]] (header decode with this stub as the
-    * non-image fallback).
+  /** STUB decode — VIDEO only: deterministic fake metadata from the
+    * bytes (first byte → format class, length-derived dims). The JDK
+    * ships no video codecs, so this path stays a declared fake whose
+    * signature and schema are the contract; IMAGE decode is real
+    * ([[decodeImagePartitions]], m4-gated) and AUDIO decode is real
+    * ([[decodeAudioPartitions]], m5-gated) — this stub remains only
+    * as the non-image/audio fallback in [[decodePartitions]] and the
+    * m1–m3 plumbing gates.
     */
   private val fakeDecode = udf { (bytes: Array[Byte]) =>
     if (bytes == null || bytes.isEmpty) null
@@ -225,6 +229,121 @@ object Multimodal {
         }
       }
       .toDF(idCol, "format", "width", "height", "mean_gray", "n_bytes")
+  }
+
+  /** REAL audio decode for one blob: `javax.sound.sampled` (in the
+    * JDK — WAV/AIFF/AU containers, PCM payloads). Returns the
+    * container type name, the stream's declared sample rate /
+    * channel count / frame length, and the mean decoded 16-bit
+    * sample value (endianness-honoring full-payload decode — the
+    * amplitude statistic that proves every frame decoded). None when
+    * no JDK audio reader claims the bytes or the payload is not
+    * 16-bit PCM.
+    */
+  private def decodeAudioFull(bytes: Array[Byte])
+      : Option[(String, Int, Int, Long, Double)] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16) return None
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        if (n == 0) return None
+        var sum = 0L
+        var i = 0
+        if (f.isBigEndian)
+          while (i < n) {
+            sum += ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort
+            i += 1
+          }
+        else
+          while (i < n) {
+            sum += ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+        Some((aff.getType.toString.toLowerCase(java.util.Locale.ROOT),
+          f.getSampleRate.round, f.getChannels, ais.getFrameLength,
+          sum.toDouble / n))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Deterministic test-audio encoder (the m5 fixture generator):
+    * `nFrames` frames of constant 16-bit `sampleVal` at `sampleRate`
+    * Hz × `channels`, containerized with the JDK's real
+    * `javax.sound.sampled` writer for `fileType` ("wave" | "aiff" |
+    * "au"; WAV is little-endian PCM, AIFF/AU big-endian — handled
+    * here). Constant content makes the decoded statistics exact
+    * arithmetic over the inputs, the [[encodeTestImage]] discipline.
+    */
+  val encodeTestAudio = udf { (fileType: String, sampleRate: Int,
+                               channels: Int, nFrames: Int,
+                               sampleVal: Int) =>
+    val t = fileType match {
+      case "wave" => javax.sound.sampled.AudioFileFormat.Type.WAVE
+      case "aiff" => javax.sound.sampled.AudioFileFormat.Type.AIFF
+      case "au"   => javax.sound.sampled.AudioFileFormat.Type.AU
+      case other => throw new IllegalArgumentException(
+        s"unsupported audio container '$other'")
+    }
+    val bigEndian = fileType != "wave"
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, bigEndian)
+    val v = sampleVal.toShort
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames * channels) {
+      if (bigEndian) {
+        pcm(2 * i) = ((v >> 8) & 0xff).toByte
+        pcm(2 * i + 1) = (v & 0xff).toByte
+      } else {
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      t, bos)
+    bos.toByteArray
+  }
+
+  /** Batch-shaped REAL audio decode (the [[decodeImagePartitions]]
+    * twin): one pass per partition, full-payload PCM decode per row.
+    * Output: (idCol, audio_format, sample_rate, channels, n_frames,
+    * mean_sample, duration_ms); non-audio bytes yield audio_format
+    * "unknown" with null stats.
+    */
+  def decodeAudioPartitions(df: DataFrame, blobCol: String,
+                            idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeAudioFull(bytes) match {
+            case Some((fmt, rate, ch, frames, mean)) =>
+              (id, fmt, rate, ch, frames, Some(mean),
+                Some(frames.toDouble * 1000.0 / rate))
+            case None =>
+              (id, "unknown", 0, 0, 0L, None: Option[Double],
+                None: Option[Double])
+          }
+        }
+      }
+      .toDF(idCol, "audio_format", "sample_rate", "channels", "n_frames",
+        "mean_sample", "duration_ms")
   }
 
   /** Batch-shaped decode across ALL media classes: images decode for

@@ -228,9 +228,12 @@ object Sampling {
     val ratio = col("__nmin").cast("double") / col("__n")
     val rate =
       if (1.0 - tau == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - tau))
-    df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
-      .crossJoin(df.groupBy(col(domainCol)).agg(count(lit(1)).as("__m"))
-        .agg(min(col("__m")).as("__nmin")))
+    // one counts frame feeds both the per-domain rows and the global
+    // min (identical subtree → one corpus aggregation, exchange
+    // reused regardless of plan-stats mood)
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    counts
+      .crossJoin(counts.agg(min(col("__n")).as("__nmin")))
       .select(col(domainCol), rate.as("mix_rate"))
   }
 

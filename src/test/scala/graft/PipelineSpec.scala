@@ -730,7 +730,8 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(r.forall(_.getAs[Array[Byte]](2).nonEmpty))
   }
 
-  test("decodePartitions matches the expression-based stub decode") {
+  test("decodePartitions matches the expression-based stub decode " +
+      "for non-image bytes") {
     val docs = Graft.table(spark, sf, "documents").limit(50)
     val viaPartitions = Multimodal.decodePartitions(
       docs.withColumn("blob", Multimodal.asBlob($"text")), "blob", "doc_id")
@@ -741,6 +742,62 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .select($"doc_id", $"m.format", $"m.width")
       .as[(Long, String, Int)].collect().toSet
     assert(viaPartitions == viaExpr)
+  }
+
+  test("real image codec beats the stub: encode→decodePartitions " +
+      "returns actual format/dims, full decode returns exact pixels") {
+    val fixtures = Seq((1L, "png", 13, 9, 200), (2L, "jpeg", 31, 7, 77),
+      (3L, "bmp", 8, 25, 0), (4L, "gif", 24, 24, 255))
+    val blobs = fixtures.toDF("id", "fmt", "w", "h", "gray")
+      .select($"id", Multimodal.encodeTestImage(
+        $"fmt", $"w", $"h", $"gray").as("blob"))
+    // header path (decodePartitions): real reader claims the bytes —
+    // actual format name and pixel dims, not the byte-derived stub
+    val viaHeader = Multimodal.decodePartitions(blobs, "blob", "id")
+      .select($"id", $"format", $"width", $"height")
+      .as[(Long, String, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    fixtures.foreach { case (id, fmt, w, h, _) =>
+      assert(viaHeader(id) == ((fmt, w, h)))
+    }
+    // full-raster path: mean gray exact for every format (verified
+    // exhaustively for all 256 levels at build time — JPEG included,
+    // uniform blocks are DC-only)
+    val viaFull = Multimodal.decodeImagePartitions(blobs, "blob", "id")
+      .select($"id", $"mean_gray").as[(Long, Double)].collect().toMap
+    fixtures.foreach { case (id, _, _, _, gray) =>
+      assert(viaFull(id) == gray.toDouble)
+    }
+    // non-image bytes stay honest: "unknown", no dims, null mean
+    val junk = Seq((9L, "definitely not an image")).toDF("id", "t")
+      .select($"id", Multimodal.asBlob($"t").as("blob"))
+    val u = Multimodal.decodeImagePartitions(junk, "blob", "id").head
+    assert(u.getAs[String]("format") == "unknown")
+    assert(u.getAs[Int]("width") == 0 && u.isNullAt(
+      u.fieldIndex("mean_gray")))
+  }
+
+  test("real audio codec: encode→decodeAudioPartitions returns actual " +
+      "container/rate/channels/frames and exact mean amplitude") {
+    val fixtures = Seq((1L, "wave", 8000, 1, 50, -500),
+      (2L, "aiff", 22050, 2, 149, 499), (3L, "au", 44100, 1, 80, 0))
+    val blobs = fixtures.toDF("id", "ft", "rate", "ch", "nf", "v")
+      .select($"id", Multimodal.encodeTestAudio(
+        $"ft", $"rate", $"ch", $"nf", $"v").as("blob"))
+    val got = Multimodal.decodeAudioPartitions(blobs, "blob", "id")
+      .select($"id", $"audio_format", $"sample_rate", $"channels",
+        $"n_frames", $"mean_sample")
+      .as[(Long, String, Int, Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    fixtures.foreach { case (id, ft, rate, ch, nf, v) =>
+      assert(got(id) == ((ft, rate, ch, nf.toLong, v.toDouble)))
+    }
+    // non-audio bytes: "unknown" with null stats
+    val junk = Seq((9L, "not audio either")).toDF("id", "t")
+      .select($"id", Multimodal.asBlob($"t").as("blob"))
+    val u = Multimodal.decodeAudioPartitions(junk, "blob", "id").head
+    assert(u.getAs[String]("audio_format") == "unknown")
+    assert(u.isNullAt(u.fieldIndex("mean_sample")))
   }
 
   test("d4 oracle precondition: banded-LSH recall is exactly 1 on the fixture") {
