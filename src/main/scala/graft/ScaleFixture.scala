@@ -40,14 +40,20 @@ object ScaleFixture {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "target/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated table subset (an sf10 rung
+    // for the headline operators needs only documents/embeddings/
+    // events — no point writing a 60M-row lineitem nobody benches)
+    val onlyTables = if (args.length > 3)
+      Some(args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    else None
     require(factor >= 1, "factor must be >= 1")
     val spark = Graft.session(appName = "graft-scale-fixture")
-    scale(spark, src, out, factor)
+    scale(spark, src, out, factor, onlyTables)
     spark.stop()
   }
 
   def scale(spark: SparkSession, src: String, out: String,
-            factor: Int): Unit = {
+            factor: Int, onlyTables: Option[Set[String]] = None): Unit = {
     def load(t: String): DataFrame =
       spark.read.parquet(s"$src/$t.parquet")
 
@@ -62,14 +68,15 @@ object ScaleFixture {
       row.getLong(0) + 1L
     }
 
-    val cu = span(load("customer"), "c_custkey")
-    val ok = span(load("orders"), "o_orderkey")
-    val pk = span(load("part"), "p_partkey")
-    val sk = span(load("supplier"), "s_suppkey")
-    val ev = span(load("events"), "event_id")
-    val uu = span(load("events"), "user_id")
-    val dc = span(load("documents"), "doc_id")
-    val ve = span(load("embeddings"), "vec_id")
+    // lazy: a subset run must not touch (or require) unselected tables
+    lazy val cu = span(load("customer"), "c_custkey")
+    lazy val ok = span(load("orders"), "o_orderkey")
+    lazy val pk = span(load("part"), "p_partkey")
+    lazy val sk = span(load("supplier"), "s_suppkey")
+    lazy val ev = span(load("events"), "event_id")
+    lazy val uu = span(load("events"), "user_id")
+    lazy val dc = span(load("documents"), "doc_id")
+    lazy val ve = span(load("embeddings"), "vec_id")
 
     /** Union `factor` copies, applying per-copy column transforms. */
     def rep(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
@@ -80,46 +87,52 @@ object ScaleFixture {
         d.withColumn(c, col(c) + lit(base * i))
       }
 
-    val tables: Seq[(String, DataFrame)] = Seq(
-      "region" -> load("region"),
-      "nation" -> load("nation"),
-      "customer" -> rep(load("customer"), off(_, _, "c_custkey" -> cu)),
-      "supplier" -> rep(load("supplier"), off(_, _, "s_suppkey" -> sk)),
-      "part" -> rep(load("part"), off(_, _, "p_partkey" -> pk)),
-      "orders" -> rep(load("orders"),
-        off(_, _, "o_orderkey" -> ok, "o_custkey" -> cu)),
-      "lineitem" -> rep(load("lineitem"),
+    // thunked so a subset run never loads (or spans) unselected tables
+    val tables: Seq[(String, () => DataFrame)] = Seq(
+      "region" -> (() => load("region")),
+      "nation" -> (() => load("nation")),
+      "customer" -> (() =>
+        rep(load("customer"), off(_, _, "c_custkey" -> cu))),
+      "supplier" -> (() =>
+        rep(load("supplier"), off(_, _, "s_suppkey" -> sk))),
+      "part" -> (() => rep(load("part"), off(_, _, "p_partkey" -> pk))),
+      "orders" -> (() => rep(load("orders"),
+        off(_, _, "o_orderkey" -> ok, "o_custkey" -> cu))),
+      "lineitem" -> (() => rep(load("lineitem"),
         off(_, _, "l_orderkey" -> ok, "l_partkey" -> pk,
-          "l_suppkey" -> sk)),
-      "events" -> rep(load("events"),
-        off(_, _, "event_id" -> ev, "user_id" -> uu)),
-      "documents" -> rep(load("documents"), (df, i) => {
+          "l_suppkey" -> sk))),
+      "events" -> (() => rep(load("events"),
+        off(_, _, "event_id" -> ev, "user_id" -> uu))),
+      "documents" -> (() => rep(load("documents"), (df, i) => {
         val shifted = off(df, i, "doc_id" -> dc)
         if (i == 0) shifted
         else shifted.withColumn("text",
           regexp_replace(col("text"), "(\\S+)", "$1_c" + i))
-      }),
-      "embeddings" -> rep(load("embeddings"), (df, i) => {
+      })),
+      "embeddings" -> (() => rep(load("embeddings"), (df, i) => {
         val shifted = off(df, i, "vec_id" -> ve)
         if (i == 0) shifted
         else shifted.withColumn("embedding",
           concat(slice(col("embedding"), lit(i + 1),
               size(col("embedding")) - i),
             slice(col("embedding"), lit(1), lit(i))))
-      }))
+      })))
 
     val outDir = java.nio.file.Paths.get(out)
     java.nio.file.Files.createDirectories(outDir)
-    tables.foreach { case (name, df) =>
-      val tmp = s"$out/__tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath,
-        outDir.resolve(s"$name.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      println(s"[scale] $name -> $out/$name.parquet")
-    }
+    tables.filter(t => onlyTables.forall(_.contains(t._1)))
+      .foreach { case (name, mkDf) =>
+        val df = mkDf()
+        val tmp = s"$out/__tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          outDir.resolve(s"$name.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(tmp))
+        println(s"[scale] $name -> $out/$name.parquet")
+      }
   }
 }

@@ -1897,6 +1897,56 @@ object SparkEntry {
           round(col("duration_ms"), 6).as("duration_ms"))
         .orderBy(col("doc_id"))
     }),
+
+    // Perceptual image hash over REAL decoded pixels: each doc_id
+    // picks lossless format/dims/pattern seed, the query encodes the
+    // analytic quadratic pattern, decodes it back with javax.imageio,
+    // and computes the block-mean dHash. The oracle rebuilds the
+    // pixel grid arithmetically (pattern → exact integer cell sums →
+    // the same IEEE mean division) and replays all 64 difference
+    // bits; emitted as unsigned hi/lo 32-bit halves so neither engine
+    // touches the sign bit.
+    "m6_image_dhash" -> ((s, d) => {
+      val fmt = element_at(array(lit("png"), lit("bmp")),
+        (pmod(col("doc_id"), lit(2)) + 1).cast("int"))
+      val blobs = t(s, d, "documents").select(col("doc_id"),
+        operators.Multimodal.encodeTestImagePattern(fmt,
+          (pmod(col("doc_id"), lit(28)) + 9).cast("int"),
+          (pmod(col("doc_id"), lit(17)) + 8).cast("int"),
+          pmod(col("doc_id") * 7, lit(256)).cast("int")).as("blob"))
+      operators.Multimodal.imageDHashPartitions(blobs, "blob", "doc_id")
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xffffffffL)).as("dhash_lo"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Image near-dup pairs end-to-end: the m6 pattern corpus plus
+    // byte-identical re-encodes of every 10th image (same pattern,
+    // new id) → real decode → dHash → the banded hamming≤3 pair
+    // machinery (4×16-bit bands, pigeonhole recall EXACTLY 1 — no
+    // probabilistic step). Copies pair with their originals at
+    // hamming 0; the quadratic pattern keeps natural collisions to a
+    // replayable tail. The oracle recomputes every hash analytically
+    // and takes the exact all-pairs hamming join at the threshold.
+    "m7_image_neardup" -> ((s, d) => {
+      val fmt = element_at(array(lit("png"), lit("bmp")),
+        (pmod(col("doc_id"), lit(2)) + 1).cast("int"))
+      val blobs = t(s, d, "documents").select(col("doc_id"),
+        operators.Multimodal.encodeTestImagePattern(fmt,
+          (pmod(col("doc_id"), lit(28)) + 9).cast("int"),
+          (pmod(col("doc_id"), lit(17)) + 8).cast("int"),
+          pmod(col("doc_id") * 7, lit(256)).cast("int")).as("blob"))
+      val copies = blobs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val hashes = operators.Multimodal.imageDHashPartitions(
+        blobs.unionByName(copies), "blob", "doc_id")
+      operators.Dedup.simhashPairsFromSig(hashes, col("dhash"),
+          "doc_id", maxHamming = 3)
+        .select(col("doc_id_1"), col("doc_id_2"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("doc_id_1"), col("doc_id_2"))
+    }),
   )
 
   /** The d8/d13 shared oracle: the d5 pair recipe closed transitively
@@ -4464,6 +4514,87 @@ object SparkEntry {
         |  round(CAST(n_frames AS DOUBLE) * 1000.0 / rate, 6)
         |    AS duration_ms
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // the pixel grid rebuilt arithmetically (cell index inverted in
+    // closed form: i = ceil(9(x+1)/w) - 1), cell means as the same
+    // exact-integer-sum IEEE division, all 64 difference bits
+    // replayed, packed as unsigned 32-bit halves
+    "m6_image_dhash" ->
+      """WITH p AS (
+        |  SELECT doc_id, 9 + doc_id % 28 AS w, 8 + doc_id % 17 AS h,
+        |         (doc_id * 7) % 256 AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, seed, x.x, y.y,
+        |    (9 * (x.x + 1) + w - 1) // w - 1 AS i,
+        |    (8 * (y.y + 1) + h - 1) // h - 1 AS j,
+        |    CAST((seed + 53 * x.x * x.x + 31 * y.y * y.y
+        |          + 97 * x.x * y.y) % 256 AS DOUBLE) AS gray
+        |  FROM p, range(0, 36) x(x), range(0, 24) y(y)
+        |  WHERE x.x < w AND y.y < h),
+        |m AS (
+        |  SELECT doc_id, j, i, avg(gray) AS mean
+        |  FROM px GROUP BY 1, 2, 3),
+        |b AS (
+        |  SELECT a.doc_id, a.j * 8 + a.i AS idx,
+        |    CASE WHEN a.mean < n.mean THEN 1 ELSE 0 END AS bit
+        |  FROM m a JOIN m n ON a.doc_id = n.doc_id AND a.j = n.j
+        |    AND n.i = a.i + 1
+        |  WHERE a.i < 8)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN idx >= 32
+        |    THEN bit * (1::BIGINT << CAST(idx - 32 AS INT))
+        |    ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(sum(CASE WHEN idx < 32
+        |    THEN bit * (1::BIGINT << CAST(idx AS INT))
+        |    ELSE 0 END) AS BIGINT) AS dhash_lo
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // m6's hash replay over corpus ∪ copies, then the EXACT all-pairs
+    // hamming join at the threshold — the banded path must reproduce
+    // it bit for bit (pigeonhole recall is exact at hamming ≤ 3)
+    "m7_image_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id AS src FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |p AS (
+        |  SELECT ids.doc_id, 9 + src % 28 AS w, 8 + src % 17 AS h,
+        |         (src * 7) % 256 AS seed
+        |  FROM ids),
+        |px AS (
+        |  SELECT doc_id, w, h, seed, x.x, y.y,
+        |    (9 * (x.x + 1) + w - 1) // w - 1 AS i,
+        |    (8 * (y.y + 1) + h - 1) // h - 1 AS j,
+        |    CAST((seed + 53 * x.x * x.x + 31 * y.y * y.y
+        |          + 97 * x.x * y.y) % 256 AS DOUBLE) AS gray
+        |  FROM p, range(0, 36) x(x), range(0, 24) y(y)
+        |  WHERE x.x < w AND y.y < h),
+        |m AS (
+        |  SELECT doc_id, j, i, avg(gray) AS mean
+        |  FROM px GROUP BY 1, 2, 3),
+        |b AS (
+        |  SELECT a.doc_id, a.j * 8 + a.i AS idx,
+        |    CASE WHEN a.mean < n.mean THEN 1 ELSE 0 END AS bit
+        |  FROM m a JOIN m n ON a.doc_id = n.doc_id AND a.j = n.j
+        |    AND n.i = a.i + 1
+        |  WHERE a.i < 8),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN idx >= 32
+        |      THEN bit * (1::BIGINT << CAST(idx - 32 AS INT))
+        |      ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN idx < 32
+        |      THEN bit * (1::BIGINT << CAST(idx AS INT))
+        |      ELSE 0 END) AS BIGINT) AS lo
+        |  FROM b GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_id_1, c.doc_id AS doc_id_2,
+        |  CAST(bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo))
+        |    AS BIGINT) AS hamming
+        |FROM hs a JOIN hs c ON a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= 3
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
 
     "m1_multimodal_bytes" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,

@@ -346,6 +346,119 @@ object Multimodal {
         "mean_sample", "duration_ms")
   }
 
+  /** Deterministic patterned test-image encoder (the m6/m7 fixture
+    * generator): pixel (x, y) gets gray level
+    * `(seed + 53x² + 31y² + 97xy) mod 256` — quadratic mixing so the
+    * mod-256 wraps oscillate inside every downsample cell and the
+    * derived perceptual-hash bits are ~Bernoulli(½) (a linear
+    * gradient would make every difference bit 1 and glue the corpus
+    * into one hash). Encoded with a LOSSLESS JDK writer ("png" |
+    * "bmp") so the decoded raster is the analytic pattern
+    * bit-for-bit — which makes downstream pixel pipelines exact
+    * arithmetic a SQL oracle can replay.
+    */
+  val encodeTestImagePattern = udf { (fmt: String, w: Int, h: Int,
+                                      seed: Int) =>
+    require(fmt == "png" || fmt == "bmp",
+      s"pattern fixtures need a lossless writer, got '$fmt'")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (seed + 53 * x * x + 31 * y * y + 97 * x * y) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual difference hash (dHash — the public
+    * block-difference-hash family used for image near-dedup): REAL
+    * pixel decode, block-mean downsample to a (gridW+1) × gridH
+    * luminance grid with exact integer cell boundaries
+    * (x ∈ [i·w/(gridW+1), (i+1)·w/(gridW+1))), then bit (j·gridW+i)
+    * = 1 iff cell(j,i) mean < cell(j,i+1) mean — gradient DIRECTION,
+    * not absolute level, so the hash is invariant to uniform
+    * brightness shifts and to any resize that preserves cell means.
+    * Block-mean (area) downsampling rather than interpolation keeps
+    * every step integer-exact arithmetic: sums of ≤2^53 fit a
+    * double, so the m6 oracle replays the hash bit for bit from the
+    * analytic fixture pattern.
+    *
+    * Output: (idCol, dhash: long) — null for non-images and images
+    * smaller than the grid. Feed the hash straight into
+    * [[Dedup.simhashPairsFromSig]] for banded hamming≤k image
+    * near-dup pairs (the m7 gate): the hamming≤3 pigeonhole recall
+    * guarantee is exact, so near-identical images pair without any
+    * all-pairs pixel comparison — the image-dedup stage of a
+    * multimodal curation pipeline at corpus scale.
+    */
+  def imageDHashPartitions(df: DataFrame, blobCol: String, idCol: String,
+                           gridW: Int = 8, gridH: Int = 8): DataFrame = {
+    require(gridW * gridH <= 64, "dhash must fit 64 bits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              if (bytes == null) Array.emptyByteArray else bytes))
+          catch { case _: java.io.IOException => null }
+          if (img == null || img.getWidth < gridW + 1 ||
+              img.getHeight < gridH) (id, None: Option[Long])
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val cols = gridW + 1
+            val means = Array.ofDim[Double](gridH, cols)
+            var j = 0
+            while (j < gridH) {
+              val y0 = j * h / gridH; val y1 = (j + 1) * h / gridH
+              var i = 0
+              while (i < cols) {
+                val x0 = i * w / cols; val x1 = (i + 1) * w / cols
+                var sum = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val rgb = img.getRGB(x, y)
+                    sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                      (rgb & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                means(j)(i) = sum.toDouble / (3.0 * (x1 - x0) * (y1 - y0))
+                i += 1
+              }
+              j += 1
+            }
+            var hash = 0L
+            j = 0
+            while (j < gridH) {
+              var i = 0
+              while (i < gridW) {
+                if (means(j)(i) < means(j)(i + 1))
+                  hash |= 1L << (j * gridW + i)
+                i += 1
+              }
+              j += 1
+            }
+            (id, Some(hash))
+          }
+        }
+      }
+      .toDF(idCol, "dhash")
+  }
+
   /** Batch-shaped decode across ALL media classes: images decode for
     * REAL (`javax.imageio` header parse — actual format name and
     * pixel dims); bytes no JDK reader claims fall back to the

@@ -777,6 +777,56 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       u.fieldIndex("mean_gray")))
   }
 
+  test("perceptual dHash: identical images collide across containers, " +
+      "uniform brightness shift is invariant, patterns differ, junk null") {
+    import Multimodal._
+    val rows = Seq((1L, "png", 40), (2L, "bmp", 40), (4L, "png", 91))
+      .toDF("id", "fmt", "seed")
+      .select($"id", encodeTestImagePattern(
+        $"fmt", lit(20), lit(16), $"seed").as("blob"))
+    val h = imageDHashPartitions(rows, "blob", "id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(h(1L).isDefined)
+    assert(h(1L) == h(2L), "same pixels, different container")
+    assert(h(1L) != h(4L), "different pattern")
+    // brightness invariance: the same half-range pattern with and
+    // without a uniform +25 gray lift (wrap-free by construction)
+    // must hash identically — gradient DIRECTION, not level
+    val shifted = Seq((5L, 0), (6L, 25)).toDF("id", "off")
+      .select($"id", shiftPatternBlob(lit(40), $"off").as("blob"))
+    val h5 = imageDHashPartitions(shifted, "blob", "id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(h5(5L).isDefined)
+    assert(h5(5L) == h5(6L), "uniform brightness shift preserves dHash")
+    // junk bytes and too-small images → null
+    val junk = Seq((7L, "tiny")).toDF("id", "t")
+      .select($"id", asBlob($"t").as("blob"))
+    assert(imageDHashPartitions(junk, "blob", "id").head.isNullAt(1))
+    val tiny = Seq((8L, "png")).toDF("id", "fmt")
+      .select($"id", encodeTestImage($"fmt", lit(4), lit(4), lit(0))
+        .as("blob"))
+    assert(imageDHashPartitions(tiny, "blob", "id").head.isNullAt(1))
+  }
+
+  /** Encode a half-range (≤127) 20×16 fixture pattern lifted by a
+    * uniform `off` gray levels (wrap-free for off ≤ 128): identical
+    * pairwise mean orderings at every offset, for the dHash
+    * brightness-invariance assertion.
+    */
+  private val shiftPatternBlob =
+    org.apache.spark.sql.functions.udf { (seed: Int, off: Int) =>
+      val img = new java.awt.image.BufferedImage(20, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 20) {
+        val base = (seed + 53 * x * x + 31 * y * y + 97 * x * y) % 256
+        val g = base / 2 + off
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
   test("real audio codec: encode→decodeAudioPartitions returns actual " +
       "container/rate/channels/frames and exact mean amplitude") {
     val fixtures = Seq((1L, "wave", 8000, 1, 50, -500),
