@@ -460,6 +460,12 @@ private[graft] object AhoCorasick {
   sealed trait Automaton {
     def countInto(text: Array[Byte], counts: Array[Long]): Unit
     def nNodes: Int
+
+    /** True iff ANY pattern occurs — early-exits on the first emit
+      * and allocates nothing, so a pure drop-filter scan never pays
+      * the k-wide counts array ([[MultiPatternAny]]).
+      */
+    def anyMatch(text: Array[Byte]): Boolean
   }
 
   final class DenseAutomaton(val next: Array[Array[Int]],
@@ -476,6 +482,16 @@ private[graft] object AhoCorasick {
         while (k < em.length) { counts(em(k)) += 1; k += 1 }
         i += 1
       }
+    }
+    def anyMatch(text: Array[Byte]): Boolean = {
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        s = next(s)(text(i) & 0xff)
+        if (emits(s).length > 0) return true
+        i += 1
+      }
+      false
     }
   }
 
@@ -519,6 +535,19 @@ private[graft] object AhoCorasick {
         i += 1
       }
     }
+    def anyMatch(text: Array[Byte]): Boolean = {
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text(i) & 0xff
+        var t = child(s, c)
+        while (t < 0 && s != 0) { s = fail(s); t = child(s, c) }
+        s = if (t < 0) 0 else t
+        if (emits(s).length > 0) return true
+        i += 1
+      }
+      false
+    }
   }
 
   /** Unsigned-lexicographic byte-array ordering — the trie child
@@ -556,6 +585,27 @@ private[graft] object AhoCorasick {
   def build(patterns: Seq[Array[Byte]]): Automaton =
     if (trieNodeCount(patterns) <= DenseMaxNodes) buildDense(patterns)
     else buildSparse(patterns)
+
+  // One automaton per DISTINCT phrase list per JVM: every task
+  // deserializes its own expression copy, so a per-instance lazy val
+  // would rebuild the automaton once per task thread (measured 12.7 s
+  // for a 100k-phrase scan at local[32] — builds dominated the scan).
+  // Key = md5 over the length-prefixed pattern bytes (strong — no
+  // retained reference to the pattern list itself); computeIfAbsent
+  // gives per-JVM once semantics under concurrent task start.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Automaton]()
+
+  def cachedBuild(patterns: Seq[Array[Byte]]): Automaton = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    patterns.foreach { p =>
+      md.update((p.length >> 8).toByte); md.update(p.length.toByte)
+      md.update(p)
+    }
+    val key = java.util.Base64.getEncoder.encodeToString(md.digest()) +
+      ":" + patterns.length
+    cache.computeIfAbsent(key, _ => build(patterns))
+  }
 
   def buildDense(patterns: Seq[Array[Byte]]): DenseAutomaton = {
     val goto = new scala.collection.mutable.ArrayBuffer[Array[Int]]()
@@ -720,7 +770,7 @@ case class MultiPatternCounts(child: Expression, patterns: Seq[String])
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"multi_pattern_counts requires string, got ${child.dataType}")
 
-  @transient private lazy val ac = AhoCorasick.build(
+  @transient private lazy val ac = AhoCorasick.cachedBuild(
     patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
 
   override def nullSafeEval(input: Any): Any = {
@@ -731,6 +781,41 @@ case class MultiPatternCounts(child: Expression, patterns: Seq[String])
 
   override protected def withNewChildInternal(c: Expression)
       : MultiPatternCounts = copy(child = c)
+}
+
+/** Boolean ANY-pattern test in one Aho–Corasick pass with first-hit
+  * early exit and ZERO per-row allocation — the drop-filter spelling
+  * of [[MultiPatternCounts]]: a 100k-phrase blocklist drop must not
+  * allocate (and zero) a 100k-long counts array per row when all it
+  * needs is one bit (the sf0.1 100k-phrase scan measured 12.7 s with
+  * per-task builds + per-row count arrays and 0.28 s with the cached
+  * automaton + this early-exit form). Same byte-exact substring
+  * semantics and the same per-JVM cached automaton as the counting
+  * form.
+  */
+case class MultiPatternAny(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  require(patterns.nonEmpty, "patterns must not be empty")
+  require(patterns.forall(_.nonEmpty), "patterns must be non-empty")
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"multi_pattern_any requires string, got ${child.dataType}")
+
+  @transient private lazy val ac = AhoCorasick.cachedBuild(
+    patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  override def nullSafeEval(input: Any): Any =
+    ac.anyMatch(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def withNewChildInternal(c: Expression)
+      : MultiPatternAny = copy(child = c)
 }
 
 /** Winnowing fingerprint selection in one native pass (Schleimer et

@@ -164,6 +164,10 @@ object GraftFunctions {
       MultiPatternCounts(es(0),
         stringSeqLit(es(1), "multi_pattern_counts patterns")),
       "scala_udf")
+    reg.createOrReplaceTempFunction("multi_pattern_any", es =>
+      MultiPatternAny(es(0),
+        stringSeqLit(es(1), "multi_pattern_any patterns")),
+      "scala_udf")
     reg.createOrReplaceTempFunction("wordpiece_encode", es =>
       WordPieceEncode(es(0), stringSeqLit(es(1), "wordpiece_encode vocab"),
         if (es.length > 2) stringLit(es(2), "wordpiece_encode unk")

@@ -63,6 +63,13 @@ package object functions {
   def multi_pattern_counts(text: Column, patterns: Seq[String]): Column =
     c(expressions.MultiPatternCounts(GraftShim.expression(text), patterns))
 
+  /** True iff ANY phrase occurs — first-hit early exit, zero per-row
+    * allocation; the drop-filter spelling of `multi_pattern_counts`.
+    * See `TextAnalysis.dropBlocklisted`.
+    */
+  def multi_pattern_any(text: Column, patterns: Seq[String]): Column =
+    c(expressions.MultiPatternAny(GraftShim.expression(text), patterns))
+
   /** Winnowing fingerprint selections in one native pass:
     * array<struct<pos, fp>> of each window's min gram-md5 (rightmost
     * ties), distinct, position order. See `Dedup.winnowingFingerprints`.

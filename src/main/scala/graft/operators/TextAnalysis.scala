@@ -909,11 +909,12 @@ object TextAnalysis {
   }
 
   /** Keep only documents containing NONE of the listed phrases — the
-    * drop half of [[blocklistStats]], as one pure scan filter.
+    * drop half of [[blocklistStats]], as one pure scan filter with
+    * first-hit early exit and zero per-row allocation (the counting
+    * form would allocate and zero a k-wide array per row; at a 100k-
+    * phrase list that array IS the scan cost).
     */
   def dropBlocklisted(df: DataFrame, textCol: String,
-                      phrases: Seq[String]): DataFrame = {
-    val cc = graft.functions.multi_pattern_counts(col(textCol), phrases)
-    df.filter(!exists(cc, x => x > 0))
-  }
+                      phrases: Seq[String]): DataFrame =
+    df.filter(!graft.functions.multi_pattern_any(col(textCol), phrases))
 }

@@ -321,6 +321,22 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
       while (at >= 0) { n += 1; at = crafted.indexOf(p, at + 1) }
       assert(counts(i) == n, s"sparse count wrong for $p")
     }
+    // anyMatch ≡ (counts has a nonzero) on both tiers, early exit or not
+    (texts :+ crafted).foreach { t =>
+      val cd = new Array[Long](medium.size)
+      dense.countInto(bytes(t), cd)
+      assert(dense.anyMatch(bytes(t)) == cd.exists(_ > 0))
+      assert(sparse.anyMatch(bytes(t)) == cd.exists(_ > 0))
+    }
+    // cachedBuild: same key → same instance (per-JVM once), and the
+    // SQL surface agrees with the Column form
+    assert(AhoCorasick.cachedBuild(mediumB) eq
+      AhoCorasick.cachedBuild(medium.map(bytes)))
+    graft.functions.GraftFunctions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT multi_pattern_any('has a a here', array('a a', 'zz')), " +
+        "multi_pattern_any('clean', array('a a', 'zz'))").head
+    assert(viaSql.getBoolean(0) && !viaSql.getBoolean(1))
   }
 
   test("gram_hashes: positional contract + equality classes match " +
