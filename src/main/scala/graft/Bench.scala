@@ -231,6 +231,42 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // The d11 grid-scaling knob, measured: the same fixture shape as
+    // the d11 gate but with nPlanes from GRAFT_D11_NPLANES (default
+    // 20) — the scaladoc remedy when bucket occupancy rises with
+    // corpus size (16 planes = 65,536 buckets/table is the gate's
+    // small-SF setting; a 400k-vector clustered corpus wants 20–24).
+    // Keeping both rows in the roster turns "raise nPlanes at scale"
+    // from advice into a measured curve.
+    def embLshTunedOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      System.gc()
+      Thread.sleep(300)
+      val nPlanes = sys.env.getOrElse("GRAFT_D11_NPLANES", "20").toInt
+      val t0 = System.nanoTime()
+      try {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double"))
+              .as("embedding"))
+        val mutated = emb
+          .withColumn("vec_id", col("vec_id") + 1000000L)
+          .withColumn("embedding", concat(
+            array(element_at(col("embedding"), 1) + lit(0.015625)),
+            slice(col("embedding"), 2, 63)))
+        graft.operators.Dedup.embeddingNearDupPairsLsh(
+            emb.unionByName(mutated), "embedding", "vec_id",
+            threshold = 0.9, nPlanes = nPlanes, dim = 64, nTables = 8)
+          .write.mode("overwrite").format("noop").save()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] d11_lsh_tuned failed: " +
+            e.getMessage)
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // (median, min, max) over reps; any failed rep marks the query
     // failed outright — a flaky query must not hide behind its median
     def stats(samples: Seq[Double]): (Double, Double, Double) = {
@@ -258,7 +294,8 @@ object Bench {
         "streaming_embdedup" -> (() => streamingEmbDedupOnce()),
         "exact_window_explode" -> (() => exactWindowOnce(pane = false)),
         "exact_window_pane" -> (() => exactWindowOnce(pane = true)),
-        "blocklist_sparse" -> (() => blocklistSparseOnce()))
+        "blocklist_sparse" -> (() => blocklistSparseOnce()),
+        "d11_lsh_tuned" -> (() => embLshTunedOnce()))
         .filter(p => want(p._1))
         .map { case (n, f) => n -> stats((1 to reps).map(_ => f())) }
     // Roster tiers: cross-check rows are deliberate redundancy — the

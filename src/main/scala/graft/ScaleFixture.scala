@@ -112,10 +112,32 @@ object ScaleFixture {
       "embeddings" -> (() => rep(load("embeddings"), (df, i) => {
         val shifted = off(df, i, "vec_id" -> ve)
         if (i == 0) shifted
-        else shifted.withColumn("embedding",
-          concat(slice(col("embedding"), lit(i + 1),
-              size(col("embedding")) - i),
-            slice(col("embedding"), lit(1), lit(i))))
+        else {
+          // copy i: circular shift by i mod 64 THEN negate the
+          // coordinates where (31k + 17i) ≡ 0 (mod 13). Both are
+          // isometries (a permutation and a ±1 diagonal), so every
+          // within-copy cosine is preserved exactly; the per-copy
+          // sign mask makes COMPOSED transforms distinct — without
+          // it, building sf10 as (sf0.1 →×10 sf1 →×10 sf10) gives
+          // copy (i, j) the additive shift i+j, so pairs with equal
+          // totals were bit-identical vectors and the true near-dup
+          // pair set grew quadratically inside those families (the
+          // d11 12.1× sf10 reading, audited in BENCH_sf10.json).
+          // Masks keyed by the copy index break the additivity:
+          // equal composites now need equal shift AND equal mask
+          // chains, which distinct copy indices never produce.
+          val sh = i % 64
+          val rolled =
+            if (sh == 0) col("embedding")
+            else concat(slice(col("embedding"), lit(sh + 1),
+                size(col("embedding")) - sh),
+              slice(col("embedding"), lit(1), lit(sh)))
+          shifted.withColumn("embedding",
+            zip_with(rolled,
+              sequence(lit(0), size(col("embedding")) - 1),
+              (v, k) => when((k * 31 + lit(i) * 17) % 13 === 0, -v)
+                .otherwise(v)))
+        }
       })))
 
     val outDir = java.nio.file.Paths.get(out)

@@ -893,6 +893,16 @@ object Dedup {
     * bucket — 1.3M candidates for 2k true pairs; 16 planes cut this
     * 250×). Raising nPlanes costs recall per the curve above; buy it
     * back with nTables.
+    *
+    * Measured grid-scaling curve (BENCH_sf10.json, clustered fixture):
+    * a FIXED 16-plane grid reads 14.9 s at a 40k-vector scope but
+    * 298.5 s at 400k (20× for 10× data — hot-bucket candidates grow
+    * quadratically over a fixed grid); at 400k, 20 planes read
+    * 111.8 s and 24 planes 51.7 s. Sizing the grid to the corpus
+    * (~16 planes per 40k clustered vectors, +4 planes per 10×) keeps
+    * the operator at ~3.5× wall for 10× data with recall still ~1 at
+    * near-dup angles (miss ≈ 3e-8 at cos 0.9999 with 24 planes × 8
+    * tables).
     */
   def embeddingNearDupPairsLsh(df: DataFrame, embCol: String,
                                idCol: String, threshold: Double = 0.9,
