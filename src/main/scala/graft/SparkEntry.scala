@@ -1898,6 +1898,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Container-independent EXACT audio dedup: 50 distinct audio
+    // contents (rate/channels/frames/sample level keyed by doc_id mod
+    // 50), each doc saving ITS content in one of three containers
+    // (wave/aiff/au — different magic, different payload endianness,
+    // different byte sizes). Dedup groups by the canonical decoded-
+    // PCM hash, so the three container spellings of one recording
+    // collapse into one group while a byte-level hash (also computed,
+    // as n_distinct_blobs) sees three distinct blobs per group — the
+    // oracle replays groups and the per-group container count as
+    // pure arithmetic.
+    "m8_audio_content_dedup" -> ((s, d) => {
+      val key = pmod(col("doc_id"), lit(50))
+      val container = element_at(
+        array(lit("wave"), lit("aiff"), lit("au")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val rate = element_at(
+        array(lit(8000), lit(16000), lit(22050), lit(44100)),
+        (pmod(key, lit(4)) + 1).cast("int"))
+      val blobs = t(s, d, "documents").select(col("doc_id"),
+        operators.Multimodal.encodeTestAudio(container, rate,
+          (pmod(key, lit(2)) + 1).cast("int"),
+          (key + 50).cast("int"),
+          (key * 7 - 150).cast("int")).as("blob"))
+        .withColumn("byte_sha", sha2(col("blob"), 256))
+      operators.Multimodal.decodeAudioPartitions(blobs, "blob", "doc_id")
+        .join(blobs.select(col("doc_id"), col("byte_sha")), "doc_id")
+        .groupBy(col("pcm_sha256"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("byte_sha")).as("n_distinct_blobs"))
+        .select(col("keeper_id"), col("n_docs"), col("n_distinct_blobs"))
+        .orderBy(col("keeper_id"))
+    }),
+
     // Perceptual image hash over REAL decoded pixels: each doc_id
     // picks lossless format/dims/pattern seed, the query encodes the
     // analytic quadratic pattern, decodes it back with javax.imageio,
@@ -4514,6 +4548,17 @@ object SparkEntry {
         |  round(CAST(n_frames AS DOUBLE) * 1000.0 / rate, 6)
         |    AS duration_ms
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // content groups = doc_id mod 50 (the decoded-PCM hash ignores
+    // the container); per-group distinct byte blobs = distinct
+    // containers = count(DISTINCT doc_id % 3), since identical
+    // (content, container) re-encodes are byte-identical and the
+    // three containers never are
+    "m8_audio_content_dedup" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_docs,
+        |  count(DISTINCT doc_id % 3) AS n_distinct_blobs
+        |FROM documents GROUP BY doc_id % 50
+        |ORDER BY keeper_id""".stripMargin,
 
     // the pixel grid rebuilt arithmetically (cell index inverted in
     // closed form: i = ceil(9(x+1)/w) - 1), cell means as the same

@@ -321,8 +321,17 @@ object Multimodal {
   /** Batch-shaped REAL audio decode (the [[decodeImagePartitions]]
     * twin): one pass per partition, full-payload PCM decode per row.
     * Output: (idCol, audio_format, sample_rate, channels, n_frames,
-    * mean_sample, duration_ms); non-audio bytes yield audio_format
-    * "unknown" with null stats.
+    * mean_sample, duration_ms, pcm_sha256); non-audio bytes yield
+    * audio_format "unknown" with null stats.
+    *
+    * `pcm_sha256` hashes the DECODED signal, not the container
+    * bytes: sample rate, channel count, and every 16-bit sample in
+    * canonical little-endian frame order. The same recording saved
+    * as WAV, AIFF, and AU (different containers, different payload
+    * endianness, different byte sizes) therefore hashes identically
+    * — the container-independent exact audio dedup key a multimodal
+    * corpus needs, where a byte-level md5 sees three distinct blobs
+    * (the m8 gate).
     */
   def decodeAudioPartitions(df: DataFrame, blobCol: String,
                             idCol: String): DataFrame = {
@@ -335,15 +344,48 @@ object Multimodal {
           decodeAudioFull(bytes) match {
             case Some((fmt, rate, ch, frames, mean)) =>
               (id, fmt, rate, ch, frames, Some(mean),
-                Some(frames.toDouble * 1000.0 / rate))
+                Some(frames.toDouble * 1000.0 / rate),
+                Some(pcmSha256(bytes)))
             case None =>
               (id, "unknown", 0, 0, 0L, None: Option[Double],
-                None: Option[Double])
+                None: Option[Double], None: Option[String])
           }
         }
       }
       .toDF(idCol, "audio_format", "sample_rate", "channels", "n_frames",
-        "mean_sample", "duration_ms")
+        "mean_sample", "duration_ms", "pcm_sha256")
+  }
+
+  /** SHA-256 over the canonical decoded signal: "rate:channels:"
+    * ASCII header, then every 16-bit sample little-endian in frame
+    * order — byte-order-normalized so WAV (LE) and AIFF/AU (BE)
+    * payloads of the same recording collide.
+    */
+  private def pcmSha256(bytes: Array[Byte]): String = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = ais.getFormat
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(s"${f.getSampleRate.round}:${f.getChannels}:"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      val canon = new Array[Byte](n * 2)
+      var i = 0
+      if (f.isBigEndian)
+        while (i < n) {
+          canon(2 * i) = data(2 * i + 1); canon(2 * i + 1) = data(2 * i)
+          i += 1
+        }
+      else
+        while (i < n) {
+          canon(2 * i) = data(2 * i); canon(2 * i + 1) = data(2 * i + 1)
+          i += 1
+        }
+      md.update(canon)
+      md.digest().map("%02x".format(_)).mkString
+    } finally ais.close()
   }
 
   /** Deterministic patterned test-image encoder (the m6/m7 fixture
