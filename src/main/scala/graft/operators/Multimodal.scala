@@ -441,6 +441,59 @@ object Multimodal {
     * all-pairs pixel comparison — the image-dedup stage of a
     * multimodal curation pipeline at corpus scale.
     */
+  /** The dHash core: decode + block-mean grid + difference bits.
+    * None for non-images and images smaller than the grid.
+    */
+  private def dHashOf(bytes: Array[Byte], gridW: Int,
+                      gridH: Int): Option[Long] = {
+    val img = try javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(
+        if (bytes == null) Array.emptyByteArray else bytes))
+    catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth < gridW + 1 ||
+        img.getHeight < gridH) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val cols = gridW + 1
+      val means = Array.ofDim[Double](gridH, cols)
+      var j = 0
+      while (j < gridH) {
+        val y0 = j * h / gridH; val y1 = (j + 1) * h / gridH
+        var i = 0
+        while (i < cols) {
+          val x0 = i * w / cols; val x1 = (i + 1) * w / cols
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          means(j)(i) = sum.toDouble / (3.0 * (x1 - x0) * (y1 - y0))
+          i += 1
+        }
+        j += 1
+      }
+      var hash = 0L
+      j = 0
+      while (j < gridH) {
+        var i = 0
+        while (i < gridW) {
+          if (means(j)(i) < means(j)(i + 1))
+            hash |= 1L << (j * gridW + i)
+          i += 1
+        }
+        j += 1
+      }
+      Some(hash)
+    }
+  }
+
   def imageDHashPartitions(df: DataFrame, blobCol: String, idCol: String,
                            gridW: Int = 8, gridH: Int = 8): DataFrame = {
     require(gridW * gridH <= 64, "dhash must fit 64 bits")
@@ -448,57 +501,24 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val img = try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(
-              if (bytes == null) Array.emptyByteArray else bytes))
-          catch { case _: java.io.IOException => null }
-          if (img == null || img.getWidth < gridW + 1 ||
-              img.getHeight < gridH) (id, None: Option[Long])
-          else {
-            val w = img.getWidth; val h = img.getHeight
-            val cols = gridW + 1
-            val means = Array.ofDim[Double](gridH, cols)
-            var j = 0
-            while (j < gridH) {
-              val y0 = j * h / gridH; val y1 = (j + 1) * h / gridH
-              var i = 0
-              while (i < cols) {
-                val x0 = i * w / cols; val x1 = (i + 1) * w / cols
-                var sum = 0L
-                var y = y0
-                while (y < y1) {
-                  var x = x0
-                  while (x < x1) {
-                    val rgb = img.getRGB(x, y)
-                    sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-                      (rgb & 0xff)
-                    x += 1
-                  }
-                  y += 1
-                }
-                means(j)(i) = sum.toDouble / (3.0 * (x1 - x0) * (y1 - y0))
-                i += 1
-              }
-              j += 1
-            }
-            var hash = 0L
-            j = 0
-            while (j < gridH) {
-              var i = 0
-              while (i < gridW) {
-                if (means(j)(i) < means(j)(i + 1))
-                  hash |= 1L << (j * gridW + i)
-                i += 1
-              }
-              j += 1
-            }
-            (id, Some(hash))
-          }
-        }
-      }
+      .mapPartitions(it =>
+        it.map { case (id, bytes) => (id, dHashOf(bytes, gridW, gridH)) })
       .toDF(idCol, "dhash")
+  }
+
+  /** Column form of the dHash (same bits as
+    * [[imageDHashPartitions]]), for composition where the batch
+    * shape doesn't fit — e.g. a STREAMING image near-dup stage:
+    * `StreamingDedup.simhashPairs(src, imageDHash(col("blob")), …)`
+    * runs decode → perceptual hash → banded bucket state per
+    * micro-batch with the image's event-time horizon. Null for
+    * non-images (which the banded pair operators drop as contentless
+    * — the SimHash convention).
+    */
+  def imageDHash(blob: Column, gridW: Int = 8, gridH: Int = 8): Column = {
+    require(gridW * gridH <= 64, "dhash must fit 64 bits")
+    val f = udf { (bytes: Array[Byte]) => dHashOf(bytes, gridW, gridH) }
+    f(blob.cast(BinaryType))
   }
 
   /** Batch-shaped decode across ALL media classes: images decode for

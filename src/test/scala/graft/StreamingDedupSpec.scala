@@ -75,6 +75,58 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IMAGE near-dup: decode → dHash → banded state " +
+      "matches the batch m7 recipe on a replayed bounded input") {
+    import graft.operators.Multimodal
+    // the m7 fixture shape at micro scale: 60 patterned images plus a
+    // re-encode of every 10th (same pattern, other container, new id)
+    val base = spark.range(60).select($"id".as("doc_id"),
+      Multimodal.encodeTestImagePattern(
+        element_at(array(lit("png"), lit("bmp")),
+          (pmod($"id", lit(2)) + 1).cast("int")),
+        (pmod($"id", lit(28)) + 9).cast("int"),
+        (pmod($"id", lit(17)) + 8).cast("int"),
+        pmod($"id" * 7, lit(256)).cast("int")).as("blob"))
+    val copies = base.filter(pmod($"doc_id", lit(10)) === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    val all = base.unionByName(copies)
+      .withColumn("ts", timestamp_millis(lit(1000L) +
+        pmod($"doc_id", lit(1000000L)) * 20 +
+        when($"doc_id" >= 1000000L, 1L).otherwise(0L)))
+    val dir = Files.createTempDirectory("graft-simgdedup").toFile
+    val inPath = new java.io.File(dir, "in").getAbsolutePath
+    all.write.parquet(inPath)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inPath).schema)
+      .parquet(inPath)
+    val out = StreamingDedup.simhashPairs(stream,
+      Multimodal.imageDHash($"blob"), "doc_id", "ts",
+      horizonMs = 86400000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("simgdedup").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("simgdedup")
+        .select($"doc_id_1", $"doc_id_2", $"hamming")
+        .as[(String, String, Int)].collect().toSeq
+      val want = Dedup.simhashPairsFromSig(
+          Multimodal.imageDHashPartitions(all, "blob", "doc_id"),
+          col("dhash"), "doc_id")
+        .select($"doc_id_1".cast("string"), $"doc_id_2".cast("string"),
+          $"hamming")
+        .as[(String, String, Int)].collect().toSeq
+      assert(want.nonEmpty, "fixture must produce image pairs")
+      // every copy pairs with its original at hamming 0
+      val copyPairs = got.filter { case (a, b, _) =>
+        math.abs(a.toLong - b.toLong) == 1000000L }
+      assert(copyPairs.size == 6 && copyPairs.forall(_._3 == 0))
+      assert(got.length == pairSet(got).size,
+        "each pair must emit exactly once")
+      assert(pairSet(got) == pairSet(want),
+        "stream image pair set must equal the batch m7 recipe")
+    } finally q.stop()
+  }
+
   test("identical docs colliding on all bands emit exactly one pair") {
     val input = MemoryStream[Doc](spark)
     val src = input.toDF
