@@ -1683,6 +1683,23 @@ object SparkEntry {
             .as("zval"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // Small-file compaction round trip: fragment the documents table
+    // into 32 tiny part files (the streaming-sink accretion shape),
+    // compact shuffle-free to a handful sized from the listed input
+    // bytes, read back — identity oracle proves no row is lost or
+    // duplicated by the rewrite+swap; the file-count/shuffle behavior
+    // is spec-asserted (StorageSpec)
+    "q39_compact_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q39").toString + "/frag"
+      docs.repartition(32).write.parquet(tmp)
+      operators.Storage.compact(s, tmp, targetFileBytes = 1L << 20)
+      s.read.parquet(tmp).orderBy(col("doc_id"))
+    }),
+
     // JSONL interchange round trip (the web-corpus drop format):
     // documents → sinkJsonl (gzip part files) → fromJsonl pinned to
     // the source schema → identity. The oracle is the source table
@@ -4225,6 +4242,11 @@ object SparkEntry {
 
     // identity: the round trip must hand back the source table
     "q38_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identity: compaction must hand back the source table
+    "q39_compact_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -35,6 +35,59 @@ object Storage {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Small-file compaction for a parquet directory — the maintenance
+    * pass every long-lived 100 TB table needs: streaming sinks and
+    * per-partition writers accrete thousands of KB-sized part files,
+    * and scan cost becomes file-open dominated (driver listing, task
+    * scheduling, footer reads) instead of byte dominated. Rewrites
+    * the directory so output files target `targetFileBytes` of
+    * on-disk (compressed) size, sized from the ACTUAL listed input
+    * bytes, then atomically-ish swaps directories (write to a temp
+    * sibling, rename away the original, rename the temp in, delete
+    * the original — the file-level primitive; table formats make the
+    * swap transactional, this operator is the rewrite underneath).
+    *
+    * Scale shape: `rebalance = false` (default) uses `coalesce` — NO
+    * shuffle; each output task just reads and re-writes several
+    * input files, so the job moves every byte exactly once. Pass
+    * `rebalance = true` only when input files are badly skewed and
+    * the one-time full shuffle (`repartition`) is worth even output
+    * sizes.
+    *
+    * @return (input file count, output file count)
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20,
+              rebalance: Boolean = false): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hPath, true)
+    var inFiles = 0
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        inFiles += 1; totalBytes += f.getLen
+      }
+    }
+    require(inFiles > 0, s"no parquet files under $path")
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(path)
+    val sized = if (rebalance) df.repartition(nOut) else df.coalesce(nOut)
+    val tmp = new Path(hPath.getParent, hPath.getName + "__compact_tmp")
+    val old = new Path(hPath.getParent, hPath.getName + "__compact_old")
+    fs.delete(tmp, true)
+    sized.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    require(fs.rename(hPath, old), s"could not move $hPath aside")
+    require(fs.rename(tmp, hPath), s"could not move compacted dir in")
+    fs.delete(old, true)
+    (inFiles, nOut)
+  }
+
   /** Morton (Z-order) code: interleave the low `bits` bits of each
     * column, column c's bit j landing at position j·n+c. Inputs must
     * already be quantized to non-negative ints < 2^bits (e.g.

@@ -91,4 +91,40 @@ class StorageSpec extends AnyFunSuite with SparkSpec {
       case _ =>
     }
   }
+
+  test("compact: merges small files shuffle-free to the byte-sized " +
+      "count, keeps content identical, rebalance tier shuffles") {
+    import spark.implicits._
+    val docs = Graft.table(spark, sf, "documents")
+      .select($"doc_id", $"text").limit(400)
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toString + "/t"
+    docs.repartition(40).write.parquet(dir)
+    def parts(p: String): Int = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts(dir) == 40, "fixture must start fragmented")
+    val before = spark.read.parquet(dir)
+      .as[(Long, String)].collect().toSet
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target a quarter of the data per file → expect ceil(total/target)
+    val target = math.max(totalBytes / 4, 1L)
+    val (nIn, nOut) = Storage.compact(spark, dir, target)
+    assert(nIn == 40)
+    assert(nOut == ((totalBytes + target - 1) / target).toInt)
+    assert(parts(dir) == nOut, "directory must hold the compacted files")
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet
+      == before, "compaction must not lose or duplicate rows")
+    // default tier must not shuffle: coalesce plan has no Exchange
+    val plan = spark.read.parquet(dir).coalesce(2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"coalesce compaction must be shuffle-free:\n$plan")
+    // rebalance tier: still identity, file count honored
+    val (_, nOut2) = Storage.compact(spark, dir,
+      targetFileBytes = totalBytes * 2, rebalance = true)
+    assert(nOut2 == 1 && parts(dir) == 1)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet
+      == before)
+  }
 }
