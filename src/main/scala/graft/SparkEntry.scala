@@ -43,6 +43,21 @@ object SparkEntry {
     Seq("table table", "scan scan", "a a", "value", "qu",
       "abcabc", "cab", "bcd")
 
+  /** t29's merge list — one definition feeds the Spark query; the
+    * oracle embeds the same pairs literally. Designed so (a) operands
+    * of each merge form only via earlier merges (two-level chains:
+    * t h→th→the, i n→in→ing, e r→er→ers, o n→on→one), (b) no merge
+    * has left == right — the condition under which GPT-2's
+    * iterative-lowest-rank semantic provably equals the rank-order
+    * fixpoint-replace form the SQL oracle replays (verified
+    * exhaustively over ≤7-symbol strings on the operand alphabet +
+    * 200k-string fuzz; self-pair lists, where the forms differ, are
+    * spec-pinned to the canonical semantic instead).
+    */
+  private val bpeMerges: Seq[String] =
+    Seq("t h", "i n", "a n", "r e", "o n", "e r", "th e", "in g",
+      "an d", "o r", "e s", "s t", "e d", "a t", "o u", "er s", "on e")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -1511,6 +1526,21 @@ object SparkEntry {
             greatest((size(toks) / 2).cast("int"), lit(1)))).as("text"))
       operators.Dedup.containmentOverlap(docs, ref, "text", "doc_id",
           "ref_id", shingleN = 3, threshold = 0.9)
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL merge-list BPE (GPT-2 inference semantics) over the
+    // printable-ASCII projection of every document: full token
+    // fidelity gated — the oracle replays every merge as a
+    // rank-order fixpoint of separator-string replaces in a
+    // recursive CTE and compares the complete '|'-joined token
+    // stream, not just counts
+    "t29_bpe_tokenize" -> ((s, d) => {
+      val ascii = regexp_replace(col("text"), "[^ -~]", "")
+      val toks = graft.functions.bpe_encode(ascii, bpeMerges)
+      t(s, d, "documents").select(col("doc_id"),
+          size(toks).cast("long").as("n_bpe"),
+          array_join(toks, "|").as("toks"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4239,6 +4269,58 @@ object SparkEntry {
         |    AS norm_url,
         |  host
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // every merge replayed as a rank-order fixpoint of
+    // separator-string replaces (see the bpeMerges scaladoc for the
+    // equivalence conditions); full '|'-joined token stream compared
+    "t29_bpe_tokenize" ->
+      """WITH RECURSIVE m(midx, pat, rep) AS (
+        |  SELECT row_number() OVER () AS midx,
+        |    chr(31) || split_part(p, ' ', 1) || chr(31)
+        |      || split_part(p, ' ', 2) || chr(31) AS pat,
+        |    chr(31) || replace(p, ' ', '') || chr(31) AS rep
+        |  FROM (VALUES ('t h'),('i n'),('a n'),('r e'),('o n'),('e r'),
+        |    ('th e'),('in g'),('an d'),('o r'),('e s'),('s t'),('e d'),
+        |    ('a t'),('o u'),('er s'),('on e')) v(p)),
+        |docs AS (
+        |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS st
+        |  FROM documents),
+        |w0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(string_split_regex(st, ' +'),
+        |      (x, i) -> {'word': x, 'widx': i}), recursive := true)
+        |  FROM docs),
+        |w AS (SELECT doc_id, widx, word FROM w0 WHERE word <> ''),
+        |init AS (
+        |  SELECT doc_id, widx, 1 AS midx,
+        |    chr(31) || array_to_string(regexp_split_to_array(word, ''),
+        |      chr(31)) || chr(31) AS state
+        |  FROM w),
+        |rec AS (
+        |  SELECT * FROM init
+        |  UNION ALL
+        |  SELECT doc_id, widx,
+        |    CASE WHEN ns = state THEN midx + 1 ELSE midx END AS midx,
+        |    ns AS state
+        |  FROM (
+        |    SELECT r.doc_id, r.widx, r.midx, r.state,
+        |      replace(r.state, m.pat, m.rep) AS ns
+        |    FROM rec r JOIN m ON m.midx = r.midx)),
+        |fin AS (
+        |  SELECT doc_id, widx, trim(state, chr(31)) AS t
+        |  FROM rec WHERE midx = (SELECT max(midx) FROM m) + 1),
+        |perword AS (
+        |  SELECT doc_id, widx, replace(t, chr(31), '|') AS toks,
+        |    len(string_split(t, chr(31))) AS n
+        |  FROM fin),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bpe,
+        |    string_agg(toks, '|' ORDER BY widx) AS toks
+        |  FROM perword GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(p.n_bpe, 0) AS n_bpe,
+        |  coalesce(p.toks, '') AS toks
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // identity: the round trip must hand back the source table
     "q38_jsonl_roundtrip" ->

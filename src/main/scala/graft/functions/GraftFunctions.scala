@@ -172,6 +172,9 @@ object GraftFunctions {
       WordPieceEncode(es(0), stringSeqLit(es(1), "wordpiece_encode vocab"),
         if (es.length > 2) stringLit(es(2), "wordpiece_encode unk")
         else "[UNK]"), "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_encode", es =>
+      BpeEncode(es(0), stringSeqLit(es(1), "bpe_encode merges")),
+      "scala_udf")
     graft.operators.Udafs.register(spark)
   }
 }

@@ -70,6 +70,15 @@ package object functions {
   def multi_pattern_any(text: Column, patterns: Seq[String]): Column =
     c(expressions.MultiPatternAny(GraftShim.expression(text), patterns))
 
+  /** Merge-list byte-pair encoding (GPT-2 inference semantics):
+    * whitespace words → code-point symbols → iterative lowest-rank
+    * merges from the "left right" priority list → array<string>
+    * tokens. The real trained-tokenizer artifact; see
+    * `expressions.BpeEncode`.
+    */
+  def bpe_encode(text: Column, merges: Seq[String]): Column =
+    c(expressions.BpeEncode(GraftShim.expression(text), merges))
+
   /** Winnowing fingerprint selections in one native pass:
     * array<struct<pos, fp>> of each window's min gram-md5 (rightmost
     * ties), distinct, position order. See `Dedup.winnowingFingerprints`.

@@ -275,6 +275,42 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(kept.toSeq == Seq(1L))
   }
 
+  test("bpe_encode: GPT-2 iterative lowest-rank merge semantics — " +
+      "rank priority, all-occurrence LTR merge, self-pairs, unicode") {
+    val merges = Seq("t h", "i n", "e r", "th e", "r e")
+    def enc(s: String, m: Seq[String] = merges): Seq[String] =
+      Seq(s).toDF("t")
+        .select(graft.functions.bpe_encode($"t", m)).head.getSeq[String](0)
+    assert(enc("the") == Seq("the"))
+    // rank decides: in "there", (e,r) rank 2 fires before (th,e)
+    // rank 3 can — t,h,e,r,e → [th,e,r,e] → [th,er,e], and "the"
+    // never forms
+    assert(enc("there") == Seq("th", "er", "e"))
+    assert(enc("thin") == Seq("th", "in"))
+    // unlisted pairs → character fallback, never UNK
+    assert(enc("xyz") == Seq("x", "y", "z"))
+    assert(enc("") == Seq.empty)
+    assert(enc("  the  thin ") == Seq("the", "th", "in"))
+    // all-occurrence left-to-right merge within one step
+    assert(enc("ththth") == Seq("th", "th", "th"))
+    // SELF-PAIR merges take the canonical left-to-right alignment
+    // per step ([a,a,a,a,a] → [aa,aa,a] → tail-merge [aa,aaa]) — the
+    // case where the oracle's fixpoint-replace form can disagree,
+    // hence excluded from the t29 merge list and pinned here instead
+    val self = Seq("a a", "aa a")
+    assert(enc("aaa", self) == Seq("aaa"))
+    assert(enc("aaaa", self) == Seq("aa", "aa"))
+    assert(enc("aaaaa", self) == Seq("aa", "aaa"))
+    // multi-byte code points are single symbols
+    assert(enc("é t h", Seq("t h")) == Seq("é", "t", "h"))
+    assert(enc("éth", Seq("t h")) == Seq("é", "th"))
+    // SQL surface agrees
+    graft.functions.GraftFunctions.registerAll(spark)
+    val viaSql = spark.sql("SELECT bpe_encode('there thin', " +
+      "array('t h','i n','e r','th e','r e'))").head.getSeq[String](0)
+    assert(viaSql == Seq("th", "er", "e", "th", "in"))
+  }
+
   test("AhoCorasick sparse tier: bit-identical to dense, auto-selected " +
       "above the node threshold, edge-proportional memory") {
     import graft.expressions.AhoCorasick
