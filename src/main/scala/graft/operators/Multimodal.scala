@@ -356,6 +356,27 @@ object Multimodal {
         "mean_sample", "duration_ms", "pcm_sha256")
   }
 
+  /** Column form of the canonical decoded-PCM hash (same value as
+    * [[decodeAudioPartitions]]'s `pcm_sha256`; null for non-audio
+    * bytes), for composition where the batch shape doesn't fit —
+    * e.g. streaming container-independent exact audio dedup:
+    * `DataStream(src).select(audioContentHash(col("blob")).as("h"),
+    * …).dedupWithinWatermark(Seq("h"))` keeps the first spelling of
+    * each recording regardless of container.
+    */
+  def audioContentHash(blob: Column): Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) None
+      else
+        try Some(pcmSha256(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+    }
+    f(blob.cast(BinaryType))
+  }
+
   /** SHA-256 over the canonical decoded signal: "rate:channels:"
     * ASCII header, then every 16-bit sample little-endian in frame
     * order — byte-order-normalized so WAV (LE) and AIFF/AU (BE)

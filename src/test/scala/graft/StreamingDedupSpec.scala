@@ -127,6 +127,52 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming AUDIO exact dedup: container-independent content " +
+      "hash keeps one spelling per recording within the watermark") {
+    import graft.operators.Multimodal
+    // 8 recordings, each saved under all three containers (24 rows);
+    // plus one non-audio row whose null hash must pass through
+    val rows = spark.range(8).select($"id".as("key"))
+      .crossJoin(Seq("wave", "aiff", "au").toDF("container"))
+      .select($"key", $"container",
+        Multimodal.encodeTestAudio($"container",
+          element_at(array(lit(8000), lit(16000)),
+            (pmod($"key", lit(2)) + 1).cast("int")),
+          lit(1), ($"key" + 50).cast("int"),
+          ($"key" * 9 - 30).cast("int")).as("blob"))
+      .withColumn("row_id",
+        $"key" * 10 + when($"container" === "wave", 0)
+          .when($"container" === "aiff", 1).otherwise(2))
+      .withColumn("ts", timestamp_millis(lit(1000L) + $"row_id" * 20))
+    val dir = Files.createTempDirectory("graft-saudio").toFile
+    val inPath = new java.io.File(dir, "in").getAbsolutePath
+    rows.write.parquet(inPath)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inPath).schema).parquet(inPath)
+    val out = graft.api.DataStream(stream, "ts")
+      .withColumn("h", Multimodal.audioContentHash($"blob"))
+      .dedupWithinWatermark(Seq("h"))
+    val q = out.toDF.writeStream.outputMode("append")
+      .format("memory").queryName("saudio").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("saudio")
+        .select($"key", $"h").as[(Long, String)].collect()
+      // one survivor per recording, each with a distinct content hash
+      assert(kept.length == 8)
+      assert(kept.map(_._1).toSet == (0L until 8L).toSet)
+      assert(kept.map(_._2).toSet.size == 8)
+    } finally q.stop()
+    // batch parity: the same hash groups all three containers
+    val h = Multimodal.decodeAudioPartitions(
+        rows.select($"row_id", $"blob"), "blob", "row_id")
+      .join(rows.select($"row_id", $"key"), "row_id")
+      .groupBy($"key").agg(countDistinct($"pcm_sha256").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(h.values.forall(_ == 1L),
+      "all containers of one recording must share the content hash")
+  }
+
   test("identical docs colliding on all bands emit exactly one pair") {
     val input = MemoryStream[Doc](spark)
     val src = input.toDF
