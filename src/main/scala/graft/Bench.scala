@@ -306,9 +306,13 @@ object Bench {
     // subtotals are emitted.
     val crossCheckTier = Set("d6_embedding_neardup",
       "d13_dup_components_star", "exact_window_explode")
-    def tierTotal(cross: Boolean): Double =
+    // failed queries bill their tier at the same 10×-slowest penalty
+    // as the headline total — a newly-failing query must never read
+    // as a subtotal speedup in round-over-round comparisons
+    def tierTotal(cross: Boolean, penalty: Double): Double =
       results.collect { case (k, (v, _, _))
-        if v >= 0 && crossCheckTier.contains(k) == cross => v }.sum
+        if crossCheckTier.contains(k) == cross =>
+          if (v >= 0) v else penalty }.sum
     // ms precision on the stdout line: the driver records the LAST
     // ~3KB of the log, and round 4/5 both lost the medians because the
     // full-precision line (median+min+max × ~60 queries ≈ 7KB) had its
@@ -333,7 +337,7 @@ object Bench {
          else "recommended") + "\""
     }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","recommended_total":${tierTotal(cross = false)},"crosscheck_total":${tierTotal(cross = true)},"queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"tiers":$tiersJson,"reps":$reps,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","recommended_total":${tierTotal(cross = false, penalty)},"crosscheck_total":${tierTotal(cross = true, penalty)},"queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"tiers":$tiersJson,"reps":$reps,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -354,7 +358,7 @@ object Bench {
     // count, with target/bench_full.json always carrying the
     // complete median/min/max record.
     def line(qjson: String, extra: String): String =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","recommended_total":${ms(tierTotal(cross = false))},"crosscheck_total":${ms(tierTotal(cross = true))},"queries":$qjson$extra,"reps":$reps,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","full":"target/bench_full.json"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","recommended_total":${ms(tierTotal(cross = false, penalty))},"crosscheck_total":${ms(tierTotal(cross = true, penalty))},"queries":$qjson$extra,"reps":$reps,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","full":"target/bench_full.json"}"""
     val fullMap = jmap(_._1, ms)
     val headline =
       if (line(fullMap, "").length <= 1500) line(fullMap, "")

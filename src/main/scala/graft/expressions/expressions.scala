@@ -590,21 +590,40 @@ private[graft] object AhoCorasick {
   // deserializes its own expression copy, so a per-instance lazy val
   // would rebuild the automaton once per task thread (measured 12.7 s
   // for a 100k-phrase scan at local[32] — builds dominated the scan).
-  // Key = md5 over the length-prefixed pattern bytes (strong — no
-  // retained reference to the pattern list itself); computeIfAbsent
-  // gives per-JVM once semantics under concurrent task start.
+  // Key = md5 over the full-4-byte-length-prefixed pattern bytes
+  // (injective framing at any pattern length — a 2-byte prefix would
+  // let ≥64 KiB patterns alias another list's framing and silently
+  // serve the wrong automaton). BOUNDED: an access-order LRU capped
+  // at CacheMaxEntries, so a long-lived executor cycling through many
+  // distinct blocklists (Thrift server, notebooks) tops out at
+  // ~CacheMaxEntries × automaton size instead of growing without
+  // eviction; a rebuild after eviction is correctness-neutral.
+  private val CacheMaxEntries = 8
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Automaton]()
+    new java.util.LinkedHashMap[String, Automaton](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Automaton]): Boolean =
+        size() > CacheMaxEntries
+    }
 
   def cachedBuild(patterns: Seq[Array[Byte]]): Automaton = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    val len = java.nio.ByteBuffer.allocate(4)
     patterns.foreach { p =>
-      md.update((p.length >> 8).toByte); md.update(p.length.toByte)
-      md.update(p)
+      len.clear(); len.putInt(p.length)
+      md.update(len.array()); md.update(p)
     }
     val key = java.util.Base64.getEncoder.encodeToString(md.digest()) +
       ":" + patterns.length
-    cache.computeIfAbsent(key, _ => build(patterns))
+    // lock only the map, not the build: concurrent first touches of
+    // the SAME key may both build (benign — last insert wins), but
+    // distinct lists never serialize behind each other's build
+    val hit = cache.synchronized(Option(cache.get(key)))
+    hit.getOrElse {
+      val a = build(patterns)
+      cache.synchronized(cache.put(key, a))
+      a
+    }
   }
 
   def buildDense(patterns: Seq[Array[Byte]]): DenseAutomaton = {
@@ -1484,8 +1503,11 @@ case class BpeEncode(child: Expression, merges: Seq[String])
     extends UnaryExpression with CodegenFallback {
 
   require(merges.nonEmpty, "merges must not be empty")
-  require(merges.forall(_.split(" ", -1).count(_.nonEmpty) == 2),
-    "each merge must be a 'left right' pair")
+  require(merges.forall { p =>
+    val f = p.split(" ", -1)
+    f.length == 2 && f.forall(_.nonEmpty)
+  }, "each merge must be a 'left right' pair (exactly one space, " +
+    "non-empty sides)")
 
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
@@ -1497,11 +1519,17 @@ case class BpeEncode(child: Expression, merges: Seq[String])
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"bpe_encode requires string, got ${child.dataType}")
 
+  // parsed once (the constructor require guarantees exactly two
+  // non-empty space-separated sides, so the pattern match is total);
+  // the space key separator is unambiguous because symbols come from
+  // whitespace-split words and can never contain one
+  @transient private lazy val pairs: Array[(String, String)] =
+    merges.map { p => val f = p.split(" ", -1); (f(0), f(1)) }.toArray
+
   @transient private lazy val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
-    merges.zipWithIndex.foreach { case (p, i) =>
-      val Array(a, b) = p.split(" ")
-      m.putIfAbsent(a + " " + b, i)
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + " " + b, i)
     }
     m
   }
@@ -1525,13 +1553,13 @@ case class BpeEncode(child: Expression, merges: Seq[String])
       var best = Int.MaxValue
       var k = 0
       while (k < count - 1) {
-        val r = rank.get(syms(k) + " " + syms(k + 1))
+        val r = rank.get(syms(k) + " " + syms(k + 1))
         if (r != null && r < best) best = r
         k += 1
       }
       if (best == Int.MaxValue) done = true
       else {
-        val Array(a, b) = merges(best).split(" ")
+        val (a, b) = pairs(best)
         val next = new Array[String](count)
         var src = 0
         var dst = 0

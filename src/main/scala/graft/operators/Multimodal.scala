@@ -138,11 +138,15 @@ object Multimodal {
       if (!readers.hasNext) None
       else {
         val r = readers.next()
+        // NonFatal, not just IOException: the JDK readers throw
+        // IllegalArgumentException / ArrayIndexOutOfBounds on
+        // malformed (crawled) files — one corrupt blob must yield
+        // the documented unknown row, not kill the job
         try {
           r.setInput(iis, true, true)
           Some((r.getFormatName.toLowerCase(java.util.Locale.ROOT),
             r.getWidth(0), r.getHeight(0)))
-        } catch { case _: java.io.IOException => None }
+        } catch { case scala.util.control.NonFatal(_) => None }
         finally r.dispose()
       }
     } finally iis.close()
@@ -161,7 +165,7 @@ object Multimodal {
     readImageHeader(bytes).flatMap { case (fmt, _, _) =>
       val img = try javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight
@@ -220,11 +224,12 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
+          val n = if (bytes == null) 0 else bytes.length
           decodeImageFull(bytes) match {
             case Some((fmt, w, h, mean)) =>
-              (id, fmt, w, h, Some(mean), bytes.length)
+              (id, fmt, w, h, Some(mean), n)
             case None =>
-              (id, "unknown", 0, 0, None: Option[Double], bytes.length)
+              (id, "unknown", 0, 0, None: Option[Double], n)
           }
         }
       }
@@ -240,8 +245,20 @@ object Multimodal {
     * no JDK audio reader claims the bytes or the payload is not
     * 16-bit PCM.
     */
+  /** One-pass full decode: container type, declared rate/channels/
+    * frames, mean sample, AND the canonical-PCM SHA-256 — the
+    * endianness normalization and the amplitude sum share the single
+    * pass over the payload (a second decode per row would double the
+    * hot-path cost this batch operator exists to amortize). Only
+    * 16-bit PCM payloads qualify — the canonicalization is defined
+    * on 16-bit words, so 8-bit/µ-law streams return None here and
+    * null everywhere downstream (including [[audioContentHash]],
+    * keeping its "same value as pcm_sha256" contract exact).
+    * NonFatal-guarded: a malformed container yields the documented
+    * unknown row, never a task failure.
+    */
   private def decodeAudioFull(bytes: Array[Byte])
-      : Option[(String, Int, Int, Long, Double)] = {
+      : Option[(String, Int, Int, Long, Double, String)] = {
     if (bytes == null || bytes.length < 8) return None
     try {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
@@ -254,26 +271,31 @@ object Multimodal {
         val data = ais.readAllBytes()
         val n = data.length / 2
         if (n == 0) return None
+        val rate = f.getSampleRate.round
+        val canon = new Array[Byte](n * 2)
         var sum = 0L
         var i = 0
         if (f.isBigEndian)
           while (i < n) {
             sum += ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort
+            canon(2 * i) = data(2 * i + 1); canon(2 * i + 1) = data(2 * i)
             i += 1
           }
         else
           while (i < n) {
             sum += ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort
+            canon(2 * i) = data(2 * i); canon(2 * i + 1) = data(2 * i + 1)
             i += 1
           }
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        md.update(s"$rate:${f.getChannels}:"
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        md.update(canon)
         Some((aff.getType.toString.toLowerCase(java.util.Locale.ROOT),
-          f.getSampleRate.round, f.getChannels, ais.getFrameLength,
-          sum.toDouble / n))
+          rate, f.getChannels, ais.getFrameLength, sum.toDouble / n,
+          md.digest().map("%02x".format(_)).mkString))
       } finally ais.close()
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Deterministic test-audio encoder (the m5 fixture generator):
@@ -342,10 +364,9 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           decodeAudioFull(bytes) match {
-            case Some((fmt, rate, ch, frames, mean)) =>
+            case Some((fmt, rate, ch, frames, mean, sha)) =>
               (id, fmt, rate, ch, frames, Some(mean),
-                Some(frames.toDouble * 1000.0 / rate),
-                Some(pcmSha256(bytes)))
+                Some(frames.toDouble * 1000.0 / rate), Some(sha))
             case None =>
               (id, "unknown", 0, 0, 0L, None: Option[Double],
                 None: Option[Double], None: Option[String])
@@ -356,57 +377,24 @@ object Multimodal {
         "mean_sample", "duration_ms", "pcm_sha256")
   }
 
-  /** Column form of the canonical decoded-PCM hash (same value as
-    * [[decodeAudioPartitions]]'s `pcm_sha256`; null for non-audio
-    * bytes), for composition where the batch shape doesn't fit —
-    * e.g. streaming container-independent exact audio dedup:
-    * `DataStream(src).select(audioContentHash(col("blob")).as("h"),
-    * …).dedupWithinWatermark(Seq("h"))` keeps the first spelling of
-    * each recording regardless of container.
+  /** Column form of the canonical decoded-PCM hash (exactly
+    * [[decodeAudioPartitions]]'s `pcm_sha256` — one shared decode
+    * path; null for non-audio bytes and for payloads that are not
+    * 16-bit PCM), for composition where the batch shape doesn't fit
+    * — e.g. streaming container-independent exact audio dedup:
+    * `DataStream(src).withColumn("h", audioContentHash(col("blob")))
+    * .dedupWithinWatermark(Seq("h"))` keeps the first spelling of
+    * each recording regardless of container. NOTE on mixed corpora:
+    * dropDuplicates-family dedup compares null keys EQUAL, so all
+    * non-audio rows would collapse into one survivor — filter them
+    * out first, or coalesce the hash with a per-row fallback key
+    * (e.g. `coalesce(h, sha2(blob, 256))`).
     */
   def audioContentHash(blob: Column): Column = {
     val f = udf { (bytes: Array[Byte]) =>
-      if (bytes == null) None
-      else
-        try Some(pcmSha256(bytes))
-        catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => None
-          case _: java.io.IOException => None
-        }
+      decodeAudioFull(bytes).map(_._6)
     }
     f(blob.cast(BinaryType))
-  }
-
-  /** SHA-256 over the canonical decoded signal: "rate:channels:"
-    * ASCII header, then every 16-bit sample little-endian in frame
-    * order — byte-order-normalized so WAV (LE) and AIFF/AU (BE)
-    * payloads of the same recording collide.
-    */
-  private def pcmSha256(bytes: Array[Byte]): String = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try {
-      val f = ais.getFormat
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      md.update(s"${f.getSampleRate.round}:${f.getChannels}:"
-        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-      val data = ais.readAllBytes()
-      val n = data.length / 2
-      val canon = new Array[Byte](n * 2)
-      var i = 0
-      if (f.isBigEndian)
-        while (i < n) {
-          canon(2 * i) = data(2 * i + 1); canon(2 * i + 1) = data(2 * i)
-          i += 1
-        }
-      else
-        while (i < n) {
-          canon(2 * i) = data(2 * i); canon(2 * i + 1) = data(2 * i + 1)
-          i += 1
-        }
-      md.update(canon)
-      md.digest().map("%02x".format(_)).mkString
-    } finally ais.close()
   }
 
   /** Deterministic patterned test-image encoder (the m6/m7 fixture
@@ -470,7 +458,7 @@ object Multimodal {
     val img = try javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(
         if (bytes == null) Array.emptyByteArray else bytes))
-    catch { case _: java.io.IOException => null }
+    catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth < gridW + 1 ||
         img.getHeight < gridH) None
     else {

@@ -81,11 +81,21 @@ object Storage {
     val old = new Path(hPath.getParent, hPath.getName + "__compact_old")
     fs.delete(tmp, true)
     sized.write.mode("overwrite").parquet(tmp.toString)
+    // report what was actually WRITTEN: coalesce cannot raise the
+    // partition count above the scan's, so when the target size asks
+    // for more files than input partitions, the true output count is
+    // the smaller one — callers sizing downstream work need the real
+    // number, not the request
+    val outIt = fs.listFiles(tmp, false)
+    var outFiles = 0
+    while (outIt.hasNext) {
+      if (outIt.next().getPath.getName.endsWith(".parquet")) outFiles += 1
+    }
     fs.delete(old, true)
     require(fs.rename(hPath, old), s"could not move $hPath aside")
     require(fs.rename(tmp, hPath), s"could not move compacted dir in")
     fs.delete(old, true)
-    (inFiles, nOut)
+    (inFiles, outFiles)
   }
 
   /** Morton (Z-order) code: interleave the low `bits` bits of each

@@ -126,5 +126,11 @@ class StorageSpec extends AnyFunSuite with SparkSpec {
     assert(nOut2 == 1 && parts(dir) == 1)
     assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet
       == before)
+    // coalesce cannot SPLIT: asking one file for 8 must report the
+    // real written count (1), not the byte-sized request
+    val (_, nOut3) = Storage.compact(spark, dir,
+      targetFileBytes = math.max(totalBytes / 8, 1L))
+    assert(nOut3 == 1 && parts(dir) == 1,
+      "reported output count must be what was actually written")
   }
 }

@@ -131,8 +131,10 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
       "hash keeps one spelling per recording within the watermark") {
     import graft.operators.Multimodal
     // 8 recordings, each saved under all three containers (24 rows);
-    // plus one non-audio row whose null hash must pass through
-    val rows = spark.range(8).select($"id".as("key"))
+    // plus one non-audio row: its hash is null, and null keys compare
+    // EQUAL in dropDuplicates-family dedup (the audioContentHash
+    // scaladoc's mixed-corpus caveat), so a single one survives as-is
+    val audio = spark.range(8).select($"id".as("key"))
       .crossJoin(Seq("wave", "aiff", "au").toDF("container"))
       .select($"key", $"container",
         Multimodal.encodeTestAudio($"container",
@@ -140,6 +142,10 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
             (pmod($"key", lit(2)) + 1).cast("int")),
           lit(1), ($"key" + 50).cast("int"),
           ($"key" * 9 - 30).cast("int")).as("blob"))
+    val junk = Seq((99L, "none", "not audio bytes"))
+      .toDF("key", "container", "t")
+      .select($"key", $"container", Multimodal.asBlob($"t").as("blob"))
+    val rows = audio.unionByName(junk)
       .withColumn("row_id",
         $"key" * 10 + when($"container" === "wave", 0)
           .when($"container" === "aiff", 1).otherwise(2))
@@ -157,15 +163,20 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     try {
       q.processAllAvailable()
       val kept = spark.table("saudio")
-        .select($"key", $"h").as[(Long, String)].collect()
-      // one survivor per recording, each with a distinct content hash
-      assert(kept.length == 8)
-      assert(kept.map(_._1).toSet == (0L until 8L).toSet)
-      assert(kept.map(_._2).toSet.size == 8)
+        .select($"key", $"h").as[(Long, Option[String])].collect()
+      // one survivor per recording + the lone null-hash junk row
+      assert(kept.length == 9)
+      assert(kept.map(_._1).toSet == (0L until 8L).toSet + 99L)
+      assert(kept.flatMap(_._2).toSet.size == 8)
+      assert(kept.find(_._1 == 99L).get._2.isEmpty,
+        "non-audio bytes must carry a null content hash")
     } finally q.stop()
     // batch parity: the same hash groups all three containers
     val h = Multimodal.decodeAudioPartitions(
-        rows.select($"row_id", $"blob"), "blob", "row_id")
+        audio.withColumn("row_id",
+          $"key" * 10 + when($"container" === "wave", 0)
+            .when($"container" === "aiff", 1).otherwise(2))
+          .select($"row_id", $"blob"), "blob", "row_id")
       .join(rows.select($"row_id", $"key"), "row_id")
       .groupBy($"key").agg(countDistinct($"pcm_sha256").as("n"))
       .as[(Long, Long)].collect().toMap
