@@ -963,6 +963,26 @@ object SparkEntry {
     // ranked list hash-matches the exact all-pairs oracle. Round-6
     // cosine ties ((e,m1) vs (m1,m2) tie in ~40% of clusters) break by
     // neighbor_id — the same rule both engines apply.
+    // Embedding sanity/QA — the validation pass before any ANN/
+    // near-dup stage: every 11th vector zeroed, every 7th given a NaN
+    // first coordinate (both in-query, replayed by the oracle);
+    // dim/L2-norm/bad-coordinate-count/zero-flag per vector, with the
+    // norm computed over usable coordinates so one NaN doesn't erase
+    // the diagnostic row
+    "s6_embedding_stats" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val injected = emb.withColumn("embedding",
+        when(pmod(col("vec_id"), lit(11)) === 0,
+            transform(col("embedding"), _ => lit(0.0f)))
+          .when(pmod(col("vec_id"), lit(7)) === 0,
+            concat(array(lit(Float.NaN)),
+              slice(col("embedding"), 2, 63)))
+          .otherwise(col("embedding")))
+      operators.Similarity.embeddingStats(injected, "embedding",
+          "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
     "s5_knn_join" -> ((s, d) => {
       val emb = t(s, d, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
@@ -2852,6 +2872,29 @@ object SparkEntry {
         |  FROM sym)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
+
+    // injection + per-coordinate filters + usable-coordinate norm
+    // replayed; CASE order matters (77 = both → the zero branch, as
+    // in the Spark when-chain)
+    "s6_embedding_stats" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 11 = 0 THEN
+        |      list_transform(embedding::DOUBLE[], x -> 0.0)
+        |    WHEN vec_id % 7 = 0 THEN
+        |      list_prepend(CAST('nan' AS DOUBLE),
+        |        (embedding::DOUBLE[])[2:])
+        |    ELSE embedding::DOUBLE[] END AS emb
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(len(emb) AS BIGINT) AS dim,
+        |  round(sqrt(list_sum(list_transform(emb,
+        |    x -> CASE WHEN isnan(x) THEN 0.0 ELSE x * x END))), 6)
+        |    AS l2_norm,
+        |  CAST(len(list_filter(emb, x -> isnan(x))) AS BIGINT) AS n_bad,
+        |  sqrt(list_sum(list_transform(emb,
+        |    x -> CASE WHEN isnan(x) THEN 0.0 ELSE x * x END))) < 1e-12
+        |    AS is_zero
+        |FROM e ORDER BY vec_id""".stripMargin,
 
     "q31_approx_percentile" ->
       """SELECT l_returnflag,

@@ -165,6 +165,34 @@ object Similarity {
     */
   def quantScale(embCol: Column): Column = vectorMaxAbs(embCol) / 127.0
 
+  /** Embedding sanity/QA projection — the validation gate an
+    * embedding corpus must pass BEFORE any ANN/near-dup stage builds
+    * on it: per vector, the dimension, the L2 norm, the count of
+    * unusable coordinates (null/NaN/±Inf — one bad coordinate
+    * poisons every downstream cosine into NaN and silently empties
+    * similarity joins), and a zero-norm flag (cosine against a zero
+    * vector is undefined; LSH buckets it arbitrarily). Pure codegen
+    * projection, zero shuffle — runs as a scan filter at any corpus
+    * size; compose with `.filter(!col("is_zero") && col("n_bad") ===
+    * 0 && col("dim") === lit(expected))` to quarantine bad rows.
+    */
+  def embeddingStats(df: DataFrame, embCol: String,
+                     idCol: String): DataFrame = {
+    val v = col(embCol)
+    val d = v.cast("array<double>")
+    val bad = (x: Column) => x.isNull || isnan(x) ||
+      x === Double.PositiveInfinity || x === Double.NegativeInfinity
+    val nBad = aggregate(d, lit(0L),
+      (acc, x) => acc + when(bad(x), 1L).otherwise(0L))
+    // norm over the USABLE coordinates, so one NaN doesn't erase the
+    // whole diagnostic row
+    val norm = sqrt(aggregate(d, lit(0.0),
+      (acc, x) => acc + when(bad(x), 0.0).otherwise(x * x)))
+    df.select(col(idCol), size(v).cast("long").as("dim"),
+      round(norm, 6).as("l2_norm"), nBad.as("n_bad"),
+      (norm < 1e-12).as("is_zero"))
+  }
+
   /** IVF ANN: k-means-partitioned index. Fit assigns every corpus
     * vector to one of `nCentroids` cells; a query probes its `nProbe`
     * nearest cells and exact-cosine re-ranks only those vectors.
