@@ -191,4 +191,63 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(labels.size == 200 && labels.values.forall(_ == 1L),
       "a 200-node path is one component labeled by its minimum")
   }
+
+  test("bpe_encode matches an independent iterative reference on " +
+      "random words and merge lists (self-pairs included)") {
+    // slow reference: the GPT-2 inference loop written directly over
+    // Seq[String], independent of the expression's array machinery
+    def reference(word: String, merges: Seq[String]): Seq[String] = {
+      // duplicate merge entries: FIRST rank wins (reverse → earlier
+      // insertions overwrite later in toMap), matching putIfAbsent
+      val rank = merges.zipWithIndex.reverse.toMap
+      var syms: Vector[String] = word.map(_.toString).toVector
+      var done = syms.size <= 1
+      while (!done) {
+        val present = syms.zip(syms.tail)
+          .map { case (a, b) => s"$a $b" }.filter(rank.contains)
+        if (present.isEmpty) done = true
+        else {
+          val Array(a, b) = present.minBy(rank).split(" ", -1)
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.size) {
+            if (i < syms.size - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+          done = syms.size <= 1
+        }
+      }
+      syms
+    }
+    val alpha = "thinaer"
+    val rnd = new scala.util.Random(42)
+    def randMerges(): Seq[String] = {
+      // random pairs over chars and previously-formed symbols;
+      // duplicates and self-pairs allowed (first rank wins)
+      val symbols = scala.collection.mutable.ArrayBuffer(
+        alpha.map(_.toString): _*)
+      (0 until 12).map { _ =>
+        val a = symbols(rnd.nextInt(symbols.size))
+        val b = symbols(rnd.nextInt(symbols.size))
+        if (a.length + b.length <= 4) symbols += (a + b)
+        s"$a $b"
+      }
+    }
+    (0 until 20).foreach { trial =>
+      val merges = randMerges()
+      val words = (0 until 60).map(_ =>
+        (0 until (1 + rnd.nextInt(10)))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      val got = words.toDF("w")
+        .select(graft.functions.bpe_encode($"w", merges))
+        .as[Seq[String]].collect()
+      words.zip(got).foreach { case (w, g) =>
+        assert(g == reference(w, merges),
+          s"trial $trial word '$w' merges $merges: " +
+            s"got $g want ${reference(w, merges)}")
+      }
+    }
+  }
 }
