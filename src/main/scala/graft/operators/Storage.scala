@@ -98,6 +98,47 @@ object Storage {
     (inFiles, outFiles)
   }
 
+  /** [[compact]] for a hive-partitioned directory (the
+    * [[writePartitioned]] layout): each `key=value` leaf directory
+    * compacts independently — the partition-pruning layout survives
+    * byte-identical, and each leaf's output count is sized from its
+    * OWN listed bytes (a global rewrite would both destroy the
+    * layout and mis-size hot vs cold partitions). Sequential over
+    * partitions by design: each inner compact is already a parallel
+    * Spark job, and compaction is a maintenance pass where bounding
+    * cluster load matters more than wall-clock.
+    *
+    * @return per-partition (relative path, input files, output files)
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         targetFileBytes: Long = 128L << 20,
+                         rebalance: Boolean = false)
+      : Seq[(String, Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // leaves = directories that contain parquet files directly; walk
+    // nested key1=v/key2=v levels
+    def leaves(dir: Path): Seq[Path] = {
+      val entries = fs.listStatus(dir).toSeq
+      val subdirs = entries.filter(e =>
+        e.isDirectory && e.getPath.getName.contains("="))
+      if (subdirs.isEmpty) Seq(dir)
+      else subdirs.flatMap(e => leaves(e.getPath))
+    }
+    val qualifiedRoot = fs.makeQualified(root)
+    val parts = leaves(qualifiedRoot).filter(_ != qualifiedRoot)
+    require(parts.nonEmpty,
+      s"$path has no key=value partition directories — use compact()")
+    parts.map { p =>
+      val (in, out) = compact(spark, p.toString, targetFileBytes,
+        rebalance)
+      (p.toString.stripPrefix(qualifiedRoot.toString)
+        .stripPrefix("/"), in, out)
+    }
+  }
+
   /** Morton (Z-order) code: interleave the low `bits` bits of each
     * column, column c's bit j landing at position j·n+c. Inputs must
     * already be quantized to non-negative ints < 2^bits (e.g.

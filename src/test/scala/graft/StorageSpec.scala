@@ -133,4 +133,32 @@ class StorageSpec extends AnyFunSuite with SparkSpec {
     assert(nOut3 == 1 && parts(dir) == 1,
       "reported output count must be what was actually written")
   }
+
+  test("compactPartitioned: each key=value leaf compacts in place, " +
+      "layout and content survive") {
+    import spark.implicits._
+    val docs = Graft.table(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang").limit(400)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cpart")
+      .toString + "/t"
+    docs.repartition(10).write.partitionBy("lang").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)].collect().toSet
+    val langDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+      .map(_.getName).toSet
+    assert(langDirs.nonEmpty)
+    val results = Storage.compactPartitioned(spark, dir,
+      targetFileBytes = 64L << 20)
+    assert(results.map(_._1).toSet == langDirs,
+      "every partition leaf must be compacted")
+    assert(results.forall { case (_, in, out) => out == 1 && in >= out })
+    val langDirsAfter = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+      .map(_.getName).toSet
+    assert(langDirsAfter == langDirs, "partition layout must survive")
+    assert(spark.read.parquet(dir).select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)].collect().toSet == before)
+  }
 }
