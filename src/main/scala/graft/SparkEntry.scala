@@ -1999,6 +1999,33 @@ object SparkEntry {
         .orderBy(col("keeper_id"))
     }),
 
+    // REAL video codec round-trip (MJPEG-in-AVI: RIFF container walk
+    // + per-frame ImageIO JPEG decode — all pure JVM): each doc_id
+    // picks dims, frame count, base gray, and fps; the query encodes
+    // a conformant AVI whose frame i is solid gray (gray0 + 7i) mod
+    // 256, then decodes container headers AND every frame's pixels.
+    // Solid DC-only JPEG frames decode exactly, so codec name,
+    // declared dims/frames, header fps, first-frame mean, and the
+    // across-ALL-frames mean are pure doc_id arithmetic.
+    "m9_video_decode" -> ((s, d) => {
+      val blobs = t(s, d, "documents").select(col("doc_id"),
+        operators.Multimodal.encodeTestVideoAvi(
+          (pmod(col("doc_id"), lit(16)) + 16).cast("int"),
+          (pmod(col("doc_id"), lit(9)) + 16).cast("int"),
+          (pmod(col("doc_id"), lit(6)) + 3).cast("int"),
+          pmod(col("doc_id"), lit(256)).cast("int"),
+          (pmod(col("doc_id"), lit(20)) + 10).cast("int")).as("blob"))
+      operators.Multimodal.decodeVideoPartitions(blobs, "blob", "doc_id")
+        .select(col("doc_id"), col("codec"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          round(col("fps"), 6).as("fps"),
+          round(col("mean_gray_first"), 6).as("mean_gray_first"),
+          round(col("mean_gray_all"), 6).as("mean_gray_all"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Perceptual image hash over REAL decoded pixels: each doc_id
     // picks lossless format/dims/pattern seed, the query encodes the
     // analytic quadratic pattern, decodes it back with javax.imageio,
@@ -4706,6 +4733,24 @@ object SparkEntry {
         |  count(DISTINCT doc_id % 3) AS n_distinct_blobs
         |FROM documents GROUP BY doc_id % 50
         |ORDER BY keeper_id""".stripMargin,
+
+    // pure doc_id arithmetic: every decoded field (codec fourCC,
+    // avih dims/frames, strh rate/scale, per-frame solid-gray means)
+    // is determined by the encode parameters
+    "m9_video_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    doc_id % 16 + 16 AS w, doc_id % 9 + 16 AS h,
+        |    doc_id % 6 + 3 AS nf, doc_id % 256 AS g0,
+        |    CAST(doc_id % 20 + 10 AS DOUBLE) AS fps
+        |  FROM documents)
+        |SELECT doc_id, 'mjpg' AS codec, w AS width, h AS height,
+        |  nf AS n_frames, round(fps, 6) AS fps,
+        |  round(CAST(g0 AS DOUBLE), 6) AS mean_gray_first,
+        |  round(list_sum(list_transform(range(0, nf),
+        |    i -> CAST((g0 + 7 * i) % 256 AS DOUBLE))) / nf, 6)
+        |    AS mean_gray_all
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // the pixel grid rebuilt arithmetically (cell index inverted in
     // closed form: i = ceil(9(x+1)/w) - 1), cell means as the same

@@ -564,6 +564,182 @@ object Multimodal {
       .toDF(idCol, "format", "width", "height", "n_bytes")
   }
 
+  // ---------------------------------------------------------------
+  // REAL video codec: MJPEG-in-AVI. The RIFF/AVI container (public
+  // Microsoft format) is a fourCC chunk walk, and MJPEG frames are
+  // plain JPEG byte ranges the JDK's ImageIO decodes — so container
+  // parse + full per-frame pixel decode are pure-JVM real. Modern
+  // inter-frame codecs (H.264/VP9/AV1) still need native libs; that
+  // boundary is the remaining declared limit of the video path.
+  // ---------------------------------------------------------------
+
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def fourCC(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Deterministic test-video encoder (the m9 fixture generator): a
+    * minimal-but-conformant RIFF AVI wrapping `nFrames` MJPEG frames
+    * — frame i is a solid gray `(gray0 + 7i) mod 256` `w`×`h` JPEG
+    * written by the real ImageIO encoder (solid JPEG blocks are
+    * DC-only, so decoded pixels are exact). Header carries real
+    * avih dims/frame count and strh dwRate/dwScale = `fps`/1, all of
+    * which the decoder must read back.
+    */
+  val encodeTestVideoAvi = udf { (w: Int, h: Int, nFrames: Int,
+                                  gray0: Int, fps: Int) =>
+    val frames = (0 until nFrames).map { i =>
+      val g = (gray0 + 7 * i) % 256
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length % 2 // RIFF chunks pad to even length
+      fourCC(cc) ++ le32(body.length) ++ body ++
+        Array.fill[Byte](pad)(0)
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      fourCC("LIST") ++ le32(body.length + 4) ++ fourCC(kind) ++ body
+    val avih = le32(1000000 / math.max(fps, 1)) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fourCC("vids") ++ fourCC("MJPG") ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(1) /* dwScale */ ++ le32(fps) /* dwRate */ ++
+      le32(0) ++ le32(nFrames) ++ le32(0) ++ le32(-1) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++
+      Array[Byte](1, 0, 24, 0) ++ fourCC("MJPG") ++ le32(w * h * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val body = fourCC("AVI ") ++ hdrl ++ movi
+    fourCC("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Parsed AVI video: declared header fields + per-frame decoded
+    * pixel stats.
+    */
+  private def readLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def cc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL video decode for one blob: walk the RIFF chunk tree (avih
+    * → declared dims/frame count; strh → codec fourCC and
+    * dwRate/dwScale fps; movi → the frame byte ranges), then
+    * ImageIO-decode EVERY MJPEG frame for pixel statistics. None
+    * when the bytes are not a RIFF AVI or no frame decodes.
+    */
+  private def decodeVideoFull(bytes: Array[Byte])
+      : Option[(String, Int, Int, Int, Double, Double, Double)] = {
+    if (bytes == null || bytes.length < 24) return None
+    if (cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ") return None
+    try {
+      var width = 0; var height = 0; var declaredFrames = 0
+      var codec = ""; var rate = 0; var scale = 1
+      val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      def walk(off0: Int, end: Int): Unit = {
+        var off = off0
+        while (off + 8 <= end) {
+          val id = cc(bytes, off)
+          val size = readLe32(bytes, off + 4)
+          if (size < 0 || off + 8 + size > end) return
+          if (id == "LIST" || id == "RIFF") {
+            walk(off + 12, off + 8 + size)
+          } else if (id == "avih" && size >= 40) {
+            declaredFrames = readLe32(bytes, off + 8 + 16)
+            width = readLe32(bytes, off + 8 + 32)
+            height = readLe32(bytes, off + 8 + 36)
+          } else if (id == "strh" && size >= 28 &&
+              cc(bytes, off + 8) == "vids") {
+            codec = cc(bytes, off + 12).trim
+              .toLowerCase(java.util.Locale.ROOT)
+            scale = math.max(readLe32(bytes, off + 8 + 20), 1)
+            rate = readLe32(bytes, off + 8 + 24)
+          } else if (id.endsWith("dc") || id.endsWith("db")) {
+            frames += ((off + 8, size))
+          }
+          off += 8 + size + (size % 2) // chunks pad to even
+        }
+      }
+      walk(12, bytes.length)
+      if (frames.isEmpty) return None
+      var first = Double.NaN
+      var sumAll = 0.0
+      var decoded = 0
+      frames.foreach { case (off, size) =>
+        val img = try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, off, size))
+        catch { case scala.util.control.NonFatal(_) => null }
+        if (img != null) {
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          val mean = sum.toDouble / (3.0 * img.getWidth * img.getHeight)
+          if (decoded == 0) first = mean
+          sumAll += mean
+          decoded += 1
+        }
+      }
+      if (decoded == 0) None
+      else Some((codec, width, height, declaredFrames,
+        rate.toDouble / scale, first, sumAll / decoded))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Batch-shaped REAL video decode (the [[decodeImagePartitions]] /
+    * [[decodeAudioPartitions]] triplet-completer): RIFF-AVI
+    * container parse + full per-frame MJPEG pixel decode per row.
+    * Output: (idCol, codec, width, height, n_frames, fps,
+    * mean_gray_first, mean_gray_all); non-AVI bytes yield codec
+    * "unknown" with null stats.
+    */
+  def decodeVideoPartitions(df: DataFrame, blobCol: String,
+                            idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeVideoFull(bytes) match {
+            case Some((codec, w, h, nf, fps, first, all)) =>
+              (id, codec, w, h, nf, Some(fps), Some(first), Some(all))
+            case None =>
+              (id, "unknown", 0, 0, 0, None: Option[Double],
+                None: Option[Double], None: Option[Double])
+          }
+        }
+      }
+      .toDF(idCol, "codec", "width", "height", "n_frames", "fps",
+        "mean_gray_first", "mean_gray_all")
+  }
+
   /** A media-table projection: blob + decoded meta + features — the
     * canonical multimodal pipeline stage.
     */
