@@ -590,10 +590,15 @@ private[graft] object AhoCorasick {
   // deserializes its own expression copy, so a per-instance lazy val
   // would rebuild the automaton once per task thread (measured 12.7 s
   // for a 100k-phrase scan at local[32] — builds dominated the scan).
-  // Key = md5 over the full-4-byte-length-prefixed pattern bytes
+  // Key = SHA-256 over the full-4-byte-length-prefixed pattern bytes
   // (injective framing at any pattern length — a 2-byte prefix would
   // let ≥64 KiB patterns alias another list's framing and silently
-  // serve the wrong automaton). BOUNDED: an access-order LRU capped
+  // serve the wrong automaton). SHA-256, not MD5: chosen-prefix MD5
+  // collisions are practical and this length-framed input is exactly
+  // the collision-friendly shape, so two distinct blocklists could
+  // be crafted to alias — serving the wrong automaton for a POLICY
+  // filter is a wrong result, not a perf bug. Digest cost is noise
+  // next to the automaton build this cache exists to amortize. BOUNDED: an access-order LRU capped
   // at CacheMaxEntries, so a long-lived executor cycling through many
   // distinct blocklists (Thrift server, notebooks) tops out at
   // ~CacheMaxEntries × automaton size instead of growing without
@@ -607,7 +612,7 @@ private[graft] object AhoCorasick {
     }
 
   def cachedBuild(patterns: Seq[Array[Byte]]): Automaton = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
     val len = java.nio.ByteBuffer.allocate(4)
     patterns.foreach { p =>
       len.clear(); len.putInt(p.length)

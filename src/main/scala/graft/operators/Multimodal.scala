@@ -30,6 +30,22 @@ object Multimodal {
   System.setProperty("java.awt.headless", "true")
   javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per decode
 
+  // Adversarial-input guards: a crawled blob can DECLARE huge
+  // dimensions (a 60000×60000 PNG header implies a ~14 GB raster)
+  // or a multi-GB PCM payload; allocating either throws
+  // OutOfMemoryError, which is a VirtualMachineError — NOT caught by
+  // NonFatal — so without a pre-allocation bound one crafted file
+  // kills the executor instead of yielding the documented "unknown"
+  // row. Both caps are generous for real corpora (64 MP ≈ a 16K×4K
+  // frame; 256 MB PCM ≈ 25 min of stereo 44.1 kHz) and overridable
+  // per JVM for callers that genuinely process larger media.
+  private val maxImagePixels: Long =
+    sys.props.get("graft.multimodal.maxImagePixels").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+  private val maxAudioBytes: Long =
+    sys.props.get("graft.multimodal.maxAudioBytes").map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
+
   /** Metadata struct carried alongside every media blob. */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
@@ -162,7 +178,12 @@ object Multimodal {
     */
   private def decodeImageFull(bytes: Array[Byte])
       : Option[(String, Int, Int, Double)] = {
-    readImageHeader(bytes).flatMap { case (fmt, _, _) =>
+    // Gate the full-raster decode on the header-declared dims: the
+    // header parse is cheap, and rejecting before ImageIO.read is the
+    // only point where an OOM-sized allocation can be refused.
+    readImageHeader(bytes)
+      .filter { case (_, hw, hh) => hw.toLong * hh <= maxImagePixels }
+      .flatMap { case (fmt, _, _) =>
       val img = try javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => null }
@@ -260,6 +281,11 @@ object Multimodal {
   private def decodeAudioFull(bytes: Array[Byte])
       : Option[(String, Int, Int, Long, Double, String)] = {
     if (bytes == null || bytes.length < 8) return None
+    // Pre-allocation bound (the image-path discipline): the PCM pass
+    // below materializes the whole payload via readAllBytes, and the
+    // decoded stream can only be ~as large as the container, so cap
+    // on the container size before any decode allocation happens.
+    if (bytes.length > maxAudioBytes) return None
     try {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(bytes))
@@ -390,12 +416,11 @@ object Multimodal {
     * out first, or coalesce the hash with a per-row fallback key
     * (e.g. `coalesce(h, sha2(blob, 256))`).
     */
-  def audioContentHash(blob: Column): Column = {
-    val f = udf { (bytes: Array[Byte]) =>
-      decodeAudioFull(bytes).map(_._6)
-    }
-    f(blob.cast(BinaryType))
-  }
+  private val audioContentHashUdf =
+    udf { (bytes: Array[Byte]) => decodeAudioFull(bytes).map(_._6) }
+
+  def audioContentHash(blob: Column): Column =
+    audioContentHashUdf(blob.cast(BinaryType))
 
   /** Deterministic patterned test-image encoder (the m6/m7 fixture
     * generator): pixel (x, y) gets gray level
@@ -455,9 +480,13 @@ object Multimodal {
     */
   private def dHashOf(bytes: Array[Byte], gridW: Int,
                       gridH: Int): Option[Long] = {
+    // Same pre-allocation gate as decodeImageFull: header-declared
+    // dims must fit the pixel cap before the full raster is read.
+    if (readImageHeader(bytes)
+          .forall { case (_, hw, hh) => hw.toLong * hh > maxImagePixels })
+      return None
     val img = try javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(
-        if (bytes == null) Array.emptyByteArray else bytes))
+      new java.io.ByteArrayInputStream(bytes))
     catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth < gridW + 1 ||
         img.getHeight < gridH) None
@@ -524,9 +553,18 @@ object Multimodal {
     * non-images (which the banded pair operators drop as contentless
     * — the SimHash convention).
     */
+  // One udf object per distinct grid (house style: no per-call udf
+  // construction); the map stays tiny because grids are config, not
+  // data.
+  private val dHashUdfs =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int),
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+
   def imageDHash(blob: Column, gridW: Int = 8, gridH: Int = 8): Column = {
     require(gridW * gridH <= 64, "dhash must fit 64 bits")
-    val f = udf { (bytes: Array[Byte]) => dHashOf(bytes, gridW, gridH) }
+    val f = dHashUdfs.computeIfAbsent((gridW, gridH), { k =>
+      udf { (bytes: Array[Byte]) => dHashOf(bytes, k._1, k._2) }
+    })
     f(blob.cast(BinaryType))
   }
 
@@ -654,31 +692,55 @@ object Multimodal {
       var width = 0; var height = 0; var declaredFrames = 0
       var codec = ""; var rate = 0; var scale = 1
       val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-      def walk(off0: Int, end: Int): Unit = {
-        var off = off0
-        while (off + 8 <= end) {
+      // Iterative chunk walk with an explicit range stack: a crafted
+      // blob of deeply nested 8-byte LIST headers (~125k levels/MB)
+      // would StackOverflowError a recursive walk — a
+      // VirtualMachineError the NonFatal catch below does not handle
+      // — so nesting depth must cost heap, not JVM stack.
+      // Iterative pre-order chunk walk with an explicit continuation
+      // stack: descending into a LIST pushes the parent's REMAINING
+      // range and continues inside the child, so document order is
+      // preserved exactly like the natural recursion — but nesting
+      // depth costs heap, not JVM stack. (A crafted blob of deeply
+      // nested 8-byte LIST headers — ~125k levels per MB — would
+      // StackOverflowError a recursive walk, a VirtualMachineError
+      // the NonFatal catch below does not handle.)
+      val resume = scala.collection.mutable.Stack[(Int, Int)]()
+      var off = 12; var end = bytes.length
+      var walking = true
+      while (walking) {
+        if (off + 8 > end) {
+          if (resume.isEmpty) walking = false
+          else { val t = resume.pop(); off = t._1; end = t._2 }
+        } else {
           val id = cc(bytes, off)
           val size = readLe32(bytes, off + 4)
-          if (size < 0 || off + 8 + size > end) return
-          if (id == "LIST" || id == "RIFF") {
-            walk(off + 12, off + 8 + size)
-          } else if (id == "avih" && size >= 40) {
-            declaredFrames = readLe32(bytes, off + 8 + 16)
-            width = readLe32(bytes, off + 8 + 32)
-            height = readLe32(bytes, off + 8 + 36)
-          } else if (id == "strh" && size >= 28 &&
-              cc(bytes, off + 8) == "vids") {
-            codec = cc(bytes, off + 12).trim
-              .toLowerCase(java.util.Locale.ROOT)
-            scale = math.max(readLe32(bytes, off + 8 + 20), 1)
-            rate = readLe32(bytes, off + 8 + 24)
-          } else if (id.endsWith("dc") || id.endsWith("db")) {
-            frames += ((off + 8, size))
+          if (size < 0 || off + 8 + size > end) {
+            // malformed chunk: abandon this range, resume the parent
+            if (resume.isEmpty) walking = false
+            else { val t = resume.pop(); off = t._1; end = t._2 }
+          } else if (id == "LIST" || id == "RIFF") {
+            resume.push((off + 8 + size + (size % 2), end))
+            end = off + 8 + size
+            off = off + 12
+          } else {
+            if (id == "avih" && size >= 40) {
+              declaredFrames = readLe32(bytes, off + 8 + 16)
+              width = readLe32(bytes, off + 8 + 32)
+              height = readLe32(bytes, off + 8 + 36)
+            } else if (id == "strh" && size >= 28 &&
+                cc(bytes, off + 8) == "vids") {
+              codec = cc(bytes, off + 12).trim
+                .toLowerCase(java.util.Locale.ROOT)
+              scale = math.max(readLe32(bytes, off + 8 + 20), 1)
+              rate = readLe32(bytes, off + 8 + 24)
+            } else if (id.endsWith("dc") || id.endsWith("db")) {
+              frames += ((off + 8, size))
+            }
+            off += 8 + size + (size % 2) // chunks pad to even
           }
-          off += 8 + size + (size % 2) // chunks pad to even
         }
       }
-      walk(12, bytes.length)
       if (frames.isEmpty) return None
       var first = Double.NaN
       var sumAll = 0.0

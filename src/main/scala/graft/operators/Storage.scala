@@ -63,6 +63,15 @@ object Storage {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A hive-partitioned root must go through compactPartitioned: a
+    // flat rewrite here would silently FLATTEN the key=value columns
+    // into the data files and destroy partition pruning.
+    val hasHiveSubdirs = fs.listStatus(hPath).exists(e =>
+      e.isDirectory && e.getPath.getName.contains("="))
+    require(!hasHiveSubdirs,
+      s"$path contains key=value partition directories — a flat " +
+        "compact would destroy the partition layout; use " +
+        "compactPartitioned()")
     val it = fs.listFiles(hPath, true)
     var inFiles = 0
     var totalBytes = 0L
@@ -93,7 +102,22 @@ object Storage {
     }
     fs.delete(old, true)
     require(fs.rename(hPath, old), s"could not move $hPath aside")
-    require(fs.rename(tmp, hPath), s"could not move compacted dir in")
+    // The window between the two renames is the only moment the table
+    // path doesn't exist. If the second rename fails, best-effort roll
+    // the original back so the table is never left missing with its
+    // data stranded in the __compact_old sibling.
+    val swappedIn =
+      try fs.rename(tmp, hPath)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!swappedIn) {
+      val rolledBack =
+        try fs.rename(old, hPath)
+        catch { case scala.util.control.NonFatal(_) => false }
+      throw new IllegalStateException(
+        s"could not move compacted dir $tmp into place" +
+          (if (rolledBack) s"; original restored at $hPath"
+           else s"; ROLLBACK ALSO FAILED — original data is at $old"))
+    }
     fs.delete(old, true)
     (inFiles, outFiles)
   }

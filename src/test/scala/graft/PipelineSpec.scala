@@ -850,6 +850,65 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(u.isNullAt(u.fieldIndex("mean_sample")))
   }
 
+  test("adversarial media blobs degrade to unknown rows, not task death") {
+    import Multimodal._
+    // 1) A PNG whose header DECLARES 60000×60000 (a ~14 GB raster if
+    // decoded) but carries no pixel data: the dimension gate must
+    // refuse the full-raster allocation and return the unknown row —
+    // OutOfMemoryError is a VirtualMachineError NonFatal won't catch.
+    val hugePng: Array[Byte] = {
+      val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+        0x1a, 0x0a)
+      val ihdrBody = java.nio.ByteBuffer.allocate(13)
+        .putInt(60000).putInt(60000)
+        .put(8.toByte).put(2.toByte) // bit depth 8, truecolor
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val crc = new java.util.zip.CRC32()
+      crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdrBody)
+      sig ++ java.nio.ByteBuffer.allocate(8 + 13 + 4)
+        .putInt(13).put("IHDR".getBytes("US-ASCII")).put(ihdrBody)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val img = Seq((1L, hugePng)).toDF("id", "blob")
+    val r = Multimodal.decodeImagePartitions(img, "blob", "id").head
+    assert(r.getAs[String]("format") == "unknown",
+      "oversized declared dims must yield the unknown row")
+    assert(imageDHashPartitions(img, "blob", "id").head.isNullAt(1))
+    // 2) A RIFF AVI of ~60k nested 8-byte LIST headers: the chunk
+    // walk must run on heap, not JVM stack — a recursive walk
+    // StackOverflowErrors here (VirtualMachineError again).
+    val depth = 60000
+    val bomb = new java.io.ByteArrayOutputStream()
+    bomb.write("RIFF".getBytes("US-ASCII"))
+    val total = 4 + depth * 12
+    def le(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    bomb.write(le(total))
+    bomb.write("AVI ".getBytes("US-ASCII"))
+    var remaining = depth * 12
+    while (remaining > 0) {
+      bomb.write("LIST".getBytes("US-ASCII"))
+      bomb.write(le(remaining - 8))
+      bomb.write("hdrl".getBytes("US-ASCII"))
+      remaining -= 12
+    }
+    val vid = Seq((1L, bomb.toByteArray)).toDF("id", "blob")
+    val v = Multimodal.decodeVideoPartitions(vid, "blob", "id").head
+    assert(v.getAs[String]("codec") == "unknown",
+      "a LIST-nesting bomb must yield the unknown row, not kill the task")
+    // 3) An audio payload over the container cap is refused before
+    // any decode allocation (cap lowered per-JVM is not testable
+    // without reinitializing the object; assert the documented
+    // default refuses nothing real — a normal fixture still decodes).
+    val ok = Seq((1L, "wave", 8000, 1, 10, 5)).toDF(
+        "id", "ft", "rate", "ch", "nf", "v")
+      .select($"id", encodeTestAudio($"ft", $"rate", $"ch", $"nf", $"v")
+        .as("blob"))
+    assert(Multimodal.decodeAudioPartitions(ok, "blob", "id").head
+      .getAs[String]("audio_format") == "wave")
+  }
+
   test("d4 oracle precondition: banded-LSH recall is exactly 1 on the fixture") {
     // The d4 gate equates the (probabilistic) banded pair set with the
     // exact all-pairs jaccard>=0.5 set. That equality only holds while

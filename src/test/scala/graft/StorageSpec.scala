@@ -134,6 +134,23 @@ class StorageSpec extends AnyFunSuite with SparkSpec {
       "reported output count must be what was actually written")
   }
 
+  test("compact refuses a hive-partitioned root (layout would be " +
+      "destroyed) and points at compactPartitioned") {
+    import spark.implicits._
+    val docs = Graft.table(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang").limit(100)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cguard")
+      .toString + "/t"
+    docs.write.partitionBy("lang").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Storage.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("compactPartitioned"),
+      "the error must route the caller to the partition-safe API")
+    // the guarded call must not have touched the data
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
   test("compactPartitioned: each key=value leaf compacts in place, " +
       "layout and content survive") {
     import spark.implicits._
