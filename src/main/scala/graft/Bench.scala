@@ -242,7 +242,12 @@ object Bench {
       import org.apache.spark.sql.functions._
       System.gc()
       Thread.sleep(300)
-      val nPlanes = sys.env.getOrElse("GRAFT_D11_NPLANES", "20").toInt
+      // "auto" (or 0) exercises the autoPlanes default-sizing path —
+      // the per-SF re-measure the auto default is gated on
+      val nPlanes = sys.env.getOrElse("GRAFT_D11_NPLANES", "20") match {
+        case "auto" => 0
+        case v => v.toInt
+      }
       val t0 = System.nanoTime()
       try {
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -1875,35 +1875,74 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Frame-sampling + resize plumbing: frame grid and resized dims
-    // are pure arithmetic over (n_bytes, first-two-byte meta), so the
-    // oracle recomputes them from the hex dump like m2.
+    // REAL video frame sampling: every doc encodes an MJPEG AVI (the
+    // m9 linear-gray fixture), the sampler walks the RIFF container
+    // ONLY (no codec pass) and fans every 4th frame payload out as
+    // its own row, and each sampled frame is then REALLY decoded by
+    // the image batch decoder — frame payloads are plain JPEG, so
+    // the two operators compose. Sampled indices, the decoded format
+    // name, and each frame's solid mean gray are pure doc_id
+    // arithmetic for the oracle.
     "m3_multimodal_frames" -> ((s, d) => {
-      val blob = operators.Multimodal.asBlob(col("text"))
-      val frames = operators.Multimodal.frameSampleStub(blob)
-      val resized = operators.Multimodal.resizeStub(blob, 96)
-      t(s, d, "documents").select(col("doc_id"),
-          size(frames).cast("long").as("n_frames"),
-          lower(hex(element_at(frames, 1))).as("frame0_hex"),
-          resized.getField("width").cast("long").as("rw"),
-          resized.getField("height").cast("long").as("rh"),
-          octet_length(resized.getField("bytes")).cast("long").as("rb"))
+      val blobs = t(s, d, "documents").select(col("doc_id"),
+        operators.Multimodal.encodeTestVideoAvi(
+          (pmod(col("doc_id"), lit(16)) + 16).cast("int"),
+          (pmod(col("doc_id"), lit(9)) + 16).cast("int"),
+          (pmod(col("doc_id"), lit(11)) + 5).cast("int"),
+          pmod(col("doc_id") * 3, lit(256)).cast("int"),
+          lit(10)).as("blob"))
+      val sampled = operators.Multimodal.videoFrameSamplePartitions(
+        blobs, "blob", "doc_id", stride = 4)
+      operators.Multimodal.decodeImagePartitions(
+          sampled.withColumn("fid",
+            col("doc_id") * lit(1000) + col("frame_idx")),
+          "frame", "fid")
+        .select(floor(col("fid") / 1000).cast("long").as("doc_id"),
+          pmod(col("fid"), lit(1000)).cast("long").as("frame_idx"),
+          col("format"),
+          round(col("mean_gray"), 6).as("mean_gray"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // REAL image resize (the thumbnailer): the m4 solid fixture at
+    // larger dims, downscaled into a 24px bounding box with the
+    // integer-exact nearest-neighbour kernel, then REALLY decoded
+    // back from the re-encoded PNG. Target dims are integer
+    // arithmetic (w·24/max(w,h)), and nearest-neighbour preserves
+    // solid content exactly, so the decoded mean gray must equal the
+    // original gray level bit for bit.
+    "m13_image_resize" -> ((s, d) => {
+      val fmt = element_at(
+        array(lit("png"), lit("jpeg"), lit("bmp"), lit("gif")),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      val blobs = t(s, d, "documents").select(col("doc_id"),
+        operators.Multimodal.encodeTestImage(fmt,
+          (pmod(col("doc_id"), lit(29)) + 8).cast("int"),
+          (pmod(col("doc_id"), lit(17)) + 8).cast("int"),
+          pmod(col("doc_id"), lit(256)).cast("int")).as("blob"))
+      val resized = operators.Multimodal.resizeImagePartitions(
+        blobs, "blob", "doc_id", maxDim = 24)
+      operators.Multimodal.decodeImagePartitions(resized, "png",
+          "doc_id")
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_gray"), 6).as("mean_gray"))
         .orderBy(col("doc_id"))
     }),
 
-    // decodeStub derives meta deterministically from the leading bytes
-    // and the feature vector is an L1-normalized byte histogram, so the
-    // whole pipeline is oracle-checkable: DuckDB recomputes format/
-    // width/height from the hex dump and the exact per-bin counts
-    // (features × n_bytes rounds back to the integer histogram).
+    // The multimodal pipeline projection over text bytes: every
+    // emitted field is REAL and replayable — length, content hash,
+    // and the exact per-bin byte histogram (features × n_bytes
+    // rounds back to integer counts). The pipeline's meta field is
+    // now the real image-header decode (honestly "unknown" for text
+    // bytes); it is exercised against real images by m4/m13, so this
+    // gate pins the byte-level fields only.
     "m2_multimodal_pipeline" -> ((s, d) =>
       operators.Multimodal.mediaPipeline(t(s, d, "documents"),
           "text", "doc_id")
         .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
           col("sha256"),
-          col("meta.format").as("format"),
-          col("meta.width").cast("long").as("width"),
-          col("meta.height").cast("long").as("height"),
           array_join(transform(col("features"),
             f => round(f.cast("double") * col("n_bytes"), 0).cast("long")
               .cast("string")), ",").as("bin_counts"))
@@ -2070,6 +2109,109 @@ object SparkEntry {
       val hashes = operators.Multimodal.imageDHashPartitions(
         blobs.unionByName(copies), "blob", "doc_id")
       operators.Dedup.simhashPairsFromSig(hashes, col("dhash"),
+          "doc_id", maxHamming = 3)
+        .select(col("doc_id_1"), col("doc_id_2"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("doc_id_1"), col("doc_id_2"))
+    }),
+
+    // Perceptual AUDIO fingerprint over REAL decoded PCM (the m6
+    // discipline for the audio class): each doc_id picks a container
+    // (all three, both payload endiannesses), rate, segment length,
+    // and a quadratic amplitude pattern seed; the query encodes 65
+    // constant-amplitude segments with the real javax.sound writer,
+    // decodes the canonical PCM back, and computes the 64
+    // energy-envelope sign-delta bits. Segment energies are exact
+    // integer arithmetic (segFrames · a_k²), so the oracle replays
+    // every bit; emitted as unsigned hi/lo halves like m6.
+    "m10_audio_fingerprint" -> ((s, d) => {
+      val container = element_at(
+        array(lit("wave"), lit("aiff"), lit("au")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val rate = element_at(
+        array(lit(8000), lit(16000), lit(22050), lit(44100)),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      val blobs = t(s, d, "documents").select(col("doc_id"),
+        operators.Multimodal.encodeTestAudioPattern(container, rate,
+          (pmod(col("doc_id"), lit(4)) + 2).cast("int"),
+          pmod(col("doc_id") * 13, lit(100003)).cast("int"),
+          lit(1)).as("blob"))
+      operators.Multimodal.audioFingerprintPartitions(blobs, "blob",
+          "doc_id")
+        .select(col("doc_id"),
+          shiftrightunsigned(col("afp"), 32).as("afp_hi"),
+          col("afp").bitwiseAND(lit(0xffffffffL)).as("afp_lo"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Audio near-dup pairs end-to-end (the m7 shape for audio): the
+    // m10 pattern corpus plus RE-GAINED (2×), RE-CONTAINERED copies
+    // of every 10th recording — the exact content hash (m8) sees a
+    // different signal, but energy-envelope DIRECTION is invariant
+    // under uniform gain, so copies pair with their originals at
+    // hamming 0 through the banded machinery (pigeonhole recall
+    // exactly 1 at hamming ≤ 3). Oracle recomputes every fingerprint
+    // from the pattern arithmetic (gain and segment length cancel in
+    // the per-doc energy ordering) and takes the exact all-pairs
+    // hamming join.
+    "m11_audio_neardup" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"))
+      def enc(df: DataFrame, containerShift: Int, gain: Int) = {
+        val src = when(col("doc_id") >= 1000000L,
+          col("doc_id") - 1000000L).otherwise(col("doc_id"))
+        val container = element_at(
+          array(lit("wave"), lit("aiff"), lit("au")),
+          (pmod(src + lit(containerShift), lit(3)) + 1).cast("int"))
+        val rate = element_at(
+          array(lit(8000), lit(16000), lit(22050), lit(44100)),
+          (pmod(src, lit(4)) + 1).cast("int"))
+        df.select(col("doc_id"),
+          operators.Multimodal.encodeTestAudioPattern(container, rate,
+            (pmod(src, lit(4)) + 2).cast("int"),
+            pmod(src * 13, lit(100003)).cast("int"),
+            lit(gain)).as("blob"))
+      }
+      val originals = enc(base, 0, 1)
+      val copies = enc(base.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L), 1, 2)
+      val fps = operators.Multimodal.audioFingerprintPartitions(
+        originals.unionByName(copies), "blob", "doc_id")
+      operators.Dedup.simhashPairsFromSig(fps, col("afp"),
+          "doc_id", maxHamming = 3)
+        .select(col("doc_id_1"), col("doc_id_2"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("doc_id_1"), col("doc_id_2"))
+    }),
+
+    // Video near-dup pairs end-to-end (the last media class): every
+    // 7th doc encodes a ≥66-frame MJPEG AVI whose solid frames
+    // follow the quadratic gray pattern (exact decode, the m9
+    // argument), every 3rd of those re-encodes the SAME frame
+    // sequence at different dims and fps — the temporal luminance
+    // fingerprint is resolution/fps-invariant, so re-encodes pair at
+    // hamming 0. Fingerprints feed the banded hamming≤3 machinery;
+    // the oracle replays the frame means, the 65 exact sample
+    // positions, all 64 bits, and the exact all-pairs hamming join.
+    "m12_video_neardup" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(7)) === 0).select(col("doc_id"))
+      def enc(df: DataFrame, dw: Int, dh: Int, dfps: Int) = {
+        val src = when(col("doc_id") >= 1000000L,
+          col("doc_id") - 1000000L).otherwise(col("doc_id"))
+        df.select(col("doc_id"),
+          operators.Multimodal.encodeTestVideoAviPattern(
+            (pmod(src, lit(5)) + 8 + dw).cast("int"),
+            (pmod(src, lit(3)) + 6 + dh).cast("int"),
+            (pmod(src, lit(6)) + 66).cast("int"),
+            pmod(src * 17, lit(99991)).cast("int"),
+            (pmod(src, lit(20)) + 10 + dfps).cast("int")).as("blob"))
+      }
+      val originals = enc(base, 0, 0, 0)
+      val copies = enc(base.filter(pmod(col("doc_id"), lit(21)) === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L), 4, 2, 5)
+      val fps = operators.Multimodal.videoFingerprintPartitions(
+        originals.unionByName(copies), "blob", "doc_id")
+      operators.Dedup.simhashPairsFromSig(fps, col("vfp"),
           "doc_id", maxHamming = 3)
         .select(col("doc_id_1"), col("doc_id_2"),
           col("hamming").cast("long").as("hamming"))
@@ -4598,37 +4740,39 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m3_multimodal_frames" ->
-      """WITH b AS (
-        |  SELECT doc_id, octet_length(text::BLOB) AS n,
-        |    hex(text::BLOB) AS h
+      """WITH p AS (
+        |  SELECT doc_id, 5 + doc_id % 11 AS f,
+        |         (doc_id * 3) % 256 AS g0
         |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, n, h,
-        |    64 + ((strpos('0123456789ABCDEF', substring(h, 1, 1)) - 1) * 16
-        |        + (strpos('0123456789ABCDEF', substring(h, 2, 1)) - 1)) % 64
-        |      AS w,
-        |    CASE WHEN n > 1 THEN
-        |      64 + ((strpos('0123456789ABCDEF', substring(h, 3, 1)) - 1) * 16
-        |          + (strpos('0123456789ABCDEF', substring(h, 4, 1)) - 1)) % 64
-        |    ELSE 64 END AS hh
-        |  FROM b),
-        |g AS (SELECT doc_id, n, h, w, hh,
-        |        least(96.0 / greatest(w, hh), 1.0) AS scale FROM f)
-        |SELECT doc_id,
-        |  CAST(greatest((n - 1) // 64, 0) + 1 AS BIGINT) AS n_frames,
-        |  lower(substring(h, 1, 32)) AS frame0_hex,
-        |  -- n = 0: Spark's decodeStub yields null meta, and least/
-        |  -- greatest null-skip to scale 1 with the empty payload
-        |  CASE WHEN n = 0 THEN 1 ELSE
-        |    CAST(greatest(CAST(floor(w * scale) AS INT), 1) AS BIGINT)
-        |  END AS rw,
-        |  CASE WHEN n = 0 THEN 1 ELSE
-        |    CAST(greatest(CAST(floor(hh * scale) AS INT), 1) AS BIGINT)
-        |  END AS rh,
-        |  CASE WHEN n = 0 THEN 0 ELSE
-        |    CAST(greatest(CAST(floor(n * scale) AS INT), 1) AS BIGINT)
-        |  END AS rb
-        |FROM g ORDER BY doc_id""".stripMargin,
+        |sam AS (
+        |  SELECT doc_id, i.i AS frame_idx, g0
+        |  FROM p, range(0, 16) i(i)
+        |  WHERE i.i < f AND i.i % 4 = 0)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  'jpeg' AS format,
+        |  CAST((g0 + 7 * frame_idx) % 256 AS DOUBLE) AS mean_gray
+        |FROM sam ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // resized dims are integer arithmetic (nearest-neighbour kernel
+    // and integer-division targets), the re-encode is PNG, and solid
+    // content survives any sampling kernel — mean gray is the input
+    // gray level exactly
+    "m13_image_resize" ->
+      """WITH p AS (
+        |  SELECT doc_id, 8 + doc_id % 29 AS w, 8 + doc_id % 17 AS h,
+        |         doc_id % 256 AS g
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, g,
+        |    CASE WHEN greatest(w, h) <= 24 THEN w
+        |         ELSE greatest(w * 24 // greatest(w, h), 1) END AS rw,
+        |    CASE WHEN greatest(w, h) <= 24 THEN h
+        |         ELSE greatest(h * 24 // greatest(w, h), 1) END AS rh
+        |  FROM p)
+        |SELECT doc_id, 'png' AS format,
+        |  CAST(rw AS BIGINT) AS width, CAST(rh AS BIGINT) AS height,
+        |  CAST(g AS DOUBLE) AS mean_gray
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "t3_text_stats" ->
       """WITH t AS (SELECT doc_id, text,
@@ -4833,6 +4977,122 @@ object SparkEntry {
         |WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= 3
         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
 
+    // analytic replay of the audio energy-envelope bits: segment k's
+    // energy is segFrames·a_k² with a_k = (seed·(k+7) +
+    // (seed² mod 7919)·(k+3) + 53k² + 31k) mod 181 − 90; the per-doc constant segFrames cancels in the
+    // ordering, so the bits compare a_k² directly
+    "m10_audio_fingerprint" ->
+      """WITH p AS (
+        |  SELECT doc_id, (doc_id * 13) % 100003 AS seed FROM documents),
+        |e AS (
+        |  SELECT doc_id, k.k,
+        |    CAST(((seed * (k.k + 7) + (seed * seed) % 7919 * (k.k + 3)
+        |           + 53 * k.k * k.k + 31 * k.k) % 181 - 90)
+        |       * ((seed * (k.k + 7) + (seed * seed) % 7919 * (k.k + 3)
+        |           + 53 * k.k * k.k + 31 * k.k) % 181 - 90)
+        |      AS BIGINT) AS en
+        |  FROM p, range(0, 65) k(k)),
+        |b AS (
+        |  SELECT a.doc_id, a.k AS idx,
+        |    CASE WHEN a.en < n.en THEN 1 ELSE 0 END AS bit
+        |  FROM e a JOIN e n ON a.doc_id = n.doc_id AND n.k = a.k + 1
+        |  WHERE a.k < 64)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN idx >= 32
+        |    THEN bit * (1::BIGINT << CAST(idx - 32 AS INT))
+        |    ELSE 0 END) AS BIGINT) AS afp_hi,
+        |  CAST(sum(CASE WHEN idx < 32
+        |    THEN bit * (1::BIGINT << CAST(idx AS INT))
+        |    ELSE 0 END) AS BIGINT) AS afp_lo
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // m10's bit replay over corpus ∪ re-gained re-containered copies
+    // (gain scales every energy by gain² — the ordering, hence every
+    // bit, is unchanged, so copies share their source's fingerprint),
+    // then the exact all-pairs hamming join at the threshold
+    "m11_audio_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id AS src FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |p AS (
+        |  SELECT ids.doc_id, (src * 13) % 100003 AS seed FROM ids),
+        |e AS (
+        |  SELECT doc_id, k.k,
+        |    CAST(((seed * (k.k + 7) + (seed * seed) % 7919 * (k.k + 3)
+        |           + 53 * k.k * k.k + 31 * k.k) % 181 - 90)
+        |       * ((seed * (k.k + 7) + (seed * seed) % 7919 * (k.k + 3)
+        |           + 53 * k.k * k.k + 31 * k.k) % 181 - 90)
+        |      AS BIGINT) AS en
+        |  FROM p, range(0, 65) k(k)),
+        |b AS (
+        |  SELECT a.doc_id, a.k AS idx,
+        |    CASE WHEN a.en < n.en THEN 1 ELSE 0 END AS bit
+        |  FROM e a JOIN e n ON a.doc_id = n.doc_id AND n.k = a.k + 1
+        |  WHERE a.k < 64),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN idx >= 32
+        |      THEN bit * (1::BIGINT << CAST(idx - 32 AS INT))
+        |      ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN idx < 32
+        |      THEN bit * (1::BIGINT << CAST(idx AS INT))
+        |      ELSE 0 END) AS BIGINT) AS lo
+        |  FROM b GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_id_1, c.doc_id AS doc_id_2,
+        |  CAST(bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo))
+        |    AS BIGINT) AS hamming
+        |FROM hs a JOIN hs c ON a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= 3
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+
+    // temporal luminance fingerprint replay: frame j of a video with
+    // seed s is solid gray (s·(j+7) + (s² mod 7919)·(j+3) + 53j² +
+    // 31j) mod 256 (exact MJPEG
+    // decode), sample i reads frame (i·F)//65, bit i compares
+    // consecutive samples; re-encodes share seed and F (dims/fps
+    // differ — the fingerprint doesn't see them), then the exact
+    // all-pairs hamming join
+    "m12_video_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id AS src FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id % 21 = 0),
+        |p AS (
+        |  SELECT ids.doc_id, (src * 17) % 99991 AS seed,
+        |         66 + src % 6 AS f
+        |  FROM ids),
+        |s AS (
+        |  SELECT doc_id, i.i,
+        |    (seed * ((i.i * f) // 65 + 7)
+        |     + (seed * seed) % 7919 * ((i.i * f) // 65 + 3)
+        |     + 53 * ((i.i * f) // 65) * ((i.i * f) // 65)
+        |     + 31 * ((i.i * f) // 65)) % 256 AS g
+        |  FROM p, range(0, 65) i(i)),
+        |b AS (
+        |  SELECT a.doc_id, a.i AS idx,
+        |    CASE WHEN a.g < n.g THEN 1 ELSE 0 END AS bit
+        |  FROM s a JOIN s n ON a.doc_id = n.doc_id AND n.i = a.i + 1
+        |  WHERE a.i < 64),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN idx >= 32
+        |      THEN bit * (1::BIGINT << CAST(idx - 32 AS INT))
+        |      ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN idx < 32
+        |      THEN bit * (1::BIGINT << CAST(idx AS INT))
+        |      ELSE 0 END) AS BIGINT) AS lo
+        |  FROM b GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_id_1, c.doc_id AS doc_id_2,
+        |  CAST(bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo))
+        |    AS BIGINT) AS hamming
+        |FROM hs a JOIN hs c ON a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= 3
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+
     "m1_multimodal_bytes" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
         |  sha256(text) AS sha256,
@@ -4846,25 +5106,11 @@ object SparkEntry {
         |  FROM documents),
         |f AS (
         |  SELECT doc_id, n_bytes, sha256,
-        |    strpos('0123456789ABCDEF', substring(h, 1, 1)) - 1 AS hi0,
-        |    strpos('0123456789ABCDEF', substring(h, 2, 1)) - 1 AS lo0,
-        |    strpos('0123456789ABCDEF', substring(h, 3, 1)) - 1 AS hi1,
-        |    strpos('0123456789ABCDEF', substring(h, 4, 1)) - 1 AS lo1,
         |    list_transform(range(0, n_bytes), i ->
         |      strpos('0123456789ABCDEF',
         |        substring(h, CAST(2 * i + 1 AS INT), 1)) - 1) AS highs
         |  FROM b)
         |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, sha256,
-        |  CASE WHEN n_bytes = 0 THEN NULL
-        |       WHEN (hi0 * 16 + lo0) % 4 = 0 THEN 'png'
-        |       WHEN (hi0 * 16 + lo0) % 4 = 1 THEN 'jpeg'
-        |       WHEN (hi0 * 16 + lo0) % 4 = 2 THEN 'wav'
-        |       ELSE 'mp4' END AS format,
-        |  CASE WHEN n_bytes = 0 THEN NULL
-        |       ELSE CAST(64 + (hi0 * 16 + lo0) % 64 AS BIGINT) END AS width,
-        |  CASE WHEN n_bytes = 0 THEN NULL
-        |       WHEN n_bytes > 1 THEN CAST(64 + (hi1 * 16 + lo1) % 64 AS BIGINT)
-        |       ELSE CAST(64 AS BIGINT) END AS height,
         |  array_to_string(list_transform(range(0, 16), j ->
         |    len(list_filter(highs, x -> x = j))), ',') AS bin_counts
         |FROM f ORDER BY doc_id""".stripMargin,

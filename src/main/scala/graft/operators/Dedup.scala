@@ -832,7 +832,7 @@ object Dedup {
     */
   def dropSemanticDuplicates(df: DataFrame, embCol: String,
                              idCol: String, threshold: Double = 0.9,
-                             nPlanes: Int = 8, dim: Int = 64,
+                             nPlanes: Int = 0, dim: Int = 64,
                              nTables: Int = 4, seed: Long = 42L,
                              reliableCheckpointDir: Option[String] =
                                None): DataFrame = {
@@ -849,7 +849,7 @@ object Dedup {
   def dropSemanticDuplicatesKeepBest(df: DataFrame, embCol: String,
                                      idCol: String, score: Column,
                                      threshold: Double = 0.9,
-                                     nPlanes: Int = 8, dim: Int = 64,
+                                     nPlanes: Int = 0, dim: Int = 64,
                                      nTables: Int = 4, seed: Long = 42L,
                                      reliableCheckpointDir:
                                        Option[String] = None)
@@ -899,22 +899,50 @@ object Dedup {
     * 298.5 s at 400k (20× for 10× data — hot-bucket candidates grow
     * quadratically over a fixed grid); at 400k, 20 planes read
     * 111.8 s and 24 planes 51.7 s. Sizing the grid to the corpus
-    * (~16 planes per 40k clustered vectors, +4 planes per 10×) keeps
+    * (~16 planes per 40k clustered vectors, +8 planes per 10×) keeps
     * the operator at ~3.5× wall for 10× data with recall still ~1 at
     * near-dup angles (miss ≈ 3e-8 at cos 0.9999 with 24 planes × 8
-    * tables).
+    * tables). The DEFAULT (`nPlanes = 0`) derives the grid from a
+    * corpus count via [[autoPlanes]] — exactly this curve — so the
+    * cliff cannot recur without an explicit override.
     */
+  /** Derive an SRP grid size from the corpus row count, anchored on
+    * the measured scaling curve (BENCH_sf10.json, clustered fixture):
+    * 16 planes is right for ~40k clustered vectors, and each 10× of
+    * data wants ~8 more planes (at 400k vectors, 16 planes read
+    * 298.5 s, 20 planes 111.8 s, 24 planes 51.7 s — hot-bucket
+    * candidate pairs grow quadratically over a fixed grid, so bucket
+    * cardinality must outpace the corpus). Clamped to [8, 28]: below
+    * 4k vectors a finer grid buys nothing, and past 28 planes the
+    * per-table collision probability at near-dup angles starts
+    * needing more tables to hold recall (miss ≈ 1e-4 per pair at
+    * cos 0.9999 with 28 planes × 8 tables; raise nTables before
+    * raising planes past this).
+    */
+  def autoPlanes(corpusRows: Long): Int = {
+    require(corpusRows > 0, "corpusRows must be positive")
+    val raw = 16.0 + 8.0 * math.log10(corpusRows / 40000.0)
+    math.min(28, math.max(8, math.round(raw).toInt))
+  }
+
   def embeddingNearDupPairsLsh(df: DataFrame, embCol: String,
                                idCol: String, threshold: Double = 0.9,
-                               nPlanes: Int = 8, dim: Int = 64,
+                               nPlanes: Int = 0, dim: Int = 64,
                                nTables: Int = 4,
                                seed: Long = 42L): DataFrame = {
     require(nTables >= 1, "nTables must be >= 1")
+    require(nPlanes >= 0, "nPlanes must be >= 0 (0 = auto-size)")
+    val base = df.select(col(idCol), col(embCol))
+    // nPlanes = 0 (the default): size the grid from the corpus so the
+    // measured fixed-grid cliff (20× wall for 10× data at a constant
+    // 16 planes) cannot recur by default. The count is one
+    // column-pruned pass over the input; when the input is an
+    // expensive derived frame, cache it or pass nPlanes explicitly.
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(base.count())
     val buckets = array((0 until nTables).map { t =>
-      graft.functions.hyperplane_lsh_bucket(col(embCol), nPlanes, dim,
+      graft.functions.hyperplane_lsh_bucket(col(embCol), planes, dim,
         seed + t * 7919L)
     }: _*)
-    val base = df.select(col(idCol), col(embCol))
     val exploded = base
       .select(col(idCol), buckets.as("__bks"))
       .select(col(idCol), col("__bks"),

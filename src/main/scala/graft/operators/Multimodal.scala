@@ -15,12 +15,12 @@ import org.apache.spark.sql.types._
   * pixel statistics. The AUDIO codec is REAL too:
   * [[decodeAudioPartitions]] runs `javax.sound.sampled` (in the JDK
   * — WAV/AIFF/AU, PCM) for container type, sample rate, channels,
-  * frame count, and decoded amplitude statistics. Only VIDEO decode
-  * remains a declared stub ([[decodeStub]] — the JDK ships no video
-  * codecs): it derives deterministic fake dimensions from the byte
-  * stream so the schema/batch/partitioning plumbing around it stays
-  * testable; swap it for a JNI/native-codec call and that path is
-  * production too.
+  * frame count, and decoded amplitude statistics. The VIDEO codec is
+  * REAL for MJPEG-in-AVI ([[decodeVideoPartitions]] — an original
+  * RIFF chunk walker + per-frame ImageIO decode, pure JVM); modern
+  * inter-frame codecs (H.264/VP9/AV1) remain the declared JDK
+  * boundary. Schema-only fakes live quarantined in
+  * [[plumbingFixture]] and are never part of a gated result.
   */
 object Multimodal {
 
@@ -66,30 +66,62 @@ object Multimodal {
   def headHex(blob: Column, n: Int = 8): Column =
     lower(hex(substring(blob, 1, n)))
 
-  /** STUB decode — VIDEO only: deterministic fake metadata from the
-    * bytes (first byte → format class, length-derived dims). The JDK
-    * ships no video codecs, so this path stays a declared fake whose
-    * signature and schema are the contract; IMAGE decode is real
-    * ([[decodeImagePartitions]], m4-gated) and AUDIO decode is real
-    * ([[decodeAudioPartitions]], m5-gated) — this stub remains only
-    * as the non-image/audio fallback in [[decodePartitions]] and the
-    * m1–m3 plumbing gates.
+  /** Quarantined schema fixtures: deterministic FAKE transforms kept
+    * ONLY so specs can exercise schema/batch/partitioning plumbing
+    * with non-media bytes. All three media classes have real codecs
+    * now ([[decodeImagePartitions]], [[decodeAudioPartitions]],
+    * [[decodeVideoPartitions]]) — nothing here may appear in a gated
+    * (oracle-checked) result, and no production pipeline should call
+    * into this object.
     */
-  private val fakeDecode = udf { (bytes: Array[Byte]) =>
-    if (bytes == null || bytes.isEmpty) null
-    else {
-      val fmt = (bytes(0) & 0x03) match {
-        case 0 => "png"; case 1 => "jpeg"; case 2 => "wav"; case _ => "mp4"
-      }
-      val w = 64 + (bytes(0) & 0x3f)
-      val h = 64 + (if (bytes.length > 1) bytes(1) & 0x3f else 0)
-      val frames = 1 + (bytes.length % 16)
-      (fmt, w, h, frames)
-    }
-  }
+  object plumbingFixture {
 
-  def decodeStub(blob: Column): Column =
-    fakeDecode(blob).cast(mediaMetaSchema)
+    private val fakeDecode = udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.isEmpty) null
+      else {
+        val fmt = (bytes(0) & 0x03) match {
+          case 0 => "png"; case 1 => "jpeg"; case 2 => "wav"
+          case _ => "mp4"
+        }
+        val w = 64 + (bytes(0) & 0x3f)
+        val h = 64 + (if (bytes.length > 1) bytes(1) & 0x3f else 0)
+        val frames = 1 + (bytes.length % 16)
+        (fmt, w, h, frames)
+      }
+    }
+
+    /** FAKE metadata from leading bytes — schema fixture only. */
+    def decodeStub(blob: Column): Column =
+      fakeDecode(blob).cast(mediaMetaSchema)
+
+    /** FAKE resize over the fake dims — schema fixture only; the
+      * real thumbnailer is [[Multimodal.resizeImagePartitions]].
+      */
+    def resizeStub(blob: Column, maxDim: Int): Column = {
+      val meta = decodeStub(blob)
+      val w = meta.getField("width"); val h = meta.getField("height")
+      val scale =
+        least(lit(maxDim) / greatest(w, h).cast("double"), lit(1.0))
+      struct(
+        greatest((w * scale).cast("int"), lit(1)).as("width"),
+        greatest((h * scale).cast("int"), lit(1)).as("height"),
+        blob.substr(lit(1),
+          greatest((octet_length(blob) * scale).cast("int"), lit(1)))
+          .as("bytes"))
+    }
+
+    /** FAKE frame slicing (fixed 16-byte strides) — schema fixture
+      * only; the real sampler is
+      * [[Multimodal.videoFrameSamplePartitions]].
+      */
+    def frameSampleStub(blob: Column, stride: Int = 4): Column =
+      transform(
+        sequence(lit(0),
+          greatest(
+            ((octet_length(blob) - 1) / lit(16 * stride)).cast("int"),
+            lit(0))),
+        i => blob.substr(i * lit(16 * stride) + 1, lit(16)))
+  }
 
   /** Byte-histogram feature vector (16 bins, L1-normalized float) —
     * the feature-extraction plumbing: binary in, fixed-width
@@ -107,35 +139,13 @@ object Multimodal {
     }
   }
 
-  def featureExtractStub(blob: Column): Column = byteHistogram(blob)
-
-  /** Resize stub: recompute fake dims to fit a bounding box, keep the
-    * byte payload truncated proportionally — the metadata/payload
-    * rewrite shape of a real thumbnailer.
+  /** Real byte-level feature extraction (not a stub — the histogram
+    * is the actual content statistic it claims to be); fixed-width
+    * Array[Float], the schema shape a learned feature extractor
+    * would also produce.
     */
-  def resizeStub(blob: Column, maxDim: Int): Column = {
-    val meta = decodeStub(blob)
-    val w = meta.getField("width"); val h = meta.getField("height")
-    val scale = least(lit(maxDim) / greatest(w, h).cast("double"), lit(1.0))
-    struct(
-      greatest((w * scale).cast("int"), lit(1)).as("width"),
-      greatest((h * scale).cast("int"), lit(1)).as("height"),
-      blob.substr(lit(1),
-        greatest((octet_length(blob) * scale).cast("int"), lit(1)))
-        .as("bytes"))
-  }
+  def byteHistogramFeatures(blob: Column): Column = byteHistogram(blob)
 
-  /** Frame sampling stub: every `stride`-th 16-byte slice as a
-    * "frame" (array<binary>) — the partition-friendly shape of video
-    * frame extraction (a real impl decodes keyframes; the slicing,
-    * array schema, and per-row fan-out are the actual plumbing).
-    */
-  def frameSampleStub(blob: Column, stride: Int = 4): Column =
-    transform(
-      sequence(lit(0),
-        greatest(((octet_length(blob) - 1) / lit(16 * stride)).cast("int"),
-          lit(0))),
-      i => blob.substr(i * lit(16 * stride) + 1, lit(16)))
 
   /** REAL image header decode for one blob: `javax.imageio` reader
     * lookup by content sniffing, then a header-only parse (format
@@ -278,8 +288,15 @@ object Multimodal {
     * NonFatal-guarded: a malformed container yields the documented
     * unknown row, never a task failure.
     */
-  private def decodeAudioFull(bytes: Array[Byte])
-      : Option[(String, Int, Int, Long, Double, String)] = {
+  /** The shared container→canonical-PCM pass: container type name,
+    * declared rate/channels/frame count, and the decoded samples in
+    * canonical (endianness-normalized) frame order. Everything
+    * downstream — amplitude stats, the content SHA, the perceptual
+    * fingerprint — derives from this one decode, so no audio operator
+    * pays a second payload pass.
+    */
+  private def decodeCanonicalPcm(bytes: Array[Byte])
+      : Option[(String, Int, Int, Long, Array[Short])] = {
     if (bytes == null || bytes.length < 8) return None
     // Pre-allocation bound (the image-path discipline): the PCM pass
     // below materializes the whole payload via readAllBytes, and the
@@ -297,32 +314,47 @@ object Multimodal {
         val data = ais.readAllBytes()
         val n = data.length / 2
         if (n == 0) return None
-        val rate = f.getSampleRate.round
-        val canon = new Array[Byte](n * 2)
-        var sum = 0L
+        val samples = new Array[Short](n)
         var i = 0
         if (f.isBigEndian)
           while (i < n) {
-            sum += ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort
-            canon(2 * i) = data(2 * i + 1); canon(2 * i + 1) = data(2 * i)
+            samples(i) =
+              ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort
             i += 1
           }
         else
           while (i < n) {
-            sum += ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort
-            canon(2 * i) = data(2 * i); canon(2 * i + 1) = data(2 * i + 1)
+            samples(i) =
+              ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort
             i += 1
           }
-        val md = java.security.MessageDigest.getInstance("SHA-256")
-        md.update(s"$rate:${f.getChannels}:"
-          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-        md.update(canon)
         Some((aff.getType.toString.toLowerCase(java.util.Locale.ROOT),
-          rate, f.getChannels, ais.getFrameLength, sum.toDouble / n,
-          md.digest().map("%02x".format(_)).mkString))
+          f.getSampleRate.round, f.getChannels, ais.getFrameLength,
+          samples))
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  private def decodeAudioFull(bytes: Array[Byte])
+      : Option[(String, Int, Int, Long, Double, String)] =
+    decodeCanonicalPcm(bytes).map { case (tpe, rate, ch, frames, s) =>
+      val n = s.length
+      val canon = new Array[Byte](n * 2)
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        sum += s(i)
+        canon(2 * i) = (s(i) & 0xff).toByte
+        canon(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(s"$rate:$ch:"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      md.update(canon)
+      (tpe, rate, ch, frames, sum.toDouble / n,
+        md.digest().map("%02x".format(_)).mkString)
+    }
 
   /** Deterministic test-audio encoder (the m5 fixture generator):
     * `nFrames` frames of constant 16-bit `sampleVal` at `sampleRate`
@@ -421,6 +453,141 @@ object Multimodal {
 
   def audioContentHash(blob: Column): Column =
     audioContentHashUdf(blob.cast(BinaryType))
+
+  /** Perceptual audio fingerprint (the dHash analogue for the audio
+    * class): REAL canonical-PCM decode, then split the sample
+    * sequence into 65 equal-ish segments with exact integer
+    * boundaries (segment i covers samples [i·m/65, (i+1)·m/65)),
+    * per-segment energy = Σ sample² (integer-exact in a long up to
+    * ~2^33 samples/segment — far past the payload cap), and bit i =
+    * 1 iff energy(i) < energy(i+1) — energy-envelope DIRECTION, not
+    * level, so the fingerprint is invariant to the container (WAV/
+    * AIFF/AU spellings collide like [[audioContentHash]]) AND to
+    * uniform gain: scaling every sample by c scales every energy by
+    * c², preserving all 64 comparisons — a re-mastered louder copy
+    * fingerprints identically where the exact content hash diverges.
+    * None for non-audio bytes and clips shorter than 65 samples.
+    *
+    * Feed the hash into [[Dedup.simhashPairsFromSig]] for banded
+    * hamming≤k audio near-dup pairs (the m10 gate) — the pigeonhole
+    * recall guarantee is exact, so re-gained/re-containered copies
+    * pair without any all-pairs sample comparison.
+    */
+  private def audioFingerprintOf(bytes: Array[Byte]): Option[Long] =
+    decodeCanonicalPcm(bytes).flatMap { case (_, _, _, _, s) =>
+      val m = s.length
+      if (m < 65) None
+      else {
+        val energy = new Array[Long](65)
+        var i = 0
+        while (i < 65) {
+          val lo = (i.toLong * m / 65).toInt
+          val hi = ((i + 1).toLong * m / 65).toInt
+          var e = 0L
+          var t = lo
+          while (t < hi) { e += s(t).toLong * s(t); t += 1 }
+          energy(i) = e
+          i += 1
+        }
+        var fp = 0L
+        i = 0
+        while (i < 64) {
+          if (energy(i) < energy(i + 1)) fp |= 1L << i
+          i += 1
+        }
+        Some(fp)
+      }
+    }
+
+  /** Batch-shaped perceptual audio fingerprint (the
+    * [[imageDHashPartitions]] twin): (idCol, afp: long), null for
+    * non-audio bytes and too-short clips.
+    */
+  def audioFingerprintPartitions(df: DataFrame, blobCol: String,
+                                 idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it =>
+        it.map { case (id, bytes) => (id, audioFingerprintOf(bytes)) })
+      .toDF(idCol, "afp")
+  }
+
+  /** Column form of the perceptual audio fingerprint (same bits as
+    * [[audioFingerprintPartitions]]) for streaming composition —
+    * e.g. `StreamingDedup.simhashPairs(src,
+    * audioFingerprint(col("blob")), …)`.
+    */
+  private val audioFingerprintUdf =
+    udf { (bytes: Array[Byte]) => audioFingerprintOf(bytes) }
+
+  def audioFingerprint(blob: Column): Column =
+    audioFingerprintUdf(blob.cast(BinaryType))
+
+  /** Deterministic patterned test-audio encoder (the m10 fixture
+    * generator, [[encodeTestImagePattern]]'s audio twin): 65 segments
+    * of `segFrames` mono 16-bit frames each, segment k holding the
+    * constant value `gain · (((seed·(k+7) + (seed² mod 7919)·(k+3) + 53k² +
+    * 31k) mod 181) − 90)` — the seed multiplies a position-dependent factor so
+    * neighboring seeds decorrelate (a purely additive seed shifts
+    * every segment equally, making the whole fingerprint family a
+    * smooth 1-D curve where thousands of unrelated docs sit within
+    * hamming 3 of each other), and quadratic mixing in k makes the
+    * derived fingerprint bits are ~Bernoulli(½). Total frames =
+    * 65·segFrames (a multiple of 65), so the fingerprint's integer
+    * segment boundaries land exactly on the pattern's — per-segment
+    * energy is then the pure arithmetic `segFrames · gain² · a_k²` a
+    * SQL oracle replays bit for bit. `gain` > 1 fixtures the gain-
+    * invariance property (|gain·a| ≤ 90·gain must stay < 32768).
+    */
+  val encodeTestAudioPattern = udf { (fileType: String, sampleRate: Int,
+                                      segFrames: Int, seed: Int,
+                                      gain: Int) =>
+    val t = fileType match {
+      case "wave" => javax.sound.sampled.AudioFileFormat.Type.WAVE
+      case "aiff" => javax.sound.sampled.AudioFileFormat.Type.AIFF
+      case "au"   => javax.sound.sampled.AudioFileFormat.Type.AU
+      case other => throw new IllegalArgumentException(
+        s"unsupported audio container '$other'")
+    }
+    require(seed >= 0, "seed must be non-negative")
+    require(gain >= 1 && gain * 90 < 32768, "gain out of 16-bit range")
+    val bigEndian = fileType != "wave"
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, bigEndian)
+    val nFrames = 65 * segFrames
+    val pcm = new Array[Byte](nFrames * 2)
+    // seed² mod 7919 (computed in Long — seed² overflows Int): a
+    // NONLINEAR seed term. With only linear seed·(k+7), the whole
+    // pattern is a function of seed mod 181 — a 100k seed space
+    // silently collapses to 181 fingerprint classes and unrelated
+    // docs collide quadratically with corpus size.
+    val q = (seed.toLong * seed % 7919).toInt
+    var k = 0
+    while (k < 65) {
+      val v = (gain * (((seed * (k + 7) + q * (k + 3)
+        + 53 * k * k + 31 * k) % 181) - 90)).toShort
+      var i = k * segFrames
+      while (i < (k + 1) * segFrames) {
+        if (bigEndian) {
+          pcm(2 * i) = ((v >> 8) & 0xff).toByte
+          pcm(2 * i + 1) = (v & 0xff).toByte
+        } else {
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        }
+        i += 1
+      }
+      k += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      t, bos)
+    bos.toByteArray
+  }
 
   /** Deterministic patterned test-image encoder (the m6/m7 fixture
     * generator): pixel (x, y) gets gray level
@@ -568,13 +735,13 @@ object Multimodal {
     f(blob.cast(BinaryType))
   }
 
-  /** Batch-shaped decode across ALL media classes: images decode for
-    * REAL (`javax.imageio` header parse — actual format name and
-    * pixel dims); bytes no JDK reader claims fall back to the
-    * declared audio/video stub mapping (same fake classes as
-    * [[decodeStub]]), keeping the two tiers separable by the caller:
-    * a real reader's format name ("png", "jpeg", "bmp", "gif",
-    * "wbmp") means real dims, a stub class means plumbing-only.
+  /** Batch-shaped image-header decode: real `javax.imageio` header
+    * parse — actual format name and pixel dims, no full raster read
+    * (the metadata-extraction pass of a media crawl). Bytes no JDK
+    * reader claims yield the HONEST unknown row ("unknown", 0, 0) —
+    * the same convention as every other decoder here; route audio/
+    * video bytes to [[decodeAudioPartitions]] /
+    * [[decodeVideoPartitions]] instead.
     */
   def decodePartitions(df: DataFrame, blobCol: String,
                        idCol: String): DataFrame = {
@@ -588,18 +755,93 @@ object Multimodal {
           readImageHeader(bytes) match {
             case Some((fmt, w, h)) => (id, fmt, w, h, bytes.length)
             case None =>
-              val fmt = if (bytes.isEmpty) "empty"
-              else (bytes(0) & 0x03) match {
-                case 0 => "png"; case 1 => "jpeg"; case 2 => "wav"
-                case _ => "mp4"
-              }
-              val w = if (bytes.isEmpty) 0 else 64 + (bytes(0) & 0x3f)
-              val h = if (bytes.length > 1) 64 + (bytes(1) & 0x3f) else 64
-              (id, fmt, w, h, bytes.length)
+              (id, "unknown", 0, 0,
+                if (bytes == null) 0 else bytes.length)
           }
         }
       }
       .toDF(idCol, "format", "width", "height", "n_bytes")
+  }
+
+  /** Column form of the REAL image-header decode (the
+    * [[decodePartitions]] fields minus n_bytes): struct(format,
+    * width, height) with the honest ("unknown", 0, 0) for bytes no
+    * JDK reader claims.
+    */
+  private val imageMetaUdf = udf { (bytes: Array[Byte]) =>
+    readImageHeader(bytes).getOrElse(("unknown", 0, 0))
+  }
+
+  def imageMeta(blob: Column): Column =
+    imageMetaUdf(blob.cast(BinaryType)).cast(StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))))
+
+  /** REAL image resize (the thumbnailer stage of a media pipeline):
+    * full decode, integer-exact nearest-neighbour downscale into a
+    * `maxDim` bounding box (output pixel (x, y) samples input pixel
+    * (x·w/rw, y·h/rh); target dims rw = max(w·maxDim/max(w,h), 1)
+    * by INTEGER division so a SQL oracle replays them), lossless PNG
+    * re-encode. Images already inside the box pass through
+    * re-encoded at original dims. Non-image bytes yield the unknown
+    * row with null payload. Nearest-neighbour is chosen over
+    * interpolation deliberately: it keeps solid regions bit-exact
+    * (the oracle-ability discipline) and never invents pixel values.
+    *
+    * Output: (idCol, width, height, png: binary).
+    */
+  def resizeImagePartitions(df: DataFrame, blobCol: String,
+                            idCol: String, maxDim: Int): DataFrame = {
+    require(maxDim >= 1, "maxDim must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeImageRaster(bytes) match {
+            case None => (id, 0, 0, None: Option[Array[Byte]])
+            case Some(img) =>
+              val w = img.getWidth; val h = img.getHeight
+              val mx = math.max(w, h)
+              val (rw, rh) =
+                if (mx <= maxDim) (w, h)
+                else (math.max(w * maxDim / mx, 1),
+                      math.max(h * maxDim / mx, 1))
+              val out = new java.awt.image.BufferedImage(rw, rh,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < rh) {
+                var x = 0
+                while (x < rw) {
+                  out.setRGB(x, y, img.getRGB(x * w / rw, y * h / rh))
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              (id, rw, rh, Some(bos.toByteArray))
+          }
+        }
+      }
+      .toDF(idCol, "width", "height", "png")
+  }
+
+  /** The guarded full-raster read shared by [[resizeImagePartitions]]
+    * (and the decode paths): header dims gated on the pixel cap
+    * before any allocation, NonFatal-guarded.
+    */
+  private def decodeImageRaster(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
+    if (readImageHeader(bytes)
+          .forall { case (_, hw, hh) => hw.toLong * hh > maxImagePixels })
+      return None
+    val img = try javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    catch { case scala.util.control.NonFatal(_) => null }
+    Option(img)
   }
 
   // ---------------------------------------------------------------
@@ -626,23 +868,10 @@ object Multimodal {
     * avih dims/frame count and strh dwRate/dwScale = `fps`/1, all of
     * which the decoder must read back.
     */
-  val encodeTestVideoAvi = udf { (w: Int, h: Int, nFrames: Int,
-                                  gray0: Int, fps: Int) =>
-    val frames = (0 until nFrames).map { i =>
-      val g = (gray0 + 7 * i) % 256
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val rgb = (g << 16) | (g << 8) | g
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-        y += 1
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpeg", bos)
-      bos.toByteArray
-    }
+  /** Assemble a minimal-but-conformant RIFF AVI around pre-encoded
+    * MJPEG frame payloads (shared by both test-video encoders). */
+  private def buildAvi(w: Int, h: Int, nFrames: Int, fps: Int,
+                       frames: Seq[Array[Byte]]): Array[Byte] = {
     def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
       val pad = body.length % 2 // RIFF chunks pad to even length
       fourCC(cc) ++ le32(body.length) ++ body ++
@@ -668,6 +897,26 @@ object Multimodal {
     fourCC("RIFF") ++ le32(body.length) ++ body
   }
 
+  val encodeTestVideoAvi = udf { (w: Int, h: Int, nFrames: Int,
+                                  gray0: Int, fps: Int) =>
+    val frames = (0 until nFrames).map { i =>
+      val g = (gray0 + 7 * i) % 256
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    buildAvi(w, h, nFrames, fps, frames)
+  }
+
   /** Parsed AVI video: declared header fields + per-frame decoded
     * pixel stats.
     */
@@ -681,22 +930,25 @@ object Multimodal {
   /** REAL video decode for one blob: walk the RIFF chunk tree (avih
     * → declared dims/frame count; strh → codec fourCC and
     * dwRate/dwScale fps; movi → the frame byte ranges), then
-    * ImageIO-decode EVERY MJPEG frame for pixel statistics. None
-    * when the bytes are not a RIFF AVI or no frame decodes.
+    * ImageIO-decode EVERY MJPEG frame. Returns header fields plus the
+    * per-frame mean gray levels in decode order (frames that fail to
+    * decode are skipped). None when the bytes are not a RIFF AVI or
+    * no frame decodes. The shared pass under [[decodeVideoFull]]'s
+    * stats and [[videoFingerprintPartitions]]'s temporal signature.
     */
-  private def decodeVideoFull(bytes: Array[Byte])
-      : Option[(String, Int, Int, Int, Double, Double, Double)] = {
+  /** Container-only RIFF/AVI parse: header fields + the frame chunk
+    * byte ranges in document order, NO frame decode — the shared
+    * front half of [[decodeVideoMeans]] and the whole cost of
+    * [[videoFrameSamplePartitions]]'s sampling decision.
+    */
+  private def aviParse(bytes: Array[Byte])
+      : Option[(String, Int, Int, Int, Double, Array[(Int, Int)])] = {
     if (bytes == null || bytes.length < 24) return None
     if (cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ") return None
     try {
       var width = 0; var height = 0; var declaredFrames = 0
       var codec = ""; var rate = 0; var scale = 1
       val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-      // Iterative chunk walk with an explicit range stack: a crafted
-      // blob of deeply nested 8-byte LIST headers (~125k levels/MB)
-      // would StackOverflowError a recursive walk — a
-      // VirtualMachineError the NonFatal catch below does not handle
-      // — so nesting depth must cost heap, not JVM stack.
       // Iterative pre-order chunk walk with an explicit continuation
       // stack: descending into a LIST pushes the parent's REMAINING
       // range and continues inside the child, so document order is
@@ -741,38 +993,48 @@ object Multimodal {
           }
         }
       }
-      if (frames.isEmpty) return None
-      var first = Double.NaN
-      var sumAll = 0.0
-      var decoded = 0
-      frames.foreach { case (off, size) =>
-        val img = try javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes, off, size))
-        catch { case scala.util.control.NonFatal(_) => null }
-        if (img != null) {
-          var sum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-                (rgb & 0xff)
-              x += 1
-            }
-            y += 1
-          }
-          val mean = sum.toDouble / (3.0 * img.getWidth * img.getHeight)
-          if (decoded == 0) first = mean
-          sumAll += mean
-          decoded += 1
-        }
-      }
-      if (decoded == 0) None
+      if (frames.isEmpty) None
       else Some((codec, width, height, declaredFrames,
-        rate.toDouble / scale, first, sumAll / decoded))
+        rate.toDouble / scale, frames.toArray))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  private def decodeVideoMeans(bytes: Array[Byte])
+      : Option[(String, Int, Int, Int, Double, Array[Double])] =
+    aviParse(bytes).flatMap {
+      case (codec, width, height, declaredFrames, fps, frames) =>
+        val means =
+          new scala.collection.mutable.ArrayBuffer[Double](frames.length)
+        frames.foreach { case (off, size) =>
+          val img = try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes, off, size))
+          catch { case scala.util.control.NonFatal(_) => null }
+          if (img != null) {
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                  (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            means += sum.toDouble / (3.0 * img.getWidth * img.getHeight)
+          }
+        }
+        if (means.isEmpty) None
+        else Some((codec, width, height, declaredFrames, fps,
+          means.toArray))
+    }
+
+  private def decodeVideoFull(bytes: Array[Byte])
+      : Option[(String, Int, Int, Int, Double, Double, Double)] =
+    decodeVideoMeans(bytes).map { case (codec, w, h, nf, fps, means) =>
+      (codec, w, h, nf, fps, means(0), means.sum / means.length)
+    }
 
   /** Batch-shaped REAL video decode (the [[decodeImagePartitions]] /
     * [[decodeAudioPartitions]] triplet-completer): RIFF-AVI
@@ -802,6 +1064,131 @@ object Multimodal {
         "mean_gray_first", "mean_gray_all")
   }
 
+  /** Perceptual VIDEO fingerprint (the temporal analogue of
+    * [[audioFingerprint]] — standard video fingerprinting practice:
+    * sign-deltas over the luminance envelope): REAL per-frame MJPEG
+    * decode via the shared AVI pass, then 65 frame samples at exact
+    * integer positions over the decoded frame list (sample i = frame
+    * ⌊i·F/65⌋), and bit i = 1 iff mean(sample i) < mean(sample i+1).
+    * The luminance ENVELOPE direction is invariant to resolution
+    * (frame means don't depend on dims), container bitrate/fps
+    * metadata, and uniform re-scaling of frame content — a
+    * re-encoded copy of the same frame sequence fingerprints
+    * identically, which is what the m12 gate pins. Videos with fewer
+    * than 66 frames repeat samples (a tie ⇒ bit 0 — deterministic,
+    * replayable). None for non-AVI bytes.
+    *
+    * Feed into [[Dedup.simhashPairsFromSig]] for banded hamming≤k
+    * video near-dup pairs — no all-pairs frame comparison, the m7
+    * image discipline one media class up.
+    */
+  private def videoFingerprintOf(bytes: Array[Byte]): Option[Long] =
+    decodeVideoMeans(bytes).map { case (_, _, _, _, _, means) =>
+      val f = means.length
+      var fp = 0L
+      var i = 0
+      while (i < 64) {
+        val a = means((i.toLong * f / 65).toInt)
+        val b = means(((i + 1).toLong * f / 65).toInt)
+        if (a < b) fp |= 1L << i
+        i += 1
+      }
+      fp
+    }
+
+  /** Batch-shaped perceptual video fingerprint: (idCol, vfp: long),
+    * null for non-AVI bytes.
+    */
+  def videoFingerprintPartitions(df: DataFrame, blobCol: String,
+                                 idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it =>
+        it.map { case (id, bytes) => (id, videoFingerprintOf(bytes)) })
+      .toDF(idCol, "vfp")
+  }
+
+  /** Column form of the video fingerprint for streaming composition. */
+  private val videoFingerprintUdf =
+    udf { (bytes: Array[Byte]) => videoFingerprintOf(bytes) }
+
+  def videoFingerprint(blob: Column): Column =
+    videoFingerprintUdf(blob.cast(BinaryType))
+
+  /** REAL video frame sampling: container-only RIFF parse (no frame
+    * decode — the sampling decision costs a header walk, not a codec
+    * pass), then every `stride`-th MJPEG frame payload fans out as
+    * its own row: (idCol, frame_idx, frame: binary). The payloads
+    * are plain JPEG byte ranges, so downstream stages compose
+    * directly — `decodeImagePartitions` for per-frame pixel stats,
+    * `imageDHashPartitions` for per-frame perceptual hashes. Rows
+    * with non-AVI bytes contribute no frames (filter them via
+    * [[decodeVideoPartitions]]'s codec column when an explicit
+    * unknown marker is needed). The fan-out shape keeps frame rows
+    * independent — at corpus scale the sampled frames repartition
+    * freely instead of traveling as one giant array cell.
+    */
+  def videoFrameSamplePartitions(df: DataFrame, blobCol: String,
+                                 idCol: String,
+                                 stride: Int = 4): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          aviParse(bytes) match {
+            case None => Iterator.empty
+            case Some((_, _, _, _, _, frames)) =>
+              Iterator.range(0, frames.length, stride).map { i =>
+                val (off, size) = frames(i)
+                (id, i, java.util.Arrays.copyOfRange(bytes, off,
+                  off + size))
+              }
+          }
+        }
+      }
+      .toDF(idCol, "frame_idx", "frame")
+  }
+
+  /** Deterministic patterned test-video encoder (the m12 fixture
+    * generator): [[encodeTestVideoAvi]] with a seed-decorrelated
+    * QUADRATIC gray progression — frame j is solid gray
+    * `(seed·(j+7) + (seed² mod 7919)·(j+3) + 53j² + 31j) mod 256` — so the frame-mean
+    * sequence orders ~randomly AND distinct seeds give independent
+    * bit patterns (the linear `+7` ramp of the m9 fixture would make
+    * almost every temporal delta positive, and an additive-only seed
+    * would shift all frames equally, gluing fingerprints into one
+    * smooth family). Solid
+    * frames keep the MJPEG decode exact (DC-only blocks, the m9
+    * argument), so each frame's mean IS the pattern value and the
+    * fingerprint bits are pure arithmetic a SQL oracle replays.
+    */
+  val encodeTestVideoAviPattern = udf { (w: Int, h: Int, nFrames: Int,
+                                         seed: Int, fps: Int) =>
+    require(seed >= 0, "seed must be non-negative")
+    val q = (seed.toLong * seed % 7919).toInt // nonlinear seed term
+    val frames = (0 until nFrames).map { j =>
+      val g = (seed * (j + 7) + q * (j + 3) + 53 * j * j + 31 * j) % 256
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    buildAvi(w, h, nFrames, fps, frames)
+  }
+
   /** A media-table projection: blob + decoded meta + features — the
     * canonical multimodal pipeline stage.
     */
@@ -813,7 +1200,7 @@ object Multimodal {
       byteLength(blob).as("n_bytes"),
       sha256Hex(blob).as("sha256"),
       headHex(blob).as("head_hex"),
-      decodeStub(blob).as("meta"),
-      featureExtractStub(blob).as("features"))
+      imageMeta(blob).as("meta"),
+      byteHistogramFeatures(blob).as("features"))
   }
 }

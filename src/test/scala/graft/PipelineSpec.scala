@@ -697,7 +697,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(df.as[String].collect().toSet.size == 1)
   }
 
-  test("multimodal pipeline: schema + deterministic stub decode") {
+  test("multimodal pipeline: schema + deterministic real fields") {
     val docs = Graft.table(spark, sf, "documents").limit(10)
     val media = Multimodal.mediaPipeline(docs, "text", "doc_id")
     val schema = media.schema
@@ -721,27 +721,100 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(toks == Seq("don", "'", "t", "stop", "-", "me", "now2day"))
   }
 
-  test("resize stub scales dims into the bounding box") {
+  test("quarantined plumbing fixtures still exercise the schema shapes") {
     val r = Graft.table(spark, sf, "documents").limit(5)
-      .select(Multimodal.resizeStub(
+      .select(Multimodal.plumbingFixture.resizeStub(
         Multimodal.asBlob($"text"), maxDim = 32).as("r"))
       .select($"r.width", $"r.height", $"r.bytes").collect()
     assert(r.forall(x => x.getInt(0) <= 32 && x.getInt(1) <= 32))
     assert(r.forall(_.getAs[Array[Byte]](2).nonEmpty))
+    val m = Graft.table(spark, sf, "documents").limit(5)
+      .select(Multimodal.plumbingFixture.decodeStub(
+        Multimodal.asBlob($"text")).as("m"))
+      .select($"m.format").as[String].collect()
+    assert(m.forall(Set("png", "jpeg", "wav", "mp4")))
   }
 
-  test("decodePartitions matches the expression-based stub decode " +
-      "for non-image bytes") {
+  test("decodePartitions and the imageMeta column form agree and are " +
+      "honestly unknown for non-image bytes") {
     val docs = Graft.table(spark, sf, "documents").limit(50)
     val viaPartitions = Multimodal.decodePartitions(
       docs.withColumn("blob", Multimodal.asBlob($"text")), "blob", "doc_id")
       .select($"doc_id", $"format", $"width")
       .as[(Long, String, Int)].collect().toSet
+    assert(viaPartitions.forall { case (_, f, w) =>
+      f == "unknown" && w == 0 },
+      "text bytes must decode as unknown, not a fake mapping")
     val viaExpr = docs.select($"doc_id",
-        Multimodal.decodeStub(Multimodal.asBlob($"text")).as("m"))
+        Multimodal.imageMeta(Multimodal.asBlob($"text")).as("m"))
       .select($"doc_id", $"m.format", $"m.width")
       .as[(Long, String, Int)].collect().toSet
     assert(viaPartitions == viaExpr)
+    // and a real image is claimed with real dims by both forms
+    val img = Seq((1L, "png")).toDF("id", "fmt").select($"id",
+      Multimodal.encodeTestImage($"fmt", lit(11), lit(7), lit(40))
+        .as("blob"))
+    val pm = Multimodal.decodePartitions(img, "blob", "id").head
+    assert(pm.getAs[String]("format") == "png" &&
+      pm.getAs[Int]("width") == 11)
+    val em = img.select(Multimodal.imageMeta($"blob").as("m"))
+      .select($"m.format", $"m.width").as[(String, Int)].head()
+    assert(em == (("png", 11)))
+  }
+
+  test("real image resize: integer-exact dims, solid content " +
+      "preserved, pass-through inside the box") {
+    import Multimodal._
+    val fixtures = Seq((1L, "png", 40, 20, 77), (2L, "jpeg", 20, 36, 200),
+      (3L, "bmp", 10, 9, 5)) // (3) already inside the box
+    val blobs = fixtures.toDF("id", "fmt", "w", "h", "gray")
+      .select($"id", encodeTestImage($"fmt", $"w", $"h", $"gray")
+        .as("blob"))
+    val out = decodeImagePartitions(
+      resizeImagePartitions(blobs, "blob", "id", maxDim = 24),
+      "png", "id")
+      .select($"id", $"format", $"width", $"height", $"mean_gray")
+      .as[(Long, String, Int, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    fixtures.foreach { case (id, _, w, h, gray) =>
+      val mx = math.max(w, h)
+      val (rw, rh) = if (mx <= 24) (w, h)
+        else (math.max(w * 24 / mx, 1), math.max(h * 24 / mx, 1))
+      assert(out(id) == (("png", rw, rh, gray.toDouble)))
+    }
+    // non-image bytes: unknown row with null payload
+    val junk = Seq((9L, "nope")).toDF("id", "t")
+      .select($"id", asBlob($"t").as("blob"))
+    val j = resizeImagePartitions(junk, "blob", "id", 24).head
+    assert(j.getAs[Int]("width") == 0 && j.isNullAt(j.fieldIndex("png")))
+  }
+
+  test("real video frame sampling: container-only walk fans sampled " +
+      "JPEG payloads out as rows that compose with the image decoder") {
+    import Multimodal._
+    val blobs = Seq((1L, 9), (2L, 3)).toDF("id", "nf")
+      .select($"id", encodeTestVideoAvi(lit(16), lit(16), $"nf",
+        lit(50), lit(10)).as("blob"))
+    val sampled = videoFrameSamplePartitions(blobs, "blob", "id",
+      stride = 4)
+    val idx = sampled.select($"id", $"frame_idx")
+      .as[(Long, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(idx(1L) == Seq(0, 4, 8))
+    assert(idx(2L) == Seq(0))
+    // sampled payloads are decodable JPEG with the right solid mean
+    val dec = decodeImagePartitions(
+      sampled.filter($"id" === 1).withColumn("fid", $"frame_idx"),
+      "frame", "fid")
+      .select($"fid", $"format", $"mean_gray")
+      .as[(Long, String, Double)].collect()
+    assert(dec.forall(_._2 == "jpeg"))
+    assert(dec.map(d => d._1 -> d._3).toMap ==
+      Map(0L -> 50.0, 4L -> 78.0, 8L -> 106.0)) // (50 + 7·idx) % 256
+    // non-AVI bytes contribute no frame rows
+    val junk = Seq((9L, "nope")).toDF("id", "t")
+      .select($"id", asBlob($"t").as("blob"))
+    assert(videoFrameSamplePartitions(junk, "blob", "id").count() == 0)
   }
 
   test("real image codec beats the stub: encode→decodePartitions " +
@@ -848,6 +921,89 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val u = Multimodal.decodeAudioPartitions(junk, "blob", "id").head
     assert(u.getAs[String]("audio_format") == "unknown")
     assert(u.isNullAt(u.fieldIndex("mean_sample")))
+  }
+
+  test("perceptual audio fingerprint: container- and gain-invariant, " +
+      "null for junk and too-short clips") {
+    import Multimodal._
+    val rows = Seq(
+      (1L, "wave", 1), (2L, "aiff", 1), (3L, "au", 1), // same content
+      (4L, "wave", 3),   // same pattern, 3× gain
+      (5L, "wave", 1))   // different pattern (other seed below)
+      .toDF("id", "ft", "gain")
+      .select($"id", encodeTestAudioPattern($"ft", lit(8000), lit(2),
+        when($"id" === 5, 99).otherwise(42), $"gain").as("blob"))
+    val fp = audioFingerprintPartitions(rows, "blob", "id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fp(1L).isDefined)
+    assert(fp(1L) == fp(2L) && fp(1L) == fp(3L),
+      "same recording, different container → same fingerprint")
+    assert(fp(1L) == fp(4L),
+      "uniform gain scales every segment energy by gain² — ordering, " +
+        "hence every bit, is invariant")
+    assert(fp(1L) != fp(5L), "different pattern → different fingerprint")
+    // junk bytes and too-short clips → null
+    val junk = Seq((9L, "not audio")).toDF("id", "t")
+      .select($"id", asBlob($"t").as("blob"))
+    assert(audioFingerprintPartitions(junk, "blob", "id").head.isNullAt(1))
+    val short = Seq((8L, "wave")).toDF("id", "ft")
+      .select($"id", encodeTestAudio($"ft", lit(8000), lit(1), lit(10),
+        lit(5)).as("blob")) // 10 frames < 65 samples
+    assert(audioFingerprintPartitions(short, "blob", "id").head
+      .isNullAt(1))
+  }
+
+  test("perceptual video fingerprint: resolution/fps-invariant " +
+      "temporal envelope, null for non-AVI bytes") {
+    import Multimodal._
+    val rows = Seq(
+      (1L, 12, 8, 15),   // original
+      (2L, 20, 14, 30),  // same frame sequence, other dims + fps
+      (3L, 12, 8, 15))   // different pattern (other seed below)
+      .toDF("id", "w", "h", "fps")
+      .select($"id", encodeTestVideoAviPattern($"w", $"h", lit(70),
+        when($"id" === 3, 77).otherwise(31), $"fps").as("blob"))
+    val fp = videoFingerprintPartitions(rows, "blob", "id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fp(1L).isDefined)
+    assert(fp(1L) == fp(2L),
+      "re-encode at different resolution/fps → same temporal fingerprint")
+    assert(fp(1L) != fp(3L), "different frame sequence → different bits")
+    val junk = Seq((9L, "not a video")).toDF("id", "t")
+      .select($"id", asBlob($"t").as("blob"))
+    assert(videoFingerprintPartitions(junk, "blob", "id").head.isNullAt(1))
+  }
+
+  test("autoPlanes sizes the SRP grid to the measured curve and the " +
+      "auto default finds the same pairs as an explicit grid") {
+    // anchor points of the measured sf10 scaling curve: 16 planes is
+    // right at 40k clustered vectors, 24 at 400k; clamps at [8, 28]
+    assert(Dedup.autoPlanes(40000L) == 16)
+    assert(Dedup.autoPlanes(400000L) == 24)
+    assert(Dedup.autoPlanes(100L) == 8, "small corpora clamp low")
+    assert(Dedup.autoPlanes(100000000L) == 28, "huge corpora clamp high")
+    // monotone: more data never gets a coarser grid
+    val pts = Seq(1000L, 10000L, 100000L, 1000000L, 10000000L)
+      .map(Dedup.autoPlanes)
+    assert(pts == pts.sorted)
+    // e2e: the auto-sized default (nPlanes = 0) must find the same
+    // near-dup pairs as the explicit d11-style grid on the
+    // perturbed-copy fixture (recall 1 at cos ≈ 0.9999 either way)
+    val emb = Graft.table(spark, sf, "embeddings")
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("embedding"))
+    val mutated = emb
+      .withColumn("vec_id", $"vec_id" + 1000000L)
+      .withColumn("embedding", concat(
+        array(element_at($"embedding", 1) + lit(0.015625)),
+        slice($"embedding", 2, 63)))
+    val input = emb.unionByName(mutated)
+    def pairs(planes: Int) = Dedup.embeddingNearDupPairsLsh(input,
+        "embedding", "vec_id", threshold = 0.9, nPlanes = planes,
+        dim = 64, nTables = 8)
+      .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+    assert(pairs(0) == pairs(16),
+      "auto-sized grid must match the explicit grid's pair set")
   }
 
   test("adversarial media blobs degrade to unknown rows, not task death") {
@@ -1047,9 +1203,9 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.5, s"sampled-fit IVF recall $recall too low")
   }
 
-  test("frame sampling slices blobs into 16-byte frames") {
+  test("frame sampling fixture slices blobs into 16-byte frames") {
     val df = Seq("0123456789abcdef" * 8).toDF("t")
-      .select(Multimodal.frameSampleStub(
+      .select(Multimodal.plumbingFixture.frameSampleStub(
         Multimodal.asBlob($"t"), stride = 2).as("frames"))
     val frames = df.head.getSeq[Array[Byte]](0)
     assert(frames.nonEmpty)
