@@ -309,8 +309,11 @@ object Bench {
     // pane tier is cross-checked against. Users run the recommended
     // tier; round-over-round comparisons should too, so both
     // subtotals are emitted.
+    // d32/d33 are persistence round trips of d27/d23 (same compute +
+    // a write/read) — redundant with their inline twins by design
     val crossCheckTier = Set("d6_embedding_neardup",
-      "d13_dup_components_star", "exact_window_explode")
+      "d13_dup_components_star", "exact_window_explode",
+      "d32_winnow_overlap_indexed", "d33_minhash_overlap_indexed")
     // failed queries bill their tier at the same 10×-slowest penalty
     // as the headline total — a newly-failing query must never read
     // as a subtotal speedup in round-over-round comparisons

@@ -1506,10 +1506,23 @@ object SparkEntry {
     // value AND rightmost-tie position — replayed by the oracle, so
     // one wrong min or a leftmost tie anywhere in the corpus breaks
     // the hash
+    // gate determinism is per-doc, not global: fingerprints aggregate
+    // to ONE sorted array string per doc before the output ORDER BY,
+    // so the gate's sort touches |docs| rows instead of |fingerprints|
+    // (measured 26 s of a 42.7 s sf10 run was the old global 3-column
+    // ORDER BY over 9.7M fingerprint rows — pure verify overhead; the
+    // per-doc array sorts distribute with the docs). pos is
+    // zero-padded so lexicographic order is identical across engines.
     "t26_winnowing" -> ((s, d) =>
       operators.Dedup.winnowingFingerprints(t(s, d, "documents"),
           "text", "doc_id", n = 5, window = 4)
-        .orderBy(col("doc_id"), col("pos"), col("fp"))),
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_fp"),
+          array_join(sort_array(collect_list(
+            concat(lpad(col("pos").cast("string"), 6, "0"), lit(":"),
+              col("fp")))), ",").as("fps"))
+        .orderBy(col("doc_id"))),
 
     // asymmetric containment (quote detection): half-prefix copies of
     // every 5th doc are CONTAINED in their originals (containment ≈ 1,
@@ -1579,6 +1592,47 @@ object SparkEntry {
             greatest((size(toks) / 2).cast("int"), lit(1)))).as("text"))
       operators.Dedup.winnowOverlapStats(docs, ref, "text", "doc_id",
           n = 5, window = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // The PERSISTED winnowing index round trip: build the d27
+    // reference index, write it (schema-versioned parquet + sidecar),
+    // read it back, and run the overlap pass from the persisted
+    // frame. Shares d27's oracle verbatim — the gate is that
+    // persistence changes NOTHING.
+    "d32_winnow_overlap_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = operators.TextAnalysis.tokenize(col("text"))
+      val ref = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest((size(toks) / 2).cast("int"), lit(1)))).as("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-d32").toString + "/idx"
+      operators.DedupIndex.writeWinnow(ref, "text", tmp,
+        n = 5, window = 4)
+      val idx = operators.DedupIndex.readWinnow(s, tmp,
+        n = 5, window = 4)
+      operators.Dedup.winnowOverlapStatsFromIndex(docs, idx, "text",
+          "doc_id", n = 5, window = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // The PERSISTED MinHash index round trip (the d23 twin): shingle
+    // sets persist, signatures/bands derive at read time, results
+    // must be bit-identical to the inline build.
+    "d33_minhash_overlap_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ref = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("text", regexp_replace(col("text"), "the", "thee"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-d33").toString + "/idx"
+      operators.DedupIndex.writeMinhash(ref, "text", tmp, shingleN = 3)
+      val idx = operators.DedupIndex.readMinhash(s, tmp, shingleN = 3)
+      operators.Dedup.minhashOverlapFromIndex(docs, idx, "text",
+          "doc_id", shingleN = 3, numHashes = 32, bands = 16,
+          threshold = 0.5)
+        .withColumn("max_jaccard", round(col("max_jaccard"), 6))
         .orderBy(col("doc_id"))
     }),
 
@@ -2284,7 +2338,16 @@ object SparkEntry {
       |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB-runnable oracle SQL, column-name-aligned with `queries`. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // the indexed decontamination gates are BIT-IDENTICAL round trips
+    // of their inline twins — same fixture, same output — so they
+    // share the oracle verbatim: any divergence introduced by the
+    // persist/read path (schema drift, lost fingerprints, parameter
+    // mismatch) fails the same SQL the inline build passes
+    "d32_winnow_overlap_indexed" -> oracleSqlBase("d27_winnow_overlap"),
+    "d33_minhash_overlap_indexed" -> oracleSqlBase("d23_minhash_overlap"))
+
+  private val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -3944,9 +4007,15 @@ object SparkEntry {
         |  SELECT s.doc_id, max(g.pos) AS pos, s.mh
         |  FROM sel s JOIN grams g ON g.doc_id = s.doc_id
         |    AND g.h = s.mh AND g.pos >= s.i AND g.pos < s.i + 4
-        |  GROUP BY s.doc_id, s.i, s.mh)
-        |SELECT DISTINCT doc_id, pos, substr(mh, 1, 8) AS fp
-        |FROM fp ORDER BY doc_id, pos, fp""".stripMargin,
+        |  GROUP BY s.doc_id, s.i, s.mh),
+        |sel_fp AS (
+        |  SELECT DISTINCT doc_id, pos, substr(mh, 1, 8) AS fp
+        |  FROM fp)
+        |SELECT doc_id, count(*) AS n_fp,
+        |  array_to_string(list_sort(
+        |    list(lpad(CAST(pos AS VARCHAR), 6, '0') || ':' || fp)),
+        |    ',') AS fps
+        |FROM sel_fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d26_containment_pairs" ->
       """WITH halves AS (

@@ -1214,26 +1214,39 @@ object Dedup {
     * @return (corpusIdCol, max_jaccard) — one row per flagged corpus
     *         doc with its strongest reference overlap.
     */
-  def minhashOverlap(corpus: DataFrame, reference: DataFrame,
-                     textCol: String, corpusIdCol: String,
-                     shingleN: Int = 3, numHashes: Int = 32,
-                     bands: Int = 16, threshold: Double = 0.5)
+  /** The reference side of [[minhashOverlap]] as a standalone frame:
+    * one row per reference doc, carrying its distinct shingle-hash
+    * set (`rsh: array<bigint>`). This IS the persistable
+    * decontamination index — signatures and band keys derive from it
+    * cheaply at read time (no re-tokenization of reference text), so
+    * a 100 TB pipeline builds it once per reference drop
+    * ([[DedupIndex.writeMinhash]]) and reuses it across corpus runs
+    * with any (numHashes, bands, threshold) setting.
+    */
+  def minhashReferenceIndex(reference: DataFrame, textCol: String,
+                            shingleN: Int = 3): DataFrame =
+    reference.select(shingleHashes(col(textCol), shingleN).as("rsh"))
+
+  /** [[minhashOverlap]] against a prebuilt [[minhashReferenceIndex]]
+    * frame — bit-identical results to the inline build (gated).
+    */
+  def minhashOverlapFromIndex(corpus: DataFrame, index: DataFrame,
+                              textCol: String, corpusIdCol: String,
+                              shingleN: Int = 3, numHashes: Int = 32,
+                              bands: Int = 16, threshold: Double = 0.5)
       : DataFrame = {
     val rows = numHashes / bands
-    def prep(df: DataFrame, idCol: String, idAs: String, shAs: String,
-             bAs: String): DataFrame =
-      df.select(col(idCol).as(idAs),
-          shingleHashes(col(textCol), shingleN).as(shAs))
-        .withColumn(bAs,
-          lshBandKeys(minhashSignature(col(shAs), numHashes), bands,
-            rows))
-    val c = prep(corpus, corpusIdCol, "__cid", "__csh", "__cbs")
+    val c = corpus.select(col(corpusIdCol).as("__cid"),
+        shingleHashes(col(textCol), shingleN).as("__csh"))
+      .withColumn("__cbs",
+        lshBandKeys(minhashSignature(col("__csh"), numHashes), bands,
+          rows))
       .select(col("__cid"), col("__csh"), col("__cbs"),
         posexplode(col("__cbs")).as(Seq("__band_idx", "__band_key")))
     // the reference id never surfaces (only the max jaccard does), so
     // the broadcast rows carry shingles + bands alone
-    val r = reference
-      .select(shingleHashes(col(textCol), shingleN).as("__rsh"))
+    val r = index
+      .select(col("rsh").as("__rsh"))
       .withColumn("__rbs",
         lshBandKeys(minhashSignature(col("__rsh"), numHashes), bands,
           rows))
@@ -1251,6 +1264,15 @@ object Dedup {
       .agg(max(col("__j")).as("max_jaccard"))
       .select(col("__cid").as(corpusIdCol), col("max_jaccard"))
   }
+
+  def minhashOverlap(corpus: DataFrame, reference: DataFrame,
+                     textCol: String, corpusIdCol: String,
+                     shingleN: Int = 3, numHashes: Int = 32,
+                     bands: Int = 16, threshold: Double = 0.5)
+      : DataFrame =
+    minhashOverlapFromIndex(corpus,
+      minhashReferenceIndex(reference, textCol, shingleN),
+      textCol, corpusIdCol, shingleN, numHashes, bands, threshold)
 
   /** Drop every corpus row Jaccard-contaminated against a reference
     * set — the removal half of [[minhashOverlap]], same anti-join
@@ -1620,17 +1642,33 @@ object Dedup {
     * per-fp and let AQE pick the join — the corpus side still ships
     * ids and fingerprints only.
     */
-  def winnowOverlapStats(corpus: DataFrame, reference: DataFrame,
-                         textCol: String, corpusIdCol: String,
-                         n: Int = 5, window: Int = 4): DataFrame = {
-    val cf = winnowingFingerprints(corpus, textCol, corpusIdCol, n, window)
-      .select(col(corpusIdCol), col("fp")).distinct()
+  /** The reference side of [[winnowOverlapStats]] as a standalone
+    * frame: the reference corpus's distinct winnowing fingerprint SET
+    * (`fp: string`, 8-hex). This IS the persistable decontamination
+    * index ([[DedupIndex.writeWinnow]]) — tiny (8 bytes/entry of
+    * payload), broadcastable, reusable across corpus drops as long
+    * as (n, window) match the build.
+    */
+  def winnowReferenceIndex(reference: DataFrame, textCol: String,
+                           n: Int = 5, window: Int = 4): DataFrame =
     // the reference only contributes its fingerprint SET — a constant
     // synthetic id keeps textCol the sole schema requirement
-    val rf = winnowingFingerprints(
+    winnowingFingerprints(
         reference.select(lit(0L).as("__rid"), col(textCol)),
         textCol, "__rid", n, window)
       .select(col("fp")).distinct()
+
+  /** [[winnowOverlapStats]] against a prebuilt
+    * [[winnowReferenceIndex]] frame — bit-identical to the inline
+    * build (gated).
+    */
+  def winnowOverlapStatsFromIndex(corpus: DataFrame, index: DataFrame,
+                                  textCol: String, corpusIdCol: String,
+                                  n: Int = 5, window: Int = 4)
+      : DataFrame = {
+    val cf = winnowingFingerprints(corpus, textCol, corpusIdCol, n, window)
+      .select(col(corpusIdCol), col("fp")).distinct()
+    val rf = index.select(col("fp")).distinct()
     cf.join(broadcast(rf).withColumn("__hit", lit(1)), Seq("fp"), "left")
       .groupBy(col(corpusIdCol))
       .agg(count(lit(1)).as("n_fp"),
@@ -1639,6 +1677,13 @@ object Dedup {
       .withColumn("overlap_frac",
         round(col("n_shared").cast("double") / col("n_fp"), 6))
   }
+
+  def winnowOverlapStats(corpus: DataFrame, reference: DataFrame,
+                         textCol: String, corpusIdCol: String,
+                         n: Int = 5, window: Int = 4): DataFrame =
+    winnowOverlapStatsFromIndex(corpus,
+      winnowReferenceIndex(reference, textCol, n, window),
+      textCol, corpusIdCol, n, window)
 
   /** Partial-overlap document clusters from winnowing fingerprints —
     * the clustering composition [[winnowingFingerprints]] promises:

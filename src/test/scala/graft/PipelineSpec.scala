@@ -923,6 +923,49 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(u.isNullAt(u.fieldIndex("mean_sample")))
   }
 
+  test("DedupIndex: persisted indexes round-trip bit-identical and " +
+      "refuse mismatched parameters or incomplete builds") {
+    val docs = Graft.table(spark, sf, "documents").limit(100)
+    val ref = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", $"text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx")
+      .toString
+    // winnow round trip == inline
+    operators.DedupIndex.writeWinnow(ref, "text", s"$dir/w", 5, 4)
+    val viaIdx = Dedup.winnowOverlapStatsFromIndex(docs,
+        operators.DedupIndex.readWinnow(spark, s"$dir/w", 5, 4),
+        "text", "doc_id", 5, 4)
+      .collect().map(_.toString).toSet
+    val inline = Dedup.winnowOverlapStats(docs, ref, "text", "doc_id",
+      5, 4).collect().map(_.toString).toSet
+    assert(viaIdx == inline)
+    // minhash round trip == inline
+    operators.DedupIndex.writeMinhash(ref, "text", s"$dir/m", 3)
+    val viaIdxM = Dedup.minhashOverlapFromIndex(docs,
+        operators.DedupIndex.readMinhash(spark, s"$dir/m", 3),
+        "text", "doc_id").collect().map(_.toString).toSet
+    val inlineM = Dedup.minhashOverlap(docs, ref, "text", "doc_id")
+      .collect().map(_.toString).toSet
+    assert(viaIdxM == inlineM)
+    // parameter mismatch refused with a pointed message
+    val e1 = intercept[IllegalArgumentException] {
+      operators.DedupIndex.readWinnow(spark, s"$dir/w", n = 7)
+    }
+    assert(e1.getMessage.contains("n=5") &&
+      e1.getMessage.contains("n=7"))
+    // wrong kind refused
+    val e2 = intercept[IllegalArgumentException] {
+      operators.DedupIndex.readMinhash(spark, s"$dir/w")
+    }
+    assert(e2.getMessage.contains("winnow"))
+    // a directory without the sidecar (incomplete build) refused
+    ref.limit(1).write.parquet(s"$dir/broken")
+    val e3 = intercept[IllegalArgumentException] {
+      operators.DedupIndex.readWinnow(spark, s"$dir/broken")
+    }
+    assert(e3.getMessage.contains("_graft_index.json"))
+  }
+
   test("perceptual audio fingerprint: container- and gain-invariant, " +
       "null for junk and too-short clips") {
     import Multimodal._
