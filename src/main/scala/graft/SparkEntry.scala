@@ -20,6 +20,18 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(spark, dir, name)
 
+  /** Spread a compact source across the session's shuffle parallelism
+    * before a CPU-heavy scan-stage projection (the editDistancePairs
+    * discipline): a single-file fixture arrives in 1-2 splits and
+    * would serialize the whole pass onto 2 cores; a production-scale
+    * scan already has thousands of splits and skips the shuffle.
+    */
+  private def spreadIfUnderParallel(spark: SparkSession,
+                                    df: DataFrame): DataFrame = {
+    val target = spark.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** t25's WordPiece vocab — one definition feeds BOTH the Spark query
     * and the DuckDB oracle's literal list, so the two sides cannot
     * drift. 25 single letters (no 'x', so x-words and digit words
@@ -1506,22 +1518,26 @@ object SparkEntry {
     // value AND rightmost-tie position — replayed by the oracle, so
     // one wrong min or a leftmost tie anywhere in the corpus breaks
     // the hash
-    // gate determinism is per-doc, not global: fingerprints aggregate
-    // to ONE sorted array string per doc before the output ORDER BY,
-    // so the gate's sort touches |docs| rows instead of |fingerprints|
-    // (measured 26 s of a 42.7 s sf10 run was the old global 3-column
-    // ORDER BY over 9.7M fingerprint rows — pure verify overhead; the
-    // per-doc array sorts distribute with the docs). pos is
-    // zero-padded so lexicographic order is identical across engines.
+    // gate determinism is per-doc, not global: one sorted fingerprint
+    // array string per doc, built DIRECTLY from the native
+    // expression's per-doc array output — no explode, no regroup
+    // shuffle, and the output ORDER BY sorts |docs| rows instead of
+    // |fingerprints| (the old global 3-column ORDER BY over 9.7M
+    // exploded rows was 26 s of a 42.7 s sf10 run — pure verify
+    // overhead). pos is zero-padded so lexicographic order is
+    // identical across engines. The two-step select keeps the
+    // expression evaluated once per row (CollapseProject won't
+    // duplicate a multiply-referenced non-cheap alias).
     "t26_winnowing" -> ((s, d) =>
-      operators.Dedup.winnowingFingerprints(t(s, d, "documents"),
-          "text", "doc_id", n = 5, window = 4)
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_fp"),
-          array_join(sort_array(collect_list(
-            concat(lpad(col("pos").cast("string"), 6, "0"), lit(":"),
-              col("fp")))), ",").as("fps"))
+      spreadIfUnderParallel(s, t(s, d, "documents"))
+        .select(col("doc_id"),
+          graft.functions.winnow_fingerprints(col("text"), 5, 4)
+            .as("__fps"))
+        .select(col("doc_id"),
+          size(col("__fps")).cast("long").as("n_fp"),
+          array_join(sort_array(transform(col("__fps"), f =>
+            concat(lpad(f.getField("pos").cast("string"), 6, "0"),
+              lit(":"), f.getField("fp")))), ",").as("fps"))
         .orderBy(col("doc_id"))),
 
     // asymmetric containment (quote detection): half-prefix copies of

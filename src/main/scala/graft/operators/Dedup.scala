@@ -1608,11 +1608,23 @@ object Dedup {
     * ~2/(w+1) of the gram count — never documents.
     */
   def winnowingFingerprints(df: DataFrame, textCol: String, idCol: String,
-                            n: Int = 5, window: Int = 4): DataFrame =
-    df.select(col(idCol),
+                            n: Int = 5, window: Int = 4): DataFrame = {
+    // the selection pass is CPU-heavy (per-gram digests) and runs in
+    // the SCAN stage: a compact parquet source can arrive in 1-2
+    // splits and serialize the whole pass onto 2 cores (measured:
+    // the 500k-doc sf10 fixture is one 66 MB file → one task doing
+    // ~13 s of digesting while 31 cores idle). Spread ONLY when the
+    // source is under-parallel — the editDistancePairs discipline; a
+    // 100 TB scan already has thousands of splits and must not pay a
+    // gratuitous full-text shuffle.
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    val spread = if (df.rdd.getNumPartitions < target)
+      df.repartition(target) else df
+    spread.select(col(idCol),
         explode(graft.functions.winnow_fingerprints(col(textCol), n, window))
           .as("__f"))
       .select(col(idCol), col("__f.pos").as("pos"), col("__f.fp").as("fp"))
+  }
 
   /** Cross-corpus winnowing-fingerprint overlap — the MOSS
     * contamination detector: for each corpus document, how many of
