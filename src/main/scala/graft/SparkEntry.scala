@@ -1954,7 +1954,7 @@ object SparkEntry {
     // name, and each frame's solid mean gray are pure doc_id
     // arithmetic for the oracle.
     "m3_multimodal_frames" -> ((s, d) => {
-      val blobs = t(s, d, "documents").select(col("doc_id"),
+      val blobs = spreadIfUnderParallel(s, t(s, d, "documents")).select(col("doc_id"),
         operators.Multimodal.encodeTestVideoAvi(
           (pmod(col("doc_id"), lit(16)) + 16).cast("int"),
           (pmod(col("doc_id"), lit(9)) + 16).cast("int"),
@@ -1985,7 +1985,7 @@ object SparkEntry {
       val fmt = element_at(
         array(lit("png"), lit("jpeg"), lit("bmp"), lit("gif")),
         (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
-      val blobs = t(s, d, "documents").select(col("doc_id"),
+      val blobs = spreadIfUnderParallel(s, t(s, d, "documents")).select(col("doc_id"),
         operators.Multimodal.encodeTestImage(fmt,
           (pmod(col("doc_id"), lit(29)) + 8).cast("int"),
           (pmod(col("doc_id"), lit(17)) + 8).cast("int"),
@@ -2032,7 +2032,8 @@ object SparkEntry {
       val fmt = element_at(
         array(lit("png"), lit("jpeg"), lit("bmp"), lit("gif")),
         (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
-      val blobs = t(s, d, "documents").select(col("doc_id"),
+      val blobs = spreadIfUnderParallel(s, t(s, d, "documents"))
+        .select(col("doc_id"),
         operators.Multimodal.encodeTestImage(fmt,
           (pmod(col("doc_id"), lit(29)) + 8).cast("int"),
           (pmod(col("doc_id"), lit(17)) + 8).cast("int"),
@@ -2059,7 +2060,8 @@ object SparkEntry {
       val rate = element_at(
         array(lit(8000), lit(16000), lit(22050), lit(44100)),
         (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
-      val blobs = t(s, d, "documents").select(col("doc_id"),
+      val blobs = spreadIfUnderParallel(s, t(s, d, "documents"))
+        .select(col("doc_id"),
         operators.Multimodal.encodeTestAudio(container, rate,
           (pmod(col("doc_id"), lit(2)) + 1).cast("int"),
           (pmod(col("doc_id"), lit(100)) + 50).cast("int"),
@@ -2092,7 +2094,8 @@ object SparkEntry {
       val rate = element_at(
         array(lit(8000), lit(16000), lit(22050), lit(44100)),
         (pmod(key, lit(4)) + 1).cast("int"))
-      val blobs = t(s, d, "documents").select(col("doc_id"),
+      val blobs = spreadIfUnderParallel(s, t(s, d, "documents"))
+        .select(col("doc_id"),
         operators.Multimodal.encodeTestAudio(container, rate,
           (pmod(key, lit(2)) + 1).cast("int"),
           (key + 50).cast("int"),
@@ -2117,7 +2120,8 @@ object SparkEntry {
     // declared dims/frames, header fps, first-frame mean, and the
     // across-ALL-frames mean are pure doc_id arithmetic.
     "m9_video_decode" -> ((s, d) => {
-      val blobs = t(s, d, "documents").select(col("doc_id"),
+      val blobs = spreadIfUnderParallel(s, t(s, d, "documents"))
+        .select(col("doc_id"),
         operators.Multimodal.encodeTestVideoAvi(
           (pmod(col("doc_id"), lit(16)) + 16).cast("int"),
           (pmod(col("doc_id"), lit(9)) + 16).cast("int"),
@@ -2146,7 +2150,8 @@ object SparkEntry {
     "m6_image_dhash" -> ((s, d) => {
       val fmt = element_at(array(lit("png"), lit("bmp")),
         (pmod(col("doc_id"), lit(2)) + 1).cast("int"))
-      val blobs = t(s, d, "documents").select(col("doc_id"),
+      val blobs = spreadIfUnderParallel(s, t(s, d, "documents"))
+        .select(col("doc_id"),
         operators.Multimodal.encodeTestImagePattern(fmt,
           (pmod(col("doc_id"), lit(28)) + 9).cast("int"),
           (pmod(col("doc_id"), lit(17)) + 8).cast("int"),
@@ -2169,7 +2174,8 @@ object SparkEntry {
     "m7_image_neardup" -> ((s, d) => {
       val fmt = element_at(array(lit("png"), lit("bmp")),
         (pmod(col("doc_id"), lit(2)) + 1).cast("int"))
-      val blobs = t(s, d, "documents").select(col("doc_id"),
+      val blobs = spreadIfUnderParallel(s, t(s, d, "documents"))
+        .select(col("doc_id"),
         operators.Multimodal.encodeTestImagePattern(fmt,
           (pmod(col("doc_id"), lit(28)) + 9).cast("int"),
           (pmod(col("doc_id"), lit(17)) + 8).cast("int"),
@@ -2201,7 +2207,8 @@ object SparkEntry {
       val rate = element_at(
         array(lit(8000), lit(16000), lit(22050), lit(44100)),
         (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
-      val blobs = t(s, d, "documents").select(col("doc_id"),
+      val blobs = spreadIfUnderParallel(s, t(s, d, "documents"))
+        .select(col("doc_id"),
         operators.Multimodal.encodeTestAudioPattern(container, rate,
           (pmod(col("doc_id"), lit(4)) + 2).cast("int"),
           pmod(col("doc_id") * 13, lit(100003)).cast("int"),
@@ -2225,7 +2232,8 @@ object SparkEntry {
     // the per-doc energy ordering) and takes the exact all-pairs
     // hamming join.
     "m11_audio_neardup" -> ((s, d) => {
-      val base = t(s, d, "documents").select(col("doc_id"))
+      val base = spreadIfUnderParallel(s, t(s, d, "documents"))
+        .select(col("doc_id"))
       def enc(df: DataFrame, containerShift: Int, gain: Int) = {
         val src = when(col("doc_id") >= 1000000L,
           col("doc_id") - 1000000L).otherwise(col("doc_id"))
@@ -2263,7 +2271,7 @@ object SparkEntry {
     // the oracle replays the frame means, the 65 exact sample
     // positions, all 64 bits, and the exact all-pairs hamming join.
     "m12_video_neardup" -> ((s, d) => {
-      val base = t(s, d, "documents")
+      val base = spreadIfUnderParallel(s, t(s, d, "documents"))
         .filter(pmod(col("doc_id"), lit(7)) === 0).select(col("doc_id"))
       def enc(df: DataFrame, dw: Int, dh: Int, dfps: Int) = {
         val src = when(col("doc_id") >= 1000000L,

@@ -41,6 +41,21 @@ object Dedup {
   def shingleHashes(text: Column, n: Int = 3): Column =
     graft.functions.shingle_hashes(text, n)
 
+  /** Spread a compact source across the session's shuffle parallelism
+    * before a CPU-heavy scan-stage projection (tokenize/digest/
+    * shingle/signature work): a single-file fixture arrives in 1-2
+    * splits and serializes the whole pass onto 1-2 cores (measured:
+    * a 66 MB 500k-doc file left 31 of 32 cores idle for ~13 s of
+    * digesting). Only fires when the source is under-parallel — a
+    * production-scale scan already has thousands of splits and must
+    * not pay a gratuitous shuffle. Applied BEFORE the signature
+    * select so the expensive expressions evaluate post-exchange.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
@@ -92,7 +107,7 @@ object Dedup {
     // band join ships only (band_idx, band_hash, id) — the shingle
     // arrays (hashed longs, not strings) rejoin below for the (few)
     // candidate pairs, not for every banded row
-    val base = df.select(col(idCol),
+    val base = spread(df).select(col(idCol),
       shingleHashes(col(textCol), shingleN).as("__sh"))
     val exploded = base
       .select(col(idCol), posexplode(
@@ -288,13 +303,20 @@ object Dedup {
     // content to match, so they DROP (same as the scalar path and the
     // pre-guard behavior), never abort the job
     val expectedWords = (4 * bandBits + 63) / 64
-    val base = df.select(col(idCol), sig.as("__sig"))
+    val base = spread(df).select(col(idCol), sig.as("__sig"))
       .filter(col("__sig").isNotNull)
     require(base.schema("__sig").dataType
         .asInstanceOf[org.apache.spark.sql.types.ArrayType]
         .elementType == org.apache.spark.sql.types.LongType,
       "signature must be array<bigint>")
-    val checked = when(size(col("__sig")) === expectedWords, col("__sig"))
+    // NULL-SAFE guard: the isNotNull filter above precedes this in
+    // the logical plan, but optimizer rewrites (predicate pushdown
+    // around an exchange + codegen subexpression elimination) can
+    // evaluate the projected expression on rows the filter would
+    // drop — so the error branch must itself be unreachable for null
+    // signatures, not merely sit behind a filter.
+    val checked = when(col("__sig").isNull, col("__sig"))
+      .when(size(col("__sig")) === expectedWords, col("__sig"))
       .otherwise(raise_error(concat(
         lit(s"simhash signature must have $expectedWords word(s) for " +
           s"$bandBits-bit bands, got "),
@@ -341,7 +363,7 @@ object Dedup {
     */
   def simhashBandCandidates64(df: DataFrame, sig: Column,
                               idCol: String): DataFrame = {
-    val base = df.select(col(idCol), sig.as("__sig"))
+    val base = spread(df).select(col(idCol), sig.as("__sig"))
       .filter(col("__sig").isNotNull) // null text → no signature → drop
     require(base.schema("__sig").dataType ==
         org.apache.spark.sql.types.LongType,
@@ -1236,7 +1258,7 @@ object Dedup {
                               bands: Int = 16, threshold: Double = 0.5)
       : DataFrame = {
     val rows = numHashes / bands
-    val c = corpus.select(col(corpusIdCol).as("__cid"),
+    val c = spread(corpus).select(col(corpusIdCol).as("__cid"),
         shingleHashes(col(textCol), shingleN).as("__csh"))
       .withColumn("__cbs",
         lshBandKeys(minhashSignature(col("__csh"), numHashes), bands,
@@ -1609,18 +1631,7 @@ object Dedup {
     */
   def winnowingFingerprints(df: DataFrame, textCol: String, idCol: String,
                             n: Int = 5, window: Int = 4): DataFrame = {
-    // the selection pass is CPU-heavy (per-gram digests) and runs in
-    // the SCAN stage: a compact parquet source can arrive in 1-2
-    // splits and serialize the whole pass onto 2 cores (measured:
-    // the 500k-doc sf10 fixture is one 66 MB file → one task doing
-    // ~13 s of digesting while 31 cores idle). Spread ONLY when the
-    // source is under-parallel — the editDistancePairs discipline; a
-    // 100 TB scan already has thousands of splits and must not pay a
-    // gratuitous full-text shuffle.
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    val spread = if (df.rdd.getNumPartitions < target)
-      df.repartition(target) else df
-    spread.select(col(idCol),
+    spread(df).select(col(idCol),
         explode(graft.functions.winnow_fingerprints(col(textCol), n, window))
           .as("__f"))
       .select(col(idCol), col("__f.pos").as("pos"), col("__f.fp").as("fp"))

@@ -46,6 +46,19 @@ object Multimodal {
     sys.props.get("graft.multimodal.maxAudioBytes").map(_.toLong)
       .getOrElse(256L * 1024 * 1024)
 
+  /** Spread a compact source across the session's shuffle
+    * parallelism before a codec-heavy mapPartitions pass: a
+    * single-file fixture (or a small compacted drop) arrives in 1-2
+    * splits and would serialize every decode onto 1-2 cores while
+    * the rest of the executor idles. Only fires when the source is
+    * under-parallel — a production-scale blob table already has
+    * thousands of splits and skips the shuffle.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Metadata struct carried alongside every media blob. */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
@@ -251,7 +264,7 @@ object Multimodal {
                             idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+    spread(df).select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -417,7 +430,7 @@ object Multimodal {
                             idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+    spread(df).select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -507,7 +520,7 @@ object Multimodal {
                                  idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+    spread(df).select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(it =>
         it.map { case (id, bytes) => (id, audioFingerprintOf(bytes)) })
@@ -704,7 +717,7 @@ object Multimodal {
     require(gridW * gridH <= 64, "dhash must fit 64 bits")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+    spread(df).select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(it =>
         it.map { case (id, bytes) => (id, dHashOf(bytes, gridW, gridH)) })
@@ -747,7 +760,7 @@ object Multimodal {
                        idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+    spread(df).select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition setup happens once, here (codec/session init)
@@ -796,7 +809,7 @@ object Multimodal {
     require(maxDim >= 1, "maxDim must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+    spread(df).select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -1047,7 +1060,7 @@ object Multimodal {
                             idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+    spread(df).select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -1103,7 +1116,7 @@ object Multimodal {
                                  idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+    spread(df).select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(it =>
         it.map { case (id, bytes) => (id, videoFingerprintOf(bytes)) })
@@ -1136,7 +1149,7 @@ object Multimodal {
     require(stride >= 1, "stride must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+    spread(df).select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
