@@ -127,6 +127,113 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming AUDIO near-dup: decode → energy fingerprint → " +
+      "banded state pairs re-gained re-containered copies at hamming 0") {
+    import graft.operators.Multimodal
+    // the m11 fixture shape at micro scale: 40 patterned recordings,
+    // every 10th re-encoded at 2× gain in a different container
+    def enc(ids: org.apache.spark.sql.DataFrame, shift: Int, gain: Int) = {
+      val src = when($"doc_id" >= 1000000L, $"doc_id" - 1000000L)
+        .otherwise($"doc_id")
+      ids.select($"doc_id", Multimodal.encodeTestAudioPattern(
+        element_at(array(lit("wave"), lit("aiff"), lit("au")),
+          (pmod(src + lit(shift), lit(3)) + 1).cast("int")),
+        lit(8000), (pmod(src, lit(3)) + 2).cast("int"),
+        pmod(src * 13, lit(100003)).cast("int"), lit(gain)).as("blob"))
+    }
+    val ids = spark.range(40).select($"id".as("doc_id"))
+    val base = enc(ids, 0, 1)
+    val copies = enc(ids.filter(pmod($"doc_id", lit(10)) === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000L), 1, 2)
+    val all = base.unionByName(copies)
+      .withColumn("ts", timestamp_millis(lit(1000L) +
+        pmod($"doc_id", lit(1000000L)) * 20 +
+        when($"doc_id" >= 1000000L, 1L).otherwise(0L)))
+    val dir = Files.createTempDirectory("graft-sandedup").toFile
+    val inPath = new java.io.File(dir, "in").getAbsolutePath
+    all.write.parquet(inPath)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inPath).schema).parquet(inPath)
+    val out = StreamingDedup.simhashPairs(stream,
+      Multimodal.audioFingerprint($"blob"), "doc_id", "ts",
+      horizonMs = 86400000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sandedup").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sandedup")
+        .select($"doc_id_1", $"doc_id_2", $"hamming")
+        .as[(String, String, Int)].collect().toSeq
+      val want = Dedup.simhashPairsFromSig(
+          Multimodal.audioFingerprintPartitions(all, "blob", "doc_id"),
+          col("afp"), "doc_id")
+        .select($"doc_id_1".cast("string"), $"doc_id_2".cast("string"),
+          $"hamming")
+        .as[(String, String, Int)].collect().toSeq
+      val copyPairs = got.filter { case (a, b, _) =>
+        math.abs(a.toLong - b.toLong) == 1000000L }
+      assert(copyPairs.size == 4 && copyPairs.forall(_._3 == 0),
+        "each re-gained copy must pair with its original at hamming 0")
+      assert(got.length == pairSet(got).size)
+      assert(pairSet(got) == pairSet(want),
+        "stream audio pair set must equal the batch m11 recipe")
+    } finally q.stop()
+  }
+
+  test("streaming VIDEO near-dup: decode → temporal fingerprint → " +
+      "banded state pairs re-encoded sequences at hamming 0") {
+    import graft.operators.Multimodal
+    // the m12 fixture shape at micro scale: 12 patterned AVIs, every
+    // 3rd re-encoded at other dims/fps (same frame sequence)
+    def enc(ids: org.apache.spark.sql.DataFrame, dw: Int, dfps: Int) = {
+      val src = when($"doc_id" >= 1000000L, $"doc_id" - 1000000L)
+        .otherwise($"doc_id")
+      ids.select($"doc_id", Multimodal.encodeTestVideoAviPattern(
+        (pmod(src, lit(5)) + 8 + dw).cast("int"),
+        (pmod(src, lit(3)) + 6).cast("int"),
+        (pmod(src, lit(4)) + 66).cast("int"),
+        pmod(src * 17, lit(99991)).cast("int"),
+        lit(10 + dfps)).as("blob"))
+    }
+    val ids = spark.range(12).select($"id".as("doc_id"))
+    val base = enc(ids, 0, 0)
+    val copies = enc(ids.filter(pmod($"doc_id", lit(3)) === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000L), 4, 5)
+    val all = base.unionByName(copies)
+      .withColumn("ts", timestamp_millis(lit(1000L) +
+        pmod($"doc_id", lit(1000000L)) * 20 +
+        when($"doc_id" >= 1000000L, 1L).otherwise(0L)))
+    val dir = Files.createTempDirectory("graft-svdedup").toFile
+    val inPath = new java.io.File(dir, "in").getAbsolutePath
+    all.write.parquet(inPath)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inPath).schema).parquet(inPath)
+    val out = StreamingDedup.simhashPairs(stream,
+      Multimodal.videoFingerprint($"blob"), "doc_id", "ts",
+      horizonMs = 86400000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("svdedup").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("svdedup")
+        .select($"doc_id_1", $"doc_id_2", $"hamming")
+        .as[(String, String, Int)].collect().toSeq
+      val want = Dedup.simhashPairsFromSig(
+          Multimodal.videoFingerprintPartitions(all, "blob", "doc_id"),
+          col("vfp"), "doc_id")
+        .select($"doc_id_1".cast("string"), $"doc_id_2".cast("string"),
+          $"hamming")
+        .as[(String, String, Int)].collect().toSeq
+      val copyPairs = got.filter { case (a, b, _) =>
+        math.abs(a.toLong - b.toLong) == 1000000L }
+      assert(copyPairs.size == 4 && copyPairs.forall(_._3 == 0),
+        "each re-encode must pair with its original at hamming 0")
+      assert(got.length == pairSet(got).size)
+      assert(pairSet(got) == pairSet(want),
+        "stream video pair set must equal the batch m12 recipe")
+    } finally q.stop()
+  }
+
   test("streaming AUDIO exact dedup: container-independent content " +
       "hash keeps one spelling per recording within the watermark") {
     import graft.operators.Multimodal
