@@ -313,7 +313,8 @@ object Bench {
     // a write/read) — redundant with their inline twins by design
     val crossCheckTier = Set("d6_embedding_neardup",
       "d13_dup_components_star", "exact_window_explode",
-      "d32_winnow_overlap_indexed", "d33_minhash_overlap_indexed")
+      "d32_winnow_overlap_indexed", "d33_minhash_overlap_indexed",
+      "s7_ann_ivf_indexed")
     // failed queries bill their tier at the same 10×-slowest penalty
     // as the headline total — a newly-failing query must never read
     // as a subtotal speedup in round-over-round comparisons

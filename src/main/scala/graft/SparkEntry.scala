@@ -1028,6 +1028,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The PERSISTED IVF index round trip (the s3 twin): fit once,
+    // write centroids + assignments, read back, query from the
+    // persisted frames. Full-probe like s3, so the result set equals
+    // exact top-k regardless of centroid quality — the gate shares
+    // s3's oracle and pins that persistence changes nothing.
+    "s7_ann_ivf_indexed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-s7").toString + "/idx"
+      operators.DedupIndex.writeIvf(emb, "embedding", "vec_id", tmp,
+        nCentroids = 8, maxIter = 3)
+      val (cents, assigned) = operators.DedupIndex.readIvf(s, tmp,
+        nCentroids = 8)
+      operators.Similarity.ivfTopKFromIndex(cents, assigned,
+          emb.filter(col("vec_id") < 3), "embedding", "vec_id", 5,
+          nProbe = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Scalar battery #2: array/list + regex + string-position functions
     "q27_array_battery" -> ((s, d) => {
       import s.implicits._
@@ -2369,7 +2389,8 @@ object SparkEntry {
     // persist/read path (schema drift, lost fingerprints, parameter
     // mismatch) fails the same SQL the inline build passes
     "d32_winnow_overlap_indexed" -> oracleSqlBase("d27_winnow_overlap"),
-    "d33_minhash_overlap_indexed" -> oracleSqlBase("d23_minhash_overlap"))
+    "d33_minhash_overlap_indexed" -> oracleSqlBase("d23_minhash_overlap"),
+    "s7_ann_ivf_indexed" -> oracleSqlBase("s3_ann_ivf"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->

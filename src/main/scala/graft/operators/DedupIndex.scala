@@ -118,4 +118,37 @@ object DedupIndex {
       Seq("n" -> n, "window" -> window), path)
     spark.read.parquet(path).select("fp")
   }
+
+  /** Build and persist the IVF ANN index: KMeans centroid table +
+    * per-row cell assignments ([[Similarity.fitIvfIndex]]), two
+    * parquet subdirectories under one index root. The fit — the only
+    * iterative full-corpus pass of the ANN pipeline — then runs once
+    * per corpus drop; every query batch reads the index and pays
+    * just the broadcast-probe join. Persisting also freezes the
+    * fit, so query results stop depending on KMeans run-to-run
+    * partitioning sensitivity. nCentroids pins the build; nProbe/k
+    * stay query-time choices.
+    */
+  def writeIvf(corpus: DataFrame, embCol: String, idCol: String,
+               path: String, nCentroids: Int = 16, seed: Long = 42L,
+               maxIter: Int = 20,
+               fitSampleFraction: Double = 1.0): Unit = {
+    val (centroids, indexed) = Similarity.fitIvfIndex(corpus, embCol,
+      idCol, nCentroids, seed, maxIter, fitSampleFraction)
+    centroids.write.mode("errorifexists").parquet(s"$path/centroids")
+    indexed.write.mode("errorifexists").parquet(s"$path/assignments")
+    writeMeta(corpus.sparkSession, path, "ivf",
+      Seq("n_centroids" -> nCentroids))
+  }
+
+  /** @return (centroids, assignments) for
+    *         [[Similarity.ivfTopKFromIndex]]
+    */
+  def readIvf(spark: SparkSession, path: String,
+              nCentroids: Int = 16): (DataFrame, DataFrame) = {
+    check(readMeta(spark, path), "ivf",
+      Seq("n_centroids" -> nCentroids), path)
+    (spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assignments"))
+  }
 }

@@ -212,11 +212,23 @@ object Similarity {
     *        invariant to it, and partial-probe recall degrades
     *        gracefully (PipelineSpec covers a 0.5 sampled fit).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-              embCol: String, idCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L, maxIter: Int = 20,
-              fitSampleFraction: Double = 1.0): DataFrame = {
+  /** The fit half of [[ivfTopK]] as a standalone step: KMeans cells
+    * over the corpus → (centroid table, per-row cell assignments).
+    * This IS the persistable ANN index ([[DedupIndex.writeIvf]]):
+    * at 100 TB the corpus embedding table changes far less often
+    * than queries arrive, so the cluster fit — the only iterative,
+    * full-corpus pass — should run once per corpus drop, with every
+    * query batch paying just the broadcast-probe join. Persisting
+    * also FREEZES the fit: query results stop depending on KMeans'
+    * run-to-run partitioning sensitivity.
+    *
+    * @return (centroids: (__cell, __centroid), indexed:
+    *         (neighbor_id, __ce, __cell))
+    */
+  def fitIvfIndex(corpus: DataFrame, embCol: String, idCol: String,
+                  nCentroids: Int = 16, seed: Long = 42L,
+                  maxIter: Int = 20, fitSampleFraction: Double = 1.0)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(fitSampleFraction > 0.0 && fitSampleFraction <= 1.0,
@@ -245,12 +257,22 @@ object Similarity {
     val indexed = model.transform(featurized)
       .select(col("neighbor_id"), col("__ce"),
         col("prediction").as("__cell"))
-
-    // centroid table is tiny → broadcast; assignment metric is L2,
-    // matching KMeans' own cell assignment
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq
       .toDF("__cell", "__centroid")
+    (centroids, indexed)
+  }
+
+  /** The query half of [[ivfTopK]] against a prebuilt (or persisted)
+    * index: probe the nProbe L2-nearest cells per query, exact
+    * cosine within the probed cells.
+    */
+  def ivfTopKFromIndex(centroids: DataFrame, indexed: DataFrame,
+                       queries: DataFrame, embCol: String,
+                       idCol: String, k: Int,
+                       nProbe: Int = 4): DataFrame = {
+    // centroid table is tiny → broadcast; assignment metric is L2,
+    // matching KMeans' own cell assignment
     val l2 = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
@@ -274,5 +296,16 @@ object Similarity {
     scored.withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              embCol: String, idCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L, maxIter: Int = 20,
+              fitSampleFraction: Double = 1.0): DataFrame = {
+    val (centroids, indexed) = fitIvfIndex(corpus, embCol, idCol,
+      nCentroids, seed, maxIter, fitSampleFraction)
+    ivfTopKFromIndex(centroids, indexed, queries, embCol, idCol, k,
+      nProbe)
   }
 }

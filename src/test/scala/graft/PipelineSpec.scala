@@ -964,6 +964,28 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       operators.DedupIndex.readWinnow(spark, s"$dir/broken")
     }
     assert(e3.getMessage.contains("_graft_index.json"))
+    // IVF: persisted fit queries identically to the in-session fit
+    // at full probe (result set = exact top-k either way)
+    val emb = Graft.table(spark, sf, "embeddings").limit(300)
+    operators.DedupIndex.writeIvf(emb, "embedding", "vec_id",
+      s"$dir/ivf", nCentroids = 4, maxIter = 3)
+    val (cents, assigned) =
+      operators.DedupIndex.readIvf(spark, s"$dir/ivf", nCentroids = 4)
+    val q = emb.filter($"vec_id" < 2)
+    val viaIvf = Similarity.ivfTopKFromIndex(cents, assigned, q,
+        "embedding", "vec_id", 5, nProbe = 4)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, q, "embedding",
+        "vec_id", 5)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(viaIvf == exact,
+      "full-probe persisted IVF must reproduce exact top-k")
+    val e4 = intercept[IllegalArgumentException] {
+      operators.DedupIndex.readIvf(spark, s"$dir/ivf", nCentroids = 8)
+    }
+    assert(e4.getMessage.contains("n_centroids"))
   }
 
   test("perceptual audio fingerprint: container- and gain-invariant, " +
