@@ -1166,6 +1166,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("epoch"))
         .orderBy(col("doc_id"), col("epoch"))),
 
+    // token-balanced shard assignment: serpentine deal over the
+    // (n_tokens desc, doc_id) rank into 8 shards. The operator's
+    // histogram-rank path (no global data window) must equal the
+    // oracle's single global row_number exactly
+    "p14_balanced_shards" -> ((s, d) =>
+      operators.Packing.balancedShards(
+          t(s, d, "documents").withColumn("n_tokens",
+            operators.TextAnalysis.tokenCount(col("text"))
+              .cast("long")),
+          "doc_id", col("n_tokens"), numShards = 8)
+        .select(col("doc_id"), col("n_tokens"), col("shard"))
+        .orderBy(col("doc_id"))),
+
     // leakage-safe split: near-dup CLUSTERS (connected components of
     // the d8 pair graph) draw once on their min-id label, so no
     // train/eval boundary can cut through a near-dup pair; unpaired
@@ -3348,6 +3361,23 @@ object SparkEntry {
         |  unnest(range(0, n)) AS epoch
         |FROM c WHERE n > 0
         |ORDER BY doc_id, epoch""".stripMargin,
+
+    "p14_balanced_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |      '[ \t\n\v\f\r]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1
+        |      AS idx
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(CASE WHEN (idx // 8) % 2 = 0 THEN idx % 8
+        |       ELSE 7 - (idx % 8) END AS BIGINT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "p8_split_leakage_safe" ->
       (dupComponentsClosureCte + ",\n" +

@@ -94,6 +94,35 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(slice(sigCol, b * rows + lit(1), lit(rows)), b))
 
+  /** Derive the MinHash-LSH band count from the Jaccard threshold —
+    * the [[autoPlanes]] self-sizing discipline applied to the other
+    * LSH family. A (b bands × r rows) split of a k-hash signature
+    * collides a pair of Jaccard j on ≥1 band with p = 1-(1-j^r)^b,
+    * an S-curve whose knee sits at (1/b)^(1/r); candidates below the
+    * knee mostly don't collide, above it mostly do. Candidates are
+    * exact-Jaccard-verified downstream, so a missed collision is a
+    * RECALL loss (wrong answer) while an extra collision is only
+    * verify work — hence the rule errs toward more bands: the fewest
+    * bands (among divisors of `numHashes`) whose knee ≤ `threshold`,
+    * i.e. the cheapest grid whose mostly-collide region covers every
+    * pair at or above the threshold. If even the k×1 split's knee
+    * (1/k) exceeds the threshold, all k bands is the best available
+    * recall and is returned.
+    *
+    * autoBands(16, 0.5) = 8 and autoBands(32, 0.5) = 16 — exactly
+    * the hand-picked d4/d23 geometries, now derived instead of
+    * constant.
+    */
+  def autoBands(numHashes: Int, threshold: Double): Int = {
+    require(numHashes >= 1, "numHashes must be >= 1")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1] (got $threshold)")
+    (1 to numHashes).find { b =>
+      numHashes % b == 0 &&
+        math.pow(1.0 / b, b.toDouble / numHashes) <= threshold
+    }.getOrElse(numHashes)
+  }
+
   /** MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
     *
     * @return (idCol_1, idCol_2, jaccard) for candidate pairs whose
@@ -101,9 +130,15 @@ object Dedup {
     */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           shingleN: Int = 3, numHashes: Int = 16,
-                          bands: Int = 8, threshold: Double = 0.5)
+                          bands: Int = 0, threshold: Double = 0.5)
       : DataFrame = {
-    val rows = numHashes / bands
+    // bands = 0 (the default): derive the band/row split from the
+    // threshold via [[autoBands]] so the S-curve knee always covers
+    // the verify threshold; explicit values remain an override
+    val b = if (bands > 0) bands else autoBands(numHashes, threshold)
+    require(numHashes % b == 0,
+      s"bands ($b) must divide numHashes ($numHashes)")
+    val rows = numHashes / b
     // band join ships only (band_idx, band_hash, id) — the shingle
     // arrays (hashed longs, not strings) rejoin below for the (few)
     // candidate pairs, not for every banded row
@@ -111,7 +146,7 @@ object Dedup {
       shingleHashes(col(textCol), shingleN).as("__sh"))
     val exploded = base
       .select(col(idCol), posexplode(
-        lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, rows))
+        lshBandKeys(minhashSignature(col("__sh"), numHashes), b, rows))
         .as(Seq("__band_idx", "__band_hash")))
     val l = exploded.select(col(idCol).as("id1"), col("__band_idx"),
       col("__band_hash"))

@@ -137,6 +137,59 @@ object Packing {
       .drop("__tk", "__n", "__start")
   }
 
+  /** Token-balanced assignment of documents to a fixed number of
+    * training shards — the "cut the curated corpus into N equal-work
+    * output files" step that follows curation and precedes writing.
+    * Hash sharding ([[shardKey]]) balances COUNTS; this balances the
+    * shard token TOTALS, which is what makes data-parallel epochs
+    * finish together when shards map to workers.
+    *
+    * Rule (closed-form, engine-replayable): rank documents by
+    * (weight desc, id asc), then deal ranks serpentine across shards
+    * (block k of `numShards` ranks runs left-to-right when k is even,
+    * right-to-left when odd). Serpentine on a descending-weight order
+    * is the classic snake seeding: each full block contributes one
+    * document per shard with the block's spread partially cancelled
+    * by the alternation, so shard totals track the ideal within a
+    * few max-weights — near-LPT balance without LPT's sequential
+    * "place into currently-lightest" state, which no closed-form SQL
+    * replay could express.
+    *
+    * Scale: the global rank is NOT a global-window sort. The weight
+    * VALUE histogram (distinct weights — bounded by the max document
+    * length in tokens, not by corpus rows) carries cross-weight
+    * prefix counts through one tiny window, and data rows take a
+    * partitioned within-weight `row_number` plus the broadcast base
+    * offset — the [[Sampling.selectToTokenBudget]] histogram
+    * discipline. One shuffle on the weight key; no single-reducer
+    * stage touches data rows.
+    *
+    * CONTRACT: ids unique (the rank tie-break), weights non-negative
+    * longs. Output: input columns ++ (`shard` BIGINT in
+    * [0, numShards)).
+    */
+  def balancedShards(df: DataFrame, idCol: String, weightCol: Column,
+                     numShards: Int): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val wv = df.withColumn("__w", weightCol.cast("long"))
+    val histW = Window.orderBy(col("__w").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = wv.groupBy("__w").agg(count(lit(1)).as("__c"))
+      .withColumn("__base", coalesce(sum(col("__c")).over(histW),
+        lit(0L)))
+      .drop("__c")
+    val within = Window.partitionBy(col("__w"))
+      .orderBy(col(idCol).asc)
+    wv.join(broadcast(offsets), "__w")
+      .withColumn("__idx",
+        col("__base") + row_number().over(within).cast("long") - 1)
+      .withColumn("shard",
+        when(expr(s"(__idx div $numShards) % 2") === 0,
+          col("__idx") % numShards)
+          .otherwise(lit(numShards - 1L) - col("__idx") % numShards))
+      .drop("__w", "__base", "__idx")
+  }
+
   def packChunks(df: DataFrame, idCol: String, tokenCol: String,
                  capacity: Long, shardChars: Int = 1,
                  salt: String = ShardSalt): DataFrame = {

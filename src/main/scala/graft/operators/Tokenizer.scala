@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer TRAINING — the learning half of the subword surface
+  * whose inference half lives in `graft.expressions` (`BpeEncode`,
+  * `WordPieceEncode`). The reference has no tokenizer surface at all
+  * (its scalar library stops at string functions,
+  * /root/reference/py-denormalized/python/denormalized/datafusion/functions.py);
+  * this is pipeline-brief work: a training-data pipeline that meters
+  * token budgets with a learned tokenizer must also be able to LEARN
+  * that tokenizer from the corpus it curates.
+  *
+  * Scale shape (the Sennrich 2016 split every production trainer
+  * uses): the only corpus-size-dependent stage is ONE distributed
+  * word-type count — explode + groupBy(word), a single shuffle on the
+  * word key with map-side partial aggregation, linear in corpus bytes
+  * at any SF. The merge loop then runs over the aggregated TYPE table,
+  * which is Zipf-bounded and additionally hard-capped at `maxTypes`
+  * rows (taken by descending count with a total tie-break, so the cap
+  * is deterministic); at the cap the loop's working set is a few MB
+  * regardless of corpus size — learning on 100 TB costs one count
+  * shuffle plus constant driver work, exactly like shipping a learned
+  * vocab back out costs one plan-closure broadcast.
+  */
+object Tokenizer {
+
+  /** Distributed word-type frequency table: `(word STRING,
+    * cnt BIGINT)`, one row per distinct whitespace-split token.
+    * Tokenization is [[TextAnalysis.tokenize]] — the same regex-\s
+    * split `BpeEncode`/`WordPieceEncode` apply at inference, so
+    * trained artifacts see exactly the word boundaries they will be
+    * applied to.
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokenize(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** The capped, deterministically-ordered type table the merge loop
+    * consumes: top `maxTypes` word types by (count desc, word asc).
+    * The bounded `take` here is the one driver-side materialization
+    * of the trainer and is capped by construction — it is the same
+    * "aggregate, then ship the bounded artifact" shape as building a
+    * vocab list or a blocklist automaton, not a corpus collect.
+    */
+  private def typeTable(df: DataFrame, textCol: String,
+                        maxTypes: Int): Array[(String, Long)] =
+    wordCounts(df, textCol)
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(maxTypes)
+      .take(maxTypes)
+      .map(r => (r.getString(0), r.getLong(1)))
+
+  /** Learn a byte-pair-encoding merge list from a corpus (Sennrich,
+    * Haddow & Birch 2016, "Neural Machine Translation of Rare Words
+    * with Subword Units", Algorithm 1): start every word type as its
+    * code-point symbol sequence; repeatedly take the adjacent symbol
+    * pair with the highest corpus frequency (weighted by word-type
+    * count), record it, and merge it at every non-overlapping
+    * occurrence left-to-right in every type. Ties break to the
+    * lexicographically smallest (left, right) pair, so the learned
+    * list is a pure function of the type table — byte-identical
+    * across partitionings and reruns.
+    *
+    * The returned entries are `"left right"` strings in learned
+    * order — exactly the artifact `graft.functions.bpe_encode`
+    * consumes. Applying the learned list to a training word
+    * reproduces the trainer's own final segmentation of that word
+    * (merging a pair never creates an adjacency of two
+    * earlier-ranked symbols, so rank-order inference replays the
+    * training sequence; property-pinned in TokenizerTrainSpec).
+    *
+    * Learning stops early when no remaining pair reaches
+    * `minPairCount` (below that a merge memorizes noise). The loop
+    * recounts pairs from the type table each round — O(numMerges ×
+    * total symbols), a few hundred ms at the default cap — chosen
+    * over the incremental-update variant for auditability; the cap
+    * keeps it constant in corpus size either way.
+    */
+  def learnBpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+                     maxTypes: Int = 65536,
+                     minPairCount: Long = 2L): Seq[String] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    require(maxTypes >= 1, "maxTypes must be >= 1")
+    require(minPairCount >= 1L, "minPairCount must be >= 1")
+    val types = typeTable(df, textCol, maxTypes)
+    learnFromTypes(types, numMerges, minPairCount)
+  }
+
+  /** The driver-side merge loop over an already-aggregated
+    * `(wordType, count)` table — exposed so a persisted
+    * [[wordCounts]] frame (built once per corpus drop) can be
+    * re-trained against at different sizes without re-counting.
+    */
+  def learnFromTypes(types: Array[(String, Long)], numMerges: Int,
+                     minPairCount: Long = 2L): Seq[String] = {
+    // each word type as a mutable symbol sequence + its weight
+    val seqs: Array[Array[String]] = types.map { case (w, _) =>
+      val out = new Array[String](w.codePointCount(0, w.length))
+      var i = 0; var n = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out(n) = new String(Character.toChars(cp))
+        n += 1; i += Character.charCount(cp)
+      }
+      out
+    }
+    val weights: Array[Long] = types.map(_._2)
+
+    val merges = new scala.collection.mutable.ArrayBuffer[String]()
+    var continue = numMerges > 0
+    while (continue && merges.length < numMerges) {
+      // count adjacent pairs across all types, weighted by type count
+      val counts =
+        new java.util.HashMap[(String, String), java.lang.Long]()
+      var t = 0
+      while (t < seqs.length) {
+        val s = seqs(t)
+        val wgt = weights(t)
+        var k = 0
+        while (k < s.length - 1) {
+          val key = (s(k), s(k + 1))
+          val prev = counts.get(key)
+          counts.put(key,
+            if (prev == null) wgt else prev.longValue() + wgt)
+          k += 1
+        }
+        t += 1
+      }
+      // argmax with (count desc, left asc, right asc) total order
+      var best: (String, String) = null
+      var bestCnt = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.longValue()
+        if (c > bestCnt || (c == bestCnt && best != null && {
+              val k = e.getKey
+              val cl = k._1.compareTo(best._1)
+              cl < 0 || (cl == 0 && k._2.compareTo(best._2) < 0)
+            })) {
+          best = e.getKey; bestCnt = c
+        }
+      }
+      if (best == null || bestCnt < minPairCount) continue = false
+      else {
+        merges += (best._1 + " " + best._2)
+        // merge best at every non-overlapping occurrence, L-to-R
+        val (a, b) = best
+        val ab = a + b
+        var t2 = 0
+        while (t2 < seqs.length) {
+          val s = seqs(t2)
+          if (s.length > 1) {
+            var src = 0; var dst = 0
+            val next = new Array[String](s.length)
+            while (src < s.length) {
+              if (src < s.length - 1 && s(src) == a && s(src + 1) == b) {
+                next(dst) = ab; src += 2
+              } else { next(dst) = s(src); src += 1 }
+              dst += 1
+            }
+            if (dst < s.length)
+              seqs(t2) = java.util.Arrays.copyOf(next, dst)
+          }
+          t2 += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The vocabulary a learned merge list induces: all single
+    * code-point symbols seen in the (capped) type table plus one
+    * entry per merge product, i.e. every symbol
+    * `bpe_encode(…, merges)` can ever emit for in-distribution
+    * words. Sorted for determinism.
+    */
+  def bpeVocab(df: DataFrame, textCol: String, merges: Seq[String],
+               maxTypes: Int = 65536): Seq[String] = {
+    val types = typeTable(df, textCol, maxTypes)
+    val alphabet = scala.collection.mutable.SortedSet[String]()
+    types.foreach { case (w, _) =>
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        alphabet += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+    }
+    (alphabet ++ merges.map(_.replace(" ", ""))).toSeq.sorted
+  }
+}

@@ -171,6 +171,51 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("balancedShards: serpentine over the global (weight desc, id) " +
+      "rank; histogram path equals brute-force ranking") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 500L).map(i => (i, 1L + rnd.nextInt(1000).toLong))
+    val df = rows.toDF("id", "w").repartition(13)
+    val ns = 8
+    val got = Packing.balancedShards(df, "id", $"w", ns)
+      .select($"id", $"w", $"shard").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+
+    // brute-force reference: global sort + serpentine
+    val ranked = rows.sortBy { case (id, w) => (-w, id) }.zipWithIndex
+    val want = ranked.map { case ((id, w), idx) =>
+      val pos = idx % ns
+      (id, w,
+        (if ((idx / ns) % 2 == 0) pos else ns - 1 - pos).toLong)
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+
+    // balance: serpentine on descending weights keeps shard totals
+    // within one max weight of each other on this fixture
+    val totals = got.groupBy(_._3).map { case (_, xs) =>
+      xs.map(_._2).sum }
+    assert(totals.size == ns)
+    assert(totals.max - totals.min <= rows.map(_._2).max,
+      s"imbalance ${totals.max - totals.min}")
+  }
+
+  test("balancedShards: duplicate weights rank by id; shard dtype " +
+      "long; numShards=1 degenerates to all-zero") {
+    val df = Seq((3L, 10L), (1L, 10L), (2L, 10L), (4L, 5L))
+      .toDF("id", "w")
+    val got = Packing.balancedShards(df, "id", $"w", 3)
+      .select($"id", $"shard").as[(Long, Long)].collect().toMap
+    // rank order: ids 1,2,3 (w=10, id asc), then 4 (w=5).
+    // serpentine: block 0 → 0,1,2; block 1 reversed → 2
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+    val one = Packing.balancedShards(df, "id", $"w", 1)
+      .select($"shard").as[Long].collect()
+    assert(one.toSeq == Seq.fill(4)(0L))
+    intercept[IllegalArgumentException] {
+      Packing.balancedShards(df, "id", $"w", 0)
+    }
+  }
+
   test("chunkByTokens rejects degenerate windows") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

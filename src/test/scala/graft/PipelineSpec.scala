@@ -1039,6 +1039,40 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(videoFingerprintPartitions(junk, "blob", "id").head.isNullAt(1))
   }
 
+  test("autoBands derives the band split from the Jaccard threshold " +
+      "and the auto default finds the same pairs as the explicit split") {
+    // the hand-picked geometries fall out of the rule
+    assert(Dedup.autoBands(16, 0.5) == 8)
+    assert(Dedup.autoBands(32, 0.5) == 16)
+    // looser thresholds need fewer bands; tighter need more
+    assert(Dedup.autoBands(16, 0.8) == 4)
+    assert(Dedup.autoBands(16, 0.95) == 2)
+    assert(Dedup.autoBands(16, 1.0) == 1)
+    // unreachable knee: every split's knee > t → max recall = all bands
+    assert(Dedup.autoBands(16, 0.01) == 16)
+    // returned value always divides the signature, knee always covers
+    // the threshold when coverable, and more threshold never means
+    // more bands
+    for (k <- Seq(8, 16, 32, 64); t <- Seq(0.2, 0.5, 0.7, 0.9)) {
+      val bnd = Dedup.autoBands(k, t)
+      assert(k % bnd == 0, s"k=$k t=$t b=$bnd")
+      if (math.pow(1.0 / k, 1.0) <= t)
+        assert(math.pow(1.0 / bnd, bnd.toDouble / k) <= t)
+    }
+    assert(Dedup.autoBands(16, 0.3) >= Dedup.autoBands(16, 0.6))
+    // e2e: the auto default (bands = 0, threshold 0.5 over 16 hashes
+    // → 8×2) equals the explicit split on the mutated-copy fixture
+    val docs = Graft.table(spark, sf, "documents").limit(200)
+    val mutated = docs
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+      .withColumn("text", regexp_replace($"text", "the", "thee"))
+    val input = docs.unionByName(mutated)
+    def mhPairs(bands: Int) = Dedup.minhashNearDupPairs(input, "text",
+        "doc_id", numHashes = 16, bands = bands, threshold = 0.5)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(mhPairs(0) == mhPairs(8))
+  }
+
   test("autoPlanes sizes the SRP grid to the measured curve and the " +
       "auto default finds the same pairs as an explicit grid") {
     // anchor points of the measured sf10 scaling curve: 16 planes is

@@ -1,0 +1,157 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Tokenizer
+
+/** BPE merge learning, pinned against an INDEPENDENT reference
+  * trainer: the reference below recounts pair frequencies with plain
+  * immutable Scala collections and applies merges by list rebuild —
+  * no code shared with `Tokenizer.learnFromTypes`'s array loop — so
+  * agreement is evidence of the algorithm, not of the implementation.
+  */
+class TokenizerTrainSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  // ---- independent reference trainer (Sennrich Alg. 1, naive) ----
+
+  private def refSymbols(w: String): List[String] =
+    w.codePoints().toArray.toList
+      .map(cp => new String(Character.toChars(cp)))
+
+  private def refApply(s: List[String], a: String,
+                       b: String): List[String] = s match {
+    case x :: y :: rest if x == a && y == b =>
+      (a + b) :: refApply(rest, a, b)
+    case x :: rest => x :: refApply(rest, a, b)
+    case Nil => Nil
+  }
+
+  private def refTrain(types: Seq[(String, Long)],
+                       numMerges: Int,
+                       minPairCount: Long = 2L): Seq[String] = {
+    var seqs = types.map { case (w, c) => (refSymbols(w), c) }
+    var merges = Vector.empty[String]
+    var stop = false
+    while (!stop && merges.length < numMerges) {
+      val counts = seqs.flatMap { case (s, c) =>
+        s.zip(s.drop(1)).map(p => (p, c))
+      }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((l, r), c) =>
+          (-c, l, r)
+        }
+        if (cnt < minPairCount) stop = true
+        else {
+          merges :+= (a + " " + b)
+          seqs = seqs.map { case (s, c) => (refApply(s, a, b), c) }
+        }
+      }
+    }
+    merges
+  }
+
+  private def refFinalSegmentation(types: Seq[(String, Long)],
+                                   merges: Seq[String])
+      : Map[String, List[String]] = {
+    var seqs = types.map { case (w, c) => (w, refSymbols(w)) }
+    merges.foreach { m =>
+      val Array(a, b) = m.split(" ", -1)
+      seqs = seqs.map { case (w, s) => (w, refApply(s, a, b)) }
+    }
+    seqs.toMap
+  }
+
+  // ---- specs ----
+
+  test("bpe train: hand-worked Sennrich example, first merges exact") {
+    // weighted type table: es(9+3)=12 dominates, then est, lo, low…
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .mkString(" ")
+    val df = Seq(docs).toDF("text")
+    val merges = Tokenizer.learnBpeMerges(df, "text", 4)
+    // e-s appears in newest(6) + widest(3) = 9; e-w 6+2=8, l-o 7,
+    // o-w 7, s-t 9 — tie (e,s) vs (s,t) breaks lexicographically to
+    // (e,s); then (es,t) = 9 wins over the rest.
+    assert(merges.take(2) == Seq("e s", "es t"))
+    assert(merges.length == 4)
+  }
+
+  test("bpe train: matches the independent reference trainer on " +
+    "random corpora (counts, ties, early stop)") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 0 until 8) {
+      val vocab = Seq("ab", "abc", "bca", "cab", "aa", "bb", "abab",
+        "cabab", "x", "yz", "xyz", "zz")
+      val words = Seq.fill(60 + trial * 10)(
+        vocab(rnd.nextInt(vocab.length)))
+      val text = words.mkString(" ")
+      val df = Seq(text).toDF("text")
+      val types = words.groupBy(identity).toSeq
+        .map { case (w, xs) => (w, xs.length.toLong) }
+        .sortBy { case (w, c) => (-c, w) }
+      val got = Tokenizer.learnBpeMerges(df, "text", 12,
+        minPairCount = 2L)
+      val want = refTrain(types, 12, minPairCount = 2L)
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
+  test("bpe train: inference with the learned list reproduces the " +
+    "trainer's own final segmentation of every training word") {
+    val rnd = new scala.util.Random(99L)
+    val vocab = Seq("alpha", "alphabet", "beta", "betamax", "gamma",
+      "gam", "amma", "delta", "adelta")
+    val words = Seq.fill(120)(vocab(rnd.nextInt(vocab.length)))
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val merges = Tokenizer.learnBpeMerges(df, "text", 20)
+    val types = words.groupBy(identity).toSeq
+      .map { case (w, xs) => (w, xs.length.toLong) }
+    val want = refFinalSegmentation(types, merges)
+    val enc = Seq(vocab.mkString(" ")).toDF("t")
+      .select(graft.functions.bpe_encode(
+        org.apache.spark.sql.functions.col("t"), merges).as("toks"))
+      .collect()(0).getSeq[String](0)
+    val wantFlat = vocab.flatMap(w => want(w))
+    assert(enc == wantFlat)
+  }
+
+  test("bpe train: deterministic across partitionings") {
+    val docs = (1 to 40).map(i =>
+      s"pack my box with five dozen liquor jugs number $i quick")
+    val a = Tokenizer.learnBpeMerges(docs.toDF("text"), "text", 10)
+    val b = Tokenizer.learnBpeMerges(
+      docs.toDF("text").repartition(7), "text", 10)
+    assert(a == b && a.length == 10)
+  }
+
+  test("bpe train: minPairCount stops before memorizing singletons") {
+    val df = Seq("aa aa aa zq").toDF("text")
+    // "a a" has count 3; every pair inside zq has count 1
+    val merges = Tokenizer.learnBpeMerges(df, "text", 10,
+      minPairCount = 2L)
+    assert(merges == Seq("a a"))
+  }
+
+  test("bpe train: maxTypes cap is deterministic and honored") {
+    // 3 types; cap at 2 keeps the two most frequent (tie on count
+    // breaks by word asc: "bb" over "cc")
+    val df = Seq("aa aa aa bb cc").toDF("text")
+    val merges = Tokenizer.learnBpeMerges(df, "text", 5, maxTypes = 2,
+      minPairCount = 1L)
+    assert(merges == Seq("a a", "b b"))
+  }
+
+  test("bpe vocab: alphabet + merge products, sorted") {
+    val df = Seq("ab ab cd").toDF("text")
+    val merges = Tokenizer.learnBpeMerges(df, "text", 2,
+      minPairCount = 1L)
+    val v = Tokenizer.bpeVocab(df, "text", merges)
+    assert(merges.head == "a b")
+    assert(v.contains("ab") && Seq("a", "b", "c", "d").forall(
+      v.contains))
+    assert(v == v.sorted)
+  }
+}
