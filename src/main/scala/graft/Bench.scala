@@ -231,6 +231,30 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // BPE merge training end-to-end: one distributed word-type count
+    // over the documents table, then the capped driver-side merge
+    // loop (200 merges, 65536-type cap). The count shuffle is the
+    // only corpus-size-dependent stage, so this row's SF factor
+    // should track the scan, not the merge count.
+    def bpeTrainOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      System.gc()
+      Thread.sleep(300)
+      val t0 = System.nanoTime()
+      try {
+        val merges = graft.operators.Tokenizer.learnBpeMerges(
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("text")),
+          "text", numMerges = 200)
+        require(merges.nonEmpty, "no merges learned")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] bpe_train failed: ${e.getMessage}")
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // The d11 grid-scaling knob, measured: the same fixture shape as
     // the d11 gate but with nPlanes from GRAFT_D11_NPLANES (default
     // 20) — the scaladoc remedy when bucket occupancy rises with
@@ -300,6 +324,7 @@ object Bench {
         "exact_window_explode" -> (() => exactWindowOnce(pane = false)),
         "exact_window_pane" -> (() => exactWindowOnce(pane = true)),
         "blocklist_sparse" -> (() => blocklistSparseOnce()),
+        "bpe_train" -> (() => bpeTrainOnce()),
         "d11_lsh_tuned" -> (() => embLshTunedOnce()))
         .filter(p => want(p._1))
         .map { case (n, f) => n -> stats((1 to reps).map(_ => f())) }
@@ -314,7 +339,7 @@ object Bench {
     val crossCheckTier = Set("d6_embedding_neardup",
       "d13_dup_components_star", "exact_window_explode",
       "d32_winnow_overlap_indexed", "d33_minhash_overlap_indexed",
-      "s7_ann_ivf_indexed")
+      "d34_decontaminate_indexed", "s7_ann_ivf_indexed")
     // failed queries bill their tier at the same 10×-slowest penalty
     // as the headline total — a newly-failing query must never read
     // as a subtotal speedup in round-over-round comparisons

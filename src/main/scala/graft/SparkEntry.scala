@@ -827,6 +827,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the PERSISTED exact-index round trip (the d10 twin): the
+    // reference's distinct content digests persist once per reference
+    // drop (DedupIndex.writeExact) and the corpus anti-joins the
+    // read-back frame — bit-identical to the inline build. The same
+    // read-back frame is the streaming decontamination path
+    // (stream-static anti join; StreamingDedupSpec).
+    "d34_decontaminate_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ref = operators.Sampling.hashSample(docs, "doc_id", 0.3)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-d34").toString + "/idx"
+      operators.DedupIndex.writeExact(ref, "text", tmp)
+      val idx = operators.DedupIndex.readExact(s, tmp)
+      operators.Dedup.decontaminateFromIndex(docs, idx, "text")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the Bloom-prefiltered spelling of d10 — same fixture, same
     // oracle: the filter (sized to guarantee fpp is only a perf knob)
     // clears definitely-clean rows without any join and the exact
@@ -2402,6 +2420,7 @@ object SparkEntry {
     // persist/read path (schema drift, lost fingerprints, parameter
     // mismatch) fails the same SQL the inline build passes
     "d32_winnow_overlap_indexed" -> oracleSqlBase("d27_winnow_overlap"),
+    "d34_decontaminate_indexed" -> oracleSqlBase("d10_decontaminate"),
     "d33_minhash_overlap_indexed" -> oracleSqlBase("d23_minhash_overlap"),
     "s7_ann_ivf_indexed" -> oracleSqlBase("s3_ann_ivf"))
 

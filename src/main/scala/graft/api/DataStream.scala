@@ -118,6 +118,20 @@ final case class DataStream(
         .dropDuplicatesWithinWatermark(cols))
     else next(df.dropDuplicates(cols))
 
+  /** Continuous decontamination against a persisted exact index
+    * ([[graft.operators.DedupIndex.writeExact]], built once per
+    * reference drop): rows whose `textCol` content digest appears in
+    * the index are dropped. The anti-join is STATELESS on this side
+    * (stream-static when streaming, plain when batch) — no watermark,
+    * no state store; the index frame broadcasts or AQE-joins like any
+    * static dimension.
+    */
+  def decontaminateAgainstIndex(indexPath: String,
+                                textCol: String): DataStream =
+    next(graft.operators.Dedup.decontaminateFromIndex(df,
+      graft.operators.DedupIndex.readExact(df.sparkSession, indexPath),
+      textCol))
+
   // --- curation suite bridges (graft.operators Sampling/Packing/
   // TextAnalysis) — the pure-filter forms run on batch AND streaming
   // frames unchanged; packing dispatches to the stateful streaming

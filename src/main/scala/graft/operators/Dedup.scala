@@ -497,9 +497,30 @@ object Dedup {
     */
   def decontaminate(corpus: DataFrame, reference: DataFrame,
                     textCol: String): DataFrame =
-    corpus.join(
-      reference.select(md5(col(textCol)).as("__h")).distinct(),
-      md5(corpus(textCol)) === col("__h"), "left_anti")
+    decontaminateFromIndex(corpus,
+      exactReferenceIndex(reference, textCol), textCol)
+
+  /** The reference side of [[decontaminate]] as a standalone frame:
+    * the reference corpus's distinct content digests (`digest`:
+    * 32-hex md5). This IS the persistable exact-decontamination index
+    * ([[DedupIndex.writeExact]]) — 16 bytes of payload per distinct
+    * reference row, broadcastable, reusable across corpus drops.
+    */
+  def exactReferenceIndex(reference: DataFrame,
+                          textCol: String): DataFrame =
+    reference.select(md5(col(textCol)).as("digest")).distinct()
+
+  /** [[decontaminate]] against a prebuilt [[exactReferenceIndex]]
+    * frame — bit-identical to the inline build (gated, d34). The
+    * anti-join is STATELESS on the corpus side, so this also runs
+    * unchanged on a streaming corpus (stream-static anti join):
+    * continuous ingest filtered against a frozen eval-set index is
+    * exactly the build-once/reuse shape [[DedupIndex]] exists for.
+    */
+  def decontaminateFromIndex(corpus: DataFrame, index: DataFrame,
+                             textCol: String): DataFrame =
+    corpus.join(index.select(col("digest")),
+      md5(corpus(textCol)) === col("digest"), "left_anti")
 
   /** Corpus ids sharing at least one word n-gram with a reference
     * corpus — SUBSTRING-level contamination detection: the published

@@ -99,6 +99,26 @@ object DedupIndex {
     spark.read.parquet(path).select("rsh")
   }
 
+  /** Build and persist the exact-decontamination index: the reference
+    * corpus's distinct content digests
+    * ([[Dedup.exactReferenceIndex]]). No geometry parameters — the
+    * digest algorithm (md5 of the raw text) is pinned by the kind.
+    * The read-back frame plugs into [[Dedup.decontaminateFromIndex]]
+    * on batch AND streaming corpora (the anti-join is stateless on
+    * the corpus side), gated bit-identical to the inline build (d34).
+    */
+  def writeExact(reference: DataFrame, textCol: String,
+                 path: String): Unit = {
+    Dedup.exactReferenceIndex(reference, textCol)
+      .write.mode("errorifexists").parquet(path)
+    writeMeta(reference.sparkSession, path, "exact", Seq.empty)
+  }
+
+  def readExact(spark: SparkSession, path: String): DataFrame = {
+    check(readMeta(spark, path), "exact", Seq.empty, path)
+    spark.read.parquet(path).select("digest")
+  }
+
   /** Build and persist the winnowing decontamination index: the
     * reference corpus's distinct fingerprint set. (n, window) pin
     * the build — fingerprints from a different gram/window geometry

@@ -34,8 +34,19 @@ object Tokenizer {
     * applied to.
     */
   def wordCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextAnalysis.tokenize(col(textCol))).as("word"))
+    spread(df)
+      .select(explode(TextAnalysis.tokenize(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Single-file test fixtures arrive as one input split, which would
+    * serialize the tokenize+explode scan stage onto one core; a
+    * production-scale scan already has thousands of splits and skips
+    * the repartition (the [[Dedup]] spread discipline).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** The capped, deterministically-ordered type table the merge loop
     * consumes: top `maxTypes` word types by (count desc, word asc).
@@ -169,6 +180,69 @@ object Tokenizer {
       }
     }
     merges.toSeq
+  }
+
+  /** Persist a learned merge list as a schema-versioned parquet frame
+    * (`rank INT, pair STRING`) with the [[DedupIndex]] sidecar
+    * discipline: the sidecar is written last, so its presence marks a
+    * complete artifact, and [[readMerges]] refuses a directory whose
+    * parameters don't match the caller's. A tokenizer is a FROZEN
+    * artifact — retraining on the next corpus drop silently changes
+    * every token count and packing boundary downstream, so the write
+    * path is errorifexists and the read path pins the training
+    * geometry (numMerges), exactly like a mismatched dedup index.
+    */
+  def writeMerges(spark: org.apache.spark.sql.SparkSession,
+                  merges: Seq[String], path: String): Unit = {
+    import spark.implicits._
+    require(merges.nonEmpty, "refusing to persist an empty merge list")
+    merges.zipWithIndex.map { case (p, i) => (i, p) }
+      .toDF("rank", "pair")
+      .repartition(1)
+      .write.mode("errorifexists").parquet(path)
+    val json = s"""{"kind": "bpe_merges", "version": 1, """ +
+      s""""num_merges": ${merges.length}}"""
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_index.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read back a [[writeMerges]] artifact in rank order. The merge
+    * list is a bounded artifact by construction (one row per learned
+    * merge), so the driver-side materialization here is the same
+    * plan-closure shipping as passing `merges` to
+    * `graft.functions.bpe_encode` — not a data collect.
+    */
+  def readMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[String] = {
+    val mp = new org.apache.hadoop.fs.Path(path, "_graft_index.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(mp),
+      s"$path has no _graft_index.json sidecar — not a complete " +
+        "graft tokenizer artifact (crashed build, or a plain parquet dir)")
+    val in = fs.open(mp)
+    val raw = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val meta = "\"([a-z_]+)\"\\s*:\\s*\"?([A-Za-z0-9_]+)\"?".r
+      .findAllMatchIn(raw).map(m => m.group(1) -> m.group(2)).toMap
+    require(meta.get("kind").contains("bpe_merges"),
+      s"$path is a '${meta.getOrElse("kind", "?")}' artifact, not " +
+        "'bpe_merges'")
+    require(meta.get("version").contains("1"),
+      s"$path was written by artifact version " +
+        s"${meta.getOrElse("version", "?")}; this library reads 1")
+    val n = meta("num_merges").toInt
+    val rows = spark.read.parquet(path)
+      .orderBy("rank")
+      .select("rank", "pair")
+      .take(n + 1)
+    require(rows.length == n &&
+      rows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      s"$path is corrupt: expected ranks 0..${n - 1}, got " +
+        s"${rows.length} rows")
+    rows.map(_.getString(1)).toSeq
   }
 
   /** The vocabulary a learned merge list induces: all single

@@ -559,4 +559,52 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
       assert(rows(0).getAs[Double]("est_jaccard") == est)
     } finally q.stop()
   }
+
+  test("streaming decontamination against a persisted exact index: " +
+      "contaminated rows drop mid-stream, batch twin bit-identical") {
+    val contaminated = "this exact eval passage must never survive"
+    val clean1 = "an ordinary training document about rivers"
+    val clean2 = "another ordinary training document about stars"
+    // build + persist the index once (the per-reference-drop step)
+    val idxPath = Files.createTempDirectory("sdecon").toString + "/idx"
+    graft.operators.DedupIndex.writeExact(
+      Seq(contaminated, "some other benchmark item").toDF("text"),
+      "text", idxPath)
+
+    val input = MemoryStream[Doc](spark)
+    val src = input.toDF
+      .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+    val out = graft.api.DataStream(src, "ts")
+      .decontaminateAgainstIndex(idxPath, "text")
+      .df
+    assert(out.isStreaming, "the anti-join must stay stateless/streamable")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdecon").start()
+    try {
+      input.addData(Doc(1000, 1, clean1), Doc(2000, 2, contaminated),
+        Doc(3000, 3, clean2))
+      q.processAllAvailable()
+      val kept = spark.table("sdecon").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(1L, 3L))
+    } finally q.stop()
+
+    // batch twin through the same persisted index equals the inline op
+    val corpus = Seq((1L, clean1), (2L, contaminated), (3L, clean2))
+      .toDF("doc_id", "text")
+    val viaIndex = Dedup.decontaminateFromIndex(corpus,
+      graft.operators.DedupIndex.readExact(spark, idxPath), "text")
+      .select("doc_id").as[Long].collect().toSet
+    val inline = Dedup.decontaminate(corpus,
+      Seq(contaminated).toDF("text"), "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIndex == Set(1L, 3L) && inline == Set(1L, 3L))
+
+    // a winnow index is refused by the exact reader
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.DedupIndex.readExact(spark,
+        idxPath.replace("/idx", "/missing"))
+    }
+    assert(e.getMessage.contains("sidecar"))
+  }
 }

@@ -144,6 +144,38 @@ class TokenizerTrainSpec extends AnyFunSuite with SparkSpec {
     assert(merges == Seq("a a", "b b"))
   }
 
+  test("bpe merges: persisted artifact round-trips in rank order and " +
+      "refuses incomplete or foreign directories") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_art")
+      .toString
+    val path = s"$dir/merges"
+    val df = Seq("low low lower newest newest widest").toDF("text")
+    val merges = Tokenizer.learnBpeMerges(df, "text", 6,
+      minPairCount = 1L)
+    Tokenizer.writeMerges(spark, merges, path)
+    assert(Tokenizer.readMerges(spark, path) == merges)
+    // errorifexists: a frozen artifact is never silently replaced
+    intercept[Exception] {
+      Tokenizer.writeMerges(spark, merges, path)
+    }
+    // a sidecar-less parquet dir is refused
+    val bare = s"$dir/bare"
+    Seq((0, "a b")).toDF("rank", "pair").write.parquet(bare)
+    val e = intercept[IllegalArgumentException] {
+      Tokenizer.readMerges(spark, bare)
+    }
+    assert(e.getMessage.contains("sidecar"))
+    // a dedup index is not a tokenizer artifact
+    val wrongKind = s"$dir/winnow"
+    graft.operators.DedupIndex.writeWinnow(
+      Seq("some reference text with enough tokens here").toDF("text"),
+      "text", wrongKind)
+    val e2 = intercept[IllegalArgumentException] {
+      Tokenizer.readMerges(spark, wrongKind)
+    }
+    assert(e2.getMessage.contains("bpe_merges"))
+  }
+
   test("bpe vocab: alphabet + merge products, sorted") {
     val df = Seq("ab ab cd").toDF("text")
     val merges = Tokenizer.learnBpeMerges(df, "text", 2,
