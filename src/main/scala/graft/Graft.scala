@@ -77,4 +77,22 @@ object Graft {
       if (new java.io.File(s"$sfDir/$n.parquet").exists())
         table(spark, sfDir, n).createOrReplaceTempView(n)
     }
+
+  /** Partition count the frame would execute with, read from the
+    * NON-ADAPTIVE physical plan. `df.rdd.getNumPartitions` is the
+    * obvious spelling, but under AQE `Dataset.rdd` materializes every
+    * upstream shuffle stage just to resolve the adaptive plan — a
+    * silent full execution of the pipeline per probe (round-10 find:
+    * the audio gates paid a hidden encode+shuffle re-run per bench
+    * rep, ~30% of their wall-clock). `sparkPlan.execute()` only
+    * BUILDS the RDD lazily — exchanges become ShuffledRowRDDs whose
+    * dependencies are not yet computed — so no job runs. Falls back
+    * to the eager spelling for plans that refuse non-adaptive
+    * execution (streaming relations mid-plan, etc.).
+    */
+  def staticNumPartitions(df: DataFrame): Int =
+    try df.queryExecution.sparkPlan.execute().getNumPartitions
+    catch {
+      case scala.util.control.NonFatal(_) => df.rdd.getNumPartitions
+    }
 }

@@ -29,8 +29,25 @@ object SparkEntry {
   private def spreadIfUnderParallel(spark: SparkSession,
                                     df: DataFrame): DataFrame = {
     val target = spark.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (Graft.staticNumPartitions(df) < target) df.repartition(target) else df
   }
+
+  /** Exchange barrier between an expensive projection and whatever
+    * re-executes its child: (a) a final `orderBy` — the range
+    * partitioner's sampling job runs the sort's child once BEFORE the
+    * real pass, so a codec/digest projection directly under orderBy
+    * executes twice; (b) a frame referenced by two consumers (self
+    * join, decode + byte-hash branches) — each branch re-runs every
+    * projection above the last exchange. A round-robin repartition in
+    * between materializes the work once as shuffle files that the
+    * sampling job / second branch reuse. Costs one shuffle of the
+    * barriered rows — right whenever the projection above is more
+    * expensive than shipping its output (codecs, signatures), wrong
+    * for cheap projections. Gates whose last expensive step is
+    * already an exchange (groupBy/join) don't need it.
+    */
+  private def exchangeBarrier(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sessionState.conf.numShufflePartitions)
 
   /** t25's WordPiece vocab — one definition feeds BOTH the Spark query
     * and the DuckDB oracle's literal list, so the two sides cannot
@@ -2117,13 +2134,14 @@ object SparkEntry {
           (pmod(col("doc_id"), lit(2)) + 1).cast("int"),
           (pmod(col("doc_id"), lit(100)) + 50).cast("int"),
           (pmod(col("doc_id"), lit(1000)) - 500).cast("int")).as("blob"))
-      operators.Multimodal.decodeAudioPartitions(blobs, "blob", "doc_id")
-        .select(col("doc_id"), col("audio_format"),
-          col("sample_rate").cast("long").as("sample_rate"),
-          col("channels").cast("long").as("channels"),
-          col("n_frames"),
-          round(col("mean_sample"), 6).as("mean_sample"),
-          round(col("duration_ms"), 6).as("duration_ms"))
+      exchangeBarrier(s,
+        operators.Multimodal.decodeAudioPartitions(blobs, "blob", "doc_id")
+          .select(col("doc_id"), col("audio_format"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("channels").cast("long").as("channels"),
+            col("n_frames"),
+            round(col("mean_sample"), 6).as("mean_sample"),
+            round(col("duration_ms"), 6).as("duration_ms")))
         .orderBy(col("doc_id"))
     }),
 
@@ -2145,15 +2163,21 @@ object SparkEntry {
       val rate = element_at(
         array(lit(8000), lit(16000), lit(22050), lit(44100)),
         (pmod(key, lit(4)) + 1).cast("int"))
+      // single pass: byte hash and decoded-content hash are computed
+      // side by side in ONE projection over each blob — the earlier
+      // two-branch join spelling re-ran the whole encode on the
+      // second branch (the join key's pushed isnotnull filter breaks
+      // exchange-reuse between the branches)
       val blobs = spreadIfUnderParallel(s, t(s, d, "documents"))
         .select(col("doc_id"),
-        operators.Multimodal.encodeTestAudio(container, rate,
-          (pmod(key, lit(2)) + 1).cast("int"),
-          (key + 50).cast("int"),
-          (key * 7 - 150).cast("int")).as("blob"))
-        .withColumn("byte_sha", sha2(col("blob"), 256))
-      operators.Multimodal.decodeAudioPartitions(blobs, "blob", "doc_id")
-        .join(blobs.select(col("doc_id"), col("byte_sha")), "doc_id")
+          operators.Multimodal.encodeTestAudio(container, rate,
+            (pmod(key, lit(2)) + 1).cast("int"),
+            (key + 50).cast("int"),
+            (key * 7 - 150).cast("int")).as("blob"))
+      blobs
+        .select(col("doc_id"), sha2(col("blob"), 256).as("byte_sha"),
+          operators.Multimodal.audioContentHash(col("blob"))
+            .as("pcm_sha256"))
         .groupBy(col("pcm_sha256"))
         .agg(min(col("doc_id")).as("keeper_id"),
           count(lit(1)).as("n_docs"),

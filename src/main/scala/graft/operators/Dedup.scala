@@ -53,7 +53,7 @@ object Dedup {
     */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (graft.Graft.staticNumPartitions(df) < target) df.repartition(target) else df
   }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
@@ -1408,7 +1408,7 @@ object Dedup {
     // is under-parallel — a 100TB scan already has thousands of
     // splits and must not pay a gratuitous full-text shuffle
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    val base = if (base0.rdd.getNumPartitions < target)
+    val base = if (graft.Graft.staticNumPartitions(base0) < target)
       base0.repartition(target) else base0
 
     // even split of a length-n string into k+1 segments: the first

@@ -56,7 +56,7 @@ object Multimodal {
     */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (graft.Graft.staticNumPartitions(df) < target) df.repartition(target) else df
   }
 
   /** Metadata struct carried alongside every media blob. */
@@ -302,14 +302,67 @@ object Multimodal {
     * unknown row, never a task failure.
     */
   /** The shared container→canonical-PCM pass: container type name,
-    * declared rate/channels/frame count, and the decoded samples in
-    * canonical (endianness-normalized) frame order. Everything
-    * downstream — amplitude stats, the content SHA, the perceptual
-    * fingerprint — derives from this one decode, so no audio operator
-    * pays a second payload pass.
+    * declared rate/channels/frame count, and the decoded samples as
+    * the canonical LITTLE-ENDIAN byte array (even length, frame
+    * order). Everything downstream — amplitude stats, the content
+    * SHA, the perceptual fingerprint — derives from this one buffer:
+    * the SHA digests it directly, and the sample loops read 16-bit
+    * words out of it in place, so no audio operator pays a second
+    * payload pass OR a second full-signal allocation. (Round 9
+    * briefly returned an `Array[Short]` here; that doubled the
+    * passes/allocations per row and regressed the decode rows ~1.8×
+    * — this byte-array contract is the fused shape of record.)
+    * WAV payloads are already little-endian, so they come back as
+    * the reader's own buffer untouched; AIFF/AU (big-endian) are
+    * byte-swapped IN PLACE — zero extra allocation either way.
     */
+  /** The JDK's audio SPI registry, materialized ONCE per JVM.
+    * `AudioSystem.getAudioFileFormat`/`getAudioInputStream` route
+    * every call through `JDK13Services.getProviders` — a
+    * SYNCHRONIZED static registry (60 s cache behind a class lock) —
+    * so a 32-thread decode stage serializes on two lock acquisitions
+    * per row and runs SLOWER than a single-threaded one (round-10
+    * measurement: the audio decode stage at 3.5 s wall for 5000
+    * sub-millisecond clips). Iterating the providers directly makes
+    * the decode stage actually parallel. Provider iteration order
+    * matters only for exotic containers claimed by several readers;
+    * the JDK's PCM readers (Wave/Aiff/Au + the float/extensible WAV
+    * variants) are mutually exclusive on standard payloads.
+    */
+  private lazy val audioReaders
+      : List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toList
+  }
+
+  /** First provider claiming the bytes → (file format, audio stream);
+    * None when no JDK reader does. Lock-free equivalent of the two
+    * `AudioSystem` lookups (see [[audioReaders]]).
+    */
+  private def openAudio(bytes: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFileFormat,
+                javax.sound.sampled.AudioInputStream)] = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      try {
+        val ais = r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val aff = r.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        return Some((aff, ais))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        case _: java.io.IOException => ()
+      }
+    }
+    None
+  }
+
   private def decodeCanonicalPcm(bytes: Array[Byte])
-      : Option[(String, Int, Int, Long, Array[Short])] = {
+      : Option[(String, Int, Int, Long, Array[Byte])] = {
     if (bytes == null || bytes.length < 8) return None
     // Pre-allocation bound (the image-path discipline): the PCM pass
     // below materializes the whole payload via readAllBytes, and the
@@ -317,50 +370,51 @@ object Multimodal {
     // on the container size before any decode allocation happens.
     if (bytes.length > maxAudioBytes) return None
     try {
-      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-        new java.io.ByteArrayInputStream(bytes))
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val (aff, ais) = openAudio(bytes) match {
+        case Some(p) => p
+        case None    => return None
+      }
       try {
         val f = ais.getFormat
         if (f.getSampleSizeInBits != 16) return None
-        val data = ais.readAllBytes()
+        var data = ais.readAllBytes()
         val n = data.length / 2
         if (n == 0) return None
-        val samples = new Array[Short](n)
-        var i = 0
-        if (f.isBigEndian)
+        // even length is part of the canonical contract (the SHA
+        // covers exactly 2n bytes); a torn trailing byte only occurs
+        // on malformed streams, so the copy here is off the hot path
+        if (data.length % 2 != 0)
+          data = java.util.Arrays.copyOf(data, 2 * n)
+        if (f.isBigEndian) {
+          var i = 0
           while (i < n) {
-            samples(i) =
-              ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort
+            val hi = data(2 * i)
+            data(2 * i) = data(2 * i + 1)
+            data(2 * i + 1) = hi
             i += 1
           }
-        else
-          while (i < n) {
-            samples(i) =
-              ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort
-            i += 1
-          }
+        }
         Some((aff.getType.toString.toLowerCase(java.util.Locale.ROOT),
           f.getSampleRate.round, f.getChannels, ais.getFrameLength,
-          samples))
+          data))
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Signed 16-bit sample i read in place from the canonical
+    * little-endian buffer — the high byte's sign carries through the
+    * int promotion, so no `.toShort` round-trip is needed.
+    */
+  @inline private def sampleAt(canon: Array[Byte], i: Int): Int =
+    (canon(2 * i) & 0xff) | (canon(2 * i + 1).toInt << 8)
+
   private def decodeAudioFull(bytes: Array[Byte])
       : Option[(String, Int, Int, Long, Double, String)] =
-    decodeCanonicalPcm(bytes).map { case (tpe, rate, ch, frames, s) =>
-      val n = s.length
-      val canon = new Array[Byte](n * 2)
+    decodeCanonicalPcm(bytes).map { case (tpe, rate, ch, frames, canon) =>
+      val n = canon.length / 2
       var sum = 0L
       var i = 0
-      while (i < n) {
-        sum += s(i)
-        canon(2 * i) = (s(i) & 0xff).toByte
-        canon(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
-        i += 1
-      }
+      while (i < n) { sum += sampleAt(canon, i); i += 1 }
       val md = java.security.MessageDigest.getInstance("SHA-256")
       md.update(s"$rate:$ch:"
         .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
@@ -403,11 +457,33 @@ object Multimodal {
       }
       i += 1
     }
+    writeAudioBytes(pcm, fmt, nFrames.toLong, t, fileType)
+  }
+
+  /** Writer twin of [[audioReaders]]: one registry materialization
+    * per JVM instead of `AudioSystem.write`'s synchronized
+    * JDK13Services lookup per encoded row.
+    */
+  private lazy val audioWriters
+      : List[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toList
+  }
+
+  private def writeAudioBytes(pcm: Array[Byte],
+      fmt: javax.sound.sampled.AudioFormat, nFrames: Long,
+      t: javax.sound.sampled.AudioFileFormat.Type,
+      fileType: String): Array[Byte] = {
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
-      t, bos)
+    audioWriters.find(_.isFileTypeSupported(t, ais)) match {
+      case Some(w) => w.write(ais, t, bos)
+      case None => throw new IllegalArgumentException(
+        s"no JDK writer for audio container '$fileType'")
+    }
     bos.toByteArray
   }
 
@@ -487,8 +563,8 @@ object Multimodal {
     * pair without any all-pairs sample comparison.
     */
   private def audioFingerprintOf(bytes: Array[Byte]): Option[Long] =
-    decodeCanonicalPcm(bytes).flatMap { case (_, _, _, _, s) =>
-      val m = s.length
+    decodeCanonicalPcm(bytes).flatMap { case (_, _, _, _, canon) =>
+      val m = canon.length / 2
       if (m < 65) None
       else {
         val energy = new Array[Long](65)
@@ -498,7 +574,11 @@ object Multimodal {
           val hi = ((i + 1).toLong * m / 65).toInt
           var e = 0L
           var t = lo
-          while (t < hi) { e += s(t).toLong * s(t); t += 1 }
+          while (t < hi) {
+            val v = sampleAt(canon, t).toLong
+            e += v * v
+            t += 1
+          }
           energy(i) = e
           i += 1
         }
@@ -594,12 +674,7 @@ object Multimodal {
       }
       k += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
-      t, bos)
-    bos.toByteArray
+    writeAudioBytes(pcm, fmt, nFrames.toLong, t, fileType)
   }
 
   /** Deterministic patterned test-image encoder (the m6/m7 fixture

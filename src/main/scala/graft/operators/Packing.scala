@@ -155,39 +155,98 @@ object Packing {
     * "place into currently-lightest" state, which no closed-form SQL
     * replay could express.
     *
-    * Scale: the global rank is NOT a global-window sort. The weight
-    * VALUE histogram (distinct weights — bounded by the max document
-    * length in tokens, not by corpus rows) carries cross-weight
-    * prefix counts through one tiny window, and data rows take a
-    * partitioned within-weight `row_number` plus the broadcast base
-    * offset — the [[Sampling.selectToTokenBudget]] histogram
-    * discipline. One shuffle on the weight key; no single-reducer
-    * stage touches data rows.
+    * Scale: the global rank is NOT a global-window sort. A histogram
+    * of (weight, id-bucket) groups carries cross-group prefix counts
+    * through one tiny window, and data rows take a partitioned
+    * within-group `row_number` plus the broadcast base offset — the
+    * [[Sampling.selectToTokenBudget]] histogram discipline. The
+    * id-bucket is a MONOTONE coarsening of the id (numeric ids:
+    * equal-width ranges between the corpus min/max, carried by a
+    * broadcast one-row stats frame; string ids: a fixed-length
+    * prefix), so ordering by (weight desc, bucket asc, id asc) IS the
+    * documented (weight desc, id asc) order — the bucket only splits
+    * each weight class into independently-rankable runs. This is what
+    * keeps the operator parallel on its PRIMARY production input,
+    * packed-chunk corpora where nearly every row's weight equals the
+    * token cap: a within-weight-only window would rank the whole
+    * corpus in ONE task. Histogram size is bounded by
+    * distinct(weight) × idBuckets (and by the row count); with
+    * token-count weights that stays a broadcastable side even at
+    * thousands of buckets.
     *
-    * CONTRACT: ids unique (the rank tie-break), weights non-negative
-    * longs. Output: input columns ++ (`shard` BIGINT in
-    * [0, numShards)).
+    * CONTRACT: ids unique and non-null (the rank tie-break), weights
+    * non-negative longs — a null or negative weight (including a
+    * failed cast) raises rather than silently dropping the row.
+    * Output: input columns ++ (`shard` BIGINT in [0, numShards)).
+    *
+    * @param idBuckets within-weight parallelism; 0 (default) = the
+    *   session's shuffle parallelism. At cluster scale set it to a
+    *   few × total cores (same sizing rule as [[packChunks]]'s
+    *   shardChars) — it changes only the execution layout, never the
+    *   assignment.
     */
   def balancedShards(df: DataFrame, idCol: String, weightCol: Column,
-                     numShards: Int): DataFrame = {
+                     numShards: Int, idBuckets: Int = 0): DataFrame = {
     require(numShards >= 1, "numShards must be >= 1")
-    val wv = df.withColumn("__w", weightCol.cast("long"))
-    val histW = Window.orderBy(col("__w").desc)
+    require(idBuckets >= 0, "idBuckets must be >= 0")
+    val nb = if (idBuckets > 0) idBuckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val idc = col(idCol)
+    // the guard's condition captures null ITSELF (isNull || <0):
+    // `__w < 0` alone is null-valued on null input and `when` treats
+    // that as false, which would wave the bad row through to the
+    // null-key join below — the silent-data-loss path this guard
+    // exists to close
+    val wv = df.withColumn("__w",
+      when(weightCol.cast("long").isNull || weightCol.cast("long") < 0,
+        raise_error(concat(
+          lit("balancedShards: weight must be a non-negative long, " +
+            "got "),
+          coalesce(weightCol.cast("string"), lit("null")))))
+        .otherwise(weightCol.cast("long")))
+    // monotone id-bucket: any expression b(id) with id1 < id2 ⇒
+    // b(id1) <= b(id2) under the column's native ordering keeps the
+    // two-level rank equal to the single-level one
+    val bucketed = df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        // double arithmetic is fine HERE (unlike packChunks' token
+        // positions): floor((id-lo)/width) only needs monotonicity,
+        // which IEEE rounding preserves, not exactness
+        val stats = df.agg(min(idc).cast("double").as("__lo"),
+          max(idc).cast("double").as("__hi"))
+        wv.crossJoin(broadcast(stats))
+          .withColumn("__b", least(lit(nb - 1L), greatest(lit(0L),
+            floor((idc.cast("double") - col("__lo"))
+              / ((col("__hi") - col("__lo") + 1.0) / nb)))))
+          .drop("__lo", "__hi")
+      case _: org.apache.spark.sql.types.StringType =>
+        // codepoint prefix is monotone under UTF8 binary order; 6
+        // chars of a real-world id (uuid/url/hash) spread far past
+        // any practical bucket target
+        wv.withColumn("__b", substring(idc, 1, 6))
+      case _ =>
+        // no generic monotone coarsening — single bucket degrades to
+        // the within-weight-only rank (fine for high-cardinality
+        // weights, the only shape such exotic-id corpora have shown)
+        wv.withColumn("__b", lit(0L))
+    }
+    val histW = Window.orderBy(col("__w").desc, col("__b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = wv.groupBy("__w").agg(count(lit(1)).as("__c"))
+    val offsets = bucketed.groupBy(col("__w"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
       .withColumn("__base", coalesce(sum(col("__c")).over(histW),
         lit(0L)))
       .drop("__c")
-    val within = Window.partitionBy(col("__w"))
-      .orderBy(col(idCol).asc)
-    wv.join(broadcast(offsets), "__w")
+    val within = Window.partitionBy(col("__w"), col("__b"))
+      .orderBy(idc.asc)
+    bucketed.join(broadcast(offsets), Seq("__w", "__b"))
       .withColumn("__idx",
         col("__base") + row_number().over(within).cast("long") - 1)
       .withColumn("shard",
         when(expr(s"(__idx div $numShards) % 2") === 0,
           col("__idx") % numShards)
           .otherwise(lit(numShards - 1L) - col("__idx") % numShards))
-      .drop("__w", "__base", "__idx")
+      .drop("__w", "__b", "__base", "__idx")
   }
 
   def packChunks(df: DataFrame, idCol: String, tokenCol: String,

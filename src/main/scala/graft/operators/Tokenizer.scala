@@ -45,7 +45,7 @@ object Tokenizer {
     */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (graft.Graft.staticNumPartitions(df) < target) df.repartition(target) else df
   }
 
   /** The capped, deterministically-ordered type table the merge loop

@@ -199,6 +199,65 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
       s"imbalance ${totals.max - totals.min}")
   }
 
+  test("balancedShards: constant weights (the packed-chunk shape) " +
+      "stay correct AND parallel — the adversarial skew fixture") {
+    // every row shares ONE weight value: a within-weight-only window
+    // would rank all 5000 rows in a single task. The two-level rank
+    // must (a) still equal the brute-force global order and (b) show
+    // the id-bucket in its ranking window's partition spec.
+    val n = 5000
+    val ns = 8
+    val df = (1L to n.toLong).map(i => (i, 2048L)).toDF("id", "w")
+      .repartition(13)
+    val got = Packing.balancedShards(df, "id", $"w", ns)
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(__w"),
+      "ranking window must exist")
+    assert(plan.contains("__b"),
+      "ranking window must partition by the id-bucket, not weight " +
+        "alone — constant weights would serialize the corpus " +
+        "through one task")
+    val rows = got.select($"id", $"shard").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    // constant weight ⇒ rank order is plain id order
+    val want = (1L to n.toLong).map { id =>
+      val idx = id - 1
+      val pos = idx % ns
+      (id, if ((idx / ns) % 2 == 0) pos else ns - 1 - pos)
+    }
+    assert(rows.toSeq == want)
+    // bucket really split the weight class: >1 distinct group ran
+    val nGroups = Packing.balancedShards(df, "id", $"w", ns, idBuckets = 16)
+      .select($"id").count()
+    assert(nGroups == n)
+  }
+
+  test("balancedShards: string ids bucket by prefix and preserve " +
+      "lexicographic rank; explicit idBuckets respected") {
+    val df = Seq("d09", "d10", "d02", "e01", "a77")
+      .map(id => (id, 7L)).toDF("id", "w")
+    val got = Packing.balancedShards(df, "id", $"w", 2, idBuckets = 4)
+      .select($"id", $"shard").as[(String, Long)].collect().toMap
+    // rank order (w constant): a77, d02, d09, d10, e01
+    // serpentine ns=2: idx 0→0, 1→1, 2(block1 rev)→1, 3→0, 4→0
+    assert(got == Map("a77" -> 0L, "d02" -> 1L, "d09" -> 1L,
+      "d10" -> 0L, "e01" -> 0L))
+  }
+
+  test("balancedShards: null or negative weight raises instead of " +
+      "silently dropping the row") {
+    val bad = Seq((1L, java.lang.Long.valueOf(3L)),
+      (2L, null.asInstanceOf[java.lang.Long])).toDF("id", "w")
+    val e = intercept[Exception] {
+      Packing.balancedShards(bad, "id", $"w", 2).collect()
+    }
+    assert(e.getMessage != null)
+    val neg = Seq((1L, 3L), (2L, -1L)).toDF("id", "w")
+    intercept[Exception] {
+      Packing.balancedShards(neg, "id", $"w", 2).collect()
+    }
+  }
+
   test("balancedShards: duplicate weights rank by id; shard dtype " +
       "long; numShards=1 degenerates to all-zero") {
     val df = Seq((3L, 10L), (1L, 10L), (2L, 10L), (4L, 5L))
