@@ -370,8 +370,22 @@ object Bench {
         (if (crossCheckTier.contains(k)) "cross-check"
          else "recommended") + "\""
     }.mkString("{", ",", "}")
+    // ambient-load self-flagging (round-9 postmortem: the snapshot
+    // recorded d15 at 18.6 s on a loaded box vs 4.9 s idle and the
+    // number of record was polluted). Medians don't protect against a
+    // PERSISTENTLY busy machine, but a >3× spread between a query's
+    // fastest and slowest rep on a warm JVM is not normal variance —
+    // name those rows in the artifact so a polluted snapshot is
+    // self-flagging. The 200 ms floor keeps sub-second rows, where
+    // JIT/GC jitter legitimately spans 3×, out of the list.
+    val ambientSuspect = results.collect {
+      case (k, (med, mn, mx)) if med >= 0 && mn > 0.2 && mx / mn > 3.0 =>
+        "\"" + k + "\""
+    }
+    val ambientJson =
+      s""","ambient_load_suspect":${ambientSuspect.mkString("[", ",", "]")}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","recommended_total":${tierTotal(cross = false, penalty)},"crosscheck_total":${tierTotal(cross = true, penalty)},"queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"tiers":$tiersJson,"reps":$reps,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","recommended_total":${tierTotal(cross = false, penalty)},"crosscheck_total":${tierTotal(cross = true, penalty)},"queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"tiers":$tiersJson,"reps":$reps,"failed":${failed.mkString("[", ",", "]")}$ambientJson,"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -392,7 +406,7 @@ object Bench {
     // count, with target/bench_full.json always carrying the
     // complete median/min/max record.
     def line(qjson: String, extra: String): String =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","recommended_total":${ms(tierTotal(cross = false, penalty))},"crosscheck_total":${ms(tierTotal(cross = true, penalty))},"queries":$qjson$extra,"reps":$reps,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","full":"target/bench_full.json"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","recommended_total":${ms(tierTotal(cross = false, penalty))},"crosscheck_total":${ms(tierTotal(cross = true, penalty))},"queries":$qjson$extra,"reps":$reps,"failed":${failed.mkString("[", ",", "]")}${if (ambientSuspect.nonEmpty) ambientJson else ""},"sf":"$sfDir","full":"target/bench_full.json"}"""
     val fullMap = jmap(_._1, ms)
     val headline =
       if (line(fullMap, "").length <= 1500) line(fullMap, "")

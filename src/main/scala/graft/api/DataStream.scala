@@ -422,7 +422,7 @@ final case class DataStream(
   def minhashDecontaminate(reference: DataFrame, textCol: String,
                            idCol: String, threshold: Double = 0.5,
                            shingleN: Int = 3, numHashes: Int = 32,
-                           bands: Int = 16): DataStream = {
+                           bands: Int = 0): DataStream = {
     require(!df.isStreaming,
       "minhashDecontaminate is batch-only as a plan node (the " +
         "candidate max-jaccard aggregation + anti-join cannot run " +

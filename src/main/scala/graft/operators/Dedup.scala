@@ -1014,9 +1014,17 @@ object Dedup {
     // nPlanes = 0 (the default): size the grid from the corpus so the
     // measured fixed-grid cliff (20× wall for 10× data at a constant
     // 16 planes) cannot recur by default. The count is one
-    // column-pruned pass over the input; when the input is an
-    // expensive derived frame, cache it or pass nPlanes explicitly.
-    val planes = if (nPlanes > 0) nPlanes else autoPlanes(base.count())
+    // column-pruned pass over the input AT PLAN-CONSTRUCTION TIME —
+    // flagged on stderr because an expensive un-cached upstream frame
+    // is then computed twice (once here, once in the real pass):
+    // cache it or pass nPlanes explicitly in that shape.
+    val planes = if (nPlanes > 0) nPlanes else {
+      System.err.println(s"[graft] embeddingNearDupPairsLsh: nPlanes=0" +
+        " runs an eager column-pruned count of the input now to" +
+        " auto-size the SRP grid; cache the input or pass nPlanes" +
+        " explicitly if composing over an expensive derived frame")
+      autoPlanes(df.select(col(idCol)).count())
+    }
     val buckets = array((0 until nTables).map { t =>
       graft.functions.hyperplane_lsh_bucket(col(embCol), planes, dim,
         seed + t * 7919L)
@@ -1311,13 +1319,20 @@ object Dedup {
   def minhashOverlapFromIndex(corpus: DataFrame, index: DataFrame,
                               textCol: String, corpusIdCol: String,
                               shingleN: Int = 3, numHashes: Int = 32,
-                              bands: Int = 16, threshold: Double = 0.5)
+                              bands: Int = 0, threshold: Double = 0.5)
       : DataFrame = {
-    val rows = numHashes / bands
+    // bands = 0 (the default): threshold-derived geometry, same
+    // [[autoBands]] S-curve rule as the pair operator — at the
+    // defaults (32 hashes, 0.5) this derives the former hand-picked
+    // 16, so existing callers see identical results
+    val bandsN = if (bands > 0) bands else autoBands(numHashes, threshold)
+    require(numHashes % bandsN == 0,
+      s"bands ($bandsN) must divide numHashes ($numHashes)")
+    val rows = numHashes / bandsN
     val c = spread(corpus).select(col(corpusIdCol).as("__cid"),
         shingleHashes(col(textCol), shingleN).as("__csh"))
       .withColumn("__cbs",
-        lshBandKeys(minhashSignature(col("__csh"), numHashes), bands,
+        lshBandKeys(minhashSignature(col("__csh"), numHashes), bandsN,
           rows))
       .select(col("__cid"), col("__csh"), col("__cbs"),
         posexplode(col("__cbs")).as(Seq("__band_idx", "__band_key")))
@@ -1326,7 +1341,7 @@ object Dedup {
     val r = index
       .select(col("rsh").as("__rsh"))
       .withColumn("__rbs",
-        lshBandKeys(minhashSignature(col("__rsh"), numHashes), bands,
+        lshBandKeys(minhashSignature(col("__rsh"), numHashes), bandsN,
           rows))
       .select(col("__rsh"), col("__rbs"),
         posexplode(col("__rbs")).as(Seq("__band_idx", "__band_key")))
@@ -1346,7 +1361,7 @@ object Dedup {
   def minhashOverlap(corpus: DataFrame, reference: DataFrame,
                      textCol: String, corpusIdCol: String,
                      shingleN: Int = 3, numHashes: Int = 32,
-                     bands: Int = 16, threshold: Double = 0.5)
+                     bands: Int = 0, threshold: Double = 0.5)
       : DataFrame =
     minhashOverlapFromIndex(corpus,
       minhashReferenceIndex(reference, textCol, shingleN),
@@ -1359,7 +1374,7 @@ object Dedup {
   def minhashDecontaminate(corpus: DataFrame, reference: DataFrame,
                            textCol: String, corpusIdCol: String,
                            shingleN: Int = 3, numHashes: Int = 32,
-                           bands: Int = 16, threshold: Double = 0.5)
+                           bands: Int = 0, threshold: Double = 0.5)
       : DataFrame = {
     val flagged = minhashOverlap(corpus, reference, textCol,
       corpusIdCol, shingleN, numHashes, bands, threshold)

@@ -139,6 +139,52 @@ object DedupIndex {
     spark.read.parquet(path).select("fp")
   }
 
+  /** Atomic refresh of a live index directory (the [[Storage.compact]]
+    * swap discipline): the replacement builds at a temp sibling —
+    * readers of `path` never observe partial state — and only a
+    * COMPLETE build (sidecar present, which [[writeMeta]] writes
+    * last) is swapped in. A build that dies mid-flight leaves the
+    * temp sibling behind (cleaned up by the next replace) and the
+    * live index untouched; a swap whose second rename fails rolls the
+    * original back. Refreshing a shared 100 TB-corpus index on a new
+    * eval drop therefore cannot leave a torn directory — the failure
+    * mode of the naive "delete + rebuild in place".
+    *
+    * `build` receives the temp path and must produce a complete index
+    * there — pass one of the `write*` methods: e.g.
+    * `replaceWith(spark, path)(DedupIndex.writeWinnow(ref, "text", _))`.
+    */
+  def replaceWith(spark: SparkSession, path: String)
+                 (build: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (f, p) = fs(spark, path)
+    val tmp = new Path(p.getParent, p.getName + "__replace_tmp")
+    val old = new Path(p.getParent, p.getName + "__replace_old")
+    f.delete(tmp, true)
+    build(tmp.toString)
+    require(f.exists(new Path(tmp, "_graft_index.json")),
+      s"replacement build for $path did not produce a complete index " +
+        "(no sidecar) — live index left untouched")
+    f.delete(old, true)
+    val hadOld = f.exists(p)
+    if (hadOld) require(f.rename(p, old), s"could not move $p aside")
+    val swappedIn =
+      try f.rename(tmp, p)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!swappedIn) {
+      val rolledBack = hadOld && {
+        try f.rename(old, p)
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+      throw new IllegalStateException(
+        s"could not move replacement index $tmp into place" +
+          (if (rolledBack) s"; original restored at $p"
+           else if (hadOld) s"; ROLLBACK ALSO FAILED — original at $old"
+           else ""))
+    }
+    if (hadOld) f.delete(old, true)
+  }
+
   /** Build and persist the IVF ANN index: KMeans centroid table +
     * per-row cell assignments ([[Similarity.fitIvfIndex]]), two
     * parquet subdirectories under one index root. The fit — the only

@@ -233,7 +233,11 @@ object Tokenizer {
     require(meta.get("version").contains("1"),
       s"$path was written by artifact version " +
         s"${meta.getOrElse("version", "?")}; this library reads 1")
-    val n = meta("num_merges").toInt
+    val nStr = meta.getOrElse("num_merges", "")
+    require(nStr.nonEmpty && nStr.forall(_.isDigit),
+      s"$path sidecar is corrupt or foreign: missing or non-numeric " +
+        s"'num_merges' (got '${meta.getOrElse("num_merges", "absent")}')")
+    val n = nStr.toInt
     val rows = spark.read.parquet(path)
       .orderBy("rank")
       .select("rank", "pair")

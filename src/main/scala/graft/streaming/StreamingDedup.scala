@@ -329,13 +329,20 @@ object StreamingDedup {
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    tsCol: String, horizonMs: Long, shingleN: Int = 3,
-                   numHashes: Int = 16, bands: Int = 8,
+                   numHashes: Int = 16, bands: Int = 0,
                    threshold: Double = 0.5,
                    delay: String = "0 seconds"): DataFrame = {
+    // bands = 0 (the default): threshold-derived geometry via
+    // [[graft.operators.Dedup.autoBands]] — at the defaults
+    // (16 hashes, 0.5) this derives the former hand-picked 8
+    val bandsN = if (bands > 0) bands
+      else graft.operators.Dedup.autoBands(numHashes, threshold)
+    require(numHashes % bandsN == 0,
+      s"bands ($bandsN) must divide numHashes ($numHashes)")
     val sigCol = graft.functions.minhash_signature(
       graft.functions.shingle_hashes(col(textCol), shingleN), numHashes)
-    val bandCols = graft.operators.Dedup.lshBandKeys(sigCol, bands,
-      numHashes / bands)
+    val bandCols = graft.operators.Dedup.lshBandKeys(sigCol, bandsN,
+      numHashes / bandsN)
     val k = numHashes
     val thr = threshold
     val verify: Verify = (a, b) => {

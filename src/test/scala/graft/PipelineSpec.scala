@@ -923,6 +923,70 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(u.isNullAt(u.fieldIndex("mean_sample")))
   }
 
+  test("DedupIndex.replaceWith: a build killed mid-flight leaves the " +
+      "live index complete; a finished build swaps in atomically") {
+    val docs = Graft.table(spark, sf, "documents").limit(60)
+      .select($"doc_id", $"text")
+    val refA = docs.filter($"doc_id" % 2 === 0)
+    val refB = docs.filter($"doc_id" % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-repl")
+      .toString
+    val path = s"$dir/exact"
+    operators.DedupIndex.writeExact(refA, "text", path)
+    val before = operators.DedupIndex.readExact(spark, path)
+      .collect().map(_.getString(0)).toSet
+    assert(before.nonEmpty)
+
+    // kill the build mid-flight: parquet lands but the run dies
+    // BEFORE the sidecar (the exact window a crashed executor/driver
+    // leaves) — the live index must stay the old complete one
+    val boom = intercept[RuntimeException] {
+      operators.DedupIndex.replaceWith(spark, path) { tmp =>
+        refB.limit(1).write.parquet(tmp)
+        throw new RuntimeException("killed mid-build")
+      }
+    }
+    assert(boom.getMessage.contains("killed") ||
+      boom.getMessage.contains("complete index"))
+    val afterCrash = operators.DedupIndex.readExact(spark, path)
+      .collect().map(_.getString(0)).toSet
+    assert(afterCrash == before, "crashed replace must not touch the " +
+      "live index")
+
+    // a build that only writes parquet (no sidecar) is refused even
+    // if it returns normally — completeness is checked before swap
+    intercept[IllegalArgumentException] {
+      operators.DedupIndex.replaceWith(spark, path) { tmp =>
+        refB.limit(1).write.mode("overwrite").parquet(tmp)
+      }
+    }
+    assert(operators.DedupIndex.readExact(spark, path)
+      .collect().map(_.getString(0)).toSet == before)
+
+    // completed build swaps in: readers now see refB's digests, no
+    // temp/old siblings remain
+    operators.DedupIndex.replaceWith(spark, path)(
+      operators.DedupIndex.writeExact(refB, "text", _))
+    val after = operators.DedupIndex.readExact(spark, path)
+      .collect().map(_.getString(0)).toSet
+    val wantB = operators.Dedup.exactReferenceIndex(refB, "text")
+      .collect().map(_.getString(0)).toSet
+    assert(after == wantB && after != before)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      path + "__replace_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      path + "__replace_old")))
+
+    // replace also CREATES when no index exists yet (first drop)
+    val fresh = s"$dir/fresh"
+    operators.DedupIndex.replaceWith(spark, fresh)(
+      operators.DedupIndex.writeExact(refA, "text", _))
+    assert(operators.DedupIndex.readExact(spark, fresh)
+      .collect().map(_.getString(0)).toSet == before)
+  }
+
   test("DedupIndex: persisted indexes round-trip bit-identical and " +
       "refuse mismatched parameters or incomplete builds") {
     val docs = Graft.table(spark, sf, "documents").limit(100)
@@ -1071,6 +1135,24 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         "doc_id", numHashes = 16, bands = bands, threshold = 0.5)
       .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
     assert(mhPairs(0) == mhPairs(8))
+
+    // the cross-corpus spellings derive the same geometry: auto
+    // (bands = 0) equals the explicit autoBands split at two
+    // thresholds — 0.5 → 16 bands and 0.9 → 4 bands over 32 hashes
+    val ref = docs.limit(40).select($"doc_id", $"text")
+    for (t <- Seq(0.5, 0.9)) {
+      val b = Dedup.autoBands(32, t)
+      assert(if (t == 0.5) b == 16 else b == 4)
+      def ov(bands: Int) = Dedup.minhashOverlap(input, ref, "text",
+          "doc_id", numHashes = 32, bands = bands, threshold = t)
+        .as[(Long, Double)].collect().toMap
+      assert(ov(0) == ov(b), s"threshold $t")
+      def deco(bands: Int) = Dedup.minhashDecontaminate(input, ref,
+          "text", "doc_id", numHashes = 32, bands = bands,
+          threshold = t)
+        .select("doc_id").as[Long].collect().toSet
+      assert(deco(0) == deco(b), s"threshold $t")
+    }
   }
 
   test("autoPlanes sizes the SRP grid to the measured curve and the " +
