@@ -840,8 +840,15 @@ object Dedup {
     * source-priority rank — any Column over `df`).
     *
     * Cost over the min-id form: the score rides the components join
-    * and one extra `row_number` window ranks within each cluster —
-    * partitioned by component (clusters are small), no global sort.
+    * and the winner is picked by TWO AGGREGATES (max score per
+    * component, then min id among the rows at that score) instead of
+    * a per-component `row_number` window — aggregates partial-combine
+    * map-side, so a boilerplate MEGA-CLUSTER (one template duplicated
+    * across a large fraction of a 100 TB corpus collapses into a
+    * single component) reduces in parallel instead of ranking its
+    * whole membership inside one window task. The score-equality
+    * rejoin compares the aggregate's own value, so no arithmetic
+    * drift is possible.
     */
   def keepNearDupRepresentativesBy(df: DataFrame, pairs: DataFrame,
                                    aCol: String, bCol: String,
@@ -850,12 +857,15 @@ object Dedup {
                                      None): DataFrame = {
     val comps = connectedComponents(pairs, aCol, bCol,
       reliableCheckpointDir = reliableCheckpointDir)
-    val losers = df.select(col(idCol).as("__kid"), score.as("__score"))
+    val scored = df.select(col(idCol).as("__kid"), score.as("__score"))
       .join(comps, col("__kid") === col("id"))
-      .withColumn("__rank", row_number().over(
-        Window.partitionBy(col("comp"))
-          .orderBy(col("__score").desc, col("__kid").asc)))
-      .filter(col("__rank") > 1)
+    val winners = scored
+      .groupBy(col("comp")).agg(max(col("__score")).as("__best"))
+      .join(scored, Seq("comp"))
+      .filter(col("__score") <=> col("__best"))
+      .groupBy(col("comp")).agg(min(col("__kid")).as("__winner"))
+    val losers = scored.join(winners, Seq("comp"))
+      .filter(col("__kid") =!= col("__winner"))
       .select(col("__kid").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }

@@ -360,19 +360,34 @@ object Sampling {
     df.orderBy(hashBucket(col(idCol), salt), col(idCol))
 
   /** Deterministic per-key "reservoir": the `n` rows of each key with
-    * the smallest hash draw (ties broken by id). One shuffle on the
-    * key — at 100TB, hot keys are bounded by the same windowed top-k
-    * cost as q6; for extreme skew pre-filter with [[hashSample]] at
-    * n / min-group-size before ranking.
+    * the smallest hash draw (ties broken by id).
+    *
+    * Scale shape: the rank is TWO-LEVEL — rows first rank inside
+    * (key, hash-of-id sub-bucket) and only each sub-bucket's top-n
+    * survive into the per-key final rank. A key's true top-n is a
+    * subset of every partition-of-the-key's per-part top-n, so the
+    * result is identical to the single-window spelling; the
+    * difference is that a HOT KEY (keyCol is typically a language /
+    * source column — at corpus scale one value can hold most of the
+    * rows) ranks B-way parallel in level 1, and level 2 ranks at most
+    * B·n survivors per key instead of the key's full row count. The
+    * level-2 shuffle ships only survivors.
     */
   def topNPerKey(df: DataFrame, keyCol: String, idCol: String,
                  n: Int, salt: String = ReservoirSalt): DataFrame = {
     require(n > 0, "n must be positive")
+    val b = df.sparkSession.sessionState.conf.numShufflePartitions
+    val local = Window
+      .partitionBy(col(keyCol), pmod(xxhash64(col(idCol), lit(salt),
+        lit("topn_bucket")), lit(b.toLong)))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(hashBucket(col(idCol), salt), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
+    df.withColumn("__lrn", row_number().over(local))
+      .filter(col("__lrn") <= n)
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
-      .drop("__rn")
+      .drop("__lrn", "__rn")
   }
 
   /** Per-key quality-quantile filter: keep each key's best
@@ -385,21 +400,80 @@ object Sampling {
     * never emptied. `q · n` is evaluated in IEEE doubles on both
     * sides of the oracle — identical ceil everywhere.
     *
-    * Scale: one shuffle on the key; within a key the rank is the same
-    * windowed top-k cost as [[topNPerKey]]/q6. For extreme skew,
-    * pre-aggregate an approximate per-key score threshold
-    * (approx_percentile, broadcast) and pre-filter before ranking.
+    * Scale: the per-key rank is the [[Packing.balancedShards]]
+    * two-level histogram discipline, not a per-key window — keyCol is
+    * a language/source-style column where ONE value can hold most of
+    * a 100 TB corpus, and a `Window.partitionBy(key)` would rank that
+    * key's rows in a single task. Rows take a monotone SCORE-RANGE
+    * bucket (grid from a per-key min/max stats row; a key whose
+    * scores are all equal — the adversarial shape — falls back to a
+    * monotone ID-range bucket, where the order is pure id anyway),
+    * rank within (key, bucket), and add broadcast per-(key, bucket)
+    * offsets: the same total (score desc, id asc) rank, bucket-count×
+    * the parallelism. Stats and offset sides are histogram-sized —
+    * keyCol must be a bounded-cardinality column for the broadcasts
+    * (the curation shapes this models always are).
     */
   def topQuantilePerKey(df: DataFrame, keyCol: String, idCol: String,
                         scoreCol: Column, q: Double): DataFrame = {
     require(q > 0 && q <= 1, s"q must be in (0, 1] (got $q)")
-    val w = Window.partitionBy(col(keyCol))
+    val b = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sc = scoreCol.cast("double")
+    val idType = df.schema(idCol).dataType
+    val isNumId = idType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val isStrId = idType.isInstanceOf[org.apache.spark.sql.types.StringType]
+    val aggs = Seq(count(lit(1)).as("__n"), min(sc).as("__smin"),
+      max(sc).as("__smax")) ++
+      (if (isNumId) Seq(min(col(idCol).cast("double")).as("__imin"),
+        max(col(idCol).cast("double")).as("__imax"))
+       else Seq.empty)
+    val stats = df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    // null scores sort last under scoreCol.desc; bucketing them as
+    // -infinity lands them in the last bucket with the smallest real
+    // scores, which the within-bucket (scoreCol.desc, id) sort then
+    // orders correctly — monotonicity holds with no null special-case
+    // in the histogram
+    val scForBucket = coalesce(sc, lit(Double.NegativeInfinity))
+    val scoreBucket = least(lit(b - 1L), greatest(lit(0L),
+      floor((col("__smax") - scForBucket)
+        / ((col("__smax") - col("__smin")) / b))))
+    val idBucket: Column =
+      if (isNumId) least(lit(b - 1L), greatest(lit(0L),
+        floor((col(idCol).cast("double") - col("__imin"))
+          / ((col("__imax") - col("__imin") + 1.0) / b))))
+      else lit(0L)
+    val sb: Column =
+      if (isStrId)
+        // string sb: zero-padded digits for score buckets, a codepoint
+        // prefix for the degenerate branch — never mixed within a key,
+        // and each is monotone under the key's own order
+        when(col("__smax") > col("__smin"),
+          lpad(scoreBucket.cast("string"), 6, "0"))
+          .otherwise(substring(col(idCol), 1, 6))
+      else when(col("__smax") > col("__smin"), scoreBucket)
+        .otherwise(idBucket)
+    val withSb = df.join(broadcast(stats), Seq(keyCol))
+      .withColumn("__sb", sb)
+    val histW = Window.partitionBy(col(keyCol)).orderBy(col("__sb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withSb.groupBy(col(keyCol), col("__sb"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__base", coalesce(sum(col("__c")).over(histW),
+        lit(0L)))
+      .drop("__c")
+    // the explicit repartition is load-bearing: after a non-broadcast
+    // stats join the frame is hash(key)-partitioned, which SATISFIES
+    // the window's ClusteredDistribution(key, sb) — Spark would skip
+    // the exchange and the hot key would serialize after all
+    val within = Window.partitionBy(col(keyCol), col("__sb"))
       .orderBy(scoreCol.desc, col(idCol))
-    val wc = Window.partitionBy(col(keyCol))
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wc))
+    withSb.join(broadcast(offsets), Seq(keyCol, "__sb"))
+      .repartition(col(keyCol), col("__sb"))
+      .withColumn("__rn",
+        col("__base") + row_number().over(within).cast("long"))
       .filter(col("__rn") <= ceil(col("__n") * lit(q)))
-      .drop("__rn", "__n")
+      .drop("__sb", "__n", "__smin", "__smax", "__imin", "__imax",
+        "__base", "__rn")
   }
 
   /** Deterministic token-budget selection: keep rows, in [[hashBucket]]

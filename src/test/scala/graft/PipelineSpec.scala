@@ -378,6 +378,42 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(minKept == Set(1L, 10L, 20L))
   }
 
+  test("keepNearDupRepresentativesBy: a boilerplate MEGA-CLUSTER " +
+      "(one component holding nearly every row) aggregates instead " +
+      "of window-ranking, null scores lose to any scored row") {
+    // one star component of 3000 rows — the shape a template page
+    // duplicated across a corpus collapses into; the winner must be
+    // the max-score row (ties to min id) picked by aggregates, with
+    // no per-component row_number window in the plan
+    val n = 3000
+    val df = (1L to n.toLong).map(i => (i, (i * 31 % 997).toDouble))
+      .toDF("id", "score")
+    val pairs = (2L to n.toLong).map(i => (1L, i)).toDF("a", "b")
+    val res = Dedup.keepNearDupRepresentativesBy(df, pairs, "a", "b",
+      "id", col("score"))
+    val plan = res.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition"),
+      "keep-best must pick the winner with aggregates — a " +
+        "per-component window serializes a mega-cluster into one task")
+    val kept = res.select($"id").as[Long].collect().toSet
+    val want = (1L to n.toLong)
+      .minBy(i => (-(i * 31 % 997).toDouble, i))
+    assert(kept == Set(want))
+
+    // null scores: a cluster with any scored row keeps its best
+    // scored one; an all-null cluster falls back to min id
+    val ndf = Seq((1L, java.lang.Double.valueOf(2.0)),
+      (2L, null.asInstanceOf[java.lang.Double]),
+      (10L, null.asInstanceOf[java.lang.Double]),
+      (11L, null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "score")
+    val npairs = Seq((1L, 2L), (10L, 11L)).toDF("a", "b")
+    val nkept = Dedup.keepNearDupRepresentativesBy(ndf, npairs, "a",
+        "b", "id", col("score"))
+      .select($"id").as[Long].collect().toSet
+    assert(nkept == Set(1L, 10L))
+  }
+
   test("connectedComponents: crafted graph labels by min, long chain " +
       "converges, keeper drops non-representatives") {
     // chain of diameter 11 (stresses the iteration loop), a cyclic

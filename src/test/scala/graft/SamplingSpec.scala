@@ -379,6 +379,76 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("topQuantilePerKey: adversarial shapes — one constant hot key, " +
+      "all-equal scores, string ids — rank stays exact and parallel") {
+    import graft.operators.Sampling
+    // ONE key holds every row (the 100 TB lang-column shape) with
+    // varied scores: histogram rank must equal the brute-force global
+    // rank, and the ranking window must partition by (key, bucket)
+    val n = 4000
+    val rows = (1L to n.toLong).map(i => (i, "en", (i * 37 % 1001)))
+      .toDF("doc_id", "lang", "score").repartition(11)
+    val q = 0.3
+    val got = Sampling.topQuantilePerKey(rows, "lang", "doc_id",
+      $"score", q)
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(lang"), "rank window")
+    assert(plan.contains("__sb"),
+      "ranking window must include the score bucket — a key-only " +
+        "window serializes the hot key")
+    val keep = math.ceil(n * q).toLong
+    val want = (1L to n.toLong).map(i => (i, i * 37 % 1001))
+      .sortBy { case (id, s) => (-s, id) }.take(keep.toInt)
+      .map(_._1).toSet
+    val ids = got.select($"doc_id").as[Long].collect().toSet
+    assert(ids == want)
+
+    // all-equal scores (the degenerate grid): order is pure id asc
+    val flat = (1L to 100L).map(i => (i, "en", 5L))
+      .toDF("doc_id", "lang", "score")
+    val fids = Sampling.topQuantilePerKey(flat, "lang", "doc_id",
+      $"score", 0.25).select($"doc_id").as[Long].collect().toSet
+    assert(fids == (1L to 25L).toSet)
+
+    // string ids, mixed keys incl. a degenerate one
+    val srows = Seq(("d1", "a", 3L), ("d2", "a", 9L), ("d3", "a", 9L),
+      ("e1", "b", 7L), ("e2", "b", 7L), ("e3", "b", 7L), ("e4", "b", 7L))
+      .toDF("doc_id", "lang", "score")
+    val sids = Sampling.topQuantilePerKey(srows, "lang", "doc_id",
+      $"score", 0.5).select($"doc_id").as[String].collect().toSet
+    // a: ceil(1.5)=2 -> d2,d3 (score 9); b: ceil(2)=2 -> e1,e2 (ids)
+    assert(sids == Set("d2", "d3", "e1", "e2"))
+
+    // null scores sort last, never displace scored rows
+    val nrows = Seq((1L, "a", java.lang.Long.valueOf(4L)),
+      (2L, "a", null.asInstanceOf[java.lang.Long]),
+      (3L, "a", java.lang.Long.valueOf(2L)),
+      (4L, "a", null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "lang", "score")
+    val nids = Sampling.topQuantilePerKey(nrows, "lang", "doc_id",
+      $"score", 0.5).select($"doc_id").as[Long].collect().toSet
+    assert(nids == Set(1L, 3L))
+  }
+
+  test("topNPerKey: a constant hot key two-level ranks to the same " +
+      "reservoir as the single-window spelling") {
+    import graft.operators.Sampling
+    val rows = (1L to 3000L).map(i => (i, "en")).toDF("doc_id", "lang")
+      .repartition(7)
+    val got = Sampling.topNPerKey(rows, "lang", "doc_id", 50)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got.size == 50)
+    // brute force: replay the NUL-delimited md5 draw JVM-side
+    def draw(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest((id.toString + "\u0000" + Sampling.ReservoirSalt)
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    val want = (1L to 3000L).map(i => (i, draw(i)))
+      .sortBy { case (id, d) => (d, id) }.take(50).map(_._1).toSet
+    assert(got == want)
+  }
+
   test("bigramLm + lmScore: stupid-backoff probabilities, OOV floor, " +
       "backoff counters") {
     import graft.operators.TextAnalysis
