@@ -2286,7 +2286,7 @@ object SparkEntry {
         .select(col("doc_id"),
         operators.Multimodal.encodeTestAudioPattern(container, rate,
           (pmod(col("doc_id"), lit(4)) + 2).cast("int"),
-          pmod(col("doc_id") * 13, lit(100003)).cast("int"),
+          pmod(col("doc_id") * 13, lit(15485863)).cast("int"),
           lit(1)).as("blob"))
       operators.Multimodal.audioFingerprintPartitions(blobs, "blob",
           "doc_id")
@@ -2321,7 +2321,7 @@ object SparkEntry {
         df.select(col("doc_id"),
           operators.Multimodal.encodeTestAudioPattern(container, rate,
             (pmod(src, lit(4)) + 2).cast("int"),
-            pmod(src * 13, lit(100003)).cast("int"),
+            pmod(src * 13, lit(15485863)).cast("int"),
             lit(gain)).as("blob"))
       }
       val originals = enc(base, 0, 1)
@@ -2356,7 +2356,7 @@ object SparkEntry {
             (pmod(src, lit(5)) + 8 + dw).cast("int"),
             (pmod(src, lit(3)) + 6 + dh).cast("int"),
             (pmod(src, lit(6)) + 66).cast("int"),
-            pmod(src * 17, lit(99991)).cast("int"),
+            pmod(src * 17, lit(15485863)).cast("int"),
             (pmod(src, lit(20)) + 10 + dfps).cast("int")).as("blob"))
       }
       val originals = enc(base, 0, 0, 0)
@@ -5165,20 +5165,30 @@ object SparkEntry {
         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
 
     // analytic replay of the audio energy-envelope bits: segment k's
-    // energy is segFrames·a_k² with a_k = (seed·(k+7) +
-    // (seed² mod 7919)·(k+3) + 53k² + 31k) mod 181 − 90; the per-doc constant segFrames cancels in the
-    // ordering, so the bits compare a_k² directly
+    // energy is segFrames·a_k² with
+    // a_k = wang32(seed·65537 + k·8191) mod 181 − 90 (the public
+    // low-bias 32-bit hash spelled as explicit mod-2³² steps — DuckDB
+    // BIGINT replays each step exactly, and hash-grade bits keep the
+    // fixture's true pair set LINEAR in corpus size; see
+    // encodeTestAudioPattern's scaladoc for the measured collapse the
+    // earlier closed form caused). The per-doc constant segFrames
+    // cancels in the ordering, so the bits compare a_k² directly
     "m10_audio_fingerprint" ->
       """WITH p AS (
-        |  SELECT doc_id, (doc_id * 13) % 100003 AS seed FROM documents),
-        |e AS (
-        |  SELECT doc_id, k.k,
-        |    CAST(((seed * (k.k + 7) + (seed * seed) % 7919 * (k.k + 3)
-        |           + 53 * k.k * k.k + 31 * k.k) % 181 - 90)
-        |       * ((seed * (k.k + 7) + (seed * seed) % 7919 * (k.k + 3)
-        |           + 53 * k.k * k.k + 31 * k.k) % 181 - 90)
-        |      AS BIGINT) AS en
+        |  SELECT doc_id, (doc_id * 13) % 15485863 AS seed FROM documents),
+        |h0 AS (
+        |  SELECT doc_id, k.k AS k,
+        |    (seed * 65537 + k.k * 8191) % 4294967296 AS h
         |  FROM p, range(0, 65) k(k)),
+        |h1 AS (SELECT doc_id, k,
+        |  (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h0),
+        |h2 AS (SELECT doc_id, k,
+        |  (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h1),
+        |e AS (
+        |  SELECT doc_id, k,
+        |    CAST((xor(h, h // 65536) % 181 - 90)
+        |       * (xor(h, h // 65536) % 181 - 90) AS BIGINT) AS en
+        |  FROM h2),
         |b AS (
         |  SELECT a.doc_id, a.k AS idx,
         |    CASE WHEN a.en < n.en THEN 1 ELSE 0 END AS bit
@@ -5204,15 +5214,20 @@ object SparkEntry {
         |  SELECT doc_id + 1000000, doc_id FROM documents
         |  WHERE doc_id % 10 = 0),
         |p AS (
-        |  SELECT ids.doc_id, (src * 13) % 100003 AS seed FROM ids),
-        |e AS (
-        |  SELECT doc_id, k.k,
-        |    CAST(((seed * (k.k + 7) + (seed * seed) % 7919 * (k.k + 3)
-        |           + 53 * k.k * k.k + 31 * k.k) % 181 - 90)
-        |       * ((seed * (k.k + 7) + (seed * seed) % 7919 * (k.k + 3)
-        |           + 53 * k.k * k.k + 31 * k.k) % 181 - 90)
-        |      AS BIGINT) AS en
+        |  SELECT ids.doc_id, (src * 13) % 15485863 AS seed FROM ids),
+        |h0 AS (
+        |  SELECT doc_id, k.k AS k,
+        |    (seed * 65537 + k.k * 8191) % 4294967296 AS h
         |  FROM p, range(0, 65) k(k)),
+        |h1 AS (SELECT doc_id, k,
+        |  (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h0),
+        |h2 AS (SELECT doc_id, k,
+        |  (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h1),
+        |e AS (
+        |  SELECT doc_id, k,
+        |    CAST((xor(h, h // 65536) % 181 - 90)
+        |       * (xor(h, h // 65536) % 181 - 90) AS BIGINT) AS en
+        |  FROM h2),
         |b AS (
         |  SELECT a.doc_id, a.k AS idx,
         |    CASE WHEN a.en < n.en THEN 1 ELSE 0 END AS bit
@@ -5235,9 +5250,9 @@ object SparkEntry {
         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
 
     // temporal luminance fingerprint replay: frame j of a video with
-    // seed s is solid gray (s·(j+7) + (s² mod 7919)·(j+3) + 53j² +
-    // 31j) mod 256 (exact MJPEG
-    // decode), sample i reads frame (i·F)//65, bit i compares
+    // seed s is solid gray wang32(s·65537 + j·8191) mod 256 (exact
+    // MJPEG decode; hash-grade bits — see the audio oracle note),
+    // sample i reads frame (i·F)//65, bit i compares
     // consecutive samples; re-encodes share seed and F (dims/fps
     // differ — the fingerprint doesn't see them), then the exact
     // all-pairs hamming join
@@ -5249,16 +5264,19 @@ object SparkEntry {
         |  SELECT doc_id + 1000000, doc_id FROM documents
         |  WHERE doc_id % 21 = 0),
         |p AS (
-        |  SELECT ids.doc_id, (src * 17) % 99991 AS seed,
+        |  SELECT ids.doc_id, (src * 17) % 15485863 AS seed,
         |         66 + src % 6 AS f
         |  FROM ids),
-        |s AS (
-        |  SELECT doc_id, i.i,
-        |    (seed * ((i.i * f) // 65 + 7)
-        |     + (seed * seed) % 7919 * ((i.i * f) // 65 + 3)
-        |     + 53 * ((i.i * f) // 65) * ((i.i * f) // 65)
-        |     + 31 * ((i.i * f) // 65)) % 256 AS g
+        |s0 AS (
+        |  SELECT doc_id, i.i AS i,
+        |    (seed * 65537 + ((i.i * f) // 65) * 8191) % 4294967296 AS h
         |  FROM p, range(0, 65) i(i)),
+        |s1 AS (SELECT doc_id, i,
+        |  (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM s0),
+        |s2 AS (SELECT doc_id, i,
+        |  (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM s1),
+        |s AS (SELECT doc_id, i,
+        |  xor(h, h // 65536) % 256 AS g FROM s2),
         |b AS (
         |  SELECT a.doc_id, a.i AS idx,
         |    CASE WHEN a.g < n.g THEN 1 ELSE 0 END AS bit

@@ -621,13 +621,20 @@ object Multimodal {
   /** Deterministic patterned test-audio encoder (the m10 fixture
     * generator, [[encodeTestImagePattern]]'s audio twin): 65 segments
     * of `segFrames` mono 16-bit frames each, segment k holding the
-    * constant value `gain · (((seed·(k+7) + (seed² mod 7919)·(k+3) + 53k² +
-    * 31k) mod 181) − 90)` — the seed multiplies a position-dependent factor so
-    * neighboring seeds decorrelate (a purely additive seed shifts
-    * every segment equally, making the whole fingerprint family a
-    * smooth 1-D curve where thousands of unrelated docs sit within
-    * hamming 3 of each other), and quadratic mixing in k makes the
-    * derived fingerprint bits are ~Bernoulli(½). Total frames =
+    * constant value `gain · (wang32(seed·65537 + k·8191) mod 181 − 90)`,
+    * where `wang32` is the public low-bias 32-bit integer hash
+    * (x ^= x>>16; x *= 0x45d9f3b; twice; x ^= x>>16) spelled with
+    * explicit mod-2³² wraps so a BIGINT SQL oracle replays it exactly
+    * (DuckDB BIGINT multiply errors on overflow instead of wrapping,
+    * so every step stays under 2³²·0x45d9f3b ≈ 3.1e17). Hash-grade
+    * mixing is load-bearing for fixture honesty at scale: earlier
+    * closed forms (linear/quadratic in seed, mod 181) collapsed to
+    * ≤181² fingerprint classes and correlated bits — at 550k docs the
+    * "true" hamming≤3 pair set was 53M rows (measured), all fixture
+    * artifact. With iid-quality bits the expected accidental pair
+    * rate is C(n,2)·43745/2⁶⁴ ≈ 0 and the answer grows linearly with
+    * the corpus, which is what a scale benchmark must measure.
+    * Total frames =
     * 65·segFrames (a multiple of 65), so the fingerprint's integer
     * segment boundaries land exactly on the pattern's — per-segment
     * energy is then the pure arithmetic `segFrames · gain² · a_k²` a
@@ -656,11 +663,13 @@ object Multimodal {
     // pattern is a function of seed mod 181 — a 100k seed space
     // silently collapses to 181 fingerprint classes and unrelated
     // docs collide quadratically with corpus size.
-    val q = (seed.toLong * seed % 7919).toInt
     var k = 0
     while (k < 65) {
-      val v = (gain * (((seed * (k + 7) + q * (k + 3)
-        + 53 * k * k + 31 * k) % 181) - 90)).toShort
+      var h = (seed.toLong * 65537L + k.toLong * 8191L) & 0xffffffffL
+      h = ((h ^ (h >>> 16)) * 73244475L) & 0xffffffffL
+      h = ((h ^ (h >>> 16)) * 73244475L) & 0xffffffffL
+      h = h ^ (h >>> 16)
+      val v = (gain * ((h % 181L).toInt - 90)).toShort
       var i = k * segFrames
       while (i < (k + 1) * segFrames) {
         if (bigEndian) {
@@ -1243,14 +1252,14 @@ object Multimodal {
   }
 
   /** Deterministic patterned test-video encoder (the m12 fixture
-    * generator): [[encodeTestVideoAvi]] with a seed-decorrelated
-    * QUADRATIC gray progression — frame j is solid gray
-    * `(seed·(j+7) + (seed² mod 7919)·(j+3) + 53j² + 31j) mod 256` — so the frame-mean
-    * sequence orders ~randomly AND distinct seeds give independent
-    * bit patterns (the linear `+7` ramp of the m9 fixture would make
-    * almost every temporal delta positive, and an additive-only seed
-    * would shift all frames equally, gluing fingerprints into one
-    * smooth family). Solid
+    * generator): [[encodeTestVideoAvi]] with a hash-grade gray
+    * progression — frame j is solid gray
+    * `wang32(seed·65537 + j·8191) mod 256` (the same explicit-mod
+    * 32-bit hash as [[encodeTestAudioPattern]], for the same reason:
+    * the earlier closed form collapsed to ≤256² fingerprint classes,
+    * so a corpus past ~65k videos would pair quadratically on fixture
+    * artifact rather than true duplication; hash bits keep the
+    * accidental hamming≤3 rate ≈ 0 and the answer linear). Solid
     * frames keep the MJPEG decode exact (DC-only blocks, the m9
     * argument), so each frame's mean IS the pattern value and the
     * fingerprint bits are pure arithmetic a SQL oracle replays.
@@ -1258,9 +1267,12 @@ object Multimodal {
   val encodeTestVideoAviPattern = udf { (w: Int, h: Int, nFrames: Int,
                                          seed: Int, fps: Int) =>
     require(seed >= 0, "seed must be non-negative")
-    val q = (seed.toLong * seed % 7919).toInt // nonlinear seed term
     val frames = (0 until nFrames).map { j =>
-      val g = (seed * (j + 7) + q * (j + 3) + 53 * j * j + 31 * j) % 256
+      var hsh = (seed.toLong * 65537L + j.toLong * 8191L) & 0xffffffffL
+      hsh = ((hsh ^ (hsh >>> 16)) * 73244475L) & 0xffffffffL
+      hsh = ((hsh ^ (hsh >>> 16)) * 73244475L) & 0xffffffffL
+      hsh = hsh ^ (hsh >>> 16)
+      val g = (hsh % 256L).toInt
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val rgb = (g << 16) | (g << 8) | g
