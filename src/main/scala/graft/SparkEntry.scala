@@ -1083,6 +1083,42 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Product-quantization ANN with nCandidates ≥ corpus size at the
+    // gate sf: the exact-cosine re-rank then sees every row, so the
+    // output EQUALS exact brute-force top-k for ANY codebook — the
+    // gate proves the fit → encode → ADC-score → re-rank pipeline
+    // loses/duplicates nothing, while partial-candidate recall is
+    // covered in PipelineSpec. At bench sf (2000 vectors) the same
+    // row genuinely prunes: 1000 candidates = half the corpus
+    // re-ranked from 32×-compressed codes.
+    "s8_ann_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      operators.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
+          "embedding", "vec_id", 5, dim = 64, m = 8, nCodes = 16,
+          nCandidates = 1000, maxIter = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The PERSISTED PQ index round trip (the s8 twin, the s7
+    // discipline): codebooks + compressed codes persist, queries run
+    // from the read-back artifact, full-candidate output hash-matches
+    // the exact oracle — persistence changes nothing.
+    "s9_ann_pq_indexed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-s9").toString + "/idx"
+      operators.DedupIndex.writePq(emb, "embedding", "vec_id", tmp,
+        dim = 64, m = 8, nCodes = 16, maxIter = 3)
+      val (codes, cb) = operators.DedupIndex.readPq(s, tmp, dim = 64,
+        m = 8, nCodes = 16)
+      operators.Similarity.pqTopKFromIndex(codes, cb,
+          emb.filter(col("vec_id") < 3), "embedding", "vec_id", 5,
+          dim = 64, nCandidates = 1000)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Scalar battery #2: array/list + regex + string-position functions
     "q27_array_battery" -> ((s, d) => {
       import s.implicits._
@@ -1718,6 +1754,42 @@ object SparkEntry {
           threshold = 0.5)
         .withColumn("max_jaccard", round(col("max_jaccard"), 6))
         .orderBy(col("doc_id"))
+    }),
+
+    // KMV bottom-k sketch, per-group distinct counts: k = 4096
+    // exceeds every group's true distinct count at the gate sf, so
+    // the sketch holds the complete distinct hash set and the
+    // estimate is EXACT — the gate pins the whole bounded-buffer
+    // aggregation path (map-side partials, sorted-merge, dedup)
+    // against COUNT(DISTINCT); sub-k accuracy is spec-covered
+    "d35_kmv_distinct" -> ((s, d) =>
+      operators.Sketches.distinctByGroup(t(s, d, "documents"),
+          Seq("lang"), "text", k = 4096)
+        .select(col("lang"),
+          col("n_distinct_est").cast("long").as("n_distinct"))
+        .orderBy(col("lang"))),
+
+    // KMV cross-corpus overlap WITHOUT a join: corpus B keeps even
+    // doc_ids' texts and perturbs odd ones, so |A∩B| is exactly the
+    // even-id distinct texts. k = 8192 ≥ |A∪B| at gate sf → the
+    // merged sketch is the complete union hash set and every
+    // estimate (sizes, intersection, Jaccard) is exact — replayed by
+    // a DuckDB INTERSECT/UNION oracle. At 100 TB this one-pass-each
+    // sketch shape replaces the full two-sided exchange a JOIN
+    // would cost for the same question.
+    "d36_kmv_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.select(col("text"))
+      val b = docs.select(
+        when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" zz-b-suffix")))
+          .as("text"))
+      operators.Sketches.corpusOverlap(a, b, "text", k = 8192)
+        .select(col("n_a_est").cast("long").as("n_a"),
+          col("n_b_est").cast("long").as("n_b"),
+          col("n_union_est").cast("long").as("n_union"),
+          col("n_intersect_est").cast("long").as("n_intersect"),
+          col("jaccard"))
     }),
 
     // Partial-overlap clusters (MOSS composition): the corpus plus
@@ -2446,7 +2518,28 @@ object SparkEntry {
     "d32_winnow_overlap_indexed" -> oracleSqlBase("d27_winnow_overlap"),
     "d34_decontaminate_indexed" -> oracleSqlBase("d10_decontaminate"),
     "d33_minhash_overlap_indexed" -> oracleSqlBase("d23_minhash_overlap"),
-    "s7_ann_ivf_indexed" -> oracleSqlBase("s3_ann_ivf"))
+    "s7_ann_ivf_indexed" -> oracleSqlBase("s3_ann_ivf"),
+    "s8_ann_pq" -> oracleSqlBase("s1_sim_topk"),
+    "s9_ann_pq_indexed" -> oracleSqlBase("s1_sim_topk"),
+
+    "d35_kmv_distinct" ->
+      """SELECT lang, COUNT(DISTINCT text) AS n_distinct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "d36_kmv_overlap" ->
+      """WITH a AS (SELECT DISTINCT text FROM documents),
+        |b AS (SELECT DISTINCT CASE WHEN doc_id % 2 = 0 THEN text
+        |        ELSE text || ' zz-b-suffix' END AS text
+        |      FROM documents),
+        |i AS (SELECT count(*) AS n FROM
+        |        (SELECT text FROM a INTERSECT SELECT text FROM b)),
+        |u AS (SELECT count(*) AS n FROM
+        |        (SELECT text FROM a UNION SELECT text FROM b))
+        |SELECT (SELECT count(*) FROM a) AS n_a,
+        |  (SELECT count(*) FROM b) AS n_b,
+        |  u.n AS n_union, i.n AS n_intersect,
+        |  round(i.n::DOUBLE / u.n, 6) AS jaccard
+        |FROM i, u""".stripMargin)
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->

@@ -1597,3 +1597,166 @@ case class BpeEncode(child: Expression, merges: Seq[String])
   override protected def withNewChildInternal(c: Expression)
       : BpeEncode = copy(child = c)
 }
+
+/** PQ code assignment (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search"): split the (optionally L2-normalized)
+  * vector into cb.length subvectors and emit each one's
+  * nearest-codeword id — the m-byte compressed representation the
+  * ADC scan reads instead of the float vector. Tight primitive loops
+  * over ArrayData; the relational spelling (per-subspace
+  * zip_with/aggregate argmins) evaluates interpreted lambdas with
+  * boxing on every row, which IS the hot path of a corpus encode.
+  * Distance ties break to the lowest code id. The codebook is a
+  * constructor parameter (driver-built, ~KiB, serialized once per
+  * task), not a child expression.
+  */
+case class PqAssign(child: Expression, cb: Array[Array[Array[Double]]],
+                    normalize: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    Util.checkNumericArrays("pq_assign", Seq(child))
+
+  @transient private lazy val getElem = Util.numericGetter(child, "pq_assign")
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val m = cb.length
+    val sd = cb(0)(0).length
+    val n = a.numElements()
+    var inv = 1.0
+    if (normalize) {
+      var ss = 0.0
+      var i = 0
+      while (i < n) { val x = getElem(a, i); ss += x * x; i += 1 }
+      inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+    }
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val base = s * sd
+      val book = cb(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < sd) {
+          val x = (if (base + i < n) getElem(a, base + i) * inv else 0.0) -
+            cent(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqAssign =
+    copy(child = c)
+}
+
+/** Per-query ADC distance table: for each subspace, the squared L2
+  * distance from the (normalized) query subvector to every codeword —
+  * array<array<double>>, m × nCodes. Built once per query row; the
+  * corpus-side scan then pays only m lookups per row ([[PqAdc]]).
+  */
+case class PqDistTable(child: Expression,
+                       cb: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    Util.checkNumericArrays("pq_dist_table", Seq(child))
+
+  @transient private lazy val getElem =
+    Util.numericGetter(child, "pq_dist_table")
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val m = cb.length
+    val sd = cb(0)(0).length
+    val n = a.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = getElem(a, i); ss += x * x; i += 1 }
+    val inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+    val tabs = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val base = s * sd
+      val book = cb(s)
+      val row = new Array[Double](book.length)
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var j = 0
+        while (j < sd) {
+          val x = (if (base + j < n) getElem(a, base + j) * inv else 0.0) -
+            cent(j)
+          d += x * x
+          j += 1
+        }
+        row(c) = d
+        c += 1
+      }
+      tabs(s) = new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(tabs)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqDistTable =
+    copy(child = c)
+}
+
+/** The ADC score itself: sum over subspaces of dtab[s][codes[s]] —
+  * the approximate (squared-L2-of-normalized ≈ cosine-rank) distance
+  * between a query and a PQ-compressed corpus row. m primitive
+  * lookups per row; this expression × corpus size is the whole scan
+  * cost of a PQ candidate pass, which is why it's native.
+  */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _),
+            ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc requires (array<int>, array<array<double>>), got ($l, $r)")
+    }
+  }
+
+  override def nullSafeEval(codesIn: Any, dtabIn: Any): Any = {
+    val codes = codesIn.asInstanceOf[ArrayData]
+    val dtab = dtabIn.asInstanceOf[ArrayData]
+    val m = math.min(codes.numElements(), dtab.numElements())
+    var sum = 0.0
+    var s = 0
+    while (s < m) {
+      sum += dtab.getArray(s).getDouble(codes.getInt(s))
+      s += 1
+    }
+    sum
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdc = copy(left = l, right = r)
+}

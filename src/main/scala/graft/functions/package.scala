@@ -124,6 +124,25 @@ package object functions {
   def l2_normalize(a: Column): Column =
     c(expressions.L2Normalize(GraftShim.expression(a)))
 
+  /** PQ nearest-codeword ids for a vector (Jégou et al. 2011) —
+    * the m-int compressed form of an embedding. The codebook is a
+    * driver-built constant baked into the expression.
+    */
+  def pq_assign(vec: Column, cb: Array[Array[Array[Double]]],
+                normalize: Boolean = true): Column =
+    c(expressions.PqAssign(GraftShim.expression(vec), cb, normalize))
+
+  /** Per-query ADC distance table (m × nCodes squared L2). */
+  def pq_dist_table(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+    c(expressions.PqDistTable(GraftShim.expression(vec), cb))
+
+  /** ADC score: Σ_s dtab[s][codes[s]] — the PQ candidate-scan
+    * distance (m primitive lookups per corpus row).
+    */
+  def pq_adc(codes: Column, dtab: Column): Column =
+    c(expressions.PqAdc(GraftShim.expression(codes),
+      GraftShim.expression(dtab)))
+
   /** Polynomial rolling hash (Rabin-Karp, base 1000003) of a string —
     * content fingerprinting primitive.
     */

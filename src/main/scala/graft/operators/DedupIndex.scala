@@ -217,4 +217,40 @@ object DedupIndex {
     (spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/assignments"))
   }
+
+  /** Build and persist the product-quantization ANN index: the m
+    * per-subspace codebooks plus the m-byte-per-vector corpus codes
+    * ([[Similarity.fitPqCodebooks]] / [[Similarity.pqEncode]]). The
+    * codes table is the 100 TB payoff — the candidate-scoring scan
+    * reads the ~32×-compressed codes instead of the float vectors —
+    * and persisting freezes both the KMeans fit and the encode, so
+    * query results stop depending on fit sensitivity. (dim, m,
+    * n_codes) pin the build; k/nCandidates stay query-time choices.
+    */
+  def writePq(corpus: DataFrame, embCol: String, idCol: String,
+              path: String, dim: Int, m: Int = 8, nCodes: Int = 16,
+              seed: Long = 42L, maxIter: Int = 20,
+              fitSampleFraction: Double = 1.0): Unit = {
+    val codebooks = Similarity.fitPqCodebooks(corpus, embCol, dim, m,
+      nCodes, seed, maxIter, fitSampleFraction)
+    val cb = Similarity.collectCodebooks(codebooks, m, nCodes)
+    codebooks.write.mode("errorifexists").parquet(s"$path/codebooks")
+    Similarity.pqEncode(corpus, embCol, idCol, cb, dim)
+      .write.mode("errorifexists").parquet(s"$path/codes")
+    writeMeta(corpus.sparkSession, path, "pq",
+      Seq("dim" -> dim, "m" -> m, "n_codes" -> nCodes))
+  }
+
+  /** @return (encoded codes frame, driver-side codebooks) for
+    *         [[Similarity.pqTopKFromIndex]]
+    */
+  def readPq(spark: SparkSession, path: String, dim: Int, m: Int = 8,
+             nCodes: Int = 16)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    check(readMeta(spark, path), "pq",
+      Seq("dim" -> dim, "m" -> m, "n_codes" -> nCodes), path)
+    (spark.read.parquet(s"$path/codes"),
+      Similarity.collectCodebooks(
+        spark.read.parquet(s"$path/codebooks"), m, nCodes))
+  }
 }

@@ -308,4 +308,206 @@ object Similarity {
     ivfTopKFromIndex(centroids, indexed, queries, embCol, idCol, k,
       nProbe)
   }
+
+  // ───────────────────────── Product quantization ─────────────────────────
+  //
+  // PQ (Jégou et al. 2011) is the COMPRESSION-first ANN scale path:
+  // split each (L2-normalized) vector into `m` subvectors, k-means
+  // each subspace into `nCodes` codewords, store each corpus vector
+  // as `m` small ints. A 64-dim float32 embedding (256 B) becomes
+  // m=8 bytes — 32× smaller — so the candidate-scoring scan reads 3%
+  // of the bytes, which at 100 TB of embeddings is the difference
+  // between an IO-bound crawl and a CPU-bound scan. Queries score
+  // candidates by ADC: precompute, PER QUERY, an m × nCodes table of
+  // subspace distances, then each corpus row costs m table lookups.
+  // The top-`nCandidates` by approximate distance are re-ranked with
+  // exact cosine on the original vectors, so precision of the final
+  // top-k is exact; PQ only affects recall (which candidates get
+  // re-ranked). L2-on-normalized-vectors ranks identically to cosine,
+  // which is what makes the ADC table a valid cosine surrogate.
+
+  /** L2-normalize for the PQ path: the native [[graft.functions
+    * .l2_normalize]] expression, with its zero-vector null mapped
+    * back to zeros — a zero vector then lands in an arbitrary PQ
+    * cell exactly as it would an arbitrary LSH bucket instead of
+    * null-poisoning the code/score pipeline ([[embeddingStats]] is
+    * the upstream quarantine for such rows).
+    */
+  def l2Normalize(embCol: Column): Column =
+    coalesce(graft.functions.l2_normalize(embCol),
+      transform(embCol, _ => lit(0.0)))
+
+  /** Fit the `m` per-subspace codebooks: driver-synchronized Lloyd's
+    * over the exploded (__sub, subvector) frame, ALL subspaces
+    * jointly — one distributed pass per iteration (assign via
+    * literal-codebook argmin, per-(sub, cell) coordinate sums via a
+    * map-side-combined groupBy of m·nCodes groups, new centroids
+    * rebuilt from the tiny collected sums), instead of m sequential
+    * MLlib fits each paying its own init + per-iteration jobs.
+    * maxIter + 1 passes total, each sampleable via
+    * `fitSampleFraction` exactly like [[fitIvfIndex]] — codeword
+    * QUALITY needs only a representative sample, and every corpus
+    * vector still gets encoded in the one full [[pqEncode]] pass.
+    *
+    * Init: per subspace, the `nCodes` distinct subvectors with the
+    * smallest content hash — hash order is a deterministic stand-in
+    * for a random draw, giving spread starting points without an
+    * extra shuffle-heavy k-means|| phase (codebook quality feeds
+    * only recall; the exact re-rank keeps precision regardless).
+    * Empty cells keep their previous centroid.
+    *
+    * @return codebook frame (__sub, __code, __centroid) —
+    *         m · nCodes rows, the persistable artifact
+    *         ([[DedupIndex.writePq]]).
+    */
+  def fitPqCodebooks(corpus: DataFrame, embCol: String, dim: Int,
+                     m: Int = 8, nCodes: Int = 16, seed: Long = 42L,
+                     maxIter: Int = 20,
+                     fitSampleFraction: Double = 1.0): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    require(fitSampleFraction > 0.0 && fitSampleFraction <= 1.0,
+      "fitSampleFraction must be in (0, 1]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sd = dim / m
+    val base = corpus.select(l2Normalize(col(embCol)).as("__ne"))
+    // cached because Lloyd's re-scans it init + maxIter times
+    val normed = (if (fitSampleFraction >= 1.0) base
+      else base.sample(withReplacement = false, fitSampleFraction,
+        seed)).cache()
+    try {
+      val subsArr = array((0 until m).map(s =>
+        slice(col("__ne"), s * sd + 1, sd)): _*)
+      // init: nCodes hash-smallest DISTINCT subvectors per subspace
+      val hw = Window.partitionBy(col("__sub"))
+        .orderBy(xxhash64(col("__sv").cast("string"), lit(seed)))
+      val init = normed
+        .select(posexplode(subsArr).as(Seq("__sub", "__sv")))
+        .dropDuplicates("__sub", "__sv")
+        .withColumn("__r", row_number().over(hw))
+        .filter(col("__r") <= nCodes)
+        .select(col("__sub"), (col("__r") - 1).as("__code"),
+          col("__sv"))
+        .collect()
+      (0 until m).foreach { s =>
+        require(init.count(_.getInt(0) == s) == nCodes,
+          s"subspace $s has fewer than nCodes=$nCodes distinct " +
+            "subvectors — lower nCodes (a codebook larger than the " +
+            "value space cannot fill)") }
+      val cb = Array.ofDim[Array[Double]](m, nCodes)
+      init.foreach { r =>
+        cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray }
+      val sumCols = (0 until sd).map(i =>
+        sum(element_at(col("__sv"), i + 1)).as(s"__s$i")) :+
+        count(lit(1)).as("__n")
+      var iter = 0
+      while (iter < maxIter) {
+        // one pass: the native pq_assign emits ALL m cell ids per
+        // row in one tight loop; zip with the subvectors, explode,
+        // sum per (sub, cell) — m·nCodes groups, map-side combined,
+        // ~KiB on the wire
+        val assigned = normed.select(posexplode(arrays_zip(
+            subsArr.as("sv"),
+            graft.functions.pq_assign(col("__ne"), cb,
+              normalize = false).as("cd"))).as(Seq("__sub", "__z")))
+          .select(col("__sub"), col("__z.sv").as("__sv"),
+            col("__z.cd").as("__cell"))
+        val sums = assigned.groupBy(col("__sub"), col("__cell"))
+          .agg(sumCols.head, sumCols.tail: _*).collect()
+        sums.foreach { r =>
+          val n = r.getLong(sd + 2)
+          if (n > 0) cb(r.getInt(0))(r.getInt(1)) =
+            Array.tabulate(sd)(i => r.getDouble(i + 2) / n)
+        }
+        iter += 1
+      }
+      (for (s <- 0 until m; c <- 0 until nCodes)
+        yield (s, c, cb(s)(c).toSeq)).toDF("__sub", "__code",
+        "__centroid")
+    } finally normed.unpersist()
+  }
+
+  /** Collect a codebook frame into the driver-side
+    * [m][nCodes][subdim] array the literal-expression encode/ADC
+    * builders need — m·nCodes·subdim doubles (e.g. 8·16·8 = 1 KiB at
+    * the defaults), the canonical "ship the bounded artifact" shape.
+    */
+  def collectCodebooks(codebooks: DataFrame, m: Int,
+                       nCodes: Int): Array[Array[Array[Double]]] = {
+    val cb = Array.ofDim[Array[Double]](m, nCodes)
+    codebooks.select(col("__sub"), col("__code"), col("__centroid"))
+      .collect().foreach { r =>
+        cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray }
+    (0 until m).foreach { s => (0 until nCodes).foreach { c =>
+      require(cb(s)(c) != null,
+        s"codebook frame is missing (__sub=$s, __code=$c) — not a " +
+          "complete PQ codebook") } }
+    cb
+  }
+
+  /** Encode every corpus vector as its `m` nearest-codeword ids —
+    * a pure scan projection (zero shuffle; the codebooks ride along
+    * as literals), emitting (neighbor_id, __ce original embedding,
+    * __codes array<int>). Ties in codeword distance break to the
+    * lowest code id (struct min ordering) for determinism.
+    */
+  def pqEncode(corpus: DataFrame, embCol: String, idCol: String,
+               cb: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+    require(cb.nonEmpty && cb(0)(0).length == dim / cb.length,
+      s"codebook subdim ${cb(0)(0).length} does not match " +
+        s"dim=$dim / m=${cb.length}")
+    // one native expression per row: normalize + all m argmins in
+    // tight primitive loops ([[graft.expressions.PqAssign]])
+    corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
+      graft.functions.pq_assign(col(embCol), cb).as("__codes"))
+  }
+
+  /** ADC query against an encoded corpus: per query, an m × nCodes
+    * literal-codebook distance table; per corpus row, `m` array
+    * lookups summed — then exact-cosine re-rank of the
+    * top-`nCandidates`. With nCandidates ≥ corpus size the candidate
+    * set is everything and the output EQUALS exact brute-force top-k
+    * (the driver-gate regime); at partial nCandidates recall follows
+    * PQ's quantization error while precision stays exact.
+    */
+  def pqTopKFromIndex(encoded: DataFrame,
+                      cb: Array[Array[Array[Double]]],
+                      queries: DataFrame, embCol: String,
+                      idCol: String, k: Int, dim: Int,
+                      nCandidates: Int = 100): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        col(embCol).as("__qe"),
+        graft.functions.pq_dist_table(col(embCol), cb).as("__dtab"))
+    val scored = encoded.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__approx",
+        graft.functions.pq_adc(col("__codes"), col("__dtab")))
+    val candW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx"), col("neighbor_id"))
+    val cands = scored
+      .withColumn("__cr", row_number().over(candW))
+      .filter(col("__cr") <= nCandidates)
+      .withColumn("cos",
+        round(graft.functions.cosine_similarity(col("__qe"),
+          col("__ce")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos"))
+  }
+
+  /** One-call PQ ANN: fit + encode + ADC query. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
+             idCol: String, k: Int, dim: Int, m: Int = 8,
+             nCodes: Int = 16, nCandidates: Int = 100,
+             seed: Long = 42L, maxIter: Int = 20,
+             fitSampleFraction: Double = 1.0): DataFrame = {
+    val cb = collectCodebooks(
+      fitPqCodebooks(corpus, embCol, dim, m, nCodes, seed, maxIter,
+        fitSampleFraction), m, nCodes)
+    pqTopKFromIndex(pqEncode(corpus, embCol, idCol, cb, dim), cb,
+      queries, embCol, idCol, k, dim, nCandidates)
+  }
 }

@@ -667,6 +667,68 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("pqTopK: full-candidate output equals exact brute force") {
+    val emb = Graft.table(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding",
+      "vec_id", 10).collect().toSet
+    val viaPq = Similarity.pqTopK(emb, queries, "embedding", "vec_id",
+      10, dim = 64, m = 8, nCodes = 16, nCandidates = 100000,
+      maxIter = 3).collect().toSet
+    assert(viaPq == exact)
+  }
+
+  test("pqTopK: partial-candidate recall >= 0.5 vs brute force") {
+    val emb = Graft.table(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding",
+      "vec_id", 10).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // 50 candidates over a 500-vector corpus = 10% re-ranked
+    val approx = Similarity.pqTopK(emb, queries, "embedding",
+      "vec_id", 10, dim = 64, m = 8, nCodes = 16, nCandidates = 50)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall $recall too low")
+  }
+
+  test("pqEncode: zero vectors get valid codes (no null poisoning)") {
+    val df = Seq((1L, Seq.fill(8)(0.0f)), (2L, Seq.tabulate(8)(_ + 1f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.collectCodebooks(
+      Similarity.fitPqCodebooks(df, "embedding", dim = 8, m = 2,
+        nCodes = 2, maxIter = 2), 2, 2)
+    val rows = Similarity.pqEncode(df, "embedding", "vec_id", cb, 8)
+      .orderBy("neighbor_id").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](2)
+      assert(codes.length == 2 && codes.forall(c => c == 0 || c == 1))
+    }
+  }
+
+  test("readPq refuses a parameter-mismatched index") {
+    val emb = Graft.table(spark, sf, "embeddings").limit(50)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-idx").toString + "/idx"
+    operators.DedupIndex.writePq(emb, "embedding", "vec_id", dir,
+      dim = 64, m = 8, nCodes = 4, maxIter = 2)
+    // right params: round trips
+    val (codes, cb) = operators.DedupIndex.readPq(spark, dir,
+      dim = 64, m = 8, nCodes = 4)
+    assert(codes.count() == 50 && cb.length == 8 && cb(0).length == 4)
+    // wrong m and wrong nCodes: refused with the rebuild message
+    val e1 = intercept[IllegalArgumentException] {
+      operators.DedupIndex.readPq(spark, dir, dim = 64, m = 4,
+        nCodes = 4) }
+    assert(e1.getMessage.contains("rebuild"))
+    val e2 = intercept[IllegalArgumentException] {
+      operators.DedupIndex.readPq(spark, dir, dim = 64, m = 8,
+        nCodes = 16) }
+    assert(e2.getMessage.contains("rebuild"))
+  }
+
   test("text analysis: tokens, ratios, quality bounds") {
     val df = Seq("The quick brown fox, it jumps; really!?").toDF("t")
       .select(TextAnalysis.tokenCount($"t").as("n"),

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sketches
+
+class SketchesSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("kmv: unsaturated sketch is exact, duplicates collapse") {
+    val df = (1 to 100).flatMap(i => Seq.fill(3)(s"v$i")).toDF("x")
+    val est = df.agg(
+      Sketches.kmvDistinct(Sketches.kmvSketch($"x", 128), 128)).head()
+      .getDouble(0)
+    assert(est == 100.0)
+  }
+
+  test("kmv: saturated estimator within 25% at k=256, n=5000") {
+    val df = (1 to 5000).map(i => s"value-$i").toDF("x")
+    val est = df.agg(
+      Sketches.kmvDistinct(Sketches.kmvSketch($"x", 256), 256)).head()
+      .getDouble(0)
+    // KMV relative std-error ≈ 1/sqrt(k-2) ≈ 6.3%; 25% is ~4σ
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.25,
+      s"KMV estimate $est too far from 5000")
+  }
+
+  test("kmv: sketches compose — merge(sk(A), sk(B)) == sk(A ∪ B)") {
+    val k = 64
+    val a = (1 to 500).map(i => s"a$i").toDF("x")
+    val b = (300 to 800).map(i => s"a$i").toDF("x")
+    val sa = a.agg(Sketches.kmvSketch($"x", k)).head().getSeq[Long](0)
+    val sb = b.agg(Sketches.kmvSketch($"x", k)).head().getSeq[Long](0)
+    val sUnion = a.union(b).agg(Sketches.kmvSketch($"x", k)).head()
+      .getSeq[Long](0)
+    val merged = spark.sql("SELECT 1")
+      .select(Sketches.kmvMerge(typedLit(sa), typedLit(sb), k))
+      .head().getSeq[Long](0)
+    assert(merged == sUnion)
+  }
+
+  test("kmv: deterministic across partition layouts") {
+    val rows = (1 to 2000).map(i => s"doc-$i")
+    val s1 = rows.toDF("x").repartition(1)
+      .agg(Sketches.kmvSketch($"x", 128)).head().getSeq[Long](0)
+    val s7 = rows.reverse.toDF("x").repartition(7)
+      .agg(Sketches.kmvSketch($"x", 128)).head().getSeq[Long](0)
+    assert(s1 == s7)
+  }
+
+  test("kmv: null rows are skipped, like COUNT(DISTINCT)") {
+    val df = Seq(Some("a"), Some("b"), None, Some("a"), None)
+      .toDF("x")
+    val est = df.agg(
+      Sketches.kmvDistinct(Sketches.kmvSketch($"x", 16), 16)).head()
+      .getDouble(0)
+    assert(est == 2.0)
+  }
+
+  test("corpusOverlap: exact regime matches set arithmetic") {
+    val a = (1 to 400).map(i => s"t$i").toDF("text")
+    val b = (201 to 700).map(i => s"t$i").toDF("text")
+    val r = Sketches.corpusOverlap(a, b, "text", k = 1024).head()
+    assert(r.getDouble(0) == 400.0) // |A|
+    assert(r.getDouble(1) == 500.0) // |B|
+    assert(r.getDouble(2) == 700.0) // |A ∪ B|
+    assert(r.getDouble(3) == 200.0) // |A ∩ B|
+    assert(math.abs(r.getDouble(4) - 200.0 / 700.0) < 1e-6)
+  }
+
+  test("corpusOverlap: saturated estimates stay near truth") {
+    val a = (1 to 4000).map(i => s"t$i").toDF("text")
+    val b = (2001 to 6000).map(i => s"t$i").toDF("text")
+    val r = Sketches.corpusOverlap(a, b, "text", k = 512).head()
+    // truth: |A|=|B|=4000, |A∪B|=6000, |A∩B|=2000, J=1/3
+    assert(math.abs(r.getDouble(2) - 6000.0) / 6000.0 < 0.3,
+      s"union est ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 2000.0) / 2000.0 < 0.4,
+      s"intersect est ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 1.0 / 3.0) < 0.15,
+      s"jaccard est ${r.getDouble(4)}")
+  }
+
+  test("kmv: map-side partial aggregation — plan has a partial stage") {
+    // the whole point of the bounded-buffer aggregator at 100 TB:
+    // each task reduces its partition to ≤ k longs BEFORE the
+    // exchange. ObjectHashAggregate with partial_bottomk on the scan
+    // side of the shuffle is the plan-shape witness.
+    val df = (1 to 100).map(i => s"v$i").toDF("x").repartition(4)
+    val plan = df.agg(Sketches.kmvSketch($"x", 32))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_bottomk") ||
+      plan.toLowerCase.contains("partial"), plan)
+  }
+}
