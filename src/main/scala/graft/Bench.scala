@@ -340,7 +340,7 @@ object Bench {
       "d13_dup_components_star", "exact_window_explode",
       "d32_winnow_overlap_indexed", "d33_minhash_overlap_indexed",
       "d34_decontaminate_indexed", "s7_ann_ivf_indexed",
-      "s9_ann_pq_indexed")
+      "s9_ann_pq_indexed", "d37_kmv_overlap_indexed")
     // failed queries bill their tier at the same 10×-slowest penalty
     // as the headline total — a newly-failing query must never read
     // as a subtotal speedup in round-over-round comparisons

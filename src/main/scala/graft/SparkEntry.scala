@@ -1792,6 +1792,33 @@ object SparkEntry {
           col("jaccard"))
     }),
 
+    // The PERSISTED KMV sketch round trip (the d36 twin, the d32–34
+    // discipline): each corpus's sketch persists at ingest; the
+    // overlap report runs from the two read-back ≤ k arrays with
+    // neither corpus rescanned, and hash-matches the inline build's
+    // oracle exactly.
+    "d37_kmv_overlap_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.select(col("text"))
+      val b = docs.select(
+        when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" zz-b-suffix")))
+          .as("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-d37").toString
+      operators.DedupIndex.writeKmv(a, "text", s"$tmp/a", k = 8192)
+      operators.DedupIndex.writeKmv(b, "text", s"$tmp/b", k = 8192)
+      operators.Sketches.corpusOverlapFromSketches(
+          operators.DedupIndex.readKmv(s, s"$tmp/a", k = 8192),
+          operators.DedupIndex.readKmv(s, s"$tmp/b", k = 8192),
+          k = 8192)
+        .select(col("n_a_est").cast("long").as("n_a"),
+          col("n_b_est").cast("long").as("n_b"),
+          col("n_union_est").cast("long").as("n_union"),
+          col("n_intersect_est").cast("long").as("n_intersect"),
+          col("jaccard"))
+    }),
+
     // Partial-overlap clusters (MOSS composition): the corpus plus
     // half-prefix copies of every 5th doc — each copy shares a long
     // run (dozens of fingerprints) with its original, so they
@@ -2521,25 +2548,7 @@ object SparkEntry {
     "s7_ann_ivf_indexed" -> oracleSqlBase("s3_ann_ivf"),
     "s8_ann_pq" -> oracleSqlBase("s1_sim_topk"),
     "s9_ann_pq_indexed" -> oracleSqlBase("s1_sim_topk"),
-
-    "d35_kmv_distinct" ->
-      """SELECT lang, COUNT(DISTINCT text) AS n_distinct
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "d36_kmv_overlap" ->
-      """WITH a AS (SELECT DISTINCT text FROM documents),
-        |b AS (SELECT DISTINCT CASE WHEN doc_id % 2 = 0 THEN text
-        |        ELSE text || ' zz-b-suffix' END AS text
-        |      FROM documents),
-        |i AS (SELECT count(*) AS n FROM
-        |        (SELECT text FROM a INTERSECT SELECT text FROM b)),
-        |u AS (SELECT count(*) AS n FROM
-        |        (SELECT text FROM a UNION SELECT text FROM b))
-        |SELECT (SELECT count(*) FROM a) AS n_a,
-        |  (SELECT count(*) FROM b) AS n_b,
-        |  u.n AS n_union, i.n AS n_intersect,
-        |  round(i.n::DOUBLE / u.n, 6) AS jaccard
-        |FROM i, u""".stripMargin)
+    "d37_kmv_overlap_indexed" -> oracleSqlBase("d36_kmv_overlap"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
@@ -3261,6 +3270,25 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "d35_kmv_distinct" ->
+      """SELECT lang, COUNT(DISTINCT text) AS n_distinct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "d36_kmv_overlap" ->
+      """WITH a AS (SELECT DISTINCT text FROM documents),
+        |b AS (SELECT DISTINCT CASE WHEN doc_id % 2 = 0 THEN text
+        |        ELSE text || ' zz-b-suffix' END AS text
+        |      FROM documents),
+        |i AS (SELECT count(*) AS n FROM
+        |        (SELECT text FROM a INTERSECT SELECT text FROM b)),
+        |u AS (SELECT count(*) AS n FROM
+        |        (SELECT text FROM a UNION SELECT text FROM b))
+        |SELECT (SELECT count(*) FROM a) AS n_a,
+        |  (SELECT count(*) FROM b) AS n_b,
+        |  u.n AS n_union, i.n AS n_intersect,
+        |  round(i.n::DOUBLE / u.n, 6) AS jaccard
+        |FROM i, u""".stripMargin,
 
     "s2_ann_lsh" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

@@ -253,4 +253,29 @@ object DedupIndex {
       Similarity.collectCodebooks(
         spark.read.parquet(s"$path/codebooks"), m, nCodes))
   }
+
+  /** Build and persist a corpus's KMV bottom-k distinct sketch
+    * ([[Sketches.kmvSketch]]): ONE bounded-buffer aggregation pass
+    * at ingest, a ≤ k-long array on disk — after which every
+    * distinct-count/overlap/Jaccard question against any OTHER
+    * sketched drop ([[Sketches.corpusOverlapFromSketches]]) is
+    * arithmetic on two tiny arrays, with neither corpus rescanned.
+    * k pins the build: sketches of different k still merge (min-k of
+    * the union), but the estimator's k must be the SMALLEST build k
+    * involved, so mismatched reads are refused like every other
+    * index kind.
+    */
+  def writeKmv(corpus: DataFrame, valueCol: String, path: String,
+               k: Int = 1024): Unit = {
+    import org.apache.spark.sql.functions.col
+    corpus.agg(Sketches.kmvSketch(col(valueCol), k).as("sketch"))
+      .write.mode("errorifexists").parquet(path)
+    writeMeta(corpus.sparkSession, path, "kmv", Seq("k" -> k))
+  }
+
+  def readKmv(spark: SparkSession, path: String,
+              k: Int = 1024): DataFrame = {
+    check(readMeta(spark, path), "kmv", Seq("k" -> k), path)
+    spark.read.parquet(path).select("sketch")
+  }
 }

@@ -163,9 +163,22 @@ object Sketches {
     * overlapping ROWS, use the decontamination operators.
     */
   def corpusOverlap(a: DataFrame, b: DataFrame, valueCol: String,
-                    k: Int = 1024): DataFrame = {
-    val sa = a.agg(kmvSketch(col(valueCol), k).as("__sa"))
-    val sb = b.agg(kmvSketch(col(valueCol), k).as("__sb"))
+                    k: Int = 1024): DataFrame =
+    corpusOverlapFromSketches(
+      a.agg(kmvSketch(col(valueCol), k).as("sketch")),
+      b.agg(kmvSketch(col(valueCol), k).as("sketch")), k)
+
+  /** [[corpusOverlap]] from two already-built 1-row sketch frames
+    * (first column = the sketch array) — e.g. read back from
+    * [[DedupIndex.writeKmv]]: sketch each corpus DROP once at ingest,
+    * and every later overlap question (this month's crawl vs any
+    * eval set, drop N vs drop M) is arithmetic on two ≤ k arrays —
+    * no rescan of either corpus, ever.
+    */
+  def corpusOverlapFromSketches(a: DataFrame, b: DataFrame,
+                                k: Int): DataFrame = {
+    val sa = a.select(col(a.columns.head).as("__sa"))
+    val sb = b.select(col(b.columns.head).as("__sb"))
     sa.crossJoin(sb).select(
       round(kmvDistinct(col("__sa"), k), 6).as("n_a_est"),
       round(kmvDistinct(col("__sb"), k), 6).as("n_b_est"),

@@ -82,6 +82,26 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       s"jaccard est ${r.getDouble(4)}")
   }
 
+  test("persisted kmv sketch: round-trips bit-identical, refuses " +
+      "mismatched k") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-kmv-idx").toString
+    val a = (1 to 300).map(i => s"t$i").toDF("text")
+    operators.DedupIndex.writeKmv(a, "text", s"$dir/a", k = 64)
+    val back = operators.DedupIndex.readKmv(spark, s"$dir/a", k = 64)
+      .head().getSeq[Long](0)
+    val inline = a.agg(operators.Sketches.kmvSketch($"text", 64))
+      .head().getSeq[Long](0)
+    assert(back == inline)
+    val e = intercept[IllegalArgumentException] {
+      operators.DedupIndex.readKmv(spark, s"$dir/a", k = 128) }
+    assert(e.getMessage.contains("rebuild"))
+    // no sidecar (incomplete build) → refused
+    val e2 = intercept[IllegalArgumentException] {
+      operators.DedupIndex.readKmv(spark, s"$dir/missing", k = 64) }
+    assert(e2.getMessage.contains("sidecar"))
+  }
+
   test("kmv: map-side partial aggregation — plan has a partial stage") {
     // the whole point of the bounded-buffer aggregator at 100 TB:
     // each task reduces its partition to ≤ k longs BEFORE the
