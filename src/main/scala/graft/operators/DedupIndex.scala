@@ -278,4 +278,76 @@ object DedupIndex {
     check(readMeta(spark, path), "kmv", Seq("k" -> k), path)
     spark.read.parquet(path).select("sketch")
   }
+
+  // ─────────────────────────── incremental append ───────────────────────────
+  //
+  // A reference set GROWS far more often than it changes shape: a new
+  // eval drop adds benchmarks, last month's heldout split joins this
+  // month's. Rebuilding a shared index from the full reference corpus
+  // on every drop re-pays the whole build; append processes ONLY the
+  // new documents, merges with the live index's rows, and swaps
+  // atomically via [[replaceWith]] — readers never see a torn or
+  // partial state, and a crashed append leaves the old index intact.
+  // Parameters are pinned by the LIVE index's sidecar (checked before
+  // any work), so an append can't silently mix geometries.
+
+  /** Shared append shape: read the live rows, union with the
+    * newly-built rows, distinct, write at a temp sibling, swap.
+    */
+  private def appendUnion(spark: SparkSession, path: String,
+                          kind: String, params: Seq[(String, Int)],
+                          newRows: DataFrame): Unit = {
+    check(readMeta(spark, path), kind, params, path)
+    // materialize the merge BEFORE the swap so the union never reads
+    // `path` after it has been renamed aside: parquet scans are lazy,
+    // and a lazily-read `old` evaluated inside the build closure is
+    // safe (the build writes to the temp sibling while `path` is
+    // still live), but the distinct here also dedups new-vs-old rows
+    val merged = spark.read.parquet(path)
+      .unionByName(newRows).distinct()
+    replaceWith(spark, path) { tmp =>
+      merged.write.mode("errorifexists").parquet(tmp)
+      writeMeta(spark, tmp, kind, params)
+    }
+  }
+
+  /** Append a new reference drop to a live exact-digest index. */
+  def appendExact(newReference: DataFrame, textCol: String,
+                  path: String): Unit =
+    appendUnion(newReference.sparkSession, path, "exact", Seq.empty,
+      Dedup.exactReferenceIndex(newReference, textCol))
+
+  /** Append a new reference drop to a live MinHash shingle index. */
+  def appendMinhash(newReference: DataFrame, textCol: String,
+                    path: String, shingleN: Int = 3): Unit =
+    appendUnion(newReference.sparkSession, path, "minhash",
+      Seq("shingle_n" -> shingleN),
+      Dedup.minhashReferenceIndex(newReference, textCol, shingleN))
+
+  /** Append a new reference drop to a live winnowing index. */
+  def appendWinnow(newReference: DataFrame, textCol: String,
+                   path: String, n: Int = 5, window: Int = 4): Unit =
+    appendUnion(newReference.sparkSession, path, "winnow",
+      Seq("n" -> n, "window" -> window),
+      Dedup.winnowReferenceIndex(newReference, textCol, n, window))
+
+  /** Append a new corpus drop to a live KMV sketch: the merged
+    * sketch IS the sketch of the union (bottom-k composes), so only
+    * the new rows are scanned.
+    */
+  def appendKmv(newCorpus: DataFrame, valueCol: String, path: String,
+                k: Int = 1024): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = newCorpus.sparkSession
+    check(readMeta(spark, path), "kmv", Seq("k" -> k), path)
+    val merged = spark.read.parquet(path).select("sketch")
+      .crossJoin(newCorpus
+        .agg(Sketches.kmvSketch(col(valueCol), k).as("__new")))
+      .select(Sketches.kmvMerge(col("sketch"), col("__new"), k)
+        .as("sketch"))
+    replaceWith(spark, path) { tmp =>
+      merged.write.mode("errorifexists").parquet(tmp)
+      writeMeta(spark, tmp, "kmv", Seq("k" -> k))
+    }
+  }
 }

@@ -1085,6 +1085,60 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getString(0)).toSet == before)
   }
 
+  test("DedupIndex.append*: incremental drop equals the full rebuild; " +
+      "params pinned; a failed append leaves the live index intact") {
+    val docs = Graft.table(spark, sf, "documents").limit(80)
+      .select($"doc_id", $"text")
+    val drop1 = docs.filter($"doc_id" % 2 === 0)
+    val drop2 = docs.filter($"doc_id" % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-app")
+      .toString
+
+    // exact: build on drop1, append drop2 == one build on everything
+    val ep = s"$dir/exact"
+    operators.DedupIndex.writeExact(drop1, "text", ep)
+    operators.DedupIndex.appendExact(drop2, "text", ep)
+    val appended = operators.DedupIndex.readExact(spark, ep)
+      .collect().map(_.getString(0)).toSet
+    val full = operators.Dedup.exactReferenceIndex(docs, "text")
+      .collect().map(_.getString(0)).toSet
+    assert(appended == full)
+    // re-appending the same drop is idempotent (distinct)
+    operators.DedupIndex.appendExact(drop2, "text", ep)
+    assert(operators.DedupIndex.readExact(spark, ep)
+      .collect().map(_.getString(0)).toSet == full)
+
+    // winnow: geometry pinned by the LIVE sidecar — mismatched
+    // append refused before any work, index untouched
+    val wp = s"$dir/winnow"
+    operators.DedupIndex.writeWinnow(drop1, "text", wp, n = 5,
+      window = 4)
+    val beforeW = operators.DedupIndex.readWinnow(spark, wp, 5, 4)
+      .count()
+    val e = intercept[IllegalArgumentException] {
+      operators.DedupIndex.appendWinnow(drop2, "text", wp, n = 7,
+        window = 4) }
+    assert(e.getMessage.contains("rebuild"))
+    assert(operators.DedupIndex.readWinnow(spark, wp, 5, 4)
+      .count() == beforeW)
+    operators.DedupIndex.appendWinnow(drop2, "text", wp, n = 5,
+      window = 4)
+    val wantW = operators.Dedup.winnowReferenceIndex(docs, "text", 5, 4)
+      .collect().map(_.get(0)).toSet
+    assert(operators.DedupIndex.readWinnow(spark, wp, 5, 4)
+      .collect().map(_.get(0)).toSet == wantW)
+
+    // kmv: merged sketch == sketch of the union, only drop2 scanned
+    val kp = s"$dir/kmv"
+    operators.DedupIndex.writeKmv(drop1, "text", kp, k = 64)
+    operators.DedupIndex.appendKmv(drop2, "text", kp, k = 64)
+    val mergedSk = operators.DedupIndex.readKmv(spark, kp, k = 64)
+      .head().getSeq[Long](0)
+    val fullSk = docs.agg(operators.Sketches.kmvSketch($"text", 64))
+      .head().getSeq[Long](0)
+    assert(mergedSk == fullSk)
+  }
+
   test("DedupIndex: persisted indexes round-trip bit-identical and " +
       "refuse mismatched parameters or incomplete builds") {
     val docs = Graft.table(spark, sf, "documents").limit(100)
