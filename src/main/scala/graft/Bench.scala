@@ -72,6 +72,35 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Streaming ingest-quality monitor: per-hour distinct users +
+    // dup rate over the events stream — the bounded-sketch state
+    // shape (constant per window) vs the COUNT(DISTINCT) Spark
+    // rightly refuses on streams
+    def streamingDistinctMonitorOnce(): Double = {
+      System.gc()
+      Thread.sleep(300)
+      val t0 = System.nanoTime()
+      try {
+        val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+        val src = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir)
+        val q = graft.api.DataStream(Graft.normalizeTs(src), "ts")
+          .distinctMonitor("user_id", "1 hour")
+          .sinkMemory("bench_monitor")
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          spark.sql("DROP TABLE IF EXISTS bench_monitor")
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] monitor failed: ${e.getMessage}")
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Pane-vs-explode cost on the custom exact-emission operator at a
     // 12:1 length/slide ratio (1h windows sliding by 5min): the pane
     // form ships each row once and merges 12 pane partials at emission;
@@ -321,6 +350,7 @@ object Bench {
         "streaming_window" -> (() => streamingOnce()),
         "streaming_neardup" -> (() => streamingNearDupOnce()),
         "streaming_embdedup" -> (() => streamingEmbDedupOnce()),
+        "streaming_distinct_monitor" -> (() => streamingDistinctMonitorOnce()),
         "exact_window_explode" -> (() => exactWindowOnce(pane = false)),
         "exact_window_pane" -> (() => exactWindowOnce(pane = true)),
         "blocklist_sparse" -> (() => blocklistSparseOnce()),

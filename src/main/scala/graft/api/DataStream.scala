@@ -526,6 +526,33 @@ final case class DataStream(
     next(flattenWindow(agged))
   }
 
+  /** Streaming corpus-ingest QUALITY monitor: per event-time window,
+    * the row count, the KMV distinct estimate of `valueCol`
+    * ([[graft.operators.Sketches]] — exact while a window holds
+    * < k distinct values, ~1/√(k−2) error beyond), and the implied
+    * duplication rate 1 − distinct/rows. The window's streaming
+    * state is ONE bounded ≤ k-long sketch buffer plus a count —
+    * constant per window regardless of ingest volume — where a true
+    * streaming `COUNT(DISTINCT)` would hold every distinct value in
+    * the state store (Spark rejects it on streams for exactly that
+    * reason). This is the "is today's crawl suddenly 40% duplicates"
+    * alarm, composing with the streaming dedup operators that answer
+    * WHICH rows to drop.
+    */
+  def distinctMonitor(valueCol: String, length: String,
+                      slide: Option[String] = None,
+                      k: Int = 1024): DataStream = {
+    import graft.operators.Sketches
+    val monitored = window(Seq.empty,
+      Seq(count(lit(1)).as("n_rows"),
+        Sketches.kmvSketch(col(valueCol), k).as("__sk")),
+      length, slide)
+    val est = Sketches.kmvDistinct(col("__sk"), k)
+    monitored.select(col("window_start_time"), col("window_end_time"),
+      col("n_rows"), round(est, 6).as("n_distinct_est"),
+      round(lit(1.0) - est / col("n_rows"), 6).as("dup_rate"))
+  }
+
   /** Session window (gap-merged) aggregation — present-but-todo!() in
     * the reference (streaming_window.rs:1062); Spark-native here.
     */

@@ -490,6 +490,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .df.select("id").as[Long].collect().toSet
     assert(bridged == batchKept)
   }
+
+  test("distinctMonitor: per-window distinct count and dup rate, " +
+      "exact in the unsaturated regime, bounded sketch state") {
+    val (input, ds) = measurementStream()
+    val q = ds.distinctMonitor("sensor_name", "10 seconds")
+      .sinkMemory("monitor_out")
+    try {
+      // window [0,10s): 5 rows over 2 distinct sensors → dup_rate 0.6
+      input.addData(
+        Measurement(1000, "a", 1.0), Measurement(2000, "a", 2.0),
+        Measurement(3000, "b", 3.0), Measurement(4000, "a", 4.0),
+        Measurement(9000, "b", 5.0))
+      q.processAllAvailable()
+      // window [10,20s): 3 rows, all distinct → dup_rate 0
+      input.addData(
+        Measurement(11000, "c", 1.0), Measurement(12000, "d", 1.0),
+        Measurement(13000, "e", 1.0))
+      q.processAllAvailable()
+      // advance watermark past both windows so append mode emits them
+      input.addData(Measurement(25000, "z", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("monitor_out")
+        .orderBy("window_start_time")
+        .select("n_rows", "n_distinct_est", "dup_rate")
+        .as[(Long, Double, Double)].collect().toList
+      assert(rows == List((5L, 2.0, 0.6), (3L, 3.0, 0.0)))
+    } finally q.stop()
+  }
 }
 
 /** Embedding row for streaming decontamination specs. */
