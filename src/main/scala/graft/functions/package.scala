@@ -124,6 +124,16 @@ package object functions {
   def l2_normalize(a: Column): Column =
     c(expressions.L2Normalize(GraftShim.expression(a)))
 
+  /** Bottom-k (KMV) distinct-sketch aggregate over an ALREADY-HASHED
+    * bigint column — the bounded-buffer native aggregate behind
+    * [[graft.operators.Sketches]]; use that facade for the
+    * hash-and-flip wrapper and the estimators.
+    */
+  def kmv_sketch(hashed: Column, k: Int): Column =
+    GraftShim.column(expressions
+      .KmvSketchAgg(GraftShim.expression(hashed), k)
+      .toAggregateExpression())
+
   /** PQ nearest-codeword ids for a vector (Jégou et al. 2011) —
     * the m-int compressed form of an embedding. The codebook is a
     * driver-built constant baked into the expression.

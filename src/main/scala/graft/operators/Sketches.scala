@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bottom-k (KMV) distinct-value sketches — the honest way to ask
@@ -13,8 +12,9 @@ import org.apache.spark.sql.functions._
   *
   * Design:
   *  - the sketch of a column is the k SMALLEST distinct 64-bit hash
-  *    values of its rows, kept by a custom typed [[Aggregator]] whose
-  *    buffer is a bounded sorted array. Spark runs the aggregator
+  *    values of its rows, kept by a native bounded-buffer aggregate
+  *    ([[graft.expressions.KmvSketchAgg]], a TypedImperativeAggregate
+  *    over a mutable sorted array). Spark runs it
   *    with map-side partial aggregation, so each task reduces its
   *    partition to ≤ k longs locally and the shuffle moves only
   *    O(tasks · k) values — NO data-sized shuffle, unlike
@@ -42,62 +42,6 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Bounded bottom-k distinct aggregator. Buffer = ascending sorted
-    * array of ≤ k distinct longs (the k smallest seen). reduce is
-    * O(log k) for the common post-warmup case (value above current
-    * max → skip) and O(k) when it actually inserts; expected inserts
-    * over n rows are ~k·ln(n), so a 1 B-row partition costs ~k·30
-    * array copies, not n.
-    */
-  class BottomK(k: Int)
-      extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
-    require(k >= 2, s"k must be >= 2 (got $k)")
-
-    override def zero: Array[Long] = Array.emptyLongArray
-
-    override def reduce(b: Array[Long], in: java.lang.Long): Array[Long] = {
-      if (in == null) return b // null rows don't count, like COUNT(DISTINCT)
-      val h = in.longValue()
-      val n = b.length
-      if (n == k && h >= b(n - 1)) return b // above current kth-min
-      val pos = java.util.Arrays.binarySearch(b, h)
-      if (pos >= 0) return b // already present
-      val ins = -pos - 1
-      val outLen = math.min(n + 1, k)
-      val out = new Array[Long](outLen)
-      System.arraycopy(b, 0, out, 0, ins)
-      out(ins) = h
-      System.arraycopy(b, ins, out, ins + 1, outLen - ins - 1)
-      out
-    }
-
-    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
-      if (x.isEmpty) return y
-      if (y.isEmpty) return x
-      val out = new Array[Long](math.min(x.length + y.length, k))
-      var i = 0; var j = 0; var o = 0
-      while (o < out.length && (i < x.length || j < y.length)) {
-        val takeX = j >= y.length || (i < x.length && x(i) <= y(j))
-        val v = if (takeX) x(i) else y(j)
-        if (takeX) i += 1 else j += 1
-        if (o == 0 || out(o - 1) != v) { out(o) = v; o += 1 }
-      }
-      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
-    }
-
-    override def finish(r: Array[Long]): Array[Long] = r
-    // columnar array<bigint> buffer (not java/kryo blobs): partial
-    // buffers stay introspectable and cheap on the partial→final wire
-    override def bufferEncoder: Encoder[Array[Long]] = {
-      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-      ExpressionEncoder[Array[Long]]()
-    }
-    override def outputEncoder: Encoder[Array[Long]] = {
-      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-      ExpressionEncoder[Array[Long]]()
-    }
-  }
-
   /** The order-preserving unsigned→signed map applied to every hash
     * before it enters a sketch.
     */
@@ -107,10 +51,12 @@ object Sketches {
 
   /** Aggregate a column into its KMV sketch: ascending array of the
     * k smallest distinct flipped `xxhash64` values. Null rows are
-    * skipped ([[BottomK.reduce]]), matching `COUNT(DISTINCT)`.
+    * skipped, matching `COUNT(DISTINCT)`. Backed by the native
+    * [[graft.expressions.KmvSketchAgg]] TypedImperativeAggregate —
+    * mutable bounded buffer, no per-row encoder round trip.
     */
   def kmvSketch(c: Column, k: Int = 1024): Column =
-    udaf(new BottomK(k), Encoders.LONG).apply(flippedHash(c))
+    graft.functions.kmv_sketch(flippedHash(c), k)
 
   /** A sketch value normalized to [0, 1): the fraction of the hash
     * space below it. Undoes the signed flip: v/2⁶⁴ + 0.5.

@@ -111,7 +111,7 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     val plan = df.agg(Sketches.kmvSketch($"x", 32))
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan)
-    assert(plan.contains("partial_bottomk") ||
+    assert(plan.contains("partial_kmv_sketch") ||
       plan.toLowerCase.contains("partial"), plan)
   }
 }
