@@ -1892,6 +1892,17 @@ object SparkEntry {
       operators.TextAnalysis.topNgrams(t(s, d, "documents"), "text",
         n = 3, k = 50)),
 
+    // Misra–Gries heavy hitters: capacity 32768 ≥ the ~16k distinct
+    // trigrams at gate sf, so the summary never decrements and every
+    // count is exact — the gate shares t21's exact-count oracle,
+    // pinning the add/merge/threshold-subtract machinery end to end.
+    // At bench sf the distinct-gram set outgrows the capacity and the
+    // same row exercises the bounded (decrementing) regime.
+    "t30_frequent_ngrams" -> ((s, d) =>
+      operators.Sketches.topNgramsApprox(t(s, d, "documents"), "text",
+          n = 3, capacity = 32768, k = 50)
+        .select(col("item").as("gram"), col("count_min").as("cnt"))),
+
     // before/after stage diff: what a length-200 quality filter
     // removed, per (lang, source) slice — exact integer counts, one
     // rounded exact-division fraction
@@ -2548,7 +2559,8 @@ object SparkEntry {
     "s7_ann_ivf_indexed" -> oracleSqlBase("s3_ann_ivf"),
     "s8_ann_pq" -> oracleSqlBase("s1_sim_topk"),
     "s9_ann_pq_indexed" -> oracleSqlBase("s1_sim_topk"),
-    "d37_kmv_overlap_indexed" -> oracleSqlBase("d36_kmv_overlap"))
+    "d37_kmv_overlap_indexed" -> oracleSqlBase("d36_kmv_overlap"),
+    "t30_frequent_ngrams" -> oracleSqlBase("t21_top_ngrams"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->

@@ -1888,3 +1888,179 @@ case class KmvSketchAgg(child: Expression, k: Int,
   override def nullable: Boolean = false
   override def prettyName: String = "kmv_sketch"
 }
+
+/** Mutable Misra–Gries frequent-items summary for [[FreqSketchAgg]]:
+  * at most `capacity` (item → count) counters plus the summary-level
+  * undercount bound `err` (total decrement rounds). Unit-weight MG:
+  * a new item arriving at a full summary decrements every counter by
+  * one and drops zeros — O(capacity) per round, amortized O(1) per
+  * row (each round pays for ≥ capacity prior arrivals). True
+  * frequency f(x) satisfies count(x) ≤ f(x) ≤ count(x) + err for
+  * stored items, and f(x) ≤ err for absent ones; with
+  * capacity ≥ distinct items no round ever fires and every count is
+  * EXACT (the driver-gate regime).
+  */
+final class FreqBuffer(val capacity: Int) {
+  private[expressions] val counts =
+    new java.util.HashMap[String, java.lang.Long]()
+  private[expressions] var err = 0L
+
+  def add(item: String): Unit = {
+    val cur = counts.get(item)
+    if (cur != null) counts.put(item, cur + 1L)
+    else if (counts.size < capacity) counts.put(item, 1L)
+    else {
+      // MG decrement round: the arrival and one unit of every counter
+      // annihilate
+      err += 1L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue == 1L) it.remove()
+        else e.setValue(e.getValue - 1L)
+      }
+    }
+  }
+
+  /** Mergeable-summaries combine (Agarwal et al. 2013): sum counts,
+    * then if over capacity subtract the (capacity+1)-th largest
+    * count from every counter and drop non-positives — deterministic
+    * in the combined CONTENT (ties at the threshold all drop),
+    * independent of merge order in the exact regime.
+    */
+  def mergeWith(o: FreqBuffer): FreqBuffer = {
+    val it = o.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = counts.get(e.getKey)
+      counts.put(e.getKey,
+        if (cur == null) e.getValue else cur + e.getValue)
+    }
+    err += o.err
+    if (counts.size > capacity) {
+      val vals = new Array[Long](counts.size)
+      var i = 0
+      val vi = counts.values().iterator()
+      while (vi.hasNext) { vals(i) = vi.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      // keep items strictly above the (capacity+1)-th largest
+      val t = vals(vals.length - capacity - 1)
+      err += t
+      val ei = counts.entrySet().iterator()
+      while (ei.hasNext) {
+        val e = ei.next()
+        if (e.getValue <= t) ei.remove()
+        else e.setValue(e.getValue - t)
+      }
+    }
+    this
+  }
+}
+
+/** Misra–Gries heavy-hitters aggregate: `freq_sketch(item, capacity)`
+  * → struct(items: map<string,bigint> lower-bound counts, err:
+  * bigint). The 100 TB shape: a full `GROUP BY item` for "top
+  * phrases/n-grams" exchanges every distinct item's partial count —
+  * at web scale the distinct-gram set IS the data; this summary
+  * bounds every task's state and exchange payload at `capacity`
+  * counters, with the classic MG error contract (scaladoc on
+  * [[FreqBuffer]]). Map keys are emitted SORTED so the output row is
+  * content-deterministic. Null items are skipped.
+  */
+case class FreqSketchAgg(child: Expression, capacity: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[FreqBuffer] {
+
+  require(capacity >= 1, s"capacity must be >= 1 (got $capacity)")
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FreqSketchAgg =
+    copy(child = newChildren(0))
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"freq_sketch requires a string item, got ${child.dataType}")
+  }
+
+  override def createAggregationBuffer(): FreqBuffer =
+    new FreqBuffer(capacity)
+
+  override def update(b: FreqBuffer,
+      input: org.apache.spark.sql.catalyst.InternalRow): FreqBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[UTF8String].toString)
+    b
+  }
+
+  override def merge(b: FreqBuffer, o: FreqBuffer): FreqBuffer =
+    b.mergeWith(o)
+
+  override def eval(b: FreqBuffer): Any = {
+    val keys = new Array[String](b.counts.size)
+    b.counts.keySet().toArray(keys)
+    java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder())
+    val ks = new Array[Any](keys.length)
+    val vs = new Array[Any](keys.length)
+    var i = 0
+    while (i < keys.length) {
+      ks(i) = UTF8String.fromString(keys(i))
+      vs(i) = b.counts.get(keys(i)).longValue()
+      i += 1
+    }
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new ArrayBasedMapData(
+        new GenericArrayData(ks), new GenericArrayData(vs)), b.err))
+  }
+
+  override def serialize(b: FreqBuffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(b.counts.size)
+    val it = b.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(e.getValue)
+    }
+    out.writeLong(b.err)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): FreqBuffer = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val b = new FreqBuffer(capacity)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      b.counts.put(new String(kb,
+        java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
+    b.err = in.readLong()
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqSketchAgg =
+    copy(inputAggBufferOffset = o)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("items",
+      MapType(StringType, LongType, valueContainsNull = false),
+      nullable = false),
+    StructField("err", LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "freq_sketch"
+}

@@ -134,6 +134,16 @@ package object functions {
       .KmvSketchAgg(GraftShim.expression(hashed), k)
       .toAggregateExpression())
 
+  /** Misra–Gries heavy-hitters aggregate over a string item column —
+    * struct(items: map<string,bigint>, err: bigint); see
+    * [[graft.operators.Sketches.frequentItems]] for the row-level
+    * facade and the error contract.
+    */
+  def freq_sketch(item: Column, capacity: Int): Column =
+    GraftShim.column(expressions
+      .FreqSketchAgg(GraftShim.expression(item), capacity)
+      .toAggregateExpression())
+
   /** PQ nearest-codeword ids for a vector (Jégou et al. 2011) —
     * the m-int compressed form of an embedding. The codebook is a
     * driver-built constant baked into the expression.

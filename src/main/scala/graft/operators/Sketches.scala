@@ -146,4 +146,45 @@ object Sketches {
     df.groupBy(groupCols.map(col): _*)
       .agg(round(kmvDistinct(kmvSketch(col(valueCol), k), k), 6)
         .as("n_distinct_est"))
+
+  // ─────────────────────── Misra–Gries heavy hitters ───────────────────────
+
+  /** Top-`k` most frequent values of `itemCol` via a Misra–Gries
+    * bounded summary ([[graft.expressions.FreqSketchAgg]]): every
+    * task's state AND exchange payload cap at `capacity` counters,
+    * where the exact `GROUP BY item` ships every distinct item's
+    * partial count — at web scale the distinct-gram set IS the data.
+    * Output (item, count_min, count_max): true frequency lies in
+    * [count_min, count_max]; with capacity ≥ the distinct-item count
+    * the summary never decrements, count_min = count_max = exact —
+    * the gate regime. Ties rank (count_min desc, item asc).
+    */
+  def frequentItems(df: DataFrame, itemCol: String,
+                    capacity: Int = 4096, k: Int = 50): DataFrame =
+    df.agg(graft.functions.freq_sketch(col(itemCol), capacity)
+        .as("__fs"))
+      .select(col("__fs.err").as("__err"),
+        explode(col("__fs.items")).as(Seq("item", "count_min")))
+      .select(col("item"), col("count_min"),
+        (col("count_min") + col("__err")).as("count_max"))
+      .orderBy(col("count_min").desc, col("item"))
+      .limit(k)
+
+  /** Top-`k` word n-grams by the same bounded summary — the
+    * approximate, state-bounded twin of
+    * [[TextAnalysis.topNgrams]]'s exact two-pass count (which is the
+    * right tool when the top-k must be exact and the distinct-gram
+    * exchange is affordable).
+    */
+  def topNgramsApprox(df: DataFrame, textCol: String, n: Int = 3,
+                      capacity: Int = 65536, k: Int = 50): DataFrame = {
+    // docs shorter than n tokens contribute no grams (sequence(1, 0)
+    // would DESCEND in Spark, minting bogus short grams)
+    val grams = df.select(TextAnalysis.tokenize(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__t")) - (n - 1)),
+        i => concat_ws(" ", slice(col("__t"), i, lit(n))))).as("gram"))
+    frequentItems(grams, "gram", capacity, k)
+  }
 }

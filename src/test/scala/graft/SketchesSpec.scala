@@ -102,6 +102,51 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("sidecar"))
   }
 
+  test("misra-gries: exact when capacity >= distinct items") {
+    val rows = (1 to 50).flatMap(i => Seq.fill(i)(s"w$i"))
+    val df = rows.toDF("item").repartition(7)
+    val got = Sketches.frequentItems(df, "item", capacity = 64, k = 10)
+      .as[(String, Long, Long)].collect().toList
+    val want = (50 to 41 by -1).map(i => (s"w$i", i.toLong, i.toLong))
+    assert(got == want.toList)
+  }
+
+  test("misra-gries: saturated summary honors the MG error contract") {
+    // 10 heavy items (1000 each) + 5000 singleton items, capacity 64:
+    // heavy hitters must survive with count_min <= f <= count_max
+    val heavy = (1 to 10).flatMap(i => Seq.fill(1000)(s"H$i"))
+    val noise = (1 to 5000).map(i => s"n$i")
+    val df = scala.util.Random.shuffle(heavy ++ noise).toDF("item")
+      .repartition(7)
+    val top = Sketches.frequentItems(df, "item", capacity = 64, k = 10)
+      .as[(String, Long, Long)].collect()
+    assert(top.map(_._1).toSet == (1 to 10).map(i => s"H$i").toSet,
+      s"heavy items lost: ${top.map(_._1).mkString(",")}")
+    top.foreach { case (item, lo, hi) =>
+      assert(lo <= 1000L && 1000L <= hi,
+        s"$item: true 1000 outside [$lo, $hi]") }
+  }
+
+  test("misra-gries: null items skipped; ties rank (count desc, item)") {
+    val df = Seq(Some("b"), Some("a"), Some("b"), Some("a"), None)
+      .toDF("item")
+    val got = Sketches.frequentItems(df, "item", capacity = 8, k = 5)
+      .as[(String, Long, Long)].collect().toList
+    assert(got == List(("a", 2L, 2L), ("b", 2L, 2L)))
+  }
+
+  test("topNgramsApprox: exact regime matches the exact two-pass " +
+      "topNgrams on real documents") {
+    val docs = Graft.table(spark, sf, "documents")
+    val approx = Sketches.topNgramsApprox(docs, "text", n = 3,
+        capacity = 32768, k = 20)
+      .select($"item", $"count_min").as[(String, Long)].collect().toSet
+    val exact = operators.TextAnalysis.topNgrams(docs, "text", n = 3,
+        k = 20)
+      .as[(String, Long)].collect().toSet
+    assert(approx == exact)
+  }
+
   test("kmv: map-side partial aggregation — plan has a partial stage") {
     // the whole point of the bounded-buffer aggregator at 100 TB:
     // each task reduces its partition to ≤ k longs BEFORE the
