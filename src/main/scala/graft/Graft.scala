@@ -95,4 +95,18 @@ object Graft {
     catch {
       case scala.util.control.NonFatal(_) => df.rdd.getNumPartitions
     }
+
+  /** Spread a compact source across the session's shuffle parallelism
+    * before a CPU-heavy scan-stage pass (digest/signature/encode
+    * work): a single-file fixture arrives in 1–2 splits and
+    * serializes the whole pass onto 1–2 cores. Only fires when the
+    * source is under-parallel — a production-scale scan already has
+    * thousands of splits and must not pay a gratuitous shuffle.
+    * (The shared spelling of the discipline Dedup/Multimodal/
+    * Tokenizer apply locally.)
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (staticNumPartitions(df) < target) df.repartition(target) else df
+  }
 }

@@ -370,7 +370,11 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sd = dim / m
-    val base = corpus.select(l2Normalize(col(embCol)).as("__ne"))
+    // spread BEFORE the normalize/assign work: a single-file corpus
+    // arrives in one split and would serialize every fit pass onto
+    // one core (no-op on an already-parallel production scan)
+    val base = graft.Graft.spread(corpus)
+      .select(l2Normalize(col(embCol)).as("__ne"))
     // cached because Lloyd's re-scans it init + maxIter times
     val normed = (if (fitSampleFraction >= 1.0) base
       else base.sample(withReplacement = false, fitSampleFraction,
@@ -457,9 +461,11 @@ object Similarity {
       s"codebook subdim ${cb(0)(0).length} does not match " +
         s"dim=$dim / m=${cb.length}")
     // one native expression per row: normalize + all m argmins in
-    // tight primitive loops ([[graft.expressions.PqAssign]])
-    corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
-      graft.functions.pq_assign(col(embCol), cb).as("__codes"))
+    // tight primitive loops ([[graft.expressions.PqAssign]]); spread
+    // first so a single-split source doesn't serialize the encode
+    graft.Graft.spread(corpus)
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
+        graft.functions.pq_assign(col(embCol), cb).as("__codes"))
   }
 
   /** ADC query against an encoded corpus: per query, an m × nCodes
