@@ -101,6 +101,33 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Streaming trending-items monitor: per-hour top event types by
+    // Misra–Gries bounded summary
+    def streamingTrendingMonitorOnce(): Double = {
+      System.gc()
+      Thread.sleep(300)
+      val t0 = System.nanoTime()
+      try {
+        val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+        val src = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir)
+        val q = graft.api.DataStream(Graft.normalizeTs(src), "ts")
+          .trendingMonitor("event_type", "1 hour", k = 5)
+          .sinkMemory("bench_trending")
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          spark.sql("DROP TABLE IF EXISTS bench_trending")
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] trending failed: ${e.getMessage}")
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Pane-vs-explode cost on the custom exact-emission operator at a
     // 12:1 length/slide ratio (1h windows sliding by 5min): the pane
     // form ships each row once and merges 12 pane partials at emission;
@@ -351,6 +378,7 @@ object Bench {
         "streaming_neardup" -> (() => streamingNearDupOnce()),
         "streaming_embdedup" -> (() => streamingEmbDedupOnce()),
         "streaming_distinct_monitor" -> (() => streamingDistinctMonitorOnce()),
+        "streaming_trending_monitor" -> (() => streamingTrendingMonitorOnce()),
         "exact_window_explode" -> (() => exactWindowOnce(pane = false)),
         "exact_window_pane" -> (() => exactWindowOnce(pane = true)),
         "blocklist_sparse" -> (() => blocklistSparseOnce()),

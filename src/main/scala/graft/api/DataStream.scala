@@ -553,6 +553,41 @@ final case class DataStream(
       round(lit(1.0) - est / col("n_rows"), 6).as("dup_rate"))
   }
 
+  /** Streaming trending-items monitor: per event-time window, the
+    * top-`k` most frequent values of `itemCol` by Misra–Gries
+    * bounded summary ([[graft.operators.Sketches]] — counts exact
+    * while a window holds < `capacity` distinct items, classic MG
+    * lower bounds beyond). One row per (window, rank): window bounds,
+    * rank, item, count_min, err (the window summary's undercount
+    * bound; true frequency ≤ count_min + err). State per window is
+    * ≤ `capacity` counters — constant in ingest volume — where an
+    * exact streaming `GROUP BY item` would key state by every
+    * distinct item ever seen. Ranking happens INSIDE expressions
+    * (sort the bounded map's entries, slice k) because window
+    * functions don't exist on streams; ties rank (count desc, item).
+    */
+  def trendingMonitor(itemCol: String, length: String,
+                      slide: Option[String] = None,
+                      capacity: Int = 4096, k: Int = 10): DataStream = {
+    val monitored = window(Seq.empty,
+      Seq(graft.functions.freq_sketch(col(itemCol), capacity)
+        .as("__fs")),
+      length, slide)
+    // bounded-map top-k: sort entries by (count desc, item asc) via
+    // a (-count, item) struct sort, keep k, explode with rank
+    val ranked = slice(array_sort(transform(
+      map_entries(col("__fs.items")),
+      e => struct((-e.getField("value")).as("negc"),
+        e.getField("key").as("item")))), 1, k)
+    monitored.select(col("window_start_time"), col("window_end_time"),
+        col("__fs.err").as("err"),
+        posexplode(ranked).as(Seq("__r", "__e")))
+      .select(col("window_start_time"), col("window_end_time"),
+        (col("__r") + 1).cast("long").as("rank"),
+        col("__e.item").as("item"),
+        (-col("__e.negc")).as("count_min"), col("err"))
+  }
+
   /** Session window (gap-merged) aggregation — present-but-todo!() in
     * the reference (streaming_window.rs:1062); Spark-native here.
     */

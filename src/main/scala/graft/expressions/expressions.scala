@@ -1902,13 +1902,19 @@ case class KmvSketchAgg(child: Expression, k: Int,
   */
 final class FreqBuffer(val capacity: Int) {
   private[expressions] val counts =
-    new java.util.HashMap[String, java.lang.Long]()
+    new java.util.HashMap[UTF8String, java.lang.Long]()
   private[expressions] var err = 0L
 
-  def add(item: String): Unit = {
+  /** `item` may alias reused row memory (UnsafeRow-backed
+    * UTF8String): it is CLONED before being stored as a new key, and
+    * only hashed/compared transiently otherwise — so the common
+    * repeated-item path allocates nothing. (java.util.HashMap.put on
+    * an existing mapping keeps the original stored key.)
+    */
+  def add(item: UTF8String): Unit = {
     val cur = counts.get(item)
     if (cur != null) counts.put(item, cur + 1L)
-    else if (counts.size < capacity) counts.put(item, 1L)
+    else if (counts.size < capacity) counts.put(item.clone(), 1L)
     else {
       // MG decrement round: the arrival and one unit of every counter
       // annihilate
@@ -1992,7 +1998,7 @@ case class FreqSketchAgg(child: Expression, capacity: Int,
   override def update(b: FreqBuffer,
       input: org.apache.spark.sql.catalyst.InternalRow): FreqBuffer = {
     val v = child.eval(input)
-    if (v != null) b.add(v.asInstanceOf[UTF8String].toString)
+    if (v != null) b.add(v.asInstanceOf[UTF8String])
     b
   }
 
@@ -2000,14 +2006,16 @@ case class FreqSketchAgg(child: Expression, capacity: Int,
     b.mergeWith(o)
 
   override def eval(b: FreqBuffer): Any = {
-    val keys = new Array[String](b.counts.size)
+    val keys = new Array[UTF8String](b.counts.size)
     b.counts.keySet().toArray(keys)
+    // binary UTF-8 order — the same order Spark's and DuckDB's
+    // ORDER BY apply to strings
     java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder())
     val ks = new Array[Any](keys.length)
     val vs = new Array[Any](keys.length)
     var i = 0
     while (i < keys.length) {
-      ks(i) = UTF8String.fromString(keys(i))
+      ks(i) = keys(i)
       vs(i) = b.counts.get(keys(i)).longValue()
       i += 1
     }
@@ -2024,7 +2032,7 @@ case class FreqSketchAgg(child: Expression, capacity: Int,
     val it = b.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val kb = e.getKey.getBytes
       out.writeInt(kb.length)
       out.write(kb)
       out.writeLong(e.getValue)
@@ -2043,8 +2051,7 @@ case class FreqSketchAgg(child: Expression, capacity: Int,
     while (i < n) {
       val kb = new Array[Byte](in.readInt())
       in.readFully(kb)
-      b.counts.put(new String(kb,
-        java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      b.counts.put(UTF8String.fromBytes(kb), in.readLong())
       i += 1
     }
     b.err = in.readLong()

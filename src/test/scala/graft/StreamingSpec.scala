@@ -518,6 +518,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(rows == List((5L, 2.0, 0.6), (3L, 3.0, 0.0)))
     } finally q.stop()
   }
+
+  test("trendingMonitor: per-window top-k by bounded summary, exact " +
+      "counts in the unsaturated regime, ties by item") {
+    val (input, ds) = measurementStream()
+    val q = ds.trendingMonitor("sensor_name", "10 seconds", k = 2)
+      .sinkMemory("trending_out")
+    try {
+      // window [0,10s): a×3, b×2, c×1 → top2 = (a,3), (b,2), err 0
+      input.addData(
+        Measurement(1000, "a", 1.0), Measurement(2000, "b", 1.0),
+        Measurement(3000, "a", 1.0), Measurement(4000, "c", 1.0),
+        Measurement(5000, "a", 1.0), Measurement(6000, "b", 1.0))
+      // window [10,20s): tie x×2, y×2 → item order breaks the tie
+      input.addData(
+        Measurement(11000, "y", 1.0), Measurement(12000, "x", 1.0),
+        Measurement(13000, "y", 1.0), Measurement(14000, "x", 1.0))
+      q.processAllAvailable()
+      input.addData(Measurement(25000, "z", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("trending_out")
+        .orderBy("window_start_time", "rank")
+        .select("rank", "item", "count_min", "err")
+        .as[(Long, String, Long, Long)].collect().toList
+      assert(rows == List(
+        (1L, "a", 3L, 0L), (2L, "b", 2L, 0L),
+        (1L, "x", 2L, 0L), (2L, "y", 2L, 0L)))
+    } finally q.stop()
+  }
 }
 
 /** Embedding row for streaming decontamination specs. */
