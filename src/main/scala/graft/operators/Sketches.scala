@@ -88,8 +88,12 @@ object Sketches {
     */
   def kmvJaccard(a: Column, b: Column, k: Int): Column = {
     val m = kmvMerge(a, b, k)
-    size(array_intersect(array_intersect(m, a), b)).cast("double") /
-      size(m).cast("double")
+    // empty ∪ empty: a zero divisor THROWS under ANSI (Spark 4
+    // default) — pin the two-empty-corpora Jaccard to the
+    // conventional 0.0 before the division can run
+    when(size(m) === 0, lit(0.0)).otherwise(
+      size(array_intersect(array_intersect(m, a), b)).cast("double") /
+        size(m).cast("double"))
   }
 
   /** Intersection-size estimate: Jaccard × union estimate. */

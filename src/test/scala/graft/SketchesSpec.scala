@@ -102,6 +102,17 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("sidecar"))
   }
 
+  test("kmv: empty corpora — zero estimates, Jaccard 0, no nulls") {
+    val empty = Seq.empty[String].toDF("text")
+    val some = Seq("a", "b").toDF("text")
+    val r1 = Sketches.corpusOverlap(empty, empty, "text", k = 16).head()
+    assert((0 to 4).forall(i => !r1.isNullAt(i)))
+    assert(r1.getDouble(2) == 0.0 && r1.getDouble(4) == 0.0)
+    val r2 = Sketches.corpusOverlap(some, empty, "text", k = 16).head()
+    assert(r2.getDouble(0) == 2.0 && r2.getDouble(3) == 0.0 &&
+      r2.getDouble(4) == 0.0)
+  }
+
   test("misra-gries: exact when capacity >= distinct items") {
     val rows = (1 to 50).flatMap(i => Seq.fill(i)(s"w$i"))
     val df = rows.toDF("item").repartition(7)
