@@ -1112,7 +1112,7 @@ object SparkEntry {
         dim = 64, m = 8, nCodes = 16, maxIter = 3)
       val (codes, cb) = operators.DedupIndex.readPq(s, tmp, dim = 64,
         m = 8, nCodes = 16)
-      operators.Similarity.pqTopKFromIndex(codes, cb,
+      operators.Similarity.pqTopKFromIndex(codes, cb, emb,
           emb.filter(col("vec_id") < 3), "embedding", "vec_id", 5,
           dim = 64, nCandidates = 1000)
         .withColumn("rank", col("rank").cast("long"))

@@ -548,9 +548,13 @@ final case class DataStream(
         Sketches.kmvSketch(col(valueCol), k).as("__sk")),
       length, slide)
     val est = Sketches.kmvDistinct(col("__sk"), k)
+    // clamp at 0: the saturated-regime estimator's ~1/√(k−2) error
+    // can read a few % above n_rows, and a negative duplication RATE
+    // is nonsense for the alarm this feeds
     monitored.select(col("window_start_time"), col("window_end_time"),
       col("n_rows"), round(est, 6).as("n_distinct_est"),
-      round(lit(1.0) - est / col("n_rows"), 6).as("dup_rate"))
+      greatest(lit(0.0),
+        round(lit(1.0) - est / col("n_rows"), 6)).as("dup_rate"))
   }
 
   /** Streaming trending-items monitor: per event-time window, the
@@ -579,9 +583,12 @@ final case class DataStream(
       map_entries(col("__fs.items")),
       e => struct((-e.getField("value")).as("negc"),
         e.getField("key").as("item")))), 1, k)
+    // posexplode_OUTER: a window whose items were all null (schema
+    // break upstream) must still EMIT — with a null item row — not
+    // vanish from the monitor exactly when it should alarm
     monitored.select(col("window_start_time"), col("window_end_time"),
         col("__fs.err").as("err"),
-        posexplode(ranked).as(Seq("__r", "__e")))
+        posexplode_outer(ranked).as(Seq("__r", "__e")))
       .select(col("window_start_time"), col("window_end_time"),
         (col("__r") + 1).cast("long").as("rank"),
         col("__e.item").as("item"),

@@ -1747,7 +1747,14 @@ case class PqAdc(left: Expression, right: Expression)
   override def nullSafeEval(codesIn: Any, dtabIn: Any): Any = {
     val codes = codesIn.asInstanceOf[ArrayData]
     val dtab = dtabIn.asInstanceOf[ArrayData]
-    val m = math.min(codes.numElements(), dtab.numElements())
+    val m = codes.numElements()
+    // mismatched subspace counts = mixed index/codebook geometry; a
+    // silent min() would return a plausible-but-wrong distance where
+    // every other geometry mismatch in the library refuses loudly
+    if (dtab.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_adc: codes have $m subspaces but the distance table has " +
+          s"${dtab.numElements()} — mixed PQ index/codebook geometry")
     var sum = 0.0
     var s = 0
     while (s < m) {

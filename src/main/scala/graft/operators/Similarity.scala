@@ -451,9 +451,14 @@ object Similarity {
 
   /** Encode every corpus vector as its `m` nearest-codeword ids —
     * a pure scan projection (zero shuffle; the codebooks ride along
-    * as literals), emitting (neighbor_id, __ce original embedding,
-    * __codes array<int>). Ties in codeword distance break to the
-    * lowest code id (struct min ordering) for determinism.
+    * as literals), emitting CODES ONLY: (neighbor_id, __codes
+    * array<int>). This is what makes the index actually compressed —
+    * persisting (or scanning) the float vectors alongside the codes
+    * would defeat the 32× IO win the candidate pass exists for; the
+    * exact re-rank joins the few surviving candidate ids back to the
+    * corpus instead ([[pqTopKFromIndex]]). Ties in codeword distance
+    * break to the lowest code id (struct min ordering) for
+    * determinism.
     */
   def pqEncode(corpus: DataFrame, embCol: String, idCol: String,
                cb: Array[Array[Array[Double]]], dim: Int): DataFrame = {
@@ -464,35 +469,46 @@ object Similarity {
     // tight primitive loops ([[graft.expressions.PqAssign]]); spread
     // first so a single-split source doesn't serialize the encode
     graft.Graft.spread(corpus)
-      .select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
+      .select(col(idCol).as("neighbor_id"),
         graft.functions.pq_assign(col(embCol), cb).as("__codes"))
   }
 
   /** ADC query against an encoded corpus: per query, an m × nCodes
     * literal-codebook distance table; per corpus row, `m` array
-    * lookups summed — then exact-cosine re-rank of the
-    * top-`nCandidates`. With nCandidates ≥ corpus size the candidate
+    * lookups summed over the CODES-ONLY scan — the float vectors are
+    * touched only for the ≤ nCandidates·|queries| surviving ids,
+    * which join back against `corpus` (broadcast of the tiny
+    * candidate set, so the corpus never reshuffles) for the exact
+    * cosine re-rank. With nCandidates ≥ corpus size the candidate
     * set is everything and the output EQUALS exact brute-force top-k
     * (the driver-gate regime); at partial nCandidates recall follows
     * PQ's quantization error while precision stays exact.
     */
   def pqTopKFromIndex(encoded: DataFrame,
                       cb: Array[Array[Array[Double]]],
-                      queries: DataFrame, embCol: String,
-                      idCol: String, k: Int, dim: Int,
+                      corpus: DataFrame, queries: DataFrame,
+                      embCol: String, idCol: String, k: Int, dim: Int,
                       nCandidates: Int = 100): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
         col(embCol).as("__qe"),
         graft.functions.pq_dist_table(col(embCol), cb).as("__dtab"))
-    val scored = encoded.crossJoin(broadcast(q))
+    val scored = encoded.crossJoin(broadcast(q.drop("__qe")))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__approx",
         graft.functions.pq_adc(col("__codes"), col("__dtab")))
     val candW = Window.partitionBy(col("query_id"))
       .orderBy(col("__approx"), col("neighbor_id"))
-    val cands = scored
+    val candIds = scored
       .withColumn("__cr", row_number().over(candW))
       .filter(col("__cr") <= nCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: only the candidates' vectors are read — the
+    // candidate set broadcasts, the corpus side stays a scan
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("__ce"))
+    val cands = c.join(broadcast(candIds), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("__qe"))),
+        Seq("query_id"))
       .withColumn("cos",
         round(graft.functions.cosine_similarity(col("__qe"),
           col("__ce")), 6))
@@ -514,6 +530,6 @@ object Similarity {
       fitPqCodebooks(corpus, embCol, dim, m, nCodes, seed, maxIter,
         fitSampleFraction), m, nCodes)
     pqTopKFromIndex(pqEncode(corpus, embCol, idCol, cb, dim), cb,
-      queries, embCol, idCol, k, dim, nCandidates)
+      corpus, queries, embCol, idCol, k, dim, nCandidates)
   }
 }

@@ -702,8 +702,11 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val rows = Similarity.pqEncode(df, "embedding", "vec_id", cb, 8)
       .orderBy("neighbor_id").collect()
     assert(rows.length == 2)
+    // codes-only schema: (neighbor_id, __codes) — no embedding copy
+    assert(rows.head.schema.fieldNames.toSeq ==
+      Seq("neighbor_id", "__codes"))
     rows.foreach { r =>
-      val codes = r.getSeq[Int](2)
+      val codes = r.getSeq[Int](1)
       assert(codes.length == 2 && codes.forall(c => c == 0 || c == 1))
     }
   }
@@ -714,10 +717,12 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .createTempDirectory("graft-pq-idx").toString + "/idx"
     operators.DedupIndex.writePq(emb, "embedding", "vec_id", dir,
       dim = 64, m = 8, nCodes = 4, maxIter = 2)
-    // right params: round trips
+    // right params: round trips; persisted codes are CODES-ONLY
     val (codes, cb) = operators.DedupIndex.readPq(spark, dir,
       dim = 64, m = 8, nCodes = 4)
     assert(codes.count() == 50 && cb.length == 8 && cb(0).length == 4)
+    assert(codes.columns.toSeq == Seq("neighbor_id", "__codes"),
+      "the PQ index must not persist the float vectors")
     // wrong m and wrong nCodes: refused with the rebuild message
     val e1 = intercept[IllegalArgumentException] {
       operators.DedupIndex.readPq(spark, dir, dim = 64, m = 4,

@@ -546,6 +546,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         (1L, "x", 2L, 0L), (2L, "y", 2L, 0L)))
     } finally q.stop()
   }
+
+  test("trendingMonitor: an all-null-items window still EMITS (a " +
+      "schema break upstream must alarm, not vanish)") {
+    val input = MemoryStream[(Long, Option[String])](spark)
+    val ds = DataStream(input.toDF.toDF("ms", "item")
+      .withColumn("ts", timestamp_millis($"ms")), "ts")
+    val q = ds.trendingMonitor("item", "10 seconds", k = 2)
+      .sinkMemory("trending_null_out")
+    try {
+      input.addData((1000L, None), (2000L, None), (3000L, None))
+      input.addData((25000L, Some("z")))
+      q.processAllAvailable()
+      val rows = spark.table("trending_null_out")
+        .select("rank", "item").collect()
+      assert(rows.length == 1 && rows.head.isNullAt(0) &&
+        rows.head.isNullAt(1),
+        "all-null window must emit one null-item row")
+    } finally q.stop()
+  }
 }
 
 /** Embedding row for streaming decontamination specs. */
