@@ -175,6 +175,16 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("bpe_encode", es =>
       BpeEncode(es(0), stringSeqLit(es(1), "bpe_encode merges")),
       "scala_udf")
+    // --- sketch aggregates (native TypedImperativeAggregates; usable
+    // anywhere SQL accepts an aggregate: GROUP BY, windowed streaming
+    // aggs). kmv_sketch takes the PRE-hashed bigint (compose with
+    // xxhash64 in SQL); the estimators are plain array arithmetic.
+    reg.createOrReplaceTempFunction("kmv_sketch", es =>
+      KmvSketchAgg(es(0), intLit(es(1), "kmv_sketch k"))
+        .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("freq_sketch", es =>
+      FreqSketchAgg(es(0), intLit(es(1), "freq_sketch capacity"))
+        .toAggregateExpression(), "scala_udf")
     graft.operators.Udafs.register(spark)
   }
 }

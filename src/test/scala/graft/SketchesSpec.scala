@@ -158,6 +158,23 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(approx == exact)
   }
 
+  test("SQL surface: kmv_sketch and freq_sketch aggregate in " +
+      "spark.sql, parity with the Column API") {
+    (1 to 100).flatMap(i => Seq.fill(1 + i % 3)(s"v$i")).toDF("x")
+      .createOrReplaceTempView("sk_items")
+    val sqlSketch = spark.sql(
+      """SELECT kmv_sketch(xxhash64(x) ^ -9223372036854775808, 128)
+        |FROM sk_items""".stripMargin).head().getSeq[Long](0)
+    val apiSketch = spark.table("sk_items")
+      .agg(Sketches.kmvSketch($"x", 128)).head().getSeq[Long](0)
+    assert(sqlSketch == apiSketch)
+    val sqlTop = spark.sql(
+      """SELECT fs.items FROM
+        |  (SELECT freq_sketch(x, 256) AS fs FROM sk_items)""".stripMargin)
+      .head().getMap[String, Long](0)
+    assert(sqlTop.size == 100 && sqlTop("v2") == 3L && sqlTop("v3") == 1L)
+  }
+
   test("kmv: map-side partial aggregation — plan has a partial stage") {
     // the whole point of the bounded-buffer aggregator at 100 TB:
     // each task reduces its partition to ≤ k longs BEFORE the
