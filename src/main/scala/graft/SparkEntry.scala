@@ -1756,6 +1756,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The ingest-quality monitor's BATCH twin, driver-hash-gated:
+    // per-hour rows / distinct users / dup rate over events, k = 8192
+    // ≥ any window's distinct users at gate sf so the KMV estimate is
+    // exact and the oracle is plain COUNT(DISTINCT) per time bucket.
+    // The streaming spelling (same code path — window() adapts) is
+    // spec-gated in StreamingSpec.
+    "d38_distinct_monitor" -> ((s, d) => {
+      val ds = api.DataStream(t(s, d, "events"), "ts")
+      ds.distinctMonitor("user_id", "1 hour", k = 8192).df
+        .select(unix_millis(col("window_start_time"))
+            .as("window_start_ms"),
+          unix_millis(col("window_end_time")).as("window_end_ms"),
+          col("n_rows"),
+          col("n_distinct_est").cast("long").as("n_distinct"),
+          col("dup_rate"))
+        .orderBy(col("window_start_ms"))
+    }),
+
     // KMV bottom-k sketch, per-group distinct counts: k = 4096
     // exceeds every group's true distinct count at the gate sf, so
     // the sketch holds the complete distinct hash set and the
@@ -3286,6 +3304,17 @@ object SparkEntry {
     "d35_kmv_distinct" ->
       """SELECT lang, COUNT(DISTINCT text) AS n_distinct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "d38_distinct_monitor" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        |  epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+        |    AS window_end_ms,
+        |  count(*) AS n_rows,
+        |  COUNT(DISTINCT user_id) AS n_distinct,
+        |  round(1 - COUNT(DISTINCT user_id)::DOUBLE / count(*), 6)
+        |    AS dup_rate
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start_ms""".stripMargin,
 
     "d36_kmv_overlap" ->
       """WITH a AS (SELECT DISTINCT text FROM documents),
