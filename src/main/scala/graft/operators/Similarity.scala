@@ -18,6 +18,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Per-query top-k with TWO-LEVEL ranking — the per-key-rank skew
+    * discipline: a plain `Window.partitionBy(query_id)` puts every
+    * scored row for a query in ONE task, so few queries over a big
+    * corpus serialize the sort. Level 1 ranks within (query,
+    * hash-bucket of neighbor) — shuffle-parallelism× more tasks —
+    * and the global top-k is provably a subset of the union of
+    * per-bucket top-ks; level 2 ranks only B·k rows per query.
+    * Ties break by neighbor_id at both levels; output is identical
+    * to the single-window spelling.
+    */
+  private def rankPerQuery(scored: DataFrame, order: Seq[Column],
+                           k: Int): DataFrame = {
+    val nB = scored.sparkSession.sessionState.conf.numShufflePartitions
+    val bw = Window.partitionBy(col("query_id"),
+        pmod(xxhash64(col("neighbor_id")), lit(nB)))
+      .orderBy(order: _*)
+    val w = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    scored.withColumn("__br", row_number().over(bw))
+      .filter(col("__br") <= k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("__br")
+  }
+
   /** Cosine in double; ties broken by id for determinism. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      embCol: String, idCol: String, k: Int,
@@ -31,10 +55,7 @@ object Similarity {
       .withColumn("cos",
         round(graft.functions.cosine_similarity(col("__qe"), col("__ce")),
           roundTo))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankPerQuery(scored, Seq(col("cos").desc, col("neighbor_id")), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
@@ -74,10 +95,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos",
         round(graft.functions.cosine_similarity(col("__qe"), col("__ce")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankPerQuery(scored, Seq(col("cos").desc, col("neighbor_id")), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
@@ -291,10 +309,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
         round(graft.functions.cosine_similarity(col("__qe"), col("__ce")), 6))
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
+    rankPerQuery(scored, Seq(col("cos").desc, col("neighbor_id")), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
@@ -496,9 +511,24 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__approx",
         graft.functions.pq_adc(col("__codes"), col("__dtab")))
+    // two-level top-C (the per-key-rank skew discipline): a plain
+    // Window.partitionBy(query_id) puts EVERY corpus row for a query
+    // in one task — with few queries over a big corpus that's a
+    // single-task sort of the whole scan. Level 1 ranks within
+    // (query, hash-bucket) — B× the parallelism — and the global
+    // top-C is provably a subset of the union of per-bucket top-Cs,
+    // so level 2 ranks only B·C rows per query. Output identical.
+    val nBuckets = encoded.sparkSession.sessionState.conf
+      .numShufflePartitions
+    val bucketW = Window
+      .partitionBy(col("query_id"),
+        pmod(xxhash64(col("neighbor_id")), lit(nBuckets)))
+      .orderBy(col("__approx"), col("neighbor_id"))
     val candW = Window.partitionBy(col("query_id"))
       .orderBy(col("__approx"), col("neighbor_id"))
     val candIds = scored
+      .withColumn("__br", row_number().over(bucketW))
+      .filter(col("__br") <= nCandidates)
       .withColumn("__cr", row_number().over(candW))
       .filter(col("__cr") <= nCandidates)
       .select(col("query_id"), col("neighbor_id"))
