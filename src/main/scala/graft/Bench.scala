@@ -371,6 +371,39 @@ object Bench {
     // warmups (uncounted): session + codegen spin-up, twice so the
     // second run exercises the already-JITed path
     timeOnce("q1_agg"); timeOnce("q1_agg")
+    // Ambient-control trio (round-10 postmortem): the rep-spread flag
+    // catches ONE-slow-rep noise, but a machine-wide load window slows
+    // every rep UNIFORMLY — tight spreads, polluted totals; two rounds'
+    // closing snapshots were caught only by manual comparison against
+    // known-stable rows. So the snapshot now measures the machine
+    // itself first: three stable, cheap, code-frozen rows (scan-agg /
+    // pair-join / codec — three different bottleneck shapes) timed
+    // before the suite, each compared to its pinned idle sf0.1 record
+    // (BASELINE.md round-10 number of record). control_ratio = median
+    // of the three measured/record ratios; a ratio beyond ~1.3 marks
+    // the WHOLE snapshot ambient-suspect, whatever the per-row spreads
+    // say. Records are sf0.1-specific, so at other SFs the controls
+    // still run (their values are comparable across same-SF runs) but
+    // no ratio/flag is derived.
+    val controlRecords = Map(
+      "q1_agg" -> 0.35, "d5_simhash_pairs" -> 1.26,
+      "m5_audio_decode" -> 0.87)
+    val controls = controlRecords.keys.toSeq.sorted
+      .map(n => n -> stats((1 to reps).map(_ => timeOnce(n))))
+    val controlRatio: Option[Double] =
+      if (!sfDir.replaceAll("/+$", "").endsWith("sf0.1")) None
+      else {
+        val rs = controls.collect { case (n, (med, _, _)) if med > 0 =>
+          med / controlRecords(n) }.sorted
+        if (rs.isEmpty) None else Some(rs((rs.size - 1) / 2))
+      }
+    val ambientUniform = controlRatio.exists(_ > 1.3)
+    controlRatio.foreach { r =>
+      if (ambientUniform) System.err.println(
+        f"[bench] AMBIENT LOAD SUSPECT: control_ratio $r%.2f > 1.3 " +
+          "(machine-wide slow window) — this snapshot is not an idle " +
+          "number of record")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(want)
     val results = names.map(n => n -> stats((1 to reps).map(_ => timeOnce(n)))) ++
       Seq(
@@ -443,8 +476,18 @@ object Bench {
     }
     val ambientJson =
       s""","ambient_load_suspect":${ambientSuspect.mkString("[", ",", "]")}"""
+    // the control block rides EVERY artifact (full + headline): a
+    // snapshot must carry its own machine-state evidence
+    val controlsJson = {
+      val m = controls.map { case (n, (med, _, _)) =>
+        "\"" + n + "\":" + ms(med) }.mkString("{", ",", "}")
+      val ratio = controlRatio
+        .map(r => (math.rint(r * 100) / 100).toString).getOrElse("null")
+      s""","controls":$m,"control_ratio":$ratio""" +
+        (if (ambientUniform) ""","ambient_uniform_suspect":true""" else "")
+    }
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","recommended_total":${tierTotal(cross = false, penalty)},"crosscheck_total":${tierTotal(cross = true, penalty)},"queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"tiers":$tiersJson,"reps":$reps,"failed":${failed.mkString("[", ",", "]")}$ambientJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","recommended_total":${tierTotal(cross = false, penalty)},"crosscheck_total":${tierTotal(cross = true, penalty)},"queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"tiers":$tiersJson,"reps":$reps,"failed":${failed.mkString("[", ",", "]")}$ambientJson$controlsJson,"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -465,7 +508,7 @@ object Bench {
     // count, with target/bench_full.json always carrying the
     // complete median/min/max record.
     def line(qjson: String, extra: String): String =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","recommended_total":${ms(tierTotal(cross = false, penalty))},"crosscheck_total":${ms(tierTotal(cross = true, penalty))},"queries":$qjson$extra,"reps":$reps,"failed":${failed.mkString("[", ",", "]")}${if (ambientSuspect.nonEmpty) ambientJson else ""},"sf":"$sfDir","full":"target/bench_full.json"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","recommended_total":${ms(tierTotal(cross = false, penalty))},"crosscheck_total":${ms(tierTotal(cross = true, penalty))},"queries":$qjson$extra,"reps":$reps,"failed":${failed.mkString("[", ",", "]")}${if (ambientSuspect.nonEmpty) ambientJson else ""}$controlsJson,"sf":"$sfDir","full":"target/bench_full.json"}"""
     val fullMap = jmap(_._1, ms)
     val headline =
       if (line(fullMap, "").length <= 1500) line(fullMap, "")

@@ -1119,6 +1119,58 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The index-APPEND lifecycle gate for IVF (the incremental-drop
+    // discipline the text-side indexes already have): build on the
+    // even-id half, append the odd-id half — ONLY the new drop is
+    // scanned, assigned with the FROZEN centroids — read back, query
+    // with full probe. Full probing makes the result set exact for
+    // ANY cell assignment, so the gate shares s3's brute-force
+    // oracle verbatim: an append that loses, duplicates, or
+    // mis-merges rows fails the same SQL the one-shot build passes.
+    "s10_ann_ivf_appended" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-s10").toString + "/idx"
+      operators.DedupIndex.writeIvf(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding",
+        "vec_id", tmp, nCentroids = 8, maxIter = 3)
+      operators.DedupIndex.appendIvf(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding",
+        "vec_id", tmp, nCentroids = 8)
+      val (cents, assigned) = operators.DedupIndex.readIvf(s, tmp,
+        nCentroids = 8)
+      operators.Similarity.ivfTopKFromIndex(cents, assigned,
+          emb.filter(col("vec_id") < 3), "embedding", "vec_id", 5,
+          nProbe = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The index-APPEND lifecycle gate for PQ: codebooks fit on the
+    // even-id half only; the odd-id drop is encoded with the FROZEN
+    // codebooks in one codes-only scan and merged atomically.
+    // Full-candidate output equals exact brute force for ANY
+    // codebook (the re-rank sees every row), so the gate shares
+    // s1's oracle verbatim like s8/s9.
+    "s11_ann_pq_appended" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-s11").toString + "/idx"
+      operators.DedupIndex.writePq(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding",
+        "vec_id", tmp, dim = 64, m = 8, nCodes = 16, maxIter = 3)
+      operators.DedupIndex.appendPq(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding",
+        "vec_id", tmp, dim = 64, m = 8, nCodes = 16)
+      val (codes, cb) = operators.DedupIndex.readPq(s, tmp, dim = 64,
+        m = 8, nCodes = 16)
+      operators.Similarity.pqTopKFromIndex(codes, cb, emb,
+          emb.filter(col("vec_id") < 3), "embedding", "vec_id", 5,
+          dim = 64, nCandidates = 1000)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Scalar battery #2: array/list + regex + string-position functions
     "q27_array_battery" -> ((s, d) => {
       import s.implicits._
@@ -2577,6 +2629,8 @@ object SparkEntry {
     "s7_ann_ivf_indexed" -> oracleSqlBase("s3_ann_ivf"),
     "s8_ann_pq" -> oracleSqlBase("s1_sim_topk"),
     "s9_ann_pq_indexed" -> oracleSqlBase("s1_sim_topk"),
+    "s10_ann_ivf_appended" -> oracleSqlBase("s3_ann_ivf"),
+    "s11_ann_pq_appended" -> oracleSqlBase("s1_sim_topk"),
     "d37_kmv_overlap_indexed" -> oracleSqlBase("d36_kmv_overlap"),
     "t30_frequent_ngrams" -> oracleSqlBase("t21_top_ngrams"))
 

@@ -64,6 +64,51 @@ object DedupIndex {
       .map(m => m.group(1) -> m.group(2)).toMap
   }
 
+  /** Bounded retry for readers racing [[replaceWith]]'s two-rename
+    * swap: between `rename(path, old)` and `rename(tmp, path)` the
+    * index path is briefly ABSENT — a clean failure (never a torn
+    * read; the sidecar-last discipline guarantees that), but a
+    * spurious one. A reader that lands in that microsecond window
+    * retries for up to ~1 s before surfacing the error, so concurrent
+    * refresh + read sees old-index-or-new-index, never
+    * file-not-found. Only swap-shaped failures retry (path/sidecar
+    * absent); parameter-mismatch refusals from [[check]] surface
+    * immediately. Cost on genuine user error (not an index at all):
+    * the ~1 s of retries before the usual message. Races WITHIN an
+    * already-planned scan (executor reading a file deleted by a
+    * later swap) are out of scope — pin long-running jobs to one
+    * index generation by reading before kicking off the refresh.
+    */
+  private def readRetrying[T](f: => T): T = {
+    // swap-shaped failures can surface wrapped (the parquet open runs
+    // a distributed footer-read job, so a file deleted between
+    // listing and footer read arrives as SparkException → cause chain
+    // → FileNotFoundException) — walk the causes, bounded
+    def isSwapGap(e: Throwable): Boolean = {
+      def one(t: Throwable): Boolean = t match {
+        case _: java.io.FileNotFoundException => true
+        case a: org.apache.spark.sql.AnalysisException =>
+          val m = Option(a.getMessage).getOrElse("")
+          m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")
+        case i: IllegalArgumentException =>
+          Option(i.getMessage).exists(_.contains("_graft_index.json"))
+        case _ => false
+      }
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(one)
+    }
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < 40) {
+      try return f
+      catch {
+        case scala.util.control.NonFatal(e) if isSwapGap(e) =>
+          last = e; Thread.sleep(25); attempt += 1
+      }
+    }
+    throw last
+  }
+
   private def check(meta: Map[String, String], kind: String,
                     params: Seq[(String, Int)], path: String): Unit = {
     require(meta.get("kind").contains(kind),
@@ -93,7 +138,7 @@ object DedupIndex {
   }
 
   def readMinhash(spark: SparkSession, path: String,
-                  shingleN: Int = 3): DataFrame = {
+                  shingleN: Int = 3): DataFrame = readRetrying {
     check(readMeta(spark, path), "minhash",
       Seq("shingle_n" -> shingleN), path)
     spark.read.parquet(path).select("rsh")
@@ -114,10 +159,11 @@ object DedupIndex {
     writeMeta(reference.sparkSession, path, "exact", Seq.empty)
   }
 
-  def readExact(spark: SparkSession, path: String): DataFrame = {
-    check(readMeta(spark, path), "exact", Seq.empty, path)
-    spark.read.parquet(path).select("digest")
-  }
+  def readExact(spark: SparkSession, path: String): DataFrame =
+    readRetrying {
+      check(readMeta(spark, path), "exact", Seq.empty, path)
+      spark.read.parquet(path).select("digest")
+    }
 
   /** Build and persist the winnowing decontamination index: the
     * reference corpus's distinct fingerprint set. (n, window) pin
@@ -133,7 +179,7 @@ object DedupIndex {
   }
 
   def readWinnow(spark: SparkSession, path: String, n: Int = 5,
-                 window: Int = 4): DataFrame = {
+                 window: Int = 4): DataFrame = readRetrying {
     check(readMeta(spark, path), "winnow",
       Seq("n" -> n, "window" -> window), path)
     spark.read.parquet(path).select("fp")
@@ -211,12 +257,13 @@ object DedupIndex {
     *         [[Similarity.ivfTopKFromIndex]]
     */
   def readIvf(spark: SparkSession, path: String,
-              nCentroids: Int = 16): (DataFrame, DataFrame) = {
-    check(readMeta(spark, path), "ivf",
-      Seq("n_centroids" -> nCentroids), path)
-    (spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/assignments"))
-  }
+              nCentroids: Int = 16): (DataFrame, DataFrame) =
+    readRetrying {
+      check(readMeta(spark, path), "ivf",
+        Seq("n_centroids" -> nCentroids), path)
+      (spark.read.parquet(s"$path/centroids"),
+        spark.read.parquet(s"$path/assignments"))
+    }
 
   /** Build and persist the product-quantization ANN index: the m
     * per-subspace codebooks plus the m-byte-per-vector corpus codes
@@ -246,7 +293,7 @@ object DedupIndex {
     */
   def readPq(spark: SparkSession, path: String, dim: Int, m: Int = 8,
              nCodes: Int = 16)
-      : (DataFrame, Array[Array[Array[Double]]]) = {
+      : (DataFrame, Array[Array[Array[Double]]]) = readRetrying {
     check(readMeta(spark, path), "pq",
       Seq("dim" -> dim, "m" -> m, "n_codes" -> nCodes), path)
     (spark.read.parquet(s"$path/codes"),
@@ -274,7 +321,7 @@ object DedupIndex {
   }
 
   def readKmv(spark: SparkSession, path: String,
-              k: Int = 1024): DataFrame = {
+              k: Int = 1024): DataFrame = readRetrying {
     check(readMeta(spark, path), "kmv", Seq("k" -> k), path)
     spark.read.parquet(path).select("sketch")
   }
@@ -330,6 +377,101 @@ object DedupIndex {
     appendUnion(newReference.sparkSession, path, "winnow",
       Seq("n" -> n, "window" -> window),
       Dedup.winnowReferenceIndex(newReference, textCol, n, window))
+
+  /** Append a new corpus drop to a live IVF ANN index: the new rows
+    * are assigned to cells with the FROZEN centroids — one scan of
+    * only the new drop (the [[appendKmv]] discipline), no re-fit —
+    * then merged with the live assignments and swapped atomically
+    * via [[replaceWith]]. Geometry (n_centroids) is pinned by the
+    * live sidecar before any work. Assignment reuses the native
+    * [[graft.expressions.PqAssign]] argmin with the centroid table
+    * as a single-subspace codebook: nearest-centroid by squared L2,
+    * ties to the lowest cell id — the same rule the KMeans fit's own
+    * transform applies — as a pure scan projection (the ~KiB centroid
+    * array rides as a literal; the new drop never shuffles for the
+    * assignment).
+    *
+    * Re-fit policy: appending never re-places centroids, so as the
+    * appended fraction grows the cell geometry drifts from the data
+    * distribution — partial-probe RECALL degrades gracefully (cells
+    * get unbalanced; full-probe results and re-rank precision are
+    * unaffected, which is also why the append gate can share the
+    * full-probe oracle). Schedule a full re-fit
+    * (`replaceWith(spark, path)(writeIvf(corpus, …, _))`) once
+    * appended rows exceed roughly a third of the index, or when
+    * partial-probe recall monitoring dips.
+    */
+  def appendIvf(newCorpus: DataFrame, embCol: String, idCol: String,
+                path: String, nCentroids: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.{col, element_at}
+    val spark = newCorpus.sparkSession
+    check(readMeta(spark, path), "ivf",
+      Seq("n_centroids" -> nCentroids), path)
+    val rows = spark.read.parquet(s"$path/centroids")
+      .select(col("__cell"), col("__centroid")).collect()
+    val cents = Array.ofDim[Array[Double]](nCentroids)
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      require(c >= 0 && c < nCentroids && cents(c) == null,
+        s"$path/centroids has a duplicate or out-of-range cell id $c")
+      cents(c) = r.getSeq[Double](1).toArray
+    }
+    (0 until nCentroids).foreach(c => require(cents(c) != null,
+      s"$path/centroids is missing cell $c — not a complete IVF index"))
+    val assignedNew = graft.Graft.spread(newCorpus)
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"))
+      .withColumn("__cell", element_at(graft.functions.pq_assign(
+        col("__ce"), Array(cents), normalize = false), 1))
+    // lazy reads of the live subdirs are safe inside the build
+    // closure — the build writes at the temp sibling while `path` is
+    // still live; distinct makes re-appending the same drop a no-op
+    val mergedAssignments = spark.read.parquet(s"$path/assignments")
+      .unionByName(assignedNew).distinct()
+    val centFrame = spark.read.parquet(s"$path/centroids")
+    replaceWith(spark, path) { tmp =>
+      centFrame.write.mode("errorifexists").parquet(s"$tmp/centroids")
+      mergedAssignments.write.mode("errorifexists")
+        .parquet(s"$tmp/assignments")
+      writeMeta(spark, tmp, "ivf", Seq("n_centroids" -> nCentroids))
+    }
+  }
+
+  /** Append a new corpus drop to a live PQ ANN index: the new rows
+    * are encoded with the FROZEN codebooks ([[Similarity.pqEncode]] —
+    * one codes-only scan of just the new drop), merged with the live
+    * codes, and swapped atomically. (dim, m, n_codes) are pinned by
+    * the live sidecar, so an append can never mix quantization
+    * geometries — codes from a different codebook LOOK valid but
+    * score garbage, the silent failure the refusal exists for.
+    *
+    * Re-fit policy: the codebooks stay fitted to the original
+    * corpus, so quantization error on appended rows grows with
+    * distribution drift — candidate RECALL degrades (the exact
+    * re-rank keeps final precision exact regardless). Schedule a
+    * full re-fit (`replaceWith(spark, path)(writePq(corpus, …, _))`)
+    * once appended rows exceed roughly a third of the index, or when
+    * recall against a brute-force probe set dips.
+    */
+  def appendPq(newCorpus: DataFrame, embCol: String, idCol: String,
+               path: String, dim: Int, m: Int = 8,
+               nCodes: Int = 16): Unit = {
+    val spark = newCorpus.sparkSession
+    check(readMeta(spark, path), "pq",
+      Seq("dim" -> dim, "m" -> m, "n_codes" -> nCodes), path)
+    val cb = Similarity.collectCodebooks(
+      spark.read.parquet(s"$path/codebooks"), m, nCodes)
+    val mergedCodes = spark.read.parquet(s"$path/codes")
+      .unionByName(Similarity.pqEncode(newCorpus, embCol, idCol, cb,
+        dim))
+      .distinct()
+    val cbFrame = spark.read.parquet(s"$path/codebooks")
+    replaceWith(spark, path) { tmp =>
+      cbFrame.write.mode("errorifexists").parquet(s"$tmp/codebooks")
+      mergedCodes.write.mode("errorifexists").parquet(s"$tmp/codes")
+      writeMeta(spark, tmp, "pq",
+        Seq("dim" -> dim, "m" -> m, "n_codes" -> nCodes))
+    }
+  }
 
   /** Append a new corpus drop to a live KMV sketch: the merged
     * sketch IS the sketch of the union (bottom-k composes), so only

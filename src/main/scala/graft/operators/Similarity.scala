@@ -359,7 +359,10 @@ object Similarity {
     * map-side-combined groupBy of m·nCodes groups, new centroids
     * rebuilt from the tiny collected sums), instead of m sequential
     * MLlib fits each paying its own init + per-iteration jobs.
-    * maxIter + 1 passes total, each sampleable via
+    * At most maxIter + 1 passes total — with an assignments-stable
+    * early stop (successive per-cell sums identical → fixed point →
+    * remaining passes are no-ops, skipped; result bit-identical
+    * either way) — each sampleable via
     * `fitSampleFraction` exactly like [[fitIvfIndex]] — codeword
     * QUALITY needs only a representative sample, and every corpus
     * vector still gets encoded in the one full [[pqEncode]] pass.
@@ -419,8 +422,19 @@ object Similarity {
       val sumCols = (0 until sd).map(i =>
         sum(element_at(col("__sv"), i + 1)).as(s"__s$i")) :+
         count(lit(1)).as("__n")
+      // convergence early-stop: Lloyd's is at a fixed point as soon as
+      // one pass's per-(sub, cell) sums repeat the previous pass's —
+      // same assignments → same centroid update → cb unchanged, so
+      // every remaining pass would rescan the corpus to compute the
+      // identical cb. The comparison is driver-side arithmetic on the
+      // m·nCodes rows already collected per pass; breaking at the
+      // fixed point cannot change the result (the update is the
+      // identity there), so converged and maxIter-bounded fits hash
+      // identically.
+      var prevSums: Map[(Int, Int), Seq[Double]] = null
       var iter = 0
-      while (iter < maxIter) {
+      var converged = false
+      while (iter < maxIter && !converged) {
         // one pass: the native pq_assign emits ALL m cell ids per
         // row in one tight loop; zip with the subvectors, explode,
         // sum per (sub, cell) — m·nCodes groups, map-side combined,
@@ -433,12 +447,22 @@ object Similarity {
             col("__z.cd").as("__cell"))
         val sums = assigned.groupBy(col("__sub"), col("__cell"))
           .agg(sumCols.head, sumCols.tail: _*).collect()
-        sums.foreach { r =>
-          val n = r.getLong(sd + 2)
-          if (n > 0) cb(r.getInt(0))(r.getInt(1)) =
-            Array.tabulate(sd)(i => r.getDouble(i + 2) / n)
+        val sumsKey = sums.map(r => (r.getInt(0), r.getInt(1)) ->
+          ((0 until sd).map(i => r.getDouble(i + 2)) :+
+            r.getLong(sd + 2).toDouble)).toMap
+        if (sumsKey == prevSums) {
+          converged = true
+          System.err.println(s"[graft] pq fit converged after $iter/" +
+            s"$maxIter passes (assignments stable) — stopping early")
+        } else {
+          prevSums = sumsKey
+          sums.foreach { r =>
+            val n = r.getLong(sd + 2)
+            if (n > 0) cb(r.getInt(0))(r.getInt(1)) =
+              Array.tabulate(sd)(i => r.getDouble(i + 2) / n)
+          }
+          iter += 1
         }
-        iter += 1
       }
       (for (s <- 0 until m; c <- 0 until nCodes)
         yield (s, c, cb(s)(c).toSeq)).toDF("__sub", "__code",

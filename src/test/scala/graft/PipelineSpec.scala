@@ -1144,6 +1144,142 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(mergedSk == fullSk)
   }
 
+  test("DedupIndex.appendIvf/appendPq: frozen-fit append equals the " +
+      "full rebuild at full probe/candidates; geometry pinned; " +
+      "idempotent") {
+    val emb = Graft.table(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 =!= 0)
+    val queries = emb.filter($"vec_id" < 3)
+    val nAll = emb.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-annapp")
+      .toString
+    // full probing / full candidates make the result set exact for
+    // ANY centroid/codebook placement, so the appended index must
+    // reproduce brute force over the WHOLE corpus — an append that
+    // loses, duplicates, or mis-assigns the new drop cannot pass
+    val want = Similarity.bruteForceTopK(emb, queries, "embedding",
+      "vec_id", 5).collect().map(_.toString).sorted.toSeq
+
+    // IVF: build on the even half, append the odd half — only the new
+    // drop is scanned, assigned with the FROZEN centroids
+    val ip = s"$dir/ivf"
+    operators.DedupIndex.writeIvf(even, "embedding", "vec_id", ip,
+      nCentroids = 4, maxIter = 2)
+    operators.DedupIndex.appendIvf(odd, "embedding", "vec_id", ip,
+      nCentroids = 4)
+    val (cents, assigned) = operators.DedupIndex.readIvf(spark, ip,
+      nCentroids = 4)
+    assert(assigned.count() == nAll)
+    val gotIvf = Similarity.ivfTopKFromIndex(cents, assigned, queries,
+        "embedding", "vec_id", 5, nProbe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotIvf == want)
+    // re-appending the same drop is idempotent (distinct)
+    operators.DedupIndex.appendIvf(odd, "embedding", "vec_id", ip,
+      nCentroids = 4)
+    assert(operators.DedupIndex.readIvf(spark, ip, nCentroids = 4)
+      ._2.count() == nAll)
+    // mismatched geometry refused by the LIVE sidecar, before any work
+    val e1 = intercept[IllegalArgumentException] {
+      operators.DedupIndex.appendIvf(odd, "embedding", "vec_id", ip,
+        nCentroids = 8) }
+    assert(e1.getMessage.contains("rebuild"))
+
+    // PQ: codebooks stay frozen from the even-half fit; the append
+    // encodes the odd drop in one codes-only scan
+    val pp = s"$dir/pq"
+    operators.DedupIndex.writePq(even, "embedding", "vec_id", pp,
+      dim = 64, m = 8, nCodes = 4, maxIter = 2)
+    operators.DedupIndex.appendPq(odd, "embedding", "vec_id", pp,
+      dim = 64, m = 8, nCodes = 4)
+    val (codes, cb) = operators.DedupIndex.readPq(spark, pp, dim = 64,
+      m = 8, nCodes = 4)
+    assert(codes.count() == nAll)
+    assert(codes.columns.toSeq == Seq("neighbor_id", "__codes"),
+      "append must preserve the codes-only schema")
+    val gotPq = Similarity.pqTopKFromIndex(codes, cb, emb, queries,
+        "embedding", "vec_id", 5, dim = 64, nCandidates = 100000)
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotPq == want)
+    operators.DedupIndex.appendPq(odd, "embedding", "vec_id", pp,
+      dim = 64, m = 8, nCodes = 4)
+    assert(operators.DedupIndex.readPq(spark, pp, dim = 64, m = 8,
+      nCodes = 4)._1.count() == nAll)
+    val e2 = intercept[IllegalArgumentException] {
+      operators.DedupIndex.appendPq(odd, "embedding", "vec_id", pp,
+        dim = 64, m = 4, nCodes = 4) }
+    assert(e2.getMessage.contains("rebuild"))
+  }
+
+  test("DedupIndex reads race replaceWith's rename gap: old-or-new, " +
+      "never file-not-found") {
+    val docs = Graft.table(spark, sf, "documents").limit(40)
+      .select($"doc_id", $"text")
+    val refA = docs.filter($"doc_id" % 2 === 0)
+    val refB = docs.filter($"doc_id" % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-race")
+      .toString
+    val path = s"$dir/exact"
+    operators.DedupIndex.writeExact(refA, "text", path)
+    val setA = operators.DedupIndex.readExact(spark, path)
+      .collect().map(_.getString(0)).toSet
+    val setB = Dedup.exactReferenceIndex(refB, "text")
+      .collect().map(_.getString(0)).toSet
+
+    // deterministic gap: hold the index path ABSENT (the exact
+    // between-renames window of replaceWith, stretched to ~200 ms)
+    // while a reader opens — the bounded retry must ride it out and
+    // return the complete old index, not file-not-found
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(path + "__race_aside")
+    val reader = new java.util.concurrent.FutureTask(() =>
+      operators.DedupIndex.readExact(spark, path)
+        .collect().map(_.getString(0)).toSet)
+    assert(fsys.rename(p, aside))
+    new Thread(reader).start()
+    Thread.sleep(200)
+    assert(fsys.rename(aside, p))
+    assert(reader.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      == setA)
+
+    // racing loop: a writer swaps A↔B back-to-back while a reader
+    // polls the open path continuously — every open must land on a
+    // complete index generation, zero failures. (Opens resolve the
+    // sidecar + parquet schema; an execution pinned to one
+    // generation across a LATER swap is the documented out-of-scope
+    // caveat, so content equality is asserted in the deterministic
+    // half above where the file set is stable.)
+    @volatile var writerDone = false
+    @volatile var writerErr: Throwable = null
+    val writer = new Thread(() => {
+      try (1 to 4).foreach { i =>
+        val r = if (i % 2 == 1) refB else refA
+        operators.DedupIndex.replaceWith(spark, path)(
+          operators.DedupIndex.writeExact(r, "text", _))
+      } catch { case e: Throwable => writerErr = e }
+      finally writerDone = true
+    })
+    writer.start()
+    var reads = 0
+    var failures = List.empty[Throwable]
+    while (!writerDone) {
+      try {
+        operators.DedupIndex.readExact(spark, path)
+        reads += 1
+      } catch { case scala.util.control.NonFatal(e) => failures ::= e }
+    }
+    writer.join()
+    assert(writerErr == null, s"writer failed: $writerErr")
+    assert(failures.isEmpty,
+      s"reader failed ${failures.size}x: ${failures.headOption}")
+    assert(reads > 0)
+    assert(operators.DedupIndex.readExact(spark, path)
+      .collect().map(_.getString(0)).toSet == setA)
+  }
+
   test("DedupIndex: persisted indexes round-trip bit-identical and " +
       "refuse mismatched parameters or incomplete builds") {
     val docs = Graft.table(spark, sf, "documents").limit(100)
