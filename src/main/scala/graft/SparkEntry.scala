@@ -1826,6 +1826,28 @@ object SparkEntry {
         .orderBy(col("window_start_ms"))
     }),
 
+    // The SESSION spelling of the ingest-quality monitor (gap-merged
+    // "crawl burst" windows instead of a fixed grid), batch twin,
+    // driver-hash-gated: a session closes after 15 minutes of
+    // silence; its bounds are [first event, last event + gap). The
+    // oracle replays the gap-and-island construction in SQL (break
+    // when ts - lag(ts) >= gap, cumulative-sum session ids) with
+    // per-session COUNT(DISTINCT); k = 8192 ≥ any session's distinct
+    // users at gate sf keeps the KMV estimate exact. The streaming
+    // spelling (same code path — sessionWindow adapts) is spec-gated
+    // in StreamingSpec.
+    "d39_session_distinct_monitor" -> ((s, d) => {
+      val ds = api.DataStream(t(s, d, "events"), "ts")
+      ds.distinctMonitorSession("user_id", "15 minutes", k = 8192).df
+        .select(unix_millis(col("window_start_time"))
+            .as("window_start_ms"),
+          unix_millis(col("window_end_time")).as("window_end_ms"),
+          col("n_rows"),
+          col("n_distinct_est").cast("long").as("n_distinct"),
+          col("dup_rate"))
+        .orderBy(col("window_start_ms"))
+    }),
+
     // KMV bottom-k sketch, per-group distinct counts: k = 4096
     // exceeds every group's true distinct count at the gate sf, so
     // the sketch holds the complete distinct hash set and the
@@ -3369,6 +3391,29 @@ object SparkEntry {
         |    AS dup_rate
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start_ms""".stripMargin,
+
+    "d39_session_distinct_monitor" ->
+      """WITH d AS (
+        |  SELECT ts, user_id,
+        |    CASE WHEN lag(ts) OVER (ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (ORDER BY ts)
+        |                >= INTERVAL 15 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT ts, user_id,
+        |    sum(brk) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |      AS sid
+        |  FROM d),
+        |g AS (
+        |  SELECT sid, min(ts) AS st, max(ts) AS en,
+        |    count(*) AS n_rows, COUNT(DISTINCT user_id) AS n_distinct
+        |  FROM s GROUP BY sid)
+        |SELECT epoch_ms(st) AS window_start_ms,
+        |  epoch_ms(en + INTERVAL 15 MINUTE) AS window_end_ms,
+        |  n_rows, n_distinct,
+        |  round(1 - n_distinct::DOUBLE / n_rows, 6) AS dup_rate
+        |FROM g ORDER BY window_start_ms""".stripMargin,
 
     "d36_kmv_overlap" ->
       """WITH a AS (SELECT DISTINCT text FROM documents),

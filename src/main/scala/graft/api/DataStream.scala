@@ -541,12 +541,52 @@ final case class DataStream(
     */
   def distinctMonitor(valueCol: String, length: String,
                       slide: Option[String] = None,
-                      k: Int = 1024): DataStream = {
+                      k: Int = 1024): DataStream =
+    finishDistinctMonitor(window(Seq.empty,
+      distinctMonitorAggs(valueCol, k), length, slide), k)
+
+  /** [[distinctMonitor]] over gap-merged SESSION windows instead of a
+    * fixed grid — the "crawl burst" shape: one monitor row per
+    * activity burst (a session ends after `gap` of silence), carrying
+    * the burst's row count, KMV distinct estimate, and dup rate.
+    * Same bounded state story as the tumbling spelling: one ≤ k-long
+    * sketch buffer + a count per OPEN session; Spark's session state
+    * merges sketches as sessions merge ([[graft.operators.Sketches
+    * .kmvSketch]] partials compose), and a session's state is
+    * dropped once the watermark closes it.
+    */
+  def distinctMonitorSession(valueCol: String, gap: String,
+                             k: Int = 1024): DataStream =
+    finishDistinctMonitor(sessionWindow(monitorSessionKey(valueCol),
+      distinctMonitorAggs(valueCol, k), gap), k)
+
+  /** Streaming session aggregation must be keyed (Spark rejects the
+    * global form — "Global aggregation with session window … is not
+    * supported"), so the session monitors group on a CONSTANT key
+    * (dropped from the output by the finishers' explicit selects).
+    * The key must be NON-FOLDABLE: a plain literal is stripped from
+    * the grouping by `RemoveLiteralFromGroupExpressions` and the plan
+    * degenerates back to the rejected global form — hence the
+    * column-anchored always-zero spelling. Consequence at scale: all
+    * session-merge state rides one key — fine for these monitors
+    * because per-session state is one ≤ k sketch (not the ingest
+    * rows; partials still combine map-side), but a per-tenant/
+    * per-source monitor should shard by a real key instead of
+    * multiplexing through this one.
+    */
+  private def monitorSessionKey(anchorCol: String): Seq[Column] =
+    Seq((xxhash64(col(anchorCol)) * lit(0)).as("__gk"))
+
+  private def distinctMonitorAggs(valueCol: String,
+                                  k: Int): Seq[Column] = {
     import graft.operators.Sketches
-    val monitored = window(Seq.empty,
-      Seq(count(lit(1)).as("n_rows"),
-        Sketches.kmvSketch(col(valueCol), k).as("__sk")),
-      length, slide)
+    Seq(count(lit(1)).as("n_rows"),
+      Sketches.kmvSketch(col(valueCol), k).as("__sk"))
+  }
+
+  private def finishDistinctMonitor(monitored: DataStream,
+                                    k: Int): DataStream = {
+    import graft.operators.Sketches
     val est = Sketches.kmvDistinct(col("__sk"), k)
     // clamp at 0: the saturated-regime estimator's ~1/√(k−2) error
     // can read a few % above n_rows, and a negative duplication RATE
@@ -572,11 +612,27 @@ final case class DataStream(
     */
   def trendingMonitor(itemCol: String, length: String,
                       slide: Option[String] = None,
-                      capacity: Int = 4096, k: Int = 10): DataStream = {
-    val monitored = window(Seq.empty,
+                      capacity: Int = 4096, k: Int = 10): DataStream =
+    finishTrendingMonitor(window(Seq.empty,
       Seq(graft.functions.freq_sketch(col(itemCol), capacity)
-        .as("__fs")),
-      length, slide)
+        .as("__fs")), length, slide), k)
+
+  /** [[trendingMonitor]] over gap-merged SESSION windows — per
+    * activity burst, the top-`k` items by Misra–Gries bounded
+    * summary. State per open session stays ≤ `capacity` counters
+    * (MG summaries merge as sessions merge — the
+    * Agarwal-et-al merge [[graft.expressions.FreqSketchAgg]]
+    * implements is exactly Spark's session-state combine step).
+    */
+  def trendingMonitorSession(itemCol: String, gap: String,
+                             capacity: Int = 4096,
+                             k: Int = 10): DataStream =
+    finishTrendingMonitor(sessionWindow(monitorSessionKey(itemCol),
+      Seq(graft.functions.freq_sketch(col(itemCol), capacity)
+        .as("__fs")), gap), k)
+
+  private def finishTrendingMonitor(monitored: DataStream,
+                                    k: Int): DataStream = {
     // bounded-map top-k: sort entries by (count desc, item asc) via
     // a (-count, item) struct sort, keep k, explode with rank
     val ranked = slice(array_sort(transform(

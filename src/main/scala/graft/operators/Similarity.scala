@@ -522,16 +522,51 @@ object Similarity {
     * set is everything and the output EQUALS exact brute-force top-k
     * (the driver-gate regime); at partial nCandidates recall follows
     * PQ's quantization error while precision stays exact.
+    *
+    * Query-batch regimes: the broadcast spelling is right for the
+    * few-queries-over-a-big-corpus shape (each query ships one
+    * m × nCodes table; the corpus never moves), but it carries
+    * |Q| · (m·nCodes·8 B) dist tables and later |Q| · nCandidates
+    * candidate ids through the DRIVER — a million-query batch would
+    * blow both broadcasts. Above `broadcastMaxQueries` (one cheap
+    * count on the query ids decides) the operator switches to the
+    * partitioned spelling: the dist-table projection materializes
+    * behind one exchange (computed once, re-read per pairing), the
+    * ADC scan becomes a shuffle-replicate cartesian over
+    * corpus-partitions × query-partitions, and the re-rank joins
+    * shuffle on their keys instead of broadcasting per-query state —
+    * nothing query-batch-sized ever sits on the driver. Output is
+    * identical in both regimes (spec-pinned); AQE may still
+    * broadcast a runtime-small join side, which is the size-gated
+    * decision the static spelling cannot make.
     */
   def pqTopKFromIndex(encoded: DataFrame,
                       cb: Array[Array[Array[Double]]],
                       corpus: DataFrame, queries: DataFrame,
                       embCol: String, idCol: String, k: Int, dim: Int,
-                      nCandidates: Int = 100): DataFrame = {
+                      nCandidates: Int = 100,
+                      broadcastMaxQueries: Int = 50000): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
         col(embCol).as("__qe"),
         graft.functions.pq_dist_table(col(embCol), cb).as("__dtab"))
-    val scored = encoded.crossJoin(broadcast(q.drop("__qe")))
+    // column-pruned count: only the id column reaches the scan
+    val nQ = queries.select(col(idCol)).count()
+    val small = nQ <= broadcastMaxQueries
+    val qd = q.drop("__qe")
+    val scoredJoin =
+      if (small) encoded.crossJoin(broadcast(qd))
+      else {
+        // ~broadcastMaxQueries queries per partition; the exchange
+        // materializes the dist-table projection once (the cartesian
+        // re-reads shuffle blocks per pairing, never recomputes)
+        val nShuffle = encoded.sparkSession.sessionState.conf
+          .numShufflePartitions
+        val qParts = math.min(nShuffle.toLong,
+          (nQ - 1) / broadcastMaxQueries + 1).toInt
+        encoded.crossJoin(
+          qd.repartition(qParts).hint("shuffle_replicate_nl"))
+      }
+    val scored = scoredJoin
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__approx",
         graft.functions.pq_adc(col("__codes"), col("__dtab")))
@@ -556,13 +591,18 @@ object Similarity {
       .withColumn("__cr", row_number().over(candW))
       .filter(col("__cr") <= nCandidates)
       .select(col("query_id"), col("neighbor_id"))
-    // exact re-rank: only the candidates' vectors are read — the
-    // candidate set broadcasts, the corpus side stays a scan
+    // exact re-rank: only the candidates' vectors are read — in the
+    // small regime the candidate set broadcasts so the corpus side
+    // stays a scan; in the large regime |Q|·nCandidates ids would
+    // blow the broadcast, so both joins shuffle on their keys
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(embCol).as("__ce"))
-    val cands = c.join(broadcast(candIds), Seq("neighbor_id"))
-      .join(broadcast(q.select(col("query_id"), col("__qe"))),
-        Seq("query_id"))
+    val qe = q.select(col("query_id"), col("__qe"))
+    val cands = (if (small)
+        c.join(broadcast(candIds), Seq("neighbor_id"))
+          .join(broadcast(qe), Seq("query_id"))
+      else
+        c.join(candIds, Seq("neighbor_id")).join(qe, Seq("query_id")))
       .withColumn("cos",
         round(graft.functions.cosine_similarity(col("__qe"),
           col("__ce")), 6))
@@ -579,11 +619,13 @@ object Similarity {
              idCol: String, k: Int, dim: Int, m: Int = 8,
              nCodes: Int = 16, nCandidates: Int = 100,
              seed: Long = 42L, maxIter: Int = 20,
-             fitSampleFraction: Double = 1.0): DataFrame = {
+             fitSampleFraction: Double = 1.0,
+             broadcastMaxQueries: Int = 50000): DataFrame = {
     val cb = collectCodebooks(
       fitPqCodebooks(corpus, embCol, dim, m, nCodes, seed, maxIter,
         fitSampleFraction), m, nCodes)
     pqTopKFromIndex(pqEncode(corpus, embCol, idCol, cb, dim), cb,
-      corpus, queries, embCol, idCol, k, dim, nCandidates)
+      corpus, queries, embCol, idCol, k, dim, nCandidates,
+      broadcastMaxQueries)
   }
 }

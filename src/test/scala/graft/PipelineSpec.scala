@@ -711,6 +711,35 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pqTopKFromIndex large-query-batch regime: 60k queries run " +
+      "the partitioned (non-broadcast) spelling and match the " +
+      "broadcast path exactly") {
+    val emb = Graft.table(spark, sf, "embeddings")
+      .filter($"vec_id" < 100).select($"vec_id", $"embedding")
+    val cb = Similarity.collectCodebooks(
+      Similarity.fitPqCodebooks(emb, "embedding", dim = 64, m = 8,
+        nCodes = 4, maxIter = 2), 8, 4)
+    val encoded = Similarity.pqEncode(emb, "embedding", "vec_id", cb,
+      64)
+    // 100 base vectors × 600 replicas = 60k queries, distinct ids —
+    // the shape whose per-query dist tables + candidate ids must NOT
+    // ride the driver as broadcasts
+    val qBig = emb.crossJoin(
+        spark.range(600).select($"id".as("__rep")))
+      .select(($"vec_id" + $"__rep" * 1000000L).as("vec_id"),
+        $"embedding")
+    val large = Similarity.pqTopKFromIndex(encoded, cb, emb, qBig,
+      "embedding", "vec_id", k = 3, dim = 64, nCandidates = 10)
+    // same call forced through the broadcast spelling — outputs must
+    // be identical (both regimes are deterministic)
+    val small = Similarity.pqTopKFromIndex(encoded, cb, emb, qBig,
+      "embedding", "vec_id", k = 3, dim = 64, nCandidates = 10,
+      broadcastMaxQueries = Int.MaxValue)
+    assert(large.count() == 60000L * 3)
+    assert(large.exceptAll(small).count() == 0)
+    assert(small.exceptAll(large).count() == 0)
+  }
+
   test("readPq refuses a parameter-mismatched index") {
     val emb = Graft.table(spark, sf, "embeddings").limit(50)
     val dir = java.nio.file.Files

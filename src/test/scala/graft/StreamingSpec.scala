@@ -547,6 +547,64 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("distinctMonitorSession: per gap-merged session rows/distinct/" +
+      "dup rate, exact in the unsaturated regime") {
+    val (input, ds) = measurementStream()
+    val q = ds.distinctMonitorSession("sensor_name", "5 seconds")
+      .sinkMemory("sess_monitor_out")
+    try {
+      // burst 1: events at 0/3/6/6 s (gaps < 5 s merge) → session
+      // [0, 11 s), 4 rows over 2 distinct sensors → dup_rate 0.5
+      input.addData(
+        Measurement(0, "a", 1.0), Measurement(3000, "a", 2.0),
+        Measurement(6000, "b", 3.0), Measurement(6000, "a", 4.0))
+      // burst 2: 20/21 s → session [20, 26 s), all distinct
+      input.addData(
+        Measurement(20000, "c", 1.0), Measurement(21000, "d", 1.0))
+      q.processAllAvailable()
+      // advance the watermark past both session ends (append emits
+      // a session only once it can no longer grow)
+      input.addData(Measurement(90000, "z", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_monitor_out")
+        .orderBy("window_start_time")
+        .select($"window_start_time".cast("long"),
+          $"window_end_time".cast("long"), $"n_rows",
+          $"n_distinct_est", $"dup_rate")
+        .as[(Long, Long, Long, Double, Double)].collect().toList
+      assert(rows == List((0L, 11L, 4L, 2.0, 0.5),
+        (20L, 26L, 2L, 2.0, 0.0)))
+    } finally q.stop()
+  }
+
+  test("trendingMonitorSession: per-session top-k; MG summaries merge " +
+      "as micro-batch sub-sessions merge") {
+    val (input, ds) = measurementStream()
+    val q = ds.trendingMonitorSession("sensor_name", "5 seconds",
+        k = 2).sinkMemory("sess_trending_out")
+    try {
+      // ONE burst delivered across TWO micro-batches whose halves
+      // overlap in session time — Spark must merge the open session's
+      // state, i.e. the Misra–Gries summary's merge path runs
+      input.addData(Measurement(0, "a", 1.0),
+        Measurement(2000, "b", 1.0), Measurement(4000, "a", 1.0))
+      q.processAllAvailable()
+      input.addData(Measurement(6000, "a", 1.0),
+        Measurement(8000, "b", 1.0))
+      q.processAllAvailable()
+      input.addData(Measurement(90000, "z", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_trending_out")
+        .orderBy("window_start_time", "rank")
+        .select($"window_start_time".cast("long"),
+          $"window_end_time".cast("long"), $"rank", $"item",
+          $"count_min", $"err")
+        .as[(Long, Long, Long, String, Long, Long)].collect().toList
+      assert(rows == List((0L, 13L, 1L, "a", 3L, 0L),
+        (0L, 13L, 2L, "b", 2L, 0L)))
+    } finally q.stop()
+  }
+
   test("trendingMonitor: an all-null-items window still EMITS (a " +
       "schema break upstream must alarm, not vanish)") {
     val input = MemoryStream[(Long, Option[String])](spark)
