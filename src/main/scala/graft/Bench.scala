@@ -101,6 +101,53 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Streaming cross-drop overlap monitor: per-hour overlap of the
+    // incoming users against a frozen prior-drop KMV sketch (built
+    // OUTSIDE the timed region — a once-per-drop ingest artifact);
+    // per-window cost over distinctMonitor is pure arithmetic on the
+    // window sketch vs a ≤ k literal array
+    def streamingOverlapMonitorOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      System.gc()
+      Thread.sleep(300)
+      val tmpIdx = java.nio.file.Files
+        .createTempDirectory("graft-bench-ovm").toString + "/idx"
+      try {
+        val evStatic = Graft.normalizeTs(
+          spark.read.parquet(s"$sfDir/events.parquet"))
+        graft.operators.DedupIndex.writeKmv(
+          evStatic.filter(unix_millis(col("ts")) < 1705276800000L)
+            .select(col("user_id")),
+          "user_id", tmpIdx, k = 8192)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] overlap baseline failed: " +
+            e.getMessage)
+          return -1.0
+      }
+      val t0 = System.nanoTime()
+      try {
+        val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+        val src = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir)
+        val q = graft.api.DataStream(Graft.normalizeTs(src), "ts")
+          .overlapMonitor("user_id", "1 hour", tmpIdx, k = 8192)
+          .sinkMemory("bench_overlap")
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          spark.sql("DROP TABLE IF EXISTS bench_overlap")
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] overlap monitor failed: " +
+            e.getMessage)
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Streaming trending-items monitor: per-hour top event types by
     // Misra–Gries bounded summary
     def streamingTrendingMonitorOnce(): Double = {
@@ -412,6 +459,7 @@ object Bench {
         "streaming_embdedup" -> (() => streamingEmbDedupOnce()),
         "streaming_distinct_monitor" -> (() => streamingDistinctMonitorOnce()),
         "streaming_trending_monitor" -> (() => streamingTrendingMonitorOnce()),
+        "streaming_overlap_monitor" -> (() => streamingOverlapMonitorOnce()),
         "exact_window_explode" -> (() => exactWindowOnce(pane = false)),
         "exact_window_pane" -> (() => exactWindowOnce(pane = true)),
         "blocklist_sparse" -> (() => blocklistSparseOnce()),

@@ -1848,6 +1848,38 @@ object SparkEntry {
         .orderBy(col("window_start_ms"))
     }),
 
+    // The cross-drop overlap monitor's BATCH twin, driver-hash-gated:
+    // the first half-month of events is sketched ONCE
+    // (DedupIndex.writeKmv — the "prior drop" artifact), then the
+    // per-day monitor reports each day's distinct users and how many
+    // of them already appeared in the baseline — pure arithmetic
+    // between the window sketch and the frozen ≤ k array, never a
+    // join. k = 8192 ≥ every union's distinct count at gate sf keeps
+    // all estimates exact, so the oracle is per-day COUNT(DISTINCT)
+    // with an IN-baseline filter. overlap_frac is recomputed from
+    // the exact long counts on BOTH sides so the compare never rides
+    // the estimator's last-ulp.
+    "d40_overlap_monitor" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-d40").toString + "/idx"
+      operators.DedupIndex.writeKmv(
+        ev.filter(unix_millis(col("ts")) < lit(1705276800000L))
+          .select(col("user_id")),
+        "user_id", tmp, k = 8192)
+      api.DataStream(ev, "ts")
+        .overlapMonitor("user_id", "1 day", tmp, k = 8192).df
+        .select(unix_millis(col("window_start_time"))
+            .as("window_start_ms"),
+          unix_millis(col("window_end_time")).as("window_end_ms"),
+          col("n_rows"),
+          col("n_distinct_est").cast("long").as("n_distinct"),
+          col("n_overlap_est").cast("long").as("n_overlap"))
+        .withColumn("overlap_frac",
+          round(col("n_overlap").cast("double") / col("n_distinct"), 6))
+        .orderBy(col("window_start_ms"))
+    }),
+
     // KMV bottom-k sketch, per-group distinct counts: k = 4096
     // exceeds every group's true distinct count at the gate sf, so
     // the sketch holds the complete distinct hash set and the
@@ -3413,6 +3445,22 @@ object SparkEntry {
         |  epoch_ms(en + INTERVAL 15 MINUTE) AS window_end_ms,
         |  n_rows, n_distinct,
         |  round(1 - n_distinct::DOUBLE / n_rows, 6) AS dup_rate
+        |FROM g ORDER BY window_start_ms""".stripMargin,
+
+    "d40_overlap_monitor" ->
+      """WITH base AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE epoch_ms(ts) < 1705276800000),
+        |g AS (
+        |  SELECT date_trunc('day', ts) AS d, count(*) AS n_rows,
+        |    COUNT(DISTINCT user_id) AS n_distinct,
+        |    COUNT(DISTINCT CASE WHEN user_id IN
+        |      (SELECT user_id FROM base) THEN user_id END) AS n_overlap
+        |  FROM events GROUP BY 1)
+        |SELECT epoch_ms(d) AS window_start_ms,
+        |  epoch_ms(d + INTERVAL 1 DAY) AS window_end_ms,
+        |  n_rows, n_distinct, n_overlap,
+        |  round(n_overlap::DOUBLE / n_distinct, 6) AS overlap_frac
         |FROM g ORDER BY window_start_ms""".stripMargin,
 
     "d36_kmv_overlap" ->

@@ -577,6 +577,44 @@ final case class DataStream(
   private def monitorSessionKey(anchorCol: String): Seq[Column] =
     Seq((xxhash64(col(anchorCol)) * lit(0)).as("__gk"))
 
+  /** Streaming cross-drop overlap monitor — the "how much of today's
+    * crawl is last month's" alarm: per event-time window, the row
+    * count, the KMV distinct estimate of `valueCol`, the estimated
+    * overlap with a FROZEN prior-corpus sketch
+    * ([[graft.operators.DedupIndex.writeKmv]], built once at that
+    * drop's ingest), and the overlap fraction of this window's
+    * distinct values. Everything beyond the window's own sketch is
+    * arithmetic: the baseline rides along as a ≤ k-long literal
+    * array — the prior corpus is never rescanned and never joined —
+    * and streaming state stays ONE bounded sketch buffer plus a
+    * count per window, exactly [[distinctMonitor]]'s story. k is
+    * pinned by the baseline's sidecar (a mismatched k silently
+    * breaks the estimator, so it refuses like every index read).
+    * Estimates are exact in the unsaturated regime (k ≥ distinct of
+    * window ∪ baseline — the gate regime); beyond it each carries
+    * the ~1/√(k−2) KMV error, with `overlap_frac` clamped to [0, 1].
+    */
+  def overlapMonitor(valueCol: String, length: String,
+                     baselinePath: String,
+                     slide: Option[String] = None,
+                     k: Int = 1024): DataStream = {
+    import graft.operators.{DedupIndex, Sketches}
+    val baseSketch: Seq[Long] =
+      DedupIndex.readKmv(df.sparkSession, baselinePath, k)
+        .head().getSeq[Long](0)
+    val base = typedLit(baseSketch)
+    val monitored = window(Seq.empty,
+      distinctMonitorAggs(valueCol, k), length, slide)
+    val est = Sketches.kmvDistinct(col("__sk"), k)
+    val inter = Sketches.kmvIntersect(col("__sk"), base, k)
+    monitored.select(col("window_start_time"), col("window_end_time"),
+      col("n_rows"), round(est, 6).as("n_distinct_est"),
+      round(inter, 6).as("n_overlap_est"),
+      when(est === 0.0, lit(0.0)).otherwise(
+        least(lit(1.0), greatest(lit(0.0), round(inter / est, 6))))
+        .as("overlap_frac"))
+  }
+
   private def distinctMonitorAggs(valueCol: String,
                                   k: Int): Seq[Column] = {
     import graft.operators.Sketches

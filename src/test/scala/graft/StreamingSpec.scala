@@ -605,6 +605,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("overlapMonitor: per-window overlap vs a frozen prior-drop " +
+      "sketch, exact in the unsaturated regime; k pinned by the " +
+      "baseline sidecar") {
+    // the "prior drop": users a/b/c, sketched once at its ingest
+    val idx = java.nio.file.Files.createTempDirectory("graft-ovm")
+      .toString + "/idx"
+    graft.operators.DedupIndex.writeKmv(
+      Seq("a", "b", "c").toDF("u"), "u", idx, k = 64)
+    val (input, ds) = measurementStream()
+    val q = ds.overlapMonitor("sensor_name", "10 seconds", idx, k = 64)
+      .sinkMemory("overlap_out")
+    try {
+      // window [0,10 s): a,b,d,d → 3 distinct, 2 already in baseline
+      input.addData(
+        Measurement(1000, "a", 1.0), Measurement(2000, "b", 1.0),
+        Measurement(3000, "d", 1.0), Measurement(4000, "d", 1.0))
+      // window [10,20 s): e,f → zero overlap
+      input.addData(
+        Measurement(11000, "e", 1.0), Measurement(12000, "f", 1.0))
+      q.processAllAvailable()
+      input.addData(Measurement(25000, "z", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("overlap_out")
+        .orderBy("window_start_time")
+        .select("n_rows", "n_distinct_est", "n_overlap_est",
+          "overlap_frac")
+        .as[(Long, Double, Double, Double)].collect().toList
+      assert(rows == List((4L, 3.0, 2.0, 0.666667),
+        (2L, 2.0, 0.0, 0.0)))
+    } finally q.stop()
+
+    // a monitor asked to run at a different k than the baseline was
+    // sketched with must refuse (the estimator silently breaks on
+    // mismatched k), like every other index read
+    val e = intercept[IllegalArgumentException] {
+      ds.overlapMonitor("sensor_name", "10 seconds", idx, k = 128)
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   test("trendingMonitor: an all-null-items window still EMITS (a " +
       "schema break upstream must alarm, not vanish)") {
     val input = MemoryStream[(Long, Option[String])](spark)
