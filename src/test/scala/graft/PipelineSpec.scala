@@ -740,6 +740,83 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(small.exceptAll(large).count() == 0)
   }
 
+  test("similarity adversarial shapes: all-identical corpus (every " +
+      "candidate ties / one mega LSH bucket), zero-vector queries, " +
+      "degenerate PQ value space — deterministic id-ordered output " +
+      "or a loud refusal, never arbitrary results") {
+    val n = 40
+    val vec = Seq.fill(64)(0.5)
+    val ident = spark.range(n).select($"id".as("vec_id"),
+      typedLit(vec).as("embedding"))
+    val q3 = ident.filter($"vec_id" < 3)
+
+    // all-identical corpus: every candidate ties on cos — the rank
+    // order must fall through to neighbor_id, so query q's top-3 is
+    // exactly the three smallest ids excluding q, twice over (two
+    // runs → identical rows: no partitioning-dependent tie outcomes)
+    def expect3(qid: Long): Seq[(Long, Int, Long)] =
+      (0L until n).filter(_ != qid).sorted.take(3)
+        .zipWithIndex.map { case (nb, i) => (qid, i + 1, nb) }
+    val wantTies = (0L until 3L).flatMap(expect3)
+    def runBrute(): Seq[(Long, Int, Long)] =
+      Similarity.bruteForceTopK(ident, q3, "embedding", "vec_id", 3)
+        .select($"query_id", $"rank", $"neighbor_id")
+        .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(runBrute() == wantTies)
+    assert(runBrute() == wantTies)
+
+    // the same corpus puts EVERY row in one bucket per LSH table (the
+    // mega-bucket shape): candidates = everything, output must equal
+    // brute force, not depend on which duplicate bucket row survives
+    val lsh = Similarity.lshTopK(ident, q3, "embedding", "vec_id", 3,
+        nPlanes = 6, dim = 64, nTables = 2, probeHamming = 0)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(lsh == wantTies)
+
+    // zero-vector queries: cosine is undefined (NULL), so ranking
+    // falls through to neighbor_id — deterministic, never a crash;
+    // embeddingStats is the documented upstream quarantine
+    val zeroQ = spark.range(2).select(($"id" + 1000L).as("vec_id"),
+      typedLit(Seq.fill(64)(0.0)).as("embedding"))
+    val zr = Similarity.bruteForceTopK(ident, zeroQ, "embedding",
+        "vec_id", 2)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .collect()
+    assert(zr.length == 4)
+    assert(zr.forall(_.isNullAt(3)), "zero-query cosine must be NULL")
+    assert(zr.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq ==
+      Seq((1000L, 1, 0L), (1000L, 2, 1L), (1001L, 1, 0L),
+        (1001L, 2, 1L)))
+
+    // PQ on a value space smaller than the codebook (the all-identical
+    // extreme): the fit REFUSES loudly instead of minting degenerate
+    // duplicate codewords
+    val e = intercept[IllegalArgumentException] {
+      Similarity.fitPqCodebooks(ident, "embedding", dim = 64, m = 2,
+        nCodes = 2, maxIter = 1) }
+    assert(e.getMessage.contains("lower nCodes"))
+
+    // PQ on the mega-DUPLICATE shape (two distinct vectors, 20 copies
+    // each): codebook fills, every within-group candidate ties, and
+    // full-candidate output equals brute force exactly
+    val two = spark.range(n).select($"id".as("vec_id"),
+      when(pmod($"id", lit(2)) === 0, typedLit(vec))
+        .otherwise(typedLit(Seq.fill(32)(0.25) ++ Seq.fill(32)(0.75)))
+        .as("embedding"))
+    val qt = two.filter($"vec_id" < 3)
+    val wantTwo = Similarity.bruteForceTopK(two, qt, "embedding",
+        "vec_id", 3)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val gotTwo = Similarity.pqTopK(two, qt, "embedding", "vec_id", 3,
+        dim = 64, m = 2, nCodes = 2, nCandidates = n + 1, maxIter = 2)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(gotTwo == wantTwo)
+  }
+
   test("readPq refuses a parameter-mismatched index") {
     val emb = Graft.table(spark, sf, "embeddings").limit(50)
     val dir = java.nio.file.Files
