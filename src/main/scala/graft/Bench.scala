@@ -175,6 +175,48 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Streaming distribution-drift monitor: per-hour histogram of
+    // event values vs a frozen baseline (fractions computed OUTSIDE
+    // the timed region — a once-per-drop artifact); per-window state
+    // is B+2 plain counts, the cheapest of the monitor family
+    def streamingDriftMonitorOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      System.gc()
+      Thread.sleep(300)
+      val bounds = Seq(10.0, 25.0, 50.0, 100.0, 200.0)
+      val fracs =
+        try graft.operators.Drift.histFractions(
+          Graft.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+            .filter(unix_millis(col("ts")) < 1705276800000L),
+          "value", bounds).toSeq
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] drift baseline failed: " +
+              e.getMessage)
+            return -1.0
+        }
+      val t0 = System.nanoTime()
+      try {
+        val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+        val src = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir)
+        val q = graft.api.DataStream(Graft.normalizeTs(src), "ts")
+          .driftMonitor("value", "1 hour", bounds, fracs)
+          .sinkMemory("bench_drift")
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          spark.sql("DROP TABLE IF EXISTS bench_drift")
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] drift monitor failed: ${e.getMessage}")
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Pane-vs-explode cost on the custom exact-emission operator at a
     // 12:1 length/slide ratio (1h windows sliding by 5min): the pane
     // form ships each row once and merges 12 pane partials at emission;
@@ -460,6 +502,7 @@ object Bench {
         "streaming_distinct_monitor" -> (() => streamingDistinctMonitorOnce()),
         "streaming_trending_monitor" -> (() => streamingTrendingMonitorOnce()),
         "streaming_overlap_monitor" -> (() => streamingOverlapMonitorOnce()),
+        "streaming_drift_monitor" -> (() => streamingDriftMonitorOnce()),
         "exact_window_explode" -> (() => exactWindowOnce(pane = false)),
         "exact_window_pane" -> (() => exactWindowOnce(pane = true)),
         "blocklist_sparse" -> (() => blocklistSparseOnce()),

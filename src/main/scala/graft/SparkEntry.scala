@@ -1880,6 +1880,73 @@ object SparkEntry {
         .orderBy(col("window_start_ms"))
     }),
 
+    // The distribution-drift monitor's BATCH twin, driver-hash-gated:
+    // per-hour histogram of events.value over fixed bucket boundaries
+    // vs the first half-month's EXACT baseline fractions
+    // (Drift.histFractions — computed from the same parquet the
+    // oracle reads, both sides exact long counts / double division).
+    // The gate hashes tvd and max_shift — pure IEEE arithmetic with
+    // term order matched between the Spark fold and the SQL
+    // expression — while psi (which rides ln, not bit-pinned across
+    // math libraries) is spec-gated in DriftSpec instead. The
+    // streaming spelling (same code path — window() adapts) is
+    // spec-gated in StreamingSpec; the persisted-baseline path
+    // (writeHist/readHist quantile boundaries) in PipelineSpec.
+    "d41_drift_monitor" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val bounds = Seq(10.0, 25.0, 50.0, 100.0, 200.0)
+      val fracs = operators.Drift.histFractions(
+        ev.filter(unix_millis(col("ts")) < lit(1705276800000L)),
+        "value", bounds)
+      api.DataStream(ev, "ts")
+        .driftMonitor("value", "1 hour", bounds, fracs.toSeq).df
+        .select(unix_millis(col("window_start_time"))
+            .as("window_start_ms"),
+          unix_millis(col("window_end_time")).as("window_end_ms"),
+          col("n_rows"), col("n_null"), col("tvd"), col("max_shift"))
+        .orderBy(col("window_start_ms"))
+    }),
+
+    // The CATEGORICAL drift monitor's BATCH twin, driver-hash-gated:
+    // per-hour event_type mix vs the first half-month's top-3
+    // category fractions (Drift.categoryFractions — ties rank
+    // (count desc, category asc) on both sides), everything else
+    // pooling under __other__. Same exact-arithmetic hash story as
+    // d41; term order in the oracle matches the baseline-seq fold.
+    "d42_category_drift_monitor" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val baseline = operators.Drift.categoryFractions(
+        ev.filter(unix_millis(col("ts")) < lit(1705276800000L)),
+        "event_type", topN = 3)
+      api.DataStream(ev, "ts")
+        .categoryDriftMonitor("event_type", "1 hour", baseline).df
+        .select(unix_millis(col("window_start_time"))
+            .as("window_start_ms"),
+          unix_millis(col("window_end_time")).as("window_end_ms"),
+          col("n_rows"), col("n_null"), col("tvd"), col("max_shift"))
+        .orderBy(col("window_start_ms"))
+    }),
+
+    // The per-GROUP drift report — "WHICH crawl sources diverge from
+    // the corpus length distribution" (the monitors answer WHEN, this
+    // answers WHERE): one row per source with its n_chars histogram's
+    // tvd/max_shift vs the whole-corpus baseline over fixed
+    // boundaries. Same exact-arithmetic hash story as d41 (psi
+    // spec-gated in DriftSpec).
+    "d43_drift_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bounds = Seq(150.0, 250.0, 350.0, 450.0)
+      val fracs = operators.Drift.histFractions(
+        docs.withColumn("len", col("n_chars").cast("double")),
+        "len", bounds)
+      operators.Drift.driftReport(
+          docs.withColumn("len", col("n_chars").cast("double")),
+          Seq("source"), "len", bounds, fracs.toSeq)
+        .select(col("source"), col("n_rows"), col("n_null"),
+          col("tvd"), col("max_shift"))
+        .orderBy(col("source"))
+    }),
+
     // KMV bottom-k sketch, per-group distinct counts: k = 4096
     // exceeds every group's true distinct count at the gate sf, so
     // the sketch holds the complete distinct hash set and the
@@ -3462,6 +3529,132 @@ object SparkEntry {
         |  n_rows, n_distinct, n_overlap,
         |  round(n_overlap::DOUBLE / n_distinct, 6) AS overlap_frac
         |FROM g ORDER BY window_start_ms""".stripMargin,
+
+    "d41_drift_monitor" ->
+      """WITH base AS (
+        |  SELECT value FROM events
+        |  WHERE epoch_ms(ts) < 1705276800000 AND value IS NOT NULL),
+        |bt AS (SELECT count(*)::DOUBLE AS t FROM base),
+        |f AS (SELECT
+        |  (SELECT count(*) FROM base WHERE value < 10)::DOUBLE
+        |    / (SELECT t FROM bt) AS f0,
+        |  (SELECT count(*) FROM base
+        |     WHERE value >= 10 AND value < 25)::DOUBLE
+        |    / (SELECT t FROM bt) AS f1,
+        |  (SELECT count(*) FROM base
+        |     WHERE value >= 25 AND value < 50)::DOUBLE
+        |    / (SELECT t FROM bt) AS f2,
+        |  (SELECT count(*) FROM base
+        |     WHERE value >= 50 AND value < 100)::DOUBLE
+        |    / (SELECT t FROM bt) AS f3,
+        |  (SELECT count(*) FROM base
+        |     WHERE value >= 100 AND value < 200)::DOUBLE
+        |    / (SELECT t FROM bt) AS f4,
+        |  (SELECT count(*) FROM base WHERE value >= 200)::DOUBLE
+        |    / (SELECT t FROM bt) AS f5),
+        |w AS (SELECT date_trunc('hour', ts) AS ws, count(*) AS n_rows,
+        |  count(value) AS nn,
+        |  count(*) FILTER (value IS NOT NULL AND value < 10) AS c0,
+        |  count(*) FILTER (value >= 10 AND value < 25) AS c1,
+        |  count(*) FILTER (value >= 25 AND value < 50) AS c2,
+        |  count(*) FILTER (value >= 50 AND value < 100) AS c3,
+        |  count(*) FILTER (value >= 100 AND value < 200) AS c4,
+        |  count(*) FILTER (value >= 200) AS c5
+        |  FROM events GROUP BY 1)
+        |SELECT epoch_ms(ws) AS window_start_ms,
+        |  epoch_ms(ws + INTERVAL 1 HOUR) AS window_end_ms,
+        |  n_rows, n_rows - nn AS n_null,
+        |  round((abs(c0::DOUBLE/nn - f0) + abs(c1::DOUBLE/nn - f1)
+        |    + abs(c2::DOUBLE/nn - f2) + abs(c3::DOUBLE/nn - f3)
+        |    + abs(c4::DOUBLE/nn - f4) + abs(c5::DOUBLE/nn - f5))
+        |    * 0.5, 6) AS tvd,
+        |  round(greatest(abs(c0::DOUBLE/nn - f0),
+        |    abs(c1::DOUBLE/nn - f1), abs(c2::DOUBLE/nn - f2),
+        |    abs(c3::DOUBLE/nn - f3), abs(c4::DOUBLE/nn - f4),
+        |    abs(c5::DOUBLE/nn - f5)), 6) AS max_shift
+        |FROM w, f ORDER BY window_start_ms""".stripMargin,
+
+    "d42_category_drift_monitor" ->
+      """WITH base AS (
+        |  SELECT event_type FROM events
+        |  WHERE epoch_ms(ts) < 1705276800000),
+        |bt AS (SELECT count(*)::DOUBLE AS t FROM base),
+        |rk AS (SELECT event_type, count(*) AS n,
+        |    row_number() OVER (ORDER BY count(*) DESC, event_type)
+        |      AS r
+        |  FROM base GROUP BY 1),
+        |f AS (SELECT
+        |  (SELECT event_type FROM rk WHERE r = 1) AS t1,
+        |  (SELECT event_type FROM rk WHERE r = 2) AS t2,
+        |  (SELECT event_type FROM rk WHERE r = 3) AS t3,
+        |  (SELECT n FROM rk WHERE r = 1)::DOUBLE
+        |    / (SELECT t FROM bt) AS f1,
+        |  (SELECT n FROM rk WHERE r = 2)::DOUBLE
+        |    / (SELECT t FROM bt) AS f2,
+        |  (SELECT n FROM rk WHERE r = 3)::DOUBLE
+        |    / (SELECT t FROM bt) AS f3,
+        |  coalesce((SELECT sum(n) FROM rk WHERE r > 3), 0)::DOUBLE
+        |    / (SELECT t FROM bt) AS fo),
+        |w AS (SELECT date_trunc('hour', ts) AS ws, count(*) AS n_rows,
+        |  count(*) FILTER (event_type = (SELECT t1 FROM f)) AS c1,
+        |  count(*) FILTER (event_type = (SELECT t2 FROM f)) AS c2,
+        |  count(*) FILTER (event_type = (SELECT t3 FROM f)) AS c3
+        |  FROM events GROUP BY 1)
+        |SELECT epoch_ms(ws) AS window_start_ms,
+        |  epoch_ms(ws + INTERVAL 1 HOUR) AS window_end_ms,
+        |  n_rows, CAST(0 AS BIGINT) AS n_null,
+        |  round((abs(c1::DOUBLE/n_rows - f1)
+        |    + abs(c2::DOUBLE/n_rows - f2)
+        |    + abs(c3::DOUBLE/n_rows - f3)
+        |    + abs((n_rows - c1 - c2 - c3)::DOUBLE/n_rows - fo))
+        |    * 0.5, 6) AS tvd,
+        |  round(greatest(abs(c1::DOUBLE/n_rows - f1),
+        |    abs(c2::DOUBLE/n_rows - f2),
+        |    abs(c3::DOUBLE/n_rows - f3),
+        |    abs((n_rows - c1 - c2 - c3)::DOUBLE/n_rows - fo)), 6)
+        |    AS max_shift
+        |FROM w, f ORDER BY window_start_ms""".stripMargin,
+
+    "d43_drift_report" ->
+      """WITH base AS (
+        |  SELECT n_chars::DOUBLE AS v FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |bt AS (SELECT count(*)::DOUBLE AS t FROM base),
+        |f AS (SELECT
+        |  (SELECT count(*) FROM base WHERE v < 150)::DOUBLE
+        |    / (SELECT t FROM bt) AS f0,
+        |  (SELECT count(*) FROM base
+        |     WHERE v >= 150 AND v < 250)::DOUBLE
+        |    / (SELECT t FROM bt) AS f1,
+        |  (SELECT count(*) FROM base
+        |     WHERE v >= 250 AND v < 350)::DOUBLE
+        |    / (SELECT t FROM bt) AS f2,
+        |  (SELECT count(*) FROM base
+        |     WHERE v >= 350 AND v < 450)::DOUBLE
+        |    / (SELECT t FROM bt) AS f3,
+        |  (SELECT count(*) FROM base WHERE v >= 450)::DOUBLE
+        |    / (SELECT t FROM bt) AS f4),
+        |g AS (SELECT source, count(*) AS n_rows,
+        |  count(n_chars) AS nn,
+        |  count(*) FILTER (n_chars IS NOT NULL
+        |    AND n_chars::DOUBLE < 150) AS c0,
+        |  count(*) FILTER (n_chars::DOUBLE >= 150
+        |    AND n_chars::DOUBLE < 250) AS c1,
+        |  count(*) FILTER (n_chars::DOUBLE >= 250
+        |    AND n_chars::DOUBLE < 350) AS c2,
+        |  count(*) FILTER (n_chars::DOUBLE >= 350
+        |    AND n_chars::DOUBLE < 450) AS c3,
+        |  count(*) FILTER (n_chars::DOUBLE >= 450) AS c4
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_rows, n_rows - nn AS n_null,
+        |  round((abs(c0::DOUBLE/nn - f0) + abs(c1::DOUBLE/nn - f1)
+        |    + abs(c2::DOUBLE/nn - f2) + abs(c3::DOUBLE/nn - f3)
+        |    + abs(c4::DOUBLE/nn - f4)) * 0.5, 6) AS tvd,
+        |  round(greatest(abs(c0::DOUBLE/nn - f0),
+        |    abs(c1::DOUBLE/nn - f1), abs(c2::DOUBLE/nn - f2),
+        |    abs(c3::DOUBLE/nn - f3), abs(c4::DOUBLE/nn - f4)), 6)
+        |    AS max_shift
+        |FROM g, f ORDER BY source""".stripMargin,
 
     "d36_kmv_overlap" ->
       """WITH a AS (SELECT DISTINCT text FROM documents),

@@ -615,6 +615,103 @@ final case class DataStream(
         .as("overlap_frac"))
   }
 
+  /** Streaming distribution-drift monitor — the "did the doc-length/
+    * quality-score distribution shift" alarm that fires even when
+    * row counts and dup rates look healthy (an upstream extractor
+    * change usually moves the SHAPE first): per event-time window,
+    * histogram `valueCol` against FROZEN baseline bucket
+    * `boundaries` ([[graft.operators.Drift.histBucket]] — B
+    * boundaries, B+1 buckets) and compare to the baseline's
+    * `baselineFracs` ([[graft.operators.Drift.histFractions]],
+    * computed once per baseline drop). Emits per window: n_rows,
+    * n_null (null values are EXCLUDED from the distribution and
+    * counted separately — a null surge is its own alarm, not
+    * bucket-0 traffic), `tvd` (total-variation distance,
+    * 0.5·Σ|p−b|), `max_shift` (worst single bucket |p−b|), and
+    * `psi` (population stability index, Σ(p−b)·ln((p+ε)/(b+ε)) —
+    * <0.1 stable / 0.1–0.25 moderate / >0.25 act). Streaming state
+    * per window is B+2 plain COUNTs — conditional counts compose
+    * map-side and are streaming-legal where COUNT(DISTINCT) is not —
+    * and the baseline rides as literals: no join, no second scan.
+    * All three stats are null for a window with zero non-null rows
+    * (it still EMITS — n_rows/n_null carry the alarm).
+    */
+  def driftMonitor(valueCol: String, length: String,
+                   boundaries: Seq[Double], baselineFracs: Seq[Double],
+                   slide: Option[String] = None,
+                   eps: Double = 1e-6): DataStream = {
+    import graft.operators.Drift
+    require(baselineFracs.size == boundaries.size + 1,
+      s"B boundaries define B+1 buckets: got ${boundaries.size} " +
+        s"boundaries but ${baselineFracs.size} baseline fractions")
+    require(baselineFracs.forall(f => f >= 0.0 && f <= 1.0),
+      s"baseline fractions must be in [0, 1], got $baselineFracs")
+    driftFinish(Drift.histBucket(col(valueCol), boundaries),
+      count(col(valueCol)), baselineFracs, length, slide, eps)
+  }
+
+  /** [[driftMonitor]] against a PERSISTED baseline histogram
+    * ([[graft.operators.DedupIndex.writeHist]] — quantile boundaries
+    * + exact fractions, built once per baseline drop): boundaries
+    * and fractions load from the index (n_buckets pinned by its
+    * sidecar, mismatches refused) and ride as literals.
+    */
+  def driftMonitorFromIndex(valueCol: String, length: String,
+                            baselinePath: String, nBuckets: Int = 10,
+                            slide: Option[String] = None,
+                            eps: Double = 1e-6): DataStream = {
+    val (bounds, fracs) = graft.operators.DedupIndex
+      .readHist(df.sparkSession, baselinePath, nBuckets)
+    driftMonitor(valueCol, length, bounds, fracs, slide, eps)
+  }
+
+  /** Categorical twin of [[driftMonitor]] — the "did the language/
+    * event-type mix shift" alarm: per event-time window, the
+    * distribution of `catCol` over the baseline's category set
+    * (everything outside it — including nulls — pooling under
+    * [[graft.operators.Drift.OtherCategory]], mirroring
+    * [[graft.operators.Drift.categoryFractions]]) vs the frozen
+    * baseline fractions. Same bounded-state story: one COUNT per
+    * baseline category per window. Since nulls pool rather than
+    * drop, n_null is always 0 here and every stat covers all rows.
+    */
+  def categoryDriftMonitor(catCol: String, length: String,
+                           baseline: Seq[(String, Double)],
+                           slide: Option[String] = None,
+                           eps: Double = 1e-6): DataStream = {
+    import graft.operators.Drift
+    require(baseline.nonEmpty, "baseline category set is empty")
+    require(baseline.map(_._1).distinct.size == baseline.size,
+      "baseline categories must be distinct")
+    val withOther =
+      if (baseline.exists(_._1 == Drift.OtherCategory)) baseline
+      else baseline :+ (Drift.OtherCategory -> 0.0)
+    val cats = withOther.map(_._1)
+    val otherIdx = cats.indexOf(Drift.OtherCategory)
+    val pos = array_position(typedLit(cats), col(catCol))
+    val bucket = when(col(catCol).isNull || pos === 0, lit(otherIdx))
+      .otherwise(pos - 1)
+    driftFinish(bucket, count(lit(1)), withOther.map(_._2), length,
+      slide, eps)
+  }
+
+  /** Shared drift-monitor tail: window the B+2 counts
+    * ([[graft.operators.Drift.driftAggs]]), derive the three stats
+    * over observed vs literal baseline fractions.
+    */
+  private def driftFinish(bucket: Column, nonNullCount: Column,
+                          baselineFracs: Seq[Double], length: String,
+                          slide: Option[String],
+                          eps: Double): DataStream = {
+    import graft.operators.Drift
+    val monitored = window(Seq.empty,
+      Drift.driftAggs(bucket, nonNullCount, baselineFracs.size),
+      length, slide)
+    monitored.select(Seq(col("window_start_time"),
+      col("window_end_time"), col("n_rows")) ++
+      Drift.statCols(baselineFracs, eps): _*)
+  }
+
   private def distinctMonitorAggs(valueCol: String,
                                   k: Int): Seq[Column] = {
     import graft.operators.Sketches

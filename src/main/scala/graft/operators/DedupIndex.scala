@@ -326,6 +326,51 @@ object DedupIndex {
     spark.read.parquet(path).select("sketch")
   }
 
+  /** Build and persist a baseline HISTOGRAM for the drift monitors
+    * ([[graft.api.DataStream.driftMonitorFromIndex]]): quantile
+    * bucket boundaries ([[Drift.quantileBoundaries]] — one
+    * mergeable-sketch pass) plus the EXACT per-bucket fractions
+    * ([[Drift.histFractions]] — one conditional-count pass), a
+    * ≤ nBuckets-row artifact on disk. Built once per baseline drop;
+    * every later window's drift question is B+2 counts against these
+    * literals — the baseline corpus is never rescanned. nBuckets
+    * pins the build (heavy point masses can collapse quantiles, so
+    * the stored bucket count may be smaller; the pin is the
+    * REQUESTED geometry, which is what a caller reasons about).
+    */
+  def writeHist(baseline: DataFrame, valueCol: String, path: String,
+                nBuckets: Int = 10, accuracy: Int = 10000): Unit = {
+    val bounds = Drift.quantileBoundaries(baseline, valueCol,
+      nBuckets, accuracy)
+    val fracs = Drift.histFractions(baseline, valueCol, bounds)
+    val spark = baseline.sparkSession
+    import spark.implicits._
+    // one row per bucket: (bucket, lower boundary — null for the
+    // open-below bucket 0, exact baseline fraction)
+    fracs.toSeq.zipWithIndex
+      .map { case (f, i) =>
+        (i, if (i == 0) None else Some(bounds(i - 1)), f) }
+      .toDF("bucket", "lower", "frac")
+      .coalesce(1).write.mode("errorifexists").parquet(path)
+    writeMeta(spark, path, "hist",
+      Seq("n_buckets" -> nBuckets, "accuracy" -> accuracy))
+  }
+
+  /** @return (boundaries, baselineFracs) ready for
+    *         [[graft.api.DataStream.driftMonitor]].
+    */
+  def readHist(spark: SparkSession, path: String,
+               nBuckets: Int = 10): (Seq[Double], Seq[Double]) =
+    readRetrying {
+      check(readMeta(spark, path), "hist",
+        Seq("n_buckets" -> nBuckets), path)
+      val rows = spark.read.parquet(path)
+        .select("bucket", "lower", "frac").orderBy("bucket").collect()
+      require(rows.nonEmpty, s"$path holds an empty histogram")
+      (rows.drop(1).map(_.getDouble(1)).toSeq,
+        rows.map(_.getDouble(2)).toSeq)
+    }
+
   // ─────────────────────────── incremental append ───────────────────────────
   //
   // A reference set GROWS far more often than it changes shape: a new

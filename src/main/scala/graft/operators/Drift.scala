@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift primitives for ingest monitoring: histogram a
+  * numeric column against FROZEN baseline bucket boundaries and
+  * compare the per-window distribution to the baseline's — the
+  * "did today's crawl's doc-length/quality-score distribution shift"
+  * alarm that catches an upstream extractor change even when row
+  * counts and dup rates look healthy. (The reference engine stops at
+  * windowed aggregation — streaming_window.rs; drift statistics are
+  * part of this library's training-data-pipeline surface, like the
+  * dedup and monitor families.)
+  *
+  * Scale design: a window's state is B+1 conditional COUNTs — plain
+  * codegen'd aggregates with map-side partial combine, constant in
+  * ingest volume — and the baseline rides as B+1 literal doubles.
+  * Nothing joins, nothing reshuffles, and the same expressions run
+  * batch or streaming (Structured Streaming accepts conditional
+  * counts where it rejects COUNT(DISTINCT)).
+  *
+  * Statistics emitted per window:
+  *  - `tvd` — total-variation distance, 0.5·Σ|p_i − b_i| ∈ [0, 1]:
+  *    pure arithmetic (driver-hash-gateable across engines);
+  *  - `max_shift` — max_i |p_i − b_i|, localizing the worst bucket;
+  *  - `psi` — population stability index Σ(p_i−b_i)·ln((p_i+ε)/(b_i+ε)),
+  *    the classic model-monitoring stat (rule of thumb: <0.1 stable,
+  *    0.1–0.25 moderate shift, >0.25 action). PSI rides `ln`, which
+  *    is NOT bit-pinned across math libraries, so it is spec-gated
+  *    (exact Scala replay) rather than cross-engine hash-gated.
+  */
+object Drift {
+
+  /** Bucket index of `value` against sorted `boundaries`: the count
+    * of boundaries ≤ value, i.e. B boundaries split the line into
+    * B+1 buckets `(-∞,b0) [b0,b1) … [bB-1,∞)`. Null values map to
+    * null (callers count them separately — a null surge is its own
+    * alarm, not bucket-0 traffic).
+    */
+  def histBucket(value: Column, boundaries: Seq[Double]): Column = {
+    require(boundaries.nonEmpty, "histBucket needs >= 1 boundary")
+    require(boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      s"boundaries must be strictly increasing, got $boundaries")
+    val idx = boundaries
+      .map(b => when(value >= lit(b), 1).otherwise(0))
+      .reduce(_ + _)
+    when(value.isNotNull, idx)
+  }
+
+  /** Exact baseline fractions over `boundaries`' B+1 buckets: ONE
+    * aggregation pass (B+1 map-side-combined conditional counts —
+    * the corpus never reshuffles), a (B+1)-double array back.
+    * Fractions are of NON-NULL rows.
+    */
+  def histFractions(df: DataFrame, valueCol: String,
+                    boundaries: Seq[Double]): Array[Double] = {
+    val b = histBucket(col(valueCol), boundaries)
+    val n = boundaries.size + 1
+    val aggs = (0 until n).map(i =>
+      count(when(b === lit(i), 1)).as(s"__b$i"))
+    val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+    val counts = (0 until n).map(i => row.getLong(i).toDouble)
+    val tot = counts.sum
+    require(tot > 0,
+      s"baseline has no non-null '$valueCol' rows — cannot derive " +
+        "a reference distribution")
+    counts.map(_ / tot).toArray
+  }
+
+  /** Quantile bucket boundaries from a baseline corpus: the B−1
+    * inner quantiles of `valueCol` via Spark's mergeable
+    * percentile_approx sketch (one pass; rank error ≤ n/accuracy) —
+    * the production way to pick boundaries so every baseline bucket
+    * holds ~1/B of the mass. Duplicated quantiles (heavy point
+    * masses) collapse to the distinct set, so the returned seq is
+    * strictly increasing and may be shorter than nBuckets−1.
+    */
+  def quantileBoundaries(df: DataFrame, valueCol: String,
+                         nBuckets: Int = 10,
+                         accuracy: Int = 10000): Seq[Double] = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val row = df.agg(percentile_approx(col(valueCol),
+      typedLit(ps), lit(accuracy)).as("qs")).head()
+    require(!row.isNullAt(0),
+      s"baseline has no non-null '$valueCol' rows — cannot derive " +
+        "quantile boundaries")
+    row.getSeq[Double](0).distinct.sorted
+  }
+
+  /** Exact top-N category fractions of a string column, smaller
+    * categories pooled under [[OtherCategory]] — the baseline for
+    * [[graft.api.DataStream.categoryDriftMonitor]] ("did the
+    * language/event-type mix shift"). One exact groupBy (categorical
+    * columns have few distinct values by definition; for unbounded
+    * ones use [[Sketches.frequentItems]] to pick the top set first).
+    * Ties rank (count desc, category asc); null categories pool into
+    * OTHER. Returned fracs sum to 1 over all rows.
+    */
+  def categoryFractions(df: DataFrame, catCol: String, topN: Int = 20)
+      : Seq[(String, Double)] = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val counts = df.groupBy(col(catCol).as("__cat"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__cat").asc_nulls_last)
+      .collect() // bounded artifact: one row per distinct category
+    val tot = counts.map(_.getLong(1)).sum.toDouble
+    require(tot > 0, s"baseline is empty — no '$catCol' distribution")
+    val (top, rest) = counts
+      .filterNot(_.isNullAt(0)).splitAt(topN)
+    val restN = rest.map(_.getLong(1)).sum +
+      counts.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+    top.map(r => r.getString(0) -> r.getLong(1) / tot).toSeq ++
+      (if (restN > 0) Seq(OtherCategory -> restN / tot) else Nil)
+  }
+
+  /** Pool key for categories outside the baseline's top set. */
+  val OtherCategory = "__other__"
+
+  /** Batch drift REPORT: the per-group spelling of
+    * [[graft.api.DataStream.driftMonitor]] — one row per group
+    * (crawl source, language, shard …) with its `valueCol`
+    * distribution's tvd/max_shift/psi against the frozen baseline.
+    * The curation question it answers: "WHICH sources diverge from
+    * the corpus shape" — per-window tells you WHEN, per-group tells
+    * you WHERE. Same scale story: one aggregation pass, B+2
+    * conditional counts per group, baseline as literals; groups with
+    * zero non-null values report null stats rather than vanishing.
+    */
+  def driftReport(df: DataFrame, groupCols: Seq[String],
+                  valueCol: String, boundaries: Seq[Double],
+                  baselineFracs: Seq[Double],
+                  eps: Double = 1e-6): DataFrame = {
+    require(groupCols.nonEmpty, "driftReport needs >= 1 group column")
+    require(baselineFracs.size == boundaries.size + 1,
+      s"B boundaries define B+1 buckets: got ${boundaries.size} " +
+        s"boundaries but ${baselineFracs.size} baseline fractions")
+    val aggs = driftAggs(histBucket(col(valueCol), boundaries),
+      count(col(valueCol)), baselineFracs.size)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.drop(1): _*)
+      .select(groupCols.map(col) ++ Seq(col("n_rows")) ++
+        statCols(baselineFracs, eps): _*)
+  }
+
+  /** The B+2 bounded-state aggregate columns every drift spelling
+    * shares: total rows, non-null rows, one conditional count per
+    * bucket.
+    */
+  private[graft] def driftAggs(bucket: Column, nonNullCount: Column,
+                               n: Int): Seq[Column] =
+    Seq(count(lit(1)).as("n_rows"), nonNullCount.as("__nn")) ++
+      (0 until n).map(i =>
+        count(when(bucket === lit(i), 1)).as(s"__b$i"))
+
+  /** The shared output tail over [[driftAggs]]' columns: n_null plus
+    * the three stats, each null when the group/window had no
+    * non-null rows.
+    */
+  private[graft] def statCols(baselineFracs: Seq[Double],
+                              eps: Double): Seq[Column] = {
+    val (tvd, maxShift, psi) =
+      driftStats(fracCols(baselineFracs.size), baselineFracs, eps)
+    def guard(c: Column) =
+      when(col("__nn") === 0, lit(null).cast("double")).otherwise(c)
+    Seq((col("n_rows") - col("__nn")).as("n_null"),
+      guard(tvd).as("tvd"), guard(maxShift).as("max_shift"),
+      guard(psi).as("psi"))
+  }
+
+  /** Per-bucket observed-fraction columns from pre-aggregated bucket
+    * counts `__b0..__bN` and the non-null total `__nn`.
+    */
+  private[graft] def fracCols(n: Int): Seq[Column] =
+    (0 until n).map(i => col(s"__b$i") / col("__nn"))
+
+  /** The three drift statistics as columns over observed-fraction
+    * columns `ps` vs literal baseline fractions `bs` (rounded to 6
+    * for gate stability; null when the window had no non-null rows —
+    * callers guard on `__nn`).
+    */
+  private[graft] def driftStats(ps: Seq[Column], bs: Seq[Double],
+                                eps: Double): (Column, Column, Column) = {
+    val absDiffs = ps.zip(bs).map { case (p, b) => abs(p - lit(b)) }
+    val tvd = round(absDiffs.reduce(_ + _) * lit(0.5), 6)
+    val maxShift = round(
+      if (absDiffs.size == 1) absDiffs.head else greatest(absDiffs: _*), 6)
+    val psi = round(ps.zip(bs).map { case (p, b) =>
+      (p - lit(b)) * log((p + lit(eps)) / lit(b + eps))
+    }.reduce(_ + _), 6)
+    (tvd, maxShift, psi)
+  }
+}

@@ -284,11 +284,27 @@ object Similarity {
   /** The query half of [[ivfTopK]] against a prebuilt (or persisted)
     * index: probe the nProbe L2-nearest cells per query, exact
     * cosine within the probed cells.
+    *
+    * Query-batch regimes (the [[pqTopKFromIndex]] discipline): the
+    * broadcast spelling ships |Q|·nProbe probe rows — each carrying
+    * the full query embedding — through the driver, which a
+    * million-query batch would blow. Above `broadcastMaxQueries`
+    * (one column-pruned count decides) the probe join switches to a
+    * SALTED shuffle join: a plain shuffled join on `__cell` would
+    * land the whole corpus in ≤ nCentroids tasks (the join key has
+    * only nCentroids distinct values — textbook key-cardinality
+    * skew), so the corpus side salts on hash(neighbor_id) mod S and
+    * the probe side replicates each (query_id, __cell) row across
+    * all S salts — nCentroids·S-way parallelism, with only 2-long
+    * probe rows replicated (the query embeddings join back by
+    * query_id on the already-shuffled candidate set, never through
+    * the driver). Output is identical in both regimes (spec-pinned).
     */
   def ivfTopKFromIndex(centroids: DataFrame, indexed: DataFrame,
                        queries: DataFrame, embCol: String,
                        idCol: String, k: Int,
-                       nProbe: Int = 4): DataFrame = {
+                       nProbe: Int = 4,
+                       broadcastMaxQueries: Int = 50000): DataFrame = {
     // centroid table is tiny → broadcast; assignment metric is L2,
     // matching KMeans' own cell assignment
     val l2 = (a: Column, b: Column) =>
@@ -305,7 +321,25 @@ object Similarity {
       .filter(col("__pr") <= nProbe)
       .select(col("query_id"), col("__qe"), col("__cell"))
 
-    val scored = indexed.join(broadcast(probed), Seq("__cell"))
+    // column-pruned count: only the id column reaches the scan
+    val nQ = queries.select(col(idCol)).count()
+    val matched =
+      if (nQ <= broadcastMaxQueries)
+        indexed.join(broadcast(probed), Seq("__cell"))
+      else {
+        val s = indexed.sparkSession.sessionState.conf
+          .numShufflePartitions
+        val salted = indexed.withColumn("__salt",
+          pmod(xxhash64(col("neighbor_id")), lit(s)).cast("int"))
+        val probeIds = probed.select(col("query_id"), col("__cell"))
+          .withColumn("__salt",
+            explode(sequence(lit(0), lit(s - 1))))
+        val qe = queries.select(col(idCol).as("query_id"),
+          col(embCol).as("__qe"))
+        salted.join(probeIds, Seq("__cell", "__salt"))
+          .join(qe, Seq("query_id"))
+      }
+    val scored = matched
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
         round(graft.functions.cosine_similarity(col("__qe"), col("__ce")), 6))
@@ -317,11 +351,12 @@ object Similarity {
               embCol: String, idCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               seed: Long = 42L, maxIter: Int = 20,
-              fitSampleFraction: Double = 1.0): DataFrame = {
+              fitSampleFraction: Double = 1.0,
+              broadcastMaxQueries: Int = 50000): DataFrame = {
     val (centroids, indexed) = fitIvfIndex(corpus, embCol, idCol,
       nCentroids, seed, maxIter, fitSampleFraction)
     ivfTopKFromIndex(centroids, indexed, queries, embCol, idCol, k,
-      nProbe)
+      nProbe, broadcastMaxQueries)
   }
 
   // ───────────────────────── Product quantization ─────────────────────────

@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.DataStream
+import graft.operators.{DedupIndex, Drift}
+
+/** Distribution-drift monitors: bucket semantics, exact fractions,
+  * the three statistics (tvd/max_shift hash-gated in d41/d42; psi —
+  * which rides ln — pinned HERE by exact Scala replay of the same
+  * formula), baseline persistence, and refusals.
+  */
+class DriftSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def tsDf(rows: Seq[(Long, java.lang.Double)]) =
+    rows.toDF("ms", "value")
+      .withColumn("ts", timestamp_millis($"ms"))
+
+  test("histBucket: count-of-boundaries-below semantics, nulls map " +
+      "to null (never bucket 0), unsorted boundaries refused") {
+    val df = Seq[java.lang.Double](5.0, 10.0, 24.9, 25.0, 99.0, null)
+      .toDF("v")
+    val got = df.select(Drift.histBucket($"v", Seq(10.0, 25.0))
+      .as("b")).as[Option[Int]].collect().toSeq
+    // [−∞,10) → 0; [10,25) → 1 (boundary inclusive below); [25,∞) → 2
+    assert(got == Seq(Some(0), Some(1), Some(1), Some(2), Some(2),
+      None))
+    val e = intercept[IllegalArgumentException] {
+      Drift.histBucket($"v", Seq(25.0, 10.0))
+    }
+    assert(e.getMessage.contains("strictly increasing"))
+    val e2 = intercept[IllegalArgumentException] {
+      Drift.histBucket($"v", Seq(10.0, 10.0))
+    }
+    assert(e2.getMessage.contains("strictly increasing"))
+  }
+
+  test("histFractions: exact fractions of non-null rows; empty " +
+      "baseline refused") {
+    val df = Seq[java.lang.Double](1.0, 2.0, 15.0, 30.0, null)
+      .toDF("v")
+    val fr = Drift.histFractions(df, "v", Seq(10.0, 25.0))
+    assert(fr.toSeq == Seq(0.5, 0.25, 0.25))
+    val e = intercept[IllegalArgumentException] {
+      Drift.histFractions(Seq[java.lang.Double](null).toDF("v"), "v",
+        Seq(10.0))
+    }
+    assert(e.getMessage.contains("no non-null"))
+  }
+
+  test("quantileBoundaries: near-even split on a smooth column; " +
+      "point masses collapse to a strictly-increasing set") {
+    val smooth = spark.range(1000).select($"id".cast("double")
+      .as("v"))
+    val qb = Drift.quantileBoundaries(smooth, "v", nBuckets = 4)
+    assert(qb.size == 3 && qb == qb.sorted && qb.distinct == qb)
+    val fr = Drift.histFractions(smooth, "v", qb)
+    fr.foreach(f => assert(math.abs(f - 0.25) < 0.05,
+      s"uneven bucket: ${fr.toSeq}"))
+    // 90% of the mass on one point: the 3 inner quartiles coincide
+    // and must collapse rather than produce a degenerate bucket list
+    val spiked = spark.range(1000).select(
+      when($"id" < 900, lit(7.0)).otherwise($"id".cast("double"))
+        .as("v"))
+    val qs = Drift.quantileBoundaries(spiked, "v", nBuckets = 4)
+    assert(qs == qs.sorted && qs.distinct == qs && qs.nonEmpty)
+  }
+
+  test("categoryFractions: top-N by (count desc, category asc), " +
+      "smaller categories and nulls pool under __other__") {
+    val df = (Seq.fill(4)("en") ++ Seq.fill(3)("de") ++
+      Seq.fill(3)("fr") ++ Seq("it") ++ Seq[String](null))
+      .toDF("lang")
+    val got = Drift.categoryFractions(df, "lang", topN = 2)
+    // de/fr tie at 3 → category asc puts de second; it + null → other
+    assert(got == Seq("en" -> 4 / 12.0, "de" -> 3 / 12.0,
+      Drift.OtherCategory -> 5 / 12.0))
+    // topN covering everything and no nulls → no __other__ entry
+    val all = Drift.categoryFractions(
+      Seq("a", "a", "b").toDF("c"), "c", topN = 5)
+    assert(all == Seq("a" -> 2 / 3.0, "b" -> 1 / 3.0))
+  }
+
+  test("driftMonitor (batch twin): exact tvd/max_shift, psi replays " +
+      "the formula bit-exact, null values counted apart, an " +
+      "all-null window still emits with null stats") {
+    val df = tsDf(Seq(
+      (1000L, 5.0), (2000L, 15.0), (3000L, 15.0),
+      (4000L, null),                                  // [0, 10 s)
+      (11000L, 5.0), (12000L, 5.0),                   // [10, 20 s)
+      (21000L, null)))                                // [20, 30 s)
+    val out = DataStream(df, "ts")
+      .driftMonitor("value", "10 seconds", Seq(10.0), Seq(0.5, 0.5))
+      .df.orderBy("window_start_time")
+      .select($"n_rows", $"n_null", $"tvd", $"max_shift", $"psi")
+      .collect()
+    assert(out.length == 3)
+    // window 1: p = (1/3, 2/3) vs (0.5, 0.5)
+    val eps = 1e-6
+    def psi(ps: Seq[Double], bs: Seq[Double]): Double =
+      round6(ps.zip(bs).map { case (p, b) =>
+        (p - b) * math.log((p + eps) / (b + eps)) }.sum)
+    val w1 = out(0)
+    assert((w1.getLong(0), w1.getLong(1)) == (4L, 1L))
+    assert(w1.getDouble(2) == round6(0.5 * (1.0 / 6 + 1.0 / 6)))
+    assert(w1.getDouble(3) == round6(1.0 / 6))
+    assert(w1.getDouble(4) == psi(Seq(1.0 / 3, 2.0 / 3), Seq(0.5, 0.5)))
+    // window 2: all mass in bucket 0 → tvd 0.5, max_shift 0.5
+    val w2 = out(1)
+    assert((w2.getLong(0), w2.getLong(1)) == (2L, 0L))
+    assert(w2.getDouble(2) == 0.5 && w2.getDouble(3) == 0.5)
+    assert(w2.getDouble(4) == psi(Seq(1.0, 0.0), Seq(0.5, 0.5)))
+    // window 3: zero non-null rows → EMITS, stats null
+    val w3 = out(2)
+    assert((w3.getLong(0), w3.getLong(1)) == (1L, 1L))
+    assert(w3.isNullAt(2) && w3.isNullAt(3) && w3.isNullAt(4))
+    // identical distribution → all three stats exactly 0
+    val same = tsDf(Seq((1000L, 5.0), (2000L, 15.0)))
+    val z = DataStream(same, "ts")
+      .driftMonitor("value", "10 seconds", Seq(10.0), Seq(0.5, 0.5))
+      .df.select($"tvd", $"max_shift", $"psi").head()
+    assert((z.getDouble(0), z.getDouble(1), z.getDouble(2)) ==
+      ((0.0, 0.0, 0.0)))
+    // geometry mismatch refused
+    val e = intercept[IllegalArgumentException] {
+      DataStream(same, "ts").driftMonitor("value", "10 seconds",
+        Seq(10.0), Seq(0.5, 0.3, 0.2))
+    }
+    assert(e.getMessage.contains("B+1 buckets"))
+  }
+
+  test("categoryDriftMonitor: unseen categories and nulls pool to " +
+      "__other__; a baseline without __other__ gets a zero-mass one") {
+    val df = Seq((1000L, "en"), (2000L, "en"), (3000L, "xx"),
+        (4000L, null.asInstanceOf[String]))
+      .toDF("ms", "lang")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val out = DataStream(df, "ts")
+      .categoryDriftMonitor("lang", "10 seconds",
+        Seq("en" -> 0.5, "de" -> 0.5))
+      .df.select($"n_rows", $"n_null", $"tvd", $"max_shift").head()
+    // observed (en, de, other) = (0.5, 0, 0.5) vs (0.5, 0.5, 0)
+    // tvd = 0.5·(0 + 0.5 + 0.5) = 0.5; max_shift = 0.5; n_null = 0
+    // (nulls pool, they don't drop)
+    assert((out.getLong(0), out.getLong(1)) == (4L, 0L))
+    assert(out.getDouble(2) == 0.5 && out.getDouble(3) == 0.5)
+    val e = intercept[IllegalArgumentException] {
+      DataStream(df, "ts").categoryDriftMonitor("lang", "10 seconds",
+        Seq("en" -> 0.5, "en" -> 0.5))
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
+  test("driftReport: per-group drift vs the frozen baseline; a " +
+      "group with only null values reports null stats, not a " +
+      "missing row") {
+    val df = Seq(
+      ("src_a", java.lang.Double.valueOf(5.0)),
+      ("src_a", java.lang.Double.valueOf(15.0)),
+      ("src_b", java.lang.Double.valueOf(15.0)),
+      ("src_b", java.lang.Double.valueOf(15.0)),
+      ("src_c", null.asInstanceOf[java.lang.Double]))
+      .toDF("source", "v")
+    val out = Drift.driftReport(df, Seq("source"), "v", Seq(10.0),
+        Seq(0.5, 0.5))
+      .orderBy("source")
+      .select($"source", $"n_rows", $"n_null", $"tvd", $"max_shift")
+      .collect()
+    assert(out.length == 3)
+    // src_a matches the baseline exactly → tvd 0
+    assert(out(0).getString(0) == "src_a" &&
+      out(0).getDouble(3) == 0.0 && out(0).getDouble(4) == 0.0)
+    // src_b: all mass above → tvd 0.5
+    assert(out(1).getString(0) == "src_b" &&
+      out(1).getDouble(3) == 0.5 && out(1).getDouble(4) == 0.5)
+    // src_c: 1 row, all null → stats null, row still present
+    assert(out(2).getString(0) == "src_c" &&
+      (out(2).getLong(1), out(2).getLong(2)) == ((1L, 1L)) &&
+      out(2).isNullAt(3) && out(2).isNullAt(4))
+    val e = intercept[IllegalArgumentException] {
+      Drift.driftReport(df, Seq.empty, "v", Seq(10.0), Seq(0.5, 0.5))
+    }
+    assert(e.getMessage.contains("group column"))
+  }
+
+  test("writeHist/readHist: persisted baseline round-trips and " +
+      "driftMonitorFromIndex equals the literal spelling; foreign " +
+      "kind and mismatched n_buckets refused") {
+    val base = spark.range(1000).select(($"id" % 100).cast("double")
+        .as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist")
+      .toString + "/idx"
+    DedupIndex.writeHist(base, "v", dir, nBuckets = 5)
+    val (bounds, fracs) = DedupIndex.readHist(spark, dir, nBuckets = 5)
+    assert(fracs.size == bounds.size + 1)
+    assert(math.abs(fracs.sum - 1.0) < 1e-9)
+    assert(fracs.toSeq ==
+      Drift.histFractions(base, "v", bounds).toSeq)
+    val df = tsDf(Seq((1000L, 3.0), (2000L, 42.0), (3000L, 97.0)))
+    val viaIndex = DataStream(df, "ts")
+      .driftMonitorFromIndex("value", "10 seconds", dir, nBuckets = 5)
+      .df.collect().toSeq
+    val viaLiterals = DataStream(df, "ts")
+      .driftMonitor("value", "10 seconds", bounds, fracs)
+      .df.collect().toSeq
+    assert(viaIndex == viaLiterals)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.readHist(spark, dir, nBuckets = 10)
+    }
+    assert(e.getMessage.contains("rebuild"))
+    val kmvDir = java.nio.file.Files.createTempDirectory("graft-hist2")
+      .toString + "/idx"
+    DedupIndex.writeKmv(Seq("a").toDF("u"), "u", kmvDir, k = 64)
+    val e2 = intercept[IllegalArgumentException] {
+      DedupIndex.readHist(spark, kmvDir, nBuckets = 5)
+    }
+    assert(e2.getMessage.contains("not 'hist'"))
+  }
+}

@@ -740,6 +740,32 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(small.exceptAll(large).count() == 0)
   }
 
+  test("ivfTopKFromIndex large-query-batch regime: 60k queries run " +
+      "the salted-shuffle (non-broadcast) spelling and match the " +
+      "broadcast path exactly") {
+    val emb = Graft.table(spark, sf, "embeddings")
+      .filter($"vec_id" < 100).select($"vec_id", $"embedding")
+    val (centroids, indexed) = Similarity.fitIvfIndex(emb,
+      "embedding", "vec_id", nCentroids = 8, maxIter = 5)
+    // 100 base vectors × 600 replicas = 60k queries, distinct ids —
+    // the shape whose |Q|·nProbe probe rows (each carrying a full
+    // query embedding) must NOT ride the driver as a broadcast; and
+    // the shuffled alternative must not collapse onto nCentroids
+    // tasks, hence the salt
+    val qBig = emb.crossJoin(
+        spark.range(600).select($"id".as("__rep")))
+      .select(($"vec_id" + $"__rep" * 1000000L).as("vec_id"),
+        $"embedding")
+    val large = Similarity.ivfTopKFromIndex(centroids, indexed, qBig,
+      "embedding", "vec_id", k = 3, nProbe = 8)
+    val small = Similarity.ivfTopKFromIndex(centroids, indexed, qBig,
+      "embedding", "vec_id", k = 3, nProbe = 8,
+      broadcastMaxQueries = Int.MaxValue)
+    assert(large.count() == 60000L * 3)
+    assert(large.exceptAll(small).count() == 0)
+    assert(small.exceptAll(large).count() == 0)
+  }
+
   test("similarity adversarial shapes: all-identical corpus (every " +
       "candidate ties / one mega LSH bucket), zero-vector queries, " +
       "degenerate PQ value space — deterministic id-ordered output " +

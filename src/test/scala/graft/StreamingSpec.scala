@@ -645,6 +645,61 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("rebuild"))
   }
 
+  test("driftMonitor: per-window exact tvd/max_shift/psi against " +
+      "literal baseline buckets; state is B+2 plain counts") {
+    val (input, ds) = measurementStream()
+    // baseline: half below 10, half at-or-above
+    val q = ds.driftMonitor("reading", "10 seconds", Seq(10.0),
+      Seq(0.5, 0.5)).sinkMemory("drift_out")
+    try {
+      // window [0,10 s): readings 5, 15, 15 → p = (1/3, 2/3)
+      input.addData(
+        Measurement(1000, "a", 5.0), Measurement(2000, "b", 15.0),
+        Measurement(3000, "c", 15.0))
+      // window [10,20 s): 5, 5 → p = (1, 0), the max-drift shape
+      input.addData(
+        Measurement(11000, "d", 5.0), Measurement(12000, "e", 5.0))
+      q.processAllAvailable()
+      input.addData(Measurement(25000, "z", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("drift_out")
+        .orderBy("window_start_time")
+        .select("n_rows", "n_null", "tvd", "max_shift", "psi")
+        .as[(Long, Long, Double, Double, Double)].collect().toList
+      def round6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def psi(ps: Seq[Double]): Double = round6(
+        ps.zip(Seq(0.5, 0.5)).map { case (p, b) =>
+          (p - b) * math.log((p + 1e-6) / (b + 1e-6)) }.sum)
+      assert(rows == List(
+        (3L, 0L, round6(1.0 / 6), round6(1.0 / 6),
+          psi(Seq(1.0 / 3, 2.0 / 3))),
+        (2L, 0L, 0.5, 0.5, psi(Seq(1.0, 0.0)))))
+    } finally q.stop()
+  }
+
+  test("categoryDriftMonitor: per-window mix vs frozen category " +
+      "fractions, unseen categories pool to __other__") {
+    val (input, ds) = measurementStream()
+    val q = ds.categoryDriftMonitor("sensor_name", "10 seconds",
+      Seq("a" -> 0.5, "b" -> 0.5)).sinkMemory("catdrift_out")
+    try {
+      // window [0,10 s): a,a,b,xx → (a,b,other) = (.5,.25,.25) vs
+      // (.5,.5,0) → tvd 0.25, max_shift 0.25
+      input.addData(
+        Measurement(1000, "a", 1.0), Measurement(2000, "a", 1.0),
+        Measurement(3000, "b", 1.0), Measurement(4000, "xx", 1.0))
+      q.processAllAvailable()
+      input.addData(Measurement(25000, "z", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("catdrift_out")
+        .orderBy("window_start_time")
+        .select("n_rows", "tvd", "max_shift")
+        .as[(Long, Double, Double)].collect().toList
+      assert(rows == List((4L, 0.25, 0.25)))
+    } finally q.stop()
+  }
+
   test("trendingMonitor: an all-null-items window still EMITS (a " +
       "schema break upstream must alarm, not vanish)") {
     val input = MemoryStream[(Long, Option[String])](spark)
