@@ -1947,6 +1947,25 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Embedding-centroid drift report: per LABEL, the cosine between
+    // the slice's embedding centroid and the whole-corpus centroid —
+    // the "did this slice drift in embedding space" QA. Both sides
+    // ride SUM vectors (cosine is scale-invariant; the native
+    // vec_sum aggregate keeps state at dim doubles per group), and
+    // the gate's cosine loop is sequential per row on the Spark side
+    // vs DuckDB's list_cosine_similarity — the same parity contract
+    // the s1 family hash-gates. The oracle re-derives both sums via
+    // per-position SUM over an (element, index) explode.
+    "d44_centroid_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = operators.Drift.sumVector(emb, "embedding")
+      operators.Drift.centroidDriftReport(emb, Seq("label"),
+          "embedding", base.toSeq)
+        .select(col("label"), col("n_rows"), col("n_null"),
+          col("centroid_cos"), col("centroid_drift"))
+        .orderBy(col("label"))
+    }),
+
     // KMV bottom-k sketch, per-group distinct counts: k = 4096
     // exceeds every group's true distinct count at the gate sf, so
     // the sketch holds the complete distinct hash set and the
@@ -3655,6 +3674,32 @@ object SparkEntry {
         |    abs(c3::DOUBLE/nn - f3), abs(c4::DOUBLE/nn - f4)), 6)
         |    AS max_shift
         |FROM g, f ORDER BY source""".stripMargin,
+
+    "d44_centroid_drift" ->
+      """WITH e AS (
+        |  SELECT label, embedding::DOUBLE[] AS emb FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |x AS (
+        |  SELECT label,
+        |    unnest(list_transform(emb, (v, i) -> {'i': i, 'v': v}))
+        |      AS s
+        |  FROM e),
+        |g AS (SELECT label, s.i AS i, sum(s.v) AS sv
+        |      FROM x GROUP BY 1, 2),
+        |vs AS (SELECT label, list(sv ORDER BY i) AS svec
+        |       FROM g GROUP BY 1),
+        |b AS (SELECT list(t ORDER BY i) AS bvec FROM
+        |        (SELECT i, sum(sv) AS t FROM g GROUP BY i)),
+        |c AS (SELECT label, count(*) AS n_rows,
+        |        count(embedding) AS nn
+        |      FROM embeddings GROUP BY 1)
+        |SELECT c.label, c.n_rows, c.n_rows - c.nn AS n_null,
+        |  round(list_cosine_similarity(vs.svec, b.bvec), 6)
+        |    AS centroid_cos,
+        |  round(1 - list_cosine_similarity(vs.svec, b.bvec), 6)
+        |    AS centroid_drift
+        |FROM c LEFT JOIN vs ON c.label = vs.label, b
+        |ORDER BY c.label""".stripMargin,
 
     "d36_kmv_overlap" ->
       """WITH a AS (SELECT DISTINCT text FROM documents),

@@ -695,6 +695,43 @@ final case class DataStream(
       slide, eps)
   }
 
+  /** Streaming embedding-centroid drift monitor — the "did the
+    * embedding distribution shift" alarm for multimodal/embedding
+    * pipelines (an embedding-model swap or a source going off-topic
+    * moves the centroid long before scalar stats do): per event-time
+    * window, the cosine between the window's embedding centroid and
+    * a FROZEN baseline centroid ([[graft.operators.Drift.sumVector]],
+    * built once per baseline drop; cosine is scale-invariant so both
+    * sides ride SUM vectors and no mean is ever materialized).
+    * Streaming state per window is `dim` doubles + two counts
+    * ([[graft.expressions.VecSumAgg]] — map-side partials combine
+    * element-wise), constant in ingest volume. Null embeddings are
+    * excluded and counted apart; a window with none (or a zero-norm
+    * sum) still EMITS with null stats.
+    */
+  def embeddingDriftMonitor(embCol: String, length: String,
+                            baselineVec: Seq[Double],
+                            slide: Option[String] = None): DataStream = {
+    import graft.operators.Drift
+    require(baselineVec.nonEmpty, "baseline centroid is empty")
+    val monitored = window(Seq.empty, Drift.centroidAggs(embCol),
+      length, slide)
+    monitored.select(Seq(col("window_start_time"),
+      col("window_end_time"), col("n_rows")) ++
+      Drift.centroidStatCols(baselineVec): _*)
+  }
+
+  /** [[embeddingDriftMonitor]] against a PERSISTED baseline centroid
+    * ([[graft.operators.DedupIndex.writeVec]] — dim pinned by its
+    * sidecar, mismatches refused).
+    */
+  def embeddingDriftMonitorFromIndex(embCol: String, length: String,
+                                     baselinePath: String, dim: Int,
+                                     slide: Option[String] = None)
+      : DataStream =
+    embeddingDriftMonitor(embCol, length, graft.operators.DedupIndex
+      .readVec(df.sparkSession, baselinePath, dim).toSeq, slide)
+
   /** Shared drift-monitor tail: window the B+2 counts
     * ([[graft.operators.Drift.driftAggs]]), derive the three stats
     * over observed vs literal baseline fractions.

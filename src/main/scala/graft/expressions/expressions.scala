@@ -2078,3 +2078,130 @@ case class FreqSketchAgg(child: Expression, capacity: Int,
   override def nullable: Boolean = false
   override def prettyName: String = "freq_sketch"
 }
+
+/** Mutable element-wise sum buffer for [[VecSumAgg]]: one
+  * fixed-length double array per group, allocated on the first
+  * non-null row (the aggregate learns the dimension from the data).
+  */
+final class VecSumBuffer {
+  private[expressions] var arr: Array[Double] = null
+  private[expressions] var n: Long = 0L
+
+  def add(v: ArrayData, asFloat: Boolean): Unit = {
+    val d = v.numElements()
+    if (arr == null) arr = new Array[Double](d)
+    else require(d == arr.length,
+      s"vec_sum: ragged input — got a $d-dim vector into a " +
+        s"${arr.length}-dim sum (embedding columns must be " +
+        "fixed-dimension; filter or repair upstream)")
+    var i = 0
+    if (asFloat)
+      while (i < d) { arr(i) += v.getFloat(i); i += 1 }
+    else
+      while (i < d) { arr(i) += v.getDouble(i); i += 1 }
+    n += 1
+  }
+
+  def mergeWith(o: VecSumBuffer): VecSumBuffer = {
+    if (o.arr == null) return this
+    if (arr == null) { arr = o.arr; n = o.n; return this }
+    require(o.arr.length == arr.length,
+      s"vec_sum: merging a ${o.arr.length}-dim partial into a " +
+        s"${arr.length}-dim sum — ragged embedding column")
+    var i = 0
+    while (i < arr.length) { arr(i) += o.arr(i); i += 1 }
+    n += o.n
+    this
+  }
+}
+
+/** Element-wise vector-sum aggregate as a native
+  * TypedImperativeAggregate: sums an `array<float|double>` embedding
+  * column into ONE double array per group — the bounded-state
+  * primitive behind the embedding-centroid drift monitor
+  * ([[graft.operators.Drift]]). Per-group state and exchange payload
+  * are `dim` doubles + a count regardless of row volume (map-side
+  * partials combine element-wise), where the relational spelling
+  * (posexplode + groupBy position) multiplies the shuffle by `dim`
+  * and needs a second aggregation to reassemble. Null vectors are
+  * skipped (callers count them separately); ragged dimensions raise
+  * loudly — a silent dim mismatch would corrupt every centroid
+  * downstream. Cosine against a frozen centroid is scale-invariant,
+  * so consumers use the SUM directly and never divide by the count.
+  */
+case class VecSumAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[VecSumBuffer] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VecSumAgg =
+    copy(child = newChildren(0))
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"vec_sum requires array<float> or array<double>, got $t")
+    }
+  }
+
+  override def createAggregationBuffer(): VecSumBuffer =
+    new VecSumBuffer
+
+  override def update(b: VecSumBuffer,
+      input: org.apache.spark.sql.catalyst.InternalRow): VecSumBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[ArrayData], isFloat)
+    b
+  }
+
+  override def merge(b: VecSumBuffer, o: VecSumBuffer): VecSumBuffer =
+    b.mergeWith(o)
+
+  override def eval(b: VecSumBuffer): Any =
+    if (b.arr == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(b.arr)
+
+  override def serialize(b: VecSumBuffer): Array[Byte] = {
+    val d = if (b.arr == null) 0 else b.arr.length
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 * d)
+    bb.putInt(d)
+    bb.putLong(b.n)
+    var i = 0
+    while (i < d) { bb.putDouble(b.arr(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecSumBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val d = bb.getInt()
+    val b = new VecSumBuffer
+    b.n = bb.getLong()
+    if (d > 0) {
+      b.arr = new Array[Double](d)
+      var i = 0
+      while (i < d) { b.arr(i) = bb.getDouble(); i += 1 }
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecSumAgg =
+    copy(inputAggBufferOffset = o)
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sum"
+}

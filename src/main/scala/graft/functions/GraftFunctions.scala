@@ -185,6 +185,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("freq_sketch", es =>
       FreqSketchAgg(es(0), intLit(es(1), "freq_sketch capacity"))
         .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_sum", es =>
+      VecSumAgg(es(0)).toAggregateExpression(), "scala_udf")
     graft.operators.Udafs.register(spark)
   }
 }

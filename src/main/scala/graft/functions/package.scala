@@ -144,6 +144,17 @@ package object functions {
       .FreqSketchAgg(GraftShim.expression(item), capacity)
       .toAggregateExpression())
 
+  /** Element-wise vector-sum aggregate over an array<float|double>
+    * embedding column — dim doubles + a count of state per group;
+    * the bounded-state primitive behind the embedding-centroid drift
+    * monitor ([[graft.operators.Drift]]). Null vectors skip; ragged
+    * dimensions raise.
+    */
+  def vec_sum(vec: Column): Column =
+    GraftShim.column(expressions
+      .VecSumAgg(GraftShim.expression(vec))
+      .toAggregateExpression())
+
   /** PQ nearest-codeword ids for a vector (Jégou et al. 2011) —
     * the m-int compressed form of an embedding. The codebook is a
     * driver-built constant baked into the expression.

@@ -342,15 +342,22 @@ object DedupIndex {
                 nBuckets: Int = 10, accuracy: Int = 10000): Unit = {
     val bounds = Drift.quantileBoundaries(baseline, valueCol,
       nBuckets, accuracy)
-    val fracs = Drift.histFractions(baseline, valueCol, bounds)
-    val spark = baseline.sparkSession
+    writeHistRows(baseline.sparkSession, path, bounds,
+      Drift.histCounts(baseline, valueCol, bounds), nBuckets, accuracy)
+  }
+
+  private def writeHistRows(spark: SparkSession, path: String,
+                            bounds: Seq[Double], counts: Array[Long],
+                            nBuckets: Int, accuracy: Int): Unit = {
     import spark.implicits._
     // one row per bucket: (bucket, lower boundary — null for the
-    // open-below bucket 0, exact baseline fraction)
-    fracs.toSeq.zipWithIndex
-      .map { case (f, i) =>
-        (i, if (i == 0) None else Some(bounds(i - 1)), f) }
-      .toDF("bucket", "lower", "frac")
+    // open-below bucket 0, exact count, exact fraction); counts ride
+    // along so appendHist can merge exactly
+    val fracs = Drift.fractionsOf(counts, "histogram")
+    counts.toSeq.zipWithIndex
+      .map { case (n, i) =>
+        (i, if (i == 0) None else Some(bounds(i - 1)), n, fracs(i)) }
+      .toDF("bucket", "lower", "n", "frac")
       .coalesce(1).write.mode("errorifexists").parquet(path)
     writeMeta(spark, path, "hist",
       Seq("n_buckets" -> nBuckets, "accuracy" -> accuracy))
@@ -360,16 +367,106 @@ object DedupIndex {
     *         [[graft.api.DataStream.driftMonitor]].
     */
   def readHist(spark: SparkSession, path: String,
-               nBuckets: Int = 10): (Seq[Double], Seq[Double]) =
-    readRetrying {
-      check(readMeta(spark, path), "hist",
-        Seq("n_buckets" -> nBuckets), path)
-      val rows = spark.read.parquet(path)
-        .select("bucket", "lower", "frac").orderBy("bucket").collect()
-      require(rows.nonEmpty, s"$path holds an empty histogram")
-      (rows.drop(1).map(_.getDouble(1)).toSeq,
-        rows.map(_.getDouble(2)).toSeq)
+               nBuckets: Int = 10): (Seq[Double], Seq[Double]) = {
+    val (bounds, _, fracs) = readHistFull(spark, path, nBuckets)
+    (bounds, fracs)
+  }
+
+  private def readHistFull(spark: SparkSession, path: String,
+                           nBuckets: Int)
+      : (Seq[Double], Array[Long], Seq[Double]) = readRetrying {
+    check(readMeta(spark, path), "hist",
+      Seq("n_buckets" -> nBuckets), path)
+    val rows = spark.read.parquet(path)
+      .select("bucket", "lower", "n", "frac").orderBy("bucket")
+      .collect()
+    require(rows.nonEmpty, s"$path holds an empty histogram")
+    (rows.drop(1).map(_.getDouble(1)).toSeq,
+      rows.map(_.getLong(2)).toArray,
+      rows.map(_.getDouble(3)).toSeq)
+  }
+
+  /** Append a new drop to a persisted histogram baseline: ONE
+    * conditional-count pass over the new rows with the FROZEN
+    * boundaries (the live sidecar's geometry — boundaries never move
+    * on append, so every historical drift number stays comparable),
+    * exact count merge, atomic swap. Re-fit policy: as the appended
+    * fraction grows the frozen quantile boundaries drift from the
+    * true quantiles — the buckets stay VALID (counts and fractions
+    * are exact over them) but less evenly loaded; schedule a
+    * [[writeHist]] re-fit when bucket loads skew far from 1/B.
+    */
+  def appendHist(newRows: DataFrame, valueCol: String,
+                 path: String): Unit = {
+    val spark = newRows.sparkSession
+    val meta = readMeta(spark, path)
+    check(meta, "hist", Seq.empty, path)
+    val nBuckets = meta("n_buckets").toInt
+    val accuracy = meta("accuracy").toInt
+    val (bounds, live, _) = readHistFull(spark, path, nBuckets)
+    val fresh = Drift.histCounts(newRows, valueCol, bounds)
+    val merged = live.zip(fresh).map { case (a, b) => a + b }
+    replaceWith(spark, path) { tmp =>
+      writeHistRows(spark, tmp, bounds, merged, nBuckets, accuracy)
     }
+  }
+
+  /** Build and persist a baseline CENTROID for the embedding-drift
+    * monitor ([[graft.api.DataStream.embeddingDriftMonitor]]): the
+    * element-wise SUM vector of the baseline corpus's embeddings
+    * ([[Drift.sumVector]] — one native-aggregate pass) plus its row
+    * count, a dim-row artifact on disk. The SUM, not the mean —
+    * cosine is scale-invariant and sums compose under [[appendVec]]
+    * (sum-of-union = element-wise add), so a growing baseline never
+    * rescans old drops. dim pins the build.
+    */
+  def writeVec(baseline: DataFrame, embCol: String, path: String): Unit = {
+    val s = Drift.sumVector(baseline, embCol)
+    val spark = baseline.sparkSession
+    import spark.implicits._
+    s.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("pos", "v")
+      .coalesce(1).write.mode("errorifexists").parquet(path)
+    writeMeta(spark, path, "vec", Seq("dim" -> s.length))
+  }
+
+  def readVec(spark: SparkSession, path: String,
+              dim: Int): Array[Double] = readRetrying {
+    check(readMeta(spark, path), "vec", Seq("dim" -> dim), path)
+    val rows = spark.read.parquet(path).select("pos", "v")
+      .orderBy("pos").collect()
+    require(rows.length == dim,
+      s"$path holds ${rows.length} centroid components, sidecar " +
+        s"says $dim — torn write?")
+    rows.map(_.getDouble(1))
+  }
+
+  /** Append a new drop to a persisted centroid: ONE aggregate pass
+    * over the new rows, element-wise add to the live sum, atomic
+    * swap. dim pinned by the LIVE sidecar (a mismatched embedding
+    * model must refuse, not average into nonsense).
+    */
+  def appendVec(newRows: DataFrame, embCol: String,
+                path: String): Unit = {
+    val spark = newRows.sparkSession
+    val meta = readMeta(spark, path)
+    check(meta, "vec", Seq.empty, path)
+    val dim = meta("dim").toInt
+    val fresh = Drift.sumVector(newRows, embCol)
+    require(fresh.length == dim,
+      s"appendVec: new drop has ${fresh.length}-dim embeddings but " +
+        s"$path was built at dim=$dim — rebuild the baseline or fix " +
+        "the pipeline (a silent mix corrupts the centroid)")
+    val live = readVec(spark, path, dim)
+    val merged = live.zip(fresh).map { case (a, b) => a + b }
+    import spark.implicits._
+    replaceWith(spark, path) { tmp =>
+      merged.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("pos", "v")
+        .coalesce(1).write.mode("errorifexists").parquet(tmp)
+      writeMeta(spark, tmp, "vec", Seq("dim" -> dim))
+    }
+  }
 
   // ─────────────────────────── incremental append ───────────────────────────
   //

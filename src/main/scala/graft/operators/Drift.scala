@@ -49,24 +49,35 @@ object Drift {
     when(value.isNotNull, idx)
   }
 
-  /** Exact baseline fractions over `boundaries`' B+1 buckets: ONE
+  /** Exact per-bucket counts over `boundaries`' B+1 buckets: ONE
     * aggregation pass (B+1 map-side-combined conditional counts —
-    * the corpus never reshuffles), a (B+1)-double array back.
-    * Fractions are of NON-NULL rows.
+    * the corpus never reshuffles), a (B+1)-long array back. Counts
+    * are of NON-NULL rows.
     */
-  def histFractions(df: DataFrame, valueCol: String,
-                    boundaries: Seq[Double]): Array[Double] = {
+  def histCounts(df: DataFrame, valueCol: String,
+                 boundaries: Seq[Double]): Array[Long] = {
     val b = histBucket(col(valueCol), boundaries)
     val n = boundaries.size + 1
     val aggs = (0 until n).map(i =>
       count(when(b === lit(i), 1)).as(s"__b$i"))
     val row = df.agg(aggs.head, aggs.drop(1): _*).head()
-    val counts = (0 until n).map(i => row.getLong(i).toDouble)
-    val tot = counts.sum
+    (0 until n).map(row.getLong).toArray
+  }
+
+  /** [[histCounts]] normalized to exact fractions of non-null rows. */
+  def histFractions(df: DataFrame, valueCol: String,
+                    boundaries: Seq[Double]): Array[Double] = {
+    val counts = histCounts(df, valueCol, boundaries)
+    fractionsOf(counts, valueCol)
+  }
+
+  private[graft] def fractionsOf(counts: Array[Long],
+                                 valueCol: String): Array[Double] = {
+    val tot = counts.map(_.toDouble).sum
     require(tot > 0,
       s"baseline has no non-null '$valueCol' rows — cannot derive " +
         "a reference distribution")
-    counts.map(_ / tot).toArray
+    counts.map(_ / tot)
   }
 
   /** Quantile bucket boundaries from a baseline corpus: the B−1
@@ -143,6 +154,59 @@ object Drift {
       .agg(aggs.head, aggs.drop(1): _*)
       .select(groupCols.map(col) ++ Seq(col("n_rows")) ++
         statCols(baselineFracs, eps): _*)
+  }
+
+  /** The element-wise SUM vector of an embedding column — the frozen
+    * baseline for the centroid-drift spellings. One native-aggregate
+    * pass ([[graft.expressions.VecSumAgg]]: dim doubles + a count of
+    * state per task, map-side combined), a dim-double array back.
+    * The SUM, not the mean: cosine is scale-invariant, so consumers
+    * never divide by the count and the artifact composes under
+    * append (sum-of-union = element-wise add).
+    */
+  def sumVector(df: DataFrame, embCol: String): Array[Double] = {
+    val row = df.agg(graft.functions.vec_sum(col(embCol)).as("s"))
+      .head()
+    require(!row.isNullAt(0),
+      s"baseline has no non-null '$embCol' vectors — cannot derive " +
+        "a centroid")
+    row.getSeq[Double](0).toArray
+  }
+
+  /** Batch centroid-drift REPORT: one row per group with the cosine
+    * between the group's embedding centroid and the frozen baseline
+    * centroid — the "did this labeled slice / crawl source drift in
+    * embedding space" QA (an embedding-model swap or a source going
+    * off-topic moves centroids long before exact stats do). Cosine
+    * rides the group's SUM vector (scale-invariant, so the mean is
+    * never materialized); state per group = dim doubles + 2 counts.
+    * `centroid_cos`/`centroid_drift` are null for a group with no
+    * non-null vectors (the row still emits) and for a zero-norm sum.
+    */
+  def centroidDriftReport(df: DataFrame, groupCols: Seq[String],
+                          embCol: String,
+                          baselineVec: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "centroidDriftReport needs >= 1 group column")
+    require(baselineVec.nonEmpty, "baseline centroid is empty")
+    val aggs = centroidAggs(embCol)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.drop(1): _*)
+      .select(groupCols.map(col) ++ Seq(col("n_rows")) ++
+        centroidStatCols(baselineVec): _*)
+  }
+
+  private[graft] def centroidAggs(embCol: String): Seq[Column] =
+    Seq(count(lit(1)).as("n_rows"), count(col(embCol)).as("__nn"),
+      graft.functions.vec_sum(col(embCol)).as("__vs"))
+
+  private[graft] def centroidStatCols(baselineVec: Seq[Double])
+      : Seq[Column] = {
+    val cos = graft.functions.cosine_similarity(col("__vs"),
+      typedLit(baselineVec))
+    Seq((col("n_rows") - col("__nn")).as("n_null"),
+      round(cos, 6).as("centroid_cos"),
+      round(lit(1.0) - cos, 6).as("centroid_drift"))
   }
 
   /** The B+2 bounded-state aggregate columns every drift spelling

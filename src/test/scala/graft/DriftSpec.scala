@@ -188,6 +188,110 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("group column"))
   }
 
+  test("sumVector / vec_sum: exact element-wise sums, null vectors " +
+      "skipped, ragged dimensions refused loudly, SQL-registered") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(10.0f, 20.0f, 30.0f)),
+      (3L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    assert(Drift.sumVector(df, "embedding").toSeq ==
+      Seq(11.0, 22.0, 33.0))
+    // SQL spelling (GraftFunctions registry)
+    graft.functions.GraftFunctions.registerAll(spark)
+    df.createOrReplaceTempView("vs_in")
+    assert(spark.sql("SELECT vec_sum(embedding) AS s FROM vs_in")
+      .head().getSeq[Double](0) == Seq(11.0, 22.0, 33.0))
+    val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Drift.sumVector(ragged, "embedding")
+    }
+    // the refusal surfaces from an executor task → walk the cause
+    // chain for the library's message
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("ragged"))
+    val allNull = Seq((1L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Drift.sumVector(allNull, "embedding")
+    }
+    assert(e2.getMessage.contains("no non-null"))
+  }
+
+  test("centroidDriftReport: per-group cosine vs the frozen " +
+      "baseline centroid; aligned slice reads 1.0, orthogonal 0.0, " +
+      "all-null group emits with null stats") {
+    val df = Seq(
+      ("aligned", Seq(2.0f, 0.0f)), ("aligned", Seq(4.0f, 0.0f)),
+      ("ortho", Seq(0.0f, 3.0f)),
+      ("nulls", null.asInstanceOf[Seq[Float]]))
+      .toDF("src", "embedding")
+    val out = Drift.centroidDriftReport(df, Seq("src"), "embedding",
+        Seq(1.0, 0.0))
+      .orderBy("src").collect()
+    assert(out.length == 3)
+    assert(out(0).getString(0) == "aligned" &&
+      out(0).getDouble(3) == 1.0 && out(0).getDouble(4) == 0.0)
+    assert(out(1).getString(0) == "nulls" &&
+      (out(1).getLong(1), out(1).getLong(2)) == ((1L, 1L)) &&
+      out(1).isNullAt(3) && out(1).isNullAt(4))
+    assert(out(2).getString(0) == "ortho" &&
+      out(2).getDouble(3) == 0.0 && out(2).getDouble(4) == 1.0)
+    // zero-norm group sum → null stats (cosine undefined), row emits
+    val zero = Seq(("z", Seq(1.0f, 0.0f)), ("z", Seq(-1.0f, 0.0f)))
+      .toDF("src", "embedding")
+    val zr = Drift.centroidDriftReport(zero, Seq("src"), "embedding",
+      Seq(1.0, 0.0)).head()
+    assert(zr.isNullAt(3) && zr.isNullAt(4))
+  }
+
+  test("writeVec/readVec/appendVec: persisted centroid round-trips, " +
+      "append adds only the new drop's sum, dim mismatches refused") {
+    val half1 = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val half2 = Seq((3L, Seq(10.0f, 20.0f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-vec")
+      .toString + "/idx"
+    DedupIndex.writeVec(half1, "embedding", dir)
+    assert(DedupIndex.readVec(spark, dir, dim = 2).toSeq ==
+      Seq(4.0, 6.0))
+    DedupIndex.appendVec(half2, "embedding", dir)
+    assert(DedupIndex.readVec(spark, dir, dim = 2).toSeq ==
+      Seq(14.0, 26.0))
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.readVec(spark, dir, dim = 3)
+    }
+    assert(e.getMessage.contains("rebuild"))
+    val e2 = intercept[IllegalArgumentException] {
+      DedupIndex.appendVec(
+        Seq((4L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding"),
+        "embedding", dir)
+    }
+    assert(e2.getMessage.contains("dim=2"))
+  }
+
+  test("appendHist: new drop re-counted against FROZEN boundaries, " +
+      "merged fractions equal a fresh count over the union") {
+    val half1 = spark.range(500).select(($"id" % 100).cast("double")
+      .as("v"))
+    val half2 = spark.range(500, 1000)
+      .select(($"id" % 40).cast("double").as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-histapp")
+      .toString + "/idx"
+    DedupIndex.writeHist(half1, "v", dir, nBuckets = 5)
+    val (boundsBefore, _) = DedupIndex.readHist(spark, dir, 5)
+    DedupIndex.appendHist(half2, "v", dir)
+    val (bounds, fracs) = DedupIndex.readHist(spark, dir, 5)
+    // boundaries FROZEN by the append (historical numbers stay
+    // comparable); fractions exactly re-derivable from the union
+    assert(bounds == boundsBefore)
+    assert(fracs.toSeq == Drift.histFractions(
+      half1.unionByName(half2), "v", bounds).toSeq)
+  }
+
   test("writeHist/readHist: persisted baseline round-trips and " +
       "driftMonitorFromIndex equals the literal spelling; foreign " +
       "kind and mismatched n_buckets refused") {

@@ -700,6 +700,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("embeddingDriftMonitor: per-window centroid cosine vs a " +
+      "frozen baseline sum; state is dim doubles + two counts") {
+    val input = MemoryStream[(Long, Option[Seq[Float]])](spark)
+    val ds = DataStream(input.toDF.toDF("ms", "embedding")
+      .withColumn("ts", timestamp_millis($"ms")), "ts")
+    // baseline centroid points along (1, 0)
+    val q = ds.embeddingDriftMonitor("embedding", "10 seconds",
+      Seq(1.0, 0.0)).sinkMemory("embdrift_out")
+    try {
+      // window [0,10 s): sums to (3, 3) → cos 45° ≈ 0.707107; one
+      // null embedding counted apart, not averaged in
+      input.addData(
+        (1000L, Some(Seq(1.0f, 2.0f))), (2000L, Some(Seq(2.0f, 1.0f))),
+        (3000L, None))
+      // window [10,20 s): sums to (5, 0) → cos 1.0, drift 0
+      input.addData(
+        (11000L, Some(Seq(2.0f, 0.0f))), (12000L, Some(Seq(3.0f, 0.0f))))
+      q.processAllAvailable()
+      input.addData((25000L, Some(Seq(1.0f, 0.0f))))
+      q.processAllAvailable()
+      val rows = spark.table("embdrift_out")
+        .orderBy("window_start_time")
+        .select("n_rows", "n_null", "centroid_cos", "centroid_drift")
+        .as[(Long, Long, Double, Double)].collect().toList
+      def round6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val cos45 = 3.0 / (math.sqrt(18.0) * 1.0)
+      assert(rows == List(
+        (3L, 1L, round6(cos45), round6(1.0 - cos45)),
+        (2L, 0L, 1.0, 0.0)))
+    } finally q.stop()
+  }
+
   test("trendingMonitor: an all-null-items window still EMITS (a " +
       "schema break upstream must alarm, not vanish)") {
     val input = MemoryStream[(Long, Option[String])](spark)
