@@ -471,21 +471,24 @@ object Bench {
     // (BASELINE.md round-10 number of record). control_ratio = median
     // of the three measured/record ratios; a ratio beyond ~1.3 marks
     // the WHOLE snapshot ambient-suspect, whatever the per-row spreads
-    // say. Records are sf0.1-specific, so at other SFs the controls
-    // still run (their values are comparable across same-SF runs) but
-    // no ratio/flag is derived.
+    // say. Records are sf0.1-specific, so the trio only RUNS on
+    // sf0.1 dirs — at other SFs no ratio could be derived and the
+    // rows are not free (d5 alone is ~3 min at sf10; a subset
+    // iteration run should not pay for a flag it cannot get).
     val controlRecords = Map(
       "q1_agg" -> 0.35, "d5_simhash_pairs" -> 1.26,
       "m5_audio_decode" -> 0.87)
-    val controls = controlRecords.keys.toSeq.sorted
-      .map(n => n -> stats((1 to reps).map(_ => timeOnce(n))))
-    val controlRatio: Option[Double] =
-      if (!sfDir.replaceAll("/+$", "").endsWith("sf0.1")) None
-      else {
-        val rs = controls.collect { case (n, (med, _, _)) if med > 0 =>
-          med / controlRecords(n) }.sorted
-        if (rs.isEmpty) None else Some(rs((rs.size - 1) / 2))
-      }
+    val controlsEnabled =
+      sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val controls =
+      if (!controlsEnabled) Seq.empty
+      else controlRecords.keys.toSeq.sorted
+        .map(n => n -> stats((1 to reps).map(_ => timeOnce(n))))
+    val controlRatio: Option[Double] = {
+      val rs = controls.collect { case (n, (med, _, _)) if med > 0 =>
+        med / controlRecords(n) }.sorted
+      if (rs.isEmpty) None else Some(rs((rs.size - 1) / 2))
+    }
     val ambientUniform = controlRatio.exists(_ > 1.3)
     controlRatio.foreach { r =>
       if (ambientUniform) System.err.println(
