@@ -1030,6 +1030,18 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Label-cohesion QA: per label, mean cosine to the OWN centroid
+    // vs each member's best RIVAL centroid, the margin, and the
+    // modal confusion direction — "are my labels consistent in
+    // embedding space". Centroids are per-label SUM vectors (cosine
+    // is scale-invariant) and include the member; the oracle replays
+    // the same definition with list_cosine_similarity (the s1-family
+    // parity contract).
+    "s12_label_cohesion" -> ((s, d) =>
+      operators.Similarity.labelCohesionReport(t(s, d, "embeddings"),
+          "embedding", "vec_id", "label")
+        .orderBy(col("label"))),
+
     "s5_knn_join" -> ((s, d) => {
       val emb = t(s, d, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
@@ -3674,6 +3686,48 @@ object SparkEntry {
         |    abs(c3::DOUBLE/nn - f3), abs(c4::DOUBLE/nn - f4)), 6)
         |    AS max_shift
         |FROM g, f ORDER BY source""".stripMargin,
+
+    "s12_label_cohesion" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |x AS (
+        |  SELECT label,
+        |    unnest(list_transform(emb, (v, i) -> {'i': i, 'v': v}))
+        |      AS s
+        |  FROM e),
+        |g AS (SELECT label, s.i AS i, sum(s.v) AS sv
+        |      FROM x GROUP BY 1, 2),
+        |c AS (SELECT label AS l, list(sv ORDER BY i) AS cvec
+        |      FROM g GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label AS rl, c.l,
+        |         list_cosine_similarity(e.emb, c.cvec) AS cos
+        |       FROM e CROSS JOIN c),
+        |own AS (SELECT vec_id, rl, cos AS own_cos FROM sc
+        |        WHERE rl = l),
+        |riv AS (SELECT vec_id, l, cos, row_number() OVER
+        |          (PARTITION BY vec_id ORDER BY cos DESC, l) AS rk
+        |        FROM sc WHERE rl != l),
+        |best AS (SELECT vec_id, l AS riv_l, cos AS riv_cos
+        |         FROM riv WHERE rk = 1),
+        |pr AS (SELECT own.vec_id, own.rl, own.own_cos, best.riv_l,
+        |         best.riv_cos
+        |       FROM own LEFT JOIN best USING (vec_id)),
+        |st AS (SELECT rl AS label, count(*) AS n_rows,
+        |         round(avg(own_cos), 6) AS mean_own_cos,
+        |         round(avg(riv_cos), 6) AS mean_rival_cos,
+        |         round(avg(own_cos) - avg(riv_cos), 6) AS margin
+        |       FROM pr GROUP BY 1),
+        |cf AS (SELECT rl AS label, riv_l, row_number() OVER
+        |         (PARTITION BY rl ORDER BY count(*) DESC, riv_l)
+        |           AS rk
+        |       FROM pr WHERE riv_l IS NOT NULL GROUP BY rl, riv_l)
+        |SELECT st.label, st.n_rows, st.mean_own_cos,
+        |  st.mean_rival_cos, st.margin,
+        |  (SELECT riv_l FROM cf
+        |   WHERE cf.label = st.label AND cf.rk = 1) AS top_rival
+        |FROM st ORDER BY st.label""".stripMargin,
 
     "d44_centroid_drift" ->
       """WITH e AS (

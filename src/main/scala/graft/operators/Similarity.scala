@@ -359,6 +359,72 @@ object Similarity {
       nProbe, broadcastMaxQueries)
   }
 
+  /** Label-cohesion QA over a LABELED embedding corpus — the
+    * training-data question "are my labels consistent in embedding
+    * space, and which pairs blur": one row per label with the mean
+    * cosine of its members to their OWN label centroid, the mean
+    * cosine to each member's best RIVAL centroid, the margin between
+    * the two (margin ≤ 0 ⇒ the label's members sit closer to another
+    * label than to their own — mislabeled or unlearnable), and the
+    * most-frequent nearest-rival label (the confusion direction).
+    *
+    * Definitions: centroids are per-label SUM vectors (cosine is
+    * scale-invariant; one [[graft.expressions.VecSumAgg]] pass) and
+    * INCLUDE the member itself (no leave-one-out — exact replay
+    * beats estimator subtleties for a QA report; the oracle applies
+    * the same definition). Per-row rival = the non-own label whose
+    * centroid scores highest (cosine desc, label asc on ties).
+    *
+    * Scale design: the centroid table is |labels| rows → broadcast;
+    * the scored set is |rows|·|labels| — right for the classifier-
+    * label shape (tens to thousands of labels); the per-row rival
+    * rank partitions by row id (parallelism = |rows|). Rows with a
+    * null label or null embedding are excluded (they can't be
+    * scored); zero-norm vectors yield null cosines, which the means
+    * skip. A corpus with a single label reports null rival/margin
+    * columns rather than failing.
+    */
+  def labelCohesionReport(corpus: DataFrame, embCol: String,
+                          idCol: String, labelCol: String): DataFrame = {
+    val rows = corpus
+      .filter(col(embCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("__id"), col(labelCol).as("__rl"),
+        col(embCol).as("__e"))
+    val cents = rows.groupBy(col("__rl").as("__l"))
+      .agg(graft.functions.vec_sum(col("__e")).as("__c"))
+    val scored = rows.crossJoin(broadcast(cents))
+      .withColumn("__cos",
+        graft.functions.cosine_similarity(col("__e"), col("__c")))
+    val own = scored.filter(col("__rl") === col("__l"))
+      .select(col("__id"), col("__rl"), col("__cos").as("__own"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__cos").desc, col("__l"))
+    val bestRival = scored.filter(col("__rl") =!= col("__l"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("__id"), col("__l").as("__riv"),
+        col("__cos").as("__rivcos"))
+    val perRow = own.join(bestRival, Seq("__id"), "left")
+    val stats = perRow.groupBy(col("__rl").as("label"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(avg(col("__own")), 6).as("mean_own_cos"),
+        round(avg(col("__rivcos")), 6).as("mean_rival_cos"),
+        round(avg(col("__own")) - avg(col("__rivcos")), 6)
+          .as("margin"))
+    // confusion direction: the modal nearest-rival per label, ties
+    // (count desc, rival asc); a second tiny aggregation over
+    // |labels|² rows at most
+    val cw = Window.partitionBy(col("label"))
+      .orderBy(col("__n").desc, col("__riv"))
+    val topRival = perRow.filter(col("__riv").isNotNull)
+      .groupBy(col("__rl").as("label"), col("__riv"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__rk", row_number().over(cw))
+      .filter(col("__rk") === 1)
+      .select(col("label"), col("__riv").as("top_rival"))
+    stats.join(topRival, Seq("label"), "left")
+  }
+
   // ───────────────────────── Product quantization ─────────────────────────
   //
   // PQ (Jégou et al. 2011) is the COMPRESSION-first ANN scale path:

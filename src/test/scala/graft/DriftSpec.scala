@@ -248,6 +248,54 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     assert(zr.isNullAt(3) && zr.isNullAt(4))
   }
 
+  test("labelCohesionReport: exact own/rival means on hand-built " +
+      "clusters, modal confusion direction, single-label corpus " +
+      "reports null rival columns") {
+    import graft.operators.Similarity
+    def round6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // label 0 along (1,0): members (2,0),(4,0) → own cos 1.0 each;
+    // label 1 along (0,1): (0,3) own cos 1.0;
+    // label 2 at 45°: (1,1) own cos 1.0 (single member, centroid =
+    // itself). Rivals: for label-0 members the best rival is the 45°
+    // centroid (cos √2/2 beats the orthogonal 0) → top_rival 2.
+    val df = Seq(
+      (1L, 0, Seq(2.0f, 0.0f)), (2L, 0, Seq(4.0f, 0.0f)),
+      (3L, 1, Seq(0.0f, 3.0f)), (4L, 2, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelCohesionReport(df, "embedding",
+        "vec_id", "label")
+      .orderBy("label").collect()
+    val c45 = math.sqrt(2.0) / 2
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    assert(out(0).getLong(1) == 2L &&
+      out(0).getDouble(2) == 1.0 &&
+      out(0).getDouble(3) == round6(c45) &&
+      out(0).getDouble(4) == round6(1.0 - c45) &&
+      out(0).getInt(5) == 2)
+    // label 2's member ties its rivals at cos √2/2 each → label asc
+    // picks 0
+    assert(out(2).getDouble(2) == 1.0 && out(2).getInt(5) == 0)
+    // single-label corpus: no rivals → null rival/margin/top_rival,
+    // never a failure
+    val solo = Seq((1L, 7, Seq(1.0f, 0.0f)), (2L, 7, Seq(2.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val sr = Similarity.labelCohesionReport(solo, "embedding",
+      "vec_id", "label").head()
+    assert(sr.getInt(0) == 7 && sr.getDouble(2) == 1.0 &&
+      sr.isNullAt(3) && sr.isNullAt(4) && sr.isNullAt(5))
+    // null labels / null embeddings are excluded, not crashed on
+    val dirty = df.unionByName(Seq(
+      (9L, null.asInstanceOf[java.lang.Integer], Seq(1.0f, 0.0f)),
+      (10L, java.lang.Integer.valueOf(0),
+        null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "label", "embedding"))
+    val clean = Similarity.labelCohesionReport(dirty, "embedding",
+      "vec_id", "label").orderBy("label").collect()
+    assert(clean.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((0, 2L), (1, 1L), (2, 1L)))
+  }
+
   test("writeVec/readVec/appendVec: persisted centroid round-trips, " +
       "append adds only the new drop's sum, dim mismatches refused") {
     val half1 = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
