@@ -321,6 +321,24 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("dim=2"))
   }
 
+  test("centroid drift with NaN-poisoned embeddings: the window/group " +
+      "still EMITS (NaN stats, visibly broken) — garbage must alarm, " +
+      "not vanish; embeddingStats is the upstream repair tool") {
+    val df = Seq(
+      ("bad", Seq(Float.NaN, 1.0f)), ("bad", Seq(1.0f, 1.0f)),
+      ("ok", Seq(1.0f, 0.0f)))
+      .toDF("src", "embedding")
+    val out = Drift.centroidDriftReport(df, Seq("src"), "embedding",
+        Seq(1.0, 0.0))
+      .orderBy("src").collect()
+    assert(out.length == 2)
+    // the poisoned group emits with NaN cosine — present and loud
+    assert(out(0).getString(0) == "bad" &&
+      out(0).getDouble(3).isNaN)
+    assert(out(1).getString(0) == "ok" &&
+      out(1).getDouble(3) == 1.0)
+  }
+
   test("appendHist: new drop re-counted against FROZEN boundaries, " +
       "merged fractions equal a fresh count over the union") {
     val half1 = spark.range(500).select(($"id" % 100).cast("double")

@@ -65,6 +65,40 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("d41 drift monitor is one two-phase aggregate: no join, no " +
+      "second exchange, baseline rides as literals") {
+    val p = plan("d41_drift_monitor", "simple")
+    assert(!p.contains("Join"), s"drift monitor must not join:\n$p")
+    // one shuffle total: the partial->final aggregate exchange (plus
+    // nothing for the literal baseline)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, // agg exchange + the orderBy's range part.
+      s"drift monitor plans $exchanges exchanges:\n$p")
+    val pf = plan("d41_drift_monitor")
+    assert(pf.contains("partial_"),
+      s"no map-side partial aggregation:\n$pf")
+  }
+
+  test("d44 centroid drift aggregates vec_sum under " +
+      "ObjectHashAggregate with map-side partials, no join") {
+    val p = plan("d44_centroid_drift")
+    assert(p.contains("ObjectHashAggregate"),
+      s"vec_sum must run under ObjectHashAggregate:\n$p")
+    assert(p.contains("partial_"),
+      s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("Join"), s"centroid drift must not join:\n$p")
+  }
+
+  test("s12 label cohesion broadcasts the centroid table (never " +
+      "shuffles the corpus against it)") {
+    val p = plan("s12_label_cohesion", "simple")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"label cohesion must not plan a cartesian product:\n$p")
+  }
+
   test("session sizes shuffle partitions to cores, AQE on") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     // Graft.session sets shuffle partitions = its cores argument; assert
