@@ -349,6 +349,50 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Streaming embedding-centroid drift monitor: the embeddings
+    // table replayed as a timestamped stream (synthetic event time
+    // derived from vec_id, the streaming_embdedup pattern) against a
+    // frozen baseline centroid built OUTSIDE the timed region (a
+    // once-per-drop artifact); per-window state = dim doubles + two
+    // counts via the native vec_sum aggregate
+    def streamingEmbDriftMonitorOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      System.gc()
+      Thread.sleep(300)
+      val baseVec =
+        try graft.operators.Drift.sumVector(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"),
+          "embedding").toSeq
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] embdrift baseline failed: " +
+              e.getMessage)
+            return -1.0
+        }
+      val t0 = System.nanoTime()
+      try {
+        val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+        val src = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet")
+          .parquet(sfDir)
+          .withColumn("ts", timestamp_millis(col("vec_id") * 100))
+        val q = graft.api.DataStream(src, "ts")
+          .embeddingDriftMonitor("embedding", "1 hour", baseVec)
+          .sinkMemory("bench_embdrift")
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          spark.sql("DROP TABLE IF EXISTS bench_embdrift")
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] embdrift monitor failed: " +
+            e.getMessage)
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Sparse-tier Aho–Corasick blocklist scan end-to-end: a generated
     // 100k-phrase list (≈1.7M trie nodes — forces the sparse
     // automaton; dense would be ~1.7 GB/executor) over the documents
@@ -506,6 +550,7 @@ object Bench {
         "streaming_trending_monitor" -> (() => streamingTrendingMonitorOnce()),
         "streaming_overlap_monitor" -> (() => streamingOverlapMonitorOnce()),
         "streaming_drift_monitor" -> (() => streamingDriftMonitorOnce()),
+        "streaming_embdrift_monitor" -> (() => streamingEmbDriftMonitorOnce()),
         "exact_window_explode" -> (() => exactWindowOnce(pane = false)),
         "exact_window_pane" -> (() => exactWindowOnce(pane = true)),
         "blocklist_sparse" -> (() => blocklistSparseOnce()),
