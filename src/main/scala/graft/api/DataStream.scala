@@ -732,6 +732,18 @@ final case class DataStream(
     embeddingDriftMonitor(embCol, length, graft.operators.DedupIndex
       .readVec(df.sparkSession, baselinePath, dim).toSeq, slide)
 
+  /** [[categoryDriftMonitor]] against a PERSISTED category baseline
+    * ([[graft.operators.DedupIndex.writeCats]] — top_n pinned by its
+    * sidecar, mismatches refused).
+    */
+  def categoryDriftMonitorFromIndex(catCol: String, length: String,
+                                    baselinePath: String,
+                                    topN: Int = 20,
+                                    slide: Option[String] = None,
+                                    eps: Double = 1e-6): DataStream =
+    categoryDriftMonitor(catCol, length, graft.operators.DedupIndex
+      .readCats(df.sparkSession, baselinePath, topN), slide, eps)
+
   /** Shared drift-monitor tail: window the B+2 counts
     * ([[graft.operators.Drift.driftAggs]]), derive the three stats
     * over observed vs literal baseline fractions.

@@ -411,6 +411,81 @@ object DedupIndex {
     }
   }
 
+  /** Build and persist a baseline CATEGORY DISTRIBUTION for the
+    * categorical drift monitor
+    * ([[graft.api.DataStream.categoryDriftMonitorFromIndex]]): the
+    * top-N categories by exact count plus the pooled
+    * [[Drift.OtherCategory]] row (always present, possibly 0, so the
+    * artifact stays mergeable). top_n pins the build; the CATEGORY
+    * SET freezes at build time — appends count new drops over the
+    * frozen set (a new category rising after the freeze lands in
+    * __other__ until a scheduled re-fit, the same re-fit policy as
+    * [[appendHist]]).
+    */
+  def writeCats(baseline: DataFrame, catCol: String, path: String,
+                topN: Int = 20): Unit = {
+    writeCatRows(baseline.sparkSession, path,
+      Drift.categoryCounts(baseline, catCol, topN), topN)
+  }
+
+  private def writeCatRows(spark: SparkSession, path: String,
+                           counts: Seq[(String, Long)],
+                           topN: Int): Unit = {
+    import spark.implicits._
+    val tot = counts.map(_._2).sum.toDouble
+    require(tot > 0, "category baseline is empty")
+    counts.zipWithIndex
+      .map { case ((c, n), i) => (i, c, n, n / tot) }
+      .toDF("rank", "category", "n", "frac")
+      .coalesce(1).write.mode("errorifexists").parquet(path)
+    writeMeta(spark, path, "cats", Seq("top_n" -> topN))
+  }
+
+  /** @return (category, frac) pairs ready for
+    *         [[graft.api.DataStream.categoryDriftMonitor]] (the
+    *         pooled __other__ row included when non-zero, matching
+    *         [[Drift.categoryFractions]]).
+    */
+  def readCats(spark: SparkSession, path: String,
+               topN: Int = 20): Seq[(String, Double)] = {
+    readCatsFull(spark, path, topN)
+      .filterNot { case (c, n, _) =>
+        c == Drift.OtherCategory && n == 0 }
+      .map { case (c, _, f) => c -> f }
+  }
+
+  private def readCatsFull(spark: SparkSession, path: String,
+                           topN: Int): Seq[(String, Long, Double)] =
+    readRetrying {
+      check(readMeta(spark, path), "cats", Seq("top_n" -> topN), path)
+      val rows = spark.read.parquet(path)
+        .select("rank", "category", "n", "frac").orderBy("rank")
+        .collect()
+      require(rows.nonEmpty, s"$path holds an empty category baseline")
+      rows.map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    }
+
+  /** Append a new drop to a persisted category baseline: one
+    * conditional-count pass over the new rows against the FROZEN
+    * category set, exact count merge, atomic swap.
+    */
+  def appendCats(newRows: DataFrame, catCol: String,
+                 path: String): Unit = {
+    val spark = newRows.sparkSession
+    val meta = readMeta(spark, path)
+    check(meta, "cats", Seq.empty, path)
+    val topN = meta("top_n").toInt
+    val live = readCatsFull(spark, path, topN)
+    val fresh = Drift.categoryCountsFrozen(newRows, catCol,
+      live.map(_._1))
+    val freshMap = fresh.toMap
+    val merged = live.map { case (c, n, _) => c -> (n + freshMap(c)) }
+    replaceWith(spark, path) { tmp =>
+      writeCatRows(spark, tmp, merged, topN)
+    }
+  }
+
   /** Build and persist a baseline CENTROID for the embedding-drift
     * monitor ([[graft.api.DataStream.embeddingDriftMonitor]]): the
     * element-wise SUM vector of the baseline corpus's embeddings

@@ -112,19 +112,49 @@ object Drift {
     */
   def categoryFractions(df: DataFrame, catCol: String, topN: Int = 20)
       : Seq[(String, Double)] = {
+    val counts = categoryCounts(df, catCol, topN)
+    val tot = counts.map(_._2).sum.toDouble
+    require(tot > 0, s"baseline is empty — no '$catCol' distribution")
+    counts.filterNot { case (c, n) => c == OtherCategory && n == 0 }
+      .map { case (c, n) => c -> n / tot }
+  }
+
+  /** The count form of [[categoryFractions]]: top-N categories by
+    * (count desc, category asc) plus an [[OtherCategory]] row that
+    * pools everything else and nulls — ALWAYS present (possibly 0),
+    * so persisted baselines stay mergeable under
+    * [[DedupIndex.appendCats]].
+    */
+  def categoryCounts(df: DataFrame, catCol: String, topN: Int = 20)
+      : Seq[(String, Long)] = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
     val counts = df.groupBy(col(catCol).as("__cat"))
       .agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, col("__cat").asc_nulls_last)
       .collect() // bounded artifact: one row per distinct category
-    val tot = counts.map(_.getLong(1)).sum.toDouble
-    require(tot > 0, s"baseline is empty — no '$catCol' distribution")
     val (top, rest) = counts
       .filterNot(_.isNullAt(0)).splitAt(topN)
     val restN = rest.map(_.getLong(1)).sum +
       counts.filter(_.isNullAt(0)).map(_.getLong(1)).sum
-    top.map(r => r.getString(0) -> r.getLong(1) / tot).toSeq ++
-      (if (restN > 0) Seq(OtherCategory -> restN / tot) else Nil)
+    top.map(r => r.getString(0) -> r.getLong(1)).toSeq :+
+      (OtherCategory -> restN)
+  }
+
+  /** Counts of a NEW drop over a FROZEN category set (the persisted
+    * baseline's top categories): one conditional-count pass —
+    * anything outside the set, nulls included, pools under
+    * [[OtherCategory]]. The append-side twin of [[categoryCounts]].
+    */
+  def categoryCountsFrozen(df: DataFrame, catCol: String,
+                           cats: Seq[String]): Seq[(String, Long)] = {
+    val known = cats.filterNot(_ == OtherCategory)
+    val aggs = known.map(c =>
+      count(when(col(catCol) === lit(c), 1)).as(s"n_$c")) :+
+      count(when(col(catCol).isNull ||
+        !col(catCol).isin(known.map(lit): _*), 1)).as("n_other")
+    val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+    known.zipWithIndex.map { case (c, i) => c -> row.getLong(i) } :+
+      (OtherCategory -> row.getLong(known.size))
   }
 
   /** Pool key for categories outside the baseline's top set. */

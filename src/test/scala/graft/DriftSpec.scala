@@ -321,6 +321,39 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("dim=2"))
   }
 
+  test("writeCats/readCats/appendCats: persisted category baseline " +
+      "round-trips, appends count new drops over the FROZEN set, " +
+      "categoryDriftMonitorFromIndex equals the literal spelling") {
+    val half1 = (Seq.fill(4)("en") ++ Seq.fill(3)("de") ++ Seq("it"))
+      .toDF("lang")
+    // the new drop carries a category OUTSIDE the frozen set (xx) and
+    // a null — both must pool into __other__, not grow the set
+    val half2 = (Seq.fill(2)("en") ++ Seq("xx") ++ Seq[String](null))
+      .toDF("lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cats")
+      .toString + "/idx"
+    DedupIndex.writeCats(half1, "lang", dir, topN = 2)
+    assert(DedupIndex.readCats(spark, dir, topN = 2) ==
+      Seq("en" -> 0.5, "de" -> 0.375, Drift.OtherCategory -> 0.125))
+    DedupIndex.appendCats(half2, "lang", dir)
+    // union: en 6, de 3, other (it + xx + null) 3 of 12
+    assert(DedupIndex.readCats(spark, dir, topN = 2) ==
+      Seq("en" -> 0.5, "de" -> 0.25, Drift.OtherCategory -> 0.25))
+    val df = Seq((1000L, "en"), (2000L, "de")).toDF("ms", "lang")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val viaIndex = DataStream(df, "ts")
+      .categoryDriftMonitorFromIndex("lang", "10 seconds", dir,
+        topN = 2).df.collect().toSeq
+    val viaLit = DataStream(df, "ts")
+      .categoryDriftMonitor("lang", "10 seconds",
+        DedupIndex.readCats(spark, dir, topN = 2)).df.collect().toSeq
+    assert(viaIndex == viaLit)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.readCats(spark, dir, topN = 5)
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   test("centroid drift with NaN-poisoned embeddings: the window/group " +
       "still EMITS (NaN stats, visibly broken) — garbage must alarm, " +
       "not vanish; embeddingStats is the upstream repair tool") {
