@@ -2168,9 +2168,12 @@ case class VecSumAgg(child: Expression,
   override def merge(b: VecSumBuffer, o: VecSumBuffer): VecSumBuffer =
     b.mergeWith(o)
 
+  // clone: the returned ArrayData must not alias the live buffer
+  // (the KmvBuffer.toSortedArray discipline)
   override def eval(b: VecSumBuffer): Any =
     if (b.arr == null) null
-    else new org.apache.spark.sql.catalyst.util.GenericArrayData(b.arr)
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      b.arr.clone())
 
   override def serialize(b: VecSumBuffer): Array[Byte] = {
     val d = if (b.arr == null) 0 else b.arr.length
