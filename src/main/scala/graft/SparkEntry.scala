@@ -1939,6 +1939,27 @@ object SparkEntry {
         .orderBy(col("window_start_ms"))
     }),
 
+    // The SESSION spelling of the drift monitor: per gap-merged
+    // "crawl burst" (15 min of silence closes a session), the value
+    // distribution vs the frozen baseline. The oracle replays d39's
+    // gap-and-island construction with d41's fixed-order bucket
+    // arithmetic.
+    "d45_session_drift_monitor" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val bounds = Seq(10.0, 25.0, 50.0, 100.0, 200.0)
+      val fracs = operators.Drift.histFractions(
+        ev.filter(unix_millis(col("ts")) < lit(1705276800000L)),
+        "value", bounds)
+      api.DataStream(ev, "ts")
+        .driftMonitorSession("value", "15 minutes", bounds,
+          fracs.toSeq).df
+        .select(unix_millis(col("window_start_time"))
+            .as("window_start_ms"),
+          unix_millis(col("window_end_time")).as("window_end_ms"),
+          col("n_rows"), col("n_null"), col("tvd"), col("max_shift"))
+        .orderBy(col("window_start_ms"))
+    }),
+
     // The per-GROUP drift report — "WHICH crawl sources diverge from
     // the corpus length distribution" (the monitors answer WHEN, this
     // answers WHERE): one row per source with its n_chars histogram's
@@ -3644,6 +3665,62 @@ object SparkEntry {
         |    abs(c3::DOUBLE/n_rows - f3),
         |    abs((n_rows - c1 - c2 - c3)::DOUBLE/n_rows - fo)), 6)
         |    AS max_shift
+        |FROM w, f ORDER BY window_start_ms""".stripMargin,
+
+    "d45_session_drift_monitor" ->
+      """WITH base AS (
+        |  SELECT value FROM events
+        |  WHERE epoch_ms(ts) < 1705276800000 AND value IS NOT NULL),
+        |bt AS (SELECT count(*)::DOUBLE AS t FROM base),
+        |f AS (SELECT
+        |  (SELECT count(*) FROM base WHERE value < 10)::DOUBLE
+        |    / (SELECT t FROM bt) AS f0,
+        |  (SELECT count(*) FROM base
+        |     WHERE value >= 10 AND value < 25)::DOUBLE
+        |    / (SELECT t FROM bt) AS f1,
+        |  (SELECT count(*) FROM base
+        |     WHERE value >= 25 AND value < 50)::DOUBLE
+        |    / (SELECT t FROM bt) AS f2,
+        |  (SELECT count(*) FROM base
+        |     WHERE value >= 50 AND value < 100)::DOUBLE
+        |    / (SELECT t FROM bt) AS f3,
+        |  (SELECT count(*) FROM base
+        |     WHERE value >= 100 AND value < 200)::DOUBLE
+        |    / (SELECT t FROM bt) AS f4,
+        |  (SELECT count(*) FROM base WHERE value >= 200)::DOUBLE
+        |    / (SELECT t FROM bt) AS f5),
+        |d AS (
+        |  SELECT ts, value,
+        |    CASE WHEN lag(ts) OVER (ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (ORDER BY ts)
+        |                >= INTERVAL 15 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT ts, value,
+        |    sum(brk) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |      AS sid
+        |  FROM d),
+        |w AS (SELECT sid, min(ts) AS st, max(ts) AS en,
+        |  count(*) AS n_rows, count(value) AS nn,
+        |  count(*) FILTER (value IS NOT NULL AND value < 10) AS c0,
+        |  count(*) FILTER (value >= 10 AND value < 25) AS c1,
+        |  count(*) FILTER (value >= 25 AND value < 50) AS c2,
+        |  count(*) FILTER (value >= 50 AND value < 100) AS c3,
+        |  count(*) FILTER (value >= 100 AND value < 200) AS c4,
+        |  count(*) FILTER (value >= 200) AS c5
+        |  FROM s GROUP BY sid)
+        |SELECT epoch_ms(st) AS window_start_ms,
+        |  epoch_ms(en + INTERVAL 15 MINUTE) AS window_end_ms,
+        |  n_rows, n_rows - nn AS n_null,
+        |  round((abs(c0::DOUBLE/nn - f0) + abs(c1::DOUBLE/nn - f1)
+        |    + abs(c2::DOUBLE/nn - f2) + abs(c3::DOUBLE/nn - f3)
+        |    + abs(c4::DOUBLE/nn - f4) + abs(c5::DOUBLE/nn - f5))
+        |    * 0.5, 6) AS tvd,
+        |  round(greatest(abs(c0::DOUBLE/nn - f0),
+        |    abs(c1::DOUBLE/nn - f1), abs(c2::DOUBLE/nn - f2),
+        |    abs(c3::DOUBLE/nn - f3), abs(c4::DOUBLE/nn - f4),
+        |    abs(c5::DOUBLE/nn - f5)), 6) AS max_shift
         |FROM w, f ORDER BY window_start_ms""".stripMargin,
 
     "d43_drift_report" ->

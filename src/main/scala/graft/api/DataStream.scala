@@ -650,6 +650,32 @@ final case class DataStream(
       count(col(valueCol)), baselineFracs, length, slide, eps)
   }
 
+  /** [[driftMonitor]] over gap-merged SESSION windows — per activity
+    * burst, the value distribution vs the frozen baseline ("did THIS
+    * crawl burst's length/score shape shift"). Same bounded-state
+    * story per OPEN session (B+2 plain counts merge as sessions
+    * merge); same constant-key caveat as
+    * [[distinctMonitorSession]]. The categorical and embedding
+    * twins compose the same way (their aggs are session-mergeable
+    * counts / vec_sum partials) — this numeric spelling is the gated
+    * shape.
+    */
+  def driftMonitorSession(valueCol: String, gap: String,
+                          boundaries: Seq[Double],
+                          baselineFracs: Seq[Double],
+                          eps: Double = 1e-6): DataStream = {
+    import graft.operators.Drift
+    require(baselineFracs.size == boundaries.size + 1,
+      s"B boundaries define B+1 buckets: got ${boundaries.size} " +
+        s"boundaries but ${baselineFracs.size} baseline fractions")
+    val monitored = sessionWindow(monitorSessionKey(valueCol),
+      Drift.driftAggs(Drift.histBucket(col(valueCol), boundaries),
+        count(col(valueCol)), baselineFracs.size), gap)
+    monitored.select(Seq(col("window_start_time"),
+      col("window_end_time"), col("n_rows")) ++
+      Drift.statCols(baselineFracs, eps): _*)
+  }
+
   /** [[driftMonitor]] against a PERSISTED baseline histogram
     * ([[graft.operators.DedupIndex.writeHist]] — quantile boundaries
     * + exact fractions, built once per baseline drop): boundaries

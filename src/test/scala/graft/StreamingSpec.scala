@@ -700,6 +700,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("driftMonitorSession: per gap-merged burst, exact drift " +
+      "stats; bucket counts merge as open sessions merge") {
+    val (input, ds) = measurementStream()
+    val q = ds.driftMonitorSession("reading", "5 seconds", Seq(10.0),
+      Seq(0.5, 0.5)).sinkMemory("sess_drift_out")
+    try {
+      // ONE burst split across two micro-batches (session state must
+      // merge): readings 5, 15, 15 → p = (1/3, 2/3) → tvd 1/6
+      input.addData(
+        Measurement(0, "a", 5.0), Measurement(3000, "b", 15.0))
+      q.processAllAvailable()
+      input.addData(Measurement(6000, "c", 15.0))
+      // a second, separated burst: 5, 5 → tvd 0.5
+      input.addData(
+        Measurement(20000, "d", 5.0), Measurement(21000, "e", 5.0))
+      q.processAllAvailable()
+      input.addData(Measurement(90000, "z", 0.0))
+      q.processAllAvailable()
+      def round6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = spark.table("sess_drift_out")
+        .orderBy("window_start_time")
+        .select($"window_start_time".cast("long"),
+          $"window_end_time".cast("long"), $"n_rows", $"tvd")
+        .as[(Long, Long, Long, Double)].collect().toList
+      assert(rows == List((0L, 11L, 3L, round6(1.0 / 6)),
+        (20L, 26L, 2L, 0.5)))
+    } finally q.stop()
+  }
+
   test("embeddingDriftMonitor: per-window centroid cosine vs a " +
       "frozen baseline sum; state is dim doubles + two counts") {
     val input = MemoryStream[(Long, Option[Seq[Float]])](spark)
