@@ -2258,6 +2258,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WebDataset tar-shard round trip (the multimodal training-data
+    // layout: one tar per shard, a sample = adjacent entries sharing
+    // a key): documents → TarShards.write (4 shards, text as the
+    // `txt` field) → TarShards.samples (adjacency-grouped, zero
+    // shuffle) → identity. The oracle is the source table, so any
+    // entry loss, mis-grouping, or byte corruption in either
+    // direction breaks the hash.
+    "q40_tar_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q40").toString + "/shards"
+      formats.TarShards.write(docs.repartition(4), "doc_id",
+        Seq("txt" -> "text"), tmp)
+      formats.TarShards.samples(s, s"$tmp/*.tar")
+        .select(col("key").cast("long").as("doc_id"),
+          element_at(col("fields"), "txt").cast("string").as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL canonicalization: five URL shapes built IN THE QUERY
     // (mixed-case scheme/host + default port + tracking params +
     // fragment; bare host; ref param; non-http scheme with real port;
@@ -5408,6 +5427,11 @@ object SparkEntry {
     "q39_compact_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identity: the tar-shard round trip must hand back every sample
+    "q40_tar_roundtrip" ->
+      """SELECT doc_id, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "d22_editdist_pairs" ->
       """WITH du AS (

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.formats.TarShards
+
+/** WebDataset-style tar-shard I/O: entry/sample semantics, binary
+  * fidelity, adjacency grouping, and the adversarial-input caps.
+  */
+class TarShardsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String = java.nio.file.Files
+    .createTempDirectory("graft-tar").toString
+
+  private def writeRawTar(path: String,
+                          entries: Seq[(String, Array[Byte])]): Unit = {
+    val out = new TarArchiveOutputStream(
+      new java.io.FileOutputStream(path))
+    out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+    entries.foreach { case (name, bytes) =>
+      val e = new TarArchiveEntry(name)
+      e.setSize(bytes.length.toLong)
+      out.putArchiveEntry(e)
+      out.write(bytes)
+      out.closeArchiveEntry()
+    }
+    out.close()
+  }
+
+  test("samples: adjacency grouping, multi-field, binary-exact; a " +
+      "duplicate field within a sample refuses loudly") {
+    val dir = tmpDir()
+    val img = Array[Byte](0, -1, 127, -128, 42) // non-UTF8 bytes
+    writeRawTar(s"$dir/shard-00000.tar", Seq(
+      "000.jpg" -> img,
+      "000.txt" -> "hello".getBytes("UTF-8"),
+      "000.cls.json" -> """{"y":1}""".getBytes("UTF-8"),
+      "001.txt" -> "world".getBytes("UTF-8")))
+    val got = TarShards.samples(spark, s"$dir/*.tar")
+      .orderBy("key")
+      .select($"key", $"fields")
+      .as[(String, Map[String, Array[Byte]])].collect()
+    assert(got.length == 2)
+    assert(got(0)._1 == "000" &&
+      got(0)._2.keySet == Set("jpg", "txt", "cls.json"))
+    assert(got(0)._2("jpg").toSeq == img.toSeq) // byte-exact
+    assert(new String(got(0)._2("txt"), "UTF-8") == "hello")
+    assert(got(1)._1 == "001" &&
+      new String(got(1)._2("txt"), "UTF-8") == "world")
+
+    val dup = tmpDir()
+    writeRawTar(s"$dup/shard-00000.tar", Seq(
+      "7.txt" -> "a".getBytes, "7.txt" -> "b".getBytes))
+    val e = intercept[Exception] {
+      TarShards.samples(spark, s"$dup/*.tar").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("duplicate field"))
+  }
+
+  test("entries: directory entries skip; an entry DECLARING a size " +
+      "beyond the cap refuses before allocation; a truncated " +
+      "archive names the shard") {
+    val dir = tmpDir()
+    writeRawTar(s"$dir/shard-00000.tar",
+      Seq("a.txt" -> "x".getBytes))
+    assert(TarShards.entries(spark, s"$dir/*.tar").count() == 1)
+    // cap refusal: the declared size alone must trip it
+    val e = intercept[Exception] {
+      TarShards.entries(spark, s"$dir/*.tar", maxEntryBytes = 0)
+        .collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("cap"))
+    // truncated shard: cut a tar mid-entry-DATA (the header is one
+    // full 512 B block; a 1000 B entry cut at 600 leaves a complete
+    // header whose declared content is missing — the shape a partial
+    // object-store download produces)
+    val big = tmpDir()
+    writeRawTar(s"$big/shard-00000.tar",
+      Seq("big.bin" -> Array.fill[Byte](1000)(7)))
+    val full = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$big/shard-00000.tar"))
+    val cut = tmpDir()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$cut/shard-00000.tar"),
+      java.util.Arrays.copyOf(full, 600))
+    val e2 = intercept[Exception] {
+      TarShards.entries(spark, s"$cut/*.tar").collect()
+    }
+    val msgs2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs2.contains("corrupt tar shard") ||
+      msgs2.contains("shard-00000.tar"))
+  }
+
+  test("write: one shard per partition, null fields skip their " +
+      "entry, round trip is identity on mixed binary/text fields") {
+    val df = Seq(
+      (1L, "alpha", Some(Array[Byte](1, 2, 3))),
+      (2L, "beta", None),
+      (3L, "gamma", Some(Array[Byte](-1, 0, 1))))
+      .toDF("id", "txt", "blob")
+    val dir = tmpDir() + "/out"
+    TarShards.write(df.repartition(2), "id",
+      Seq("txt" -> "txt", "bin" -> "blob"), dir)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar"))
+    assert(shards.length == 2, shards.mkString(","))
+    val back = TarShards.samples(spark, s"$dir/*.tar")
+      .select($"key".cast("long").as("id"),
+        element_at($"fields", "txt").cast("string").as("txt"),
+        element_at($"fields", "bin").as("blob"))
+      .orderBy("id")
+      .as[(Long, String, Option[Array[Byte]])].collect()
+    assert(back.map(r => (r._1, r._2)).toSeq ==
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    assert(back(0)._3.get.toSeq == Seq[Byte](1, 2, 3))
+    assert(back(1)._3.isEmpty) // null field wrote no entry
+    assert(back(2)._3.get.toSeq == Seq[Byte](-1, 0, 1))
+  }
+}
