@@ -102,6 +102,30 @@ class TarShardsSpec extends AnyFunSuite with SparkSpec {
       msgs2.contains("shard-00000.tar"))
   }
 
+  test("tar shards compose with the multimodal decode path: PNG " +
+      "bytes written into shards decode back with exact dims and " +
+      "pixel stats") {
+    import graft.operators.Multimodal
+    val src = spark.range(4).select($"id",
+      concat(lit("caption "), $"id").as("txt"),
+      Multimodal.encodeTestImage(lit("png"),
+        (lit(8) + $"id").cast("int"), lit(6),
+        (lit(40) + $"id" * 10).cast("int")).as("img"))
+    val dir = tmpDir() + "/wds"
+    TarShards.write(src, "id", Seq("txt" -> "txt", "png" -> "img"),
+      dir)
+    val decoded = Multimodal.decodeImagePartitions(
+      TarShards.samples(spark, s"$dir/*.tar")
+        .select($"key".cast("long").as("id"),
+          element_at($"fields", "png").as("blob")),
+      "blob", "id")
+      .orderBy("id")
+      .select($"id", $"format", $"width", $"height")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    assert(decoded == (0L until 4L).map(i =>
+      (i, "png", 8 + i.toInt, 6)))
+  }
+
   test("write: one shard per partition, null fields skip their " +
       "entry, round trip is identity on mixed binary/text fields") {
     val df = Seq(
