@@ -566,11 +566,15 @@ object Bench {
     // subtotals are emitted.
     // d32/d33 are persistence round trips of d27/d23 (same compute +
     // a write/read) — redundant with their inline twins by design
+    // s10/s11 are append-path round trips of s7/s9 (same fit + an
+    // append), q40 an I/O identity — redundancy-by-design rows
     val crossCheckTier = Set("d6_embedding_neardup",
       "d13_dup_components_star", "exact_window_explode",
       "d32_winnow_overlap_indexed", "d33_minhash_overlap_indexed",
       "d34_decontaminate_indexed", "s7_ann_ivf_indexed",
-      "s9_ann_pq_indexed", "d37_kmv_overlap_indexed")
+      "s9_ann_pq_indexed", "d37_kmv_overlap_indexed",
+      "s10_ann_ivf_appended", "s11_ann_pq_appended",
+      "q40_tar_roundtrip")
     // failed queries bill their tier at the same 10×-slowest penalty
     // as the headline total — a newly-failing query must never read
     // as a subtotal speedup in round-over-round comparisons

@@ -56,25 +56,32 @@ object TarShards {
               maxEntryBytes: Long = 256L << 20): DataFrame = {
     import spark.implicits._
     binaryShards(spark, path).flatMap { case (shard, bytes) =>
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(String, String, Map[String, Array[Byte]])]
-      var curKey: String = null
-      var cur = Map.empty[String, Array[Byte]]
-      def flush(): Unit = if (curKey != null) {
-        out += ((shard, curKey, cur)); curKey = null; cur = Map.empty
-      }
-      walk(shard, bytes, maxEntryBytes).foreach {
-        case (_, name, content) =>
-          val (key, ext) = splitKey(name)
-          if (key != curKey) { flush(); curKey = key }
-          require(!cur.contains(ext),
-            s"duplicate field '$ext' for sample '$key' in $shard — " +
-              "malformed shard")
-          cur += (ext -> content)
-      }
-      flush()
-      out
+      groupSamples(shard, bytes, maxEntryBytes)
     }.toDF("shard", "key", "fields")
+  }
+
+  /** One shard's entries grouped into samples by adjacency. */
+  private def groupSamples(shard: String, bytes: Array[Byte],
+                           maxEntryBytes: Long)
+      : Seq[(String, String, Map[String, Array[Byte]])] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Map[String, Array[Byte]])]
+    var curKey: String = null
+    var cur = Map.empty[String, Array[Byte]]
+    def flush(): Unit = if (curKey != null) {
+      out += ((shard, curKey, cur)); curKey = null; cur = Map.empty
+    }
+    walk(shard, bytes, maxEntryBytes).foreach {
+      case (_, name, content) =>
+        val (key, ext) = splitKey(name)
+        if (key != curKey) { flush(); curKey = key }
+        require(!cur.contains(ext),
+          s"duplicate field '$ext' for sample '$key' in $shard — " +
+            "malformed shard")
+        cur += (ext -> content)
+    }
+    flush()
+    out.toSeq
   }
 
   /** Write `df` as WebDataset-style shards: one `shard-NNNNN.tar`
@@ -123,6 +130,39 @@ object TarShards {
           } finally out.close()
         }
       }
+  }
+
+  /** STREAMING [[samples]]: continuous WebDataset ingestion — new
+    * shard files landing under `path` arrive as sample rows
+    * micro-batch by micro-batch (Spark's file source tracks seen
+    * files; a shard is processed exactly once). The tar walk is
+    * stateless per shard, so this source composes with any
+    * downstream monitor/dedup operator; pair with
+    * `maxFilesPerTrigger` on heavy shards.
+    */
+  def samplesStream(spark: SparkSession, path: String,
+                    maxEntryBytes: Long = 256L << 20): DataFrame = {
+    import spark.implicits._
+    // binaryFile's schema is FIXED by the format, but the streaming
+    // source requires it stated explicitly
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.tar")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (shard, bytes) =>
+        groupSamples(shard, bytes, maxEntryBytes)
+      }.toDF("shard", "key", "fields")
   }
 
   /** (shard path, shard bytes) — one row per shard file. */

@@ -126,6 +126,30 @@ class TarShardsSpec extends AnyFunSuite with SparkSpec {
       (i, "png", 8 + i.toInt, 6)))
   }
 
+  test("samplesStream: new shard files arrive as sample rows, each " +
+      "shard processed exactly once") {
+    val dir = tmpDir()
+    writeRawTar(s"$dir/shard-00000.tar", Seq(
+      "0.txt" -> "a".getBytes, "1.txt" -> "b".getBytes))
+    val q = TarShards.samplesStream(spark, dir)
+      .selectExpr("key", "cast(fields['txt'] as string) AS txt")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tar_stream_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tar_stream_out").orderBy("key")
+        .as[(String, String)].collect().toSeq ==
+        Seq("0" -> "a", "1" -> "b"))
+      // a SECOND shard lands mid-stream: only its samples append
+      writeRawTar(s"$dir/shard-00001.tar",
+        Seq("2.txt" -> "c".getBytes))
+      q.processAllAvailable()
+      assert(spark.table("tar_stream_out").orderBy("key")
+        .as[(String, String)].collect().toSeq ==
+        Seq("0" -> "a", "1" -> "b", "2" -> "c"))
+    } finally q.stop()
+  }
+
   test("write: one shard per partition, null fields skip their " +
       "entry, round trip is identity on mixed binary/text fields") {
     val df = Seq(
