@@ -174,5 +174,16 @@ class TarShardsSpec extends AnyFunSuite with SparkSpec {
     assert(back(0)._3.get.toSeq == Seq[Byte](1, 2, 3))
     assert(back(1)._3.isEmpty) // null field wrote no entry
     assert(back(2)._3.get.toSeq == Seq[Byte](-1, 0, 1))
+    // a second write into the same dir must refuse, never silently
+    // mix shard generations (the errorifexists discipline every
+    // graft artifact writer follows)
+    val e = intercept[Exception] {
+      TarShards.write(df.repartition(2), "id",
+        Seq("txt" -> "txt"), dir)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.toLowerCase.contains("exist"))
   }
 }
