@@ -1838,6 +1838,23 @@ object SparkEntry {
         .orderBy(col("window_start_ms"))
     }),
 
+    // The KEYED (per-tenant/per-source) spelling of the ingest
+    // monitors: every monitor takes `by` group columns — here the
+    // distinct monitor per (hour, event_type), the "which source's
+    // dup rate spiked" shape. State stays bounded per (window, key).
+    "d46_keyed_distinct_monitor" -> ((s, d) => {
+      val ds = api.DataStream(t(s, d, "events"), "ts")
+      ds.distinctMonitor("user_id", "1 hour", k = 8192,
+          by = Seq("event_type")).df
+        .select(unix_millis(col("window_start_time"))
+            .as("window_start_ms"),
+          unix_millis(col("window_end_time")).as("window_end_ms"),
+          col("event_type"), col("n_rows"),
+          col("n_distinct_est").cast("long").as("n_distinct"),
+          col("dup_rate"))
+        .orderBy(col("window_start_ms"), col("event_type"))
+    }),
+
     // The SESSION spelling of the ingest-quality monitor (gap-merged
     // "crawl burst" windows instead of a fixed grid), batch twin,
     // driver-hash-gated: a session closes after 15 minutes of
@@ -3561,6 +3578,17 @@ object SparkEntry {
         |    AS dup_rate
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start_ms""".stripMargin,
+
+    "d46_keyed_distinct_monitor" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        |  epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+        |    AS window_end_ms,
+        |  event_type, count(*) AS n_rows,
+        |  COUNT(DISTINCT user_id) AS n_distinct,
+        |  round(1 - COUNT(DISTINCT user_id)::DOUBLE / count(*), 6)
+        |    AS dup_rate
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY window_start_ms, event_type""".stripMargin,
 
     "d39_session_distinct_monitor" ->
       """WITH d AS (

@@ -541,9 +541,10 @@ final case class DataStream(
     */
   def distinctMonitor(valueCol: String, length: String,
                       slide: Option[String] = None,
-                      k: Int = 1024): DataStream =
-    finishDistinctMonitor(window(Seq.empty,
-      distinctMonitorAggs(valueCol, k), length, slide), k)
+                      k: Int = 1024,
+                      by: Seq[String] = Seq.empty): DataStream =
+    finishDistinctMonitor(window(by.map(col),
+      distinctMonitorAggs(valueCol, k), length, slide), k, by)
 
   /** [[distinctMonitor]] over gap-merged SESSION windows instead of a
     * fixed grid — the "crawl burst" shape: one monitor row per
@@ -556,9 +557,11 @@ final case class DataStream(
     * dropped once the watermark closes it.
     */
   def distinctMonitorSession(valueCol: String, gap: String,
-                             k: Int = 1024): DataStream =
-    finishDistinctMonitor(sessionWindow(monitorSessionKey(valueCol),
-      distinctMonitorAggs(valueCol, k), gap), k)
+                             k: Int = 1024,
+                             by: Seq[String] = Seq.empty): DataStream =
+    finishDistinctMonitor(sessionWindow(
+      monitorSessionKeys(valueCol, by),
+      distinctMonitorAggs(valueCol, k), gap), k, by)
 
   /** Streaming session aggregation must be keyed (Spark rejects the
     * global form — "Global aggregation with session window … is not
@@ -570,12 +573,17 @@ final case class DataStream(
     * column-anchored always-zero spelling. Consequence at scale: all
     * session-merge state rides one key — fine for these monitors
     * because per-session state is one ≤ k sketch (not the ingest
-    * rows; partials still combine map-side), but a per-tenant/
-    * per-source monitor should shard by a real key instead of
-    * multiplexing through this one.
+    * rows; partials still combine map-side). A per-tenant/per-source
+    * monitor passes real `by` columns instead — sessions then merge
+    * PER KEY (each tenant's bursts are its own), which both matches
+    * the semantics wanted and shards the session state.
     */
   private def monitorSessionKey(anchorCol: String): Seq[Column] =
     Seq((xxhash64(col(anchorCol)) * lit(0)).as("__gk"))
+
+  private def monitorSessionKeys(anchorCol: String,
+                                 by: Seq[String]): Seq[Column] =
+    if (by.isEmpty) monitorSessionKey(anchorCol) else by.map(col)
 
   /** Streaming cross-drop overlap monitor — the "how much of today's
     * crawl is last month's" alarm: per event-time window, the row
@@ -597,22 +605,24 @@ final case class DataStream(
   def overlapMonitor(valueCol: String, length: String,
                      baselinePath: String,
                      slide: Option[String] = None,
-                     k: Int = 1024): DataStream = {
+                     k: Int = 1024,
+                     by: Seq[String] = Seq.empty): DataStream = {
     import graft.operators.{DedupIndex, Sketches}
     val baseSketch: Seq[Long] =
       DedupIndex.readKmv(df.sparkSession, baselinePath, k)
         .head().getSeq[Long](0)
     val base = typedLit(baseSketch)
-    val monitored = window(Seq.empty,
+    val monitored = window(by.map(col),
       distinctMonitorAggs(valueCol, k), length, slide)
     val est = Sketches.kmvDistinct(col("__sk"), k)
     val inter = Sketches.kmvIntersect(col("__sk"), base, k)
-    monitored.select(col("window_start_time"), col("window_end_time"),
+    monitored.select(Seq(col("window_start_time"),
+      col("window_end_time")) ++ by.map(col) ++ Seq(
       col("n_rows"), round(est, 6).as("n_distinct_est"),
       round(inter, 6).as("n_overlap_est"),
       when(est === 0.0, lit(0.0)).otherwise(
         least(lit(1.0), greatest(lit(0.0), round(inter / est, 6))))
-        .as("overlap_frac"))
+        .as("overlap_frac")): _*)
   }
 
   /** Streaming distribution-drift monitor — the "did the doc-length/
@@ -639,7 +649,8 @@ final case class DataStream(
   def driftMonitor(valueCol: String, length: String,
                    boundaries: Seq[Double], baselineFracs: Seq[Double],
                    slide: Option[String] = None,
-                   eps: Double = 1e-6): DataStream = {
+                   eps: Double = 1e-6,
+                   by: Seq[String] = Seq.empty): DataStream = {
     import graft.operators.Drift
     require(baselineFracs.size == boundaries.size + 1,
       s"B boundaries define B+1 buckets: got ${boundaries.size} " +
@@ -647,7 +658,7 @@ final case class DataStream(
     require(baselineFracs.forall(f => f >= 0.0 && f <= 1.0),
       s"baseline fractions must be in [0, 1], got $baselineFracs")
     driftFinish(Drift.histBucket(col(valueCol), boundaries),
-      count(col(valueCol)), baselineFracs, length, slide, eps)
+      count(col(valueCol)), baselineFracs, length, slide, eps, by)
   }
 
   /** [[driftMonitor]] over gap-merged SESSION windows — per activity
@@ -663,16 +674,17 @@ final case class DataStream(
   def driftMonitorSession(valueCol: String, gap: String,
                           boundaries: Seq[Double],
                           baselineFracs: Seq[Double],
-                          eps: Double = 1e-6): DataStream = {
+                          eps: Double = 1e-6,
+                          by: Seq[String] = Seq.empty): DataStream = {
     import graft.operators.Drift
     require(baselineFracs.size == boundaries.size + 1,
       s"B boundaries define B+1 buckets: got ${boundaries.size} " +
         s"boundaries but ${baselineFracs.size} baseline fractions")
-    val monitored = sessionWindow(monitorSessionKey(valueCol),
+    val monitored = sessionWindow(monitorSessionKeys(valueCol, by),
       Drift.driftAggs(Drift.histBucket(col(valueCol), boundaries),
         count(col(valueCol)), baselineFracs.size), gap)
     monitored.select(Seq(col("window_start_time"),
-      col("window_end_time"), col("n_rows")) ++
+      col("window_end_time")) ++ by.map(col) ++ Seq(col("n_rows")) ++
       Drift.statCols(baselineFracs, eps): _*)
   }
 
@@ -704,7 +716,8 @@ final case class DataStream(
   def categoryDriftMonitor(catCol: String, length: String,
                            baseline: Seq[(String, Double)],
                            slide: Option[String] = None,
-                           eps: Double = 1e-6): DataStream = {
+                           eps: Double = 1e-6,
+                           by: Seq[String] = Seq.empty): DataStream = {
     import graft.operators.Drift
     require(baseline.nonEmpty, "baseline category set is empty")
     require(baseline.map(_._1).distinct.size == baseline.size,
@@ -718,7 +731,7 @@ final case class DataStream(
     val bucket = when(col(catCol).isNull || pos === 0, lit(otherIdx))
       .otherwise(pos - 1)
     driftFinish(bucket, count(lit(1)), withOther.map(_._2), length,
-      slide, eps)
+      slide, eps, by)
   }
 
   /** Streaming embedding-centroid drift monitor — the "did the
@@ -737,13 +750,14 @@ final case class DataStream(
     */
   def embeddingDriftMonitor(embCol: String, length: String,
                             baselineVec: Seq[Double],
-                            slide: Option[String] = None): DataStream = {
+                            slide: Option[String] = None,
+                            by: Seq[String] = Seq.empty): DataStream = {
     import graft.operators.Drift
     require(baselineVec.nonEmpty, "baseline centroid is empty")
-    val monitored = window(Seq.empty, Drift.centroidAggs(embCol),
+    val monitored = window(by.map(col), Drift.centroidAggs(embCol),
       length, slide)
     monitored.select(Seq(col("window_start_time"),
-      col("window_end_time"), col("n_rows")) ++
+      col("window_end_time")) ++ by.map(col) ++ Seq(col("n_rows")) ++
       Drift.centroidStatCols(baselineVec): _*)
   }
 
@@ -776,14 +790,14 @@ final case class DataStream(
     */
   private def driftFinish(bucket: Column, nonNullCount: Column,
                           baselineFracs: Seq[Double], length: String,
-                          slide: Option[String],
-                          eps: Double): DataStream = {
+                          slide: Option[String], eps: Double,
+                          by: Seq[String] = Seq.empty): DataStream = {
     import graft.operators.Drift
-    val monitored = window(Seq.empty,
+    val monitored = window(by.map(col),
       Drift.driftAggs(bucket, nonNullCount, baselineFracs.size),
       length, slide)
     monitored.select(Seq(col("window_start_time"),
-      col("window_end_time"), col("n_rows")) ++
+      col("window_end_time")) ++ by.map(col) ++ Seq(col("n_rows")) ++
       Drift.statCols(baselineFracs, eps): _*)
   }
 
@@ -794,17 +808,19 @@ final case class DataStream(
       Sketches.kmvSketch(col(valueCol), k).as("__sk"))
   }
 
-  private def finishDistinctMonitor(monitored: DataStream,
-                                    k: Int): DataStream = {
+  private def finishDistinctMonitor(monitored: DataStream, k: Int,
+                                    by: Seq[String] = Seq.empty)
+      : DataStream = {
     import graft.operators.Sketches
     val est = Sketches.kmvDistinct(col("__sk"), k)
     // clamp at 0: the saturated-regime estimator's ~1/√(k−2) error
     // can read a few % above n_rows, and a negative duplication RATE
     // is nonsense for the alarm this feeds
-    monitored.select(col("window_start_time"), col("window_end_time"),
+    monitored.select(Seq(col("window_start_time"),
+      col("window_end_time")) ++ by.map(col) ++ Seq(
       col("n_rows"), round(est, 6).as("n_distinct_est"),
       greatest(lit(0.0),
-        round(lit(1.0) - est / col("n_rows"), 6)).as("dup_rate"))
+        round(lit(1.0) - est / col("n_rows"), 6)).as("dup_rate")): _*)
   }
 
   /** Streaming trending-items monitor: per event-time window, the
@@ -822,10 +838,11 @@ final case class DataStream(
     */
   def trendingMonitor(itemCol: String, length: String,
                       slide: Option[String] = None,
-                      capacity: Int = 4096, k: Int = 10): DataStream =
-    finishTrendingMonitor(window(Seq.empty,
+                      capacity: Int = 4096, k: Int = 10,
+                      by: Seq[String] = Seq.empty): DataStream =
+    finishTrendingMonitor(window(by.map(col),
       Seq(graft.functions.freq_sketch(col(itemCol), capacity)
-        .as("__fs")), length, slide), k)
+        .as("__fs")), length, slide), k, by)
 
   /** [[trendingMonitor]] over gap-merged SESSION windows — per
     * activity burst, the top-`k` items by Misra–Gries bounded
@@ -836,13 +853,16 @@ final case class DataStream(
     */
   def trendingMonitorSession(itemCol: String, gap: String,
                              capacity: Int = 4096,
-                             k: Int = 10): DataStream =
-    finishTrendingMonitor(sessionWindow(monitorSessionKey(itemCol),
+                             k: Int = 10,
+                             by: Seq[String] = Seq.empty): DataStream =
+    finishTrendingMonitor(sessionWindow(
+      monitorSessionKeys(itemCol, by),
       Seq(graft.functions.freq_sketch(col(itemCol), capacity)
-        .as("__fs")), gap), k)
+        .as("__fs")), gap), k, by)
 
-  private def finishTrendingMonitor(monitored: DataStream,
-                                    k: Int): DataStream = {
+  private def finishTrendingMonitor(monitored: DataStream, k: Int,
+                                    by: Seq[String] = Seq.empty)
+      : DataStream = {
     // bounded-map top-k: sort entries by (count desc, item asc) via
     // a (-count, item) struct sort, keep k, explode with rank
     val ranked = slice(array_sort(transform(
@@ -852,13 +872,15 @@ final case class DataStream(
     // posexplode_OUTER: a window whose items were all null (schema
     // break upstream) must still EMIT — with a null item row — not
     // vanish from the monitor exactly when it should alarm
-    monitored.select(col("window_start_time"), col("window_end_time"),
+    monitored.select(Seq(col("window_start_time"),
+        col("window_end_time")) ++ by.map(col) ++ Seq(
         col("__fs.err").as("err"),
-        posexplode_outer(ranked).as(Seq("__r", "__e")))
-      .select(col("window_start_time"), col("window_end_time"),
+        posexplode_outer(ranked).as(Seq("__r", "__e"))): _*)
+      .select(Seq(col("window_start_time"), col("window_end_time")) ++
+        by.map(col) ++ Seq(
         (col("__r") + 1).cast("long").as("rank"),
         col("__e.item").as("item"),
-        (-col("__e.negc")).as("count_min"), col("err"))
+        (-col("__e.negc")).as("count_min"), col("err")): _*)
   }
 
   /** Session window (gap-merged) aggregation — present-but-todo!() in

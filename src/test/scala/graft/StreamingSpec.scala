@@ -700,6 +700,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("keyed monitors (by = real group columns): per-(window, key) " +
+      "distinct counts, and keyed SESSIONS merge per tenant — one " +
+      "tenant's silence does not close another's burst") {
+    val (input, ds) = measurementStream()
+    // tumbling + by: sensor_name is the tenant key, reading the value
+    val q = ds.distinctMonitor("reading", "10 seconds",
+        by = Seq("sensor_name")).sinkMemory("keyed_monitor_out")
+    try {
+      input.addData(
+        Measurement(1000, "a", 1.0), Measurement(2000, "a", 1.0),
+        Measurement(3000, "a", 2.0), Measurement(4000, "b", 5.0))
+      q.processAllAvailable()
+      input.addData(Measurement(25000, "z", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("keyed_monitor_out")
+        .filter($"window_start_time".cast("long") === 0)
+        .orderBy("sensor_name")
+        .select("sensor_name", "n_rows", "n_distinct_est")
+        .as[(String, Long, Double)].collect().toList
+      assert(rows == List(("a", 3L, 2.0), ("b", 1L, 1.0)))
+    } finally q.stop()
+
+    // keyed SESSION: tenant a's events at 0/3 s; tenant b's single
+    // event at 1 s — per-key gap merging gives a one session [0,8s)
+    // and b its own [1,6s) (with a shared constant key they would
+    // have merged into one session)
+    val (in2, ds2) = measurementStream()
+    val q2 = ds2.distinctMonitorSession("reading", "5 seconds",
+        by = Seq("sensor_name")).sinkMemory("keyed_sess_out")
+    try {
+      in2.addData(
+        Measurement(0, "a", 1.0), Measurement(3000, "a", 2.0),
+        Measurement(1000, "b", 9.0))
+      q2.processAllAvailable()
+      in2.addData(Measurement(90000, "z", 0.0))
+      q2.processAllAvailable()
+      val rows = spark.table("keyed_sess_out")
+        .orderBy("sensor_name")
+        .select($"sensor_name", $"window_start_time".cast("long"),
+          $"window_end_time".cast("long"), $"n_rows")
+        .as[(String, Long, Long, Long)].collect().toList
+      assert(rows == List(("a", 0L, 8L, 2L), ("b", 1L, 6L, 1L)))
+    } finally q2.stop()
+  }
+
   test("driftMonitorSession: per gap-merged burst, exact drift " +
       "stats; bucket counts merge as open sessions merge") {
     val (input, ds) = measurementStream()
