@@ -6,6 +6,30 @@ import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveInp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Hadoop `Configuration` is not `java.io.Serializable`, so the
+  * driver's session conf (object-store credentials, endpoints, every
+  * `spark.hadoop.*` setting) cannot ride a closure as-is. This tiny
+  * wrapper uses Hadoop's own `write`/`readFields` wire format inside
+  * Java serialization — the standard pattern for shipping the
+  * DRIVER's Hadoop conf to executor-side FileSystem resolution
+  * (constructing `new Configuration()` on the executor would silently
+  * drop all session settings and point shard writes at a
+  * differently-configured filesystem than every other writer).
+  */
+private[graft] final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 /** WebDataset-style tar-shard I/O — the de-facto layout for
   * multimodal training corpora (one `.tar` per shard; a SAMPLE is a
   * run of adjacent entries sharing a basename key, one entry per
@@ -17,13 +41,25 @@ import org.apache.spark.sql.functions._
   * Scale design:
   *  - READ: `binaryFile` gives one row per shard (shards are sized
   *    by the writer — the 100–500 MB WebDataset norm — so a shard is
-  *    a task, not a split); the tar walk is one in-memory pass per
-  *    shard and [[samples]] groups a sample's fields by ADJACENCY
-  *    inside that pass — the format guarantees a sample's entries
-  *    are consecutive, so grouping costs no shuffle and no state
-  *    beyond one sample.
+  *    a task, not a split); the tar walk is one STREAMED pass per
+  *    shard (an Iterator over entries — peak memory per task is
+  *    ~1× shard bytes plus one in-flight sample, not a second
+  *    materialized copy of every entry) and [[samples]] groups a
+  *    sample's fields by ADJACENCY inside that pass — the format
+  *    guarantees a sample's entries are consecutive, so grouping
+  *    costs no shuffle and no state beyond one sample.
   *  - WRITE: one tar per input partition, streamed entry-by-entry
-  *    (never a collect; repartition upstream to size shards).
+  *    (never a collect; repartition upstream to size shards). Each
+  *    task writes to an ATTEMPT-SUFFIXED temp name and renames on
+  *    completion — the `replaceWith` commit discipline the index
+  *    writers follow — so a task that dies mid-write leaves only an
+  *    invisible temp (never a partial tar at the final name) and its
+  *    retry replaces rather than collides; at 100 TB, where task
+  *    retries are routine, non-idempotent writes kill the job.
+  *    A target dir already holding `shard-*.tar` files REFUSES up
+  *    front: a rerun with a different partition count would
+  *    otherwise leave stale shards that [[samples]]' glob silently
+  *    picks up as duplicate data.
   *  - Adversarial inputs: an entry DECLARING a size beyond
   *    `maxEntryBytes` refuses before any allocation (the multimodal
   *    decode-cap discipline — a crafted 60 GB entry header must not
@@ -60,28 +96,34 @@ object TarShards {
     }.toDF("shard", "key", "fields")
   }
 
-  /** One shard's entries grouped into samples by adjacency. */
+  /** One shard's entries grouped into samples by adjacency — an
+    * Iterator over the streamed [[walk]], holding at most ONE sample
+    * beyond the walk's in-flight entry.
+    */
   private def groupSamples(shard: String, bytes: Array[Byte],
                            maxEntryBytes: Long)
-      : Seq[(String, String, Map[String, Array[Byte]])] = {
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, Map[String, Array[Byte]])]
-    var curKey: String = null
-    var cur = Map.empty[String, Array[Byte]]
-    def flush(): Unit = if (curKey != null) {
-      out += ((shard, curKey, cur)); curKey = null; cur = Map.empty
+      : Iterator[(String, String, Map[String, Array[Byte]])] = {
+    val it = walk(shard, bytes, maxEntryBytes).buffered
+    new scala.collection.AbstractIterator[
+        (String, String, Map[String, Array[Byte]])] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): (String, String, Map[String, Array[Byte]]) = {
+        val (_, name0, c0) = it.next()
+        val (key, ext0) = splitKey(name0)
+        var cur = Map(ext0 -> c0)
+        var sameKey = true
+        while (sameKey && it.hasNext) {
+          val (k, e) = splitKey(it.head._2)
+          if (k == key) {
+            require(!cur.contains(e),
+              s"duplicate field '$e' for sample '$key' in $shard — " +
+                "malformed shard")
+            cur += (e -> it.next()._3)
+          } else sameKey = false
+        }
+        (shard, key, cur)
+      }
     }
-    walk(shard, bytes, maxEntryBytes).foreach {
-      case (_, name, content) =>
-        val (key, ext) = splitKey(name)
-        if (key != curKey) { flush(); curKey = key }
-        require(!cur.contains(ext),
-          s"duplicate field '$ext' for sample '$key' in $shard — " +
-            "malformed shard")
-        cur += (ext -> content)
-    }
-    flush()
-    out.toSeq
   }
 
   /** Write `df` as WebDataset-style shards: one `shard-NNNNN.tar`
@@ -91,6 +133,22 @@ object TarShards {
     * field values skip their entry; binary columns write verbatim,
     * anything else writes as UTF-8). Entry name = `<key>.<field>`.
     * Rows stream straight to the archive — nothing collects.
+    *
+    * Fidelity guards (a write that cannot round-trip refuses instead
+    * of silently corrupting the read side): a key containing `.` or
+    * `/` refuses (the read side splits the basename on its FIRST
+    * dot, so key `1.5` + field `txt` would read back as key `1`,
+    * field `5.txt`), and a row whose fields are ALL null refuses
+    * (it would write zero entries and silently vanish from
+    * [[samples]] — row loss vs the source).
+    *
+    * Task-retry idempotency: each task writes
+    * `.shard-NNNNN.tar.<attempt>.inprogress` and renames to the
+    * final name on completion, replacing whatever a dead prior
+    * attempt left there — retries and speculative attempts of the
+    * same partition produce byte-identical archives, so
+    * last-rename-wins is safe. A pre-existing `shard-*.tar` under
+    * `dir` (a previous job's output) refuses before any task runs.
     */
   def write(df: DataFrame, keyCol: String,
             fields: Seq[(String, String)], dir: String): Unit = {
@@ -102,6 +160,17 @@ object TarShards {
     val exts = fields.map(_._1)
     val (f0, p0) = fsFor(spark, dir)
     f0.mkdirs(p0)
+    val stale = f0.globStatus(
+      new org.apache.hadoop.fs.Path(p0, "shard-*.tar"))
+    require(stale == null || stale.isEmpty,
+      s"${if (stale == null) 0 else stale.length} shard-*.tar " +
+        s"file(s) already exist under $dir — refusing to mix shard " +
+        "generations " +
+        "(a rerun with a different partition count would leave stale " +
+        "shards that samples() silently reads as duplicate data); " +
+        "write to a fresh dir or clean the old shards first")
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     df.select(cols: _*)
       .map { r =>
         (r.getString(0),
@@ -111,25 +180,74 @@ object TarShards {
       .foreachPartition {
         it: Iterator[(String, Seq[Array[Byte]])] =>
         if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val (fs, base) = fsForExecutor(dir)
-          val out = new TarArchiveOutputStream(fs.create(
-            new org.apache.hadoop.fs.Path(base, f"shard-$pid%05d.tar"),
-            false))
-          out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
-          try it.foreach { case (key, vals) =>
-            exts.zip(vals).foreach { case (ext, bytes) =>
-              if (bytes != null) {
-                val e = new TarArchiveEntry(s"$key.$ext")
-                e.setSize(bytes.length.toLong)
-                out.putArchiveEntry(e)
-                out.write(bytes)
-                out.closeArchiveEntry()
-              }
-            }
-          } finally out.close()
+          val tc = org.apache.spark.TaskContext.get()
+          writeShard(conf.value, dir, tc.partitionId(),
+            tc.taskAttemptId(), exts, it)
         }
       }
+  }
+
+  /** One task's shard write: stream rows into an attempt-suffixed
+    * temp tar, rename to the final name on completion (task commit).
+    * Exposed package-private so the retry-idempotency spec can drive
+    * a die-mid-write + retry sequence directly (local-mode Spark
+    * does not retry tasks).
+    */
+  private[graft] def writeShard(
+      hadoopConf: org.apache.hadoop.conf.Configuration, dir: String,
+      pid: Int, attemptId: Long, exts: Seq[String],
+      it: Iterator[(String, Seq[Array[Byte]])]): Unit = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(hadoopConf)
+    val finalPath =
+      new org.apache.hadoop.fs.Path(base, f"shard-$pid%05d.tar")
+    val tmpPath = new org.apache.hadoop.fs.Path(base,
+      f".shard-$pid%05d.tar.$attemptId.inprogress")
+    var committed = false
+    try {
+      val out = new TarArchiveOutputStream(fs.create(tmpPath, true))
+      out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+      try it.foreach { case (key, vals) =>
+        require(key != null && key.nonEmpty,
+          "tar write: null/empty sample key — key column must be " +
+            "non-null")
+        require(!key.contains('.') && !key.contains('/'),
+          s"tar write: sample key '$key' contains '.' or '/' — the " +
+            "WebDataset read side splits entry basenames on their " +
+            "FIRST dot, so such a key cannot round-trip (key '1.5' " +
+            "with field 'txt' reads back as key '1', field '5.txt'); " +
+            "sanitize the key column upstream")
+        require(vals.exists(_ != null),
+          s"tar write: sample '$key' has all-null fields — it would " +
+            "write zero tar entries and silently vanish from " +
+            "samples() (row loss); filter such rows or materialize " +
+            "a marker field upstream")
+        exts.zip(vals).foreach { case (ext, bytes) =>
+          if (bytes != null) {
+            val e = new TarArchiveEntry(s"$key.$ext")
+            e.setSize(bytes.length.toLong)
+            out.putArchiveEntry(e)
+            out.write(bytes)
+            out.closeArchiveEntry()
+          }
+        }
+      } finally out.close()
+      // task commit: replace whatever a dead prior attempt left at
+      // the final name (attempts of one partition are byte-identical,
+      // so last-rename-wins is safe even under speculation)
+      if (fs.exists(finalPath)) fs.delete(finalPath, false)
+      if (!fs.rename(tmpPath, finalPath))
+        throw new java.io.IOException(
+          s"tar write: could not commit $tmpPath -> $finalPath")
+      committed = true
+    } finally {
+      if (!committed) {
+        // best-effort temp cleanup on a dying attempt; the temp name
+        // never matches samples()' shard-*.tar glob either way
+        try fs.delete(tmpPath, false)
+        catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   /** STREAMING [[samples]]: continuous WebDataset ingestion — new
@@ -173,34 +291,48 @@ object TarShards {
       .as[(String, Array[Byte])]
   }
 
-  /** Walk one shard's entries; refuses oversized DECLARED entries
-    * before allocating, attaches the shard path to parse failures.
+  /** Streamed walk over one shard's entries — an Iterator, so a
+    * task's peak memory is the shard's byte array plus ONE in-flight
+    * entry, never a second materialized copy of the whole shard.
+    * Refuses oversized DECLARED entries before allocating; attaches
+    * the shard path to parse failures (surfaced from hasNext/next at
+    * whatever point of the walk the corruption sits).
     */
   private def walk(shard: String, bytes: Array[Byte],
                    maxEntryBytes: Long)
-      : Seq[(String, String, Array[Byte])] = {
+      : Iterator[(String, String, Array[Byte])] = {
     val in = new TarArchiveInputStream(new ByteArrayInputStream(bytes))
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, Array[Byte])]
-    try {
-      var e = in.getNextEntry
-      while (e != null) {
-        if (e.isFile) {
-          require(e.getSize >= 0 && e.getSize <= maxEntryBytes,
-            s"tar entry '${e.getName}' in $shard declares " +
-              s"${e.getSize} B > the $maxEntryBytes B cap — " +
-              "adversarial or mis-sharded input (raise maxEntryBytes " +
-              "only if such entries are expected)")
-          out += ((shard, e.getName, in.readAllBytes()))
+    new scala.collection.AbstractIterator[(String, String, Array[Byte])] {
+      private var nextItem: (String, String, Array[Byte]) = _
+      private var done = false
+      private def advance(): Unit = {
+        try {
+          var e = in.getNextEntry
+          while (e != null && !e.isFile) e = in.getNextEntry
+          if (e == null) { done = true; nextItem = null }
+          else {
+            require(e.getSize >= 0 && e.getSize <= maxEntryBytes,
+              s"tar entry '${e.getName}' in $shard declares " +
+                s"${e.getSize} B > the $maxEntryBytes B cap — " +
+                "adversarial or mis-sharded input (raise maxEntryBytes " +
+                "only if such entries are expected)")
+            nextItem = ((shard, e.getName, in.readAllBytes()))
+          }
+        } catch {
+          case io: java.io.IOException =>
+            throw new java.io.IOException(
+              s"corrupt tar shard $shard: ${io.getMessage}", io)
         }
-        e = in.getNextEntry
       }
-    } catch {
-      case io: java.io.IOException =>
-        throw new java.io.IOException(
-          s"corrupt tar shard $shard: ${io.getMessage}", io)
+      advance()
+      override def hasNext: Boolean = !done
+      override def next(): (String, String, Array[Byte]) = {
+        if (done) throw new NoSuchElementException("walk exhausted")
+        val r = nextItem
+        advance()
+        r
+      }
     }
-    out.toSeq
   }
 
   /** WebDataset key split: basename up to the FIRST dot. */
@@ -213,15 +345,5 @@ object TarShards {
   private def fsFor(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  /** Executor-side FS handle (driver Hadoop conf isn't serialized
-    * into the closure; default conf resolves file:// and
-    * default-configured HDFS, the deployment shapes this library
-    * targets).
-    */
-  private def fsForExecutor(dir: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
   }
 }

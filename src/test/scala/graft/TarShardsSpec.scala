@@ -186,4 +186,91 @@ class TarShardsSpec extends AnyFunSuite with SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.toLowerCase.contains("exist"))
   }
+
+  private def chainMsgs(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
+  test("write is task-retry idempotent: an attempt that dies " +
+      "mid-write leaves NO tar at the final name (only a cleaned " +
+      "temp), and the retry attempt commits a bit-identical round " +
+      "trip") {
+    val dir = tmpDir() + "/retry"
+    val conf = spark.sparkContext.hadoopConfiguration
+    new java.io.File(dir).mkdirs()
+    val rows = Seq(
+      ("10", Seq("alpha".getBytes("UTF-8"), Array[Byte](1, 2, 3))),
+      ("11", Seq("beta".getBytes("UTF-8"), Array[Byte](-1, 0, 1))))
+    val exts = Seq("txt", "bin")
+    // attempt 1 dies after the first row (the executor-kill shape)
+    def dyingIt: Iterator[(String, Seq[Array[Byte]])] =
+      rows.iterator.map { r =>
+        if (r._1 == "11") throw new RuntimeException("executor died")
+        r
+      }
+    intercept[RuntimeException] {
+      TarShards.writeShard(conf, dir, pid = 0, attemptId = 1L, exts,
+        dyingIt)
+    }
+    val after1 = new java.io.File(dir).listFiles().toSeq.map(_.getName)
+    assert(!after1.exists(_.endsWith(".tar")),
+      s"a dying attempt must not leave a final tar: $after1")
+    // attempt 2 (the retry) commits; round trip is bit-identical
+    TarShards.writeShard(conf, dir, pid = 0, attemptId = 2L, exts,
+      rows.iterator)
+    val back = TarShards.samples(spark, s"$dir/*.tar")
+      .select($"key", element_at($"fields", "txt").as("txt"),
+        element_at($"fields", "bin").as("bin"))
+      .orderBy("key")
+      .as[(String, Array[Byte], Array[Byte])].collect()
+    assert(back.length == 2)
+    assert(back(0)._1 == "10" &&
+      new String(back(0)._2, "UTF-8") == "alpha" &&
+      back(0)._3.toSeq == Seq[Byte](1, 2, 3))
+    assert(back(1)._1 == "11" &&
+      new String(back(1)._2, "UTF-8") == "beta" &&
+      back(1)._3.toSeq == Seq[Byte](-1, 0, 1))
+    // a THIRD attempt over the committed final (speculative twin /
+    // driver-level retry of the whole stage) replaces, not collides
+    TarShards.writeShard(conf, dir, pid = 0, attemptId = 3L, exts,
+      rows.iterator)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".tar")) == 1)
+    assert(TarShards.samples(spark, s"$dir/*.tar").count() == 2)
+  }
+
+  test("write fidelity guards: a key containing '.' or '/' refuses " +
+      "(the read side splits on the first dot), and an all-null-" +
+      "fields row refuses (it would vanish from samples())") {
+    val dotted = Seq(("1.5", Some("x"))).toDF("id", "txt")
+    val d1 = tmpDir() + "/dot"
+    val e1 = intercept[Exception] {
+      TarShards.write(dotted, "id", Seq("txt" -> "txt"), d1)
+    }
+    assert(chainMsgs(e1).contains("FIRST dot"))
+    val allNull = Seq(("7", None: Option[String])).toDF("id", "txt")
+    val d2 = tmpDir() + "/nulls"
+    val e2 = intercept[Exception] {
+      TarShards.write(allNull, "id", Seq("txt" -> "txt"), d2)
+    }
+    assert(chainMsgs(e2).contains("all-null"))
+  }
+
+  test("executor-side FS resolution carries the DRIVER's Hadoop " +
+      "conf: SerializableHadoopConf round-trips session settings " +
+      "through Java serialization") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("fs.s3a.endpoint", "https://example-endpoint")
+    conf.set("graft.test.marker", "42")
+    val bytes = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bytes)
+    oos.writeObject(new graft.formats.SerializableHadoopConf(conf))
+    oos.close()
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray))
+    val got = in.readObject()
+      .asInstanceOf[graft.formats.SerializableHadoopConf].value
+    assert(got.get("fs.s3a.endpoint") == "https://example-endpoint")
+    assert(got.get("graft.test.marker") == "42")
+  }
 }
