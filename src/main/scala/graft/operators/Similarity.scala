@@ -299,12 +299,26 @@ object Similarity {
     * probe rows replicated (the query embeddings join back by
     * query_id on the already-shuffled candidate set, never through
     * the driver). Output is identical in both regimes (spec-pinned).
+    * The salt factor is min(shufflePartitions, [[MaxSaltFactor]]):
+    * probe-side replication is ×S, and parallelism saturates around
+    * nCentroids·64 long before a production cluster's S=2000+ —
+    * uncapped, a big cluster would pay |Q|·nProbe·2000 replicated
+    * probe rows for no additional win.
+    *
+    * `knownQueryCount`: the regime decision needs |Q|; by default it
+    * runs one column-pruned count() — an EAGER action at plan-
+    * construction time that re-executes the query frame's lineage
+    * (an expensive upstream query pipeline runs twice: once for the
+    * count, once in the probe join). Callers who know |Q| pass it
+    * here and skip the action; callers with an expensive DERIVED
+    * query frame above the threshold should cache it either way.
     */
   def ivfTopKFromIndex(centroids: DataFrame, indexed: DataFrame,
                        queries: DataFrame, embCol: String,
                        idCol: String, k: Int,
                        nProbe: Int = 4,
-                       broadcastMaxQueries: Int = 50000): DataFrame = {
+                       broadcastMaxQueries: Int = 50000,
+                       knownQueryCount: Option[Long] = None): DataFrame = {
     // centroid table is tiny → broadcast; assignment metric is L2,
     // matching KMeans' own cell assignment
     val l2 = (a: Column, b: Column) =>
@@ -321,14 +335,16 @@ object Similarity {
       .filter(col("__pr") <= nProbe)
       .select(col("query_id"), col("__qe"), col("__cell"))
 
-    // column-pruned count: only the id column reaches the scan
-    val nQ = queries.select(col(idCol)).count()
+    // column-pruned count (skipped when the caller supplied |Q|):
+    // only the id column reaches the scan
+    val nQ = knownQueryCount.getOrElse(
+      queries.select(col(idCol)).count())
     val matched =
       if (nQ <= broadcastMaxQueries)
         indexed.join(broadcast(probed), Seq("__cell"))
       else {
-        val s = indexed.sparkSession.sessionState.conf
-          .numShufflePartitions
+        val s = math.min(indexed.sparkSession.sessionState.conf
+          .numShufflePartitions, MaxSaltFactor)
         val salted = indexed.withColumn("__salt",
           pmod(xxhash64(col("neighbor_id")), lit(s)).cast("int"))
         val probeIds = probed.select(col("query_id"), col("__cell"))
@@ -352,12 +368,23 @@ object Similarity {
               nCentroids: Int = 16, nProbe: Int = 4,
               seed: Long = 42L, maxIter: Int = 20,
               fitSampleFraction: Double = 1.0,
-              broadcastMaxQueries: Int = 50000): DataFrame = {
+              broadcastMaxQueries: Int = 50000,
+              knownQueryCount: Option[Long] = None): DataFrame = {
     val (centroids, indexed) = fitIvfIndex(corpus, embCol, idCol,
       nCentroids, seed, maxIter, fitSampleFraction)
     ivfTopKFromIndex(centroids, indexed, queries, embCol, idCol, k,
-      nProbe, broadcastMaxQueries)
+      nProbe, broadcastMaxQueries, knownQueryCount)
   }
+
+  /** Cap on the IVF salted-join salt factor: replication cost on the
+    * probe side is ×S while the parallelism win saturates around
+    * nCentroids·64 — on a cluster tuned to thousands of shuffle
+    * partitions the uncapped spelling would inflate the probe side
+    * |Q|·nProbe·S-fold for nothing. 64 × a production nCentroids
+    * (≥ 256) ≥ 16k-way parallelism, past any single join's useful
+    * task count.
+    */
+  val MaxSaltFactor: Int = 64
 
   /** Label-cohesion QA over a LABELED embedding corpus — the
     * training-data question "are my labels consistent in embedding
@@ -640,18 +667,26 @@ object Similarity {
     * identical in both regimes (spec-pinned); AQE may still
     * broadcast a runtime-small join side, which is the size-gated
     * decision the static spelling cannot make.
+    *
+    * `knownQueryCount`: same contract as
+    * [[ivfTopKFromIndex]] — pass |Q| to skip the eager plan-time
+    * count() (which re-executes the query frame's lineage); cache an
+    * expensive derived query frame above the threshold either way.
     */
   def pqTopKFromIndex(encoded: DataFrame,
                       cb: Array[Array[Array[Double]]],
                       corpus: DataFrame, queries: DataFrame,
                       embCol: String, idCol: String, k: Int, dim: Int,
                       nCandidates: Int = 100,
-                      broadcastMaxQueries: Int = 50000): DataFrame = {
+                      broadcastMaxQueries: Int = 50000,
+                      knownQueryCount: Option[Long] = None): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
         col(embCol).as("__qe"),
         graft.functions.pq_dist_table(col(embCol), cb).as("__dtab"))
-    // column-pruned count: only the id column reaches the scan
-    val nQ = queries.select(col(idCol)).count()
+    // column-pruned count (skipped when the caller supplied |Q|):
+    // only the id column reaches the scan
+    val nQ = knownQueryCount.getOrElse(
+      queries.select(col(idCol)).count())
     val small = nQ <= broadcastMaxQueries
     val qd = q.drop("__qe")
     val scoredJoin =
@@ -721,12 +756,13 @@ object Similarity {
              nCodes: Int = 16, nCandidates: Int = 100,
              seed: Long = 42L, maxIter: Int = 20,
              fitSampleFraction: Double = 1.0,
-             broadcastMaxQueries: Int = 50000): DataFrame = {
+             broadcastMaxQueries: Int = 50000,
+             knownQueryCount: Option[Long] = None): DataFrame = {
     val cb = collectCodebooks(
       fitPqCodebooks(corpus, embCol, dim, m, nCodes, seed, maxIter,
         fitSampleFraction), m, nCodes)
     pqTopKFromIndex(pqEncode(corpus, embCol, idCol, cb, dim), cb,
       corpus, queries, embCol, idCol, k, dim, nCandidates,
-      broadcastMaxQueries)
+      broadcastMaxQueries, knownQueryCount)
   }
 }

@@ -738,6 +738,13 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(large.count() == 60000L * 3)
     assert(large.exceptAll(small).count() == 0)
     assert(small.exceptAll(large).count() == 0)
+    // caller-supplied |Q| skips the plan-time count() and lands in
+    // the same regime with identical output
+    val known = Similarity.pqTopKFromIndex(encoded, cb, emb, qBig,
+      "embedding", "vec_id", k = 3, dim = 64, nCandidates = 10,
+      knownQueryCount = Some(60000L))
+    assert(known.exceptAll(large).count() == 0)
+    assert(large.exceptAll(known).count() == 0)
   }
 
   test("ivfTopKFromIndex large-query-batch regime: 60k queries run " +
@@ -764,6 +771,19 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(large.count() == 60000L * 3)
     assert(large.exceptAll(small).count() == 0)
     assert(small.exceptAll(large).count() == 0)
+    // the salt factor is capped at MaxSaltFactor: under a cluster-
+    // scale shuffle-partition setting (128 > the 64 cap) the salted
+    // regime still matches exactly, with caller-supplied |Q| skipping
+    // the plan-time count
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      val capped = Similarity.ivfTopKFromIndex(centroids, indexed,
+        qBig, "embedding", "vec_id", k = 3, nProbe = 8,
+        knownQueryCount = Some(60000L))
+      assert(capped.exceptAll(small).count() == 0)
+      assert(small.exceptAll(capped).count() == 0)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   test("similarity adversarial shapes: all-identical corpus (every " +
