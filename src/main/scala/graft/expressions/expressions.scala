@@ -2094,11 +2094,27 @@ final class VecSumBuffer {
       s"vec_sum: ragged input — got a $d-dim vector into a " +
         s"${arr.length}-dim sum (embedding columns must be " +
         "fixed-dimension; filter or repair upstream)")
+    // null ELEMENTS raise as loudly as ragged dims: unsafe rows would
+    // silently read a null slot as 0.0 (generic rows would NPE),
+    // skewing every centroid downstream — a whole-null vector is
+    // skipped by the caller, but a hole inside one is corruption
     var i = 0
     if (asFloat)
-      while (i < d) { arr(i) += v.getFloat(i); i += 1 }
+      while (i < d) {
+        require(!v.isNullAt(i),
+          s"vec_sum: null element at position $i of a $d-dim vector " +
+            "— embedding vectors must be dense (filter or repair " +
+            "upstream)")
+        arr(i) += v.getFloat(i); i += 1
+      }
     else
-      while (i < d) { arr(i) += v.getDouble(i); i += 1 }
+      while (i < d) {
+        require(!v.isNullAt(i),
+          s"vec_sum: null element at position $i of a $d-dim vector " +
+            "— embedding vectors must be dense (filter or repair " +
+            "upstream)")
+        arr(i) += v.getDouble(i); i += 1
+      }
     n += 1
   }
 

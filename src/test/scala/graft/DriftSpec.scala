@@ -219,6 +219,18 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
       Drift.sumVector(allNull, "embedding")
     }
     assert(e2.getMessage.contains("no non-null"))
+    // a null ELEMENT inside a vector refuses as loudly as a ragged
+    // dim (it would otherwise silently sum as 0.0 on unsafe rows,
+    // skewing the centroid) — a whole-null VECTOR above skips fine
+    val holed = Seq((1L, Seq[java.lang.Double](1.0, null, 3.0)))
+      .toDF("vec_id", "embedding")
+    val e3 = intercept[Exception] {
+      Drift.sumVector(holed, "embedding")
+    }
+    val msgs3 = Iterator.iterate(e3: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs3.contains("null element"))
   }
 
   test("centroidDriftReport: per-group cosine vs the frozen " +
