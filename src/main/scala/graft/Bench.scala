@@ -217,6 +217,62 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // ONE-PASS composite health monitor: distinct/dup-rate + numeric
+    // drift + category drift per hour from a SINGLE streaming
+    // aggregation over ONE scan of the events stream — compare this
+    // row to the SUM of streaming_distinct_monitor +
+    // streaming_drift_monitor (+ a category twin's cost): the
+    // composite's cost should track ONE monitor's scan, which is the
+    // point of fusing them. Baselines are built OUTSIDE the timed
+    // region (once-per-drop artifacts, same as the standalone rows).
+    def streamingHealthMonitorOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      System.gc()
+      Thread.sleep(300)
+      val bounds = Seq(10.0, 25.0, 50.0, 100.0, 200.0)
+      val (fracs, cats) =
+        try {
+          val baseEv = Graft.normalizeTs(
+            spark.read.parquet(s"$sfDir/events.parquet"))
+            .filter(unix_millis(col("ts")) < 1705276800000L)
+          (graft.operators.Drift.histFractions(baseEv, "value",
+            bounds).toSeq,
+            graft.operators.Drift.categoryFractions(baseEv,
+              "event_type", topN = 3))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] health baseline failed: " +
+              e.getMessage)
+            return -1.0
+        }
+      val t0 = System.nanoTime()
+      try {
+        val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+        val src = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir)
+        val q = graft.api.DataStream(Graft.normalizeTs(src), "ts")
+          .healthMonitor("user_id", "1 hour",
+            value = Some(graft.operators.Drift.ValueBaseline(
+              "value", bounds, fracs)),
+            category = Some(graft.operators.Drift.CategoryBaseline(
+              "event_type", cats)),
+            k = 8192)
+          .sinkMemory("bench_health")
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          spark.sql("DROP TABLE IF EXISTS bench_health")
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] health monitor failed: " +
+            e.getMessage)
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Pane-vs-explode cost on the custom exact-emission operator at a
     // 12:1 length/slide ratio (1h windows sliding by 5min): the pane
     // form ships each row once and merges 12 pane partials at emission;
@@ -551,6 +607,7 @@ object Bench {
         "streaming_overlap_monitor" -> (() => streamingOverlapMonitorOnce()),
         "streaming_drift_monitor" -> (() => streamingDriftMonitorOnce()),
         "streaming_embdrift_monitor" -> (() => streamingEmbDriftMonitorOnce()),
+        "streaming_health_monitor" -> (() => streamingHealthMonitorOnce()),
         "exact_window_explode" -> (() => exactWindowOnce(pane = false)),
         "exact_window_pane" -> (() => exactWindowOnce(pane = true)),
         "blocklist_sparse" -> (() => blocklistSparseOnce()),

@@ -2016,6 +2016,41 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // The ONE-PASS composite health monitor's BATCH twin, driver-
+    // hash-gated: per hour, d38's distinct/dup-rate columns + d41's
+    // numeric value drift + d42's categorical mix drift from a
+    // SINGLE windowed aggregation over ONE events scan (running the
+    // standalone monitors costs one scan and one state store each —
+    // the composite's per-window state is their sum and still
+    // bounded). The oracle is the UNION of d38/d41/d42's oracles
+    // computed in one grouped pass; psi/cat_psi ride ln and stay
+    // spec-gated (DriftSpec), the same split as d41/d42.
+    "d47_health_monitor" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val bounds = Seq(10.0, 25.0, 50.0, 100.0, 200.0)
+      val baseEv = ev.filter(
+        unix_millis(col("ts")) < lit(1705276800000L))
+      val fracs = operators.Drift.histFractions(baseEv, "value",
+        bounds)
+      val catBase = operators.Drift.categoryFractions(baseEv,
+        "event_type", topN = 3)
+      api.DataStream(ev, "ts")
+        .healthMonitor("user_id", "1 hour",
+          value = Some(operators.Drift.ValueBaseline("value",
+            bounds, fracs.toSeq)),
+          category = Some(operators.Drift.CategoryBaseline(
+            "event_type", catBase)),
+          k = 8192).df
+        .select(unix_millis(col("window_start_time"))
+            .as("window_start_ms"),
+          unix_millis(col("window_end_time")).as("window_end_ms"),
+          col("n_rows"),
+          col("n_distinct_est").cast("long").as("n_distinct"),
+          col("dup_rate"), col("n_null"), col("tvd"),
+          col("max_shift"), col("cat_tvd"), col("cat_max_shift"))
+        .orderBy(col("window_start_ms"))
+    }),
+
     // KMV bottom-k sketch, per-group distinct counts: k = 4096
     // exceeds every group's true distinct count at the gate sf, so
     // the sketch holds the complete distinct hash set and the
@@ -3713,6 +3748,86 @@ object SparkEntry {
         |    abs((n_rows - c1 - c2 - c3)::DOUBLE/n_rows - fo)), 6)
         |    AS max_shift
         |FROM w, f ORDER BY window_start_ms""".stripMargin,
+
+    "d47_health_monitor" ->
+      """WITH vbase AS (
+        |  SELECT value FROM events
+        |  WHERE epoch_ms(ts) < 1705276800000 AND value IS NOT NULL),
+        |vbt AS (SELECT count(*)::DOUBLE AS t FROM vbase),
+        |vf AS (SELECT
+        |  (SELECT count(*) FROM vbase WHERE value < 10)::DOUBLE
+        |    / (SELECT t FROM vbt) AS f0,
+        |  (SELECT count(*) FROM vbase
+        |     WHERE value >= 10 AND value < 25)::DOUBLE
+        |    / (SELECT t FROM vbt) AS f1,
+        |  (SELECT count(*) FROM vbase
+        |     WHERE value >= 25 AND value < 50)::DOUBLE
+        |    / (SELECT t FROM vbt) AS f2,
+        |  (SELECT count(*) FROM vbase
+        |     WHERE value >= 50 AND value < 100)::DOUBLE
+        |    / (SELECT t FROM vbt) AS f3,
+        |  (SELECT count(*) FROM vbase
+        |     WHERE value >= 100 AND value < 200)::DOUBLE
+        |    / (SELECT t FROM vbt) AS f4,
+        |  (SELECT count(*) FROM vbase WHERE value >= 200)::DOUBLE
+        |    / (SELECT t FROM vbt) AS f5),
+        |cbase AS (
+        |  SELECT event_type FROM events
+        |  WHERE epoch_ms(ts) < 1705276800000),
+        |cbt AS (SELECT count(*)::DOUBLE AS t FROM cbase),
+        |rk AS (SELECT event_type, count(*) AS n,
+        |    row_number() OVER (ORDER BY count(*) DESC, event_type)
+        |      AS r
+        |  FROM cbase GROUP BY 1),
+        |cf AS (SELECT
+        |  (SELECT event_type FROM rk WHERE r = 1) AS t1,
+        |  (SELECT event_type FROM rk WHERE r = 2) AS t2,
+        |  (SELECT event_type FROM rk WHERE r = 3) AS t3,
+        |  (SELECT n FROM rk WHERE r = 1)::DOUBLE
+        |    / (SELECT t FROM cbt) AS g1,
+        |  (SELECT n FROM rk WHERE r = 2)::DOUBLE
+        |    / (SELECT t FROM cbt) AS g2,
+        |  (SELECT n FROM rk WHERE r = 3)::DOUBLE
+        |    / (SELECT t FROM cbt) AS g3,
+        |  coalesce((SELECT sum(n) FROM rk WHERE r > 3), 0)::DOUBLE
+        |    / (SELECT t FROM cbt) AS go),
+        |w AS (SELECT date_trunc('hour', ts) AS ws, count(*) AS n_rows,
+        |  COUNT(DISTINCT user_id) AS n_distinct,
+        |  count(value) AS nn,
+        |  count(*) FILTER (value IS NOT NULL AND value < 10) AS c0,
+        |  count(*) FILTER (value >= 10 AND value < 25) AS c1,
+        |  count(*) FILTER (value >= 25 AND value < 50) AS c2,
+        |  count(*) FILTER (value >= 50 AND value < 100) AS c3,
+        |  count(*) FILTER (value >= 100 AND value < 200) AS c4,
+        |  count(*) FILTER (value >= 200) AS c5,
+        |  count(*) FILTER (event_type = (SELECT t1 FROM cf)) AS k1,
+        |  count(*) FILTER (event_type = (SELECT t2 FROM cf)) AS k2,
+        |  count(*) FILTER (event_type = (SELECT t3 FROM cf)) AS k3
+        |  FROM events GROUP BY 1)
+        |SELECT epoch_ms(ws) AS window_start_ms,
+        |  epoch_ms(ws + INTERVAL 1 HOUR) AS window_end_ms,
+        |  n_rows, n_distinct,
+        |  round(1 - n_distinct::DOUBLE / n_rows, 6) AS dup_rate,
+        |  n_rows - nn AS n_null,
+        |  round((abs(c0::DOUBLE/nn - f0) + abs(c1::DOUBLE/nn - f1)
+        |    + abs(c2::DOUBLE/nn - f2) + abs(c3::DOUBLE/nn - f3)
+        |    + abs(c4::DOUBLE/nn - f4) + abs(c5::DOUBLE/nn - f5))
+        |    * 0.5, 6) AS tvd,
+        |  round(greatest(abs(c0::DOUBLE/nn - f0),
+        |    abs(c1::DOUBLE/nn - f1), abs(c2::DOUBLE/nn - f2),
+        |    abs(c3::DOUBLE/nn - f3), abs(c4::DOUBLE/nn - f4),
+        |    abs(c5::DOUBLE/nn - f5)), 6) AS max_shift,
+        |  round((abs(k1::DOUBLE/n_rows - g1)
+        |    + abs(k2::DOUBLE/n_rows - g2)
+        |    + abs(k3::DOUBLE/n_rows - g3)
+        |    + abs((n_rows - k1 - k2 - k3)::DOUBLE/n_rows - go))
+        |    * 0.5, 6) AS cat_tvd,
+        |  round(greatest(abs(k1::DOUBLE/n_rows - g1),
+        |    abs(k2::DOUBLE/n_rows - g2),
+        |    abs(k3::DOUBLE/n_rows - g3),
+        |    abs((n_rows - k1 - k2 - k3)::DOUBLE/n_rows - go)), 6)
+        |    AS cat_max_shift
+        |FROM w, vf, cf ORDER BY window_start_ms""".stripMargin,
 
     "d45_session_drift_monitor" ->
       """WITH base AS (

@@ -719,19 +719,79 @@ final case class DataStream(
                            eps: Double = 1e-6,
                            by: Seq[String] = Seq.empty): DataStream = {
     import graft.operators.Drift
-    require(baseline.nonEmpty, "baseline category set is empty")
-    require(baseline.map(_._1).distinct.size == baseline.size,
-      "baseline categories must be distinct")
-    val withOther =
-      if (baseline.exists(_._1 == Drift.OtherCategory)) baseline
-      else baseline :+ (Drift.OtherCategory -> 0.0)
-    val cats = withOther.map(_._1)
-    val otherIdx = cats.indexOf(Drift.OtherCategory)
-    val pos = array_position(typedLit(cats), col(catCol))
-    val bucket = when(col(catCol).isNull || pos === 0, lit(otherIdx))
-      .otherwise(pos - 1)
-    driftFinish(bucket, count(lit(1)), withOther.map(_._2), length,
-      slide, eps, by)
+    val withOther = Drift.categoryWithOther(baseline)
+    driftFinish(Drift.categoryBucket(col(catCol), withOther.map(_._1)),
+      count(lit(1)), withOther.map(_._2), length, slide, eps, by)
+  }
+
+  /** ONE-PASS composite ingest-health monitor — the whole monitor
+    * family's answer from a SINGLE windowed aggregation over a
+    * single scan of the stream: per event-time window (and per `by`
+    * key), the row count, KMV distinct estimate and dup rate of
+    * `distinctCol` ([[distinctMonitor]]'s columns), plus — for each
+    * baseline supplied — the numeric value-distribution drift
+    * (`n_null`/`tvd`/`max_shift`/`psi`, [[driftMonitor]]'s columns),
+    * the categorical mix drift (`cat_tvd`/`cat_max_shift`/`cat_psi`,
+    * [[categoryDriftMonitor]]'s), and the embedding-centroid drift
+    * (`emb_n_null`/`emb_centroid_cos`/`emb_centroid_drift`,
+    * [[embeddingDriftMonitor]]'s). Every constituent aggregate is
+    * streaming-legal and mergeable (one bounded KMV sketch,
+    * conditional counts, one vec_sum), so the composite's per-window
+    * state is their SUM — still constant in ingest volume — while
+    * the quickstart's four separate monitor queries cost four scans
+    * (and four state stores) of the same drop. Identical column
+    * semantics to the standalone monitors, spec- and gate-pinned.
+    */
+  def healthMonitor(distinctCol: String, length: String,
+                    value: Option[graft.operators.Drift.ValueBaseline] = None,
+                    category: Option[graft.operators.Drift.CategoryBaseline] = None,
+                    embedding: Option[graft.operators.Drift.CentroidBaseline] = None,
+                    slide: Option[String] = None,
+                    k: Int = 1024, eps: Double = 1e-6,
+                    by: Seq[String] = Seq.empty): DataStream = {
+    import graft.operators.{Drift, Sketches}
+    value.foreach { v =>
+      require(v.fracs.size == v.boundaries.size + 1,
+        s"B boundaries define B+1 buckets: got ${v.boundaries.size} " +
+          s"boundaries but ${v.fracs.size} baseline fractions")
+      require(v.fracs.forall(f => f >= 0.0 && f <= 1.0),
+        s"baseline fractions must be in [0, 1], got ${v.fracs}")
+    }
+    val catsWithOther = category.map(c => Drift.categoryWithOther(c.fracs))
+    embedding.foreach(e =>
+      require(e.sumVec.nonEmpty, "baseline centroid is empty"))
+    val vAggs = value.toSeq.flatMap { v =>
+      Drift.driftAggsTagged(
+        Drift.histBucket(col(v.valueCol), v.boundaries),
+        count(col(v.valueCol)), v.fracs.size, "v")
+    }
+    val cAggs = catsWithOther.toSeq.flatMap { cats =>
+      Drift.driftAggsTagged(
+        Drift.categoryBucket(col(category.get.catCol), cats.map(_._1)),
+        count(lit(1)), cats.size, "c")
+    }
+    val eAggs = embedding.toSeq.flatMap(e =>
+      Drift.centroidAggsTagged(e.embCol, "e"))
+    val monitored = window(by.map(col),
+      Seq(count(lit(1)).as("n_rows"),
+        Sketches.kmvSketch(col(distinctCol), k).as("__sk")) ++
+        vAggs ++ cAggs ++ eAggs,
+      length, slide)
+    val est = Sketches.kmvDistinct(col("__sk"), k)
+    val distinctCols = Seq(col("n_rows"),
+      round(est, 6).as("n_distinct_est"),
+      greatest(lit(0.0),
+        round(lit(1.0) - est / col("n_rows"), 6)).as("dup_rate"))
+    val vCols = value.toSeq.flatMap(v =>
+      Drift.statColsTagged(v.fracs, eps, "v", "", emitNull = true))
+    val cCols = catsWithOther.toSeq.flatMap(cats =>
+      Drift.statColsTagged(cats.map(_._2), eps, "c", "cat_",
+        emitNull = false))
+    val eCols = embedding.toSeq.flatMap(e =>
+      Drift.centroidStatColsTagged(e.sumVec, "e", "emb_"))
+    monitored.select(Seq(col("window_start_time"),
+      col("window_end_time")) ++ by.map(col) ++ distinctCols ++
+      vCols ++ cCols ++ eCols: _*)
   }
 
   /** Streaming embedding-centroid drift monitor — the "did the

@@ -160,6 +160,43 @@ object Drift {
   /** Pool key for categories outside the baseline's top set. */
   val OtherCategory = "__other__"
 
+  /** Frozen-baseline bundles for the one-pass composite
+    * [[graft.api.DataStream.healthMonitor]] — each names the column
+    * it watches plus the baseline artifact its drift is judged
+    * against (built once per baseline drop via [[histFractions]] /
+    * [[categoryFractions]] / [[sumVector]], or loaded from their
+    * persisted [[DedupIndex]] forms).
+    */
+  final case class ValueBaseline(valueCol: String,
+      boundaries: Seq[Double], fracs: Seq[Double])
+  final case class CategoryBaseline(catCol: String,
+      fracs: Seq[(String, Double)])
+  final case class CentroidBaseline(embCol: String,
+      sumVec: Seq[Double])
+
+  /** Validate a category baseline and ensure the [[OtherCategory]]
+    * pool row is present (appended with fraction 0 when absent).
+    */
+  private[graft] def categoryWithOther(
+      baseline: Seq[(String, Double)]): Seq[(String, Double)] = {
+    require(baseline.nonEmpty, "baseline category set is empty")
+    require(baseline.map(_._1).distinct.size == baseline.size,
+      "baseline categories must be distinct")
+    if (baseline.exists(_._1 == OtherCategory)) baseline
+    else baseline :+ (OtherCategory -> 0.0)
+  }
+
+  /** Bucket index of a categorical column over the baseline's
+    * category list: its position in `cats`, with nulls and
+    * out-of-set values pooling at [[OtherCategory]]'s index.
+    */
+  private[graft] def categoryBucket(catCol: Column,
+                                    cats: Seq[String]): Column = {
+    val otherIdx = cats.indexOf(OtherCategory)
+    val pos = array_position(typedLit(cats), catCol)
+    when(catCol.isNull || pos === 0, lit(otherIdx)).otherwise(pos - 1)
+  }
+
   /** Batch drift REPORT: the per-group spelling of
     * [[graft.api.DataStream.driftMonitor]] — one row per group
     * (crawl source, language, shard …) with its `valueCol`
@@ -227,16 +264,29 @@ object Drift {
   }
 
   private[graft] def centroidAggs(embCol: String): Seq[Column] =
-    Seq(count(lit(1)).as("n_rows"), count(col(embCol)).as("__nn"),
-      graft.functions.vec_sum(col(embCol)).as("__vs"))
+    count(lit(1)).as("n_rows") +: centroidAggsTagged(embCol, "")
+
+  /** The embedding half of [[centroidAggs]] with a column-name TAG,
+    * so the composite health monitor can ride several aggregate
+    * families (sketch, value buckets, category buckets, vec sum) in
+    * ONE windowed aggregation without internal-name collisions.
+    */
+  private[graft] def centroidAggsTagged(embCol: String,
+                                        tag: String): Seq[Column] =
+    Seq(count(col(embCol)).as(s"__nn$tag"),
+      graft.functions.vec_sum(col(embCol)).as(s"__vs$tag"))
 
   private[graft] def centroidStatCols(baselineVec: Seq[Double])
-      : Seq[Column] = {
-    val cos = graft.functions.cosine_similarity(col("__vs"),
+      : Seq[Column] =
+    centroidStatColsTagged(baselineVec, "", "")
+
+  private[graft] def centroidStatColsTagged(baselineVec: Seq[Double],
+      tag: String, outPrefix: String): Seq[Column] = {
+    val cos = graft.functions.cosine_similarity(col(s"__vs$tag"),
       typedLit(baselineVec))
-    Seq((col("n_rows") - col("__nn")).as("n_null"),
-      round(cos, 6).as("centroid_cos"),
-      round(lit(1.0) - cos, 6).as("centroid_drift"))
+    Seq((col("n_rows") - col(s"__nn$tag")).as(s"${outPrefix}n_null"),
+      round(cos, 6).as(s"${outPrefix}centroid_cos"),
+      round(lit(1.0) - cos, 6).as(s"${outPrefix}centroid_drift"))
   }
 
   /** The B+2 bounded-state aggregate columns every drift spelling
@@ -245,30 +295,46 @@ object Drift {
     */
   private[graft] def driftAggs(bucket: Column, nonNullCount: Column,
                                n: Int): Seq[Column] =
-    Seq(count(lit(1)).as("n_rows"), nonNullCount.as("__nn")) ++
-      (0 until n).map(i =>
-        count(when(bucket === lit(i), 1)).as(s"__b$i"))
+    count(lit(1)).as("n_rows") +:
+      driftAggsTagged(bucket, nonNullCount, n, "")
+
+  /** [[driftAggs]] minus the shared n_rows, with a column-name TAG
+    * (see [[centroidAggsTagged]]).
+    */
+  private[graft] def driftAggsTagged(bucket: Column,
+      nonNullCount: Column, n: Int, tag: String): Seq[Column] =
+    nonNullCount.as(s"__nn$tag") +: (0 until n).map(i =>
+      count(when(bucket === lit(i), 1)).as(s"__b$tag$i"))
 
   /** The shared output tail over [[driftAggs]]' columns: n_null plus
     * the three stats, each null when the group/window had no
     * non-null rows.
     */
   private[graft] def statCols(baselineFracs: Seq[Double],
-                              eps: Double): Seq[Column] = {
-    val (tvd, maxShift, psi) =
-      driftStats(fracCols(baselineFracs.size), baselineFracs, eps)
-    def guard(c: Column) =
-      when(col("__nn") === 0, lit(null).cast("double")).otherwise(c)
-    Seq((col("n_rows") - col("__nn")).as("n_null"),
-      guard(tvd).as("tvd"), guard(maxShift).as("max_shift"),
-      guard(psi).as("psi"))
-  }
+                              eps: Double): Seq[Column] =
+    statColsTagged(baselineFracs, eps, "", "", emitNull = true)
 
-  /** Per-bucket observed-fraction columns from pre-aggregated bucket
-    * counts `__b0..__bN` and the non-null total `__nn`.
+  /** [[statCols]] over TAGGED aggregate names, output columns under
+    * `outPrefix` (the composite health monitor emits the category
+    * family as cat_tvd/cat_max_shift/cat_psi next to the numeric
+    * tvd/max_shift/psi); `emitNull = false` skips the n_null column
+    * for spellings whose buckets pool nulls (categorical).
     */
-  private[graft] def fracCols(n: Int): Seq[Column] =
-    (0 until n).map(i => col(s"__b$i") / col("__nn"))
+  private[graft] def statColsTagged(baselineFracs: Seq[Double],
+      eps: Double, tag: String, outPrefix: String,
+      emitNull: Boolean): Seq[Column] = {
+    val nn = col(s"__nn$tag")
+    val ps = (0 until baselineFracs.size).map(i =>
+      col(s"__b$tag$i") / nn)
+    val (tvd, maxShift, psi) = driftStats(ps, baselineFracs, eps)
+    def guard(c: Column) =
+      when(nn === 0, lit(null).cast("double")).otherwise(c)
+    (if (emitNull) Seq((col("n_rows") - nn).as(s"${outPrefix}n_null"))
+     else Seq.empty[Column]) ++
+      Seq(guard(tvd).as(s"${outPrefix}tvd"),
+        guard(maxShift).as(s"${outPrefix}max_shift"),
+        guard(psi).as(s"${outPrefix}psi"))
+  }
 
   /** The three drift statistics as columns over observed-fraction
     * columns `ps` vs literal baseline fractions `bs` (rounded to 6

@@ -436,4 +436,57 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e2.getMessage.contains("not 'hist'"))
   }
+
+  test("healthMonitor (batch twin): all FOUR families — distinct/" +
+      "dup-rate, numeric drift, category drift, centroid drift — " +
+      "from one windowed aggregation, exact on a hand-built window; " +
+      "null value/vector rows counted apart; baselines validated") {
+    import graft.api.DataStream
+    val df = Seq(
+      (1000L, "u1", Some(5.0), "a", Some(Seq(1.0, 0.0))),
+      (2000L, "u1", Some(15.0), "a", Some(Seq(0.0, 1.0))),
+      (3000L, "u2", None, "b", None),
+      (4000L, "u3", Some(25.0), "zz", Some(Seq(1.0, 1.0))))
+      .toDF("ms", "user", "value", "cat", "vec")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val out = DataStream(df, "ts").healthMonitor("user", "10 seconds",
+      value = Some(Drift.ValueBaseline("value", Seq(10.0),
+        Seq(0.5, 0.5))),
+      category = Some(Drift.CategoryBaseline("cat",
+        Seq("a" -> 0.5, "b" -> 0.5))),
+      embedding = Some(Drift.CentroidBaseline("vec", Seq(1.0, 1.0))))
+      .df
+    def round6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = out.select("n_rows", "n_distinct_est", "dup_rate",
+      "n_null", "tvd", "max_shift", "cat_tvd", "cat_max_shift",
+      "emb_n_null", "emb_centroid_cos", "emb_centroid_drift")
+      .head()
+    // 4 rows, 3 distinct users → dup_rate .25; non-null values
+    // 5,15,25 → p=(1/3,2/3) vs (.5,.5) → tvd = max_shift = 1/6,
+    // n_null = 1; categories (a,b,other)=(2,1,1)/4 = (.5,.25,.25)
+    // vs (.5,.5,0) → cat_tvd .25; window SUM vec = [2,2] vs
+    // baseline [1,1] → cos 1.0, drift 0, one null vector
+    assert(r.getLong(0) == 4 && r.getDouble(1) == 3.0 &&
+      r.getDouble(2) == 0.25)
+    assert(r.getLong(3) == 1 &&
+      r.getDouble(4) == round6(1.0 / 6) &&
+      r.getDouble(5) == round6(1.0 / 6))
+    assert(r.getDouble(6) == 0.25 && r.getDouble(7) == 0.25)
+    assert(r.getLong(8) == 1 && r.getDouble(9) == 1.0 &&
+      r.getDouble(10) == 0.0)
+    // mismatched numeric baseline refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      DataStream(df, "ts").healthMonitor("user", "10 seconds",
+        value = Some(Drift.ValueBaseline("value", Seq(10.0),
+          Seq(0.3, 0.3, 0.4))))
+    }
+    assert(e.getMessage.contains("B+1"))
+    // empty centroid refuses
+    val e2 = intercept[IllegalArgumentException] {
+      DataStream(df, "ts").healthMonitor("user", "10 seconds",
+        embedding = Some(Drift.CentroidBaseline("vec", Seq.empty)))
+    }
+    assert(e2.getMessage.contains("empty"))
+  }
 }

@@ -700,6 +700,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("healthMonitor: the composite one-pass monitor emits the " +
+      "distinct/dup-rate, numeric-drift AND category-drift columns " +
+      "per window from a single streaming aggregation, each exactly " +
+      "matching its standalone monitor's arithmetic") {
+    import graft.operators.Drift
+    val (input, ds) = measurementStream()
+    val q = ds.healthMonitor("sensor_name", "10 seconds",
+      value = Some(Drift.ValueBaseline("reading", Seq(10.0),
+        Seq(0.5, 0.5))),
+      category = Some(Drift.CategoryBaseline("sensor_name",
+        Seq("a" -> 0.5, "b" -> 0.5))))
+      .sinkMemory("health_out")
+    try {
+      // window [0,10 s): sensors a,a,b with readings 5,15,15 —
+      // distinct sensors 2/3 rows (dup_rate 1/3), value p=(1/3,2/3)
+      // vs (.5,.5) → tvd 1/6, category (a,b,other)=(2/3,1/3,0) vs
+      // (.5,.5,0) → cat_tvd 1/6
+      input.addData(
+        Measurement(1000, "a", 5.0), Measurement(2000, "a", 15.0),
+        Measurement(3000, "b", 15.0))
+      q.processAllAvailable()
+      input.addData(Measurement(25000, "z", 0.0))
+      q.processAllAvailable()
+      def round6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = spark.table("health_out")
+        .filter($"window_start_time".cast("long") === 0)
+        .select("n_rows", "n_distinct_est", "dup_rate", "n_null",
+          "tvd", "max_shift", "cat_tvd", "cat_max_shift")
+        .as[(Long, Double, Double, Long, Double, Double, Double,
+          Double)].collect().toList
+      assert(rows == List((3L, 2.0, round6(1.0 / 3), 0L,
+        round6(1.0 / 6), round6(1.0 / 6),
+        round6(1.0 / 6), round6(1.0 / 6))))
+    } finally q.stop()
+  }
+
   test("keyed monitors (by = real group columns): per-(window, key) " +
       "distinct counts, and keyed SESSIONS merge per tenant — one " +
       "tenant's silence does not close another's burst") {
