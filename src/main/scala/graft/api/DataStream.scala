@@ -883,6 +883,17 @@ final case class DataStream(
         round(lit(1.0) - est / col("n_rows"), 6)).as("dup_rate")): _*)
   }
 
+  /** Alarm projection over this frame (any monitor/report output in
+    * the family): adds `severity` + `alarms` columns per
+    * [[graft.operators.Drift.alarms]] — a pure stateless projection,
+    * so it chains onto a streaming monitor before its sink
+    * (`.distinctMonitor(...).alarms().sinkKafka(...)`) exactly as it
+    * does onto a batch report.
+    */
+  def alarms(thresholds: graft.operators.Drift.AlarmThresholds =
+               graft.operators.Drift.AlarmThresholds()): DataStream =
+    next(graft.operators.Drift.alarms(df, thresholds))
+
   /** Streaming trending-items monitor: per event-time window, the
     * top-`k` most frequent values of `itemCol` by Misra–Gries
     * bounded summary ([[graft.operators.Sketches]] — counts exact

@@ -174,6 +174,83 @@ object Drift {
   final case class CentroidBaseline(embCol: String,
       sumVec: Seq[Double])
 
+  /** Thresholds for [[alarms]] — defaults follow the classic
+    * monitoring rules of thumb (PSI <0.1 stable / 0.1–0.25 moderate /
+    * >0.25 act — the scale the psi stat was designed around — with
+    * TVD graded on the same bands); dup-rate, overlap and centroid
+    * bands are starting points a pipeline tunes to its corpus.
+    * `margin` (label-cohesion QA) has no warn band: margin ≤ 0 means
+    * a label's members sit closer to ANOTHER label's centroid — it
+    * is an alert by definition.
+    */
+  final case class AlarmThresholds(
+      dupRateWarn: Double = 0.2, dupRateAlert: Double = 0.4,
+      tvdWarn: Double = 0.1, tvdAlert: Double = 0.25,
+      psiWarn: Double = 0.1, psiAlert: Double = 0.25,
+      overlapWarn: Double = 0.5, overlapAlert: Double = 0.8,
+      centroidDriftWarn: Double = 0.02, centroidDriftAlert: Double = 0.1,
+      marginAlert: Double = 0.0)
+
+  /** Alarm projection over ANY monitor/report output in this family:
+    * adds `severity` ("ok" | "warn" | "alert" — the worst level any
+    * present metric reached) and `alarms` (an array of
+    * "metric:level" strings naming every metric at warn-or-above, in
+    * a fixed metric order) so monitor rows feed an alerting sink
+    * without user-side arithmetic. Recognized metric columns:
+    * `dup_rate`, `tvd`, `psi`, `cat_tvd`, `cat_psi`, `overlap_frac`,
+    * `centroid_drift`, `emb_centroid_drift` (all ≥-threshold) and
+    * `margin` (≤ 0 ⇒ alert); whichever subset the frame carries is
+    * graded, null stats grade `ok` (an all-null window's alarm is
+    * its n_rows/n_null columns, not a drift verdict). A frame with
+    * NO recognized metric column refuses — silently grading nothing
+    * as "ok" is how an alerting hook goes dead. Pure stateless
+    * projection: runs identically on batch reports and inside
+    * streaming monitor queries.
+    */
+  def alarms(df: DataFrame,
+             t: AlarmThresholds = AlarmThresholds()): DataFrame = {
+    final case class M(name: String, warn: Option[Double],
+                       alert: Double, gte: Boolean = true)
+    val metrics = Seq(
+      M("dup_rate", Some(t.dupRateWarn), t.dupRateAlert),
+      M("tvd", Some(t.tvdWarn), t.tvdAlert),
+      M("psi", Some(t.psiWarn), t.psiAlert),
+      M("cat_tvd", Some(t.tvdWarn), t.tvdAlert),
+      M("cat_psi", Some(t.psiWarn), t.psiAlert),
+      M("overlap_frac", Some(t.overlapWarn), t.overlapAlert),
+      M("centroid_drift", Some(t.centroidDriftWarn),
+        t.centroidDriftAlert),
+      M("emb_centroid_drift", Some(t.centroidDriftWarn),
+        t.centroidDriftAlert),
+      M("margin", None, t.marginAlert, gte = false)
+    ).filter(m => df.columns.contains(m.name))
+    require(metrics.nonEmpty,
+      "alarms: no recognized monitor metric column present " +
+        "(dup_rate/tvd/psi/cat_tvd/cat_psi/overlap_frac/" +
+        "centroid_drift/emb_centroid_drift/margin) — apply alarms " +
+        "to a monitor/report output, not an arbitrary frame")
+    def level(m: M): Column = {
+      val c = col(m.name)
+      val alertCond =
+        if (m.gte) c >= lit(m.alert) else c <= lit(m.alert)
+      val warnLvl = m.warn.map { w =>
+        val warnCond = if (m.gte) c >= lit(w) else c <= lit(w)
+        when(warnCond, lit(1)).otherwise(lit(0))
+      }.getOrElse(lit(0))
+      when(c.isNull, lit(0)).when(alertCond, lit(2))
+        .otherwise(warnLvl)
+    }
+    val maxLvl = metrics.map(level).reduce(greatest(_, _))
+    val entries = metrics.map { m =>
+      when(level(m) === 2, lit(s"${m.name}:alert"))
+        .when(level(m) === 1, lit(s"${m.name}:warn"))
+    }
+    df.withColumn("severity",
+        when(maxLvl === 2, "alert").when(maxLvl === 1, "warn")
+          .otherwise("ok"))
+      .withColumn("alarms", array_compact(array(entries: _*)))
+  }
+
   /** Validate a category baseline and ensure the [[OtherCategory]]
     * pool row is present (appended with fraction 0 when absent).
     */

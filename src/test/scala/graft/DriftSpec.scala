@@ -437,6 +437,77 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("not 'hist'"))
   }
 
+  test("alarms: severity + alarm list over every monitor kind's " +
+      "output shape — graded bands, margin<=0 alert, null stats ok, " +
+      "non-monitor frames refused; streams as a pure projection") {
+    import graft.api.DataStream
+    // distinct-monitor shape: dup_rate bands
+    val dm = Seq((100L, 50.0, 0.5), (100L, 75.0, 0.25),
+      (100L, 95.0, 0.05))
+      .toDF("n_rows", "n_distinct_est", "dup_rate")
+    assert(Drift.alarms(dm).select("severity", "alarms")
+      .as[(String, Seq[String])].collect().toSeq == Seq(
+      ("alert", Seq("dup_rate:alert")),
+      ("warn", Seq("dup_rate:warn")),
+      ("ok", Seq.empty)))
+    // numeric drift shape: psi dominates tvd when worse; null → ok
+    val dr = Seq(
+      (Some(0.05), Some(0.3)), (Some(0.15), Some(0.05)),
+      (None, None))
+      .toDF("tvd", "psi")
+    assert(Drift.alarms(dr).select("severity", "alarms")
+      .as[(String, Seq[String])].collect().toSeq == Seq(
+      ("alert", Seq("psi:alert")),
+      ("warn", Seq("tvd:warn")),
+      ("ok", Seq.empty)))
+    // overlap-monitor shape
+    val om = Seq(0.9, 0.6, 0.1).toDF("overlap_frac")
+    assert(Drift.alarms(om).select("severity")
+      .as[String].collect().toSeq == Seq("alert", "warn", "ok"))
+    // label-cohesion shape: margin <= 0 is an alert by definition
+    val lc = Seq(("a", -0.01), ("b", 0.0), ("c", 0.2))
+      .toDF("label", "margin")
+    assert(Drift.alarms(lc).select("severity")
+      .as[String].collect().toSeq == Seq("alert", "alert", "ok"))
+    // composite health shape: worst metric wins, list names each
+    val hm = Seq((0.45, 0.12, 0.3)).toDF("dup_rate", "tvd", "cat_psi")
+    assert(Drift.alarms(hm).select("severity", "alarms")
+      .as[(String, Seq[String])].head() ==
+      (("alert", Seq("dup_rate:alert", "tvd:warn", "cat_psi:alert"))))
+    // centroid drift + custom thresholds
+    val cd = Seq(0.05).toDF("emb_centroid_drift")
+    assert(Drift.alarms(cd).select("severity").as[String].head()
+      == "warn")
+    assert(Drift.alarms(cd, Drift.AlarmThresholds(
+        centroidDriftAlert = 0.04)).select("severity")
+      .as[String].head() == "alert")
+    // a frame with no recognized metric refuses
+    val e = intercept[IllegalArgumentException] {
+      Drift.alarms(Seq(1).toDF("x"))
+    }
+    assert(e.getMessage.contains("no recognized monitor metric"))
+    // the DataStream bridge chains onto a STREAMING monitor
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)](spark)
+    val q = DataStream(input.toDF
+        .selectExpr("timestamp_millis(_1) AS ts", "_2 AS u"), "ts")
+      .distinctMonitor("u", "10 seconds")
+      .alarms()
+      .sinkMemory("alarm_out")
+    try {
+      input.addData((1000L, "a"), (2000L, "a"), (3000L, "a"),
+        (4000L, "b"))
+      input.addData((25000L, "z"))
+      q.processAllAvailable()
+      val rows = spark.table("alarm_out")
+        .filter($"window_start_time".cast("long") === 0)
+        .select("dup_rate", "severity", "alarms")
+        .as[(Double, String, Seq[String])].collect().toSeq
+      // 4 rows, 2 distinct → dup_rate 0.5 ≥ the 0.4 alert band
+      assert(rows == Seq((0.5, "alert", Seq("dup_rate:alert"))))
+    } finally q.stop()
+  }
+
   test("healthMonitor (batch twin): all FOUR families — distinct/" +
       "dup-rate, numeric drift, category drift, centroid drift — " +
       "from one windowed aggregation, exact on a hand-built window; " +
