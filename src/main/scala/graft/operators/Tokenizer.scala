@@ -106,8 +106,8 @@ object Tokenizer {
     */
   def learnFromTypes(types: Array[(String, Long)], numMerges: Int,
                      minPairCount: Long = 2L): Seq[String] = {
-    // each word type as a mutable symbol sequence + its weight
-    val seqs: Array[Array[String]] = types.map { case (w, _) =>
+    // each word type as its code-point symbol sequence + its weight
+    learnFromSymbolTypes(types.map { case (w, c) =>
       val out = new Array[String](w.codePointCount(0, w.length))
       var i = 0; var n = 0
       while (i < w.length) {
@@ -115,8 +115,21 @@ object Tokenizer {
         out(n) = new String(Character.toChars(cp))
         n += 1; i += Character.charCount(cp)
       }
-      out
-    }
+      (out, c)
+    }, numMerges, minPairCount)
+  }
+
+  /** The shared driver-side merge loop over PRE-SYMBOLIZED types —
+    * the code-point trainer and the byte-level trainer differ only
+    * in how a word becomes symbols (code points vs UTF-8 bytes via
+    * [[ByteToUnicode]]); the argmax order, replacement and stopping
+    * rules are identical, so both learned lists are pure functions
+    * of their type tables.
+    */
+  private def learnFromSymbolTypes(types: Array[(Array[String], Long)],
+                                   numMerges: Int,
+                                   minPairCount: Long): Seq[String] = {
+    val seqs: Array[Array[String]] = types.map(_._1)
     val weights: Array[Long] = types.map(_._2)
 
     val merges = new scala.collection.mutable.ArrayBuffer[String]()
@@ -247,6 +260,98 @@ object Tokenizer {
       s"$path is corrupt: expected ranks 0..${n - 1}, got " +
         s"${rows.length} rows")
     rows.map(_.getString(1)).toSeq
+  }
+
+  /** GPT-2-style pretokenizer regex (Radford et al. 2019, the
+    * `gpt2.bpe` pattern): contraction suffixes, letter runs, digit
+    * runs, punctuation runs — each optionally space-prefixed so the
+    * space travels WITH the following word (the property that makes
+    * byte-level BPE reversible without a separate whitespace
+    * channel), plus trailing/interior whitespace runs. Java regex:
+    * `\p{L}`/`\p{N}` are the Unicode classes the original used via
+    * regex-module `\p{L}`, and the `(?!\S)` lookahead keeps the
+    * final space of a run attached to the next token.
+    */
+  val Gpt2Pretokenizer: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+  /** The GPT-2 byte↔unicode table: every byte value 0–255 maps to a
+    * PRINTABLE code point (printable ASCII + the two Latin-1 ranges
+    * map to themselves; the 68 remaining bytes map to 256+i in
+    * order), so arbitrary UTF-8 — emoji, control bytes, broken
+    * encodings — becomes a clean symbol string the merge loop (and
+    * any downstream text tooling) can treat as opaque characters.
+    * This is the exact construction from the GPT-2 reference
+    * `bytes_to_unicode()` (encoder.py), reproduced from the paper's
+    * published description.
+    */
+  val ByteToUnicode: Array[Char] = {
+    val keep = (('!' to '~') ++ ('¡' to '¬') ++
+      ('®' to 'ÿ')).map(_.toInt).toSet
+    val out = new Array[Char](256)
+    var next = 256
+    (0 until 256).foreach { b =>
+      if (keep(b)) out(b) = b.toChar
+      else { out(b) = next.toChar; next += 1 }
+    }
+    out
+  }
+
+  /** A word's byte-level symbol sequence: UTF-8 bytes through
+    * [[ByteToUnicode]], one single-char symbol per byte — the
+    * byte-fallback alphabet (≤ 256 base symbols, so NO word is ever
+    * out-of-alphabet, unlike code-point BPE where an unseen
+    * character has no symbol).
+    */
+  def byteSymbols(word: String): Array[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    bytes.map(b => String.valueOf(ByteToUnicode(b & 0xff)))
+  }
+
+  /** Distributed pretoken-type frequency table for the byte-level
+    * trainer: one row per distinct GPT-2-regex pretoken (the space
+    * rides with its word — `" the"` and `"the"` are DIFFERENT
+    * types, as in the original). Same one-shuffle scale shape as
+    * [[wordCounts]]: explode + groupBy(token) with map-side partial
+    * aggregation is the only corpus-size-dependent stage.
+    */
+  def pretokenCounts(df: DataFrame, textCol: String): DataFrame =
+    spread(df)
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(Gpt2Pretokenizer), lit(0))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Learn BYTE-LEVEL (GPT-2-style) BPE merges: pretokenize with the
+    * GPT-2 regex (spaces travel with their word), map each pretoken
+    * type to its [[byteSymbols]] byte-fallback sequence, then run
+    * the SAME deterministic merge loop as [[learnBpeMerges]] —
+    * (count desc, left asc, right asc) argmax, non-overlapping
+    * left-to-right replacement, early stop under `minPairCount`.
+    * Returned entries are `"left right"` strings over byte-unicode
+    * symbols in learned order. Differences from the code-point
+    * trainer, by construction: the alphabet is ≤ 256 symbols so
+    * nothing is ever out-of-alphabet (emoji and broken encodings
+    * segment into byte pieces instead of failing), and leading
+    * spaces are IN the types (`" the"` learns its own merges), which
+    * is what makes GPT-2 tokenization reversible. Scale shape
+    * identical to [[learnBpeMerges]]: one distributed type count,
+    * then a capped driver-side loop constant in corpus size.
+    */
+  def learnByteBpeMerges(df: DataFrame, textCol: String,
+                         numMerges: Int, maxTypes: Int = 65536,
+                         minPairCount: Long = 2L): Seq[String] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    require(maxTypes >= 1, "maxTypes must be >= 1")
+    require(minPairCount >= 1L, "minPairCount must be >= 1")
+    val types = pretokenCounts(df, textCol)
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(maxTypes)
+      .take(maxTypes)
+      .map(r => (r.getString(0), r.getLong(1)))
+    learnFromSymbolTypes(
+      types.map { case (w, c) => (byteSymbols(w), c) }, numMerges,
+      minPairCount)
   }
 
   /** The vocabulary a learned merge list induces: all single

@@ -186,4 +186,61 @@ class TokenizerTrainSpec extends AnyFunSuite with SparkSpec {
       v.contains))
     assert(v == v.sorted)
   }
+
+  // ---- byte-level (GPT-2-style) trainer ----
+
+  test("byte bpe: byte-unicode table is a 256-way bijection onto " +
+      "printable code points; space maps to the canonical 'Ġ'; " +
+      "emoji fall back to one symbol per UTF-8 byte") {
+    val tbl = Tokenizer.ByteToUnicode
+    assert(tbl.length == 256 && tbl.toSet.size == 256)
+    // printable ASCII maps to itself; space is displaced to U+0120
+    assert(tbl('a'.toInt) == 'a' && tbl('!'.toInt) == '!')
+    assert(tbl(' '.toInt) == 'Ġ') // the famous Ġ
+    assert(Tokenizer.byteSymbols(" the").toSeq ==
+      Seq("Ġ", "t", "h", "e"))
+    // 4-byte emoji → 4 byte-fallback symbols, never out-of-alphabet
+    assert(Tokenizer.byteSymbols("🙂").length == 4)
+  }
+
+  test("byte bpe: GPT-2 pretokenizer keeps the space WITH the " +
+      "following word and splits contractions") {
+    val got = Tokenizer.pretokenCounts(
+        Seq("don't stop don't").toDF("text"), "text")
+      .orderBy($"word").as[(String, Long)].collect().toSeq
+    assert(got == Seq((" don", 1L), (" stop", 1L), ("'t", 2L),
+      ("don", 1L)))
+  }
+
+  test("byte bpe: hand-worked example — space-prefixed types learn " +
+      "their own merges; argmax and tie order match the code-point " +
+      "trainer's rules over byte symbols") {
+    // pretokens: the, ·cat, ·the, ·cat, ·ate (· = Ġ space symbol).
+    // round 1: (a,t) = cat 2 + ate 1 = 3 wins over the 2-count pairs
+    // round 2: tie at 2 among (t,h),(h,e),(Ġ,c),(c,at) — left-asc
+    //          breaks to (c,at) ('c' < 'h' < 't' < 'Ġ'=U+0120)
+    // round 3: tie among (t,h),(h,e),(Ġ,cat) breaks to (h,e)
+    val df = Seq("the cat the cat ate").toDF("text")
+    val merges = Tokenizer.learnByteBpeMerges(df, "text", 3,
+      minPairCount = 1L)
+    assert(merges == Seq("a t", "c at", "h e"))
+  }
+
+  test("byte bpe: deterministic across partitionings; minPairCount " +
+      "early stop; non-ASCII text trains without any out-of-" +
+      "alphabet failure") {
+    val docs = (1 to 30).map(i => s"naïve café $i — déjà vu")
+    val a = Tokenizer.learnByteBpeMerges(docs.toDF("text"), "text", 8)
+    val b = Tokenizer.learnByteBpeMerges(
+      docs.toDF("text").repartition(7), "text", 8)
+    assert(a == b && a.length == 8)
+    // é is 2 UTF-8 bytes: its byte pair inside "café" recurs 30×,
+    // so some learned merge joins two non-ASCII byte symbols
+    assert(a.exists(_.split(" ").forall(_.forall(_ > '\u007f'))))
+    // early stop: pretokens aa(1), ·aa(2), ·zq(1) — (a,a)=3 then
+    // (Ġ,aa)=2 merge; every pair inside ·zq sits at 1 < minPairCount
+    val rare = Seq("aa aa aa zq").toDF("text")
+    assert(Tokenizer.learnByteBpeMerges(rare, "text", 10,
+      minPairCount = 2L) == Seq("a a", "Ġ aa"))
+  }
 }
