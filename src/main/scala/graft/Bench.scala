@@ -597,24 +597,99 @@ object Bench {
           "number of record")
     }
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(want)
-    val results = names.map(n => n -> stats((1 to reps).map(_ => timeOnce(n)))) ++
-      Seq(
-        "streaming_window" -> (() => streamingOnce()),
-        "streaming_neardup" -> (() => streamingNearDupOnce()),
-        "streaming_embdedup" -> (() => streamingEmbDedupOnce()),
-        "streaming_distinct_monitor" -> (() => streamingDistinctMonitorOnce()),
-        "streaming_trending_monitor" -> (() => streamingTrendingMonitorOnce()),
-        "streaming_overlap_monitor" -> (() => streamingOverlapMonitorOnce()),
-        "streaming_drift_monitor" -> (() => streamingDriftMonitorOnce()),
-        "streaming_embdrift_monitor" -> (() => streamingEmbDriftMonitorOnce()),
-        "streaming_health_monitor" -> (() => streamingHealthMonitorOnce()),
-        "exact_window_explode" -> (() => exactWindowOnce(pane = false)),
-        "exact_window_pane" -> (() => exactWindowOnce(pane = true)),
-        "blocklist_sparse" -> (() => blocklistSparseOnce()),
-        "bpe_train" -> (() => bpeTrainOnce()),
-        "d11_lsh_tuned" -> (() => embLshTunedOnce()))
-        .filter(p => want(p._1))
-        .map { case (n, f) => n -> stats((1 to reps).map(_ => f())) }
+    val extraRunners: Seq[(String, () => Double)] = Seq(
+      "streaming_window" -> (() => streamingOnce()),
+      "streaming_neardup" -> (() => streamingNearDupOnce()),
+      "streaming_embdedup" -> (() => streamingEmbDedupOnce()),
+      "streaming_distinct_monitor" -> (() => streamingDistinctMonitorOnce()),
+      "streaming_trending_monitor" -> (() => streamingTrendingMonitorOnce()),
+      "streaming_overlap_monitor" -> (() => streamingOverlapMonitorOnce()),
+      "streaming_drift_monitor" -> (() => streamingDriftMonitorOnce()),
+      "streaming_embdrift_monitor" -> (() => streamingEmbDriftMonitorOnce()),
+      "streaming_health_monitor" -> (() => streamingHealthMonitorOnce()),
+      "exact_window_explode" -> (() => exactWindowOnce(pane = false)),
+      "exact_window_pane" -> (() => exactWindowOnce(pane = true)),
+      "blocklist_sparse" -> (() => blocklistSparseOnce()),
+      "bpe_train" -> (() => bpeTrainOnce()),
+      "d11_lsh_tuned" -> (() => embLshTunedOnce()))
+    val runnerByName: Map[String, () => Double] =
+      names.map(n => n -> (() => timeOnce(n))).toMap ++ extraRunners
+    val firstResults =
+      names.map(n => n -> stats((1 to reps).map(_ => timeOnce(n)))) ++
+        extraRunners.filter(p => want(p._1))
+          .map { case (n, f) => n -> stats((1 to reps).map(_ => f())) }
+
+    // Per-row spike re-run pass (round-11 postmortem: a single
+    // transient row — m12 at 41.8 s vs its ~3 s record, re-measured
+    // at 3.12 s minutes later — distorted the headline by +39 s and
+    // only an after-the-fact judge re-run caught it). Any row whose
+    // median exceeds its PINNED sf0.1 record (bench_records.json —
+    // the round-10 idle refresh + round-11 new-row medians; refreshed
+    // whenever an idle snapshot lands) by >3× gets ONE full re-run,
+    // but only after a fresh control probe shows the machine is no
+    // worse than it was for the suite (post-ratio ≤ 1.3, or ≤ the
+    // in-run control ratio) — re-running inside a NEW load window
+    // would just trade one polluted number for another. The re-run
+    // median replaces the row (a genuine regression reproduces and
+    // stays slow; a transient lands back at record band), with both
+    // values carried in the artifact under `spike_reruns`. The 200 ms
+    // floor keeps sub-second JIT/GC jitter out; the count cap bounds
+    // the pass's cost on a genuinely-degraded machine.
+    val pinnedRecords: Map[String, Double] =
+      if (!controlsEnabled) Map.empty
+      else try {
+        val f = new java.io.File("bench_records.json")
+        if (!f.exists()) Map.empty
+        else {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(f).get("records")
+          val it = root.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next(); b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_records.json unreadable: $e")
+        Map.empty
+      }
+    val spikeNames = firstResults.collect {
+      case (k, (med, _, _)) if med > 0.2 &&
+        pinnedRecords.get(k).exists(r => med > 3 * r) => k
+    }
+    val spikeReruns: Seq[(String, Double, (Double, Double, Double))] =
+      if (spikeNames.isEmpty) Seq.empty
+      else {
+        val post = controlRecords.keys.toSeq.sorted
+          .map(n => timeOnce(n) / controlRecords(n))
+          .filter(_ > 0).sorted
+        val postRatio =
+          if (post.isEmpty) Double.MaxValue
+          else post((post.size - 1) / 2)
+        val machineOk = postRatio <= 1.3 ||
+          controlRatio.exists(r => postRatio <= r)
+        if (!machineOk) {
+          System.err.println(f"[bench] ${spikeNames.size} row(s) " +
+            f"exceed 3x their pinned record but the post-suite " +
+            f"control ratio $postRatio%.2f is worse than the " +
+            "in-run window — keeping first-pass numbers (re-running " +
+            "now would measure the new load window, not the query)")
+          Seq.empty
+        } else spikeNames.take(8).flatMap { k =>
+          val first = firstResults.find(_._1 == k).get._2._1
+          System.err.println(f"[bench] spike re-run: $k first-pass " +
+            f"$first%.2f s > 3x record ${pinnedRecords(k)}%.2f s " +
+            f"(controls $postRatio%.2f)")
+          val rr = stats((1 to reps).map(_ => runnerByName(k)()))
+          if (rr._1 > 0) Some((k, first, rr)) else None
+        }
+      }
+    val rerunByName = spikeReruns.map { case (k, _, rr) => k -> rr }
+      .toMap
+    val results = firstResults.map { case (k, v) =>
+      k -> rerunByName.getOrElse(k, v)
+    }
     // Roster tiers: cross-check rows are deliberate redundancy — the
     // bounded exact twin (d6), the O(log n) CC escape hatch gated
     // hash-exact against d8 (d13), and the per-frame explode form the
@@ -686,8 +761,21 @@ object Bench {
       s""","controls":$m,"control_ratio":$ratio""" +
         (if (ambientUniform) ""","ambient_uniform_suspect":true""" else "")
     }
+    // spike re-runs (first-pass vs re-run medians) + the ambient-
+    // normalized total (total / control_ratio — the round-over-round
+    // comparison number when the window was loaded) ride both
+    // artifacts too
+    val spikeJson =
+      if (spikeReruns.isEmpty) ""
+      else spikeReruns.map { case (k, first, rr) =>
+        "\"" + k + "\":{\"first\":" + ms(first) + ",\"rerun\":" +
+          ms(rr._1) + "}"
+      }.mkString(""","spike_reruns":{""", ",", "}")
+    val normalizedJson = controlRatio
+      .map(r => s""","normalized_total":${ms(total / r)}""")
+      .getOrElse("")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","recommended_total":${tierTotal(cross = false, penalty)},"crosscheck_total":${tierTotal(cross = true, penalty)},"queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"tiers":$tiersJson,"reps":$reps,"failed":${failed.mkString("[", ",", "]")}$ambientJson$controlsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","recommended_total":${tierTotal(cross = false, penalty)},"crosscheck_total":${tierTotal(cross = true, penalty)},"queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"tiers":$tiersJson,"reps":$reps,"failed":${failed.mkString("[", ",", "]")}$ambientJson$controlsJson$spikeJson$normalizedJson,"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -708,7 +796,7 @@ object Bench {
     // count, with target/bench_full.json always carrying the
     // complete median/min/max record.
     def line(qjson: String, extra: String): String =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","recommended_total":${ms(tierTotal(cross = false, penalty))},"crosscheck_total":${ms(tierTotal(cross = true, penalty))},"queries":$qjson$extra,"reps":$reps,"failed":${failed.mkString("[", ",", "]")}${if (ambientSuspect.nonEmpty) ambientJson else ""}$controlsJson,"sf":"$sfDir","full":"target/bench_full.json"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","recommended_total":${ms(tierTotal(cross = false, penalty))},"crosscheck_total":${ms(tierTotal(cross = true, penalty))},"queries":$qjson$extra,"reps":$reps,"failed":${failed.mkString("[", ",", "]")}${if (ambientSuspect.nonEmpty) ambientJson else ""}$controlsJson$spikeJson$normalizedJson,"sf":"$sfDir","full":"target/bench_full.json"}"""
     val fullMap = jmap(_._1, ms)
     val headline =
       if (line(fullMap, "").length <= 1500) line(fullMap, "")
