@@ -883,6 +883,38 @@ final case class DataStream(
         round(lit(1.0) - est / col("n_rows"), 6)).as("dup_rate")): _*)
   }
 
+  /** [[healthMonitor]] against PERSISTED baselines — each section
+    * loads from its [[graft.operators.DedupIndex]] artifact (built
+    * once per baseline drop; geometry pinned by the sidecars,
+    * mismatches refused like every index read) and rides as
+    * literals: `valueIndex = (valueCol, path, nBuckets)` →
+    * writeHist's boundaries+fractions, `categoryIndex = (catCol,
+    * path, topN)` → writeCats' category fractions, `embeddingIndex
+    * = (embCol, path, dim)` → writeVec's SUM centroid.
+    */
+  def healthMonitorFromIndexes(distinctCol: String, length: String,
+      valueIndex: Option[(String, String, Int)] = None,
+      categoryIndex: Option[(String, String, Int)] = None,
+      embeddingIndex: Option[(String, String, Int)] = None,
+      slide: Option[String] = None,
+      k: Int = 1024, eps: Double = 1e-6,
+      by: Seq[String] = Seq.empty): DataStream = {
+    import graft.operators.{DedupIndex, Drift}
+    val v = valueIndex.map { case (c, p, n) =>
+      val (bounds, fracs) = DedupIndex.readHist(df.sparkSession, p, n)
+      Drift.ValueBaseline(c, bounds, fracs)
+    }
+    val cat = categoryIndex.map { case (c, p, n) =>
+      Drift.CategoryBaseline(c,
+        DedupIndex.readCats(df.sparkSession, p, n))
+    }
+    val emb = embeddingIndex.map { case (c, p, d) =>
+      Drift.CentroidBaseline(c,
+        DedupIndex.readVec(df.sparkSession, p, d).toSeq)
+    }
+    healthMonitor(distinctCol, length, v, cat, emb, slide, k, eps, by)
+  }
+
   /** Alarm projection over this frame (any monitor/report output in
     * the family): adds `severity` + `alarms` columns per
     * [[graft.operators.Drift.alarms]] — a pure stateless projection,

@@ -560,4 +560,61 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e2.getMessage.contains("empty"))
   }
+
+  test("healthMonitor keyed (by) + from persisted indexes: per-key " +
+      "rows match the unkeyed arithmetic per slice, and index-loaded " +
+      "baselines reproduce the literal spelling exactly") {
+    import graft.api.DataStream
+    import graft.operators.DedupIndex
+    val df = Seq(
+      (1000L, "u1", 5.0, "a"), (2000L, "u1", 15.0, "a"),
+      (3000L, "u2", 25.0, "a"),
+      (4000L, "u1", 5.0, "b"), (5000L, "u3", 5.0, "b"))
+      .toDF("ms", "user", "value", "cat")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val vb = Drift.ValueBaseline("value", Seq(10.0), Seq(0.5, 0.5))
+    // keyed: per (window, cat) — each key's stats are the unkeyed
+    // arithmetic over its own slice
+    val keyed = DataStream(df, "ts")
+      .healthMonitor("user", "10 seconds", value = Some(vb),
+        by = Seq("cat"))
+      .df.orderBy("cat")
+      .select("cat", "n_rows", "n_distinct_est", "dup_rate", "tvd")
+      .as[(String, Long, Double, Double, Double)].collect().toList
+    def round6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // cat a: 3 rows, 2 users, values 5,15,25 → p=(1/3,2/3) → tvd 1/6
+    // cat b: 2 rows, 2 users, values 5,5 → p=(1,0) → tvd 0.5
+    assert(keyed == List(
+      ("a", 3L, 2.0, round6(1.0 / 3), round6(1.0 / 6)),
+      ("b", 2L, 2.0, 0.0, 0.5)))
+    // from-indexes spelling ≡ literal spelling, loading all three
+    // baseline kinds from their persisted artifacts
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-hm-idx").toString
+    val embDf = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("id", "vec")
+    DedupIndex.writeHist(df, "value", s"$base/hist", nBuckets = 2)
+    DedupIndex.writeCats(df, "cat", s"$base/cats", topN = 2)
+    DedupIndex.writeVec(embDf, "vec", s"$base/vec")
+    val (bounds, fracs) = DedupIndex.readHist(spark, s"$base/hist", 2)
+    val cats = DedupIndex.readCats(spark, s"$base/cats", 2)
+    val vec = DedupIndex.readVec(spark, s"$base/vec", 2).toSeq
+    val withVec = df.withColumn("vec",
+      when($"user" === "u1", typedLit(Seq(1.0, 0.0)))
+        .otherwise(typedLit(Seq(0.0, 1.0))))
+    val viaIndexes = DataStream(withVec, "ts")
+      .healthMonitorFromIndexes("user", "10 seconds",
+        valueIndex = Some(("value", s"$base/hist", 2)),
+        categoryIndex = Some(("cat", s"$base/cats", 2)),
+        embeddingIndex = Some(("vec", s"$base/vec", 2)))
+      .df.collect().toSeq
+    val viaLiterals = DataStream(withVec, "ts")
+      .healthMonitor("user", "10 seconds",
+        value = Some(Drift.ValueBaseline("value", bounds, fracs)),
+        category = Some(Drift.CategoryBaseline("cat", cats)),
+        embedding = Some(Drift.CentroidBaseline("vec", vec)))
+      .df.collect().toSeq
+    assert(viaIndexes == viaLiterals && viaIndexes.nonEmpty)
+  }
 }
