@@ -2017,14 +2017,17 @@ object SparkEntry {
     }),
 
     // The ONE-PASS composite health monitor's BATCH twin, driver-
-    // hash-gated: per hour, d38's distinct/dup-rate columns + d41's
-    // numeric value drift + d42's categorical mix drift from a
-    // SINGLE windowed aggregation over ONE events scan (running the
-    // standalone monitors costs one scan and one state store each —
-    // the composite's per-window state is their sum and still
-    // bounded). The oracle is the UNION of d38/d41/d42's oracles
-    // computed in one grouped pass; psi/cat_psi ride ln and stay
-    // spec-gated (DriftSpec), the same split as d41/d42.
+    // hash-gated: per hour, d38's distinct/dup-rate columns + d40's
+    // cross-drop overlap (riding the SAME window sketch — zero extra
+    // state) + d41's numeric value drift + d42's categorical mix
+    // drift from a SINGLE windowed aggregation over ONE events scan
+    // (running the standalone monitors costs one scan and one state
+    // store each — the composite's per-window state is their sum and
+    // still bounded). The oracle is the UNION of d38/d40/d41/d42's
+    // oracles computed in one grouped pass; psi/cat_psi ride ln and
+    // stay spec-gated (DriftSpec), the same split as d41/d42;
+    // overlap_frac recomputed from exact long counts on BOTH sides,
+    // the d40 discipline.
     "d47_health_monitor" -> ((s, d) => {
       val ev = t(s, d, "events")
       val bounds = Seq(10.0, 25.0, 50.0, 100.0, 200.0)
@@ -2034,20 +2037,32 @@ object SparkEntry {
         bounds)
       val catBase = operators.Drift.categoryFractions(baseEv,
         "event_type", topN = 3)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-d47").toString + "/idx"
+      operators.DedupIndex.writeKmv(baseEv.select(col("user_id")),
+        "user_id", tmp, k = 8192)
+      val baseSketch = operators.DedupIndex
+        .readKmv(s, tmp, k = 8192).head().getSeq[Long](0)
       api.DataStream(ev, "ts")
         .healthMonitor("user_id", "1 hour",
           value = Some(operators.Drift.ValueBaseline("value",
             bounds, fracs.toSeq)),
           category = Some(operators.Drift.CategoryBaseline(
             "event_type", catBase)),
+          overlap = Some(operators.Drift.OverlapBaseline(baseSketch)),
           k = 8192).df
         .select(unix_millis(col("window_start_time"))
             .as("window_start_ms"),
           unix_millis(col("window_end_time")).as("window_end_ms"),
           col("n_rows"),
           col("n_distinct_est").cast("long").as("n_distinct"),
-          col("dup_rate"), col("n_null"), col("tvd"),
+          col("dup_rate"),
+          col("n_overlap_est").cast("long").as("n_overlap"),
+          col("n_null"), col("tvd"),
           col("max_shift"), col("cat_tvd"), col("cat_max_shift"))
+        .withColumn("overlap_frac",
+          round(col("n_overlap").cast("double") / col("n_distinct"),
+            6))
         .orderBy(col("window_start_ms"))
     }),
 
@@ -3791,8 +3806,14 @@ object SparkEntry {
         |    / (SELECT t FROM cbt) AS g3,
         |  coalesce((SELECT sum(n) FROM rk WHERE r > 3), 0)::DOUBLE
         |    / (SELECT t FROM cbt) AS go),
+        |obase AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE epoch_ms(ts) < 1705276800000),
         |w AS (SELECT date_trunc('hour', ts) AS ws, count(*) AS n_rows,
         |  COUNT(DISTINCT user_id) AS n_distinct,
+        |  COUNT(DISTINCT CASE WHEN user_id IN
+        |    (SELECT user_id FROM obase) THEN user_id END)
+        |    AS n_overlap,
         |  count(value) AS nn,
         |  count(*) FILTER (value IS NOT NULL AND value < 10) AS c0,
         |  count(*) FILTER (value >= 10 AND value < 25) AS c1,
@@ -3808,6 +3829,8 @@ object SparkEntry {
         |  epoch_ms(ws + INTERVAL 1 HOUR) AS window_end_ms,
         |  n_rows, n_distinct,
         |  round(1 - n_distinct::DOUBLE / n_rows, 6) AS dup_rate,
+        |  n_overlap,
+        |  round(n_overlap::DOUBLE / n_distinct, 6) AS overlap_frac,
         |  n_rows - nn AS n_null,
         |  round((abs(c0::DOUBLE/nn - f0) + abs(c1::DOUBLE/nn - f1)
         |    + abs(c2::DOUBLE/nn - f2) + abs(c3::DOUBLE/nn - f3)

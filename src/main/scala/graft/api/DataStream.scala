@@ -732,20 +732,26 @@ final case class DataStream(
     * baseline supplied — the numeric value-distribution drift
     * (`n_null`/`tvd`/`max_shift`/`psi`, [[driftMonitor]]'s columns),
     * the categorical mix drift (`cat_tvd`/`cat_max_shift`/`cat_psi`,
-    * [[categoryDriftMonitor]]'s), and the embedding-centroid drift
+    * [[categoryDriftMonitor]]'s), the embedding-centroid drift
     * (`emb_n_null`/`emb_centroid_cos`/`emb_centroid_drift`,
-    * [[embeddingDriftMonitor]]'s). Every constituent aggregate is
-    * streaming-legal and mergeable (one bounded KMV sketch,
-    * conditional counts, one vec_sum), so the composite's per-window
-    * state is their SUM — still constant in ingest volume — while
-    * the quickstart's four separate monitor queries cost four scans
-    * (and four state stores) of the same drop. Identical column
-    * semantics to the standalone monitors, spec- and gate-pinned.
+    * [[embeddingDriftMonitor]]'s), and the cross-drop overlap
+    * (`n_overlap_est`/`overlap_frac`, [[overlapMonitor]]'s — riding
+    * the SAME window sketch the distinct section maintains, so this
+    * section costs zero extra state; the frozen sketch must be
+    * built with this monitor's k over the same column). Every
+    * constituent aggregate is streaming-legal and mergeable (one
+    * bounded KMV sketch, conditional counts, one vec_sum), so the
+    * composite's per-window state is their SUM — still constant in
+    * ingest volume — while the quickstart's standalone monitor
+    * queries cost one scan (and one state store) EACH of the same
+    * drop. Identical column semantics to the standalone monitors,
+    * spec- and gate-pinned.
     */
   def healthMonitor(distinctCol: String, length: String,
                     value: Option[graft.operators.Drift.ValueBaseline] = None,
                     category: Option[graft.operators.Drift.CategoryBaseline] = None,
                     embedding: Option[graft.operators.Drift.CentroidBaseline] = None,
+                    overlap: Option[graft.operators.Drift.OverlapBaseline] = None,
                     slide: Option[String] = None,
                     k: Int = 1024, eps: Double = 1e-6,
                     by: Seq[String] = Seq.empty): DataStream = {
@@ -760,6 +766,13 @@ final case class DataStream(
     val catsWithOther = category.map(c => Drift.categoryWithOther(c.fracs))
     embedding.foreach(e =>
       require(e.sumVec.nonEmpty, "baseline centroid is empty"))
+    overlap.foreach { o =>
+      require(o.sketch.nonEmpty, "baseline overlap sketch is empty")
+      require(o.sketch.size <= k,
+        s"baseline sketch holds ${o.sketch.size} values > this " +
+          s"monitor's k = $k — the frozen sketch must be built with " +
+          "the SAME k (DedupIndex.writeKmv/readKmv pin it)")
+    }
     val vAggs = value.toSeq.flatMap { v =>
       Drift.driftAggsTagged(
         Drift.histBucket(col(v.valueCol), v.boundaries),
@@ -782,6 +795,16 @@ final case class DataStream(
       round(est, 6).as("n_distinct_est"),
       greatest(lit(0.0),
         round(lit(1.0) - est / col("n_rows"), 6)).as("dup_rate"))
+    // overlap rides the SAME window sketch — pure arithmetic vs the
+    // frozen ≤ k-long literal, exactly overlapMonitor's tail
+    val oCols = overlap.toSeq.flatMap { o =>
+      val inter = Sketches.kmvIntersect(col("__sk"),
+        typedLit(o.sketch), k)
+      Seq(round(inter, 6).as("n_overlap_est"),
+        when(est === 0.0, lit(0.0)).otherwise(
+          least(lit(1.0), greatest(lit(0.0), round(inter / est, 6))))
+          .as("overlap_frac"))
+    }
     val vCols = value.toSeq.flatMap(v =>
       Drift.statColsTagged(v.fracs, eps, "v", "", emitNull = true))
     val cCols = catsWithOther.toSeq.flatMap(cats =>
@@ -791,7 +814,7 @@ final case class DataStream(
       Drift.centroidStatColsTagged(e.sumVec, "e", "emb_"))
     monitored.select(Seq(col("window_start_time"),
       col("window_end_time")) ++ by.map(col) ++ distinctCols ++
-      vCols ++ cCols ++ eCols: _*)
+      oCols ++ vCols ++ cCols ++ eCols: _*)
   }
 
   /** Streaming embedding-centroid drift monitor — the "did the
@@ -890,12 +913,15 @@ final case class DataStream(
     * literals: `valueIndex = (valueCol, path, nBuckets)` →
     * writeHist's boundaries+fractions, `categoryIndex = (catCol,
     * path, topN)` → writeCats' category fractions, `embeddingIndex
-    * = (embCol, path, dim)` → writeVec's SUM centroid.
+    * = (embCol, path, dim)` → writeVec's SUM centroid,
+    * `overlapIndex = path` → writeKmv's prior-drop sketch over the
+    * distinct column (k pinned by its sidecar = this monitor's k).
     */
   def healthMonitorFromIndexes(distinctCol: String, length: String,
       valueIndex: Option[(String, String, Int)] = None,
       categoryIndex: Option[(String, String, Int)] = None,
       embeddingIndex: Option[(String, String, Int)] = None,
+      overlapIndex: Option[String] = None,
       slide: Option[String] = None,
       k: Int = 1024, eps: Double = 1e-6,
       by: Seq[String] = Seq.empty): DataStream = {
@@ -912,7 +938,13 @@ final case class DataStream(
       Drift.CentroidBaseline(c,
         DedupIndex.readVec(df.sparkSession, p, d).toSeq)
     }
-    healthMonitor(distinctCol, length, v, cat, emb, slide, k, eps, by)
+    val ov = overlapIndex.map { p =>
+      Drift.OverlapBaseline(
+        DedupIndex.readKmv(df.sparkSession, p, k)
+          .head().getSeq[Long](0))
+    }
+    healthMonitor(distinctCol, length, v, cat, emb, ov, slide, k,
+      eps, by)
   }
 
   /** Alarm projection over this frame (any monitor/report output in

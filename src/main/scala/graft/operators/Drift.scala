@@ -173,6 +173,13 @@ object Drift {
       fracs: Seq[(String, Double)])
   final case class CentroidBaseline(embCol: String,
       sumVec: Seq[Double])
+  /** A frozen prior-drop KMV sketch over the SAME column (and same
+    * k) as the health monitor's `distinctCol` — overlap rides the
+    * window sketch the distinct section already maintains, so this
+    * section costs ZERO extra state (load via
+    * [[DedupIndex.readKmv]], which pins k).
+    */
+  final case class OverlapBaseline(sketch: Seq[Long])
 
   /** Thresholds for [[alarms]] — defaults follow the classic
     * monitoring rules of thumb (PSI <0.1 stable / 0.1–0.25 moderate /

@@ -597,9 +597,14 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     DedupIndex.writeHist(df, "value", s"$base/hist", nBuckets = 2)
     DedupIndex.writeCats(df, "cat", s"$base/cats", topN = 2)
     DedupIndex.writeVec(embDf, "vec", s"$base/vec")
+    // prior-drop sketch over users u1/u2 (u3 is new this "drop")
+    DedupIndex.writeKmv(Seq("u1", "u2").toDF("user"), "user",
+      s"$base/kmv", k = 64)
     val (bounds, fracs) = DedupIndex.readHist(spark, s"$base/hist", 2)
     val cats = DedupIndex.readCats(spark, s"$base/cats", 2)
     val vec = DedupIndex.readVec(spark, s"$base/vec", 2).toSeq
+    val sketch = DedupIndex.readKmv(spark, s"$base/kmv", 64)
+      .head().getSeq[Long](0)
     val withVec = df.withColumn("vec",
       when($"user" === "u1", typedLit(Seq(1.0, 0.0)))
         .otherwise(typedLit(Seq(0.0, 1.0))))
@@ -607,14 +612,33 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
       .healthMonitorFromIndexes("user", "10 seconds",
         valueIndex = Some(("value", s"$base/hist", 2)),
         categoryIndex = Some(("cat", s"$base/cats", 2)),
-        embeddingIndex = Some(("vec", s"$base/vec", 2)))
+        embeddingIndex = Some(("vec", s"$base/vec", 2)),
+        overlapIndex = Some(s"$base/kmv"), k = 64)
       .df.collect().toSeq
     val viaLiterals = DataStream(withVec, "ts")
       .healthMonitor("user", "10 seconds",
         value = Some(Drift.ValueBaseline("value", bounds, fracs)),
         category = Some(Drift.CategoryBaseline("cat", cats)),
-        embedding = Some(Drift.CentroidBaseline("vec", vec)))
+        embedding = Some(Drift.CentroidBaseline("vec", vec)),
+        overlap = Some(Drift.OverlapBaseline(sketch)), k = 64)
       .df.collect().toSeq
     assert(viaIndexes == viaLiterals && viaIndexes.nonEmpty)
+    // overlap section exactness: window users u1,u2,u3 vs baseline
+    // {u1,u2} → 2 of 3 distinct overlap (k=64 ≥ distinct → exact)
+    val ov = DataStream(withVec, "ts")
+      .healthMonitor("user", "10 seconds",
+        overlap = Some(Drift.OverlapBaseline(sketch)), k = 64)
+      .df.select("n_distinct_est", "n_overlap_est", "overlap_frac")
+      .as[(Double, Double, Double)].head()
+    assert(ov == ((3.0, 2.0,
+      BigDecimal(2.0 / 3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // a sketch bigger than this monitor's k refuses
+    val e = intercept[IllegalArgumentException] {
+      DataStream(withVec, "ts").healthMonitor("user", "10 seconds",
+        overlap = Some(Drift.OverlapBaseline(Seq.fill(65)(1L))),
+        k = 64)
+    }
+    assert(e.getMessage.contains("SAME k"))
   }
 }
