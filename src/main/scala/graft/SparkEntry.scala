@@ -2066,6 +2066,35 @@ object SparkEntry {
         .orderBy(col("window_start_ms"))
     }),
 
+    // The composite health monitor's SESSION spelling, driver-hash-
+    // gated: per gap-merged "crawl burst" (15 min of silence closes
+    // a session), d38's distinct/dup-rate AND d41's value drift from
+    // one session aggregation — every constituent aggregate merges
+    // as open sessions merge (sketch union, count addition). Oracle
+    // = d39's gap-and-island construction with d45's fixed-order
+    // bucket arithmetic plus per-session COUNT(DISTINCT); k = 8192
+    // ≥ any session's distinct users at gate sf keeps the KMV exact.
+    "d48_session_health_monitor" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val bounds = Seq(10.0, 25.0, 50.0, 100.0, 200.0)
+      val fracs = operators.Drift.histFractions(
+        ev.filter(unix_millis(col("ts")) < lit(1705276800000L)),
+        "value", bounds)
+      api.DataStream(ev, "ts")
+        .healthMonitorSession("user_id", "15 minutes",
+          value = Some(operators.Drift.ValueBaseline("value",
+            bounds, fracs.toSeq)),
+          k = 8192).df
+        .select(unix_millis(col("window_start_time"))
+            .as("window_start_ms"),
+          unix_millis(col("window_end_time")).as("window_end_ms"),
+          col("n_rows"),
+          col("n_distinct_est").cast("long").as("n_distinct"),
+          col("dup_rate"), col("n_null"), col("tvd"),
+          col("max_shift"))
+        .orderBy(col("window_start_ms"))
+    }),
+
     // KMV bottom-k sketch, per-group distinct counts: k = 4096
     // exceeds every group's true distinct count at the gate sf, so
     // the sketch holds the complete distinct hash set and the
@@ -3898,6 +3927,66 @@ object SparkEntry {
         |SELECT epoch_ms(st) AS window_start_ms,
         |  epoch_ms(en + INTERVAL 15 MINUTE) AS window_end_ms,
         |  n_rows, n_rows - nn AS n_null,
+        |  round((abs(c0::DOUBLE/nn - f0) + abs(c1::DOUBLE/nn - f1)
+        |    + abs(c2::DOUBLE/nn - f2) + abs(c3::DOUBLE/nn - f3)
+        |    + abs(c4::DOUBLE/nn - f4) + abs(c5::DOUBLE/nn - f5))
+        |    * 0.5, 6) AS tvd,
+        |  round(greatest(abs(c0::DOUBLE/nn - f0),
+        |    abs(c1::DOUBLE/nn - f1), abs(c2::DOUBLE/nn - f2),
+        |    abs(c3::DOUBLE/nn - f3), abs(c4::DOUBLE/nn - f4),
+        |    abs(c5::DOUBLE/nn - f5)), 6) AS max_shift
+        |FROM w, f ORDER BY window_start_ms""".stripMargin,
+
+    "d48_session_health_monitor" ->
+      """WITH base AS (
+        |  SELECT value FROM events
+        |  WHERE epoch_ms(ts) < 1705276800000 AND value IS NOT NULL),
+        |bt AS (SELECT count(*)::DOUBLE AS t FROM base),
+        |f AS (SELECT
+        |  (SELECT count(*) FROM base WHERE value < 10)::DOUBLE
+        |    / (SELECT t FROM bt) AS f0,
+        |  (SELECT count(*) FROM base
+        |     WHERE value >= 10 AND value < 25)::DOUBLE
+        |    / (SELECT t FROM bt) AS f1,
+        |  (SELECT count(*) FROM base
+        |     WHERE value >= 25 AND value < 50)::DOUBLE
+        |    / (SELECT t FROM bt) AS f2,
+        |  (SELECT count(*) FROM base
+        |     WHERE value >= 50 AND value < 100)::DOUBLE
+        |    / (SELECT t FROM bt) AS f3,
+        |  (SELECT count(*) FROM base
+        |     WHERE value >= 100 AND value < 200)::DOUBLE
+        |    / (SELECT t FROM bt) AS f4,
+        |  (SELECT count(*) FROM base WHERE value >= 200)::DOUBLE
+        |    / (SELECT t FROM bt) AS f5),
+        |d AS (
+        |  SELECT ts, user_id, value,
+        |    CASE WHEN lag(ts) OVER (ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (ORDER BY ts)
+        |                >= INTERVAL 15 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT ts, user_id, value,
+        |    sum(brk) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |      AS sid
+        |  FROM d),
+        |w AS (SELECT sid, min(ts) AS st, max(ts) AS en,
+        |  count(*) AS n_rows,
+        |  COUNT(DISTINCT user_id) AS n_distinct,
+        |  count(value) AS nn,
+        |  count(*) FILTER (value IS NOT NULL AND value < 10) AS c0,
+        |  count(*) FILTER (value >= 10 AND value < 25) AS c1,
+        |  count(*) FILTER (value >= 25 AND value < 50) AS c2,
+        |  count(*) FILTER (value >= 50 AND value < 100) AS c3,
+        |  count(*) FILTER (value >= 100 AND value < 200) AS c4,
+        |  count(*) FILTER (value >= 200) AS c5
+        |  FROM s GROUP BY sid)
+        |SELECT epoch_ms(st) AS window_start_ms,
+        |  epoch_ms(en + INTERVAL 15 MINUTE) AS window_end_ms,
+        |  n_rows, n_distinct,
+        |  round(1 - n_distinct::DOUBLE / n_rows, 6) AS dup_rate,
+        |  n_rows - nn AS n_null,
         |  round((abs(c0::DOUBLE/nn - f0) + abs(c1::DOUBLE/nn - f1)
         |    + abs(c2::DOUBLE/nn - f2) + abs(c3::DOUBLE/nn - f3)
         |    + abs(c4::DOUBLE/nn - f4) + abs(c5::DOUBLE/nn - f5))

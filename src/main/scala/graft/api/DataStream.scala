@@ -754,7 +754,37 @@ final case class DataStream(
                     overlap: Option[graft.operators.Drift.OverlapBaseline] = None,
                     slide: Option[String] = None,
                     k: Int = 1024, eps: Double = 1e-6,
-                    by: Seq[String] = Seq.empty): DataStream = {
+                    by: Seq[String] = Seq.empty): DataStream =
+    healthMonitorImpl(distinctCol, length, value, category, embedding,
+      overlap, slide, k, eps, by, sessionGap = false)
+
+  /** [[healthMonitor]] over gap-merged SESSION windows — the whole
+    * composite per activity burst (`length` is the GAP): every
+    * constituent aggregate is session-mergeable (KMV sketches,
+    * conditional counts and vec_sum partials all combine as open
+    * sessions merge — the same merges the standalone session
+    * monitors ride), so per-OPEN-session state stays the bounded
+    * sum. Same constant-key caveat as [[distinctMonitorSession]]
+    * when `by` is empty; keyed sessions merge per tenant.
+    */
+  def healthMonitorSession(distinctCol: String, gap: String,
+                    value: Option[graft.operators.Drift.ValueBaseline] = None,
+                    category: Option[graft.operators.Drift.CategoryBaseline] = None,
+                    embedding: Option[graft.operators.Drift.CentroidBaseline] = None,
+                    overlap: Option[graft.operators.Drift.OverlapBaseline] = None,
+                    k: Int = 1024, eps: Double = 1e-6,
+                    by: Seq[String] = Seq.empty): DataStream =
+    healthMonitorImpl(distinctCol, gap, value, category, embedding,
+      overlap, None, k, eps, by, sessionGap = true)
+
+  private def healthMonitorImpl(distinctCol: String, length: String,
+                    value: Option[graft.operators.Drift.ValueBaseline],
+                    category: Option[graft.operators.Drift.CategoryBaseline],
+                    embedding: Option[graft.operators.Drift.CentroidBaseline],
+                    overlap: Option[graft.operators.Drift.OverlapBaseline],
+                    slide: Option[String],
+                    k: Int, eps: Double,
+                    by: Seq[String], sessionGap: Boolean): DataStream = {
     import graft.operators.{Drift, Sketches}
     value.foreach { v =>
       require(v.fracs.size == v.boundaries.size + 1,
@@ -785,11 +815,13 @@ final case class DataStream(
     }
     val eAggs = embedding.toSeq.flatMap(e =>
       Drift.centroidAggsTagged(e.embCol, "e"))
-    val monitored = window(by.map(col),
-      Seq(count(lit(1)).as("n_rows"),
-        Sketches.kmvSketch(col(distinctCol), k).as("__sk")) ++
-        vAggs ++ cAggs ++ eAggs,
-      length, slide)
+    val aggs = Seq(count(lit(1)).as("n_rows"),
+      Sketches.kmvSketch(col(distinctCol), k).as("__sk")) ++
+      vAggs ++ cAggs ++ eAggs
+    val monitored =
+      if (sessionGap) sessionWindow(
+        monitorSessionKeys(distinctCol, by), aggs, length)
+      else window(by.map(col), aggs, length, slide)
     val est = Sketches.kmvDistinct(col("__sk"), k)
     val distinctCols = Seq(col("n_rows"),
       round(est, 6).as("n_distinct_est"),

@@ -737,6 +737,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("healthMonitorSession: the composite per gap-merged burst — " +
+      "sketch, bucket counts and category counts all merge as one " +
+      "session forms across micro-batches") {
+    import graft.operators.Drift
+    val (input, ds) = measurementStream()
+    val q = ds.healthMonitorSession("sensor_name", "5 seconds",
+      value = Some(Drift.ValueBaseline("reading", Seq(10.0),
+        Seq(0.5, 0.5))),
+      category = Some(Drift.CategoryBaseline("sensor_name",
+        Seq("a" -> 0.5, "b" -> 0.5))))
+      .sinkMemory("health_sess_out")
+    try {
+      // ONE burst split across two micro-batches: state must merge
+      input.addData(
+        Measurement(0, "a", 5.0), Measurement(3000, "a", 15.0))
+      q.processAllAvailable()
+      input.addData(Measurement(6000, "b", 15.0))
+      input.addData(Measurement(60000, "z", 0.0))
+      q.processAllAvailable()
+      def round6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = spark.table("health_sess_out")
+        .filter($"window_start_time".cast("long") === 0)
+        .select($"window_end_time".cast("long"), $"n_rows",
+          $"n_distinct_est", $"dup_rate", $"tvd", $"cat_tvd")
+        .as[(Long, Long, Double, Double, Double, Double)]
+        .collect().toList
+      // burst [0, 6+5 s): sensors a,a,b (2 distinct, dup 1/3),
+      // readings 5,15,15 → tvd 1/6; cats (a,b,other)=(2/3,1/3,0)
+      // vs (.5,.5,0) → cat_tvd 1/6
+      assert(rows == List((11L, 3L, 2.0, round6(1.0 / 3),
+        round6(1.0 / 6), round6(1.0 / 6))))
+    } finally q.stop()
+  }
+
   test("keyed monitors (by = real group columns): per-(window, key) " +
       "distinct counts, and keyed SESSIONS merge per tenant — one " +
       "tenant's silence does not close another's burst") {
