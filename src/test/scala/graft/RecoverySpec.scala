@@ -73,6 +73,56 @@ class RecoverySpec extends AnyFunSuite with SparkSpec {
         s" — got ${rows.mkString}")
   }
 
+  test("healthMonitor composite state (KMV sketch buffer + bucket " +
+      "counts) survives a query restart") {
+    import graft.operators.Drift
+    val dir = Files.createTempDirectory("graft-hm-recovery").toFile
+    val inputDir = new java.io.File(dir, "input"); inputDir.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val outDir = new java.io.File(dir, "out").getAbsolutePath
+    def writeBatch(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("occurred_at_ms", "sensor_name", "reading")
+        .coalesce(1).write.mode("append")
+        .parquet(inputDir.getAbsolutePath)
+    def startQuery() = {
+      val src = spark.readStream.schema(schema)
+        .parquet(inputDir.getAbsolutePath)
+      DataStream(src.withColumn("ts",
+          timestamp_millis($"occurred_at_ms")), "ts")
+        .healthMonitor("sensor_name", "10 seconds",
+          value = Some(Drift.ValueBaseline("reading", Seq(10.0),
+            Seq(0.25, 0.75))))
+        .toDF.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .format("parquet").start()
+    }
+    // batch 1: 3 rows in the open window [0,10 s); the sketch buffer
+    // (a TypedImperativeAggregate) checkpoints via its custom
+    // serialize path
+    writeBatch(Seq((1000L, "a", 5.0), (2000L, "b", 15.0),
+      (5000L, "a", 25.0)))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(outDir).isEmpty,
+      "window must not close early")
+    // batch 2 lands while the query is DOWN: a 4th distinct-bearing
+    // row for the open window + a watermark pusher
+    writeBatch(Seq((7000L, "c", 5.0), (60000L, "z", 0.0)))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(outDir)
+      .filter($"window_start_time".cast("long") === 0)
+      .select("n_rows", "n_distinct_est", "dup_rate", "n_null",
+        "tvd")
+      .as[(Long, Double, Double, Long, Double)].collect().toList
+    // 4 rows (3 recovered + 1 new), sensors a,b,a,c → 3 distinct,
+    // dup_rate .25; readings 5,15,25,5 vs (.25,.75) → p=(.5,.5) →
+    // tvd = .25: the merged sketch AND merged bucket counts both
+    // span the restart
+    assert(rows == List((4L, 3.0, 0.25, 0L, 0.25)))
+  }
+
   test("ExactWindow transformWithState tier survives a restart") {
     val dir = Files.createTempDirectory("graft-recovery-tws").toFile
     val inputDir = new java.io.File(dir, "input"); inputDir.mkdirs()
