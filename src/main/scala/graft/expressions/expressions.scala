@@ -1598,6 +1598,106 @@ case class BpeEncode(child: Expression, merges: Seq[String])
       : BpeEncode = copy(child = c)
 }
 
+/** BYTE-LEVEL (GPT-2-style) BPE encoding — the inference half of
+  * [[graft.operators.Tokenizer.learnByteBpeMerges]]: pretokenize
+  * with the GPT-2 regex (the space travels WITH the following word),
+  * map each pretoken's UTF-8 bytes through the byte→unicode fallback
+  * table ([[graft.operators.Tokenizer.ByteToUnicode]] — ≤ 256 base
+  * symbols, so NO input is ever out-of-alphabet), then apply merges
+  * by the same iterative lowest-rank rule as [[BpeEncode]]. Tokens
+  * concatenate back to the byte-mapped text exactly (the pretokenizer
+  * partitions the input), so
+  * [[graft.operators.Tokenizer.decodeByteTokens]] inverts the
+  * encoding losslessly — spec-pinned round trip.
+  */
+case class ByteBpeEncode(child: Expression, merges: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  require(merges.nonEmpty, "merges must not be empty")
+  require(merges.forall { p =>
+    val f = p.split(" ", -1)
+    f.length == 2 && f.forall(_.nonEmpty)
+  }, "each merge must be a 'left right' pair (exactly one space, " +
+    "non-empty sides)")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"byte_bpe_encode requires string, got ${child.dataType}")
+
+  @transient private lazy val pairs: Array[(String, String)] =
+    merges.map { p => val f = p.split(" ", -1); (f(0), f(1)) }.toArray
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + " " + b, i)
+    }
+    m
+  }
+
+  @transient private lazy val pretokenizer: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      graft.operators.Tokenizer.Gpt2Pretokenizer)
+
+  private def encodePretoken(tok: String,
+      out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
+    var syms: Array[String] =
+      graft.operators.Tokenizer.byteSymbols(tok)
+    var count = syms.length
+    var done = count <= 1
+    while (!done) {
+      var best = Int.MaxValue
+      var k = 0
+      while (k < count - 1) {
+        val r = rank.get(syms(k) + " " + syms(k + 1))
+        if (r != null && r < best) best = r
+        k += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = pairs(best)
+        val next = new Array[String](count)
+        var src = 0
+        var dst = 0
+        while (src < count) {
+          if (src < count - 1 && syms(src) == a && syms(src + 1) == b) {
+            next(dst) = a + b; src += 2
+          } else {
+            next(dst) = syms(src); src += 1
+          }
+          dst += 1
+        }
+        syms = next
+        count = dst
+        done = count <= 1
+      }
+    }
+    var j = 0
+    while (j < count) { out += UTF8String.fromString(syms(j)); j += 1 }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    val m = pretokenizer.matcher(text)
+    while (m.find()) {
+      val tok = m.group()
+      if (tok.nonEmpty) encodePretoken(tok, out)
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : ByteBpeEncode = copy(child = c)
+  override def prettyName: String = "byte_bpe_encode"
+}
+
 /** PQ code assignment (Jégou et al. 2011, "Product Quantization for
   * Nearest Neighbor Search"): split the (optionally L2-normalized)
   * vector into cb.length subvectors and emit each one's

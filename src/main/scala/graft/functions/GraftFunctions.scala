@@ -175,6 +175,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("bpe_encode", es =>
       BpeEncode(es(0), stringSeqLit(es(1), "bpe_encode merges")),
       "scala_udf")
+    reg.createOrReplaceTempFunction("byte_bpe_encode", es =>
+      ByteBpeEncode(es(0),
+        stringSeqLit(es(1), "byte_bpe_encode merges")),
+      "scala_udf")
     // --- sketch aggregates (native TypedImperativeAggregates; usable
     // anywhere SQL accepts an aggregate: GROUP BY, windowed streaming
     // aggs). kmv_sketch takes the PRE-hashed bigint (compose with

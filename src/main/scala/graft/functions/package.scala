@@ -79,6 +79,15 @@ package object functions {
   def bpe_encode(text: Column, merges: Seq[String]): Column =
     c(expressions.BpeEncode(GraftShim.expression(text), merges))
 
+  /** BYTE-LEVEL (GPT-2-style) BPE encoding: GPT-2 regex pretokens
+    * (the space rides with its word) → UTF-8 bytes → byte-unicode
+    * fallback symbols → iterative lowest-rank merges from a
+    * `Tokenizer.learnByteBpeMerges` list → array<string> tokens.
+    * Reversible: `Tokenizer.decodeByteTokens` inverts it exactly.
+    */
+  def byte_bpe_encode(text: Column, merges: Seq[String]): Column =
+    c(expressions.ByteBpeEncode(GraftShim.expression(text), merges))
+
   /** Winnowing fingerprint selections in one native pass:
     * array<struct<pos, fp>> of each window's min gram-md5 (rightmost
     * ties), distinct, position order. See `Dedup.winnowingFingerprints`.

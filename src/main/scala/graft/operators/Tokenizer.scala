@@ -308,6 +308,37 @@ object Tokenizer {
     bytes.map(b => String.valueOf(ByteToUnicode(b & 0xff)))
   }
 
+  /** Inverse of [[ByteToUnicode]] (it is a bijection). */
+  private lazy val UnicodeToByte: java.util.HashMap[Character, java.lang.Byte] = {
+    val m = new java.util.HashMap[Character, java.lang.Byte]()
+    ByteToUnicode.zipWithIndex.foreach { case (c, b) =>
+      m.put(c, b.toByte)
+    }
+    m
+  }
+
+  /** Decode byte-level BPE tokens back to the original text — the
+    * reversibility byte-level tokenization is FOR: tokens concatenate
+    * to the byte-mapped text (the GPT-2 pretokenizer partitions its
+    * input), each symbol char maps back through the bijection, and
+    * the byte sequence UTF-8-decodes. A char outside the byte-symbol
+    * alphabet refuses loudly (mixing code-point tokens into a
+    * byte-level decode silently corrupts text).
+    */
+  def decodeByteTokens(tokens: Seq[String]): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    tokens.foreach(_.foreach { ch =>
+      val b = UnicodeToByte.get(ch)
+      require(b != null,
+        s"'$ch' (U+${ch.toInt.toHexString}) is not a byte-level " +
+          "symbol — these tokens were not produced by " +
+          "byte_bpe_encode")
+      buf.write(b.byteValue().toInt)
+    })
+    new String(buf.toByteArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Distributed pretoken-type frequency table for the byte-level
     * trainer: one row per distinct GPT-2-regex pretoken (the space
     * rides with its word — `" the"` and `"the"` are DIFFERENT

@@ -243,4 +243,44 @@ class TokenizerTrainSpec extends AnyFunSuite with SparkSpec {
     assert(Tokenizer.learnByteBpeMerges(rare, "text", 10,
       minPairCount = 2L) == Seq("a a", "Ġ aa"))
   }
+
+  test("byte bpe inference: byte_bpe_encode applies learned merges " +
+      "over byte symbols (hand-checked tokens), reproduces the " +
+      "trainer's final segmentation, and decodeByteTokens inverts " +
+      "it losslessly — spaces, accents and emoji included") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq("the cat the cat ate").toDF("text")
+    val merges = Tokenizer.learnByteBpeMerges(corpus, "text", 3,
+      minPairCount = 1L)
+    assert(merges == Seq("a t", "c at", "h e"))
+    // hand-applied: "the"→[t,he] (only "h e" applies);
+    // " cat"→[Ġ,cat] ("a t" then "c at"); " the"→[Ġ,t,he];
+    // " ate"→[Ġ,at,e]
+    val toks = corpus
+      .select(graft.functions.byte_bpe_encode(col("text"), merges)
+        .as("t"))
+      .head().getSeq[String](0)
+    assert(toks == Seq("t", "he", "Ġ", "cat", "Ġ", "t", "he",
+      "Ġ", "cat", "Ġ", "at", "e"))
+    // SQL registry spelling agrees
+    graft.functions.GraftFunctions.registerAll(spark)
+    corpus.createOrReplaceTempView("bbpe_in")
+    assert(spark.sql(
+      "SELECT byte_bpe_encode(text, array('a t','c at','h e')) " +
+        "FROM bbpe_in").head().getSeq[String](0) == toks)
+    // lossless decode for arbitrary text — the property byte-level
+    // tokenization exists for (pretokens partition the input; the
+    // byte table is a bijection)
+    val tricky = "naïve  café — déjà\tvu 🙂 twice 🙂🙂 end."
+    val toks2 = Seq(tricky).toDF("text")
+      .select(graft.functions.byte_bpe_encode(col("text"), merges)
+        .as("t"))
+      .head().getSeq[String](0)
+    assert(Tokenizer.decodeByteTokens(toks2) == tricky)
+    // mixing non-byte-symbol tokens into a decode refuses
+    val e = intercept[IllegalArgumentException] {
+      Tokenizer.decodeByteTokens(Seq("🙂"))
+    }
+    assert(e.getMessage.contains("not a byte-level symbol"))
+  }
 }
