@@ -500,6 +500,32 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Byte-level BPE training end-to-end: the GPT-2-regex pretoken
+    // count shuffle (the only corpus-size-dependent stage) + the
+    // capped driver merge loop over byte symbols — the byte-fallback
+    // twin of bpe_train; comparing the two rows prices the regex
+    // pretokenizer + byte mapping against the whitespace/code-point
+    // spelling at the same merge count.
+    def byteBpeTrainOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      System.gc()
+      Thread.sleep(300)
+      val t0 = System.nanoTime()
+      try {
+        val merges = graft.operators.Tokenizer.learnByteBpeMerges(
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("text")),
+          "text", numMerges = 200)
+        require(merges.nonEmpty, "no merges learned")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] byte_bpe_train failed: " +
+            e.getMessage)
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // The d11 grid-scaling knob, measured: the same fixture shape as
     // the d11 gate but with nPlanes from GRAFT_D11_NPLANES (default
     // 20) — the scaladoc remedy when bucket occupancy rises with
@@ -611,6 +637,7 @@ object Bench {
       "exact_window_pane" -> (() => exactWindowOnce(pane = true)),
       "blocklist_sparse" -> (() => blocklistSparseOnce()),
       "bpe_train" -> (() => bpeTrainOnce()),
+      "byte_bpe_train" -> (() => byteBpeTrainOnce()),
       "d11_lsh_tuned" -> (() => embLshTunedOnce()))
     val runnerByName: Map[String, () => Double] =
       names.map(n => n -> (() => timeOnce(n))).toMap ++ extraRunners
