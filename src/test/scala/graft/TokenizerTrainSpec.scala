@@ -282,5 +282,26 @@ class TokenizerTrainSpec extends AnyFunSuite with SparkSpec {
       Tokenizer.decodeByteTokens(Seq("🙂"))
     }
     assert(e.getMessage.contains("not a byte-level symbol"))
+    // randomized round-trip property: decode∘encode = id over 300
+    // strings drawn from a deliberately nasty alphabet (whitespace
+    // runs, combining marks, surrogate-pair emoji, control chars)
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet: IndexedSeq[String] = IndexedSeq(
+      "a", "B", "7", " ", "  ", "\t", "\n", "'", ".", ",", "-",
+      "é", "ï", "—", "Ω", "中", "🙂", "🦀", "é", " ",
+      "", "züm", "don't")
+    val samples = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(12))
+        .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+    }.filter(_.nonEmpty).distinct
+    val back = samples.toDF("text")
+      .select(col("text"),
+        graft.functions.byte_bpe_encode(col("text"), merges)
+          .as("toks"))
+      .as[(String, Seq[String])].collect()
+    back.foreach { case (orig, toks) =>
+      assert(Tokenizer.decodeByteTokens(toks) == orig,
+        s"round trip broke for ${orig.map(_.toInt.toHexString)}")
+    }
   }
 }
