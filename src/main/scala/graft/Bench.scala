@@ -526,6 +526,72 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Unigram-LM trainer + inference over documents: the third
+    // tokenizer family's cost curve next to bpe_train/byte_bpe_train
+    // (same one-shuffle type count; the EM rounds replace the merge
+    // loop as the capped driver stage), plus one full-corpus encode
+    // pass with the learned vocab so the Viterbi expression's scan
+    // cost is measured, not assumed.
+    // Streaming validation monitor over events: a 4-check suite per
+    // event-time hour (completeness + range fraction + KMV
+    // uniqueness + size), one windowed aggregation — priced next to
+    // the other streaming monitor rows.
+    def streamingValidationOnce(): Double = {
+      import graft.operators.Validate._
+      System.gc()
+      Thread.sleep(300)
+      val t0 = System.nanoTime()
+      try {
+        val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+        val src = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir)
+        val q = graft.api.DataStream(Graft.normalizeTs(src), "ts")
+          .validationMonitor(Seq(
+            Completeness("value", 0.99),
+            FracBetween("value", 0.0, 500.0, 0.95),
+            Uniqueness("user_id", 0.2, k = 8192),
+            SizeAtLeast(1)), "1 hour")
+          .sinkMemory("bench_validation")
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          spark.sql("DROP TABLE IF EXISTS bench_validation")
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] validation failed: " +
+            e.getMessage)
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def unigramTrainOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      System.gc()
+      Thread.sleep(300)
+      val t0 = System.nanoTime()
+      try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("text"))
+        val vocab = graft.operators.Tokenizer.learnUnigram(
+          docs, "text", vocabSize = 512)
+        require(vocab.nonEmpty, "no vocab learned")
+        val n = docs.select(graft.functions
+            .unigram_encode(col("text"), vocab).as("toks"))
+          .select(explode(col("toks")).as("t"))
+          .count()
+        require(n > 0, "no tokens emitted")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] unigram_train failed: " +
+            e.getMessage)
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // The d11 grid-scaling knob, measured: the same fixture shape as
     // the d11 gate but with nPlanes from GRAFT_D11_NPLANES (default
     // 20) — the scaladoc remedy when bucket occupancy rises with
@@ -633,11 +699,13 @@ object Bench {
       "streaming_drift_monitor" -> (() => streamingDriftMonitorOnce()),
       "streaming_embdrift_monitor" -> (() => streamingEmbDriftMonitorOnce()),
       "streaming_health_monitor" -> (() => streamingHealthMonitorOnce()),
+      "streaming_validation_monitor" -> (() => streamingValidationOnce()),
       "exact_window_explode" -> (() => exactWindowOnce(pane = false)),
       "exact_window_pane" -> (() => exactWindowOnce(pane = true)),
       "blocklist_sparse" -> (() => blocklistSparseOnce()),
       "bpe_train" -> (() => bpeTrainOnce()),
       "byte_bpe_train" -> (() => byteBpeTrainOnce()),
+      "unigram_train" -> (() => unigramTrainOnce()),
       "d11_lsh_tuned" -> (() => embLshTunedOnce()))
     val runnerByName: Map[String, () => Double] =
       names.map(n => n -> (() => timeOnce(n))).toMap ++ extraRunners

@@ -2095,6 +2095,55 @@ object SparkEntry {
         .orderBy(col("window_start_ms"))
     }),
 
+    // Deequ-style declarative validation suite (Validate.report):
+    // TEN checks over documents compiled into ONE aggregation pass —
+    // completeness, KMV-backed uniqueness (k = 65536 ≥ distinct
+    // doc_ids through sf1, so the distinct fraction is EXACT),
+    // range/regex/set fractions, a cross-column Satisfies invariant,
+    // min/max/mean bounds, row count. Two checks FAIL by design
+    // (in_set misses zh, the 50–300 char band is < 90%), so the gate
+    // pins verdict arithmetic on both sides of the threshold, with
+    // every metric replayed exactly by the DuckDB oracle. passed
+    // rides as INT 0/1 (cross-engine boolean hashing is not worth
+    // trusting); the library's own output keeps the boolean.
+    "v1_validate" -> ((s, d) => {
+      import operators.Validate
+      import operators.Validate._
+      Validate.report(t(s, d, "documents"), Seq(
+          Completeness("text", 0.99),
+          Uniqueness("doc_id", 1.0, k = 65536),
+          FracBetween("n_chars", 50.0, 300.0, 0.9),
+          Matches("text", "[0-9]", 0.5),
+          InSet("lang", Seq("en", "de", "es", "fr"), 0.95),
+          Satisfies("n_chars = length(text)", "chars_consistent", 1.0),
+          MinOf("n_chars", 1.0),
+          MaxOf("n_chars", 10000.0),
+          MeanBetween("n_chars", 100.0, 500.0),
+          SizeAtLeast(100)))
+        .select(col("check_name"), col("column_name"),
+          col("requirement"), col("value"),
+          col("passed").cast("int").as("passed"))
+        .orderBy(col("check_name"))
+    }),
+
+    // The KEYED validation spelling: the same single-pass suite per
+    // lang group — 5 langs × 4 checks, per-group metrics and
+    // verdicts (en's volume passes SizeAtLeast where smaller langs
+    // fail; the char-band fraction varies per lang) — the "validate
+    // every source/language slice of the drop in one scan" shape.
+    "v2_validate_by" -> ((s, d) => {
+      import operators.Validate
+      import operators.Validate._
+      Validate.report(t(s, d, "documents"), Seq(
+          Completeness("text", 1.0),
+          FracBetween("n_chars", 50.0, 300.0, 0.9),
+          MeanBetween("n_chars", 100.0, 500.0),
+          SizeAtLeast(100)), by = Seq("lang"))
+        .select(col("lang"), col("check_name"), col("value"),
+          col("passed").cast("int").as("passed"))
+        .orderBy(col("lang"), col("check_name"))
+    }),
+
     // KMV bottom-k sketch, per-group distinct counts: k = 4096
     // exceeds every group's true distinct count at the gate sf, so
     // the sketch holds the complete distinct hash set and the
@@ -3792,6 +3841,91 @@ object SparkEntry {
         |    abs((n_rows - c1 - c2 - c3)::DOUBLE/n_rows - fo)), 6)
         |    AS max_shift
         |FROM w, f ORDER BY window_start_ms""".stripMargin,
+
+    "v1_validate" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n, count(text) AS ct,
+        |    count(DISTINCT doc_id) AS dd, count(doc_id) AS cd,
+        |    count(CASE WHEN n_chars BETWEEN 50 AND 300 THEN 1 END)
+        |      AS inband,
+        |    count(n_chars) AS cn,
+        |    count(CASE WHEN regexp_matches(text, '[0-9]') THEN 1 END)
+        |      AS dig,
+        |    count(CASE WHEN lang IN ('en','de','es','fr') THEN 1 END)
+        |      AS inset,
+        |    count(lang) AS cl,
+        |    count(CASE WHEN n_chars = length(text) THEN 1 END)
+        |      AS chconst,
+        |    min(n_chars) AS mn, max(n_chars) AS mx,
+        |    sum(n_chars) AS sm
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'completeness(text)' AS check_name,
+        |    'text' AS column_name, '>= 0.99' AS requirement,
+        |    round(ct::DOUBLE / n, 6) AS value,
+        |    CASE WHEN ct::DOUBLE / n >= 0.99 THEN 1 ELSE 0 END
+        |      AS passed FROM m
+        |  UNION ALL SELECT 'uniqueness(doc_id)', 'doc_id', '>= 1.0',
+        |    round(dd::DOUBLE / cd, 6),
+        |    CASE WHEN dd::DOUBLE / cd >= 1.0 THEN 1 ELSE 0 END FROM m
+        |  UNION ALL SELECT 'between(n_chars)', 'n_chars',
+        |    'in [50.0, 300.0] frac >= 0.9',
+        |    round(inband::DOUBLE / cn, 6),
+        |    CASE WHEN inband::DOUBLE / cn >= 0.9 THEN 1 ELSE 0 END
+        |    FROM m
+        |  UNION ALL SELECT 'matches(text)', 'text',
+        |    'rlike ''[0-9]'' frac >= 0.5',
+        |    round(dig::DOUBLE / ct, 6),
+        |    CASE WHEN dig::DOUBLE / ct >= 0.5 THEN 1 ELSE 0 END FROM m
+        |  UNION ALL SELECT 'in_set(lang)', 'lang',
+        |    'in {en,de,es,fr} frac >= 0.95',
+        |    round(inset::DOUBLE / cl, 6),
+        |    CASE WHEN inset::DOUBLE / cl >= 0.95 THEN 1 ELSE 0 END
+        |    FROM m
+        |  UNION ALL SELECT 'satisfies(chars_consistent)', '*',
+        |    '''n_chars = length(text)'' frac >= 1.0',
+        |    round(chconst::DOUBLE / n, 6),
+        |    CASE WHEN chconst::DOUBLE / n >= 1.0 THEN 1 ELSE 0 END
+        |    FROM m
+        |  UNION ALL SELECT 'min(n_chars)', 'n_chars', '>= 1.0',
+        |    round(mn::DOUBLE, 6),
+        |    CASE WHEN mn::DOUBLE >= 1.0 THEN 1 ELSE 0 END FROM m
+        |  UNION ALL SELECT 'max(n_chars)', 'n_chars', '<= 10000.0',
+        |    round(mx::DOUBLE, 6),
+        |    CASE WHEN mx::DOUBLE <= 10000.0 THEN 1 ELSE 0 END FROM m
+        |  UNION ALL SELECT 'mean(n_chars)', 'n_chars',
+        |    'in [100.0, 500.0]',
+        |    round(sm::DOUBLE / cn, 6),
+        |    CASE WHEN sm::DOUBLE / cn >= 100.0
+        |      AND sm::DOUBLE / cn <= 500.0 THEN 1 ELSE 0 END FROM m
+        |  UNION ALL SELECT 'size()', '*', '>= 100',
+        |    round(n::DOUBLE, 6),
+        |    CASE WHEN n >= 100 THEN 1 ELSE 0 END FROM m
+        |) ORDER BY check_name""".stripMargin,
+
+    "v2_validate_by" ->
+      """WITH m AS (
+        |  SELECT lang, count(*) AS n, count(text) AS ct,
+        |    count(CASE WHEN n_chars BETWEEN 50 AND 300 THEN 1 END)
+        |      AS inband,
+        |    count(n_chars) AS cn, sum(n_chars) AS sm
+        |  FROM documents GROUP BY lang)
+        |SELECT * FROM (
+        |  SELECT lang, 'completeness(text)' AS check_name,
+        |    round(ct::DOUBLE / n, 6) AS value,
+        |    CASE WHEN ct::DOUBLE / n >= 1.0 THEN 1 ELSE 0 END
+        |      AS passed FROM m
+        |  UNION ALL SELECT lang, 'between(n_chars)',
+        |    round(inband::DOUBLE / cn, 6),
+        |    CASE WHEN inband::DOUBLE / cn >= 0.9 THEN 1 ELSE 0 END
+        |    FROM m
+        |  UNION ALL SELECT lang, 'mean(n_chars)',
+        |    round(sm::DOUBLE / cn, 6),
+        |    CASE WHEN sm::DOUBLE / cn >= 100.0
+        |      AND sm::DOUBLE / cn <= 500.0 THEN 1 ELSE 0 END FROM m
+        |  UNION ALL SELECT lang, 'size()', round(n::DOUBLE, 6),
+        |    CASE WHEN n >= 100 THEN 1 ELSE 0 END FROM m
+        |) ORDER BY lang, check_name""".stripMargin,
 
     "d47_health_monitor" ->
       """WITH vbase AS (

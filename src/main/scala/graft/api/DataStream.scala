@@ -990,6 +990,37 @@ final case class DataStream(
                graft.operators.Drift.AlarmThresholds()): DataStream =
     next(graft.operators.Drift.alarms(df, thresholds))
 
+  /** Streaming data-quality validation — the per-window spelling of
+    * [[graft.operators.Validate.report]]: the SAME declarative check
+    * suite, compiled into ONE windowed aggregation (per event-time
+    * window and per `by` key), emitting one row per (window, key,
+    * check) with `check_name`/`column_name`/`requirement`/`value`/
+    * `passed`. Every check is bounded-state by construction
+    * (conditional counts, min/max, exact sums, one ≤ k KMV sketch
+    * for [[graft.operators.Validate.Uniqueness]]) — constant per
+    * window regardless of ingest volume — and the per-check explode
+    * is a stateless projection after the aggregation, so batch and
+    * streaming emit identical rows (pinned by StreamingSpec's
+    * batch-twin test). The "did THIS hour's drop meet the contract"
+    * alarm, feeding a sink the same way the monitor family does.
+    */
+  def validationMonitor(checks: Seq[graft.operators.Validate.Check],
+                        length: String,
+                        slide: Option[String] = None,
+                        by: Seq[String] = Seq.empty): DataStream = {
+    import graft.operators.Validate
+    val monitored = window(by.map(col), Validate.suiteAggs(checks),
+      length, slide)
+    val exploded = monitored.df.select(
+      Seq(col("window_start_time"), col("window_end_time")) ++
+        by.map(col) :+ Validate.reportEntries(checks): _*)
+    next(exploded.select(
+      Seq(col("window_start_time"), col("window_end_time")) ++
+        by.map(col) ++ Seq(col("__chk.check_name"),
+        col("__chk.column_name"), col("__chk.requirement"),
+        col("__chk.value"), col("__chk.passed")): _*))
+  }
+
   /** Streaming trending-items monitor: per event-time window, the
     * top-`k` most frequent values of `itemCol` by Misra–Gries
     * bounded summary ([[graft.operators.Sketches]] — counts exact

@@ -1698,6 +1698,65 @@ case class ByteBpeEncode(child: Expression, merges: Seq[String])
   override def prettyName: String = "byte_bpe_encode"
 }
 
+/** Unigram-LM (SentencePiece-style) encoding — the inference half of
+  * [[graft.operators.Tokenizer.learnUnigram]]: whitespace-split (the
+  * same word boundaries as [[BpeEncode]]/[[WordPieceEncode]]), then
+  * Viterbi-best segmentation of each word under the piece
+  * log-probabilities ([[graft.operators.Tokenizer.viterbiSegment]] —
+  * the SAME routine the trainer's E-step runs, so training statistics
+  * and inference segmentations agree by construction). Out-of-
+  * vocabulary code points emit `<unk>` at `unkLogProb` one code point
+  * at a time. The vocab ships once in the plan closure (like a merge
+  * list or a blocklist automaton); evaluation is a pure projection.
+  */
+case class UnigramEncode(child: Expression,
+                         vocab: Seq[(String, Double)],
+                         unkLogProb: Double =
+                           graft.operators.Tokenizer.UnkLogProb)
+    extends UnaryExpression with CodegenFallback {
+
+  require(vocab.nonEmpty, "vocab must not be empty")
+  require(vocab.forall(_._1.nonEmpty), "empty piece in vocab")
+  require(vocab.map(_._1).distinct.length == vocab.length,
+    "duplicate pieces in vocab")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"unigram_encode requires string, got ${child.dataType}")
+
+  @transient private lazy val logProb
+      : java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    vocab.foreach { case (piece, lp) => m.put(piece, lp) }
+    m
+  }
+
+  @transient private lazy val maxPieceLen: Int =
+    vocab.iterator.map(p => p._1.codePointCount(0, p._1.length)).max
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    text.split("[ \t\n\u000B\f\r]+", -1).foreach { w =>
+      if (w.nonEmpty)
+        graft.operators.Tokenizer
+          .viterbiSegment(w, logProb, maxPieceLen, unkLogProb)
+          .foreach(piece => out += UTF8String.fromString(piece))
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : UnigramEncode = copy(child = c)
+  override def prettyName: String = "unigram_encode"
+}
+
 /** PQ code assignment (Jégou et al. 2011, "Product Quantization for
   * Nearest Neighbor Search"): split the (optionally L2-normalized)
   * vector into cb.length subvectors and emit each one's

@@ -46,6 +46,38 @@ object GraftFunctions {
       s"$name expects a literal number, got $e")
   }
 
+  // SQL numeric literals reach here wrapped (a negative decimal
+  // parses as Cast(Literal(Decimal), …)), so accept any FOLDABLE
+  // numeric element, not just bare literals
+  private def foldableDouble(e: Expression, name: String): Double = {
+    require(e.foldable,
+      s"$name expects a literal number, got non-foldable $e")
+    e.eval() match {
+      case d: java.lang.Double  => d.doubleValue()
+      case f: java.lang.Float   => f.doubleValue()
+      case i: java.lang.Integer => i.doubleValue()
+      case l: java.lang.Long    => l.doubleValue()
+      case s: java.lang.Short   => s.doubleValue()
+      case b: java.lang.Byte    => b.doubleValue()
+      case d: Decimal           => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$name expects a literal number, got $other from $e")
+    }
+  }
+
+  private def doubleSeqLit(e: Expression, name: String): Seq[Double] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions
+          .CreateArray(items, _) =>
+        items.map(foldableDouble(_, name))
+      case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, _)) =>
+        v.toDoubleArray().toSeq
+      case _ => throw new IllegalArgumentException(
+        s"$name expects an array of literal numbers, got $e")
+    }
+
   private def stringSeqLit(e: Expression, name: String): Seq[String] =
     e match {
       case org.apache.spark.sql.catalyst.expressions
@@ -179,6 +211,14 @@ object GraftFunctions {
       ByteBpeEncode(es(0),
         stringSeqLit(es(1), "byte_bpe_encode merges")),
       "scala_udf")
+    reg.createOrReplaceTempFunction("unigram_encode", es => {
+      val pieces = stringSeqLit(es(1), "unigram_encode pieces")
+      val lps = doubleSeqLit(es(2), "unigram_encode log_probs")
+      require(pieces.length == lps.length,
+        "unigram_encode: pieces and log_probs must align " +
+          s"(${pieces.length} vs ${lps.length})")
+      UnigramEncode(es(0), pieces.zip(lps))
+    }, "scala_udf")
     // --- sketch aggregates (native TypedImperativeAggregates; usable
     // anywhere SQL accepts an aggregate: GROUP BY, windowed streaming
     // aggs). kmv_sketch takes the PRE-hashed bigint (compose with

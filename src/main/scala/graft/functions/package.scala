@@ -88,6 +88,14 @@ package object functions {
   def byte_bpe_encode(text: Column, merges: Seq[String]): Column =
     c(expressions.ByteBpeEncode(GraftShim.expression(text), merges))
 
+  /** Unigram-LM (SentencePiece-style) encoding: whitespace words →
+    * Viterbi-best segmentation under `(piece, logProb)` vocab from
+    * `Tokenizer.learnUnigram`; OOV code points emit `<unk>`. See
+    * `expressions.UnigramEncode`.
+    */
+  def unigram_encode(text: Column, vocab: Seq[(String, Double)]): Column =
+    c(expressions.UnigramEncode(GraftShim.expression(text), vocab))
+
   /** Winnowing fingerprint selections in one native pass:
     * array<struct<pos, fp>> of each window's min gram-md5 (rightmost
     * ties), distinct, position order. See `Dedup.winnowingFingerprints`.

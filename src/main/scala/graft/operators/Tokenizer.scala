@@ -385,6 +385,347 @@ object Tokenizer {
       minPairCount)
   }
 
+  // --- Unigram-LM (SentencePiece-style) tokenizer ---------------------
+
+  /** The piece every out-of-vocabulary character segments to. */
+  val UnkPiece = "<unk>"
+
+  /** Default log-probability charged per [[UnkPiece]] — low enough
+    * that any in-vocabulary segmentation beats an unk, high enough
+    * to stay finite arithmetic.
+    */
+  val UnkLogProb: Double = -20.0
+
+  /** Viterbi-best segmentation of `word` under a unigram piece model
+    * (Kudo 2018, "Subword Regularization", Eq. 3's argmax): maximize
+    * the sum of piece log-probabilities over all segmentations, DP
+    * over code-point boundaries (pieces never split a surrogate
+    * pair). A position with no in-vocabulary piece consumes ONE code
+    * point as [[UnkPiece]] at `unkLogProb`, so every input segments.
+    * Deterministic tie-break at equal score: fewer pieces, then the
+    * longer final piece — pinned by spec against brute-force
+    * enumeration. Shared verbatim by the trainer's E-step and the
+    * `unigram_encode` expression, so training statistics and
+    * inference segmentations agree by construction.
+    *
+    * The unk fallback fires only at positions NO vocabulary piece
+    * reaches; that equals the global optimum whenever `unkLogProb`
+    * is below every vocabulary log-prob (then any unk-through path
+    * is dominated) — true by construction for [[UnkLogProb]] against
+    * trained vocabularies, whose floors bottom out around
+    * ln(0.5/total_usage).
+    */
+  def viterbiSegment(word: String,
+                     logProb: java.util.HashMap[String, java.lang.Double],
+                     maxPieceLen: Int,
+                     unkLogProb: Double = UnkLogProb): Array[String] = {
+    // code-point boundary offsets into the UTF-16 string
+    val nChars = word.length
+    if (nChars == 0) return Array.empty
+    val bounds = new Array[Int](nChars + 1)
+    var nb = 0
+    var i = 0
+    while (i <= nChars) {
+      bounds(nb) = i; nb += 1
+      if (i < nChars) i += Character.charCount(word.codePointAt(i))
+      else i += 1
+    }
+    val n = nb - 1 // number of code points
+    val score = new Array[Double](n + 1)
+    val pieces = new Array[Int](n + 1) // piece count of best path
+    val backLen = new Array[Int](n + 1) // code points consumed
+    val backUnk = new Array[Boolean](n + 1)
+    score(0) = 0.0
+    var p = 1
+    while (p <= n) {
+      var bestScore = Double.NegativeInfinity
+      var bestPieces = Int.MaxValue
+      var bestLen = 0
+      var bestUnk = false
+      var len = 1
+      val maxL = math.min(maxPieceLen, p)
+      while (len <= maxL) {
+        val s = word.substring(bounds(p - len), bounds(p))
+        val lp = logProb.get(s)
+        if (lp != null) {
+          val cand = score(p - len) + lp.doubleValue()
+          val candPieces = pieces(p - len) + 1
+          // higher score; then fewer pieces; then longer last piece
+          if (cand > bestScore ||
+              (cand == bestScore && (candPieces < bestPieces ||
+                (candPieces == bestPieces && len > bestLen)))) {
+            bestScore = cand; bestPieces = candPieces
+            bestLen = len; bestUnk = false
+          }
+        }
+        len += 1
+      }
+      if (bestLen == 0) { // no piece reaches p: one code point of unk
+        bestScore = score(p - 1) + unkLogProb
+        bestPieces = pieces(p - 1) + 1
+        bestLen = 1; bestUnk = true
+      }
+      score(p) = bestScore; pieces(p) = bestPieces
+      backLen(p) = bestLen; backUnk(p) = bestUnk
+      p += 1
+    }
+    // backtrack
+    val out = new Array[String](pieces(n))
+    var pos = n
+    var j = pieces(n) - 1
+    while (pos > 0) {
+      out(j) =
+        if (backUnk(pos)) UnkPiece
+        else word.substring(bounds(pos - backLen(pos)), bounds(pos))
+      pos -= backLen(pos); j -= 1
+    }
+    out
+  }
+
+  /** Learn a unigram-LM piece vocabulary (Kudo 2018; the
+    * SentencePiece `--model_type=unigram` family) over the corpus's
+    * word types: seed with the highest-frequency substrings (all
+    * single code points always included, so coverage never breaks),
+    * then alternate hard-EM rounds — E: Viterbi-segment every word
+    * type under current piece log-probs, counting piece usage
+    * weighted by type count; M: re-estimate log-probs from usage —
+    * with pruning rounds that drop the least-used multi-character
+    * pieces by `shrinkFactor` until exactly `vocabSize` pieces
+    * remain, then settle with one final EM round. Deviation from the
+    * paper, documented: the E-step uses the Viterbi (hard) count
+    * rather than full forward–backward expectations — the classic
+    * hard-EM simplification; determinism and the shared-with-
+    * inference segmentation rule matter more here than the last few
+    * tenths of a bit of held-out likelihood, and the spec pins the
+    * trainer to an independent brute-force replay.
+    *
+    * Scale shape identical to [[learnBpeMerges]]: ONE distributed
+    * word-type count shuffle, then a driver loop over the capped
+    * type table, constant in corpus size. Returns `(piece, logProb)`
+    * sorted (logProb desc, piece asc); single code points are never
+    * pruned, so `vocabSize` must be ≥ the alphabet size + 1.
+    */
+  def learnUnigram(df: DataFrame, textCol: String, vocabSize: Int,
+                   maxTypes: Int = 65536, maxPieceLen: Int = 8,
+                   seedFactor: Int = 4,
+                   shrinkFactor: Double = 0.75): Seq[(String, Double)] = {
+    require(vocabSize >= 2, "vocabSize must be >= 2")
+    require(maxTypes >= 1, "maxTypes must be >= 1")
+    require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+    require(seedFactor >= 1, "seedFactor must be >= 1")
+    require(shrinkFactor > 0.0 && shrinkFactor < 1.0,
+      s"shrinkFactor must be in (0,1), got $shrinkFactor")
+    learnUnigramFromTypes(typeTable(df, textCol, maxTypes), vocabSize,
+      maxPieceLen, seedFactor, shrinkFactor)
+  }
+
+  /** The driver-side unigram EM/prune loop over an already-aggregated
+    * `(wordType, count)` table (see [[learnFromTypes]] for why this
+    * split exists).
+    */
+  def learnUnigramFromTypes(types: Array[(String, Long)],
+                            vocabSize: Int, maxPieceLen: Int = 8,
+                            seedFactor: Int = 4,
+                            shrinkFactor: Double = 0.75)
+      : Seq[(String, Double)] = {
+    require(types.nonEmpty, "empty type table — no corpus words")
+    // 1. substring seed scores: every ≤ maxPieceLen-code-point
+    //    substring of every type, weighted by type count
+    val scores = new java.util.HashMap[String, java.lang.Long]()
+    val singles = scala.collection.mutable.SortedSet[String]()
+    types.foreach { case (w, c) =>
+      val b = codePointBounds(w)
+      val n = b.length - 1
+      var s = 0
+      while (s < n) {
+        var e = s + 1
+        while (e <= math.min(n, s + maxPieceLen)) {
+          val piece = w.substring(b(s), b(e))
+          if (e == s + 1) singles += piece
+          val prev = scores.get(piece)
+          scores.put(piece, if (prev == null) c else prev.longValue() + c)
+          e += 1
+        }
+        s += 1
+      }
+    }
+    require(vocabSize > singles.size,
+      s"vocabSize $vocabSize must exceed the corpus alphabet " +
+        s"(${singles.size} single-code-point pieces, which are never " +
+        "pruned) — nothing would be learned")
+    // 2. seed vocab: singles + top multi-char substrings by
+    //    (score desc, piece asc)
+    val seedTarget = math.max(vocabSize.toLong * seedFactor,
+      vocabSize.toLong + 16L).min(Int.MaxValue.toLong).toInt
+    val multis = new java.util.ArrayList[(String, Long)]()
+    scores.forEach { (piece, sc) =>
+      if (!singles.contains(piece)) multis.add((piece, sc.longValue()))
+    }
+    multis.sort { (x: (String, Long), y: (String, Long)) =>
+      if (x._2 != y._2) java.lang.Long.compare(y._2, x._2)
+      else x._1.compareTo(y._1)
+    }
+    var vocab = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val seedMultis = math.max(0, seedTarget - singles.size)
+    val totalSeed = {
+      var t = 0L
+      singles.foreach(sp => t += scores.get(sp).longValue())
+      var k = 0
+      while (k < math.min(seedMultis, multis.size())) {
+        t += multis.get(k)._2; k += 1
+      }
+      t.toDouble
+    }
+    singles.foreach { sp =>
+      vocab(sp) = math.log(scores.get(sp).longValue() / totalSeed)
+    }
+    var k = 0
+    while (k < math.min(seedMultis, multis.size())) {
+      val (piece, sc) = multis.get(k)
+      vocab(piece) = math.log(sc / totalSeed)
+      k += 1
+    }
+
+    // 3. EM + prune until vocabSize, then one settling EM round
+    def emRound(): java.util.HashMap[String, java.lang.Long] = {
+      val lp = new java.util.HashMap[String, java.lang.Double]()
+      vocab.foreach { case (piece, l) => lp.put(piece, l) }
+      val usage = new java.util.HashMap[String, java.lang.Long]()
+      types.foreach { case (w, c) =>
+        viterbiSegment(w, lp, maxPieceLen).foreach { piece =>
+          if (piece != UnkPiece) {
+            val prev = usage.get(piece)
+            usage.put(piece,
+              if (prev == null) c else prev.longValue() + c)
+          }
+        }
+      }
+      usage
+    }
+    def mStep(usage: java.util.HashMap[String, java.lang.Long]): Unit = {
+      var total = 0.0
+      usage.forEach { (_, u) => total += u.longValue() }
+      // epsilon floor keeps unused-but-kept pieces (singles) finite
+      val floor = math.log(0.5 / math.max(total, 1.0))
+      val next = scala.collection.mutable.LinkedHashMap[String, Double]()
+      vocab.keysIterator.foreach { piece =>
+        val u = usage.get(piece)
+        next(piece) =
+          if (u == null || u.longValue() == 0L) floor
+          else math.log(u.longValue() / total)
+      }
+      vocab = next
+    }
+    var done = false
+    var rounds = 0
+    while (!done && rounds < 100) {
+      val usage = emRound()
+      if (vocab.size > vocabSize) {
+        // prune multi-char pieces by (usage desc, piece asc) to the
+        // shrink target — never below vocabSize, and ALWAYS at least
+        // one piece fewer than now (ceil alone can stall on small
+        // vocabularies)
+        val multisCount = vocab.size - singles.size
+        val shrunk = math.ceil(multisCount * shrinkFactor).toInt
+        val keepMultis = math.max(vocabSize - singles.size,
+          math.min(shrunk, multisCount - 1))
+        val ranked = vocab.keysIterator
+          .filterNot(singles.contains).toArray
+          .map(piece => (piece, {
+            val u = usage.get(piece)
+            if (u == null) 0L else u.longValue()
+          }))
+          .sortWith { (x, y) =>
+            if (x._2 != y._2) x._2 > y._2 else x._1 < y._1
+          }
+        val kept = ranked.take(keepMultis).map(_._1).toSet
+        val next = scala.collection.mutable.LinkedHashMap[String, Double]()
+        vocab.foreach { case (piece, l) =>
+          if (singles.contains(piece) || kept(piece)) next(piece) = l
+        }
+        vocab = next
+        mStep(emRound())
+      } else {
+        mStep(usage)
+        done = true
+      }
+      rounds += 1
+    }
+    vocab.toSeq.sortWith { (x, y) =>
+      if (x._2 != y._2) x._2 > y._2 else x._1 < y._1
+    }
+  }
+
+  private def codePointBounds(w: String): Array[Int] = {
+    val bounds = new Array[Int](w.length + 1)
+    var nb = 0
+    var i = 0
+    while (i <= w.length) {
+      bounds(nb) = i; nb += 1
+      if (i < w.length) i += Character.charCount(w.codePointAt(i))
+      else i += 1
+    }
+    java.util.Arrays.copyOf(bounds, nb)
+  }
+
+  /** Persist a learned unigram vocabulary as `(piece STRING,
+    * log_prob DOUBLE)` parquet with the frozen-artifact discipline of
+    * [[writeMerges]] (sidecar last, errorifexists, pinned size).
+    */
+  def writeUnigram(spark: org.apache.spark.sql.SparkSession,
+                   vocab: Seq[(String, Double)], path: String): Unit = {
+    import spark.implicits._
+    require(vocab.nonEmpty, "refusing to persist an empty vocabulary")
+    vocab.zipWithIndex.map { case ((piece, lp), i) => (i, piece, lp) }
+      .toDF("rank", "piece", "log_prob")
+      .repartition(1)
+      .write.mode("errorifexists").parquet(path)
+    val json = s"""{"kind": "unigram_vocab", "version": 1, """ +
+      s""""vocab_size": ${vocab.length}}"""
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_index.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read back a [[writeUnigram]] artifact in rank order (bounded
+    * artifact — see [[readMerges]]).
+    */
+  def readUnigram(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Seq[(String, Double)] = {
+    val mp = new org.apache.hadoop.fs.Path(path, "_graft_index.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(mp),
+      s"$path has no _graft_index.json sidecar — not a complete " +
+        "graft tokenizer artifact (crashed build, or a plain parquet dir)")
+    val in = fs.open(mp)
+    val raw = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val meta = "\"([a-z_]+)\"\\s*:\\s*\"?([A-Za-z0-9_]+)\"?".r
+      .findAllMatchIn(raw).map(m => m.group(1) -> m.group(2)).toMap
+    require(meta.get("kind").contains("unigram_vocab"),
+      s"$path is a '${meta.getOrElse("kind", "?")}' artifact, not " +
+        "'unigram_vocab'")
+    require(meta.get("version").contains("1"),
+      s"$path was written by artifact version " +
+        s"${meta.getOrElse("version", "?")}; this library reads 1")
+    val nStr = meta.getOrElse("vocab_size", "")
+    require(nStr.nonEmpty && nStr.forall(_.isDigit),
+      s"$path sidecar is corrupt or foreign: missing or non-numeric " +
+        s"'vocab_size' (got '${meta.getOrElse("vocab_size", "absent")}')")
+    val n = nStr.toInt
+    val rows = spark.read.parquet(path)
+      .orderBy("rank")
+      .select("rank", "piece", "log_prob")
+      .take(n + 1)
+    require(rows.length == n &&
+      rows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      s"$path is corrupt: expected ranks 0..${n - 1}, got " +
+        s"${rows.length} rows")
+    rows.map(r => (r.getString(1), r.getDouble(2))).toSeq
+  }
+
   /** The vocabulary a learned merge list induces: all single
     * code-point symbols seen in the (capped) type table plus one
     * entry per merge product, i.e. every symbol

@@ -898,6 +898,102 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         "all-null window must emit one null-item row")
     } finally q.stop()
   }
+
+  test("validationMonitor: the per-window check suite emits one row " +
+      "per (window, check), exact values, and MATCHES the batch twin " +
+      "bit-for-bit (same code path)") {
+    import graft.operators.Validate
+    import graft.operators.Validate._
+    val suite = Seq(
+      Completeness("reading", 0.8),
+      FracBetween("reading", 0.0, 5.0, 1.0),
+      Uniqueness("sensor_name", 0.9, k = 64),
+      SizeAtLeast(3))
+    val input = MemoryStream[NullableMeasurement](spark)
+    val ds = DataStream(
+      input.toDF.withColumn("ts", timestamp_millis($"occurred_at_ms")),
+      "ts")
+    val q = ds.validationMonitor(suite, "10 seconds")
+      .sinkMemory("validate_out")
+    try {
+      // window [0,10s): 4 rows, 1 null reading (completeness 0.75
+      // FAIL), non-null readings all in [0,5] (pass), sensors
+      // a,a,b,c → uniqueness 0.75 FAIL, size 4 pass
+      input.addData(
+        NullableMeasurement(1000, "a", Some(1.0)),
+        NullableMeasurement(2000, "a", Some(2.0)),
+        NullableMeasurement(3000, "b", None),
+        NullableMeasurement(9000, "c", Some(5.0)))
+      // window [10,20s): 3 rows, complete, one reading 9.0 out of
+      // range (between 2/3 FAIL), sensors distinct (pass), size pass
+      input.addData(
+        NullableMeasurement(11000, "d", Some(0.0)),
+        NullableMeasurement(12000, "e", Some(9.0)),
+        NullableMeasurement(13000, "f", Some(3.0)))
+      q.processAllAvailable()
+      input.addData(NullableMeasurement(25000, "z", Some(0.0)))
+      q.processAllAvailable()
+      val got = spark.table("validate_out")
+        .orderBy("window_start_time", "check_name")
+        .select("check_name", "value", "passed")
+        .as[(String, Double, Boolean)].collect().toList
+      assert(got == List(
+        ("between(reading)", 1.0, true),
+        ("completeness(reading)", 0.75, false),
+        ("size()", 4.0, true),
+        ("uniqueness(sensor_name)", 0.75, false),
+        ("between(reading)", math.rint(2.0 / 3 * 1e6) / 1e6, false),
+        ("completeness(reading)", 1.0, true),
+        ("size()", 3.0, true),
+        ("uniqueness(sensor_name)", 1.0, true)))
+
+      // batch twin: the same suite through the same monitor over the
+      // same rows as a batch frame must emit identical rows
+      val batch = Seq(
+        NullableMeasurement(1000, "a", Some(1.0)),
+        NullableMeasurement(2000, "a", Some(2.0)),
+        NullableMeasurement(3000, "b", None),
+        NullableMeasurement(9000, "c", Some(5.0)),
+        NullableMeasurement(11000, "d", Some(0.0)),
+        NullableMeasurement(12000, "e", Some(9.0)),
+        NullableMeasurement(13000, "f", Some(3.0))).toDF
+        .withColumn("ts", timestamp_millis($"occurred_at_ms"))
+      val twin = DataStream(batch, "ts")
+        .validationMonitor(suite, "10 seconds").df
+        .orderBy("window_start_time", "check_name")
+        .select("check_name", "value", "passed")
+        .as[(String, Double, Boolean)].collect().toList
+      assert(twin == got, "streaming and batch twins must agree")
+    } finally q.stop()
+  }
+
+  test("validationMonitor keyed (by): per-(window, sensor) verdicts — " +
+      "one sensor's nulls cannot fail another's completeness") {
+    import graft.operators.Validate._
+    val input = MemoryStream[NullableMeasurement](spark)
+    val ds = DataStream(
+      input.toDF.withColumn("ts", timestamp_millis($"occurred_at_ms")),
+      "ts")
+    val q = ds.validationMonitor(Seq(Completeness("reading", 0.9)),
+        "10 seconds", by = Seq("sensor_name"))
+      .sinkMemory("validate_by_out")
+    try {
+      input.addData(
+        NullableMeasurement(1000, "a", Some(1.0)),
+        NullableMeasurement(2000, "a", Some(2.0)),
+        NullableMeasurement(3000, "b", None),
+        NullableMeasurement(4000, "b", Some(1.0)))
+      q.processAllAvailable()
+      input.addData(NullableMeasurement(25000, "z", Some(0.0)))
+      q.processAllAvailable()
+      val got = spark.table("validate_by_out")
+        .filter($"window_start_time" === timestamp_millis(lit(0)))
+        .orderBy("sensor_name")
+        .select("sensor_name", "value", "passed")
+        .as[(String, Double, Boolean)].collect().toList
+      assert(got == List(("a", 1.0, true), ("b", 0.5, false)))
+    } finally q.stop()
+  }
 }
 
 /** Embedding row for streaming decontamination specs. */

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, explode}
 import graft.operators.Tokenizer
 
 /** BPE merge learning, pinned against an INDEPENDENT reference
@@ -303,5 +304,203 @@ class TokenizerTrainSpec extends AnyFunSuite with SparkSpec {
       assert(Tokenizer.decodeByteTokens(toks) == orig,
         s"round trip broke for ${orig.map(_.toInt.toHexString)}")
     }
+  }
+
+  // ---- unigram-LM (SentencePiece-style) tokenizer ----
+
+  private def lpMap(vocab: Seq[(String, Double)])
+      : java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    vocab.foreach { case (p, l) => m.put(p, l) }
+    m
+  }
+
+  /** Independent brute-force Viterbi reference: enumerate EVERY
+    * segmentation (pieces from the vocab, or one code point of unk),
+    * pick max score (random real-valued log-probs make exact ties
+    * measure-zero, so score alone decides).
+    */
+  private def bruteBest(word: String, vocab: Map[String, Double],
+                        maxLen: Int, unkLp: Double)
+      : (Double, List[String]) = {
+    val cps = {
+      val b = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.toList
+    }
+    def go(rest: List[String]): Seq[(Double, List[String])] =
+      if (rest.isEmpty) Seq((0.0, Nil))
+      else (1 to math.min(maxLen, rest.length)).flatMap { len =>
+        val piece = rest.take(len).mkString
+        val tail = rest.drop(len)
+        vocab.get(piece).map { lp =>
+          go(tail).map { case (s, ps) => (s + lp, piece :: ps) }
+        }.getOrElse(if (len == 1)
+          go(tail).map { case (s, ps) =>
+            (s + unkLp, Tokenizer.UnkPiece :: ps)
+          } else Seq.empty)
+      }
+    go(cps).maxBy(_._1)
+  }
+
+  test("unigram viterbi: matches brute-force enumeration on 200 " +
+      "randomized (vocab, word) draws incl. unk fallbacks") {
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = "abcde"
+    (0 until 200).foreach { trial =>
+      // random vocab: all singles (sometimes missing one → unk) +
+      // random multi-char pieces, real-valued log-probs
+      val singles = alphabet.map(_.toString)
+        .filter(_ => rnd.nextDouble() > 0.15)
+      val multis = (0 until rnd.nextInt(12)).map { _ =>
+        (0 until (2 + rnd.nextInt(3)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.distinct
+      val vocab = (singles ++ multis).distinct
+        .map(p => p -> (-8.0 * rnd.nextDouble() - 0.1))
+      if (vocab.nonEmpty) {
+        val word = (1 to (1 + rnd.nextInt(8)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        val maxLen = vocab.map(_._1.length).max
+        val got = Tokenizer
+          .viterbiSegment(word, lpMap(vocab), maxLen).toList
+        val (bestScore, bestSeg) =
+          bruteBest(word, vocab.toMap, maxLen, Tokenizer.UnkLogProb)
+        val gotScore = got.map {
+          case Tokenizer.UnkPiece => Tokenizer.UnkLogProb
+          case p => vocab.toMap.apply(p)
+        }.sum
+        assert(math.abs(gotScore - bestScore) < 1e-12,
+          s"trial $trial: viterbi score $gotScore vs brute " +
+            s"$bestScore for '$word' vocab $vocab (got $got, " +
+            s"brute $bestSeg)")
+      }
+    }
+  }
+
+  test("unigram viterbi: documented tie-breaks — fewer pieces, then " +
+      "longer last piece; surrogate pairs never split; empty word") {
+    // equal score, 1 piece vs 2 → the single piece
+    val v1 = Seq("ab" -> -1.0, "a" -> -0.5, "b" -> -0.5)
+    assert(Tokenizer.viterbiSegment("ab", lpMap(v1), 2).toSeq ==
+      Seq("ab"))
+    // equal score AND pieces: [ab, c] vs [a, bc] → longer LAST piece
+    val v2 = Seq("ab" -> -1.0, "c" -> -1.0, "a" -> -1.0,
+      "bc" -> -1.0)
+    assert(Tokenizer.viterbiSegment("abc", lpMap(v2), 2).toSeq ==
+      Seq("a", "bc"))
+    // astral char (surrogate pair) is ONE code point of unk
+    val v3 = Seq("x" -> -1.0)
+    assert(Tokenizer.viterbiSegment("x🙂x", lpMap(v3), 1).toSeq ==
+      Seq("x", Tokenizer.UnkPiece, "x"))
+    assert(Tokenizer.viterbiSegment("", lpMap(v3), 1).isEmpty)
+  }
+
+  test("unigram train: hand-worked EM example — the frequent word " +
+      "earns its own piece, probs are exact usage fractions") {
+    val types = Array(("abab", 10L), ("ab", 5L))
+    val vocab = Tokenizer.learnUnigramFromTypes(types, vocabSize = 4)
+    val m = vocab.toMap
+    assert(m.keySet == Set("a", "b", "ab", "abab"),
+      s"got ${vocab}")
+    // final E-step: 'abab'(10) → [abab], 'ab'(5) → [ab]
+    // usage: abab=10, ab=5, total=15; singles unused → floor
+    assert(math.abs(m("abab") - math.log(10.0 / 15)) < 1e-12)
+    assert(math.abs(m("ab") - math.log(5.0 / 15)) < 1e-12)
+    assert(math.abs(m("a") - math.log(0.5 / 15)) < 1e-12)
+    assert(math.abs(m("b") - math.log(0.5 / 15)) < 1e-12)
+    // artifact order: (logProb desc, piece asc)
+    assert(vocab.map(_._1) == Seq("abab", "ab", "a", "b"))
+  }
+
+  test("unigram train: distributed trainer is deterministic across " +
+      "partitionings and the learned vocab segments the corpus it " +
+      "was trained on without unks") {
+    val corpus = Seq.fill(40)("the cat sat on the mat") ++
+      Seq.fill(25)("the dog ran to the cat") ++
+      Seq.fill(10)("a cat and a dog met")
+    val df1 = corpus.toDF("text")
+    val df8 = corpus.toDF("text").repartition(8)
+    val v1 = Tokenizer.learnUnigram(df1, "text", vocabSize = 30)
+    val v8 = Tokenizer.learnUnigram(df8, "text", vocabSize = 30)
+    assert(v1 == v8, "partitioning changed the learned vocab")
+    assert(v1.size == 30)
+    // inference over the training corpus: full coverage, no unks
+    val toks = df1.select(explode(
+      graft.functions.unigram_encode(col("text"), v1)).as("t"))
+      .as[String].collect()
+    assert(!toks.contains(Tokenizer.UnkPiece))
+    // frequent whole words should have won their own pieces
+    assert(v1.map(_._1).contains("the"))
+    assert(v1.map(_._1).contains("cat"))
+  }
+
+  test("unigram inference: expression ≡ trainer's own viterbi on " +
+      "every corpus word; SQL registry spelling agrees; unseen " +
+      "chars → <unk>") {
+    val corpus = Seq.fill(20)("aa bb aa ab") ++ Seq.fill(9)("ba aab")
+    val df = corpus.toDF("text")
+    val vocab = Tokenizer.learnUnigram(df, "text", vocabSize = 8,
+      maxPieceLen = 3)
+    val words = Seq("aa", "bb", "ab", "ba", "aab")
+    val viaExpr = words.toDF("w")
+      .select(graft.functions.unigram_encode(col("w"), vocab)
+        .as("toks"))
+      .as[Seq[String]].collect().toSeq
+    val maxLen = vocab.map(p => p._1.codePointCount(0, p._1.length)).max
+    val direct = words.map(w =>
+      Tokenizer.viterbiSegment(w, lpMap(vocab), maxLen).toSeq)
+    assert(viaExpr == direct)
+
+    // SQL registry parity
+    graft.functions.GraftFunctions.registerAll(spark)
+    words.toDF("w").createOrReplaceTempView("unigram_words")
+    val pieces = vocab.map(_._1)
+      .map(p => s"'${p.replace("'", "''")}'").mkString(",")
+    val lps = vocab.map(_._2.toString).mkString(",")
+    val viaSql = spark.sql(
+      s"SELECT unigram_encode(w, array($pieces), array($lps)) " +
+        "FROM unigram_words")
+      .as[Seq[String]].collect().toSeq
+    assert(viaSql == direct)
+
+    // unseen characters: one unk per code point, rest segmented
+    val got = Seq("aaXab").toDF("w")
+      .select(graft.functions.unigram_encode(col("w"), vocab)
+        .as("toks")).as[Seq[String]].collect().head
+    assert(got.contains(Tokenizer.UnkPiece))
+    assert(got.filterNot(_ == Tokenizer.UnkPiece).forall(p =>
+      vocab.map(_._1).contains(p)))
+  }
+
+  test("unigram artifact: persisted vocab round-trips in rank order; " +
+      "foreign/incomplete artifacts refused; alphabet-exceeding " +
+      "vocabSize refused") {
+    val corpus = Seq.fill(30)("aa bb ab").toDF("text")
+    val vocab = Tokenizer.learnUnigram(corpus, "text", vocabSize = 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-unigram").toString
+    Tokenizer.writeUnigram(spark, vocab, s"$dir/v")
+    assert(Tokenizer.readUnigram(spark, s"$dir/v") == vocab)
+    // frozen artifact: a second write refuses
+    intercept[Exception] {
+      Tokenizer.writeUnigram(spark, vocab, s"$dir/v")
+    }
+    // wrong-kind artifact refused
+    Tokenizer.writeMerges(spark, Seq("a b"), s"$dir/m")
+    val e = intercept[IllegalArgumentException] {
+      Tokenizer.readUnigram(spark, s"$dir/m")
+    }
+    assert(e.getMessage.contains("'bpe_merges' artifact"))
+    // vocabSize below the alphabet refuses loudly
+    val e2 = intercept[IllegalArgumentException] {
+      Tokenizer.learnUnigram(corpus, "text", vocabSize = 2)
+    }
+    assert(e2.getMessage.contains("alphabet"))
   }
 }

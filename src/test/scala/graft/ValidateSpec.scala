@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Validate
+import graft.operators.Validate._
+
+class ValidateSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  // 8 rows, hand-checkable: id unique; txt has 2 nulls (completeness
+  // 6/8); len in [1,100] except one 250; lang ∈ {en,de} except one
+  // "xx" and one null; email-ish col half matching.
+  private def fixture() = Seq(
+    (1L, Some("alpha"), 10L, Some("en"), Some("a@x.com")),
+    (2L, Some("beta"), 20L, Some("en"), Some("bad")),
+    (3L, None, 30L, Some("de"), Some("c@x.com")),
+    (4L, Some("gamma"), 250L, Some("de"), Some("bad2")),
+    (5L, Some("delta"), 40L, Some("xx"), Some("d@x.com")),
+    (6L, None, 50L, None, Some("bad3")),
+    (7L, Some("epsilon"), 60L, Some("en"), Some("e@x.com")),
+    (8L, Some("zeta"), 70L, Some("de"), None)
+  ).toDF("id", "txt", "len", "lang", "email")
+
+  private def row(rep: org.apache.spark.sql.DataFrame, name: String) =
+    rep.filter($"check_name" === name).collect() match {
+      case Array(r) => r
+      case rs => fail(s"expected 1 row for $name, got ${rs.length}")
+    }
+
+  test("report: one row per check, hand-computed values and verdicts") {
+    val rep = Validate.report(fixture(), Seq(
+      Completeness("txt", 0.7),            // 6/8 = 0.75 ≥ 0.7 pass
+      Uniqueness("id", 1.0),               // 8/8 pass
+      FracBetween("len", 1, 100, 0.9),     // 7/8 = 0.875 < 0.9 FAIL
+      Matches("email", "^[a-z]@x\\.com$", 0.5), // 4/7 ≈ 0.5714 pass
+      InSet("lang", Seq("en", "de"), 0.8), // 6/7 non-null ≈ 0.857 pass
+      Satisfies("len >= 10 AND len <= 70", "len_win", 0.9),
+                                           // 7/8 = 0.875 < 0.9 FAIL
+      MinOf("len", 10.0),                  // min=10 pass
+      MaxOf("len", 100.0),                 // max=250 FAIL
+      MeanBetween("len", 10, 100),         // mean=530/8=66.25 pass
+      SizeAtLeast(5)                       // 8 ≥ 5 pass
+    ))
+    assert(rep.count() == 10)
+    assert(rep.columns.toSeq == Seq("check_name", "column_name",
+      "requirement", "value", "passed"))
+
+    val comp = row(rep, "completeness(txt)")
+    assert(comp.getAs[Double]("value") == 0.75 &&
+      comp.getAs[Boolean]("passed"))
+    val uniq = row(rep, "uniqueness(id)")
+    assert(uniq.getAs[Double]("value") == 1.0 &&
+      uniq.getAs[Boolean]("passed"))
+    val btw = row(rep, "between(len)")
+    assert(btw.getAs[Double]("value") == 0.875 &&
+      !btw.getAs[Boolean]("passed"))
+    val m = row(rep, "matches(email)")
+    assert(m.getAs[Double]("value") == math.rint(4.0 / 7 * 1e6) / 1e6
+      && m.getAs[Boolean]("passed"))
+    val ins = row(rep, "in_set(lang)")
+    assert(ins.getAs[Double]("value") == math.rint(6.0 / 7 * 1e6) / 1e6
+      && ins.getAs[Boolean]("passed"))
+    val sat = row(rep, "satisfies(len_win)")
+    assert(sat.getAs[Double]("value") == 0.875 &&
+      !sat.getAs[Boolean]("passed"))
+    assert(row(rep, "min(len)").getAs[Double]("value") == 10.0)
+    val mx = row(rep, "max(len)")
+    assert(mx.getAs[Double]("value") == 250.0 &&
+      !mx.getAs[Boolean]("passed"))
+    val mean = row(rep, "mean(len)")
+    assert(mean.getAs[Double]("value") == 66.25 &&
+      mean.getAs[Boolean]("passed"))
+    val sz = row(rep, "size()")
+    assert(sz.getAs[Double]("value") == 8.0 &&
+      sz.getAs[Boolean]("passed"))
+  }
+
+  test("single pass: the whole suite plans exactly ONE Aggregate over " +
+      "one scan (no per-check re-aggregation, no join)") {
+    val rep = Validate.report(fixture(), Seq(
+      Completeness("txt", 0.5), Uniqueness("id", 1.0),
+      FracBetween("len", 1, 100, 0.5), MeanBetween("len", 0, 100)))
+    val plan = rep.queryExecution.optimizedPlan.toString
+    val nAggs = "(?m)^\\s*[+:-]*\\s*Aggregate".r
+      .findAllIn(plan).size
+    assert(nAggs == 1, s"expected 1 Aggregate, plan:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
+  test("null/empty semantics: all-null column and empty frame read " +
+      "unknown (null value+passed), never a silent pass; SizeAtLeast " +
+      "reads 0 and FAILS on empty") {
+    val allNull = Seq[(Long, Option[String])]((1L, None), (2L, None))
+      .toDF("id", "txt")
+    val rep1 = Validate.report(allNull, Seq(
+      Completeness("txt", 0.5),     // 0/2 = 0.0: known, FAILS
+      FracBetween("id", 0, 10, 1.0), Uniqueness("txt", 1.0),
+      Matches("txt", "x", 0.5)))
+    val c = row(rep1, "completeness(txt)")
+    assert(c.getAs[Double]("value") == 0.0 &&
+      !c.getAs[Boolean]("passed"))
+    // fraction-of-non-null checks over an all-null column: unknown
+    for (n <- Seq("uniqueness(txt)", "matches(txt)")) {
+      val r = row(rep1, n)
+      assert(r.isNullAt(r.fieldIndex("value")) &&
+        r.isNullAt(r.fieldIndex("passed")), s"$n should be unknown")
+    }
+
+    val empty = fixture().filter(lit(false))
+    val rep2 = Validate.report(empty, Seq(
+      Completeness("txt", 0.5), MinOf("len", 0), SizeAtLeast(1)))
+    val sz = row(rep2, "size()")
+    assert(sz.getAs[Double]("value") == 0.0 &&
+      !sz.getAs[Boolean]("passed"))
+    for (n <- Seq("completeness(txt)", "min(len)")) {
+      val r = row(rep2, n)
+      assert(r.isNullAt(r.fieldIndex("value")) &&
+        r.isNullAt(r.fieldIndex("passed")), s"$n should be unknown")
+    }
+  }
+
+  test("satisfies: rows where the predicate is NULL count as NOT " +
+      "satisfying (conservative), not as skipped") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
+      .toDF("id", "v")
+    val rep = Validate.report(df, Seq(
+      Satisfies("v < 10", "v_small", 0.5)))
+    // v<10: true, null, false → 1/3
+    val r = row(rep, "satisfies(v_small)")
+    assert(r.getAs[Double]("value") == math.rint(1.0 / 3 * 1e6) / 1e6)
+    assert(!r.getAs[Boolean]("passed"))
+  }
+
+  test("grouped report (by): per-group metrics; a group failing a " +
+      "check doesn't leak into another group's verdict") {
+    val rep = Validate.report(fixture(), Seq(
+      FracBetween("len", 1, 100, 1.0)), by = Seq("lang"))
+    val de = rep.filter($"lang" === "de").collect()(0)
+    assert(!de.getAs[Boolean]("passed")) // the 250 row is de
+    val en = rep.filter($"lang" === "en").collect()(0)
+    assert(en.getAs[Boolean]("passed") &&
+      en.getAs[Double]("value") == 1.0)
+    // null-lang group still reports
+    assert(rep.filter($"lang".isNull).count() == 1)
+  }
+
+  test("uniqueness: duplicate values lower the distinct fraction " +
+      "exactly (unsaturated KMV = exact)") {
+    val df = Seq(1L, 2L, 2L, 3L, 3L, 3L).toDF("v")
+    val rep = Validate.report(df, Seq(Uniqueness("v", 0.9)))
+    val r = row(rep, "uniqueness(v)")
+    assert(r.getAs[Double]("value") == 0.5) // 3 distinct / 6
+    assert(!r.getAs[Boolean]("passed"))
+  }
+
+  test("assertPassed: green suite returns; failures throw listing " +
+      "every failed check with its value; unknown counts as failure") {
+    Validate.assertPassed(fixture(), Seq(
+      Completeness("txt", 0.7), Uniqueness("id", 1.0),
+      SizeAtLeast(1)))
+    val e = intercept[IllegalStateException] {
+      Validate.assertPassed(fixture(), Seq(
+        Completeness("txt", 0.99), MaxOf("len", 100.0),
+        SizeAtLeast(1)))
+    }
+    assert(e.getMessage.contains("completeness(txt)"))
+    assert(e.getMessage.contains("max(len)"))
+    assert(e.getMessage.contains("0.75"))
+    assert(!e.getMessage.contains("size()"))
+    // unknown (all-null column) must not slip through as a pass
+    val allNull = Seq[(Long, Option[String])]((1L, None))
+      .toDF("id", "txt")
+    val e2 = intercept[IllegalStateException] {
+      Validate.assertPassed(allNull, Seq(Matches("txt", "x", 0.5)))
+    }
+    assert(e2.getMessage.contains("unknown"))
+  }
+
+  test("refusals: empty suite, duplicate check names, inverted bounds") {
+    intercept[IllegalArgumentException] {
+      Validate.report(fixture(), Seq.empty)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Validate.report(fixture(),
+        Seq(Completeness("txt", 0.5), Completeness("txt", 0.9)))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    intercept[IllegalArgumentException] { FracBetween("len", 10, 1) }
+    intercept[IllegalArgumentException] { MeanBetween("len", 10, 1) }
+    intercept[IllegalArgumentException] { InSet("lang", Seq.empty) }
+  }
+}
