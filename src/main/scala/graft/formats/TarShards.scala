@@ -160,15 +160,7 @@ object TarShards {
     val exts = fields.map(_._1)
     val (f0, p0) = fsFor(spark, dir)
     f0.mkdirs(p0)
-    val stale = f0.globStatus(
-      new org.apache.hadoop.fs.Path(p0, "shard-*.tar"))
-    require(stale == null || stale.isEmpty,
-      s"${if (stale == null) 0 else stale.length} shard-*.tar " +
-        s"file(s) already exist under $dir — refusing to mix shard " +
-        "generations " +
-        "(a rerun with a different partition count would leave stale " +
-        "shards that samples() silently reads as duplicate data); " +
-        "write to a fresh dir or clean the old shards first")
+    refuseStaleShards(f0, p0, dir)
     val conf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     df.select(cols: _*)
@@ -185,6 +177,114 @@ object TarShards {
             tc.taskAttemptId(), exts, it)
         }
       }
+  }
+
+  /** SIZE-TARGETED shard write — the WebDataset sizing norm
+    * (100–500 MB tars) as an operator instead of a "repartition
+    * upstream" instruction: estimates each sample's exact tar entry
+    * cost (512 B header + content padded to 512 per non-null field),
+    * sums it in one column-pruned pass, derives `nShards =
+    * ceil(total / targetShardBytes)`, and assigns samples to shards
+    * with [[graft.operators.Packing.balancedShards]] — the serpentine
+    * deal over the (bytes desc, key) rank, so shard byte totals track
+    * the ideal within a few max-sample-weights without any
+    * sequential packing state. One shuffle (the balancedShards
+    * histogram rank) plus the assignment repartition; rows stream to
+    * archives exactly as [[write]].
+    *
+    * Shard naming rides the ASSIGNED shard id, not the partition id,
+    * and each task writes one tar per CONSECUTIVE shard-id run after
+    * a within-partition sort — so a hash collision in
+    * `repartition(nShards, shard)` (two shard ids landing in one
+    * partition) still yields every shard its own correctly-named,
+    * correctly-sized tar. Assignment and within-shard entry order
+    * (key asc) are deterministic, so retries stay byte-identical and
+    * the [[writeShard]] temp-name commit discipline applies
+    * unchanged. Actual tar sizes run ~1–10 KB over the estimate per
+    * shard (EOF blocks + record padding are not in the estimate).
+    *
+    * Sample keys must be unique corpus-wide (already the WebDataset
+    * read-side contract — duplicate adjacent keys would merge into
+    * one sample and refuse on the duplicate field). Returns nShards.
+    */
+  def writeSized(df: DataFrame, keyCol: String,
+                 fields: Seq[(String, String)], dir: String,
+                 targetShardBytes: Long = 256L << 20): Int = {
+    require(fields.nonEmpty, "tar write needs >= 1 field column")
+    require(targetShardBytes >= (64L << 10),
+      s"targetShardBytes $targetShardBytes < 64 KiB — tar fixed " +
+        "overhead would dominate every shard")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val entryCost = fields.map { case (_, c) =>
+      val len = length(col(c).cast("binary")).cast("long")
+      when(col(c).isNull, lit(0L))
+        .otherwise(lit(512L) +
+          floor((len + lit(511L)) / lit(512L)).cast("long") * lit(512L))
+    }.reduce(_ + _)
+    val withBytes = df.withColumn("__bytes", entryCost)
+    val totalRow = withBytes.agg(sum(col("__bytes"))).head()
+    require(!totalRow.isNullAt(0),
+      "tar writeSized: empty input — nothing to shard")
+    val total = totalRow.getLong(0)
+    val nShards = math.max(1L,
+      (total + targetShardBytes - 1) / targetShardBytes)
+    require(nShards <= 1000000L,
+      s"tar writeSized: $total B at $targetShardBytes B/shard = " +
+        s"$nShards shards — raise targetShardBytes")
+    val assigned = graft.operators.Packing.balancedShards(
+      withBytes, keyCol, col("__bytes"), nShards.toInt)
+    val exts = fields.map(_._1)
+    val (f0, p0) = fsFor(spark, dir)
+    f0.mkdirs(p0)
+    refuseStaleShards(f0, p0, dir)
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    assigned
+      .select(col("shard") +: col(keyCol).cast("string").as("__k") +:
+        fields.map { case (_, c) => col(c).cast("binary") }: _*)
+      .repartition(nShards.toInt, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__k"))
+      .map { r =>
+        (r.getLong(0), r.getString(1),
+          (2 until 2 + exts.size).map(i =>
+            if (r.isNullAt(i)) null else r.getAs[Array[Byte]](i)))
+      }
+      .foreachPartition {
+        it: Iterator[(Long, String, Seq[Array[Byte]])] =>
+        if (it.hasNext) {
+          val tc = org.apache.spark.TaskContext.get()
+          val buf = it.buffered
+          while (buf.hasNext) {
+            val sid = buf.head._1
+            val group =
+              new scala.collection.AbstractIterator[
+                  (String, Seq[Array[Byte]])] {
+                override def hasNext: Boolean =
+                  buf.hasNext && buf.head._1 == sid
+                override def next(): (String, Seq[Array[Byte]]) = {
+                  val r = buf.next(); (r._2, r._3)
+                }
+              }
+            writeShard(conf.value, dir, sid.toInt,
+              tc.taskAttemptId(), exts, group)
+          }
+        }
+      }
+    nShards.toInt
+  }
+
+  private def refuseStaleShards(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, dir: String): Unit = {
+    val stale = fs.globStatus(
+      new org.apache.hadoop.fs.Path(p, "shard-*.tar"))
+    require(stale == null || stale.isEmpty,
+      s"${if (stale == null) 0 else stale.length} shard-*.tar " +
+        s"file(s) already exist under $dir — refusing to mix shard " +
+        "generations " +
+        "(a rerun with a different partition count would leave stale " +
+        "shards that samples() silently reads as duplicate data); " +
+        "write to a fresh dir or clean the old shards first")
   }
 
   /** One task's shard write: stream rows into an attempt-suffixed
@@ -225,6 +325,10 @@ object TarShards {
         exts.zip(vals).foreach { case (ext, bytes) =>
           if (bytes != null) {
             val e = new TarArchiveEntry(s"$key.$ext")
+            // pin mtime: TarArchiveEntry defaults to wall-clock NOW,
+            // which makes archives non-reproducible — retries,
+            // speculative attempts and re-runs must be byte-identical
+            e.setModTime(0L)
             e.setSize(bytes.length.toLong)
             out.putArchiveEntry(e)
             out.write(bytes)

@@ -273,4 +273,78 @@ class TarShardsSpec extends AnyFunSuite with SparkSpec {
     assert(got.get("fs.s3a.endpoint") == "https://example-endpoint")
     assert(got.get("graft.test.marker") == "42")
   }
+
+  test("writeSized: byte-targeted shards — shard count from the " +
+      "exact entry-cost estimate, balanced sizes, lossless round " +
+      "trip, shard-id naming robust to repartition hash collisions") {
+    // 240 samples × (512 header + 512 padded content) ≈ 240 KiB;
+    // target 64 KiB → 4 shards
+    val rows = (0 until 240).map { i =>
+      (f"k$i%04d", ("x" * (100 + i % 50)).getBytes("UTF-8"))
+    }
+    val df = rows.toDF("id", "payload").repartition(7)
+    val dir = tmpDir() + "/sized"
+    val n = TarShards.writeSized(df, "id",
+      Seq("bin" -> "payload"), dir, targetShardBytes = 64L << 10)
+    assert(n == 4, s"expected 4 shards, got $n")
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("shard-\\d{5}\\.tar")).sortBy(_.getName)
+    assert(files.map(_.getName).toSeq ==
+      (0 until n).map(i => f"shard-$i%05d.tar"))
+    // balance: every shard within ±20% of the mean archive size
+    val sizes = files.map(_.length())
+    val mean = sizes.sum.toDouble / sizes.length
+    sizes.foreach { s =>
+      assert(math.abs(s - mean) / mean < 0.2,
+        s"unbalanced shard sizes ${sizes.toSeq}")
+    }
+    // round trip: every sample back, bytes exact
+    val back = TarShards.samples(spark, s"$dir/*.tar")
+      .select(col("key"), col("fields").getItem("bin").as("b"))
+      .as[(String, Array[Byte])].collect()
+      .map { case (k, b) => k -> new String(b, "UTF-8") }.toMap
+    assert(back.size == 240)
+    rows.foreach { case (k, payload) =>
+      assert(back(k) == new String(payload, "UTF-8"))
+    }
+  }
+
+  test("writeSized: deterministic across runs and input " +
+      "partitionings (byte-identical archives); refusals — empty " +
+      "input, sub-64KiB target, stale shards") {
+    val rows = (0 until 60).map(i => (s"d$i", s"text-$i" * 20))
+    val d1 = tmpDir() + "/a"
+    val d2 = tmpDir() + "/b"
+    TarShards.writeSized(rows.toDF("id", "txt").repartition(3),
+      "id", Seq("txt" -> "txt"), d1, targetShardBytes = 64L << 10)
+    TarShards.writeSized(rows.toDF("id", "txt").repartition(11),
+      "id", Seq("txt" -> "txt"), d2, targetShardBytes = 64L << 10)
+    def digests(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+      .map { f =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        f.getName -> md.digest(
+          java.nio.file.Files.readAllBytes(f.toPath)).toSeq
+      }.toSeq
+    assert(digests(d1) == digests(d2),
+      "partitioning changed the written archives")
+
+    val empty = rows.toDF("id", "txt").filter(lit(false))
+    val e1 = intercept[IllegalArgumentException] {
+      TarShards.writeSized(empty, "id", Seq("txt" -> "txt"),
+        tmpDir() + "/e", targetShardBytes = 64L << 10)
+    }
+    assert(e1.getMessage.contains("empty input"))
+    val e2 = intercept[IllegalArgumentException] {
+      TarShards.writeSized(rows.toDF("id", "txt"), "id",
+        Seq("txt" -> "txt"), tmpDir() + "/f",
+        targetShardBytes = 1024L)
+    }
+    assert(e2.getMessage.contains("64 KiB"))
+    val e3 = intercept[IllegalArgumentException] {
+      TarShards.writeSized(rows.toDF("id", "txt"), "id",
+        Seq("txt" -> "txt"), d1, targetShardBytes = 64L << 10)
+    }
+    assert(e3.getMessage.contains("shard generations"))
+  }
 }
