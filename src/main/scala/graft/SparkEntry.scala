@@ -2144,6 +2144,44 @@ object SparkEntry {
         .orderBy(col("lang"), col("check_name"))
     }),
 
+    // Robust per-group outlier report: one source's doc lengths are
+    // inflated ×13 in-query, and the report must flag exactly that
+    // source by median/MAD z-score — selection statistics, so every
+    // number (group means from exact integer sums, the interpolated
+    // median, MAD, z) replays bit-identically in DuckDB. The
+    // baseline-free "WHICH slice is anomalous vs its peers" report
+    // next to the baseline-relative d43 driftReport.
+    "d49_outlier_report" -> ((s, d) => {
+      val mutated = t(s, d, "documents").withColumn("len",
+        when(col("source") === "src7", col("n_chars") * 13)
+          .otherwise(col("n_chars")))
+      operators.Drift.outlierReport(mutated, Seq("source"), "len")
+        .select(col("source"), col("n_rows"), col("n_null"),
+          col("mean_value"), col("z"),
+          col("is_outlier").cast("int").as("is_outlier"))
+        .orderBy(col("source"))
+    }),
+
+    // Single-pass column profiler (the Deequ discovery half): one
+    // aggregation over documents → one row per column with dtype,
+    // completeness, KMV distinct (k = 65536 ≥ distinct through
+    // sf0.1 — exact), numeric envelope + mean, and string top values
+    // by Misra–Gries (capacity 16384 ≥ distinct texts at sf0.1 —
+    // exact, ties value-asc in both engines' shared binary UTF-8
+    // order). top_values ride as a '|'-joined string (cross-engine
+    // array hashing not worth trusting); every stat replayed by the
+    // oracle.
+    "v3_profile" -> ((s, d) =>
+      operators.Validate.profile(t(s, d, "documents"),
+          k = 65536, topK = 32, mgCapacity = 16384)
+        .select(col("column_name"), col("dtype"), col("n_rows"),
+          col("n_null"), col("completeness"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          col("distinct_frac"), col("min_value"), col("max_value"),
+          col("mean_value"),
+          array_join(col("top_values"), "|").as("top_vals"))
+        .orderBy(col("column_name"))),
+
     // KMV bottom-k sketch, per-group distinct counts: k = 4096
     // exceeds every group's true distinct count at the gate sf, so
     // the sketch holds the complete distinct hash set and the
@@ -3902,6 +3940,91 @@ object SparkEntry {
         |    round(n::DOUBLE, 6),
         |    CASE WHEN n >= 100 THEN 1 ELSE 0 END FROM m
         |) ORDER BY check_name""".stripMargin,
+
+    "d49_outlier_report" ->
+      """WITH v AS (
+        |  SELECT source,
+        |    CASE WHEN source = 'src7' THEN n_chars * 13
+        |         ELSE n_chars END AS len
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, count(*) AS n_rows,
+        |    count(len) AS nn,
+        |    sum(len)::DOUBLE / count(len) AS m
+        |  FROM v GROUP BY source),
+        |s AS (SELECT quantile_cont(m, 0.5) AS med FROM g),
+        |d AS (SELECT quantile_cont(abs(m - (SELECT med FROM s)), 0.5)
+        |        AS mad FROM g)
+        |SELECT source, n_rows, n_rows - nn AS n_null,
+        |  round(m, 6) AS mean_value,
+        |  round((m - (SELECT med FROM s))
+        |    / (1.4826 * (SELECT mad FROM d)), 6) AS z,
+        |  CASE WHEN abs(round((m - (SELECT med FROM s))
+        |    / (1.4826 * (SELECT mad FROM d)), 6)) > 3.5
+        |    THEN 1 ELSE 0 END AS is_outlier
+        |FROM g ORDER BY source""".stripMargin,
+
+    "v3_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS column_name, 'bigint' AS dtype,
+        |    count(*) AS n_rows,
+        |    count(*) - count(doc_id) AS n_null,
+        |    round(count(doc_id)::DOUBLE / count(*), 6)
+        |      AS completeness,
+        |    COUNT(DISTINCT doc_id) AS n_distinct,
+        |    round(COUNT(DISTINCT doc_id)::DOUBLE / count(doc_id), 6)
+        |      AS distinct_frac,
+        |    min(doc_id)::DOUBLE AS min_value,
+        |    max(doc_id)::DOUBLE AS max_value,
+        |    round(sum(doc_id)::DOUBLE / count(doc_id), 6)
+        |      AS mean_value,
+        |    NULL::VARCHAR AS top_vals
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', 'bigint', count(*),
+        |    count(*) - count(n_chars),
+        |    round(count(n_chars)::DOUBLE / count(*), 6),
+        |    COUNT(DISTINCT n_chars),
+        |    round(COUNT(DISTINCT n_chars)::DOUBLE / count(n_chars), 6),
+        |    min(n_chars)::DOUBLE, max(n_chars)::DOUBLE,
+        |    round(sum(n_chars)::DOUBLE / count(n_chars), 6),
+        |    NULL::VARCHAR
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text', 'string', count(*), count(*) - count(text),
+        |    round(count(text)::DOUBLE / count(*), 6),
+        |    COUNT(DISTINCT text),
+        |    round(COUNT(DISTINCT text)::DOUBLE / count(text), 6),
+        |    NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+        |    (SELECT string_agg(v, '|' ORDER BY n DESC, v) FROM
+        |      (SELECT text AS v, count(*) AS n FROM documents
+        |       WHERE text IS NOT NULL GROUP BY 1
+        |       ORDER BY n DESC, v LIMIT 32) q)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', 'string', count(*), count(*) - count(lang),
+        |    round(count(lang)::DOUBLE / count(*), 6),
+        |    COUNT(DISTINCT lang),
+        |    round(COUNT(DISTINCT lang)::DOUBLE / count(lang), 6),
+        |    NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+        |    (SELECT string_agg(v, '|' ORDER BY n DESC, v) FROM
+        |      (SELECT lang AS v, count(*) AS n FROM documents
+        |       WHERE lang IS NOT NULL GROUP BY 1
+        |       ORDER BY n DESC, v LIMIT 32) q)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', 'string', count(*),
+        |    count(*) - count(source),
+        |    round(count(source)::DOUBLE / count(*), 6),
+        |    COUNT(DISTINCT source),
+        |    round(COUNT(DISTINCT source)::DOUBLE / count(source), 6),
+        |    NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+        |    (SELECT string_agg(v, '|' ORDER BY n DESC, v) FROM
+        |      (SELECT source AS v, count(*) AS n FROM documents
+        |       WHERE source IS NOT NULL GROUP BY 1
+        |       ORDER BY n DESC, v LIMIT 32) q)
+        |  FROM documents
+        |) ORDER BY column_name""".stripMargin,
 
     "v2_validate_by" ->
       """WITH m AS (

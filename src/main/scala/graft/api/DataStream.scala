@@ -1007,10 +1007,42 @@ final case class DataStream(
   def validationMonitor(checks: Seq[graft.operators.Validate.Check],
                         length: String,
                         slide: Option[String] = None,
-                        by: Seq[String] = Seq.empty): DataStream = {
+                        by: Seq[String] = Seq.empty): DataStream =
+    finishValidation(window(by.map(col),
+      graft.operators.Validate.suiteAggs(checks), length, slide),
+      checks, by)
+
+  /** [[validationMonitor]] over gap-merged SESSION windows — one
+    * verdict set per activity burst (the monitor family's session
+    * spelling): every check's aggregates merge as open sessions
+    * merge (counts add, min/max fold, KMV sketches union), so
+    * per-open-session state stays the suite's bounded sum. Same
+    * constant-key caveat as [[distinctMonitorSession]] when `by` is
+    * empty.
+    */
+  def validationMonitorSession(
+      checks: Seq[graft.operators.Validate.Check], gap: String,
+      by: Seq[String] = Seq.empty): DataStream = {
+    require(checks.nonEmpty, "validate: empty check suite")
+    val anchor = checks.collectFirst {
+      case c if c.columnName != "*" => c.columnName
+    }.getOrElse(eventTimeCol)
+    finishValidation(sessionWindow(monitorSessionKeys(anchor, by),
+      graft.operators.Validate.suiteAggs(checks), gap), checks, by)
+  }
+
+  /** [[graft.operators.Validate.severity]] over this frame — alert/
+    * warn/ok per validation row; chains onto a streaming
+    * `validationMonitor` before its sink like [[alarms]] does for
+    * the monitor family.
+    */
+  def validationSeverity(): DataStream =
+    next(graft.operators.Validate.severity(df))
+
+  private def finishValidation(monitored: DataStream,
+      checks: Seq[graft.operators.Validate.Check],
+      by: Seq[String]): DataStream = {
     import graft.operators.Validate
-    val monitored = window(by.map(col), Validate.suiteAggs(checks),
-      length, slide)
     val exploded = monitored.df.select(
       Seq(col("window_start_time"), col("window_end_time")) ++
         by.map(col) :+ Validate.reportEntries(checks): _*)

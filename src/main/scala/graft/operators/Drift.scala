@@ -373,6 +373,64 @@ object Drift {
       round(lit(1.0) - cos, 6).as(s"${outPrefix}centroid_drift"))
   }
 
+  /** Robust per-group OUTLIER report — "which source/language/shard
+    * is anomalous against its peers", no baseline needed (the
+    * baseline-relative question is [[driftReport]]): compute each
+    * group's mean of `valueCol` (one aggregation pass), then grade
+    * every group's mean by the robust z-score against the ACROSS-
+    * GROUP distribution — (mean − median) / (1.4826 · MAD), the
+    * classic median/MAD rule (Iglewicz & Hoaglin; 1.4826 makes MAD
+    * consistent with σ under normality), with |z| > `zThreshold`
+    * flagged (3.5 is the textbook default).
+    *
+    * Median and MAD deliberately replace mean/σ twice over: they are
+    * robust (one broken source cannot drag the reference the way it
+    * drags a mean), and they are SELECTION statistics — exact linear
+    * interpolation over sorted values, no floating-point summation
+    * order anywhere — so for integer-valued columns the whole report
+    * is bit-identical cross-engine (hash-gated; double columns carry
+    * the usual per-group-sum last-ulp caveat).
+    *
+    * Scale: group means are one partial-combined aggregation; the
+    * two percentile passes run over the GROUP table (one row per
+    * source — small by construction) and ship back two scalar
+    * literals; nothing row-scale leaves the executors. Groups with
+    * zero non-null values emit with null mean/z, never vanish;
+    * MAD = 0 (at least half the groups share the median mean) makes
+    * every z null with `is_outlier` false — grade those corpora with
+    * [[driftReport]] instead, a spread that degenerate needs a
+    * baseline, not a peer comparison.
+    */
+  def outlierReport(df: DataFrame, groupCols: Seq[String],
+                    valueCol: String,
+                    zThreshold: Double = 3.5): DataFrame = {
+    require(groupCols.nonEmpty,
+      "outlierReport needs >= 1 group column")
+    require(zThreshold > 0, s"zThreshold must be > 0, got $zThreshold")
+    val g = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col(valueCol)).as("__nn"),
+        (sum(col(valueCol)).cast("double") / count(col(valueCol)))
+          .as("__mean"))
+    // two 1-row actions over the bounded group table (never the
+    // corpus): the across-group median, then the MAD around it
+    val medRow = g.agg(percentile(col("__mean"), lit(0.5))).head()
+    require(!medRow.isNullAt(0),
+      s"outlierReport: no group has a non-null '$valueCol' mean")
+    val med = medRow.getDouble(0)
+    val mad = g.agg(percentile(abs(col("__mean") - lit(med)),
+      lit(0.5))).head().getDouble(0)
+    val z =
+      if (mad == 0.0) lit(null).cast("double")
+      else round((col("__mean") - lit(med)) / lit(1.4826 * mad), 6)
+    g.select(groupCols.map(col) ++ Seq(col("n_rows"),
+      (col("n_rows") - col("__nn")).as("n_null"),
+      round(col("__mean"), 6).as("mean_value"),
+      z.as("z"),
+      when(z.isNull, lit(false)).otherwise(abs(z) > lit(zThreshold))
+        .as("is_outlier")): _*)
+  }
+
   /** The B+2 bounded-state aggregate columns every drift spelling
     * shares: total rows, non-null rows, one conditional count per
     * bucket.

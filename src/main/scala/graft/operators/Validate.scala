@@ -277,6 +277,166 @@ object Validate {
     count(lit(1)).as("__n") +:
       checks.zipWithIndex.flatMap { case (c, i) => c.aggs(s"_$i") }
 
+  /** Single-pass column PROFILER — the discovery half of the Deequ
+    * design (profile a drop once, then hold every future drop to the
+    * contract the profile suggests): one aggregation pass over all
+    * profiled columns emitting one row per column with `dtype`,
+    * `n_rows`/`n_null`/`completeness`, the KMV distinct estimate and
+    * distinct fraction (exact while true distinct ≤ k), numeric
+    * `min_value`/`max_value`/`mean_value` (null for non-numerics —
+    * string min/max deliberately NOT profiled: collation orders
+    * differ across engines), and for string columns the top values
+    * by Misra–Gries bounded summary (`top_values`, ≤ topK by
+    * (count desc, value asc); exact while distinct ≤ capacity).
+    * State per column: one ≤ k sketch + one ≤ capacity summary +
+    * a handful of scalars — a 100-column profile of 100 TB is still
+    * one scan and one tiny exchange.
+    */
+  def profile(df: DataFrame, cols: Seq[String] = Seq.empty,
+              k: Int = 16384, topK: Int = 32,
+              mgCapacity: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(topK <= mgCapacity,
+      s"topK $topK > mgCapacity $mgCapacity — the summary cannot " +
+        "hold the requested top set")
+    val targets = if (cols.isEmpty) df.columns.toSeq else cols
+    require(targets.nonEmpty, "profile: no columns")
+    val fieldByName = df.schema.fields.map(f => f.name -> f).toMap
+    targets.foreach(c => require(fieldByName.contains(c),
+      s"profile: no column '$c' in ${df.columns.toSeq}"))
+    def isNum(dt: DataType) = dt.isInstanceOf[NumericType]
+    def isStr(dt: DataType) = dt == StringType
+    val aggCols = count(lit(1)).as("__n") +: targets.zipWithIndex
+      .flatMap { case (c, i) =>
+        val dt = fieldByName(c).dataType
+        Seq(count(col(c)).as(s"__c$i"),
+          Sketches.kmvSketch(col(c), k).as(s"__k$i")) ++
+          (if (isNum(dt)) Seq(
+            min(col(c)).cast("double").as(s"__mn$i"),
+            max(col(c)).cast("double").as(s"__mx$i"),
+            sum(col(c)).cast("double").as(s"__s$i"))
+          else Seq.empty) ++
+          (if (isStr(dt)) Seq(
+            graft.functions.freq_sketch(col(c), mgCapacity)
+              .as(s"__f$i"))
+          else Seq.empty)
+      }
+    val agged = df.agg(aggCols.head, aggCols.drop(1): _*)
+    val entries = targets.zipWithIndex.map { case (c, i) =>
+      val dt = fieldByName(c).dataType
+      val n = col("__n")
+      val nn = col(s"__c$i")
+      val dist = Sketches.kmvDistinct(col(s"__k$i"), k)
+      val nullD = lit(null).cast("double")
+      val (mn, mx, mean) =
+        if (isNum(dt)) (col(s"__mn$i"), col(s"__mx$i"),
+          when(nn === 0, nullD).otherwise(col(s"__s$i") / nn))
+        else (nullD, nullD, nullD)
+      val tops =
+        if (isStr(dt))
+          transform(slice(array_sort(transform(
+            map_entries(col(s"__f$i.items")),
+            e => struct((-e.getField("value")).as("negc"),
+              e.getField("key").as("item")))), 1, topK),
+            s => s.getField("item"))
+        else lit(null).cast("array<string>")
+      struct(lit(c).as("column_name"),
+        lit(dt.simpleString).as("dtype"),
+        n.as("n_rows"), (n - nn).as("n_null"),
+        when(n === 0, nullD).otherwise(
+          round(nn.cast("double") / n, 6)).as("completeness"),
+        when(nn === 0, lit(0.0)).otherwise(round(dist, 6))
+          .as("n_distinct"),
+        when(nn === 0, nullD).otherwise(round(dist / nn, 6))
+          .as("distinct_frac"),
+        mn.as("min_value"), mx.as("max_value"),
+        round(mean, 6).as("mean_value"),
+        tops.as("top_values"))
+    }
+    agged.select(explode(array(entries: _*)).as("__p"))
+      .select(col("__p.*"))
+  }
+
+  /** Rule-based check SUGGESTION over a [[profile]] — the Deequ
+    * constraint-suggestion idea: profile one healthy drop, emit the
+    * suite that pins its observed shape, run that suite on every
+    * later drop. Rules (each guaranteed to PASS on the profiled
+    * frame itself — spec-pinned):
+    *  - complete column → `Completeness(c, 1.0)`; partially complete
+    *    (≥ minCompleteness) → completeness floored to 2 decimals;
+    *  - fully distinct + complete column (exact KMV regime) →
+    *    `Uniqueness(c, 1.0)`;
+    *  - numeric column → `FracBetween(c, min, max, 1.0)` (the
+    *    observed envelope);
+    *  - string column whose full value set fit the top-K summary →
+    *    `InSet(c, values, 1.0)`;
+    *  - `SizeAtLeast(max(1, n_rows/2))` — a drop HALF the profiled
+    *    size is worth an alarm, an empty one always is.
+    * The suggestions are a starting contract, not a verdict — loosen
+    * thresholds where drops legitimately vary.
+    */
+  def suggestChecks(df: DataFrame, cols: Seq[String] = Seq.empty,
+                    k: Int = 16384, topK: Int = 32,
+                    mgCapacity: Int = 4096,
+                    minCompleteness: Double = 0.5): Seq[Check] = {
+    val rows = profile(df, cols, k, topK, mgCapacity)
+      .collect() // bounded artifact: one row per profiled column
+    val nRows = if (rows.isEmpty) 0L else rows.head.getAs[Long]("n_rows")
+    val checks = scala.collection.mutable.ArrayBuffer[Check]()
+    rows.foreach { r =>
+      val c = r.getAs[String]("column_name")
+      val completeness =
+        Option(r.getAs[java.lang.Double]("completeness"))
+          .map(_.doubleValue())
+      completeness.foreach { comp =>
+        if (comp >= 1.0) checks += Completeness(c, 1.0)
+        else if (comp >= minCompleteness)
+          checks += Completeness(c, math.floor(comp * 100) / 100)
+      }
+      val distinctFrac =
+        Option(r.getAs[java.lang.Double]("distinct_frac"))
+          .map(_.doubleValue())
+      if (completeness.contains(1.0) && distinctFrac.exists(_ >= 1.0))
+        checks += Uniqueness(c, 1.0, k)
+      val mn = Option(r.getAs[java.lang.Double]("min_value"))
+      val mx = Option(r.getAs[java.lang.Double]("max_value"))
+      (mn, mx) match {
+        case (Some(lo), Some(hi)) =>
+          checks += FracBetween(c, lo, hi, 1.0)
+        case _ => ()
+      }
+      val topIdx = r.fieldIndex("top_values")
+      val tops =
+        if (r.isNullAt(topIdx)) None
+        else Some(r.getSeq[String](topIdx).toSeq)
+      val nDistinct = r.getAs[Double]("n_distinct")
+      tops.foreach { vs =>
+        // the whole value set fit the summary → pin it
+        if (vs.nonEmpty && nDistinct <= vs.size && vs.size < topK)
+          checks += InSet(c, vs.sorted, 1.0)
+      }
+    }
+    checks += SizeAtLeast(math.max(1L, nRows / 2))
+    checks.toSeq
+  }
+
+  /** Alarm grading over a validation report (batch or streaming):
+    * `severity` = "alert" for a FAILED check, "warn" for an UNKNOWN
+    * verdict (null passed — empty window / all-null column: the
+    * drop's shape is off even if no threshold strictly failed),
+    * "ok" otherwise — so validation rows feed the same alerting
+    * sink as the monitor family's [[Drift.alarms]] output. Pure
+    * stateless projection; refuses frames without a `passed` column.
+    */
+  def severity(df: DataFrame): DataFrame = {
+    require(df.columns.contains("passed"),
+      "severity: no 'passed' column — apply to a Validate.report / " +
+        "validationMonitor output")
+    df.withColumn("severity",
+      when(col("passed").isNull, "warn")
+        .when(col("passed"), "ok").otherwise("alert"))
+  }
+
   /** Gate form: run the suite and THROW (IllegalStateException
     * listing every failed/unknown check with its value) unless all
     * checks pass — `Validate.assertPassed(drop, suite)` before

@@ -641,4 +641,59 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("SAME k"))
   }
+
+  test("outlierReport: median/MAD z-scores hand-computed; the " +
+      "planted outlier group flags, its peers don't; all-null group " +
+      "emits with null z; MAD=0 and refusal edges") {
+    // 5 groups with means 10, 12, 14, 16, 1000 → median 14,
+    // MAD = median(|m-14|) = median(4,2,0,2,986) = 2
+    // z(g5) = (1000-14)/(1.4826*2) = 332.52…, z(g1) = -1.348846
+    val rows =
+      Seq(("g1", 9L), ("g1", 11L), ("g2", 12L), ("g3", 14L),
+        ("g4", 16L), ("g5", 1000L)) ++
+      Seq(("g6", 0L)) // placeholder for the all-null group below
+    val df = rows.toDF("src", "v")
+      .withColumn("v", when($"src" === "g6",
+        lit(null).cast("long")).otherwise($"v"))
+    val rep = Drift.outlierReport(df, Seq("src"), "v")
+      .orderBy("src").collect()
+    val byG = rep.map(r => r.getAs[String]("src") -> r).toMap
+    assert(byG("g5").getAs[Boolean]("is_outlier"))
+    Seq("g1", "g2", "g3", "g4").foreach { g =>
+      assert(!byG(g).getAs[Boolean]("is_outlier"), s"$g flagged")
+    }
+    assert(byG("g3").getAs[Double]("z") == 0.0)
+    assert(byG("g1").getAs[Double]("z") ==
+      round6((10.0 - 14.0) / (1.4826 * 2.0)))
+    assert(byG("g5").getAs[Double]("z") ==
+      round6((1000.0 - 14.0) / (1.4826 * 2.0)))
+    // the all-null group emits, with null mean/z and no flag
+    val g6 = byG("g6")
+    assert(g6.getAs[Long]("n_null") == 1)
+    assert(g6.isNullAt(g6.fieldIndex("mean_value")) &&
+      g6.isNullAt(g6.fieldIndex("z")) &&
+      !g6.getAs[Boolean]("is_outlier"))
+
+    // MAD = 0 (≥ half the groups at the median): z null everywhere,
+    // nothing flags — peer comparison is meaningless at that spread
+    val flat = Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 99L))
+      .toDF("src", "v")
+    val flatRep = Drift.outlierReport(flat, Seq("src"), "v").collect()
+    assert(flatRep.forall(r => r.isNullAt(r.fieldIndex("z")) &&
+      !r.getAs[Boolean]("is_outlier")))
+
+    intercept[IllegalArgumentException] {
+      Drift.outlierReport(df, Seq.empty, "v")
+    }
+    intercept[IllegalArgumentException] {
+      Drift.outlierReport(df, Seq("src"), "v", zThreshold = 0.0)
+    }
+    // a frame with NO non-null values anywhere refuses (no median)
+    val allNull = Seq(("a", 1L)).toDF("src", "v")
+      .withColumn("v", lit(null).cast("long"))
+    val e2 = intercept[IllegalArgumentException] {
+      Drift.outlierReport(allNull, Seq("src"), "v")
+    }
+    assert(e2.getMessage.contains("no group"))
+  }
 }

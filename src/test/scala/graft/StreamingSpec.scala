@@ -967,6 +967,47 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("validationMonitorSession: one verdict set per gap-merged " +
+      "burst; aggregates merge as sessions merge; severity grades " +
+      "alert/warn/ok on the way to the sink") {
+    import graft.operators.Validate._
+    val input = MemoryStream[NullableMeasurement](spark)
+    val ds = DataStream(
+      input.toDF.withColumn("ts", timestamp_millis($"occurred_at_ms")),
+      "ts")
+    val q = ds.validationMonitorSession(Seq(
+        Completeness("reading", 0.9), SizeAtLeast(3)), "5 seconds")
+      .validationSeverity()
+      .sinkMemory("validate_sess_out")
+    try {
+      // burst 1 [0, 11s): 4 rows, one null reading → completeness
+      // 0.75 FAIL (alert), size 4 pass (ok)
+      input.addData(
+        NullableMeasurement(0, "a", Some(1.0)),
+        NullableMeasurement(3000, "a", None),
+        NullableMeasurement(6000, "b", Some(2.0)),
+        NullableMeasurement(6000, "c", Some(3.0)))
+      // burst 2 [20, 26s): 2 complete rows → completeness pass,
+      // size 2 < 3 FAIL
+      input.addData(
+        NullableMeasurement(20000, "d", Some(1.0)),
+        NullableMeasurement(21000, "e", Some(2.0)))
+      q.processAllAvailable()
+      input.addData(NullableMeasurement(90000, "z", Some(0.0)))
+      q.processAllAvailable()
+      val got = spark.table("validate_sess_out")
+        .orderBy("window_start_time", "check_name")
+        .select($"window_start_time".cast("long"), $"check_name",
+          $"value", $"passed", $"severity")
+        .as[(Long, String, Double, Boolean, String)].collect().toList
+      assert(got == List(
+        (0L, "completeness(reading)", 0.75, false, "alert"),
+        (0L, "size()", 4.0, true, "ok"),
+        (20L, "completeness(reading)", 1.0, true, "ok"),
+        (20L, "size()", 2.0, false, "alert")))
+    } finally q.stop()
+  }
+
   test("validationMonitor keyed (by): per-(window, sensor) verdicts — " +
       "one sensor's nulls cannot fail another's completeness") {
     import graft.operators.Validate._

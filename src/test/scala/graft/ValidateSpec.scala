@@ -178,6 +178,124 @@ class ValidateSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("unknown"))
   }
 
+  test("profile: one row per column, hand-computed stats — dtype, " +
+      "completeness, exact distinct, numeric envelope, string top " +
+      "values by (count desc, value asc); non-applicable stats null") {
+    val p = Validate.profile(fixture()).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(p.size == 5)
+
+    val id = p("id")
+    assert(id.getAs[String]("dtype") == "bigint")
+    assert(id.getAs[Long]("n_rows") == 8 &&
+      id.getAs[Long]("n_null") == 0)
+    assert(id.getAs[Double]("completeness") == 1.0)
+    assert(id.getAs[Double]("n_distinct") == 8.0)
+    assert(id.getAs[Double]("distinct_frac") == 1.0)
+    assert(id.getAs[Double]("min_value") == 1.0 &&
+      id.getAs[Double]("max_value") == 8.0 &&
+      id.getAs[Double]("mean_value") == 4.5)
+    assert(id.isNullAt(id.fieldIndex("top_values")),
+      "numeric columns have no top_values")
+
+    val txt = p("txt")
+    assert(txt.getAs[Double]("completeness") == 0.75)
+    assert(txt.getAs[Double]("n_distinct") == 6.0)
+    assert(txt.getAs[Double]("distinct_frac") == 1.0)
+    assert(txt.isNullAt(txt.fieldIndex("min_value")) &&
+      txt.isNullAt(txt.fieldIndex("mean_value")))
+    // all counts 1 → pure value-asc order
+    assert(txt.getSeq[String](txt.fieldIndex("top_values")).toSeq ==
+      Seq("alpha", "beta", "delta", "epsilon", "gamma", "zeta"))
+
+    val lang = p("lang")
+    assert(lang.getAs[Double]("completeness") == 0.875)
+    assert(lang.getAs[Double]("n_distinct") == 3.0)
+    // en×3, de×3, xx×1 → tie at 3 broken value-asc
+    assert(lang.getSeq[String](lang.fieldIndex("top_values")).toSeq ==
+      Seq("de", "en", "xx"))
+
+    val len = p("len")
+    assert(len.getAs[Double]("min_value") == 10.0 &&
+      len.getAs[Double]("max_value") == 250.0 &&
+      len.getAs[Double]("mean_value") == 66.25)
+
+    // column subset + unknown column refusal + topK cap
+    assert(Validate.profile(fixture(), Seq("id", "lang")).count() == 2)
+    intercept[IllegalArgumentException] {
+      Validate.profile(fixture(), Seq("nope"))
+    }
+    val capped = Validate.profile(fixture(), Seq("txt"), topK = 2)
+      .collect().head
+    assert(capped.getSeq[String](capped.fieldIndex("top_values")).toSeq ==
+      Seq("alpha", "beta"))
+  }
+
+  test("profile: empty frame and all-null column — null completeness/" +
+      "stats rather than garbage; n_distinct reads 0") {
+    val empty = fixture().filter(lit(false))
+    val pe = Validate.profile(empty, Seq("id", "txt")).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(pe("id").getAs[Long]("n_rows") == 0)
+    assert(pe("id").isNullAt(pe("id").fieldIndex("completeness")))
+    assert(pe("id").getAs[Double]("n_distinct") == 0.0)
+    val allNull = Seq[(Long, Option[String])]((1L, None), (2L, None))
+      .toDF("id", "txt")
+    val pn = Validate.profile(allNull, Seq("txt")).collect().head
+    assert(pn.getAs[Double]("completeness") == 0.0)
+    assert(pn.getAs[Double]("n_distinct") == 0.0)
+    assert(pn.isNullAt(pn.fieldIndex("distinct_frac")))
+    assert(pn.getSeq[String](pn.fieldIndex("top_values")).toSeq == Seq.empty)
+  }
+
+  test("suggestChecks: the suggested contract PASSES on the profiled " +
+      "frame itself, and encodes the observed shape — key uniqueness, " +
+      "numeric envelopes, small value sets, size floor") {
+    val suite = Validate.suggestChecks(fixture())
+    // the central property: profile a healthy drop, its suggestions
+    // hold on that very drop
+    Validate.assertPassed(fixture(), suite)
+    val byName = suite.map(c => c.name -> c).toMap
+    assert(byName.contains("uniqueness(id)"),
+      "complete fully-distinct column must suggest a key check")
+    assert(!suite.exists(_.name == "uniqueness(txt)"),
+      "a column with nulls is not a key")
+    assert(byName("completeness(id)")
+      .asInstanceOf[Completeness].minFrac == 1.0)
+    assert(byName("completeness(txt)")
+      .asInstanceOf[Completeness].minFrac == 0.75)
+    val lenRange = byName("between(len)").asInstanceOf[FracBetween]
+    assert(lenRange.lo == 10.0 && lenRange.hi == 250.0 &&
+      lenRange.minFrac == 1.0)
+    val langSet = byName("in_set(lang)").asInstanceOf[InSet]
+    assert(langSet.values == Seq("de", "en", "xx"))
+    assert(byName("size()").asInstanceOf[SizeAtLeast].atLeast == 4L)
+    // a later drop that breaks the envelope fails the suggested suite
+    val drifted = fixture().withColumn("len", col("len") * 100)
+    intercept[IllegalStateException] {
+      Validate.assertPassed(drifted, suite)
+    }
+  }
+
+  test("severity: alert on failed, warn on unknown verdicts, ok on " +
+      "pass; refuses a frame without 'passed'") {
+    val allNull = Seq[(Long, Option[String])]((1L, None), (2L, None))
+      .toDF("id", "txt")
+    val rep = Validate.severity(Validate.report(allNull, Seq(
+      Completeness("txt", 0.5),   // 0.0 → alert
+      Matches("txt", "x", 0.5),   // unknown → warn
+      SizeAtLeast(1))))           // pass → ok
+    val sev = rep.collect()
+      .map(r => r.getAs[String]("check_name") ->
+        r.getAs[String]("severity")).toMap
+    assert(sev == Map("completeness(txt)" -> "alert",
+      "matches(txt)" -> "warn", "size()" -> "ok"))
+    val e = intercept[IllegalArgumentException] {
+      Validate.severity(allNull)
+    }
+    assert(e.getMessage.contains("passed"))
+  }
+
   test("refusals: empty suite, duplicate check names, inverted bounds") {
     intercept[IllegalArgumentException] {
       Validate.report(fixture(), Seq.empty)
