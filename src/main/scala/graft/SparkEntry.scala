@@ -2144,6 +2144,37 @@ object SparkEntry {
         .orderBy(col("lang"), col("check_name"))
     }),
 
+    // Metric-history anomaly grading (the Deequ metrics-repository
+    // idea): 20 per-source validation reports stand in as 20 runs
+    // of history; the current "drop" is src7 with n_chars ×13. The
+    // mean-length metric must flag (robust z against the history's
+    // median/MAD), completeness must NOT (history MAD = 0 and the
+    // current value sits exactly on the median — the exact-equality
+    // degenerate path), and the short-docs fraction collapses to 0
+    // and flags by whichever path the per-source spread puts it on —
+    // every number (medians, MADs, z, verdicts) replayed by
+    // quantile_cont in DuckDB.
+    "v4_metric_anomaly" -> ((s, d) => {
+      import operators.Validate
+      import operators.Validate._
+      val docs = t(s, d, "documents")
+      val checks = Seq(
+        Completeness("text", 1.0),
+        MeanBetween("n_chars", 0.0, 1000000.0),
+        Satisfies("n_chars < 400", "short_docs", 0.5))
+      val hist = Validate.report(docs, checks, by = Seq("source"))
+        .select(col("source").as("run_id"), col("check_name"),
+          col("value"), col("passed"))
+      val mutated = docs.filter(col("source") === "src7")
+        .withColumn("n_chars", col("n_chars") * 13)
+      val cur = Validate.report(mutated, checks)
+      Validate.anomalies(hist, cur)
+        .select(col("check_name"), col("value"), col("n_runs"),
+          col("median_value"), col("mad"), col("z"),
+          col("is_anomaly").cast("int").as("is_anomaly"))
+        .orderBy(col("check_name"))
+    }),
+
     // Robust per-group outlier report: one source's doc lengths are
     // inflated ×13 in-query, and the report must flag exactly that
     // source by median/MAD z-score — selection statistics, so every
@@ -3940,6 +3971,57 @@ object SparkEntry {
         |    round(n::DOUBLE, 6),
         |    CASE WHEN n >= 100 THEN 1 ELSE 0 END FROM m
         |) ORDER BY check_name""".stripMargin,
+
+    "v4_metric_anomaly" ->
+      """WITH hist AS (
+        |  SELECT source AS run_id, 'completeness(text)' AS check_name,
+        |    round(count(text)::DOUBLE / count(*), 6) AS value
+        |  FROM documents GROUP BY source
+        |  UNION ALL
+        |  SELECT source, 'mean(n_chars)',
+        |    round(sum(n_chars)::DOUBLE / count(n_chars), 6)
+        |  FROM documents GROUP BY source
+        |  UNION ALL
+        |  SELECT source, 'satisfies(short_docs)',
+        |    round(count(CASE WHEN n_chars < 400 THEN 1 END)::DOUBLE
+        |      / count(*), 6)
+        |  FROM documents GROUP BY source),
+        |stats AS (
+        |  SELECT check_name, count(*) AS n_runs,
+        |    quantile_cont(value, 0.5) AS med
+        |  FROM hist WHERE value IS NOT NULL GROUP BY check_name),
+        |mads AS (
+        |  SELECT h.check_name,
+        |    quantile_cont(abs(h.value - s.med), 0.5) AS mad
+        |  FROM hist h JOIN stats s USING (check_name)
+        |  WHERE h.value IS NOT NULL GROUP BY h.check_name),
+        |m7 AS (SELECT text, n_chars * 13 AS n_chars FROM documents
+        |       WHERE source = 'src7'),
+        |cur AS (
+        |  SELECT 'completeness(text)' AS check_name,
+        |    round(count(text)::DOUBLE / count(*), 6) AS value FROM m7
+        |  UNION ALL
+        |  SELECT 'mean(n_chars)',
+        |    round(sum(n_chars)::DOUBLE / count(n_chars), 6) FROM m7
+        |  UNION ALL
+        |  SELECT 'satisfies(short_docs)',
+        |    round(count(CASE WHEN n_chars < 400 THEN 1 END)::DOUBLE
+        |      / count(*), 6) FROM m7)
+        |SELECT c.check_name, c.value, s.n_runs,
+        |  s.med AS median_value, m.mad,
+        |  CASE WHEN m.mad = 0 THEN NULL
+        |       ELSE round((c.value - s.med) / (1.4826 * m.mad), 6)
+        |  END AS z,
+        |  CASE WHEN s.n_runs < 5 THEN NULL
+        |       WHEN m.mad = 0 THEN
+        |         CASE WHEN c.value <> s.med THEN 1 ELSE 0 END
+        |       ELSE CASE WHEN abs(round((c.value - s.med)
+        |         / (1.4826 * m.mad), 6)) > 3.5 THEN 1 ELSE 0 END
+        |  END AS is_anomaly
+        |FROM cur c
+        |JOIN stats s USING (check_name)
+        |JOIN mads m USING (check_name)
+        |ORDER BY check_name""".stripMargin,
 
     "d49_outlier_report" ->
       """WITH v AS (

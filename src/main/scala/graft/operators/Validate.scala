@@ -420,6 +420,102 @@ object Validate {
     checks.toSeq
   }
 
+  /** Append one validation run's report to a metric HISTORY log —
+    * the Deequ metrics-repository idea: every drop's report rows
+    * land under a caller-chosen `runId` (the drop date/label — no
+    * wall-clock stamping, reruns stay deterministic), and
+    * [[anomalies]] later grades a new drop's metrics against the
+    * distribution of its own past. The log is append-only by design
+    * (unlike the frozen dedup/baseline indexes): a duplicate runId
+    * REFUSES — re-validating a drop must not double-log its row and
+    * silently skew every later median. Single-writer pipeline
+    * assumption (one validation job per corpus), documented rather
+    * than locked.
+    */
+  def writeReport(report: DataFrame, path: String,
+                  runId: String): Unit = {
+    require(runId.nonEmpty, "writeReport: empty runId")
+    Seq("check_name", "value", "passed").foreach(c =>
+      require(report.columns.contains(c),
+        s"writeReport: no '$c' column — pass a Validate.report " +
+          "output"))
+    val spark = report.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val seen = spark.read.parquet(path)
+        .select("run_id").distinct()
+        .collect().map(_.getString(0)).toSet // bounded: one per run
+      require(!seen.contains(runId),
+        s"writeReport: run '$runId' already logged under $path — " +
+          "a re-validated drop must not double-log (delete the run's " +
+          "rows explicitly if this is a deliberate redo)")
+    }
+    report.select(lit(runId).as("run_id"), col("check_name"),
+        col("value"), col("passed"))
+      .coalesce(1)
+      .write.mode("append").parquet(path)
+  }
+
+  /** The accumulated history log (`run_id, check_name, value,
+    * passed`).
+    */
+  def readHistory(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame =
+    spark.read.parquet(path)
+      .select("run_id", "check_name", "value", "passed")
+
+  /** Grade a new drop's validation metrics against their own
+    * HISTORY — the "completeness passed, but it's never been this
+    * low before" alarm thresholds can't express: per `check_name`,
+    * the robust z of the current value against the history's median
+    * and MAD ((v − med) / (1.4826·MAD), flag |z| > `nMad` — the
+    * same Iglewicz–Hoaglin rule as [[Drift.outlierReport]],
+    * selection statistics so integer-derived metrics replay
+    * bit-identically cross-engine). Degenerate-but-common history
+    * shapes get exact semantics instead of NaN: MAD = 0 (a metric
+    * that has read 1.0 for thirty drops) ⇒ z null and ANY deviation
+    * from the median is anomalous; fewer than `minRuns` history
+    * rows ⇒ `is_anomaly` NULL (insufficient evidence, not a pass);
+    * a check with no history at all ⇒ null stats, null verdict.
+    * History size is runs × checks — tiny by construction — so the
+    * joins broadcast and the percentile passes are trivial.
+    */
+  def anomalies(history: DataFrame, current: DataFrame,
+                nMad: Double = 3.5, minRuns: Int = 5): DataFrame = {
+    require(nMad > 0, s"nMad must be > 0, got $nMad")
+    require(minRuns >= 1, s"minRuns must be >= 1, got $minRuns")
+    Seq("check_name", "value").foreach { c =>
+      require(history.columns.contains(c),
+        s"anomalies: history has no '$c' column")
+      require(current.columns.contains(c),
+        s"anomalies: current has no '$c' column")
+    }
+    val meds = history.filter(col("value").isNotNull)
+      .groupBy(col("check_name"))
+      .agg(count(lit(1)).as("n_runs"),
+        percentile(col("value"), lit(0.5)).as("median_value"))
+    val mads = history.filter(col("value").isNotNull)
+      .join(broadcast(meds), Seq("check_name"))
+      .groupBy(col("check_name"))
+      .agg(percentile(abs(col("value") - col("median_value")),
+        lit(0.5)).as("mad"))
+    val stats = meds.join(mads, Seq("check_name"))
+    val v = col("value")
+    val med = col("median_value")
+    val mad = col("mad")
+    val z = when(mad.isNull || mad === 0.0,
+        lit(null).cast("double"))
+      .otherwise(round((v - med) / (lit(1.4826) * mad), 6))
+    val flag = when(v.isNull || med.isNull ||
+        col("n_runs") < lit(minRuns), lit(null).cast("boolean"))
+      .when(mad === 0.0, v =!= med)
+      .otherwise(abs(z) > lit(nMad))
+    current.join(broadcast(stats), Seq("check_name"), "left")
+      .withColumn("z", z)
+      .withColumn("is_anomaly", flag)
+  }
+
   /** Alarm grading over a validation report (batch or streaming):
     * `severity` = "alert" for a FAILED check, "warn" for an UNKNOWN
     * verdict (null passed — empty window / all-null column: the

@@ -277,6 +277,74 @@ class ValidateSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("metric history: writeReport appends run-stamped rows, " +
+      "duplicate runId refuses, readHistory round-trips") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vhist").toString + "/hist"
+    val suite = Seq(Completeness("txt", 0.5), SizeAtLeast(1))
+    Validate.writeReport(Validate.report(fixture(), suite),
+      dir, "2026-08-01")
+    Validate.writeReport(Validate.report(fixture().limit(4), suite),
+      dir, "2026-08-02")
+    val hist = Validate.readHistory(spark, dir)
+    assert(hist.count() == 4) // 2 runs × 2 checks
+    assert(hist.select("run_id").distinct().count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      Validate.writeReport(Validate.report(fixture(), suite),
+        dir, "2026-08-01")
+    }
+    assert(e.getMessage.contains("already logged"))
+    intercept[IllegalArgumentException] {
+      Validate.writeReport(fixture(), dir, "2026-08-03")
+    }
+  }
+
+  test("anomalies: robust z against history median/MAD — flags the " +
+      "break, MAD=0 means any deviation is anomalous, short history " +
+      "reads null verdict, unknown checks read null stats") {
+    import spark.implicits._
+    // 6 runs of history: metric m stable around 10 (MAD>0), metric c
+    // constant 1.0 (MAD=0)
+    val hist = (Seq(9.0, 10.0, 10.0, 10.0, 11.0, 12.0)
+        .zipWithIndex.map { case (v, i) => (s"r$i", "m", v) } ++
+      (0 until 6).map(i => (s"r$i", "c", 1.0)))
+      .toDF("run_id", "check_name", "value")
+    // current: m = 100 (break), c = 1.0 (on median)
+    val cur = Seq(("m", 100.0), ("c", 1.0), ("new_check", 5.0))
+      .toDF("check_name", "value")
+    val got = Validate.anomalies(hist, cur).collect()
+      .map(r => r.getAs[String]("check_name") -> r).toMap
+    val m = got("m")
+    // median 10, deviations (1,0,0,0,1,2) → MAD = 0.5
+    assert(m.getAs[Double]("median_value") == 10.0)
+    assert(m.getAs[Double]("mad") == 0.5)
+    assert(m.getAs[Double]("z") ==
+      math.rint((100.0 - 10.0) / (1.4826 * 0.5) * 1e6) / 1e6)
+    assert(m.getAs[Boolean]("is_anomaly"))
+    val c = got("c")
+    assert(c.getAs[Double]("mad") == 0.0 &&
+      c.isNullAt(c.fieldIndex("z")) &&
+      !c.getAs[Boolean]("is_anomaly"))
+    // ...but a deviation from a constant history IS anomalous
+    val cur2 = Seq(("c", 0.98)).toDF("check_name", "value")
+    val got2 = Validate.anomalies(hist, cur2).collect().head
+    assert(got2.getAs[Boolean]("is_anomaly"))
+    // a check with no history: null stats, null verdict
+    val nc = got("new_check")
+    assert(nc.isNullAt(nc.fieldIndex("median_value")) &&
+      nc.isNullAt(nc.fieldIndex("is_anomaly")))
+    // short history (< minRuns): verdict null, stats present
+    val shortH = Seq(("r0", "m", 10.0), ("r1", "m", 11.0))
+      .toDF("run_id", "check_name", "value")
+    val gotS = Validate.anomalies(shortH,
+      Seq(("m", 99.0)).toDF("check_name", "value")).collect().head
+    assert(gotS.isNullAt(gotS.fieldIndex("is_anomaly")))
+    assert(gotS.getAs[Long]("n_runs") == 2)
+    intercept[IllegalArgumentException] {
+      Validate.anomalies(hist, cur, nMad = 0.0)
+    }
+  }
+
   test("severity: alert on failed, warn on unknown verdicts, ok on " +
       "pass; refuses a frame without 'passed'") {
     val allNull = Seq[(Long, Option[String])]((1L, None), (2L, None))
