@@ -1103,6 +1103,24 @@ object SparkEntry {
     // covered in PipelineSpec. At bench sf (2000 vectors) the same
     // row genuinely prunes: 1000 candidates = half the corpus
     // re-ranked from 32×-compressed codes.
+    // Residual IVF-PQ (FAISS's IVFPQ shape — coarse cells + PQ on
+    // residuals + per-(query, cell) ADC tables + exact re-rank):
+    // full probe (nProbe = nCentroids) and a candidate budget ≥ the
+    // corpus make selectivity and compression recall-neutral, so the
+    // output hash-matches the exact brute-force oracle — pinning the
+    // whole residual pipeline (normalize → coarse assign → residual
+    // subtraction → unnormalized codebooks → per-cell dist tables →
+    // ADC → re-rank) end to end.
+    "s13_ann_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      operators.Similarity.ivfPqTopK(emb,
+          emb.filter(col("vec_id") < 3), "embedding", "vec_id", 5,
+          dim = 64, nCentroids = 8, m = 8, nCodes = 16, nProbe = 8,
+          nCandidates = 1000000, maxIter = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "s8_ann_pq" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       operators.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
@@ -1154,6 +1172,34 @@ object SparkEntry {
       operators.Similarity.ivfTopKFromIndex(cents, assigned,
           emb.filter(col("vec_id") < 3), "embedding", "vec_id", 5,
           nProbe = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The full IVF-PQ index LIFECYCLE gate: coarse centroids and
+    // residual codebooks fit on the even-id half only; the odd-id
+    // drop is assigned to the FROZEN centroids and residual-encoded
+    // with the FROZEN codebooks (one scan of just the drop), merged,
+    // swapped; the query runs from the read-back artifact at full
+    // probe + full candidate budget — which equals exact brute force
+    // for ANY fit (the re-rank sees every row), so the gate shares
+    // s1's oracle verbatim like s8/s9/s11/s13.
+    "s14_ann_ivfpq_appended" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-s14").toString + "/idx"
+      operators.DedupIndex.writeIvfPq(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding",
+        "vec_id", tmp, dim = 64, nCentroids = 8, m = 8, nCodes = 16,
+        maxIter = 3)
+      operators.DedupIndex.appendIvfPq(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding",
+        "vec_id", tmp, dim = 64, nCentroids = 8, m = 8, nCodes = 16)
+      val (cents, cb, codes) = operators.DedupIndex.readIvfPq(s, tmp,
+        dim = 64, nCentroids = 8, m = 8, nCodes = 16)
+      operators.Similarity.ivfPqTopKFromIndex(cents, cb, codes, emb,
+          emb.filter(col("vec_id") < 3), "embedding", "vec_id", 5,
+          dim = 64, nProbe = 8, nCandidates = 1000000)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -3034,9 +3080,11 @@ object SparkEntry {
     "d33_minhash_overlap_indexed" -> oracleSqlBase("d23_minhash_overlap"),
     "s7_ann_ivf_indexed" -> oracleSqlBase("s3_ann_ivf"),
     "s8_ann_pq" -> oracleSqlBase("s1_sim_topk"),
+    "s13_ann_ivfpq" -> oracleSqlBase("s1_sim_topk"),
     "s9_ann_pq_indexed" -> oracleSqlBase("s1_sim_topk"),
     "s10_ann_ivf_appended" -> oracleSqlBase("s3_ann_ivf"),
     "s11_ann_pq_appended" -> oracleSqlBase("s1_sim_topk"),
+    "s14_ann_ivfpq_appended" -> oracleSqlBase("s1_sim_topk"),
     "d37_kmv_overlap_indexed" -> oracleSqlBase("d36_kmv_overlap"),
     "t30_frequent_ngrams" -> oracleSqlBase("t21_top_ngrams"))
 

@@ -1830,7 +1830,8 @@ case class PqAssign(child: Expression, cb: Array[Array[Array[Double]]],
   * corpus-side scan then pays only m lookups per row ([[PqAdc]]).
   */
 case class PqDistTable(child: Expression,
-                       cb: Array[Array[Array[Double]]])
+                       cb: Array[Array[Array[Double]]],
+                       normalize: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(
@@ -1847,10 +1848,16 @@ case class PqDistTable(child: Expression,
     val m = cb.length
     val sd = cb(0)(0).length
     val n = a.numElements()
-    var ss = 0.0
-    var i = 0
-    while (i < n) { val x = getElem(a, i); ss += x * x; i += 1 }
-    val inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+    // normalize = false is the RESIDUAL mode (IVF-PQ): residual
+    // vectors are differences on the unit sphere, not unit vectors —
+    // normalizing them would distort every codeword distance
+    val inv = if (!normalize) 1.0
+      else {
+        var ss = 0.0
+        var i = 0
+        while (i < n) { val x = getElem(a, i); ss += x * x; i += 1 }
+        if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+      }
     val tabs = new Array[Any](m)
     var s = 0
     while (s < m) {

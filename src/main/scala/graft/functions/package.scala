@@ -180,9 +180,13 @@ package object functions {
                 normalize: Boolean = true): Column =
     c(expressions.PqAssign(GraftShim.expression(vec), cb, normalize))
 
-  /** Per-query ADC distance table (m × nCodes squared L2). */
-  def pq_dist_table(vec: Column, cb: Array[Array[Array[Double]]]): Column =
-    c(expressions.PqDistTable(GraftShim.expression(vec), cb))
+  /** Per-query ADC distance table (m × nCodes squared L2).
+    * `normalize = false` is the residual (IVF-PQ) mode: the input is
+    * a residual on the unit sphere, not a unit vector.
+    */
+  def pq_dist_table(vec: Column, cb: Array[Array[Array[Double]]],
+                    normalize: Boolean = true): Column =
+    c(expressions.PqDistTable(GraftShim.expression(vec), cb, normalize))
 
   /** ADC score: Σ_s dtab[s][codes[s]] — the PQ candidate-scan
     * distance (m primitive lookups per corpus row).

@@ -301,6 +301,107 @@ object DedupIndex {
         spark.read.parquet(s"$path/codebooks"), m, nCodes))
   }
 
+  /** Build and persist the residual IVF-PQ ANN index
+    * ([[Similarity.fitIvfPq]] — FAISS's billion-scale default
+    * shape): coarse centroids + residual codebooks + the
+    * (id, cell, codes) table. The codes table carries BOTH scale
+    * wins: a query's candidate scan touches only its probed cells
+    * (selectivity) and reads m ints per vector there (compression).
+    * (dim, n_centroids, m, n_codes) pin the build; nProbe/
+    * nCandidates/k stay query-time choices.
+    */
+  def writeIvfPq(corpus: DataFrame, embCol: String, idCol: String,
+                 path: String, dim: Int, nCentroids: Int = 16,
+                 m: Int = 8, nCodes: Int = 16, seed: Long = 42L,
+                 maxIter: Int = 20,
+                 fitSampleFraction: Double = 1.0): Unit = {
+    val (centroids, codebooks, encoded) = Similarity.fitIvfPq(corpus,
+      embCol, idCol, dim, nCentroids, m, nCodes, seed, maxIter,
+      fitSampleFraction)
+    centroids.write.mode("errorifexists").parquet(s"$path/centroids")
+    codebooks.write.mode("errorifexists").parquet(s"$path/codebooks")
+    encoded.write.mode("errorifexists").parquet(s"$path/codes")
+    writeMeta(corpus.sparkSession, path, "ivfpq",
+      Seq("dim" -> dim, "n_centroids" -> nCentroids, "m" -> m,
+        "n_codes" -> nCodes))
+  }
+
+  /** @return (centroids frame, driver-side codebooks, encoded codes
+    *         frame) for [[Similarity.ivfPqTopKFromIndex]]
+    */
+  def readIvfPq(spark: SparkSession, path: String, dim: Int,
+                nCentroids: Int = 16, m: Int = 8, nCodes: Int = 16)
+      : (DataFrame, Array[Array[Array[Double]]], DataFrame) =
+    readRetrying {
+      check(readMeta(spark, path), "ivfpq",
+        Seq("dim" -> dim, "n_centroids" -> nCentroids, "m" -> m,
+          "n_codes" -> nCodes), path)
+      (spark.read.parquet(s"$path/centroids"),
+        Similarity.collectCodebooks(
+          spark.read.parquet(s"$path/codebooks"), m, nCodes),
+        spark.read.parquet(s"$path/codes"))
+    }
+
+  /** Append a new corpus drop to a live IVF-PQ index: assign the new
+    * drop's NORMALIZED vectors to the FROZEN coarse centroids (the
+    * [[appendIvf]] argmin-as-scan-projection), subtract to
+    * residuals, encode with the FROZEN codebooks — one scan of just
+    * the new drop — merge, atomic swap. Geometry pinned by the live
+    * sidecar (mixed-geometry codes score garbage silently, hence the
+    * refusal). Re-fit policy: both the coarse geometry and the
+    * codebooks stay fitted to the original corpus, so partial-probe
+    * recall degrades as the appended fraction grows (full-probe
+    * results and re-rank precision are unaffected — why the append
+    * gate shares the full-probe exact oracle); schedule
+    * `replaceWith(spark, path)(writeIvfPq(corpus, …, _))` once
+    * appends exceed roughly a third of the index.
+    */
+  def appendIvfPq(newCorpus: DataFrame, embCol: String, idCol: String,
+                  path: String, dim: Int, nCentroids: Int = 16,
+                  m: Int = 8, nCodes: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, zip_with}
+    val spark = newCorpus.sparkSession
+    check(readMeta(spark, path), "ivfpq",
+      Seq("dim" -> dim, "n_centroids" -> nCentroids, "m" -> m,
+        "n_codes" -> nCodes), path)
+    val centFrame = spark.read.parquet(s"$path/centroids")
+    val rows = centFrame.select(col("__cell"), col("__centroid"))
+      .collect()
+    val cents = Array.ofDim[Array[Double]](nCentroids)
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      require(c >= 0 && c < nCentroids && cents(c) == null,
+        s"$path/centroids has a duplicate or out-of-range cell id $c")
+      cents(c) = r.getSeq[Double](1).toArray
+    }
+    (0 until nCentroids).foreach(c => require(cents(c) != null,
+      s"$path/centroids is missing cell $c — not a complete IVF-PQ " +
+        "index"))
+    val cb = Similarity.collectCodebooks(
+      spark.read.parquet(s"$path/codebooks"), m, nCodes)
+    val assignedNew = graft.Graft.spread(newCorpus)
+      .select(col(idCol).as("neighbor_id"),
+        Similarity.l2Normalize(col(embCol)).as("__nv"))
+      .withColumn("__cell", element_at(graft.functions.pq_assign(
+        col("__nv"), Array(cents), normalize = false), 1))
+      .join(broadcast(centFrame), Seq("__cell"))
+      .select(col("neighbor_id"), col("__cell"),
+        graft.functions.pq_assign(
+          zip_with(col("__nv"), col("__centroid"), (x, c) => x - c),
+          cb, normalize = false).as("__codes"))
+    val mergedCodes = spark.read.parquet(s"$path/codes")
+      .unionByName(assignedNew).distinct()
+    val cbFrame = spark.read.parquet(s"$path/codebooks")
+    replaceWith(spark, path) { tmp =>
+      centFrame.write.mode("errorifexists").parquet(s"$tmp/centroids")
+      cbFrame.write.mode("errorifexists").parquet(s"$tmp/codebooks")
+      mergedCodes.write.mode("errorifexists").parquet(s"$tmp/codes")
+      writeMeta(spark, tmp, "ivfpq",
+        Seq("dim" -> dim, "n_centroids" -> nCentroids, "m" -> m,
+          "n_codes" -> nCodes))
+    }
+  }
+
   /** Build and persist a corpus's KMV bottom-k distinct sketch
     * ([[Sketches.kmvSketch]]): ONE bounded-buffer aggregation pass
     * at ingest, a ≤ k-long array on disk — after which every

@@ -509,7 +509,8 @@ object Similarity {
   def fitPqCodebooks(corpus: DataFrame, embCol: String, dim: Int,
                      m: Int = 8, nCodes: Int = 16, seed: Long = 42L,
                      maxIter: Int = 20,
-                     fitSampleFraction: Double = 1.0): DataFrame = {
+                     fitSampleFraction: Double = 1.0,
+                     normalize: Boolean = true): DataFrame = {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
     require(fitSampleFraction > 0.0 && fitSampleFraction <= 1.0,
       "fitSampleFraction must be in (0, 1]")
@@ -518,9 +519,12 @@ object Similarity {
     val sd = dim / m
     // spread BEFORE the normalize/assign work: a single-file corpus
     // arrives in one split and would serialize every fit pass onto
-    // one core (no-op on an already-parallel production scan)
+    // one core (no-op on an already-parallel production scan).
+    // normalize = false is the RESIDUAL mode (fitIvfPq): residuals
+    // are differences on the unit sphere, already in model space
     val base = graft.Graft.spread(corpus)
-      .select(l2Normalize(col(embCol)).as("__ne"))
+      .select((if (normalize) l2Normalize(col(embCol))
+               else col(embCol).cast("array<double>")).as("__ne"))
     // cached because Lloyd's re-scans it init + maxIter times
     val normed = (if (fitSampleFraction >= 1.0) base
       else base.sample(withReplacement = false, fitSampleFraction,
@@ -748,6 +752,180 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cos"))
+  }
+
+  /** Fit an IVF-PQ index (Jégou et al. 2011 §IV; the FAISS `IVFPQ`
+    * default at billion scale) — the composition of the two scale
+    * paths this library already has: IVF partitions the corpus so a
+    * query scans only nProbe cells (the SELECTIVITY win), and PQ
+    * compresses what those cells store to m ints per vector (the
+    * BANDWIDTH win — the candidate scan reads ~3% of the bytes).
+    * The PQ operates on RESIDUALS x̂ − c(cell): residuals
+    * concentrate near the origin once the coarse quantizer has
+    * absorbed the corpus's macro-structure, so the same nCodes
+    * codebook spends its precision on local detail — the reason
+    * FAISS encodes residuals rather than raw vectors.
+    *
+    * All geometry lives on the unit sphere: corpus and query vectors
+    * are L2-normalized first (cosine rank ≡ L2 rank there — the s1
+    * contract), the coarse KMeans runs on normalized vectors, and
+    * residuals/codebooks stay UNNORMALIZED from then on (they are
+    * differences, not directions — `normalize = false` through the
+    * PQ machinery).
+    *
+    * Fit cost: one KMeans over (a sample of) the corpus + one
+    * residual join against the broadcast centroid table + the
+    * driver-synchronized Lloyd's of [[fitPqCodebooks]]; encode is
+    * one scan. Returns (centroids, codebooks, encoded) where
+    * encoded = (neighbor_id, __cell, __codes) — the persistable
+    * artifact set.
+    */
+  def fitIvfPq(corpus: DataFrame, embCol: String, idCol: String,
+               dim: Int, nCentroids: Int = 16, m: Int = 8,
+               nCodes: Int = 16, seed: Long = 42L, maxIter: Int = 20,
+               fitSampleFraction: Double = 1.0)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val normed = corpus.select(col(idCol),
+      l2Normalize(col(embCol)).as("__nv"))
+    val (centroids, indexed) =
+      fitIvfIndex(normed, "__nv", idCol, nCentroids, seed, maxIter,
+        fitSampleFraction)
+    // residuals: one broadcast join against the nCentroids-row table
+    val resid = indexed.join(broadcast(centroids), Seq("__cell"))
+      .select(col("neighbor_id"), col("__cell"),
+        zip_with(col("__ce").cast("array<double>"), col("__centroid"),
+          (x, c) => x - c).as("__res"))
+    val codebooks = fitPqCodebooks(resid, "__res", dim, m, nCodes,
+      seed, maxIter, fitSampleFraction, normalize = false)
+    val cb = collectCodebooks(codebooks, m, nCodes)
+    val encoded = resid.select(col("neighbor_id"), col("__cell"),
+      graft.functions.pq_assign(col("__res"), cb, normalize = false)
+        .as("__codes"))
+    (centroids, codebooks, encoded)
+  }
+
+  /** Query an IVF-PQ index: probe the nProbe nearest cells per
+    * query, ADC-scan ONLY those cells' compressed codes with a
+    * per-(query, cell) residual distance table (the table depends on
+    * the cell — the query residual q̂ − c(cell) differs per probed
+    * cell, the defining twist of residual IVF-PQ), keep the
+    * two-level top-nCandidates by approximate distance, exact-cosine
+    * re-rank just those ids against the full vectors. With nProbe =
+    * nCentroids AND nCandidates ≥ corpus size the output EQUALS
+    * exact brute-force top-k (the driver-gate regime — selectivity
+    * and compression both touch only recall, never precision).
+    *
+    * Query-batch regimes (the [[ivfTopKFromIndex]] discipline): the
+    * broadcast spelling ships |Q|·nProbe probe rows, each carrying
+    * its m × nCodes dist table; above `broadcastMaxQueries` the cell
+    * join switches to the SALTED shuffle join on 2-long
+    * (query_id, __cell) rows — the dist tables do NOT replicate
+    * across salts; they join back by (query_id, __cell) on the
+    * already-matched candidate set, exactly like the query
+    * embeddings in the IVF large regime.
+    */
+  def ivfPqTopKFromIndex(centroids: DataFrame,
+                         cb: Array[Array[Array[Double]]],
+                         encoded: DataFrame, corpus: DataFrame,
+                         queries: DataFrame, embCol: String,
+                         idCol: String, k: Int, dim: Int,
+                         nProbe: Int = 4, nCandidates: Int = 100,
+                         broadcastMaxQueries: Int = 50000,
+                         knownQueryCount: Option[Long] = None)
+      : DataFrame = {
+    val l2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dist"), col("__cell"))
+    // per (query, probed cell): the residual dist table
+    val probed = queries
+      .select(col(idCol).as("query_id"),
+        l2Normalize(col(embCol)).as("__qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__dist", l2(col("__qn"), col("__centroid")))
+      .withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__cell"),
+        graft.functions.pq_dist_table(
+          zip_with(col("__qn"), col("__centroid"), (x, c) => x - c),
+          cb, normalize = false).as("__dtab"))
+
+    val nQ = knownQueryCount.getOrElse(
+      queries.select(col(idCol)).count())
+    val matched =
+      if (nQ <= broadcastMaxQueries)
+        encoded.join(broadcast(probed), Seq("__cell"))
+      else {
+        // few-distinct-join-keys skew: salt like ivfTopKFromIndex;
+        // only 2-long (query_id, __cell) rows replicate ×S — the
+        // m·nCodes dist tables join back on the matched set
+        val s = math.min(encoded.sparkSession.sessionState.conf
+          .numShufflePartitions, MaxSaltFactor)
+        val salted = encoded.withColumn("__salt",
+          pmod(xxhash64(col("neighbor_id")), lit(s)).cast("int"))
+        val probeIds = probed.select(col("query_id"), col("__cell"))
+          .withColumn("__salt",
+            explode(sequence(lit(0), lit(s - 1))))
+        salted.join(probeIds, Seq("__cell", "__salt"))
+          .join(probed, Seq("query_id", "__cell"))
+      }
+    val scored = matched
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__approx",
+        graft.functions.pq_adc(col("__codes"), col("__dtab")))
+    // two-level top-nCandidates (the pqTopKFromIndex discipline),
+    // then the exact re-rank over only the surviving ids
+    val nBuckets = encoded.sparkSession.sessionState.conf
+      .numShufflePartitions
+    val bucketW = Window
+      .partitionBy(col("query_id"),
+        pmod(xxhash64(col("neighbor_id")), lit(nBuckets)))
+      .orderBy(col("__approx"), col("neighbor_id"))
+    val candW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx"), col("neighbor_id"))
+    val candIds = scored
+      .withColumn("__br", row_number().over(bucketW))
+      .filter(col("__br") <= nCandidates)
+      .withColumn("__cr", row_number().over(candW))
+      .filter(col("__cr") <= nCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("__ce"))
+    val qe = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("__qe"))
+    val small = nQ <= broadcastMaxQueries
+    val cands = (if (small)
+        c.join(broadcast(candIds), Seq("neighbor_id"))
+          .join(broadcast(qe), Seq("query_id"))
+      else
+        c.join(candIds, Seq("neighbor_id")).join(qe, Seq("query_id")))
+      .withColumn("cos",
+        round(graft.functions.cosine_similarity(col("__qe"),
+          col("__ce")), 6))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos"))
+  }
+
+  /** One-call IVF-PQ ANN: fit + encode + probe + ADC + re-rank. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
+                idCol: String, k: Int, dim: Int, nCentroids: Int = 16,
+                m: Int = 8, nCodes: Int = 16, nProbe: Int = 4,
+                nCandidates: Int = 100, seed: Long = 42L,
+                maxIter: Int = 20, fitSampleFraction: Double = 1.0,
+                broadcastMaxQueries: Int = 50000,
+                knownQueryCount: Option[Long] = None): DataFrame = {
+    val (centroids, codebooks, encoded) = fitIvfPq(corpus, embCol,
+      idCol, dim, nCentroids, m, nCodes, seed, maxIter,
+      fitSampleFraction)
+    val cb = collectCodebooks(codebooks, m, nCodes)
+    ivfPqTopKFromIndex(centroids, cb, encoded, corpus, queries,
+      embCol, idCol, k, dim, nProbe, nCandidates,
+      broadcastMaxQueries, knownQueryCount)
   }
 
   /** One-call PQ ANN: fit + encode + ADC query. */

@@ -786,6 +786,126 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  test("ivfPqTopK (residual IVF-PQ): full probe + full candidate " +
+      "budget EQUALS exact brute-force top-k; deterministic; partial " +
+      "budgets keep precision exact (every returned cos is the true " +
+      "cosine) while recall degrades") {
+    val emb = Graft.table(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+    val q = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, q, "embedding",
+      "vec_id", k = 5)
+    def run(nProbe: Int, nCand: Int) =
+      Similarity.ivfPqTopK(emb, q, "embedding", "vec_id", k = 5,
+        dim = 64, nCentroids = 4, m = 8, nCodes = 8, nProbe = nProbe,
+        nCandidates = nCand, maxIter = 3)
+    val full = run(nProbe = 4, nCand = 1000000)
+    assert(full.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(full).count() == 0,
+      "full-budget IVF-PQ must equal exact top-k")
+    val again = run(nProbe = 4, nCand = 1000000)
+    assert(again.exceptAll(full).count() == 0 &&
+      full.exceptAll(again).count() == 0, "nondeterministic output")
+    // partial budgets: k rows per query unless a probe emptied the
+    // candidate set; every returned cosine must be the TRUE cosine
+    // (re-rank precision is exact even when recall is partial)
+    val part = run(nProbe = 1, nCand = 10)
+    val allPairs = Similarity.bruteForceTopK(emb, q, "embedding",
+      "vec_id", k = 1000000)
+      .select($"query_id", $"neighbor_id", $"cos".as("true_cos"))
+    val joined = part.join(allPairs, Seq("query_id", "neighbor_id"))
+    assert(joined.count() == part.count(),
+      "partial results contain a pair outside the corpus")
+    assert(joined.filter($"cos" =!= $"true_cos").count() == 0,
+      "partial results must carry exact cosines")
+  }
+
+  test("ivfPqTopKFromIndex large-query-batch regime: 60k queries run " +
+      "the salted-shuffle (non-broadcast) spelling — dist tables " +
+      "join back by (query, cell), never replicating across salts — " +
+      "and match the broadcast path exactly") {
+    val emb = Graft.table(spark, sf, "embeddings")
+      .filter($"vec_id" < 100).select($"vec_id", $"embedding")
+    val (centroids, codebooks, encoded) = Similarity.fitIvfPq(emb,
+      "embedding", "vec_id", dim = 64, nCentroids = 8, m = 8,
+      nCodes = 4, maxIter = 2)
+    val cb = Similarity.collectCodebooks(codebooks, 8, 4)
+    val qBig = emb.crossJoin(
+        spark.range(600).select($"id".as("__rep")))
+      .select(($"vec_id" + $"__rep" * 1000000L).as("vec_id"),
+        $"embedding")
+    val large = Similarity.ivfPqTopKFromIndex(centroids, cb, encoded,
+      emb, qBig, "embedding", "vec_id", k = 3, dim = 64, nProbe = 8,
+      nCandidates = 10)
+    val small = Similarity.ivfPqTopKFromIndex(centroids, cb, encoded,
+      emb, qBig, "embedding", "vec_id", k = 3, dim = 64, nProbe = 8,
+      nCandidates = 10, broadcastMaxQueries = Int.MaxValue)
+    assert(large.count() == 60000L * 3)
+    assert(large.exceptAll(small).count() == 0)
+    assert(small.exceptAll(large).count() == 0)
+    // caller-supplied |Q| under a cluster-scale partition setting
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      val capped = Similarity.ivfPqTopKFromIndex(centroids, cb,
+        encoded, emb, qBig, "embedding", "vec_id", k = 3, dim = 64,
+        nProbe = 8, nCandidates = 10,
+        knownQueryCount = Some(60000L))
+      assert(capped.exceptAll(small).count() == 0)
+      assert(small.exceptAll(capped).count() == 0)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  test("IVF-PQ index lifecycle: write/read round trip queries " +
+      "identically to the in-memory fit; append is idempotent; " +
+      "geometry and kind mismatches refuse") {
+    import graft.operators.DedupIndex
+    val emb = Graft.table(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+    val q = emb.filter($"vec_id" < 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq").toString
+    DedupIndex.writeIvfPq(emb, "embedding", "vec_id", s"$dir/idx",
+      dim = 64, nCentroids = 4, m = 8, nCodes = 8, maxIter = 3)
+    val (cents, cb, codes) = DedupIndex.readIvfPq(spark, s"$dir/idx",
+      dim = 64, nCentroids = 4, m = 8, nCodes = 8)
+    val fromIndex = Similarity.ivfPqTopKFromIndex(cents, cb, codes,
+      emb, q, "embedding", "vec_id", k = 5, dim = 64, nProbe = 4,
+      nCandidates = 1000000)
+    val exact = Similarity.bruteForceTopK(emb, q, "embedding",
+      "vec_id", k = 5)
+    assert(fromIndex.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(fromIndex).count() == 0)
+    // re-appending the same drop is a no-op (distinct merge)
+    val before = codes.count()
+    DedupIndex.appendIvfPq(emb.filter($"vec_id" < 10), "embedding",
+      "vec_id", s"$dir/idx", dim = 64, nCentroids = 4, m = 8,
+      nCodes = 8)
+    DedupIndex.appendIvfPq(emb.filter($"vec_id" < 10), "embedding",
+      "vec_id", s"$dir/idx", dim = 64, nCentroids = 4, m = 8,
+      nCodes = 8)
+    val (_, _, codes2) = DedupIndex.readIvfPq(spark, s"$dir/idx",
+      dim = 64, nCentroids = 4, m = 8, nCodes = 8)
+    assert(codes2.count() == before,
+      "re-appending an already-indexed drop must not grow the codes")
+    // geometry mismatch refuses on read AND append
+    intercept[IllegalArgumentException] {
+      DedupIndex.readIvfPq(spark, s"$dir/idx", dim = 64,
+        nCentroids = 8, m = 8, nCodes = 8)
+    }
+    intercept[IllegalArgumentException] {
+      DedupIndex.appendIvfPq(emb, "embedding", "vec_id", s"$dir/idx",
+        dim = 64, nCentroids = 4, m = 4, nCodes = 8)
+    }
+    // a foreign index kind refuses
+    DedupIndex.writeIvf(emb, "embedding", "vec_id", s"$dir/ivf",
+      nCentroids = 4, maxIter = 2)
+    intercept[IllegalArgumentException] {
+      DedupIndex.readIvfPq(spark, s"$dir/ivf", dim = 64,
+        nCentroids = 4, m = 8, nCodes = 8)
+    }
+  }
+
   test("similarity adversarial shapes: all-identical corpus (every " +
       "candidate ties / one mega LSH bucket), zero-vector queries, " +
       "degenerate PQ value space — deterministic id-ordered output " +
