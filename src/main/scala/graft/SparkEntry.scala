@@ -1121,6 +1121,37 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN recall measurement (the monitoring loop the index re-fit
+    // policies point at): recall@5 of a deterministic DEGRADED
+    // ranking — raw dot product instead of cosine, i.e. "what does
+    // skipping normalization cost" — against exact brute force,
+    // per query + a mean summary row. Both rankings and the
+    // per-query intersection counts replay exactly in DuckDB
+    // (list_inner_product / list_cosine_similarity, round-6 + id
+    // tie-breaks — the s1 family's parity contract).
+    "s15_recall_report" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = operators.Similarity.bruteForceTopK(emb, q,
+        "embedding", "vec_id", 5)
+      val qx = q.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qe"))
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("__ce"))
+      val scored = c.crossJoin(broadcast(qx))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("dot", round(aggregate(
+          zip_with(col("__qe"), col("__ce"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x), 6))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dot").desc, col("neighbor_id"))
+      val approx = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+      operators.Similarity.recallReport(approx, exact)
+        .orderBy(col("query_id").asc_nulls_last)
+    }),
+
     "s8_ann_pq" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       operators.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
@@ -3793,6 +3824,40 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM ref r
         |  WHERE round(list_cosine_similarity(c.emb, r.emb), 6) >= 0.9)
         |ORDER BY vec_id""".stripMargin,
+
+    "s15_recall_report" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe),
+        |      6) AS cos,
+        |    round(list_inner_product(e.embedding::DOUBLE[], q.qe), 6)
+        |      AS dot
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS r FROM scored)
+        |  WHERE r <= 5),
+        |approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, neighbor_id) AS r FROM scored)
+        |  WHERE r <= 5),
+        |per AS (
+        |  SELECT e.query_id, count(*) AS n_exact,
+        |    count(a.neighbor_id) AS n_hit
+        |  FROM exact e LEFT JOIN approx a
+        |    ON e.query_id = a.query_id
+        |      AND e.neighbor_id = a.neighbor_id
+        |  GROUP BY e.query_id)
+        |SELECT query_id, n_exact, n_hit,
+        |  round(n_hit::DOUBLE / n_exact, 6) AS recall FROM per
+        |UNION ALL
+        |SELECT NULL, sum(n_exact)::BIGINT, sum(n_hit)::BIGINT,
+        |  round(sum(n_hit)::DOUBLE / sum(n_exact), 6) FROM per
+        |ORDER BY query_id NULLS LAST""".stripMargin,
 
     "s1_sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

@@ -928,6 +928,49 @@ object Similarity {
       broadcastMaxQueries, knownQueryCount)
   }
 
+  /** ANN recall measurement — the monitoring loop every approximate
+    * index's re-fit policy points at ("schedule a re-fit when recall
+    * dips"): per query, |approx top-k ∩ exact top-k| / k against a
+    * brute-force run over a PROBE SAMPLE of queries, plus one
+    * summary row (query_id null) carrying the mean. Run it on a few
+    * hundred sampled queries after each append — the brute-force
+    * side costs |probe|·|corpus| scoring, which is exactly why the
+    * probe set is a sample and not the query log. Ties at the k-th
+    * cosine are counted by ID AGREEMENT (the same deterministic
+    * (cos desc, neighbor_id) order both sides rank by), so a
+    * perfectly-tied alternative neighbor counts as a miss only if
+    * the two sides actually disagree — consistent with every gate's
+    * exactness contract.
+    *
+    * `approx` and `exact` must both be (query_id, rank,
+    * neighbor_id, …) frames as every topK in this family emits;
+    * recall is computed at min(k, exact rows) per query so a query
+    * with fewer than k real neighbors is not penalized.
+    */
+  def recallReport(approx: DataFrame, exact: DataFrame): DataFrame = {
+    Seq("query_id", "neighbor_id").foreach { c =>
+      require(approx.columns.contains(c) && exact.columns.contains(c),
+        s"recallReport: both frames need a '$c' column")
+    }
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__hits"))
+    val per = e.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("__hits"), lit(0L)).as("n_hit"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("n_exact"), 6).as("recall"))
+    val summary = per.agg(
+      lit(null).cast(per.schema("query_id").dataType).as("query_id"),
+      sum(col("n_exact")).as("n_exact"), sum(col("n_hit")).as("n_hit"),
+      round(sum(col("n_hit")).cast("double") / sum(col("n_exact")), 6)
+        .as("recall"))
+    per.unionByName(summary)
+  }
+
   /** One-call PQ ANN: fit + encode + ADC query. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
              idCol: String, k: Int, dim: Int, m: Int = 8,

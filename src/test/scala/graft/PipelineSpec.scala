@@ -856,6 +856,44 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  test("recallReport: hand-built frames — per-query hit fractions, " +
+      "zero-overlap query, the mean summary row; full-budget IVF-PQ " +
+      "reads recall 1.0 everywhere; refusal on a shapeless frame") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L),
+      (3L, 30L), (3L, 31L), (3L, 32L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L), // 2/3
+      (2L, 20L), (2L, 21L), (2L, 22L),                // 3/3
+      (3L, 98L), (3L, 97L), (3L, 96L))                // 0/3
+      .toDF("query_id", "neighbor_id")
+    val rep = Similarity.recallReport(approx, exact)
+      .orderBy($"query_id".asc_nulls_last).collect()
+    assert(rep.map(r => (
+      if (r.isNullAt(0)) -1L else r.getLong(0),
+      r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"),
+      r.getAs[Double]("recall"))).toSeq == Seq(
+      (1L, 3L, 2L, 0.666667), (2L, 3L, 3L, 1.0), (3L, 3L, 0L, 0.0),
+      (-1L, 9L, 5L, 0.555556)))
+
+    val emb = Graft.table(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+    val q = emb.filter($"vec_id" < 3)
+    val full = Similarity.ivfPqTopK(emb, q, "embedding", "vec_id",
+      k = 5, dim = 64, nCentroids = 4, m = 8, nCodes = 8, nProbe = 4,
+      nCandidates = 1000000, maxIter = 2)
+    val exactTop = Similarity.bruteForceTopK(emb, q, "embedding",
+      "vec_id", k = 5)
+    val recalls = Similarity.recallReport(full, exactTop)
+      .select($"recall").as[Double].collect()
+    assert(recalls.forall(_ == 1.0),
+      "full-budget IVF-PQ must have recall 1.0 everywhere")
+
+    intercept[IllegalArgumentException] {
+      Similarity.recallReport(exact.select($"query_id"), exact)
+    }
+  }
+
   test("IVF-PQ index lifecycle: write/read round trip queries " +
       "identically to the in-memory fit; append is idempotent; " +
       "geometry and kind mismatches refuse") {
