@@ -141,4 +141,43 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // and the data must ride through untouched
     assert(withReset.count() == 64)
   }
+
+  test("v1 validation suite is ONE two-phase aggregate over one " +
+      "pruned scan: no join, map-side partials, unchecked columns " +
+      "never read") {
+    val p = plan("v1_validate", "simple")
+    assert(!p.contains("Join"), s"validation must not join:\n$p")
+    val pf = plan("v1_validate")
+    assert(pf.contains("partial_"),
+      s"no map-side partial aggregation:\n$pf")
+    // the suite touches text/doc_id/n_chars/lang — source must NOT
+    // reach the scan schema
+    assert(pf.contains("ReadSchema"))
+    assert(!pf.split("ReadSchema")(1).split("\n")(0).contains("source"),
+      "scan reads a column no check watches")
+  }
+
+  test("v3 profile prunes the scan to the profiled column subset") {
+    val p = graft.operators.Validate
+      .profile(Graft.table(spark, sf, "documents"), Seq("n_chars"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString(
+          "formatted"))
+    assert(p.contains("ReadSchema"))
+    val rs = p.split("ReadSchema")(1).split("\n")(0)
+    assert(rs.contains("n_chars") && !rs.contains("text") &&
+      !rs.contains("lang"),
+      s"single-column profile reads extra columns: $rs")
+    assert(!p.contains("Join"))
+  }
+
+  test("d49 outlier report: the corpus pass is one two-phase " +
+      "aggregate; the percentile passes run over the GROUP table " +
+      "(no corpus re-join)") {
+    val p = plan("d49_outlier_report", "simple")
+    assert(!p.contains("Join"), s"outlier report must not join:\n$p")
+    val pf = plan("d49_outlier_report")
+    assert(pf.contains("partial_"),
+      s"no map-side partial aggregation:\n$pf")
+  }
 }

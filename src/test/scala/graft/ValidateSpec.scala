@@ -364,6 +364,38 @@ class ValidateSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("passed"))
   }
 
+  test("end-to-end validation lifecycle: profile a healthy drop → " +
+      "suggested contract → gate later drops → log metrics → the " +
+      "anomalous drop flags against its own history") {
+    val healthy = fixture()
+    val suite = Validate.suggestChecks(healthy)
+    Validate.assertPassed(healthy, suite) // the suggestion property
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vlife").toString + "/hist"
+    // six healthy drops (mild deterministic variation) build history
+    (0 until 6).foreach { i =>
+      val drop = healthy.withColumn("len", col("len") + lit(i))
+      Validate.writeReport(Validate.report(drop, suite), dir,
+        s"drop-$i")
+    }
+    // a drifted drop: lengths shifted far beyond the envelope
+    val drifted = healthy.withColumn("len", col("len") * 100)
+    intercept[IllegalStateException] {
+      Validate.assertPassed(drifted, suite) // the hard gate fires
+    }
+    val graded = Validate.anomalies(
+      Validate.readHistory(spark, dir),
+      Validate.report(drifted, suite), minRuns = 5)
+    // the range-fraction metric must read anomalous vs its history
+    val btw = graded.filter($"check_name" === "between(len)")
+      .collect().head
+    assert(btw.getAs[Boolean]("is_anomaly"),
+      "the drifted envelope metric must flag against history")
+    // severity grades the failed rows for the sink
+    val sev = Validate.severity(Validate.report(drifted, suite))
+    assert(sev.filter($"severity" === "alert").count() >= 1)
+  }
+
   test("refusals: empty suite, duplicate check names, inverted bounds") {
     intercept[IllegalArgumentException] {
       Validate.report(fixture(), Seq.empty)
