@@ -1552,6 +1552,18 @@ object SparkEntry {
     // integer counters) while the per-token cross-entropy is a
     // single-division double both engines compute bit-identically
     // before the 6-decimal round
+    // BM25 retrieval scoring (Robertson–Zaragoza, Lucene smooth
+    // idf): every document scored against a 3-term literal query —
+    // one stats pass (N/avgdl/per-term df as conditional counts, no
+    // term shuffle) + one scoring projection. The oracle replays
+    // tokenization, tf/df, and the full formula with identical
+    // parenthesization and term order; ln rounds at 6 like t13's
+    // log10 (verified sf0.001/0.01/0.1).
+    "t31_bm25" -> ((s, d) =>
+      operators.TextAnalysis.bm25Scores(t(s, d, "documents"),
+          "doc_id", "text", Seq("join", "window", "spark"))
+        .orderBy(col("doc_id"))),
+
     "t13_lm_score" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val lm = operators.TextAnalysis.bigramLm(
@@ -5033,6 +5045,47 @@ object SparkEntry {
         |         'weight'), 1, 8)
         |       < lpad(lower(to_hex(CAST(floor(imp_weight
         |           * 4294967296.0) AS BIGINT))), 8, '0'))
+        |ORDER BY doc_id""".stripMargin,
+
+    "t31_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS tk
+        |  FROM documents),
+        |st AS (
+        |  SELECT count(*) AS N,
+        |    CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl,
+        |    count(CASE WHEN list_contains(tk, 'join') THEN 1 END)
+        |      AS df0,
+        |    count(CASE WHEN list_contains(tk, 'window') THEN 1 END)
+        |      AS df1,
+        |    count(CASE WHEN list_contains(tk, 'spark') THEN 1 END)
+        |      AS df2
+        |  FROM tk),
+        |sc AS (
+        |  SELECT t.doc_id, len(t.tk) AS dl,
+        |    len(list_filter(t.tk, x -> x = 'join')) AS tf0,
+        |    len(list_filter(t.tk, x -> x = 'window')) AS tf1,
+        |    len(list_filter(t.tk, x -> x = 'spark')) AS tf2,
+        |    s.N AS n, s.avgdl, s.df0, s.df1, s.df2
+        |  FROM tk t CROSS JOIN st s)
+        |SELECT doc_id, dl,
+        |  (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_matched,
+        |  round(
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+        |      * (tf0 * (1.2 + 1.0))
+        |      / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+        |      * (tf1 * (1.2 + 1.0))
+        |      / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+        |      * (tf2 * (1.2 + 1.0))
+        |      / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)),
+        |    6) AS score
+        |FROM sc WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
         |ORDER BY doc_id""".stripMargin,
 
     "t13_lm_score" ->

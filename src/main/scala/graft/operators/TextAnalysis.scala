@@ -917,4 +917,64 @@ object TextAnalysis {
   def dropBlocklisted(df: DataFrame, textCol: String,
                       phrases: Seq[String]): DataFrame =
     df.filter(!graft.functions.multi_pattern_any(col(textCol), phrases))
+
+  /** BM25 relevance of every document against a literal term query
+    * (Robertson & Zaragoza 2009, with the Lucene-default smooth idf
+    * ln(1 + (N − df + 0.5)/(df + 0.5)) — never negative for
+    * ubiquitous terms): score(D, Q) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)). The retrieval primitive of a
+    * curation pipeline — "which documents look like this eval
+    * prompt / policy example", catching lexical matches the exact
+    * n-gram detectors miss once word order shifts.
+    *
+    * Scale: the query terms are LITERALS, so corpus-side statistics
+    * need no term shuffle at all — one aggregation pass computes N,
+    * Σdl and every per-term df as map-side-combined conditional
+    * counts, then one scoring projection (per-term tf via
+    * array-filter over the row's own tokens) with all statistics
+    * riding as literals. Two scans total, zero joins, zero
+    * exchanges beyond the stats agg. Emits only matching docs
+    * (n_matched ≥ 1): (id, dl, n_matched, score). Tokenization is
+    * [[tokenize]] — the same word boundaries as the LM scorers.
+    *
+    * The score sums term contributions in the CALLER's term order
+    * (floating-point addition is order-sensitive; a fixed order
+    * keeps results reproducible and cross-engine replayable).
+    */
+  def bm25Scores(corpus: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"bm25: duplicate query terms in $queryTerms")
+    require(queryTerms.forall(_.nonEmpty), "bm25: empty term")
+    require(k1 > 0 && b >= 0 && b <= 1,
+      s"bm25: k1 must be > 0 and b in [0, 1], got k1=$k1 b=$b")
+    val toks = tokenize(col(textCol))
+    val dfAggs = queryTerms.zipWithIndex.map { case (t, i) =>
+      count(when(array_contains(toks, t), 1)).as(s"__df$i") }
+    val statAggs = Seq(count(lit(1)).as("__n"),
+      sum(size(toks)).as("__sumdl")) ++ dfAggs
+    val stats = corpus.agg(statAggs.head, statAggs.drop(1): _*).head()
+    val n = stats.getLong(0)
+    require(n > 0, "bm25: empty corpus")
+    val avgdl = stats.getLong(1).toDouble / n
+    val idfs = queryTerms.indices.map { i =>
+      val dfT = stats.getLong(2 + i)
+      math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+    }
+    val dl = size(toks).cast("double")
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl))
+    val tfs = queryTerms.map(t =>
+      size(filter(toks, x => x === lit(t))).cast("double"))
+    val contribs = tfs.zip(idfs).map { case (tf, idf) =>
+      lit(idf) * (tf * lit(k1 + 1.0)) / (tf + norm) }
+    val matched = tfs.map(tf => when(tf > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    corpus.select(col(idCol),
+        dl.cast("long").as("dl"),
+        matched.as("n_matched"),
+        round(contribs.reduce(_ + _), 6).as("score"))
+      .filter(col("n_matched") >= 1)
+  }
 }

@@ -856,6 +856,55 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  test("bm25Scores: hand-computed scores on a tiny corpus (tf " +
+      "saturation, dl normalization, smooth idf), non-matching docs " +
+      "excluded, fixed term-order summation; refusals") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "cat dog cat"),      // dl 3, tf(cat)=2, tf(dog)=1
+      (2L, "cat"),              // dl 1, tf(cat)=1
+      (3L, "bird bird bird bird") // no match
+    ).toDF("id", "text")
+    val got = TextAnalysis.bm25Scores(docs, "id", "text",
+      Seq("cat", "dog"), k1 = 1.2, b = 0.75)
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "doc 3 matches nothing and must be excluded")
+    // independent replay: N=3, avgdl=8/3; df(cat)=2, df(dog)=1
+    val n = 3.0
+    val avgdl = 8.0 / 3
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def contrib(tf: Double, dfT: Double, dl: Double) =
+      idf(dfT) * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val d1 = got(0)
+    assert(d1.getAs[Long]("dl") == 3 &&
+      d1.getAs[Int]("n_matched") == 2)
+    assert(d1.getAs[Double]("score") ==
+      r6(contrib(2, 2, 3) + contrib(1, 1, 3)))
+    val d2 = got(1)
+    assert(d2.getAs[Long]("dl") == 1 &&
+      d2.getAs[Int]("n_matched") == 1)
+    assert(d2.getAs[Double]("score") ==
+      r6(contrib(1, 2, 1) + contrib(0, 1, 1)))
+    // tf saturation: the same idf with tf→∞ approaches idf·(k1+1) —
+    // doc 1's cat contribution must stay below that ceiling
+    assert(contrib(2, 2, 3) < idf(2) * 2.2)
+
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Scores(docs, "id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Scores(docs, "id", "text", Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Scores(docs, "id", "text", Seq("a"), b = 1.5)
+    }
+  }
+
   test("recallReport: hand-built frames — per-query hit fractions, " +
       "zero-overlap query, the mean summary row; full-budget IVF-PQ " +
       "reads recall 1.0 everywhere; refusal on a shapeless frame") {

@@ -123,6 +123,56 @@ class RecoverySpec extends AnyFunSuite with SparkSpec {
     assert(rows == List((4L, 3.0, 0.25, 0L, 0.25)))
   }
 
+  test("validationMonitor suite state (conditional counts + KMV " +
+      "uniqueness sketch) survives a query restart") {
+    import graft.operators.Validate._
+    val dir = Files.createTempDirectory("graft-vm-recovery").toFile
+    val inputDir = new java.io.File(dir, "input"); inputDir.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val outDir = new java.io.File(dir, "out").getAbsolutePath
+    def writeBatch(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("occurred_at_ms", "sensor_name", "reading")
+        .coalesce(1).write.mode("append")
+        .parquet(inputDir.getAbsolutePath)
+    def startQuery() = {
+      val src = spark.readStream.schema(schema)
+        .parquet(inputDir.getAbsolutePath)
+      DataStream(src.withColumn("ts",
+          timestamp_millis($"occurred_at_ms")), "ts")
+        .validationMonitor(Seq(
+          FracBetween("reading", 0.0, 10.0, 0.9),
+          Uniqueness("sensor_name", 0.9, k = 64),
+          SizeAtLeast(4)), "10 seconds")
+        .toDF.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .format("parquet").start()
+    }
+    // batch 1: 3 rows in the open window [0,10 s)
+    writeBatch(Seq((1000L, "a", 5.0), (2000L, "b", 15.0),
+      (5000L, "a", 2.0)))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(outDir).isEmpty,
+      "window must not close early")
+    // batch 2 lands while the query is DOWN
+    writeBatch(Seq((7000L, "c", 7.0), (60000L, "z", 0.0)))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(outDir)
+      .filter($"window_start_time".cast("long") === 0)
+      .orderBy("check_name")
+      .select("check_name", "value", "passed")
+      .as[(String, Double, Boolean)].collect().toList
+    // 4 rows span the restart: readings 5,15,2,7 → 3/4 in [0,10]
+    // FAIL; sensors a,b,a,c → 3/4 distinct FAIL; size 4 ≥ 4 pass —
+    // counts AND the sketch both merged across the checkpoint
+    assert(rows == List(
+      ("between(reading)", 0.75, false),
+      ("size()", 4.0, true),
+      ("uniqueness(sensor_name)", 0.75, false)))
+  }
+
   test("ExactWindow transformWithState tier survives a restart") {
     val dir = Files.createTempDirectory("graft-recovery-tws").toFile
     val inputDir = new java.io.File(dir, "input"); inputDir.mkdirs()
