@@ -1564,6 +1564,23 @@ object SparkEntry {
           "doc_id", "text", Seq("join", "window", "spark"))
         .orderBy(col("doc_id"))),
 
+    // Many-query BM25 top-k (the decontamination-grade retrieval
+    // spelling: all eval prompts vs the corpus through one corpus
+    // explode + broadcast term semi join): 3 query rows, top-10 docs
+    // each. Contributions fold in ASCENDING TERM ORDER (array-sorted
+    // fold ↔ list_reduce over an ORDER BY term list), so the float
+    // summation replays bit-identically; ranks sit on the rounded
+    // score with doc-id ties.
+    "t32_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "join window"), (2L, "hash scan filter"),
+        (3L, "spark sort merge")).toDF("qid", "qtext")
+      operators.TextAnalysis.bm25TopK(t(s, d, "documents"), "doc_id",
+          "text", qs, "qid", "qtext", k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "t13_lm_score" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val lm = operators.TextAnalysis.bigramLm(
@@ -5046,6 +5063,49 @@ object SparkEntry {
         |       < lpad(lower(to_hex(CAST(floor(imp_weight
         |           * 4294967296.0) AS BIGINT))), 8, '0'))
         |ORDER BY doc_id""".stripMargin,
+
+    "t32_bm25_topk" ->
+      """WITH q(qid, qtext) AS (VALUES
+        |    (1, 'join window'), (2, 'hash scan filter'),
+        |    (3, 'spark sort merge')),
+        |qt AS (
+        |  SELECT DISTINCT qid, unnest(regexp_split_to_array(
+        |    trim(qtext, ' ' || chr(9) || chr(10) || chr(11) ||
+        |      chr(12) || chr(13)), '[ \t\n\v\f\r]+')) AS term
+        |  FROM q),
+        |tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text,
+        |    ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |    '[ \t\n\v\f\r]+') AS tk
+        |  FROM documents),
+        |st AS (SELECT count(*) AS n,
+        |  CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl FROM tk),
+        |dt AS (
+        |  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM (
+        |    SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM tk)
+        |  WHERE term IN (SELECT DISTINCT term FROM qt)
+        |  GROUP BY doc_id, term),
+        |dfs AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+        |sc AS (
+        |  SELECT qt.qid AS query_id, dt.doc_id, dt.term,
+        |    ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+        |      * (dt.tf * (1.2 + 1.0))
+        |      / (dt.tf + 1.2 * ((1.0 - 0.75)
+        |          + 0.75 * dt.dl / s.avgdl)) AS c
+        |  FROM dt JOIN dfs f USING (term)
+        |  JOIN qt ON dt.term = qt.term
+        |  CROSS JOIN st s),
+        |agg AS (
+        |  SELECT query_id, doc_id, count(*) AS n_matched,
+        |    round(list_reduce(list(c ORDER BY term),
+        |      (a, x) -> a + x), 6) AS score
+        |  FROM sc GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rank
+        |  FROM agg)
+        |SELECT query_id, rank, doc_id, n_matched, score FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "t31_bm25" ->
       """WITH tk AS (

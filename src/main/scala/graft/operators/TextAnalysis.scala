@@ -918,6 +918,110 @@ object TextAnalysis {
                       phrases: Seq[String]): DataFrame =
     df.filter(!graft.functions.multi_pattern_any(col(textCol), phrases))
 
+  /** BM25 against a whole QUERY TABLE — the retrieval spelling that
+    * scales to "every eval prompt vs the corpus" (the single-query
+    * [[bm25Scores]] is the interactive form): queries tokenize to a
+    * distinct (query_id, term) frame; the corpus explodes ONCE into
+    * (doc, term, tf) restricted to the query-term set by a broadcast
+    * semi join (the union of eval-suite terms is small by
+    * construction — thousands of prompts × tens of terms — and the
+    * corpus never reshuffles for statistics it doesn't need); df per
+    * term falls out of the same (doc, term) frame; scoring joins the
+    * tf frame to the query terms on `term` and folds contributions
+    * per (query, doc) in ASCENDING TERM ORDER via an array-sorted
+    * fold — floating-point addition is order-sensitive, and a
+    * deterministic order is what makes the operator reproducible
+    * run-to-run AND replayable cross-engine (the same discipline as
+    * every hash-gated float pipeline here).
+    *
+    * One shuffle on (doc, term) for tf, one on (query, doc) for the
+    * fold — both keyed finely (never on the raw term alone for data
+    * rows, so a stop-word-ish query term cannot serialize scoring).
+    * Output: (query_id, id, n_matched, score), matching docs only.
+    */
+  def bm25ScoresMany(corpus: DataFrame, idCol: String,
+                     textCol: String, queries: DataFrame,
+                     queryIdCol: String, queryTextCol: String,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1,
+      s"bm25: k1 must be > 0 and b in [0, 1], got k1=$k1 b=$b")
+    val spark = corpus.sparkSession
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(tokenize(col(queryTextCol))))
+          .as("term"))
+      .filter(col("term") =!= "")
+    val termSet = qTerms.select(col("term")).distinct()
+    // corpus-wide stats: one tiny agg (N, Σdl)
+    val stats = corpus.agg(count(lit(1)).as("__n"),
+      sum(size(tokenize(col(textCol)))).as("__sumdl")).head()
+    val n = stats.getLong(0)
+    require(n > 0, "bm25: empty corpus")
+    val avgdl = stats.getLong(1).toDouble / n
+    // (doc, dl, term, tf) over query terms only — the corpus
+    // explodes once, the term set broadcasts
+    val docTerms = graft.Graft.spread(corpus)
+      .select(col(idCol).as("__doc"),
+        size(tokenize(col(textCol))).as("__dl"),
+        explode(tokenize(col(textCol))).as("term"))
+      .join(broadcast(termSet), Seq("term"))
+      .groupBy(col("__doc"), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    // df per term: one row per (doc, term) above, so a plain count
+    val dfs = docTerms.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("__df") + lit(0.5)) /
+        (col("__df") + lit(0.5)))
+    val contrib = idf *
+      (col("__tf").cast("double") * lit(k1 + 1.0)) /
+      (col("__tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("__dl").cast("double") / lit(avgdl)))
+    val scoredTerms = docTerms
+      .join(broadcast(dfs), Seq("term"))
+      .join(qTerms, Seq("term"))
+      .select(col("query_id"), col("__doc"), col("term"),
+        contrib.as("__c"))
+    // deterministic fold: contributions sum in ascending term order
+    scoredTerms.groupBy(col("query_id"), col("__doc"))
+      .agg(count(lit(1)).as("n_matched"),
+        array_sort(collect_list(struct(col("term"), col("__c"))))
+          .as("__cs"))
+      .select(col("query_id"), col("__doc").as(idCol),
+        col("n_matched"),
+        round(aggregate(col("__cs"), lit(0.0),
+          (acc, x) => acc + x.getField("__c")), 6).as("score"))
+  }
+
+  /** Top-`k` BM25 hits per query over a query table — the two-level
+    * per-query rank ([[graft.operators.Similarity]]'s discipline: a
+    * plain per-query window would sort one query's whole hit list in
+    * one task; level 1 ranks within (query, doc-hash-bucket), level
+    * 2 over the bounded survivors).
+    */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String,
+               queryTextCol: String, k: Int, k1: Double = 1.2,
+               b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = bm25ScoresMany(corpus, idCol, textCol, queries,
+      queryIdCol, queryTextCol, k1, b)
+    val nBuckets = corpus.sparkSession.sessionState.conf
+      .numShufflePartitions
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"),
+        pmod(xxhash64(col(idCol)), lit(nBuckets)))
+      .orderBy(col("score").desc, col(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("__br", row_number().over(bucketW))
+      .filter(col("__br") <= k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol),
+        col("n_matched"), col("score"))
+  }
+
   /** BM25 relevance of every document against a literal term query
     * (Robertson & Zaragoza 2009, with the Lucene-default smooth idf
     * ln(1 + (N − df + 0.5)/(df + 0.5)) — never negative for

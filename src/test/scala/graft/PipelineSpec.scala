@@ -905,6 +905,52 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bm25ScoresMany: agrees with the single-query form per query " +
+      "(same docs, matched counts, scores to 1e-9); bm25TopK ranks " +
+      "on rounded score with id ties; deterministic across " +
+      "partitionings") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "cat dog cat"), (2L, "cat"), (3L, "dog dog fish"),
+      (4L, "fish fish fish cat"), (5L, "bird")
+    ).toDF("id", "text")
+    val qs = Seq((10L, "cat dog"), (20L, "fish"))
+      .toDF("qid", "qtext")
+    val many = TextAnalysis.bm25ScoresMany(docs, "id", "text", qs,
+      "qid", "qtext").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_matched"), r.getAs[Double]("score"))).toMap
+    for ((qid, terms) <- Seq(10L -> Seq("cat", "dog"),
+        20L -> Seq("fish"))) {
+      val single = TextAnalysis.bm25Scores(docs, "id", "text", terms)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getAs[Int]("n_matched").toLong,
+            r.getAs[Double]("score"))).toMap
+      val manyQ = many.collect { case ((q, d), v) if q == qid =>
+        d -> v }
+      assert(manyQ.keySet == single.keySet,
+        s"query $qid doc sets differ")
+      manyQ.foreach { case (d, (nm, sc)) =>
+        assert(nm == single(d)._1)
+        assert(math.abs(sc - single(d)._2) < 1e-9,
+          s"query $qid doc $d: $sc vs ${single(d)._2}")
+      }
+    }
+    val top = TextAnalysis.bm25TopK(docs, "id", "text", qs, "qid",
+      "qtext", k = 2).orderBy($"query_id", $"rank")
+      .select($"query_id", $"rank", $"id")
+      .as[(Long, Int, Long)].collect().toList
+    assert(top.map(_._1).toSet == Set(10L, 20L))
+    assert(top.count(_._1 == 10L) == 2 && top.count(_._1 == 20L) == 2)
+    val again = TextAnalysis.bm25TopK(docs.repartition(7), "id",
+      "text", qs, "qid", "qtext", k = 2)
+      .orderBy($"query_id", $"rank")
+      .select($"query_id", $"rank", $"id")
+      .as[(Long, Int, Long)].collect().toList
+    assert(again == top, "partitioning changed the ranking")
+  }
+
   test("recallReport: hand-built frames — per-query hit fractions, " +
       "zero-overlap query, the mean summary row; full-budget IVF-PQ " +
       "reads recall 1.0 everywhere; refusal on a shapeless frame") {
