@@ -244,8 +244,7 @@ object Validate {
     val names = checks.map(_.name)
     require(names.distinct.size == names.size,
       s"validate: duplicate check names ${names.diff(names.distinct)}")
-    val aggCols = count(lit(1)).as("__n") +:
-      checks.zipWithIndex.flatMap { case (c, i) => c.aggs(s"_$i") }
+    val aggCols = suiteAggs(checks)
     val agged =
       if (by.isEmpty) df.agg(aggCols.head, aggCols.drop(1): _*)
       else df.groupBy(by.map(col): _*)
