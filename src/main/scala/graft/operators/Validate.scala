@@ -305,14 +305,26 @@ object Validate {
       s"profile: no column '$c' in ${df.columns.toSeq}"))
     def isNum(dt: DataType) = dt.isInstanceOf[NumericType]
     def isStr(dt: DataType) = dt == StringType
+    // event-time columns profile their envelope as epoch millis
+    // (min/max tell you the drop's time coverage; mean is
+    // meaningless for timestamps and stays null)
+    def isTs(dt: DataType) =
+      dt == TimestampType || dt == TimestampNTZType || dt == DateType
+    def numView(c: String): Column = {
+      val dt = fieldByName(c).dataType
+      if (isTs(dt)) unix_millis(col(c).cast("timestamp")).cast("double")
+      else col(c).cast("double")
+    }
     val aggCols = count(lit(1)).as("__n") +: targets.zipWithIndex
       .flatMap { case (c, i) =>
         val dt = fieldByName(c).dataType
         Seq(count(col(c)).as(s"__c$i"),
           Sketches.kmvSketch(col(c), k).as(s"__k$i")) ++
+          (if (isNum(dt) || isTs(dt)) Seq(
+            min(numView(c)).as(s"__mn$i"),
+            max(numView(c)).as(s"__mx$i"))
+          else Seq.empty) ++
           (if (isNum(dt)) Seq(
-            min(col(c)).cast("double").as(s"__mn$i"),
-            max(col(c)).cast("double").as(s"__mx$i"),
             sum(col(c)).cast("double").as(s"__s$i"))
           else Seq.empty) ++
           (if (isStr(dt)) Seq(
@@ -330,6 +342,7 @@ object Validate {
       val (mn, mx, mean) =
         if (isNum(dt)) (col(s"__mn$i"), col(s"__mx$i"),
           when(nn === 0, nullD).otherwise(col(s"__s$i") / nn))
+        else if (isTs(dt)) (col(s"__mn$i"), col(s"__mx$i"), nullD)
         else (nullD, nullD, nullD)
       val tops =
         if (isStr(dt))
@@ -399,11 +412,17 @@ object Validate {
         checks += Uniqueness(c, 1.0, k)
       val mn = Option(r.getAs[java.lang.Double]("min_value"))
       val mx = Option(r.getAs[java.lang.Double]("max_value"))
-      (mn, mx) match {
-        case (Some(lo), Some(hi)) =>
-          checks += FracBetween(c, lo, hi, 1.0)
-        case _ => ()
-      }
+      val dtype = r.getAs[String]("dtype")
+      // timestamp/date envelopes profile as epoch millis but cannot
+      // back a FracBetween over the raw column (a time-range check
+      // on a NEW drop should look at ingestion lag, not the frozen
+      // past window) — numeric columns only
+      if (!dtype.startsWith("timestamp") && !dtype.startsWith("date"))
+        (mn, mx) match {
+          case (Some(lo), Some(hi)) =>
+            checks += FracBetween(c, lo, hi, 1.0)
+          case _ => ()
+        }
       val topIdx = r.fieldIndex("top_values")
       val tops =
         if (r.isNullAt(topIdx)) None

@@ -231,6 +231,25 @@ class ValidateSpec extends AnyFunSuite with SparkSpec {
       Seq("alpha", "beta"))
   }
 
+  test("profile: timestamp columns report their time envelope as " +
+      "epoch millis (min/max; mean stays null), and suggestChecks " +
+      "never pins a frozen time window on them") {
+    val df = Seq(1000L, 5000L, 3000L).toDF("ms")
+      .withColumn("ts", timestamp_millis($"ms"))
+    val p = Validate.profile(df, Seq("ts")).collect().head
+    assert(p.getAs[String]("dtype").startsWith("timestamp"))
+    assert(p.getAs[Double]("min_value") == 1000.0 &&
+      p.getAs[Double]("max_value") == 5000.0)
+    assert(p.isNullAt(p.fieldIndex("mean_value")))
+    assert(p.getAs[Double]("n_distinct") == 3.0)
+    val suite = Validate.suggestChecks(df, Seq("ts"))
+    assert(!suite.exists(_.name == "between(ts)"),
+      "a frozen time window must not be suggested for event time")
+    // ...but the rest of the contract still applies to the column
+    assert(suite.exists(_.name == "completeness(ts)"))
+    Validate.assertPassed(df, suite)
+  }
+
   test("profile: empty frame and all-null column — null completeness/" +
       "stats rather than garbage; n_distinct reads 0") {
     val empty = fixture().filter(lit(false))
