@@ -250,4 +250,68 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("validation suite: every check's (value, passed) equals a " +
+      "driver-side brute-force recomputation over randomized data " +
+      "and thresholds") {
+    import graft.operators.Validate
+    import graft.operators.Validate._
+    val rowGen = for {
+      v <- Gen.option(Gen.chooseNum(-50L, 150L))
+      s <- Gen.option(Gen.oneOf("aa", "bb", "cc", "dd", "ee", "aa"))
+    } yield (v, s)
+    val rnd = new scala.util.Random(20260817L)
+    (0 until 5).foreach { trial =>
+      val rows = sample(rowGen, 400 + trial * 37)
+        .zipWithIndex.map { case ((v, s), i) => (i.toLong, v, s) }
+      val df = rows.toDF("id", "v", "s")
+      val lo = rnd.nextInt(50).toDouble
+      val hi = lo + rnd.nextInt(100).toDouble
+      val frac = rnd.nextInt(100) / 100.0
+      val suite = Seq(
+        Completeness("v", frac), Uniqueness("s", frac, k = 1024),
+        FracBetween("v", lo, hi, frac),
+        InSet("s", Seq("aa", "bb"), frac),
+        MinOf("v", lo), MaxOf("v", hi),
+        MeanBetween("v", lo, hi), SizeAtLeast(rows.size / 2))
+      val got = Validate.report(df, suite).collect()
+        .map(r => r.getAs[String]("check_name") ->
+          (Option(r.getAs[java.lang.Double]("value")),
+            Option(r.getAs[java.lang.Boolean]("passed")))).toMap
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      val n = rows.size.toDouble
+      val vs = rows.flatMap(_._2)
+      val ss = rows.flatMap(_._3)
+      def expFrac(num: Double, den: Double, min: Double) =
+        if (den == 0) (None, None)
+        else (Some(r6(num / den)), Some(num / den >= min))
+      val exp = Map[String, (Option[Double], Option[Boolean])](
+        "completeness(v)" ->
+          (Some(r6(vs.size / n)), Some(vs.size / n >= frac)),
+        "uniqueness(s)" ->
+          expFrac(ss.distinct.size, ss.size, frac),
+        "between(v)" -> expFrac(
+          vs.count(x => x >= lo && x <= hi), vs.size, frac),
+        "in_set(s)" -> expFrac(
+          ss.count(Set("aa", "bb")), ss.size, frac),
+        "min(v)" -> (if (vs.isEmpty) (None, None)
+          else (Some(vs.min.toDouble), Some(vs.min >= lo))),
+        "max(v)" -> (if (vs.isEmpty) (None, None)
+          else (Some(vs.max.toDouble), Some(vs.max <= hi))),
+        "mean(v)" -> (if (vs.isEmpty) (None, None)
+          else {
+            val m = vs.sum.toDouble / vs.size
+            (Some(r6(m)), Some(m >= lo && m <= hi))
+          }),
+        "size()" -> (Some(n), Some(n >= rows.size / 2)))
+      exp.foreach { case (name, (ev, ep)) =>
+        val (gv, gp) = got(name)
+        assert(gv == ev && gp.map(Boolean.unbox) == ep,
+          s"trial $trial $name: got ($gv, $gp) want ($ev, $ep) " +
+            s"[lo=$lo hi=$hi frac=$frac]")
+      }
+    }
+  }
 }
