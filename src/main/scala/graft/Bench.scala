@@ -526,12 +526,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Unigram-LM trainer + inference over documents: the third
-    // tokenizer family's cost curve next to bpe_train/byte_bpe_train
-    // (same one-shuffle type count; the EM rounds replace the merge
-    // loop as the capped driver stage), plus one full-corpus encode
-    // pass with the learned vocab so the Viterbi expression's scan
-    // cost is measured, not assumed.
     // Streaming validation monitor over events: a 4-check suite per
     // event-time hour (completeness + range fraction + KMV
     // uniqueness + size), one windowed aggregation — priced next to
@@ -567,6 +561,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Unigram-LM trainer + inference over documents: the third
+    // tokenizer family's cost curve next to bpe_train/byte_bpe_train
+    // (same one-shuffle type count; the EM rounds replace the merge
+    // loop as the capped driver stage), plus one full-corpus encode
+    // pass with the learned vocab so the Viterbi expression's scan
+    // cost is measured, not assumed.
     def unigramTrainOnce(): Double = {
       import org.apache.spark.sql.functions._
       System.gc()

@@ -391,10 +391,14 @@ object Drift {
     * is bit-identical cross-engine (hash-gated; double columns carry
     * the usual per-group-sum last-ulp caveat).
     *
-    * Scale: group means are one partial-combined aggregation; the
-    * two percentile passes run over the GROUP table (one row per
-    * source — small by construction) and ship back two scalar
-    * literals; nothing row-scale leaves the executors. Groups with
+    * Scale: group means are one partial-combined aggregation whose
+    * result — one row per source, small by construction — is
+    * collected ONCE; median and MAD are computed driver-side from
+    * that array (exact `percentile` linear interpolation, so the
+    * numbers are bit-identical to the SQL spelling) and the report
+    * comes back as a local relation, so the corpus is scanned
+    * exactly once no matter how many times the caller consumes the
+    * result. Groups with
     * zero non-null values emit with null mean/z, never vanish;
     * MAD = 0 (at least half the groups share the median mean) makes
     * every z null with `is_outlier` false — grade those corpora with
@@ -407,28 +411,48 @@ object Drift {
     require(groupCols.nonEmpty,
       "outlierReport needs >= 1 group column")
     require(zThreshold > 0, s"zThreshold must be > 0, got $zThreshold")
-    val g = df.groupBy(groupCols.map(col): _*)
+    val agged = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         count(col(valueCol)).as("__nn"),
         (sum(col(valueCol)).cast("double") / count(col(valueCol)))
           .as("__mean"))
-    // two 1-row actions over the bounded group table (never the
-    // corpus): the across-group median, then the MAD around it
-    val medRow = g.agg(percentile(col("__mean"), lit(0.5))).head()
-    require(!medRow.isNullAt(0),
+    // ONE action: collect the bounded group table (one row per
+    // group, never the corpus) and derive median + MAD driver-side
+    // from the array — the corpus group-by scan runs exactly once
+    val rows = agged.collect() // bounded artifact: one row per group
+    val meanIdx = agged.schema.fieldIndex("__mean")
+    val means = rows.collect {
+      case r if !r.isNullAt(meanIdx) => r.getDouble(meanIdx)
+    }
+    require(means.nonEmpty,
       s"outlierReport: no group has a non-null '$valueCol' mean")
-    val med = medRow.getDouble(0)
-    val mad = g.agg(percentile(abs(col("__mean") - lit(med)),
-      lit(0.5))).head().getDouble(0)
+    val med = interpolatedMedian(means)
+    val mad = interpolatedMedian(means.map(m => math.abs(m - med)))
     val z =
       if (mad == 0.0) lit(null).cast("double")
       else round((col("__mean") - lit(med)) / lit(1.4826 * mad), 6)
+    val spark = df.sparkSession
+    val g = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), agged.schema)
     g.select(groupCols.map(col) ++ Seq(col("n_rows"),
       (col("n_rows") - col("__nn")).as("n_null"),
       round(col("__mean"), 6).as("mean_value"),
       z.as("z"),
       when(z.isNull, lit(false)).otherwise(abs(z) > lit(zThreshold))
         .as("is_outlier")): _*)
+  }
+
+  /** Exact median by `percentile`'s linear-interpolation rule over
+    * sorted values (index p·(n−1), interpolate between floor/ceil) —
+    * the same selection statistic SQL `percentile(x, 0.5)` computes,
+    * bit-identical, so driver-side medians replay in the oracle.
+    */
+  private[graft] def interpolatedMedian(xs: Array[Double]): Double = {
+    val s = xs.sorted
+    val idx = 0.5 * (s.length - 1)
+    val lo = math.floor(idx).toInt
+    val hi = math.ceil(idx).toInt
+    if (lo == hi) s(lo) else s(lo) + (s(hi) - s(lo)) * (idx - lo)
   }
 
   /** The B+2 bounded-state aggregate columns every drift spelling

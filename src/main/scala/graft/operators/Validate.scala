@@ -311,9 +311,19 @@ object Validate {
     def isTs(dt: DataType) =
       dt == TimestampType || dt == TimestampNTZType || dt == DateType
     def numView(c: String): Column = {
-      val dt = fieldByName(c).dataType
-      if (isTs(dt)) unix_millis(col(c).cast("timestamp")).cast("double")
-      else col(c).cast("double")
+      fieldByName(c).dataType match {
+        // DateType deliberately avoids cast-to-timestamp (which
+        // resolves midnight in the SESSION timezone, so the same
+        // date column would profile to different epoch millis under
+        // different spark.sql.session.timeZone): days-since-epoch ×
+        // 86400000 is timezone-independent and reproducible
+        case DateType =>
+          (datediff(col(c), to_date(lit("1970-01-01"))).cast("long")
+            * lit(86400000L)).cast("double")
+        case dt if isTs(dt) =>
+          unix_millis(col(c).cast("timestamp")).cast("double")
+        case _ => col(c).cast("double")
+      }
     }
     val aggCols = count(lit(1)).as("__n") +: targets.zipWithIndex
       .flatMap { case (c, i) =>
@@ -373,11 +383,15 @@ object Validate {
     * constraint-suggestion idea: profile one healthy drop, emit the
     * suite that pins its observed shape, run that suite on every
     * later drop. Rules (each guaranteed to PASS on the profiled
-    * frame itself — spec-pinned):
-    *  - complete column → `Completeness(c, 1.0)`; partially complete
-    *    (≥ minCompleteness) → completeness floored to 2 decimals;
-    *  - fully distinct + complete column (exact KMV regime) →
-    *    `Uniqueness(c, 1.0)`;
+    * frame itself — spec-pinned; 1.0-threshold rules gate on the
+    * profile's EXACT counts, `n_null`/`n_distinct`, never the
+    * rounded fractions, which round to 1.0 on large frames with a
+    * handful of violations):
+    *  - zero-null column → `Completeness(c, 1.0)`; partially
+    *    complete (≥ minCompleteness) → exact completeness floored
+    *    to 2 decimals;
+    *  - fully distinct + complete column in the exact KMV regime
+    *    (non-null count ≤ k) → `Uniqueness(c, 1.0)`;
     *  - numeric column → `FracBetween(c, min, max, 1.0)` (the
     *    observed envelope);
     *  - string column whose full value set fit the top-K summary →
@@ -397,18 +411,29 @@ object Validate {
     val checks = scala.collection.mutable.ArrayBuffer[Check]()
     rows.foreach { r =>
       val c = r.getAs[String]("column_name")
-      val completeness =
-        Option(r.getAs[java.lang.Double]("completeness"))
-          .map(_.doubleValue())
-      completeness.foreach { comp =>
-        if (comp >= 1.0) checks += Completeness(c, 1.0)
-        else if (comp >= minCompleteness)
-          checks += Completeness(c, math.floor(comp * 100) / 100)
+      // 1.0-threshold rules gate on the EXACT counts in the profile
+      // row, never the rounded fractions: on a large frame a handful
+      // of nulls (or near-unique dups) rounds completeness /
+      // distinct_frac to 1.0, yet the suggested check evaluates the
+      // UNROUNDED metric and would fail on the profiled frame
+      // itself, breaking the guaranteed-to-PASS contract
+      val nNull = r.getAs[Long]("n_null")
+      val nonNull = nRows - nNull
+      if (nRows > 0) {
+        if (nNull == 0L) checks += Completeness(c, 1.0)
+        else {
+          val compExact = nonNull.toDouble / nRows
+          if (compExact >= minCompleteness)
+            checks += Completeness(c, math.floor(compExact * 100) / 100)
+        }
       }
-      val distinctFrac =
-        Option(r.getAs[java.lang.Double]("distinct_frac"))
-          .map(_.doubleValue())
-      if (completeness.contains(1.0) && distinctFrac.exists(_ >= 1.0))
+      // exact-KMV regime only (nonNull ≤ k ⇒ the sketch held every
+      // value ⇒ n_distinct is the exact count): a truly unique,
+      // fully complete column — approximate-regime near-1.0
+      // estimates are never pinned to 1.0
+      val nDistinct = r.getAs[Double]("n_distinct")
+      if (nNull == 0L && nonNull > 0 && nonNull <= k &&
+          nDistinct == nonNull.toDouble)
         checks += Uniqueness(c, 1.0, k)
       val mn = Option(r.getAs[java.lang.Double]("min_value"))
       val mx = Option(r.getAs[java.lang.Double]("max_value"))
@@ -427,7 +452,6 @@ object Validate {
       val tops =
         if (r.isNullAt(topIdx)) None
         else Some(r.getSeq[String](topIdx).toSeq)
-      val nDistinct = r.getAs[Double]("n_distinct")
       tops.foreach { vs =>
         // the whole value set fit the summary → pin it
         if (vs.nonEmpty && nDistinct <= vs.size && vs.size < topK)

@@ -696,4 +696,32 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e2.getMessage.contains("no group"))
   }
+
+  test("outlierReport: one corpus scan — the report comes back as a " +
+      "local relation (consuming it re-scans nothing), and the " +
+      "driver-side median matches SQL percentile bit-for-bit") {
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 5L), ("c", 7L),
+      ("d", 11L)).toDF("src", "v")
+    val rep = Drift.outlierReport(df, Seq("src"), "v")
+    val leaves = rep.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"outlierReport must return a local relation, got:\n" +
+        rep.queryExecution.optimizedPlan)
+
+    // interpolatedMedian IS percentile(x, 0.5): exact equality over
+    // odd/even/singleton/duplicate-heavy and randomized arrays
+    val rnd = new scala.util.Random(13)
+    val arrays = Seq(
+      Array(5.0), Array(1.0, 2.0), Array(3.0, 1.0, 2.0),
+      Array(2.0, 2.0, 2.0, 9.0), Array(-1.5, 0.25, 0.25, 7.0, 11.0)
+    ) ++ (1 to 8).map(n =>
+      Array.fill(rnd.nextInt(25) + 1)(rnd.nextDouble() * 100 - 50))
+    arrays.foreach { xs =>
+      val sql = xs.toSeq.toDF("x")
+        .agg(percentile($"x", lit(0.5))).head().getDouble(0)
+      assert(Drift.interpolatedMedian(xs) == sql,
+        s"median mismatch on ${xs.toSeq}")
+    }
+  }
 }

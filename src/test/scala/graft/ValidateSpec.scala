@@ -296,6 +296,70 @@ class ValidateSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("suggestChecks: rounding edges — a handful of nulls (or one " +
+      "dup) on a large frame rounds the profile fraction to 1.0, but " +
+      "the 1.0-threshold rules gate on exact counts, so the " +
+      "suggested suite still PASSES on the profiled frame itself") {
+    // 3,000,001 rows, exactly one null: completeness =
+    // 3000000/3000001 = 0.9999996…, which ROUNDS to 1.0 at the
+    // profile's 6 decimals — Completeness(c, 1.0) would fail on the
+    // unrounded metric; near_key has one duplicate, so distinct_frac
+    // also rounds to 1.0 while the true fraction is < 1
+    val big = spark.range(3000001L)
+      .select(
+        when($"id" === 0L, lit(null).cast("long")).otherwise($"id")
+          .as("almost_complete"),
+        when($"id" === 0L, lit(1L)).otherwise($"id").as("near_key"))
+    val suite = Validate.suggestChecks(big)
+    val byName = suite.map(c => c.name -> c).toMap
+    val comp = byName("completeness(almost_complete)")
+      .asInstanceOf[Completeness]
+    assert(comp.minFrac == 0.99,
+      "a column WITH nulls must get a floored threshold, never 1.0")
+    assert(!byName.contains("uniqueness(near_key)") &&
+      !byName.contains("uniqueness(almost_complete)"),
+      "approximate-regime near-1.0 distinct fractions must not be " +
+        "pinned to a key check")
+    Validate.assertPassed(big, suite)
+
+    // exact-regime twin: a fully distinct column whose non-null
+    // count exceeds the sketch k is OUTSIDE the exact regime — no
+    // key check even though it would happen to pass here
+    val small = spark.range(20L).select($"id".as("k20"))
+    val smallSuite = Validate.suggestChecks(small, k = 16)
+    assert(!smallSuite.exists(_.name == "uniqueness(k20)"))
+    Validate.assertPassed(small, smallSuite)
+    val exact = Validate.suggestChecks(small, k = 64)
+    assert(exact.exists(_.name == "uniqueness(k20)"))
+    Validate.assertPassed(small, exact)
+  }
+
+  test("profile: DateType time envelope is timezone-independent — " +
+      "the same date column reads identical epoch millis under " +
+      "different session time zones") {
+    val df = Seq("2026-03-01", "2026-03-15").toDF("d")
+      .select(to_date($"d").as("d"))
+    val tzKey = "spark.sql.session.timeZone"
+    val orig = spark.conf.get(tzKey)
+    def envelope(): (Double, Double) = {
+      val r = Validate.profile(df, Seq("d")).collect().head
+      (r.getAs[Double]("min_value"), r.getAs[Double]("max_value"))
+    }
+    try {
+      spark.conf.set(tzKey, "UTC")
+      val utc = envelope()
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      val la = envelope()
+      spark.conf.set(tzKey, "Asia/Tokyo")
+      val tokyo = envelope()
+      assert(utc == la && la == tokyo,
+        s"DateType envelope must not depend on session tz: " +
+          s"$utc / $la / $tokyo")
+      // and it is the UTC-midnight epoch millis of the dates
+      assert(utc._1 == 20513.0 * 86400000 && utc._2 == 20527.0 * 86400000)
+    } finally spark.conf.set(tzKey, orig)
+  }
+
   test("metric history: writeReport appends run-stamped rows, " +
       "duplicate runId refuses, readHistory round-trips") {
     val dir = java.nio.file.Files
