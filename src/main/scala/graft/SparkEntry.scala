@@ -1581,6 +1581,48 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // quality-classifier TRAINING (the learning half of the t19
+    // scorer): deterministic full-batch gradient descent over the
+    // hashed feature space — integer micro-unit weights, rational
+    // sigmoid (no exp — every op correctly rounded IEEE), per-
+    // occurrence gradient contributions quantized to integers so
+    // accumulation is order-free. Label = contains the 'dup' marker
+    // token (the one lexical signal in the synthetic corpus — the
+    // lang column is uncorrelated with text there), a rare ~5%
+    // class, so the gate exercises the BALANCED path. The oracle
+    // UNROLLS all three iterations as chained CTEs and replays
+    // every hash digit, margin, residual, class weight, and integer
+    // update — the whole optimization is hash-gated, not just the
+    // final scores
+    "t33_hashed_linear_train" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      w.zipWithIndex.map { case (wm, b) => (b, wm) }.toSeq
+        .toDF("bucket", "weight_milli")
+        .orderBy(col("bucket"))
+    }),
+
+    // ...and the trained model applied through the PRODUCTION scorer
+    // (hashedLinearScoreWith): train-then-score at query time, per-
+    // doc exact integer score + one-division logit; the learned
+    // model rediscovers the marker (keep ≈ the marked docs)
+    "t34_hashed_trained_score" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      operators.TextAnalysis.hashedLinearScoreWith(docs, "doc_id",
+          "text", w.toSeq)
+        .orderBy(col("doc_id"))
+    }),
+
     "t13_lm_score" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val lm = operators.TextAnalysis.bigramLm(
@@ -2274,6 +2316,40 @@ object SparkEntry {
       val mutated = docs.filter(col("source") === "src7")
         .withColumn("n_chars", col("n_chars") * 13)
       val cur = Validate.report(mutated, checks)
+      Validate.anomalies(hist, cur)
+        .select(col("check_name"), col("value"), col("n_runs"),
+          col("median_value"), col("mad"), col("z"),
+          col("is_anomaly").cast("int").as("is_anomaly"))
+        .orderBy(col("check_name"))
+    }),
+
+    // Monitor-metric history + anomalies (the v4 machinery pointed
+    // at the MONITOR family): per-source driftReport rows melt into
+    // (run_id, check_name, value) history series via meltMetrics,
+    // a planted ×13 length shift in one source's "new drop" then
+    // grades against the across-run median/MAD — tvd/max_shift flag
+    // ("never been this high"), while the unremarkable n_rows /
+    // n_null metrics do not. Selection statistics end to end: the
+    // drift stats are exact-count arithmetic rounded at 6, the
+    // median/MAD replay as quantile_cont — everything hash-hard.
+    "v5_monitor_anomaly" -> ((s, d) => {
+      import operators.{Drift, Validate}
+      val docs = t(s, d, "documents")
+        .withColumn("len", col("n_chars").cast("double"))
+      val bounds = Seq(150.0, 250.0, 350.0, 450.0)
+      val fracs = Drift.histFractions(docs, "len", bounds)
+      val metrics = Seq("n_rows", "n_null", "tvd", "max_shift")
+      val hist = Validate.meltMetrics(
+          Drift.driftReport(docs, Seq("source"), "len", bounds,
+            fracs.toSeq),
+          metrics, carry = Seq("source"))
+        .select(col("source").as("run_id"), col("check_name"),
+          col("value"))
+      val mutated = docs.filter(col("source") === "src7")
+        .withColumn("len", col("len") * 13)
+      val cur = Validate.meltMetrics(
+        Drift.driftReport(mutated, Seq("source"), "len", bounds,
+          fracs.toSeq), metrics)
       Validate.anomalies(hist, cur)
         .select(col("check_name"), col("value"), col("n_runs"),
           col("median_value"), col("mad"), col("z"),
@@ -3148,7 +3224,97 @@ object SparkEntry {
     "d37_kmv_overlap_indexed" -> oracleSqlBase("d36_kmv_overlap"),
     "t30_frequent_ngrams" -> oracleSqlBase("t21_top_ngrams"))
 
+  /** First-8-hex-chars-of-md5 → int, digit by digit (the d5 recipe) —
+    * the DuckDB spelling of [[operators.TextAnalysis.h32]].
+    */
+  private def h32Sql(e: String): String = (1 to 8).map { p =>
+    s"(strpos('0123456789abcdef', substr(md5($e), $p, 1))-1)*" +
+      (1L << (4 * (8 - p)))
+  }.mkString("(", " + ", ")")
+
+  /** The t33/t34 oracle's training replay: `iters` full-batch GD
+    * iterations over the md5-hashed feature space UNROLLED as
+    * chained CTEs — one (margin, residual-contribution, gradient,
+    * weight-update) block per iteration, every step in the exact
+    * pinned arithmetic of
+    * [[operators.TextAnalysis.learnHashedLinear]] (integer micro
+    * weights, rational sigmoid, floor(x+0.5) quantization), ending
+    * in a `milli` CTE with the trained milli-unit weight table.
+    */
+  private def hashedGdCtes(dim: Int, iters: Int): String = {
+    val bucket = s"(${h32Sql("tok")} % $dim)"
+    val m = s"(CAST(msum AS DOUBLE) / (1000000.0 * n_tokens))"
+    val head =
+      s"""base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN list_contains(regexp_split_to_array(trim(text,
+         |        ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+         |        '[ \t\n\f\r]+'), 'dup') THEN CAST(1 AS DOUBLE)
+         |      ELSE CAST(0 AS DOUBLE) END AS y,
+         |    regexp_split_to_array(trim(text,
+         |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+         |      '[ \t\n\f\r]+') AS tk
+         |  FROM documents),
+         |docs AS (SELECT doc_id, y, len(tk) AS n_tokens, tk
+         |  FROM base WHERE len(tk) > 0),
+         |nn AS (SELECT COUNT(*) AS n, SUM(y) AS np FROM docs),
+         |cb AS (SELECT CAST(n AS DOUBLE) / (2.0 * np) AS wpos,
+         |  CAST(n AS DOUBLE) / (2.0 * (CAST(n AS DOUBLE) - np)) AS wneg
+         |  FROM nn),
+         |occ AS (SELECT doc_id, y, n_tokens, unnest(tk) AS tok
+         |  FROM docs),
+         |feat AS (SELECT doc_id, y, n_tokens, $bucket AS bucket
+         |  FROM occ),
+         |w0 AS (SELECT x AS bucket, CAST(0 AS BIGINT) AS w
+         |  FROM range(0, $dim) t(x))""".stripMargin
+    val its = (1 to iters).map { k =>
+      s"""m$k AS (
+         |  SELECT f.doc_id, f.y, f.n_tokens, SUM(w.w) AS msum
+         |  FROM feat f JOIN w${k - 1} w USING (bucket)
+         |  GROUP BY f.doc_id, f.y, f.n_tokens),
+         |c$k AS (
+         |  SELECT doc_id, CAST(floor(
+         |      (0.5 + 0.5 * ($m / (1.0 + abs($m))) - y)
+         |        * (CASE WHEN y = 1.0 THEN cb.wpos ELSE cb.wneg END)
+         |        * 1000000.0 / n_tokens + 0.5) AS BIGINT) AS c
+         |  FROM m$k, cb),
+         |g$k AS (
+         |  SELECT f.bucket, SUM(c.c) AS g
+         |  FROM feat f JOIN c$k c USING (doc_id)
+         |  GROUP BY f.bucket),
+         |w$k AS (
+         |  SELECT w.bucket, w.w - CAST(floor(
+         |      10.0 * COALESCE(g.g, 0) / (SELECT n FROM nn) + 0.5)
+         |    AS BIGINT) AS w
+         |  FROM w${k - 1} w LEFT JOIN g$k g USING (bucket))""".stripMargin
+    }
+    val milli =
+      s"""milli AS (
+         |  SELECT bucket,
+         |    CAST(floor(w / 1000.0 + 0.5) AS BIGINT) AS weight_milli
+         |  FROM w$iters)""".stripMargin
+    (Seq(head) ++ its ++ Seq(milli)).mkString(",\n")
+  }
+
   private val oracleSqlBase: Map[String, String] = Map(
+    "t33_hashed_linear_train" ->
+      s"""WITH ${hashedGdCtes(64, 3)}
+         |SELECT CAST(bucket AS INTEGER) AS bucket, weight_milli
+         |FROM milli ORDER BY bucket""".stripMargin,
+
+    "t34_hashed_trained_score" ->
+      s"""WITH ${hashedGdCtes(64, 3)},
+         |sc AS (
+         |  SELECT f.doc_id, SUM(m.weight_milli) AS score_milli
+         |  FROM feat f JOIN milli m USING (bucket)
+         |  GROUP BY f.doc_id)
+         |SELECT d.doc_id, d.n_tokens, sc.score_milli,
+         |  CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)
+         |    AS logit,
+         |  (CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)) > 0
+         |    AS keep
+         |FROM docs d JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -4149,6 +4315,103 @@ object SparkEntry {
         |  SELECT 'satisfies(short_docs)',
         |    round(count(CASE WHEN n_chars < 400 THEN 1 END)::DOUBLE
         |      / count(*), 6) FROM m7)
+        |SELECT c.check_name, c.value, s.n_runs,
+        |  s.med AS median_value, m.mad,
+        |  CASE WHEN m.mad = 0 THEN NULL
+        |       ELSE round((c.value - s.med) / (1.4826 * m.mad), 6)
+        |  END AS z,
+        |  CASE WHEN s.n_runs < 5 THEN NULL
+        |       WHEN m.mad = 0 THEN
+        |         CASE WHEN c.value <> s.med THEN 1 ELSE 0 END
+        |       ELSE CASE WHEN abs(round((c.value - s.med)
+        |         / (1.4826 * m.mad), 6)) > 3.5 THEN 1 ELSE 0 END
+        |  END AS is_anomaly
+        |FROM cur c
+        |JOIN stats s USING (check_name)
+        |JOIN mads m USING (check_name)
+        |ORDER BY check_name""".stripMargin,
+
+    "v5_monitor_anomaly" ->
+      """WITH base AS (
+        |  SELECT n_chars::DOUBLE AS v FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |bt AS (SELECT count(*)::DOUBLE AS t FROM base),
+        |f AS (SELECT
+        |  (SELECT count(*) FROM base WHERE v < 150)::DOUBLE
+        |    / (SELECT t FROM bt) AS f0,
+        |  (SELECT count(*) FROM base
+        |     WHERE v >= 150 AND v < 250)::DOUBLE
+        |    / (SELECT t FROM bt) AS f1,
+        |  (SELECT count(*) FROM base
+        |     WHERE v >= 250 AND v < 350)::DOUBLE
+        |    / (SELECT t FROM bt) AS f2,
+        |  (SELECT count(*) FROM base
+        |     WHERE v >= 350 AND v < 450)::DOUBLE
+        |    / (SELECT t FROM bt) AS f3,
+        |  (SELECT count(*) FROM base WHERE v >= 450)::DOUBLE
+        |    / (SELECT t FROM bt) AS f4),
+        |g AS (SELECT source, count(*) AS n_rows,
+        |  count(n_chars) AS nn,
+        |  count(*) FILTER (n_chars IS NOT NULL
+        |    AND n_chars::DOUBLE < 150) AS c0,
+        |  count(*) FILTER (n_chars::DOUBLE >= 150
+        |    AND n_chars::DOUBLE < 250) AS c1,
+        |  count(*) FILTER (n_chars::DOUBLE >= 250
+        |    AND n_chars::DOUBLE < 350) AS c2,
+        |  count(*) FILTER (n_chars::DOUBLE >= 350
+        |    AND n_chars::DOUBLE < 450) AS c3,
+        |  count(*) FILTER (n_chars::DOUBLE >= 450) AS c4
+        |  FROM documents GROUP BY 1),
+        |hist AS (
+        |  SELECT source AS run_id, 'n_rows' AS check_name,
+        |    n_rows::DOUBLE AS value FROM g
+        |  UNION ALL
+        |  SELECT source, 'n_null', (n_rows - nn)::DOUBLE FROM g
+        |  UNION ALL
+        |  SELECT source, 'tvd',
+        |    round((abs(c0::DOUBLE/nn - f0) + abs(c1::DOUBLE/nn - f1)
+        |      + abs(c2::DOUBLE/nn - f2) + abs(c3::DOUBLE/nn - f3)
+        |      + abs(c4::DOUBLE/nn - f4)) * 0.5, 6) FROM g, f
+        |  UNION ALL
+        |  SELECT source, 'max_shift',
+        |    round(greatest(abs(c0::DOUBLE/nn - f0),
+        |      abs(c1::DOUBLE/nn - f1), abs(c2::DOUBLE/nn - f2),
+        |      abs(c3::DOUBLE/nn - f3), abs(c4::DOUBLE/nn - f4)), 6)
+        |    FROM g, f),
+        |m7 AS (SELECT source, n_chars::DOUBLE * 13 AS len
+        |  FROM documents WHERE source = 'src7'),
+        |g7 AS (SELECT source, count(*) AS n_rows, count(len) AS nn,
+        |  count(*) FILTER (len IS NOT NULL AND len < 150) AS c0,
+        |  count(*) FILTER (len >= 150 AND len < 250) AS c1,
+        |  count(*) FILTER (len >= 250 AND len < 350) AS c2,
+        |  count(*) FILTER (len >= 350 AND len < 450) AS c3,
+        |  count(*) FILTER (len >= 450) AS c4
+        |  FROM m7 GROUP BY 1),
+        |cur AS (
+        |  SELECT 'n_rows' AS check_name, n_rows::DOUBLE AS value
+        |  FROM g7
+        |  UNION ALL
+        |  SELECT 'n_null', (n_rows - nn)::DOUBLE FROM g7
+        |  UNION ALL
+        |  SELECT 'tvd',
+        |    round((abs(c0::DOUBLE/nn - f0) + abs(c1::DOUBLE/nn - f1)
+        |      + abs(c2::DOUBLE/nn - f2) + abs(c3::DOUBLE/nn - f3)
+        |      + abs(c4::DOUBLE/nn - f4)) * 0.5, 6) FROM g7, f
+        |  UNION ALL
+        |  SELECT 'max_shift',
+        |    round(greatest(abs(c0::DOUBLE/nn - f0),
+        |      abs(c1::DOUBLE/nn - f1), abs(c2::DOUBLE/nn - f2),
+        |      abs(c3::DOUBLE/nn - f3), abs(c4::DOUBLE/nn - f4)), 6)
+        |    FROM g7, f),
+        |stats AS (
+        |  SELECT check_name, count(*) AS n_runs,
+        |    quantile_cont(value, 0.5) AS med
+        |  FROM hist WHERE value IS NOT NULL GROUP BY check_name),
+        |mads AS (
+        |  SELECT h.check_name,
+        |    quantile_cont(abs(h.value - s.med), 0.5) AS mad
+        |  FROM hist h JOIN stats s USING (check_name)
+        |  WHERE h.value IS NOT NULL GROUP BY h.check_name)
         |SELECT c.check_name, c.value, s.n_runs,
         |  s.med AS median_value, m.mad,
         |  CASE WHEN m.mad = 0 THEN NULL

@@ -864,8 +864,6 @@ object TextAnalysis {
   def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
                         dim: Int = 1024): DataFrame = {
     require(dim > 0, "need dim > 0")
-    def h32(s: Column): Column =
-      conv(substring(md5(s), 1, 8), 16, 10).cast("long")
     val toks = tokenize(col(textCol))
     // weight of a token: md5-derived integer in [-1000, 1000]
     val wOf = (tok: Column) =>
@@ -877,6 +875,155 @@ object TextAnalysis {
       .withColumn("logit", col("score_milli").cast("double") /
         (lit(1000.0) * col("n_tokens")))
       .withColumn("keep", col("logit") > 0)
+  }
+
+  /** First 8 hex chars of md5 as a non-negative long — the oracle-
+    * replayable 32-bit hash every hashed-feature operator shares
+    * (a DuckDB oracle recomputes it hex digit by hex digit).
+    */
+  private[graft] def h32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** [[hashedLinearScore]] with an explicit TRAINED weight table
+    * (milli-units, one long per bucket; `dim = weightsMilli.length`)
+    * instead of the md5-derived pseudo-model — the inference half of
+    * [[learnHashedLinear]]. Same determinism contract as the t19
+    * scorer: `score_milli` is an exact integer sum (order-free),
+    * `logit` one IEEE division — bit-identical across engines. Pure
+    * codegen projection, zero shuffle; the weight table ships as a
+    * plan literal (a few KB for any realistic dim).
+    *
+    * @return (idCol, n_tokens, score_milli, logit, keep) with
+    *         keep = logit > 0.
+    */
+  def hashedLinearScoreWith(df: DataFrame, idCol: String,
+                            textCol: String,
+                            weightsMilli: Seq[Long]): DataFrame = {
+    val dim = weightsMilli.length
+    require(dim > 0, "need a non-empty weight table")
+    val wLit = typedLit(weightsMilli)
+    val toks = tokenize(col(textCol))
+    val scoreMilli = aggregate(toks, lit(0L), (acc, t) =>
+      acc + element_at(wLit, pmod(h32(t), lit(dim)).cast("int") + 1))
+    df.select(col(idCol), size(toks).as("n_tokens"),
+        scoreMilli.as("score_milli"))
+      .withColumn("logit", col("score_milli").cast("double") /
+        (lit(1000.0) * col("n_tokens")))
+      .withColumn("keep", col("logit") > 0)
+  }
+
+  /** TRAIN the hashed-feature linear classifier — the learning half
+    * of the fastText / DCLM-style quality-filter stage (Joulin et
+    * al. 2016; the hashing trick per Weinberger et al. 2009), so the
+    * curation pipeline's classifier filter no longer needs
+    * externally-supplied weights: logistic-style regression by
+    * full-batch gradient descent over the EXACT feature space the
+    * t19 scorer consumes (token → md5-h32 → bucket mod dim; document
+    * feature = bucket frequency, so a doc's logit is its mean bucket
+    * weight).
+    *
+    * Deterministic BY CONSTRUCTION — bit-identical across runs,
+    * partitionings, and engines (a DuckDB oracle replays the whole
+    * optimization):
+    *  - weights live in integer MICRO-units; a doc's margin
+    *    numerator Σ w[bucket(t)] is an exact integer sum (any
+    *    order), and the margin is one IEEE division
+    *    `msum / (1e6 · n_tokens)`;
+    *  - the squashing function is the RATIONAL sigmoid
+    *    σ(m) = 0.5 + 0.5·(m / (1 + |m|)) — same shape and (0,1)
+    *    range as the logistic, but built from +,·,/,|·| only, every
+    *    one correctly rounded under IEEE 754, where exp() differs in
+    *    the last ulp across math libraries (the same reasoning that
+    *    spec-gates PSI's ln elsewhere — here the arithmetic is
+    *    chosen so the trainer can be HASH-gated);
+    *  - each doc's per-occurrence gradient contribution is
+    *    quantized to an integer: c = floor(r·cw·1e6/n_tokens + 0.5)
+    *    with r = σ(m) − y, so the per-bucket gradient Σ c is an
+    *    exact integer sum — partial-combined map-side, order-free
+    *    across any partitioning (the same fixed-point discipline as
+    *    the tokenizer trainers);
+    *  - the update is integer too: w[b] ← w[b] − floor(lr·G_b/N +
+    *    0.5), N = training-doc count, for exactly `iters`
+    *    iterations. No early stopping, no randomness, no shuffle-
+    *    order sensitivity anywhere.
+    *
+    * `balanced = true` applies the standard class-balancing residual
+    * weights cw = N/(2·N⁺) for positives and N/(2·N⁻) for negatives
+    * (King & Zeng 2001's weighting, the `class_weight='balanced'`
+    * convention) — essential when the positive class is rare (a 5%
+    * marker class never escapes the majority prior unweighted). The
+    * class counts are exact integers from one aggregation, so the
+    * weights and everything downstream stay bit-deterministic;
+    * `balanced = false` multiplies by exactly 1.0 (a no-op on the
+    * pinned arithmetic). Requires both classes present when on.
+    *
+    * Scale: the tokenized corpus is projected once to per-doc bucket
+    * arrays (ints — far smaller than the text) and cached; each
+    * iteration is one cached scan computing margins/residuals as a
+    * pure projection plus one dim-bounded shuffle (explode →
+    * per-bucket partial sums combine map-side, so the exchange ships
+    * ≤ dim rows per partition), and ≤ dim rows collect to the driver
+    * for the update — at 100 TB the per-iteration cost is the scan,
+    * exactly like one scoring pass. Empty-token docs and null labels
+    * are excluded (no features / no signal).
+    *
+    * @param labelCol 0/1 (numeric or boolean) target column
+    * @return trained weights in MILLI-units (floor(micro/1000+0.5)),
+    *         length `dim` — feed straight to
+    *         [[hashedLinearScoreWith]]
+    */
+  def learnHashedLinear(df: DataFrame, textCol: String,
+                        labelCol: String, dim: Int = 1024,
+                        iters: Int = 10, lr: Double = 10.0,
+                        balanced: Boolean = false)
+      : Array[Long] = {
+    require(dim > 0, "need dim > 0")
+    require(iters >= 1, "need iters >= 1")
+    require(lr > 0, "need lr > 0")
+    val toks = tokenize(col(textCol))
+    val feats = df.select(
+        col(labelCol).cast("double").as("y"),
+        size(toks).as("n_tokens"),
+        transform(toks, t =>
+          pmod(h32(t), lit(dim)).cast("int")).as("bks"))
+      .where(col("y").isNotNull && col("n_tokens") > 0)
+    feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = feats.agg(count(lit(1)), sum(col("y"))).head()
+      val n = head.getLong(0)
+      require(n > 0, "learnHashedLinear: no labeled non-empty docs")
+      val nPos = head.getDouble(1) // exact: a sum of 0.0/1.0
+      val (wPos, wNeg) =
+        if (!balanced) (1.0, 1.0)
+        else {
+          require(nPos > 0 && nPos < n,
+            "balanced training needs both classes present")
+          (n / (2.0 * nPos), n / (2.0 * (n - nPos)))
+        }
+      val cw = when(col("y") === 1.0, lit(wPos)).otherwise(lit(wNeg))
+      var w = Array.fill(dim)(0L) // micro units
+      for (_ <- 0 until iters) {
+        val wLit = typedLit(w.toSeq)
+        val msum = aggregate(col("bks"), lit(0L),
+          (acc, b) => acc + element_at(wLit, b + 1))
+        val m = msum.cast("double") / (lit(1000000.0) * col("n_tokens"))
+        val sg = lit(0.5) + lit(0.5) * (m / (lit(1.0) + abs(m)))
+        val c = floor((sg - col("y")) * cw * lit(1000000.0) /
+          col("n_tokens") + lit(0.5)).cast("long")
+        val grad = feats
+          .select(c.as("c"), explode(col("bks")).as("bucket"))
+          .groupBy(col("bucket")).agg(sum(col("c")).as("g"))
+          .collect() // bounded artifact: ≤ dim rows
+        val next = w.clone()
+        grad.foreach { row =>
+          val b = row.getInt(0)
+          next(b) = w(b) -
+            math.floor(lr * row.getLong(1) / n + 0.5).toLong
+        }
+        w = next
+      }
+      w.map(x => math.floor(x / 1000.0 + 0.5).toLong)
+    } finally { feats.unpersist(); () }
   }
 
   /** Blocklist / policy-phrase scan — the safety-filter stage of a

@@ -462,6 +462,64 @@ object Validate {
     checks.toSeq
   }
 
+  /** Melt a MONITOR report's wide metric columns into the
+    * `(check_name, value, passed)` long form the metric-history
+    * machinery ([[writeReport]]/[[readHistory]]/[[anomalies]])
+    * consumes — the bridge that gives the drift/health monitor
+    * family ([[Drift.driftReport]], [[Drift.outlierReport]],
+    * [[graft.api.DataStream.healthMonitor]]'s batch twin, …) the
+    * same "tvd passed the threshold check but has never been this
+    * high before" anomaly grading as validation suites.
+    *
+    * `check_name` is the metric name, suffixed with
+    * `(k1=v1,k2=v2)` when `keyCols` are given — so a per-window /
+    * per-source monitor row logs one history series per (metric,
+    * slice). Key a series by STABLE slice identity (source, shard,
+    * hour-of-day), never an absolute timestamp: a key that is new
+    * every run accumulates no history for [[anomalies]] to grade
+    * against. `carry` columns pass through unchanged (e.g. the
+    * column the caller will rename to `run_id` when building a
+    * history in one query). `passed` rides as null — monitors emit
+    * measurements, not verdicts. Pure stateless projection
+    * (struct-array explode), streams as-is.
+    */
+  def meltMetrics(df: DataFrame, metricCols: Seq[String],
+                  keyCols: Seq[String] = Seq.empty,
+                  carry: Seq[String] = Seq.empty): DataFrame = {
+    require(metricCols.nonEmpty, "meltMetrics: no metric columns")
+    (metricCols ++ keyCols ++ carry).foreach(c =>
+      require(df.columns.contains(c),
+        s"meltMetrics: no column '$c' in ${df.columns.toSeq}"))
+    require(metricCols.intersect(keyCols).isEmpty,
+      "meltMetrics: a column cannot be both metric and key")
+    val keySuffix: Column =
+      if (keyCols.isEmpty) lit("")
+      else concat(lit("("), concat_ws(",", keyCols.map(k =>
+        concat(lit(s"$k="), coalesce(col(k).cast("string"),
+          lit("null")))): _*), lit(")"))
+    val entries = metricCols.map(mc =>
+      struct(concat(lit(mc), keySuffix).as("check_name"),
+        col(mc).cast("double").as("value")))
+    df.select(carry.map(col) :+
+        explode(array(entries: _*)).as("__m"): _*)
+      .select(carry.map(col) ++ Seq(col("__m.check_name"),
+        col("__m.value"),
+        lit(null).cast("boolean").as("passed")): _*)
+  }
+
+  /** Log one monitor run's metric rows to the SAME history log (and
+    * through the same duplicate-`runId` refusal) as validation
+    * reports: melt via [[meltMetrics]], append via [[writeReport]].
+    * A monitor history and a validation history can share a path —
+    * check names never collide (monitor metrics carry no `(column)`
+    * requirement spelling) — or live apart; [[anomalies]] grades
+    * either against [[readHistory]] of the log.
+    */
+  def writeMonitorReport(report: DataFrame, path: String,
+                         runId: String, metricCols: Seq[String],
+                         keyCols: Seq[String] = Seq.empty): Unit =
+    writeReport(meltMetrics(report, metricCols, keyCols), path, runId)
+
   /** Append one validation run's report to a metric HISTORY log —
     * the Deequ metrics-repository idea: every drop's report rows
     * land under a caller-chosen `runId` (the drop date/label — no
@@ -470,9 +528,15 @@ object Validate {
     * distribution of its own past. The log is append-only by design
     * (unlike the frozen dedup/baseline indexes): a duplicate runId
     * REFUSES — re-validating a drop must not double-log its row and
-    * silently skew every later median. Single-writer pipeline
-    * assumption (one validation job per corpus), documented rather
-    * than locked.
+    * silently skew every later median. The refusal is RACE-FREE
+    * across concurrent writers: before appending, the run claims a
+    * `_run-<md5(runId)>` marker file with create-exclusive
+    * semantics (atomic on HDFS and local filesystems; parquet
+    * readers skip `_`-prefixed files) — of two jobs logging the
+    * same runId simultaneously, exactly one wins the claim and the
+    * other refuses, where a read-then-append check would let both
+    * through. A deliberate redo must delete the run's rows AND its
+    * marker.
     */
   def writeReport(report: DataFrame, path: String,
                   runId: String): Unit = {
@@ -485,14 +549,42 @@ object Validate {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
-      val seen = spark.read.parquet(path)
-        .select("run_id").distinct()
-        .collect().map(_.getString(0)).toSet // bounded: one per run
-      require(!seen.contains(runId),
-        s"writeReport: run '$runId' already logged under $path — " +
-          "a re-validated drop must not double-log (delete the run's " +
-          "rows explicitly if this is a deliberate redo)")
-    }
+      // cheap pre-check against histories predating the marker
+      // scheme (their runs have rows but no marker); skipped when
+      // the dir holds only markers/metadata — a claimed-but-crashed
+      // run leaves no data files, and its marker still refuses below
+      val hasData = fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (hasData) {
+        val seen = spark.read.parquet(path)
+          .select("run_id").distinct()
+          .collect().map(_.getString(0)).toSet // bounded: one per run
+        require(!seen.contains(runId),
+          s"writeReport: run '$runId' already logged under $path — " +
+            "a re-validated drop must not double-log (delete the " +
+            "run's rows and its _run marker explicitly if this is " +
+            "a deliberate redo)")
+      }
+    } else fs.mkdirs(p)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(runId.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val marker = new org.apache.hadoop.fs.Path(p, s"_run-$digest")
+    val claim =
+      try fs.create(marker, false)
+      catch {
+        case _: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"writeReport: run '$runId' already logged (or being " +
+              s"logged by a concurrent writer) under $path — the " +
+              "_run marker claim failed; delete the run's rows and " +
+              s"the marker $marker explicitly if this is a " +
+              "deliberate redo")
+      }
+    try claim.write(runId.getBytes("UTF-8")) // marker body: debug aid
+    finally claim.close()
     report.select(lit(runId).as("run_id"), col("check_name"),
         col("value"), col("passed"))
       .coalesce(1)

@@ -2345,6 +2345,133 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out._5 == (out._4 > 0))
   }
 
+  test("learnHashedLinear: hand-worked separable example — exact " +
+      "final integer weights after two pinned GD iterations") {
+    // dim=2, tokens chosen for known buckets: h32('aa')%2 = 0,
+    // h32('dd')%2 = 1. Doc A = 'aa aa' (y=1, both occurrences in
+    // bucket 0), doc B = 'dd dd' (y=0, bucket 1). N=2, lr=10.
+    // Iteration 1 (w = [0,0]): every margin m=0, rational sigmoid
+    //   sg = 0.5, residuals rA=-0.5 / rB=+0.5; per-occurrence
+    //   contribution c = floor(r*1e6/2 + 0.5) = -250000 / +250000;
+    //   two occurrences each: G = [-500000, +500000]; update
+    //   floor(10*G/2 + 0.5) => w_micro = [2500000, -2500000].
+    // Iteration 2: mA = 2*2500000/(1e6*2) = 2.5,
+    //   sg = 0.5 + 0.5*(2.5/3.5) = 0.857142857..., rA = -0.142857...
+    //   c = floor(-71428.57... + 0.5) = -71429, G0 = -142858,
+    //   delta = floor(-714290 + 0.5) = -714290
+    //   => w_micro = [3214290, -3214290] (bucket 1 mirror-symmetric)
+    // Milli quantization floor(micro/1000 + 0.5) => [3214, -3214].
+    val df = Seq((1L, "aa aa", 1), (2L, "dd dd", 0))
+      .toDF("id", "t", "y")
+    val w = TextAnalysis.learnHashedLinear(df, "t", "y", dim = 2,
+      iters = 2, lr = 10.0)
+    assert(w.toSeq == Seq(3214L, -3214L))
+    // with one doc per class the balanced class weights are exactly
+    // N/(2*N+) = N/(2*N-) = 1.0 — a bit-exact no-op on the pinned
+    // arithmetic
+    val wb = TextAnalysis.learnHashedLinear(df, "t", "y", dim = 2,
+      iters = 2, lr = 10.0, balanced = true)
+    assert(wb.toSeq == w.toSeq)
+    // the trained model, applied through the production scorer,
+    // separates the training docs
+    val scored = TextAnalysis
+      .hashedLinearScoreWith(df, "id", "t", w.toSeq)
+      .orderBy("id")
+      .as[(Long, Int, Long, Double, Boolean)].collect()
+    assert(scored(0) == ((1L, 2, 6428L, 3.214, true)))
+    assert(scored(1) == ((2L, 2, -6428L, -3.214, false)))
+  }
+
+  test("learnHashedLinear: bit-identical weights across " +
+      "partitionings, and the trained model separates a synthetic " +
+      "two-vocabulary corpus end-to-end") {
+    val rng = new scala.util.Random(42)
+    val posVocab = (0 until 40).map(i => s"good$i")
+    val negVocab = (0 until 40).map(i => s"bad$i")
+    def doc(v: Seq[String]) =
+      (0 until (5 + rng.nextInt(10)))
+        .map(_ => v(rng.nextInt(v.size))).mkString(" ")
+    val docs = (0 until 60).map { i =>
+      if (i % 2 == 0) (i.toLong, doc(posVocab), 1)
+      else (i.toLong, doc(negVocab), 0)
+    }
+    val df = docs.toDF("id", "t", "y")
+    val w1 = TextAnalysis.learnHashedLinear(df.repartition(1),
+      "t", "y", dim = 256, iters = 5, lr = 10.0)
+    val w13 = TextAnalysis.learnHashedLinear(
+      df.repartition(13, col("id")), "t", "y",
+      dim = 256, iters = 5, lr = 10.0)
+    val wDefault = TextAnalysis.learnHashedLinear(df, "t", "y",
+      dim = 256, iters = 5, lr = 10.0)
+    assert(w1.toSeq == w13.toSeq && w13.toSeq == wDefault.toSeq,
+      "gradient accumulation must be partition-order-free")
+    assert(w1.exists(_ != 0L), "training must move the weights")
+    // perfect separation on the (bucket-disjoint-by-construction
+    // unless md5 collides, which dim=256 makes rare) vocabularies
+    val scored = TextAnalysis
+      .hashedLinearScoreWith(df, "id", "t", w1.toSeq)
+      .join(df.select(col("id"), col("y")), Seq("id"))
+      .select(col("y"), col("keep")).as[(Int, Boolean)].collect()
+    assert(scored.forall { case (y, keep) => keep == (y == 1) },
+      "trained scorer must separate the separable corpus")
+    // refusal edges
+    intercept[IllegalArgumentException] {
+      TextAnalysis.learnHashedLinear(df, "t", "y", dim = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.learnHashedLinear(df.filter(lit(false)), "t", "y",
+        dim = 8, iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashedLinearScoreWith(df, "id", "t", Seq.empty)
+    }
+  }
+
+  test("learnHashedLinear balanced: a rare marker class the " +
+      "unbalanced trainer collapses on is learned with class " +
+      "weights; single-class refusal") {
+    val rng = new scala.util.Random(7)
+    val common = (0 until 30).map(i => s"w$i")
+    // 100 docs, 8 positives marked by one 'marker' occurrence in
+    // otherwise-identical vocabulary
+    val docs = (0 until 100).map { i =>
+      val base = (0 until 12).map(_ =>
+        common(rng.nextInt(common.size)))
+      if (i < 8) (i.toLong, (base :+ "marker").mkString(" "), 1)
+      else (i.toLong, base.mkString(" "), 0)
+    }
+    val df = docs.toDF("id", "t", "y")
+    val wUnbal = TextAnalysis.learnHashedLinear(df, "t", "y",
+      dim = 128, iters = 5, lr = 10.0)
+    val keepsUnbal = TextAnalysis
+      .hashedLinearScoreWith(df, "id", "t", wUnbal.toSeq)
+      .filter(col("keep")).count()
+    assert(keepsUnbal == 0,
+      "the unbalanced trainer collapses to the majority prior " +
+        "on an 8% class — that is the failure balanced= fixes")
+    val wBal = TextAnalysis.learnHashedLinear(df, "t", "y",
+      dim = 128, iters = 5, lr = 10.0, balanced = true)
+    val scored = TextAnalysis
+      .hashedLinearScoreWith(df, "id", "t", wBal.toSeq)
+      .join(df.select(col("id"), col("y")), Seq("id"))
+      .select(col("y"), col("keep")).as[(Int, Boolean)].collect()
+    val tp = scored.count { case (y, k) => y == 1 && k }
+    val fp = scored.count { case (y, k) => y == 0 && k }
+    assert(tp >= 6, s"balanced training must recover most of the " +
+      s"marker class, got tp=$tp fp=$fp")
+    // determinism holds on the balanced path too
+    val wBal13 = TextAnalysis.learnHashedLinear(
+      df.repartition(13, col("id")), "t", "y",
+      dim = 128, iters = 5, lr = 10.0, balanced = true)
+    assert(wBal.toSeq == wBal13.toSeq)
+    val onlyPos = df.filter(col("y") === 1)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.learnHashedLinear(onlyPos, "t", "y", dim = 8,
+        iters = 1, balanced = true)
+    }
+    assert(e.getMessage.contains("both classes"))
+  }
+
   test("editDistancePairs == brute-force levenshtein (recall 1)") {
     // deterministic fixture: base strings over a small alphabet plus
     // seeded 1- and 2-edit mutants (substitution / deletion /

@@ -360,6 +360,119 @@ class ValidateSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set(tzKey, orig)
   }
 
+  test("meltMetrics + writeMonitorReport: monitor rows melt into " +
+      "history series (key-suffixed check names), share writeReport's " +
+      "duplicate-run refusal, and anomalies grades a planted shift") {
+    val rep = Seq(("src1", 100L, 0L, 0.12), ("src2", 90L, 2L, 0.15))
+      .toDF("source", "n_rows", "n_null", "tvd")
+    // key-suffixed naming: one series per (metric, slice)
+    val melted = Validate.meltMetrics(rep, Seq("n_rows", "tvd"),
+      keyCols = Seq("source"))
+    assert(melted.columns.toSeq ==
+      Seq("check_name", "value", "passed"))
+    val byName = melted.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byName == Map("n_rows(source=src1)" -> 100.0,
+      "n_rows(source=src2)" -> 90.0, "tvd(source=src1)" -> 0.12,
+      "tvd(source=src2)" -> 0.15))
+    assert(melted.collect().forall(r => r.isNullAt(2)),
+      "monitors emit measurements, not verdicts")
+    // carry passes through; null keys stringify
+    val carried = Validate.meltMetrics(rep, Seq("tvd"),
+      carry = Seq("source"))
+    assert(carried.columns.toSeq ==
+      Seq("source", "check_name", "value", "passed"))
+    val nullKey = Seq((Option.empty[String], 1.0)).toDF("k", "m")
+    assert(Validate.meltMetrics(nullKey, Seq("m"), keyCols = Seq("k"))
+      .collect().head.getString(0) == "m(k=null)")
+    // writeMonitorReport logs through the SAME path + refusal as v4
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mhist").toString + "/hist"
+    Validate.writeMonitorReport(rep, dir, "2026-08-01",
+      Seq("n_rows", "tvd"), keyCols = Seq("source"))
+    val e = intercept[IllegalArgumentException] {
+      Validate.writeMonitorReport(rep, dir, "2026-08-01",
+        Seq("n_rows", "tvd"), keyCols = Seq("source"))
+    }
+    assert(e.getMessage.contains("already logged"))
+    // a validation report can append to the same log (shared shape)
+    Validate.writeReport(
+      Validate.report(fixture(), Seq(SizeAtLeast(1))), dir,
+      "2026-08-02")
+    assert(Validate.readHistory(spark, dir).count() == 5)
+    // anomalies over an accumulated monitor history: 8 steady runs
+    // then a shifted drop — the shifted metric flags, the steady
+    // companion does not
+    val histRows = (1 to 8).flatMap(i => Seq(
+      (s"r$i", "tvd(source=src1)", 0.10 + 0.001 * (i % 3)),
+      (s"r$i", "n_rows(source=src1)", 100.0 + (i % 2))))
+    val hist = histRows.toDF("run_id", "check_name", "value")
+    val cur = Seq(("tvd(source=src1)", 0.55),
+      ("n_rows(source=src1)", 100.0))
+      .toDF("check_name", "value")
+    val graded = Validate.anomalies(hist, cur).collect()
+      .map(r => r.getString(r.fieldIndex("check_name")) ->
+        r.getAs[Boolean]("is_anomaly")).toMap
+    assert(graded("tvd(source=src1)"))
+    assert(!graded("n_rows(source=src1)"))
+    // refusals
+    intercept[IllegalArgumentException] {
+      Validate.meltMetrics(rep, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Validate.meltMetrics(rep, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      Validate.meltMetrics(rep, Seq("tvd"), keyCols = Seq("tvd"))
+    }
+  }
+
+  test("writeReport concurrency: the _run marker claim is create-" +
+      "exclusive — of two simultaneous writers of one runId exactly " +
+      "one wins; a claimed-but-crashed run still refuses its redo") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-race").toString + "/hist"
+    val suite = Seq(Completeness("txt", 0.5), SizeAtLeast(1))
+    val rep = Validate.report(fixture(), suite)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val attempts = (1 to 2).map(_ => Future {
+      gate.await()
+      try { Validate.writeReport(rep, dir, "2026-08-09"); true }
+      catch { case _: IllegalArgumentException => false }
+    })
+    gate.countDown()
+    val outcomes = Await.result(Future.sequence(attempts), 2.minutes)
+    assert(outcomes.count(identity) == 1 &&
+      outcomes.count(!_) == 1,
+      s"exactly one writer must win the claim, got $outcomes")
+    assert(Validate.readHistory(spark, dir)
+      .filter(col("run_id") === "2026-08-09").count() == 2,
+      "the winner logged exactly one report (2 checks)")
+    // a marker WITHOUT data (claimed, then crashed before the
+    // parquet write) still refuses the runId — and other runs log
+    // fine next to it
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-race2").toString + "/hist"
+    val p2 = new org.apache.hadoop.fs.Path(dir2)
+    val fs = p2.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p2)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest("crashed-run".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    fs.create(new org.apache.hadoop.fs.Path(p2, s"_run-$digest"),
+      false).close()
+    val e = intercept[IllegalArgumentException] {
+      Validate.writeReport(rep, dir2, "crashed-run")
+    }
+    assert(e.getMessage.contains("marker"))
+    Validate.writeReport(rep, dir2, "fresh-run")
+    assert(Validate.readHistory(spark, dir2).count() == 2)
+  }
+
   test("metric history: writeReport appends run-stamped rows, " +
       "duplicate runId refuses, readHistory round-trips") {
     val dir = java.nio.file.Files
