@@ -1757,6 +1757,79 @@ case class UnigramEncode(child: Expression,
   override def prettyName: String = "unigram_encode"
 }
 
+/** BYTE-FALLBACK unigram-LM encoding — the inference half of
+  * [[graft.operators.Tokenizer.learnByteUnigram]]: pretokenize with
+  * the GPT-2 regex (the space travels WITH the following word — the
+  * same boundaries as [[ByteBpeEncode]]), map each pretoken's UTF-8
+  * bytes through the byte→unicode fallback table, then Viterbi-best
+  * segment the byte-symbol string under the piece log-probabilities
+  * (the SAME [[graft.operators.Tokenizer.viterbiSegment]] the
+  * trainer's E-step runs). Against a [[graft.operators.Tokenizer
+  * .learnByteUnigram]] vocabulary (full byte alphabet seeded, never
+  * pruned) no input ever emits `<unk>` — emoji, CJK, broken
+  * encodings segment into byte pieces — and tokens concatenate back
+  * to the byte-mapped text, so [[graft.operators.Tokenizer
+  * .decodeByteTokens]] inverts the encoding losslessly (spec-pinned
+  * round trip). The vocab ships once in the plan closure; evaluation
+  * is a pure projection.
+  */
+case class ByteUnigramEncode(child: Expression,
+                             vocab: Seq[(String, Double)],
+                             unkLogProb: Double =
+                               graft.operators.Tokenizer.UnkLogProb)
+    extends UnaryExpression with CodegenFallback {
+
+  require(vocab.nonEmpty, "vocab must not be empty")
+  require(vocab.forall(_._1.nonEmpty), "empty piece in vocab")
+  require(vocab.map(_._1).distinct.length == vocab.length,
+    "duplicate pieces in vocab")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"byte_unigram_encode requires string, got ${child.dataType}")
+
+  @transient private lazy val logProb
+      : java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    vocab.foreach { case (piece, lp) => m.put(piece, lp) }
+    m
+  }
+
+  @transient private lazy val maxPieceLen: Int =
+    vocab.iterator.map(p => p._1.codePointCount(0, p._1.length)).max
+
+  @transient private lazy val pretokenizer: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      graft.operators.Tokenizer.Gpt2Pretokenizer)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    val m = pretokenizer.matcher(text)
+    while (m.find()) {
+      val tok = m.group()
+      if (tok.nonEmpty) {
+        val mapped =
+          graft.operators.Tokenizer.byteSymbols(tok).mkString
+        graft.operators.Tokenizer
+          .viterbiSegment(mapped, logProb, maxPieceLen, unkLogProb)
+          .foreach(piece => out += UTF8String.fromString(piece))
+      }
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : ByteUnigramEncode = copy(child = c)
+  override def prettyName: String = "byte_unigram_encode"
+}
+
 /** PQ code assignment (Jégou et al. 2011, "Product Quantization for
   * Nearest Neighbor Search"): split the (optionally L2-normalized)
   * vector into cb.length subvectors and emit each one's

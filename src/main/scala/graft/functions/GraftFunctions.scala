@@ -219,6 +219,14 @@ object GraftFunctions {
           s"(${pieces.length} vs ${lps.length})")
       UnigramEncode(es(0), pieces.zip(lps))
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("byte_unigram_encode", es => {
+      val pieces = stringSeqLit(es(1), "byte_unigram_encode pieces")
+      val lps = doubleSeqLit(es(2), "byte_unigram_encode log_probs")
+      require(pieces.length == lps.length,
+        "byte_unigram_encode: pieces and log_probs must align " +
+          s"(${pieces.length} vs ${lps.length})")
+      ByteUnigramEncode(es(0), pieces.zip(lps))
+    }, "scala_udf")
     // --- sketch aggregates (native TypedImperativeAggregates; usable
     // anywhere SQL accepts an aggregate: GROUP BY, windowed streaming
     // aggs). kmv_sketch takes the PRE-hashed bigint (compose with

@@ -96,6 +96,16 @@ package object functions {
   def unigram_encode(text: Column, vocab: Seq[(String, Double)]): Column =
     c(expressions.UnigramEncode(GraftShim.expression(text), vocab))
 
+  /** BYTE-FALLBACK unigram-LM encoding: GPT-2 pretokens → byte→
+    * unicode mapping → Viterbi-best segmentation under a
+    * `Tokenizer.learnByteUnigram` vocab. No input ever emits
+    * `<unk>`; `Tokenizer.decodeByteTokens` inverts it exactly. See
+    * `expressions.ByteUnigramEncode`.
+    */
+  def byte_unigram_encode(text: Column,
+                          vocab: Seq[(String, Double)]): Column =
+    c(expressions.ByteUnigramEncode(GraftShim.expression(text), vocab))
+
   /** Winnowing fingerprint selections in one native pass:
     * array<struct<pos, fp>> of each window's min gram-md5 (rightmost
     * ties), distinct, position order. See `Dedup.winnowingFingerprints`.

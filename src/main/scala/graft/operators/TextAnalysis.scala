@@ -1085,11 +1085,29 @@ object TextAnalysis {
     * fold — both keyed finely (never on the raw term alone for data
     * rows, so a stop-word-ish query term cannot serialize scoring).
     * Output: (query_id, id, n_matched, score), matching docs only.
+    *
+    * HOT-TERM GUARD (`maxDf`): a stop-word-grade query term ("the")
+    * matches nearly every document — its (doc, term, tf) rows are
+    * corpus-sized, they inflate the scoring join and the
+    * (query, doc) fold's input, and the smooth idf prices them at
+    * ≈ln(1) ≈ 0 anyway: all cost, no signal, and the design-envelope
+    * skew risk of this operator at 100 TB. `maxDf = Some(cap)`
+    * drops terms whose document frequency exceeds the cap BEFORE
+    * the scoring join — the df table is term-cardinality-small and
+    * broadcast, so hot-term rows die map-side and never enter an
+    * exchange. Capped semantics are exactly "the query minus its
+    * ubiquitous terms": `n_matched`/`score` count surviving terms
+    * only (spec-pinned against the stripped-query replay); a query
+    * of ONLY hot terms matches nothing. Default `None` = classic
+    * full BM25.
     */
   def bm25ScoresMany(corpus: DataFrame, idCol: String,
                      textCol: String, queries: DataFrame,
                      queryIdCol: String, queryTextCol: String,
-                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                     k1: Double = 1.2, b: Double = 0.75,
+                     maxDf: Option[Long] = None): DataFrame = {
+    maxDf.foreach(c => require(c >= 1,
+      s"bm25: maxDf must be >= 1, got $c"))
     require(k1 > 0 && b >= 0 && b <= 1,
       s"bm25: k1 must be > 0 and b in [0, 1], got k1=$k1 b=$b")
     val spark = corpus.sparkSession
@@ -1113,9 +1131,14 @@ object TextAnalysis {
       .join(broadcast(termSet), Seq("term"))
       .groupBy(col("__doc"), col("__dl"), col("term"))
       .agg(count(lit(1)).as("__tf"))
-    // df per term: one row per (doc, term) above, so a plain count
-    val dfs = docTerms.groupBy(col("term"))
+    // df per term: one row per (doc, term) above, so a plain count;
+    // the optional hot-term cap prunes here — term-table-side, so
+    // capped terms' corpus rows are filtered map-side by the
+    // broadcast join below and never reach the fold's exchange
+    val dfsAll = docTerms.groupBy(col("term"))
       .agg(count(lit(1)).as("__df"))
+    val dfs = maxDf.fold(dfsAll)(c =>
+      dfsAll.filter(col("__df") <= lit(c)))
     val idf = log(lit(1.0) +
       (lit(n.toDouble) - col("__df") + lit(0.5)) /
         (col("__df") + lit(0.5)))
@@ -1125,7 +1148,7 @@ object TextAnalysis {
         lit(b) * col("__dl").cast("double") / lit(avgdl)))
     val scoredTerms = docTerms
       .join(broadcast(dfs), Seq("term"))
-      .join(qTerms, Seq("term"))
+      .join(broadcast(qTerms), Seq("term"))
       .select(col("query_id"), col("__doc"), col("term"),
         contrib.as("__c"))
     // deterministic fold: contributions sum in ascending term order
@@ -1148,10 +1171,11 @@ object TextAnalysis {
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, queryIdCol: String,
                queryTextCol: String, k: Int, k1: Double = 1.2,
-               b: Double = 0.75): DataFrame = {
+               b: Double = 0.75,
+               maxDf: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val scored = bm25ScoresMany(corpus, idCol, textCol, queries,
-      queryIdCol, queryTextCol, k1, b)
+      queryIdCol, queryTextCol, k1, b, maxDf)
     val nBuckets = corpus.sparkSession.sessionState.conf
       .numShufflePartitions
     val bucketW = org.apache.spark.sql.expressions.Window

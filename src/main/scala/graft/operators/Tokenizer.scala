@@ -519,6 +519,49 @@ object Tokenizer {
       maxPieceLen, seedFactor, shrinkFactor)
   }
 
+  /** BYTE-FALLBACK unigram-LM (the [[learnByteBpeMerges]] twin of
+    * [[learnUnigram]], SentencePiece's `--byte_fallback` idea):
+    * pretokenize with the GPT-2 regex (spaces travel with their
+    * word), map each pretoken type through [[byteSymbols]] — one
+    * printable code point per UTF-8 byte — and run the SAME
+    * EM/prune loop over the byte-mapped types. The FULL 256-symbol
+    * byte alphabet is seeded into the vocabulary (bytes the corpus
+    * never produced enter as count-1 Laplace types and settle at
+    * the M-step's epsilon floor), and single-code-point pieces are
+    * never pruned — so EVERY position of ANY input has at least its
+    * single-byte piece and `<unk>` is structurally impossible:
+    * emoji, CJK, broken encodings all segment into byte pieces.
+    * Tokens decode losslessly via [[decodeByteTokens]] (pieces are
+    * byte-symbol strings and the pretokenizer partitions its
+    * input). `vocabSize` must exceed 256 (the never-pruned
+    * alphabet). Scale shape identical to [[learnUnigram]]: ONE
+    * distributed pretoken-type count shuffle, then a capped driver
+    * loop constant in corpus size.
+    */
+  def learnByteUnigram(df: DataFrame, textCol: String,
+                       vocabSize: Int, maxTypes: Int = 65536,
+                       maxPieceLen: Int = 8, seedFactor: Int = 4,
+                       shrinkFactor: Double = 0.75)
+      : Seq[(String, Double)] = {
+    require(vocabSize > 256,
+      s"vocabSize $vocabSize must exceed the 256-symbol byte " +
+        "alphabet (always seeded, never pruned) — nothing would " +
+        "be learned")
+    require(maxTypes >= 1, "maxTypes must be >= 1")
+    val types = pretokenCounts(df, textCol)
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(maxTypes)
+      .take(maxTypes)
+      .map(r => (byteSymbols(r.getString(0)).mkString, r.getLong(1)))
+    require(types.nonEmpty, "empty type table — no corpus words")
+    val seen = types.iterator.flatMap(_._1.iterator).toSet
+    val fallback = ByteToUnicode.iterator
+      .filterNot(seen.contains)
+      .map(c => (String.valueOf(c), 1L)).toArray
+    learnUnigramFromTypes(types ++ fallback, vocabSize, maxPieceLen,
+      seedFactor, shrinkFactor)
+  }
+
   /** The driver-side unigram EM/prune loop over an already-aggregated
     * `(wordType, count)` table (see [[learnFromTypes]] for why this
     * split exists).

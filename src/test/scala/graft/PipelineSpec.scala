@@ -951,6 +951,51 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(again == top, "partitioning changed the ranking")
   }
 
+  test("bm25ScoresMany maxDf hot-term cap: an injected stop word is " +
+      "pruned before the scoring join — capped output equals the " +
+      "uncapped run on the stripped query; all-hot queries vanish") {
+    import graft.operators.TextAnalysis
+    // 'the' is in EVERY doc (df = 5) — the classic hot term
+    val docs = Seq(
+      (1L, "the cat dog cat"), (2L, "the cat"),
+      (3L, "the dog dog fish"), (4L, "the fish fish fish cat"),
+      (5L, "the bird")
+    ).toDF("id", "text")
+    val qs = Seq((10L, "the cat dog"), (20L, "the fish"),
+      (30L, "the")).toDF("qid", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"id", $"n_matched", $"score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val capped = rows(TextAnalysis.bm25ScoresMany(docs, "id",
+      "text", qs, "qid", "qtext", maxDf = Some(4L)))
+    // stripped-query replay: same corpus (df/avgdl unchanged),
+    // queries minus the hot term
+    val stripped = rows(TextAnalysis.bm25ScoresMany(docs, "id",
+      "text",
+      Seq((10L, "cat dog"), (20L, "fish")).toDF("qid", "qtext"),
+      "qid", "qtext"))
+    assert(capped == stripped,
+      "capped spelling must equal the query minus its hot terms")
+    assert(!capped.exists(_._1 == 30L),
+      "a query of ONLY hot terms matches nothing")
+    // a cap no term exceeds is a bit-exact no-op
+    val uncapped = rows(TextAnalysis.bm25ScoresMany(docs, "id",
+      "text", qs, "qid", "qtext"))
+    val loose = rows(TextAnalysis.bm25ScoresMany(docs, "id",
+      "text", qs, "qid", "qtext", maxDf = Some(5L)))
+    assert(loose == uncapped)
+    // topK passes the cap through
+    val top = TextAnalysis.bm25TopK(docs, "id", "text", qs, "qid",
+      "qtext", k = 3, maxDf = Some(4L))
+      .select($"query_id").distinct()
+      .as[Long].collect().toSet
+    assert(top == Set(10L, 20L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25ScoresMany(docs, "id", "text", qs, "qid",
+        "qtext", maxDf = Some(0L))
+    }
+  }
+
   test("recallReport: hand-built frames — per-query hit fractions, " +
       "zero-overlap query, the mean summary row; full-budget IVF-PQ " +
       "reads recall 1.0 everywhere; refusal on a shapeless frame") {

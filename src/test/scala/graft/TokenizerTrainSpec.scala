@@ -503,4 +503,90 @@ class TokenizerTrainSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e2.getMessage.contains("alphabet"))
   }
+
+  test("byte unigram: full byte alphabet seeded so NO input ever " +
+      "emits <unk> — emoji/CJK/control round-trip losslessly; " +
+      "expression ≡ trainer viterbi; SQL registry parity; " +
+      "deterministic across partitionings; tiny vocab refused") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq.fill(20)("the cat the cat ate") ++
+      Seq.fill(5)("a cab at bat")
+    val df = corpus.toDF("text")
+    val vocab = Tokenizer.learnByteUnigram(df, "text",
+      vocabSize = 280, maxPieceLen = 4)
+    assert(vocab.size == 280)
+    // the 256 byte symbols are all present (never pruned)
+    val pieces = vocab.map(_._1).toSet
+    assert(Tokenizer.ByteToUnicode.forall(c =>
+      pieces.contains(String.valueOf(c))),
+      "every byte symbol must survive in the vocabulary")
+    // learned multi-byte pieces exist (the corpus's hot words)
+    assert(vocab.exists(_._1.length > 1),
+      "training must learn multi-byte pieces")
+
+    // NO unk, EVER: the nasty-alphabet property the byte table is
+    // for — none of these byte sequences appeared in training
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet: IndexedSeq[String] = IndexedSeq(
+      "a", "B", "7", " ", "  ", "\t", "\n", "'", ".", ",", "-",
+      "é", "ï", "—", "Ω", "中", "🙂", "🦀", " ", "züm", "don't")
+    val samples = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(12))
+        .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+    }.filter(_.nonEmpty).distinct
+    val encoded = samples.toDF("text")
+      .select(col("text"),
+        graft.functions.byte_unigram_encode(col("text"), vocab)
+          .as("toks"))
+      .as[(String, Seq[String])].collect()
+    encoded.foreach { case (orig, toks) =>
+      assert(!toks.contains(Tokenizer.UnkPiece),
+        s"byte fallback must never emit <unk>: " +
+          orig.map(_.toInt.toHexString))
+      assert(Tokenizer.decodeByteTokens(toks) == orig,
+        s"round trip broke for ${orig.map(_.toInt.toHexString)}")
+    }
+
+    // expression ≡ the trainer's own viterbi over byte-mapped
+    // GPT-2 pretokens
+    val tricky = "the cat 🙂 ate"
+    val viaExpr = Seq(tricky).toDF("text")
+      .select(graft.functions.byte_unigram_encode(col("text"), vocab)
+        .as("t")).as[Seq[String]].collect().head
+    val maxLen = vocab.map(p => p._1.codePointCount(0, p._1.length)).max
+    val pretoks = {
+      val m = java.util.regex.Pattern
+        .compile(Tokenizer.Gpt2Pretokenizer).matcher(tricky)
+      val b = scala.collection.mutable.ArrayBuffer[String]()
+      while (m.find()) if (m.group().nonEmpty) b += m.group()
+      b.toSeq
+    }
+    val direct = pretoks.flatMap(w => Tokenizer.viterbiSegment(
+      Tokenizer.byteSymbols(w).mkString, lpMap(vocab), maxLen))
+    assert(viaExpr == direct)
+
+    // SQL registry parity
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq(tricky).toDF("text").createOrReplaceTempView("bunigram_in")
+    val piecesSql = vocab.map(_._1)
+      .map(p => "'" + p.replace("\\", "\\\\")
+        .replace("'", "\\'") + "'").mkString(",")
+    val lps = vocab.map(_._2.toString).mkString(",")
+    val viaSql = spark.sql(
+      s"SELECT byte_unigram_encode(text, array($piecesSql), " +
+        s"array($lps)) FROM bunigram_in")
+      .as[Seq[String]].collect().head
+    assert(viaSql == direct)
+
+    // deterministic across partitionings
+    val again = Tokenizer.learnByteUnigram(df.toDF("text")
+      .repartition(7), "text", vocabSize = 280, maxPieceLen = 4)
+    assert(again == vocab)
+
+    // a vocab that cannot hold the byte alphabet refuses
+    val e = intercept[IllegalArgumentException] {
+      Tokenizer.learnByteUnigram(df, "text", vocabSize = 256)
+    }
+    assert(e.getMessage.contains("byte"))
+  }
 }
