@@ -561,6 +561,36 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Byte-fallback unigram-LM trainer + inference: the fourth
+    // tokenizer-family row — prices the GPT-2 pretoken count + the
+    // 256-alphabet EM loop against the code-point unigram_train row
+    // at the same vocab budget, plus one full-corpus encode pass so
+    // the byte-mapped Viterbi scan cost is measured too.
+    def byteUnigramTrainOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      System.gc()
+      Thread.sleep(300)
+      val t0 = System.nanoTime()
+      try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("text"))
+        val vocab = graft.operators.Tokenizer.learnByteUnigram(
+          docs, "text", vocabSize = 512)
+        require(vocab.nonEmpty, "no vocab learned")
+        val n = docs.select(graft.functions
+            .byte_unigram_encode(col("text"), vocab).as("toks"))
+          .select(explode(col("toks")).as("t"))
+          .count()
+        require(n > 0, "no tokens emitted")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] byte_unigram_train failed: " +
+            e.getMessage)
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Unigram-LM trainer + inference over documents: the third
     // tokenizer family's cost curve next to bpe_train/byte_bpe_train
     // (same one-shuffle type count; the EM rounds replace the merge
@@ -706,6 +736,7 @@ object Bench {
       "bpe_train" -> (() => bpeTrainOnce()),
       "byte_bpe_train" -> (() => byteBpeTrainOnce()),
       "unigram_train" -> (() => unigramTrainOnce()),
+      "byte_unigram_train" -> (() => byteUnigramTrainOnce()),
       "d11_lsh_tuned" -> (() => embLshTunedOnce()))
     val runnerByName: Map[String, () => Double] =
       names.map(n => n -> (() => timeOnce(n))).toMap ++ extraRunners

@@ -1161,6 +1161,31 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // OPQ-rotated PQ (Ge et al. 2013) at full candidate budget, full
+    // persisted lifecycle: the rotation is fitted (driver-side
+    // Procrustes alternation on a deterministic hash-sample),
+    // persisted, read back, and applied in front of encode + dist
+    // tables while the exact re-rank stays on the ORIGINAL vectors —
+    // rotation is orthogonal, so the full-budget output is the exact
+    // answer and the gate shares the s1 brute-force oracle (the s8
+    // discipline). The recall win at PARTIAL budget is spec-pinned
+    // via recallReport on subspace-misaligned data (PipelineSpec).
+    "s16_ann_opq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val rot = operators.Similarity.fitOpqRotation(emb, "embedding",
+        dim = 64, m = 8, nCodes = 16, iters = 3, maxFitRows = 2048)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-s16").toString + "/rot"
+      operators.DedupIndex.writeRotation(s, rot, tmp)
+      val r = operators.DedupIndex.readRotation(s, tmp, 64)
+      operators.Similarity.opqPqTopK(emb,
+          emb.filter(col("vec_id") < 3), "embedding", "vec_id",
+          k = 5, dim = 64, rotation = r, m = 8, nCodes = 16,
+          nCandidates = 1000, maxIter = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // The PERSISTED PQ index round trip (the s8 twin, the s7
     // discipline): codebooks + compressed codes persist, queries run
     // from the read-back artifact, full-candidate output hash-matches
@@ -3216,6 +3241,7 @@ object SparkEntry {
     "d33_minhash_overlap_indexed" -> oracleSqlBase("d23_minhash_overlap"),
     "s7_ann_ivf_indexed" -> oracleSqlBase("s3_ann_ivf"),
     "s8_ann_pq" -> oracleSqlBase("s1_sim_topk"),
+    "s16_ann_opq" -> oracleSqlBase("s1_sim_topk"),
     "s13_ann_ivfpq" -> oracleSqlBase("s1_sim_topk"),
     "s9_ann_pq_indexed" -> oracleSqlBase("s1_sim_topk"),
     "s10_ann_ivf_appended" -> oracleSqlBase("s3_ann_ivf"),

@@ -1225,6 +1225,42 @@ final case class DataStream(
     df.writeStream.outputMode(outputMode).format("memory")
       .queryName(name).start()
 
+  /** Severity-filtered ALERT routing — the last inch of the monitor
+    * story: keep only rows at `minSeverity` or above ("warn" routes
+    * warn+alert, "alert" routes alerts only) from an [[alarms]] /
+    * [[graft.operators.Drift.alarms]] /
+    * [[graft.operators.Validate.severity]] output and hand each
+    * micro-batch's surviving rows to `fn` (page, post to a topic,
+    * enqueue a ticket). Batch frames invoke `fn` once with batchId
+    * −1 so the same routing code serves scheduled batch reports.
+    * Refuses frames without a `severity` column — an alert hook
+    * wired to the wrong frame must fail loudly, not go dead. Zero
+    * new state: a stateless filter in front of foreachBatch; an
+    * empty surviving batch still invokes `fn` with zero rows
+    * (heartbeat semantics — distinguish "no alerts" from "no
+    * query").
+    */
+  def sinkAlerts(minSeverity: String = "warn",
+                 checkpointLocation: String = null)(
+      fn: (DataFrame, Long) => Unit): Option[StreamingQuery] = {
+    require(Seq("warn", "alert").contains(minSeverity),
+      s"sinkAlerts: minSeverity must be 'warn' or 'alert', got " +
+        s"'$minSeverity'")
+    require(df.columns.contains("severity"),
+      "sinkAlerts: no 'severity' column — chain .alarms() (monitors) " +
+        "or Validate.severity (validation reports) before the sink")
+    val keep =
+      if (minSeverity == "alert") Seq("alert") else Seq("warn", "alert")
+    val filtered = df.filter(col("severity").isin(keep: _*))
+    if (df.isStreaming) {
+      val w = filtered.writeStream.outputMode("append")
+        .foreachBatch(fn)
+      Some((if (checkpointLocation == null) w
+            else w.option("checkpointLocation", checkpointLocation))
+        .start())
+    } else { fn(filtered, -1L); None }
+  }
+
   /** JSON-lines sink: batch frames write a .json part-file directory
     * (set `compression` to e.g. "gzip"/"zstd" for compressed drops);
     * streaming frames append micro-batches as new part files with

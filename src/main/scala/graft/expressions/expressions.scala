@@ -1842,6 +1842,55 @@ case class ByteUnigramEncode(child: Expression,
   * constructor parameter (driver-built, ~KiB, serialized once per
   * task), not a child expression.
   */
+/** Dense matrix × vector product with a driver-built constant matrix
+  * — the projection an OPQ rotation ([[graft.operators.Similarity
+  * .fitOpqRotation]]) applies in front of PQ assign/encode: out_i =
+  * Σ_j R[i][j]·x_j in one tight primitive loop per row (d² multiply-
+  * adds — ~4k flops at d = 64, noise next to the scan). Inputs
+  * shorter than the matrix width read as zero-padded (the
+  * [[PqAssign]] convention); `null` maps to null via the unary
+  * null-safety contract. The matrix ships once in the plan closure.
+  */
+case class MatVec(child: Expression, matrix: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(matrix.nonEmpty && matrix(0).nonEmpty,
+    "mat_vec: empty matrix")
+  require(matrix.forall(_.length == matrix(0).length),
+    "mat_vec: ragged matrix")
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    Util.checkNumericArrays("mat_vec", Seq(child))
+
+  @transient private lazy val getElem = Util.numericGetter(child, "mat_vec")
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val d = matrix.length
+    val w = matrix(0).length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val row = matrix(i)
+      var acc = 0.0
+      var j = 0
+      val lim = math.min(w, n)
+      while (j < lim) { acc += row(j) * getElem(a, j); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MatVec =
+    copy(child = c)
+  override def prettyName: String = "mat_vec"
+}
+
 case class PqAssign(child: Expression, cb: Array[Array[Array[Double]]],
                     normalize: Boolean)
     extends UnaryExpression with CodegenFallback {

@@ -205,6 +205,13 @@ package object functions {
     c(expressions.PqAdc(GraftShim.expression(codes),
       GraftShim.expression(dtab)))
 
+  /** Constant-matrix × vector product (the OPQ rotation projection):
+    * out_i = Σ_j m[i][j]·vec_j, tight primitive loops, matrix baked
+    * into the plan.
+    */
+  def mat_vec(vec: Column, m: Array[Array[Double]]): Column =
+    c(expressions.MatVec(GraftShim.expression(vec), m))
+
   /** Polynomial rolling hash (Rabin-Karp, base 1000003) of a string —
     * content fingerprinting primitive.
     */

@@ -288,6 +288,55 @@ object DedupIndex {
       Seq("dim" -> dim, "m" -> m, "n_codes" -> nCodes))
   }
 
+  /** Persist a learned OPQ rotation ([[Similarity.fitOpqRotation]])
+    * as its own frozen artifact: one row per output dimension
+    * (`__row INT, __coefs ARRAY<DOUBLE>`), dim pinned in the
+    * sidecar, errorifexists like every index write. An OPQ-PQ
+    * deployment persists the rotation NEXT TO its [[writePq]] dir
+    * and applies [[Similarity.opqRotate]] in front of
+    * assign/encode/dist-table — geometry drift between a rotation
+    * and codebooks fitted in a different rotated space scores
+    * garbage silently, which is why both artifacts pin their build
+    * params.
+    */
+  def writeRotation(spark: SparkSession,
+                    rotation: Array[Array[Double]],
+                    path: String): Unit = {
+    import spark.implicits._
+    val dim = rotation.length
+    require(dim > 0 && rotation.forall(_.length == dim),
+      "rotation must be square and non-empty")
+    rotation.zipWithIndex
+      .map { case (row, i) => (i, row.toSeq) }.toSeq
+      .toDF("__row", "__coefs")
+      .repartition(1)
+      .write.mode("errorifexists").parquet(s"$path/rotation")
+    writeMeta(spark, path, "opq_rotation", Seq("dim" -> dim))
+  }
+
+  /** Read back a [[writeRotation]] artifact (bounded: dim rows). */
+  def readRotation(spark: SparkSession, path: String, dim: Int)
+      : Array[Array[Double]] = readRetrying {
+    check(readMeta(spark, path), "opq_rotation", Seq("dim" -> dim),
+      path)
+    val rows = spark.read.parquet(s"$path/rotation")
+      .select("__row", "__coefs").collect()
+    require(rows.length == dim,
+      s"$path/rotation has ${rows.length} rows, expected $dim")
+    val r = Array.ofDim[Array[Double]](dim)
+    rows.foreach { row =>
+      val i = row.getInt(0)
+      require(i >= 0 && i < dim && r(i) == null,
+        s"$path/rotation has a duplicate or out-of-range row id $i")
+      val coefs = row.getSeq[Double](1)
+      require(coefs.length == dim,
+        s"$path/rotation row $i has ${coefs.length} coefs, " +
+          s"expected $dim")
+      r(i) = coefs.toArray
+    }
+    r
+  }
+
   /** @return (encoded codes frame, driver-side codebooks) for
     *         [[Similarity.pqTopKFromIndex]]
     */

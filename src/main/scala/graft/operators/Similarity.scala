@@ -683,10 +683,19 @@ object Similarity {
                       embCol: String, idCol: String, k: Int, dim: Int,
                       nCandidates: Int = 100,
                       broadcastMaxQueries: Int = 50000,
-                      knownQueryCount: Option[Long] = None): DataFrame = {
+                      knownQueryCount: Option[Long] = None,
+                      rotation: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
+    // with an OPQ rotation, the dist table lives in the ROTATED
+    // space (matching codes encoded from rotated vectors) while the
+    // exact re-rank below stays on the original vectors — rotation
+    // is orthogonal, so cosine ranks are unaffected
+    val dtab = rotation.fold(
+      graft.functions.pq_dist_table(col(embCol), cb))(rot =>
+      graft.functions.pq_dist_table(opqRotate(col(embCol), rot), cb,
+        normalize = false))
     val q = queries.select(col(idCol).as("query_id"),
-        col(embCol).as("__qe"),
-        graft.functions.pq_dist_table(col(embCol), cb).as("__dtab"))
+        col(embCol).as("__qe"), dtab.as("__dtab"))
     // column-pruned count (skipped when the caller supplied |Q|):
     // only the id column reaches the scan
     val nQ = knownQueryCount.getOrElse(
@@ -985,5 +994,229 @@ object Similarity {
     pqTopKFromIndex(pqEncode(corpus, embCol, idCol, cb, dim), cb,
       corpus, queries, embCol, idCol, k, dim, nCandidates,
       broadcastMaxQueries, knownQueryCount)
+  }
+
+  // --- OPQ: learned rotation in front of PQ (Ge et al. 2013) --------
+
+  /** The OPQ projection as a column: L2-normalize, then rotate by
+    * the learned orthogonal matrix (`out = R·x̂`, one [[graft
+    * .functions.mat_vec]] primitive loop). Rotation preserves norms,
+    * so the result stays on the unit sphere and feeds the PQ
+    * machinery in `normalize = false` (already-in-model-space) mode.
+    */
+  def opqRotate(embCol: Column, rotation: Array[Array[Double]]): Column =
+    graft.functions.mat_vec(l2Normalize(embCol), rotation)
+
+  /** Learn an OPQ ROTATION (Ge et al. 2013, "Optimized Product
+    * Quantization", the non-parametric alternation): an orthogonal
+    * d×d matrix R minimizing PQ quantization error ‖R·x̂ − q(R·x̂)‖²,
+    * so the m independent subspaces the product quantizer imposes
+    * line up with the data's actual correlation structure —
+    * dimensions that co-vary across a subspace boundary get rotated
+    * into the same subspace, which is where plain PQ wastes its
+    * code budget. Alternation per round: (1) fix R, Lloyd's per
+    * subspace on the rotated sample; (2) fix the codebooks, solve
+    * the orthogonal Procrustes problem R = U·Vᵀ from
+    * svd(Σ y_i·x_iᵀ) (y = reconstruction, x = input) — the paper's
+    * closed-form update, via Breeze (Spark's own linalg dependency).
+    *
+    * Scale/determinism discipline (the [[fitPqCodebooks]] contract):
+    * rotation QUALITY needs only a representative sample, so the fit
+    * collects the `maxFitRows` hash-smallest normalized vectors (a
+    * deterministic stand-in for a uniform draw — one TakeOrdered, no
+    * full sort) and runs the alternation driver-side — d×d work,
+    * independent of corpus size; every corpus vector still gets
+    * encoded in the one distributed encode pass. Apply with
+    * [[opqRotate]] in front of assign/encode/dist-table and keep the
+    * exact re-rank on the ORIGINAL vectors (rotation is orthogonal —
+    * cosine ranks are unaffected, so full-candidate-budget results
+    * stay bit-identical to the unrotated operator; spec-pinned).
+    * Persist with [[DedupIndex.writeRotation]].
+    *
+    * @return the rotation as d rows × d cols, `R(i)(j)`;
+    *         `R·Rᵀ = I` up to float roundoff (spec-asserted)
+    */
+  def fitOpqRotation(corpus: DataFrame, embCol: String, dim: Int,
+                     m: Int = 8, nCodes: Int = 16, iters: Int = 10,
+                     lloydIters: Int = 10, seed: Long = 42L,
+                     maxFitRows: Int = 16384): Array[Array[Double]] = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    require(iters >= 1 && lloydIters >= 1 && maxFitRows >= nCodes,
+      "need iters >= 1, lloydIters >= 1, maxFitRows >= nCodes")
+    val sd = dim / m
+    val sample = graft.Graft.spread(corpus)
+      .select(l2Normalize(col(embCol)).as("__ne"))
+      .orderBy(xxhash64(col("__ne").cast("string"), lit(seed)))
+      .limit(maxFitRows)
+      .collect() // bounded artifact: ≤ maxFitRows × dim doubles
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "fitOpqRotation: empty corpus")
+    require(sample.forall(_.length == dim),
+      s"fitOpqRotation: vectors are not $dim-dimensional")
+    val n = sample.length
+
+    var r = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    def rotated(x: Array[Double]): Array[Double] = {
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        val row = r(i)
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += row(j) * x(j); j += 1 }
+        out(i) = acc
+        i += 1
+      }
+      out
+    }
+    // deterministic per-subspace Lloyd's over the rotated sample;
+    // init = nCodes hash-smallest distinct subvectors (stable
+    // content hash), the driver spelling of fitPqCodebooks' rule
+    def fitBooks(xr: Array[Array[Double]]): Array[Array[Array[Double]]] = {
+      val cb = Array.ofDim[Array[Double]](m, nCodes)
+      var s = 0
+      while (s < m) {
+        val subs = xr.map(x =>
+          java.util.Arrays.copyOfRange(x, s * sd, (s + 1) * sd))
+        val distinct = subs.map(_.toSeq).distinct
+        require(distinct.size >= nCodes,
+          s"subspace $s has ${distinct.size} < nCodes=$nCodes " +
+            "distinct subvectors — lower nCodes")
+        val seeds = distinct
+          .sortBy(v => (java.util.Arrays.hashCode(v.toArray), v.mkString(",")))
+          .take(nCodes)
+        (0 until nCodes).foreach(c => cb(s)(c) = seeds(c).toArray)
+        var it = 0
+        var stable = false
+        var prevAssign: Array[Int] = null
+        while (it < lloydIters && !stable) {
+          val assign = subs.map { v =>
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < nCodes) {
+              val cent = cb(s)(c)
+              var d = 0.0
+              var i = 0
+              while (i < sd) {
+                val t = v(i) - cent(i); d += t * t; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            best
+          }
+          if (prevAssign != null && java.util.Arrays.equals(assign,
+              prevAssign)) stable = true
+          else {
+            prevAssign = assign
+            val sums = Array.ofDim[Double](nCodes, sd)
+            val counts = new Array[Long](nCodes)
+            var i = 0
+            while (i < subs.length) {
+              val c = assign(i)
+              counts(c) += 1
+              var j = 0
+              while (j < sd) { sums(c)(j) += subs(i)(j); j += 1 }
+              i += 1
+            }
+            var c = 0
+            while (c < nCodes) {
+              if (counts(c) > 0)
+                cb(s)(c) = Array.tabulate(sd)(j => sums(c)(j) / counts(c))
+              c += 1
+            }
+            it += 1
+          }
+        }
+        s += 1
+      }
+      cb
+    }
+    def reconstruct(xr: Array[Double],
+                    cb: Array[Array[Array[Double]]]): Array[Double] = {
+      val y = new Array[Double](dim)
+      var s = 0
+      while (s < m) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < nCodes) {
+          val cent = cb(s)(c)
+          var d = 0.0
+          var i = 0
+          while (i < sd) {
+            val t = xr(s * sd + i) - cent(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        System.arraycopy(cb(s)(best), 0, y, s * sd, sd)
+        s += 1
+      }
+      y
+    }
+
+    var round = 0
+    while (round < iters) {
+      val xr = sample.map(rotated)
+      val cb = fitBooks(xr)
+      // Procrustes update: M = Σ y_i x_iᵀ, svd M = U S Vᵀ, R = U Vᵀ
+      val mMat = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+      var idx = 0
+      while (idx < n) {
+        val x = sample(idx)
+        val y = reconstruct(xr(idx), cb)
+        var i = 0
+        while (i < dim) {
+          val yi = y(i)
+          if (yi != 0.0) {
+            var j = 0
+            while (j < dim) { mMat(i, j) += yi * x(j); j += 1 }
+          }
+          i += 1
+        }
+        idx += 1
+      }
+      val decomp = breeze.linalg.svd(mMat)
+      val rNew = decomp.U * decomp.Vt
+      r = Array.tabulate(dim, dim)((i, j) => rNew(i, j))
+      round += 1
+    }
+    r
+  }
+
+  /** One-call OPQ-PQ ANN: rotate (learned R) → fit codebooks in the
+    * rotated space → encode → ADC with rotated-query dist tables →
+    * exact re-rank on the ORIGINAL vectors. At full candidate budget
+    * (`nCandidates` ≥ corpus) the output is bit-identical to
+    * [[pqTopK]]'s full-budget output (and the s1 brute-force
+    * oracle): the candidate set is everything and the re-rank never
+    * sees the rotation. At partial budget the rotation buys recall
+    * on subspace-misaligned data (spec-pinned via [[recallReport]]).
+    */
+  def opqPqTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
+                idCol: String, k: Int, dim: Int,
+                rotation: Array[Array[Double]], m: Int = 8,
+                nCodes: Int = 16, nCandidates: Int = 100,
+                seed: Long = 42L, maxIter: Int = 20,
+                fitSampleFraction: Double = 1.0,
+                broadcastMaxQueries: Int = 50000,
+                knownQueryCount: Option[Long] = None): DataFrame = {
+    require(rotation.length == dim &&
+      rotation.forall(_.length == dim),
+      s"rotation must be $dim×$dim")
+    val rotCorpus = corpus.select(col(idCol),
+      opqRotate(col(embCol), rotation).as("__re"))
+    val cb = collectCodebooks(
+      fitPqCodebooks(rotCorpus, "__re", dim, m, nCodes, seed, maxIter,
+        fitSampleFraction, normalize = false), m, nCodes)
+    val encoded = graft.Graft.spread(rotCorpus)
+      .select(col(idCol).as("neighbor_id"),
+        graft.functions.pq_assign(col("__re"), cb,
+          normalize = false).as("__codes"))
+    pqTopKFromIndex(encoded, cb, corpus, queries, embCol, idCol, k,
+      dim, nCandidates, broadcastMaxQueries, knownQueryCount,
+      rotation = Some(rotation))
   }
 }

@@ -996,6 +996,99 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("OPQ: mat_vec exact; fitOpqRotation returns a deterministic " +
+      "orthogonal matrix; full budget ≡ brute force; partial budget " +
+      "recall improves on subspace-misaligned data; artifact " +
+      "round-trips") {
+    import graft.operators.{Similarity, DedupIndex}
+    // mat_vec: hand example + zero-pad of short input
+    val mv = Seq(Seq(1.0, 2.0)).toDF("v")
+      .select(graft.functions.mat_vec($"v",
+        Array(Array(1.0, 1.0), Array(0.5, -1.0), Array(2.0, 0.0)))
+        .as("o"))
+      .as[Seq[Double]].collect().head
+    assert(mv == Seq(3.0, -1.5, 2.0))
+    val short = Seq(Seq(3.0)).toDF("v")
+      .select(graft.functions.mat_vec($"v",
+        Array(Array(1.0, 5.0), Array(0.0, 7.0))).as("o"))
+      .as[Seq[Double]].collect().head
+    assert(short == Seq(3.0, 0.0), "missing trailing dims read 0")
+
+    // subspace-misaligned fixture: dim=16, m=4 — each vector is a
+    // random mix of 3 latent directions that deliberately straddle
+    // every subspace boundary (a fixed non-axis-aligned basis), plus
+    // small noise: plain PQ quantizes 4 dims at a time and wastes
+    // its budget on correlated coordinates; the learned rotation
+    // re-aligns the basis with the subspace grid
+    val dim = 16
+    val rnd = new scala.util.Random(17)
+    val basis = Array.fill(3)(Array.fill(dim)(rnd.nextGaussian()))
+    val corpus = (0 until 400).map { i =>
+      val coef = Array.fill(3)(rnd.nextGaussian())
+      val v = Array.tabulate(dim)(d =>
+        (0 until 3).map(b => coef(b) * basis(b)(d)).sum +
+          0.05 * rnd.nextGaussian())
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 8)
+
+    val rot = Similarity.fitOpqRotation(corpus, "embedding", dim,
+      m = 4, nCodes = 8, iters = 8, maxFitRows = 400)
+    // orthogonality: R·Rᵀ = I to float roundoff
+    (0 until dim).foreach { i =>
+      (0 until dim).foreach { j =>
+        val dot = (0 until dim).map(k => rot(i)(k) * rot(j)(k)).sum
+        assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+          s"R·Rᵀ deviates at ($i,$j): $dot")
+      }
+    }
+    // determinism: same inputs, same matrix
+    val rot2 = Similarity.fitOpqRotation(corpus, "embedding", dim,
+      m = 4, nCodes = 8, iters = 8, maxFitRows = 400)
+    assert(rot.map(_.toSeq).toSeq == rot2.map(_.toSeq).toSeq)
+
+    // FULL candidate budget: OPQ output ≡ exact brute force (the
+    // re-rank never sees the rotation)
+    val exact = Similarity.bruteForceTopK(corpus, queries,
+      "embedding", "vec_id", k = 10)
+    val opqFull = Similarity.opqPqTopK(corpus, queries, "embedding",
+      "vec_id", k = 10, dim, rot, m = 4, nCodes = 8,
+      nCandidates = 400)
+    assert(opqFull.orderBy($"query_id", $"rank").collect().toSeq ==
+      exact.orderBy($"query_id", $"rank").collect().toSeq,
+      "full-budget OPQ must equal exact brute force")
+
+    // PARTIAL budget: rotated quantization recalls more of the true
+    // top-10 than axis-aligned PQ at the same (m, nCodes, budget)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallReport(approx, exact)
+        .filter($"query_id".isNull).select($"recall")
+        .as[Double].head()
+    val pqPart = Similarity.pqTopK(corpus, queries, "embedding",
+      "vec_id", k = 10, dim, m = 4, nCodes = 8, nCandidates = 20)
+    val opqPart = Similarity.opqPqTopK(corpus, queries, "embedding",
+      "vec_id", k = 10, dim, rot, m = 4, nCodes = 8,
+      nCandidates = 20)
+    val (rPq, rOpq) = (meanRecall(pqPart), meanRecall(opqPart))
+    info(s"partial-budget mean recall: pq=$rPq opq=$rOpq")
+    assert(rOpq > rPq,
+      s"OPQ must beat plain PQ at partial budget on misaligned " +
+        s"data: opq=$rOpq pq=$rPq")
+
+    // persisted lifecycle: round trip + geometry/kind refusals
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-opq").toString + "/rot"
+    DedupIndex.writeRotation(spark, rot, dir)
+    val back = DedupIndex.readRotation(spark, dir, dim)
+    assert(back.map(_.toSeq).toSeq == rot.map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException] {
+      DedupIndex.readRotation(spark, dir, dim + 1)
+    }
+    intercept[Exception] {
+      DedupIndex.writeRotation(spark, rot, dir) // frozen artifact
+    }
+  }
+
   test("recallReport: hand-built frames — per-query hit fractions, " +
       "zero-overlap query, the mean summary row; full-budget IVF-PQ " +
       "reads recall 1.0 everywhere; refusal on a shapeless frame") {

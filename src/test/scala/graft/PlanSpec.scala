@@ -171,13 +171,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Join"))
   }
 
-  test("d49 outlier report: the corpus pass is one two-phase " +
-      "aggregate; the percentile passes run over the GROUP table " +
-      "(no corpus re-join)") {
-    val p = plan("d49_outlier_report", "simple")
+  test("d49 outlier report: the returned frame is a LOCAL relation " +
+      "— the corpus group-by scan ran exactly once at build time, " +
+      "and consuming the report re-scans nothing") {
+    val p = plan("d49_outlier_report")
     assert(!p.contains("Join"), s"outlier report must not join:\n$p")
-    val pf = plan("d49_outlier_report")
-    assert(pf.contains("partial_"),
-      s"no map-side partial aggregation:\n$pf")
+    assert(p.contains("LocalTableScan"),
+      s"report must come back as a local relation (the bounded " +
+        s"group table, collected once):\n$p")
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan"),
+      s"consuming the report must not re-scan the corpus:\n$p")
   }
 }

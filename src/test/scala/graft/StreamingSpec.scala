@@ -678,6 +678,65 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sinkAlerts e2e: driftMonitor → alarms → severity-filtered " +
+      "foreachBatch routing — ok windows never reach the hook, warn " +
+      "and alert do; batch path + refusal") {
+    val (input, ds) = measurementStream()
+    val routed =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = ds.driftMonitor("reading", "10 seconds", Seq(10.0),
+        Seq(0.5, 0.5))
+      .alarms()
+      .sinkAlerts("warn") { (batch, _) =>
+        batch.select(unix_millis(col("window_start_time")),
+            col("severity"))
+          .collect().foreach(r =>
+            routed.add((r.getLong(0), r.getString(1))))
+      }.get
+    try {
+      // w1 [0,10s): 5,15 → p=(.5,.5) = baseline → tvd 0 → ok
+      input.addData(
+        Measurement(1000, "a", 5.0), Measurement(2000, "b", 15.0))
+      // w2 [10,20s): 5,5,15 → tvd 1/6 ≈ 0.167 → warn
+      input.addData(
+        Measurement(11000, "c", 5.0), Measurement(12000, "d", 5.0),
+        Measurement(13000, "e", 15.0))
+      // w3 [20,30s): 5,5 → tvd 0.5 → alert
+      input.addData(
+        Measurement(21000, "f", 5.0), Measurement(22000, "g", 5.0))
+      q.processAllAvailable()
+      input.addData(Measurement(45000, "z", 0.0)) // flush watermark
+      q.processAllAvailable()
+      val got = routed.toArray(Array.empty[(Long, String)])
+        .toList.sortBy(_._1)
+      assert(got == List((10000L, "warn"), (20000L, "alert")),
+        s"routing must carry exactly the warn+alert windows, got $got")
+    } finally q.stop()
+
+    // batch path: same routing code, alert-only filter, one fn call
+    val report = Seq((1L, 0.02), (2L, 0.15), (3L, 0.40))
+      .toDF("shard", "tvd")
+    var batchRows: List[(Long, String)] = null
+    val none = DataStream(
+        graft.operators.Drift.alarms(report), "shard")
+      .sinkAlerts("alert") { (b, id) =>
+        assert(id == -1L)
+        batchRows = b.select(col("shard"), col("severity"))
+          .as[(Long, String)].collect().toList
+      }
+    assert(none.isEmpty)
+    assert(batchRows == List((3L, "alert")))
+    // a frame without severity refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      DataStream(report, "shard").sinkAlerts() { (_, _) => () }
+    }
+    assert(e.getMessage.contains("severity"))
+    intercept[IllegalArgumentException] {
+      DataStream(graft.operators.Drift.alarms(report), "shard")
+        .sinkAlerts("fatal") { (_, _) => () }
+    }
+  }
+
   test("categoryDriftMonitor: per-window mix vs frozen category " +
       "fractions, unseen categories pool to __other__") {
     val (input, ds) = measurementStream()
