@@ -1648,6 +1648,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ...and the EVALUATION of that trained filter, per source: the
+    // full train → score → measure loop in one gate. Confusion
+    // counts are exact conditional counts; accuracy/precision/
+    // recall/F1 are single IEEE divisions of exact integers (F1 as
+    // 2tp/(2tp+fp+fn) — one division, so it replays bit-identically
+    // where the three-division harmonic-mean spelling would not)
+    "t35_classifier_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val scored = operators.TextAnalysis.hashedLinearScoreWith(
+          docs, "doc_id", "text", w.toSeq)
+        .join(docs.select(col("doc_id"), col("y"), col("source")),
+          Seq("doc_id"))
+      operators.TextAnalysis.classifierReport(scored, "y", "keep",
+          by = Seq("source"))
+        .orderBy(col("source"))
+    }),
+
     "t13_lm_score" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val lm = operators.TextAnalysis.bigramLm(
@@ -3341,6 +3363,40 @@ object SparkEntry {
          |    AS keep
          |FROM docs d JOIN sc USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "t35_classifier_eval" ->
+      s"""WITH ${hashedGdCtes(64, 3)},
+         |sc AS (
+         |  SELECT f.doc_id, SUM(m.weight_milli) AS score_milli
+         |  FROM feat f JOIN milli m USING (bucket)
+         |  GROUP BY f.doc_id),
+         |ev AS (
+         |  SELECT dd.source, d.y,
+         |    (CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens))
+         |      > 0 AS keep
+         |  FROM docs d JOIN sc USING (doc_id)
+         |  JOIN documents dd USING (doc_id)),
+         |cm AS (
+         |  SELECT source, COUNT(*) AS n_rows,
+         |    count(CASE WHEN y IS NULL OR keep IS NULL THEN 1 END)
+         |      AS n_unknown,
+         |    count(CASE WHEN keep AND y = 1 THEN 1 END) AS tp,
+         |    count(CASE WHEN keep AND y = 0 THEN 1 END) AS fp,
+         |    count(CASE WHEN NOT keep AND y = 1 THEN 1 END) AS fn,
+         |    count(CASE WHEN NOT keep AND y = 0 THEN 1 END) AS tn
+         |  FROM ev GROUP BY source)
+         |SELECT source, n_rows, n_unknown, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp + fn + tn = 0 THEN NULL
+         |    ELSE CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)
+         |  END AS accuracy,
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |    ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |    ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+         |    ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+         |  END AS f1
+         |FROM cm ORDER BY source""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1026,6 +1026,64 @@ object TextAnalysis {
     } finally { feats.unpersist(); () }
   }
 
+  /** Classifier EVALUATION report — the measurement half of the
+    * quality-filter loop ([[learnHashedLinear]] trains,
+    * [[hashedLinearScoreWith]] filters, this says how well): one
+    * aggregation pass over a scored frame with a boolean/0-1
+    * `keepCol` prediction and a 0/1 `labelCol` truth, emitting the
+    * exact confusion counts (tp/fp/fn/tn — rows where either side
+    * is null are counted apart as `n_unknown`, never silently
+    * dropped into a quadrant) plus accuracy, precision, recall and
+    * F1. Per `by` group when given — "how does the filter do per
+    * source/language", the slice view every deployment decision
+    * needs.
+    *
+    * Determinism contract: the four quadrant counts are exact
+    * integers (map-side-combined conditional counts — one scan, one
+    * tiny exchange at any corpus size); each metric is a single
+    * IEEE division of exact integers (F1 spelled 2·tp/(2·tp+fp+fn),
+    * one division — the algebraic reduction of the harmonic mean,
+    * avoiding the three-division spelling whose rounding would
+    * differ), so every value replays bit-identically cross-engine.
+    * Degenerate slices read NULL, not NaN: precision with no
+    * positive predictions, recall with no positive labels, F1 when
+    * its denominator is 0, accuracy on an all-unknown slice.
+    */
+  def classifierReport(df: DataFrame, labelCol: String,
+                       keepCol: String,
+                       by: Seq[String] = Seq.empty): DataFrame = {
+    val y = col(labelCol).cast("int")
+    val p = col(keepCol).cast("boolean")
+    val known = y.isNotNull && p.isNotNull
+    val aggs = Seq(
+      count(lit(1)).as("n_rows"),
+      count(when(!known, 1)).as("n_unknown"),
+      count(when(known && p && y === 1, 1)).as("tp"),
+      count(when(known && p && y === 0, 1)).as("fp"),
+      count(when(known && !p && y === 1, 1)).as("fn"),
+      count(when(known && !p && y === 0, 1)).as("tn"))
+    val agged =
+      if (by.isEmpty) df.agg(aggs.head, aggs.drop(1): _*)
+      else df.groupBy(by.map(col): _*).agg(aggs.head, aggs.drop(1): _*)
+    val tp = col("tp")
+    val fp = col("fp")
+    val fn = col("fn")
+    val tn = col("tn")
+    val nKnown = tp + fp + fn + tn
+    val nullD = lit(null).cast("double")
+    agged.select(by.map(col) ++ Seq(col("n_rows"), col("n_unknown"),
+      tp, fp, fn, tn,
+      when(nKnown === 0, nullD)
+        .otherwise((tp + tn).cast("double") / nKnown).as("accuracy"),
+      when(tp + fp === 0, nullD)
+        .otherwise(tp.cast("double") / (tp + fp)).as("precision"),
+      when(tp + fn === 0, nullD)
+        .otherwise(tp.cast("double") / (tp + fn)).as("recall"),
+      when(lit(2) * tp + fp + fn === 0, nullD)
+        .otherwise((lit(2) * tp).cast("double") /
+          (lit(2) * tp + fp + fn)).as("f1")): _*)
+  }
+
   /** Blocklist / policy-phrase scan — the safety-filter stage of a
     * curation pipeline: per document, how many times any listed
     * phrase occurs (every start position, overlapping included,

@@ -2610,6 +2610,52 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("both classes"))
   }
 
+  test("classifierReport: exact hand-built confusion counts and " +
+      "single-division metrics; null rows count apart as unknown; " +
+      "degenerate slices read NULL, not NaN; per-group twin") {
+    val rows = Seq(
+      // (src, y, keep): a = 2tp 1fp 1fn 1tn, b = all-negative preds
+      ("a", Some(1), Some(true)), ("a", Some(1), Some(true)),
+      ("a", Some(0), Some(true)), ("a", Some(1), Some(false)),
+      ("a", Some(0), Some(false)),
+      ("b", Some(1), Some(false)), ("b", Some(0), Some(false)),
+      // unknowns: null label / null prediction
+      ("b", None, Some(true)), ("b", Some(1), None))
+    val df = rows.toDF("src", "y", "keep")
+    val global = TextAnalysis.classifierReport(df, "y", "keep")
+      .collect().head
+    assert((global.getAs[Long]("n_rows"),
+      global.getAs[Long]("n_unknown"), global.getAs[Long]("tp"),
+      global.getAs[Long]("fp"), global.getAs[Long]("fn"),
+      global.getAs[Long]("tn")) == ((9L, 2L, 2L, 1L, 2L, 2L)))
+    assert(global.getAs[Double]("accuracy") == 4.0 / 7)
+    assert(global.getAs[Double]("precision") == 2.0 / 3)
+    assert(global.getAs[Double]("recall") == 0.5)
+    assert(global.getAs[Double]("f1") == 4.0 / 7) // 2*2/(4+1+2)
+    val per = TextAnalysis.classifierReport(df, "y", "keep",
+        by = Seq("src")).orderBy("src").collect()
+    val b = per(1)
+    assert(b.getAs[Long]("n_unknown") == 2 &&
+      b.getAs[Long]("tp") == 0)
+    assert(b.isNullAt(b.fieldIndex("precision")),
+      "no positive predictions → precision NULL, not NaN")
+    assert(b.getAs[Double]("recall") == 0.0)
+    assert(b.getAs[Double]("f1") == 0.0)
+    // a slice that is ALL unknown → every metric null
+    val allU = Seq(("x", Option.empty[Int], Option.empty[Boolean]))
+      .toDF("src", "y", "keep")
+    val u = TextAnalysis.classifierReport(allU, "y", "keep")
+      .collect().head
+    assert(u.getAs[Long]("n_unknown") == 1 &&
+      u.isNullAt(u.fieldIndex("accuracy")) &&
+      u.isNullAt(u.fieldIndex("f1")))
+    // boolean 0/1 label spelling also accepted
+    val bl = Seq((true, true), (false, true)).toDF("y", "keep")
+    val r2 = TextAnalysis.classifierReport(bl, "y", "keep")
+      .collect().head
+    assert(r2.getAs[Long]("tp") == 1 && r2.getAs[Long]("fp") == 1)
+  }
+
   test("editDistancePairs == brute-force levenshtein (recall 1)") {
     // deterministic fixture: base strings over a small alphabet plus
     // seeded 1- and 2-edit mutants (substitution / deletion /
