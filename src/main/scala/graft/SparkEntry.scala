@@ -1240,6 +1240,42 @@ object SparkEntry {
     // probe + full candidate budget — which equals exact brute force
     // for ANY fit (the re-rank sees every row), so the gate shares
     // s1's oracle verbatim like s8/s9/s11/s13.
+    // OPQ × IVF-PQ, full persisted lifecycle (the s14 discipline
+    // THROUGH a learned rotation): rotation fitted + persisted, the
+    // index built on the even-id half in rotated space, the odd-id
+    // drop appended through the SAME rotation artifact, queries
+    // probe rotated — and the exact re-rank on original vectors
+    // keeps the full-probe/full-budget output equal to brute force,
+    // so the gate shares s1's oracle verbatim
+    "s17_ann_opq_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val rotDir = java.nio.file.Files
+        .createTempDirectory("graft-s17r").toString + "/rot"
+      operators.DedupIndex.writeRotation(s,
+        operators.Similarity.fitOpqRotation(emb, "embedding",
+          dim = 64, m = 8, nCodes = 16, iters = 3,
+          maxFitRows = 2048), rotDir)
+      val rot = Some(operators.DedupIndex.readRotation(s, rotDir, 64))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-s17").toString + "/idx"
+      operators.DedupIndex.writeIvfPq(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding",
+        "vec_id", tmp, dim = 64, nCentroids = 8, m = 8, nCodes = 16,
+        maxIter = 3, rotation = rot)
+      operators.DedupIndex.appendIvfPq(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding",
+        "vec_id", tmp, dim = 64, nCentroids = 8, m = 8, nCodes = 16,
+        rotation = rot)
+      val (cents, cb, codes) = operators.DedupIndex.readIvfPq(s, tmp,
+        dim = 64, nCentroids = 8, m = 8, nCodes = 16)
+      operators.Similarity.ivfPqTopKFromIndex(cents, cb, codes, emb,
+          emb.filter(col("vec_id") < 3), "embedding", "vec_id", 5,
+          dim = 64, nProbe = 8, nCandidates = 1000000,
+          rotation = rot)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "s14_ann_ivfpq_appended" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val tmp = java.nio.file.Files
@@ -3264,6 +3300,7 @@ object SparkEntry {
     "s7_ann_ivf_indexed" -> oracleSqlBase("s3_ann_ivf"),
     "s8_ann_pq" -> oracleSqlBase("s1_sim_topk"),
     "s16_ann_opq" -> oracleSqlBase("s1_sim_topk"),
+    "s17_ann_opq_ivfpq" -> oracleSqlBase("s1_sim_topk"),
     "s13_ann_ivfpq" -> oracleSqlBase("s1_sim_topk"),
     "s9_ann_pq_indexed" -> oracleSqlBase("s1_sim_topk"),
     "s10_ann_ivf_appended" -> oracleSqlBase("s3_ann_ivf"),

@@ -363,10 +363,15 @@ object DedupIndex {
                  path: String, dim: Int, nCentroids: Int = 16,
                  m: Int = 8, nCodes: Int = 16, seed: Long = 42L,
                  maxIter: Int = 20,
-                 fitSampleFraction: Double = 1.0): Unit = {
+                 fitSampleFraction: Double = 1.0,
+                 rotation: Option[Array[Array[Double]]] = None)
+      : Unit = {
+    // rotation: build the whole index in OPQ-rotated space (persist
+    // the rotation itself with writeRotation and pass the SAME
+    // artifact to appendIvfPq / ivfPqTopKFromIndex)
     val (centroids, codebooks, encoded) = Similarity.fitIvfPq(corpus,
       embCol, idCol, dim, nCentroids, m, nCodes, seed, maxIter,
-      fitSampleFraction)
+      fitSampleFraction, rotation)
     centroids.write.mode("errorifexists").parquet(s"$path/centroids")
     codebooks.write.mode("errorifexists").parquet(s"$path/codebooks")
     encoded.write.mode("errorifexists").parquet(s"$path/codes")
@@ -407,7 +412,9 @@ object DedupIndex {
     */
   def appendIvfPq(newCorpus: DataFrame, embCol: String, idCol: String,
                   path: String, dim: Int, nCentroids: Int = 16,
-                  m: Int = 8, nCodes: Int = 16): Unit = {
+                  m: Int = 8, nCodes: Int = 16,
+                  rotation: Option[Array[Array[Double]]] = None)
+      : Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, element_at, zip_with}
     val spark = newCorpus.sparkSession
     check(readMeta(spark, path), "ivfpq",
@@ -428,9 +435,13 @@ object DedupIndex {
         "index"))
     val cb = Similarity.collectCodebooks(
       spark.read.parquet(s"$path/codebooks"), m, nCodes)
+    // an index built with an OPQ rotation must append THROUGH the
+    // same rotation (pass the artifact read back via readRotation) —
+    // mixed-geometry codes score garbage silently
     val assignedNew = graft.Graft.spread(newCorpus)
       .select(col(idCol).as("neighbor_id"),
-        Similarity.l2Normalize(col(embCol)).as("__nv"))
+        rotation.fold(Similarity.l2Normalize(col(embCol)))(r =>
+          Similarity.opqRotate(col(embCol), r)).as("__nv"))
       .withColumn("__cell", element_at(graft.functions.pq_assign(
         col("__nv"), Array(cents), normalize = false), 1))
       .join(broadcast(centFrame), Seq("__cell"))

@@ -792,10 +792,15 @@ object Similarity {
   def fitIvfPq(corpus: DataFrame, embCol: String, idCol: String,
                dim: Int, nCentroids: Int = 16, m: Int = 8,
                nCodes: Int = 16, seed: Long = 42L, maxIter: Int = 20,
-               fitSampleFraction: Double = 1.0)
+               fitSampleFraction: Double = 1.0,
+               rotation: Option[Array[Array[Double]]] = None)
       : (DataFrame, DataFrame, DataFrame) = {
+    // with an OPQ rotation the WHOLE model space rotates — coarse
+    // centroids, residuals, codebooks — while queries rotate at
+    // probe time and the exact re-rank stays on original vectors
     val normed = corpus.select(col(idCol),
-      l2Normalize(col(embCol)).as("__nv"))
+      rotation.fold(l2Normalize(col(embCol)))(r =>
+        opqRotate(col(embCol), r)).as("__nv"))
     val (centroids, indexed) =
       fitIvfIndex(normed, "__nv", idCol, nCentroids, seed, maxIter,
         fitSampleFraction)
@@ -840,7 +845,8 @@ object Similarity {
                          idCol: String, k: Int, dim: Int,
                          nProbe: Int = 4, nCandidates: Int = 100,
                          broadcastMaxQueries: Int = 50000,
-                         knownQueryCount: Option[Long] = None)
+                         knownQueryCount: Option[Long] = None,
+                         rotation: Option[Array[Array[Double]]] = None)
       : DataFrame = {
     val l2 = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -850,7 +856,8 @@ object Similarity {
     // per (query, probed cell): the residual dist table
     val probed = queries
       .select(col(idCol).as("query_id"),
-        l2Normalize(col(embCol)).as("__qn"))
+        rotation.fold(l2Normalize(col(embCol)))(r =>
+          opqRotate(col(embCol), r)).as("__qn"))
       .crossJoin(broadcast(centroids))
       .withColumn("__dist", l2(col("__qn"), col("__centroid")))
       .withColumn("__pr", row_number().over(w))
@@ -927,14 +934,16 @@ object Similarity {
                 nCandidates: Int = 100, seed: Long = 42L,
                 maxIter: Int = 20, fitSampleFraction: Double = 1.0,
                 broadcastMaxQueries: Int = 50000,
-                knownQueryCount: Option[Long] = None): DataFrame = {
+                knownQueryCount: Option[Long] = None,
+                rotation: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
     val (centroids, codebooks, encoded) = fitIvfPq(corpus, embCol,
       idCol, dim, nCentroids, m, nCodes, seed, maxIter,
-      fitSampleFraction)
+      fitSampleFraction, rotation)
     val cb = collectCodebooks(codebooks, m, nCodes)
     ivfPqTopKFromIndex(centroids, cb, encoded, corpus, queries,
       embCol, idCol, k, dim, nProbe, nCandidates,
-      broadcastMaxQueries, knownQueryCount)
+      broadcastMaxQueries, knownQueryCount, rotation)
   }
 
   /** ANN recall measurement — the monitoring loop every approximate

@@ -1087,6 +1087,36 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     intercept[Exception] {
       DedupIndex.writeRotation(spark, rot, dir) // frozen artifact
     }
+
+    // IVF-PQ composition: the whole model space rotates (coarse
+    // centroids, residuals, codebooks), queries rotate at probe
+    // time, re-rank stays original — full probe + full budget is
+    // STILL the exact answer, and an index appended THROUGH the
+    // same rotation keeps that contract
+    val ivfFull = Similarity.ivfPqTopK(corpus, queries, "embedding",
+      "vec_id", k = 10, dim, nCentroids = 4, m = 4, nCodes = 8,
+      nProbe = 4, nCandidates = 400, rotation = Some(back))
+    assert(ivfFull.orderBy($"query_id", $"rank").collect().toSeq ==
+      exact.orderBy($"query_id", $"rank").collect().toSeq,
+      "full-budget rotated IVF-PQ must equal exact brute force")
+    val half = corpus.filter($"vec_id" % 2 === 0)
+    val rest = corpus.filter($"vec_id" % 2 === 1)
+    val idxDir2 = java.nio.file.Files
+      .createTempDirectory("graft-opq-ivf2").toString + "/idx"
+    DedupIndex.writeIvfPq(half, "embedding", "vec_id",
+      idxDir2, dim, nCentroids = 4, m = 4, nCodes = 8,
+      rotation = Some(back))
+    DedupIndex.appendIvfPq(rest, "embedding", "vec_id", idxDir2,
+      dim, nCentroids = 4, m = 4, nCodes = 8,
+      rotation = Some(back))
+    val (cents, cbIdx, codes) = DedupIndex.readIvfPq(spark, idxDir2,
+      dim, nCentroids = 4, m = 4, nCodes = 8)
+    val appended = Similarity.ivfPqTopKFromIndex(cents, cbIdx, codes,
+      corpus, queries, "embedding", "vec_id", k = 10, dim,
+      nProbe = 4, nCandidates = 400, rotation = Some(back))
+    assert(appended.orderBy($"query_id", $"rank").collect().toSeq ==
+      exact.orderBy($"query_id", $"rank").collect().toSeq,
+      "append-through-rotation must keep the full-budget contract")
   }
 
   test("recallReport: hand-built frames — per-query hit fractions, " +
