@@ -427,6 +427,63 @@ class ValidateSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("monitor history over WINDOWED monitor output: driftMonitor " +
+      "windows melt under a stable window-POSITION key (hour of " +
+      "day), accumulate per (run, metric, hour) across daily drops, " +
+      "and a drifted window flags against its own hour's history") {
+    import graft.api.DataStream
+    import graft.operators.Drift
+    // one 'drop' per day: two hourly windows (00 and 01), values
+    // drawn so hour 00 sits at the baseline mix and hour 01 slightly
+    // off; the LAST drop's hour-01 window is fully drifted
+    val bounds = Seq(10.0)
+    val fracs = Seq(0.5, 0.5)
+    // hour 00: constant 2-low/2-high (tvd 0 every day — the MAD=0
+    // degenerate series); hour 01: 10 rows with 5 or 6 low values
+    // alternating by day (tvd oscillates 0/0.1 — a real-variance
+    // series, so the drifted day grades through the z path)
+    def drop(day: Int, h1Drifted: Boolean) = {
+      val base = Seq(5.0, 15.0, 5.0, 15.0).zipWithIndex.map {
+        case (v, i) => (day * 86400000L + i * 60000L, v) }
+      val lowCount = if (h1Drifted) 10 else 5 + (day % 2)
+      val h1 = (0 until 10).map { i =>
+        (day * 86400000L + 3600000L + i * 60000L,
+          if (i < lowCount) 5.0 else 15.0)
+      }
+      (base ++ h1).toDF("ms", "v")
+        .select(timestamp_millis($"ms").as("ts"), $"v")
+    }
+    def windows(df: org.apache.spark.sql.DataFrame) =
+      DataStream(df, "ts").driftMonitor("v", "1 hour", bounds, fracs)
+        .df
+        .withColumn("hour_of_day",
+          hour(col("window_start_time")))
+    val metrics = Seq("n_rows", "tvd", "max_shift")
+    // 6 clean daily runs accumulate history per (metric, hour) key
+    val hist = (1 to 6).map { day =>
+      Validate.meltMetrics(windows(drop(day, h1Drifted = false)),
+          metrics, keyCols = Seq("hour_of_day"))
+        .select(lit(s"day$day").as("run_id"), col("check_name"),
+          col("value"))
+    }.reduce(_ unionByName _)
+    assert(hist.select("check_name").distinct().count() == 6,
+      "3 metrics x 2 window positions = 6 history series")
+    // day 7: hour 01 drifted
+    val cur = Validate.meltMetrics(windows(drop(7, h1Drifted = true)),
+      metrics, keyCols = Seq("hour_of_day"))
+    val graded = Validate.anomalies(hist, cur, minRuns = 5)
+      .collect()
+      .map(r => r.getString(r.fieldIndex("check_name")) ->
+        Option(r.getAs[java.lang.Boolean]("is_anomaly"))
+          .map(_.booleanValue())).toMap
+    assert(graded("tvd(hour_of_day=1)").contains(true),
+      s"the drifted hour-1 window must flag: $graded")
+    assert(graded("tvd(hour_of_day=0)").contains(false),
+      "the clean hour-0 window must not flag")
+    assert(graded("n_rows(hour_of_day=1)").contains(false),
+      "row count is unremarkable — only the mix drifted")
+  }
+
   test("writeReport concurrency: the _run marker claim is create-" +
       "exclusive — of two simultaneous writers of one runId exactly " +
       "one wins; a claimed-but-crashed run still refuses its redo") {
