@@ -1684,6 +1684,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // threshold SWEEP over the trained scorer's logits: every
+    // candidate operating point's exact confusion + metrics from ONE
+    // scan (|thresholds|×4 conditional counts) — how the keep
+    // threshold gets chosen. Same oracle machinery as t33-t35 plus
+    // one UNION-ALL block per threshold literal
+    "t36_threshold_sweep" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val scored = operators.TextAnalysis.hashedLinearScoreWith(
+          docs, "doc_id", "text", w.toSeq)
+        .join(docs.select(col("doc_id"), col("y")), Seq("doc_id"))
+      operators.TextAnalysis.thresholdSweep(scored, "y", "logit",
+          Seq(-0.5, -0.1, 0.0, 0.1, 0.5))
+        .orderBy(col("threshold"))
+    }),
+
     // ...and the EVALUATION of that trained filter, per source: the
     // full train → score → measure loop in one gate. Confusion
     // counts are exact conditional counts; accuracy/precision/
@@ -3400,6 +3420,47 @@ object SparkEntry {
          |    AS keep
          |FROM docs d JOIN sc USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "t36_threshold_sweep" -> {
+      val blocks = Seq(-0.5, -0.1, 0.0, 0.1, 0.5).map { t =>
+        s"""  SELECT CAST($t AS DOUBLE) AS threshold,
+           |    COUNT(*) AS n_rows,
+           |    count(CASE WHEN y IS NULL OR logit IS NULL THEN 1 END)
+           |      AS n_unknown,
+           |    count(CASE WHEN logit > $t AND y = 1 THEN 1 END) AS tp,
+           |    count(CASE WHEN logit > $t AND y = 0 THEN 1 END) AS fp,
+           |    count(CASE WHEN NOT (logit > $t) AND y = 1 THEN 1 END)
+           |      AS fn,
+           |    count(CASE WHEN NOT (logit > $t) AND y = 0 THEN 1 END)
+           |      AS tn
+           |  FROM ev""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH ${hashedGdCtes(64, 3)},
+         |sc AS (
+         |  SELECT f.doc_id, SUM(m.weight_milli) AS score_milli
+         |  FROM feat f JOIN milli m USING (bucket)
+         |  GROUP BY f.doc_id),
+         |ev AS (
+         |  SELECT d.y,
+         |    CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)
+         |      AS logit
+         |  FROM docs d JOIN sc USING (doc_id)),
+         |cm AS (
+         |$blocks
+         |)
+         |SELECT threshold, n_rows, n_unknown, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp + fn + tn = 0 THEN NULL
+         |    ELSE CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)
+         |  END AS accuracy,
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |    ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |    ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+         |    ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+         |  END AS f1
+         |FROM cm ORDER BY threshold""".stripMargin
+    },
 
     "t35_classifier_eval" ->
       s"""WITH ${hashedGdCtes(64, 3)},

@@ -1084,6 +1084,70 @@ object TextAnalysis {
           (lit(2) * tp + fp + fn)).as("f1")): _*)
   }
 
+  /** Threshold SWEEP over a scored frame — how the keep threshold
+    * gets CHOSEN (a trained filter's operating point is a
+    * precision/recall trade the default `logit > 0` rarely
+    * optimizes): one aggregation pass over the corpus computes, for
+    * EVERY candidate threshold, the exact confusion counts of
+    * `scoreCol > t` against the 0/1 `labelCol`, plus the same
+    * one-division metrics as [[classifierReport]] — one output row
+    * per threshold, sorted ascending. Pick the row whose
+    * precision/recall fits the pipeline's budget and feed that
+    * threshold to the filter.
+    *
+    * Scale/determinism: |thresholds| × 4 conditional counts, all
+    * map-side combined in ONE scan (a 100-point sweep over 100 TB
+    * costs one pass, not 100); thresholds are plan literals and
+    * `score > t` on the deterministic score column replays exactly,
+    * so the whole sweep is hash-gateable. Null scores/labels count
+    * apart as `n_unknown` (same discipline as
+    * [[classifierReport]]).
+    */
+  def thresholdSweep(df: DataFrame, labelCol: String,
+                     scoreCol: String,
+                     thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep: no thresholds")
+    require(thresholds.distinct.size == thresholds.size,
+      "thresholdSweep: duplicate thresholds")
+    val y = col(labelCol).cast("int")
+    val sc = col(scoreCol).cast("double")
+    val known = y.isNotNull && sc.isNotNull
+    val aggs = count(lit(1)).as("__n") +:
+      count(when(!known, 1)).as("__u") +:
+      thresholds.zipWithIndex.flatMap { case (t, i) =>
+        val p = sc > lit(t)
+        Seq(count(when(known && p && y === 1, 1)).as(s"__tp$i"),
+          count(when(known && p && y === 0, 1)).as(s"__fp$i"),
+          count(when(known && !p && y === 1, 1)).as(s"__fn$i"),
+          count(when(known && !p && y === 0, 1)).as(s"__tn$i"))
+      }
+    val agged = df.agg(aggs.head, aggs.drop(1): _*)
+    val nullD = lit(null).cast("double")
+    val entries = thresholds.sorted.map { t =>
+      val i = thresholds.indexOf(t)
+      val tp = col(s"__tp$i")
+      val fp = col(s"__fp$i")
+      val fn = col(s"__fn$i")
+      val tn = col(s"__tn$i")
+      val nKnown = tp + fp + fn + tn
+      struct(lit(t).as("threshold"),
+        col("__n").as("n_rows"), col("__u").as("n_unknown"),
+        tp.as("tp"), fp.as("fp"), fn.as("fn"), tn.as("tn"),
+        when(nKnown === 0, nullD)
+          .otherwise((tp + tn).cast("double") / nKnown)
+          .as("accuracy"),
+        when(tp + fp === 0, nullD)
+          .otherwise(tp.cast("double") / (tp + fp)).as("precision"),
+        when(tp + fn === 0, nullD)
+          .otherwise(tp.cast("double") / (tp + fn)).as("recall"),
+        when(lit(2) * tp + fp + fn === 0, nullD)
+          .otherwise((lit(2) * tp).cast("double") /
+            (lit(2) * tp + fp + fn)).as("f1"))
+    }
+    agged.select(explode(array(entries: _*)).as("__t"))
+      .select(col("__t.*"))
+  }
+
   /** Blocklist / policy-phrase scan — the safety-filter stage of a
     * curation pipeline: per document, how many times any listed
     * phrase occurs (every start position, overlapping included,

@@ -2640,6 +2640,44 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("both classes"))
   }
 
+  test("thresholdSweep: exact per-threshold confusion from one " +
+      "scan; recall monotone non-increasing, precision reaches 1.0 " +
+      "past the clean margin; unknowns counted apart; refusals") {
+    // scores: positives at 0.9/0.6/0.2, negatives at 0.4/-0.3; one
+    // null-score row
+    val df = Seq((Some(1), Some(0.9)), (Some(1), Some(0.6)),
+      (Some(1), Some(0.2)), (Some(0), Some(0.4)),
+      (Some(0), Some(-0.3)), (Some(1), Option.empty[Double]))
+      .toDF("y", "s")
+    val sweep = TextAnalysis.thresholdSweep(df, "y", "s",
+        Seq(0.5, -0.5, 0.0)) // unsorted on purpose
+      .collect().map(r => r.getDouble(0) ->
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+          r.getAs[Long]("fn"), r.getAs[Long]("tn"),
+          r.getAs[Long]("n_unknown"))).toList
+    // output sorted ascending regardless of input order
+    assert(sweep.map(_._1) == List(-0.5, 0.0, 0.5))
+    assert(sweep(0)._2 == ((3L, 2L, 0L, 0L, 1L))) // t=-0.5 keeps all
+    assert(sweep(1)._2 == ((3L, 1L, 0L, 1L, 1L))) // t=0: -0.3 dropped
+    assert(sweep(2)._2 == ((2L, 0L, 1L, 2L, 1L))) // t=0.5: clean
+    val rows = TextAnalysis.thresholdSweep(df, "y", "s",
+        Seq(-1.0, -0.5, 0.0, 0.3, 0.5, 1.0)).collect()
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls == recalls.sorted.reverse,
+      s"recall must be monotone non-increasing in threshold: $recalls")
+    assert(rows.find(_.getDouble(0) == 0.5).get
+      .getAs[Double]("precision") == 1.0)
+    // a threshold above every score: no predictions → precision NULL
+    val top = rows.find(_.getDouble(0) == 1.0).get
+    assert(top.isNullAt(top.fieldIndex("precision")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.thresholdSweep(df, "y", "s", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.thresholdSweep(df, "y", "s", Seq(0.1, 0.1))
+    }
+  }
+
   test("classifierReport: exact hand-built confusion counts and " +
       "single-division metrics; null rows count apart as unknown; " +
       "degenerate slices read NULL, not NaN; per-group twin") {
