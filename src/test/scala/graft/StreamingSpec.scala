@@ -678,6 +678,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("trained classifier scores STREAMING ingest: " +
+      "hashedLinearScoreWith is a pure projection, so the same " +
+      "weight table filters a stream micro-batch-for-micro-batch " +
+      "identically to the batch twin") {
+    import graft.operators.TextAnalysis
+    // train on a tiny batch corpus, then score a stream with the
+    // frozen weights — the deploy shape: fit offline, filter online
+    val train = Seq((1L, "aa aa", 1), (2L, "dd dd", 0))
+      .toDF("id", "t", "y")
+    val w = TextAnalysis.learnHashedLinear(train, "t", "y", dim = 2,
+      iters = 2, lr = 10.0)
+    val input = MemoryStream[(Long, String)](spark)
+    val scored = TextAnalysis.hashedLinearScoreWith(
+      input.toDF.toDF("id", "t"), "id", "t", w.toSeq)
+    assert(scored.isStreaming, "projection must stay streaming")
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("clf_stream").start()
+    try {
+      input.addData((10L, "aa dd aa"), (11L, "dd dd aa"),
+        (12L, "aa"))
+      q.processAllAvailable()
+      val got = spark.table("clf_stream").orderBy("id")
+        .as[(Long, Int, Long, Double, Boolean)].collect().toSeq
+      val batch = TextAnalysis.hashedLinearScoreWith(
+          Seq((10L, "aa dd aa"), (11L, "dd dd aa"), (12L, "aa"))
+            .toDF("id", "t"), "id", "t", w.toSeq)
+        .orderBy("id")
+        .as[(Long, Int, Long, Double, Boolean)].collect().toSeq
+      assert(got == batch, "stream and batch scoring must agree")
+      assert(got.map(_._5) == Seq(true, false, true),
+        "majority-bucket sign decides keep")
+    } finally q.stop()
+  }
+
   test("sinkAlerts e2e: driftMonitor → alarms → severity-filtered " +
       "foreachBatch routing — ok windows never reach the hook, warn " +
       "and alert do; batch path + refusal") {
