@@ -1267,7 +1267,8 @@ object SparkEntry {
         "vec_id", tmp, dim = 64, nCentroids = 8, m = 8, nCodes = 16,
         rotation = rot)
       val (cents, cb, codes) = operators.DedupIndex.readIvfPq(s, tmp,
-        dim = 64, nCentroids = 8, m = 8, nCodes = 16)
+        dim = 64, nCentroids = 8, m = 8, nCodes = 16,
+        expectRotated = true)
       operators.Similarity.ivfPqTopKFromIndex(cents, cb, codes, emb,
           emb.filter(col("vec_id") < 3), "embedding", "vec_id", 5,
           dim = 64, nProbe = 8, nCandidates = 1000000,

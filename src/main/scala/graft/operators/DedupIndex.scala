@@ -377,19 +377,44 @@ object DedupIndex {
     encoded.write.mode("errorifexists").parquet(s"$path/codes")
     writeMeta(corpus.sparkSession, path, "ivfpq",
       Seq("dim" -> dim, "n_centroids" -> nCentroids, "m" -> m,
-        "n_codes" -> nCodes))
+        "n_codes" -> nCodes) ++
+        (if (rotation.isDefined) Seq("opq" -> 1) else Seq.empty))
+  }
+
+  /** True when an index sidecar records an OPQ-rotated build. */
+  private def isOpq(meta: Map[String, String]): Boolean =
+    meta.get("opq").contains("1")
+
+  /** Refuse a rotated/unrotated mismatch between an index's sidecar
+    * and what the caller is about to do — codes from one geometry
+    * scored (or appended) in the other are garbage with no error.
+    */
+  private def checkOpq(meta: Map[String, String], rotated: Boolean,
+                       path: String, verb: String): Unit = {
+    if (isOpq(meta) && !rotated) throw new IllegalArgumentException(
+      s"$path was built in OPQ-ROTATED space (sidecar opq=1) but the " +
+        s"caller is trying to $verb it without the rotation — read " +
+        "the rotation artifact (DedupIndex.readRotation) and pass it, " +
+        "or results/appends are silently garbage")
+    if (!isOpq(meta) && rotated) throw new IllegalArgumentException(
+      s"$path was built WITHOUT an OPQ rotation but the caller " +
+        s"passed one to $verb it — drop the rotation or rebuild the " +
+        "index rotated")
   }
 
   /** @return (centroids frame, driver-side codebooks, encoded codes
     *         frame) for [[Similarity.ivfPqTopKFromIndex]]
     */
   def readIvfPq(spark: SparkSession, path: String, dim: Int,
-                nCentroids: Int = 16, m: Int = 8, nCodes: Int = 16)
+                nCentroids: Int = 16, m: Int = 8, nCodes: Int = 16,
+                expectRotated: Boolean = false)
       : (DataFrame, Array[Array[Array[Double]]], DataFrame) =
     readRetrying {
-      check(readMeta(spark, path), "ivfpq",
+      val meta = readMeta(spark, path)
+      check(meta, "ivfpq",
         Seq("dim" -> dim, "n_centroids" -> nCentroids, "m" -> m,
           "n_codes" -> nCodes), path)
+      checkOpq(meta, expectRotated, path, "query")
       (spark.read.parquet(s"$path/centroids"),
         Similarity.collectCodebooks(
           spark.read.parquet(s"$path/codebooks"), m, nCodes),
@@ -417,9 +442,11 @@ object DedupIndex {
       : Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, element_at, zip_with}
     val spark = newCorpus.sparkSession
-    check(readMeta(spark, path), "ivfpq",
+    val meta = readMeta(spark, path)
+    check(meta, "ivfpq",
       Seq("dim" -> dim, "n_centroids" -> nCentroids, "m" -> m,
         "n_codes" -> nCodes), path)
+    checkOpq(meta, rotation.isDefined, path, "append to")
     val centFrame = spark.read.parquet(s"$path/centroids")
     val rows = centFrame.select(col("__cell"), col("__centroid"))
       .collect()
@@ -458,7 +485,8 @@ object DedupIndex {
       mergedCodes.write.mode("errorifexists").parquet(s"$tmp/codes")
       writeMeta(spark, tmp, "ivfpq",
         Seq("dim" -> dim, "n_centroids" -> nCentroids, "m" -> m,
-          "n_codes" -> nCodes))
+          "n_codes" -> nCodes) ++
+          (if (rotation.isDefined) Seq("opq" -> 1) else Seq.empty))
     }
   }
 

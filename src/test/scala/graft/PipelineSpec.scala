@@ -1110,13 +1110,40 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       dim, nCentroids = 4, m = 4, nCodes = 8,
       rotation = Some(back))
     val (cents, cbIdx, codes) = DedupIndex.readIvfPq(spark, idxDir2,
-      dim, nCentroids = 4, m = 4, nCodes = 8)
+      dim, nCentroids = 4, m = 4, nCodes = 8, expectRotated = true)
     val appended = Similarity.ivfPqTopKFromIndex(cents, cbIdx, codes,
       corpus, queries, "embedding", "vec_id", k = 10, dim,
       nProbe = 4, nCandidates = 400, rotation = Some(back))
     assert(appended.orderBy($"query_id", $"rank").collect().toSeq ==
       exact.orderBy($"query_id", $"rank").collect().toSeq,
       "append-through-rotation must keep the full-budget contract")
+
+    // sidecar OPQ discipline: a rotated index refuses an unrotated
+    // read/append and vice versa — mixed geometry scores garbage
+    // with no error, which is exactly what the flag prevents
+    val e1 = intercept[IllegalArgumentException] {
+      DedupIndex.readIvfPq(spark, idxDir2, dim, nCentroids = 4,
+        m = 4, nCodes = 8) // rotated index, unrotated read
+    }
+    assert(e1.getMessage.contains("OPQ-ROTATED"))
+    intercept[IllegalArgumentException] {
+      DedupIndex.appendIvfPq(rest, "embedding", "vec_id", idxDir2,
+        dim, nCentroids = 4, m = 4, nCodes = 8) // missing rotation
+    }
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("graft-opq-plain").toString + "/idx"
+    DedupIndex.writeIvfPq(half, "embedding", "vec_id", plainDir,
+      dim, nCentroids = 4, m = 4, nCodes = 8)
+    val e2 = intercept[IllegalArgumentException] {
+      DedupIndex.readIvfPq(spark, plainDir, dim, nCentroids = 4,
+        m = 4, nCodes = 8, expectRotated = true)
+    }
+    assert(e2.getMessage.contains("WITHOUT an OPQ rotation"))
+    intercept[IllegalArgumentException] {
+      DedupIndex.appendIvfPq(rest, "embedding", "vec_id", plainDir,
+        dim, nCentroids = 4, m = 4, nCodes = 8,
+        rotation = Some(back))
+    }
   }
 
   test("recallReport: hand-built frames — per-query hit fractions, " +
