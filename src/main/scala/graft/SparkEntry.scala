@@ -1685,6 +1685,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Platt-style calibration of the trained scorer's logits
+    // (σ(a·x+b) with the rational sigmoid, integer micro (a,b),
+    // fixed-point gradient quantization): the oracle unrolls BOTH
+    // optimizations — the t33 GD CTEs and three scalar calibration
+    // iterations — and replays every per-doc probability
+    "t37_calibrated_probs" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val scored = operators.TextAnalysis.hashedLinearScoreWith(
+          docs, "doc_id", "text", w.toSeq)
+        .join(docs.select(col("doc_id"), col("y")), Seq("doc_id"))
+      val (a, b) = operators.TextAnalysis.calibrateLogits(scored,
+        "y", "logit", iters = 3, lr = 10.0)
+      scored.select(col("doc_id"), col("logit"),
+          operators.TextAnalysis.calibratedProb(col("logit"), a, b)
+            .as("prob"))
+        .withColumn("keep_calibrated", col("prob") > 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // threshold SWEEP over the trained scorer's logits: every
     // candidate operating point's exact confusion + metrics from ONE
     // scan (|thresholds|×4 conditional counts) — how the keep
@@ -3421,6 +3445,42 @@ object SparkEntry {
          |    AS keep
          |FROM docs d JOIN sc USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "t37_calibrated_probs" -> {
+      def sg(m: String) = s"(0.5 + 0.5 * (($m) / (1.0 + abs($m))))"
+      val m = "((ab.a * e.logit + ab.b) / 1000000.0)"
+      val its = (1 to 3).map { k =>
+        s"""cg$k AS (
+           |  SELECT SUM(CAST(floor((${sg(m)} - e.y) * e.logit
+           |      * 1000000.0 + 0.5) AS BIGINT)) AS ga,
+           |    SUM(CAST(floor((${sg(m)} - e.y) * 1000000.0 + 0.5)
+           |      AS BIGINT)) AS gb,
+           |    COUNT(*) AS n
+           |  FROM ev e, ab${k - 1} ab),
+           |ab$k AS (
+           |  SELECT ab.a - CAST(floor(10.0 * cg.ga / cg.n + 0.5)
+           |      AS BIGINT) AS a,
+           |    ab.b - CAST(floor(10.0 * cg.gb / cg.n + 0.5)
+           |      AS BIGINT) AS b
+           |  FROM ab${k - 1} ab, cg$k cg)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${hashedGdCtes(64, 3)},
+         |sc AS (
+         |  SELECT f.doc_id, SUM(m.weight_milli) AS score_milli
+         |  FROM feat f JOIN milli m USING (bucket)
+         |  GROUP BY f.doc_id),
+         |ev AS (
+         |  SELECT d.doc_id, d.y,
+         |    CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)
+         |      AS logit
+         |  FROM docs d JOIN sc USING (doc_id)),
+         |ab0 AS (SELECT CAST(1000000 AS BIGINT) AS a,
+         |  CAST(0 AS BIGINT) AS b),
+         |$its
+         |SELECT e.doc_id, e.logit, ${sg(m)} AS prob,
+         |  ${sg(m)} > 0.5 AS keep_calibrated
+         |FROM ev e, ab3 ab ORDER BY e.doc_id""".stripMargin
+    },
 
     "t36_threshold_sweep" -> {
       val blocks = Seq(-0.5, -0.1, 0.0, 0.1, 0.5).map { t =>

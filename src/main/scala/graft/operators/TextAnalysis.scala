@@ -1084,6 +1084,71 @@ object TextAnalysis {
           (lit(2) * tp + fp + fn)).as("f1")): _*)
   }
 
+  /** Platt-style CALIBRATION of a scorer's raw logits (Platt 1999,
+    * "Probabilistic Outputs for Support Vector Machines" — the
+    * public recipe): fit `p = σ(a·x + b)` over (score, 0/1 label)
+    * by full-batch gradient descent so downstream consumers get a
+    * calibrated keep-probability instead of an uncalibrated margin
+    * (mixing corpora by classifier confidence, thresholding at a
+    * target precision, importance weighting — all want
+    * probabilities). Same determinism discipline as
+    * [[learnHashedLinear]], hash-gateable end to end:
+    *  - (a, b) live in integer MICRO-units (a starts at 1e6 = 1.0,
+    *    b at 0); the margin is `(a·x + b) / 1e6` — two correctly-
+    *    rounded IEEE ops over a deterministic score column;
+    *  - σ is the RATIONAL sigmoid 0.5 + 0.5·(m / (1 + |m|)) (no
+    *    exp);
+    *  - per-doc gradient contributions quantize to integers
+    *    (floor(r·x·1e6 + 0.5) for a, floor(r·1e6 + 0.5) for b), so
+    *    the two gradient sums are order-free across partitionings;
+    *  - integer updates, fixed `iters`. Per iteration: ONE scan,
+    *    one two-long global aggregate — no shuffle of data rows.
+    * Null scores/labels are excluded. Returns (aMicro, bMicro) —
+    * feed to [[calibratedProb]].
+    */
+  def calibrateLogits(df: DataFrame, labelCol: String,
+                      scoreCol: String, iters: Int = 10,
+                      lr: Double = 10.0): (Long, Long) = {
+    require(iters >= 1, "need iters >= 1")
+    require(lr > 0, "need lr > 0")
+    val base = df.select(col(labelCol).cast("double").as("y"),
+        col(scoreCol).cast("double").as("x"))
+      .where(col("y").isNotNull && col("x").isNotNull)
+    base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count()
+      require(n > 0, "calibrateLogits: no labeled scored rows")
+      var a = 1000000L // micro units: identity slope
+      var b = 0L
+      for (_ <- 0 until iters) {
+        val m = (lit(a) * col("x") + lit(b)) / lit(1000000.0)
+        val sg = lit(0.5) + lit(0.5) * (m / (lit(1.0) + abs(m)))
+        val r = sg - col("y")
+        val row = base.agg(
+          sum(floor(r * col("x") * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("ga"),
+          sum(floor(r * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("gb")).head()
+        a -= math.floor(lr * row.getLong(0) / n + 0.5).toLong
+        b -= math.floor(lr * row.getLong(1) / n + 0.5).toLong
+      }
+      (a, b)
+    } finally { base.unpersist(); () }
+  }
+
+  /** The calibrated keep-probability column for a raw score under
+    * [[calibrateLogits]]' (aMicro, bMicro): σ((a·x + b)/1e6) with
+    * the rational sigmoid — pure correctly-rounded arithmetic, so
+    * the probability replays bit-identically cross-engine.
+    * `prob > 0.5 ⇔ a·x + b > 0` (the calibrated decision boundary).
+    */
+  def calibratedProb(score: Column, aMicro: Long,
+                     bMicro: Long): Column = {
+    val m = (lit(aMicro) * score.cast("double") + lit(bMicro)) /
+      lit(1000000.0)
+    lit(0.5) + lit(0.5) * (m / (lit(1.0) + abs(m)))
+  }
+
   /** Threshold SWEEP over a scored frame — how the keep threshold
     * gets CHOSEN (a trained filter's operating point is a
     * precision/recall trade the default `logit > 0` rarely

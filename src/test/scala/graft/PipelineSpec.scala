@@ -2667,6 +2667,47 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("both classes"))
   }
 
+  test("calibrateLogits: hand-worked two-iteration fit — exact " +
+      "integer (a, b); symmetric scores keep b at 0 and steepen a; " +
+      "deterministic across partitionings; calibrated boundary " +
+      "matches the sign of a*x+b; refusals") {
+    // symmetric fixture: scores ±1, ±2 with matching labels — the
+    // intercept gradient cancels exactly (b stays 0) while the slope
+    // steepens. Hand-worked (same arithmetic as the scaladoc):
+    // iter 1: per-row r = sg((a x + b)/1e6) - y with a=1e6, b=0 →
+    //   ga = Σ floor(r·x·1e6 + .5) = -1666666 (x=±2 rows contribute
+    //   floor(-333333.33..+.5)·sym, x=±1 rows floor(-250000+.5));
+    //   Δa = floor(10·ga/4 + .5) = -2916665 → a = 3916665, b = 0.
+    // iter 2: a = 4991180, b = 0 (exact — asserted).
+    val df = Seq((2.0, 1), (1.0, 1), (-1.0, 0), (-2.0, 0))
+      .toDF("s", "y")
+    val (a, b) = TextAnalysis.calibrateLogits(df, "y", "s",
+      iters = 2, lr = 10.0)
+    assert((a, b) == ((4991180L, 0L)))
+    val (a13, b13) = TextAnalysis.calibrateLogits(
+      df.repartition(13, col("s")), "y", "s", iters = 2, lr = 10.0)
+    assert((a13, b13) == ((a, b)),
+      "fixed-point gradient sums must be partition-order-free")
+    // probabilities: monotone in score, boundary at a*x+b = 0,
+    // steeper than the identity calibration
+    val probs = df.select(col("s"),
+        TextAnalysis.calibratedProb(col("s"), a, b).as("p"))
+      .orderBy(col("s")).as[(Double, Double)].collect()
+    assert(probs.map(_._2).toSeq == probs.map(_._2).sorted.toSeq)
+    assert(probs.forall { case (s, p) => (p > 0.5) == (s > 0) })
+    val ident = df.select(TextAnalysis
+        .calibratedProb(col("s"), 1000000L, 0L).as("p"))
+      .orderBy(col("p")).as[Double].collect()
+    assert(probs.map(_._2).max > ident.max,
+      "fitting must steepen the curve on confidently-separable data")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.calibrateLogits(df.filter(lit(false)), "y", "s")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.calibrateLogits(df, "y", "s", iters = 0)
+    }
+  }
+
   test("thresholdSweep: exact per-threshold confusion from one " +
       "scan; recall monotone non-increasing, precision reaches 1.0 " +
       "past the clean margin; unknowns counted apart; refusals") {
