@@ -1685,6 +1685,114 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the PERSISTED classifier round trip (the s9/d32 artifact
+    // discipline for the trained model): weights write with a
+    // dim+ngrams-pinned sidecar, score through the READ-BACK
+    // artifact, output hash-matches t34's oracle — freezing the
+    // model on disk changes nothing, which is the whole
+    // train-offline/score-online contract
+    "t38_linear_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-t38").toString + "/model"
+      operators.DedupIndex.writeLinear(s, w.toSeq, tmp)
+      val (rw, _) = operators.DedupIndex.readLinear(s, tmp, dim = 64)
+      operators.TextAnalysis.hashedLinearScoreWith(docs, "doc_id",
+          "text", rw.toSeq)
+        .orderBy(col("doc_id"))
+    }),
+
+    // word-BIGRAM features (fastText wordNgrams=2): adjacent token
+    // pairs hash into the same bucket space, so the model sees word
+    // order a bag of words cannot; the oracle replays the whole GD
+    // over the unigram+bigram feature rows, n_tokens = feature count
+    "t39_bigram_trained_score" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true,
+        ngrams = 2)
+      operators.TextAnalysis.hashedLinearScoreWith(docs, "doc_id",
+          "text", w.toSeq, ngrams = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXACT ROC-AUC per source — the threshold-free ranking-quality
+    // number (Mann–Whitney with average-rank ties, computed in
+    // half-rank integer units so the whole statistic is one division
+    // of exact integers); the oracle replays the rank prefix sums
+    // over distinct logits per source
+    "t41_auc" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val scored = operators.TextAnalysis.hashedLinearScoreWith(
+          docs, "doc_id", "text", w.toSeq)
+        .join(docs.select(col("doc_id"), col("y"), col("source")),
+          Seq("doc_id"))
+      operators.TextAnalysis.aucReport(scored, "y", "logit",
+          by = Seq("source"))
+        .orderBy(col("source"))
+    }),
+
+    // calibration-quality (reliability-diagram) report over the
+    // Platt-calibrated probabilities: per decile bin, exact counts,
+    // exact positive fraction, micro-unit-summed mean claimed
+    // probability, signed gap — the oracle replays BOTH trainings
+    // (t33's GD + t37's calibration) and then every bin statistic
+    "t42_calibration_report" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val scored = operators.TextAnalysis.hashedLinearScoreWith(
+          docs, "doc_id", "text", w.toSeq)
+        .join(docs.select(col("doc_id"), col("y")), Seq("doc_id"))
+      val (a, b) = operators.TextAnalysis.calibrateLogits(scored,
+        "y", "logit", iters = 3, lr = 10.0)
+      // fine bins: the calibrated probs cluster tightly around the
+      // base rate, so decile bins would collapse to one row — 5e-5
+      // bins spread the fixture over ~18 bins, a real reliability
+      // table (bounded output either way: only non-empty bins emit)
+      operators.TextAnalysis.calibrationReport(
+        scored.select(col("doc_id"), col("y"),
+          operators.TextAnalysis.calibratedProb(col("logit"), a, b)
+            .as("prob")),
+        "y", "prob", nBins = 20000)
+    }),
+
+    // PER-GROUP threshold sweep: per-source operating points from
+    // the same one conditional-count scan (a pooled threshold
+    // routinely under-filters the noisiest source); the oracle
+    // replays every (source, threshold) confusion cell
+    "t40_threshold_sweep_by" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val scored = operators.TextAnalysis.hashedLinearScoreWith(
+          docs, "doc_id", "text", w.toSeq)
+        .join(docs.select(col("doc_id"), col("y"), col("source")),
+          Seq("doc_id"))
+      operators.TextAnalysis.thresholdSweep(scored, "y", "logit",
+          Seq(-0.1, 0.0, 0.1), by = Seq("source"))
+        .orderBy(col("source"), col("threshold"))
+    }),
+
     // Platt-style calibration of the trained scorer's logits
     // (σ(a·x+b) with the rational sigmoid, integer micro (a,b),
     // fixed-point gradient quantization): the oracle unrolls BOTH
@@ -3334,6 +3442,10 @@ object SparkEntry {
 
   /** DuckDB-runnable oracle SQL, column-name-aligned with `queries`. */
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // scoring through the persisted+read-back model must equal
+    // scoring with the in-memory weights — t34's oracle verbatim
+    "t38_linear_indexed" ->
+      oracleSqlBase("t34_hashed_trained_score"),
     // the indexed decontamination gates are BIT-IDENTICAL round trips
     // of their inline twins — same fixture, same output — so they
     // share the oracle verbatim: any divergence introduced by the
@@ -3370,29 +3482,46 @@ object SparkEntry {
     * [[operators.TextAnalysis.learnHashedLinear]] (integer micro
     * weights, rational sigmoid, floor(x+0.5) quantization), ending
     * in a `milli` CTE with the trained milli-unit weight table.
+    * `ngrams = 2` adds one occ branch per adjacent token PAIR
+    * (space-joined, hashed into the same bucket space — the
+    * featureBuckets convention) and counts n_tokens as FEATURES
+    * (2·len − 1), exactly the Spark trainer's normalizer.
     */
-  private def hashedGdCtes(dim: Int, iters: Int): String = {
+  private def hashedGdCtes(dim: Int, iters: Int,
+                           ngrams: Int = 1): String = {
     val bucket = s"(${h32Sql("tok")} % $dim)"
     val m = s"(CAST(msum AS DOUBLE) / (1000000.0 * n_tokens))"
+    val nFeats = if (ngrams == 1) "len(tk)" else "2 * len(tk) - 1"
+    val occ =
+      if (ngrams == 1)
+        """occ AS (SELECT doc_id, y, n_tokens, unnest(tk) AS tok
+          |  FROM docs),""".stripMargin
+      else
+        """occ AS (
+          |  SELECT doc_id, y, n_tokens, unnest(tk) AS tok FROM docs
+          |  UNION ALL
+          |  SELECT doc_id, y, n_tokens,
+          |    unnest(list_transform(range(1, len(tk)),
+          |      i -> tk[i] || ' ' || tk[i + 1])) AS tok
+          |  FROM docs),""".stripMargin
     val head =
       s"""base AS (
          |  SELECT doc_id,
          |    CASE WHEN list_contains(regexp_split_to_array(trim(text,
          |        ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
-         |        '[ \t\n\f\r]+'), 'dup') THEN CAST(1 AS DOUBLE)
+         |        '[ \t\n\\v\f\r]+'), 'dup') THEN CAST(1 AS DOUBLE)
          |      ELSE CAST(0 AS DOUBLE) END AS y,
          |    regexp_split_to_array(trim(text,
          |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
-         |      '[ \t\n\f\r]+') AS tk
+         |      '[ \t\n\\v\f\r]+') AS tk
          |  FROM documents),
-         |docs AS (SELECT doc_id, y, len(tk) AS n_tokens, tk
+         |docs AS (SELECT doc_id, y, $nFeats AS n_tokens, tk
          |  FROM base WHERE len(tk) > 0),
          |nn AS (SELECT COUNT(*) AS n, SUM(y) AS np FROM docs),
          |cb AS (SELECT CAST(n AS DOUBLE) / (2.0 * np) AS wpos,
          |  CAST(n AS DOUBLE) / (2.0 * (CAST(n AS DOUBLE) - np)) AS wneg
          |  FROM nn),
-         |occ AS (SELECT doc_id, y, n_tokens, unnest(tk) AS tok
-         |  FROM docs),
+         |$occ
          |feat AS (SELECT doc_id, y, n_tokens, $bucket AS bucket
          |  FROM occ),
          |w0 AS (SELECT x AS bucket, CAST(0 AS BIGINT) AS w
@@ -3426,61 +3555,153 @@ object SparkEntry {
     (Seq(head) ++ its ++ Seq(milli)).mkString(",\n")
   }
 
+  /** The t34/t39 oracle: train via [[hashedGdCtes]], score every doc
+    * with the trained milli weights — the sum is CAST to BIGINT
+    * because DuckDB widens SUM(BIGINT) to HUGEINT, which hashes
+    * differently from Spark's int64 even at equal values.
+    */
+  private def trainedScoreSql(ngrams: Int): String =
+    s"""WITH ${hashedGdCtes(64, 3, ngrams)},
+       |sc AS (
+       |  SELECT f.doc_id,
+       |    CAST(SUM(m.weight_milli) AS BIGINT) AS score_milli
+       |  FROM feat f JOIN milli m USING (bucket)
+       |  GROUP BY f.doc_id)
+       |SELECT d.doc_id, d.n_tokens, sc.score_milli,
+       |  CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)
+       |    AS logit,
+       |  (CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)) > 0
+       |    AS keep
+       |FROM docs d JOIN sc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** The rational sigmoid / calibrated margin the t37/t42 oracles
+    * share (`ab` = the calibration pair's alias, `e` = ev's).
+    */
+  private def calSg(m: String): String =
+    s"(0.5 + 0.5 * (($m) / (1.0 + abs($m))))"
+  private val calM = "((ab.a * e.logit + ab.b) / 1000000.0)"
+
+  /** t37/t42's shared WITH body: the t33 GD CTEs + trained scoring
+    * (`ev` = per-doc (y, logit)) + three unrolled Platt calibration
+    * iterations ending in `ab3` — the whole double optimization as
+    * chained CTEs.
+    */
+  private def plattCtes: String = {
+    val its = (1 to 3).map { k =>
+      s"""cg$k AS (
+         |  SELECT SUM(CAST(floor((${calSg(calM)} - e.y) * e.logit
+         |      * 1000000.0 + 0.5) AS BIGINT)) AS ga,
+         |    SUM(CAST(floor((${calSg(calM)} - e.y) * 1000000.0 + 0.5)
+         |      AS BIGINT)) AS gb,
+         |    COUNT(*) AS n
+         |  FROM ev e, ab${k - 1} ab),
+         |ab$k AS (
+         |  SELECT ab.a - CAST(floor(10.0 * cg.ga / cg.n + 0.5)
+         |      AS BIGINT) AS a,
+         |    ab.b - CAST(floor(10.0 * cg.gb / cg.n + 0.5)
+         |      AS BIGINT) AS b
+         |  FROM ab${k - 1} ab, cg$k cg)""".stripMargin
+    }.mkString(",\n")
+    s"""${hashedGdCtes(64, 3)},
+       |sc AS (
+       |  SELECT f.doc_id,
+       |    CAST(SUM(m.weight_milli) AS BIGINT) AS score_milli
+       |  FROM feat f JOIN milli m USING (bucket)
+       |  GROUP BY f.doc_id),
+       |ev AS (
+       |  SELECT d.doc_id, d.y,
+       |    CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)
+       |      AS logit
+       |  FROM docs d JOIN sc USING (doc_id)),
+       |ab0 AS (SELECT CAST(1000000 AS BIGINT) AS a,
+       |  CAST(0 AS BIGINT) AS b),
+       |$its""".stripMargin
+  }
+
   private val oracleSqlBase: Map[String, String] = Map(
     "t33_hashed_linear_train" ->
       s"""WITH ${hashedGdCtes(64, 3)}
          |SELECT CAST(bucket AS INTEGER) AS bucket, weight_milli
          |FROM milli ORDER BY bucket""".stripMargin,
 
-    "t34_hashed_trained_score" ->
-      s"""WITH ${hashedGdCtes(64, 3)},
-         |sc AS (
-         |  SELECT f.doc_id, SUM(m.weight_milli) AS score_milli
-         |  FROM feat f JOIN milli m USING (bucket)
-         |  GROUP BY f.doc_id)
-         |SELECT d.doc_id, d.n_tokens, sc.score_milli,
-         |  CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)
-         |    AS logit,
-         |  (CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)) > 0
-         |    AS keep
-         |FROM docs d JOIN sc USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "t34_hashed_trained_score" -> trainedScoreSql(ngrams = 1),
 
-    "t37_calibrated_probs" -> {
-      def sg(m: String) = s"(0.5 + 0.5 * (($m) / (1.0 + abs($m))))"
-      val m = "((ab.a * e.logit + ab.b) / 1000000.0)"
-      val its = (1 to 3).map { k =>
-        s"""cg$k AS (
-           |  SELECT SUM(CAST(floor((${sg(m)} - e.y) * e.logit
-           |      * 1000000.0 + 0.5) AS BIGINT)) AS ga,
-           |    SUM(CAST(floor((${sg(m)} - e.y) * 1000000.0 + 0.5)
-           |      AS BIGINT)) AS gb,
-           |    COUNT(*) AS n
-           |  FROM ev e, ab${k - 1} ab),
-           |ab$k AS (
-           |  SELECT ab.a - CAST(floor(10.0 * cg.ga / cg.n + 0.5)
-           |      AS BIGINT) AS a,
-           |    ab.b - CAST(floor(10.0 * cg.gb / cg.n + 0.5)
-           |      AS BIGINT) AS b
-           |  FROM ab${k - 1} ab, cg$k cg)""".stripMargin
-      }.mkString(",\n")
+    // the bigram-feature twin: same GD replay, unigram+bigram
+    // bucket space, n_tokens = feature count
+    "t39_bigram_trained_score" -> trainedScoreSql(ngrams = 2),
+
+    "t37_calibrated_probs" ->
+      s"""WITH $plattCtes
+         |SELECT e.doc_id, e.logit, ${calSg(calM)} AS prob,
+         |  ${calSg(calM)} > 0.5 AS keep_calibrated
+         |FROM ev e, ab3 ab ORDER BY e.doc_id""".stripMargin,
+
+    // reliability-diagram bins over the calibrated probabilities:
+    // the CTE chain replays BOTH trainings, then every bin count,
+    // micro-summed mean probability, and signed gap
+    "t42_calibration_report" ->
+      s"""WITH $plattCtes,
+         |pr AS (
+         |  SELECT e.doc_id, e.y, ${calSg(calM)} AS prob
+         |  FROM ev e, ab3 ab),
+         |bn AS (
+         |  SELECT LEAST(CAST(floor(prob * 20000) AS INTEGER), 19999)
+         |    AS bin, y, prob
+         |  FROM pr),
+         |g AS (
+         |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT)
+         |      AS n_pos,
+         |    CAST(SUM(CAST(floor(prob * 1000000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS sp
+         |  FROM bn GROUP BY bin)
+         |SELECT bin, CAST(bin AS DOUBLE) / 20000 AS bin_lo, n, n_pos,
+         |  CAST(n_pos AS DOUBLE) / n AS frac_pos,
+         |  CAST(sp AS DOUBLE) / (1000000.0 * n) AS mean_prob,
+         |  CAST(sp AS DOUBLE) / (1000000.0 * n)
+         |    - CAST(n_pos AS DOUBLE) / n AS gap
+         |FROM g ORDER BY bin""".stripMargin,
+
+    // exact Mann–Whitney AUC per source: rank prefix sums over
+    // distinct logits in half-rank integer units, one division
+    "t41_auc" ->
       s"""WITH ${hashedGdCtes(64, 3)},
          |sc AS (
-         |  SELECT f.doc_id, SUM(m.weight_milli) AS score_milli
+         |  SELECT f.doc_id,
+         |    CAST(SUM(m.weight_milli) AS BIGINT) AS score_milli
          |  FROM feat f JOIN milli m USING (bucket)
          |  GROUP BY f.doc_id),
          |ev AS (
-         |  SELECT d.doc_id, d.y,
+         |  SELECT dd.source, d.y,
          |    CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)
          |      AS logit
-         |  FROM docs d JOIN sc USING (doc_id)),
-         |ab0 AS (SELECT CAST(1000000 AS BIGINT) AS a,
-         |  CAST(0 AS BIGINT) AS b),
-         |$its
-         |SELECT e.doc_id, e.logit, ${sg(m)} AS prob,
-         |  ${sg(m)} > 0.5 AS keep_calibrated
-         |FROM ev e, ab3 ab ORDER BY e.doc_id""".stripMargin
-    },
+         |  FROM docs d JOIN sc USING (doc_id)
+         |  JOIN documents dd USING (doc_id)),
+         |g AS (
+         |  SELECT source, logit AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(y) AS BIGINT) AS pos
+         |  FROM ev GROUP BY source, logit),
+         |c AS (
+         |  SELECT source, cnt, pos,
+         |    CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source
+         |      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |  FROM g),
+         |a AS (
+         |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |    CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+         |    CAST(SUM(pos * (2 * cum + cnt + 1)) AS BIGINT) AS sr2
+         |  FROM c GROUP BY source)
+         |SELECT source, n_rows, CAST(0 AS BIGINT) AS n_unknown,
+         |  n_pos, n_neg,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |    ELSE CAST(sr2 - n_pos * (n_pos + 1) AS DOUBLE)
+         |      / (2 * n_pos * n_neg)
+         |  END AS auc
+         |FROM a ORDER BY source""".stripMargin,
 
     "t36_threshold_sweep" -> {
       val blocks = Seq(-0.5, -0.1, 0.0, 0.1, 0.5).map { t =>
@@ -3498,7 +3719,8 @@ object SparkEntry {
       }.mkString("\n  UNION ALL\n")
       s"""WITH ${hashedGdCtes(64, 3)},
          |sc AS (
-         |  SELECT f.doc_id, SUM(m.weight_milli) AS score_milli
+         |  SELECT f.doc_id,
+         |    CAST(SUM(m.weight_milli) AS BIGINT) AS score_milli
          |  FROM feat f JOIN milli m USING (bucket)
          |  GROUP BY f.doc_id),
          |ev AS (
@@ -3523,10 +3745,54 @@ object SparkEntry {
          |FROM cm ORDER BY threshold""".stripMargin
     },
 
+    "t40_threshold_sweep_by" -> {
+      val blocks = Seq(-0.1, 0.0, 0.1).map { t =>
+        s"""  SELECT source, CAST($t AS DOUBLE) AS threshold,
+           |    COUNT(*) AS n_rows,
+           |    count(CASE WHEN y IS NULL OR logit IS NULL THEN 1 END)
+           |      AS n_unknown,
+           |    count(CASE WHEN logit > $t AND y = 1 THEN 1 END) AS tp,
+           |    count(CASE WHEN logit > $t AND y = 0 THEN 1 END) AS fp,
+           |    count(CASE WHEN NOT (logit > $t) AND y = 1 THEN 1 END)
+           |      AS fn,
+           |    count(CASE WHEN NOT (logit > $t) AND y = 0 THEN 1 END)
+           |      AS tn
+           |  FROM ev GROUP BY source""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH ${hashedGdCtes(64, 3)},
+         |sc AS (
+         |  SELECT f.doc_id,
+         |    CAST(SUM(m.weight_milli) AS BIGINT) AS score_milli
+         |  FROM feat f JOIN milli m USING (bucket)
+         |  GROUP BY f.doc_id),
+         |ev AS (
+         |  SELECT dd.source, d.y,
+         |    CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)
+         |      AS logit
+         |  FROM docs d JOIN sc USING (doc_id)
+         |  JOIN documents dd USING (doc_id)),
+         |cm AS (
+         |$blocks
+         |)
+         |SELECT source, threshold, n_rows, n_unknown, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp + fn + tn = 0 THEN NULL
+         |    ELSE CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)
+         |  END AS accuracy,
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |    ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |    ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+         |    ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+         |  END AS f1
+         |FROM cm ORDER BY source, threshold""".stripMargin
+    },
+
     "t35_classifier_eval" ->
       s"""WITH ${hashedGdCtes(64, 3)},
          |sc AS (
-         |  SELECT f.doc_id, SUM(m.weight_milli) AS score_milli
+         |  SELECT f.doc_id,
+         |    CAST(SUM(m.weight_milli) AS BIGINT) AS score_milli
          |  FROM feat f JOIN milli m USING (bucket)
          |  GROUP BY f.doc_id),
          |ev AS (

@@ -1830,18 +1830,6 @@ case class ByteUnigramEncode(child: Expression,
   override def prettyName: String = "byte_unigram_encode"
 }
 
-/** PQ code assignment (Jégou et al. 2011, "Product Quantization for
-  * Nearest Neighbor Search"): split the (optionally L2-normalized)
-  * vector into cb.length subvectors and emit each one's
-  * nearest-codeword id — the m-byte compressed representation the
-  * ADC scan reads instead of the float vector. Tight primitive loops
-  * over ArrayData; the relational spelling (per-subspace
-  * zip_with/aggregate argmins) evaluates interpreted lambdas with
-  * boxing on every row, which IS the hot path of a corpus encode.
-  * Distance ties break to the lowest code id. The codebook is a
-  * constructor parameter (driver-built, ~KiB, serialized once per
-  * task), not a child expression.
-  */
 /** Dense matrix × vector product with a driver-built constant matrix
   * — the projection an OPQ rotation ([[graft.operators.Similarity
   * .fitOpqRotation]]) applies in front of PQ assign/encode: out_i =
@@ -1891,6 +1879,18 @@ case class MatVec(child: Expression, matrix: Array[Array[Double]])
   override def prettyName: String = "mat_vec"
 }
 
+/** PQ code assignment (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search"): split the (optionally L2-normalized)
+  * vector into cb.length subvectors and emit each one's
+  * nearest-codeword id — the m-byte compressed representation the
+  * ADC scan reads instead of the float vector. Tight primitive loops
+  * over ArrayData; the relational spelling (per-subspace
+  * zip_with/aggregate argmins) evaluates interpreted lambdas with
+  * boxing on every row, which IS the hot path of a corpus encode.
+  * Distance ties break to the lowest code id. The codebook is a
+  * constructor parameter (driver-built, ~KiB, serialized once per
+  * task), not a child expression.
+  */
 case class PqAssign(child: Expression, cb: Array[Array[Array[Double]]],
                     normalize: Boolean)
     extends UnaryExpression with CodegenFallback {

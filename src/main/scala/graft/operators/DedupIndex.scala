@@ -277,27 +277,41 @@ object DedupIndex {
   def writePq(corpus: DataFrame, embCol: String, idCol: String,
               path: String, dim: Int, m: Int = 8, nCodes: Int = 16,
               seed: Long = 42L, maxIter: Int = 20,
-              fitSampleFraction: Double = 1.0): Unit = {
-    val codebooks = Similarity.fitPqCodebooks(corpus, embCol, dim, m,
-      nCodes, seed, maxIter, fitSampleFraction)
+              fitSampleFraction: Double = 1.0,
+              rotation: Option[Array[Array[Double]]] = None): Unit = {
+    // rotation: fit AND encode in OPQ-rotated space (the opqPqTopK
+    // geometry); the sidecar records opq=1 so readers/appenders that
+    // don't pass the rotation back are REFUSED instead of silently
+    // scoring mixed-geometry codes
+    rotation.foreach(r => require(r.length == dim &&
+      r.forall(_.length == dim), s"rotation must be $dim×$dim"))
+    import org.apache.spark.sql.functions.col
+    val fitFrame = rotation.fold(corpus)(r => corpus.select(
+      col(idCol), Similarity.opqRotate(col(embCol), r).as("__re")))
+    val codebooks = rotation.fold(
+      Similarity.fitPqCodebooks(corpus, embCol, dim, m, nCodes, seed,
+        maxIter, fitSampleFraction))(_ =>
+      Similarity.fitPqCodebooks(fitFrame, "__re", dim, m, nCodes,
+        seed, maxIter, fitSampleFraction, normalize = false))
     val cb = Similarity.collectCodebooks(codebooks, m, nCodes)
     codebooks.write.mode("errorifexists").parquet(s"$path/codebooks")
-    Similarity.pqEncode(corpus, embCol, idCol, cb, dim)
+    Similarity.pqEncode(corpus, embCol, idCol, cb, dim, rotation)
       .write.mode("errorifexists").parquet(s"$path/codes")
     writeMeta(corpus.sparkSession, path, "pq",
-      Seq("dim" -> dim, "m" -> m, "n_codes" -> nCodes))
+      Seq("dim" -> dim, "m" -> m, "n_codes" -> nCodes) ++
+        (if (rotation.isDefined) Seq("opq" -> 1) else Seq.empty))
   }
 
   /** Persist a learned OPQ rotation ([[Similarity.fitOpqRotation]])
     * as its own frozen artifact: one row per output dimension
     * (`__row INT, __coefs ARRAY<DOUBLE>`), dim pinned in the
     * sidecar, errorifexists like every index write. An OPQ-PQ
-    * deployment persists the rotation NEXT TO its [[writePq]] dir
-    * and applies [[Similarity.opqRotate]] in front of
-    * assign/encode/dist-table — geometry drift between a rotation
-    * and codebooks fitted in a different rotated space scores
-    * garbage silently, which is why both artifacts pin their build
-    * params.
+    * deployment persists the rotation NEXT TO its
+    * [[writePq]]`(rotation = …)` dir — the PQ sidecar then records
+    * `opq=1`, and [[readPq]]/[[appendPq]] (like the IVF-PQ twins)
+    * REFUSE a rotated/unrotated mismatch, because geometry drift
+    * between a rotation and codebooks fitted in a different rotated
+    * space scores garbage silently.
     */
   def writeRotation(spark: SparkSession,
                     rotation: Array[Array[Double]],
@@ -337,14 +351,102 @@ object DedupIndex {
     r
   }
 
-  /** @return (encoded codes frame, driver-side codebooks) for
+  /** Persist a TRAINED hashed-linear classifier
+    * ([[TextAnalysis.learnHashedLinear]]'s milli-unit weight table,
+    * plus optionally the Platt calibration
+    * ([[TextAnalysis.calibrateLogits]]'s micro-unit (a, b)) fitted
+    * on its logits) — the frozen-model artifact the
+    * train-offline/score-online story needs: every other learned
+    * model here (codebooks, rotations, centroids, merges, baselines)
+    * persists with a sidecar and refusals, and the classifier that
+    * gates what enters the training corpus deserves no less. One
+    * (bucket, weight_milli) row per bucket; the sidecar pins `dim`
+    * (the bucket-space geometry — scoring with a different dim
+    * hashes every token into the wrong bucket, silently) and
+    * `ngrams` (the feature space — unigram weights applied to
+    * unigram+bigram features score garbage the same silent way),
+    * plus `calibrated=1` when (a, b) ride along. errorifexists like
+    * every index write; refresh via [[replaceWith]].
+    */
+  def writeLinear(spark: SparkSession, weightsMilli: Seq[Long],
+                  path: String,
+                  calibration: Option[(Long, Long)] = None,
+                  ngrams: Int = 1): Unit = {
+    import spark.implicits._
+    val dim = weightsMilli.length
+    require(dim > 0, "writeLinear: empty weight table")
+    require(ngrams == 1 || ngrams == 2,
+      s"writeLinear: ngrams must be 1 or 2, got $ngrams")
+    weightsMilli.zipWithIndex
+      .map { case (w, b) => (b, w) }.toSeq
+      .toDF("bucket", "weight_milli")
+      .repartition(1)
+      .write.mode("errorifexists").parquet(s"$path/weights")
+    calibration.foreach { case (a, b) =>
+      Seq((a, b)).toDF("a_micro", "b_micro")
+        .repartition(1)
+        .write.mode("errorifexists").parquet(s"$path/calibration")
+    }
+    writeMeta(spark, path, "linear",
+      Seq("dim" -> dim, "ngrams" -> ngrams) ++
+        (if (calibration.isDefined) Seq("calibrated" -> 1)
+         else Seq.empty))
+  }
+
+  /** Read back a [[writeLinear]] artifact (bounded: dim rows + one
+    * calibration row). The weight array feeds
+    * [[TextAnalysis.hashedLinearScoreWith]] (with the SAME `ngrams`
+    * the sidecar pins); the calibration pair — `None` when the
+    * artifact was written uncalibrated — feeds
+    * [[TextAnalysis.calibratedProb]]. Foreign parquet, a crashed
+    * build (no sidecar), a wrong dim/ngrams, and an incomplete or
+    * duplicated weight table are all refused.
+    *
+    * @return (weightsMilli, Option(aMicro, bMicro))
+    */
+  def readLinear(spark: SparkSession, path: String, dim: Int,
+                 ngrams: Int = 1)
+      : (Array[Long], Option[(Long, Long)]) = readRetrying {
+    val meta = readMeta(spark, path)
+    check(meta, "linear", Seq("dim" -> dim, "ngrams" -> ngrams), path)
+    val rows = spark.read.parquet(s"$path/weights")
+      .select("bucket", "weight_milli").collect()
+    require(rows.length == dim,
+      s"$path/weights has ${rows.length} rows, expected $dim")
+    val w = Array.ofDim[Long](dim)
+    val seen = Array.ofDim[Boolean](dim)
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      require(b >= 0 && b < dim && !seen(b),
+        s"$path/weights has a duplicate or out-of-range bucket $b")
+      seen(b) = true
+      w(b) = r.getLong(1)
+    }
+    val cal =
+      if (meta.get("calibrated").contains("1")) {
+        val c = spark.read.parquet(s"$path/calibration")
+          .select("a_micro", "b_micro").collect()
+        require(c.length == 1,
+          s"$path/calibration has ${c.length} rows, expected 1")
+        Some((c(0).getLong(0), c(0).getLong(1)))
+      } else None
+    (w, cal)
+  }
+
+  /** `expectRotated` must say whether the caller will query with an
+    * OPQ rotation — mismatches against the sidecar's opq flag refuse
+    * both ways (the [[readIvfPq]] discipline).
+    *
+    * @return (encoded codes frame, driver-side codebooks) for
     *         [[Similarity.pqTopKFromIndex]]
     */
   def readPq(spark: SparkSession, path: String, dim: Int, m: Int = 8,
-             nCodes: Int = 16)
+             nCodes: Int = 16, expectRotated: Boolean = false)
       : (DataFrame, Array[Array[Array[Double]]]) = readRetrying {
-    check(readMeta(spark, path), "pq",
+    val meta = readMeta(spark, path)
+    check(meta, "pq",
       Seq("dim" -> dim, "m" -> m, "n_codes" -> nCodes), path)
+    checkOpq(meta, expectRotated, path, "query")
     (spark.read.parquet(s"$path/codes"),
       Similarity.collectCodebooks(
         spark.read.parquet(s"$path/codebooks"), m, nCodes))
@@ -860,22 +962,29 @@ object DedupIndex {
     */
   def appendPq(newCorpus: DataFrame, embCol: String, idCol: String,
                path: String, dim: Int, m: Int = 8,
-               nCodes: Int = 16): Unit = {
+               nCodes: Int = 16,
+               rotation: Option[Array[Array[Double]]] = None): Unit = {
     val spark = newCorpus.sparkSession
-    check(readMeta(spark, path), "pq",
+    val meta = readMeta(spark, path)
+    check(meta, "pq",
       Seq("dim" -> dim, "m" -> m, "n_codes" -> nCodes), path)
+    // an OPQ-rotated index appends THROUGH the same rotation (read
+    // the artifact back via readRotation and pass it) — the sidecar
+    // refuses the mismatch both ways
+    checkOpq(meta, rotation.isDefined, path, "append to")
     val cb = Similarity.collectCodebooks(
       spark.read.parquet(s"$path/codebooks"), m, nCodes)
     val mergedCodes = spark.read.parquet(s"$path/codes")
       .unionByName(Similarity.pqEncode(newCorpus, embCol, idCol, cb,
-        dim))
+        dim, rotation))
       .distinct()
     val cbFrame = spark.read.parquet(s"$path/codebooks")
     replaceWith(spark, path) { tmp =>
       cbFrame.write.mode("errorifexists").parquet(s"$tmp/codebooks")
       mergedCodes.write.mode("errorifexists").parquet(s"$tmp/codes")
       writeMeta(spark, tmp, "pq",
-        Seq("dim" -> dim, "m" -> m, "n_codes" -> nCodes))
+        Seq("dim" -> dim, "m" -> m, "n_codes" -> nCodes) ++
+          (if (rotation.isDefined) Seq("opq" -> 1) else Seq.empty))
     }
   }
 

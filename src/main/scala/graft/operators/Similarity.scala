@@ -632,16 +632,23 @@ object Similarity {
     * determinism.
     */
   def pqEncode(corpus: DataFrame, embCol: String, idCol: String,
-               cb: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+               cb: Array[Array[Array[Double]]], dim: Int,
+               rotation: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
     require(cb.nonEmpty && cb(0)(0).length == dim / cb.length,
       s"codebook subdim ${cb(0)(0).length} does not match " +
         s"dim=$dim / m=${cb.length}")
     // one native expression per row: normalize + all m argmins in
     // tight primitive loops ([[graft.expressions.PqAssign]]); spread
-    // first so a single-split source doesn't serialize the encode
+    // first so a single-split source doesn't serialize the encode.
+    // With an OPQ rotation the vector rotates first (opqRotate
+    // normalizes) and the argmin runs unnormalized in rotated space
+    // — the codebooks MUST have been fitted there.
     graft.Graft.spread(corpus)
       .select(col(idCol).as("neighbor_id"),
-        graft.functions.pq_assign(col(embCol), cb).as("__codes"))
+        rotation.fold(graft.functions.pq_assign(col(embCol), cb))(r =>
+          graft.functions.pq_assign(opqRotate(col(embCol), r), cb,
+            normalize = false)).as("__codes"))
   }
 
   /** ADC query against an encoded corpus: per query, an m × nCodes
@@ -1220,10 +1227,8 @@ object Similarity {
     val cb = collectCodebooks(
       fitPqCodebooks(rotCorpus, "__re", dim, m, nCodes, seed, maxIter,
         fitSampleFraction, normalize = false), m, nCodes)
-    val encoded = graft.Graft.spread(rotCorpus)
-      .select(col(idCol).as("neighbor_id"),
-        graft.functions.pq_assign(col("__re"), cb,
-          normalize = false).as("__codes"))
+    val encoded = pqEncode(corpus, embCol, idCol, cb, dim,
+      Some(rotation))
     pqTopKFromIndex(encoded, cb, corpus, queries, embCol, idCol, k,
       dim, nCandidates, broadcastMaxQueries, knownQueryCount,
       rotation = Some(rotation))

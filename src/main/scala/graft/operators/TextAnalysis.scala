@@ -884,6 +884,34 @@ object TextAnalysis {
   private[graft] def h32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
+  /** The hashed feature-bucket array the classifier family shares
+    * (train and score MUST build features identically — one builder):
+    * every token hashes to h32 mod dim, and with `ngrams = 2` every
+    * adjacent token PAIR (space-joined — unambiguous, tokens are
+    * whitespace-split) hashes into the SAME bucket space, the
+    * fastText `wordNgrams=2` convention (Joulin et al. 2016) that
+    * lets a bag-of-words-blind model see word order ("new york" vs
+    * "york new"). Unigrams first, then bigrams in document order, so
+    * the feature count is n_tokens (ngrams=1) or 2·n_tokens − 1.
+    * Pure per-row projection; bucket ids replay exactly in a DuckDB
+    * oracle (md5 digit arithmetic).
+    */
+  private[graft] def featureBuckets(toks: Column, dim: Int,
+                                    ngrams: Int): Column = {
+    require(ngrams == 1 || ngrams == 2,
+      s"ngrams must be 1 (unigrams) or 2 (+adjacent pairs), got $ngrams")
+    val uni = transform(toks, t => pmod(h32(t), lit(dim)).cast("int"))
+    if (ngrams == 1) uni
+    else {
+      val bi = when(size(toks) >= 2,
+        transform(slice(toks, lit(1), size(toks) - 1), (t, i) =>
+          pmod(h32(concat(t, lit(" "), element_at(toks, i + 2))),
+            lit(dim)).cast("int")))
+        .otherwise(array().cast("array<int>"))
+      concat(uni, bi)
+    }
+  }
+
   /** [[hashedLinearScore]] with an explicit TRAINED weight table
     * (milli-units, one long per bucket; `dim = weightsMilli.length`)
     * instead of the md5-derived pseudo-model — the inference half of
@@ -893,19 +921,25 @@ object TextAnalysis {
     * codegen projection, zero shuffle; the weight table ships as a
     * plan literal (a few KB for any realistic dim).
     *
+    * `ngrams` must match the training call ([[featureBuckets]] is
+    * the one shared builder): with `ngrams = 2` adjacent token
+    * pairs hash into the same bucket space and `n_tokens` counts
+    * FEATURES (2·tokens − 1), the normalizer the logit divides by.
+    *
     * @return (idCol, n_tokens, score_milli, logit, keep) with
     *         keep = logit > 0.
     */
   def hashedLinearScoreWith(df: DataFrame, idCol: String,
                             textCol: String,
-                            weightsMilli: Seq[Long]): DataFrame = {
+                            weightsMilli: Seq[Long],
+                            ngrams: Int = 1): DataFrame = {
     val dim = weightsMilli.length
     require(dim > 0, "need a non-empty weight table")
     val wLit = typedLit(weightsMilli)
-    val toks = tokenize(col(textCol))
-    val scoreMilli = aggregate(toks, lit(0L), (acc, t) =>
-      acc + element_at(wLit, pmod(h32(t), lit(dim)).cast("int") + 1))
-    df.select(col(idCol), size(toks).as("n_tokens"),
+    val bks = featureBuckets(tokenize(col(textCol)), dim, ngrams)
+    val scoreMilli = aggregate(bks, lit(0L), (acc, b) =>
+      acc + element_at(wLit, b + 1))
+    df.select(col(idCol), size(bks).as("n_tokens"),
         scoreMilli.as("score_milli"))
       .withColumn("logit", col("score_milli").cast("double") /
         (lit(1000.0) * col("n_tokens")))
@@ -968,6 +1002,9 @@ object TextAnalysis {
     * are excluded (no features / no signal).
     *
     * @param labelCol 0/1 (numeric or boolean) target column
+    * @param ngrams 1 = unigram buckets (the t19 feature space);
+    *               2 = + hashed adjacent-token pairs
+    *               ([[featureBuckets]]) — score with the SAME value
     * @return trained weights in MILLI-units (floor(micro/1000+0.5)),
     *         length `dim` — feed straight to
     *         [[hashedLinearScoreWith]]
@@ -975,17 +1012,21 @@ object TextAnalysis {
   def learnHashedLinear(df: DataFrame, textCol: String,
                         labelCol: String, dim: Int = 1024,
                         iters: Int = 10, lr: Double = 10.0,
-                        balanced: Boolean = false)
+                        balanced: Boolean = false,
+                        ngrams: Int = 1)
       : Array[Long] = {
     require(dim > 0, "need dim > 0")
     require(iters >= 1, "need iters >= 1")
     require(lr > 0, "need lr > 0")
-    val toks = tokenize(col(textCol))
+    // ngrams = 2 adds hashed adjacent-token-pair features (fastText
+    // wordNgrams — see featureBuckets); n_tokens then counts
+    // FEATURES, the margin/gradient normalizer, exactly what the
+    // scorer divides by at inference
+    val bks = featureBuckets(tokenize(col(textCol)), dim, ngrams)
     val feats = df.select(
         col(labelCol).cast("double").as("y"),
-        size(toks).as("n_tokens"),
-        transform(toks, t =>
-          pmod(h32(t), lit(dim)).cast("int")).as("bks"))
+        size(bks).as("n_tokens"),
+        bks.as("bks"))
       .where(col("y").isNotNull && col("n_tokens") > 0)
     feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1167,10 +1208,17 @@ object TextAnalysis {
     * so the whole sweep is hash-gateable. Null scores/labels count
     * apart as `n_unknown` (same discipline as
     * [[classifierReport]]).
+    *
+    * `by` sweeps PER GROUP (per source / per language operating
+    * points — a threshold tuned on the pooled corpus routinely
+    * under-filters the noisiest slice): still one scan, the
+    * |thresholds| × 4 conditional counts just aggregate under a
+    * groupBy, one output row per (group, threshold).
     */
   def thresholdSweep(df: DataFrame, labelCol: String,
                      scoreCol: String,
-                     thresholds: Seq[Double]): DataFrame = {
+                     thresholds: Seq[Double],
+                     by: Seq[String] = Seq.empty): DataFrame = {
     require(thresholds.nonEmpty, "thresholdSweep: no thresholds")
     require(thresholds.distinct.size == thresholds.size,
       "thresholdSweep: duplicate thresholds")
@@ -1186,7 +1234,9 @@ object TextAnalysis {
           count(when(known && !p && y === 1, 1)).as(s"__fn$i"),
           count(when(known && !p && y === 0, 1)).as(s"__tn$i"))
       }
-    val agged = df.agg(aggs.head, aggs.drop(1): _*)
+    val agged =
+      if (by.isEmpty) df.agg(aggs.head, aggs.drop(1): _*)
+      else df.groupBy(by.map(col): _*).agg(aggs.head, aggs.drop(1): _*)
     val nullD = lit(null).cast("double")
     val entries = thresholds.sorted.map { t =>
       val i = thresholds.indexOf(t)
@@ -1209,8 +1259,198 @@ object TextAnalysis {
           .otherwise((lit(2) * tp).cast("double") /
             (lit(2) * tp + fp + fn)).as("f1"))
     }
-    agged.select(explode(array(entries: _*)).as("__t"))
-      .select(col("__t.*"))
+    agged.select(by.map(col) :+ explode(array(entries: _*)).as("__t"): _*)
+      .select(by.map(col) :+ col("__t.*"): _*)
+  }
+
+  /** Pick the OPERATING POINT from a [[thresholdSweep]] output — the
+    * selection step that closes the train → score → sweep loop
+    * ("filter at ≥ 98% precision" / "keep ≥ 90% of the good docs"
+    * are how curation budgets are actually phrased): among swept
+    * rows meeting the target, with `minPrecision` return the
+    * threshold maximizing RECALL (most data kept at the precision
+    * floor; ties → higher precision, then lower threshold), with
+    * `minRecall` the threshold maximizing PRECISION (cleanest filter
+    * still keeping enough; same tie order). Exactly one target must
+    * be given. Pure selection over the sweep's bounded output
+    * (|thresholds| rows — no new scan of the corpus); rows whose
+    * precision or recall is NULL (degenerate slices) are never
+    * feasible. Throws when NO swept threshold meets the target —
+    * the caller must widen the sweep or lower the bar, silently
+    * returning the least-bad point would defeat the budget.
+    *
+    * On a keyed sweep ([[thresholdSweep]] `by`), filter to ONE
+    * group first — mixing groups would pick one group's point from
+    * another group's counts.
+    */
+  def chooseThreshold(sweep: DataFrame,
+                      minPrecision: Option[Double] = None,
+                      minRecall: Option[Double] = None): Double = {
+    require(minPrecision.isDefined != minRecall.isDefined,
+      "chooseThreshold: give exactly one of minPrecision / minRecall")
+    (minPrecision.toSeq ++ minRecall).foreach(v =>
+      require(v >= 0.0 && v <= 1.0,
+        s"chooseThreshold: target must be in [0, 1], got $v"))
+    // bounded artifact: one row per swept threshold
+    val rows = sweep.select(col("threshold").cast("double"),
+      col("precision"), col("recall")).collect()
+    require(rows.nonEmpty, "chooseThreshold: empty sweep")
+    val pts = rows.toSeq.collect {
+      case r if !r.isNullAt(1) && !r.isNullAt(2) =>
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    val feasible = minPrecision match {
+      case Some(mp) => pts.filter(_._2 >= mp)
+      case None     => pts.filter(_._3 >= minRecall.get)
+    }
+    if (feasible.isEmpty) throw new IllegalArgumentException(
+      s"chooseThreshold: no swept threshold meets " +
+        minPrecision.map(p => s"precision >= $p")
+          .getOrElse(s"recall >= ${minRecall.get}") +
+        s" (swept: ${rows.map(_.getDouble(0)).sorted.mkString(", ")})" +
+        " — widen the sweep or lower the target")
+    val best = minPrecision match {
+      case Some(_) => feasible.minBy { case (t, p, r) => (-r, -p, t) }
+      case None    => feasible.minBy { case (t, p, r) => (-p, -r, t) }
+    }
+    best._1
+  }
+
+  /** EXACT ROC-AUC of a scorer against 0/1 labels — the threshold-
+    * free quality number (Mann–Whitney U: the probability a random
+    * positive outscores a random negative, ties at half credit) that
+    * ranks scorer candidates before any operating point is chosen;
+    * the sweep family measures one threshold, this measures the
+    * whole ranking. Exact, not trapezoid-approximated, via average
+    * ranks: AUC = (Σ_{pos} rank − n⁺(n⁺+1)/2) / (n⁺·n⁻), computed
+    * in HALF-RANK integer units so tie averages stay integers —
+    * sumRanks2 = Σ over distinct scores pos·(2·cumBefore + cnt + 1)
+    * is an exact integer sum, and the AUC is ONE IEEE division of
+    * exact integers: bit-replayable cross-engine, like every metric
+    * here. Rows with a null/non-0-1 label or null score count apart
+    * as `n_unknown`; single-class groups read NULL AUC, never NaN.
+    * Per `by` group when given (per-source scorer quality).
+    *
+    * Scale: one groupBy(score) shuffle (map-side combined), then a
+    * rank window over DISTINCT scores — one row per distinct value,
+    * bounded for the integer-grid scores this library's scorers
+    * emit (milli-unit sums, logits of bounded-denominator
+    * rationals); quantize a genuinely continuous score first (e.g.
+    * `round(score, 6)`) or the distinct-score table is the corpus.
+    * Rank arithmetic overflows int64 past ~2·10⁹ known rows per
+    * group — refused at runtime, sample or stratify above it.
+    *
+    * @return by ++ (n_rows, n_unknown, n_pos, n_neg, auc)
+    */
+  def aucReport(df: DataFrame, labelCol: String, scoreCol: String,
+                by: Seq[String] = Seq.empty): DataFrame = {
+    val y = col(labelCol).cast("int")
+    val sc = col(scoreCol).cast("double")
+    val known = y.isNotNull && sc.isNotNull && (y === 0 || y === 1)
+    // one grouped row per (group, distinct score); unknown rows
+    // collect under a null score key and ride the same single scan
+    val grouped = df
+      .groupBy((by.map(col) :+ when(known, sc).as("__s")): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        count(when(known && y === 1, 1)).as("__pos"))
+    // rank prefix over distinct scores (null/unknown group sorts
+    // LAST so it never offsets the prefix sums)
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__s").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grouped.withColumn("__cum",
+      coalesce(sum(when(col("__s").isNotNull, col("__cnt")))
+        .over(w), lit(0L)))
+    val isK = col("__s").isNotNull
+    val aggs = Seq(
+      sum(col("__cnt")).as("n_rows"),
+      coalesce(sum(when(!isK, col("__cnt"))), lit(0L))
+        .as("n_unknown"),
+      coalesce(sum(when(isK, col("__pos"))), lit(0L)).as("n_pos"),
+      coalesce(sum(when(isK, col("__cnt") - col("__pos"))), lit(0L))
+        .as("n_neg"),
+      coalesce(sum(when(isK, col("__pos") *
+        (lit(2L) * col("__cum") + col("__cnt") + lit(1L)))), lit(0L))
+        .as("__sr2"))
+    val agged =
+      if (by.isEmpty) ranked.agg(aggs.head, aggs.drop(1): _*)
+      else ranked.groupBy(by.map(col): _*).agg(aggs.head, aggs.drop(1): _*)
+    val np = col("n_pos")
+    val nn = col("n_neg")
+    val auc = when(np + nn > lit(2000000000L),
+        raise_error(lit("aucReport: rank arithmetic overflows " +
+          "int64 past ~2e9 known rows per group — sample or " +
+          "stratify first")).cast("double"))
+      .when(np === 0 || nn === 0, lit(null).cast("double"))
+      .otherwise((col("__sr2") - np * (np + lit(1L))).cast("double") /
+        (lit(2L) * np * nn))
+    agged.select(by.map(col) ++ Seq(col("n_rows"), col("n_unknown"),
+      np, nn, auc.as("auc")): _*)
+  }
+
+  /** Calibration-quality report — does a claimed probability MEAN
+    * its number (a 0.9-confidence bucket should be right 90% of the
+    * time): the reliability-diagram table (Guo et al. 2017's ECE
+    * binning, the standard recipe) over a scored frame with a
+    * probability column in [0, 1] and a 0/1 label. One aggregation
+    * pass bins rows into `nBins` equal-width probability buckets
+    * (the 1.0 edge folds into the top bin) and emits, per non-empty
+    * bin: exact counts, the exact positive fraction (accuracy of
+    * the bin, one division), and the bin's mean claimed probability
+    * — summed in integer MICRO-units (floor(p·1e6 + 0.5), exact in
+    * any order — the house fixed-point discipline) so the mean is
+    * one division too; `gap` = mean_prob − frac_pos (signed:
+    * positive = overconfident) is one subtraction of two exactly-
+    * determined doubles. Everything hash-replays. Null labels/probs
+    * and probs outside [0, 1] count apart as the `n_unknown` of a
+    * null-bin row, never silently binned. Feed the rows to [[ece]]
+    * for the one-number summary.
+    */
+  def calibrationReport(df: DataFrame, labelCol: String,
+                        probCol: String, nBins: Int = 10)
+      : DataFrame = {
+    require(nBins >= 1, s"calibrationReport: need nBins >= 1")
+    val y = col(labelCol).cast("int")
+    val p = col(probCol).cast("double")
+    val known = y.isNotNull && p.isNotNull && (y === 0 || y === 1) &&
+      p >= 0.0 && p <= 1.0
+    val bin = when(known,
+      least(floor(p * lit(nBins)).cast("int"), lit(nBins - 1)))
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        count(when(y === 1 && known, 1)).as("n_pos"),
+        coalesce(sum(when(known,
+          floor(p * lit(1000000.0) + lit(0.5)).cast("long"))),
+          lit(0L)).as("__sp"))
+      .select(col("bin"),
+        (col("bin").cast("double") / lit(nBins)).as("bin_lo"),
+        col("n"), col("n_pos"),
+        when(col("bin").isNull, lit(null).cast("double"))
+          .otherwise(col("n_pos").cast("double") / col("n"))
+          .as("frac_pos"),
+        when(col("bin").isNull, lit(null).cast("double"))
+          .otherwise(col("__sp").cast("double") /
+            (lit(1000000.0) * col("n"))).as("mean_prob"))
+      .withColumn("gap", col("mean_prob") - col("frac_pos"))
+      .orderBy(col("bin").asc_nulls_last)
+  }
+
+  /** Expected Calibration Error from a [[calibrationReport]] output:
+    * ECE = Σ_b (n_b / N)·|gap_b| over known bins, folded in bin
+    * order on the driver (bounded: ≤ nBins + 1 rows) — the scalar
+    * the re-calibration loop optimizes. 0 when no known rows.
+    */
+  def ece(report: DataFrame): Double = {
+    // bounded artifact: one row per bin
+    val rows = report.select(col("bin"), col("n"), col("gap"))
+      .collect()
+      .collect { case r if !r.isNullAt(0) =>
+        (r.getInt(0), r.getLong(1), r.getDouble(2)) }
+      .sortBy(_._1)
+    val n = rows.map(_._2).sum
+    if (n == 0L) 0.0
+    else rows.foldLeft(0.0) { case (acc, (_, nb, gap)) =>
+      acc + nb.toDouble / n * math.abs(gap) }
   }
 
   /** Blocklist / policy-phrase scan — the safety-filter stage of a
@@ -1292,17 +1532,33 @@ object TextAnalysis {
                      textCol: String, queries: DataFrame,
                      queryIdCol: String, queryTextCol: String,
                      k1: Double = 1.2, b: Double = 0.75,
-                     maxDf: Option[Long] = None): DataFrame = {
+                     maxDf: Option[Long] = None,
+                     broadcastMaxQueryTerms: Long = 1000000L)
+      : DataFrame = {
     maxDf.foreach(c => require(c >= 1,
       s"bm25: maxDf must be >= 1, got $c"))
     require(k1 > 0 && b >= 0 && b <= 1,
       s"bm25: k1 must be > 0 and b in [0, 1], got k1=$k1 b=$b")
+    require(broadcastMaxQueryTerms >= 0,
+      s"bm25: broadcastMaxQueryTerms must be >= 0")
     val spark = corpus.sparkSession
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
         explode(array_distinct(tokenize(col(queryTextCol))))
           .as("term"))
       .filter(col("term") =!= "")
     val termSet = qTerms.select(col("term")).distinct()
+    // query-batch regime gate (the Similarity broadcastMaxQueries
+    // discipline): the broadcast spelling ships every (query, term)
+    // pair — and the term-keyed stat tables it bounds — through the
+    // driver, right for the eval-suite shape but not for a
+    // decontamination-scale query table; above the bound every
+    // query-side join falls back to a shuffle join on `term` (the
+    // per-term stat sides stay one-row-per-key, so no row blowup)
+    // and nothing query-batch-sized sits on the driver. Output
+    // identical in both regimes. One cheap two-column count decides.
+    val smallQ = qTerms.count() <= broadcastMaxQueryTerms
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (smallQ) broadcast(df) else df
     // corpus-wide stats: one tiny agg (N, Σdl)
     val stats = corpus.agg(count(lit(1)).as("__n"),
       sum(size(tokenize(col(textCol)))).as("__sumdl")).head()
@@ -1315,7 +1571,7 @@ object TextAnalysis {
       .select(col(idCol).as("__doc"),
         size(tokenize(col(textCol))).as("__dl"),
         explode(tokenize(col(textCol))).as("term"))
-      .join(broadcast(termSet), Seq("term"))
+      .join(maybeBroadcast(termSet), Seq("term"))
       .groupBy(col("__doc"), col("__dl"), col("term"))
       .agg(count(lit(1)).as("__tf"))
     // df per term: one row per (doc, term) above, so a plain count;
@@ -1334,8 +1590,8 @@ object TextAnalysis {
       (col("__tf").cast("double") + lit(k1) * (lit(1.0 - b) +
         lit(b) * col("__dl").cast("double") / lit(avgdl)))
     val scoredTerms = docTerms
-      .join(broadcast(dfs), Seq("term"))
-      .join(broadcast(qTerms), Seq("term"))
+      .join(maybeBroadcast(dfs), Seq("term"))
+      .join(maybeBroadcast(qTerms), Seq("term"))
       .select(col("query_id"), col("__doc"), col("term"),
         contrib.as("__c"))
     // deterministic fold: contributions sum in ascending term order
@@ -1359,10 +1615,12 @@ object TextAnalysis {
                queries: DataFrame, queryIdCol: String,
                queryTextCol: String, k: Int, k1: Double = 1.2,
                b: Double = 0.75,
-               maxDf: Option[Long] = None): DataFrame = {
+               maxDf: Option[Long] = None,
+               broadcastMaxQueryTerms: Long = 1000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val scored = bm25ScoresMany(corpus, idCol, textCol, queries,
-      queryIdCol, queryTextCol, k1, b, maxDf)
+      queryIdCol, queryTextCol, k1, b, maxDf,
+      broadcastMaxQueryTerms)
     val nBuckets = corpus.sparkSession.sessionState.conf
       .numShufflePartitions
     val bucketW = org.apache.spark.sql.expressions.Window

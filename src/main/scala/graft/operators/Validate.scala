@@ -572,13 +572,23 @@ object Validate {
       .digest(runId.getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString
     val marker = new org.apache.hadoop.fs.Path(p, s"_run-$digest")
+    // only the duplicate-claim failure maps to the "already logged"
+    // refusal — a transient FS/permission IOException must surface
+    // as itself, not masquerade as a duplicate run. The atomicity
+    // caveat: create(overwrite=false) is atomic on HDFS/local but
+    // check-then-put on object stores (S3A), where two simultaneous
+    // claims can both win; and a claimed-then-crashed run blocks its
+    // runId until the marker is deleted (which the message says how
+    // to do).
     val claim =
       try fs.create(marker, false)
       catch {
-        case _: java.io.IOException =>
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: org.apache.hadoop.fs.PathExistsException =>
           throw new IllegalArgumentException(
             s"writeReport: run '$runId' already logged (or being " +
-              s"logged by a concurrent writer) under $path — the " +
+              s"logged by a concurrent writer, or a previous claim " +
+              s"crashed before writing rows) under $path — the " +
               "_run marker claim failed; delete the run's rows and " +
               s"the marker $marker explicitly if this is a " +
               "deliberate redo")

@@ -3092,4 +3092,347 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       shingleN = 3, threshold = 0.9).collect()
     assert(jac.isEmpty, "Jaccard 18/38 < 0.9 — containment-only pair")
   }
+
+  test("learnHashedLinear ngrams=2: word-order corpus unigrams " +
+      "cannot separate, bigrams do; feature count = 2n-1; " +
+      "deterministic across partitionings; ngrams refusal") {
+    // every doc is the SAME bag of words — only the order differs:
+    // positives 'up down up down ...', negatives 'down up down up
+    // ...'. Unigram features are identical across classes by
+    // construction, so no linear model on them can separate;
+    // bigram features ('up down' vs 'down up') separate trivially.
+    val docs = (0 until 40).map { i =>
+      val words = if (i % 2 == 0) Seq("up", "down") else Seq("down", "up")
+      (i.toLong, Seq.fill(6)(words).flatten.mkString(" "), i % 2 ^ 1)
+    }
+    val df = docs.toDF("id", "t", "y")
+    val wUni = TextAnalysis.learnHashedLinear(df, "t", "y", dim = 64,
+      iters = 5, lr = 10.0)
+    val uniScored = TextAnalysis
+      .hashedLinearScoreWith(df, "id", "t", wUni.toSeq)
+      .join(df.select($"id", $"y"), Seq("id"))
+      .select($"y", $"keep").as[(Int, Boolean)].collect()
+    assert(!uniScored.forall { case (y, k) => k == (y == 1) },
+      "unigram features see identical bags — separation impossible")
+    val wBi = TextAnalysis.learnHashedLinear(df, "t", "y", dim = 64,
+      iters = 5, lr = 10.0, ngrams = 2)
+    val biScored = TextAnalysis
+      .hashedLinearScoreWith(df, "id", "t", wBi.toSeq, ngrams = 2)
+      .join(df.select($"id", $"y"), Seq("id"))
+      .select($"y", $"keep").as[(Int, Boolean)].collect()
+    assert(biScored.forall { case (y, k) => k == (y == 1) },
+      "bigram features must separate the word-order corpus")
+    // n_tokens counts FEATURES under ngrams=2: 12 tokens -> 23
+    val nf = TextAnalysis
+      .hashedLinearScoreWith(df.limit(1), "id", "t", wBi.toSeq,
+        ngrams = 2)
+      .select($"n_tokens").as[Int].head()
+    assert(nf == 23, s"12 tokens -> 12 + 11 features, got $nf")
+    // single-token doc: no bigrams, feature count 1, still scores
+    val one = Seq((9L, "solo")).toDF("id", "t")
+    assert(TextAnalysis
+      .hashedLinearScoreWith(one, "id", "t", wBi.toSeq, ngrams = 2)
+      .select($"n_tokens").as[Int].head() == 1)
+    // integer-gradient determinism holds on the bigram path
+    val wBi13 = TextAnalysis.learnHashedLinear(
+      df.repartition(13, $"id"), "t", "y", dim = 64, iters = 5,
+      lr = 10.0, ngrams = 2)
+    assert(wBi.toSeq == wBi13.toSeq)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.learnHashedLinear(df, "t", "y", dim = 8, ngrams = 3)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashedLinearScoreWith(df, "id", "t", wBi.toSeq,
+        ngrams = 0)
+    }
+  }
+
+  test("DedupIndex.writeLinear/readLinear: trained weights (+ " +
+      "calibration) round-trip; frozen artifact scores identically; " +
+      "dim/ngrams/kind refusals; errorifexists") {
+    import graft.operators.DedupIndex
+    val df = (0 until 30).map { i =>
+      if (i % 3 == 0) (i.toLong, "good tokens here marker", 1)
+      else (i.toLong, "plain filler words only", 0)
+    }.toDF("id", "t", "y")
+    val w = TextAnalysis.learnHashedLinear(df, "t", "y", dim = 32,
+      iters = 3, lr = 10.0, balanced = true)
+    val scored = TextAnalysis.hashedLinearScoreWith(df, "id", "t",
+        w.toSeq)
+      .join(df.select($"id", $"y"), Seq("id"))
+    val (a, b) = TextAnalysis.calibrateLogits(scored, "y", "logit",
+      iters = 3, lr = 10.0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-linear").toString
+    // calibrated artifact round trip
+    val cp = s"$dir/cal"
+    DedupIndex.writeLinear(spark, w.toSeq, cp,
+      calibration = Some((a, b)))
+    val (wBack, calBack) = DedupIndex.readLinear(spark, cp, dim = 32)
+    assert(wBack.toSeq == w.toSeq)
+    assert(calBack.contains((a, b)))
+    // frozen-model contract: the read-back artifact scores (and
+    // calibrates) EXACTLY like the in-memory model
+    val before = TextAnalysis.hashedLinearScoreWith(df, "id", "t",
+        w.toSeq)
+      .withColumn("p", TextAnalysis.calibratedProb($"logit", a, b))
+      .orderBy($"id").collect().toSeq
+    val after = TextAnalysis.hashedLinearScoreWith(df, "id", "t",
+        wBack.toSeq)
+      .withColumn("p", TextAnalysis.calibratedProb($"logit",
+        calBack.get._1, calBack.get._2))
+      .orderBy($"id").collect().toSeq
+    assert(before == after)
+    // uncalibrated artifact reads back None
+    val up = s"$dir/uncal"
+    DedupIndex.writeLinear(spark, w.toSeq, up)
+    assert(DedupIndex.readLinear(spark, up, dim = 32)._2.isEmpty)
+    // ngrams pins the FEATURE SPACE: a bigram model read as unigram
+    // (or vice versa) would score garbage silently
+    val bp = s"$dir/bi"
+    DedupIndex.writeLinear(spark, w.toSeq, bp, ngrams = 2)
+    intercept[IllegalArgumentException] {
+      DedupIndex.readLinear(spark, bp, dim = 32) // default ngrams=1
+    }
+    assert(DedupIndex.readLinear(spark, bp, dim = 32, ngrams = 2)
+      ._1.toSeq == w.toSeq)
+    // geometry + kind refusals
+    intercept[IllegalArgumentException] {
+      DedupIndex.readLinear(spark, cp, dim = 64)
+    }
+    intercept[IllegalArgumentException] {
+      DedupIndex.readExact(spark, cp) // wrong kind
+    }
+    // frozen artifact: double write refused
+    intercept[Exception] {
+      DedupIndex.writeLinear(spark, w.toSeq, cp)
+    }
+    // empty / bad-ngrams writes refused
+    intercept[IllegalArgumentException] {
+      DedupIndex.writeLinear(spark, Seq.empty, s"$dir/e")
+    }
+    intercept[IllegalArgumentException] {
+      DedupIndex.writeLinear(spark, w.toSeq, s"$dir/n", ngrams = 3)
+    }
+  }
+
+  test("DedupIndex.writePq(rotation=): OPQ flag pinned in the PQ " +
+      "sidecar — full lifecycle through the artifact pair, rotated " +
+      "append, rotated/unrotated refusals both ways") {
+    import graft.operators.DedupIndex
+    val emb = Graft.table(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 =!= 0)
+    val queries = emb.filter($"vec_id" < 3)
+    val rot = Similarity.fitOpqRotation(emb, "embedding", dim = 64,
+      m = 8, nCodes = 4, iters = 2, maxFitRows = 512)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pqopq").toString
+    val rp = s"$dir/rot"
+    DedupIndex.writeRotation(spark, rot, rp)
+    val r = DedupIndex.readRotation(spark, rp, 64)
+
+    // rotated build on the even half + rotated append of the odd
+    // half; full-candidate query through the artifact pair must
+    // equal exact brute force over the WHOLE corpus (the re-rank
+    // never sees the rotation)
+    val pp = s"$dir/pq"
+    DedupIndex.writePq(even, "embedding", "vec_id", pp, dim = 64,
+      m = 8, nCodes = 4, maxIter = 2, rotation = Some(r))
+    DedupIndex.appendPq(odd, "embedding", "vec_id", pp, dim = 64,
+      m = 8, nCodes = 4, rotation = Some(r))
+    val (codes, cb) = DedupIndex.readPq(spark, pp, dim = 64, m = 8,
+      nCodes = 4, expectRotated = true)
+    assert(codes.count() == emb.count())
+    val got = Similarity.pqTopKFromIndex(codes, cb, emb, queries,
+        "embedding", "vec_id", 5, dim = 64, nCandidates = 100000,
+        rotation = Some(r))
+      .collect().map(_.toString).sorted.toSeq
+    val want = Similarity.bruteForceTopK(emb, queries, "embedding",
+      "vec_id", 5).collect().map(_.toString).sorted.toSeq
+    assert(got == want,
+      "full-budget rotated PQ through the artifacts must be exact")
+
+    // the silent-garbage paths are now refusals, both directions
+    val e1 = intercept[IllegalArgumentException] {
+      DedupIndex.readPq(spark, pp, dim = 64, m = 8, nCodes = 4)
+    }
+    assert(e1.getMessage.contains("OPQ-ROTATED"))
+    intercept[IllegalArgumentException] {
+      DedupIndex.appendPq(odd, "embedding", "vec_id", pp, dim = 64,
+        m = 8, nCodes = 4) // rotated index, no rotation passed
+    }
+    val up = s"$dir/plain"
+    DedupIndex.writePq(even, "embedding", "vec_id", up, dim = 64,
+      m = 8, nCodes = 4, maxIter = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      DedupIndex.readPq(spark, up, dim = 64, m = 8, nCodes = 4,
+        expectRotated = true)
+    }
+    assert(e2.getMessage.contains("WITHOUT"))
+    intercept[IllegalArgumentException] {
+      DedupIndex.appendPq(odd, "embedding", "vec_id", up, dim = 64,
+        m = 8, nCodes = 4, rotation = Some(r))
+    }
+  }
+
+  test("thresholdSweep by=: per-group confusion equals each group's " +
+      "standalone sweep — group isolation, one scan") {
+    val rows = Seq(
+      // group a: clean separation at 0.5
+      ("a", 1, 0.9), ("a", 1, 0.7), ("a", 0, 0.3), ("a", 0, 0.1),
+      // group b: noisier — a positive below 0.5, a negative above
+      ("b", 1, 0.8), ("b", 1, 0.2), ("b", 0, 0.6), ("b", 0, 0.1))
+    val df = rows.toDF("src", "y", "s")
+    val ts = Seq(0.0, 0.5)
+    val keyed = TextAnalysis.thresholdSweep(df, "y", "s", ts,
+        by = Seq("src"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+          r.getAs[Long]("fn"), r.getAs[Long]("tn"))).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = TextAnalysis.thresholdSweep(
+          df.filter($"src" === g), "y", "s", ts)
+        .collect()
+        .map(r => r.getDouble(0) ->
+          (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+            r.getAs[Long]("fn"), r.getAs[Long]("tn"))).toMap
+      for (t <- ts) assert(keyed((g, t)) == solo(t),
+        s"group $g at $t must match its standalone sweep")
+    }
+    assert(keyed(("a", 0.5)) == ((2L, 0L, 0L, 2L)))
+    assert(keyed(("b", 0.5)) == ((1L, 1L, 1L, 1L)))
+  }
+
+  test("aucReport: hand-worked tie-handling (5/6), perfect=1, " +
+      "reversed=0, unknowns apart, single-class NULL, per-group " +
+      "isolation, partitioning determinism") {
+    // pos scores 0.9, 0.5, 0.5; neg scores 0.5, 0.1 → of the 6
+    // (pos, neg) pairs: 4 wins + 2 half-credit ties = 5 → AUC 5/6
+    val df = Seq((1, 0.9), (1, 0.5), (1, 0.5), (0, 0.5), (0, 0.1))
+      .toDF("y", "s")
+    val r = TextAnalysis.aucReport(df, "y", "s").collect().head
+    assert((r.getAs[Long]("n_rows"), r.getAs[Long]("n_unknown"),
+      r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg")) ==
+      ((5L, 0L, 3L, 2L)))
+    assert(r.getAs[Double]("auc") == 5.0 / 6.0)
+    // determinism across partitionings (rank prefix sums are exact)
+    val r13 = TextAnalysis.aucReport(df.repartition(13, $"s"),
+      "y", "s").collect().head
+    assert(r13.getAs[Double]("auc") == 5.0 / 6.0)
+    // perfect / reversed / coin-flip
+    val sep = Seq((1, 2.0), (1, 1.5), (0, 1.0), (0, 0.5)).toDF("y", "s")
+    assert(TextAnalysis.aucReport(sep, "y", "s")
+      .collect().head.getAs[Double]("auc") == 1.0)
+    val rev = sep.withColumn("s", -$"s")
+    assert(TextAnalysis.aucReport(rev, "y", "s")
+      .collect().head.getAs[Double]("auc") == 0.0)
+    val flat = Seq((1, 0.7), (0, 0.7)).toDF("y", "s")
+    assert(TextAnalysis.aucReport(flat, "y", "s")
+      .collect().head.getAs[Double]("auc") == 0.5)
+    // null score / null label / non-0-1 label count apart
+    val withU = Seq((Some(1), Some(0.9)), (Some(0), Some(0.1)),
+      (None, Some(0.5)), (Some(1), Option.empty[Double]),
+      (Some(7), Some(0.5)))
+      .toDF("y", "s")
+    val u = TextAnalysis.aucReport(withU, "y", "s").collect().head
+    assert((u.getAs[Long]("n_rows"), u.getAs[Long]("n_unknown"),
+      u.getAs[Long]("n_pos"), u.getAs[Long]("n_neg")) ==
+      ((5L, 3L, 1L, 1L)))
+    assert(u.getAs[Double]("auc") == 1.0)
+    // single-class group reads NULL, never NaN
+    val onePos = Seq((1, 0.3), (1, 0.8)).toDF("y", "s")
+    val n1 = TextAnalysis.aucReport(onePos, "y", "s").collect().head
+    assert(n1.isNullAt(n1.fieldIndex("auc")))
+    // per-group twin: each group equals its standalone report
+    val grouped = Seq(("a", 1, 0.9), ("a", 0, 0.1), ("b", 1, 0.2),
+      ("b", 0, 0.8)).toDF("src", "y", "s")
+    val byRows = TextAnalysis.aucReport(grouped, "y", "s",
+        by = Seq("src")).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("auc")).toMap
+    assert(byRows == Map("a" -> 1.0, "b" -> 0.0))
+  }
+
+  test("calibrationReport + ece: exact bin counts, micro-summed " +
+      "mean probability, signed gap; 1.0 folds into the top bin; " +
+      "out-of-range and null rows count apart; hand ECE") {
+    val rows = Seq(
+      (Some(0), Some(0.05)), (Some(0), Some(0.05)), // bin 0
+      (Some(1), Some(0.95)), (Some(1), Some(1.0)),  // bin 9 (1.0 folds)
+      (Some(1), Some(1.5)),                          // out of range
+      (None, Some(0.5)), (Some(0), Option.empty[Double]))
+    val df = rows.toDF("y", "p")
+    val rep = TextAnalysis.calibrationReport(df, "y", "p", nBins = 10)
+    val got = rep.collect()
+    val known = got.filter(!_.isNullAt(0))
+      .map(r => r.getInt(0) -> (r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"), r.getAs[Double]("frac_pos"),
+        r.getAs[Double]("mean_prob"), r.getAs[Double]("gap"))).toMap
+    assert(known.keySet == Set(0, 9))
+    assert(known(0) == ((2L, 0L, 0.0, 0.05, 0.05)))
+    assert(known(9)._1 == 2L && known(9)._2 == 2L &&
+      known(9)._3 == 1.0 && known(9)._4 == 0.975 &&
+      known(9)._5 == 0.975 - 1.0)
+    // the unknown row: out-of-range + null label + null prob = 3
+    val unk = got.filter(_.isNullAt(0))
+    assert(unk.length == 1 && unk.head.getAs[Long]("n") == 3L)
+    assert(unk.head.isNullAt(unk.head.fieldIndex("frac_pos")))
+    // hand ECE over the 4 known rows: .5·|.05-0| + .5·|.975-1|
+    assert(math.abs(TextAnalysis.ece(rep) - 0.0375) < 1e-12)
+    // empty-known edge: ece = 0, no NaN
+    assert(TextAnalysis.ece(TextAnalysis.calibrationReport(
+      df.filter(lit(false)), "y", "p")) == 0.0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.calibrationReport(df, "y", "p", nBins = 0)
+    }
+  }
+
+  test("chooseThreshold: precision floor picks max recall, recall " +
+      "floor picks max precision; infeasible and misuse refused") {
+    // hand sweep: (threshold, precision, recall)
+    val sweep = Seq(
+      (-0.5, 0.50, 1.00),
+      (0.0, 0.80, 0.90),
+      (0.5, 0.95, 0.60),
+      (1.0, 1.00, 0.20),
+      (2.0, Option.empty[Double], Option.empty[Double]) // no preds
+    ).map { case (t, p, r) => (t, p, r) match {
+        case (t, p: Double, r: Double) => (t, Some(p), Some(r))
+        case _ => (t, Option.empty[Double], Option.empty[Double])
+      }}
+      .toDF("threshold", "precision", "recall")
+    // precision >= 0.9: feasible {0.5, 1.0}; max recall -> 0.5
+    assert(TextAnalysis.chooseThreshold(sweep,
+      minPrecision = Some(0.9)) == 0.5)
+    // recall >= 0.6: feasible {-0.5, 0.0, 0.5}; max precision -> 0.5
+    assert(TextAnalysis.chooseThreshold(sweep,
+      minRecall = Some(0.6)) == 0.5)
+    // precision >= 0.5 keeps everything scored: max recall -> -0.5
+    assert(TextAnalysis.chooseThreshold(sweep,
+      minPrecision = Some(0.5)) == -0.5)
+    // genuinely infeasible in-range target throws (never silently
+    // returns the least-bad point)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.chooseThreshold(
+        sweep.filter($"threshold" < 1.0), minPrecision = Some(0.99))
+    }
+    assert(e.getMessage.contains("no swept threshold"))
+    // out-of-range target refused up front
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chooseThreshold(sweep, minRecall = Some(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chooseThreshold(sweep) // neither target
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chooseThreshold(sweep, minPrecision = Some(0.9),
+        minRecall = Some(0.5)) // both targets
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chooseThreshold(sweep.filter(lit(false)),
+        minPrecision = Some(0.5))
+    }
+  }
 }

@@ -712,6 +712,60 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("calibrated streaming scoring e2e: weights + Platt (a, b) " +
+      "read back from ONE writeLinear artifact score a stream " +
+      "micro-batch-identically to batch, probabilities and the " +
+      "calibrated keep boundary included — the full frozen-model " +
+      "deploy loop, zero new state") {
+    import graft.operators.{DedupIndex, TextAnalysis}
+    // train + calibrate offline on a batch corpus…
+    val train = Seq((1L, "aa aa", 1), (2L, "dd dd", 0), (3L, "aa", 1),
+      (4L, "dd", 0)).toDF("id", "t", "y")
+    val w = TextAnalysis.learnHashedLinear(train, "t", "y", dim = 2,
+      iters = 3, lr = 10.0)
+    val ab = TextAnalysis.calibrateLogits(
+      TextAnalysis.hashedLinearScoreWith(train, "id", "t", w.toSeq)
+        .join(train.select($"id", $"y"), Seq("id")),
+      "y", "logit", iters = 3, lr = 10.0)
+    // …freeze BOTH halves in one artifact, read back online
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cal-stream").toString + "/model"
+    DedupIndex.writeLinear(spark, w.toSeq, dir,
+      calibration = Some(ab))
+    val (wf, calf) = DedupIndex.readLinear(spark, dir, dim = 2)
+    val (a, b) = calf.get
+    val input = MemoryStream[(Long, String)](spark)
+    def calibrated(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.hashedLinearScoreWith(df, "id", "t", wf.toSeq)
+        .withColumn("prob",
+          TextAnalysis.calibratedProb($"logit", a, b))
+        .withColumn("keep_calibrated", $"prob" > 0.5)
+    val scored = calibrated(input.toDF.toDF("id", "t"))
+    assert(scored.isStreaming,
+      "calibration is arithmetic on a projection — must stay streaming")
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("cal_stream").start()
+    try {
+      input.addData((10L, "aa dd aa"), (11L, "dd dd aa"), (12L, "aa"))
+      q.processAllAvailable()
+      val got = spark.table("cal_stream").orderBy("id")
+        .as[(Long, Int, Long, Double, Boolean, Double, Boolean)]
+        .collect().toSeq
+      val batch = calibrated(
+          Seq((10L, "aa dd aa"), (11L, "dd dd aa"), (12L, "aa"))
+            .toDF("id", "t"))
+        .orderBy("id")
+        .as[(Long, Int, Long, Double, Boolean, Double, Boolean)]
+        .collect().toSeq
+      assert(got == batch,
+        "stream and batch calibrated scoring must agree bit-for-bit")
+      // the calibrated boundary agrees with the raw sign here (a>0,
+      // b=0 on the symmetric fixture) and probs are proper
+      assert(got.forall { case (_, _, _, lg, keep, p, kc) =>
+        p > 0.0 && p < 1.0 && kc == (p > 0.5) && keep == (lg > 0) })
+    } finally q.stop()
+  }
+
   test("sinkAlerts e2e: driftMonitor → alarms → severity-filtered " +
       "foreachBatch routing — ok windows never reach the hook, warn " +
       "and alert do; batch path + refusal") {
