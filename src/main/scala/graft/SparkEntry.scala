@@ -1745,6 +1745,26 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // exact PR-AUC (average precision) per source — the rare-class
+    // ranking number (the label here IS a ~5% class): per distinct
+    // logit, one division of exact integers, terms folded in pinned
+    // ascending-score order, one final division by n_pos
+    "t43_pr_auc" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val scored = operators.TextAnalysis.hashedLinearScoreWith(
+          docs, "doc_id", "text", w.toSeq)
+        .join(docs.select(col("doc_id"), col("y"), col("source")),
+          Seq("doc_id"))
+      operators.TextAnalysis.prAucReport(scored, "y", "logit",
+          by = Seq("source"))
+        .orderBy(col("source"))
+    }),
+
     // calibration-quality (reliability-diagram) report over the
     // Platt-calibrated probabilities: per decile bin, exact counts,
     // exact positive fraction, micro-unit-summed mean claimed
@@ -3662,6 +3682,54 @@ object SparkEntry {
          |  CAST(sp AS DOUBLE) / (1000000.0 * n)
          |    - CAST(n_pos AS DOUBLE) / n AS gap
          |FROM g ORDER BY bin""".stripMargin,
+
+    // exact average precision per source: cumulative-through-tie-
+    // block precisions at each positive-bearing distinct logit,
+    // ordered fold (the t32 list_reduce discipline), ÷ n_pos
+    "t43_pr_auc" ->
+      s"""WITH ${hashedGdCtes(64, 3)},
+         |sc AS (
+         |  SELECT f.doc_id,
+         |    CAST(SUM(m.weight_milli) AS BIGINT) AS score_milli
+         |  FROM feat f JOIN milli m USING (bucket)
+         |  GROUP BY f.doc_id),
+         |ev AS (
+         |  SELECT dd.source, d.y,
+         |    CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)
+         |      AS logit
+         |  FROM docs d JOIN sc USING (doc_id)
+         |  JOIN documents dd USING (doc_id)),
+         |g AS (
+         |  SELECT source, logit AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(y) AS BIGINT) AS pos
+         |  FROM ev GROUP BY source, logit),
+         |c AS (
+         |  SELECT source, s, cnt, pos,
+         |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS ccnt,
+         |    CAST(SUM(pos) OVER (PARTITION BY source ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cpos
+         |  FROM g),
+         |tm AS (
+         |  SELECT source, s, CAST(pos * cpos AS DOUBLE) / ccnt AS term
+         |  FROM c WHERE pos > 0),
+         |f AS (
+         |  SELECT source, list_reduce(list(term ORDER BY s),
+         |    (a, x) -> a + x) AS tsum
+         |  FROM tm GROUP BY source),
+         |a AS (
+         |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |    CAST(SUM(cnt - pos) AS BIGINT) AS n_neg
+         |  FROM g GROUP BY source)
+         |SELECT a.source, n_rows, CAST(0 AS BIGINT) AS n_unknown,
+         |  n_pos, n_neg,
+         |  CASE WHEN n_pos = 0 THEN NULL ELSE f.tsum / n_pos END
+         |    AS pr_auc
+         |FROM a LEFT JOIN f USING (source) ORDER BY source""".stripMargin,
 
     // exact Mann–Whitney AUC per source: rank prefix sums over
     // distinct logits in half-rank integer units, one division

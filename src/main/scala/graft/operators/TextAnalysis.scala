@@ -946,6 +946,27 @@ object TextAnalysis {
       .withColumn("keep", col("logit") > 0)
   }
 
+  /** The trained classifier's logit as a plain COLUMN — the
+    * composable form of [[hashedLinearScoreWith]] for pipelines that
+    * must keep their own columns (a streaming filter stage, a
+    * withColumn inside a bigger curation chain, a join key):
+    * `df.withColumn("logit", hashedLinearLogit($"text", w))
+    * .filter($"logit" > t)` appends the score without projecting
+    * anything away. Bit-identical to the scorer frame's `logit`
+    * (same [[featureBuckets]], same integer sum, same one division
+    * — spec-pinned); pure codegen projection, streams as-is.
+    */
+  def hashedLinearLogit(text: Column, weightsMilli: Seq[Long],
+                        ngrams: Int = 1): Column = {
+    val dim = weightsMilli.length
+    require(dim > 0, "need a non-empty weight table")
+    val wLit = typedLit(weightsMilli)
+    val bks = featureBuckets(tokenize(text), dim, ngrams)
+    aggregate(bks, lit(0L), (acc, b) =>
+      acc + element_at(wLit, b + 1)).cast("double") /
+      (lit(1000.0) * size(bks))
+  }
+
   /** TRAIN the hashed-feature linear classifier — the learning half
     * of the fastText / DCLM-style quality-filter stage (Joulin et
     * al. 2016; the hashing trick per Weinberger et al. 2009), so the
@@ -1386,6 +1407,79 @@ object TextAnalysis {
         (lit(2L) * np * nn))
     agged.select(by.map(col) ++ Seq(col("n_rows"), col("n_unknown"),
       np, nn, auc.as("auc")): _*)
+  }
+
+  /** EXACT PR-AUC (average precision) — the ranking-quality number
+    * that matters for RARE positive classes, which is what curation
+    * labels are (a 5% marker class can score ROC-AUC 0.95 while
+    * drowning every positive in false keeps; precision-recall space
+    * shows it): AP = Σ_g (pos_g / n⁺)·(P_g / C_g) over distinct
+    * scores DESCENDING, with P_g/C_g the cumulative positives/rows
+    * through the tie block — the step-interpolated area under the
+    * precision-recall curve, ties sharing their block's precision.
+    * Each term is ONE division of exact integers
+    * ((pos_g·P_g) / C_g); terms fold in ASCENDING-score order on
+    * both engines (the bm25 ordered-fold discipline — float
+    * addition is order-sensitive, a pinned order makes it
+    * replayable) and one final division by n⁺ closes it. Unknown
+    * rows (null/non-0-1 label, null score) count apart; no-positive
+    * groups read NULL, never NaN. Per `by` group when given.
+    *
+    * Scale contract = [[aucReport]]'s: one groupBy(score) shuffle,
+    * rank windows + an ordered term fold over DISTINCT scores
+    * (bounded for integer-grid scores — quantize continuous ones
+    * first), int64-overflow refusal past ~2·10⁹ known rows a group.
+    *
+    * @return by ++ (n_rows, n_unknown, n_pos, n_neg, pr_auc)
+    */
+  def prAucReport(df: DataFrame, labelCol: String, scoreCol: String,
+                  by: Seq[String] = Seq.empty): DataFrame = {
+    val y = col(labelCol).cast("int")
+    val sc = col(scoreCol).cast("double")
+    val known = y.isNotNull && sc.isNotNull && (y === 0 || y === 1)
+    val grouped = df
+      .groupBy((by.map(col) :+ when(known, sc).as("__s")): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        count(when(known && y === 1, 1)).as("__pos"))
+    val isK = col("__s").isNotNull
+    // cumulative (rows, positives) through each tie block, best
+    // score first; the unknown group sorts LAST and adds nothing
+    val wDesc = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__s").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = grouped
+      .withColumn("__ccnt",
+        sum(when(isK, col("__cnt"))).over(wDesc))
+      .withColumn("__cpos",
+        sum(when(isK, col("__pos"))).over(wDesc))
+      .withColumn("__term",
+        when(isK && col("__pos") > 0,
+          (col("__pos") * col("__cpos")).cast("double") /
+            col("__ccnt")))
+    val aggs = Seq(
+      sum(col("__cnt")).as("n_rows"),
+      coalesce(sum(when(!isK, col("__cnt"))), lit(0L))
+        .as("n_unknown"),
+      coalesce(sum(when(isK, col("__pos"))), lit(0L)).as("n_pos"),
+      coalesce(sum(when(isK, col("__cnt") - col("__pos"))), lit(0L))
+        .as("n_neg"),
+      // collect_list skips the null terms (unknown / pos-free
+      // groups); bounded: ≤ one element per distinct score
+      sort_array(collect_list(when(col("__term").isNotNull,
+        struct(col("__s"), col("__term"))))).as("__terms"))
+    val agged =
+      if (by.isEmpty) ranked.agg(aggs.head, aggs.drop(1): _*)
+      else ranked.groupBy(by.map(col): _*).agg(aggs.head, aggs.drop(1): _*)
+    val np = col("n_pos")
+    val prAuc = when(np + col("n_neg") > lit(2000000000L),
+        raise_error(lit("prAucReport: rank arithmetic overflows " +
+          "int64 past ~2e9 known rows per group — sample or " +
+          "stratify first")).cast("double"))
+      .when(np === 0, lit(null).cast("double"))
+      .otherwise(aggregate(col("__terms"), lit(0.0),
+        (acc, x) => acc + x.getField("__term")) / np)
+    agged.select(by.map(col) ++ Seq(col("n_rows"), col("n_unknown"),
+      np, col("n_neg"), prAuc.as("pr_auc")): _*)
   }
 
   /** Calibration-quality report — does a claimed probability MEAN

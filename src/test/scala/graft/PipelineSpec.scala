@@ -3355,6 +3355,76 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(byRows == Map("a" -> 1.0, "b" -> 0.0))
   }
 
+  test("prAucReport: hand-worked average precision with ties, " +
+      "perfect=1, all-positive=1, no-positive NULL, unknowns apart, " +
+      "per-group isolation, partitioning determinism") {
+    // desc blocks: 0.9 (1 pos of 1) → P=1/1; 0.8 (neg); 0.7 (pos) →
+    // P=2/3; 0.1 (neg). AP = (1·1/1 + 1·2/3)/2 = 5/6
+    val df = Seq((1, 0.9), (0, 0.8), (1, 0.7), (0, 0.1))
+      .toDF("y", "s")
+    val r = TextAnalysis.prAucReport(df, "y", "s").collect().head
+    assert((r.getAs[Long]("n_rows"), r.getAs[Long]("n_unknown"),
+      r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg")) ==
+      ((4L, 0L, 2L, 2L)))
+    assert(r.getAs[Double]("pr_auc") == (1.0 + 2.0 / 3.0) / 2.0)
+    val r13 = TextAnalysis.prAucReport(df.repartition(13, $"s"),
+      "y", "s").collect().head
+    assert(r13.getAs[Double]("pr_auc") == r.getAs[Double]("pr_auc"))
+    // a tie block shares its precision: pos and neg at 0.5 → 1·1/2
+    val tied = Seq((1, 0.5), (0, 0.5)).toDF("y", "s")
+    assert(TextAnalysis.prAucReport(tied, "y", "s")
+      .collect().head.getAs[Double]("pr_auc") == 0.5)
+    // perfect ranking and the all-positive degenerate both read 1.0
+    val sep = Seq((1, 2.0), (1, 1.5), (0, 1.0)).toDF("y", "s")
+    assert(TextAnalysis.prAucReport(sep, "y", "s")
+      .collect().head.getAs[Double]("pr_auc") == 1.0)
+    val allPos = Seq((1, 0.4), (1, 0.9)).toDF("y", "s")
+    assert(TextAnalysis.prAucReport(allPos, "y", "s")
+      .collect().head.getAs[Double]("pr_auc") == 1.0)
+    // no positives → NULL, never NaN; unknowns counted apart
+    val noPos = Seq((Some(0), Some(0.4)), (None, Some(0.2)),
+      (Some(0), Option.empty[Double])).toDF("y", "s")
+    val n0 = TextAnalysis.prAucReport(noPos, "y", "s").collect().head
+    assert((n0.getAs[Long]("n_rows"), n0.getAs[Long]("n_unknown")) ==
+      ((3L, 2L)))
+    assert(n0.isNullAt(n0.fieldIndex("pr_auc")))
+    // per-group: each group equals its standalone report
+    val grouped = Seq(("a", 1, 0.9), ("a", 0, 0.8), ("a", 1, 0.7),
+      ("a", 0, 0.1), ("b", 0, 0.9), ("b", 1, 0.1))
+      .toDF("src", "y", "s")
+    val byRows = TextAnalysis.prAucReport(grouped, "y", "s",
+        by = Seq("src")).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("pr_auc")).toMap
+    assert(byRows("a") == (1.0 + 2.0 / 3.0) / 2.0)
+    assert(byRows("b") == 0.5) // the one positive ranks 2nd of 2
+  }
+
+  test("hashedLinearLogit: the composable column form is " +
+      "bit-identical to the scorer frame's logit, unigram and " +
+      "bigram, and keeps the caller's columns") {
+    val df = (0 until 30).map(i =>
+      (i.toLong, s"tok$i alpha beta tok${i % 7}", s"extra$i"))
+      .toDF("id", "t", "other")
+    val w = (1 to 32).map(i => (i * 37 % 100) - 50L)
+    for (ng <- Seq(1, 2)) {
+      val viaCol = df.withColumn("logit",
+          TextAnalysis.hashedLinearLogit($"t", w, ngrams = ng))
+        .select($"id", $"other", $"logit")
+      assert(viaCol.columns.toSeq == Seq("id", "other", "logit"),
+        "withColumn composition keeps the caller's columns")
+      val viaFrame = TextAnalysis
+        .hashedLinearScoreWith(df, "id", "t", w, ngrams = ng)
+        .select($"id", $"logit".as("flogit"))
+      val joined = viaCol.join(viaFrame, Seq("id"))
+        .select($"logit", $"flogit").collect()
+      assert(joined.forall(r => r.getDouble(0) == r.getDouble(1)),
+        s"column and frame logits must match bit-for-bit (ngrams=$ng)")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashedLinearLogit($"t", Seq.empty)
+    }
+  }
+
   test("calibrationReport + ece: exact bin counts, micro-summed " +
       "mean probability, signed gap; 1.0 folds into the top bin; " +
       "out-of-range and null rows count apart; hand ECE") {
