@@ -182,4 +182,40 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Scan parquet") && !p.contains("FileScan"),
       s"consuming the report must not re-scan the corpus:\n$p")
   }
+
+  test("thresholdSweep (keyed and global) is ONE two-phase " +
+      "aggregate: no join, map-side partials, one exchange") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(("a", 1, 0.5), ("b", 0, 0.2)).toDF("src", "y", "s")
+    for (by <- Seq(Seq.empty[String], Seq("src"))) {
+      val p = TextAnalysis.thresholdSweep(df, "y", "s",
+          Seq(0.0, 0.5), by = by)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Join"),
+        s"sweep (by=$by) must not join:\n$p")
+      assert(p.contains("partial_"),
+        s"sweep (by=$by) needs map-side partial aggregation:\n$p")
+      assert("Exchange".r.findAllIn(p).size <= 1,
+        s"sweep (by=$by) must be one aggregate exchange:\n$p")
+    }
+  }
+
+  test("aucReport / prAucReport: one grouped pass + rank window(s) " +
+      "over DISTINCT scores, no join, no corpus re-scan") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq((1, 0.5), (0, 0.2), (1, 0.2)).toDF("y", "s")
+    for ((name, rep) <- Seq(
+        "auc" -> TextAnalysis.aucReport(df, "y", "s"),
+        "prAuc" -> TextAnalysis.prAucReport(df, "y", "s"))) {
+      val p = rep.queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+      assert(p.contains("Window"),
+        s"$name ranks via a window over the grouped frame:\n$p")
+      assert(p.contains("partial_"),
+        s"$name needs map-side partial aggregation on the " +
+          s"distinct-score group:\n$p")
+    }
+  }
 }
