@@ -2588,6 +2588,32 @@ object SparkEntry {
     // n_null metrics do not. Selection statistics end to end: the
     // drift stats are exact-count arithmetic rounded at 6, the
     // median/MAD replay as quantile_cont — everything hash-hard.
+    // CUSUM change-point detection over a metric history: a planted
+    // ×3 length shift in the LAST EIGHT of twenty runs — each run's
+    // own robust z barely moves, but the one-sided cumulative sums
+    // cross the decision interval within a few post-shift runs. The
+    // oracle replays the per-run report values, the median/MAD
+    // standardization, and the full CUSUM recursion (a recursive
+    // CTE), bit for bit
+    "v6_cusum_shift" -> ((s, d) => {
+      import operators.Validate
+      import operators.Validate._
+      val docs = t(s, d, "documents")
+        .withColumn("n_chars2",
+          when(substring(col("source"), 4, 10).cast("int") >= 12,
+            col("n_chars") * 3).otherwise(col("n_chars")))
+      val checks = Seq(
+        MeanBetween("n_chars2", 0.0, 1000000.0),
+        Satisfies("n_chars2 < 400", "short", 0.0))
+      val hist = Validate.report(docs, checks, by = Seq("source"))
+        .select(concat(lit("r"),
+          lpad(substring(col("source"), 4, 10), 2, "0")).as("run_id"),
+          col("check_name"), col("value"))
+      Validate.changePoints(hist, k = 0.5, h = 2.0)
+        .withColumn("is_shift", col("is_shift").cast("int"))
+        .orderBy(col("check_name"), col("run_id"))
+    }),
+
     "v5_monitor_anomaly" -> ((s, d) => {
       import operators.{Drift, Validate}
       val docs = t(s, d, "documents")
@@ -4854,6 +4880,66 @@ object SparkEntry {
         |    round(n::DOUBLE, 6),
         |    CASE WHEN n >= 100 THEN 1 ELSE 0 END FROM m
         |) ORDER BY check_name""".stripMargin,
+
+    "v6_cusum_shift" ->
+      """WITH RECURSIVE hist AS (
+        |  SELECT 'r' || lpad(substr(source, 4), 2, '0') AS run_id,
+        |    'mean(n_chars2)' AS check_name,
+        |    round(sum(CASE WHEN CAST(substr(source, 4) AS INTEGER)
+        |        >= 12 THEN n_chars * 3 ELSE n_chars END)::DOUBLE
+        |      / count(n_chars), 6) AS value
+        |  FROM documents GROUP BY source
+        |  UNION ALL
+        |  SELECT 'r' || lpad(substr(source, 4), 2, '0'),
+        |    'satisfies(short)',
+        |    round(count(CASE WHEN (CASE WHEN CAST(substr(source, 4)
+        |        AS INTEGER) >= 12 THEN n_chars * 3 ELSE n_chars END)
+        |        < 400 THEN 1 END)::DOUBLE / count(*), 6)
+        |  FROM documents GROUP BY source),
+        |stats AS (
+        |  SELECT check_name, count(*) AS n_runs,
+        |    quantile_cont(value, 0.5) AS med
+        |  FROM hist WHERE value IS NOT NULL GROUP BY check_name),
+        |mads AS (
+        |  SELECT h.check_name,
+        |    quantile_cont(abs(h.value - s.med), 0.5) AS mad
+        |  FROM hist h JOIN stats s USING (check_name)
+        |  WHERE h.value IS NOT NULL GROUP BY h.check_name),
+        |zz AS (
+        |  SELECT h.check_name, h.run_id, h.value, s.n_runs, s.med,
+        |    m.mad,
+        |    CASE WHEN m.mad = 0 THEN NULL
+        |      ELSE round((h.value - s.med) / (1.4826 * m.mad), 6)
+        |    END AS z,
+        |    row_number() OVER (PARTITION BY h.check_name
+        |      ORDER BY h.run_id) AS rn
+        |  FROM hist h JOIN stats s USING (check_name)
+        |  JOIN mads m USING (check_name)
+        |  WHERE h.value IS NOT NULL),
+        |rec AS (
+        |  SELECT check_name, rn, GREATEST(0.0, z - 0.5) AS sp,
+        |    GREATEST(0.0, -z - 0.5) AS sn
+        |  FROM zz WHERE rn = 1
+        |  UNION ALL
+        |  SELECT z.check_name, z.rn,
+        |    GREATEST(0.0, r.sp + z.z - 0.5),
+        |    GREATEST(0.0, r.sn - z.z - 0.5)
+        |  FROM zz z JOIN rec r ON z.check_name = r.check_name
+        |    AND z.rn = r.rn + 1)
+        |SELECT zz.check_name, zz.run_id, zz.value, zz.n_runs,
+        |  zz.med AS median_value, zz.mad, zz.z,
+        |  CASE WHEN zz.mad = 0 THEN NULL ELSE rec.sp END
+        |    AS cusum_pos,
+        |  CASE WHEN zz.mad = 0 THEN NULL ELSE rec.sn END
+        |    AS cusum_neg,
+        |  CASE WHEN zz.n_runs < 5 THEN NULL
+        |       WHEN zz.mad = 0 THEN
+        |         CASE WHEN zz.value <> zz.med THEN 1 ELSE 0 END
+        |       ELSE CASE WHEN rec.sp > 2.0 OR rec.sn > 2.0
+        |         THEN 1 ELSE 0 END
+        |  END AS is_shift
+        |FROM zz JOIN rec USING (check_name, rn)
+        |ORDER BY check_name, run_id""".stripMargin,
 
     "v4_metric_anomaly" ->
       """WITH hist AS (

@@ -660,6 +660,105 @@ object Validate {
       .withColumn("is_anomaly", flag)
   }
 
+  /** Sequential CHANGE-POINT detection over a metric history — the
+    * slow-creep alarm [[anomalies]]' per-run robust z cannot raise
+    * (ten consecutive runs each +1σ never individually flag, but
+    * the data HAS drifted): the standardized tabular CUSUM (Page
+    * 1954; the NIST/SEMATECH recipe). Per `by` group (check_name by
+    * default), runs order by `seqCol`; each value standardizes
+    * against the group's own median/MAD robust z (selection
+    * statistics, rounded at 6 — the [[anomalies]] spelling, so the
+    * whole chart replays bit-identically cross-engine), then the
+    * one-sided sums fold in sequence order:
+    * S⁺ᵢ = max(0, S⁺ᵢ₋₁ + zᵢ − k),  S⁻ᵢ = max(0, S⁻ᵢ₋₁ − zᵢ − k),
+    * flagging runs where either side exceeds `h` (k = slack ≈ half
+    * the shift worth detecting in σ units, h = decision interval —
+    * the 0.5/5 defaults are the textbook operating point).
+    *
+    * Degenerate shapes follow [[anomalies]]: MAD = 0 ⇒ z and both
+    * sums NULL, `is_shift` = value ≠ median; fewer than `minRuns`
+    * runs ⇒ NULL verdict (insufficient evidence). Null metric
+    * values carry no z and are excluded from the sequence.
+    *
+    * Scale: history is runs × checks — tiny by construction — so
+    * the per-group ordered CUSUM fold runs on a collected array
+    * (bounded), exactly like the stats joins it shares with
+    * [[anomalies]]. Deterministic: the fold order is pinned by
+    * `seqCol`, every op is correctly-rounded IEEE on 6-rounded z.
+    *
+    * @return by ++ (seqCol, value, n_runs, median_value, mad, z,
+    *         cusum_pos, cusum_neg, is_shift), one row per non-null
+    *         history value
+    */
+  def changePoints(history: DataFrame, k: Double = 0.5,
+                   h: Double = 5.0, seqCol: String = "run_id",
+                   by: Seq[String] = Seq("check_name"),
+                   minRuns: Int = 5): DataFrame = {
+    require(k >= 0, s"changePoints: k must be >= 0, got $k")
+    require(h > 0, s"changePoints: h must be > 0, got $h")
+    require(minRuns >= 1, s"minRuns must be >= 1, got $minRuns")
+    require(by.nonEmpty, "changePoints: need at least one by column")
+    (by :+ seqCol :+ "value").foreach(c =>
+      require(history.columns.contains(c),
+        s"changePoints: history has no '$c' column"))
+    val known = history.filter(col("value").isNotNull)
+    val meds = known.groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n_runs"),
+        percentile(col("value"), lit(0.5)).as("median_value"))
+    val mads = known
+      .join(broadcast(meds), by)
+      .groupBy(by.map(col): _*)
+      .agg(percentile(abs(col("value") - col("median_value")),
+        lit(0.5)).as("mad"))
+    val med = col("median_value")
+    val mad = col("mad")
+    val grouped = known
+      .groupBy(by.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(seqCol).as("seq"),
+        col("value").as("v")))).as("__seq"))
+      .join(broadcast(meds.join(mads, by)), by)
+      .withColumn("__z",
+        // MAD = 0 nulls the whole z sequence up front (ANSI divide
+        // would throw); every downstream consumer is null-guarded
+        when(mad.isNull || mad === 0.0,
+          lit(null).cast("array<double>"))
+          .otherwise(transform(col("__seq"), x =>
+            round((x.getField("v") - med) / (lit(1.4826) * mad), 6))))
+    // the CUSUM recursion as an ordered array fold: state carries
+    // the running (S⁺, S⁻), seeded with the (0, 0) sentinel that is
+    // sliced off after — element_at(acc, -1) then always has a row
+    // (ANSI-safe)
+    val zero = array(struct(lit(0.0).as("sp"), lit(0.0).as("sn")))
+    val folded = aggregate(col("__z"), zero, (acc, z) => {
+      val prev = element_at(acc, -1)
+      concat(acc, array(struct(
+        greatest(lit(0.0), prev.getField("sp") + z - lit(k))
+          .as("sp"),
+        greatest(lit(0.0), prev.getField("sn") - z - lit(k))
+          .as("sn"))))
+    })
+    val rows = grouped
+      .withColumn("__st", slice(folded, lit(2), size(col("__z"))))
+      .select((by.map(col) ++ Seq(col("n_runs"), med, mad,
+        col("__z"), col("__st"),
+        posexplode(col("__seq")).as(Seq("__i", "__e")))): _*)
+    val sp = element_at(col("__st"), col("__i") + 1).getField("sp")
+    val sn = element_at(col("__st"), col("__i") + 1).getField("sn")
+    val degenerate = mad.isNull || mad === 0.0
+    val nullD = lit(null).cast("double")
+    rows.select((by.map(col) ++ Seq(
+      col("__e").getField("seq").as(seqCol),
+      col("__e").getField("v").as("value"),
+      col("n_runs"), med, mad,
+      when(degenerate, nullD)
+        .otherwise(element_at(col("__z"), col("__i") + 1)).as("z"),
+      when(degenerate, nullD).otherwise(sp).as("cusum_pos"),
+      when(degenerate, nullD).otherwise(sn).as("cusum_neg"),
+      when(col("n_runs") < lit(minRuns), lit(null).cast("boolean"))
+        .when(degenerate, col("__e").getField("v") =!= med)
+        .otherwise(sp > lit(h) || sn > lit(h)).as("is_shift"))): _*)
+  }
+
   /** Alarm grading over a validation report (batch or streaming):
     * `severity` = "alert" for a FAILED check, "warn" for an UNKNOWN
     * verdict (null passed — empty window / all-null column: the

@@ -662,4 +662,81 @@ class ValidateSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] { MeanBetween("len", 10, 1) }
     intercept[IllegalArgumentException] { InSet("lang", Seq.empty) }
   }
+
+  test("changePoints: hand-replayed CUSUM — a persistent +~1.5σ " +
+      "shift the per-run z never flags crosses h within two runs; " +
+      "fold order pinned by run_id; per-check isolation; MAD=0 and " +
+      "minRuns degenerates; refusals") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // six calm runs (9..11 jitter) then four shifted (14/15):
+    // median 10.5, MAD 1.5 — every |z| < 3.5 (the anomalies() rule
+    // would NEVER flag), but S+ accumulates past h=2 from run 8 on
+    val vals = Seq(9.0, 10.0, 11.0, 10.0, 9.0, 10.0,
+      14.0, 15.0, 14.0, 15.0)
+    val hist = vals.zipWithIndex.map { case (v, i) =>
+      (f"r${i + 1}%02d", "m", v) }
+      .toDF("run_id", "check_name", "value")
+    val got = Validate.changePoints(hist, k = 0.5, h = 2.0)
+      .orderBy("run_id").collect()
+    assert(got.length == 10)
+    // replay the exact arithmetic: z rounded at 6, then the fold
+    val med = 10.5
+    val mad = 1.5
+    val zs = vals.map(v => r6((v - med) / (1.4826 * mad)))
+    val sps = zs.scanLeft(0.0)((s, z) => math.max(0.0, s + z - 0.5))
+      .drop(1)
+    val sns = zs.scanLeft(0.0)((s, z) => math.max(0.0, s - z - 0.5))
+      .drop(1)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("median_value") == med)
+      assert(r.getAs[Double]("mad") == mad)
+      assert(r.getAs[Double]("z") == zs(i), s"z at run ${i + 1}")
+      assert(r.getAs[Double]("cusum_pos") == sps(i),
+        s"S+ at run ${i + 1}")
+      assert(r.getAs[Double]("cusum_neg") == sns(i),
+        s"S- at run ${i + 1}")
+      assert(r.getAs[Boolean]("is_shift") ==
+        (sps(i) > 2.0 || sns(i) > 2.0))
+    }
+    // the per-run anomaly rule really is blind to this shift...
+    assert(zs.forall(z => math.abs(z) < 3.5))
+    // ...while CUSUM flags every run from the second post-shift one
+    assert(got.map(_.getAs[Boolean]("is_shift")).toSeq ==
+      Seq(false, false, false, false, false, false, false,
+        true, true, true))
+    // per-check isolation: an interleaved calm series stays quiet
+    val two = hist.unionByName(vals.indices.map(i =>
+        (f"r${i + 1}%02d", "calm", 10.0 + (i % 2))).toDF(
+        "run_id", "check_name", "value"))
+    val byCheck = Validate.changePoints(two, k = 0.5, h = 2.0)
+      .collect().groupBy(_.getAs[String]("check_name"))
+    assert(byCheck("m").map(_.getAs[Boolean]("is_shift"))
+      .count(identity) == 3)
+    assert(byCheck("calm").forall(!_.getAs[Boolean]("is_shift")))
+    // MAD = 0: constant history, one deviating run — z/cusum NULL,
+    // is_shift = value != median (the anomalies() convention)
+    val const = (1 to 7).map(i => (f"r$i%02d", "c",
+      if (i == 4) 2.0 else 1.0)).toDF("run_id", "check_name", "value")
+    val cRows = Validate.changePoints(const).orderBy("run_id")
+      .collect()
+    assert(cRows.forall(r => r.isNullAt(r.fieldIndex("z")) &&
+      r.isNullAt(r.fieldIndex("cusum_pos"))))
+    assert(cRows.map(_.getAs[Boolean]("is_shift")).toSeq ==
+      Seq(false, false, false, true, false, false, false))
+    // under minRuns: verdict NULL, not a pass
+    val short = (1 to 3).map(i => (f"r$i%02d", "s", i * 100.0))
+      .toDF("run_id", "check_name", "value")
+    val sRows = Validate.changePoints(short).collect()
+    assert(sRows.forall(r => r.isNullAt(r.fieldIndex("is_shift"))))
+    intercept[IllegalArgumentException] {
+      Validate.changePoints(hist, k = -1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Validate.changePoints(hist, h = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Validate.changePoints(hist.drop("value"))
+    }
+  }
 }
