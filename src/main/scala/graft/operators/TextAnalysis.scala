@@ -903,9 +903,16 @@ object TextAnalysis {
     val uni = transform(toks, t => pmod(h32(t), lit(dim)).cast("int"))
     if (ngrams == 1) uni
     else {
+      // adjacent pairs via zip_with over the two shifted slices —
+      // NEVER element_at(toks, i) inside the lambda: that re-embeds
+      // the whole tokenize subtree per element (no subexpression
+      // elimination inside higher-order-function lambdas), turning
+      // the scan O(len²) per document (measured 7× on the bigram
+      // gate before this spelling)
       val bi = when(size(toks) >= 2,
-        transform(slice(toks, lit(1), size(toks) - 1), (t, i) =>
-          pmod(h32(concat(t, lit(" "), element_at(toks, i + 2))),
+        zip_with(slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => pmod(h32(concat(a, lit(" "), b)),
             lit(dim)).cast("int")))
         .otherwise(array().cast("array<int>"))
       concat(uni, bi)
