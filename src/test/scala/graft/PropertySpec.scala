@@ -314,4 +314,75 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("aucReport ≡ brute-force pair counting (wins + half-ties) " +
+      "on random labeled scores; invariant under strictly monotone " +
+      "score transforms") {
+    import graft.operators.TextAnalysis
+    // discrete score grid on purpose: plenty of ties to stress the
+    // average-rank arithmetic
+    val rowGen = Gen.zip(Gen.oneOf(0, 1), Gen.chooseNum(-5, 5))
+    for (trial <- 1 to 5) {
+      val rows = sample(Gen.listOfN(120, rowGen), trial).last
+        .map { case (y, s) => (y, s / 2.0) }
+      val np = rows.count(_._1 == 1).toLong
+      val nn = rows.count(_._1 == 0).toLong
+      val df = rows.toDF("y", "s")
+      val got = TextAnalysis.aucReport(df, "y", "s").collect().head
+      assert((got.getAs[Long]("n_pos"), got.getAs[Long]("n_neg")) ==
+        ((np, nn)))
+      if (np > 0 && nn > 0) {
+        // brute force over all pos×neg pairs
+        val pos = rows.filter(_._1 == 1).map(_._2)
+        val neg = rows.filter(_._1 == 0).map(_._2)
+        val u = (for (p <- pos; n <- neg) yield
+          if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+        val want = u / (np * nn)
+        val auc = got.getAs[Double]("auc")
+        assert(math.abs(auc - want) < 1e-12,
+          s"trial $trial: auc=$auc brute=$want")
+        // AUC is a RANK statistic: any strictly increasing transform
+        // leaves it bit-identical (the rank table is unchanged)
+        val warped = df.withColumn("s", exp($"s" * 3) + lit(1.0))
+        assert(TextAnalysis.aucReport(warped, "y", "s")
+          .collect().head.getAs[Double]("auc") == auc,
+          s"trial $trial: monotone transform moved the AUC")
+      }
+    }
+  }
+
+  test("prAucReport ≡ brute-force average precision with tie " +
+      "blocks on random labeled scores; bounded (0,1]; monotone-" +
+      "transform invariant") {
+    import graft.operators.TextAnalysis
+    val rowGen = Gen.zip(Gen.oneOf(0, 0, 1), Gen.chooseNum(-4, 4))
+    for (trial <- 1 to 5) {
+      val rows = sample(Gen.listOfN(90, rowGen), trial).last
+        .map { case (y, s) => (y, s.toDouble) }
+      val np = rows.count(_._1 == 1).toLong
+      val df = rows.toDF("y", "s")
+      val got = TextAnalysis.prAucReport(df, "y", "s").collect().head
+      if (np == 0)
+        assert(got.isNullAt(got.fieldIndex("pr_auc")))
+      else {
+        // brute force: distinct scores desc, AP = Σ pos_g·(P_g/C_g)/n⁺
+        val byScore = rows.groupBy(_._2).toSeq.sortBy(-_._1)
+        var (cpos, ccnt, ap) = (0L, 0L, 0.0)
+        byScore.foreach { case (_, g) =>
+          val p = g.count(_._1 == 1).toLong
+          cpos += p; ccnt += g.size
+          if (p > 0) ap += p.toDouble * cpos / ccnt
+        }
+        val want = ap / np
+        val pr = got.getAs[Double]("pr_auc")
+        assert(math.abs(pr - want) < 1e-12,
+          s"trial $trial: pr_auc=$pr brute=$want")
+        assert(pr > 0.0 && pr <= 1.0)
+        val warped = df.withColumn("s", exp($"s"))
+        assert(math.abs(TextAnalysis.prAucReport(warped, "y", "s")
+          .collect().head.getAs[Double]("pr_auc") - pr) < 1e-12,
+          s"trial $trial: monotone transform moved the AP")
+      }
+    }
+  }
 }
