@@ -2588,6 +2588,22 @@ object SparkEntry {
     // n_null metrics do not. Selection statistics end to end: the
     // drift stats are exact-count arithmetic rounded at 6, the
     // median/MAD replay as quantile_cont — everything hash-hard.
+    // drop-over-drop corpus delta: WHICH documents a refresh added /
+    // removed / changed (content digest) / left alone — the oracle
+    // replays the same mutation recipe and the full-outer
+    // classification row for row
+    "d50_corpus_delta" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val after = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      operators.Dedup.corpusDelta(docs, after, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // CUSUM change-point detection over a metric history: a planted
     // ×3 length shift in the LAST EIGHT of twenty runs — each run's
     // own robust z barely moves, but the one-sided cumulative sums
@@ -4880,6 +4896,23 @@ object SparkEntry {
         |    round(n::DOUBLE, 6),
         |    CASE WHEN n >= 100 THEN 1 ELSE 0 END FROM m
         |) ORDER BY check_name""".stripMargin,
+
+    "d50_corpus_delta" ->
+      """WITH b AS (SELECT doc_id, text FROM documents),
+        |a AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 11 = 0)
+        |SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+        |  CASE WHEN b.doc_id IS NULL THEN 'added'
+        |       WHEN a.doc_id IS NULL THEN 'removed'
+        |       WHEN b.text IS DISTINCT FROM a.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "v6_cusum_shift" ->
       """WITH RECURSIVE hist AS (

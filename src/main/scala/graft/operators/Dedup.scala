@@ -1918,4 +1918,35 @@ object Dedup {
         coalesce(size(col("__mi")), lit(0)).cast("bigint")
           .as("n_paras_removed"))
   }
+
+  /** Drop-over-drop corpus DELTA — the refresh-audit primitive
+    * ([[TextAnalysis.corpusDiff]] answers "how did the per-dimension
+    * counts move"; this answers "WHICH documents changed"): per id
+    * across two drops of an id-keyed corpus, `added` (id only in the
+    * new drop), `removed` (only in the old), `changed` (same id,
+    * different content digest — md5 of the text, the exact-dedup
+    * digest, so 'changed' means the text changed), or `unchanged`.
+    * Presence is tracked by marker columns, not digest nullness, so
+    * null-text documents classify correctly (null <=> null is
+    * unchanged). One shuffle join keyed on the id; the scan reads
+    * only (id, text). `idCol` must be unique within each drop — a
+    * keyed corpus contract; duplicated ids multiply join rows like
+    * any keyed join.
+    *
+    * @return (idCol, status) — one row per id seen in either drop;
+    *         aggregate with a groupBy("status") for the summary
+    */
+  def corpusDelta(before: DataFrame, after: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val b = before.select(col(idCol).as("__id"),
+      md5(col(textCol)).as("__db"), lit(1).as("__pb"))
+    val a = after.select(col(idCol).as("__id"),
+      md5(col(textCol)).as("__da"), lit(1).as("__pa"))
+    b.join(a, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__pb").isNull, "added")
+          .when(col("__pa").isNull, "removed")
+          .when(!(col("__db") <=> col("__da")), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

@@ -254,6 +254,71 @@ object Sampling {
         col("mix_rate"), salt)
       .select(df.columns.map(col).toIndexedSeq: _*)
 
+  /** WATER-FILLING mixture allocation — turn "target mixture weights
+    * + total token budget" into per-source sampling FRACTIONS when
+    * some sources are too small for their share (the standing
+    * problem of every real mixture: "30% code" is an aspiration, the
+    * code source holds what it holds): each round gives every active
+    * source its weight-proportional share of the remaining budget;
+    * sources whose share meets-or-exceeds their availability
+    * SATURATE at fraction 1.0 (take everything) and their unfilled
+    * share redistributes over the rest in proportion to the
+    * remaining weights — the classic water-filling fixpoint,
+    * ≤ |sources| rounds, pure driver arithmetic on a ≤ |sources| map
+    * (no data scanned; compute `available` with one token-count
+    * aggregation and APPLY the result with
+    * [[stratifiedHashSample]]). Exact: token counts are longs
+    * (< 2⁵³, double-exact), each fraction one division. The expected
+    * sampled token total equals the budget; unsaturated sources keep
+    * the target ratios among themselves.
+    *
+    * Refuses a budget above the total available (an allocation that
+    * silently under-delivers is how a 500 B-token plan ships 400 B),
+    * mismatched source sets, and non-positive weights.
+    */
+  def allocateMix(available: Map[String, Long],
+                  weights: Map[String, Double],
+                  budgetTokens: Long): Map[String, Double] = {
+    require(available.nonEmpty, "allocateMix: no sources")
+    require(weights.keySet == available.keySet,
+      s"allocateMix: weights and available must cover the same " +
+        s"sources (weights-only: ${weights.keySet -- available.keySet
+        }, available-only: ${available.keySet -- weights.keySet})")
+    require(weights.values.forall(_ > 0),
+      "allocateMix: weights must be positive")
+    require(available.values.forall(_ >= 0),
+      "allocateMix: negative availability")
+    require(budgetTokens >= 0, "allocateMix: negative budget")
+    val total = available.values.sum
+    require(budgetTokens <= total,
+      s"allocateMix: budget $budgetTokens exceeds the " +
+        s"$total tokens available — no allocation can deliver it")
+    var active = available.keySet
+    var frac = Map.empty[String, Double]
+    var remaining = budgetTokens.toDouble
+    var settled = false
+    while (!settled && active.nonEmpty) {
+      val wsum = active.iterator.map(weights).sum
+      val sat = active.filter(s =>
+        remaining * weights(s) / wsum >= available(s))
+      if (sat.isEmpty) settled = true
+      else {
+        sat.foreach { s =>
+          frac += s -> 1.0
+          remaining -= available(s)
+        }
+        active --= sat
+      }
+    }
+    if (active.nonEmpty) {
+      val wsum = active.iterator.map(weights).sum
+      active.foreach { s =>
+        frac += s -> remaining * weights(s) / wsum / available(s)
+      }
+    }
+    frac
+  }
+
   /** Stratified deterministic sample: per-stratum fractions with a
     * default for unlisted strata. Same nesting/reproducibility as
     * [[hashSample]]; still a pure filter (one CASE over the strata

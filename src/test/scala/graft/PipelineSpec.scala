@@ -3306,6 +3306,33 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(keyed(("b", 0.5)) == ((1L, 1L, 1L, 1L)))
   }
 
+  test("corpusDelta: added/removed/changed/unchanged by content " +
+      "digest; null text classifies correctly; summary via groupBy") {
+    val before = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (4L, Option.empty[String].orNull), (5L, "eps"))
+      .toDF("id", "t")
+    val after = Seq((1L, "alpha"), (2L, "beta CHANGED"),
+      (4L, Option.empty[String].orNull), (5L, "eps2"),
+      (6L, "new"), (7L, Option.empty[String].orNull))
+      .toDF("id", "t")
+    val got = Dedup.corpusDelta(before, after, "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", // null text both sides: null <=> null
+      5L -> "changed", 6L -> "added", 7L -> "added"))
+    // null → text counts as changed, not a null-digest artifact
+    val after2 = Seq((4L, "now present")).toDF("id", "t")
+    assert(Dedup.corpusDelta(before.filter($"id" === 4), after2,
+      "id", "t").collect().head.getString(1) == "changed")
+    // the summary is one groupBy away
+    val sum = Dedup.corpusDelta(before, after, "id", "t")
+      .groupBy($"status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum == Map("unchanged" -> 2L, "changed" -> 2L,
+      "removed" -> 1L, "added" -> 2L))
+  }
+
   test("aucReport: hand-worked tie-handling (5/6), perfect=1, " +
       "reversed=0, unknowns apart, single-class NULL, per-group " +
       "isolation, partitioning determinism") {

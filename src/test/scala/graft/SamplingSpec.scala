@@ -752,4 +752,102 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       spark.sql("DROP TABLE IF EXISTS mix_stream")
     }
   }
+
+  test("allocateMix: water-filling hand examples — single and " +
+      "cascading saturation, budget delivered exactly, unsaturated " +
+      "ratios preserved; randomized invariants; refusals") {
+    // one short source: c needs 20 of its 10 → saturates; its
+    // deficit redistributes 5:3 over a and b
+    val f1 = Sampling.allocateMix(
+      Map("a" -> 100L, "b" -> 50L, "c" -> 10L),
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), 100L)
+    assert(f1("c") == 1.0)
+    assert(f1("a") == 0.5625 && f1("b") == 0.675)
+    // delivered tokens = Σ frac·avail = budget, exactly here
+    assert(f1.map { case (s, f) =>
+      f * Map("a" -> 100L, "b" -> 50L, "c" -> 10L)(s) }.sum == 100.0)
+    // cascade: b and c both saturate, a absorbs everything left
+    val f2 = Sampling.allocateMix(
+      Map("a" -> 100L, "b" -> 20L, "c" -> 10L),
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), 120L)
+    assert(f2 == Map("a" -> 0.9, "b" -> 1.0, "c" -> 1.0))
+    // no saturation: plain weight-proportional shares
+    val f3 = Sampling.allocateMix(
+      Map("a" -> 100L, "b" -> 100L),
+      Map("a" -> 3.0, "b" -> 1.0), 80L)
+    assert(f3 == Map("a" -> 0.6, "b" -> 0.2))
+    // budget = everything available → every source saturates
+    assert(Sampling.allocateMix(Map("a" -> 5L, "b" -> 7L),
+      Map("a" -> 1.0, "b" -> 9.0), 12L) ==
+      Map("a" -> 1.0, "b" -> 1.0))
+    // zero-availability source is a trivial saturation, never a
+    // division by zero
+    val fz = Sampling.allocateMix(Map("a" -> 100L, "z" -> 0L),
+      Map("a" -> 1.0, "z" -> 1.0), 50L)
+    assert(fz("z") == 1.0 && fz("a") == 0.5)
+    // randomized invariants: fractions bounded, budget delivered,
+    // unsaturated pairs keep their target ratio
+    val rng = new scala.util.Random(4242)
+    for (_ <- 1 to 50) {
+      val n = 2 + rng.nextInt(6)
+      val avail = (0 until n)
+        .map(i => s"s$i" -> (1L + rng.nextInt(10000))).toMap
+      val w = (0 until n)
+        .map(i => s"s$i" -> (0.05 + rng.nextDouble())).toMap
+      val budget = 1L + rng.nextLong(avail.values.sum)
+      val f = Sampling.allocateMix(avail, w, budget)
+      assert(f.keySet == avail.keySet)
+      assert(f.values.forall(x => x >= 0.0 && x <= 1.0 + 1e-12))
+      val delivered = f.map { case (s, x) => x * avail(s) }.sum
+      assert(math.abs(delivered - budget) < 1e-6 * budget + 1e-6,
+        s"delivered $delivered of $budget")
+      val unsat = f.filter(_._2 < 1.0 - 1e-12).keys.toSeq
+      for (Seq(i, j) <- unsat.combinations(2)) {
+        val ri = f(i) * avail(i) / w(i)
+        val rj = f(j) * avail(j) / w(j)
+        assert(math.abs(ri - rj) < 1e-6 * math.max(ri, rj),
+          "unsaturated sources must keep the target ratio")
+      }
+    }
+    // refusals
+    intercept[IllegalArgumentException] {
+      Sampling.allocateMix(Map("a" -> 10L), Map("a" -> 1.0), 11L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.allocateMix(Map("a" -> 10L), Map("b" -> 1.0), 5L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.allocateMix(Map("a" -> 10L), Map("a" -> 0.0), 5L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.allocateMix(Map.empty[String, Long], Map.empty, 0L)
+    }
+  }
+
+  test("allocateMix fractions drive stratifiedHashSample: the " +
+      "sampled corpus hits the budget in expectation and the " +
+      "saturated source survives whole") {
+    val rows = (0 until 3000).map { i =>
+      val src = if (i % 10 == 0) "rare" else if (i % 2 == 0) "web"
+        else "code"
+      (i.toLong, src, 10L) // 10 tokens per doc, uniform
+    }
+    val df = rows.toDF("id", "src", "ntok")
+    val avail = df.groupBy($"src").agg(sum($"ntok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rare is a tenth of the corpus but wants 60% weight at a
+    // half-corpus budget → saturates
+    val f = Sampling.allocateMix(avail,
+      Map("web" -> 0.2, "code" -> 0.2, "rare" -> 0.6),
+      avail.values.sum / 2)
+    assert(f("rare") == 1.0)
+    val kept = Sampling.stratifiedHashSample(df, "id", "src", f)
+    assert(kept.filter($"src" === "rare").count() ==
+      df.filter($"src" === "rare").count(),
+      "a saturated source must survive whole")
+    val keptTok = kept.agg(sum($"ntok")).head().getLong(0)
+    val budget = avail.values.sum / 2
+    assert(math.abs(keptTok - budget).toDouble / budget < 0.15,
+      s"sampled $keptTok tokens for a $budget budget")
+  }
 }
