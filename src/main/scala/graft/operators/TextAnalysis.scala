@@ -919,6 +919,18 @@ object TextAnalysis {
     }
   }
 
+  /** `size(featureBuckets(toks, _, ngrams))` WITHOUT materializing
+    * the bucket array: higher-order-function trees are excluded from
+    * subexpression elimination, so counting via size(bks) would hash
+    * every token a second time per row — the count only needs the
+    * (cheap) token array. n (ngrams = 1) or 2n − 1 (ngrams = 2,
+    * n ≥ 1); 0 stays 0.
+    */
+  private[graft] def featureCount(toks: Column, ngrams: Int): Column =
+    if (ngrams == 1) size(toks)
+    else when(size(toks) >= 2, size(toks) * lit(2) - lit(1))
+      .otherwise(size(toks))
+
   /** [[hashedLinearScore]] with an explicit TRAINED weight table
     * (milli-units, one long per bucket; `dim = weightsMilli.length`)
     * instead of the md5-derived pseudo-model — the inference half of
@@ -943,10 +955,11 @@ object TextAnalysis {
     val dim = weightsMilli.length
     require(dim > 0, "need a non-empty weight table")
     val wLit = typedLit(weightsMilli)
-    val bks = featureBuckets(tokenize(col(textCol)), dim, ngrams)
+    val toks = tokenize(col(textCol))
+    val bks = featureBuckets(toks, dim, ngrams)
     val scoreMilli = aggregate(bks, lit(0L), (acc, b) =>
       acc + element_at(wLit, b + 1))
-    df.select(col(idCol), size(bks).as("n_tokens"),
+    df.select(col(idCol), featureCount(toks, ngrams).as("n_tokens"),
         scoreMilli.as("score_milli"))
       .withColumn("logit", col("score_milli").cast("double") /
         (lit(1000.0) * col("n_tokens")))
@@ -968,10 +981,11 @@ object TextAnalysis {
     val dim = weightsMilli.length
     require(dim > 0, "need a non-empty weight table")
     val wLit = typedLit(weightsMilli)
-    val bks = featureBuckets(tokenize(text), dim, ngrams)
+    val toks = tokenize(text)
+    val bks = featureBuckets(toks, dim, ngrams)
     aggregate(bks, lit(0L), (acc, b) =>
       acc + element_at(wLit, b + 1)).cast("double") /
-      (lit(1000.0) * size(bks))
+      (lit(1000.0) * featureCount(toks, ngrams))
   }
 
   /** TRAIN the hashed-feature linear classifier — the learning half
@@ -1050,11 +1064,11 @@ object TextAnalysis {
     // wordNgrams — see featureBuckets); n_tokens then counts
     // FEATURES, the margin/gradient normalizer, exactly what the
     // scorer divides by at inference
-    val bks = featureBuckets(tokenize(col(textCol)), dim, ngrams)
+    val toks0 = tokenize(col(textCol))
     val feats = df.select(
         col(labelCol).cast("double").as("y"),
-        size(bks).as("n_tokens"),
-        bks.as("bks"))
+        featureCount(toks0, ngrams).as("n_tokens"),
+        featureBuckets(toks0, dim, ngrams).as("bks"))
       .where(col("y").isNotNull && col("n_tokens") > 0)
     feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1323,6 +1337,12 @@ object TextAnalysis {
     val rows = sweep.select(col("threshold").cast("double"),
       col("precision"), col("recall")).collect()
     require(rows.nonEmpty, "chooseThreshold: empty sweep")
+    // an unfiltered KEYED sweep repeats every threshold once per
+    // group — picking across groups would return one group's point
+    // off another group's counts, silently; refuse the signature
+    require(rows.map(_.getDouble(0)).distinct.length == rows.length,
+      "chooseThreshold: duplicate thresholds in the sweep — this " +
+        "looks like a keyed (by=) sweep; filter to ONE group first")
     val pts = rows.toSeq.collect {
       case r if !r.isNullAt(1) && !r.isNullAt(2) =>
         (r.getDouble(0), r.getDouble(1), r.getDouble(2))
@@ -1634,14 +1654,15 @@ object TextAnalysis {
                      queryIdCol: String, queryTextCol: String,
                      k1: Double = 1.2, b: Double = 0.75,
                      maxDf: Option[Long] = None,
-                     broadcastMaxQueryTerms: Long = 1000000L)
+                     broadcastMaxQueries: Long = 100000L,
+                     knownQueryCount: Option[Long] = None)
       : DataFrame = {
     maxDf.foreach(c => require(c >= 1,
       s"bm25: maxDf must be >= 1, got $c"))
     require(k1 > 0 && b >= 0 && b <= 1,
       s"bm25: k1 must be > 0 and b in [0, 1], got k1=$k1 b=$b")
-    require(broadcastMaxQueryTerms >= 0,
-      s"bm25: broadcastMaxQueryTerms must be >= 0")
+    require(broadcastMaxQueries >= 0,
+      s"bm25: broadcastMaxQueries must be >= 0")
     val spark = corpus.sparkSession
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
         explode(array_distinct(tokenize(col(queryTextCol))))
@@ -1649,15 +1670,19 @@ object TextAnalysis {
       .filter(col("term") =!= "")
     val termSet = qTerms.select(col("term")).distinct()
     // query-batch regime gate (the Similarity broadcastMaxQueries
-    // discipline): the broadcast spelling ships every (query, term)
-    // pair — and the term-keyed stat tables it bounds — through the
-    // driver, right for the eval-suite shape but not for a
-    // decontamination-scale query table; above the bound every
+    // discipline, same contract incl. knownQueryCount to skip the
+    // plan-time count): the broadcast spelling ships every
+    // (query, term) pair — and the term-keyed stat tables it bounds
+    // — through the driver, right for the eval-suite shape but not
+    // for a decontamination-scale query table; above the bound every
     // query-side join falls back to a shuffle join on `term` (the
     // per-term stat sides stay one-row-per-key, so no row blowup)
     // and nothing query-batch-sized sits on the driver. Output
-    // identical in both regimes. One cheap two-column count decides.
-    val smallQ = qTerms.count() <= broadcastMaxQueryTerms
+    // identical in both regimes. The decision reads ONE
+    // column-pruned count of the query ids (no tokenize/explode) —
+    // pass |Q| via knownQueryCount to skip even that.
+    val smallQ = knownQueryCount.getOrElse(
+      queries.select(col(queryIdCol)).count()) <= broadcastMaxQueries
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (smallQ) broadcast(df) else df
     // corpus-wide stats: one tiny agg (N, Σdl)
@@ -1717,11 +1742,12 @@ object TextAnalysis {
                queryTextCol: String, k: Int, k1: Double = 1.2,
                b: Double = 0.75,
                maxDf: Option[Long] = None,
-               broadcastMaxQueryTerms: Long = 1000000L): DataFrame = {
+               broadcastMaxQueries: Long = 100000L,
+               knownQueryCount: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val scored = bm25ScoresMany(corpus, idCol, textCol, queries,
       queryIdCol, queryTextCol, k1, b, maxDf,
-      broadcastMaxQueryTerms)
+      broadcastMaxQueries, knownQueryCount)
     val nBuckets = corpus.sparkSession.sessionState.conf
       .numShufflePartitions
     val bucketW = org.apache.spark.sql.expressions.Window

@@ -3531,5 +3531,13 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       TextAnalysis.chooseThreshold(sweep.filter(lit(false)),
         minPrecision = Some(0.5))
     }
+    // an unfiltered KEYED sweep (duplicate thresholds across groups)
+    // must refuse, not silently pick one group's point off another
+    // group's counts
+    val keyedish = sweep.unionByName(sweep)
+    val dup = intercept[IllegalArgumentException] {
+      TextAnalysis.chooseThreshold(keyedish, minPrecision = Some(0.5))
+    }
+    assert(dup.getMessage.contains("keyed"))
   }
 }
