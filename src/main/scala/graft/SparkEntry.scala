@@ -1493,6 +1493,35 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // WATER-FILLING mixture end-to-end (round 15 — moves the spec-
+    // gated allocateMix onto the hash oracle): per-source token
+    // counts → allocateMix (weights 16:1 by source-name length, a
+    // deliberately skewed target so several sources SATURATE in a
+    // multi-round cascade at every SF) → stratifiedHashSample at the
+    // allocated fractions. All allocation arithmetic is exact
+    // integer-valued doubles plus correctly-rounded divisions, so
+    // the oracle replays the fixpoint closed-form: sources sorted by
+    // avail/weight saturate as a prefix, and each kept row's hex
+    // threshold recomputes bit-exactly (the p10 pattern). The
+    // ≤|sources| collect is the operator's documented driver-side
+    // contract (allocation is arithmetic on a 20-entry map, not a
+    // dataset op)
+    "p15_allocate_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val avail = docs.groupBy(col("source"))
+        .agg(sum(operators.TextAnalysis.tokenCount(col("text"))
+          .cast("long")).as("toks"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val weights = avail.keySet.iterator
+        .map(src => src -> (if (src.length == 4) 16.0 else 1.0)).toMap
+      val budget = avail.values.sum / 2
+      val fracs = operators.Sampling.allocateMix(avail, weights, budget)
+      operators.Sampling.stratifiedHashSample(docs, "doc_id",
+          "source", fracs)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals: explode + two-level groupBy
     // (never per-row quadratic), all-integer outputs for an exact
     // oracle
@@ -1698,10 +1727,14 @@ object SparkEntry {
           .otherwise(0))
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-t38").toString + "/model"
+      val dir = java.nio.file.Files.createTempDirectory("graft-t38")
+      val tmp = dir.toString + "/model"
       operators.DedupIndex.writeLinear(s, w.toSeq, tmp)
       val (rw, _) = operators.DedupIndex.readLinear(s, tmp, dim = 64)
+      // the weights are in memory once readLinear returns — delete
+      // the artifact so repeated bench/verify runs don't accumulate
+      // trees under /tmp
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
       operators.TextAnalysis.hashedLinearScoreWith(docs, "doc_id",
           "text", rw.toSeq)
         .orderBy(col("doc_id"))
@@ -1747,8 +1780,9 @@ object SparkEntry {
 
     // exact PR-AUC (average precision) per source — the rare-class
     // ranking number (the label here IS a ~5% class): per distinct
-    // logit, one division of exact integers, terms folded in pinned
-    // ascending-score order, one final division by n_pos
+    // logit, an exact-integer nano-unit term (order-free commutative
+    // sum — bit-replayable with no fold order to pin), one final
+    // division by 1e9·n_pos
     "t43_pr_auc" -> ((s, d) => {
       val docs = t(s, d, "documents").withColumn("y",
         when(array_contains(
@@ -1791,6 +1825,58 @@ object SparkEntry {
           operators.TextAnalysis.calibratedProb(col("logit"), a, b)
             .as("prob")),
         "y", "prob", nBins = 20000)
+    }),
+
+    // the PER-SOURCE calibration twin (round 15): same Platt
+    // calibration as t42, reliability bins keyed (source, bin) from
+    // the same one aggregation pass — per-source reliability is how
+    // a confidence-weighted mixture is audited; the oracle replays
+    // both trainings then every keyed bin statistic
+    "t44_calibration_by" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val scored = operators.TextAnalysis.hashedLinearScoreWith(
+          docs, "doc_id", "text", w.toSeq)
+        .join(docs.select(col("doc_id"), col("y"), col("source")),
+          Seq("doc_id"))
+      val (a, b) = operators.TextAnalysis.calibrateLogits(scored,
+        "y", "logit", iters = 3, lr = 10.0)
+      operators.TextAnalysis.calibrationReport(
+        scored.select(col("doc_id"), col("y"), col("source"),
+          operators.TextAnalysis.calibratedProb(col("logit"), a, b)
+            .as("prob")),
+        "y", "prob", nBins = 20000, by = Seq("source"))
+        .orderBy(col("source"), col("bin").asc_nulls_last)
+    }),
+
+    // ...and the per-source ECE scalar over those bins (eceBy): the
+    // bin-ordered fold runs per group inside one bounded-buffer
+    // aggregation; the oracle replays the identical 0.0-seeded fold
+    // with list_reduce over the bin-ordered term list
+    "t45_ece_by" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val scored = operators.TextAnalysis.hashedLinearScoreWith(
+          docs, "doc_id", "text", w.toSeq)
+        .join(docs.select(col("doc_id"), col("y"), col("source")),
+          Seq("doc_id"))
+      val (a, b) = operators.TextAnalysis.calibrateLogits(scored,
+        "y", "logit", iters = 3, lr = 10.0)
+      val rep = operators.TextAnalysis.calibrationReport(
+        scored.select(col("doc_id"), col("y"), col("source"),
+          operators.TextAnalysis.calibratedProb(col("logit"), a, b)
+            .as("prob")),
+        "y", "prob", nBins = 20000, by = Seq("source"))
+      operators.TextAnalysis.eceBy(rep, Seq("source"))
+        .orderBy(col("source"))
     }),
 
     // PER-GROUP threshold sweep: per-source operating points from
@@ -2602,6 +2688,23 @@ object SparkEntry {
           .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
       operators.Dedup.corpusDelta(docs, after, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // ...and the scaladoc's own recommended summary spelling (round
+    // 15): the drop-over-drop delta REPORT — how much changed, one
+    // row per status — is one groupBy away from the same id-keyed
+    // full-outer digest join
+    "d51_delta_summary" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val after = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      operators.Dedup.corpusDelta(docs, after, "doc_id", "text")
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
     }),
 
     // CUSUM change-point detection over a metric history: a planted
@@ -3725,9 +3828,72 @@ object SparkEntry {
          |    - CAST(n_pos AS DOUBLE) / n AS gap
          |FROM g ORDER BY bin""".stripMargin,
 
+    // the keyed calibration twin: both trainings replayed, bins
+    // grouped (source, bin)
+    "t44_calibration_by" ->
+      s"""WITH $plattCtes,
+         |pr AS (
+         |  SELECT dd.source, e.y, ${calSg(calM)} AS prob
+         |  FROM ev e JOIN documents dd USING (doc_id), ab3 ab),
+         |bn AS (
+         |  SELECT source,
+         |    LEAST(CAST(floor(prob * 20000) AS INTEGER), 19999)
+         |      AS bin, y, prob
+         |  FROM pr),
+         |g AS (
+         |  SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT)
+         |      AS n_pos,
+         |    CAST(SUM(CAST(floor(prob * 1000000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS sp
+         |  FROM bn GROUP BY source, bin)
+         |SELECT source, bin, CAST(bin AS DOUBLE) / 20000 AS bin_lo,
+         |  n, n_pos,
+         |  CAST(n_pos AS DOUBLE) / n AS frac_pos,
+         |  CAST(sp AS DOUBLE) / (1000000.0 * n) AS mean_prob,
+         |  CAST(sp AS DOUBLE) / (1000000.0 * n)
+         |    - CAST(n_pos AS DOUBLE) / n AS gap
+         |FROM g ORDER BY source, bin""".stripMargin,
+
+    // per-source ECE: the identical 0.0-seeded bin-ordered fold of
+    // (n_b/N)·|gap_b| terms (division before multiplication, like
+    // the operator)
+    "t45_ece_by" ->
+      s"""WITH $plattCtes,
+         |pr AS (
+         |  SELECT dd.source, e.y, ${calSg(calM)} AS prob
+         |  FROM ev e JOIN documents dd USING (doc_id), ab3 ab),
+         |bn AS (
+         |  SELECT source,
+         |    LEAST(CAST(floor(prob * 20000) AS INTEGER), 19999)
+         |      AS bin, y, prob
+         |  FROM pr),
+         |g AS (
+         |  SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT)
+         |      AS n_pos,
+         |    CAST(SUM(CAST(floor(prob * 1000000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS sp
+         |  FROM bn GROUP BY source, bin),
+         |k AS (
+         |  SELECT source, CAST(SUM(n) AS BIGINT) AS nk
+         |  FROM g GROUP BY source),
+         |tm AS (
+         |  SELECT g.source, g.bin,
+         |    CAST(g.n AS DOUBLE) / k.nk
+         |      * abs(CAST(g.sp AS DOUBLE) / (1000000.0 * g.n)
+         |        - CAST(g.n_pos AS DOUBLE) / g.n) AS term
+         |  FROM g JOIN k USING (source))
+         |SELECT source,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(term ORDER BY bin)), (a, x) -> a + x) AS ece
+         |FROM tm GROUP BY source ORDER BY source""".stripMargin,
+
     // exact average precision per source: cumulative-through-tie-
     // block precisions at each positive-bearing distinct logit,
-    // ordered fold (the t32 list_reduce discipline), ÷ n_pos
+    // each term quantized to integer nano-units by exact integer
+    // arithmetic (round 15: order-free commutative sum — no fold
+    // order to pin), ÷ 1e9·n_pos
     "t43_pr_auc" ->
       s"""WITH ${hashedGdCtes(64, 3)},
          |sc AS (
@@ -3756,11 +3922,13 @@ object SparkEntry {
          |      AS BIGINT) AS cpos
          |  FROM g),
          |tm AS (
-         |  SELECT source, s, CAST(pos * cpos AS DOUBLE) / ccnt AS term
+         |  SELECT source, s,
+         |    ((pos * cpos) // ccnt) * 1000000000
+         |      + (((pos * cpos) % ccnt) * 1000000000) // ccnt
+         |      AS term_u
          |  FROM c WHERE pos > 0),
          |f AS (
-         |  SELECT source, list_reduce(list(term ORDER BY s),
-         |    (a, x) -> a + x) AS tsum
+         |  SELECT source, CAST(SUM(term_u) AS BIGINT) AS tsum
          |  FROM tm GROUP BY source),
          |a AS (
          |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_rows,
@@ -3769,7 +3937,8 @@ object SparkEntry {
          |  FROM g GROUP BY source)
          |SELECT a.source, n_rows, CAST(0 AS BIGINT) AS n_unknown,
          |  n_pos, n_neg,
-         |  CASE WHEN n_pos = 0 THEN NULL ELSE f.tsum / n_pos END
+         |  CASE WHEN n_pos = 0 THEN NULL
+         |    ELSE CAST(f.tsum AS DOUBLE) / (1000000000.0 * n_pos) END
          |    AS pr_auc
          |FROM a LEFT JOIN f USING (source) ORDER BY source""".stripMargin,
 
@@ -4914,6 +5083,24 @@ object SparkEntry {
         |FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    "d51_delta_summary" ->
+      """WITH b AS (SELECT doc_id, text FROM documents),
+        |a AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |st AS (
+        |  SELECT CASE WHEN b.doc_id IS NULL THEN 'added'
+        |       WHEN a.doc_id IS NULL THEN 'removed'
+        |       WHEN b.text IS DISTINCT FROM a.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |  FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM st GROUP BY status ORDER BY status""".stripMargin,
+
     "v6_cusum_shift" ->
       """WITH RECURSIVE hist AS (
         |  SELECT 'r' || lpad(substr(source, 4), 2, '0') AS run_id,
@@ -5847,6 +6034,68 @@ object SparkEntry {
         |         1, 8)
         |       < lpad(lower(to_hex(CAST(floor(w * 4294967296.0)
         |         AS BIGINT))), 8, '0'))
+        |ORDER BY doc_id""".stripMargin,
+
+    // water-filling replay: the saturated set is the maximal prefix
+    // in avail/weight order (each prefix test replays the Scala
+    // loop's exact expression remaining·w/wsum >= avail on exact
+    // integer-valued doubles), the unsaturated fractions are the
+    // same two correctly-rounded divisions, and each row's keep
+    // threshold is the p10 hex recipe on the 'strata' salt
+    "p15_allocate_mix" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text,
+        |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+        |      '[ \t\n\v\f\r]+')) AS ntok
+        |  FROM documents),
+        |aw AS (
+        |  SELECT source, CAST(SUM(ntok) AS BIGINT) AS avail,
+        |    CASE WHEN length(source) = 4 THEN 16.0 ELSE 1.0 END AS w
+        |  FROM tk GROUP BY source),
+        |tot AS (SELECT CAST(SUM(avail) // 2 AS BIGINT) AS b,
+        |  SUM(w) AS wtot FROM aw),
+        |srt AS (
+        |  SELECT source, avail, w,
+        |    row_number() OVER (ORDER BY CAST(avail AS DOUBLE) / w,
+        |      source) AS rn
+        |  FROM aw),
+        |pre AS (
+        |  SELECT *,
+        |    CAST(COALESCE(SUM(avail) OVER (ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pavail,
+        |    COALESCE(SUM(w) OVER (ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+        |      AS pw
+        |  FROM srt),
+        |ok AS (
+        |  SELECT p.*,
+        |    CASE WHEN CAST(t.b - p.pavail AS DOUBLE) * p.w
+        |        / (t.wtot - p.pw) >= p.avail
+        |      THEN 1 ELSE 0 END AS sat_ok
+        |  FROM pre p, tot t),
+        |cut AS (SELECT COALESCE(MIN(rn), 2147483647) AS c
+        |  FROM ok WHERE sat_ok = 0),
+        |sp AS (
+        |  SELECT t.b - COALESCE(SUM(CASE WHEN o.rn < c.c
+        |      THEN o.avail END), 0) AS rem,
+        |    t.wtot - COALESCE(SUM(CASE WHEN o.rn < c.c
+        |      THEN o.w END), 0.0) AS wrem
+        |  FROM ok o, cut c, tot t GROUP BY t.b, t.wtot, c.c),
+        |fr AS (
+        |  SELECT o.source,
+        |    CASE WHEN o.rn < c.c THEN 1.0
+        |      ELSE CAST(sp.rem AS DOUBLE) * o.w / sp.wrem / o.avail
+        |    END AS f
+        |  FROM ok o, cut c, sp)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN fr USING (source)
+        |WHERE fr.f >= 1.0
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR) || chr(0)
+        |       || 'strata'), 1, 8)
+        |     < lpad(lower(to_hex(LEAST(CAST(floor(fr.f * 4294967296.0)
+        |         AS BIGINT), 4294967295))), 8, '0')
         |ORDER BY doc_id""".stripMargin,
 
     "t11_strip_boilerplate" ->

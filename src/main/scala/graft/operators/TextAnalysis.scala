@@ -1364,6 +1364,151 @@ object TextAnalysis {
     best._1
   }
 
+  /** Two-level (group, monotone score-bucket) prefix sums over the
+    * distinct-score frame shared by [[aucReport]] and [[prAucReport]]
+    * — the rank step, re-ranked (round 15) through the
+    * [[Sampling.topQuantilePerKey]] histogram discipline so NO window
+    * ever partitions by the group alone: a `Window.partitionBy(by)`
+    * over distinct scores is a SINGLE task in the ungrouped spelling
+    * and serializes a hot group in the keyed one — at raw-logit
+    * cardinality that task holds the corpus. Here each distinct score
+    * takes a monotone score-range bucket (grid from the per-group
+    * exact min/max; bucket count = shuffle parallelism, value-
+    * irrelevant — buckets only decompose exact integer prefix sums,
+    * so any bucket count gives bit-identical output), cross-bucket
+    * offsets come from a histogram SELF-JOIN over ≤ |groups|·B rows
+    * (deliberately a join, not a window: the plan then contains no
+    * unpartitioned Window node at all — PlanSpec pins this), and the
+    * within-bucket window partitions by (group, bucket), so a hot
+    * group ranks B-way parallel. Like its template, the stats/offset
+    * broadcasts size with |groups|·B — `by` must be a bounded-
+    * cardinality column (source/language shapes; the same contract as
+    * every keyed curation op here). Degenerate grids (one distinct
+    * score, or non-finite span from ±Inf/NaN scores) fall back to a
+    * single bucket — correct, just not bucket-parallel.
+    *
+    * Input: by ++ (__s, __cnt, __pos) — one row per (group, distinct
+    * score), null __s = the group's unknown-rows row. Output: input +
+    * (__pcnt, __ppos) — per-group running sums of __cnt/__pos over
+    * distinct scores ascending (or `desc`ending), `inclusive` of the
+    * current tie block or not. Meaningful for known rows only (the
+    * null-score row rides through its own ≤1-row null-bucket
+    * partition; every consumer guards on __s IS NOT NULL).
+    */
+  private def distinctScorePrefix(grouped: DataFrame, by: Seq[String],
+      desc: Boolean, inclusive: Boolean): DataFrame = {
+    val b = grouped.sparkSession.sessionState.conf.numShufflePartitions
+    val s = col("__s")
+    val known = grouped.filter(s.isNotNull)
+    val stats = (if (by.isEmpty) known.groupBy()
+                 else known.groupBy(by.map(col): _*))
+      .agg(min(s).as("__smin"), max(s).as("__smax"))
+    val joined =
+      if (by.isEmpty) grouped.crossJoin(broadcast(stats))
+      else grouped.join(broadcast(stats), by, "left")
+    val span = col("__smax") - col("__smin")
+    // lazy CaseWhen guards: the grid division only evaluates on a
+    // finite positive span (ANSI floor/cast on a NaN/Inf quotient
+    // would throw); clamps keep s == smax in the last bucket
+    val bucket = when(s.isNull || col("__smin").isNull,
+        lit(null).cast("long"))
+      .when(span > 0.0 && span <= Double.MaxValue,
+        least(lit(b - 1L), greatest(lit(0L),
+          floor((s - col("__smin")) / (span / b)).cast("long"))))
+      .otherwise(lit(0L))
+    val bucketed = joined.withColumn("__b", bucket)
+      .drop("__smin", "__smax")
+    val hist = bucketed.filter(col("__b").isNotNull)
+      .groupBy((by.map(col) :+ col("__b")): _*)
+      .agg(sum(col("__cnt")).as("__hc"), sum(col("__pos")).as("__hp"))
+    val other = hist.select(
+      by.map(n => col(n).as(s"__o_$n")) ++ Seq(col("__b").as("__ob"),
+        col("__hc").as("__ohc"), col("__hp").as("__ohp")): _*)
+    val bCond = if (desc) col("__ob") > col("__b")
+                else col("__ob") < col("__b")
+    val cond = by.map(n => col(n) === col(s"__o_$n"))
+      .foldLeft(bCond)(_ && _)
+    val base = hist.select((by.map(col) :+ col("__b")): _*)
+      .join(broadcast(other), cond, "left")
+      .groupBy((by.map(col) :+ col("__b")): _*)
+      .agg(coalesce(sum(col("__ohc")), lit(0L)).as("__basec"),
+        coalesce(sum(col("__ohp")), lit(0L)).as("__basep"))
+    val w = Window
+      .partitionBy((by.map(col) :+ col("__b")): _*)
+      .orderBy(if (desc) s.desc else s.asc)
+      .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
+    bucketed
+      .join(broadcast(base), by :+ "__b", "left")
+      .withColumn("__pcnt", coalesce(col("__basec"), lit(0L)) +
+        coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      .withColumn("__ppos", coalesce(col("__basep"), lit(0L)) +
+        coalesce(sum(col("__pos")).over(w), lit(0L)))
+      .drop("__b", "__basec", "__basep")
+  }
+
+  /** The KEYED twin of [[chooseThreshold]] — one operating point per
+    * group from a `by=` [[thresholdSweep]], in ONE distributed pass
+    * over the sweep's bounded output (|groups|·|thresholds| rows) —
+    * closing the per-source loop without N driver actions (the
+    * standalone form forced "filter to one group, collect, repeat").
+    * Same selection semantics per group as the standalone: with
+    * `minPrecision` the feasible threshold maximizing RECALL (ties →
+    * higher precision, then lower threshold), with `minRecall` the
+    * one maximizing PRECISION (same tie order) — spelled as one
+    * `max_by` over a lexicographic struct, so each group's pick is
+    * exactly its standalone [[chooseThreshold]]. Groups where NO
+    * swept threshold meets the target surface as a NULL threshold
+    * row (never dropped, never a cross-group fallback) — at N
+    * sources a blanket throw would hide the N−1 healthy picks;
+    * filter `threshold IS NULL` to find the groups that need a wider
+    * sweep. Degenerate rows (NULL precision/recall) are never
+    * feasible; duplicate thresholds within a group (a malformed or
+    * re-unioned sweep) raise at execution, the keyed analogue of the
+    * standalone's duplicate refusal; an EMPTY sweep refuses up front
+    * (one bounded action — the input is selection-sized by
+    * construction).
+    *
+    * @return by ++ (threshold) — one row per group in the sweep
+    */
+  def chooseThresholds(sweep: DataFrame, by: Seq[String],
+                       minPrecision: Option[Double] = None,
+                       minRecall: Option[Double] = None): DataFrame = {
+    require(by.nonEmpty,
+      "chooseThresholds: give the sweep's by= columns (use " +
+        "chooseThreshold for an ungrouped sweep)")
+    require(minPrecision.isDefined != minRecall.isDefined,
+      "chooseThresholds: give exactly one of minPrecision / minRecall")
+    (minPrecision.toSeq ++ minRecall).foreach(v =>
+      require(v >= 0.0 && v <= 1.0,
+        s"chooseThresholds: target must be in [0, 1], got $v"))
+    require(!sweep.isEmpty, "chooseThresholds: empty sweep")
+    val t = col("threshold").cast("double")
+    val p = col("precision")
+    val r = col("recall")
+    val feasible = p.isNotNull && r.isNotNull &&
+      (minPrecision match {
+        case Some(mp) => p >= mp
+        case None     => r >= minRecall.get
+      })
+    // lexicographic pick key: (primary metric, secondary, -threshold)
+    // — max_by over it replays the standalone's tie order; null key
+    // rows (infeasible) are ignored, all-null groups read NULL
+    val key = minPrecision match {
+      case Some(_) => struct(r, p, negate(t))
+      case None    => struct(p, r, negate(t))
+    }
+    sweep
+      .groupBy(by.map(col): _*)
+      .agg(count(t).as("__n"), count_distinct(t).as("__nd"),
+        max_by(when(feasible, t), when(feasible, key)).as("__pick"))
+      .select(by.map(col) :+
+        when(col("__n") =!= col("__nd"),
+          raise_error(lit("chooseThresholds: duplicate thresholds " +
+            "within a group — malformed or re-unioned sweep"))
+            .cast("double"))
+          .otherwise(col("__pick")).as("threshold"): _*)
+  }
+
   /** EXACT ROC-AUC of a scorer against 0/1 labels — the threshold-
     * free quality number (Mann–Whitney U: the probability a random
     * positive outscores a random negative, ties at half credit) that
@@ -1379,12 +1524,14 @@ object TextAnalysis {
     * as `n_unknown`; single-class groups read NULL AUC, never NaN.
     * Per `by` group when given (per-source scorer quality).
     *
-    * Scale: one groupBy(score) shuffle (map-side combined), then a
-    * rank window over DISTINCT scores — one row per distinct value,
-    * bounded for the integer-grid scores this library's scorers
-    * emit (milli-unit sums, logits of bounded-denominator
-    * rationals); quantize a genuinely continuous score first (e.g.
-    * `round(score, 6)`) or the distinct-score table is the corpus.
+    * Scale: one groupBy(score) shuffle (map-side combined), then the
+    * [[distinctScorePrefix]] two-level bucketed rank over DISTINCT
+    * scores — no window ever partitions by the group alone, so the
+    * ungrouped spelling and a hot group both rank B-way parallel
+    * even when the distinct-score table is raw-logit-sized (still
+    * quantize a genuinely continuous score first, e.g.
+    * `round(score, 6)` — a corpus-cardinality distinct table is
+    * parallel now, but it is work the metric does not need).
     * Rank arithmetic overflows int64 past ~2·10⁹ known rows per
     * group — refused at runtime, sample or stratify above it.
     *
@@ -1401,14 +1548,12 @@ object TextAnalysis {
       .groupBy((by.map(col) :+ when(known, sc).as("__s")): _*)
       .agg(count(lit(1)).as("__cnt"),
         count(when(known && y === 1, 1)).as("__pos"))
-    // rank prefix over distinct scores (null/unknown group sorts
-    // LAST so it never offsets the prefix sums)
-    val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("__s").asc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = grouped.withColumn("__cum",
-      coalesce(sum(when(col("__s").isNotNull, col("__cnt")))
-        .over(w), lit(0L)))
+    // exclusive ascending rank prefix over distinct scores, via the
+    // two-level bucketed discipline (known buckets hold known rows
+    // only, so the prefix never needs a null guard)
+    val ranked = distinctScorePrefix(grouped, by,
+        desc = false, inclusive = false)
+      .withColumnRenamed("__pcnt", "__cum")
     val isK = col("__s").isNotNull
     val aggs = Seq(
       sum(col("__cnt")).as("n_rows"),
@@ -1444,18 +1589,26 @@ object TextAnalysis {
     * scores DESCENDING, with P_g/C_g the cumulative positives/rows
     * through the tie block — the step-interpolated area under the
     * precision-recall curve, ties sharing their block's precision.
-    * Each term is ONE division of exact integers
-    * ((pos_g·P_g) / C_g); terms fold in ASCENDING-score order on
-    * both engines (the bm25 ordered-fold discipline — float
-    * addition is order-sensitive, a pinned order makes it
-    * replayable) and one final division by n⁺ closes it. Unknown
-    * rows (null/non-0-1 label, null score) count apart; no-positive
-    * groups read NULL, never NaN. Per `by` group when given.
+    * Each term is quantized to integer NANO-units by exact integer
+    * arithmetic — term_u = (pos_g·P_g div C_g)·10⁹ +
+    * (pos_g·P_g mod C_g)·10⁹ div C_g, every step int64-exact — so
+    * the term sum is a COMMUTATIVE integer sum: order-free,
+    * distributed, map-side combined, and bit-replayable cross-engine
+    * by construction (strictly stronger than the pinned-order float
+    * fold this replaced in round 15, which kept a whole group's
+    * terms in one collect_list buffer to pin the fold order; an
+    * order-free sum needs no order and no buffer). One final
+    * division by 10⁹·n⁺ closes it; the quantization bias is
+    * one-sided and < 10⁻⁹ on the AP (< n⁺ floor losses of 10⁻⁹
+    * each, ÷ n⁺). Unknown rows (null/non-0-1 label, null score)
+    * count apart; no-positive groups read NULL, never NaN. Per `by`
+    * group when given.
     *
     * Scale contract = [[aucReport]]'s: one groupBy(score) shuffle,
-    * rank windows + an ordered term fold over DISTINCT scores
-    * (bounded for integer-grid scores — quantize continuous ones
-    * first), int64-overflow refusal past ~2·10⁹ known rows a group.
+    * the [[distinctScorePrefix]] two-level bucketed rank (no window
+    * partitions by the group alone — ungrouped and hot-group
+    * spellings stay parallel at any distinct-score cardinality),
+    * int64-overflow refusal past ~2·10⁹ known rows a group.
     *
     * @return by ++ (n_rows, n_unknown, n_pos, n_neg, pr_auc)
     */
@@ -1470,19 +1623,23 @@ object TextAnalysis {
         count(when(known && y === 1, 1)).as("__pos"))
     val isK = col("__s").isNotNull
     // cumulative (rows, positives) through each tie block, best
-    // score first; the unknown group sorts LAST and adds nothing
-    val wDesc = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("__s").desc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val ranked = grouped
-      .withColumn("__ccnt",
-        sum(when(isK, col("__cnt"))).over(wDesc))
-      .withColumn("__cpos",
-        sum(when(isK, col("__pos"))).over(wDesc))
-      .withColumn("__term",
-        when(isK && col("__pos") > 0,
-          (col("__pos") * col("__cpos")).cast("double") /
-            col("__ccnt")))
+    // score first — inclusive descending two-level bucketed rank
+    // (known buckets hold known rows only; the null-score row rides
+    // its own ≤1-row partition and every consumer guards on isK)
+    val ranked0 = distinctScorePrefix(grouped, by,
+        desc = true, inclusive = true)
+      .withColumnRenamed("__pcnt", "__ccnt")
+      .withColumnRenamed("__ppos", "__cpos")
+    // nano-unit integer term: (pos·P div C)·1e9 + (pos·P mod C)·1e9
+    // div C — each step int64-exact under the 2e9 refusal (pos·P ≤
+    // 4e18, quotient ≤ pos ≤ 2e9 so q·1e9 ≤ 2e18, remainder < C ≤
+    // 2e9 so r·1e9 ≤ 2e18); the lazy when() keeps the div off the
+    // term-free rows
+    val ranked = ranked0
+      .withColumn("__pp", col("__pos") * col("__cpos"))
+      .withColumn("__tu", when(isK && col("__pos") > 0,
+        expr("(__pp div __ccnt) * 1000000000L + " +
+          "(pmod(__pp, __ccnt) * 1000000000L) div __ccnt")))
     val aggs = Seq(
       sum(col("__cnt")).as("n_rows"),
       coalesce(sum(when(!isK, col("__cnt"))), lit(0L))
@@ -1490,10 +1647,9 @@ object TextAnalysis {
       coalesce(sum(when(isK, col("__pos"))), lit(0L)).as("n_pos"),
       coalesce(sum(when(isK, col("__cnt") - col("__pos"))), lit(0L))
         .as("n_neg"),
-      // collect_list skips the null terms (unknown / pos-free
-      // groups); bounded: ≤ one element per distinct score
-      sort_array(collect_list(when(col("__term").isNotNull,
-        struct(col("__s"), col("__term"))))).as("__terms"))
+      // order-free exact integer sum (≤ n⁺·1e9 ≤ 2e18, inside
+      // int64); sum skips the null terms (unknown / pos-free rows)
+      coalesce(sum(col("__tu")), lit(0L)).as("__tsum"))
     val agged =
       if (by.isEmpty) ranked.agg(aggs.head, aggs.drop(1): _*)
       else ranked.groupBy(by.map(col): _*).agg(aggs.head, aggs.drop(1): _*)
@@ -1503,8 +1659,7 @@ object TextAnalysis {
           "int64 past ~2e9 known rows per group — sample or " +
           "stratify first")).cast("double"))
       .when(np === 0, lit(null).cast("double"))
-      .otherwise(aggregate(col("__terms"), lit(0.0),
-        (acc, x) => acc + x.getField("__term")) / np)
+      .otherwise(col("__tsum").cast("double") / (lit(1.0e9) * np))
     agged.select(by.map(col) ++ Seq(col("n_rows"), col("n_unknown"),
       np, col("n_neg"), prAuc.as("pr_auc")): _*)
   }
@@ -1525,10 +1680,16 @@ object TextAnalysis {
     * determined doubles. Everything hash-replays. Null labels/probs
     * and probs outside [0, 1] count apart as the `n_unknown` of a
     * null-bin row, never silently binned. Feed the rows to [[ece]]
-    * for the one-number summary.
+    * ([[eceBy]] when keyed) for the one-number summary.
+    *
+    * Per `by` group when given (round 15 — the per-source twin every
+    * sibling metric already had: per-source reliability is how a
+    * confidence-weighted mixture is actually audited), from the SAME
+    * one aggregation pass keyed (by..., bin).
     */
   def calibrationReport(df: DataFrame, labelCol: String,
-                        probCol: String, nBins: Int = 10)
+                        probCol: String, nBins: Int = 10,
+                        by: Seq[String] = Seq.empty)
       : DataFrame = {
     require(nBins >= 1, s"calibrationReport: need nBins >= 1")
     val y = col(labelCol).cast("int")
@@ -1537,13 +1698,13 @@ object TextAnalysis {
       p >= 0.0 && p <= 1.0
     val bin = when(known,
       least(floor(p * lit(nBins)).cast("int"), lit(nBins - 1)))
-    df.groupBy(bin.as("bin"))
+    df.groupBy((by.map(col) :+ bin.as("bin")): _*)
       .agg(count(lit(1)).as("n"),
         count(when(y === 1 && known, 1)).as("n_pos"),
         coalesce(sum(when(known,
           floor(p * lit(1000000.0) + lit(0.5)).cast("long"))),
           lit(0L)).as("__sp"))
-      .select(col("bin"),
+      .select(by.map(col) ++ Seq(col("bin"),
         (col("bin").cast("double") / lit(nBins)).as("bin_lo"),
         col("n"), col("n_pos"),
         when(col("bin").isNull, lit(null).cast("double"))
@@ -1551,15 +1712,45 @@ object TextAnalysis {
           .as("frac_pos"),
         when(col("bin").isNull, lit(null).cast("double"))
           .otherwise(col("__sp").cast("double") /
-            (lit(1000000.0) * col("n"))).as("mean_prob"))
+            (lit(1000000.0) * col("n"))).as("mean_prob")): _*)
       .withColumn("gap", col("mean_prob") - col("frac_pos"))
-      .orderBy(col("bin").asc_nulls_last)
+      .orderBy((by.map(col) :+ col("bin").asc_nulls_last): _*)
+  }
+
+  /** The keyed twin of [[ece]]: one Expected Calibration Error row
+    * per group from a keyed [[calibrationReport]] — the same
+    * bin-ordered fold (Σ_b (n_b/N)·|gap_b|, division before
+    * multiplication, exactly the scalar form's arithmetic, so each
+    * group's value is bit-identical to its standalone [[ece]]),
+    * spelled as a per-group sorted-array fold: the bin table is
+    * ≤ nBins + 1 rows per group BY CONSTRUCTION, so the fold buffer
+    * is caller-bounded, not data-bounded. Groups with no known rows
+    * read 0.0, like the scalar form.
+    *
+    * @return by ++ (ece)
+    */
+  def eceBy(report: DataFrame, by: Seq[String]): DataFrame = {
+    require(by.nonEmpty,
+      "eceBy: give the report's by= columns (use ece for an " +
+        "ungrouped report)")
+    val isK = col("bin").isNotNull
+    report
+      .groupBy(by.map(col): _*)
+      .agg(coalesce(sum(when(isK, col("n"))), lit(0L)).as("__nk"),
+        sort_array(collect_list(when(isK,
+          struct(col("bin"), col("n"), col("gap"))))).as("__bins"))
+      .select(by.map(col) :+
+        when(col("__nk") === 0, lit(0.0))
+          .otherwise(aggregate(col("__bins"), lit(0.0), (acc, x) =>
+            acc + x.getField("n").cast("double") / col("__nk") *
+              abs(x.getField("gap")))).as("ece"): _*)
   }
 
   /** Expected Calibration Error from a [[calibrationReport]] output:
     * ECE = Σ_b (n_b / N)·|gap_b| over known bins, folded in bin
     * order on the driver (bounded: ≤ nBins + 1 rows) — the scalar
     * the re-calibration loop optimizes. 0 when no known rows.
+    * Keyed reports → [[eceBy]].
     */
   def ece(report: DataFrame): Double = {
     // bounded artifact: one row per bin
@@ -1649,6 +1840,30 @@ object TextAnalysis {
     * of ONLY hot terms matches nothing. Default `None` = classic
     * full BM25.
     */
+  /** Plan-time |Q| counts memoized per query-frame plan (the
+    * column-pruned id projection's semanticHash): the regime gate
+    * below only picks a JOIN STRATEGY — output is identical in both
+    * regimes — so a stale hit after an in-place rewrite of the same
+    * source is harmless, and repeated scoring calls over the same
+    * eval suite stop paying one count job each. Bounded at 64
+    * entries (cleared, not LRU — the map is a handful of longs).
+    */
+  private val qCountCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+  private def countQueriesOnce(queries: DataFrame,
+                               queryIdCol: String): Long = {
+    val ids = queries.select(col(queryIdCol))
+    val key = ids.queryExecution.analyzed.semanticHash()
+    val cached = qCountCache.get(key)
+    if (cached != null) cached.longValue()
+    else {
+      val n = ids.count()
+      if (qCountCache.size() >= 64) qCountCache.clear()
+      qCountCache.put(key, n)
+      n
+    }
+  }
+
   def bm25ScoresMany(corpus: DataFrame, idCol: String,
                      textCol: String, queries: DataFrame,
                      queryIdCol: String, queryTextCol: String,
@@ -1679,10 +1894,12 @@ object TextAnalysis {
     // per-term stat sides stay one-row-per-key, so no row blowup)
     // and nothing query-batch-sized sits on the driver. Output
     // identical in both regimes. The decision reads ONE
-    // column-pruned count of the query ids (no tokenize/explode) —
-    // pass |Q| via knownQueryCount to skip even that.
+    // column-pruned count of the query ids (no tokenize/explode),
+    // memoized per query-frame plan so repeated calls over the same
+    // eval suite (bm25TopK, sweeps) pay it once — pass |Q| via
+    // knownQueryCount to skip even the first.
     val smallQ = knownQueryCount.getOrElse(
-      queries.select(col(queryIdCol)).count()) <= broadcastMaxQueries
+      countQueriesOnce(queries, queryIdCol)) <= broadcastMaxQueries
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (smallQ) broadcast(df) else df
     // corpus-wide stats: one tiny agg (N, Σdl)

@@ -635,16 +635,22 @@ object Validate {
       require(current.columns.contains(c),
         s"anomalies: current has no '$c' column")
     }
+    // fresh-alias stat sides + explicit join keys: view-backed
+    // histories (streaming memory-sink tables) otherwise trip
+    // Spark's self-join dedup — see [[changePoints]]
     val meds = history.filter(col("value").isNotNull)
       .groupBy(col("check_name"))
       .agg(count(lit(1)).as("n_runs"),
         percentile(col("value"), lit(0.5)).as("median_value"))
+      .toDF("__m_check", "n_runs", "median_value")
     val mads = history.filter(col("value").isNotNull)
-      .join(broadcast(meds), Seq("check_name"))
+      .join(broadcast(meds), col("check_name") === col("__m_check"))
       .groupBy(col("check_name"))
       .agg(percentile(abs(col("value") - col("median_value")),
         lit(0.5)).as("mad"))
-    val stats = meds.join(mads, Seq("check_name"))
+      .toDF("__d_check", "mad")
+    val stats = meds.join(mads, col("__m_check") === col("__d_check"))
+      .withColumnRenamed("__m_check", "check_name").drop("__d_check")
     val v = col("value")
     val med = col("median_value")
     val mad = col("mad")
@@ -702,24 +708,41 @@ object Validate {
       require(history.columns.contains(c),
         s"changePoints: history has no '$c' column"))
     val known = history.filter(col("value").isNotNull)
+    // the stats sides rename through fresh aliases (toDF mints new
+    // expression ids) and join on explicit equalities: a history
+    // read through a VIEW (e.g. a streaming memory-sink table)
+    // otherwise trips Spark's self-join deduplication
+    // (INTERNAL_ERROR: conflicting references) — same rows,
+    // conflict-proof plan
+    val mn = by.map("__m_" + _)
+    val dn = by.map("__d_" + _)
+    def keyCond(right: Seq[String]) =
+      by.zip(right).map { case (a, b) => col(a) === col(b) }
+        .reduce(_ && _)
     val meds = known.groupBy(by.map(col): _*)
       .agg(count(lit(1)).as("n_runs"),
         percentile(col("value"), lit(0.5)).as("median_value"))
+      .toDF(mn ++ Seq("n_runs", "median_value"): _*)
     val mads = known
-      .join(broadcast(meds), by)
+      .join(broadcast(meds), keyCond(mn))
       .groupBy(by.map(col): _*)
       .agg(percentile(abs(col("value") - col("median_value")),
         lit(0.5)).as("mad"))
+      .toDF(dn ++ Seq("mad"): _*)
     val med = col("median_value")
     val mad = col("mad")
     val grouped = known
       .groupBy(by.map(col): _*)
       .agg(sort_array(collect_list(struct(col(seqCol).as("seq"),
         col("value").as("v")))).as("__seq"))
-      .join(broadcast(meds.join(mads, by)), by)
+      .join(broadcast(meds), keyCond(mn))
+      .join(broadcast(mads), keyCond(dn))
+      .drop((mn ++ dn): _*)
       .withColumn("__z",
-        // MAD = 0 nulls the whole z sequence up front (ANSI divide
-        // would throw); every downstream consumer is null-guarded
+        // MAD = 0 nulls the whole z sequence up front for NULL
+        // semantics / cross-engine replay (a double 0-divide yields
+        // ±Inf under ANSI, which would otherwise propagate through
+        // the fold); every downstream consumer is null-guarded
         when(mad.isNull || mad === 0.0,
           lit(null).cast("array<double>"))
           .otherwise(transform(col("__seq"), x =>
@@ -764,16 +787,27 @@ object Validate {
     * verdict (null passed — empty window / all-null column: the
     * drop's shape is off even if no threshold strictly failed),
     * "ok" otherwise — so validation rows feed the same alerting
-    * sink as the monitor family's [[Drift.alarms]] output. Pure
-    * stateless projection; refuses frames without a `passed` column.
+    * sink as the monitor family's [[Drift.alarms]] output. Also
+    * grades [[changePoints]] rows (round 15 — the slow-creep alarm
+    * routes through the same severity sink as every other monitor):
+    * on a frame with `is_shift` and no `passed`, is_shift = true →
+    * "alert", NULL verdict (under-minRuns history: insufficient
+    * evidence, not a pass) → "warn", false → "ok". A frame carrying
+    * BOTH columns grades `passed` (it is a validation report that
+    * happens to carry a shift column — the explicit verdict wins).
+    * Pure stateless projection; refuses frames with neither column.
     */
   def severity(df: DataFrame): DataFrame = {
-    require(df.columns.contains("passed"),
-      "severity: no 'passed' column — apply to a Validate.report / " +
-        "validationMonitor output")
+    require(df.columns.contains("passed") ||
+      df.columns.contains("is_shift"),
+      "severity: no 'passed' or 'is_shift' column — apply to a " +
+        "Validate.report / validationMonitor / changePoints output")
+    val verdict =
+      if (df.columns.contains("passed")) col("passed")
+      else !col("is_shift")
     df.withColumn("severity",
-      when(col("passed").isNull, "warn")
-        .when(col("passed"), "ok").otherwise("alert"))
+      when(verdict.isNull, "warn")
+        .when(verdict, "ok").otherwise("alert"))
   }
 
   /** Gate form: run the suite and THROW (IllegalStateException

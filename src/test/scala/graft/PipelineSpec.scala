@@ -3385,15 +3385,24 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
   test("prAucReport: hand-worked average precision with ties, " +
       "perfect=1, all-positive=1, no-positive NULL, unknowns apart, " +
       "per-group isolation, partitioning determinism") {
+    // nano-unit term exactly as the operator computes it: the
+    // expected values below are hand-worked through the SAME integer
+    // quantization (floor at 1e-9 per term), so every assert stays ==
+    def tu(pos: Long, cpos: Long, ccnt: Long): Long =
+      (pos * cpos / ccnt) * 1000000000L +
+        (pos * cpos % ccnt) * 1000000000L / ccnt
+    def ap(nPos: Long, terms: Long*): Double =
+      terms.sum.toDouble / (1.0e9 * nPos)
     // desc blocks: 0.9 (1 pos of 1) → P=1/1; 0.8 (neg); 0.7 (pos) →
-    // P=2/3; 0.1 (neg). AP = (1·1/1 + 1·2/3)/2 = 5/6
+    // P=2/3; 0.1 (neg). AP = (1·1/1 + 1·2/3)/2 ≈ 5/6 (nano-quantized)
     val df = Seq((1, 0.9), (0, 0.8), (1, 0.7), (0, 0.1))
       .toDF("y", "s")
     val r = TextAnalysis.prAucReport(df, "y", "s").collect().head
     assert((r.getAs[Long]("n_rows"), r.getAs[Long]("n_unknown"),
       r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg")) ==
       ((4L, 0L, 2L, 2L)))
-    assert(r.getAs[Double]("pr_auc") == (1.0 + 2.0 / 3.0) / 2.0)
+    assert(r.getAs[Double]("pr_auc") == ap(2, tu(1, 1, 1), tu(1, 2, 3)))
+    assert(math.abs(r.getAs[Double]("pr_auc") - 5.0 / 6.0) < 1e-9)
     val r13 = TextAnalysis.prAucReport(df.repartition(13, $"s"),
       "y", "s").collect().head
     assert(r13.getAs[Double]("pr_auc") == r.getAs[Double]("pr_auc"))
@@ -3422,7 +3431,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val byRows = TextAnalysis.prAucReport(grouped, "y", "s",
         by = Seq("src")).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("pr_auc")).toMap
-    assert(byRows("a") == (1.0 + 2.0 / 3.0) / 2.0)
+    assert(byRows("a") == ap(2, tu(1, 1, 1), tu(1, 2, 3)))
     assert(byRows("b") == 0.5) // the one positive ranks 2nd of 2
   }
 
@@ -3539,5 +3548,100 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       TextAnalysis.chooseThreshold(keyedish, minPrecision = Some(0.5))
     }
     assert(dup.getMessage.contains("keyed"))
+  }
+
+  test("chooseThresholds (keyed): per-group pick ≡ each group's " +
+      "standalone chooseThreshold, infeasible groups surface as " +
+      "NULL rows, duplicates/empty/misuse refused") {
+    // two sources with opposite score quality: a real keyed sweep
+    val scored = Seq(
+      ("a", 1, 0.9), ("a", 1, 0.6), ("a", 0, 0.4), ("a", 0, 0.2),
+      ("b", 1, 0.3), ("b", 0, 0.8), ("b", 0, 0.6), ("b", 1, 0.7))
+      .toDF("src", "y", "s")
+    val ts = Seq(0.1, 0.35, 0.5, 0.65)
+    val sweep = TextAnalysis.thresholdSweep(scored, "y", "s", ts,
+      by = Seq("src"))
+    for ((mp, mr) <- Seq((Some(0.6), None),
+        (None, Some(0.5)), (Some(0.4), None))) {
+      val got = TextAnalysis.chooseThresholds(sweep, Seq("src"),
+          minPrecision = mp, minRecall = mr).collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      for (g <- Seq("a", "b")) {
+        val solo = sweep.filter($"src" === g).drop("src")
+        val want =
+          try Some(TextAnalysis.chooseThreshold(solo,
+            minPrecision = mp, minRecall = mr))
+          catch { case _: IllegalArgumentException => None }
+        assert(got(g) == want,
+          s"group $g (mp=$mp mr=$mr): got ${got(g)} want $want")
+      }
+    }
+    // a group NO swept threshold can satisfy reads NULL, the healthy
+    // group still gets its pick (no blanket throw, no cross-group pick)
+    val hard = TextAnalysis.chooseThresholds(sweep, Seq("src"),
+        minPrecision = Some(0.99)).collect()
+      .map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(hard("b"), "infeasible group must read NULL")
+    // misuse refusals
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chooseThresholds(sweep, Seq.empty,
+        minPrecision = Some(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chooseThresholds(sweep, Seq("src"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chooseThresholds(sweep.filter(lit(false)),
+        Seq("src"), minPrecision = Some(0.5))
+    }
+    // duplicate thresholds WITHIN a group (re-unioned sweep) raise
+    // at execution
+    val e = intercept[Exception] {
+      TextAnalysis.chooseThresholds(sweep.unionByName(sweep),
+        Seq("src"), minPrecision = Some(0.5)).collect()
+    }
+    assert(e.getMessage.contains("duplicate thresholds"))
+  }
+
+  test("calibrationReport by= / eceBy: per-group rows and ECE are " +
+      "bit-identical to each group's standalone report, groups " +
+      "never mix, misuse refused") {
+    val rows = Seq(
+      ("a", Some(0), Some(0.05)), ("a", Some(0), Some(0.15)),
+      ("a", Some(1), Some(0.95)), ("a", Some(1), Some(1.0)),
+      ("a", None, Some(0.5)),
+      ("b", Some(1), Some(0.05)), ("b", Some(0), Some(0.95)),
+      ("b", Some(1), Some(0.55)), ("b", Some(0), Option.empty[Double]))
+    val df = rows.toDF("src", "y", "p")
+    val keyed = TextAnalysis.calibrationReport(df, "y", "p",
+      nBins = 10, by = Seq("src"))
+    assert(keyed.columns.take(2).toSeq == Seq("src", "bin"))
+    val eces = TextAnalysis.eceBy(keyed, Seq("src")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = TextAnalysis.calibrationReport(
+        df.filter($"src" === g), "y", "p", nBins = 10)
+      val soloRows = solo.collect().map(r =>
+        (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.toSeq.toList)
+        .toMap
+      val keyedRows = keyed.filter($"src" === g).drop("src")
+        .collect().map(r =>
+          (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.toSeq.toList)
+        .toMap
+      assert(keyedRows == soloRows, s"group $g bins differ")
+      assert(eces(g) == TextAnalysis.ece(solo),
+        s"group $g: eceBy must be bit-identical to standalone ece")
+    }
+    // a group with no known rows reads ece 0.0, like the scalar form
+    val blank = Seq(("c", Option.empty[Int], Some(0.5)))
+      .toDF("src", "y", "p")
+    val blankRep = TextAnalysis.calibrationReport(blank, "y", "p",
+      nBins = 10, by = Seq("src"))
+    assert(TextAnalysis.eceBy(blankRep, Seq("src"))
+      .collect().head.getDouble(1) == 0.0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.eceBy(keyed, Seq.empty)
+    }
   }
 }

@@ -201,21 +201,41 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("aucReport / prAucReport: one grouped pass + rank window(s) " +
-      "over DISTINCT scores, no join, no corpus re-scan") {
+  test("aucReport / prAucReport: grouped pass + two-level bucketed " +
+      "rank — NO window ever partitions by the group alone (the " +
+      "ungrouped spelling has no single-partition Window; the keyed " +
+      "one always adds the score bucket), joins are broadcast-only") {
     import spark.implicits._
     import graft.operators.TextAnalysis
     val df = Seq((1, 0.5), (0, 0.2), (1, 0.2)).toDF("y", "s")
-    for ((name, rep) <- Seq(
-        "auc" -> TextAnalysis.aucReport(df, "y", "s"),
-        "prAuc" -> TextAnalysis.prAucReport(df, "y", "s"))) {
+    val keyed = Seq(("a", 1, 0.5), ("a", 0, 0.2), ("b", 1, 0.2))
+      .toDF("src", "y", "s")
+    for ((name, rep, nBy) <- Seq(
+        ("auc", TextAnalysis.aucReport(df, "y", "s"), 0),
+        ("prAuc", TextAnalysis.prAucReport(df, "y", "s"), 0),
+        ("auc by", TextAnalysis.aucReport(keyed, "y", "s",
+          by = Seq("src")), 1),
+        ("prAuc by", TextAnalysis.prAucReport(keyed, "y", "s",
+          by = Seq("src")), 1))) {
+      val wins = rep.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.nonEmpty, s"$name ranks via within-bucket windows")
+      wins.foreach { w =>
+        assert(w.partitionSpec.size > nBy,
+          s"$name has a Window partitioned by the group alone " +
+            s"(${w.partitionSpec}) — the single-task rank shape:\n" +
+            rep.queryExecution.optimizedPlan)
+      }
       val p = rep.queryExecution.executedPlan.toString
-      assert(!p.contains("Join"), s"$name must not join:\n$p")
-      assert(p.contains("Window"),
-        s"$name ranks via a window over the grouped frame:\n$p")
       assert(p.contains("partial_"),
         s"$name needs map-side partial aggregation on the " +
           s"distinct-score group:\n$p")
+      // histogram offsets/stats ship broadcast; the only shuffle
+      // joins allowed would be corpus-sized — there are none
+      assert(!p.contains("SortMergeJoin") &&
+        !p.contains("ShuffledHashJoin"),
+        s"$name joins must all be broadcast (histogram-sized):\n$p")
     }
   }
 }

@@ -375,12 +375,16 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         }
         val want = ap / np
         val pr = got.getAs[Double]("pr_auc")
-        assert(math.abs(pr - want) < 1e-12,
+        // nano-unit term quantization: floor bias < 1e-9 (plus last-
+        // ulp noise in the brute-force double fold itself)
+        assert(math.abs(pr - want) < 1e-9,
           s"trial $trial: pr_auc=$pr brute=$want")
         assert(pr > 0.0 && pr <= 1.0)
+        // AP is a rank statistic over INTEGER quantized terms: a
+        // strictly monotone transform leaves it bit-identical
         val warped = df.withColumn("s", exp($"s"))
-        assert(math.abs(TextAnalysis.prAucReport(warped, "y", "s")
-          .collect().head.getAs[Double]("pr_auc") - pr) < 1e-12,
+        assert(TextAnalysis.prAucReport(warped, "y", "s")
+          .collect().head.getAs[Double]("pr_auc") == pr,
           s"trial $trial: monotone transform moved the AP")
       }
     }

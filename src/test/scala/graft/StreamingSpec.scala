@@ -825,6 +825,80 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("changePoints → severity → sinkAlerts over a STREAMING-" +
+      "accumulated monitor history: the slow-creep alarm routes " +
+      "through the same severity sink as every other monitor, and " +
+      "the streaming-built history grades identically to the batch " +
+      "twin") {
+    import graft.operators.Validate
+    import graft.operators.Validate._
+    val suite = Seq(MeanBetween("reading", 0.0, 1000.0))
+    // ten 10-second runs: six calm around 10, four shifted around 30
+    val rows = (0 until 10).flatMap { w =>
+      val base = if (w >= 6) 30.0 else 10.0
+      Seq(Measurement(w * 10000L + 1000, s"a$w", base - 1.0 + (w % 2)),
+        Measurement(w * 10000L + 2000, s"b$w", base + 1.0))
+    }
+    def runId(df: org.apache.spark.sql.DataFrame) = df.select(
+      concat(lit("r"), lpad((unix_millis(col("window_start_time"))
+        / 10000).cast("long").cast("string"), 2, "0")).as("run_id"),
+      col("check_name"), col("value"))
+    val input = MemoryStream[Measurement](spark)
+    val ds = DataStream(
+      input.toDF.withColumn("ts", timestamp_millis($"occurred_at_ms")),
+      "ts")
+    val q = ds.validationMonitor(suite, "10 seconds")
+      .sinkMemory("cusum_hist_out")
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(Measurement(200000L, "z", 0.0)) // flush watermark
+      q.processAllAvailable()
+      val hist = runId(spark.table("cusum_hist_out"))
+      val graded = Validate.severity(
+        Validate.changePoints(hist, k = 0.5, h = 2.0))
+      val byRun = graded.orderBy("run_id").collect()
+      // severity is exactly the is_shift verdict's grade
+      byRun.foreach { r =>
+        val want =
+          if (r.isNullAt(r.fieldIndex("is_shift"))) "warn"
+          else if (r.getAs[Boolean]("is_shift")) "alert" else "ok"
+        assert(r.getAs[String]("severity") == want,
+          s"run ${r.getAs[String]("run_id")}")
+      }
+      val shiftRuns = byRun
+        .filter(r => !r.isNullAt(r.fieldIndex("is_shift")) &&
+          r.getAs[Boolean]("is_shift"))
+        .map(_.getAs[String]("run_id")).toList.sorted
+      assert(shiftRuns.nonEmpty,
+        "the planted shift must raise at least one alert")
+      // ...and only the shifted runs reach the alert hook
+      var routed: List[String] = null
+      val none = DataStream(graded, "run_id")
+        .sinkAlerts("alert") { (b, id) =>
+          assert(id == -1L)
+          routed = b.select(col("run_id")).as[String]
+            .collect().toList.sorted
+        }
+      assert(none.isEmpty)
+      assert(routed == shiftRuns,
+        s"sink must route exactly the shifted runs: $routed vs " +
+          s"$shiftRuns")
+      // batch twin: the same rows through the batch monitor build
+      // the same history and grade identically, row for row (the
+      // flush row stays out — its window never closes in the stream)
+      val histB = runId(DataStream(rows.toDF
+          .withColumn("ts", timestamp_millis($"occurred_at_ms")), "ts")
+        .validationMonitor(suite, "10 seconds").df)
+      val gradedB = Validate.severity(
+        Validate.changePoints(histB, k = 0.5, h = 2.0))
+      assert(graded.orderBy("run_id").collect().map(_.toSeq).toList ==
+        gradedB.orderBy("run_id").collect().map(_.toSeq).toList,
+        "streaming- and batch-accumulated histories must grade " +
+          "identically")
+    } finally q.stop()
+  }
+
   test("categoryDriftMonitor: per-window mix vs frozen category " +
       "fractions, unseen categories pool to __other__") {
     val (input, ds) = measurementStream()

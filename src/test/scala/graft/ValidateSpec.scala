@@ -615,6 +615,18 @@ class ValidateSpec extends AnyFunSuite with SparkSpec {
       Validate.severity(allNull)
     }
     assert(e.getMessage.contains("passed"))
+    // changePoints rows grade through the same sink column:
+    // is_shift true → alert, NULL verdict → warn, false → ok
+    val shifts = Seq((Some(true), "r1"), (Some(false), "r2"),
+      (Option.empty[Boolean], "r3")).toDF("is_shift", "run_id")
+    assert(Validate.severity(shifts).collect()
+      .map(r => r.getString(1) -> r.getAs[String]("severity")).toMap ==
+      Map("r1" -> "alert", "r2" -> "ok", "r3" -> "warn"))
+    // a frame carrying BOTH grades the explicit verdict
+    val both = Seq((Some(true), Some(true)), (Some(false), Some(false)))
+      .toDF("passed", "is_shift")
+    assert(Validate.severity(both).collect()
+      .map(_.getAs[String]("severity")).toSeq == Seq("ok", "alert"))
   }
 
   test("end-to-end validation lifecycle: profile a healthy drop → " +
