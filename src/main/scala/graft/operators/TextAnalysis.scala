@@ -1400,12 +1400,22 @@ object TextAnalysis {
     val b = grouped.sparkSession.sessionState.conf.numShufflePartitions
     val s = col("__s")
     val known = grouped.filter(s.isNotNull)
+    // every group-key equality below is NULL-SAFE (<=>): a NULL by
+    // value is a legitimate group (groupBy keeps it), and a plain
+    // equality would silently drop its stats/offsets — wrong prefix
+    // sums instead of an error; the right-side keys rename through
+    // fresh aliases so the self-referential joins stay conflict-proof
+    def keyCond(right: Seq[String]) =
+      by.zip(right).map { case (a, r) => col(a) <=> col(r) }
+    val sn = by.map("__s_" + _)
     val stats = (if (by.isEmpty) known.groupBy()
                  else known.groupBy(by.map(col): _*))
       .agg(min(s).as("__smin"), max(s).as("__smax"))
+      .toDF(sn ++ Seq("__smin", "__smax"): _*)
     val joined =
       if (by.isEmpty) grouped.crossJoin(broadcast(stats))
-      else grouped.join(broadcast(stats), by, "left")
+      else grouped.join(broadcast(stats),
+        keyCond(sn).reduce(_ && _), "left").drop(sn: _*)
     val span = col("__smax") - col("__smin")
     // lazy CaseWhen guards: the grid division only evaluates on a
     // finite positive span (ANSI floor/cast on a NaN/Inf quotient
@@ -1421,24 +1431,30 @@ object TextAnalysis {
     val hist = bucketed.filter(col("__b").isNotNull)
       .groupBy((by.map(col) :+ col("__b")): _*)
       .agg(sum(col("__cnt")).as("__hc"), sum(col("__pos")).as("__hp"))
+    val on = by.map("__o_" + _)
     val other = hist.select(
-      by.map(n => col(n).as(s"__o_$n")) ++ Seq(col("__b").as("__ob"),
-        col("__hc").as("__ohc"), col("__hp").as("__ohp")): _*)
+      by.zip(on).map { case (n, o) => col(n).as(o) } ++
+        Seq(col("__b").as("__ob"),
+          col("__hc").as("__ohc"), col("__hp").as("__ohp")): _*)
     val bCond = if (desc) col("__ob") > col("__b")
                 else col("__ob") < col("__b")
-    val cond = by.map(n => col(n) === col(s"__o_$n"))
-      .foldLeft(bCond)(_ && _)
+    val cond = keyCond(on).foldLeft(bCond)(_ && _)
+    val bn = by.map("__g_" + _)
     val base = hist.select((by.map(col) :+ col("__b")): _*)
       .join(broadcast(other), cond, "left")
       .groupBy((by.map(col) :+ col("__b")): _*)
       .agg(coalesce(sum(col("__ohc")), lit(0L)).as("__basec"),
         coalesce(sum(col("__ohp")), lit(0L)).as("__basep"))
+      .toDF(bn ++ Seq("__gb", "__basec", "__basep"): _*)
     val w = Window
       .partitionBy((by.map(col) :+ col("__b")): _*)
       .orderBy(if (desc) s.desc else s.asc)
       .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
     bucketed
-      .join(broadcast(base), by :+ "__b", "left")
+      .join(broadcast(base),
+        (keyCond(bn) :+ (col("__b") <=> col("__gb"))).reduce(_ && _),
+        "left")
+      .drop(bn: _*).drop("__gb")
       .withColumn("__pcnt", coalesce(col("__basec"), lit(0L)) +
         coalesce(sum(col("__cnt")).over(w), lit(0L)))
       .withColumn("__ppos", coalesce(col("__basep"), lit(0L)) +
@@ -1840,30 +1856,6 @@ object TextAnalysis {
     * of ONLY hot terms matches nothing. Default `None` = classic
     * full BM25.
     */
-  /** Plan-time |Q| counts memoized per query-frame plan (the
-    * column-pruned id projection's semanticHash): the regime gate
-    * below only picks a JOIN STRATEGY — output is identical in both
-    * regimes — so a stale hit after an in-place rewrite of the same
-    * source is harmless, and repeated scoring calls over the same
-    * eval suite stop paying one count job each. Bounded at 64
-    * entries (cleared, not LRU — the map is a handful of longs).
-    */
-  private val qCountCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
-  private def countQueriesOnce(queries: DataFrame,
-                               queryIdCol: String): Long = {
-    val ids = queries.select(col(queryIdCol))
-    val key = ids.queryExecution.analyzed.semanticHash()
-    val cached = qCountCache.get(key)
-    if (cached != null) cached.longValue()
-    else {
-      val n = ids.count()
-      if (qCountCache.size() >= 64) qCountCache.clear()
-      qCountCache.put(key, n)
-      n
-    }
-  }
-
   def bm25ScoresMany(corpus: DataFrame, idCol: String,
                      textCol: String, queries: DataFrame,
                      queryIdCol: String, queryTextCol: String,
@@ -1894,12 +1886,14 @@ object TextAnalysis {
     // per-term stat sides stay one-row-per-key, so no row blowup)
     // and nothing query-batch-sized sits on the driver. Output
     // identical in both regimes. The decision reads ONE
-    // column-pruned count of the query ids (no tokenize/explode),
-    // memoized per query-frame plan so repeated calls over the same
-    // eval suite (bm25TopK, sweeps) pay it once — pass |Q| via
-    // knownQueryCount to skip even the first.
+    // column-pruned count of the query ids (no tokenize/explode)
+    // PER CALL, deliberately unmemoized: the same plan re-read
+    // after the underlying table grows would replay a stale "small"
+    // verdict and broadcast an oversized query side — a job-failure
+    // mode, unlike the count's bounded cost. Repeated callers over
+    // a frame they know pass |Q| via knownQueryCount and skip it.
     val smallQ = knownQueryCount.getOrElse(
-      countQueriesOnce(queries, queryIdCol)) <= broadcastMaxQueries
+      queries.select(col(queryIdCol)).count()) <= broadcastMaxQueries
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (smallQ) broadcast(df) else df
     // corpus-wide stats: one tiny agg (N, Σdl)

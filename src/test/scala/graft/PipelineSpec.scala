@@ -3380,6 +3380,27 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         by = Seq("src")).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("auc")).toMap
     assert(byRows == Map("a" -> 1.0, "b" -> 0.0))
+    // a NULL group key is a legitimate group: its stats/offsets must
+    // null-safe-join back (a plain equality would silently corrupt
+    // the prefix sums), with unknown rows counted apart as usual
+    val nullKeyed = Seq(
+      (Option.empty[String], Some(1), Some(0.5)),
+      (Option.empty[String], Some(0), Some(0.2)),
+      (Option.empty[String], Option.empty[Int], Some(0.1)),
+      (Some("a"), Some(1), Some(0.9)), (Some("a"), Some(0), Some(0.95)))
+      .toDF("src", "y", "s")
+    val nk = TextAnalysis.aucReport(nullKeyed, "y", "s",
+        by = Seq("src")).collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getAs[Long]("n_unknown"), r.getAs[Double]("auc"))).toMap
+    assert(nk(None) == ((1L, 1.0)),
+      s"null group must equal its standalone report, got ${nk(None)}")
+    assert(nk(Some("a")) == ((0L, 0.0)))
+    val nkp = TextAnalysis.prAucReport(nullKeyed, "y", "s",
+        by = Seq("src")).collect()
+      .map(r => Option(r.getString(0)) ->
+        r.getAs[Double]("pr_auc")).toMap
+    assert(nkp(None) == 1.0 && nkp(Some("a")) == 0.5)
   }
 
   test("prAucReport: hand-worked average precision with ties, " +
