@@ -1949,4 +1949,36 @@ object Dedup {
           .when(!(col("__db") <=> col("__da")), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** The STREAMING spelling of [[corpusDelta]] — classify documents
+    * AS THEY ARRIVE against a static baseline drop (the refresh
+    * pipeline's live view: route `added`/`changed` docs into
+    * re-processing while the drop is still landing, instead of
+    * waiting for it to close): per incoming id, `added` (not in the
+    * baseline), `changed` (in the baseline with a different content
+    * digest — null-safe, like the batch form), or `unchanged`. A
+    * stream-STATIC left join keyed on the id (stateless — no
+    * watermark, no store) with the baseline side reduced to
+    * (id, digest) before the join; runs identically on a batch
+    * frame, where it agrees with [[corpusDelta]] row-for-row on
+    * every id present in the new drop. `removed` is the one status a
+    * stream cannot emit — absence is only knowable once the drop
+    * CLOSES; run the batch [[corpusDelta]] (or an anti-join) at
+    * drop close for the removal audit. Same keyed-corpus contract:
+    * ids unique within each drop.
+    *
+    * @return (idCol, status) — one row per NEW-drop document
+    */
+  def corpusDeltaStream(newDocs: DataFrame, baseline: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
+    val b = baseline.select(col(idCol).as("__id"),
+      md5(col(textCol)).as("__db"), lit(1).as("__pb"))
+    newDocs.select(col(idCol).as("__id"),
+        md5(col(textCol)).as("__da"))
+      .join(b, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        when(col("__pb").isNull, "added")
+          .when(!(col("__db") <=> col("__da")), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

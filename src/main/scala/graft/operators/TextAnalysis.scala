@@ -1550,13 +1550,21 @@ object TextAnalysis {
     * parallel now, but it is work the metric does not need).
     * Rank arithmetic overflows int64 past ~2·10⁹ known rows per
     * group — refused at runtime, sample or stratify above it.
+    * `quantizeDecimals` is that quantization as a knob: scores round
+    * half-up at the given decimal BEFORE grouping — identical to
+    * pre-rounding the column yourself (spec-pinned), just impossible
+    * to forget at the call site.
     *
     * @return by ++ (n_rows, n_unknown, n_pos, n_neg, auc)
     */
   def aucReport(df: DataFrame, labelCol: String, scoreCol: String,
-                by: Seq[String] = Seq.empty): DataFrame = {
+                by: Seq[String] = Seq.empty,
+                quantizeDecimals: Option[Int] = None): DataFrame = {
+    quantizeDecimals.foreach(q => require(q >= 0,
+      s"aucReport: quantizeDecimals must be >= 0, got $q"))
     val y = col(labelCol).cast("int")
-    val sc = col(scoreCol).cast("double")
+    val sc0 = col(scoreCol).cast("double")
+    val sc = quantizeDecimals.map(q => round(sc0, q)).getOrElse(sc0)
     val known = y.isNotNull && sc.isNotNull && (y === 0 || y === 1)
     // one grouped row per (group, distinct score); unknown rows
     // collect under a null score key and ride the same single scan
@@ -1624,14 +1632,19 @@ object TextAnalysis {
     * the [[distinctScorePrefix]] two-level bucketed rank (no window
     * partitions by the group alone — ungrouped and hot-group
     * spellings stay parallel at any distinct-score cardinality),
-    * int64-overflow refusal past ~2·10⁹ known rows a group.
+    * int64-overflow refusal past ~2·10⁹ known rows a group;
+    * `quantizeDecimals` = [[aucReport]]'s pre-rounding knob.
     *
     * @return by ++ (n_rows, n_unknown, n_pos, n_neg, pr_auc)
     */
   def prAucReport(df: DataFrame, labelCol: String, scoreCol: String,
-                  by: Seq[String] = Seq.empty): DataFrame = {
+                  by: Seq[String] = Seq.empty,
+                  quantizeDecimals: Option[Int] = None): DataFrame = {
+    quantizeDecimals.foreach(q => require(q >= 0,
+      s"prAucReport: quantizeDecimals must be >= 0, got $q"))
     val y = col(labelCol).cast("int")
-    val sc = col(scoreCol).cast("double")
+    val sc0 = col(scoreCol).cast("double")
+    val sc = quantizeDecimals.map(q => round(sc0, q)).getOrElse(sc0)
     val known = y.isNotNull && sc.isNotNull && (y === 0 || y === 1)
     val grouped = df
       .groupBy((by.map(col) :+ when(known, sc).as("__s")): _*)

@@ -3401,6 +3401,27 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .map(r => Option(r.getString(0)) ->
         r.getAs[Double]("pr_auc")).toMap
     assert(nkp(None) == 1.0 && nkp(Some("a")) == 0.5)
+    // the quantize knob ≡ pre-rounding the score column yourself
+    // (here it also merges two near-ties into one block, so the
+    // knob demonstrably changes the rank table, not just the plan)
+    val fine = Seq((1, 0.123456), (0, 0.123004), (1, 0.987654),
+      (0, 0.4)).toDF("y", "s")
+    assert(TextAnalysis.aucReport(fine, "y", "s",
+        quantizeDecimals = Some(2)).collect().head.toSeq ==
+      TextAnalysis.aucReport(fine.withColumn("s", round($"s", 2)),
+        "y", "s").collect().head.toSeq)
+    assert(TextAnalysis.prAucReport(fine, "y", "s",
+        quantizeDecimals = Some(2)).collect().head.toSeq ==
+      TextAnalysis.prAucReport(fine.withColumn("s", round($"s", 2)),
+        "y", "s").collect().head.toSeq)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.aucReport(fine, "y", "s",
+        quantizeDecimals = Some(-1))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.prAucReport(fine, "y", "s",
+        quantizeDecimals = Some(-1))
+    }
   }
 
   test("prAucReport: hand-worked average precision with ties, " +

@@ -607,4 +607,53 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("sidecar"))
   }
+
+  test("corpusDeltaStream: arriving docs classify against a static " +
+      "baseline (added/changed/unchanged, null-safe digests), " +
+      "stateless stream-static join; batch parity with corpusDelta " +
+      "on every new-drop id, 'removed' stays batch-only") {
+    val baseline = Seq((1L, "alpha"), (2L, "beta"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val input = MemoryStream[Doc](spark)
+    val out = Dedup.corpusDeltaStream(input.toDF, baseline,
+      "doc_id", "text")
+    assert(out.isStreaming,
+      "the stream-static classification must stay streamable")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cdelta_stream").start()
+    try {
+      input.addData(
+        Doc(1000, 1, "alpha"),     // same digest → unchanged
+        Doc(2000, 2, "beta v2"),   // different digest → changed
+        Doc(3000, 4, "brand new")) // id not in baseline → added
+      q.processAllAvailable()
+      val got = spark.table("cdelta_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "unchanged", 2L -> "changed",
+        4L -> "added"))
+      // a null-text baseline doc gaining text counts as changed,
+      // not a null-digest artifact
+      input.addData(Doc(4000, 3, "now present"))
+      q.processAllAvailable()
+      assert(spark.table("cdelta_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+        .apply(3L) == "changed")
+    } finally q.stop()
+    // batch parity: on every id PRESENT in the new drop the two
+    // spellings agree; ids only in the baseline are the batch form's
+    // 'removed' rows — the status a stream cannot know
+    val newDrop = Seq((2L, "beta v2"), (3L, "now present"),
+      (4L, "brand new")).toDF("doc_id", "text")
+    val streamedForm = Dedup.corpusDeltaStream(newDrop, baseline,
+        "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batchForm = Dedup.corpusDelta(baseline, newDrop,
+        "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamedForm == Map(2L -> "changed", 3L -> "changed",
+      4L -> "added"))
+    assert(streamedForm.forall { case (id, st) => batchForm(id) == st })
+    assert((batchForm.keySet -- streamedForm.keySet) == Set(1L) &&
+      batchForm(1L) == "removed")
+  }
 }
