@@ -1899,6 +1899,30 @@ object SparkEntry {
         .orderBy(col("source"), col("threshold"))
     }),
 
+    // ...and the keyed operating-point PICK over that sweep (round
+    // 15): one threshold per source in one pass — max recall at the
+    // precision floor, ties to higher precision then lower
+    // threshold; sources with no feasible swept point read NULL. The
+    // oracle replays the sweep and the exact lexicographic pick per
+    // source
+    "t46_choose_thresholds" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val scored = operators.TextAnalysis.hashedLinearScoreWith(
+          docs, "doc_id", "text", w.toSeq)
+        .join(docs.select(col("doc_id"), col("y"), col("source")),
+          Seq("doc_id"))
+      val sweep = operators.TextAnalysis.thresholdSweep(scored, "y",
+        "logit", Seq(-0.1, 0.0, 0.1), by = Seq("source"))
+      operators.TextAnalysis.chooseThresholds(sweep, Seq("source"),
+          minPrecision = Some(0.5))
+        .orderBy(col("source"))
+    }),
+
     // Platt-style calibration of the trained scorer's logits
     // (σ(a·x+b) with the rational sigmoid, integer micro (a,b),
     // fixed-point gradient quantization): the oracle unrolls BOTH
@@ -2687,6 +2711,23 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") % 11 === 0)
           .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
       operators.Dedup.corpusDelta(docs, after, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // the LIVE spelling over the same mutation recipe (round 15):
+    // corpusDeltaStream classifies the new drop against the baseline
+    // through the stateless stream-static left join — batch frames
+    // run the identical plan, so the gate pins the exact rows the
+    // streaming path emits ('removed' is batch-only by construction)
+    "d52_delta_live" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val after = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      operators.Dedup.corpusDeltaStream(after, docs, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -4067,6 +4108,57 @@ object SparkEntry {
          |FROM cm ORDER BY source, threshold""".stripMargin
     },
 
+    // the keyed pick over the t40 sweep: per source, max recall at
+    // the precision >= 0.5 floor (ties -> higher precision, then
+    // lower threshold — the chooseThreshold lexicographic order);
+    // infeasible sources read NULL via the left join
+    "t46_choose_thresholds" -> {
+      val blocks = Seq(-0.1, 0.0, 0.1).map { t =>
+        s"""  SELECT source, CAST($t AS DOUBLE) AS threshold,
+           |    count(CASE WHEN logit > $t AND y = 1 THEN 1 END) AS tp,
+           |    count(CASE WHEN logit > $t AND y = 0 THEN 1 END) AS fp,
+           |    count(CASE WHEN NOT (logit > $t) AND y = 1 THEN 1 END)
+           |      AS fn
+           |  FROM ev GROUP BY source""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH ${hashedGdCtes(64, 3)},
+         |sc AS (
+         |  SELECT f.doc_id,
+         |    CAST(SUM(m.weight_milli) AS BIGINT) AS score_milli
+         |  FROM feat f JOIN milli m USING (bucket)
+         |  GROUP BY f.doc_id),
+         |ev AS (
+         |  SELECT dd.source, d.y,
+         |    CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)
+         |      AS logit
+         |  FROM docs d JOIN sc USING (doc_id)
+         |  JOIN documents dd USING (doc_id)),
+         |cm AS (
+         |$blocks
+         |),
+         |pr AS (
+         |  SELECT source, threshold,
+         |    CASE WHEN tp + fp = 0 THEN NULL
+         |      ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+         |    CASE WHEN tp + fn = 0 THEN NULL
+         |      ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+         |  FROM cm),
+         |pick AS (
+         |  SELECT source, threshold,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY recall DESC, precision DESC, threshold ASC)
+         |      AS rk
+         |  FROM pr
+         |  WHERE precision IS NOT NULL AND recall IS NOT NULL
+         |    AND precision >= 0.5),
+         |srcs AS (SELECT DISTINCT source FROM cm)
+         |SELECT s.source, p.threshold
+         |FROM srcs s LEFT JOIN
+         |  (SELECT source, threshold FROM pick WHERE rk = 1) p
+         |  USING (source)
+         |ORDER BY s.source""".stripMargin
+    },
+
     "t35_classifier_eval" ->
       s"""WITH ${hashedGdCtes(64, 3)},
          |sc AS (
@@ -5082,6 +5174,22 @@ object SparkEntry {
         |       ELSE 'unchanged' END AS status
         |FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "d52_delta_live" ->
+      """WITH b AS (SELECT doc_id, text FROM documents),
+        |a AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 11 = 0)
+        |SELECT a.doc_id,
+        |  CASE WHEN b.doc_id IS NULL THEN 'added'
+        |       WHEN b.text IS DISTINCT FROM a.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM a LEFT JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
 
     "d51_delta_summary" ->
       """WITH b AS (SELECT doc_id, text FROM documents),
