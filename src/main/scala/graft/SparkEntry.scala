@@ -20,6 +20,22 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(spark, dir, name)
 
+  /** The d50/d51/d52 corpus-refresh mutation recipe, defined ONCE so
+    * the three delta gates provably share it: drop ids %7 (removed),
+    * append " v2" to ids %5 (changed), re-add ids %11 under a +1e9
+    * shift (added — the shift clears any plausible fixture id range,
+    * so shifted ids never collide with survivors and each drop keeps
+    * unique ids, the delta operators' keyed-corpus contract).
+    */
+  private def deltaAfter(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          col("text")))
+
   /** Spread a compact source across the session's shuffle parallelism
     * before a CPU-heavy scan-stage projection (the editDistancePairs
     * discipline): a single-file fixture arrives in 1-2 splits and
@@ -2704,13 +2720,8 @@ object SparkEntry {
     // classification row for row
     "d50_corpus_delta" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val after = docs.filter(col("doc_id") % 7 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")))
-        .unionByName(docs.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-      operators.Dedup.corpusDelta(docs, after, "doc_id", "text")
+      operators.Dedup.corpusDelta(docs, deltaAfter(docs),
+          "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -2721,13 +2732,8 @@ object SparkEntry {
     // streaming path emits ('removed' is batch-only by construction)
     "d52_delta_live" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val after = docs.filter(col("doc_id") % 7 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")))
-        .unionByName(docs.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-      operators.Dedup.corpusDeltaStream(after, docs, "doc_id", "text")
+      operators.Dedup.corpusDeltaStream(docs, deltaAfter(docs),
+          "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -2737,13 +2743,8 @@ object SparkEntry {
     // full-outer digest join
     "d51_delta_summary" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val after = docs.filter(col("doc_id") % 7 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")))
-        .unionByName(docs.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-      operators.Dedup.corpusDelta(docs, after, "doc_id", "text")
+      operators.Dedup.corpusDelta(docs, deltaAfter(docs),
+          "doc_id", "text")
         .groupBy(col("status")).agg(count(lit(1)).as("n"))
         .orderBy(col("status"))
     }),
@@ -5165,7 +5166,7 @@ object SparkEntry {
         |    ELSE text END AS text
         |  FROM documents WHERE doc_id % 7 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents
+        |  SELECT doc_id + 1000000000, text FROM documents
         |  WHERE doc_id % 11 = 0)
         |SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
         |  CASE WHEN b.doc_id IS NULL THEN 'added'
@@ -5182,7 +5183,7 @@ object SparkEntry {
         |    ELSE text END AS text
         |  FROM documents WHERE doc_id % 7 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents
+        |  SELECT doc_id + 1000000000, text FROM documents
         |  WHERE doc_id % 11 = 0)
         |SELECT a.doc_id,
         |  CASE WHEN b.doc_id IS NULL THEN 'added'
@@ -5198,7 +5199,7 @@ object SparkEntry {
         |    ELSE text END AS text
         |  FROM documents WHERE doc_id % 7 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents
+        |  SELECT doc_id + 1000000000, text FROM documents
         |  WHERE doc_id % 11 = 0),
         |st AS (
         |  SELECT CASE WHEN b.doc_id IS NULL THEN 'added'

@@ -1936,19 +1936,32 @@ object Dedup {
     * @return (idCol, status) — one row per id seen in either drop;
     *         aggregate with a groupBy("status") for the summary
     */
+  /** The (id, digest, presence-marker) projection both delta
+    * spellings share — one definition so the stream form's
+    * row-for-row batch parity holds by construction, not by keeping
+    * two copies hand-synced.
+    */
+  private def deltaSide(df: DataFrame, idCol: String, textCol: String,
+                        tag: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+      md5(col(textCol)).as(s"__d$tag"), lit(1).as(s"__p$tag"))
+
+  /** The shared added/changed/unchanged classification (null-safe
+    * digest compare); `removed` exists only where a `before`
+    * presence marker can be absent — the full-outer batch join.
+    */
+  private val deltaStatus: Column =
+    when(col("__pb").isNull, "added")
+      .when(col("__pa").isNull, "removed")
+      .when(!(col("__db") <=> col("__da")), "changed")
+      .otherwise("unchanged")
+
   def corpusDelta(before: DataFrame, after: DataFrame,
-                  idCol: String, textCol: String): DataFrame = {
-    val b = before.select(col(idCol).as("__id"),
-      md5(col(textCol)).as("__db"), lit(1).as("__pb"))
-    val a = after.select(col(idCol).as("__id"),
-      md5(col(textCol)).as("__da"), lit(1).as("__pa"))
-    b.join(a, Seq("__id"), "full_outer")
-      .select(col("__id").as(idCol),
-        when(col("__pb").isNull, "added")
-          .when(col("__pa").isNull, "removed")
-          .when(!(col("__db") <=> col("__da")), "changed")
-          .otherwise("unchanged").as("status"))
-  }
+                  idCol: String, textCol: String): DataFrame =
+    deltaSide(before, idCol, textCol, "b")
+      .join(deltaSide(after, idCol, textCol, "a"),
+        Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol), deltaStatus.as("status"))
 
   /** The STREAMING spelling of [[corpusDelta]] — classify documents
     * AS THEY ARRIVE against a static baseline drop (the refresh
@@ -1965,20 +1978,16 @@ object Dedup {
     * stream cannot emit — absence is only knowable once the drop
     * CLOSES; run the batch [[corpusDelta]] (or an anti-join) at
     * drop close for the removal audit. Same keyed-corpus contract:
-    * ids unique within each drop.
+    * ids unique within each drop; same (baseline, new) PARAMETER
+    * ORDER as the batch form's (before, after) — a caller porting
+    * between the two never swaps drops silently.
     *
     * @return (idCol, status) — one row per NEW-drop document
     */
-  def corpusDeltaStream(newDocs: DataFrame, baseline: DataFrame,
-                        idCol: String, textCol: String): DataFrame = {
-    val b = baseline.select(col(idCol).as("__id"),
-      md5(col(textCol)).as("__db"), lit(1).as("__pb"))
-    newDocs.select(col(idCol).as("__id"),
-        md5(col(textCol)).as("__da"))
-      .join(b, Seq("__id"), "left")
-      .select(col("__id").as(idCol),
-        when(col("__pb").isNull, "added")
-          .when(!(col("__db") <=> col("__da")), "changed")
-          .otherwise("unchanged").as("status"))
-  }
+  def corpusDeltaStream(baseline: DataFrame, newDocs: DataFrame,
+                        idCol: String, textCol: String): DataFrame =
+    deltaSide(newDocs, idCol, textCol, "a")
+      .join(deltaSide(baseline, idCol, textCol, "b"),
+        Seq("__id"), "left")
+      .select(col("__id").as(idCol), deltaStatus.as("status"))
 }

@@ -615,7 +615,7 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     val baseline = Seq((1L, "alpha"), (2L, "beta"),
       (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val input = MemoryStream[Doc](spark)
-    val out = Dedup.corpusDeltaStream(input.toDF, baseline,
+    val out = Dedup.corpusDeltaStream(baseline, input.toDF,
       "doc_id", "text")
     assert(out.isStreaming,
       "the stream-static classification must stay streamable")
@@ -644,7 +644,7 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     // 'removed' rows — the status a stream cannot know
     val newDrop = Seq((2L, "beta v2"), (3L, "now present"),
       (4L, "brand new")).toDF("doc_id", "text")
-    val streamedForm = Dedup.corpusDeltaStream(newDrop, baseline,
+    val streamedForm = Dedup.corpusDeltaStream(baseline, newDrop,
         "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val batchForm = Dedup.corpusDelta(baseline, newDrop,
