@@ -1939,6 +1939,97 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ...and the minRecall ARM of the same keyed pick (round 16 —
+    // t46 gates only the precision-floor arm): per source, the
+    // CLEANEST threshold still keeping >= half the good docs — max
+    // precision at the recall floor, ties to higher recall then
+    // lower threshold; the oracle replays the sweep and the
+    // mirrored lexicographic pick
+    "t48_choose_thresholds_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val scored = operators.TextAnalysis.hashedLinearScoreWith(
+          docs, "doc_id", "text", w.toSeq)
+        .join(docs.select(col("doc_id"), col("y"), col("source")),
+          Seq("doc_id"))
+      val sweep = operators.TextAnalysis.thresholdSweep(scored, "y",
+        "logit", Seq(-0.1, 0.0, 0.1), by = Seq("source"))
+      operators.TextAnalysis.chooseThresholds(sweep, Seq("source"),
+          minRecall = Some(0.5))
+        .orderBy(col("source"))
+    }),
+
+    // KEYED Platt calibration (round 16): one (a, b) pair PER
+    // SOURCE, every group fit simultaneously — per iteration one
+    // scan + one |groups|×2 aggregate, parameters re-shipped as a
+    // broadcast frame — then per-doc calibrated probabilities
+    // through the broadcast-joined pairs. The oracle replays the
+    // t33 GD once and the per-source Platt recursion per group
+    // (ab0..ab3 keyed on source), then every per-doc probability
+    "t47_calibrate_by" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val scored = operators.TextAnalysis.hashedLinearScoreWith(
+          docs, "doc_id", "text", w.toSeq)
+        .join(docs.select(col("doc_id"), col("y"), col("source")),
+          Seq("doc_id"))
+      val calib = operators.TextAnalysis.calibrateLogitsBy(scored,
+        "y", "logit", Seq("source"), iters = 3, lr = 10.0)
+      operators.TextAnalysis.calibratedProbBy(
+          scored.select(col("doc_id"), col("source"), col("logit")),
+          calib, "logit", Seq("source"))
+        .withColumn("keep_calibrated", col("prob") > 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // the ROC CURVE as a table, per source (round 16): the
+    // per-distinct-logit (fpr, tpr) points t41's scalar integrates,
+    // through the same two-level bucketed rank; the oracle replays
+    // the descending tie-block prefix sums and both divisions
+    "t49_roc_curve" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val scored = operators.TextAnalysis.hashedLinearScoreWith(
+          docs, "doc_id", "text", w.toSeq)
+        .join(docs.select(col("doc_id"), col("y"), col("source")),
+          Seq("doc_id"))
+      operators.TextAnalysis.rocCurve(scored, "y", "logit",
+          by = Seq("source"))
+        .orderBy(col("source"), col("score"))
+    }),
+
+    // ...and the PRECISION-RECALL curve table (round 16): the
+    // (recall, precision) points t43's average precision
+    // integrates — where precision collapses as the keep threshold
+    // loosens, visible per source
+    "t50_pr_curve" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val scored = operators.TextAnalysis.hashedLinearScoreWith(
+          docs, "doc_id", "text", w.toSeq)
+        .join(docs.select(col("doc_id"), col("y"), col("source")),
+          Seq("doc_id"))
+      operators.TextAnalysis.prCurve(scored, "y", "logit",
+          by = Seq("source"))
+        .orderBy(col("source"), col("score"))
+    }),
+
     // Platt-style calibration of the trained scorer's logits
     // (σ(a·x+b) with the rational sigmoid, integer micro (a,b),
     // fixed-point gradient quantization): the oracle unrolls BOTH
@@ -2747,6 +2838,17 @@ object SparkEntry {
           "doc_id", "text")
         .groupBy(col("status")).agg(count(lit(1)).as("n"))
         .orderBy(col("status"))
+    }),
+
+    // the drop-CLOSE removal audit (round 16) — the one status the
+    // live d52 stream cannot emit: baseline ids absent from the
+    // closed drop, via one id-only anti-join; spec-pinned to make
+    // d52's rows + these ≡ d50's batch delta row-for-row
+    "d53_delta_removed" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      operators.Dedup.corpusDeltaRemoved(docs, deltaAfter(docs),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
     }),
 
     // CUSUM change-point detection over a metric history: a planted
@@ -3826,6 +3928,49 @@ object SparkEntry {
        |$its""".stripMargin
   }
 
+  /** t47's WITH body: the t33 GD CTEs + trained scoring keyed with
+    * the source (`ev` = per-doc (source, y, logit)) + three
+    * unrolled PER-SOURCE Platt iterations ending in `ab3` — the
+    * [[plattCtes]] recursion with every aggregate and update
+    * grouped/joined on the source, each group's pair exactly its
+    * standalone recursion (updates divide by the GROUP's own n).
+    */
+  private def plattByCtes: String = {
+    val its = (1 to 3).map { k =>
+      s"""cg$k AS (
+         |  SELECT e.source,
+         |    SUM(CAST(floor((${calSg(calM)} - e.y) * e.logit
+         |      * 1000000.0 + 0.5) AS BIGINT)) AS ga,
+         |    SUM(CAST(floor((${calSg(calM)} - e.y) * 1000000.0 + 0.5)
+         |      AS BIGINT)) AS gb,
+         |    COUNT(*) AS n
+         |  FROM ev e JOIN ab${k - 1} ab USING (source)
+         |  GROUP BY e.source),
+         |ab$k AS (
+         |  SELECT ab.source,
+         |    ab.a - CAST(floor(10.0 * cg.ga / cg.n + 0.5)
+         |      AS BIGINT) AS a,
+         |    ab.b - CAST(floor(10.0 * cg.gb / cg.n + 0.5)
+         |      AS BIGINT) AS b
+         |  FROM ab${k - 1} ab JOIN cg$k cg USING (source))""".stripMargin
+    }.mkString(",\n")
+    s"""${hashedGdCtes(64, 3)},
+       |sc AS (
+       |  SELECT f.doc_id,
+       |    CAST(SUM(m.weight_milli) AS BIGINT) AS score_milli
+       |  FROM feat f JOIN milli m USING (bucket)
+       |  GROUP BY f.doc_id),
+       |ev AS (
+       |  SELECT d.doc_id, dd.source, d.y,
+       |    CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)
+       |      AS logit
+       |  FROM docs d JOIN sc USING (doc_id)
+       |  JOIN documents dd USING (doc_id)),
+       |ab0 AS (SELECT DISTINCT source, CAST(1000000 AS BIGINT) AS a,
+       |  CAST(0 AS BIGINT) AS b FROM ev),
+       |$its""".stripMargin
+  }
+
   private val oracleSqlBase: Map[String, String] = Map(
     "t33_hashed_linear_train" ->
       s"""WITH ${hashedGdCtes(64, 3)}
@@ -4159,6 +4304,150 @@ object SparkEntry {
          |  USING (source)
          |ORDER BY s.source""".stripMargin
     },
+
+    // the minRecall arm: max precision at the recall >= 0.5 floor,
+    // ties -> higher recall then lower threshold — the mirrored
+    // lexicographic pick over the same per-source sweep
+    "t48_choose_thresholds_recall" -> {
+      val blocks = Seq(-0.1, 0.0, 0.1).map { t =>
+        s"""  SELECT source, CAST($t AS DOUBLE) AS threshold,
+           |    count(CASE WHEN logit > $t AND y = 1 THEN 1 END) AS tp,
+           |    count(CASE WHEN logit > $t AND y = 0 THEN 1 END) AS fp,
+           |    count(CASE WHEN NOT (logit > $t) AND y = 1 THEN 1 END)
+           |      AS fn
+           |  FROM ev GROUP BY source""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH ${hashedGdCtes(64, 3)},
+         |sc AS (
+         |  SELECT f.doc_id,
+         |    CAST(SUM(m.weight_milli) AS BIGINT) AS score_milli
+         |  FROM feat f JOIN milli m USING (bucket)
+         |  GROUP BY f.doc_id),
+         |ev AS (
+         |  SELECT dd.source, d.y,
+         |    CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)
+         |      AS logit
+         |  FROM docs d JOIN sc USING (doc_id)
+         |  JOIN documents dd USING (doc_id)),
+         |cm AS (
+         |$blocks
+         |),
+         |pr AS (
+         |  SELECT source, threshold,
+         |    CASE WHEN tp + fp = 0 THEN NULL
+         |      ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+         |    CASE WHEN tp + fn = 0 THEN NULL
+         |      ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+         |  FROM cm),
+         |pick AS (
+         |  SELECT source, threshold,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY precision DESC, recall DESC, threshold ASC)
+         |      AS rk
+         |  FROM pr
+         |  WHERE precision IS NOT NULL AND recall IS NOT NULL
+         |    AND recall >= 0.5),
+         |srcs AS (SELECT DISTINCT source FROM cm)
+         |SELECT s.source, p.threshold
+         |FROM srcs s LEFT JOIN
+         |  (SELECT source, threshold FROM pick WHERE rk = 1) p
+         |  USING (source)
+         |ORDER BY s.source""".stripMargin
+    },
+
+    // per-source Platt calibration: the keyed GD recursion replayed
+    // per group (ab0..ab3 keyed on source, updates over the group's
+    // own n), then every per-doc probability through the group's
+    // (a, b)
+    "t47_calibrate_by" ->
+      s"""WITH $plattByCtes
+         |SELECT e.doc_id, e.source, e.logit, ${calSg(calM)} AS prob,
+         |  ${calSg(calM)} > 0.5 AS keep_calibrated
+         |FROM ev e JOIN ab3 ab USING (source)
+         |ORDER BY e.doc_id""".stripMargin,
+
+    // the ROC curve table: per-source descending tie-block prefix
+    // sums over distinct logits (tp/fp at or above each score), one
+    // division each for tpr/fpr
+    "t49_roc_curve" ->
+      s"""WITH ${hashedGdCtes(64, 3)},
+         |sc AS (
+         |  SELECT f.doc_id,
+         |    CAST(SUM(m.weight_milli) AS BIGINT) AS score_milli
+         |  FROM feat f JOIN milli m USING (bucket)
+         |  GROUP BY f.doc_id),
+         |ev AS (
+         |  SELECT dd.source, d.y,
+         |    CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)
+         |      AS logit
+         |  FROM docs d JOIN sc USING (doc_id)
+         |  JOIN documents dd USING (doc_id)),
+         |g AS (
+         |  SELECT source, logit AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(y) AS BIGINT) AS pos
+         |  FROM ev GROUP BY source, logit),
+         |c AS (
+         |  SELECT source, s,
+         |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS ccnt,
+         |    CAST(SUM(pos) OVER (PARTITION BY source ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cpos
+         |  FROM g),
+         |tot AS (
+         |  SELECT source, CAST(SUM(pos) AS BIGINT) AS np,
+         |    CAST(SUM(cnt - pos) AS BIGINT) AS nn
+         |  FROM g GROUP BY source)
+         |SELECT c.source, c.s AS score, c.cpos AS tp,
+         |  c.ccnt - c.cpos AS fp,
+         |  CASE WHEN t.np = 0 THEN NULL
+         |    ELSE CAST(c.cpos AS DOUBLE) / t.np END AS tpr,
+         |  CASE WHEN t.nn = 0 THEN NULL
+         |    ELSE CAST(c.ccnt - c.cpos AS DOUBLE) / t.nn END AS fpr
+         |FROM c JOIN tot t USING (source)
+         |ORDER BY source, score""".stripMargin,
+
+    // the PR curve table: same prefix sums, precision through the
+    // tie block and recall against the source's positive total
+    "t50_pr_curve" ->
+      s"""WITH ${hashedGdCtes(64, 3)},
+         |sc AS (
+         |  SELECT f.doc_id,
+         |    CAST(SUM(m.weight_milli) AS BIGINT) AS score_milli
+         |  FROM feat f JOIN milli m USING (bucket)
+         |  GROUP BY f.doc_id),
+         |ev AS (
+         |  SELECT dd.source, d.y,
+         |    CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)
+         |      AS logit
+         |  FROM docs d JOIN sc USING (doc_id)
+         |  JOIN documents dd USING (doc_id)),
+         |g AS (
+         |  SELECT source, logit AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(y) AS BIGINT) AS pos
+         |  FROM ev GROUP BY source, logit),
+         |c AS (
+         |  SELECT source, s,
+         |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS ccnt,
+         |    CAST(SUM(pos) OVER (PARTITION BY source ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cpos
+         |  FROM g),
+         |tot AS (
+         |  SELECT source, CAST(SUM(pos) AS BIGINT) AS np
+         |  FROM g GROUP BY source)
+         |SELECT c.source, c.s AS score, c.cpos AS tp,
+         |  c.ccnt AS n_kept,
+         |  CAST(c.cpos AS DOUBLE) / c.ccnt AS precision,
+         |  CASE WHEN t.np = 0 THEN NULL
+         |    ELSE CAST(c.cpos AS DOUBLE) / t.np END AS recall
+         |FROM c JOIN tot t USING (source)
+         |ORDER BY source, score""".stripMargin,
 
     "t35_classifier_eval" ->
       s"""WITH ${hashedGdCtes(64, 3)},
@@ -5209,6 +5498,20 @@ object SparkEntry {
         |  FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id)
         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n
         |FROM st GROUP BY status ORDER BY status""".stripMargin,
+
+    // drop-close removal audit: baseline ids absent from the closed
+    // drop — one anti-join on the id, the status carried for the
+    // union with the live stream's rows
+    "d53_delta_removed" ->
+      """WITH b AS (SELECT doc_id FROM documents),
+        |a AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 FROM documents
+        |  WHERE doc_id % 11 = 0)
+        |SELECT b.doc_id, 'removed' AS status
+        |FROM b ANTI JOIN a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     "v6_cusum_shift" ->
       """WITH RECURSIVE hist AS (

@@ -1919,23 +1919,6 @@ object Dedup {
           .as("n_paras_removed"))
   }
 
-  /** Drop-over-drop corpus DELTA — the refresh-audit primitive
-    * ([[TextAnalysis.corpusDiff]] answers "how did the per-dimension
-    * counts move"; this answers "WHICH documents changed"): per id
-    * across two drops of an id-keyed corpus, `added` (id only in the
-    * new drop), `removed` (only in the old), `changed` (same id,
-    * different content digest — md5 of the text, the exact-dedup
-    * digest, so 'changed' means the text changed), or `unchanged`.
-    * Presence is tracked by marker columns, not digest nullness, so
-    * null-text documents classify correctly (null <=> null is
-    * unchanged). One shuffle join keyed on the id; the scan reads
-    * only (id, text). `idCol` must be unique within each drop — a
-    * keyed corpus contract; duplicated ids multiply join rows like
-    * any keyed join.
-    *
-    * @return (idCol, status) — one row per id seen in either drop;
-    *         aggregate with a groupBy("status") for the summary
-    */
   /** The (id, digest, presence-marker) projection both delta
     * spellings share — one definition so the stream form's
     * row-for-row batch parity holds by construction, not by keeping
@@ -1956,6 +1939,23 @@ object Dedup {
       .when(!(col("__db") <=> col("__da")), "changed")
       .otherwise("unchanged")
 
+  /** Drop-over-drop corpus DELTA — the refresh-audit primitive
+    * ([[TextAnalysis.corpusDiff]] answers "how did the per-dimension
+    * counts move"; this answers "WHICH documents changed"): per id
+    * across two drops of an id-keyed corpus, `added` (id only in the
+    * new drop), `removed` (only in the old), `changed` (same id,
+    * different content digest — md5 of the text, the exact-dedup
+    * digest, so 'changed' means the text changed), or `unchanged`.
+    * Presence is tracked by marker columns, not digest nullness, so
+    * null-text documents classify correctly (null <=> null is
+    * unchanged). One shuffle join keyed on the id; the scan reads
+    * only (id, text). `idCol` must be unique within each drop — a
+    * keyed corpus contract; duplicated ids multiply join rows like
+    * any keyed join.
+    *
+    * @return (idCol, status) — one row per id seen in either drop;
+    *         aggregate with a groupBy("status") for the summary
+    */
   def corpusDelta(before: DataFrame, after: DataFrame,
                   idCol: String, textCol: String): DataFrame =
     deltaSide(before, idCol, textCol, "b")
@@ -1990,4 +1990,28 @@ object Dedup {
       .join(deltaSide(baseline, idCol, textCol, "b"),
         Seq("__id"), "left")
       .select(col("__id").as(idCol), deltaStatus.as("status"))
+
+  /** The drop-CLOSE removal audit — the one status
+    * [[corpusDeltaStream]] cannot emit (absence is only knowable
+    * once the drop closes): baseline ids ABSENT from the closed
+    * drop, as (id, 'removed') rows. One anti-join keyed on the id,
+    * each side reduced to its id column before the join — no
+    * digests, no text shuffle (presence is all removal needs). Same
+    * (before, after) parameter order as [[corpusDelta]] /
+    * [[corpusDeltaStream]], so a caller closing a streamed drop
+    * never swaps sides silently; by construction
+    * `corpusDeltaStream(baseline, drop) UNION removedAtClose
+    * (baseline, drop)` ≡ `corpusDelta(baseline, drop)` row-for-row
+    * (spec-pinned) — the live view plus this audit IS the batch
+    * delta. Same keyed-corpus contract: ids unique within each drop.
+    *
+    * @return (idCol, status) — one 'removed' row per baseline id
+    *         missing from the closed drop (status carried so the
+    *         union with the stream's rows needs no reshaping)
+    */
+  def corpusDeltaRemoved(baseline: DataFrame, closedDrop: DataFrame,
+                         idCol: String, textCol: String): DataFrame =
+    baseline.select(col(idCol))
+      .join(closedDrop.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), lit("removed").as("status"))
 }

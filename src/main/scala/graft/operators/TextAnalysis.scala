@@ -1232,6 +1232,145 @@ object TextAnalysis {
     lit(0.5) + lit(0.5) * (m / (lit(1.0) + abs(m)))
   }
 
+  /** The KEYED twin of [[calibrateLogits]] (round 16) — one Platt
+    * (a_micro, b_micro) pair PER GROUP, fit simultaneously: the
+    * action the keyed reliability audit ([[calibrationReport]] `by`
+    * / [[eceBy]]) points at — when one source shows a gap under the
+    * global fit, the fix is per-source calibration, and the
+    * standalone form forced "filter to one group, collect, repeat"
+    * (N driver actions, N scans). Here every group trains in the
+    * SAME passes: per iteration ONE scan of the (cached) labeled
+    * frame + one |groups|×2-long map-side-combined aggregate — the
+    * global form's two-long aggregate, keyed. Each iteration's
+    * (a, b) ship back in as a BROADCAST parameter frame (bounded:
+    * one row per group — `by` is a bounded-cardinality column, the
+    * standing keyed-curation contract), so data rows never shuffle.
+    *
+    * Arithmetic is the standalone's exactly — integer micro-unit
+    * (a, b) seeded at (1e6, 0), rational sigmoid, per-doc gradient
+    * contributions quantized to integers (order-free sums), integer
+    * updates against the GROUP's own row count — so each group's
+    * pair is BIT-IDENTICAL to `calibrateLogits` on that group's
+    * filtered frame (spec-pinned), and the whole fit hash-replays.
+    * Null scores/labels are excluded; a group with no labeled
+    * scored rows has no output row (nothing to fit — the join in
+    * [[calibratedProbBy]] then yields a NULL prob, never a silent
+    * global fallback). Refuses an input with no labeled rows at all.
+    *
+    * @return by ++ (a_micro, b_micro) — one row per group with
+    *         labeled scored rows; feed to [[calibratedProbBy]]
+    */
+  def calibrateLogitsBy(df: DataFrame, labelCol: String,
+                        scoreCol: String, by: Seq[String],
+                        iters: Int = 10,
+                        lr: Double = 10.0): DataFrame = {
+    require(by.nonEmpty,
+      "calibrateLogitsBy: give the group columns (use " +
+        "calibrateLogits for a global fit)")
+    require(iters >= 1, "need iters >= 1")
+    require(lr > 0, "need lr > 0")
+    val spark = df.sparkSession
+    val base = df.select(by.map(col) ++ Seq(
+        col(labelCol).cast("double").as("y"),
+        col(scoreCol).cast("double").as("x")): _*)
+      .where(col("y").isNotNull && col("x").isNotNull)
+    base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded artifacts throughout: one row per GROUP (the keyed-
+      // curation cardinality contract), never per data row
+      val counts = base.groupBy(by.map(col): _*)
+        .agg(count(lit(1)).as("__n")).collect()
+      require(counts.nonEmpty,
+        "calibrateLogitsBy: no labeled scored rows")
+      def keyOf(r: org.apache.spark.sql.Row): List[Any] =
+        by.indices.map(r.get).toList
+      val ns = counts.map(r => keyOf(r) -> r.getLong(by.size)).toMap
+      var state: Map[List[Any], (Long, Long)] =
+        ns.map { case (k, _) => k -> (1000000L, 0L) }
+      val kn = by.map("__k_" + _)
+      val keySchema = org.apache.spark.sql.types.StructType(
+        base.select(by.map(col): _*).schema.fields.zip(kn)
+          .map { case (f, n) => f.copy(name = n) } ++ Seq(
+          org.apache.spark.sql.types.StructField("__a",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("__b",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      // group keys join NULL-SAFELY: a NULL by value is a legitimate
+      // group (groupBy keeps it) and plain equality would drop it
+      val joinCond = by.zip(kn)
+        .map { case (a, k) => col(a) <=> col(k) }.reduce(_ && _)
+      for (_ <- 0 until iters) {
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(state.toSeq.map { case (k, (a, b)) =>
+            org.apache.spark.sql.Row.fromSeq(k ++ Seq(a, b))
+          }: _*)
+        val params = spark.createDataFrame(rows, keySchema)
+        val m = (col("__a") * col("x") + col("__b")) / lit(1000000.0)
+        val sg = lit(0.5) + lit(0.5) * (m / (lit(1.0) + abs(m)))
+        val r = sg - col("y")
+        val grads = base.join(broadcast(params), joinCond)
+          .groupBy(by.map(col): _*)
+          .agg(sum(floor(r * col("x") * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("__ga"),
+            sum(floor(r * lit(1000000.0) + lit(0.5))
+              .cast("long")).as("__gb"))
+          .collect()
+        state = grads.map { gr =>
+          val k = keyOf(gr)
+          val (a, b) = state(k)
+          val n = ns(k)
+          k -> (a - math.floor(
+              lr * gr.getLong(by.size) / n + 0.5).toLong,
+            b - math.floor(
+              lr * gr.getLong(by.size + 1) / n + 0.5).toLong)
+        }.toMap
+      }
+      val outSchema = org.apache.spark.sql.types.StructType(
+        base.select(by.map(col): _*).schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("a_micro",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("b_micro",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      val outRows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(state.toSeq.map { case (k, (a, b)) =>
+          org.apache.spark.sql.Row.fromSeq(k ++ Seq(a, b))
+        }: _*)
+      spark.createDataFrame(outRows, outSchema)
+    } finally { base.unpersist(); () }
+  }
+
+  /** Apply a [[calibrateLogitsBy]] frame to a scored frame: one
+    * BROADCAST join on the (null-safe) group keys, then the same
+    * rational-sigmoid probability as [[calibratedProb]] — per-group
+    * calibration at scoring time without a shuffle of the data rows.
+    * Groups absent from the calibration frame (no labeled rows when
+    * it was fit) read a NULL prob — visible, never a silent global
+    * fallback.
+    *
+    * @return df + (probName) with the group's calibrated probability
+    */
+  def calibratedProbBy(df: DataFrame, calib: DataFrame,
+                       scoreCol: String, by: Seq[String],
+                       probName: String = "prob"): DataFrame = {
+    require(by.nonEmpty, "calibratedProbBy: give the group columns")
+    (by ++ Seq("a_micro", "b_micro")).foreach(c =>
+      require(calib.columns.contains(c),
+        s"calibratedProbBy: calibration frame has no '$c' column — " +
+          "pass a calibrateLogitsBy output"))
+    val kn = by.map("__k_" + _)
+    val side = calib.select(
+      by.zip(kn).map { case (c, k) => col(c).as(k) } ++
+        Seq(col("a_micro").as("__a"), col("b_micro").as("__b")): _*)
+    val cond = by.zip(kn)
+      .map { case (a, k) => col(a) <=> col(k) }.reduce(_ && _)
+    val m = (col("__a") * col(scoreCol).cast("double") + col("__b")) /
+      lit(1000000.0)
+    df.join(broadcast(side), cond, "left")
+      .withColumn(probName,
+        lit(0.5) + lit(0.5) * (m / (lit(1.0) + abs(m))))
+      .drop(kn: _*).drop("__a", "__b")
+  }
+
   /** Threshold SWEEP over a scored frame — how the keep threshold
     * gets CHOSEN (a trained filter's operating point is a
     * precision/recall trade the default `logit > 0` rarely
@@ -1383,9 +1522,13 @@ object TextAnalysis {
     * group ranks B-way parallel. Like its template, the stats/offset
     * broadcasts size with |groups|·B — `by` must be a bounded-
     * cardinality column (source/language shapes; the same contract as
-    * every keyed curation op here). Degenerate grids (one distinct
-    * score, or non-finite span from ±Inf/NaN scores) fall back to a
-    * single bucket — correct, just not bucket-parallel.
+    * every keyed curation op here). ±Inf/NaN scores take their own
+    * sort-order-monotone buckets (-1 / b / b+1) and the grid spans
+    * the FINITE min/max (round 16) — stray sentinel scores no
+    * longer collapse the grid; only a genuinely degenerate finite
+    * span (one distinct finite score, or a width that underflows)
+    * falls back to a single finite bucket — correct, just not
+    * bucket-parallel.
     *
     * Input: by ++ (__s, __cnt, __pos) — one row per (group, distinct
     * score), null __s = the group's unknown-rows row. Output: input +
@@ -1408,8 +1551,17 @@ object TextAnalysis {
     def keyCond(right: Seq[String]) =
       by.zip(right).map { case (a, r) => col(a) <=> col(r) }
     val sn = by.map("__s_" + _)
-    val stats = (if (by.isEmpty) known.groupBy()
-                 else known.groupBy(by.map(col): _*))
+    // the grid min/max come from FINITE scores only (round 16): a
+    // single ±Inf in the column would otherwise stretch the span to
+    // Inf and collapse every finite score into the degenerate
+    // single-bucket fallback — the non-finite values instead take
+    // their own sort-order-monotone buckets below, so a corpus with
+    // stray sentinel scores still ranks bucket-parallel
+    val isFin = !isnan(s) && s =!= Double.PositiveInfinity &&
+      s =!= Double.NegativeInfinity
+    val finite = known.filter(isFin)
+    val stats = (if (by.isEmpty) finite.groupBy()
+                 else finite.groupBy(by.map(col): _*))
       .agg(min(s).as("__smin"), max(s).as("__smax"))
       .toDF(sn ++ Seq("__smin", "__smax"): _*)
     val joined =
@@ -1417,14 +1569,27 @@ object TextAnalysis {
       else grouped.join(broadcast(stats),
         keyCond(sn).reduce(_ && _), "left").drop(sn: _*)
     val span = col("__smax") - col("__smin")
+    // the bucket width is computed ONCE and the grid arm gates on
+    // it, not on the span (round 16, advisor): a subnormal span can
+    // underflow span/b to 0.0, whose quotient is ±Inf — under ANSI
+    // the floor(..).cast would throw instead of falling back
+    val wdt = span / lit(b.toDouble)
     // lazy CaseWhen guards: the grid division only evaluates on a
-    // finite positive span (ANSI floor/cast on a NaN/Inf quotient
-    // would throw); clamps keep s == smax in the last bucket
-    val bucket = when(s.isNull || col("__smin").isNull,
-        lit(null).cast("long"))
-      .when(span > 0.0 && span <= Double.MaxValue,
+    // finite positive width (ANSI floor/cast on a NaN/Inf quotient
+    // would throw); clamps keep s == smax in the last bucket. The
+    // non-finite arms sit BEFORE the null-stats guard: a group whose
+    // every score is ±Inf/NaN has no finite stats row, and its
+    // buckets come from the score alone. Bucket ids stay monotone in
+    // score order (Spark sorts -Inf < finite < +Inf < NaN):
+    // -1 / [0, b) / b / b+1 — each non-finite value is one distinct
+    // score, so its bucket holds ≤ 1 row per group.
+    val bucket = when(s.isNull, lit(null).cast("long"))
+      .when(isnan(s), lit(b + 1L))
+      .when(s === Double.PositiveInfinity, lit(b.toLong))
+      .when(s === Double.NegativeInfinity, lit(-1L))
+      .when(wdt > 0.0 && wdt <= Double.MaxValue,
         least(lit(b - 1L), greatest(lit(0L),
-          floor((s - col("__smin")) / (span / b)).cast("long"))))
+          floor((s - col("__smin")) / wdt).cast("long"))))
       .otherwise(lit(0L))
     val bucketed = joined.withColumn("__b", bucket)
       .drop("__smin", "__smax")
@@ -1479,7 +1644,9 @@ object TextAnalysis {
     * filter `threshold IS NULL` to find the groups that need a wider
     * sweep. Degenerate rows (NULL precision/recall) are never
     * feasible; duplicate thresholds within a group (a malformed or
-    * re-unioned sweep) raise at execution, the keyed analogue of the
+    * re-unioned sweep) and NULL thresholds (which a duplicate check
+    * over `count(t)` would silently skip — round 16) raise at
+    * execution, the keyed analogue of the
     * standalone's duplicate refusal; an EMPTY sweep refuses up front
     * (one bounded action — the input is selection-sized by
     * construction).
@@ -1515,14 +1682,154 @@ object TextAnalysis {
     }
     sweep
       .groupBy(by.map(col): _*)
-      .agg(count(t).as("__n"), count_distinct(t).as("__nd"),
+      // __n counts null-INCLUSIVELY (round 16, advisor): count(t)
+      // skips NULL thresholds, which both let repeated NULL rows
+      // through the duplicate check and made a NULL-threshold sweep
+      // row indistinguishable from "no feasible pick" — a NULL
+      // threshold is a malformed sweep and refuses up front
+      .agg(count(lit(1)).as("__n"), count_distinct(t).as("__nd"),
+        count(when(t.isNull, 1)).as("__nn"),
         max_by(when(feasible, t), when(feasible, key)).as("__pick"))
       .select(by.map(col) :+
-        when(col("__n") =!= col("__nd"),
-          raise_error(lit("chooseThresholds: duplicate thresholds " +
-            "within a group — malformed or re-unioned sweep"))
-            .cast("double"))
+        when(col("__nn") > 0,
+          raise_error(lit("chooseThresholds: NULL threshold in the " +
+            "sweep — malformed input (thresholdSweep never emits " +
+            "one)")).cast("double"))
+          .when(col("__n") =!= col("__nd"),
+            raise_error(lit("chooseThresholds: duplicate thresholds " +
+              "within a group — malformed or re-unioned sweep"))
+              .cast("double"))
           .otherwise(col("__pick")).as("threshold"): _*)
+  }
+
+  /** The (group, distinct score) count frame every ranking metric
+    * and curve here starts from — one scan, one groupBy(score)
+    * shuffle (map-side combined): per (group, distinct quantized
+    * score), total rows and positive rows; unknown rows (null /
+    * non-0-1 label, null score) collect under a null score key and
+    * ride the same pass.
+    */
+  private def distinctScoreCounts(df: DataFrame, labelCol: String,
+      scoreCol: String, by: Seq[String],
+      quantizeDecimals: Option[Int]): DataFrame = {
+    val y = col(labelCol).cast("int")
+    val sc0 = col(scoreCol).cast("double")
+    val sc = quantizeDecimals.map(q => round(sc0, q)).getOrElse(sc0)
+    val known = y.isNotNull && sc.isNotNull && (y === 0 || y === 1)
+    df.groupBy((by.map(col) :+ when(known, sc).as("__s")): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        count(when(known && y === 1, 1)).as("__pos"))
+  }
+
+  /** Per-group (n_pos, n_neg) totals over the known rows of a
+    * [[distinctScoreCounts]] frame, renamed through fresh aliases
+    * for a conflict-proof broadcast join back onto the ranked rows
+    * (the [[distinctScorePrefix]] stats discipline — the totals
+    * aggregate over the same distinct-score subtree, so the shuffle
+    * is reused, not a second corpus scan). Bounded: one row per
+    * group.
+    */
+  private def curveTotals(grouped: DataFrame, by: Seq[String],
+                          tn: Seq[String]): DataFrame = {
+    val known = grouped.filter(col("__s").isNotNull)
+    (if (by.isEmpty) known.groupBy()
+     else known.groupBy(by.map(col): _*))
+      .agg(sum(col("__pos")).as("__np"),
+        sum(col("__cnt") - col("__pos")).as("__nn"))
+      .toDF(tn ++ Seq("__np", "__nn"): _*)
+  }
+
+  /** The ROC CURVE as a table — the per-distinct-score (fpr, tpr)
+    * points [[aucReport]] integrates, emitted for inspection (which
+    * sweep grid to hand [[thresholdSweep]], where the ranking
+    * actually bends, plotting): one row per (group, distinct score),
+    * descending score = the operating point "keep everything scoring
+    * ≥ this": tp/fp = positives/negatives at or above the score
+    * (ties enter together, the tie-block convention the exact AUC
+    * uses), tpr = tp/n⁺, fpr = fp/n⁻ — each one IEEE division of
+    * exact integers, so the whole table hash-replays. Single-class
+    * groups read NULL tpr (no positives) or fpr (no negatives),
+    * never NaN; unknown rows (null/non-0-1 label, null score) are
+    * excluded — [[aucReport]] carries their count.
+    *
+    * Scale contract = [[aucReport]]'s: one groupBy(score) shuffle,
+    * the [[distinctScorePrefix]] two-level bucketed rank (no window
+    * ever partitions by the group alone), per-group totals as a
+    * broadcast off the same distinct-score subtree. Output size is
+    * the distinct-score cardinality — `quantizeDecimals` is the
+    * same pre-rounding knob when the score is genuinely continuous.
+    *
+    * @return by ++ (score, tp, fp, tpr, fpr), best score first
+    */
+  def rocCurve(df: DataFrame, labelCol: String, scoreCol: String,
+               by: Seq[String] = Seq.empty,
+               quantizeDecimals: Option[Int] = None): DataFrame = {
+    quantizeDecimals.foreach(q => require(q >= 0,
+      s"rocCurve: quantizeDecimals must be >= 0, got $q"))
+    val grouped = distinctScoreCounts(df, labelCol, scoreCol, by,
+      quantizeDecimals)
+    val ranked = distinctScorePrefix(grouped, by,
+        desc = true, inclusive = true)
+      .filter(col("__s").isNotNull)
+    val tn = by.map("__t_" + _)
+    val totals = curveTotals(grouped, by, tn)
+    val joined =
+      if (by.isEmpty) ranked.crossJoin(broadcast(totals))
+      else ranked.join(broadcast(totals),
+        by.zip(tn).map { case (a, t) => col(a) <=> col(t) }
+          .reduce(_ && _), "left").drop(tn: _*)
+    val tp = col("__ppos")
+    val fp = col("__pcnt") - col("__ppos")
+    val nullD = lit(null).cast("double")
+    joined.select(by.map(col) ++ Seq(col("__s").as("score"),
+      tp.as("tp"), fp.as("fp"),
+      when(col("__np").isNull || col("__np") === 0, nullD)
+        .otherwise(tp.cast("double") / col("__np")).as("tpr"),
+      when(col("__nn").isNull || col("__nn") === 0, nullD)
+        .otherwise(fp.cast("double") / col("__nn")).as("fpr")): _*)
+      .orderBy((by.map(col) :+ col("score").desc): _*)
+  }
+
+  /** The PRECISION-RECALL CURVE as a table — the per-distinct-score
+    * (recall, precision) points [[prAucReport]] integrates (the
+    * rare-class view: where precision collapses as the keep
+    * threshold loosens is exactly what the scalar AP hides): one
+    * row per (group, distinct score), descending score; tp / n_kept
+    * = positives / rows at or above the score (tie blocks enter
+    * together), precision = tp/n_kept, recall = tp/n⁺ — exact
+    * integer divisions, hash-replayable. No-positive groups read
+    * NULL recall; unknown rows are excluded ([[prAucReport]]
+    * carries their count). Scale contract and `quantizeDecimals`
+    * knob = [[rocCurve]]'s.
+    *
+    * @return by ++ (score, tp, n_kept, precision, recall), best
+    *         score first
+    */
+  def prCurve(df: DataFrame, labelCol: String, scoreCol: String,
+              by: Seq[String] = Seq.empty,
+              quantizeDecimals: Option[Int] = None): DataFrame = {
+    quantizeDecimals.foreach(q => require(q >= 0,
+      s"prCurve: quantizeDecimals must be >= 0, got $q"))
+    val grouped = distinctScoreCounts(df, labelCol, scoreCol, by,
+      quantizeDecimals)
+    val ranked = distinctScorePrefix(grouped, by,
+        desc = true, inclusive = true)
+      .filter(col("__s").isNotNull)
+    val tn = by.map("__t_" + _)
+    val totals = curveTotals(grouped, by, tn)
+    val joined =
+      if (by.isEmpty) ranked.crossJoin(broadcast(totals))
+      else ranked.join(broadcast(totals),
+        by.zip(tn).map { case (a, t) => col(a) <=> col(t) }
+          .reduce(_ && _), "left").drop(tn: _*)
+    val tp = col("__ppos")
+    val nullD = lit(null).cast("double")
+    joined.select(by.map(col) ++ Seq(col("__s").as("score"),
+      tp.as("tp"), col("__pcnt").as("n_kept"),
+      (tp.cast("double") / col("__pcnt")).as("precision"),
+      when(col("__np").isNull || col("__np") === 0, nullD)
+        .otherwise(tp.cast("double") / col("__np")).as("recall")): _*)
+      .orderBy((by.map(col) :+ col("score").desc): _*)
   }
 
   /** EXACT ROC-AUC of a scorer against 0/1 labels — the threshold-
@@ -1562,16 +1869,10 @@ object TextAnalysis {
                 quantizeDecimals: Option[Int] = None): DataFrame = {
     quantizeDecimals.foreach(q => require(q >= 0,
       s"aucReport: quantizeDecimals must be >= 0, got $q"))
-    val y = col(labelCol).cast("int")
-    val sc0 = col(scoreCol).cast("double")
-    val sc = quantizeDecimals.map(q => round(sc0, q)).getOrElse(sc0)
-    val known = y.isNotNull && sc.isNotNull && (y === 0 || y === 1)
     // one grouped row per (group, distinct score); unknown rows
     // collect under a null score key and ride the same single scan
-    val grouped = df
-      .groupBy((by.map(col) :+ when(known, sc).as("__s")): _*)
-      .agg(count(lit(1)).as("__cnt"),
-        count(when(known && y === 1, 1)).as("__pos"))
+    val grouped = distinctScoreCounts(df, labelCol, scoreCol, by,
+      quantizeDecimals)
     // exclusive ascending rank prefix over distinct scores, via the
     // two-level bucketed discipline (known buckets hold known rows
     // only, so the prefix never needs a null guard)
@@ -1642,14 +1943,8 @@ object TextAnalysis {
                   quantizeDecimals: Option[Int] = None): DataFrame = {
     quantizeDecimals.foreach(q => require(q >= 0,
       s"prAucReport: quantizeDecimals must be >= 0, got $q"))
-    val y = col(labelCol).cast("int")
-    val sc0 = col(scoreCol).cast("double")
-    val sc = quantizeDecimals.map(q => round(sc0, q)).getOrElse(sc0)
-    val known = y.isNotNull && sc.isNotNull && (y === 0 || y === 1)
-    val grouped = df
-      .groupBy((by.map(col) :+ when(known, sc).as("__s")): _*)
-      .agg(count(lit(1)).as("__cnt"),
-        count(when(known && y === 1, 1)).as("__pos"))
+    val grouped = distinctScoreCounts(df, labelCol, scoreCol, by,
+      quantizeDecimals)
     val isK = col("__s").isNotNull
     // cumulative (rows, positives) through each tie block, best
     // score first — inclusive descending two-level bucketed rank

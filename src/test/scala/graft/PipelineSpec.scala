@@ -3644,6 +3644,17 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         Seq("src"), minPrecision = Some(0.5)).collect()
     }
     assert(e.getMessage.contains("duplicate thresholds"))
+    // a NULL threshold (malformed sweep) refuses too (round 16):
+    // count(t) would skip it in the duplicate check, and a feasible
+    // NULL-threshold row would be indistinguishable from "no
+    // feasible pick" in the output
+    val nulled = sweep.unionByName(sweep.limit(1)
+      .withColumn("threshold", lit(null).cast("double")))
+    val en = intercept[Exception] {
+      TextAnalysis.chooseThresholds(nulled, Seq("src"),
+        minPrecision = Some(0.5)).collect()
+    }
+    assert(en.getMessage.contains("NULL threshold"))
   }
 
   test("calibrationReport by= / eceBy: per-group rows and ECE are " +
@@ -3685,5 +3696,177 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       TextAnalysis.eceBy(keyed, Seq.empty)
     }
+  }
+
+  test("calibrateLogitsBy: each group's (a, b) is bit-identical to " +
+      "its standalone calibrateLogits fit; NULL group keys train; " +
+      "deterministic across partitionings; calibratedProbBy applies " +
+      "the group's pair and reads NULL for unfitted groups; " +
+      "refusals") {
+    // three groups with different score/label shapes (one keyed by
+    // NULL — a legitimate group), so the three fits genuinely differ
+    val df = Seq(
+      (Some("a"), Some(1), Some(2.0)), (Some("a"), Some(1), Some(1.0)),
+      (Some("a"), Some(0), Some(-1.0)), (Some("a"), Some(0), Some(-2.0)),
+      (Some("b"), Some(1), Some(0.5)), (Some("b"), Some(0), Some(0.25)),
+      (Some("b"), Some(0), Some(-0.75)), (Some("b"), Some(1), Some(3.0)),
+      (Option.empty[String], Some(1), Some(1.5)),
+      (Option.empty[String], Some(0), Some(-0.5)),
+      // unknown rows: excluded from the fit, like the standalone
+      (Some("a"), Option.empty[Int], Some(9.9)),
+      (Some("b"), Some(1), Option.empty[Double]),
+      // a group with NO labeled scored rows: nothing to fit
+      (Some("c"), Option.empty[Int], Some(0.1)))
+      .toDF("src", "y", "s")
+    val calib = TextAnalysis.calibrateLogitsBy(df, "y", "s",
+      Seq("src"), iters = 3, lr = 10.0)
+    val got = calib.collect().map(r =>
+      (if (r.isNullAt(0)) null else r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set("a", "b", null),
+      "one row per group WITH labeled rows — no row for 'c'")
+    for (g <- Seq("a", "b", null)) {
+      val solo = if (g == null) df.filter($"src".isNull)
+                 else df.filter($"src" === g)
+      val want = TextAnalysis.calibrateLogits(solo, "y", "s",
+        iters = 3, lr = 10.0)
+      assert(got(g) == want,
+        s"group $g: keyed fit must be bit-identical to standalone")
+    }
+    // order-free: the fixed-point gradient sums survive repartition
+    val got13 = TextAnalysis.calibrateLogitsBy(
+      df.repartition(13, col("s")), "y", "s", Seq("src"),
+      iters = 3, lr = 10.0).collect().map(r =>
+        (if (r.isNullAt(0)) null else r.getString(0)) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got13 == got)
+    // calibratedProbBy: the group's own pair, the exact
+    // calibratedProb arithmetic; 'c' (unfitted) reads NULL
+    val probs = TextAnalysis.calibratedProbBy(df, calib, "s",
+      Seq("src"))
+    assert(probs.count() == df.count(), "left join keeps every row")
+    for (g <- Seq("a", "b", null)) {
+      val (a, b) = got(g)
+      val side = if (g == null) probs.filter($"src".isNull)
+                 else probs.filter($"src" === g)
+      val wantP = side.select(col("s"),
+          TextAnalysis.calibratedProb(col("s"), a, b).as("w"))
+        .collect().map(r => Option(r.get(0)) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      side.select(col("s"), col("prob")).collect().foreach { r =>
+        val w = wantP(Option(r.get(0)))
+        assert((if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+          == w, s"group $g score ${r.get(0)}")
+      }
+    }
+    assert(probs.filter($"src" === "c").select("prob")
+      .collect().forall(_.isNullAt(0)),
+      "a group absent from the calibration frame reads NULL, " +
+        "never a silent global fallback")
+    // refusals
+    intercept[IllegalArgumentException] {
+      TextAnalysis.calibrateLogitsBy(df, "y", "s", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.calibrateLogitsBy(df, "y", "s", Seq("src"),
+        iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.calibrateLogitsBy(df.filter(lit(false)), "y", "s",
+        Seq("src"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.calibratedProbBy(df, calib.drop("a_micro"), "s",
+        Seq("src"))
+    }
+  }
+
+  test("distinctScorePrefix hardening: ±Inf/NaN scores take their " +
+      "own monotone buckets and the grid spans the finite min/max — " +
+      "metrics and curves equal the same ranking with the " +
+      "non-finite values mapped to finite sentinels beyond the " +
+      "range") {
+    // Spark's sort/group order: -Inf < finite < +Inf < NaN. Mapping
+    // the non-finite values to finite sentinels beyond the range
+    // preserves EXACTLY that order, so every rank — and therefore
+    // every metric/curve row — must agree between the two spellings.
+    val raw = Seq(
+      ("a", 1, Double.NaN), ("a", 1, Double.PositiveInfinity),
+      ("a", 1, 5.0), ("a", 0, 3.0), ("a", 1, 3.0), ("a", 0, 1.0),
+      ("a", 0, Double.NegativeInfinity),
+      ("b", 1, Double.PositiveInfinity), ("b", 0, 4.0), ("b", 1, 2.0),
+      ("b", 0, Double.NaN))
+      .toDF("src", "y", "s")
+    val mapped = raw.withColumn("s",
+      when(isnan($"s"), lit(1000.0))
+        .when($"s" === Double.PositiveInfinity, lit(900.0))
+        .when($"s" === Double.NegativeInfinity, lit(-900.0))
+        .otherwise($"s"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.drop("score", "s").collect().map(_.toSeq.toList).toList
+    // scalar metrics: value-identical (score never appears in the
+    // output, only ranks do)
+    assert(rows(TextAnalysis.aucReport(raw, "y", "s",
+        by = Seq("src")).orderBy("src")) ==
+      rows(TextAnalysis.aucReport(mapped, "y", "s",
+        by = Seq("src")).orderBy("src")))
+    assert(rows(TextAnalysis.prAucReport(raw, "y", "s",
+        by = Seq("src")).orderBy("src")) ==
+      rows(TextAnalysis.prAucReport(mapped, "y", "s",
+        by = Seq("src")).orderBy("src")))
+    // curves: same (tp, fp/n_kept, ratios) sequences row-for-row
+    // once the score column itself is dropped
+    assert(rows(TextAnalysis.rocCurve(raw, "y", "s",
+        by = Seq("src"))) ==
+      rows(TextAnalysis.rocCurve(mapped, "y", "s", by = Seq("src"))))
+    assert(rows(TextAnalysis.prCurve(raw, "y", "s",
+        by = Seq("src"))) ==
+      rows(TextAnalysis.prCurve(mapped, "y", "s", by = Seq("src"))))
+    // hand-check one group: a's ranking desc is NaN, +Inf, 5, 3(t),
+    // 1, -Inf with labels 1,1,1,{0,1},0,0 → n+=4, n-=3;
+    // discordant-free except the 3-tie (pos ties neg: half credit)
+    // and the 1/-Inf negatives below: AUC = (4*3 - 1*1*0.5 - 1) ...
+    // compute directly instead: pairs pos>neg full credit, ties 0.5
+    val aRows = raw.filter($"src" === "a")
+      .select("y", "s").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    def rk(x: Double): Double =
+      if (x.isNaN) 7.0 else if (x.isPosInfinity) 6.0
+      else if (x.isNegInfinity) -7.0 else x
+    val pos = aRows.filter(_._1 == 1).map(t => rk(t._2))
+    val neg = aRows.filter(_._1 == 0).map(t => rk(t._2))
+    val wantAuc = pos.flatMap(p => neg.map(n =>
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0)).sum /
+      (pos.length * neg.length)
+    val gotAuc = TextAnalysis.aucReport(raw, "y", "s",
+        by = Seq("src")).filter($"src" === "a")
+      .collect().head.getAs[Double]("auc")
+    assert(gotAuc == wantAuc, s"hand AUC: $gotAuc vs $wantAuc")
+  }
+
+  test("corpusDeltaRemoved: the drop-close removal audit — " +
+      "stream rows + removed rows ≡ the batch corpusDelta " +
+      "row-for-row; null-text and re-added ids classify; same " +
+      "parameter order as the batch form") {
+    val before = Seq((1L, Some("a")), (2L, Some("b")),
+      (3L, Option.empty[String]), (4L, Some("d")), (5L, Some("e")))
+      .toDF("id", "t")
+    val after = Seq((1L, Some("a")), (2L, Some("B")),
+      (3L, Option.empty[String]), (6L, Some("f")))
+      .toDF("id", "t")
+    val removed = Dedup.corpusDeltaRemoved(before, after, "id", "t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(removed == Set((4L, "removed"), (5L, "removed")))
+    // the spec-pinned identity: live stream rows + the close audit
+    // IS the batch delta
+    val live = Dedup.corpusDeltaStream(before, after, "id", "t")
+    val union = live.unionByName(
+        Dedup.corpusDeltaRemoved(before, after, "id", "t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList.sorted
+    val batch = Dedup.corpusDelta(before, after, "id", "t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList.sorted
+    assert(union == batch,
+      "corpusDeltaStream + corpusDeltaRemoved must equal " +
+        "corpusDelta row-for-row")
   }
 }

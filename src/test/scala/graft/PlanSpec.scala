@@ -216,6 +216,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         ("auc by", TextAnalysis.aucReport(keyed, "y", "s",
           by = Seq("src")), 1),
         ("prAuc by", TextAnalysis.prAucReport(keyed, "y", "s",
+          by = Seq("src")), 1),
+        // the curve TABLES (round 16) ride the same two-level rank
+        // and inherit the same pins
+        ("roc", TextAnalysis.rocCurve(df, "y", "s"), 0),
+        ("roc by", TextAnalysis.rocCurve(keyed, "y", "s",
+          by = Seq("src")), 1),
+        ("pr curve by", TextAnalysis.prCurve(keyed, "y", "s",
           by = Seq("src")), 1))) {
       val wins = rep.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w

@@ -751,4 +751,83 @@ class ValidateSpec extends AnyFunSuite with SparkSpec {
       Validate.changePoints(hist.drop("value"))
     }
   }
+
+  test("classifier-metric history bridge: per-drop aucReport rows " +
+      "melt into the metric history (check_name = metric×source), a " +
+      "planted slow AUC decay the per-run rule never flags alerts " +
+      "through changePoints → severity, and the disk round-trip " +
+      "(writeMonitorReport/readHistory) grades identically to the " +
+      "in-memory history") {
+    import graft.operators.TextAnalysis
+    // per run: 1 positive scored m+0.5 over 20 negatives scored
+    // 1..20 → AUC is EXACTLY m/20 (the #negatives ranked below).
+    // Eight calm drops (m 18..19, AUC .90/.95) then four slowly
+    // decaying (17,16,15,14 → .85...70): each post-shift z is small
+    // against the calm median/MAD, but S- accumulates across runs —
+    // the scorer-quality slow-creep the bridge exists to catch.
+    val ms = Seq(18, 19, 18, 19, 18, 19, 18, 19, 17, 16, 15, 14)
+    def drop(m: Int) =
+      (("s1", 1, m + 0.5) +: (1 to 20).map(j => ("s1", 0, j.toDouble)))
+        .toDF("source", "y", "score")
+    val perRun = ms.zipWithIndex.map { case (m, i) =>
+      val rep = TextAnalysis.aucReport(drop(m), "y", "score",
+        by = Seq("source"))
+      f"r${i + 1}%02d" -> Validate.meltMetrics(rep, Seq("auc"),
+        keyCols = Seq("source"))
+    }
+    // sanity: the melt names the series metric×source and carries
+    // the exact AUC
+    val first = perRun.head._2.collect()
+    assert(first.map(_.getAs[String]("check_name")).toSeq ==
+      Seq("auc(source=s1)"))
+    assert(first.head.getAs[Double]("value") == 18.0 / 20)
+    // in-memory history: union of run-stamped rows
+    val hist = perRun.map { case (rid, rows) =>
+        rows.select(lit(rid).as("run_id"), col("check_name"),
+          col("value"), col("passed"))
+      }.reduce(_ unionByName _)
+    val graded = Validate.severity(
+      Validate.changePoints(hist, k = 0.5, h = 2.0))
+    val byRun = graded.orderBy("run_id").collect()
+    assert(byRun.length == 12)
+    // severity is exactly the is_shift grade, and the decay tail
+    // alerts while every calm run stays ok
+    byRun.foreach { r =>
+      val want =
+        if (r.isNullAt(r.fieldIndex("is_shift"))) "warn"
+        else if (r.getAs[Boolean]("is_shift")) "alert" else "ok"
+      assert(r.getAs[String]("severity") == want)
+    }
+    val alerts = byRun.filter(_.getAs[String]("severity") == "alert")
+      .map(_.getAs[String]("run_id")).toList
+    assert(alerts.nonEmpty && alerts.forall(_ > "r08"),
+      s"only the planted decay may alert: $alerts")
+    assert(byRun.filter(_.getAs[String]("run_id") <= "r08")
+      .forall(_.getAs[String]("severity") == "ok"))
+    // ...and the per-run robust-z rule alone is blind to the creep
+    // until far into the tail: the FIRST decayed run never flags
+    val z9 = byRun.find(_.getAs[String]("run_id") == "r09").get
+    assert(math.abs(z9.getAs[Double]("z")) < 3.5 &&
+      !z9.getAs[Boolean]("is_shift"))
+    // disk round-trip: writeMonitorReport appends each drop's rows
+    // under its runId; readHistory grades identically row-for-row
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-auc-hist").toString
+    try {
+      perRun.zipWithIndex.foreach { case ((rid, _), i) =>
+        Validate.writeMonitorReport(
+          TextAnalysis.aucReport(drop(ms(i)), "y", "score",
+            by = Seq("source")),
+          dir, rid, Seq("auc"), Seq("source"))
+      }
+      val gradedDisk = Validate.severity(Validate.changePoints(
+        Validate.readHistory(spark, dir), k = 0.5, h = 2.0))
+      assert(gradedDisk.orderBy("run_id").collect()
+          .map(_.toSeq).toList == byRun.map(_.toSeq).toList,
+        "disk-accumulated history must grade identically")
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir)); ()
+    }
+  }
 }
