@@ -2030,6 +2030,63 @@ object SparkEntry {
         .orderBy(col("source"), col("score"))
     }),
 
+    // the picked operating points APPLIED as the keep filter (round
+    // 16): sweep → chooseThresholds → applyThresholds closes the
+    // keyed loop — each row filters against its own source's
+    // threshold via a broadcast of the bounded picks frame
+    // (dropUnpicked: sources with no feasible point drop explicitly);
+    // the oracle replays the per-source pick then the keyed filter
+    "t51_apply_thresholds" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val scored = operators.TextAnalysis.hashedLinearScoreWith(
+          docs, "doc_id", "text", w.toSeq)
+        .join(docs.select(col("doc_id"), col("y"), col("source")),
+          Seq("doc_id"))
+      val sweep = operators.TextAnalysis.thresholdSweep(scored, "y",
+        "logit", Seq(-0.1, 0.0, 0.1), by = Seq("source"))
+      // precision floor 0.05 (≈ the marker base rate): feasible at
+      // every SF, so the kept set stays non-degenerate as the
+      // corpus grows — the pick itself is still a real per-source
+      // lexicographic choice
+      val picks = operators.TextAnalysis.chooseThresholds(sweep,
+        Seq("source"), minPrecision = Some(0.05))
+      operators.TextAnalysis.applyThresholds(scored, picks,
+          "logit", Seq("source"), dropUnpicked = true)
+        .select(col("doc_id"), col("source"), col("logit"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-source BRIER score of the calibrated probabilities (round
+    // 16): the strictly-proper un-binned companion to t45's ECE —
+    // squared errors quantized to integer micro-units (order-free
+    // exact sum), one division per source; the oracle replays both
+    // trainings then every per-source quantized sum
+    "t52_brier_by" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("y",
+        when(array_contains(
+          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+          .otherwise(0))
+      val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
+        "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
+      val scored = operators.TextAnalysis.hashedLinearScoreWith(
+          docs, "doc_id", "text", w.toSeq)
+        .join(docs.select(col("doc_id"), col("y"), col("source")),
+          Seq("doc_id"))
+      val (a, b) = operators.TextAnalysis.calibrateLogits(scored,
+        "y", "logit", iters = 3, lr = 10.0)
+      operators.TextAnalysis.brierScore(
+          scored.select(col("doc_id"), col("y"), col("source"),
+            operators.TextAnalysis.calibratedProb(col("logit"), a, b)
+              .as("prob")),
+          "y", "prob", by = Seq("source"))
+        .orderBy(col("source"))
+    }),
+
     // Platt-style calibration of the trained scorer's logits
     // (σ(a·x+b) with the rational sigmoid, integer micro (a,b),
     // fixed-point gradient quantization): the oracle unrolls BOTH
@@ -4448,6 +4505,71 @@ object SparkEntry {
          |    ELSE CAST(c.cpos AS DOUBLE) / t.np END AS recall
          |FROM c JOIN tot t USING (source)
          |ORDER BY source, score""".stripMargin,
+
+    // the keyed picks applied as the keep filter: replay the
+    // per-source pick (t46 machinery), inner-join each doc against
+    // its source's chosen threshold (unpicked sources drop — the
+    // gate's dropUnpicked spelling)
+    "t51_apply_thresholds" -> {
+      val blocks = Seq(-0.1, 0.0, 0.1).map { t =>
+        s"""  SELECT source, CAST($t AS DOUBLE) AS threshold,
+           |    count(CASE WHEN logit > $t AND y = 1 THEN 1 END) AS tp,
+           |    count(CASE WHEN logit > $t AND y = 0 THEN 1 END) AS fp,
+           |    count(CASE WHEN NOT (logit > $t) AND y = 1 THEN 1 END)
+           |      AS fn
+           |  FROM ev GROUP BY source""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH ${hashedGdCtes(64, 3)},
+         |sc AS (
+         |  SELECT f.doc_id,
+         |    CAST(SUM(m.weight_milli) AS BIGINT) AS score_milli
+         |  FROM feat f JOIN milli m USING (bucket)
+         |  GROUP BY f.doc_id),
+         |ev AS (
+         |  SELECT d.doc_id, dd.source, d.y,
+         |    CAST(sc.score_milli AS DOUBLE) / (1000.0 * d.n_tokens)
+         |      AS logit
+         |  FROM docs d JOIN sc USING (doc_id)
+         |  JOIN documents dd USING (doc_id)),
+         |cm AS (
+         |$blocks
+         |),
+         |pr AS (
+         |  SELECT source, threshold,
+         |    CASE WHEN tp + fp = 0 THEN NULL
+         |      ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+         |    CASE WHEN tp + fn = 0 THEN NULL
+         |      ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+         |  FROM cm),
+         |pick AS (
+         |  SELECT source, threshold,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY recall DESC, precision DESC, threshold ASC)
+         |      AS rk
+         |  FROM pr
+         |  WHERE precision IS NOT NULL AND recall IS NOT NULL
+         |    AND precision >= 0.05),
+         |chosen AS (SELECT source, threshold FROM pick WHERE rk = 1)
+         |SELECT e.doc_id, e.source, e.logit
+         |FROM ev e JOIN chosen c
+         |  ON e.source = c.source AND e.logit > c.threshold
+         |ORDER BY e.doc_id""".stripMargin
+    },
+
+    // per-source Brier of the calibrated probabilities: both
+    // trainings replayed, then the micro-unit quantized squared
+    // errors summed per source and divided once
+    "t52_brier_by" ->
+      s"""WITH $plattCtes,
+         |pr AS (
+         |  SELECT dd.source, e.y, ${calSg(calM)} AS prob
+         |  FROM ev e JOIN documents dd USING (doc_id), ab3 ab)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(0 AS BIGINT) AS n_unknown,
+         |  CAST(SUM(CAST(floor((prob - y) * (prob - y) * 1000000.0
+         |    + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / (1000000.0 * COUNT(*)) AS brier
+         |FROM pr GROUP BY source ORDER BY source""".stripMargin,
 
     "t35_classifier_eval" ->
       s"""WITH ${hashedGdCtes(64, 3)},

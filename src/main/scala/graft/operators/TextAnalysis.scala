@@ -1702,6 +1702,93 @@ object TextAnalysis {
           .otherwise(col("__pick")).as("threshold"): _*)
   }
 
+  /** APPLY a [[chooseThresholds]] frame as the keep filter — the
+    * step that closes the keyed loop (sweep → pick → FILTER) without
+    * hand-writing the join: one BROADCAST join of the bounded picks
+    * frame on the (null-safe) group keys, then `score > threshold`
+    * per the row's own group — the data rows never shuffle, the
+    * filter composes with pushdown like any scan predicate.
+    *
+    * Rows whose group has NO usable pick — absent from the picks
+    * frame (a stale pick table) or a NULL threshold (the picker
+    * found no feasible point) — REFUSE at execution by default:
+    * keeping them unfiltered would silently break the precision
+    * budget, dropping them would silently lose a source. Pass
+    * `dropUnpicked = true` to make the drop explicit instead
+    * (the deliberate "publish only the sources with an operating
+    * point" spelling; the dropped groups stay visible in the picks
+    * frame's NULL rows).
+    *
+    * @return df filtered to rows with `score > ` their group's
+    *         threshold (original columns unchanged)
+    */
+  def applyThresholds(df: DataFrame, picks: DataFrame,
+                      scoreCol: String, by: Seq[String],
+                      dropUnpicked: Boolean = false): DataFrame = {
+    require(by.nonEmpty, "applyThresholds: give the group columns")
+    (by :+ "threshold").foreach(c =>
+      require(picks.columns.contains(c),
+        s"applyThresholds: picks frame has no '$c' column — pass a " +
+          "chooseThresholds output"))
+    val kn = by.map("__k_" + _)
+    val side = picks.select(
+      by.zip(kn).map { case (c, k) => col(c).as(k) } :+
+        col("threshold").as("__t"): _*)
+    val cond = by.zip(kn)
+      .map { case (a, k) => col(a) <=> col(k) }.reduce(_ && _)
+    val keep =
+      if (dropUnpicked) col("__t").isNotNull &&
+        col(scoreCol).cast("double") > col("__t")
+      else when(col("__t").isNull,
+          raise_error(lit("applyThresholds: a row's group has no " +
+            "usable pick (absent from the picks frame or a NULL " +
+            "threshold) — widen the sweep, or pass dropUnpicked = " +
+            "true to drop such groups explicitly")).cast("boolean"))
+        .otherwise(col(scoreCol).cast("double") > col("__t"))
+    df.join(broadcast(side), cond, "left")
+      .filter(keep)
+      .drop(kn: _*).drop("__t")
+  }
+
+  /** BRIER SCORE — the proper-scoring-rule companion to [[ece]]
+    * (ECE measures binned reliability; the Brier score mean((p−y)²)
+    * is the un-binned strictly-proper number that also prices
+    * resolution, the standard second opinion on a calibrated
+    * scorer): one aggregation pass; each row's squared error
+    * quantizes to integer MICRO-units (floor((p−y)²·1e6 + 0.5) ≤
+    * 1e6 — the house fixed-point discipline, so the sum is
+    * order-free exact int64 at any corpus size) and the score is
+    * ONE division by 1e6·n — bit-replayable cross-engine;
+    * quantization bias one-sided < 5e-7. Null labels/probs, non-0/1
+    * labels, and probs outside [0, 1] count apart as `n_unknown`
+    * (the [[calibrationReport]] contract); no-known-row groups read
+    * NULL, never NaN. Per `by` group when given — the per-source
+    * spelling every sibling metric has.
+    *
+    * @return by ++ (n_rows, n_unknown, brier)
+    */
+  def brierScore(df: DataFrame, labelCol: String, probCol: String,
+                 by: Seq[String] = Seq.empty): DataFrame = {
+    val y = col(labelCol).cast("int")
+    val p = col(probCol).cast("double")
+    val known = y.isNotNull && p.isNotNull && (y === 0 || y === 1) &&
+      p >= 0.0 && p <= 1.0
+    val d = p - y.cast("double")
+    val term = floor(d * d * lit(1000000.0) + lit(0.5)).cast("long")
+    val aggs = Seq(
+      count(lit(1)).as("n_rows"),
+      count(when(!known, 1)).as("n_unknown"),
+      count(when(known, 1)).as("__nk"),
+      coalesce(sum(when(known, term)), lit(0L)).as("__se"))
+    val agged =
+      if (by.isEmpty) df.agg(aggs.head, aggs.drop(1): _*)
+      else df.groupBy(by.map(col): _*).agg(aggs.head, aggs.drop(1): _*)
+    agged.select(by.map(col) ++ Seq(col("n_rows"), col("n_unknown"),
+      when(col("__nk") === 0, lit(null).cast("double"))
+        .otherwise(col("__se").cast("double") /
+          (lit(1000000.0) * col("__nk"))).as("brier")): _*)
+  }
+
   /** The (group, distinct score) count frame every ranking metric
     * and curve here starts from — one scan, one groupBy(score)
     * shuffle (map-side combined): per (group, distinct quantized

@@ -3844,6 +3844,101 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(gotAuc == wantAuc, s"hand AUC: $gotAuc vs $wantAuc")
   }
 
+  test("applyThresholds: each row filters against its own group's " +
+      "picked threshold; groups without a usable pick refuse by " +
+      "default and drop explicitly under dropUnpicked; NULL group " +
+      "keys join null-safely; misuse refused") {
+    val scored = Seq(
+      (Some("a"), 1L, 0.9), (Some("a"), 2L, 0.5), (Some("a"), 3L, 0.2),
+      (Some("b"), 4L, 0.9), (Some("b"), 5L, 0.5), (Some("b"), 6L, 0.2),
+      (Option.empty[String], 7L, 0.9), (Option.empty[String], 8L, 0.1))
+      .toDF("src", "id", "s")
+    // picks: a keeps > 0.4, b keeps > 0.8, null-key group > 0.5
+    val picks = Seq((Some("a"), Some(0.4)), (Some("b"), Some(0.8)),
+      (Option.empty[String], Some(0.5)))
+      .toDF("src", "threshold")
+    val kept = TextAnalysis.applyThresholds(scored, picks, "s",
+        Seq("src")).select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 4L, 7L),
+      "per-group thresholds, boundary strict, null key joins")
+    assert(TextAnalysis.applyThresholds(scored, picks, "s",
+        Seq("src")).columns.toSeq == scored.columns.toSeq,
+      "original columns ride through unchanged")
+    // a group with NO pick row refuses by default...
+    val partial = picks.filter($"src" === "a")
+    val e = intercept[Exception] {
+      TextAnalysis.applyThresholds(scored, partial, "s",
+        Seq("src")).collect()
+    }
+    assert(e.getMessage.contains("no usable pick"))
+    // ...as does a NULL threshold (the picker's infeasible marker)
+    val nulled = picks.withColumn("threshold",
+      when($"src" === "b", lit(null).cast("double"))
+        .otherwise($"threshold"))
+    intercept[Exception] {
+      TextAnalysis.applyThresholds(scored, nulled, "s",
+        Seq("src")).collect()
+    }
+    // dropUnpicked: the unpicked groups drop EXPLICITLY, the rest
+    // filter as before
+    val dropped = TextAnalysis.applyThresholds(scored, nulled, "s",
+        Seq("src"), dropUnpicked = true)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(dropped == Seq(1L, 2L, 7L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.applyThresholds(scored, picks, "s", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.applyThresholds(scored, picks.drop("threshold"),
+        "s", Seq("src"))
+    }
+  }
+
+  test("brierScore: hand-worked micro-quantized mean squared error, " +
+      "unknown accounting, keyed groups ≡ standalone, no-known NULL, " +
+      "partitioning determinism") {
+    // hand fixture: (y, p) with exact micro terms
+    // (1, 0.9) -> 0.01 -> 10000; (0, 0.25) -> 0.0625 -> 62500
+    // (1, 0.5) -> 0.25 -> 250000; (0, 0.0) -> 0
+    val df = Seq(
+      (Some(1), Some(0.9)), (Some(0), Some(0.25)),
+      (Some(1), Some(0.5)), (Some(0), Some(0.0)),
+      (Option.empty[Int], Some(0.7)),      // null label: unknown
+      (Some(1), Option.empty[Double]),     // null prob: unknown
+      (Some(2), Some(0.5)),                // non-0/1 label: unknown
+      (Some(1), Some(1.5)))                // out-of-range: unknown
+      .toDF("y", "p")
+    val r = TextAnalysis.brierScore(df, "y", "p").collect().head
+    assert(r.getAs[Long]("n_rows") == 8)
+    assert(r.getAs[Long]("n_unknown") == 4)
+    assert(r.getAs[Double]("brier") ==
+      (10000L + 62500L + 250000L + 0L).toDouble / (1000000.0 * 4))
+    // keyed: each group bit-identical to its standalone call
+    val keyed = Seq(
+      ("a", 1, 0.9), ("a", 0, 0.25), ("b", 1, 0.5), ("b", 0, 0.0))
+      .toDF("src", "y", "p")
+    val byRows = TextAnalysis.brierScore(keyed, "y", "p",
+        by = Seq("src")).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = TextAnalysis.brierScore(
+        keyed.filter($"src" === g), "y", "p").collect().head
+      assert(byRows(g) == solo.getDouble(2), s"group $g")
+    }
+    // all-unknown group reads NULL, never NaN
+    val blank = TextAnalysis.brierScore(
+      Seq((Option.empty[Int], 0.5)).toDF("y", "p"), "y", "p")
+      .collect().head
+    assert(blank.isNullAt(2) && blank.getAs[Long]("n_unknown") == 1)
+    // order-free quantized sum: identical across partitionings
+    val big = (1 to 500).map(i =>
+      (i % 2, (i % 97) / 96.0)).toDF("y", "p")
+    assert(TextAnalysis.brierScore(big, "y", "p").collect().head
+        .getDouble(2) ==
+      TextAnalysis.brierScore(big.repartition(13), "y", "p")
+        .collect().head.getDouble(2))
+  }
+
   test("corpusDeltaRemoved: the drop-close removal audit — " +
       "stream rows + removed rows ≡ the batch corpusDelta " +
       "row-for-row; null-text and re-added ids classify; same " +
