@@ -201,6 +201,34 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("applyThresholds joins the picks BROADCAST (data rows never " +
+      "shuffle) and brierScore is ONE two-phase aggregate") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val scored = Seq(("a", 1L, 0.5), ("b", 2L, 0.2))
+      .toDF("src", "id", "s")
+    val picks = Seq(("a", 0.4), ("b", 0.1)).toDF("src", "threshold")
+    val pa = TextAnalysis.applyThresholds(scored, picks, "s",
+      Seq("src")).queryExecution.executedPlan.toString
+    assert(pa.contains("BroadcastHashJoin") ||
+      pa.contains("BroadcastNestedLoopJoin"),
+      s"picks must ship broadcast:\n$pa")
+    assert(!pa.contains("SortMergeJoin") &&
+      !pa.contains("ShuffledHashJoin"),
+      s"the corpus side must not shuffle for the filter:\n$pa")
+    for (by <- Seq(Seq.empty[String], Seq("src"))) {
+      val pb = TextAnalysis.brierScore(scored.withColumn("y",
+          org.apache.spark.sql.functions.lit(1)), "y", "s", by = by)
+        .queryExecution.executedPlan.toString
+      assert(!pb.contains("Join"),
+        s"brier (by=$by) must not join:\n$pb")
+      assert(pb.contains("partial_"),
+        s"brier (by=$by) needs map-side partials:\n$pb")
+      assert("Exchange".r.findAllIn(pb).size <= 1,
+        s"brier (by=$by) must be one aggregate exchange:\n$pb")
+    }
+  }
+
   test("aucReport / prAucReport: grouped pass + two-level bucketed " +
       "rank — NO window ever partitions by the group alone (the " +
       "ungrouped spelling has no single-partition Window; the keyed " +

@@ -1256,6 +1256,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(got == List(("a", 1.0, true), ("b", 0.5, false)))
     } finally q.stop()
   }
+
+  test("applyThresholds on a LIVE stream: scored docs filter against " +
+      "their source's static pick as they arrive (stream-static " +
+      "broadcast join, stateless), rows match the batch spelling") {
+    import graft.operators.TextAnalysis
+    // static picks: source a keeps > 0.4, b keeps > 0.8
+    val picks = Seq(("a", 0.4), ("b", 0.8)).toDF("src", "threshold")
+    val input = MemoryStream[Measurement](spark)
+    val scored = input.toDF.select($"sensor_name".as("src"),
+      $"occurred_at_ms".as("id"), $"reading".as("s"))
+    val kept = TextAnalysis.applyThresholds(scored, picks, "s",
+      Seq("src"), dropUnpicked = true)
+    assert(kept.isStreaming, "the filter must preserve streaminess")
+    val q = kept.writeStream.format("memory")
+      .queryName("apply_thresh_out").outputMode("append").start()
+    try {
+      input.addData(
+        Measurement(1, "a", 0.9), Measurement(2, "a", 0.3),
+        Measurement(3, "b", 0.9), Measurement(4, "b", 0.5),
+        Measurement(5, "c", 0.99)) // no pick for c: drops explicitly
+      q.processAllAvailable()
+      val got = spark.table("apply_thresh_out")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 3L))
+      // batch parity on the same rows
+      val batch = TextAnalysis.applyThresholds(
+          Seq(("a", 1L, 0.9), ("a", 2L, 0.3), ("b", 3L, 0.9),
+            ("b", 4L, 0.5), ("c", 5L, 0.99)).toDF("src", "id", "s"),
+          picks, "s", Seq("src"), dropUnpicked = true)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(batch == got)
+    } finally q.stop()
+  }
 }
 
 /** Embedding row for streaming decontamination specs. */
