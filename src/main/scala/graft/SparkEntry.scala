@@ -20,6 +20,22 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(spark, dir, name)
 
+  /** The classifier family's shared labeled-docs prefix (one
+    * definition for the 20 t33–t52 gates): documents spread across
+    * the session parallelism first (round 16 — the single-file
+    * fixture arrives as ONE split, which serialized every training
+    * cache build and md5 scoring pass onto one core; a
+    * production-scale scan has thousands of splits and spread()
+    * no-ops), then the ~5% 'dup'-marker label. Values are identical
+    * under any partitioning — every downstream op is an exact
+    * integer sum or a per-row projection.
+    */
+  private def labeledDocs(spark: SparkSession, dir: String): DataFrame =
+    Graft.spread(t(spark, dir, "documents")).withColumn("y",
+      when(array_contains(
+        operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
+        .otherwise(0))
+
   /** The d50/d51/d52 corpus-refresh mutation recipe, defined ONCE so
     * the three delta gates provably share it: drop ids %7 (removed),
     * append " v2" to ids %5 (changed), re-add ids %11 under a +1e9
@@ -1703,10 +1719,7 @@ object SparkEntry {
     // final scores
     "t33_hashed_linear_train" -> ((s, d) => {
       import s.implicits._
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       w.zipWithIndex.map { case (wm, b) => (b, wm) }.toSeq
@@ -1719,10 +1732,7 @@ object SparkEntry {
     // doc exact integer score + one-division logit; the learned
     // model rediscovers the marker (keep ≈ the marked docs)
     "t34_hashed_trained_score" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       operators.TextAnalysis.hashedLinearScoreWith(docs, "doc_id",
@@ -1737,10 +1747,7 @@ object SparkEntry {
     // model on disk changes nothing, which is the whole
     // train-offline/score-online contract
     "t38_linear_indexed" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val dir = java.nio.file.Files.createTempDirectory("graft-t38")
@@ -1761,10 +1768,7 @@ object SparkEntry {
     // order a bag of words cannot; the oracle replays the whole GD
     // over the unigram+bigram feature rows, n_tokens = feature count
     "t39_bigram_trained_score" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true,
         ngrams = 2)
@@ -1779,10 +1783,7 @@ object SparkEntry {
     // of exact integers); the oracle replays the rank prefix sums
     // over distinct logits per source
     "t41_auc" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val scored = operators.TextAnalysis.hashedLinearScoreWith(
@@ -1800,10 +1801,7 @@ object SparkEntry {
     // sum — bit-replayable with no fold order to pin), one final
     // division by 1e9·n_pos
     "t43_pr_auc" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val scored = operators.TextAnalysis.hashedLinearScoreWith(
@@ -1821,10 +1819,7 @@ object SparkEntry {
     // probability, signed gap — the oracle replays BOTH trainings
     // (t33's GD + t37's calibration) and then every bin statistic
     "t42_calibration_report" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val scored = operators.TextAnalysis.hashedLinearScoreWith(
@@ -1849,10 +1844,7 @@ object SparkEntry {
     // a confidence-weighted mixture is audited; the oracle replays
     // both trainings then every keyed bin statistic
     "t44_calibration_by" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val scored = operators.TextAnalysis.hashedLinearScoreWith(
@@ -1874,10 +1866,7 @@ object SparkEntry {
     // aggregation; the oracle replays the identical 0.0-seeded fold
     // with list_reduce over the bin-ordered term list
     "t45_ece_by" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val scored = operators.TextAnalysis.hashedLinearScoreWith(
@@ -1900,10 +1889,7 @@ object SparkEntry {
     // routinely under-filters the noisiest source); the oracle
     // replays every (source, threshold) confusion cell
     "t40_threshold_sweep_by" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val scored = operators.TextAnalysis.hashedLinearScoreWith(
@@ -1922,10 +1908,7 @@ object SparkEntry {
     // oracle replays the sweep and the exact lexicographic pick per
     // source
     "t46_choose_thresholds" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val scored = operators.TextAnalysis.hashedLinearScoreWith(
@@ -1946,10 +1929,7 @@ object SparkEntry {
     // lower threshold; the oracle replays the sweep and the
     // mirrored lexicographic pick
     "t48_choose_thresholds_recall" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val scored = operators.TextAnalysis.hashedLinearScoreWith(
@@ -1971,10 +1951,7 @@ object SparkEntry {
     // t33 GD once and the per-source Platt recursion per group
     // (ab0..ab3 keyed on source), then every per-doc probability
     "t47_calibrate_by" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val scored = operators.TextAnalysis.hashedLinearScoreWith(
@@ -1995,10 +1972,7 @@ object SparkEntry {
     // through the same two-level bucketed rank; the oracle replays
     // the descending tie-block prefix sums and both divisions
     "t49_roc_curve" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val scored = operators.TextAnalysis.hashedLinearScoreWith(
@@ -2015,10 +1989,7 @@ object SparkEntry {
     // integrates — where precision collapses as the keep threshold
     // loosens, visible per source
     "t50_pr_curve" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val scored = operators.TextAnalysis.hashedLinearScoreWith(
@@ -2037,10 +2008,7 @@ object SparkEntry {
     // (dropUnpicked: sources with no feasible point drop explicitly);
     // the oracle replays the per-source pick then the keyed filter
     "t51_apply_thresholds" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val scored = operators.TextAnalysis.hashedLinearScoreWith(
@@ -2067,10 +2035,7 @@ object SparkEntry {
     // exact sum), one division per source; the oracle replays both
     // trainings then every per-source quantized sum
     "t52_brier_by" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val scored = operators.TextAnalysis.hashedLinearScoreWith(
@@ -2093,10 +2058,7 @@ object SparkEntry {
     // optimizations — the t33 GD CTEs and three scalar calibration
     // iterations — and replays every per-doc probability
     "t37_calibrated_probs" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val scored = operators.TextAnalysis.hashedLinearScoreWith(
@@ -2117,10 +2079,7 @@ object SparkEntry {
     // threshold gets chosen. Same oracle machinery as t33-t35 plus
     // one UNION-ALL block per threshold literal
     "t36_threshold_sweep" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val scored = operators.TextAnalysis.hashedLinearScoreWith(
@@ -2138,10 +2097,7 @@ object SparkEntry {
     // 2tp/(2tp+fp+fn) — one division, so it replays bit-identically
     // where the three-division harmonic-mean spelling would not)
     "t35_classifier_eval" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("y",
-        when(array_contains(
-          operators.TextAnalysis.tokenize(col("text")), "dup"), 1)
-          .otherwise(0))
+      val docs = labeledDocs(s, d)
       val w = operators.TextAnalysis.learnHashedLinear(docs, "text",
         "y", dim = 64, iters = 3, lr = 10.0, balanced = true)
       val scored = operators.TextAnalysis.hashedLinearScoreWith(

@@ -2512,3 +2512,245 @@ case class VecSumAgg(child: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "vec_sum"
 }
+
+/** The hashed-feature bucket array of the classifier family
+  * ([[graft.operators.TextAnalysis.featureBuckets]]'s native
+  * spelling): per token, bucket = first-8-hex-chars-of-md5 mod dim
+  * (the h32 oracle contract — value-identical to
+  * `pmod(conv(substring(md5(tok),1,8),16,10), dim)`, replayed digit
+  * by digit in DuckDB); with `ngrams = 2`, every adjacent
+  * space-joined token PAIR hashes into the same bucket space,
+  * appended after the unigrams in document order.
+  *
+  * One digest per feature straight off the UTF-8 bytes — the Column
+  * spelling paid three expression nodes per token (md5 → 32-char hex
+  * string, substring, conv's radix parse) plus the interpreted
+  * higher-order-function lambda machinery per element; this is the
+  * same per-token md5 with none of that. Null tokens yield null
+  * elements; a null token array yields null (both as before).
+  */
+case class HashedBuckets(child: Expression, dim: Int, ngrams: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(dim > 0, s"hashed_buckets: dim must be > 0, got $dim")
+  require(ngrams == 1 || ngrams == 2,
+    s"hashed_buckets: ngrams must be 1 or 2, got $ngrams")
+
+  override def dataType: DataType = ArrayType(IntegerType,
+    containsNull = true)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hashed_buckets requires array<string>, got $t")
+    }
+
+  // first 4 digest bytes as the unsigned 32-bit value conv() parses
+  // from the first 8 hex chars, mod dim
+  private def bucketOf(md: java.security.MessageDigest): Int = {
+    val d = md.digest()
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (h % dim).toInt
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val md = SimHashMd5.digests.get()
+    val outLen = if (ngrams == 2 && n >= 2) 2 * n - 1 else n
+    val out = new Array[Any](outLen)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        md.update(arr.getUTF8String(i).getBytes)
+        out(i) = bucketOf(md)
+      }
+      i += 1
+    }
+    if (ngrams == 2 && n >= 2) {
+      i = 0
+      while (i < n - 1) {
+        if (!arr.isNullAt(i) && !arr.isNullAt(i + 1)) {
+          md.reset()
+          md.update(arr.getUTF8String(i).getBytes)
+          md.update(' '.toByte)
+          md.update(arr.getUTF8String(i + 1).getBytes)
+          out(n + i) = bucketOf(md)
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HashedBuckets =
+    copy(child = c)
+  override def prettyName: String = "hashed_buckets"
+}
+
+/** Σ weights(b) over a bucket array — the trained-scorer dot product
+  * (`aggregate(bks, 0L, (acc, b) => acc + element_at(wLit, b + 1))`
+  * without the per-element interpreted lambda): exact integer sum,
+  * order-free. Null array → null; a null element poisons the sum to
+  * null (the fold's semantics); an out-of-range bucket raises (the
+  * ANSI element_at contract — unreachable from [[HashedBuckets]],
+  * which bounds buckets by construction).
+  */
+case class BucketDot(child: Expression, weights: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+  require(weights.nonEmpty, "bucket_dot: empty weight table")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bucket_dot requires array<int>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val b = arr.getInt(i)
+      if (b < 0 || b >= weights.length) throw new IllegalArgumentException(
+        s"bucket_dot: bucket $b outside the ${weights.length}-entry " +
+          "weight table")
+      acc += weights(b)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(c: Expression): BucketDot =
+    copy(child = c)
+  override def prettyName: String = "bucket_dot"
+}
+
+/** Mutable per-group gradient buffer for [[BucketHistAgg]]: one
+  * fixed-length long array (the weight table's shape).
+  */
+final class BucketHistBuffer(val dim: Int) {
+  private[expressions] var arr: Array[Long] = null
+
+  def add(bks: ArrayData, c: Long): Unit = {
+    if (arr == null) arr = new Array[Long](dim)
+    val n = bks.numElements()
+    var i = 0
+    while (i < n) {
+      // null elements are unreachable from HashedBuckets over real
+      // tokens; skipping matches explode-then-sum dropping the null
+      // bucket row before any weight update reads it
+      if (!bks.isNullAt(i)) arr(bks.getInt(i)) += c
+      i += 1
+    }
+  }
+
+  def mergeWith(o: BucketHistBuffer): BucketHistBuffer = {
+    if (o.arr == null) return this
+    if (arr == null) { arr = o.arr; return this }
+    var i = 0
+    while (i < dim) { arr(i) += o.arr(i); i += 1 }
+    this
+  }
+}
+
+/** Per-bucket weighted occurrence sums in ONE aggregation pass — the
+  * gradient accumulator of [[graft.operators.TextAnalysis
+  * .learnHashedLinear]]: grad[b] = Σ_rows c_row · (occurrences of b
+  * in the row's bucket array), the exact integer the explode →
+  * groupBy(bucket) → sum spelling computes, without materializing
+  * one row per feature occurrence or shuffling a per-bucket key —
+  * per-partition state and exchange payload are `dim` longs flat
+  * (map-side partials merge element-wise). Order-free exact int64
+  * sums, so the result is bit-identical under any partitioning.
+  * Null bucket arrays and null weights contribute nothing (explode
+  * of a null array emits no rows).
+  */
+case class BucketHistAgg(buckets: Expression, weight: Expression,
+    dim: Int, mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[BucketHistBuffer] {
+  require(dim > 0, s"bucket_hist: dim must be > 0, got $dim")
+
+  override def children: Seq[Expression] = buckets :: weight :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BucketHistAgg =
+    copy(buckets = newChildren(0), weight = newChildren(1))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (buckets.dataType, weight.dataType) match {
+      case (ArrayType(IntegerType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (bt, wt) => TypeCheckResult.TypeCheckFailure(
+        s"bucket_hist requires (array<int>, bigint), got ($bt, $wt)")
+    }
+  }
+
+  override def createAggregationBuffer(): BucketHistBuffer =
+    new BucketHistBuffer(dim)
+
+  override def update(b: BucketHistBuffer,
+      input: org.apache.spark.sql.catalyst.InternalRow): BucketHistBuffer = {
+    val bks = buckets.eval(input)
+    if (bks != null) {
+      val c = weight.eval(input)
+      if (c != null) b.add(bks.asInstanceOf[ArrayData],
+        c.asInstanceOf[Long])
+    }
+    b
+  }
+
+  override def merge(b: BucketHistBuffer,
+      o: BucketHistBuffer): BucketHistBuffer = b.mergeWith(o)
+
+  override def eval(b: BucketHistBuffer): Any =
+    if (b.arr == null)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Long](dim))
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      b.arr.clone())
+
+  override def serialize(b: BucketHistBuffer): Array[Byte] = {
+    val has = b.arr != null
+    val bb = java.nio.ByteBuffer.allocate(4 + (if (has) 8 * dim else 0))
+    bb.putInt(if (has) dim else 0)
+    if (has) { var i = 0; while (i < dim) { bb.putLong(b.arr(i)); i += 1 } }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BucketHistBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val d = bb.getInt()
+    val b = new BucketHistBuffer(dim)
+    if (d > 0) {
+      b.arr = new Array[Long](dim)
+      var i = 0
+      while (i < d) { b.arr(i) = bb.getLong(); i += 1 }
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BucketHistAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BucketHistAgg =
+    copy(inputAggBufferOffset = o)
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bucket_hist"
+}

@@ -182,6 +182,35 @@ package object functions {
       .VecSumAgg(GraftShim.expression(vec))
       .toAggregateExpression())
 
+  /** Hashed classifier feature buckets of a token array — the native
+    * spelling of `TextAnalysis.featureBuckets` (per feature: one md5
+    * digest, first 4 bytes mod dim; `ngrams = 2` appends adjacent
+    * space-joined pair buckets) — value-identical to the h32 oracle
+    * contract, one digest per feature instead of three expression
+    * nodes plus interpreted lambda machinery.
+    */
+  def hashed_buckets(tokens: Column, dim: Int, ngrams: Int = 1): Column =
+    c(expressions.HashedBuckets(GraftShim.expression(tokens), dim, ngrams))
+
+  /** Σ weights(b) over a bucket array (exact int64, order-free) — the
+    * trained scorer's dot product without the per-element interpreted
+    * fold.
+    */
+  def bucket_dot(buckets: Column, weights: Seq[Long]): Column =
+    c(expressions.BucketDot(GraftShim.expression(buckets),
+      weights.toArray))
+
+  /** Per-bucket weighted occurrence sums in one aggregation pass —
+    * grad[b] = Σ rows c · occurrences(b): the learnHashedLinear
+    * gradient without exploding a row per feature occurrence; state
+    * and exchange payload are `dim` longs flat.
+    */
+  def bucket_hist(buckets: Column, weight: Column, dim: Int): Column =
+    GraftShim.column(expressions
+      .BucketHistAgg(GraftShim.expression(buckets),
+        GraftShim.expression(weight), dim)
+      .toAggregateExpression())
+
   /** PQ nearest-codeword ids for a vector (Jégou et al. 2011) —
     * the m-int compressed form of an embedding. The codebook is a
     * driver-built constant baked into the expression.

@@ -1060,9 +1060,14 @@ object Similarity {
     require(iters >= 1 && lloydIters >= 1 && maxFitRows >= nCodes,
       "need iters >= 1, lloydIters >= 1, maxFitRows >= nCodes")
     val sd = dim / m
+    // the hash key runs over the normalized vector's VALUE directly
+    // (xxhash64 hashes array elements natively, 8 bytes per double)
+    // — round 16: the previous cast-to-string key spent ~90% of the
+    // sample job on Double.toString formatting; same deterministic
+    // hash-smallest semantics, engine- and partitioning-independent
     val sample = graft.Graft.spread(corpus)
       .select(l2Normalize(col(embCol)).as("__ne"))
-      .orderBy(xxhash64(col("__ne").cast("string"), lit(seed)))
+      .orderBy(xxhash64(col("__ne"), lit(seed)))
       .limit(maxFitRows)
       .collect() // bounded artifact: ≤ maxFitRows × dim doubles
       .map(_.getSeq[Double](0).toArray)
@@ -1088,20 +1093,33 @@ object Similarity {
     // deterministic per-subspace Lloyd's over the rotated sample;
     // init = nCodes hash-smallest distinct subvectors (stable
     // content hash), the driver spelling of fitPqCodebooks' rule
+    // subspaces are independent (disjoint cb(s) slots, disjoint
+    // input slices), so the per-subspace Lloyd's runs them in
+    // parallel (round 16) — bit-identical output under any thread
+    // schedule; the fit was single-threaded on a 32-core driver
     def fitBooks(xr: Array[Array[Double]]): Array[Array[Array[Double]]] = {
       val cb = Array.ofDim[Array[Double]](m, nCodes)
-      var s = 0
-      while (s < m) {
+      java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
         val subs = xr.map(x =>
           java.util.Arrays.copyOfRange(x, s * sd, (s + 1) * sd))
-        val distinct = subs.map(_.toSeq).distinct
+        val distinct = subs.map(_.toSeq).distinct.map(_.toArray)
         require(distinct.size >= nCodes,
           s"subspace $s has ${distinct.size} < nCodes=$nCodes " +
             "distinct subvectors — lower nCodes")
-        val seeds = distinct
-          .sortBy(v => (java.util.Arrays.hashCode(v.toArray), v.mkString(",")))
-          .take(nCodes)
-        (0 until nCodes).foreach(c => cb(s)(c) = seeds(c).toArray)
+        // same order as sortBy((hashCode, mkString)): the string
+        // tiebreak only evaluates on hash collisions (round 16 — the
+        // eager spelling built a Double-formatted string per distinct
+        // subvector, the fit loop's single hottest allocation)
+        val hs = distinct.map(a => java.util.Arrays.hashCode(a))
+        val strs = new Array[String](distinct.length)
+        def str(i: Int): String = {
+          if (strs(i) == null) strs(i) = distinct(i).mkString(",")
+          strs(i)
+        }
+        val seeds = distinct.indices.toArray.sortWith { (a, bI) =>
+          if (hs(a) != hs(bI)) hs(a) < hs(bI) else str(a) < str(bI)
+        }.take(nCodes).map(i => distinct(i))
+        (0 until nCodes).foreach(c => cb(s)(c) = seeds(c).clone())
         var it = 0
         var stable = false
         var prevAssign: Array[Int] = null
@@ -1145,7 +1163,6 @@ object Similarity {
             it += 1
           }
         }
-        s += 1
       }
       cb
     }

@@ -865,11 +865,22 @@ object TextAnalysis {
                         dim: Int = 1024): DataFrame = {
     require(dim > 0, "need dim > 0")
     val toks = tokenize(col(textCol))
-    // weight of a token: md5-derived integer in [-1000, 1000]
-    val wOf = (tok: Column) =>
-      pmod(h32(concat(lit("w"), pmod(h32(tok), lit(dim)))), lit(2001L)) -
-        lit(1000L)
-    val scoreMilli = aggregate(toks, lit(0L), (acc, t) => acc + wOf(t))
+    // weight of a token: md5-derived integer in [-1000, 1000] —
+    // w[b] = pmod(h32("w" + b), 2001) − 1000 depends only on the
+    // BUCKET, so the ≤dim-entry table is computed once driver-side
+    // (same md5 arithmetic) and the scan pays ONE digest per token
+    // (bucket) + a table lookup instead of two chained md5→hex→conv
+    // trees per token (round 16; value-identical, oracle unchanged)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val w = Array.tabulate(dim) { b =>
+      val d = md.digest(s"w$b".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (h % 2001L) - 1000L
+    }
+    val scoreMilli = graft.functions.bucket_dot(
+      graft.functions.hashed_buckets(toks, dim), w.toSeq)
     df.select(col(idCol), size(toks).as("n_tokens"),
         scoreMilli.as("score_milli"))
       .withColumn("logit", col("score_milli").cast("double") /
@@ -900,23 +911,14 @@ object TextAnalysis {
                                     ngrams: Int): Column = {
     require(ngrams == 1 || ngrams == 2,
       s"ngrams must be 1 (unigrams) or 2 (+adjacent pairs), got $ngrams")
-    val uni = transform(toks, t => pmod(h32(t), lit(dim)).cast("int"))
-    if (ngrams == 1) uni
-    else {
-      // adjacent pairs via zip_with over the two shifted slices —
-      // NEVER element_at(toks, i) inside the lambda: that re-embeds
-      // the whole tokenize subtree per element (no subexpression
-      // elimination inside higher-order-function lambdas), turning
-      // the scan O(len²) per document (measured 7× on the bigram
-      // gate before this spelling)
-      val bi = when(size(toks) >= 2,
-        zip_with(slice(toks, lit(1), size(toks) - 1),
-          slice(toks, lit(2), size(toks) - 1),
-          (a, b) => pmod(h32(concat(a, lit(" "), b)),
-            lit(dim)).cast("int")))
-        .otherwise(array().cast("array<int>"))
-      concat(uni, bi)
-    }
+    // one native pass ([[graft.expressions.HashedBuckets]], round
+    // 16): one md5 digest per feature straight off the UTF-8 bytes —
+    // the Column spelling (transform + md5→hex→substring→conv per
+    // token, zip_with over two shifted slices for the pairs) paid
+    // three expression nodes plus interpreted higher-order-lambda
+    // machinery per feature; values are identical (spec-pinned
+    // against the old spelling, oracles unchanged)
+    graft.functions.hashed_buckets(toks, dim, ngrams)
   }
 
   /** `size(featureBuckets(toks, _, ngrams))` WITHOUT materializing
@@ -954,11 +956,9 @@ object TextAnalysis {
                             ngrams: Int = 1): DataFrame = {
     val dim = weightsMilli.length
     require(dim > 0, "need a non-empty weight table")
-    val wLit = typedLit(weightsMilli)
     val toks = tokenize(col(textCol))
-    val bks = featureBuckets(toks, dim, ngrams)
-    val scoreMilli = aggregate(bks, lit(0L), (acc, b) =>
-      acc + element_at(wLit, b + 1))
+    val scoreMilli = graft.functions.bucket_dot(
+      featureBuckets(toks, dim, ngrams), weightsMilli)
     df.select(col(idCol), featureCount(toks, ngrams).as("n_tokens"),
         scoreMilli.as("score_milli"))
       .withColumn("logit", col("score_milli").cast("double") /
@@ -980,11 +980,9 @@ object TextAnalysis {
                         ngrams: Int = 1): Column = {
     val dim = weightsMilli.length
     require(dim > 0, "need a non-empty weight table")
-    val wLit = typedLit(weightsMilli)
     val toks = tokenize(text)
-    val bks = featureBuckets(toks, dim, ngrams)
-    aggregate(bks, lit(0L), (acc, b) =>
-      acc + element_at(wLit, b + 1)).cast("double") /
+    graft.functions.bucket_dot(
+      featureBuckets(toks, dim, ngrams), weightsMilli).cast("double") /
       (lit(1000.0) * featureCount(toks, ngrams))
   }
 
@@ -1036,9 +1034,10 @@ object TextAnalysis {
     * Scale: the tokenized corpus is projected once to per-doc bucket
     * arrays (ints — far smaller than the text) and cached; each
     * iteration is one cached scan computing margins/residuals as a
-    * pure projection plus one dim-bounded shuffle (explode →
-    * per-bucket partial sums combine map-side, so the exchange ships
-    * ≤ dim rows per partition), and ≤ dim rows collect to the driver
+    * pure projection feeding ONE flat-array gradient aggregate
+    * ([[graft.functions.bucket_hist]]: per-partition state and the
+    * exchange payload are dim longs — no row per feature occurrence,
+    * no per-bucket shuffle key), and dim longs collect to the driver
     * for the update — at 100 TB the per-iteration cost is the scan,
     * exactly like one scoring pass. Empty-token docs and null labels
     * are excluded (no features / no signal).
@@ -1086,22 +1085,28 @@ object TextAnalysis {
       val cw = when(col("y") === 1.0, lit(wPos)).otherwise(lit(wNeg))
       var w = Array.fill(dim)(0L) // micro units
       for (_ <- 0 until iters) {
-        val wLit = typedLit(w.toSeq)
-        val msum = aggregate(col("bks"), lit(0L),
-          (acc, b) => acc + element_at(wLit, b + 1))
+        val msum = graft.functions.bucket_dot(col("bks"), w.toSeq)
         val m = msum.cast("double") / (lit(1000000.0) * col("n_tokens"))
         val sg = lit(0.5) + lit(0.5) * (m / (lit(1.0) + abs(m)))
         val c = floor((sg - col("y")) * cw * lit(1000000.0) /
           col("n_tokens") + lit(0.5)).cast("long")
+        // ONE flat-array aggregation (bucket_hist, round 16) instead
+        // of explode → groupBy(bucket): per-partition state and the
+        // exchange payload are dim longs, no row per feature
+        // occurrence ever materializes, and the partial sums are the
+        // same order-free exact int64s — grad is bit-identical
+        // (buckets absent from the corpus read 0, and a 0 gradient
+        // updates w[b] by floor(0 + 0.5) = 0, exactly the old
+        // no-row-no-update)
         val grad = feats
-          .select(c.as("c"), explode(col("bks")).as("bucket"))
-          .groupBy(col("bucket")).agg(sum(col("c")).as("g"))
-          .collect() // bounded artifact: ≤ dim rows
+          .agg(graft.functions.bucket_hist(col("bks"), c, dim))
+          .head().getSeq[Long](0) // bounded artifact: dim longs
         val next = w.clone()
-        grad.foreach { row =>
-          val b = row.getInt(0)
+        var b = 0
+        while (b < dim) {
           next(b) = w(b) -
-            math.floor(lr * row.getLong(1) / n + 0.5).toLong
+            math.floor(lr * grad(b) / n + 0.5).toLong
+          b += 1
         }
         w = next
       }
@@ -1199,11 +1204,13 @@ object TextAnalysis {
       .where(col("y").isNotNull && col("x").isNotNull)
     base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = base.count()
-      require(n > 0, "calibrateLogits: no labeled scored rows")
+      // n rides the FIRST iteration's aggregation (round 16): the
+      // iteration-1 gradients don't depend on n (only the update
+      // does), so a separate count() pass bought nothing
+      var n = -1L
       var a = 1000000L // micro units: identity slope
       var b = 0L
-      for (_ <- 0 until iters) {
+      for (it <- 0 until iters) {
         val m = (lit(a) * col("x") + lit(b)) / lit(1000000.0)
         val sg = lit(0.5) + lit(0.5) * (m / (lit(1.0) + abs(m)))
         val r = sg - col("y")
@@ -1211,7 +1218,12 @@ object TextAnalysis {
           sum(floor(r * col("x") * lit(1000000.0) + lit(0.5))
             .cast("long")).as("ga"),
           sum(floor(r * lit(1000000.0) + lit(0.5))
-            .cast("long")).as("gb")).head()
+            .cast("long")).as("gb"),
+          count(lit(1)).as("n")).head()
+        if (it == 0) {
+          n = row.getLong(2)
+          require(n > 0, "calibrateLogits: no labeled scored rows")
+        }
         a -= math.floor(lr * row.getLong(0) / n + 0.5).toLong
         b -= math.floor(lr * row.getLong(1) / n + 0.5).toLong
       }
@@ -1277,16 +1289,17 @@ object TextAnalysis {
     base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // bounded artifacts throughout: one row per GROUP (the keyed-
-      // curation cardinality contract), never per data row
-      val counts = base.groupBy(by.map(col): _*)
-        .agg(count(lit(1)).as("__n")).collect()
-      require(counts.nonEmpty,
-        "calibrateLogitsBy: no labeled scored rows")
+      // curation cardinality contract), never per data row.
+      // Iteration 1 needs no parameter join — every group sits at
+      // the same (1e6, 0) seed — so it runs as ONE keyed aggregation
+      // that also carries the per-group counts (round 16: the
+      // separate counts pass and iteration 1's join both folded into
+      // the same scan; gradients and updates are bit-identical, the
+      // group key set is the same groupBy either way)
       def keyOf(r: org.apache.spark.sql.Row): List[Any] =
         by.indices.map(r.get).toList
-      val ns = counts.map(r => keyOf(r) -> r.getLong(by.size)).toMap
-      var state: Map[List[Any], (Long, Long)] =
-        ns.map { case (k, _) => k -> (1000000L, 0L) }
+      var ns: Map[List[Any], Long] = null
+      var state: Map[List[Any], (Long, Long)] = null
       val kn = by.map("__k_" + _)
       val keySchema = org.apache.spark.sql.types.StructType(
         base.select(by.map(col): _*).schema.fields.zip(kn)
@@ -1299,22 +1312,40 @@ object TextAnalysis {
       // group (groupBy keeps it) and plain equality would drop it
       val joinCond = by.zip(kn)
         .map { case (a, k) => col(a) <=> col(k) }.reduce(_ && _)
-      for (_ <- 0 until iters) {
-        val rows: java.util.List[org.apache.spark.sql.Row] =
-          java.util.Arrays.asList(state.toSeq.map { case (k, (a, b)) =>
-            org.apache.spark.sql.Row.fromSeq(k ++ Seq(a, b))
-          }: _*)
-        val params = spark.createDataFrame(rows, keySchema)
-        val m = (col("__a") * col("x") + col("__b")) / lit(1000000.0)
+      for (it <- 0 until iters) {
+        val first = it == 0
+        val (aCol, bCol) =
+          if (first) (lit(1000000L), lit(0L))
+          else (col("__a"), col("__b"))
+        val m = (aCol * col("x") + bCol) / lit(1000000.0)
         val sg = lit(0.5) + lit(0.5) * (m / (lit(1.0) + abs(m)))
         val r = sg - col("y")
-        val grads = base.join(broadcast(params), joinCond)
+        val joined =
+          if (first) base
+          else {
+            val rows: java.util.List[org.apache.spark.sql.Row] =
+              java.util.Arrays.asList(state.toSeq.map {
+                case (k, (a, b)) =>
+                  org.apache.spark.sql.Row.fromSeq(k ++ Seq(a, b))
+              }: _*)
+            base.join(broadcast(
+              spark.createDataFrame(rows, keySchema)), joinCond)
+          }
+        val grads = joined
           .groupBy(by.map(col): _*)
           .agg(sum(floor(r * col("x") * lit(1000000.0) + lit(0.5))
             .cast("long")).as("__ga"),
             sum(floor(r * lit(1000000.0) + lit(0.5))
-              .cast("long")).as("__gb"))
+              .cast("long")).as("__gb"),
+            count(lit(1)).as("__n"))
           .collect()
+        if (first) {
+          require(grads.nonEmpty,
+            "calibrateLogitsBy: no labeled scored rows")
+          ns = grads.map(gr => keyOf(gr) -> gr.getLong(by.size + 2))
+            .toMap
+          state = ns.map { case (k, _) => k -> (1000000L, 0L) }
+        }
         state = grads.map { gr =>
           val k = keyOf(gr)
           val (a, b) = state(k)
@@ -1645,13 +1676,15 @@ object TextAnalysis {
     * sweep. Degenerate rows (NULL precision/recall) are never
     * feasible; duplicate thresholds within a group (a malformed or
     * re-unioned sweep) and NULL thresholds (which a duplicate check
-    * over `count(t)` would silently skip — round 16) raise at
-    * execution, the keyed analogue of the
-    * standalone's duplicate refusal; an EMPTY sweep refuses up front
-    * (one bounded action — the input is selection-sized by
-    * construction).
+    * over `count(t)` would silently skip — round 16) raise, the
+    * keyed analogue of the standalone's duplicate refusal; an EMPTY
+    * sweep refuses too. The pick runs as ONE bounded action and the
+    * result returns as a LOCAL relation (round 16): the lazy
+    * spelling re-ran the whole sweep per consumer — the empty check
+    * alone was a second corpus scan.
     *
     * @return by ++ (threshold) — one row per group in the sweep
+    *         (a local relation; |groups| rows)
     */
   def chooseThresholds(sweep: DataFrame, by: Seq[String],
                        minPrecision: Option[Double] = None,
@@ -1664,7 +1697,6 @@ object TextAnalysis {
     (minPrecision.toSeq ++ minRecall).foreach(v =>
       require(v >= 0.0 && v <= 1.0,
         s"chooseThresholds: target must be in [0, 1], got $v"))
-    require(!sweep.isEmpty, "chooseThresholds: empty sweep")
     val t = col("threshold").cast("double")
     val p = col("precision")
     val r = col("recall")
@@ -1680,7 +1712,7 @@ object TextAnalysis {
       case Some(_) => struct(r, p, negate(t))
       case None    => struct(p, r, negate(t))
     }
-    sweep
+    val picked = sweep
       .groupBy(by.map(col): _*)
       // __n counts null-INCLUSIVELY (round 16, advisor): count(t)
       // skips NULL thresholds, which both let repeated NULL rows
@@ -1700,6 +1732,18 @@ object TextAnalysis {
               "within a group — malformed or re-unioned sweep"))
               .cast("double"))
           .otherwise(col("__pick")).as("threshold"): _*)
+    // materialize the bounded picks (|groups| rows — the keyed-
+    // curation cardinality contract) and return a LOCAL relation
+    // (the d49 discipline, round 16): the former lazy frame made
+    // every consumer recompute the whole sweep — the up-front empty
+    // check alone was a second full corpus scan — and a downstream
+    // broadcast join re-ran it a third time; one pass computes the
+    // same rows, the same malformed-sweep raises fire here, and the
+    // empty-sweep refusal reads the collected row count
+    val rows = picked.collect()
+    require(rows.nonEmpty, "chooseThresholds: empty sweep")
+    sweep.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), picked.schema)
   }
 
   /** APPLY a [[chooseThresholds]] frame as the keep filter — the
