@@ -657,6 +657,72 @@ object Dedup {
     * bit-identical under both paths (a spec pins it) — the option
     * trades round latency for restartability only.
     */
+  /** Size-adaptive driver escape hatch shared by both CC loops
+    * (round 16): when the materialized edge set is small enough —
+    * `spark.graft.cc.localEdgeLimit` edges, default 2M (≈ 30 MB of
+    * longs; set 0 to disable) — finish the components with one
+    * driver-side union-find instead of iterating the distributed
+    * loop. The loop costs ~8 scheduler round-trips per round even on
+    * a 2-edge graph (each round = several joins, a materialization
+    * and a convergence action), which dominates every small-graph
+    * call; union-find with min-id roots computes the identical
+    * (id, comp = min reachable id) labeling in one pass over the
+    * collected edges (spec-pinned equal to the loop on random
+    * graphs). The decision is data-driven off the already-
+    * materialized edge frame — the graph twin of AQE's broadcast
+    * decision — so a production pair graph over the limit runs the
+    * distributed loop exactly as before. Returns None (and the
+    * caller falls through to the loop) over the limit, on null ids,
+    * or on non-integral id types.
+    */
+  private def localUnionFind(edges: DataFrame, u: String,
+                             v: String): Option[Seq[(Long, Long)]] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val spark = edges.sparkSession
+    val limit = spark.conf
+      .get("spark.graft.cc.localEdgeLimit", "2000000").toLong
+    val integral = Seq(u, v).forall(c => edges.schema(c).dataType match {
+      case LongType | IntegerType => true
+      case _ => false
+    })
+    if (limit <= 0 || !integral) return None
+    val cap = math.min(limit, Int.MaxValue - 8L).toInt
+    val rows = edges
+      .select(col(u).cast("long"), col(v).cast("long"))
+      .limit(cap + 1).collect()
+    if (rows.length > cap ||
+      rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val parent =
+      new java.util.HashMap[java.lang.Long, java.lang.Long](
+        rows.length * 2 + 16)
+    def findRoot(x0: Long): Long = {
+      var r = x0
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x0
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    rows.foreach { row =>
+      val a = row.getLong(0)
+      val b = row.getLong(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = findRoot(a)
+      val rb = findRoot(b)
+      // the larger root attaches under the smaller, so every root is
+      // its component's minimum id — exactly the loop's labeling
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = Seq.newBuilder[(Long, Long)]
+    val it = parent.keySet().iterator()
+    while (it.hasNext) {
+      val id: Long = it.next()
+      out += ((id, findRoot(id)))
+    }
+    Some(out.result())
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 30,
                           reliableCheckpointDir: Option[String] = None)
@@ -681,6 +747,19 @@ object Dedup {
         .unionByName(pairs.select(col(bCol).as("src"),
           col(aCol).as("dst")))
         .distinct())
+    // small graphs finish driver-side (see localUnionFind): one
+    // bounded collect off the materialized edges replaces the
+    // whole iterative loop; the output frame is value-identical
+    localUnionFind(edges, "src", "dst") match {
+      case Some(comps) =>
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        val dt = edges.schema("src").dataType
+        return comps.toDF("id", "comp")
+          .select(col("id").cast(dt).as("id"),
+            col("comp").cast(dt).as("comp"))
+      case None => ()
+    }
     // init = the first propagation round folded in: label(v) =
     // min(v, min neighbor) — identical trajectory, one fewer round
     var labels = materialize(edges.groupBy(col("src"))
@@ -794,6 +873,20 @@ object Dedup {
     var edges = materialize(canon(
       pairs.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))))
+    // small graphs finish driver-side (see localUnionFind) — same
+    // labeling, one bounded collect instead of contraction rounds;
+    // isolated nodes (self-pairs canon dropped) come back through
+    // the same nodes left join as the loop's tail
+    localUnionFind(edges, "u", "v") match {
+      case Some(comps) =>
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        return nodes
+          .join(comps.toDF("id", "comp"), Seq("id"), "left")
+          .select(col("id"), coalesce(col("comp"), col("id"))
+            .as("comp"))
+      case None => ()
+    }
     var iter = 0
     var done = edges.isEmpty
     while (!done && iter < maxIter) {
@@ -801,9 +894,16 @@ object Dedup {
       // fixed point = both phases leave the edge set unchanged; at
       // that point every edge points directly at its component min
       // (stars are fixed points of both phases — Kiveris et al.,
-      // "Connected Components in MapReduce and Beyond")
-      done = next.exceptAll(edges).isEmpty &&
-        edges.exceptAll(next).isEmpty
+      // "Connected Components in MapReduce and Beyond"). Both edge
+      // sets are distinct (canon), so set equality is an empty
+      // ±1-signed symmetric difference — ONE aggregation pass over
+      // the two materialized frames (round 16; the exceptAll pair
+      // ran two multi-exchange set-difference jobs per round)
+      done = next.select(col("u"), col("v"), lit(1).as("__s"))
+        .unionByName(edges.select(col("u"), col("v"),
+          lit(-1).as("__s")))
+        .groupBy(col("u"), col("v")).agg(sum(col("__s")).as("__d"))
+        .filter(col("__d") =!= 0).isEmpty
       edges = next
       iter += 1
     }

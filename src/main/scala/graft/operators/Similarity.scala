@@ -533,8 +533,11 @@ object Similarity {
       val subsArr = array((0 until m).map(s =>
         slice(col("__ne"), s * sd + 1, sd)): _*)
       // init: nCodes hash-smallest DISTINCT subvectors per subspace
+      // hash over the subvector VALUE directly (round 16): xxhash64
+      // hashes array elements natively — the cast-to-string key paid
+      // one Double.toString per coordinate per row in the init pass
       val hw = Window.partitionBy(col("__sub"))
-        .orderBy(xxhash64(col("__sv").cast("string"), lit(seed)))
+        .orderBy(xxhash64(col("__sv"), lit(seed)))
       val init = normed
         .select(posexplode(subsArr).as(Seq("__sub", "__sv")))
         .dropDuplicates("__sub", "__sv")

@@ -534,6 +534,10 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .toDF("a", "b")
     val dir = java.nio.file.Files
       .createTempDirectory("graft-cc-ckpt").toFile
+    // force the DISTRIBUTED loop: the reliable-checkpoint machinery
+    // only exists on that path (the local union-find escape hatch
+    // has no rounds to checkpoint)
+    spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
     try {
       val local = Dedup.connectedComponents(pairs, "a", "b")
         .as[(Long, Long)].collect().toMap
@@ -544,7 +548,10 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         "reliable checkpoint must not change the labeling")
       assert(dir.listFiles != null && dir.listFiles.nonEmpty,
         "reliable path must actually write checkpoint data")
-    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    } finally {
+      spark.conf.unset("spark.graft.cc.localEdgeLimit")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
   }
 
   test("connectedComponents matches a union-find oracle on the d5 " +

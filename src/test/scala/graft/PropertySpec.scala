@@ -155,12 +155,48 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     // plain neighbor propagation (needs 200 rounds; the sf1 d15
     // fixture built >30-deep chains that threw non-convergence).
     // maxIter 12 only passes if the comp←comp(comp) jump step is
-    // halving pointer depth every round.
-    val path = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = Dedup.connectedComponents(path, "a", "b", maxIter = 12)
-      .as[(Long, Long)].collect().toMap
-    assert(labels.size == 200 && labels.values.forall(_ == 1L),
-      "a 200-node path is one component labeled by its minimum")
+    // halving pointer depth every round. The local union-find escape
+    // hatch is disabled so the test exercises the DISTRIBUTED loop —
+    // the path a production-sized pair graph takes.
+    spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
+    try {
+      val path = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+      val labels = Dedup.connectedComponents(path, "a", "b",
+          maxIter = 12)
+        .as[(Long, Long)].collect().toMap
+      assert(labels.size == 200 && labels.values.forall(_ == 1L),
+        "a 200-node path is one component labeled by its minimum")
+    } finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
+  }
+
+  test("driver union-find escape hatch labels BIT-identically to the " +
+      "distributed loops (random graphs, both algorithms)") {
+    for ((nEdges, nNodes, seed) <- Seq((40, 200, 5), (300, 120, 23),
+        (800, 90, 71))) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = (1 to nEdges).map(_ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("a", "b")
+      // local path (default limit covers these sizes)
+      val localMin = Dedup.connectedComponents(pairs, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val localStar = Dedup.connectedComponentsStar(pairs, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // distributed path, forced
+      spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
+      try {
+        val distMin = Dedup.connectedComponents(pairs, "a", "b",
+            maxIter = 60)
+          .as[(Long, Long)].collect().toMap
+        val distStar = Dedup.connectedComponentsStar(pairs, "a", "b")
+          .as[(Long, Long)].collect().toMap
+        assert(localMin == distMin,
+          s"seed $seed: union-find diverges from the min-label loop")
+        assert(localStar == distStar,
+          s"seed $seed: union-find diverges from star contraction")
+      } finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
+    }
   }
 
   test("star-contraction CC labels equal min-label CC on random " +
@@ -183,13 +219,18 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
     // the shape min-label propagation is worst at: a path of 200
     // nodes (diameter 199 — the simple loop would need 200 rounds,
-    // far past its default maxIter); star contraction needs O(log n)
-    val path = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = Dedup.connectedComponentsStar(path, "a", "b",
-        maxIter = 12)
-      .as[(Long, Long)].collect().toMap
-    assert(labels.size == 200 && labels.values.forall(_ == 1L),
-      "a 200-node path is one component labeled by its minimum")
+    // far past its default maxIter); star contraction needs O(log n).
+    // Local escape hatch disabled so the CONTRACTION loop is what
+    // converges here.
+    spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
+    try {
+      val path = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+      val labels = Dedup.connectedComponentsStar(path, "a", "b",
+          maxIter = 12)
+        .as[(Long, Long)].collect().toMap
+      assert(labels.size == 200 && labels.values.forall(_ == 1L),
+        "a 200-node path is one component labeled by its minimum")
+    } finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
   }
 
   test("bpe_encode matches an independent iterative reference on " +
