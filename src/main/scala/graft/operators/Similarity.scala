@@ -245,38 +245,99 @@ object Similarity {
     */
   def fitIvfIndex(corpus: DataFrame, embCol: String, idCol: String,
                   nCentroids: Int = 16, seed: Long = 42L,
-                  maxIter: Int = 20, fitSampleFraction: Double = 1.0)
-      : (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+                  maxIter: Int = 20, fitSampleFraction: Double = 1.0,
+                  maxFitRows: Int = 16384): (DataFrame, DataFrame) = {
     require(fitSampleFraction > 0.0 && fitSampleFraction <= 1.0,
       "fitSampleFraction must be in (0, 1]")
+    require(maxFitRows >= nCentroids, "need maxFitRows >= nCentroids")
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val featurized = corpus.select(col(idCol).as("neighbor_id"),
-        col(embCol).as("__ce"))
-      .withColumn("features", array_to_vector(col("__ce").cast("array<double>")))
-    val fitInput =
-      if (fitSampleFraction >= 1.0) featurized
-      else {
-        val sampled =
-          featurized.sample(withReplacement = false, fitSampleFraction, seed)
-        // a sample with fewer rows than nCentroids would crash the fit
-        // with an opaque MLlib error unrelated to the user's parameter
-        // choice; such a corpus is tiny by implication, so fall back to
-        // fitting on all of it (limit() bounds the precheck cost)
-        if (sampled.limit(nCentroids).count() < nCentroids) featurized
-        else sampled
+    // Round 16: the MLlib KMeans fit was replaced by the house
+    // deterministic Lloyd's over a bounded hash-smallest sample (the
+    // fitOpqRotation discipline). MLlib's k-means|| init alone ran
+    // ~10 scheduler round-trips and its centroids depended on the
+    // input PARTITIONING (per-partition seeded sampling); this fit is
+    // ONE bounded TakeOrdered job + driver-side d×k work, and the
+    // centroids depend only on the data and the seed. Centroid
+    // placement affects cell balance / partial-probe recall only —
+    // full-probe results are invariant (spec-pinned), and the
+    // partial-probe recall floor spec re-passes. Init = nCentroids
+    // hash-smallest distinct sample vectors; empty cells keep their
+    // previous centroid; ≤ maxIter passes with an assignments-stable
+    // early stop.
+    val sampleBase = graft.Graft.spread(corpus)
+      .select(col(embCol).cast("array<double>").as("__cv"))
+    val sample = (if (fitSampleFraction >= 1.0) sampleBase
+                  else sampleBase.sample(withReplacement = false,
+                    fitSampleFraction, seed))
+      .orderBy(xxhash64(col("__cv"), lit(seed)))
+      .limit(maxFitRows)
+      .collect() // bounded artifact: ≤ maxFitRows × dim doubles
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "fitIvfIndex: empty corpus")
+    val dim = sample.head.length
+    require(sample.forall(_.length == dim),
+      "fitIvfIndex: ragged embedding dimensions")
+    val distinct = sample.map(_.toSeq).distinct.map(_.toArray)
+    require(distinct.length >= nCentroids,
+      s"fitIvfIndex: ${distinct.length} distinct sample vectors < " +
+        s"nCentroids=$nCentroids — lower nCentroids")
+    // the sample is already in ascending hash order (the TakeOrdered
+    // key), so the first nCentroids distinct rows ARE the
+    // hash-smallest distinct seeds
+    val cents = Array.tabulate(nCentroids)(c => distinct(c).clone())
+    var it = 0
+    var stable = false
+    var prevAssign: Array[Int] = null
+    while (it < maxIter && !stable) {
+      val assign = sample.map { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < nCentroids) {
+          val cent = cents(c)
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = v(i) - cent(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
       }
-    val model = new KMeans().setK(nCentroids).setSeed(seed)
-      .setMaxIter(maxIter)
-      .setFeaturesCol("features").fit(fitInput)
-    val indexed = model.transform(featurized)
-      .select(col("neighbor_id"), col("__ce"),
-        col("prediction").as("__cell"))
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq
+      if (prevAssign != null &&
+        java.util.Arrays.equals(assign, prevAssign)) stable = true
+      else {
+        prevAssign = assign
+        val sums = Array.ofDim[Double](nCentroids, dim)
+        val counts = new Array[Long](nCentroids)
+        var i = 0
+        while (i < sample.length) {
+          val c = assign(i)
+          counts(c) += 1
+          var j = 0
+          while (j < dim) { sums(c)(j) += sample(i)(j); j += 1 }
+          i += 1
+        }
+        var c = 0
+        while (c < nCentroids) {
+          if (counts(c) > 0)
+            cents(c) = Array.tabulate(dim)(j => sums(c)(j) / counts(c))
+          c += 1
+        }
+        it += 1
+      }
+    }
+    // assignment always runs over the FULL corpus (no vector can drop
+    // out of the index): one nearest-centroid argmin per row via the
+    // native pq_assign with the whole vector as the single subspace
+    val cb = Array(cents.map(_.clone()))
+    val indexed = corpus.select(col(idCol).as("neighbor_id"),
+        col(embCol).as("__ce"))
+      .withColumn("__cell", element_at(graft.functions.pq_assign(
+        col("__ce"), cb, normalize = false), 1))
+    val centroids = cents.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("__cell", "__centroid")
     (centroids, indexed)
   }
@@ -506,103 +567,134 @@ object Similarity {
     *         m · nCodes rows, the persistable artifact
     *         ([[DedupIndex.writePq]]).
     */
+  /** Shared driver-side per-subspace Lloyd's ([[fitPqCodebooks]] and
+    * [[fitOpqRotation]]): init = the nCodes hash-order-smallest
+    * distinct subvectors per subspace (Arrays.hashCode, string
+    * tiebreak evaluated lazily on collisions only), then <= iters
+    * assignment/update rounds with an assignments-stable early stop.
+    * Subspaces are independent (disjoint output slots, disjoint input
+    * slices) and run in PARALLEL — bit-identical under any thread
+    * schedule.
+    */
+  private def fitBooksLocal(xr: Array[Array[Double]], m: Int,
+      nCodes: Int, sd: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+      val cb = Array.ofDim[Array[Double]](m, nCodes)
+      java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
+        val subs = xr.map(x =>
+          java.util.Arrays.copyOfRange(x, s * sd, (s + 1) * sd))
+        val distinct = subs.map(_.toSeq).distinct.map(_.toArray)
+        require(distinct.size >= nCodes,
+          s"subspace $s has ${distinct.size} < nCodes=$nCodes " +
+            "distinct subvectors — lower nCodes")
+        // same order as sortBy((hashCode, mkString)): the string
+        // tiebreak only evaluates on hash collisions (round 16 — the
+        // eager spelling built a Double-formatted string per distinct
+        // subvector, the fit loop's single hottest allocation)
+        val hs = distinct.map(a => java.util.Arrays.hashCode(a))
+        val strs = new Array[String](distinct.length)
+        def str(i: Int): String = {
+          if (strs(i) == null) strs(i) = distinct(i).mkString(",")
+          strs(i)
+        }
+        val seeds = distinct.indices.toArray.sortWith { (a, bI) =>
+          if (hs(a) != hs(bI)) hs(a) < hs(bI) else str(a) < str(bI)
+        }.take(nCodes).map(i => distinct(i))
+        (0 until nCodes).foreach(c => cb(s)(c) = seeds(c).clone())
+        var it = 0
+        var stable = false
+        var prevAssign: Array[Int] = null
+        while (it < iters && !stable) {
+          val assign = subs.map { v =>
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < nCodes) {
+              val cent = cb(s)(c)
+              var d = 0.0
+              var i = 0
+              while (i < sd) {
+                val t = v(i) - cent(i); d += t * t; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            best
+          }
+          if (prevAssign != null && java.util.Arrays.equals(assign,
+              prevAssign)) stable = true
+          else {
+            prevAssign = assign
+            val sums = Array.ofDim[Double](nCodes, sd)
+            val counts = new Array[Long](nCodes)
+            var i = 0
+            while (i < subs.length) {
+              val c = assign(i)
+              counts(c) += 1
+              var j = 0
+              while (j < sd) { sums(c)(j) += subs(i)(j); j += 1 }
+              i += 1
+            }
+            var c = 0
+            while (c < nCodes) {
+              if (counts(c) > 0)
+                cb(s)(c) = Array.tabulate(sd)(j => sums(c)(j) / counts(c))
+              c += 1
+            }
+            it += 1
+          }
+        }
+      }
+      cb
+    }
+
   def fitPqCodebooks(corpus: DataFrame, embCol: String, dim: Int,
                      m: Int = 8, nCodes: Int = 16, seed: Long = 42L,
                      maxIter: Int = 20,
                      fitSampleFraction: Double = 1.0,
-                     normalize: Boolean = true): DataFrame = {
+                     normalize: Boolean = true,
+                     maxFitRows: Int = 16384): DataFrame = {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
     require(fitSampleFraction > 0.0 && fitSampleFraction <= 1.0,
       "fitSampleFraction must be in (0, 1]")
+    require(maxFitRows >= nCodes, "need maxFitRows >= nCodes")
     val spark = corpus.sparkSession
     import spark.implicits._
     val sd = dim / m
-    // spread BEFORE the normalize/assign work: a single-file corpus
-    // arrives in one split and would serialize every fit pass onto
-    // one core (no-op on an already-parallel production scan).
-    // normalize = false is the RESIDUAL mode (fitIvfPq): residuals
-    // are differences on the unit sphere, already in model space
+    // Round 16: the distributed per-pass Lloyd's (an init window job
+    // plus one full-corpus assign/aggregate job per pass) became the
+    // house bounded-sample driver fit shared with [[fitOpqRotation]]:
+    // ONE hash-smallest TakeOrdered collect (<= maxFitRows vectors,
+    // xxhash64 over the vector value), then d*k driver work with the
+    // same init rule (per subspace, the nCodes hash-order-smallest
+    // distinct subvectors) and the same Lloyd arithmetic. Codeword
+    // QUALITY needs only a representative sample — the established
+    // fitSampleFraction contract — every corpus vector still gets
+    // encoded in the one full [[pqEncode]] pass, and full-candidate-
+    // budget results are codebook-invariant (the exact re-rank;
+    // spec-pinned, and every index-lifecycle gate shares a
+    // brute-force oracle). Spread BEFORE the normalize work: a
+    // single-file corpus arrives in one split (no-op on an
+    // already-parallel production scan). normalize = false is the
+    // RESIDUAL mode (fitIvfPq): residuals are differences on the
+    // unit sphere, already in model space.
     val base = graft.Graft.spread(corpus)
       .select((if (normalize) l2Normalize(col(embCol))
                else col(embCol).cast("array<double>")).as("__ne"))
-    // cached because Lloyd's re-scans it init + maxIter times
-    val normed = (if (fitSampleFraction >= 1.0) base
+    val sample = (if (fitSampleFraction >= 1.0) base
       else base.sample(withReplacement = false, fitSampleFraction,
-        seed)).cache()
-    try {
-      val subsArr = array((0 until m).map(s =>
-        slice(col("__ne"), s * sd + 1, sd)): _*)
-      // init: nCodes hash-smallest DISTINCT subvectors per subspace
-      // hash over the subvector VALUE directly (round 16): xxhash64
-      // hashes array elements natively — the cast-to-string key paid
-      // one Double.toString per coordinate per row in the init pass
-      val hw = Window.partitionBy(col("__sub"))
-        .orderBy(xxhash64(col("__sv"), lit(seed)))
-      val init = normed
-        .select(posexplode(subsArr).as(Seq("__sub", "__sv")))
-        .dropDuplicates("__sub", "__sv")
-        .withColumn("__r", row_number().over(hw))
-        .filter(col("__r") <= nCodes)
-        .select(col("__sub"), (col("__r") - 1).as("__code"),
-          col("__sv"))
-        .collect()
-      (0 until m).foreach { s =>
-        require(init.count(_.getInt(0) == s) == nCodes,
-          s"subspace $s has fewer than nCodes=$nCodes distinct " +
-            "subvectors — lower nCodes (a codebook larger than the " +
-            "value space cannot fill)") }
-      val cb = Array.ofDim[Array[Double]](m, nCodes)
-      init.foreach { r =>
-        cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray }
-      val sumCols = (0 until sd).map(i =>
-        sum(element_at(col("__sv"), i + 1)).as(s"__s$i")) :+
-        count(lit(1)).as("__n")
-      // convergence early-stop: Lloyd's is at a fixed point as soon as
-      // one pass's per-(sub, cell) sums repeat the previous pass's —
-      // same assignments → same centroid update → cb unchanged, so
-      // every remaining pass would rescan the corpus to compute the
-      // identical cb. The comparison is driver-side arithmetic on the
-      // m·nCodes rows already collected per pass; breaking at the
-      // fixed point cannot change the result (the update is the
-      // identity there), so converged and maxIter-bounded fits hash
-      // identically.
-      var prevSums: Map[(Int, Int), Seq[Double]] = null
-      var iter = 0
-      var converged = false
-      while (iter < maxIter && !converged) {
-        // one pass: the native pq_assign emits ALL m cell ids per
-        // row in one tight loop; zip with the subvectors, explode,
-        // sum per (sub, cell) — m·nCodes groups, map-side combined,
-        // ~KiB on the wire
-        val assigned = normed.select(posexplode(arrays_zip(
-            subsArr.as("sv"),
-            graft.functions.pq_assign(col("__ne"), cb,
-              normalize = false).as("cd"))).as(Seq("__sub", "__z")))
-          .select(col("__sub"), col("__z.sv").as("__sv"),
-            col("__z.cd").as("__cell"))
-        val sums = assigned.groupBy(col("__sub"), col("__cell"))
-          .agg(sumCols.head, sumCols.tail: _*).collect()
-        val sumsKey = sums.map(r => (r.getInt(0), r.getInt(1)) ->
-          ((0 until sd).map(i => r.getDouble(i + 2)) :+
-            r.getLong(sd + 2).toDouble)).toMap
-        if (sumsKey == prevSums) {
-          converged = true
-          System.err.println(s"[graft] pq fit converged after $iter/" +
-            s"$maxIter passes (assignments stable) — stopping early")
-        } else {
-          prevSums = sumsKey
-          sums.foreach { r =>
-            val n = r.getLong(sd + 2)
-            if (n > 0) cb(r.getInt(0))(r.getInt(1)) =
-              Array.tabulate(sd)(i => r.getDouble(i + 2) / n)
-          }
-          iter += 1
-        }
-      }
-      (for (s <- 0 until m; c <- 0 until nCodes)
-        yield (s, c, cb(s)(c).toSeq)).toDF("__sub", "__code",
-        "__centroid")
-    } finally normed.unpersist()
+        seed))
+      .orderBy(xxhash64(col("__ne"), lit(seed)))
+      .limit(maxFitRows)
+      .collect() // bounded artifact: <= maxFitRows x dim doubles
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "fitPqCodebooks: empty corpus")
+    require(sample.forall(_.length == dim),
+      s"fitPqCodebooks: vectors are not $dim-dimensional")
+    val cb = fitBooksLocal(sample, m, nCodes, sd, maxIter)
+    (for (s <- 0 until m; c <- 0 until nCodes)
+      yield (s, c, cb(s)(c).toSeq)).toDF("__sub", "__code",
+      "__centroid")
   }
 
   /** Collect a codebook frame into the driver-side
@@ -1096,79 +1188,8 @@ object Similarity {
     // deterministic per-subspace Lloyd's over the rotated sample;
     // init = nCodes hash-smallest distinct subvectors (stable
     // content hash), the driver spelling of fitPqCodebooks' rule
-    // subspaces are independent (disjoint cb(s) slots, disjoint
-    // input slices), so the per-subspace Lloyd's runs them in
-    // parallel (round 16) — bit-identical output under any thread
-    // schedule; the fit was single-threaded on a 32-core driver
-    def fitBooks(xr: Array[Array[Double]]): Array[Array[Array[Double]]] = {
-      val cb = Array.ofDim[Array[Double]](m, nCodes)
-      java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
-        val subs = xr.map(x =>
-          java.util.Arrays.copyOfRange(x, s * sd, (s + 1) * sd))
-        val distinct = subs.map(_.toSeq).distinct.map(_.toArray)
-        require(distinct.size >= nCodes,
-          s"subspace $s has ${distinct.size} < nCodes=$nCodes " +
-            "distinct subvectors — lower nCodes")
-        // same order as sortBy((hashCode, mkString)): the string
-        // tiebreak only evaluates on hash collisions (round 16 — the
-        // eager spelling built a Double-formatted string per distinct
-        // subvector, the fit loop's single hottest allocation)
-        val hs = distinct.map(a => java.util.Arrays.hashCode(a))
-        val strs = new Array[String](distinct.length)
-        def str(i: Int): String = {
-          if (strs(i) == null) strs(i) = distinct(i).mkString(",")
-          strs(i)
-        }
-        val seeds = distinct.indices.toArray.sortWith { (a, bI) =>
-          if (hs(a) != hs(bI)) hs(a) < hs(bI) else str(a) < str(bI)
-        }.take(nCodes).map(i => distinct(i))
-        (0 until nCodes).foreach(c => cb(s)(c) = seeds(c).clone())
-        var it = 0
-        var stable = false
-        var prevAssign: Array[Int] = null
-        while (it < lloydIters && !stable) {
-          val assign = subs.map { v =>
-            var best = 0
-            var bestD = Double.MaxValue
-            var c = 0
-            while (c < nCodes) {
-              val cent = cb(s)(c)
-              var d = 0.0
-              var i = 0
-              while (i < sd) {
-                val t = v(i) - cent(i); d += t * t; i += 1
-              }
-              if (d < bestD) { bestD = d; best = c }
-              c += 1
-            }
-            best
-          }
-          if (prevAssign != null && java.util.Arrays.equals(assign,
-              prevAssign)) stable = true
-          else {
-            prevAssign = assign
-            val sums = Array.ofDim[Double](nCodes, sd)
-            val counts = new Array[Long](nCodes)
-            var i = 0
-            while (i < subs.length) {
-              val c = assign(i)
-              counts(c) += 1
-              var j = 0
-              while (j < sd) { sums(c)(j) += subs(i)(j); j += 1 }
-              i += 1
-            }
-            var c = 0
-            while (c < nCodes) {
-              if (counts(c) > 0)
-                cb(s)(c) = Array.tabulate(sd)(j => sums(c)(j) / counts(c))
-              c += 1
-            }
-            it += 1
-          }
-        }
-      }
-      cb
-    }
+    def fitBooks(xr: Array[Array[Double]]): Array[Array[Array[Double]]] =
+      fitBooksLocal(xr, m, nCodes, sd, lloydIters)
     def reconstruct(xr: Array[Double],
                     cb: Array[Array[Array[Double]]]): Array[Double] = {
       val y = new Array[Double](dim)
