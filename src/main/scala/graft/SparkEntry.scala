@@ -1581,7 +1581,10 @@ object SparkEntry {
     "t11_strip_boilerplate" -> ((s, d) => {
       val toks = split(col("text"), " ")
       val nLines = floor((size(toks) + lit(2)) / lit(3)).cast("int")
-      val lined = t(s, d, "documents").select(col("doc_id"),
+      // spread: the one-split fixture otherwise runs the heavy
+      // line-building projection on ONE task, twice (the operator
+      // derives its lines frame in two subtrees)
+      val lined = Graft.spread(t(s, d, "documents")).select(col("doc_id"),
         array_join(
           transform(sequence(lit(0), nLines - 1),
             i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3)))),
@@ -2347,7 +2350,9 @@ object SparkEntry {
     // Jaccard ≈ 0.5 — invisible to the d3 threshold family); oracle
     // recomputes every distinct-shingle intersection exactly
     "d26_containment_pairs" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      // spread: the shingle inverted-index subtree derives three
+      // times (sizes + both join sides) off a 1-2 split fixture
+      val docs = Graft.spread(t(s, d, "documents"))
       val toks = operators.TextAnalysis.tokenize(col("text"))
       val halves = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),

@@ -1599,13 +1599,19 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id2"))
       .dropDuplicates("id1", "id2")
     candidates
+      // explicit spread BEFORE the joins and the O(len·k)-per-pair
+      // verify: AQE size-coalesces the (byte-small) candidate frame
+      // to one partition, and a repartition placed AFTER the verify
+      // projection is defeated by predicate pushdown — the
+      // `dist <= k` filter (which evaluates the levenshtein) pushes
+      // below the exchange and runs on the one coalesced partition
+      // (measured: a 4.2 s single-task stage at sf0.1, the whole
+      // gate's hot spot). Repartitioning the candidate ids first
+      // keeps every downstream stage — broadcast text joins and the
+      // verify — at full parallelism; values are unchanged.
+      .repartition(target)
       .join(base.select(col("__id").as("id1"), col("__t").as("t1")), "id1")
       .join(base.select(col("__id").as("id2"), col("__t").as("t2")), "id2")
-      // explicit spread before the O(len·k)-per-pair verify: AQE
-      // size-coalesces the (byte-small) candidate frame to one
-      // partition and would run every levenshtein on one core —
-      // compute-heavy, size-light stages must pin their parallelism
-      .repartition(target)
       .withColumn("dist", levenshtein(col("t1"), col("t2"), k))
       .filter(col("dist") >= 0 && col("dist") <= k)
       .select(col("id1").as(s"${idCol}_1"), col("id2").as(s"${idCol}_2"),
