@@ -1188,7 +1188,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       operators.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
           "embedding", "vec_id", 5, dim = 64, m = 8, nCodes = 16,
-          nCandidates = 1000, maxIter = 3)
+          nCandidates = 1000000, maxIter = 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1213,7 +1213,7 @@ object SparkEntry {
       operators.Similarity.opqPqTopK(emb,
           emb.filter(col("vec_id") < 3), "embedding", "vec_id",
           k = 5, dim = 64, rotation = r, m = 8, nCodes = 16,
-          nCandidates = 1000, maxIter = 3)
+          nCandidates = 1000000, maxIter = 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1232,7 +1232,7 @@ object SparkEntry {
         m = 8, nCodes = 16)
       operators.Similarity.pqTopKFromIndex(codes, cb, emb,
           emb.filter(col("vec_id") < 3), "embedding", "vec_id", 5,
-          dim = 64, nCandidates = 1000)
+          dim = 64, nCandidates = 1000000)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1349,7 +1349,7 @@ object SparkEntry {
         m = 8, nCodes = 16)
       operators.Similarity.pqTopKFromIndex(codes, cb, emb,
           emb.filter(col("vec_id") < 3), "embedding", "vec_id", 5,
-          dim = 64, nCandidates = 1000)
+          dim = 64, nCandidates = 1000000)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
