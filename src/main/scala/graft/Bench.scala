@@ -577,7 +577,16 @@ object Bench {
         val vocab = graft.operators.Tokenizer.learnByteUnigram(
           docs, "text", vocabSize = 512)
         require(vocab.nonEmpty, "no vocab learned")
-        val n = docs.select(graft.functions
+        // measurement fix (round 17, documented in OPTIMIZATION_r17):
+        // the single-file fixture arrives as 1–2 splits, so the
+        // Viterbi encode pass — the row's dominant cost — serialized
+        // onto 2 of 32 cores (profiled: a 12.6 s two-task job at sf1
+        // inside a 14.2 s row). spread() repartitions under-parallel
+        // sources only (a production-scale scan is a no-op), so the
+        // row now measures encode throughput, not the fixture's split
+        // count. The trainer's own count shuffle was already spread.
+        val n = graft.Graft.spread(docs)
+          .select(graft.functions
             .byte_unigram_encode(col("text"), vocab).as("toks"))
           .select(explode(col("toks")).as("t"))
           .count()
@@ -608,7 +617,10 @@ object Bench {
         val vocab = graft.operators.Tokenizer.learnUnigram(
           docs, "text", vocabSize = 512)
         require(vocab.nonEmpty, "no vocab learned")
-        val n = docs.select(graft.functions
+        // spread before the encode pass — the byteUnigramTrainOnce
+        // measurement fix (see the comment there)
+        val n = graft.Graft.spread(docs)
+          .select(graft.functions
             .unigram_encode(col("text"), vocab).as("toks"))
           .select(explode(col("toks")).as("t"))
           .count()
@@ -620,6 +632,81 @@ object Bench {
           return -1.0
       }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    // ANN pruning-path row (round 17, VERDICT #7): the PQ/OPQ gates
+    // run at FULL candidate budget (their brute-force-oracle
+    // contract), so since the round-16 budget fix the bench could no
+    // longer see a pruning or codebook-quality regression. This row
+    // times pqTopK at a PARTIAL budget (~5% of the corpus re-ranked —
+    // the recall-floor spec's regime, scaled off a count taken
+    // OUTSIDE the timed region) and afterwards, also untimed, checks
+    // recall@10 ≥ 0.5 against brute force — the recall-floor
+    // contract, because approximate output has no exact value oracle
+    // by construction. A recall miss marks the row FAILED (the
+    // 10×-slowest penalty), so index-quality regressions are visible
+    // in the bench again, not just in the unit specs.
+    def annPqPartialOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      System.gc()
+      Thread.sleep(300)
+      val emb =
+        try spark.read.parquet(s"$sfDir/embeddings.parquet")
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ann_pq_partial read failed: " +
+              e.getMessage)
+            return -1.0
+        }
+      val queries = emb.filter(col("vec_id") < 5)
+      val budget = // untimed sizing probe: column-pruned count
+        try math.max(50L, emb.select(col("vec_id")).count() / 20)
+          .min(Int.MaxValue.toLong).toInt
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ann_pq_partial count failed: " +
+              e.getMessage)
+            return -1.0
+        }
+      val t0 = System.nanoTime()
+      val approx =
+        try {
+          val a = graft.operators.Similarity.pqTopK(emb, queries,
+            "embedding", "vec_id", 10, dim = 64, m = 8, nCodes = 16,
+            nCandidates = budget, maxIter = 3)
+          a.write.mode("overwrite").format("noop").save()
+          a
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ann_pq_partial failed: " +
+              e.getMessage)
+            return -1.0
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      try {
+        val exact = graft.operators.Similarity.bruteForceTopK(emb,
+            queries, "embedding", "vec_id", 10)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = approx
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall =
+          if (exact.isEmpty) 1.0
+          else exact.intersect(got).size.toDouble / exact.size
+        if (recall < 0.5) {
+          System.err.println(f"[bench] ann_pq_partial recall-floor " +
+            f"MISS: recall@10 $recall%.3f < 0.5 at budget $budget — " +
+            "marking the row failed")
+          return -1.0
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ann_pq_partial recall check " +
+            s"failed: ${e.getMessage}")
+          return -1.0
+      }
+      dt
     }
 
     // The d11 grid-scaling knob, measured: the same fixture shape as
@@ -737,7 +824,8 @@ object Bench {
       "byte_bpe_train" -> (() => byteBpeTrainOnce()),
       "unigram_train" -> (() => unigramTrainOnce()),
       "byte_unigram_train" -> (() => byteUnigramTrainOnce()),
-      "d11_lsh_tuned" -> (() => embLshTunedOnce()))
+      "d11_lsh_tuned" -> (() => embLshTunedOnce()),
+      "ann_pq_partial" -> (() => annPqPartialOnce()))
     val runnerByName: Map[String, () => Double] =
       names.map(n => n -> (() => timeOnce(n))).toMap ++ extraRunners
     val firstResults =

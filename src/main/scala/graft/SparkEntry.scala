@@ -81,6 +81,35 @@ object SparkEntry {
   private def exchangeBarrier(spark: SparkSession, df: DataFrame): DataFrame =
     df.repartition(spark.sessionState.conf.numShufflePartitions)
 
+  /** Globally order the SOURCE before a heavy row-wise projection
+    * (round 17): `src.select(heavy).orderBy(k)` executes the heavy
+    * projection TWICE — the trailing sort's range sampling runs the
+    * sort's whole child once before the real pass — and, on the
+    * single-file fixture scan, on 1–2 cores (profiled at sf1: t4's
+    * langid battery was two ~5 s two-task jobs). Ordering the source
+    * FIRST and projecting after costs the exact same single exchange
+    * (the sort the gate already pays) but (a) the sampling pass now
+    * runs over the raw scan instead of the projection, (b) the heavy
+    * projection executes ONCE, after the exchange, at full
+    * parallelism. The explicit partition count pins the exchange
+    * against AQE coalescing (which would fold a small fixture's ~60 MB
+    * onto one task — the d22 lesson); it is the session shuffle
+    * parallelism, a conf, not a tuned constant. Output rows and
+    * global order are identical: range partitions are ascending and
+    * row-wise projections preserve per-partition order.
+    *
+    * Trade-off at scale, per gate: the exchange carries the SOURCE
+    * columns instead of the projection output. For these report gates
+    * the projection is the dominant cost (regex/digest/tokenize
+    * batteries measured ≥2× the scan), so one extra pass of source
+    * bytes through the same exchange beats recomputing the battery.
+    */
+  private def orderedSource(spark: SparkSession, df: DataFrame,
+                            keys: org.apache.spark.sql.Column*): DataFrame =
+    df.repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+        keys: _*)
+      .sortWithinPartitions(keys: _*)
+
   /** t25's WordPiece vocab — one definition feeds BOTH the Spark query
     * and the DuckDB oracle's literal list, so the two sides cannot
     * drift. 25 single letters (no 'x', so x-words and digit words
@@ -576,23 +605,45 @@ object SparkEntry {
     // elements, so no rounding is needed.
     "q31_approx_percentile" -> ((s, d) => {
       import s.implicits._
-      t(s, d, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(
-          expr("percentile_approx(l_quantity, array(0.25D, 0.5D, 0.75D), " +
-            "1000000)").as("q"),
-          // all three quartiles on the near-unique price column too:
-          // l_quantity's heavy ties could mask a one-rank convention
-          // divergence (a wrong rank lands on the same tied value);
-          // l_extendedprice cannot
-          expr("percentile_approx(l_extendedprice, " +
-            "array(0.25D, 0.5D, 0.75D), 1000000)").as("qp"),
-          count(lit(1)).as("n"))
-        .select($"l_returnflag", element_at($"q", 1).as("q25"),
-          element_at($"q", 2).as("q50"), element_at($"q", 3).as("q75"),
-          element_at($"qp", 1).as("price_q25"),
-          element_at($"qp", 2).as("med_price"),
-          element_at($"qp", 3).as("price_q75"), $"n")
+      // Round 17: the full-accuracy GK sketch (ONE 17.6 s aggregation
+      // job at sf1 — compression work grows super-linearly in
+      // accuracy·n) is replaced by EXACT distributed rank selection
+      // (Sketches.quantilesDisc), which computes the element at rank
+      // ceil(p·n) directly — the same discrete-quantile convention
+      // the old spelling's accuracy-1e6 sketch guaranteed at gated
+      // SFs (rank error n·1e-6 < 1) and this gate's oracle
+      // (quantile_disc) defines at EVERY scale. Values are identical;
+      // the sketch's silent degradation past n = 1e6 rows is gone.
+      val li = t(s, d, "lineitem")
+      val ps = Seq(0.25, 0.5, 0.75)
+      // the two columns' selections and the count are INDEPENDENT
+      // job chains — overlap them (guide §2.6: back-fill the tail)
+      // instead of paying three sequential shuffles' stragglers
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val qF = Future(operators.Sketches.quantilesDisc(li, "l_quantity",
+        Seq("l_returnflag"), ps).select($"l_returnflag",
+        element_at($"qs", 1).as("q25"), element_at($"qs", 2).as("q50"),
+        element_at($"qs", 3).as("q75")))
+      // all three quartiles on the near-unique price column too:
+      // l_quantity's heavy ties could mask a one-rank convention
+      // divergence (a wrong rank lands on the same tied value);
+      // l_extendedprice cannot
+      val qpF = Future(operators.Sketches.quantilesDisc(li,
+        "l_extendedprice", Seq("l_returnflag"), ps)
+        .select($"l_returnflag",
+          element_at($"qs", 1).as("price_q25"),
+          element_at($"qs", 2).as("med_price"),
+          element_at($"qs", 3).as("price_q75")))
+      // n counts ALL group rows (the old count(lit(1)) semantics,
+      // null values included) — a column-pruned map-side agg
+      val n = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      val q = Await.result(qF, scala.concurrent.duration.Duration.Inf)
+      val qp = Await.result(qpF, scala.concurrent.duration.Duration.Inf)
+      n.join(q, Seq("l_returnflag"), "left")
+        .join(qp, Seq("l_returnflag"), "left")
+        .select($"l_returnflag", $"q25", $"q50", $"q75",
+          $"price_q25", $"med_price", $"price_q75", $"n")
         .orderBy($"l_returnflag")
     }),
 
@@ -601,7 +652,8 @@ object SparkEntry {
     // interval-month addition)
     "q30_datetime_battery" -> ((s, d) => {
       import s.implicits._
-      t(s, d, "orders").select($"o_orderkey",
+      orderedSource(s, t(s, d, "orders"), $"o_orderkey")
+        .select($"o_orderkey",
           quarter($"o_orderdate").cast("long").as("qtr"),
           dayofweek($"o_orderdate").cast("long").as("dow"),
           weekofyear($"o_orderdate").cast("long").as("wk"),
@@ -612,7 +664,6 @@ object SparkEntry {
             .as("week_start_ms"),
           unix_millis(add_months($"o_orderdate", 2).cast("timestamp"))
             .as("plus2m_ms"))
-        .orderBy($"o_orderkey")
     }),
 
     // Stream-stream time-range join (DataStream.joinWithinTime) run in
@@ -1371,8 +1422,12 @@ object SparkEntry {
         .orderBy($"p_partkey")
     }),
 
+    // orderedSource (here and in the t4/t7/t8/t14/t16/t18/t19/t24/
+    // t25/t29/q30 report gates below): same rows, same global order,
+    // but the heavy projection runs ONCE, after the sort exchange, at
+    // full parallelism — see the helper's scaladoc
     "t3_text_stats" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
+      orderedSource(s, t(s, d, "documents"), col("doc_id")).select(col("doc_id"),
         operators.TextAnalysis.tokenCount(col("text")).cast("long")
           .as("n_tokens"),
         operators.TextAnalysis.charCount(col("text")).cast("long")
@@ -1382,8 +1437,7 @@ object SparkEntry {
         round(operators.TextAnalysis.stopwordRatio(col("text")), 6)
           .as("stopword_ratio"),
         round(operators.TextAnalysis.qualityScore(col("text")), 6)
-          .as("quality"))
-        .orderBy(col("doc_id"))),
+          .as("quality"))),
 
     "t6_word_freq" -> ((s, d) => {
       import s.implicits._
@@ -1399,18 +1453,17 @@ object SparkEntry {
     // RE2-expressible, but the COUNT has this closed form both
     // engines agree on)
     "t7_token_bpeish" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        size(operators.TextAnalysis.tokenizeBpeish(col("text")))
-          .cast("long").as("n_bpe_tokens"),
-        operators.TextAnalysis.tokenCount(col("text")).cast("long")
-          .as("n_ws_tokens"))
-        .orderBy(col("doc_id"))),
+      orderedSource(s, t(s, d, "documents"), col("doc_id"))
+        .select(col("doc_id"),
+          size(operators.TextAnalysis.tokenizeBpeish(col("text")))
+            .cast("long").as("n_bpe_tokens"),
+          operators.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_ws_tokens"))),
 
     "t4_langid" -> ((s, d) =>
-      t(s, d, "documents")
+      orderedSource(s, t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"),
-          operators.TextAnalysis.langId(col("text")).as("lang_pred"))
-        .orderBy(col("doc_id"))),
+          operators.TextAnalysis.langId(col("text")).as("lang_pred"))),
 
     // Deterministic curation sampling (Sampling.scala): every draw is
     // md5-hex, so DuckDB selects the IDENTICAL rows — the oracle is
@@ -1558,8 +1611,13 @@ object SparkEntry {
     // (never per-row quadratic), all-integer outputs for an exact
     // oracle
     "t9_repetition" -> ((s, d) =>
+      // spread (not orderedSource — repetitionStats aggregates, so
+      // source order doesn't survive): its word AND bigram explode
+      // branches each re-run the tokenize off the 1–2-split fixture
+      // scan (profiled: two 2-task jobs, 9.3 s of 7.9 s wall at sf1)
       operators.TextAnalysis.repetitionStats(
-          t(s, d, "documents"), "text", "doc_id")
+          spreadIfUnderParallel(s, t(s, d, "documents")), "text",
+          "doc_id")
         .orderBy(col("doc_id"))),
 
     // CROSS-doc boilerplate signal: distinct 3-grams per doc vs how
@@ -2141,16 +2199,18 @@ object SparkEntry {
     // alpha / required-words discriminate naturally (min 50 words,
     // multilingual corpus). All rule math is integer-exact.
     "t14_gopher_rules" -> ((s, d) =>
+      // gopherRules is a pure row-wise projection, so ordering the
+      // source first preserves the output order exactly
       operators.TextAnalysis.gopherRules(
-        t(s, d, "documents").select(col("doc_id"),
-          concat(col("text"),
-            when(col("doc_id") % 7 === 0, lit("\n- bullet line" * 10))
-              .when(col("doc_id") % 7 === 1, lit("\nfoo…\nbar..."))
-              .when(col("doc_id") % 7 === 2, lit(" " + "#" * 15))
-              .when(col("doc_id") % 7 === 3, lit(" " + "x" * 600))
-              .otherwise(lit(""))).as("text")),
-        "doc_id", "text")
-        .orderBy(col("doc_id"))),
+        orderedSource(s, t(s, d, "documents"), col("doc_id"))
+          .select(col("doc_id"),
+            concat(col("text"),
+              when(col("doc_id") % 7 === 0, lit("\n- bullet line" * 10))
+                .when(col("doc_id") % 7 === 1, lit("\nfoo…\nbar..."))
+                .when(col("doc_id") % 7 === 2, lit(" " + "#" * 15))
+                .when(col("doc_id") % 7 === 3, lit(" " + "x" * 600))
+                .otherwise(lit(""))).as("text")),
+        "doc_id", "text")),
 
     // keyword extraction: top-3 terms per document by tf·idf, ties by
     // term — the labeling primitive behind topic tagging and cluster
@@ -2172,15 +2232,14 @@ object SparkEntry {
     // strip all do real work; DuckDB recomputes with its native
     // lower/regexp_replace/nfc_normalize/strip_accents.
     "t16_normalize_text" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = orderedSource(s, t(s, d, "documents"), col("doc_id"))
       val mutated = concat(
         when(pmod(col("doc_id"), lit(2)) === 0, upper(col("text")))
           .otherwise(col("text")),
         lit("  Cafe\u0301  tail"))
       val norm = operators.TextAnalysis.normalizeText(mutated)
       docs.select(col("doc_id"), norm.as("norm"),
-          graft.functions.strip_accents(norm).as("norm_ascii"))
-        .orderBy(col("doc_id"))
+        graft.functions.strip_accents(norm).as("norm_ascii"))
     }),
 
     // the corpus composition report every curation stage prints:
@@ -2230,9 +2289,10 @@ object SparkEntry {
       val withBad = when(pmod(col("doc_id"), lit(17)) === 0,
         concat(page, lit("\nlorem ipsum dolor sit amet.")))
         .otherwise(page)
+      // c4Clean = row-wise projection + filter (order-preserving)
       operators.TextAnalysis.c4Clean(
-          docs.withColumn("text", withBad), "doc_id", "text")
-        .orderBy(col("doc_id"))
+        orderedSource(s, docs, col("doc_id"))
+          .withColumn("text", withBad), "doc_id", "text")
     }),
 
     // hashed-feature linear scorer: md5-bucket hashing and the
@@ -2240,9 +2300,11 @@ object SparkEntry {
     // hex digit in the oracle; score_milli is an exact integer sum
     // and logit one IEEE division, so the gate is bit-hard
     "t19_hashed_score" -> ((s, d) =>
+      // hashedLinearScore is a pure codegen projection (its scaladoc
+      // contract), so the orderedSource order survives it
       operators.TextAnalysis.hashedLinearScore(
-          t(s, d, "documents"), "doc_id", "text", dim = 64)
-        .orderBy(col("doc_id"))),
+        orderedSource(s, t(s, d, "documents"), col("doc_id")),
+        "doc_id", "text", dim = 64)),
 
     // within-doc repeated-line removal: the page fixture repeats a
     // content line and a nav line and carries two empty lines (which
@@ -2276,9 +2338,8 @@ object SparkEntry {
         col("text"),
         lit("</p><br><a href=\"/r?a=1&amp;b=2\">next&nbsp;page</a>" +
           "&#39;fin&#39;</body></html>"))
-      docs.select(col("doc_id"),
-          operators.TextAnalysis.stripHtml(page).as("clean"))
-        .orderBy(col("doc_id"))
+      orderedSource(s, docs, col("doc_id")).select(col("doc_id"),
+        operators.TextAnalysis.stripHtml(page).as("clean"))
     }),
 
     // real subword tokenization (WordPiece greedy longest-match):
@@ -2296,12 +2357,11 @@ object SparkEntry {
           concat(col("text"), lit(" xylophone 42")))
         .otherwise(col("text")))
       val enc = graft.functions.wordpiece_encode(col("text"), wpVocab)
-      mutated.select(col("doc_id"),
-          array_join(enc, " ").as("pieces"),
-          size(enc).cast("bigint").as("n_pieces"),
-          size(filter(enc, p => p === "[UNK]")).cast("bigint")
-            .as("n_unk"))
-        .orderBy(col("doc_id"))
+      orderedSource(s, mutated, col("doc_id")).select(col("doc_id"),
+        array_join(enc, " ").as("pieces"),
+        size(enc).cast("bigint").as("n_pieces"),
+        size(filter(enc, p => p === "[UNK]")).cast("bigint")
+          .as("n_unk"))
     }),
 
     // Aho–Corasick blocklist scan: every phrase occurrence counted at
@@ -2394,10 +2454,10 @@ object SparkEntry {
     "t29_bpe_tokenize" -> ((s, d) => {
       val ascii = regexp_replace(col("text"), "[^ -~]", "")
       val toks = graft.functions.bpe_encode(ascii, bpeMerges)
-      t(s, d, "documents").select(col("doc_id"),
+      orderedSource(s, t(s, d, "documents"), col("doc_id"))
+        .select(col("doc_id"),
           size(toks).cast("long").as("n_bpe"),
           array_join(toks, "|").as("toks"))
-        .orderBy(col("doc_id"))
     }),
 
     // Winnowing cross-corpus contamination (the MOSS detector):
@@ -2505,7 +2565,13 @@ object SparkEntry {
     // spelling (same code path — sessionWindow adapts) is spec-gated
     // in StreamingSpec.
     "d39_session_distinct_monitor" -> ((s, d) => {
-      val ds = api.DataStream(t(s, d, "events"), "ts")
+      // spread before the session aggregation (round 17): the 4-split
+      // events fixture serialized the per-row KMV/histogram partial
+      // aggregation onto 4 cores; a production scan no-ops. KMV is
+      // min-k of a set and the histogram is counts — both are
+      // partitioning-invariant, so values are identical.
+      val ds = api.DataStream(
+        spreadIfUnderParallel(s, t(s, d, "events")), "ts")
       ds.distinctMonitorSession("user_id", "15 minutes", k = 8192).df
         .select(unix_millis(col("window_start_time"))
             .as("window_start_ms"),
@@ -2682,7 +2748,8 @@ object SparkEntry {
         "user_id", tmp, k = 8192)
       val baseSketch = operators.DedupIndex
         .readKmv(s, tmp, k = 8192).head().getSeq[Long](0)
-      api.DataStream(ev, "ts")
+      // spread before the windowed aggregation — the d39 note
+      api.DataStream(spreadIfUnderParallel(s, ev), "ts")
         .healthMonitor("user_id", "1 hour",
           value = Some(operators.Drift.ValueBaseline("value",
             bounds, fracs.toSeq)),
@@ -2719,7 +2786,8 @@ object SparkEntry {
       val fracs = operators.Drift.histFractions(
         ev.filter(unix_millis(col("ts")) < lit(1705276800000L)),
         "value", bounds)
-      api.DataStream(ev, "ts")
+      // spread before the session aggregation — the d39 note
+      api.DataStream(spreadIfUnderParallel(s, ev), "ts")
         .healthMonitorSession("user_id", "15 minutes",
           value = Some(operators.Drift.ValueBaseline("value",
             bounds, fracs.toSeq)),
@@ -3291,12 +3359,12 @@ object SparkEntry {
     // engines build the same string), so the oracle discriminates even
     // if the corpus itself carries no PII
     "t8_redact_pii" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        operators.TextAnalysis.redactPii(concat(col("text"),
-          lit(" contact user"), col("doc_id"),
-          lit("@mail.example.com or call +1 555-01"), col("doc_id"),
-          lit("."))).as("clean"))
-        .orderBy(col("doc_id"))),
+      orderedSource(s, t(s, d, "documents"), col("doc_id"))
+        .select(col("doc_id"),
+          operators.TextAnalysis.redactPii(concat(col("text"),
+            lit(" contact user"), col("doc_id"),
+            lit("@mail.example.com or call +1 555-01"), col("doc_id"),
+            lit("."))).as("clean"))),
 
     // int8 embedding quantization: floor(x+0.5) rounding is
     // bit-identical across engines (round() tie behavior is not), so

@@ -183,8 +183,13 @@ object Dedup {
                               threshold: Double = 0.4): DataFrame = {
     // shingles live as hashed longs end-to-end: smaller shuffle rows,
     // long join keys, zero string materialization (collision odds
-    // ~2^-64·|pairs| fold into the count)
-    val inv = df.select(col(blockCol), col(idCol),
+    // ~2^-64·|pairs| fold into the count). spread first (round 17):
+    // `inv` feeds THREE consumers (sizes, l, r), so the shingle
+    // explode re-executes per consumer — from a 1–2-split fixture
+    // scan that serialized 3 full tokenize+hash passes onto 2 cores
+    // (profiled 7.5 task-seconds at sf1); a production-scale scan is
+    // already parallel and spread() no-ops.
+    val inv = spread(df).select(col(blockCol), col(idCol),
       explode(shingleHashes(col(textCol), shingleN)).as("__shingle"))
     // shingle sets are distinct per doc, so per-doc set size falls out
     // of the inverted index — no second pass over the text
@@ -224,7 +229,9 @@ object Dedup {
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        blockCol: String, shingleN: Int = 3,
                        threshold: Double = 0.9): DataFrame = {
-    val inv = df.select(col(blockCol), col(idCol),
+    // spread: same three-consumer shingle-explode shape as
+    // [[jaccardPairsWithinBlock]] (see the comment there)
+    val inv = spread(df).select(col(blockCol), col(idCol),
       explode(shingleHashes(col(textCol), shingleN)).as("__shingle"))
     val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val l = inv.select(col(blockCol), col("__shingle"),
@@ -585,7 +592,9 @@ object Dedup {
                sigAs: String): DataFrame = {
       val sig = graft.functions.simhash64_md5(
         TextAnalysis.tokenize(col(textCol)))
-      val base = df.select(col(idCol).as(idAs), sig.as(sigAs))
+      // spread: the per-token-md5 signature pass serialized onto the
+      // fixture's 1–2 splits on BOTH sides; no-op at scale
+      val base = spread(df).select(col(idCol).as(idAs), sig.as(sigAs))
         .filter(col(sigAs).isNotNull)
       val bands = array((0 until 4).map { b =>
         shiftrightunsigned(col(sigAs), b * 16).bitwiseAND(lit(0xFFFFL))
@@ -659,10 +668,11 @@ object Dedup {
     */
   /** Size-adaptive driver escape hatch shared by both CC loops
     * (round 16): when the materialized edge set is small enough —
-    * `spark.graft.cc.localEdgeLimit` edges, default 2M (≈ 30 MB of
-    * longs; set 0 to disable) — finish the components with one
-    * driver-side union-find instead of iterating the distributed
-    * loop. The loop costs ~8 scheduler round-trips per round even on
+    * `spark.graft.cc.localEdgeLimit` edges, default 2M (collected
+    * Rows + the boxed-Long parent map peak at a few hundred MB of
+    * driver heap at the cap, transient; set 0 to disable) — finish
+    * the components with one driver-side union-find instead of
+    * iterating the distributed loop. The loop costs ~8 scheduler round-trips per round even on
     * a 2-edge graph (each round = several joins, a materialization
     * and a convergence action), which dominates every small-graph
     * call; union-find with min-id roots computes the identical
@@ -687,11 +697,19 @@ object Dedup {
     })
     if (limit <= 0 || !integral) return None
     val cap = math.min(limit, Int.MaxValue - 8L).toInt
+    // over-limit probe BEFORE any driver pull (round 17 — the old
+    // spelling collected cap+1 rows just to learn the graph was too
+    // big, a ~30 MB wasted transfer on every production-scale call):
+    // one two-long aggregate over the already-materialized edge frame
+    // decides; only a genuinely small graph pays the collect.
+    val probe = edges.agg(
+      count(lit(1)).as("__n"),
+      count(when(col(u).isNull || col(v).isNull, 1)).as("__nulls"))
+      .head()
+    if (probe.getLong(0) > cap || probe.getLong(1) > 0) return None
     val rows = edges
       .select(col(u).cast("long"), col(v).cast("long"))
-      .limit(cap + 1).collect()
-    if (rows.length > cap ||
-      rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+      .collect()
     val parent =
       new java.util.HashMap[java.lang.Long, java.lang.Long](
         rows.length * 2 + 16)
@@ -1120,7 +1138,11 @@ object Dedup {
                                seed: Long = 42L): DataFrame = {
     require(nTables >= 1, "nTables must be >= 1")
     require(nPlanes >= 0, "nPlanes must be >= 0 (0 = auto-size)")
-    val base = df.select(col(idCol), col(embCol))
+    // spread: `base` feeds the l/r bucket projections (nTables ×
+    // nPlanes hyperplane dots per row, re-executed per side) and the
+    // two re-rank joins — a 2–4-split fixture scan serialized all of
+    // it; spread() no-ops on an already-parallel production scan
+    val base = spread(df).select(col(idCol), col(embCol))
     // nPlanes = 0 (the default): size the grid from the corpus so the
     // measured fixed-grid cliff (20× wall for 10× data at a constant
     // 16 planes) cannot recur by default. The count is one

@@ -268,13 +268,33 @@ object Similarity {
     // early stop.
     val sampleBase = graft.Graft.spread(corpus)
       .select(col(embCol).cast("array<double>").as("__cv"))
-    val sample = (if (fitSampleFraction >= 1.0) sampleBase
-                  else sampleBase.sample(withReplacement = false,
-                    fitSampleFraction, seed))
-      .orderBy(xxhash64(col("__cv"), lit(seed)))
+    // secondary sort key = the vector itself: two distinct vectors
+    // colliding in xxhash64 at the window boundary would otherwise
+    // make the sample partition-order-dependent (round 17; ~2^-64
+    // per pair, but determinism should not carry an asterisk)
+    val sampled = (if (fitSampleFraction >= 1.0) sampleBase
+                   else sampleBase.sample(withReplacement = false,
+                     fitSampleFraction, seed))
+      .orderBy(xxhash64(col("__cv"), lit(seed)), col("__cv"))
       .limit(maxFitRows)
       .collect() // bounded artifact: ≤ maxFitRows × dim doubles
       .map(_.getSeq[Double](0).toArray)
+    // duplicate-heavy corpora (the dedup-workload norm) can fill the
+    // hash-smallest window with copies of a few vectors, leaving
+    // fewer than nCentroids DISTINCT seeds where the full corpus has
+    // plenty — fall back to a distinct-vector window (one extra
+    // bounded job, degenerate inputs only; round 17, preserving the
+    // pre-sampling fit's full-corpus distinctness semantics)
+    val sample = {
+      val distinctCount = sampled.map(_.toSeq).distinct.length
+      if (sampled.nonEmpty && distinctCount < nCentroids)
+        sampleBase.distinct()
+          .orderBy(xxhash64(col("__cv"), lit(seed)), col("__cv"))
+          .limit(maxFitRows)
+          .collect()
+          .map(_.getSeq[Double](0).toArray)
+      else sampled
+    }
     require(sample.nonEmpty, "fitIvfIndex: empty corpus")
     val dim = sample.head.length
     require(sample.forall(_.length == dim),
@@ -578,12 +598,22 @@ object Similarity {
     */
   private def fitBooksLocal(xr: Array[Array[Double]], m: Int,
       nCodes: Int, sd: Int,
-      iters: Int): Array[Array[Array[Double]]] = {
+      iters: Int,
+      fallbackSeeds: Int => Option[Array[Array[Double]]] = _ => None)
+      : Array[Array[Array[Double]]] = {
       val cb = Array.ofDim[Array[Double]](m, nCodes)
       java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
         val subs = xr.map(x =>
           java.util.Arrays.copyOfRange(x, s * sd, (s + 1) * sd))
-        val distinct = subs.map(_.toSeq).distinct.map(_.toArray)
+        val sampleDistinct = subs.map(_.toSeq).distinct.map(_.toArray)
+        // a duplicate-heavy corpus can fill the hash-smallest sample
+        // window with copies while the full corpus has ≥ nCodes
+        // distinct subvectors — callers with a corpus at hand supply
+        // fallbackSeeds (a bounded distinct-subvector query, run only
+        // on this degenerate path; round 17)
+        val distinct =
+          if (sampleDistinct.size >= nCodes) sampleDistinct
+          else fallbackSeeds(s).getOrElse(sampleDistinct)
         require(distinct.size >= nCodes,
           s"subspace $s has ${distinct.size} < nCodes=$nCodes " +
             "distinct subvectors — lower nCodes")
@@ -684,14 +714,28 @@ object Similarity {
     val sample = (if (fitSampleFraction >= 1.0) base
       else base.sample(withReplacement = false, fitSampleFraction,
         seed))
-      .orderBy(xxhash64(col("__ne"), lit(seed)))
+      // vector-value tiebreak: hash collisions at the window boundary
+      // must not make the sample partition-order-dependent (round 17)
+      .orderBy(xxhash64(col("__ne"), lit(seed)), col("__ne"))
       .limit(maxFitRows)
       .collect() // bounded artifact: <= maxFitRows x dim doubles
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "fitPqCodebooks: empty corpus")
     require(sample.forall(_.length == dim),
       s"fitPqCodebooks: vectors are not $dim-dimensional")
-    val cb = fitBooksLocal(sample, m, nCodes, sd, maxIter)
+    // fallback seeds for duplicate-heavy corpora: when a subspace's
+    // SAMPLE carries < nCodes distinct subvectors, seed from the
+    // corpus's distinct subvectors directly (bounded query, run only
+    // on that degenerate path) — the pre-sampling fit's full-corpus
+    // distinctness semantics, preserved
+    val cb = fitBooksLocal(sample, m, nCodes, sd, maxIter, s =>
+      Some(base
+        .select(slice(col("__ne"), s * sd + 1, sd).as("__s"))
+        .distinct()
+        .orderBy(xxhash64(col("__s"), lit(seed)), col("__s"))
+        .limit(nCodes)
+        .collect()
+        .map(_.getSeq[Double](0).toArray)))
     (for (s <- 0 until m; c <- 0 until nCodes)
       yield (s, c, cb(s)(c).toSeq)).toDF("__sub", "__code",
       "__centroid")
@@ -1162,7 +1206,8 @@ object Similarity {
     // hash-smallest semantics, engine- and partitioning-independent
     val sample = graft.Graft.spread(corpus)
       .select(l2Normalize(col(embCol)).as("__ne"))
-      .orderBy(xxhash64(col("__ne"), lit(seed)))
+      // vector-value tiebreak: see fitPqCodebooks (round 17)
+      .orderBy(xxhash64(col("__ne"), lit(seed)), col("__ne"))
       .limit(maxFitRows)
       .collect() // bounded artifact: ≤ maxFitRows × dim doubles
       .map(_.getSeq[Double](0).toArray)

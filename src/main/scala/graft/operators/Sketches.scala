@@ -202,4 +202,199 @@ object Sketches {
         i => concat_ws(" ", slice(col("__t"), i, lit(n))))).as("gram"))
     frequentItems(grams, "gram", capacity, k)
   }
+
+  /** EXACT grouped order statistics by distributed rank selection —
+    * the scale-true replacement for a full-accuracy quantile sketch
+    * (round 17). `percentile_approx(x, p, 1e6)` promises ≤ n·1e-6
+    * rank error, which Spark buys with a per-partition Greenwald-
+    * Khanna summary whose compression work grows super-linearly in
+    * accuracy·n (profiled: ONE 17.6 s aggregation job at sf1 for
+    * q31). But the gates don't want a sketch at all — they want the
+    * discrete quantile (the element at rank ceil(p·n), DuckDB's
+    * `quantile_disc` convention, q31's documented contract) or the
+    * continuous one (Spark `percentile`/`median` interpolation, q21).
+    * Those are order statistics, and order statistics over a grouped
+    * corpus are ONE range shuffle + two cheap passes:
+    *
+    *  1. range-partition by (group…, value) and sort within
+    *     partitions — the only data movement, with full parallelism
+    *     at any scale (the partition count is the session shuffle
+    *     parallelism, a conf);
+    *  2. per-partition (group → count) — a bounded collect (the
+    *     grouped-curation cardinality contract: groups are few);
+    *     the driver turns target ranks into (partition, offset-
+    *     within-group) picks;
+    *  3. a second pass over the SAME shuffle output (the map stage
+    *     is reused, not recomputed) extracts just the picked
+    *     elements — a ≤ |groups|·|ps|·2-row collect.
+    *
+    * Rank conventions (both spec-pinned against the built-ins):
+    *  - disc: 1-based rank ceil(p·n) over the group's non-null
+    *    values ascending — exactly what `percentile_approx` at
+    *    error < 1 rank returns, at ANY n (the sketch's guarantee
+    *    silently degrades past n = accuracy; this never does);
+    *  - cont: Spark `percentile`'s interpolation, replayed with the
+    *    identical IEEE arithmetic — position = p·(n−1),
+    *    (higher−pos)·v[lower] + (pos−lower)·v[higher].
+    *
+    * Null values are excluded (the built-ins' semantics); a group
+    * whose values are all null contributes no output row (callers
+    * left-join from their own group frame when those groups must
+    * surface as nulls). Values must be DOUBLE (the callers' shape);
+    * `n_values` = the group's non-null count rides along.
+    *
+    * @return one row per group: by ++ (n_values bigint,
+    *         qs array<double> — one element per `ps` entry, in order)
+    */
+  def quantilesDisc(df: DataFrame, valCol: String, by: Seq[String],
+                    ps: Seq[Double]): DataFrame =
+    groupedOrderStats(df, valCol, by, ps, cont = false)
+
+  /** Continuous (interpolated) twin of [[quantilesDisc]] — Spark
+    * `percentile`/`median` semantics, same machinery.
+    */
+  def quantilesCont(df: DataFrame, valCol: String, by: Seq[String],
+                    ps: Seq[Double]): DataFrame =
+    groupedOrderStats(df, valCol, by, ps, cont = true)
+
+  private def groupedOrderStats(df: DataFrame, valCol: String,
+                                by: Seq[String], ps: Seq[Double],
+                                cont: Boolean): DataFrame = {
+    require(ps.nonEmpty, "give at least one percentage")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentages must be in [0, 1], got $ps")
+    val spark = df.sparkSession
+    val k = by.size
+    val keyCols = by.map(col)
+    val sorted = df
+      .select(keyCols :+ col(valCol).cast("double").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .repartitionByRange(
+        spark.sessionState.conf.numShufflePartitions,
+        keyCols :+ col("__v"): _*)
+      .sortWithinPartitions((by :+ "__v").map(col): _*)
+    // .rdd materializes the range shuffle once; both passes below are
+    // reduce-side only (the map stage is skipped on the second job)
+    val rdd = sorted.rdd
+    def keyOf(r: org.apache.spark.sql.Row): List[Any] =
+      (0 until k).map(r.get).toList
+    // pass 1: per-partition per-group counts (bounded: |parts|·|groups|)
+    val partCounts: Array[(Int, Seq[(List[Any], Long)])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable
+          .LinkedHashMap.empty[List[Any], Long]
+        it.foreach { r =>
+          val key = keyOf(r)
+          m.update(key, m.getOrElse(key, 0L) + 1L)
+        }
+        Iterator.single(pid -> m.toSeq)
+      }.collect()
+    val totals = scala.collection.mutable.LinkedHashMap.empty[List[Any], Long]
+    partCounts.sortBy(_._1).foreach { case (_, m) =>
+      m.foreach { case (key, c) =>
+        totals.update(key, totals.getOrElse(key, 0L) + c)
+      }
+    }
+    if (totals.isEmpty) {
+      // empty input: zero groups, schema preserved
+      val schema = org.apache.spark.sql.types.StructType(
+        df.select(keyCols: _*).schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("n_values",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("qs",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType), nullable = false)))
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema)
+    }
+    // 1-based ranks needed per group
+    def ranksOf(n: Long): Seq[Long] =
+      if (!cont) ps.map(p => math.max(1L, math.ceil(p * n).toLong))
+      else ps.flatMap { p =>
+        val pos = p * (n - 1) // 0-based, Spark Percentile's convention
+        Seq(pos.floor.toLong + 1, pos.ceil.toLong + 1)
+      }
+    // driver: map each needed (group, rank) to the (partition, offset
+    // within the group's run in that partition) holding it — range
+    // partitioning guarantees a group's values ascend across
+    // partition ids, so a cumulative walk locates every rank
+    val sortedCounts = partCounts.sortBy(_._1)
+    val pickAt = scala.collection.mutable
+      .Map.empty[(List[Any], Long), (Int, Long)] // (key, rank) → (pid, off)
+    totals.foreach { case (key, n) =>
+      val wanted = ranksOf(n).distinct.sorted
+      var cum = 0L
+      var wi = 0
+      sortedCounts.foreach { case (pid, m) =>
+        val c = m.collectFirst { case (`key`, cc) => cc }.getOrElse(0L)
+        while (wi < wanted.length && wanted(wi) <= cum + c) {
+          pickAt.update((key, wanted(wi)), (pid, wanted(wi) - cum - 1))
+          wi += 1
+        }
+        cum += c
+      }
+      require(wi == wanted.length,
+        s"internal: rank walk exhausted partitions for group $key")
+    }
+    // per-partition pick lists for the executors
+    val picksByPid: Map[Int, Seq[(List[Any], Long)]] = pickAt.toSeq
+      .map { case ((key, _), (pid, off)) => (pid, key, off) }
+      .distinct
+      .groupBy(_._1)
+      .map { case (pid, s) => pid -> s.map(t => (t._2, t._3)) }
+    val picksB = spark.sparkContext.broadcast(picksByPid)
+    // pass 2: extract exactly the picked elements (map stage reused)
+    val picked: Map[(Int, List[Any], Long), Double] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val want = picksB.value.getOrElse(pid, Seq.empty)
+        if (want.isEmpty) Iterator.empty
+        else {
+          val offsByKey: Map[List[Any], Set[Long]] = want.groupBy(_._1)
+            .map { case (key, offs) => key -> offs.map(_._2).toSet }
+          val out = scala.collection.mutable
+            .ArrayBuffer.empty[((Int, List[Any], Long), Double)]
+          var curKey: List[Any] = null
+          var pos = -1L
+          it.foreach { r =>
+            val key = keyOf(r)
+            if (key != curKey) { curKey = key; pos = -1L }
+            pos += 1L
+            if (offsByKey.get(key).exists(_.contains(pos)))
+              out.append(((pid, key, pos), r.getDouble(k)))
+          }
+          out.iterator
+        }
+      }.collect().toMap
+    picksB.destroy()
+    def valueAtRank(key: List[Any], rank: Long): Double = {
+      val (pid, off) = pickAt((key, rank))
+      picked((pid, key, off))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      df.select(keyCols: _*).schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("n_values",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qs",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false)))
+    val rows: Seq[org.apache.spark.sql.Row] = totals.toSeq.map {
+      case (key, n) =>
+        val qs = ps.map { p =>
+          if (!cont) valueAtRank(key, math.max(1L, math.ceil(p * n).toLong))
+          else {
+            // Spark Percentile.getPercentile's exact IEEE arithmetic
+            val pos = p * (n - 1)
+            val lower = pos.floor.toLong
+            val higher = pos.ceil.toLong
+            if (lower == higher) valueAtRank(key, lower + 1)
+            else (higher - pos) * valueAtRank(key, lower + 1) +
+              (pos - lower) * valueAtRank(key, higher + 1)
+          }
+        }
+        org.apache.spark.sql.Row.fromSeq(key ++ Seq(n, qs))
+    }
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
 }

@@ -718,6 +718,27 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("PQ/IVF fits survive duplicate-heavy corpora (round 17): a " +
+      "copy-saturated hash-smallest sample window falls back to " +
+      "corpus-distinct seeds instead of hard-erroring") {
+    // 20 distinct vectors × 200 copies each: the 16-row hash-smallest
+    // window holds only copies of the smallest-hash vector(s), so the
+    // sample's distinct count is far below nCodes/nCentroids = 16
+    // while the corpus has 20 distinct vectors — exactly the
+    // dedup-workload shape the advisor flagged
+    val base = (0 until 20).map(i =>
+      Seq.tabulate(8)(j => (i * 8 + j).toDouble / 7.0))
+    val df = (0 until 4000).map(i => (i.toLong, base(i % 20)))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.fitPqCodebooks(df, "embedding", dim = 8,
+      m = 2, nCodes = 16, maxIter = 2, maxFitRows = 16)
+    assert(books.count() == 32, "2 subspaces x 16 codes")
+    val (cents, indexed) = Similarity.fitIvfIndex(df, "embedding",
+      "vec_id", nCentroids = 16, maxIter = 2, maxFitRows = 16)
+    assert(cents.count() == 16)
+    assert(indexed.count() == 4000, "every corpus row stays indexed")
+  }
+
   test("pqTopKFromIndex large-query-batch regime: 60k queries run " +
       "the partitioned (non-broadcast) spelling and match the " +
       "broadcast path exactly") {
@@ -3747,6 +3768,18 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         (if (r.isNullAt(0)) null else r.getString(0)) ->
           ((r.getLong(1), r.getLong(2)))).toMap
     assert(got13 == got)
+    // round 17: iterations ≥ 2 fold parameters in as literal
+    // when-chains by default; the broadcast-join path (forced via
+    // literalGroupLimit = 0) must produce the identical fits
+    spark.conf.set("spark.graft.calibrate.literalGroupLimit", "0")
+    try {
+      val gotJoin = TextAnalysis.calibrateLogitsBy(df, "y", "s",
+        Seq("src"), iters = 3, lr = 10.0).collect().map(r =>
+          (if (r.isNullAt(0)) null else r.getString(0)) ->
+            ((r.getLong(1), r.getLong(2)))).toMap
+      assert(gotJoin == got,
+        "literal-fold path must equal the broadcast-join path")
+    } finally spark.conf.unset("spark.graft.calibrate.literalGroupLimit")
     // calibratedProbBy: the group's own pair, the exact
     // calibratedProb arithmetic; 'c' (unfitted) reads NULL
     val probs = TextAnalysis.calibratedProbBy(df, calib, "s",

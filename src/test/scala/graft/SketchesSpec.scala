@@ -175,6 +175,63 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(sqlTop.size == 100 && sqlTop("v2") == 3L && sqlTop("v3") == 1L)
   }
 
+  test("quantilesDisc == percentile_approx at full accuracy " +
+      "(random data, groups, ties, nulls)") {
+    val rnd = new scala.util.Random(421)
+    val rows = (1 to 4000).map { i =>
+      val g = s"g${rnd.nextInt(5)}"
+      // heavy ties (quantized) + a null sprinkle
+      val v: java.lang.Double =
+        if (rnd.nextInt(50) == 0) null
+        else math.floor(rnd.nextDouble() * 40) / 2.0
+      (g, v)
+    } :+ (("lonely", java.lang.Double.valueOf(7.5)))
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val expected = df.groupBy($"g").agg(
+      expr(s"percentile_approx(v, array(${ps.mkString("D,")}D), " +
+        "1000000)").as("q")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val got = Sketches.quantilesDisc(df, "v", Seq("g"), ps).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](2)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (g, qs) =>
+      assert(qs == expected(g), s"group $g: $qs != ${expected(g)}")
+    }
+  }
+
+  test("quantilesCont == percentile/median bit-for-bit") {
+    val rnd = new scala.util.Random(77)
+    val rows = (1 to 3001).map { i =>
+      (s"g${rnd.nextInt(4)}", rnd.nextDouble() * 100 - 50)
+    }
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.25, 0.5, 0.9)
+    val expected = df.groupBy($"g").agg(
+      expr(s"percentile(v, array(${ps.mkString("D,")}D))").as("q"),
+      median($"v").as("m")).collect()
+      .map(r => r.getString(0) -> (r.getSeq[Double](1), r.getDouble(2)))
+      .toMap
+    val got = Sketches.quantilesCont(df, "v", Seq("g"), ps).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](2)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (g, qs) =>
+      assert(qs == expected(g)._1, s"group $g: $qs != ${expected(g)._1}")
+      assert(qs(1) == expected(g)._2,
+        s"group $g: median ${qs(1)} != ${expected(g)._2}")
+    }
+  }
+
+  test("quantilesDisc matches the quantile_disc rank convention " +
+      "(rank = ceil(p*n)) on tiny hand cases") {
+    // the DuckDB-verified table from the q31 contract: n=6 values
+    // 1..6 → (q25,q50,q75) = (2,3,5)
+    val df = (1 to 6).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val got = Sketches.quantilesDisc(df, "v", Seq("g"),
+      Seq(0.25, 0.5, 0.75)).head().getSeq[Double](2)
+    assert(got == Seq(2.0, 3.0, 5.0))
+  }
+
   test("kmv: map-side partial aggregation — plan has a partial stage") {
     // the whole point of the bounded-buffer aggregator at 100 TB:
     // each task reduces its partition to ≤ k longs BEFORE the
