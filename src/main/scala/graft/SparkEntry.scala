@@ -751,9 +751,14 @@ object SparkEntry {
       val mutated = docs
         .withColumn("doc_id", col("doc_id") + 1000000L)
         .withColumn("text", regexp_replace(col("text"), "the", "thee"))
-      operators.Dedup.minhashNearDupPairs(docs.unionByName(mutated),
-          "text", "doc_id", numHashes = 32, bands = 16, threshold = 0.5)
-        .withColumn("jaccard", round(col("jaccard"), 6))
+      // exchangeBarrier: the d22 note — the exact-Jaccard verify is
+      // post-join scan-stage work the final orderBy re-ran (two ~2.5 s
+      // 37-task jobs at sf1); (id, id, jaccard) rows shuffle once
+      exchangeBarrier(s,
+          operators.Dedup.minhashNearDupPairs(docs.unionByName(mutated),
+            "text", "doc_id", numHashes = 32, bands = 16,
+            threshold = 0.5)
+          .withColumn("jaccard", round(col("jaccard"), 6)))
         .orderBy(col("doc_id_1"), col("doc_id_2"))
     }),
 
@@ -2289,9 +2294,13 @@ object SparkEntry {
       val withBad = when(pmod(col("doc_id"), lit(17)) === 0,
         concat(page, lit("\nlorem ipsum dolor sit amet.")))
         .otherwise(page)
-      // c4Clean = row-wise projection + filter (order-preserving)
+      // c4Clean = row-wise projection + filter (order-preserving).
+      // spread FIRST: c4Clean's document-drop predicate references the
+      // raw text, so predicate pushdown sinks the heavy line filter
+      // BELOW the range exchange (the d22 lesson) — the spread keeps
+      // that pushed-down work 32-way instead of on the 2-split scan
       operators.TextAnalysis.c4Clean(
-        orderedSource(s, docs, col("doc_id"))
+        orderedSource(s, spreadIfUnderParallel(s, docs), col("doc_id"))
           .withColumn("text", withBad), "doc_id", "text")
     }),
 
@@ -3216,8 +3225,12 @@ object SparkEntry {
         when(pmod(col("doc_id"), lit(5)) === 0,
           concat(col("text"), lit(" " + boiler)))
         .otherwise(col("text")))
-      operators.Dedup.dropRepeatedSpans(mutated, "text", "doc_id",
-          spanTokens = 10)
+      // exchangeBarrier: the rebuild projection (tokenize + span
+      // filter + re-join) runs in the stream-side scan stage, which
+      // the final orderBy re-ran; rebuilt rows shuffle once
+      exchangeBarrier(s,
+          operators.Dedup.dropRepeatedSpans(mutated, "text", "doc_id",
+            spanTokens = 10))
         .orderBy(col("doc_id"))
     }),
 
@@ -3349,8 +3362,13 @@ object SparkEntry {
               substring(col("text"), 12, 1000000)))
           .otherwise(concat(col("text"), lit("!?"))))
       val all = docs.unionByName(variants)
-      operators.Dedup.editDistancePairs(all, "text", "doc_id",
-          maxDist = 2)
+      // exchangeBarrier: the final orderBy's range sampling re-ran
+      // the whole verify pipeline — the capped-levenshtein filter is
+      // post-join scan-stage work (profiled: two identical ~5.5 s
+      // 69-task jobs at sf1). Pair rows (ids + dist) shuffle once.
+      exchangeBarrier(s,
+          operators.Dedup.editDistancePairs(all, "text", "doc_id",
+            maxDist = 2))
         .orderBy(col("doc_id_1"), col("doc_id_2"))
     }),
 
@@ -3726,8 +3744,13 @@ object SparkEntry {
       val originals = enc(base, 0, 1)
       val copies = enc(base.filter(pmod(col("doc_id"), lit(10)) === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L), 1, 2)
-      val fps = operators.Multimodal.audioFingerprintPartitions(
-        originals.unionByName(copies), "blob", "doc_id")
+      // exchangeBarrier: the banding operator's l/r sides and the
+      // final orderBy would otherwise re-execute the encode+decode
+      // fingerprint chain (profiled: two identical ~3 s 68-task jobs
+      // at sf1); the barrier shuffles (doc_id, afp) — two longs — once
+      val fps = exchangeBarrier(s,
+        operators.Multimodal.audioFingerprintPartitions(
+          originals.unionByName(copies), "blob", "doc_id"))
       operators.Dedup.simhashPairsFromSig(fps, col("afp"),
           "doc_id", maxHamming = 3)
         .select(col("doc_id_1"), col("doc_id_2"),
@@ -3761,8 +3784,12 @@ object SparkEntry {
       val originals = enc(base, 0, 0, 0)
       val copies = enc(base.filter(pmod(col("doc_id"), lit(21)) === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L), 4, 2, 5)
-      val fps = operators.Multimodal.videoFingerprintPartitions(
-        originals.unionByName(copies), "blob", "doc_id")
+      // exchangeBarrier: the m11 note — here each re-execution is a
+      // full per-frame MJPEG decode (two identical ~4.5 s 68-task
+      // jobs at sf1); (doc_id, vfp) shuffles once instead
+      val fps = exchangeBarrier(s,
+        operators.Multimodal.videoFingerprintPartitions(
+          originals.unionByName(copies), "blob", "doc_id"))
       operators.Dedup.simhashPairsFromSig(fps, col("vfp"),
           "doc_id", maxHamming = 3)
         .select(col("doc_id_1"), col("doc_id_2"),

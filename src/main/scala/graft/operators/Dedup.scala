@@ -91,8 +91,18 @@ object Dedup {
     * Jaccard j collide on ≥1 band with p = 1-(1-j^r)^b.
     */
   def lshBandKeys(sigCol: Column, bands: Int = 4, rows: Int = 4): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(slice(sigCol, b * rows + lit(1), lit(rows)), b))
+    // explicit array constructor, NOT transform(sequence(...), ...):
+    // the values are identical (same per-band xxhash64(slice, band)),
+    // but size(array(...)) constant-folds where size(transform(...))
+    // does not — and the posexplode these keys feed makes the
+    // optimizer infer a `size(bands) > 0` filter that predicate
+    // pushdown then sinks BELOW the operators' spread exchanges,
+    // re-running the whole signature chain on the raw 1–2-split scan
+    // (round 17, profiled: d23's corpus side spent 5.4 s recomputing
+    // 32-hash signatures on 2 tasks inside that inferred filter).
+    // With a foldable size the inferred filter folds away entirely.
+    array((0 until bands).map(b =>
+      xxhash64(slice(sigCol, b * rows + 1, rows), lit(b))): _*)
 
   /** Derive the MinHash-LSH band count from the Jaccard threshold —
     * the [[autoPlanes]] self-sizing discipline applied to the other
@@ -1443,7 +1453,11 @@ object Dedup {
     */
   def minhashReferenceIndex(reference: DataFrame, textCol: String,
                             shingleN: Int = 3): DataFrame =
-    reference.select(shingleHashes(col(textCol), shingleN).as("rsh"))
+    // spread: the shingle pass ran on the fixture's 1–2 splits
+    // (profiled: a 2-task multi-second job at sf1 inside d23's
+    // broadcast build); no-op on a parallel production scan
+    spread(reference)
+      .select(shingleHashes(col(textCol), shingleN).as("rsh"))
 
   /** [[minhashOverlap]] against a prebuilt [[minhashReferenceIndex]]
     * frame — bit-identical results to the inline build (gated).
@@ -1469,8 +1483,10 @@ object Dedup {
       .select(col("__cid"), col("__csh"), col("__cbs"),
         posexplode(col("__cbs")).as(Seq("__band_idx", "__band_key")))
     // the reference id never surfaces (only the max jaccard does), so
-    // the broadcast rows carry shingles + bands alone
-    val r = index
+    // the broadcast rows carry shingles + bands alone. spread: the
+    // 32-hash signature + band derivation is per-row heavy and a
+    // read-back index arrives in few splits (no-op when parallel)
+    val r = spread(index)
       .select(col("rsh").as("__rsh"))
       .withColumn("__rbs",
         lshBandKeys(minhashSignature(col("__rsh"), numHashes), bandsN,
@@ -1698,7 +1714,11 @@ object Dedup {
     // a single native pass (FNV per token + long mixing), replacing a
     // per-gram slice+concat+xxhash64 that materialized an ~L-token
     // string per position (O(tokens × L × token_len) byte work).
-    val grams = df
+    // spread: `grams` feeds TWO consumers (the firsts aggregation and
+    // the join's left side), each re-running the gram pass — off a
+    // 1–2-split fixture scan that serialized both onto 2 cores; no-op
+    // at production parallelism (round 17)
+    val grams = spread(df)
       .select(col(idCol),
         posexplode(graft.functions.gram_hashes(col(textCol), l))
           .as(Seq("__pos", "__h")))
@@ -1750,7 +1770,10 @@ object Dedup {
     val kept = filter(toks, (_, i) =>
       !exists(col("__mspans"),
         v => v.getField("__s") <= i && i < v.getField("__e")))
-    df.join(marked, Seq(idCol), "left")
+    // spread the rebuild's stream side too: the tokenize+filter+
+    // rebuild projection runs in the scan stage (the marked side
+    // broadcasts), which on the fixture is 1–2 splits
+    spread(df).join(marked, Seq(idCol), "left")
       .select(col(idCol),
         when(col("__mspans").isNull, col(textCol))
           .otherwise(concat_ws(" ", kept)).as(textCol),

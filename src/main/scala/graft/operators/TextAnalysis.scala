@@ -410,7 +410,11 @@ object TextAnalysis {
     * orders of magnitude smaller than the corpus.
     */
   def bigramLm(ref: DataFrame, textCol: String): DataFrame = {
-    val withTk = ref.select(tokenize(col(textCol)).as("__tk"))
+    // spread (round 17): __tk feeds TWO count aggregations, each
+    // re-running the tokenize off a 1–2-split fixture scan; no-op on
+    // a production-parallel scan
+    val withTk = graft.Graft.spread(ref)
+      .select(tokenize(col(textCol)).as("__tk"))
     val uni = withTk.select(explode(col("__tk")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .select(lit(null).cast("string").as("prev"), col("tok"), col("c"))
@@ -455,7 +459,10 @@ object TextAnalysis {
     val big = lm.filter(col("prev").isNotNull)
       .select(col("prev").as("__prev"), col("tok").as("__tok"),
         col("c").as("__c2"))
-    val toks = df.withColumn("__tk", tokenize(col(textCol)))
+    // spread: the tokenize+explode pass ran on the fixture's 1–2
+    // splits; no-op at production parallelism (round 17)
+    val toks = graft.Graft.spread(df)
+      .withColumn("__tk", tokenize(col(textCol)))
       .select(col(idCol), explode(expr(
         "transform(__tk, (t, i) -> struct(" +
           "CASE WHEN i = 0 THEN CAST(NULL AS STRING) " +
@@ -501,7 +508,10 @@ object TextAnalysis {
     * model is worth training on.
     */
   def trigramLm(ref: DataFrame, textCol: String): DataFrame = {
-    val withTk = ref.select(tokenize(col(textCol)).as("__tk"))
+    // spread: three count aggregations off the same tokenize — the
+    // bigramLm note
+    val withTk = graft.Graft.spread(ref)
+      .select(tokenize(col(textCol)).as("__tk"))
     val nul = lit(null).cast("string")
     val uni = withTk.select(explode(col("__tk")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
@@ -555,7 +565,8 @@ object TextAnalysis {
     val tri = lm.filter(col("p2").isNotNull)
       .select(col("p2").as("__p2"), col("p1").as("__p1"),
         col("tok").as("__tok"), col("c").as("__c3"))
-    val toks = df.withColumn("__tk", tokenize(col(textCol)))
+    val toks = graft.Graft.spread(df)
+      .withColumn("__tk", tokenize(col(textCol)))
       .select(col(idCol), explode(expr(
         "transform(__tk, (t, i) -> struct(" +
           "CASE WHEN i < 2 THEN CAST(NULL AS STRING) " +
