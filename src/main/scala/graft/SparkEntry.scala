@@ -2573,14 +2573,13 @@ object SparkEntry {
     // users at gate sf keeps the KMV estimate exact. The streaming
     // spelling (same code path — sessionWindow adapts) is spec-gated
     // in StreamingSpec.
+    // NOTE (round 17): do NOT spread the events scan ahead of the
+    // session-window aggregations — round-robin destroys the scan's
+    // time-locality, so map-side partial sessions stop merging and
+    // the final merge explodes (measured 5× WORSE at sf1: d48
+    // 13.5 → 70.6 s with a spread here; values identical, cost not).
     "d39_session_distinct_monitor" -> ((s, d) => {
-      // spread before the session aggregation (round 17): the 4-split
-      // events fixture serialized the per-row KMV/histogram partial
-      // aggregation onto 4 cores; a production scan no-ops. KMV is
-      // min-k of a set and the histogram is counts — both are
-      // partitioning-invariant, so values are identical.
-      val ds = api.DataStream(
-        spreadIfUnderParallel(s, t(s, d, "events")), "ts")
+      val ds = api.DataStream(t(s, d, "events"), "ts")
       ds.distinctMonitorSession("user_id", "15 minutes", k = 8192).df
         .select(unix_millis(col("window_start_time"))
             .as("window_start_ms"),
@@ -2757,8 +2756,7 @@ object SparkEntry {
         "user_id", tmp, k = 8192)
       val baseSketch = operators.DedupIndex
         .readKmv(s, tmp, k = 8192).head().getSeq[Long](0)
-      // spread before the windowed aggregation — the d39 note
-      api.DataStream(spreadIfUnderParallel(s, ev), "ts")
+      api.DataStream(ev, "ts")
         .healthMonitor("user_id", "1 hour",
           value = Some(operators.Drift.ValueBaseline("value",
             bounds, fracs.toSeq)),
@@ -2795,8 +2793,8 @@ object SparkEntry {
       val fracs = operators.Drift.histFractions(
         ev.filter(unix_millis(col("ts")) < lit(1705276800000L)),
         "value", bounds)
-      // spread before the session aggregation — the d39 note
-      api.DataStream(spreadIfUnderParallel(s, ev), "ts")
+      // no spread — the d39 session-locality note
+      api.DataStream(ev, "ts")
         .healthMonitorSession("user_id", "15 minutes",
           value = Some(operators.Drift.ValueBaseline("value",
             bounds, fracs.toSeq)),
